@@ -1,0 +1,41 @@
+"""s3parq_spark — a PySpark-native engine with the query and data-processing
+capabilities of IntegriChain1/s3parq (reference at /root/reference, studied
+for behavior only; architecture is Spark-first, see SURVEY.md §7).
+
+Public surface mirrors the reference's ``s3parq/__init__.py:3-8`` plus the
+importable module members, and adds the large-scale pipeline operators
+(dedup, similarity, text analysis, multimodal, streaming) under
+``s3parq_spark.operators`` / ``s3parq_spark.streaming``.
+"""
+
+from .fetch import (
+    MissingS3ParqMetadata,
+    fetch,
+    fetch_diff,
+    fetch_diff_path,
+    fetch_path,
+    get_all_files_list,
+    get_all_partition_values,
+    get_diff_partition_values,
+    get_max_partition_value,
+)
+from .publish import custom_publish, publish, publish_path
+from .session import get_spark
+
+__all__ = [
+    "MissingS3ParqMetadata",
+    "custom_publish",
+    "fetch",
+    "fetch_diff",
+    "fetch_diff_path",
+    "fetch_path",
+    "get_all_files_list",
+    "get_all_partition_values",
+    "get_diff_partition_values",
+    "get_max_partition_value",
+    "get_spark",
+    "publish",
+    "publish_path",
+]
+
+__version__ = "0.1.0"

@@ -1,0 +1,275 @@
+"""Fetch: partition-pruned reads + metadata-only partition-value queries.
+
+Reference read path (``/root/reference/s3parq/fetch_parq.py:152-230``):
+list keys → head first object for types → validate filters → prune key
+prefixes on the driver → per-file pandas reads → concat.
+
+Spark-first replacement: the sidecar provides an explicit schema, the filter
+shim builds ONE Catalyst predicate, and ``PruneFileSourcePartitions`` prunes
+the file index before any data I/O — the reference's defining guarantee
+("filter records before any file i/o", reference README.md:10) but planned by
+Spark, valid at 100 TB, and followed by a distributed columnar scan with
+parquet filter pushdown and column pruning the reference never had.
+
+The partition-value queries (``get_all_partition_values`` /
+``get_max_partition_value`` / ``get_diff_partition_values``,
+``fetch_parq.py:49-149``) stay driver-side over the file listing: they are
+metadata-only by contract — cost proportional to the number of *files*, zero
+row I/O — exactly like the reference.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from collections import OrderedDict
+from typing import Dict, List, Optional
+from urllib.parse import unquote
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import fs, metadata, naming
+from .filters import (
+    NON_NUM_TYPES,
+    filters_to_predicate,
+    validate_filter_rules,
+    validate_matching_filter_data_type,
+)
+from .metadata import DatasetMetadata, convert_type
+
+
+class MissingS3ParqMetadata(Exception):
+    """Dataset lacks the sidecar and ``accept_not_s3parq`` is False
+    (reference ``fetch_parq.py:649-654``)."""
+
+
+def get_all_files_list(bucket: str, key: str = "", spark: Optional[SparkSession] = None) -> List[str]:
+    """All ``.parquet`` files of the dataset, relative paths — the reference's
+    paginated ``list_objects`` scan (``fetch_parq.py:327-354``)."""
+    spark = spark or SparkSession.active()
+    return fs.list_files(spark, fs.dataset_uri(bucket, key))
+
+
+def parse_partitions_and_values(file_paths: List[str]) -> "OrderedDict[str, set]":
+    """Parse hive ``k=v`` components out of relative file paths →
+    ``{partition: set(str values)}`` preserving directory order
+    (reference ``_parse_partitions_and_values``, ``fetch_parq.py:391-418``).
+    Values are URL-unescaped because Spark percent-encodes special chars
+    (e.g. ``:`` in timestamps) in partition directory names."""
+    parts: "OrderedDict[str, set]" = OrderedDict()
+    for path in file_paths:
+        for comp in path.split("/")[:-1]:  # last component is the file name
+            if "=" not in comp:
+                continue
+            k, _, v = comp.partition("=")
+            parts.setdefault(k, set()).add(unquote(v))
+    return parts
+
+
+def _dataset_meta(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
+    return metadata.read_sidecar(spark, path)
+
+
+# ---------------------------------------------------------------------------
+# metadata-only partition value queries (SURVEY §2.3 A1-A3)
+# ---------------------------------------------------------------------------
+
+def get_all_partition_values(
+    bucket: str, key: str, partition: str, spark: Optional[SparkSession] = None
+) -> list:
+    """A1 — all typed values of a partition, no data I/O, no defined order
+    (``fetch_parq.py:49-70``)."""
+    spark = spark or SparkSession.active()
+    path = fs.dataset_uri(bucket, key)
+    files = fs.list_files(spark, path)
+    if not files:
+        return []
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    dtype = meta.partition_data_types[partition]
+    values = parse_partitions_and_values(files).get(partition, set())
+    return [convert_type(v, dtype) for v in values]
+
+
+def get_max_partition_value(
+    bucket: str, key: str, partition: str, spark: Optional[SparkSession] = None
+):
+    """A2 — max over typed partition values; rejected for non-numeric
+    partition types, datetime allowed (``fetch_parq.py:121-149``)."""
+    spark = spark or SparkSession.active()
+    naming.validate_bucket_name(bucket)
+    path = fs.dataset_uri(bucket, key)
+    files = fs.list_files(spark, path)
+    if not files:
+        return None
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    dtype = meta.partition_data_types[partition]
+    if dtype in NON_NUM_TYPES:
+        raise ValueError(f"Max cannot be used on partition types of {dtype}")
+    values = parse_partitions_and_values(files).get(partition, set())
+    return max(convert_type(v, dtype) for v in values)
+
+
+def get_diff_partition_values(
+    bucket: str,
+    key: str,
+    partition: str,
+    values_to_diff: list,
+    reverse: bool = False,
+    spark: Optional[SparkSession] = None,
+) -> list:
+    """A3 — set difference over partition values, compared as *strings* and
+    re-typed on the way out, with the reference's exact empty-side edge cases
+    (``fetch_parq.py:73-118``)."""
+    spark = spark or SparkSession.active()
+    path = fs.dataset_uri(bucket, key)
+    files = fs.list_files(spark, path)
+
+    if not files:
+        return list(set(values_to_diff)) if reverse else []
+
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    dtype = meta.partition_data_types[partition]
+    partition_set = set(parse_partitions_and_values(files).get(partition, set()))
+    diff_strs = {str(v) for v in values_to_diff}
+
+    if not values_to_diff:
+        return [] if reverse else [convert_type(v, dtype) for v in partition_set]
+
+    diff = diff_strs - partition_set if reverse else partition_set - diff_strs
+    return [convert_type(v, dtype) for v in diff]
+
+
+# ---------------------------------------------------------------------------
+# fetch (SURVEY §3.1) and fetch_diff (§3.3)
+# ---------------------------------------------------------------------------
+
+def fetch_path(
+    spark: SparkSession,
+    path: str,
+    filters: Optional[List[dict]] = None,
+    accept_not_s3parq: bool = True,
+) -> DataFrame:
+    """Partition-pruned read returning a Spark DataFrame.
+
+    The sidecar's types become an explicit read schema (partition columns
+    included), overriding Spark's own partition-type inference so
+    string/boolean/datetime/category partition values round-trip exactly as
+    the reference's ``convert_type`` produces them (SURVEY §7.4 risk #1).
+    """
+    filters = filters or []
+    validate_filter_rules(filters)
+
+    files = fs.list_files(spark, path)
+    if not files:
+        return spark.createDataFrame([], T.StructType([]))
+
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        # non-s3parq dataset: reference fetches it whole when allowed
+        # (fetch_parq.py:174-200); any filter fails partition validation.
+        if not accept_not_s3parq:
+            raise MissingS3ParqMetadata(f"no sidecar at {path}")
+        validate_matching_filter_data_type({}, filters)
+        return spark.read.parquet(path)
+
+    validate_matching_filter_data_type(meta.partition_data_types, filters)
+
+    # Explicit full schema in the dataset's original column order; Spark casts
+    # hive path strings to the partition columns' declared types.
+    full_schema = T.StructType(
+        [
+            T.StructField(n, metadata.vocab_to_spark_type(t), True)
+            for n, t in meta.column_types.items()
+        ]
+    )
+    df = spark.read.schema(full_schema).parquet(path)
+
+    if filters:
+        df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
+    return df.select(*[f.name for f in full_schema.fields])
+
+
+def fetch(
+    bucket: str,
+    key: str,
+    filters: Optional[List[dict]] = None,
+    parallel: bool = True,  # kept for API parity; Spark is always distributed
+    accept_not_s3parq: bool = True,
+    spark: Optional[SparkSession] = None,
+    as_pandas: bool = False,
+) -> DataFrame:
+    """Reference-compatible ``fetch`` (``fetch_parq.py:152-230``). Returns a
+    Spark DataFrame by default (``as_pandas=True`` restores the reference's
+    pandas return type at the API edge)."""
+    del parallel
+    spark = spark or SparkSession.active()
+    naming.validate_bucket_name(bucket)
+    df = fetch_path(
+        spark, fs.dataset_uri(bucket, key), filters, accept_not_s3parq=accept_not_s3parq
+    )
+    return df.toPandas() if as_pandas else df
+
+
+def fetch_diff_path(
+    spark: SparkSession,
+    input_path: str,
+    comparison_path: str,
+    partition: str,
+    reverse: bool = False,
+) -> DataFrame:
+    """A4 ``fetch_diff`` (``fetch_parq.py:233-280``) as ONE Catalyst plan: a
+    broadcast left-anti join of the input against the comparison dataset's
+    distinct partition values, replacing the reference's three-pass
+    values→diff→filtered-fetch. The distinct-values side is tiny (it is a
+    partition-value set), so the anti-join never shuffles the big side."""
+    if reverse:
+        input_path, comparison_path = comparison_path, input_path
+
+    inp = fetch_path(spark, input_path)
+    if not inp.columns:
+        return inp
+
+    cmp_meta = _dataset_meta(spark, comparison_path)
+    cmp_files = fs.list_files(spark, comparison_path)
+    if not cmp_files or cmp_meta is None:
+        return inp  # nothing to subtract: everything differs
+
+    inp_type = dict(inp.dtypes).get(partition)
+    cmp_values = (
+        fetch_path(spark, comparison_path)
+        .select(F.col(partition).cast(inp_type).alias(partition))
+        .distinct()
+    )
+    return inp.join(F.broadcast(cmp_values), on=partition, how="left_anti")
+
+
+def fetch_diff(
+    input_bucket: str,
+    input_key: str,
+    comparison_bucket: str,
+    comparison_key: str,
+    partition: str,
+    reverse: bool = False,
+    parallel: bool = True,
+    spark: Optional[SparkSession] = None,
+    as_pandas: bool = False,
+) -> DataFrame:
+    del parallel
+    spark = spark or SparkSession.active()
+    naming.validate_bucket_name(input_bucket)
+    naming.validate_bucket_name(comparison_bucket)
+    df = fetch_diff_path(
+        spark,
+        fs.dataset_uri(input_bucket, input_key),
+        fs.dataset_uri(comparison_bucket, comparison_key),
+        partition,
+        reverse=reverse,
+    )
+    return df.toPandas() if as_pandas else df

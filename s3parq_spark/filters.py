@@ -1,0 +1,135 @@
+"""Reference filter semantics → Catalyst predicates.
+
+The reference's query language is a list of filter dicts
+``{"partition": str, "comparison": str, "values": [...]}``
+(``/root/reference/s3parq/fetch_parq.py:23-36``) evaluated against partition
+*path values* before any file I/O. Semantics replicated here exactly
+(SURVEY.md §2.2 F1/F2/F5):
+
+- comparisons: ``== != > < >= <=``;
+- ``> < >= <=`` take exactly ONE value (``fetch_parq.py:599-614``);
+- ``> < >= <=`` are rejected on non-numeric partition types
+  (string/category/bool — datetime IS orderable, ``fetch_parq.py:629-645``);
+- within one filter: OR across ``values``; across partitions: AND;
+- only the FIRST filter naming a given partition applies
+  (``fetch_parq.py:469`` — ``next(f for f in filters ...)``).
+
+Instead of cross-producting surviving path prefixes on the driver
+(``fetch_parq.py:480-498``), the predicate is handed to Catalyst as a
+``Column`` on partition columns, where ``PruneFileSourcePartitions`` prunes
+the file index before any data is scanned — the same "filter before I/O"
+guarantee, but planned by Spark and valid at any number of partitions.
+"""
+
+from __future__ import annotations
+
+import operator
+from functools import reduce
+from typing import Dict, List
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from .metadata import DATETIME_FORMAT, convert_type
+
+OPS = {
+    "==": operator.eq,
+    "!=": operator.ne,
+    ">=": operator.ge,
+    "<=": operator.le,
+    ">": operator.gt,
+    "<": operator.lt,
+}
+
+SINGLE_VALUE_COMPARISONS = (">", "<", "<=", ">=")
+
+NON_NUM_TYPES = ("string", "category", "bool", "boolean")
+
+
+def validate_filter_rules(filters: List[dict]) -> None:
+    """Shape validation — reference ``_validate_filter_rules``
+    (``fetch_parq.py:588-614``)."""
+    for f in filters:
+        if not all(k in f for k in ("partition", "comparison", "values")):
+            raise ValueError("Filters require partition, comparison, and values.")
+        if f["comparison"] not in OPS:
+            raise ValueError(f"Comparison {f['comparison']} is not supported.")
+        if f["comparison"] in SINGLE_VALUE_COMPARISONS and len(f["values"]) != 1:
+            raise ValueError(
+                f"Comparison {f['comparison']} can only be used with one filter value."
+            )
+
+
+def validate_matching_filter_data_type(
+    part_types: Dict[str, str], filters: List[dict]
+) -> None:
+    """Type validation — reference ``_validate_matching_filter_data_type``
+    (``fetch_parq.py:617-645``). Spark itself would happily order strings; the
+    reference forbids it, so we reject at the API layer."""
+    for f in filters:
+        if f["partition"] not in part_types:
+            raise ValueError("Filter does not have a matching partition.")
+        part_type = part_types[f["partition"]]
+        if f["comparison"] in SINGLE_VALUE_COMPARISONS and part_type in NON_NUM_TYPES:
+            raise ValueError(
+                f"Comparison {f['comparison']} cannot be used on partition "
+                f"types of {part_type}"
+            )
+
+
+def _typed_value(value, dtype: str):
+    """Coerce a filter value to the partition's metadata type the same way the
+    reference types path values (``convert_type``, ``fetch_parq.py:283-305``),
+    so e.g. a ``'2025-01-01 00:00:00'`` string filters a datetime partition."""
+    if value is None:
+        return None
+    if isinstance(value, str) and dtype not in ("string", "category"):
+        return convert_type(value, dtype)
+    return value
+
+
+def first_filter_per_partition(filters: List[dict]) -> List[dict]:
+    """Reference keeps only the first filter naming each partition
+    (``fetch_parq.py:469``)."""
+    seen = set()
+    out = []
+    for f in filters:
+        if f["partition"] in seen:
+            continue
+        seen.add(f["partition"])
+        out.append(f)
+    return out
+
+
+def filters_to_predicate(
+    filters: List[dict], part_types: Dict[str, str]
+) -> Column:
+    """Build the Catalyst predicate: OR across a filter's values, AND across
+    partitions. ``==`` over many values lowers to ``isin`` (one In-filter that
+    pushes into partition pruning); everything else is an explicit OR-reduce
+    of binary comparisons — identical truth table to the reference's
+    ``_get_filtered_key_list`` loop (``fetch_parq.py:467-476``)."""
+    preds: List[Column] = []
+    for f in first_filter_per_partition(filters):
+        dtype = part_types[f["partition"]]
+        col = F.col(f["partition"])
+        values = [_typed_value(v, dtype) for v in f["values"]]
+        cmp = f["comparison"]
+        if cmp == "==":
+            preds.append(col.isin(values))
+        else:
+            op = OPS[cmp]
+            preds.append(reduce(operator.or_, [op(col, F.lit(v)) for v in values]))
+    if not preds:
+        return F.lit(True)
+    return reduce(operator.and_, preds)
+
+
+def apply_filters_to_values(values: set, filters: List[dict], partition: str):
+    """Driver-side variant used by the metadata-only value queries: same
+    truth table applied to an in-memory set of typed partition values."""
+    fil = next((f for f in filters if f["partition"] == partition), None)
+    if fil is None:
+        return set(values)
+    op = OPS[fil["comparison"]]
+    return {x for x in values if any(op(x, v) for v in fil["values"])}

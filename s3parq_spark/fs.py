@@ -1,0 +1,100 @@
+"""Filesystem metadata plane.
+
+The reference (``/root/reference/s3parq/fetch_parq.py:327-354``) answers its
+listing queries with paginated S3 ``list_objects`` calls on the driver. Here
+the same metadata plane is expressed through the Hadoop FileSystem API exposed
+by the Spark JVM, so one code path covers ``file://``, ``hdfs://`` and
+``s3a://`` URIs. Listing is driver-side by design: it is proportional to the
+*number of files*, not the data volume, which is exactly the property that
+makes the reference's partition-value queries metadata-only (no row I/O) —
+see SURVEY.md §3.4.
+"""
+
+from __future__ import annotations
+
+import json
+import posixpath
+from typing import List
+
+from pyspark.sql import SparkSession
+
+SIDECAR_NAME = "_s3parq_metadata.json"
+
+
+def _jvm_fs(spark: SparkSession, path: str):
+    """Resolve a Hadoop FileSystem + Path for a URI (local, hdfs or s3a)."""
+    jvm = spark.sparkContext._jvm
+    hadoop_conf = spark.sparkContext._jsc.hadoopConfiguration()
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(hadoop_conf)
+    return fs, jpath, jvm
+
+
+def dataset_uri(bucket: str, key: str) -> str:
+    """Reference-compatible ``(bucket, key)`` → URI.
+
+    Mirrors ``s3_url`` (``/root/reference/s3parq/publish_parq.py:152-154``)
+    but emits ``s3a://`` (the Hadoop S3 connector scheme) and passes local
+    paths (used by the test-suite the way moto is used by the reference)
+    straight through.
+    """
+    if bucket.startswith(("/", "file:", "s3a:", "s3:", "hdfs:")):
+        base = bucket[5:] if bucket.startswith("s3://") else bucket
+        return posixpath.join(base, key) if key else base
+    return f"s3a://{bucket}/{key}"
+
+
+def exists(spark: SparkSession, path: str) -> bool:
+    fs, jpath, _ = _jvm_fs(spark, path)
+    return bool(fs.exists(jpath))
+
+
+def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List[str]:
+    """Recursively list data files under ``path`` (driver-side metadata op).
+
+    Equivalent of the reference's ``get_all_files_list``
+    (``fetch_parq.py:327-354``); returns paths relative to ``path`` so the
+    hive ``k=v`` components can be parsed out of them.
+    """
+    fs, jpath, _ = _jvm_fs(spark, path)
+    if not fs.exists(jpath):
+        return []
+    out: List[str] = []
+    it = fs.listFiles(jpath, True)  # recursive RemoteIterator
+    base = fs.makeQualified(jpath).toString().rstrip("/")
+    while it.hasNext():
+        p = it.next().getPath().toString()
+        if suffix and not p.endswith(suffix):
+            continue
+        rel = p[len(base) + 1:] if p.startswith(base + "/") else p
+        out.append(rel)
+    return sorted(out)
+
+
+def read_text(spark: SparkSession, path: str) -> str:
+    fs, jpath, jvm = _jvm_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        # py4j cannot fill a Python-side buffer from Java; let commons-io
+        # (on Spark's classpath) drain the stream JVM-side.
+        return jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+    finally:
+        stream.close()
+
+
+def write_text(spark: SparkSession, path: str, content: str) -> None:
+    fs, jpath, _ = _jvm_fs(spark, path)
+    stream = fs.create(jpath, True)  # overwrite
+    try:
+        stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def read_json(spark: SparkSession, path: str) -> dict:
+    return json.loads(read_text(spark, path))
+
+
+def write_json(spark: SparkSession, path: str, obj: dict) -> None:
+    # no sort_keys: column_types insertion order IS the dataset's column order
+    write_text(spark, path, json.dumps(obj, indent=2))

@@ -1,0 +1,212 @@
+"""Typed-partition sidecar metadata.
+
+The reference stamps *every S3 object* with
+``Metadata['partition_data_types'] = "{'col': 'string', ...}"``
+(``/root/reference/s3parq/publish_parq.py:259-266``) and reads it back with a
+``head_object`` + ``ast.literal_eval``
+(``/root/reference/s3parq/fetch_parq.py:357-388``). Spark's writers cannot
+stamp per-object S3 metadata, and one copy per dataset is strictly better at
+scale (one read instead of N HEADs), so this engine keeps a single dataset
+level sidecar ``_s3parq_metadata.json`` with the same authoritative type
+vocabulary.
+
+Type vocabulary (``publish_parq.py:362-400``): ``string``, ``integer``,
+``float``, ``datetime``, ``category``, ``boolean``, ``decimal``.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import posixpath
+import re
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from . import fs
+
+#: metadata vocabulary → Spark type. ``category`` degrades to string exactly
+#: like the reference degrades pandas category → pa.string()
+#: (``publish_parq.py:350-351``).
+VOCAB_TO_SPARK = {
+    "string": T.StringType(),
+    "integer": T.LongType(),
+    "float": T.DoubleType(),
+    "datetime": T.TimestampType(),
+    "category": T.StringType(),
+    "boolean": T.BooleanType(),
+}
+
+_DECIMAL_RE = re.compile(r"^decimal(?:\((\d+)\s*,\s*(\d+)\))?$", re.I)
+
+#: reference datetime partition-path format (``fetch_parq.py:437-441``)
+DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"
+
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def vocab_to_spark_type(name: str) -> T.DataType:
+    m = _DECIMAL_RE.match(name)
+    if m:
+        p = int(m.group(1) or 38)
+        s = int(m.group(2) or 18)
+        return T.DecimalType(p, s)
+    try:
+        return VOCAB_TO_SPARK[name]
+    except KeyError:
+        raise NotImplementedError(f"unsupported metadata type: {name!r}")
+
+
+def spark_type_to_vocab(dtype: T.DataType) -> str:
+    """Spark type → metadata vocabulary.
+
+    Mirrors ``_parse_dataframe_col_types``
+    (``/root/reference/s3parq/publish_parq.py:362-400``): ints → ``integer``,
+    floats → ``float``, dates/timestamps → ``datetime``, bool → ``boolean``,
+    everything stringy → ``string``; decimal keeps precision/scale so the
+    fetch side can rebuild ``DecimalType(p, s)`` exactly.
+    """
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "integer"
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return "datetime"
+    if isinstance(dtype, T.BooleanType):
+        return "boolean"
+    if isinstance(dtype, T.DecimalType):
+        return f"decimal({dtype.precision},{dtype.scale})"
+    if isinstance(dtype, T.StringType):
+        return "string"
+    raise NotImplementedError(
+        f"spark type {dtype.simpleString()} has no s3parq metadata equivalent"
+    )
+
+
+def strtobool(val: str) -> bool:
+    """``distutils.util.strtobool`` semantics used by the reference's
+    ``convert_type`` (``fetch_parq.py:283-305``)."""
+    v = str(val).lower()
+    if v in ("y", "yes", "t", "true", "on", "1"):
+        return True
+    if v in ("n", "no", "f", "false", "off", "0"):
+        return False
+    raise ValueError(f"invalid truth value {val!r}")
+
+
+def convert_type(val: str, dtype: str):
+    """String partition value → typed Python value (reference ``convert_type``,
+    ``fetch_parq.py:283-305``)."""
+    if val == HIVE_DEFAULT_PARTITION:
+        return None
+    if dtype in ("string", "category"):
+        return str(val)
+    if dtype == "integer":
+        return int(val)
+    if dtype == "float":
+        return float(val)
+    if dtype == "datetime":
+        try:
+            return _dt.datetime.strptime(val, DATETIME_FORMAT)
+        except ValueError:
+            # Spark writes date-typed / fractional-second partition values too
+            return _dt.datetime.fromisoformat(val)
+    if dtype in ("bool", "boolean"):
+        return strtobool(val)
+    if _DECIMAL_RE.match(dtype):
+        import decimal
+
+        return decimal.Decimal(val)
+    return str(val)
+
+
+class DatasetMetadata:
+    """The sidecar contents: partition types + full column types."""
+
+    def __init__(
+        self,
+        partitions: List[str],
+        partition_data_types: Dict[str, str],
+        column_types: Dict[str, str],
+    ):
+        self.partitions = list(partitions)
+        self.partition_data_types = dict(partition_data_types)
+        self.column_types = dict(column_types)
+
+    @classmethod
+    def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
+        by_name = {f.name: f.dataType for f in df.schema.fields}
+        missing = [p for p in partitions if p not in by_name]
+        if missing:
+            raise ValueError(f"partition columns not in dataframe: {missing}")
+        return cls(
+            partitions=partitions,
+            partition_data_types={p: spark_type_to_vocab(by_name[p]) for p in partitions},
+            column_types={n: spark_type_to_vocab(t) for n, t in by_name.items()},
+        )
+
+    def to_dict(self) -> dict:
+        return {
+            "format": "s3parq-spark/1",
+            "partitions": self.partitions,
+            "partition_data_types": self.partition_data_types,
+            "column_types": self.column_types,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "DatasetMetadata":
+        return cls(
+            partitions=d.get("partitions", []),
+            partition_data_types=d.get("partition_data_types", {}),
+            column_types=d.get("column_types", {}),
+        )
+
+    def value_schema(self) -> T.StructType:
+        """Explicit read schema for the *value* (non-partition) columns, so the
+        parquet scan never relies on inference."""
+        fields = [
+            T.StructField(n, vocab_to_spark_type(t), True)
+            for n, t in self.column_types.items()
+            if n not in self.partitions
+        ]
+        return T.StructType(fields)
+
+
+def sidecar_path(path: str) -> str:
+    return posixpath.join(path, fs.SIDECAR_NAME)
+
+
+def write_sidecar(spark: SparkSession, path: str, meta: DatasetMetadata) -> None:
+    fs.write_json(spark, sidecar_path(path), meta.to_dict())
+
+
+def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
+    """Returns None when the dataset was not written by this engine — the
+    reference's ``accept_not_s3parq`` path (``fetch_parq.py:174-200``)."""
+    p = sidecar_path(path)
+    if not fs.exists(spark, p):
+        return None
+    return DatasetMetadata.from_dict(fs.read_json(spark, p))
+
+
+def merge_sidecar(
+    existing: Optional[DatasetMetadata], new: DatasetMetadata
+) -> DatasetMetadata:
+    """Append-mode publish into an existing dataset must agree on partitions
+    and types (the reference stamps the same dict onto new objects,
+    ``publish_parq.py:211-267``; a conflicting append would corrupt readers)."""
+    if existing is None:
+        return new
+    if existing.partitions != new.partitions:
+        raise ValueError(
+            f"append partition mismatch: dataset has {existing.partitions}, "
+            f"publish got {new.partitions}"
+        )
+    for col, t in new.column_types.items():
+        old = existing.column_types.get(col)
+        if old is not None and old != t:
+            raise ValueError(f"append type mismatch on column {col!r}: {old} vs {t}")
+    merged_cols = dict(existing.column_types)
+    merged_cols.update(new.column_types)
+    return DatasetMetadata(new.partitions, new.partition_data_types, merged_cols)

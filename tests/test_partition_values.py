@@ -1,0 +1,114 @@
+"""Metadata-only partition-value queries (SURVEY §2.3 A1-A3) — must answer
+from the file listing with zero row I/O, with the reference's typing and
+empty-side edge semantics (``/root/reference/s3parq/fetch_parq.py:49-149``)."""
+
+import datetime
+
+import pandas as pd
+import pytest
+
+from s3parq_spark import (
+    get_all_partition_values,
+    get_diff_partition_values,
+    get_max_partition_value,
+    publish,
+)
+from s3parq_spark.fetch import parse_partitions_and_values
+from s3parq_spark.metadata import convert_type, strtobool
+
+
+def frame(n=40):
+    base = datetime.datetime(2024, 1, 1)
+    return pd.DataFrame(
+        {
+            "s": [f"v{i % 4}" for i in range(n)],
+            "i": [i % 5 for i in range(n)],
+            "f": [(i % 3) + 0.25 for i in range(n)],
+            "b": [i % 2 == 0 for i in range(n)],
+            "dt": [base + datetime.timedelta(hours=12 * (i % 3)) for i in range(n)],
+            "x": range(n),
+        }
+    )
+
+
+def test_all_values_typed(spark, tmp_dataset_dir):
+    publish(tmp_dataset_dir, "", frame(), ["i"], spark=spark)
+    vals = get_all_partition_values(tmp_dataset_dir, "", "i", spark=spark)
+    assert sorted(vals) == [0, 1, 2, 3, 4]
+    assert all(isinstance(v, int) for v in vals)
+
+
+def test_all_values_empty_dataset(spark, tmp_dataset_dir):
+    assert get_all_partition_values(tmp_dataset_dir, "none", "i", spark=spark) == []
+
+
+def test_max_numeric_and_datetime(spark, tmp_path):
+    d1 = str(tmp_path / "a")
+    publish(d1, "", frame(), ["i", "dt"], spark=spark)
+    assert get_max_partition_value(d1, "", "i", spark=spark) == 4
+    assert get_max_partition_value(d1, "", "dt", spark=spark) == datetime.datetime(
+        2024, 1, 2
+    )
+
+
+def test_max_rejects_non_numeric(spark, tmp_dataset_dir):
+    publish(tmp_dataset_dir, "", frame(), ["s", "b"], spark=spark)
+    with pytest.raises(ValueError, match="Max cannot be used"):
+        get_max_partition_value(tmp_dataset_dir, "", "s", spark=spark)
+    with pytest.raises(ValueError, match="Max cannot be used"):
+        get_max_partition_value(tmp_dataset_dir, "", "b", spark=spark)
+
+
+def test_max_empty_dataset_none(spark, tmp_dataset_dir):
+    assert get_max_partition_value(tmp_dataset_dir, "none", "i", spark=spark) is None
+
+
+def test_diff_values(spark, tmp_dataset_dir):
+    publish(tmp_dataset_dir, "", frame(), ["i"], spark=spark)
+    got = get_diff_partition_values(tmp_dataset_dir, "", "i", [0, 1, 7], spark=spark)
+    assert sorted(got) == [2, 3, 4]
+    # reverse: values not present in the dataset
+    got_rev = get_diff_partition_values(
+        tmp_dataset_dir, "", "i", [0, 1, 7], reverse=True, spark=spark
+    )
+    assert got_rev == [7]
+
+
+def test_diff_empty_inputs(spark, tmp_path):
+    empty = str(tmp_path / "empty")
+    # empty dataset: diff=[] ; reverse returns the deduped input values
+    assert get_diff_partition_values(empty, "", "i", [1, 1, 2], spark=spark) == []
+    assert sorted(
+        get_diff_partition_values(empty, "", "i", [1, 1, 2], reverse=True, spark=spark)
+    ) == [1, 2]
+    # empty values_to_diff: all partition values ; reverse []
+    d = str(tmp_path / "d")
+    publish(d, "", frame(), ["i"], spark=spark)
+    assert sorted(get_diff_partition_values(d, "", "i", [], spark=spark)) == [0, 1, 2, 3, 4]
+    assert get_diff_partition_values(d, "", "i", [], reverse=True, spark=spark) == []
+
+
+def test_parse_partitions_and_values_unescapes():
+    paths = [
+        "dt=2024-01-01 00%3A00%3A00/f=0.25/part-0.parquet",
+        "dt=2024-01-02 12%3A00%3A00/f=1.25/part-1.parquet",
+    ]
+    parts = parse_partitions_and_values(paths)
+    assert parts["dt"] == {"2024-01-01 00:00:00", "2024-01-02 12:00:00"}
+    assert parts["f"] == {"0.25", "1.25"}
+    assert list(parts) == ["dt", "f"]
+
+
+def test_convert_type_reference_semantics():
+    # fetch_parq.py:283-305
+    assert convert_type("12", "integer") == 12
+    assert convert_type("1.5", "float") == 1.5
+    assert convert_type("2024-01-02 12:00:00", "datetime") == datetime.datetime(
+        2024, 1, 2, 12
+    )
+    assert convert_type("True", "boolean") is True
+    assert convert_type("false", "boolean") is False  # strtobool, not bool()
+    assert convert_type("00123", "string") == "00123"
+    assert convert_type("__HIVE_DEFAULT_PARTITION__", "integer") is None
+    with pytest.raises(ValueError):
+        strtobool("maybe")

@@ -1,0 +1,256 @@
+"""Round-trip tests for publish/fetch — the reference's defining E2E check
+(``/root/reference/tests/test_integration.py:14-49``): publish partitioned,
+fetch back, values/columns/dtypes equal; row order is NOT part of the
+contract."""
+
+import datetime
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark import (
+    fetch,
+    fetch_diff,
+    get_all_files_list,
+    publish,
+)
+from s3parq_spark.fetch import MissingS3ParqMetadata, fetch_path
+from s3parq_spark.metadata import read_sidecar
+
+
+def grouped_pdf(n=100):
+    """FIXTURES.md F1-style mixed frame: low-cardinality typed columns."""
+    base = datetime.datetime(2024, 1, 1)
+    return pd.DataFrame(
+        {
+            "string_col": [f"s{i % 3}" for i in range(n)],
+            "int_col": [i % 3 for i in range(n)],
+            "float_col": [float(i % 3) + 0.5 for i in range(n)],
+            "bool_col": [i % 2 == 0 for i in range(n)],
+            "datetime_col": [base + datetime.timedelta(days=i % 3) for i in range(n)],
+            "text_col": [f"text-{i}" for i in range(n)],
+            "metrics": list(range(n)),
+        }
+    )
+
+
+def assert_round_trip_equal(expected_pdf, got_pdf):
+    cols = sorted(expected_pdf.columns)
+    e = expected_pdf[cols].sort_values(cols).reset_index(drop=True)
+    g = got_pdf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(e, g, check_dtype=False)
+
+
+def test_round_trip_multi_partition(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(200)
+    files = publish(tmp_dataset_dir, "", pdf, ["string_col", "int_col"], spark=spark)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert all("string_col=" in f and "int_col=" in f for f in files)
+
+    got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True)
+    assert_round_trip_equal(pdf, got)
+    # declared partition types round-trip via the sidecar
+    meta = read_sidecar(spark, tmp_dataset_dir)
+    assert meta.partition_data_types == {"string_col": "string", "int_col": "integer"}
+
+
+def test_round_trip_all_partition_types(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(60)
+    parts = ["string_col", "int_col", "float_col", "bool_col", "datetime_col"]
+    publish(tmp_dataset_dir, "", pdf, parts, spark=spark)
+    meta = read_sidecar(spark, tmp_dataset_dir)
+    assert meta.partition_data_types == {
+        "string_col": "string",
+        "int_col": "integer",
+        "float_col": "float",
+        "bool_col": "boolean",
+        "datetime_col": "datetime",
+    }
+    got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True)
+    assert_round_trip_equal(pdf, got)
+    # partition dtypes restored, not inferred: bool stays bool, string stays str
+    sdf = fetch(tmp_dataset_dir, "", spark=spark)
+    dt = dict(sdf.dtypes)
+    assert dt["bool_col"] == "boolean"
+    assert dt["string_col"] == "string"
+    assert dt["datetime_col"] == "timestamp"
+    assert dt["int_col"] == "bigint"
+    assert dt["float_col"] == "double"
+
+
+def test_fetch_with_eq_filter(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(90)
+    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    got = fetch(
+        tmp_dataset_dir,
+        "",
+        filters=[{"partition": "string_col", "comparison": "==", "values": ["s1"]}],
+        spark=spark,
+        as_pandas=True,
+    )
+    assert_round_trip_equal(pdf[pdf.string_col == "s1"], got)
+
+
+def test_fetch_filter_or_across_values_and_across_partitions(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(90)
+    publish(tmp_dataset_dir, "", pdf, ["string_col", "int_col"], spark=spark)
+    got = fetch(
+        tmp_dataset_dir,
+        "",
+        filters=[
+            {"partition": "string_col", "comparison": "==", "values": ["s0", "s2"]},
+            {"partition": "int_col", "comparison": ">", "values": [0]},
+        ],
+        spark=spark,
+        as_pandas=True,
+    )
+    exp = pdf[pdf.string_col.isin(["s0", "s2"]) & (pdf.int_col > 0)]
+    assert_round_trip_equal(exp, got)
+
+
+def test_fetch_first_filter_per_partition_wins(spark, tmp_dataset_dir):
+    # reference applies only the FIRST filter naming a partition
+    # (fetch_parq.py:469)
+    pdf = grouped_pdf(90)
+    publish(tmp_dataset_dir, "", pdf, ["int_col"], spark=spark)
+    got = fetch(
+        tmp_dataset_dir,
+        "",
+        filters=[
+            {"partition": "int_col", "comparison": "==", "values": [1]},
+            {"partition": "int_col", "comparison": "==", "values": [2]},
+        ],
+        spark=spark,
+        as_pandas=True,
+    )
+    assert_round_trip_equal(pdf[pdf.int_col == 1], got)
+
+
+def test_fetch_datetime_partition_filter(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(60)
+    publish(tmp_dataset_dir, "", pdf, ["datetime_col"], spark=spark)
+    got = fetch(
+        tmp_dataset_dir,
+        "",
+        filters=[
+            {
+                "partition": "datetime_col",
+                "comparison": ">=",
+                "values": ["2024-01-02 00:00:00"],
+            }
+        ],
+        spark=spark,
+        as_pandas=True,
+    )
+    exp = pdf[pdf.datetime_col >= datetime.datetime(2024, 1, 2)]
+    assert_round_trip_equal(exp, got)
+
+
+def test_empty_result_preserves_schema(spark, tmp_dataset_dir):
+    # F7 (fetch_parq.py:220-227): pruning everything still returns the schema
+    pdf = grouped_pdf(30)
+    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    got = fetch(
+        tmp_dataset_dir,
+        "",
+        filters=[{"partition": "string_col", "comparison": "==", "values": ["nope"]}],
+        spark=spark,
+        as_pandas=True,
+    )
+    assert len(got) == 0
+    assert sorted(got.columns) == sorted(pdf.columns)
+
+
+def test_fetch_empty_dataset(spark, tmp_dataset_dir):
+    got = fetch(tmp_dataset_dir, "missing", spark=spark, as_pandas=True)
+    assert len(got) == 0
+
+
+def test_append_publish_accumulates(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(30)
+    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    new_files = publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    assert new_files  # second publish reports only its own files
+    got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True)
+    assert len(got) == 60
+
+
+def test_append_partition_mismatch_rejected(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(30)
+    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    with pytest.raises(ValueError, match="partition mismatch"):
+        publish(tmp_dataset_dir, "", pdf, ["int_col"], spark=spark)
+
+
+def test_publish_empty_rejected(spark, tmp_dataset_dir):
+    with pytest.raises(ValueError, match="empty"):
+        publish(tmp_dataset_dir, "", grouped_pdf(10).head(0), ["string_col"], spark=spark)
+
+
+def test_publish_reserved_partition_rejected(spark, tmp_dataset_dir):
+    pdf = grouped_pdf(10).rename(columns={"string_col": "date"})
+    with pytest.raises(ValueError, match="reserved"):
+        publish(tmp_dataset_dir, "", pdf, ["date"], spark=spark)
+
+
+def test_non_s3parq_dataset(spark, tmp_dataset_dir, sf_dir):
+    # plain parquet (no sidecar): fetch whole is allowed by default,
+    # rejected when accept_not_s3parq=False (fetch_parq.py:174-200,649-654)
+    df = spark.read.parquet(f"{sf_dir}/region.parquet")
+    df.write.parquet(tmp_dataset_dir)
+    got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True)
+    assert len(got) == df.count()
+    with pytest.raises(MissingS3ParqMetadata):
+        fetch(tmp_dataset_dir, "", accept_not_s3parq=False, spark=spark)
+    # filters against a non-s3parq dataset have no partitions to match
+    with pytest.raises(ValueError, match="matching partition"):
+        fetch(
+            tmp_dataset_dir,
+            "",
+            filters=[{"partition": "r_name", "comparison": "==", "values": ["ASIA"]}],
+            spark=spark,
+        )
+
+
+def test_fetch_diff(spark, tmp_path):
+    inp, cmp = str(tmp_path / "inp"), str(tmp_path / "cmp")
+    pdf = grouped_pdf(90)
+    publish(inp, "", pdf, ["string_col"], spark=spark)
+    publish(cmp, "", pdf[pdf.string_col != "s1"], ["string_col"], spark=spark)
+
+    got = fetch_diff(inp, "", cmp, "", "string_col", spark=spark, as_pandas=True)
+    assert_round_trip_equal(pdf[pdf.string_col == "s1"], got)
+
+    # reverse: comparison minus input = nothing
+    got_rev = fetch_diff(
+        inp, "", cmp, "", "string_col", reverse=True, spark=spark, as_pandas=True
+    )
+    assert len(got_rev) == 0
+
+    # empty comparison: everything differs
+    got_all = fetch_diff(
+        inp, "", str(tmp_path / "nope"), "", "string_col", spark=spark, as_pandas=True
+    )
+    assert len(got_all) == len(pdf)
+
+
+def test_spark_native_publish(spark, tmp_dataset_dir, sf_dir):
+    # Spark DataFrame in, no pandas round-trip
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    publish(tmp_dataset_dir, "", df, ["l_returnflag"], spark=spark)
+    got = fetch_path(
+        spark,
+        tmp_dataset_dir,
+        filters=[{"partition": "l_returnflag", "comparison": "==", "values": ["R"]}],
+    )
+    exp = df.filter(F.col("l_returnflag") == "R")
+    assert got.count() == exp.count()
+    assert set(got.columns) == set(df.columns)
+
+
+def test_get_all_files_list(spark, tmp_dataset_dir):
+    publish(tmp_dataset_dir, "", grouped_pdf(30), ["string_col"], spark=spark)
+    files = get_all_files_list(tmp_dataset_dir, "", spark=spark)
+    assert files and all(f.endswith(".parquet") for f in files)
+    assert all(f.startswith("string_col=") for f in files)
