@@ -1,0 +1,511 @@
+"""The driver-facing workload: every SURVEY §2 operator (and the large-scale
+pipeline extensions) as a ``(spark, sf_dir) -> DataFrame`` callable with a
+DuckDB oracle SQL string.
+
+Design notes for exact oracle parity:
+
+- **Sums are computed in DECIMAL, surfaced as DOUBLE.** Double summation is
+  order-dependent, and Spark's task order differs from DuckDB's scan order;
+  decimal arithmetic is exact and associative, so both engines produce the
+  identical value, and casting the same exact decimal to double is
+  deterministic. Pattern: ``CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)``.
+- **Single-op float math is safe.** One IEEE754 division/multiplication of
+  identical inputs is bit-identical across engines; only multi-term float
+  reductions are not.
+- **Every computed column is aliased identically on both sides** (the driver
+  hash-compares by sorted column name).
+
+The reference-parity queries exercise the REAL engine path: they publish the
+input table through ``s3parq_spark.publish`` into a cached local dataset and
+answer from ``fetch`` / the metadata-only partition-value API, so the
+correctness gate covers the round-trip, not just a parquet scan.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+import shutil
+import tempfile
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from .publish import publish_path
+from .fetch import (
+    fetch_diff_path,
+    fetch_path,
+    get_all_partition_values,
+    get_diff_partition_values,
+    get_max_partition_value,
+)
+
+# ---------------------------------------------------------------------------
+# dataset cache: publish-through-the-engine once per (sf_dir, dataset)
+# ---------------------------------------------------------------------------
+
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "s3parq_spark_cache")
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
+    rejects; read the nanos as int64 (legacy conf) and rebuild a microsecond
+    TimestampType column — a pure-JVM projection, no driver materialization."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(posixpath.join(sf_dir, "events.parquet"))
+    if dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def _cached_dataset(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    build: Callable[[SparkSession, str], DataFrame],
+    partitions: list,
+) -> str:
+    """Publish ``build(...)`` through the engine into a cached dataset dir;
+    reuse across queries in the same driver run."""
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, name)
+    marker = os.path.join(path, "_PUBLISHED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        publish_path(spark, path, build(spark, sf_dir), partitions, mode="overwrite")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def _li_flag_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "li_flag",
+        lambda s, d: _table(s, d, "lineitem"),
+        ["l_returnflag", "l_linestatus"],
+    )
+
+
+def _li_linenumber_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "li_linenumber",
+        lambda s, d: _table(s, d, "lineitem"),
+        ["l_linenumber"],
+    )
+
+
+def _li_discount_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "li_discount",
+        lambda s, d: _table(s, d, "lineitem"),
+        ["l_discount"],
+    )
+
+
+def _li_month_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "li_month",
+        lambda s, d: _table(s, d, "lineitem").withColumn(
+            "ship_month", F.date_trunc("month", F.col("l_shipdate"))
+        ),
+        ["ship_month"],
+    )
+
+
+def _li_highvalue_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "li_highvalue",
+        lambda s, d: _table(s, d, "lineitem").withColumn(
+            "high_value", F.col("l_quantity") > 25
+        ),
+        ["high_value"],
+    )
+
+
+def _orders_prio_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "orders_prio",
+        lambda s, d: _table(s, d, "orders"),
+        ["o_orderpriority"],
+    )
+
+
+def _orders_prio_subset_ds(spark, sf_dir):
+    return _cached_dataset(
+        spark, sf_dir, "orders_prio_subset",
+        lambda s, d: _table(s, d, "orders").filter(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        ),
+        ["o_orderpriority"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# reference-parity queries (SURVEY §2.1-2.3) — through publish→fetch
+# ---------------------------------------------------------------------------
+
+def q_fetch_all(spark, sf_dir):
+    """S5/S6 round-trip: publish partitioned, fetch everything back."""
+    return fetch_path(spark, _li_flag_ds(spark, sf_dir))
+
+
+def q_fetch_filter_eq(spark, sf_dir):
+    """F5 pruning, `==` single value (cite fetch_parq.py:450-498)."""
+    return fetch_path(
+        spark,
+        _li_flag_ds(spark, sf_dir),
+        filters=[{"partition": "l_returnflag", "comparison": "==", "values": ["R"]}],
+    )
+
+
+def q_fetch_filter_in(spark, sf_dir):
+    """F5 pruning, `==` OR-across-values."""
+    return fetch_path(
+        spark,
+        _li_flag_ds(spark, sf_dir),
+        filters=[
+            {"partition": "l_returnflag", "comparison": "==", "values": ["R", "A"]},
+            {"partition": "l_linestatus", "comparison": "==", "values": ["F"]},
+        ],
+    )
+
+
+def q_fetch_filter_neq(spark, sf_dir):
+    return fetch_path(
+        spark,
+        _li_flag_ds(spark, sf_dir),
+        filters=[{"partition": "l_returnflag", "comparison": "!=", "values": ["N"]}],
+    )
+
+
+def q_fetch_filter_gt(spark, sf_dir):
+    """F5 pruning with an orderable integer partition."""
+    return fetch_path(
+        spark,
+        _li_linenumber_ds(spark, sf_dir),
+        filters=[{"partition": "l_linenumber", "comparison": ">", "values": [4]}],
+    )
+
+
+def q_fetch_filter_float_eq(spark, sf_dir):
+    """Float partition values round-trip through path strings (T1)."""
+    return fetch_path(
+        spark,
+        _li_discount_ds(spark, sf_dir),
+        filters=[{"partition": "l_discount", "comparison": "==", "values": [0.05]}],
+    )
+
+
+def q_fetch_filter_datetime(spark, sf_dir):
+    """Datetime partition: '%Y-%m-%d %H:%M:%S' path values stay timestamps."""
+    return fetch_path(
+        spark,
+        _li_month_ds(spark, sf_dir),
+        filters=[
+            {"partition": "ship_month", "comparison": ">=",
+             "values": ["1998-01-01 00:00:00"]}
+        ],
+    )
+
+
+def q_fetch_filter_bool(spark, sf_dir):
+    """Boolean partition: strtobool path-value semantics."""
+    return fetch_path(
+        spark,
+        _li_highvalue_ds(spark, sf_dir),
+        filters=[{"partition": "high_value", "comparison": "==", "values": [True]}],
+    )
+
+
+def q_partition_values(spark, sf_dir):
+    """A1 metadata-only distinct (fetch_parq.py:49-70): answered from the
+    file listing, zero row I/O."""
+    vals = get_all_partition_values(_li_flag_ds(spark, sf_dir), "", "l_returnflag", spark=spark)
+    return spark.createDataFrame([(v,) for v in vals], "l_returnflag string")
+
+
+def q_partition_max(spark, sf_dir):
+    """A2 metadata-only max (fetch_parq.py:121-149)."""
+    m = get_max_partition_value(_li_linenumber_ds(spark, sf_dir), "", "l_linenumber", spark=spark)
+    return spark.createDataFrame([(int(m),)], "max_linenumber bigint")
+
+
+def q_partition_diff_values(spark, sf_dir):
+    """A3 set-difference over partition values (fetch_parq.py:73-118)."""
+    vals = get_diff_partition_values(
+        _li_flag_ds(spark, sf_dir), "", "l_returnflag", ["A", "N"], spark=spark
+    )
+    return spark.createDataFrame([(v,) for v in vals], "l_returnflag string")
+
+
+def q_fetch_diff(spark, sf_dir):
+    """A4 dataset anti-join by partition (fetch_parq.py:233-280) as one
+    broadcast left-anti plan."""
+    return fetch_diff_path(
+        spark,
+        _orders_prio_ds(spark, sf_dir),
+        _orders_prio_subset_ds(spark, sf_dir),
+        "o_orderpriority",
+    )
+
+
+# ---------------------------------------------------------------------------
+# analytics (capabilities Spark adds for free — SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: grouped aggregation with exact decimal sums."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+        )
+    )
+
+
+def q_top_revenue_orders(spark, sf_dir):
+    """TPC-H Q3 shape: 3-way join, grouped revenue, deterministic top-k."""
+    cust = _table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    return rev.orderBy(F.desc("revenue"), F.asc("o_orderkey")).limit(10)
+
+
+def q_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 5-way join with broadcast dims, grouped by nation."""
+    region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _table(spark, sf_dir, "nation")
+    cust = _table(spark, sf_dir, "customer")
+    supp = _table(spark, sf_dir, "supplier")
+    orders = _table(spark, sf_dir, "orders")
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    """Top-k with deterministic tie-break."""
+    return (
+        _table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_window_top_orders(spark, sf_dir):
+    """Window function: latest 3 orders per customer."""
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        _table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_orderdate", "rn")
+    )
+
+
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP grouping sets."""
+    return (
+        _table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_events_tumbling(spark, sf_dir):
+    """Tumbling 1-hour windowed aggregation over the event stream table."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_events_json(spark, sf_dir):
+    """Semi-structured extraction: JSON props → typed column → aggregate."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object(F.col("props"), "$.k").cast("bigint"))
+        .filter(F.col("k") > 50)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("k").alias("sum_k"))
+    )
+
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # reference parity (publish→fetch round trips)
+    "fetch_all": q_fetch_all,
+    "fetch_filter_eq": q_fetch_filter_eq,
+    "fetch_filter_in": q_fetch_filter_in,
+    "fetch_filter_neq": q_fetch_filter_neq,
+    "fetch_filter_gt": q_fetch_filter_gt,
+    "fetch_filter_float_eq": q_fetch_filter_float_eq,
+    "fetch_filter_datetime": q_fetch_filter_datetime,
+    "fetch_filter_bool": q_fetch_filter_bool,
+    "partition_values": q_partition_values,
+    "partition_max": q_partition_max,
+    "partition_diff_values": q_partition_diff_values,
+    "fetch_diff": q_fetch_diff,
+    # analytics
+    "pricing_summary": q_pricing_summary,
+    "top_revenue_orders": q_top_revenue_orders,
+    "nation_revenue": q_nation_revenue,
+    "topk_orders": q_topk_orders,
+    "window_top_orders": q_window_top_orders,
+    "rollup_pricing": q_rollup_pricing,
+    "events_tumbling": q_events_tumbling,
+    "events_json": q_events_json,
+}
+
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+ORACLE_SQL: Dict[str, str] = {
+    "fetch_all": "SELECT * FROM lineitem",
+    "fetch_filter_eq": "SELECT * FROM lineitem WHERE l_returnflag = 'R'",
+    "fetch_filter_in": (
+        "SELECT * FROM lineitem WHERE l_returnflag IN ('R','A') "
+        "AND l_linestatus = 'F'"
+    ),
+    "fetch_filter_neq": "SELECT * FROM lineitem WHERE l_returnflag <> 'N'",
+    "fetch_filter_gt": "SELECT * FROM lineitem WHERE l_linenumber > 4",
+    "fetch_filter_float_eq": "SELECT * FROM lineitem WHERE l_discount = 0.05",
+    "fetch_filter_datetime": (
+        "SELECT *, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month "
+        "FROM lineitem "
+        "WHERE date_trunc('month', l_shipdate) >= TIMESTAMP '1998-01-01'"
+    ),
+    "fetch_filter_bool": (
+        "SELECT *, l_quantity > 25 AS high_value FROM lineitem WHERE l_quantity > 25"
+    ),
+    "partition_values": "SELECT DISTINCT l_returnflag FROM lineitem",
+    "partition_max": (
+        "SELECT CAST(max(l_linenumber) AS BIGINT) AS max_linenumber FROM lineitem"
+    ),
+    "partition_diff_values": (
+        "SELECT DISTINCT l_returnflag FROM lineitem "
+        "WHERE l_returnflag NOT IN ('A','N')"
+    ),
+    "fetch_diff": (
+        "SELECT * FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')"
+    ),
+    "pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               {_REV} AS sum_disc_price,
+               COUNT(*) AS count_order,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "top_revenue_orders": f"""
+        SELECT o_orderkey, o_orderdate, {_REV} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    "nation_revenue": f"""
+        SELECT n_name, {_REV} AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE c_nationkey = s_nationkey AND r_name = 'ASIA'
+        GROUP BY n_name
+    """,
+    "topk_orders": (
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10"
+    ),
+    "window_top_orders": """
+        SELECT o_custkey, o_orderkey, o_orderdate, rn FROM (
+            SELECT o_custkey, o_orderkey, o_orderdate,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate DESC, o_orderkey ASC) AS INT) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "rollup_pricing": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "events_tumbling": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_json": """
+        SELECT event_type, COUNT(*) AS n_events, SUM(k) AS sum_k FROM (
+            SELECT event_type,
+                   CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
+            FROM events
+        ) WHERE k > 50
+        GROUP BY event_type
+    """,
+}
