@@ -1,0 +1,48 @@
+"""Large-scale training-data pipeline operators (engine extensions beyond the
+reference's surface — SURVEY §7.4 north-star). All operators are pure
+DataFrame compositions (JVM-side, codegen-friendly) unless an algorithm
+genuinely needs Python, in which case Arrow-batched Pandas UDFs are used.
+"""
+
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    simhash_fingerprints,
+    simhash_candidate_pairs,
+    word_shingles,
+)
+from .similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from .text import (
+    document_fingerprint,
+    language_id,
+    quality_scores,
+    token_stats,
+    winnow_fingerprints,
+)
+from .multimodal import (
+    attach_binary_payload,
+    extract_binary_features,
+    stub_decode_image,
+)
+
+__all__ = [
+    "attach_binary_payload",
+    "brute_force_cosine_topk",
+    "document_fingerprint",
+    "exact_dedup",
+    "extract_binary_features",
+    "language_id",
+    "lsh_bucketed_topk",
+    "minhash_candidate_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "quality_scores",
+    "simhash_candidate_pairs",
+    "simhash_fingerprints",
+    "stub_decode_image",
+    "token_stats",
+    "winnow_fingerprints",
+    "word_shingles",
+]

@@ -1,0 +1,294 @@
+"""Deduplication operators for document corpora at 100 TB scale.
+
+All stages are linear scans + key-partitioned shuffles — no driver-side state,
+no O(n²) step: candidate generation always goes through an equi-join on a
+bucket key (exact hash, LSH band, or shared shingle), so Spark shuffles on
+that key and each bucket is processed independently across executors. Skewed
+buckets (stop-shingle pathologies) are handled by AQE skew-join splitting.
+
+Everything is deterministic: hashes are Spark's ``xxhash64`` (fixed seed),
+so results are reproducible across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    keys: List[str],
+    id_col: Optional[str] = None,
+) -> DataFrame:
+    """Exact deduplication on ``keys``.
+
+    With ``id_col``, keeps the row with the MINIMUM id per key group
+    (deterministic winner — ``dropDuplicates`` keeps an arbitrary row, which
+    is not reproducible across runs) and adds ``n_copies``. This is one
+    hash-aggregate: map-side partial min/count, then one shuffle on ``keys``.
+    """
+    if id_col is None:
+        return df.dropDuplicates(keys)
+    keep = (
+        df.groupBy(*keys).agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+    return keep
+
+
+def normalized_text(col, lowercase: bool = True):
+    """Whitespace-collapsed (and optionally lowercased) text — the usual
+    normalization applied before exact-hash dedup."""
+    c = F.regexp_replace(F.trim(col), r"\s+", " ")
+    return F.lower(c) if lowercase else c
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Adds ``shingles: array<string>`` — distinct word n-grams, computed
+    entirely JVM-side with higher-order array functions (no UDF)."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {n}, -1)), "
+        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})))"
+    )
+    del words
+    return df.withColumn("shingles", F.array_distinct(grams))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard near-dup (exact, bucket-joined on shared shingles)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact word-``n``-gram Jaccard similarity for every pair of documents
+    sharing at least one shingle; returns pairs with ``jaccard >= threshold``.
+
+    Plan shape: explode to (shingle, id) pairs → self equi-join ON shingle
+    (shuffle on shingle, never a cross join) → count intersections →
+    ``|A∩B| / (|A| + |B| - |A∩B|)``. Documents with no shared shingle never
+    meet, so the pair space is bounded by shingle co-occurrence, not n².
+    """
+    sh = (
+        word_shingles(df.select(id_col, text_col), text_col, n)
+        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        inter.join(F.broadcast(sa), F.col("doc_a") == F.col("sa.doc"))
+        .join(F.broadcast(sb), F.col("doc_b") == F.col("sb.doc"))
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("sa.n_shingles") + F.col("sb.n_shingles") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Adds ``signature: array<bigint>`` — ``num_hashes`` independent minhash
+    values per document. Each hash family member is ``xxhash64(i || shingle)``
+    reduced with ``array_min`` inside a JVM higher-order function: no
+    shuffle at all for this stage, it is a pure projection."""
+    sh = word_shingles(df, text_col, shingle_n)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"),
+                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s)),
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return sh.withColumn("signature", sig).drop("shingles")
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    min_est_jaccard: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs.
+
+    banding: signature split into ``bands`` bands of ``num_hashes/bands``
+    rows; documents colliding in ANY band become candidates (equi-join on
+    ``(band_id, band_hash)``); the estimated Jaccard is the fraction of equal
+    signature positions (``zip_with`` + ``aggregate``, JVM-side).
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).select(
+        F.col(id_col).alias("doc"), "signature"
+    )
+    banded = sig.select(
+        "doc",
+        "signature",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(F.slice("signature", b * rows + 1, rows)).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "signature", "band.band_id", "band.band_hash")
+
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.col("a.signature").alias("sig_a"),
+            F.col("b.signature").alias("sig_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    est = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ) / F.lit(num_hashes)
+    return (
+        cand.withColumn("est_jaccard", est.cast("double"))
+        .filter(F.col("est_jaccard") >= min_est_jaccard)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+) -> DataFrame:
+    """Adds ``simhash: bigint`` — the classic Charikar fingerprint: each token
+    hashes to ``bits`` bits; bit *b* of the fingerprint is 1 iff the sum of
+    ±1 contributions over tokens is positive. One explode + one groupBy(id)
+    with ``bits`` conditional sums, all codegen'd."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy(id_col).agg(*bit_sums)
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+        fp = term if fp is None else fp + term
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into ``bands`` chunks
+    (pigeonhole: distance ≤ bands-1 guarantees one identical chunk), equi-join
+    on (band, chunk), verify with exact Hamming distance (``bit_count``)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    fps = simhash_fingerprints(df, id_col, text_col, bits).select(
+        F.col(id_col).alias("doc"), "simhash"
+    )
+    banded = fps.select(
+        "doc",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "simhash", "band.band_id", "band.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Baseline: brute-force cosine top-k — one broadcast of the query vector, one
+JVM-side ``zip_with``/``aggregate`` dot product per row, one ``orderBy ...
+limit k`` (Spark plans TakeOrderedAndProject: per-partition top-k then a
+k-sized merge on the driver — no global sort, scales linearly).
+
+Scale path: LSH bucketing (random hyperplane signatures) so each query only
+scans its bucket — candidate generation is an equi-join on the signature,
+exactly the dedup pattern. Signatures use deterministic pseudo-random
+hyperplanes derived from xxhash64 so no RNG state needs shipping.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v
+        )
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity of two ``array<double>`` columns, fully JVM-side."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_cosine_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k of ``df`` rows against ONE query vector.
+
+    ``query_df`` must have one row with columns (``id_col``, ``vec_col``).
+    The query side is crossJoin-broadcast (1 row), the corpus side is a
+    single scan; result is deterministic (ties broken by id).
+    """
+    q = query_df.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    joined = corpus.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("__qid"))
+    return (
+        joined.withColumn(
+            "cosine", cosine_similarity(F.col("__vec"), F.col("__qvec"))
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )
+
+
+def hyperplane_signature(vec_col: Column, dim: int, planes: int = 16) -> Column:
+    """Deterministic random-hyperplane LSH signature (sign of dot with
+    ``planes`` pseudo-random ±1 hyperplanes, derived from ``xxhash64(p|i)``).
+    Returns an int bucket id in [0, 2^planes)."""
+    sig = None
+    for p in range(planes):
+        # ±1 hyperplane component for (plane p, dim i): parity of xxhash64
+        coeffs = F.array(
+            *[
+                F.when(F.xxhash64(F.lit(f"{p}|{i}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0))
+                .otherwise(F.lit(-1.0))
+                for i in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec_col, coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bit = F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sig = bit if sig is None else sig + bit
+    return sig
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: bucket corpus and query by hyperplane
+    signature, scan only the query's bucket. At 100 TB the corpus is written
+    bucketed/partitioned BY the signature so a query prunes to one partition
+    (same partition-pruning machinery as fetch)."""
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    ).withColumn("__bucket", hyperplane_signature(F.col("__vec"), dim, planes))
+    q = (
+        query_df.select(
+            F.col(id_col).alias("__qid"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        )
+        .withColumn("__bucket", hyperplane_signature(F.col("__qvec"), dim, planes))
+    )
+    joined = corpus.join(F.broadcast(q), on="__bucket")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("__qid"))
+    return (
+        joined.withColumn("cosine", cosine_similarity(F.col("__vec"), F.col("__qvec")))
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+        .select(id_col, "cosine")
+    )

@@ -1,0 +1,123 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+document fingerprinting. All built-in-function compositions (regexp/split/
+md5) — zero Python in the hot path, so they whole-stage-codegen and scale
+linearly with the corpus."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword inventories for the n-gram/stopword heuristic
+#: language identifier (public-knowledge stopword lists).
+LANG_STOPWORDS: Dict[str, List[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "de", "que", "y", "los", "una"],
+    "fr": ["le", "la", "les", "et", "des", "un", "une"],
+}
+
+
+def _stopword_hits(col: Column, words: List[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(col), F.lit(pat), 1))
+
+
+def language_id(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "predicted_lang",
+    stopwords: Optional[Dict[str, List[str]]] = None,
+) -> DataFrame:
+    """Stopword-profile language ID: count stopword hits per language, pick
+    the argmax (deterministic tie-break: language order; all-zero → 'und')."""
+    sw = stopwords or LANG_STOPWORDS
+    langs = list(sw)
+    scored = df
+    for lang in langs:
+        scored = scored.withColumn(f"score_{lang}", _stopword_hits(F.col(text_col), sw[lang]))
+    best = F.lit("und")
+    best_score = F.lit(0)
+    for lang in reversed(langs):  # earlier languages win ties
+        cond = F.col(f"score_{lang}") > 0
+        better = (F.col(f"score_{lang}") >= best_score) & cond
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_score = F.when(better, F.col(f"score_{lang}")).otherwise(best_score)
+    return scored.withColumn(out_col, best)
+
+
+def token_stats(df: DataFrame, text_col: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (runs of word chars /
+    digits / single punctuation — the classic GPT-2-style pre-tokenizer
+    regex, simplified to what both Spark's and RE2-class engines support)."""
+    ws = F.split(F.trim(F.col(text_col)), r"\s+")
+    subwords = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"), 1
+    )
+    return (
+        df.withColumn("n_tokens_ws", F.size(ws).cast("bigint"))
+        .withColumn("n_tokens_re", F.size(subwords).cast("bigint"))
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str) -> DataFrame:
+    """Heuristic quality features: char/word counts, mean word length,
+    punctuation ratio, stopword ratio — the standard pre-training corpus
+    filters (cf. C4/Gopher rules), as exact integer counts plus single-op
+    float ratios."""
+    txt = F.col(text_col)
+    words = F.split(F.trim(txt), r"\s+")
+    n_chars = F.length(txt).cast("bigint")
+    n_words = F.size(words).cast("bigint")
+    n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"([.,;:!?])"), 1)).cast("bigint")
+    n_stop = F.size(
+        F.regexp_extract_all(
+            F.lower(txt), F.lit(r"\b(the|and|of|to|a|in|is|that)\b"), 1
+        )
+    ).cast("bigint")
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", n_words)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stopwords", n_stop)
+        .withColumn("mean_word_len", (n_chars - (n_words - 1)) / n_words)
+        .withColumn("punct_ratio", n_punct / n_chars)
+        .withColumn("stopword_ratio", n_stop / n_words)
+    )
+
+
+def document_fingerprint(
+    df: DataFrame, text_col: str, out_col: str = "fingerprint"
+) -> DataFrame:
+    """Content fingerprint: md5 of whitespace-normalized lowercased text —
+    the exact-dedup key for 'same text modulo whitespace/case'."""
+    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every k-gram of
+    words, keep the minimum hash of each sliding window of ``window`` hashes
+    → a sparse, position-robust fingerprint set per document. Returns
+    (id, fingerprint) rows. Pure DataFrame: shingle → hash → sliding-window
+    min via transform over index sequence → explode distinct."""
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {k}, -1)), "
+        f"i -> xxhash64(concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k}))))"
+    )
+    hashed = df.select(F.col(id_col), grams.alias("hashes"))
+    mins = F.expr(
+        f"transform(sequence(0, greatest(size(hashes) - {window}, -1)), "
+        f"i -> array_min(slice(hashes, i + 1, {window})))"
+    )
+    return (
+        hashed.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
+    )

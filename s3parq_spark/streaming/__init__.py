@@ -1,0 +1,13 @@
+from .events import (
+    read_event_stream,
+    run_streaming_tumbling_counts,
+    sessionize_events,
+    streaming_tumbling_counts,
+)
+
+__all__ = [
+    "read_event_stream",
+    "run_streaming_tumbling_counts",
+    "sessionize_events",
+    "streaming_tumbling_counts",
+]

@@ -1,0 +1,118 @@
+"""Structured Streaming over the events table.
+
+The reference is batch-only (SURVEY §2.6: no streaming constructs); these are
+engine extensions built the idiomatic way: ``readStream`` file source →
+event-time watermark → windowed aggregation / session windows → sink. Tests
+drive them with ``trigger(availableNow=True)`` so the streaming plan (state
+store, watermarking, window assignment) is exercised deterministically on the
+static events data, and the result equals the batch oracle query.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+    """File-source stream over the events parquet. The source needs a
+    directory; a single-file path is staged into a temp dir (tests/local
+    only — a real deployment points at the landing directory)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    path = events_parquet
+    if os.path.isfile(events_parquet):
+        import hashlib
+
+        tag = hashlib.sha1(os.path.abspath(events_parquet).encode()).hexdigest()[:10]
+        staged = os.path.join(tempfile.gettempdir(), f"s3parq_stream_{tag}")
+        os.makedirs(staged, exist_ok=True)
+        dst = os.path.join(staged, os.path.basename(events_parquet))
+        if not os.path.exists(dst):
+            shutil.copy(events_parquet, dst)
+        path = staged
+    sdf = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+    # integer div: float division would round and shift some values by 1µs
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def streaming_tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Watermarked tumbling-window counts/sums per event type. The watermark
+    bounds state: late events beyond it are dropped, so state size is
+    O(active windows), not O(stream length) — the property that matters on an
+    unbounded 100 TB/day stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_streaming_tumbling_counts(
+    spark: SparkSession, events_parquet: str, window: str = "1 hour"
+) -> DataFrame:
+    """Run the streaming aggregation to completion on the static events data
+    (availableNow trigger + in-memory sink) and return the result — equal by
+    construction to the batch tumbling-window query."""
+    name = f"ev_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, events_parquet)
+    q = (
+        streaming_tumbling_counts(stream, window)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def sessionize_events(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session extends while consecutive events
+    are within ``gap``. Uses Spark's native session_window (state-store
+    backed when streaming; same expression works in batch)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

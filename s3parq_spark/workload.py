@@ -61,7 +61,8 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(posixpath.join(sf_dir, "events.parquet"))
     if dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        # integer div: float division would round and shift some values by 1µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 
@@ -509,3 +510,271 @@ ORACLE_SQL: Dict[str, str] = {
         GROUP BY event_type
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# large-scale pipeline operators (dedup / similarity / text / multimodal /
+# streaming) — SURVEY §7.4 north-star extensions
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup with deterministic winner over a corpus with real
+    duplicates (the table union'd with itself)."""
+    from .operators import exact_dedup
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    doubled = docs.unionAll(docs)
+    return exact_dedup(doubled, ["text"], id_col="doc_id").select(
+        "doc_id", "text", "n_copies"
+    )
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    from .operators import document_fingerprint
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return document_fingerprint(docs, "text").select("doc_id", "fingerprint")
+
+
+def q_token_stats(spark, sf_dir):
+    from .operators import token_stats
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return token_stats(docs, "text").select("doc_id", "n_tokens_ws", "n_tokens_re")
+
+
+def q_text_quality(spark, sf_dir):
+    from .operators import quality_scores
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return quality_scores(docs, "text").select(
+        "doc_id", "n_chars", "n_words", "n_punct", "n_stopwords",
+        "mean_word_len", "punct_ratio", "stopword_ratio",
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    from .operators import language_id
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return language_id(docs, "text").select(
+        "doc_id", "score_en", "score_de", "score_es", "score_fr", "predicted_lang"
+    )
+
+
+def q_neardup_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs at threshold 0.8 (planted
+    near-dups in the documents table sit at ~0.99)."""
+    from .operators import ngram_jaccard_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH near-dup candidates (no SQL oracle: custom hash family;
+    correctness asserted against exact jaccard in tests/test_dedup.py)."""
+    from .operators import minhash_candidate_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    return minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, min_est_jaccard=0.5
+    )
+
+
+def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidates (no SQL oracle: custom fingerprint;
+    tests assert consistency with exact jaccard)."""
+    from .operators import simhash_candidate_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
+
+
+def q_ann_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 embedding."""
+    from .operators import brute_force_cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = brute_force_cosine_topk(emb, "vec_id", "embedding", q, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: text→binary payload, Arrow-batched mapInPandas
+    feature extraction (decode step stubbed; see operators/multimodal.py)."""
+    from .operators import attach_binary_payload, extract_binary_features
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = attach_binary_payload(docs, "text")
+    feats = extract_binary_features(payloads, "doc_id")
+    return feats.select("doc_id", "byte_len", "first_byte")
+
+
+def q_events_sessionize(spark, sf_dir):
+    """Session windows (30 min gap) per user over events."""
+    from .streaming import sessionize_events
+
+    ev = _events(spark, sf_dir)
+    return sessionize_events(ev, gap="30 minutes")
+
+
+def q_events_stream_tumbling(spark, sf_dir):
+    """The SAME tumbling aggregation as events_tumbling but executed as a
+    Structured Streaming query (availableNow trigger, memory sink) — checked
+    against the identical batch oracle."""
+    import posixpath as pp
+
+    from .streaming import run_streaming_tumbling_counts
+
+    return run_streaming_tumbling_counts(
+        spark, pp.join(sf_dir, "events.parquet"), window="1 hour"
+    )
+
+
+QUERIES.update(
+    {
+        "dedup_exact": q_dedup_exact,
+        "doc_fingerprint": q_doc_fingerprint,
+        "token_stats": q_token_stats,
+        "text_quality": q_text_quality,
+        "lang_id": q_lang_id,
+        "neardup_jaccard": q_neardup_jaccard,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "media_features": q_media_features,
+        "events_sessionize": q_events_sessionize,
+        "events_stream_tumbling": q_events_stream_tumbling,
+    }
+)
+
+_SUBWORD_RE = r"([A-Za-z]+|[0-9]+|[^A-Za-z0-9\s])"
+_STOP_EN = r"\b(the|and|of|to|a|in|is|that)\b"
+
+ORACLE_SQL.update(
+    {
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, text,
+                   COUNT(*) AS n_copies
+            FROM (SELECT doc_id, text FROM documents
+                  UNION ALL SELECT doc_id, text FROM documents)
+            GROUP BY text
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+            FROM documents
+        """,
+        "token_stats": f"""
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens_ws,
+                   CAST(len(regexp_extract_all(text, '{_SUBWORD_RE}', 1)) AS BIGINT) AS n_tokens_re
+            FROM documents
+        """,
+        "text_quality": f"""
+            SELECT doc_id, n_chars, n_words, n_punct, n_stopwords,
+                   (n_chars - (n_words - 1)) / n_words AS mean_word_len,
+                   n_punct / n_chars AS punct_ratio,
+                   n_stopwords / n_words AS stopword_ratio
+            FROM (
+                SELECT doc_id,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+                       CAST(len(regexp_extract_all(text, '([.,;:!?])', 1)) AS BIGINT) AS n_punct,
+                       CAST(len(regexp_extract_all(lower(text), '{_STOP_EN}', 1)) AS BIGINT) AS n_stopwords
+                FROM documents
+            )
+        """,
+        "lang_id": """
+            SELECT doc_id, score_en, score_de, score_es, score_fr,
+                   CASE
+                     WHEN score_en >= score_de AND score_en >= score_es
+                          AND score_en >= score_fr AND score_en > 0 THEN 'en'
+                     WHEN score_de >= score_es AND score_de >= score_fr
+                          AND score_de > 0 THEN 'de'
+                     WHEN score_es >= score_fr AND score_es > 0 THEN 'es'
+                     WHEN score_fr > 0 THEN 'fr'
+                     ELSE 'und'
+                   END AS predicted_lang
+            FROM (
+                SELECT doc_id,
+                       CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|a|in|is|that)\\b', 1)) AS INT) AS score_en,
+                       CAST(len(regexp_extract_all(lower(text), '\\b(der|die|das|und|ist|nicht|ein)\\b', 1)) AS INT) AS score_de,
+                       CAST(len(regexp_extract_all(lower(text), '\\b(el|la|de|que|y|los|una)\\b', 1)) AS INT) AS score_es,
+                       CAST(len(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|un|une)\\b', 1)) AS INT) AS score_fr
+                FROM documents
+            )
+        """,
+        "neardup_jaccard": """
+            WITH words AS (
+              SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+              FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                    FROM documents)
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+              FROM words
+              WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+              QUALIFY lead(w, 2) OVER win IS NOT NULL
+            ), sizes AS (
+              SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+            ), inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   n_common / (sa.n + sb.n - n_common) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+        """,
+        "ann_topk": """
+            SELECT vec_id,
+                   round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
+            FROM embeddings,
+                 (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0) q
+            WHERE vec_id <> 0
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv) DESC, vec_id ASC
+            LIMIT 10
+        """,
+        "media_features": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+                   CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
+            FROM documents
+        """,
+        "events_sessionize": """
+            WITH typed AS (
+              SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, value FROM events
+            ), flagged AS (
+              SELECT user_id, ts, value,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+              FROM typed
+            ), numbered AS (
+              SELECT user_id, ts, value,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged
+            )
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM numbered
+            GROUP BY user_id, session_no
+        """,
+        "events_stream_tumbling": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY 1, 2
+        """,
+    }
+)

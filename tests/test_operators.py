@@ -1,0 +1,174 @@
+"""Pipeline-operator tests: dedup family consistency (LSH candidates must
+recover the exact-jaccard truth set), similarity, text analysis, multimodal
+plumbing."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark.operators import (
+    attach_binary_payload,
+    brute_force_cosine_topk,
+    document_fingerprint,
+    exact_dedup,
+    extract_binary_features,
+    language_id,
+    lsh_bucketed_topk,
+    minhash_candidate_pairs,
+    ngram_jaccard_pairs,
+    quality_scores,
+    simhash_candidate_pairs,
+    stub_decode_image,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def true_neardups(docs):
+    """Ground truth: exact 3-gram jaccard >= 0.8."""
+    return {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8).collect()
+    }
+
+
+def test_exact_dedup_deterministic_winner(spark):
+    df = spark.createDataFrame(
+        [(5, "a"), (3, "a"), (9, "b"), (1, "a")], ["id", "text"]
+    )
+    got = {(r.id, r.text, r.n_copies) for r in exact_dedup(df, ["text"], "id").collect()}
+    assert got == {(1, "a", 3), (9, "b", 1)}
+
+
+def test_ngram_jaccard_finds_planted_neardups(true_neardups):
+    assert len(true_neardups) >= 10  # planted near-dup pairs exist
+    assert all(a < b for a, b in true_neardups)
+
+
+def test_minhash_recovers_exact_neardups(docs, true_neardups):
+    """MinHash-LSH candidates at a permissive threshold must contain every
+    true >=0.8 pair (probabilistic, but deterministic hashes + 0.99 planted
+    similarity make misses essentially impossible)."""
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_candidate_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, min_est_jaccard=0.5
+        ).collect()
+    }
+    assert true_neardups <= got
+    # and estimates are high for true pairs: no flood of false positives
+    assert len(got) <= len(true_neardups) * 3 + 10
+
+
+def test_minhash_estimate_accuracy(docs):
+    pairs = minhash_candidate_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, min_est_jaccard=0.5
+    )
+    exact = ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.0).select(
+        "doc_a", "doc_b", "jaccard"
+    )
+    joined = pairs.join(exact, ["doc_a", "doc_b"]).collect()
+    assert joined
+    for r in joined:
+        assert abs(r.est_jaccard - r.jaccard) < 0.25  # 64-hash estimator noise
+
+
+def test_simhash_recovers_exact_neardups(docs, true_neardups):
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6).collect()
+    }
+    missing = true_neardups - got
+    # simhash on ~0.99-jaccard docs should land within hamming 6
+    assert len(missing) <= max(1, len(true_neardups) // 10)
+
+
+def test_brute_force_cosine_topk(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    top = brute_force_cosine_topk(emb, "vec_id", "embedding", q, k=5).collect()
+    assert len(top) == 5
+    assert all(top[i].cosine >= top[i + 1].cosine for i in range(4))
+    assert all(r.vec_id != 0 for r in top)
+    # verify the top-1 against a python computation
+    rows = {r.vec_id: r.embedding for r in emb.collect()}
+    qv = rows[0]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    best = max((v for v in rows if v != 0), key=lambda v: (cos(rows[v], qv), -v))
+    assert top[0].vec_id == best
+
+
+def test_lsh_topk_subset_of_bucket(spark, emb):
+    q = emb.filter(F.col("vec_id") == 0)
+    approx = lsh_bucketed_topk(emb, "vec_id", "embedding", q, dim=64, k=5, planes=4)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 5
+    assert all(r.vec_id != 0 for r in rows)
+
+
+def test_token_stats_and_quality(spark):
+    df = spark.createDataFrame([(1, "Hello world, this is a test!")], ["doc_id", "text"])
+    r = token_stats(df, "text").first()
+    assert r.n_tokens_ws == 6
+    assert r.n_tokens_re == 8  # 6 words + ',' + '!'
+    r2 = quality_scores(df, "text").first()
+    assert r2.n_chars == 28
+    assert r2.n_words == 6
+    assert r2.n_punct == 2
+    assert r2.n_stopwords == 2  # 'is', 'a'
+    assert r2.punct_ratio == 2 / 28
+
+
+def test_language_id_heuristic(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a house"),
+            (2, "der hund und die katze ist nicht da"),
+            (3, "el perro y la casa de los gatos"),
+            (4, "xyzzy qwerty plugh"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.predicted_lang for r in language_id(df, "text").collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_document_fingerprint_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different")], ["doc_id", "text"]
+    )
+    fps = {r.doc_id: r.fingerprint for r in document_fingerprint(df, "text").collect()}
+    assert fps[1] == fps[2]
+    assert fps[1] != fps[3]
+
+
+def test_multimodal_plumbing(spark, docs):
+    payloads = attach_binary_payload(docs.select("doc_id", "text"), "text")
+    assert dict(payloads.dtypes)["payload"] == "binary"
+    feats = extract_binary_features(payloads, "doc_id")
+    sample = feats.orderBy("doc_id").limit(3).collect()
+    texts = {r.doc_id: r.text for r in docs.orderBy("doc_id").limit(3).collect()}
+    for r in sample:
+        raw = texts[r.doc_id].encode()
+        assert r.byte_len == len(raw)
+        assert r.first_byte == raw[0]
+        assert r.checksum == sum(raw) % 9_223_372_036_854_775_807
+
+
+def test_stub_decoder_raises():
+    with pytest.raises(NotImplementedError):
+        stub_decode_image(b"\x89PNG")

@@ -1,0 +1,46 @@
+"""Structured Streaming tests: the streaming tumbling aggregation must equal
+its batch counterpart; session windows must respect the gap."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from s3parq_spark.streaming import (
+    run_streaming_tumbling_counts,
+    sessionize_events,
+)
+from s3parq_spark.workload import _events
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    streamed = run_streaming_tumbling_counts(spark, f"{sf_dir}/events.parquet")
+    ev = _events(spark, sf_dir)
+    batch = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("window_start"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_sessionize_gap_semantics(spark):
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        # user 1: three events within 30min gaps -> one session
+        (1, base, 1.0),
+        (1, base + datetime.timedelta(minutes=20), 1.0),
+        (1, base + datetime.timedelta(minutes=45), 1.0),
+        # then a 2h gap -> new session
+        (1, base + datetime.timedelta(hours=3), 1.0),
+        # user 2: single event
+        (2, base, 5.0),
+    ]
+    ev = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    got = sessionize_events(ev).orderBy("user_id", "session_start").collect()
+    assert [(r.user_id, r.n_events) for r in got] == [(1, 3), (1, 1), (2, 1)]
+    # session_end = last event + gap
+    assert got[0].session_end == base + datetime.timedelta(minutes=75)
