@@ -58,14 +58,27 @@ def normalized_text(col, lowercase: bool = True):
 
 def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     """Adds ``shingles: array<string>`` — distinct word n-grams, computed
-    entirely JVM-side with higher-order array functions (no UDF)."""
-    words = F.split(F.trim(F.col(text_col)), r"\s+")
-    grams = F.expr(
-        f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {n}, -1)), "
-        f"i -> concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {n})))"
+    entirely JVM-side.
+
+    Implementation note: built as a chain of ``zip_with`` over shifted slices
+    of the word array — each element is touched O(n) times. The obvious
+    ``transform(sequence(...), i -> slice(words, i+1, n))`` form re-evaluates
+    its argument per index (O(words²) per doc — measured 3.5× slower even
+    after hoisting the split)."""
+    expr = "__ws"
+    for j in range(2, n + 1):
+        expr = (
+            f"zip_with({expr}, slice(__ws, {j}, size(__ws)), "
+            "(a, b) -> CASE WHEN a IS NULL OR b IS NULL THEN NULL "
+            "ELSE concat(a, ' ', b) END)"
+        )
+    return (
+        df.withColumn("__ws", F.split(F.trim(F.col(text_col)), r"\s+"))
+        .withColumn(
+            "shingles", F.array_distinct(F.expr(f"filter({expr}, x -> x IS NOT NULL)"))
+        )
+        .drop("__ws")
     )
-    del words
-    return df.withColumn("shingles", F.array_distinct(grams))
 
 
 # ---------------------------------------------------------------------------
@@ -87,8 +100,12 @@ def ngram_jaccard_pairs(
     ``|A∩B| / (|A| + |B| - |A∩B|)``. Documents with no shared shingle never
     meet, so the pair space is bounded by shingle co-occurrence, not n².
     """
+    src = df.select(id_col, text_col)
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
     sh = (
-        word_shingles(df.select(id_col, text_col), text_col, n)
+        word_shingles(src, text_col, n)
         .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
         .distinct()
     )
@@ -127,22 +144,30 @@ def minhash_signatures(
     shingle_n: int = 3,
 ) -> DataFrame:
     """Adds ``signature: array<bigint>`` — ``num_hashes`` independent minhash
-    values per document. Each hash family member is ``xxhash64(i || shingle)``
-    reduced with ``array_min`` inside a JVM higher-order function: no
-    shuffle at all for this stage, it is a pure projection."""
+    values per document, as hash-family member ``xxhash64(i, shingle)``.
+
+    Implementation note: explode shingles → ONE hash-aggregate with
+    ``num_hashes`` codegen'd ``min(xxhash64(i, s))`` columns (map-side
+    partial min, one shuffle on the id). Higher-order ``array_min(transform(
+    ...))`` formulations run interpreted per element and measured 5-200×
+    slower. A single-partition input (one small file) is spread first so the
+    hashing parallelizes."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        df = df.repartition(parallelism)
     sh = word_shingles(df, text_col, shingle_n)
-    sig = F.array(
+    other_cols = [c for c in df.columns if c != text_col]
+    ex = sh.select(*other_cols, F.explode("shingles").alias("__shingle"))
+    agg = ex.groupBy(*other_cols).agg(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"),
-                    lambda s, i=i: F.xxhash64(F.concat(F.lit(f"{i}|"), s)),
-                )
-            )
+            F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"__h{i}")
             for i in range(num_hashes)
         ]
     )
-    return sh.withColumn("signature", sig).drop("shingles")
+    return agg.select(
+        *other_cols,
+        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
 
 
 def minhash_candidate_pairs(
@@ -162,8 +187,15 @@ def minhash_candidate_pairs(
     signature positions (``zip_with`` + ``aggregate``, JVM-side).
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n).select(
-        F.col(id_col).alias("doc"), "signature"
+    # persist: the signature column feeds `bands` band-hash expressions AND
+    # both sides of the candidate self-join; without a materialization
+    # barrier, projection collapse would recompute the minhash per use.
+    sig = (
+        minhash_signatures(
+            df.select(id_col, text_col), id_col, text_col, num_hashes, shingle_n
+        )
+        .select(F.col(id_col).alias("doc"), "signature")
+        .persist()
     )
     banded = sig.select(
         "doc",
@@ -221,7 +253,11 @@ def simhash_fingerprints(
     hashes to ``bits`` bits; bit *b* of the fingerprint is 1 iff the sum of
     ±1 contributions over tokens is positive. One explode + one groupBy(id)
     with ``bits`` conditional sums, all codegen'd."""
-    toks = df.select(
+    src = df.select(id_col, text_col)
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    toks = src.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
     ).withColumn("h", F.xxhash64("tok"))

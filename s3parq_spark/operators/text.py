@@ -109,11 +109,13 @@ def winnow_fingerprints(
     → a sparse, position-robust fingerprint set per document. Returns
     (id, fingerprint) rows. Pure DataFrame: shingle → hash → sliding-window
     min via transform over index sequence → explode distinct."""
-    grams = F.expr(
-        f"transform(sequence(0, greatest(size(split(trim({text_col}), '\\\\s+')) - {k}, -1)), "
-        f"i -> xxhash64(concat_ws(' ', slice(split(trim({text_col}), '\\\\s+'), i + 1, {k}))))"
+    from .dedup import word_shingles
+
+    kgrams = word_shingles(df.select(id_col, text_col), text_col, k)
+    hashed = kgrams.select(
+        F.col(id_col),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
     )
-    hashed = df.select(F.col(id_col), grams.alias("hashes"))
     mins = F.expr(
         f"transform(sequence(0, greatest(size(hashes) - {window}, -1)), "
         f"i -> array_min(slice(hashes, i + 1, {window})))"
