@@ -19,8 +19,9 @@ from .fetch import (
     get_diff_partition_values,
     get_max_partition_value,
 )
-from .publish import custom_publish, publish, publish_path
+from .publish import custom_publish, publish, publish_path, validate_redshift_params
 from .session import get_spark
+from .session_helper import SessionHelper
 
 __all__ = [
     "MissingS3ParqMetadata",
@@ -36,6 +37,8 @@ __all__ = [
     "get_spark",
     "publish",
     "publish_path",
+    "SessionHelper",
+    "validate_redshift_params",
 ]
 
 __version__ = "0.1.0"

@@ -15,7 +15,7 @@ no driver-side loops anywhere.
 
 from __future__ import annotations
 
-import math
+import posixpath
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -142,28 +142,157 @@ def publish_path(
     return [f for f in after if f not in before]
 
 
+REDSHIFT_PARAM_KEYS = (
+    "schema_name",
+    "table_name",
+    "iam_role",
+    "region",
+    "cluster_id",
+    "host",
+    "port",
+    "db_name",
+    "ec2_user",
+)
+
+
+def validate_redshift_params(redshift_params: Dict[str, str]) -> Dict[str, str]:
+    """H5 (``publish_parq.py:94-149``): exactly 9 keys, all non-empty except
+    ``ec2_user``; table/schema names lowercased."""
+    if len(redshift_params) != len(REDSHIFT_PARAM_KEYS):
+        raise ValueError(
+            f"Expected parameters: {len(REDSHIFT_PARAM_KEYS)}. "
+            f"Received: {len(redshift_params)}"
+        )
+    for key, item in redshift_params.items():
+        if not item and key != "ec2_user":
+            raise ValueError(f"No value assigned for param {key}.")
+    for param in REDSHIFT_PARAM_KEYS:
+        if param not in redshift_params:
+            raise KeyError(
+                f"Error: Required parameter {param} not found in passed redshift_params."
+            )
+    out = dict(redshift_params)
+    out["table_name"] = out["table_name"].lower()
+    out["schema_name"] = out["schema_name"].lower()
+    return out
+
+
+def _spectrum_register(
+    spark: SparkSession,
+    bucket: str,
+    key: str,
+    df: DataFrame,
+    partitions: List[str],
+    redshift_params: Dict[str, str],
+    session_helper,
+    new_files: List[str],
+    custom_redshift_columns: Optional[Dict[str, str]] = None,
+) -> None:
+    """Spectrum DDL flow of the reference publish (``publish_parq.py:515-543``
+    + per-file ``create_partitions`` at ``publish_parq.py:255-257``), executed
+    through the SessionHelper scope."""
+    from . import redshift as rs
+
+    params = validate_redshift_params(redshift_params)
+    with session_helper.db_session_scope() as scope:
+        rs.create_schema(
+            params["schema_name"], params["db_name"], params["iam_role"], scope.execute
+        )
+        types = {f.name: f.dataType for f in df.schema.fields}
+        if custom_redshift_columns:
+            cols = {
+                c: t for c, t in custom_redshift_columns.items() if c not in partitions
+            }
+            parts = {c: t for c, t in custom_redshift_columns.items() if c in partitions}
+        else:
+            cols = {
+                c: rs.spark_type_to_redshift(t)
+                for c, t in types.items()
+                if c not in partitions
+            }
+            parts = {c: rs.spark_type_to_redshift(types[c]) for c in partitions}
+        rs.create_table(
+            params["table_name"],
+            params["schema_name"],
+            cols,
+            parts,
+            f"s3://{bucket}/{key}" if not bucket.startswith("/") else f"{bucket}/{key}",
+            scope.execute,
+        )
+        if partitions:
+            seen = set()
+            for f in new_files:
+                try:
+                    loc = rs.partition_location(f)
+                except ValueError:
+                    continue
+                if loc in seen:
+                    continue
+                seen.add(loc)
+                rs.create_partitions(
+                    bucket,
+                    params["schema_name"],
+                    params["table_name"],
+                    posixpath.join(key, f) if key else f,
+                    scope.execute,
+                )
+
+
 def publish(
     bucket: str,
     key: str,
-    dataframe,
     partitions: List[str],
+    dataframe,
+    redshift_params: Optional[Dict[str, str]] = None,
     spark: Optional[SparkSession] = None,
+    session_helper=None,
     **kwargs,
 ) -> List[str]:
     """Reference-compatible entry point (``publish_parq.py:480``):
-    ``publish(bucket, key, dataframe, partitions)``."""
+    ``publish(bucket, key, partitions, dataframe, redshift_params)``."""
     spark = spark or SparkSession.active()
     naming.validate_bucket_name(bucket)
-    return publish_path(spark, fs.dataset_uri(bucket, key), dataframe, partitions, **kwargs)
+    df = _to_spark_df(spark, dataframe)
+    if redshift_params and "index" in df.columns:
+        # reserved in Redshift (publish_parq.py:515-517)
+        raise ValueError(
+            "'index' is a reserved keyword in Redshift. Please remove or "
+            "rename your DataFrame's 'index' column."
+        )
+    new_files = publish_path(spark, fs.dataset_uri(bucket, key), df, partitions, **kwargs)
+    if redshift_params:
+        session_helper = session_helper or _default_session_helper(redshift_params)
+        _spectrum_register(
+            spark, bucket, key, df, partitions, redshift_params, session_helper, new_files
+        )
+    return new_files
+
+
+def _default_session_helper(redshift_params: Dict[str, str]):
+    from .session_helper import SessionHelper
+
+    params = validate_redshift_params(redshift_params)
+    helper = SessionHelper(
+        region=params["region"],
+        cluster_id=params["cluster_id"],
+        host=params["host"],
+        port=params["port"],
+        db_name=params["db_name"],
+        ec2_user=params["ec2_user"],
+    )
+    helper.configure_session_helper()
+    return helper
 
 
 def custom_publish(
     bucket: str,
     key: str,
-    dataframe,
     partitions: List[str],
+    dataframe,
     custom_redshift_columns: Dict[str, str],
+    redshift_params: Optional[Dict[str, str]] = None,
     spark: Optional[SparkSession] = None,
+    session_helper=None,
     **kwargs,
 ) -> List[str]:
     """``custom_publish`` (``publish_parq.py:576-677``): user-declared column
@@ -177,11 +306,26 @@ def custom_publish(
     custom_types = {
         col: redshift_type_to_vocab(t) for col, t in custom_redshift_columns.items()
     }
-    return publish_path(
+    df = _to_spark_df(spark, dataframe)
+    new_files = publish_path(
         spark,
         fs.dataset_uri(bucket, key),
-        dataframe,
+        df,
         partitions,
         custom_types=custom_types,
         **kwargs,
     )
+    if redshift_params:
+        session_helper = session_helper or _default_session_helper(redshift_params)
+        _spectrum_register(
+            spark,
+            bucket,
+            key,
+            df,
+            partitions,
+            redshift_params,
+            session_helper,
+            new_files,
+            custom_redshift_columns=custom_redshift_columns,
+        )
+    return new_files

@@ -1,0 +1,167 @@
+"""custom_publish / decimal round-trip (S9, FIXTURES.md F4), null partition
+values (F5 fixture), Spectrum DDL wiring through a recording SessionHelper,
+and the 60 MB file-sizing contract (S7)."""
+
+import decimal
+
+import pandas as pd
+import pytest
+from pyspark.sql import types as T
+
+from s3parq_spark import (
+    SessionHelper,
+    custom_publish,
+    fetch,
+    publish,
+    validate_redshift_params,
+)
+from s3parq_spark.metadata import read_sidecar
+
+
+def custom_frame():
+    """FIXTURES.md F4: the reference's canonical custom/decimal frame
+    (testing_helper.py:283-296)."""
+    return pd.DataFrame(
+        {
+            "colA": ["A", "B", "C"],
+            "colB": [4, 5, 6],
+            "colC": [4.12, 5.22, 6.57],
+            "colD": [
+                decimal.Decimal("4.1289"),
+                decimal.Decimal("5.2200"),
+                decimal.Decimal("6.5770"),
+            ],
+            "colE": ["test1", "test2", "test3"],
+            "colF": [True, False, True],
+        }
+    )
+
+
+CUSTOM_COLUMNS = {
+    "colA": "VARCHAR(1000)",
+    "colB": "BIGINT",
+    "colC": "REAL",
+    "colD": "DECIMAL(5,4)",
+    "colE": "VARCHAR",
+    "colF": "BOOLEAN",
+}
+
+
+def redshift_params():
+    return {
+        "schema_name": "MySchema",
+        "table_name": "MyTable",
+        "iam_role": "arn:aws:iam::1:role/r",
+        "region": "us-east-1",
+        "cluster_id": "c1",
+        "host": "h",
+        "port": "5439",
+        "db_name": "db",
+        "ec2_user": None,
+    }
+
+
+def test_custom_publish_decimal_round_trip(spark, tmp_dataset_dir):
+    sdf = spark.createDataFrame(
+        custom_frame(),
+        schema=T.StructType(
+            [
+                T.StructField("colA", T.StringType()),
+                T.StructField("colB", T.LongType()),
+                T.StructField("colC", T.DoubleType()),
+                T.StructField("colD", T.DecimalType(5, 4)),
+                T.StructField("colE", T.StringType()),
+                T.StructField("colF", T.BooleanType()),
+            ]
+        ),
+    )
+    custom_publish(
+        tmp_dataset_dir, "", ["colA", "colB"], sdf, CUSTOM_COLUMNS, spark=spark
+    )
+    meta = read_sidecar(spark, tmp_dataset_dir)
+    # F4 expectation (tests/test_publish_parq.py:247-248 shape)
+    assert meta.partition_data_types == {"colA": "string", "colB": "integer"}
+    assert meta.column_types["colD"] == "decimal(5,4)"
+    got = fetch(tmp_dataset_dir, "", spark=spark)
+    assert dict(got.dtypes)["colD"] == "decimal(5,4)"
+    vals = sorted(r.colD for r in got.collect())
+    assert vals == [
+        decimal.Decimal("4.1289"),
+        decimal.Decimal("5.2200"),
+        decimal.Decimal("6.5770"),
+    ]
+
+
+def test_null_partition_values_round_trip(spark, tmp_dataset_dir):
+    """F5 fixture shape: nulls in a partition column become
+    __HIVE_DEFAULT_PARTITION__ on disk and come back as nulls."""
+    pdf = pd.DataFrame(
+        {"colA": [1.0, 2.0, None], "colB": ["DDD", None, "FFF"], "x": [1, 2, 3]}
+    )
+    publish(tmp_dataset_dir, "", ["colB"], pdf, spark=spark)
+    got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True).sort_values("x")
+    assert list(got.colB) == ["DDD", None, "FFF"]
+
+
+def test_validate_redshift_params():
+    params = validate_redshift_params(redshift_params())
+    assert params["schema_name"] == "myschema"  # lowercased
+    assert params["table_name"] == "mytable"
+    with pytest.raises(ValueError, match="Expected parameters"):
+        validate_redshift_params({"schema_name": "s"})
+    bad = redshift_params()
+    bad["host"] = ""
+    with pytest.raises(ValueError, match="No value assigned"):
+        validate_redshift_params(bad)
+    missing = redshift_params()
+    missing.pop("host")
+    missing["hosty"] = "h"
+    with pytest.raises(KeyError, match="host"):
+        validate_redshift_params(missing)
+
+
+def test_publish_with_spectrum_ddl(spark, tmp_dataset_dir):
+    """publish(redshift_params=...) emits schema + table + partition DDL
+    through the session helper (reference flow publish_parq.py:515-543,
+    255-257), recorded by the dry-run executor."""
+    helper = SessionHelper("us-east-1", "c1", "h", "5439", "db", None)
+    helper.configure_session_helper()
+    pdf = pd.DataFrame({"a": [1, 2], "p": ["x", "y"]})
+    publish(
+        tmp_dataset_dir,
+        "",
+        ["p"],
+        pdf,
+        redshift_params=redshift_params(),
+        session_helper=helper,
+        spark=spark,
+    )
+    sql = "\n".join(helper.executed)
+    assert "CREATE EXTERNAL SCHEMA IF NOT EXISTS myschema" in sql
+    assert "CREATE EXTERNAL TABLE myschema.mytable (a BIGINT)" in sql
+    assert "PARTITIONED BY (p VARCHAR)" in sql
+    assert "ADD IF NOT EXISTS PARTITION (p='x')" in sql
+    assert "ADD IF NOT EXISTS PARTITION (p='y')" in sql
+
+
+def test_publish_rejects_index_with_redshift(spark, tmp_dataset_dir):
+    pdf = pd.DataFrame({"index": [1], "p": ["x"]})
+    with pytest.raises(ValueError, match="reserved keyword in Redshift"):
+        publish(
+            tmp_dataset_dir, "", ["p"], pdf,
+            redshift_params=redshift_params(), spark=spark,
+        )
+
+
+def test_max_records_per_file_contract(spark, tmp_dataset_dir):
+    """S7: explicit maxRecordsPerFile bounds file row counts (the 60 MB
+    contract is rows-per-file × row size; row cap is the enforceable knob)."""
+    pdf = pd.DataFrame({"a": range(1000), "p": ["x"] * 1000})
+    files = publish(
+        tmp_dataset_dir, "", ["p"], pdf, max_records_per_file=100, spark=spark
+    )
+    assert len(files) >= 10
+    counts = [
+        spark.read.parquet(f"{tmp_dataset_dir}/{f}").count() for f in files[:3]
+    ]
+    assert all(c <= 100 for c in counts)

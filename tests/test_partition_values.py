@@ -32,7 +32,7 @@ def frame(n=40):
 
 
 def test_all_values_typed(spark, tmp_dataset_dir):
-    publish(tmp_dataset_dir, "", frame(), ["i"], spark=spark)
+    publish(tmp_dataset_dir, "", ["i"], frame(), spark=spark)
     vals = get_all_partition_values(tmp_dataset_dir, "", "i", spark=spark)
     assert sorted(vals) == [0, 1, 2, 3, 4]
     assert all(isinstance(v, int) for v in vals)
@@ -44,7 +44,7 @@ def test_all_values_empty_dataset(spark, tmp_dataset_dir):
 
 def test_max_numeric_and_datetime(spark, tmp_path):
     d1 = str(tmp_path / "a")
-    publish(d1, "", frame(), ["i", "dt"], spark=spark)
+    publish(d1, "", ["i", "dt"], frame(), spark=spark)
     assert get_max_partition_value(d1, "", "i", spark=spark) == 4
     assert get_max_partition_value(d1, "", "dt", spark=spark) == datetime.datetime(
         2024, 1, 2
@@ -52,7 +52,7 @@ def test_max_numeric_and_datetime(spark, tmp_path):
 
 
 def test_max_rejects_non_numeric(spark, tmp_dataset_dir):
-    publish(tmp_dataset_dir, "", frame(), ["s", "b"], spark=spark)
+    publish(tmp_dataset_dir, "", ["s", "b"], frame(), spark=spark)
     with pytest.raises(ValueError, match="Max cannot be used"):
         get_max_partition_value(tmp_dataset_dir, "", "s", spark=spark)
     with pytest.raises(ValueError, match="Max cannot be used"):
@@ -64,7 +64,7 @@ def test_max_empty_dataset_none(spark, tmp_dataset_dir):
 
 
 def test_diff_values(spark, tmp_dataset_dir):
-    publish(tmp_dataset_dir, "", frame(), ["i"], spark=spark)
+    publish(tmp_dataset_dir, "", ["i"], frame(), spark=spark)
     got = get_diff_partition_values(tmp_dataset_dir, "", "i", [0, 1, 7], spark=spark)
     assert sorted(got) == [2, 3, 4]
     # reverse: values not present in the dataset
@@ -83,7 +83,7 @@ def test_diff_empty_inputs(spark, tmp_path):
     ) == [1, 2]
     # empty values_to_diff: all partition values ; reverse []
     d = str(tmp_path / "d")
-    publish(d, "", frame(), ["i"], spark=spark)
+    publish(d, "", ["i"], frame(), spark=spark)
     assert sorted(get_diff_partition_values(d, "", "i", [], spark=spark)) == [0, 1, 2, 3, 4]
     assert get_diff_partition_values(d, "", "i", [], reverse=True, spark=spark) == []
 

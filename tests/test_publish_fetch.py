@@ -44,7 +44,7 @@ def assert_round_trip_equal(expected_pdf, got_pdf):
 
 def test_round_trip_multi_partition(spark, tmp_dataset_dir):
     pdf = grouped_pdf(200)
-    files = publish(tmp_dataset_dir, "", pdf, ["string_col", "int_col"], spark=spark)
+    files = publish(tmp_dataset_dir, "", ["string_col", "int_col"], pdf, spark=spark)
     assert files and all(f.endswith(".parquet") for f in files)
     assert all("string_col=" in f and "int_col=" in f for f in files)
 
@@ -58,7 +58,7 @@ def test_round_trip_multi_partition(spark, tmp_dataset_dir):
 def test_round_trip_all_partition_types(spark, tmp_dataset_dir):
     pdf = grouped_pdf(60)
     parts = ["string_col", "int_col", "float_col", "bool_col", "datetime_col"]
-    publish(tmp_dataset_dir, "", pdf, parts, spark=spark)
+    publish(tmp_dataset_dir, "", parts, pdf, spark=spark)
     meta = read_sidecar(spark, tmp_dataset_dir)
     assert meta.partition_data_types == {
         "string_col": "string",
@@ -81,7 +81,7 @@ def test_round_trip_all_partition_types(spark, tmp_dataset_dir):
 
 def test_fetch_with_eq_filter(spark, tmp_dataset_dir):
     pdf = grouped_pdf(90)
-    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
     got = fetch(
         tmp_dataset_dir,
         "",
@@ -94,7 +94,7 @@ def test_fetch_with_eq_filter(spark, tmp_dataset_dir):
 
 def test_fetch_filter_or_across_values_and_across_partitions(spark, tmp_dataset_dir):
     pdf = grouped_pdf(90)
-    publish(tmp_dataset_dir, "", pdf, ["string_col", "int_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["string_col", "int_col"], pdf, spark=spark)
     got = fetch(
         tmp_dataset_dir,
         "",
@@ -113,7 +113,7 @@ def test_fetch_first_filter_per_partition_wins(spark, tmp_dataset_dir):
     # reference applies only the FIRST filter naming a partition
     # (fetch_parq.py:469)
     pdf = grouped_pdf(90)
-    publish(tmp_dataset_dir, "", pdf, ["int_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["int_col"], pdf, spark=spark)
     got = fetch(
         tmp_dataset_dir,
         "",
@@ -129,7 +129,7 @@ def test_fetch_first_filter_per_partition_wins(spark, tmp_dataset_dir):
 
 def test_fetch_datetime_partition_filter(spark, tmp_dataset_dir):
     pdf = grouped_pdf(60)
-    publish(tmp_dataset_dir, "", pdf, ["datetime_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["datetime_col"], pdf, spark=spark)
     got = fetch(
         tmp_dataset_dir,
         "",
@@ -150,7 +150,7 @@ def test_fetch_datetime_partition_filter(spark, tmp_dataset_dir):
 def test_empty_result_preserves_schema(spark, tmp_dataset_dir):
     # F7 (fetch_parq.py:220-227): pruning everything still returns the schema
     pdf = grouped_pdf(30)
-    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
     got = fetch(
         tmp_dataset_dir,
         "",
@@ -169,8 +169,8 @@ def test_fetch_empty_dataset(spark, tmp_dataset_dir):
 
 def test_append_publish_accumulates(spark, tmp_dataset_dir):
     pdf = grouped_pdf(30)
-    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
-    new_files = publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
+    new_files = publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
     assert new_files  # second publish reports only its own files
     got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True)
     assert len(got) == 60
@@ -178,20 +178,20 @@ def test_append_publish_accumulates(spark, tmp_dataset_dir):
 
 def test_append_partition_mismatch_rejected(spark, tmp_dataset_dir):
     pdf = grouped_pdf(30)
-    publish(tmp_dataset_dir, "", pdf, ["string_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
     with pytest.raises(ValueError, match="partition mismatch"):
-        publish(tmp_dataset_dir, "", pdf, ["int_col"], spark=spark)
+        publish(tmp_dataset_dir, "", ["int_col"], pdf, spark=spark)
 
 
 def test_publish_empty_rejected(spark, tmp_dataset_dir):
     with pytest.raises(ValueError, match="empty"):
-        publish(tmp_dataset_dir, "", grouped_pdf(10).head(0), ["string_col"], spark=spark)
+        publish(tmp_dataset_dir, "", ["string_col"], grouped_pdf(10).head(0), spark=spark)
 
 
 def test_publish_reserved_partition_rejected(spark, tmp_dataset_dir):
     pdf = grouped_pdf(10).rename(columns={"string_col": "date"})
     with pytest.raises(ValueError, match="reserved"):
-        publish(tmp_dataset_dir, "", pdf, ["date"], spark=spark)
+        publish(tmp_dataset_dir, "", ["date"], pdf, spark=spark)
 
 
 def test_non_s3parq_dataset(spark, tmp_dataset_dir, sf_dir):
@@ -216,8 +216,8 @@ def test_non_s3parq_dataset(spark, tmp_dataset_dir, sf_dir):
 def test_fetch_diff(spark, tmp_path):
     inp, cmp = str(tmp_path / "inp"), str(tmp_path / "cmp")
     pdf = grouped_pdf(90)
-    publish(inp, "", pdf, ["string_col"], spark=spark)
-    publish(cmp, "", pdf[pdf.string_col != "s1"], ["string_col"], spark=spark)
+    publish(inp, "", ["string_col"], pdf, spark=spark)
+    publish(cmp, "", ["string_col"], pdf[pdf.string_col != "s1"], spark=spark)
 
     got = fetch_diff(inp, "", cmp, "", "string_col", spark=spark, as_pandas=True)
     assert_round_trip_equal(pdf[pdf.string_col == "s1"], got)
@@ -238,7 +238,7 @@ def test_fetch_diff(spark, tmp_path):
 def test_spark_native_publish(spark, tmp_dataset_dir, sf_dir):
     # Spark DataFrame in, no pandas round-trip
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    publish(tmp_dataset_dir, "", df, ["l_returnflag"], spark=spark)
+    publish(tmp_dataset_dir, "", ["l_returnflag"], df, spark=spark)
     got = fetch_path(
         spark,
         tmp_dataset_dir,
@@ -250,7 +250,7 @@ def test_spark_native_publish(spark, tmp_dataset_dir, sf_dir):
 
 
 def test_get_all_files_list(spark, tmp_dataset_dir):
-    publish(tmp_dataset_dir, "", grouped_pdf(30), ["string_col"], spark=spark)
+    publish(tmp_dataset_dir, "", ["string_col"], grouped_pdf(30), spark=spark)
     files = get_all_files_list(tmp_dataset_dir, "", spark=spark)
     assert files and all(f.endswith(".parquet") for f in files)
     assert all(f.startswith("string_col=") for f in files)
