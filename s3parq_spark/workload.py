@@ -778,3 +778,185 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# set operations / grouping sets / pivot / scalar functions (SURVEY §2.6:
+# capabilities the reference lacks, surfaced as first-class queries)
+# ---------------------------------------------------------------------------
+
+def q_union_distinct(spark, sf_dir):
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"
+    )
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .union(li.filter(F.col("l_linestatus") == "O"))
+        .distinct()
+    )
+
+
+def q_intersect_nations(spark, sf_dir):
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.intersect(supp)
+
+
+def q_except_nations(spark, sf_dir):
+    cust = _table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return cust.subtract(supp)  # EXCEPT DISTINCT (exceptAll = multiset minus)
+
+
+def q_cube_pricing(spark, sf_dir):
+    return (
+        _table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_pivot_status(spark, sf_dir):
+    """Pivot l_linestatus into columns (explicit value list → deterministic
+    schema, required at scale to avoid a driver-side distinct)."""
+    return (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(_dec("l_quantity")).cast("double"))
+        .withColumnRenamed("F", "qty_f")
+        .withColumnRenamed("O", "qty_o")
+    )
+
+
+def q_scalar_functions(spark, sf_dir):
+    """String/date/math/conditional scalar coverage, all single-op
+    deterministic."""
+    o = _table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("y"),
+        F.month("o_orderdate").cast("int").alias("m"),
+        F.upper("o_orderpriority").alias("pri_up"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("lab"),
+        F.when(F.col("o_totalprice") > 200000, "big")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("small")
+        .alias("size_class"),
+        F.floor("o_totalprice").cast("bigint").alias("price_floor"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.length("o_orderstatus").cast("int").alias("status_len"),
+    )
+
+
+def q_emb_neardup(spark, sf_dir):
+    """Embedding near-dup pairs: label-blocked (equi-join on label, never a
+    full cross join) cosine >= 0.4."""
+    from .operators.similarity import cosine_similarity
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("label"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+    )
+    return (
+        pairs.withColumn("cosine", cosine_similarity(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= 0.4)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "union_distinct": q_union_distinct,
+        "intersect_nations": q_intersect_nations,
+        "except_nations": q_except_nations,
+        "cube_pricing": q_cube_pricing,
+        "pivot_status": q_pivot_status,
+        "scalar_functions": q_scalar_functions,
+        "emb_neardup": q_emb_neardup,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "union_distinct": """
+            SELECT DISTINCT * FROM (
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+                FROM lineitem WHERE l_returnflag = 'R'
+                UNION ALL
+                SELECT l_orderkey, l_linenumber, l_returnflag, l_linestatus
+                FROM lineitem WHERE l_linestatus = 'O'
+            )
+        """,
+        "intersect_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            INTERSECT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "except_nations": """
+            SELECT c_nationkey AS nationkey FROM customer
+            EXCEPT
+            SELECT s_nationkey AS nationkey FROM supplier
+        """,
+        "cube_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
+        """,
+        "pivot_status": """
+            SELECT l_returnflag,
+                   CAST(SUM(CASE WHEN l_linestatus = 'F'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+                   CAST(SUM(CASE WHEN l_linestatus = 'O'
+                        THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "scalar_functions": """
+            SELECT o_orderkey,
+                   CAST(year(o_orderdate) AS INT) AS y,
+                   CAST(month(o_orderdate) AS INT) AS m,
+                   upper(o_orderpriority) AS pri_up,
+                   substr(o_orderpriority, 1, 1) AS pri_code,
+                   concat_ws('-', o_orderstatus, o_orderpriority) AS lab,
+                   CASE WHEN o_totalprice > 200000 THEN 'big'
+                        WHEN o_totalprice > 100000 THEN 'mid'
+                        ELSE 'small' END AS size_class,
+                   CAST(floor(o_totalprice) AS BIGINT) AS price_floor,
+                   sqrt(o_totalprice) AS price_sqrt,
+                   CAST(length(o_orderstatus) AS INT) AS status_len
+            FROM orders
+        """,
+        "emb_neardup": """
+            WITH e AS (
+              SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            )
+            SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+                   round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+            FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+        """,
+    }
+)
