@@ -20,13 +20,34 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from s3parq_spark.workload import ORACLE_SQL, QUERIES  # noqa: E402
 
 
+def _pin_session_confs(spark: SparkSession) -> None:
+    """The driver owns the SparkSession; results must not depend on its
+    config. UTC makes timestamp collection timezone-independent (matching
+    the naive-timestamp DuckDB oracle); nanosAsLong lets the events table's
+    TIMESTAMP(NANOS) column load; MILLIS output is reference write parity."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _pin_session_confs(spark)
+        return fn(spark, sf_dir)
+
+    run.__name__ = getattr(fn, "__name__", "query")
+    run.__doc__ = fn.__doc__
+    return run
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _pin_session_confs(spark)
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
+    return {name: _wrap(fn) for name, fn in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -960,3 +960,27 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact percentiles (percentile_cont semantics) per group."""
+    return (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.5).alias("median_qty"),
+            F.percentile("l_quantity", 0.9).alias("p90_qty"),
+            F.percentile("l_extendedprice", 0.5).alias("median_price"),
+        )
+    )
+
+
+QUERIES["quantiles"] = q_quantiles
+ORACLE_SQL["quantiles"] = """
+    SELECT l_returnflag,
+           quantile_cont(l_quantity, 0.5) AS median_qty,
+           quantile_cont(l_quantity, 0.9) AS p90_qty,
+           quantile_cont(l_extendedprice, 0.5) AS median_price
+    FROM lineitem
+    GROUP BY l_returnflag
+"""
