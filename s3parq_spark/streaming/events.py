@@ -116,3 +116,38 @@ def sessionize_events(
             "sum_value",
         )
     )
+
+
+def stream_publish(
+    spark: SparkSession,
+    events_parquet: str,
+    dataset_path: str,
+    partitions: list,
+) -> None:
+    """Streaming ingestion INTO the engine's dataset format: readStream →
+    ``foreachBatch(publish_path append)``. Each micro-batch appends
+    hive-partitioned files and the sidecar merge-check guards schema drift —
+    the idiomatic continuous-ingestion pattern for a 100 TB/day landing
+    pipeline (checkpointed source progress; the parquet writes are
+    idempotent per batch via Spark's commit protocol)."""
+    from ..publish import publish_path
+
+    stream = read_event_stream(spark, events_parquet).withColumn(
+        "event_date", F.to_date("ts")
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        publish_path(batch_df.sparkSession, dataset_path, batch_df, partitions)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(tempfile.gettempdir(), f"s3parq_ckpt_{uuid.uuid4().hex[:8]}"),
+        )
+        .start()
+    )
+    q.awaitTermination()

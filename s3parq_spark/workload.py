@@ -984,3 +984,110 @@ ORACLE_SQL["quantiles"] = """
     FROM lineitem
     GROUP BY l_returnflag
 """
+
+
+def q_asof_clicks(spark, sf_dir):
+    """As-of join: for every purchase event, the user's latest click at or
+    before it (operators/joins.py asof_join — one shuffle-sort, no range
+    explosion)."""
+    from .operators.joins import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    return asof_join(
+        purchases, clicks, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts"
+    )
+
+
+def q_distinct_counts(spark, sf_dir):
+    """Exact distinct aggregates (expand-based distinct count)."""
+    return (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+def q_events_sliding(spark, sf_dir):
+    """Sliding windows (1 hour window, 30 minute slide) — each event lands in
+    two windows."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "asof_clicks": q_asof_clicks,
+        "distinct_counts": q_distinct_counts,
+        "events_sliding": q_events_sliding,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "asof_clicks": """
+            WITH typed AS (
+              SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type
+              FROM events
+            ), p AS (
+              SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+              FROM typed WHERE event_type = 'purchase'
+            ), c AS (
+              SELECT user_id, ts AS click_ts, event_id AS click_id
+              FROM typed WHERE event_type = 'click'
+            )
+            SELECT p.user_id, p.purchase_ts, p.purchase_id, c.click_ts, c.click_id
+            FROM p ASOF LEFT JOIN c
+              ON p.user_id = c.user_id AND c.click_ts <= p.purchase_ts
+        """,
+        "distinct_counts": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(*) AS n_rows
+            FROM lineitem
+            GROUP BY l_returnflag
+        """,
+        "events_sliding": """
+            WITH typed AS (
+              SELECT make_timestamp(epoch_us(ts)) AS ts, event_type, value FROM events
+            ), windows AS (
+              SELECT unnest([
+                       make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+                       make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+                         - INTERVAL 30 MINUTE
+                     ]) AS window_start,
+                     event_type, value
+              FROM typed
+            )
+            SELECT window_start, event_type,
+                   COUNT(*) AS n_events,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM windows
+            GROUP BY 1, 2
+        """,
+    }
+)

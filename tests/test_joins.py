@@ -1,0 +1,77 @@
+"""asof_join and salted_join operator tests."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from s3parq_spark.operators.joins import asof_join, salted_join
+
+
+def _dt(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_asof_join_backward_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, _dt(10), "p1"), (1, _dt(12), "p2"), (2, _dt(10), "p3")],
+        ["k", "lt", "lp"],
+    )
+    right = spark.createDataFrame(
+        [(1, _dt(9), "c1"), (1, _dt(11), "c2"), (1, _dt(13), "c3")],
+        ["k", "rt", "rp"],
+    )
+    got = {
+        (r.k, r.lp, r.rp)
+        for r in asof_join(left, right, ["k"], "lt", "rt").collect()
+    }
+    # p1 matches c1 (9<=10), p2 matches c2 (11<=12, not 13), p3 no match
+    assert got == {(1, "p1", "c1"), (1, "p2", "c2"), (2, "p3", None)}
+
+
+def test_asof_join_inclusive_at_equal_ts(spark):
+    left = spark.createDataFrame([(1, _dt(10), "p")], ["k", "lt", "lp"])
+    right = spark.createDataFrame([(1, _dt(10), "c")], ["k", "rt", "rp"])
+    row = asof_join(left, right, ["k"], "lt", "rt").first()
+    assert row.rp == "c"  # rt <= lt is inclusive
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, _dt(12), "p")], ["k", "lt", "lp"])
+    right = spark.createDataFrame([(1, _dt(9), "c")], ["k", "rt", "rp"])
+    row = asof_join(left, right, ["k"], "lt", "rt", tolerance="1 HOUR").first()
+    assert row.rp is None  # 3h-old match dropped
+    row2 = asof_join(left, right, ["k"], "lt", "rt", tolerance="4 HOUR").first()
+    assert row2.rp == "c"
+
+
+def test_salted_join_equals_plain_join(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").agg(
+        F.count(F.lit(1)), F.sum("l_quantity").cast("decimal(18,2)")
+    ).collect()
+    salted = salted_join(li, orders, ["l_orderkey"]).agg(
+        F.count(F.lit(1)), F.sum("l_quantity").cast("decimal(18,2)")
+    ).collect()
+    assert plain == salted
+
+
+def test_stream_publish_ingestion(spark, sf_dir, tmp_path):
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.streaming import stream_publish
+
+    ds = str(tmp_path / "ingested")
+    stream_publish(spark, f"{sf_dir}/events.parquet", ds, ["event_type"])
+    got = fetch_path(
+        spark,
+        ds,
+        filters=[{"partition": "event_type", "comparison": "==", "values": ["click"]}],
+    )
+    from s3parq_spark.workload import _events
+
+    expected = _events(spark, sf_dir).filter(F.col("event_type") == "click").count()
+    assert got.count() == expected
