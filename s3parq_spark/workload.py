@@ -1091,3 +1091,73 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+def q_semi_join(spark, sf_dir):
+    """Left-semi join (EXISTS): orders having a high-quantity lineitem."""
+    orders = _table(spark, sf_dir, "orders")
+    big = _table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    ).select("o_orderkey", "o_orderstatus", "o_totalprice")
+
+
+def q_anti_join(spark, sf_dir):
+    """Left-anti join (NOT EXISTS): customers with no finished ('F') orders.
+
+    The filter is applied to the right side *before* the anti-join so Catalyst
+    can push it into the scan; the build side stays small enough to broadcast.
+    """
+    cust = _table(spark, sf_dir, "customer")
+    f_orders = _table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+def q_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS with grouping_id disambiguation."""
+    li = _table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+QUERIES.update(
+    {
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "grouping_sets": q_grouping_sets,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "semi_join": """
+            SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name, c_mktsegment FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        """,
+        "grouping_sets": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) AS INT) AS g_flag,
+                   CAST(grouping(l_linestatus) AS INT) AS g_status,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem
+            GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    }
+)
