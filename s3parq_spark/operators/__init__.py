@@ -13,7 +13,7 @@ from .dedup import (
     simhash_candidate_pairs,
     word_shingles,
 )
-from .similarity import brute_force_cosine_topk, lsh_bucketed_topk
+from .similarity import brute_force_cosine_topk, ivf_topk, lsh_bucketed_topk
 from .text import (
     document_fingerprint,
     language_id,
@@ -33,6 +33,7 @@ __all__ = [
     "document_fingerprint",
     "exact_dedup",
     "extract_binary_features",
+    "ivf_topk",
     "language_id",
     "lsh_bucketed_topk",
     "minhash_candidate_pairs",

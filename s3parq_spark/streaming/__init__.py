@@ -11,6 +11,6 @@ __all__ = [
     "sessionize_events",
     "streaming_tumbling_counts",
 ]
-from .events import stream_publish  # noqa: E402,F401
+from .events import stateful_sessionize, stream_publish  # noqa: E402,F401
 
-__all__.append("stream_publish")
+__all__ += ["stateful_sessionize", "stream_publish"]

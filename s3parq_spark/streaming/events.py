@@ -118,6 +118,106 @@ def sessionize_events(
     )
 
 
+def stateful_sessionize(
+    spark: SparkSession,
+    events_parquet: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (Arrow-batched, event-time timeout).
+
+    Unlike the native ``session_window`` aggregation, the state here is an
+    arbitrary Python record — the pattern to copy for stateful operators
+    Spark lacks (cf. SURVEY §2.6: the reference has no streaming surface at
+    all). Per key the state is O(1): the currently-open session
+    ``(start, last_ts, n_events)``. A session closes — and is emitted —
+    when a newer event for that user arrives more than ``gap`` later, or
+    when the event-time timeout fires after the watermark passes
+    ``last_ts + gap``. On a finite ``availableNow`` run Spark executes a
+    final no-data micro-batch with the watermark at ``max(ts) - watermark``,
+    which flushes every open session ending before that point; only each
+    user's still-open trailing session stays in state. The DuckDB oracle for
+    ``events_stream_sessions`` states exactly this.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    num, unit = gap.split()
+    gap_us = int(num) * {"minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[
+        unit
+    ] * 1_000_000
+
+    out_schema = T.StructType(
+        [
+            T.StructField("session_start", T.TimestampType()),
+            T.StructField("session_end", T.TimestampType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("start_us", T.LongType()),
+            T.StructField("last_us", T.LongType()),
+            T.StructField("n", T.LongType()),
+        ]
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        user_id = key[0]
+        closed = []
+
+        def emit(start_us, last_us, n):
+            closed.append(
+                (
+                    pd.Timestamp(start_us, unit="us"),
+                    pd.Timestamp(last_us + gap_us, unit="us"),
+                    user_id,
+                    n,
+                )
+            )
+
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            emit(start_us, last_us, n)
+            state.remove()
+        else:
+            ts = pd.concat([p["ts"] for p in pdfs]).sort_values()
+            us = (ts.astype("int64") // 1000).tolist()
+            cur = state.get if state.exists else None
+            for t in us:
+                if cur is None:
+                    cur = (t, t, 1)
+                elif t - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    emit(*cur)
+                    cur = (t, t, 1)
+            state.update(cur)
+            state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        yield pd.DataFrame(
+            closed, columns=["session_start", "session_end", "user_id", "n_events"]
+        )
+
+    name = f"sess_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, events_parquet).select("user_id", "ts")
+    q = (
+        stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_publish(
     spark: SparkSession,
     events_parquet: str,

@@ -1139,6 +1139,251 @@ QUERIES.update(
     }
 )
 
+
+def q_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS (semi-join with a non-equi term —
+    lineitems shipped >60 days after the order date) then grouped counts.
+    Catalyst plans the compound condition as a semi hash-join with the date
+    predicate as a post-join filter; no decorrelation machinery needed."""
+    orders = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+def q_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: scalar aggregate subquery — lineitems below 20% of
+    their part's average quantity, restricted to one brand. The per-part
+    average is a grouped agg joined back (what Catalyst's decorrelation
+    produces); the brand dim filter is broadcast and applied BEFORE the
+    avg-join so only ~1/25 of parts flow into the shuffle."""
+    li = _table(spark, sf_dir, "lineitem")
+    brand = _table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#23"
+    ).select("p_partkey")
+    li_b = li.join(F.broadcast(brand), li.l_partkey == F.col("p_partkey")).drop(
+        "p_partkey"
+    )
+    pa = li_b.groupBy("l_partkey").agg(
+        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias(
+            "avg_qty"
+        )
+    )
+    return (
+        li_b.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+def q_window_running(spark, sf_dir):
+    """Window-function suite: rank, lag, and a running (prefix) sum per
+    customer — the running sum in exact decimal so every prefix is
+    order-independent-reproducible, surfaced as double."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return _table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.sum(_dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+def q_band_join(spark, sf_dir):
+    """Range (band) join: orders against a small interval dimension via a
+    broadcast theta-join — the scalable plan for value-range classification
+    (a shuffle range-join would be wrong for a 3-row dim)."""
+    bands = spark.createDataFrame(
+        [
+            ("low", 0.0, 100_000.0),
+            ("mid", 100_000.0, 200_000.0),
+            ("high", 200_000.0, 10_000_000.0),
+        ],
+        "band string, lo double, hi double",
+    )
+    o = _table(spark, sf_dir, "orders")
+    return (
+        o.join(
+            F.broadcast(bands),
+            (o.o_totalprice >= F.col("lo")) & (o.o_totalprice < F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+def q_salted_revenue(spark, sf_dir):
+    """Skew-mitigated equi-join (operators/joins.py salted_join): lineitem
+    salted into 8 sub-keys, the part dim exploded 8× — semantically identical
+    to the plain join, so the plain-join SQL is the oracle."""
+    from .operators.joins import salted_join
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("partkey"), "l_extendedprice", "l_discount"
+    )
+    pt = _table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("partkey"), "p_brand"
+    )
+    return (
+        salted_join(li, pt, on=["partkey"], salt_buckets=8)
+        .groupBy("p_brand")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """IVF ANN top-10 (operators/similarity.py ivf_topk): 16-cell coarse
+    quantizer, 4 probed cells. No SQL oracle (approximate by construction);
+    tests assert full-probe == brute force and partial-probe recall."""
+    from .operators import ivf_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = ivf_topk(emb, "vec_id", "embedding", q, k=10, n_cells=16, n_probe=4)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def q_events_stream_sessions(spark, sf_dir):
+    """Custom stateful streaming sessionization via applyInPandasWithState
+    (streaming/events.py stateful_sessionize). On the finite availableNow
+    run a session is emitted when closed by a later event OR flushed by the
+    event-time timeout once the final watermark (max ts - 2 h) passes its
+    end; only each user's still-open trailing session is retained in state.
+    The oracle states exactly that."""
+    import posixpath as pp
+
+    from .streaming import stateful_sessionize
+
+    return stateful_sessionize(
+        spark, pp.join(sf_dir, "events.parquet"), gap="30 minutes"
+    )
+
+
+QUERIES.update(
+    {
+        "order_priority_exists": q_order_priority_exists,
+        "small_qty_revenue": q_small_qty_revenue,
+        "window_running": q_window_running,
+        "band_join": q_band_join,
+        "salted_revenue": q_salted_revenue,
+        "ivf_topk": q_ivf_topk,
+        "events_stream_sessions": q_events_stream_sessions,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "order_priority_exists": """
+            SELECT o_orderpriority, COUNT(*) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority
+        """,
+        "small_qty_revenue": """
+            WITH li_b AS (
+              SELECT l_partkey, l_quantity, l_extendedprice
+              FROM lineitem JOIN part ON l_partkey = p_partkey
+              WHERE p_brand = 'Brand#23'
+            ), pa AS (
+              SELECT l_partkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_qty
+              FROM li_b GROUP BY l_partkey
+            )
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                     / 7.0 AS avg_yearly
+            FROM li_b JOIN pa USING (l_partkey)
+            WHERE l_quantity < 0.2 * avg_qty
+        """,
+        "window_running": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(RANK() OVER w AS INT) AS rnk,
+                   LAG(o_totalprice) OVER w AS prev_price,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                        OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                     AS running_spend
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        """,
+        "band_join": """
+            SELECT band, COUNT(*) AS n_orders,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                     AS sum_price
+            FROM orders
+            JOIN (VALUES ('low', 0.0, 100000.0),
+                         ('mid', 100000.0, 200000.0),
+                         ('high', 200000.0, 10000000.0)) AS b(band, lo, hi)
+              ON o_totalprice >= lo AND o_totalprice < hi
+            GROUP BY band
+        """,
+        "salted_revenue": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                     AS revenue,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand
+        """,
+        "events_stream_sessions": """
+            WITH typed AS (
+              SELECT user_id, make_timestamp(epoch_us(ts)) AS ts FROM events
+            ), flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                               <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+              FROM typed
+            ), numbered AS (
+              SELECT user_id, ts,
+                     SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_no
+              FROM flagged
+            ), sess AS (
+              SELECT user_id, session_no,
+                     min(ts) AS session_start,
+                     max(ts) + INTERVAL 30 MINUTE AS session_end,
+                     COUNT(*) AS n_events,
+                     max(session_no) OVER (PARTITION BY user_id) AS max_no
+              FROM numbered GROUP BY user_id, session_no
+            )
+            SELECT session_start, session_end, user_id, n_events
+            FROM sess, (SELECT max(ts) AS max_ts FROM typed)
+            WHERE session_no < max_no          -- closed by a later event
+               OR session_end < max_ts - INTERVAL 2 HOUR  -- event-time timeout
+        """,
+    }
+)
+
 ORACLE_SQL.update(
     {
         "semi_join": """

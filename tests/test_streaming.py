@@ -44,3 +44,27 @@ def test_sessionize_gap_semantics(spark):
     assert [(r.user_id, r.n_events) for r in got] == [(1, 3), (1, 1), (2, 1)]
     # session_end = last event + gap
     assert got[0].session_end == base + datetime.timedelta(minutes=75)
+
+
+def test_stateful_sessionize_matches_batch(spark, sf_dir):
+    """applyInPandasWithState sessionization must equal the native batch
+    session_window result restricted to emittable sessions: closed by a later
+    event, or ended before the final watermark (max ts - 2 h)."""
+    from s3parq_spark.streaming import stateful_sessionize
+
+    out = stateful_sessionize(spark, f"{sf_dir}/events.parquet", gap="30 minutes")
+    ev = _events(spark, sf_dir)
+    batch = sessionize_events(ev, gap="30 minutes").select(
+        "session_start", "session_end", "user_id", "n_events"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    from pyspark.sql import Window as W
+
+    last_end = F.max("session_end").over(W.partitionBy("user_id"))
+    expected = batch.withColumn("__last_end", last_end).filter(
+        (F.col("session_end") < F.col("__last_end"))
+        | (F.col("session_end") < F.lit(max_ts - datetime.timedelta(hours=2)))
+    ).drop("__last_end")
+    s = {tuple(r) for r in out.collect()}
+    b = {tuple(r) for r in expected.collect()}
+    assert s == b and len(s) > 0
