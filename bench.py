@@ -16,6 +16,7 @@ import re
 import shutil
 import sys
 import time
+from posixpath import join as posixpath_join
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
@@ -49,6 +50,11 @@ def main() -> None:
 
     spark = get_spark(app_name="s3parq_spark_bench")
 
+    # JVM / codegen / datasource warmup so session startup isn't billed to
+    # the first timed entry (standard benchmarking practice)
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+    spark.read.parquet(posixpath_join(sf_dir, "region.parquet")).count()
+
     # cold publish timing: force a rebuild of the main round-trip dataset
     key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
     shutil.rmtree(os.path.join(workload._CACHE_ROOT, key), ignore_errors=True)
@@ -57,6 +63,14 @@ def main() -> None:
     t0 = time.time()
     workload._li_flag_ds(spark, sf_dir)
     timings["publish"] = round(time.time() - t0, 3)
+
+    # the other datasets headline queries read from: their (cold) publishes
+    # are write-path work, timed as one entry so query timings measure reads
+    t0 = time.time()
+    workload._li_month_ds(spark, sf_dir)
+    workload._orders_prio_ds(spark, sf_dir)
+    workload._orders_prio_subset_ds(spark, sf_dir)
+    timings["publish_aux"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
         fn = workload.QUERIES[name]

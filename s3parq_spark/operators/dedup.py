@@ -81,6 +81,31 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     )
 
 
+def word_shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
+    """Adds ``shingle_hashes: array<bigint>`` — distinct 64-bit hashes of the
+    word n-grams, never materializing the n-gram strings: each word is
+    xxhash64'd once, then consecutive hashes fold pairwise
+    (``xxhash64(acc, next)`` inside ``zip_with``). Order-sensitive (unlike a
+    commutative mix), collision odds ~2^-64 per pair. This is the shingle
+    representation the join/minhash stages should consume — the shuffle and
+    hash work is O(words · n) over fixed-width longs instead of re-walking
+    concatenated strings."""
+    expr = "__wh"
+    for j in range(2, n + 1):
+        expr = f"zip_with({expr}, slice(__wh, {j}, size(__wh)), (a, b) -> xxhash64(a, b))"
+    n_words = f"size(__wh) - {n - 1}"
+    return (
+        df.withColumn("__wh", F.expr(
+            f"transform(split(trim({text_col}), '\\\\s+'), w -> xxhash64(w))"
+        ))
+        .withColumn(
+            "shingle_hashes",
+            F.array_distinct(F.expr(f"slice({expr}, 1, greatest({n_words}, 0))")),
+        )
+        .drop("__wh")
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard near-dup (exact, bucket-joined on shared shingles)
 # ---------------------------------------------------------------------------
@@ -95,19 +120,23 @@ def ngram_jaccard_pairs(
     """Exact word-``n``-gram Jaccard similarity for every pair of documents
     sharing at least one shingle; returns pairs with ``jaccard >= threshold``.
 
-    Plan shape: explode to (shingle, id) pairs → self equi-join ON shingle
-    (shuffle on shingle, never a cross join) → count intersections →
-    ``|A∩B| / (|A| + |B| - |A∩B|)``. Documents with no shared shingle never
-    meet, so the pair space is bounded by shingle co-occurrence, not n².
+    Plan shape: explode to (shingle-hash, id) pairs → self equi-join ON the
+    64-bit shingle hash (shuffle on the hash, never a cross join) → count
+    intersections → ``|A∩B| / (|A| + |B| - |A∩B|)``. Documents with no
+    shared shingle never meet, so the pair space is bounded by shingle
+    co-occurrence, not n². Two deliberate economies: (a) rows of ``df`` must
+    be unique per ``id_col`` (one row per document) — per-doc shingles are
+    already distinct via ``array_distinct``, so no cross-row ``distinct()``
+    shuffle is needed; (b) the join key is ``xxhash64(shingle)`` (8 bytes vs
+    a multi-word string — at 100 TB the shuffle payload is the cost), making
+    a false intersection a ~2^-64 event, far below any at-scale concern.
     """
     src = df.select(id_col, text_col)
     parallelism = src.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
-    sh = (
-        word_shingles(src, text_col, n)
-        .select(F.col(id_col).alias("doc"), F.explode("shingles").alias("shingle"))
-        .distinct()
+    sh = word_shingle_hashes(src, text_col, n).select(
+        F.col(id_col).alias("doc"), F.explode("shingle_hashes").alias("shingle")
     )
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = sh.alias("a")
@@ -146,18 +175,20 @@ def minhash_signatures(
     """Adds ``signature: array<bigint>`` — ``num_hashes`` independent minhash
     values per document, as hash-family member ``xxhash64(i, shingle)``.
 
-    Implementation note: explode shingles → ONE hash-aggregate with
-    ``num_hashes`` codegen'd ``min(xxhash64(i, s))`` columns (map-side
-    partial min, one shuffle on the id). Higher-order ``array_min(transform(
-    ...))`` formulations run interpreted per element and measured 5-200×
-    slower. A single-partition input (one small file) is spread first so the
-    hashing parallelizes."""
+    Implementation note: explode shingle HASHES (fixed-width longs, see
+    ``word_shingle_hashes`` — the n-gram strings are never built) → ONE
+    hash-aggregate with ``num_hashes`` codegen'd ``min(xxhash64(i, h))``
+    columns (map-side partial min, one shuffle on the id); each family
+    member hashes 2 longs, not a multi-word string. Higher-order
+    ``array_min(transform(...))`` formulations run interpreted per element
+    and measured 5-200× slower. A single-partition input (one small file)
+    is spread first so the hashing parallelizes."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
         df = df.repartition(parallelism)
-    sh = word_shingles(df, text_col, shingle_n)
+    sh = word_shingle_hashes(df, text_col, shingle_n)
     other_cols = [c for c in df.columns if c != text_col]
-    ex = sh.select(*other_cols, F.explode("shingles").alias("__shingle"))
+    ex = sh.select(*other_cols, F.explode("shingle_hashes").alias("__shingle"))
     agg = ex.groupBy(*other_cols).agg(
         *[
             F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"__h{i}")

@@ -72,7 +72,7 @@ def _estimate_rows_per_file(df: DataFrame, sample_rows: int = 1000) -> int:
     samples ``limit(sample_rows)`` on the driver only."""
     sample = df.limit(sample_rows).toPandas()
     if len(sample) == 0:
-        return 1_000_000
+        raise ValueError("Cannot publish an empty dataframe")
     row_bytes = max(
         1.0, float(sample.memory_usage(index=False, deep=True).sum()) / len(sample)
     )
@@ -96,13 +96,16 @@ def publish_path(
     mode: str = "append",
     max_records_per_file: Optional[int] = None,
     custom_types: Optional[Dict[str, str]] = None,
+    rebalance: bool = True,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
     ``publish_parq.py:567-573``).
     """
     df = _to_spark_df(spark, dataframe)
-    check_empty_dataframe(df)
+    if max_records_per_file is not None:
+        check_empty_dataframe(df)
+    # else: the sizing sample below doubles as the empty check — one job
     check_partitions(partitions, df)
 
     if custom_types:
@@ -122,6 +125,16 @@ def publish_path(
     merged = metadata.merge_sidecar(metadata.read_sidecar(spark, path), meta)
 
     before = set(fs.list_files(spark, path)) if mode == "append" else set()
+
+    # AQE REBALANCE before the partitioned write: co-locates each hive
+    # partition's rows (no small-files explosion when the input has many
+    # tasks), splits oversized/skewed partition values at the advisory
+    # partition size, and — equally important on a narrow input (one source
+    # file = one task) — fans the write out across executors instead of a
+    # single serial writer. This is the write-path geometry that holds at
+    # 100 TB; maxRecordsPerFile below still enforces the 60 MB file contract.
+    if rebalance:
+        df = df.hint("rebalance", *partitions) if partitions else df.hint("rebalance")
 
     n_per_file = max_records_per_file or _estimate_rows_per_file(df)
     writer = (

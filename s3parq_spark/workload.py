@@ -1285,6 +1285,146 @@ def q_events_stream_sessions(spark, sf_dir):
     )
 
 
+def q_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + single exact-decimal aggregate. Every
+    predicate reaches the parquet scan as a pushed filter (no partition
+    columns involved — this is row-group/page-level pushdown)."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+def q_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast dim join —
+    promo revenue share. Both sums are exact decimals; the final percentage
+    is two single float ops (divide, times 100), bit-identical cross-engine."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+    pt = _table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    joined = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    return joined.agg(
+        (
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0)))
+            .cast("double")
+            / F.sum(disc).cast("double")
+        ).alias("promo_pct")
+    )
+
+
+def q_brand_size_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive range predicates across
+    both join sides. Catalyst splits the OR into a common join key plus a
+    residual filter; per-side conjuncts (p_brand IN ..., l_quantity <= 30)
+    get inferred and pushed below the join."""
+    li = _table(spark, sf_dir, "lineitem")
+    pt = _table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    return j.filter(cond).agg(
+        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+def q_approx_distinct_counts(spark, sf_dir):
+    """Sketch aggregates: HyperLogLog++ distinct counts + approximate
+    percentile per group. No SQL oracle (sketch internals are
+    engine-specific); tests bound the error against the exact answers.
+    This is the 100 TB path for the exact `distinct_counts` query — one
+    pass, O(1) state per group, no expand."""
+    return (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("n_supps_approx"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+                "median_price_approx"
+            ),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "forecast_revenue": q_forecast_revenue,
+        "promo_revenue": q_promo_revenue,
+        "brand_size_revenue": q_brand_size_revenue,
+        "approx_distinct_counts": q_approx_distinct_counts,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "forecast_revenue": """
+            SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                     AS revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_discount >= 0.05 AND l_discount <= 0.07
+              AND l_quantity < 24
+        """,
+        "promo_revenue": f"""
+            SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(l_extendedprice AS DECIMAL(18,2)) *
+                            (1 - CAST(l_discount AS DECIMAL(18,2)))
+                       ELSE 0 END) AS DOUBLE)
+                   / {_REV}
+                     AS promo_pct
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+              AND l_shipdate < TIMESTAMP '1997-04-01'
+        """,
+        "brand_size_revenue": f"""
+            SELECT {_REV} AS revenue, COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+                   AND l_quantity BETWEEN 1 AND 11)
+               OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+                   AND l_quantity BETWEEN 10 AND 20)
+               OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 20 AND 30)
+        """,
+    }
+)
+
+
 QUERIES.update(
     {
         "order_priority_exists": q_order_priority_exists,

@@ -198,3 +198,21 @@ def test_ivf_partial_probe_recall(spark, emb):
               ivf_topk(emb, "vec_id", "embedding", q, k=10, n_cells=8, n_probe=4).collect()}
     assert len(approx) == 10
     assert len(exact & approx) / 10 >= 0.5
+
+
+def test_approx_sketches_bound_error(spark, sf_dir):
+    """HLL++ distinct counts within the configured 2% rsd (allow 4 sigma);
+    approx median within 5% of the exact percentile."""
+    from s3parq_spark.workload import QUERIES
+
+    approx = {r.l_returnflag: r for r in
+              QUERIES["approx_distinct_counts"](spark, sf_dir).collect()}
+    exact = {r.l_returnflag: r for r in
+             QUERIES["distinct_counts"](spark, sf_dir).collect()}
+    med = {r.l_returnflag: r.median_price for r in
+           QUERIES["quantiles"](spark, sf_dir).collect()}
+    for flag, e in exact.items():
+        a = approx[flag]
+        assert abs(a.n_parts_approx - e.n_parts) / e.n_parts < 0.08
+        assert abs(a.n_supps_approx - e.n_supps) / e.n_supps < 0.08
+        assert abs(a.median_price_approx - med[flag]) / med[flag] < 0.05
