@@ -1093,6 +1093,35 @@ ORACLE_SQL.update(
 )
 
 
+def q_order_item_arrays(spark, sf_dir):
+    """Nested types (reference has none — SURVEY §1.3/§1.5): per-order array
+    of quantities via collect_list → sort_array → element_at. Only
+    order-independent scalars are surfaced (size, first/last of the sorted
+    array), so the result is deterministic under Spark's task ordering."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_quantity")).alias("qtys"))
+        .select(
+            "l_orderkey",
+            F.size("qtys").cast("int").alias("n_items"),
+            F.element_at("qtys", 1).alias("min_qty"),
+            F.element_at("qtys", -1).alias("max_qty"),
+        )
+    )
+
+
+QUERIES["order_item_arrays"] = q_order_item_arrays
+ORACLE_SQL["order_item_arrays"] = """
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INT) AS n_items,
+           qtys[1] AS min_qty,
+           qtys[-1] AS max_qty
+    FROM (SELECT l_orderkey, list_sort(list(l_quantity)) AS qtys
+          FROM lineitem GROUP BY l_orderkey)
+"""
+
+
 def q_semi_join(spark, sf_dir):
     """Left-semi join (EXISTS): orders having a high-quantity lineitem."""
     orders = _table(spark, sf_dir, "orders")

@@ -16,6 +16,7 @@ from s3parq_spark import (
     publish,
 )
 from s3parq_spark.fetch import MissingS3ParqMetadata, fetch_path
+from s3parq_spark.publish import publish_path
 from s3parq_spark.metadata import read_sidecar
 
 
@@ -254,3 +255,21 @@ def test_get_all_files_list(spark, tmp_dataset_dir):
     files = get_all_files_list(tmp_dataset_dir, "", spark=spark)
     assert files and all(f.endswith(".parquet") for f in files)
     assert all(f.startswith("string_col=") for f in files)
+
+
+def test_fetch_filter_prunes_at_file_index(spark, sf_dir, tmp_dataset_dir):
+    """Plan-level guard: a partition filter must appear as PartitionFilters
+    on the scan node (pruned at the file index, before any I/O — the
+    reference's defining guarantee, fetch_parq.py:450-498), and the value
+    predicate must NOT appear as a post-scan row Filter."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    publish_path(spark, tmp_dataset_dir, li, ["l_returnflag"])
+    df = fetch_path(
+        spark,
+        tmp_dataset_dir,
+        filters=[{"partition": "l_returnflag", "comparison": "==", "values": ["R"]}],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "l_returnflag" in scan_line and "= R" in scan_line
