@@ -66,16 +66,28 @@ def check_partitions(partitions: List[str], df: DataFrame) -> None:
             raise ValueError(f"Partition name {p!r} is a reserved word")
 
 
+# bytes/row keyed by schema: row width is a property of the schema plus
+# typical value widths, so one sample per schema per session is enough —
+# repeat publishes (chunked/continuous ingestion) skip the sampling job
+_ROW_BYTES_CACHE: Dict[str, float] = {}
+
+
 def _estimate_rows_per_file(df: DataFrame, sample_rows: int = 1000) -> int:
     """Rows per ~60 MB compressed file, from a sampled uncompressed row size
     and the reference's 4:1 assumption (``publish_parq.py:403-461``). Cheap:
-    samples ``limit(sample_rows)`` on the driver only."""
+    samples ``limit(sample_rows)`` on the driver only, once per schema."""
+    key = df.schema.json()
+    if key in _ROW_BYTES_CACHE:
+        check_empty_dataframe(df)
+        row_bytes = _ROW_BYTES_CACHE[key]
+        return max(1, int(TARGET_FILE_BYTES * ASSUMED_COMPRESSION_RATIO / row_bytes))
     sample = df.limit(sample_rows).toPandas()
     if len(sample) == 0:
         raise ValueError("Cannot publish an empty dataframe")
     row_bytes = max(
         1.0, float(sample.memory_usage(index=False, deep=True).sum()) / len(sample)
     )
+    _ROW_BYTES_CACHE[key] = row_bytes
     rows = int(TARGET_FILE_BYTES * ASSUMED_COMPRESSION_RATIO / row_bytes)
     return max(1, rows)
 

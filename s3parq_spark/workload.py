@@ -568,7 +568,11 @@ def q_neardup_jaccard(spark, sf_dir):
     from .operators import ngram_jaccard_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.8)
+    # broadcast_verify: the documents corpus's shingle arrays are dim-sized
+    # here; at real scale leave it to the shuffle-join path
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.8, broadcast_verify=True
+    )
 
 
 def q_minhash_pairs(spark, sf_dir):
