@@ -68,3 +68,60 @@ def test_stateful_sessionize_matches_batch(spark, sf_dir):
     s = {tuple(r) for r in out.collect()}
     b = {tuple(r) for r in expected.collect()}
     assert s == b and len(s) > 0
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Real watermark semantics: with maxFilesPerTrigger=1 the two files
+    become two micro-batches. Batch 1 advances the watermark to
+    max(ts) - 10 minutes; the event in batch 2 that is older than that
+    watermark must be DROPPED from the windowed aggregation, while the
+    in-time event must land."""
+    import os
+    import uuid
+
+    from s3parq_spark.streaming.events import EVENTS_SCHEMA
+    from s3parq_spark.streaming import streaming_tumbling_counts
+
+    d = str(tmp_path / "stream_src")
+    os.makedirs(d)
+    US = 1_000_000
+
+    def write_file(name, rows):
+        df = spark.createDataFrame(
+            [(i, ts * 1000, 1, "click", 1.0, "{}") for i, ts in rows],
+            schema=EVENTS_SCHEMA,  # ts column: nanos as long
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / name))
+        import glob, shutil
+        src = glob.glob(str(tmp_path / name / "*.parquet"))[0]
+        shutil.copy(src, os.path.join(d, name + ".parquet"))
+
+    hour = 3600 * US
+    base = 100 * hour
+    # batch 1: events at t=base and t=base+3h -> watermark after batch 1
+    # is (base+3h) - 10min
+    write_file("b1", [(1, base), (2, base + 3 * hour)])
+    # batch 2: one event 2h before the watermark (dropped), one at the front
+    write_file("b2", [(3, base + hour), (4, base + 3 * hour + 60 * US)])
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    name = f"late_{uuid.uuid4().hex[:8]}"
+    q = (
+        streaming_tumbling_counts(stream, window="1 hour", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {(r.window_start, r.n_events) for r in spark.table(name).collect()}
+    starts = {r[0].hour for r in got}
+    assert 101 not in starts, f"late event (base+1h) should be dropped: {got}"
+    total = sum(n for _, n in got)
+    assert total >= 1  # the closed base-hour window emitted in append mode
