@@ -257,6 +257,60 @@ def q_fetch_diff(spark, sf_dir):
     )
 
 
+def q_fetch_diff_reverse(spark, sf_dir):
+    """A4 reversed (fetch_parq.py:277-280): rows of the COMPARISON dataset
+    whose partition values are absent from the input dataset."""
+    return fetch_diff_path(
+        spark,
+        _orders_prio_subset_ds(spark, sf_dir),
+        _orders_prio_ds(spark, sf_dir),
+        "o_orderpriority",
+        reverse=True,
+    )
+
+
+def _li_decimal_ds(spark, sf_dir):
+    """custom_publish (S9): explicit DECIMAL(18,2) overlay on the price
+    columns, published through the engine (publish_parq.py:576-677)."""
+    def build(s, d):
+        return _table(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag",
+            "l_extendedprice", "l_discount",
+        )
+
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "li_decimal")
+    marker = os.path.join(path, "_PUBLISHED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        publish_path(
+            spark, path, build(spark, sf_dir), ["l_returnflag"],
+            custom_types={
+                "l_extendedprice": "decimal(18,2)",
+                "l_discount": "decimal(18,2)",
+            },
+            mode="overwrite",
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def q_fetch_decimal(spark, sf_dir):
+    """Decimal round-trip through custom_publish → fetch: values come back
+    as exact DECIMAL(18,2), surfaced as double for the comparator."""
+    df = fetch_path(
+        spark,
+        _li_decimal_ds(spark, sf_dir),
+        filters=[{"partition": "l_returnflag", "comparison": "==", "values": ["A"]}],
+    )
+    return df.select(
+        "l_orderkey", "l_linenumber", "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.col("l_discount").cast("double").alias("discount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # analytics (capabilities Spark adds for free — SURVEY §2.6)
 # ---------------------------------------------------------------------------
@@ -409,6 +463,13 @@ QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_json": q_events_json,
 }
 
+QUERIES.update(
+    {
+        "fetch_diff_reverse": q_fetch_diff_reverse,
+        "fetch_decimal": q_fetch_decimal,
+    }
+)
+
 _REV = (
     "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
     "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
@@ -443,6 +504,15 @@ ORACLE_SQL: Dict[str, str] = {
     "fetch_diff": (
         "SELECT * FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')"
     ),
+    "fetch_diff_reverse": (
+        "SELECT * FROM orders WHERE o_orderpriority NOT IN ('1-URGENT','2-HIGH')"
+    ),
+    "fetch_decimal": """
+        SELECT l_orderkey, l_linenumber, l_returnflag,
+               CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price,
+               CAST(CAST(l_discount AS DECIMAL(18,2)) AS DOUBLE) AS discount
+        FROM lineitem WHERE l_returnflag = 'A'
+    """,
     "pricing_summary": f"""
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
