@@ -24,6 +24,8 @@ from .text import (
 from .multimodal import (
     attach_binary_payload,
     extract_binary_features,
+    resize_images,
+    sample_video_frames,
     stub_decode_image,
 )
 
@@ -40,6 +42,8 @@ __all__ = [
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_scores",
+    "resize_images",
+    "sample_video_frames",
     "simhash_candidate_pairs",
     "simhash_fingerprints",
     "stub_decode_image",

@@ -82,3 +82,88 @@ def extract_binary_features(
                 )
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    target: tuple = (224, 224),
+    decode: Optional[Callable[[bytes], object]] = None,
+    resize: Optional[Callable[[object, tuple], bytes]] = None,
+) -> DataFrame:
+    """Batch image resize via ``mapInPandas``: payload in → resized payload +
+    target dims out. Decode/resize are injected at deployment (Pillow:
+    ``decode=Image.open∘BytesIO``, ``resize=lambda im, t:
+    im.resize(t).tobytes()``); without them the operator is a loud stub —
+    the Spark-side contract (schema ``payload binary``, one Arrow batch per
+    yield, per-partition iteration) is the tested part."""
+
+    out_schema = f"{id_col} bigint, payload binary, width int, height int"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode is None or resize is None:
+                raise NotImplementedError(
+                    "image resize requires a media library not present in "
+                    "this container; inject decode= and resize="
+                )
+            out = [resize(decode(p), target) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "width": target[0],
+                    "height": target[1],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=out_schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    every_ms: int = 1000,
+    demux: Optional[Callable[[bytes, int], list]] = None,
+) -> DataFrame:
+    """Frame sampling: one input video payload → MANY output frame rows
+    (``mapInPandas`` is the right shape for 1→N; a scalar pandas_udf cannot
+    change cardinality). ``demux(payload, every_ms) -> [(ts_ms, frame_bytes),
+    ...]`` is injected at deployment (pyav/ffmpeg); the default is a
+    deterministic fake that emits byte-slice "frames" so cardinality,
+    ordering and schema are testable without media libraries — marked fake
+    by ``media_type='application/x-fake-frame'``."""
+
+    out_schema = (
+        f"{id_col} bigint, frame_ts_ms bigint, frame binary, media_type string"
+    )
+
+    def fake_demux(payload: bytes, step: int) -> list:
+        n = max(1, min(4, len(payload) // 16))  # deterministic: ≤4 slices
+        return [
+            (i * step, payload[i * 16 : (i + 1) * 16]) for i in range(n)
+        ]
+
+    fn = demux or fake_demux
+    mt = "application/x-fake-frame" if demux is None else "video/frame"
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, tss, frames = [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                for ts, fr in fn(p, every_ms):
+                    ids.append(i)
+                    tss.append(ts)
+                    frames.append(fr)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_ts_ms": pd.Series(tss, dtype="int64"),
+                    "frame": frames,
+                    "media_type": mt,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=out_schema)

@@ -686,6 +686,23 @@ def q_media_features(spark, sf_dir):
     return feats.select("doc_id", "byte_len", "first_byte")
 
 
+def q_frame_sample(spark, sf_dir):
+    """Multimodal 1→N frame sampling over mapInPandas (operators/
+    multimodal.py sample_video_frames): the deterministic fake demux emits
+    ≤4 16-byte slices per payload, so even the stub path is oracle-checkable
+    (frame lengths + timestamps, not the opaque bytes)."""
+    from .operators import attach_binary_payload, sample_video_frames
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = attach_binary_payload(docs, "text")
+    frames = sample_video_frames(payloads, "doc_id", every_ms=1000)
+    return frames.select(
+        "doc_id",
+        "frame_ts_ms",
+        F.length("frame").cast("int").alias("frame_len"),
+    )
+
+
 def q_events_sessionize(spark, sf_dir):
     """Session windows (30 min gap) per user over events."""
     from .streaming import sessionize_events
@@ -719,6 +736,7 @@ QUERIES.update(
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "media_features": q_media_features,
+        "frame_sample": q_frame_sample,
         "events_sessionize": q_events_sessionize,
         "events_stream_tumbling": q_events_stream_tumbling,
     }
@@ -820,6 +838,17 @@ ORACLE_SQL.update(
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
                    CAST(ascii(substr(text, 1, 1)) AS INT) AS first_byte
             FROM documents
+        """,
+        "frame_sample": """
+            WITH d AS (
+              SELECT doc_id, octet_length(CAST(text AS BLOB)) AS len
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(i * 1000 AS BIGINT) AS frame_ts_ms,
+                   CAST(least(16, len - i * 16) AS INT) AS frame_len
+            FROM d, (VALUES (0), (1), (2), (3)) AS t(i)
+            WHERE i < greatest(1, least(4, len // 16))
         """,
         "events_sessionize": """
             WITH typed AS (

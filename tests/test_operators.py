@@ -216,3 +216,47 @@ def test_approx_sketches_bound_error(spark, sf_dir):
         assert abs(a.n_parts_approx - e.n_parts) / e.n_parts < 0.08
         assert abs(a.n_supps_approx - e.n_supps) / e.n_supps < 0.08
         assert abs(a.median_price_approx - med[flag]) / med[flag] < 0.05
+
+
+def test_resize_images_stub_raises(spark, docs):
+    from s3parq_spark.operators import resize_images
+
+    payloads = attach_binary_payload(docs.select("doc_id", "text").limit(4), "text")
+    with pytest.raises(Exception) as ei:
+        resize_images(payloads, "doc_id").collect()
+    assert "NotImplementedError" in str(ei.value) or "media library" in str(ei.value)
+
+
+def test_resize_images_with_injected_decoder(spark, docs):
+    """With decode/resize injected the operator produces resized payloads —
+    proving the plumbing contract without any media library."""
+    from s3parq_spark.operators import resize_images
+
+    payloads = attach_binary_payload(docs.select("doc_id", "text").limit(8), "text")
+    out = resize_images(
+        payloads, "doc_id", target=(4, 2),
+        decode=lambda b: b,
+        resize=lambda obj, t: bytes(obj[: t[0] * t[1]]),
+    ).collect()
+    assert len(out) == 8
+    assert all(r.width == 4 and r.height == 2 for r in out)
+    assert all(len(r.payload) <= 8 for r in out)
+
+
+def test_sample_video_frames_cardinality(spark, docs):
+    """1→N frame explosion: deterministic fake demux emits ≤4 slices per
+    payload, ordered by frame timestamp."""
+    from s3parq_spark.operators import sample_video_frames
+
+    payloads = attach_binary_payload(docs.select("doc_id", "text").limit(5), "text")
+    out = sample_video_frames(payloads, "doc_id", every_ms=500)
+    rows = out.collect()
+    assert len(rows) >= 5  # at least one frame per doc
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.frame_ts_ms)
+        assert r.media_type == "application/x-fake-frame"
+    for ts_list in by_doc.values():
+        assert 1 <= len(ts_list) <= 4
+        assert ts_list == sorted(ts_list)
+        assert all(t % 500 == 0 for t in ts_list)
