@@ -9,6 +9,7 @@ importable module members, and adds the large-scale pipeline operators
 """
 
 from .fetch import (
+    attach,
     MissingS3ParqMetadata,
     fetch,
     fetch_diff,
@@ -25,6 +26,7 @@ from .session_helper import SessionHelper
 
 __all__ = [
     "MissingS3ParqMetadata",
+    "attach",
     "custom_publish",
     "fetch",
     "fetch_diff",

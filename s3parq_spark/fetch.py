@@ -273,3 +273,22 @@ def fetch_diff(
         reverse=reverse,
     )
     return df.toPandas() if as_pandas else df
+
+
+def attach(
+    spark: SparkSession,
+    path: str,
+    view_name: str,
+    accept_not_s3parq: bool = True,
+) -> DataFrame:
+    """Register a dataset as a temporary view so it is queryable with plain
+    ``spark.sql`` — the SQL-string front door over the same sidecar-typed,
+    partition-pruned scan as ``fetch_path`` (partition predicates in the SQL
+    still prune at the file index; nothing is materialized by attaching).
+
+    For a persistent, catalog-backed registration use
+    ``redshift.register_spark_table`` instead.
+    """
+    df = fetch_path(spark, path, accept_not_s3parq=accept_not_s3parq)
+    df.createOrReplaceTempView(view_name)
+    return df

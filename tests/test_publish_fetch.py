@@ -273,3 +273,21 @@ def test_fetch_filter_prunes_at_file_index(spark, sf_dir, tmp_dataset_dir):
     assert "PartitionFilters" in plan
     scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
     assert "l_returnflag" in scan_line and "= R" in scan_line
+
+
+def test_attach_sql_front_door(spark, sf_dir, tmp_dataset_dir):
+    """attach() registers the dataset for spark.sql; partition predicates in
+    the SQL still reach PartitionFilters (pruned scan, not a row filter)."""
+    from s3parq_spark.fetch import attach
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    publish_path(spark, tmp_dataset_dir, li, ["l_returnflag"])
+    attach(spark, tmp_dataset_dir, "li_ds")
+    out = spark.sql(
+        "SELECT l_returnflag, COUNT(*) AS n FROM li_ds "
+        "WHERE l_returnflag = 'R' GROUP BY l_returnflag"
+    )
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].l_returnflag == "R" and rows[0].n > 0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "= R" in plan
