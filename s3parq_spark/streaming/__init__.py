@@ -11,6 +11,14 @@ __all__ = [
     "sessionize_events",
     "streaming_tumbling_counts",
 ]
-from .events import stateful_sessionize, stream_publish  # noqa: E402,F401
+from .events import (  # noqa: E402,F401
+    stateful_sessionize,
+    stream_publish,
+    stream_stream_click_purchase_join,
+)
 
-__all__ += ["stateful_sessionize", "stream_publish"]
+__all__ += [
+    "stateful_sessionize",
+    "stream_publish",
+    "stream_stream_click_purchase_join",
+]

@@ -218,6 +218,63 @@ def stateful_sessionize(
     return spark.table(name)
 
 
+def stream_stream_click_purchase_join(
+    spark: SparkSession,
+    events_parquet: str,
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: purchases joined to the same user's
+    clicks in the preceding ``within`` window. Both sides carry event-time
+    watermarks and the join condition bounds the time skew, so Spark keeps
+    only ``watermark + within`` of state per side — the requirement for an
+    unbounded stream-stream join. Inner-join matches are emitted exactly, so
+    the finite availableNow run equals the identical batch interval join
+    (the DuckDB oracle for ``events_stream_join``).
+    """
+    stream = read_event_stream(spark, events_parquet)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_ts",
+        "purchase_id",
+        "click_ts",
+        "click_id",
+    )
+    name = f"ssj_{uuid.uuid4().hex[:12]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_publish(
     spark: SparkSession,
     events_parquet: str,

@@ -1557,6 +1557,39 @@ ORACLE_SQL.update(
 )
 
 
+def q_events_stream_join(spark, sf_dir):
+    """Stream-stream interval join (streaming/events.py): purchases ⋈ same
+    user's clicks within the preceding 30 minutes, run as a Structured
+    Streaming query with watermarked state on both sides; inner matches are
+    exact, so the batch interval join is the oracle."""
+    import posixpath as pp
+
+    from .streaming import stream_stream_click_purchase_join
+
+    return stream_stream_click_purchase_join(
+        spark, pp.join(sf_dir, "events.parquet"), within="30 minutes"
+    )
+
+
+QUERIES["events_stream_join"] = q_events_stream_join
+ORACLE_SQL["events_stream_join"] = """
+    WITH typed AS (
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type
+      FROM events
+    ), p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM typed WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM typed WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_ts, p.purchase_id, c.click_ts, c.click_id
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.click_ts <= p.purchase_ts
+     AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+"""
+
+
 QUERIES.update(
     {
         "order_priority_exists": q_order_priority_exists,

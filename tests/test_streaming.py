@@ -125,3 +125,30 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert 101 not in starts, f"late event (base+1h) should be dropped: {got}"
     total = sum(n for _, n in got)
     assert total >= 1  # the closed base-hour window emitted in append mode
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir):
+    """Inner stream-stream interval join (watermarked both sides) must equal
+    the identical batch interval join on the finite input."""
+    from s3parq_spark.streaming import stream_stream_click_purchase_join
+
+    streamed = stream_stream_click_purchase_join(
+        spark, f"{sf_dir}/events.parquet", within="30 minutes"
+    )
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    batch = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes")),
+    ).select(F.col("p_user").alias("user_id"), "purchase_ts", "purchase_id",
+             "click_ts", "click_id")
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
