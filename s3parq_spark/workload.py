@@ -1391,8 +1391,10 @@ def q_salted_revenue(spark, sf_dir):
 
 def q_ivf_topk(spark, sf_dir):
     """IVF ANN top-10 (operators/similarity.py ivf_topk): 16-cell coarse
-    quantizer, 4 probed cells. No SQL oracle (approximate by construction);
-    tests assert full-probe == brute force and partial-probe recall."""
+    quantizer, 4 probed cells. The quantizer is deterministic (centroids =
+    16 lowest-id vectors, argmax dot/||c||), so even the APPROXIMATE result
+    is oracle-checkable — the DuckDB oracle replicates index build, probe
+    selection, and in-cell exact search."""
     from .operators import ivf_topk
 
     emb = _table(spark, sf_dir, "embeddings")
@@ -1659,6 +1661,31 @@ ORACLE_SQL.update(
                    COUNT(*) AS n_items
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
+        """,
+        "ivf_topk": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), c AS (
+              SELECT vec_id AS cid, v AS cv,
+                     sqrt(list_dot_product(v, v)) AS cn
+              FROM e WHERE vec_id < 16
+            ), assign AS (
+              SELECT e.vec_id, e.v,
+                     arg_max(c.cid, list_dot_product(e.v, c.cv) / c.cn) AS cell
+              FROM e CROSS JOIN c GROUP BY e.vec_id, e.v
+            ), q AS (
+              SELECT v AS qv FROM e WHERE vec_id = 0
+            ), qc AS (
+              SELECT c.cid FROM c, q
+              ORDER BY list_dot_product(q.qv, c.cv) / c.cn DESC, c.cid ASC
+              LIMIT 4
+            )
+            SELECT a.vec_id,
+                   round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
+            FROM assign a, q
+            WHERE a.cell IN (SELECT cid FROM qc) AND a.vec_id <> 0
+            ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
+            LIMIT 10
         """,
         "events_stream_sessions": """
             WITH typed AS (
