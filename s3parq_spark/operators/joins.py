@@ -21,6 +21,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+_UNIT_US = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _duration_us(s: str) -> int:
+    num, unit = s.split()
+    return int(num) * _UNIT_US[unit]
+
 
 def asof_join(
     left: DataFrame,
@@ -95,6 +107,51 @@ def asof_join(
         F.col("__rts").alias(right_ts),
         *rcols,
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: List[str],
+    left_ts: str,
+    right_ts: str,
+    lower: str,
+    upper: str,
+) -> DataFrame:
+    """Big-big range join: left rows matched to right rows of the same keys
+    with ``right_ts`` in ``[left_ts - lower, left_ts + upper]``.
+
+    A plain theta-join here is a per-key cartesian (Spark plans
+    BroadcastNestedLoop or a shuffled cartesian — both collapse at scale
+    when NEITHER side is dim-sized). Instead both sides are bucketized to a
+    coarse time grid of width ``lower+upper``: each left row is exploded
+    into the exactly two buckets its window can touch, the right row lands
+    in one, the join becomes an equi-join on ``(keys…, bucket)`` — one hash
+    shuffle, AQE-skew-splittable — and the exact interval predicate remains
+    as the residual filter. Each qualifying pair meets in exactly the
+    bucket of the right row, so no dedup pass is needed.
+    """
+    lower_us = _duration_us(lower)
+    upper_us = _duration_us(upper)
+    width_us = max(1, lower_us + upper_us)
+
+    l_exploded = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"(unix_micros({left_ts}) - {lower_us}) div {width_us}"),
+                F.expr(f"(unix_micros({left_ts}) + {upper_us}) div {width_us}"),
+            )
+        ),
+    )
+    r_bucketed = right.withColumn(
+        "__bucket", F.expr(f"unix_micros({right_ts}) div {width_us}")
+    )
+    out = l_exploded.join(r_bucketed, on=[*on, "__bucket"], how="inner").filter(
+        (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lower}"))
+        & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}"))
+    )
+    return out.drop("__bucket")
 
 
 def salted_join(

@@ -1573,6 +1573,46 @@ def q_events_stream_join(spark, sf_dir):
     )
 
 
+def q_interval_join(spark, sf_dir):
+    """Big-big batch range join (operators/joins.py interval_join): clicks
+    within [-30 min, +15 min] of each purchase per user, as a bucketized
+    equi-join (one hash shuffle + residual) — never a per-key cartesian."""
+    from .operators.joins import interval_join
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("event_id").alias("click_id")
+    )
+    return interval_join(
+        p, c, on=["user_id"], left_ts="purchase_ts", right_ts="click_ts",
+        lower="30 minutes", upper="15 minutes",
+    )
+
+
+QUERIES["interval_join"] = q_interval_join
+ORACLE_SQL["interval_join"] = """
+    WITH typed AS (
+      SELECT event_id, make_timestamp(epoch_us(ts)) AS ts, user_id, event_type
+      FROM events
+    ), p AS (
+      SELECT user_id, ts AS purchase_ts, event_id AS purchase_id
+      FROM typed WHERE event_type = 'purchase'
+    ), c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_id
+      FROM typed WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.purchase_ts, p.purchase_id, c.click_ts, c.click_id
+    FROM p JOIN c ON p.user_id = c.user_id
+     AND c.click_ts >= p.purchase_ts - INTERVAL 30 MINUTE
+     AND c.click_ts <= p.purchase_ts + INTERVAL 15 MINUTE
+"""
+
+
 QUERIES["events_stream_join"] = q_events_stream_join
 ORACLE_SQL["events_stream_join"] = """
     WITH typed AS (

@@ -75,3 +75,34 @@ def test_stream_publish_ingestion(spark, sf_dir, tmp_path):
 
     expected = _events(spark, sf_dir).filter(F.col("event_type") == "click").count()
     assert got.count() == expected
+
+
+def test_interval_join_equals_theta_join(spark, sf_dir):
+    """Bucketed big-big interval join must equal the naive theta join, with
+    no duplicate pairs, and plan as an equi-join (hash/sort-merge), never a
+    nested-loop cartesian."""
+    from s3parq_spark.operators.joins import interval_join
+    from s3parq_spark.workload import _events
+
+    ev = _events(spark, sf_dir)
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"))
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"))
+    got = interval_join(p, c, on=["user_id"], left_ts="purchase_ts",
+                        right_ts="click_ts", lower="30 minutes", upper="15 minutes")
+    naive = p.join(
+        c.withColumnRenamed("user_id", "c_user"),
+        (F.col("user_id") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("INTERVAL 30 minutes"))
+        & (F.col("click_ts") <= F.col("purchase_ts") + F.expr("INTERVAL 15 minutes")),
+    ).drop("c_user")
+    g = sorted(tuple(r) for r in got.select(*naive.columns).collect())
+    n = sorted(tuple(r) for r in naive.collect())
+    assert g == n and len(g) > 0
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "SortMergeJoin" in plan or "HashJoin" in plan
