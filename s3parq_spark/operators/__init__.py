@@ -13,7 +13,12 @@ from .dedup import (
     simhash_candidate_pairs,
     word_shingles,
 )
-from .similarity import brute_force_cosine_topk, ivf_topk, lsh_bucketed_topk
+from .similarity import (
+    brute_force_cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+    lsh_bucketed_topk,
+)
 from .text import (
     document_fingerprint,
     language_id,
@@ -36,6 +41,7 @@ __all__ = [
     "exact_dedup",
     "extract_binary_features",
     "ivf_topk",
+    "kmeans_centroids",
     "language_id",
     "lsh_bucketed_topk",
     "minhash_candidate_pairs",

@@ -98,6 +98,63 @@ def hyperplane_signature(vec_col: Column, dim: int, planes: int = 16) -> Column:
     return sig
 
 
+def _cell_scores(vec: Column, cvecs, cnorms) -> Column:
+    return F.array(
+        *[
+            _dot(vec, F.array(*[F.lit(float(x)) for x in cvecs[j]])) / F.lit(cnorms[j])
+            for j in range(len(cvecs))
+        ]
+    )
+
+
+def kmeans_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int = 16,
+    iters: int = 3,
+) -> list:
+    """Lloyd refinement of the IVF coarse quantizer, as DataFrame jobs:
+    deterministic init (the ``k`` lowest-id vectors), then per iteration one
+    distributed assign (codegen'd argmax over ``dot/||c||``) + one
+    element-wise mean (``posexplode`` → groupBy(cell, dim) → avg). The
+    driver only ever holds the k×dim centroid matrix; the corpus is
+    touched in full scans, never collected. Deterministic end to end:
+    fixed init, and the mean is computed over exact decimals (a double
+    ``avg`` would drift with aggregation order), so index builds are
+    reproducible across cluster sizes and partitionings."""
+    corpus = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    init = corpus.orderBy("__id").limit(k).collect()
+    cents = [list(r["__vec"]) for r in init]
+    for _ in range(iters):
+        cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
+        s = _cell_scores(F.col("__vec"), cents, cnorms)
+        assigned = corpus.withColumn(
+            "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
+        )
+        means = (
+            assigned.select("__cell", F.posexplode("__vec").alias("__pos", "__x"))
+            .groupBy("__cell", "__pos")
+            .agg(
+                (
+                    F.sum(F.col("__x").cast("decimal(30,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ).alias("__m")
+            )
+            .collect()
+        )
+        new = {}
+        for r in means:
+            new.setdefault(r["__cell"], {})[r["__pos"]] = r["__m"]
+        cents = [
+            [new[c][p] for p in range(len(cents[0]))] if c in new else cents[c]
+            for c in range(k)
+        ]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -107,6 +164,7 @@ def ivf_topk(
     n_cells: int = 16,
     n_probe: int = 4,
     exclude_self: bool = True,
+    centroids: Optional[list] = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: a coarse quantizer assigns
     every corpus vector to its nearest centroid cell; a query probes only the
@@ -127,24 +185,16 @@ def ivf_topk(
     corpus = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
     )
-    cents = corpus.orderBy(id_col).limit(n_cells).collect()  # index-build time
-    cvecs = [list(r["__vec"]) for r in cents]
-    cnorms = [sum(x * x for x in v) ** 0.5 for v in cvecs]
+    if centroids is None:
+        cents = corpus.orderBy(id_col).limit(n_cells).collect()  # index build
+        cvecs = [list(r["__vec"]) for r in cents]
+    else:
+        cvecs = [list(v) for v in centroids]  # e.g. from kmeans_centroids
+    cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
 
-    def cell_scores(vec: Column) -> Column:
-        return F.array(
-            *[
-                _dot(vec, F.array(*[F.lit(float(x)) for x in cvecs[j]]))
-                / F.lit(cnorms[j])
-                for j in range(len(cvecs))
-            ]
-        )
-
+    s = _cell_scores(F.col("__vec"), cvecs, cnorms)
     assigned = corpus.withColumn(
-        "__cell",
-        (F.array_position(
-            (s := cell_scores(F.col("__vec"))), F.array_max(s)
-        ) - 1).cast("int"),
+        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
     )
 
     qrow = query_df.select(

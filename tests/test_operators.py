@@ -260,3 +260,35 @@ def test_sample_video_frames_cardinality(spark, docs):
         assert 1 <= len(ts_list) <= 4
         assert ts_list == sorted(ts_list)
         assert all(t % 500 == 0 for t in ts_list)
+
+
+def test_kmeans_centroids_deterministic_and_improving(spark, emb):
+    """Lloyd refinement must be reproducible run-to-run (exact-decimal
+    means) and must not degrade the clustering objective (mean best-cell
+    cosine) versus the raw deterministic init."""
+    from s3parq_spark.operators import ivf_topk, kmeans_centroids
+    from s3parq_spark.operators.similarity import _cell_scores
+
+    c1 = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    c2 = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    assert c1 == c2
+
+    corpus = emb.select(F.col("embedding").cast("array<double>").alias("v"))
+
+    def objective(cents):
+        norms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
+        s = _cell_scores(F.col("v"), cents, norms)
+        return corpus.select(F.avg(F.array_max(s)).alias("o")).collect()[0].o
+
+    raw = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=0)
+    assert objective(c1) >= objective(raw) - 1e-9
+
+    # refined centroids plug into ivf_topk; full probe stays exact
+    q = emb.filter(F.col("vec_id") == 0)
+    from s3parq_spark.operators import brute_force_cosine_topk
+    exact = [tuple(r) for r in
+             brute_force_cosine_topk(emb, "vec_id", "embedding", q, k=10).collect()]
+    full = [tuple(r) for r in
+            ivf_topk(emb, "vec_id", "embedding", q, k=10,
+                     n_cells=8, n_probe=8, centroids=c1).collect()]
+    assert full == exact
