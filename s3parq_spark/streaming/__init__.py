@@ -13,12 +13,14 @@ __all__ = [
 ]
 from .events import (  # noqa: E402,F401
     stateful_sessionize,
+    stream_dedup,
     stream_publish,
     stream_stream_click_purchase_join,
 )
 
 __all__ += [
     "stateful_sessionize",
+    "stream_dedup",
     "stream_publish",
     "stream_stream_click_purchase_join",
 ]

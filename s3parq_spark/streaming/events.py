@@ -218,6 +218,60 @@ def stateful_sessionize(
     return spark.table(name)
 
 
+def stream_dedup(
+    spark: SparkSession,
+    events_parquet: str,
+    copies: int = 2,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only for the
+    watermark horizon — the property that makes exact dedup feasible on an
+    unbounded stream (plain ``dropDuplicates`` state grows forever).
+
+    To exercise it, the source directory is staged with ``copies`` copies of
+    the events file, processed one per micro-batch: batch 1 emits every
+    event; later batches' duplicates are eliminated either by the dedup
+    state (still within the watermark) or by the watermark itself (older
+    than it) — so the total output is exactly the distinct event set, which
+    is what the DuckDB oracle states."""
+    import hashlib
+    import shutil as sh
+
+    tag = hashlib.sha1(
+        f"{os.path.abspath(events_parquet)}|{copies}".encode()
+    ).hexdigest()[:10]
+    staged = os.path.join(tempfile.gettempdir(), f"s3parq_dedup_{tag}")
+    os.makedirs(staged, exist_ok=True)
+    for i in range(copies):
+        dst = os.path.join(staged, f"copy{i}.parquet")
+        if not os.path.exists(dst):
+            sh.copy(events_parquet, dst)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "user_id", "event_type", "ts", "value")
+    )
+    name = f"dedup_{uuid.uuid4().hex[:12]}"
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def stream_stream_click_purchase_join(
     spark: SparkSession,
     events_parquet: str,

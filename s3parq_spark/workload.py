@@ -1613,6 +1613,26 @@ ORACLE_SQL["interval_join"] = """
 """
 
 
+def q_events_stream_dedup(spark, sf_dir):
+    """Streaming exact dedup with bounded state (streaming/events.py
+    stream_dedup): two copies of the events file as two micro-batches;
+    dropDuplicatesWithinWatermark + the watermark remove every duplicate, so
+    the output is the distinct event set."""
+    import posixpath as pp
+
+    from .streaming import stream_dedup
+
+    return stream_dedup(spark, pp.join(sf_dir, "events.parquet"), copies=2)
+
+
+QUERIES["events_stream_dedup"] = q_events_stream_dedup
+ORACLE_SQL["events_stream_dedup"] = """
+    SELECT event_id, user_id, event_type,
+           make_timestamp(epoch_us(ts)) AS ts, value
+    FROM events
+"""
+
+
 QUERIES["events_stream_join"] = q_events_stream_join
 ORACLE_SQL["events_stream_join"] = """
     WITH typed AS (

@@ -152,3 +152,14 @@ def test_stream_stream_join_equals_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stream_dedup_bounded_state(spark, sf_dir):
+    """Duplicated stream (2 copies, one per micro-batch) must come out as
+    exactly the distinct event set."""
+    from s3parq_spark.streaming import stream_dedup
+
+    out = stream_dedup(spark, f"{sf_dir}/events.parquet", copies=2)
+    ev = _events(spark, sf_dir)
+    assert out.count() == ev.count()
+    assert out.select("event_id").distinct().count() == ev.count()
