@@ -8,9 +8,11 @@ from .dedup import (
     exact_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
+    minhash_neardup_pairs,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_candidate_pairs,
+    simhash_neardup_pairs,
     word_shingles,
 )
 from .similarity import (
@@ -45,6 +47,7 @@ __all__ = [
     "language_id",
     "lsh_bucketed_topk",
     "minhash_candidate_pairs",
+    "minhash_neardup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
     "quality_scores",
@@ -52,6 +55,7 @@ __all__ = [
     "sample_video_frames",
     "simhash_candidate_pairs",
     "simhash_fingerprints",
+    "simhash_neardup_pairs",
     "stub_decode_image",
     "token_stats",
     "winnow_fingerprints",

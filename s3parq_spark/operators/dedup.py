@@ -12,10 +12,30 @@ so results are reproducible across runs and cluster sizes.
 
 from __future__ import annotations
 
+import weakref
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _unpersist_with(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Tie the lifetime of ``cached`` (persisted intermediates) to ``result``:
+    when the returned DataFrame is garbage-collected, the intermediates are
+    unpersisted — no cached partitions accumulate across repeated operator
+    calls in a long-lived session. (At 100 TB you would materialize the
+    intermediate to durable storage instead of executor cache; the lifecycle
+    contract here is the same either way.)"""
+    def _safe_unpersist(df: DataFrame) -> None:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped
+
+    for c in cached:
+        f = weakref.finalize(result, _safe_unpersist, c)
+        f.atexit = False  # interpreter exit tears the cache down anyway
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -29,20 +49,23 @@ def exact_dedup(
 ) -> DataFrame:
     """Exact deduplication on ``keys``.
 
-    With ``id_col``, keeps the row with the MINIMUM id per key group
+    With ``id_col``, keeps the FULL row with the MINIMUM id per key group
     (deterministic winner — ``dropDuplicates`` keeps an arbitrary row, which
-    is not reproducible across runs) and adds ``n_copies``. This is one
-    hash-aggregate: map-side partial min/count, then one shuffle on ``keys``.
+    is not reproducible across runs) and adds ``n_copies``. One shuffle on
+    ``keys``: both window functions share the partitioning, so the group
+    count and the winner rank ride the same exchange.
     """
     if id_col is None:
         return df.dropDuplicates(keys)
-    keep = (
-        df.groupBy(*keys).agg(
-            F.min(id_col).alias(id_col),
-            F.count(F.lit(1)).alias("n_copies"),
-        )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .withColumn("__rn", F.row_number().over(w.orderBy(id_col)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
     )
-    return keep
 
 
 def normalized_text(col, lowercase: bool = True):
@@ -110,6 +133,58 @@ def word_shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
 # n-gram Jaccard near-dup (exact, bucket-joined on shared shingles)
 # ---------------------------------------------------------------------------
 
+def _sized_shingle_table(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """Per-doc sorted shingle-hash array + its size — the shared input of
+    candidate generation (prefix/LSH) and exact verification. A
+    single-partition input (one small file) is spread first so the hashing
+    parallelizes."""
+    src = df.select(id_col, text_col)
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < parallelism:
+        src = src.repartition(parallelism)
+    return (
+        word_shingle_hashes(src, text_col, n)
+        .select(
+            F.col(id_col).alias("doc"),
+            F.array_sort("shingle_hashes").alias("sh"),
+            F.size("shingle_hashes").alias("n"),
+        )
+        .filter(F.col("n") > 0)
+    )
+
+
+def _exact_jaccard_verify(
+    cand: DataFrame,
+    sized: DataFrame,
+    threshold: float,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs only: ``|A∩B|`` via
+    ``array_intersect`` (JVM-side) against the sized shingle table, then the
+    threshold filter. ``cand`` needs columns (doc_a, doc_b)."""
+    sa = sized.select(
+        F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
+    )
+    sb = sized.select(
+        F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b")
+    )
+    if broadcast:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -145,20 +220,7 @@ def ngram_jaccard_pairs(
     executor memory (measured ~2× on a 5k-doc corpus); leave False at real
     scale, where the verify stays a key-partitioned shuffle join.
     """
-    src = df.select(id_col, text_col)
-    parallelism = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
-    sized = (
-        word_shingle_hashes(src, text_col, n)
-        .select(
-            F.col(id_col).alias("doc"),
-            F.array_sort("shingle_hashes").alias("sh"),
-            F.size("shingle_hashes").alias("n"),
-        )
-        .filter(F.col("n") > 0)
-        .persist()
-    )
+    sized = _sized_shingle_table(df, id_col, text_col, n).persist()
     prefix_len = (F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1).cast("int")
     pre = sized.select(
         "doc", "n", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("p")
@@ -175,21 +237,8 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sized.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a"))
-    sb = sized.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"), F.col("n").alias("n_b"))
-    if broadcast_verify:
-        sa, sb = F.broadcast(sa), F.broadcast(sb)
-    return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-    )
+    result = _exact_jaccard_verify(cand, sized, threshold, broadcast_verify)
+    return _unpersist_with(result, sized)
 
 
 # ---------------------------------------------------------------------------
@@ -297,11 +346,75 @@ def minhash_candidate_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     ) / F.lit(num_hashes)
-    return (
+    result = (
         cand.withColumn("est_jaccard", est.cast("double"))
         .filter(F.col("est_jaccard") >= min_est_jaccard)
         .select("doc_a", "doc_b", "est_jaccard")
     )
+    return _unpersist_with(result, sig)
+
+
+def minhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + EXACT Jaccard verification — the
+    production near-dup pipeline, and (unlike raw candidates) an
+    oracle-checkable result: with ``bands`` tuned so a pair at ``threshold``
+    collides in ≥1 band with probability ≈ 1 (here 16 bands of 4 rows →
+    miss ≈ 2·10⁻⁴ at J=0.8, ≈ 10⁻²³ at J=0.99), the emitted set equals the
+    exact all-pairs Jaccard join while candidate generation stays an
+    equi-join on (band_id, band_hash).
+
+    One pass builds the sorted shingle-hash table; the minhash signature is
+    derived from it (explode → ``num_hashes`` codegen'd min-aggregates, one
+    shuffle on the doc id) and the verify stage reuses the same table —
+    shingling runs once, not twice.
+    """
+    rows = num_hashes // bands
+    sized = _sized_shingle_table(df, id_col, text_col, shingle_n).persist()
+    ex = sized.select("doc", F.explode("sh").alias("__shingle"))
+    agg = ex.groupBy("doc").agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    banded = agg.select(
+        "doc",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.hash(
+                            F.array(*[f"__h{i}" for i in range(b * rows, (b + 1) * rows)])
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "band.band_id", "band.band_hash")
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    result = _exact_jaccard_verify(cand, sized, threshold, broadcast_verify)
+    return _unpersist_with(result, sized)
 
 
 # ---------------------------------------------------------------------------
@@ -309,20 +422,36 @@ def minhash_candidate_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash_fingerprints(
-    df: DataFrame, id_col: str, text_col: str, bits: int = 64
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Adds ``simhash: bigint`` — the classic Charikar fingerprint: each token
     hashes to ``bits`` bits; bit *b* of the fingerprint is 1 iff the sum of
     ±1 contributions over tokens is positive. One explode + one groupBy(id)
-    with ``bits`` conditional sums, all codegen'd."""
+    with ``bits`` conditional sums, all codegen'd.
+
+    ``portable_hash=True`` hashes tokens as the first 60 bits of md5 instead
+    of ``xxhash64`` — bit-identical in any engine with md5 (used by the
+    correctness oracle, which replicates the whole pipeline in SQL); pass
+    ``bits<=60`` with it. Default stays xxhash64 (faster, 64 full bits)."""
     src = df.select(id_col, text_col)
     parallelism = src.sparkSession.sparkContext.defaultParallelism
     if src.rdd.getNumPartitions() < parallelism:
         src = src.repartition(parallelism)
+    tok_hash = (
+        F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
+            "bigint"
+        )
+        if portable_hash
+        else F.xxhash64("tok")
+    )
     toks = src.select(
         F.col(id_col),
         F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", tok_hash)
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -346,13 +475,14 @@ def simhash_candidate_pairs(
     bits: int = 64,
     bands: int = 4,
     max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the fingerprint into ``bands`` chunks
     (pigeonhole: distance ≤ bands-1 guarantees one identical chunk), equi-join
     on (band, chunk), verify with exact Hamming distance (``bit_count``)."""
     width = bits // bands
     mask = (1 << width) - 1
-    fps = simhash_fingerprints(df, id_col, text_col, bits).select(
+    fps = simhash_fingerprints(df, id_col, text_col, bits, portable_hash).select(
         F.col(id_col).alias("doc"), "simhash"
     )
     banded = fps.select(
@@ -390,3 +520,29 @@ def simhash_candidate_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bits: int = 64,
+    bands: int = 4,
+    max_hamming: int = 6,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """SimHash candidate generation + EXACT Jaccard verification: precision
+    is exact (every emitted pair truly has ``jaccard >= threshold``) but
+    recall is bounded by the banding — simhash Hamming distance of a pair at
+    J=0.8 routinely exceeds the pigeonhole guarantee (observed up to 9/64 on
+    the test corpus), so pairs can be missed. Use ``minhash_neardup_pairs``
+    when Jaccard-calibrated recall matters; simhash's advantage is the
+    constant-size per-doc state (one bigint, no signature array)."""
+    cand = simhash_candidate_pairs(
+        df, id_col, text_col, bits, bands, max_hamming
+    ).select("doc_a", "doc_b")
+    sized = _sized_shingle_table(df, id_col, text_col, shingle_n).persist()
+    result = _exact_jaccard_verify(cand, sized, threshold, broadcast_verify)
+    return _unpersist_with(result, sized)

@@ -572,7 +572,8 @@ ORACLE_SQL: Dict[str, str] = {
         GROUP BY 1, 2
     """,
     "events_json": """
-        SELECT event_type, COUNT(*) AS n_events, SUM(k) AS sum_k FROM (
+        SELECT event_type, COUNT(*) AS n_events,
+               CAST(SUM(k) AS BIGINT) AS sum_k FROM (
             SELECT event_type,
                    CAST(regexp_extract(props, '"k":\\s*(-?\\d+)', 1) AS BIGINT) AS k
             FROM events
@@ -646,23 +647,35 @@ def q_neardup_jaccard(spark, sf_dir):
 
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash-LSH near-dup candidates (no SQL oracle: custom hash family;
-    correctness asserted against exact jaccard in tests/test_dedup.py)."""
-    from .operators import minhash_candidate_pairs
+    """MinHash-LSH candidates + exact Jaccard verify (operators/dedup.py
+    minhash_neardup_pairs): candidate generation is the banded LSH equi-join,
+    the verify stage makes the emitted set the exact-Jaccard pair set — so
+    the exact all-pairs SQL is the oracle."""
+    from .operators import minhash_neardup_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    return minhash_candidate_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, min_est_jaccard=0.5
+    return minhash_neardup_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.8,
+        broadcast_verify=True,
     )
 
 
 def q_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidates (no SQL oracle: custom fingerprint;
-    tests assert consistency with exact jaccard)."""
+    """SimHash near-dup pairs with TRUE simhash semantics (banded candidate
+    equi-join + exact Hamming verify). Oracle-checkable the same way as
+    ivf_topk: the token hash is portable (first 60 bits of md5, identical in
+    any engine), so the DuckDB oracle replicates the whole pipeline —
+    fingerprint, banding, Hamming filter — in SQL."""
     from .operators import simhash_candidate_pairs
 
     docs = _table(spark, sf_dir, "documents")
-    return simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=6)
+    out = simhash_candidate_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=6,
+        portable_hash=True,
+    )
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 def q_ann_topk(spark, sf_dir):
@@ -800,6 +813,9 @@ ORACLE_SQL.update(
             )
         """,
         "neardup_jaccard": """
+            -- shared by neardup_jaccard / minhash_pairs / simhash_pairs:
+            -- all three emit the exact 3-gram Jaccard pair set at t=0.8,
+            -- differing only in how candidates are generated
             WITH words AS (
               SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
               FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -824,6 +840,8 @@ ORACLE_SQL.update(
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
         """,
+        "minhash_pairs": None,  # filled below: same exact-Jaccard SQL
+        "simhash_pairs": None,
         "ann_topk": """
             SELECT vec_id,
                    round(list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv), 6) AS cosine
@@ -881,6 +899,45 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+# minhash_pairs emits the exact verified pair set (LSH only accelerates
+# candidate generation), so the exact all-pairs Jaccard SQL is its oracle
+ORACLE_SQL["minhash_pairs"] = ORACLE_SQL["neardup_jaccard"]
+
+# simhash_pairs keeps true simhash semantics; the oracle replicates the
+# deterministic pipeline (portable md5-60-bit token hash → ±1 bit sums →
+# fingerprint → 4×15-bit banding → Hamming ≤ 6) entirely in SQL
+ORACLE_SQL["simhash_pairs"] = """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+      FROM documents
+    ), h AS (
+      SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h
+      FROM toks
+    ), bitsums AS (
+      SELECT doc_id, b.b,
+             SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM h CROSS JOIN (SELECT unnest(range(60)) AS b) b
+      GROUP BY doc_id, b.b
+    ), fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+               AS simhash
+      FROM bitsums GROUP BY doc_id
+    ), banded AS (
+      SELECT doc_id, simhash, b.b AS band_id,
+             (simhash >> (b.b * 15)) & 32767 AS chunk
+      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 6
+"""
 
 
 # ---------------------------------------------------------------------------

@@ -51,6 +51,18 @@ def test_exact_dedup_deterministic_winner(spark):
     assert got == {(1, "a", 3), (9, "b", 1)}
 
 
+def test_exact_dedup_returns_full_winner_rows(spark):
+    # payload columns survive dedup; the payload kept is the winner row's
+    df = spark.createDataFrame(
+        [(5, "a", "p5"), (3, "a", "p3"), (9, "b", "p9")],
+        ["id", "text", "payload"],
+    )
+    out = exact_dedup(df, ["text"], "id")
+    assert set(out.columns) == {"id", "text", "payload", "n_copies"}
+    got = {(r.id, r.text, r.payload, r.n_copies) for r in out.collect()}
+    assert got == {(3, "a", "p3", 2), (9, "b", "p9", 1)}
+
+
 def test_ngram_jaccard_finds_planted_neardups(true_neardups):
     assert len(true_neardups) >= 10  # planted near-dup pairs exist
     assert all(a < b for a, b in true_neardups)
@@ -92,6 +104,53 @@ def test_simhash_recovers_exact_neardups(docs, true_neardups):
     missing = true_neardups - got
     # simhash on ~0.99-jaccard docs should land within hamming 6
     assert len(missing) <= max(1, len(true_neardups) // 10)
+
+
+def test_minhash_neardup_equals_exact(docs, true_neardups):
+    """The verified LSH pipeline emits EXACTLY the exact-Jaccard pair set —
+    this is the oracle-checkability contract of the minhash_pairs query."""
+    from s3parq_spark.operators import minhash_neardup_pairs
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_neardup_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.8
+        ).collect()
+    }
+    assert got == true_neardups
+
+
+def test_simhash_portable_hash_matches_xxhash_shape(docs, true_neardups):
+    """Portable (md5-60-bit) simhash behaves like the xxhash64 one: most
+    planted near-dups land within hamming 6, and output is deterministic."""
+    a = simhash_candidate_pairs(
+        docs, "doc_id", "text", bits=60, bands=4, max_hamming=6, portable_hash=True
+    )
+    got1 = {(r.doc_a, r.doc_b) for r in a.collect()}
+    got2 = {(r.doc_a, r.doc_b) for r in a.collect()}
+    assert got1 == got2
+    missing = true_neardups - got1
+    assert len(missing) <= max(1, len(true_neardups) // 3)
+
+
+def test_dedup_operators_unpersist_on_release(spark, docs):
+    """Cached intermediates are unpersisted when the result DataFrame is
+    released — no storage accumulates across operator calls (ADVICE/VERDICT
+    round 1)."""
+    import gc
+
+    from s3parq_spark.operators import minhash_neardup_pairs
+
+    for op in (
+        lambda: ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8),
+        lambda: minhash_neardup_pairs(docs, "doc_id", "text"),
+        lambda: minhash_candidate_pairs(docs, "doc_id", "text"),
+    ):
+        result = op()
+        result.collect()
+        del result
+        gc.collect()
+        assert not spark.sparkContext._jsc.getPersistentRDDs()
 
 
 def test_brute_force_cosine_topk(spark, emb):
