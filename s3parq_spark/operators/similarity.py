@@ -72,38 +72,55 @@ def brute_force_cosine_topk(
     )
 
 
+def _hyperplane_rows(dim: int, planes: int) -> list:
+    """Deterministic ±1 hyperplane coefficients, derived driver-side from
+    md5 parity of "p|i" — no RNG state to ship, reproducible everywhere."""
+    import hashlib
+
+    return [
+        [
+            1.0 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(planes)
+    ]
+
+
 def hyperplane_signature(vec_col: Column, dim: int, planes: int = 16) -> Column:
     """Deterministic random-hyperplane LSH signature (sign of dot with
-    ``planes`` pseudo-random ±1 hyperplanes, derived from ``xxhash64(p|i)``).
-    Returns an int bucket id in [0, 2^planes)."""
-    sig = None
-    for p in range(planes):
-        # ±1 hyperplane component for (plane p, dim i): parity of xxhash64
-        coeffs = F.array(
-            *[
-                F.when(F.xxhash64(F.lit(f"{p}|{i}")).bitwiseAND(F.lit(1)) == 1, F.lit(1.0))
-                .otherwise(F.lit(-1.0))
-                for i in range(dim)
-            ]
-        )
-        proj = F.aggregate(
-            F.zip_with(vec_col, coeffs, lambda x, c: x * c),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bit = F.when(proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sig = bit if sig is None else sig + bit
-    return sig
+    ``planes`` pseudo-random ±1 hyperplanes). Returns an int bucket id in
+    [0, 2^planes).
+
+    Scale note (round-1 verdict fix): the coefficient matrix enters the plan
+    as ``planes`` single array-literal nodes (``F.lit(list)``), NOT a
+    dim×planes tree of per-value literals — at dim 4096 × 16 planes the old
+    form was 10⁵ expression nodes and fell out of codegen; this form is 16
+    constants regardless of dim, with the projection done by
+    ``transform``/``zip_with``/``aggregate`` over them."""
+    mat = F.array(*[F.lit(row) for row in _hyperplane_rows(dim, planes)])
+    projs = F.transform(mat, lambda c: _dot(vec_col, c))
+    pows = F.lit([1 << p for p in range(planes)])
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            pows,
+            lambda pr, pw: F.when(pr > 0, pw).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
 
 
 def _cell_scores(vec: Column, cvecs, cnorms) -> Column:
-    return F.array(
-        *[
-            _dot(vec, F.array(*[F.lit(float(x)) for x in cvecs[j]])) / F.lit(cnorms[j])
-            for j in range(len(cvecs))
-        ]
+    """Per-cell scores ``dot(vec, c_j) / ||c_j||`` as ONE array expression:
+    the centroid matrix is ``len(cvecs)`` array-literal nodes (constant in
+    ``dim``), scored via ``transform``; division happens after the dot so
+    float results are bit-identical to the per-centroid formulation (the
+    DuckDB oracle replays exactly this arithmetic)."""
+    cmat = F.array(*[F.lit([float(x) for x in c]) for c in cvecs])
+    norms = F.lit([float(n) for n in cnorms])
+    return F.zip_with(
+        F.transform(cmat, lambda c: _dot(vec, c)), norms, lambda d, nn: d / nn
     )
 
 
@@ -128,6 +145,9 @@ def kmeans_centroids(
     )
     init = corpus.orderBy("__id").limit(k).collect()
     cents = [list(r["__vec"]) for r in init]
+    k = len(cents)  # corpus may hold fewer than k vectors
+    if k == 0:
+        raise ValueError("kmeans_centroids: corpus is empty")
     for _ in range(iters):
         cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
         s = _cell_scores(F.col("__vec"), cents, cnorms)
@@ -211,7 +231,7 @@ def ivf_topk(
     cand = assigned.filter(F.col("__cell").isin(probe))
     if exclude_self:
         cand = cand.filter(F.col(id_col) != F.lit(qrow["__qid"]))
-    qlit = F.array(*[F.lit(float(x)) for x in qv])
+    qlit = F.lit([float(x) for x in qv])  # one literal node, any dim
     return (
         cand.withColumn("cosine", cosine_similarity(F.col("__vec"), qlit))
         .orderBy(F.desc("cosine"), F.asc(id_col))

@@ -179,6 +179,46 @@ def test_lsh_topk_subset_of_bucket(spark, emb):
     assert all(r.vec_id != 0 for r in rows)
 
 
+def test_similarity_high_dim_no_literal_blowup(spark):
+    """dim-512 embeddings (round-1 verdict fix): hyperplane/centroid
+    matrices enter the plan as O(planes)/O(cells) array-literal nodes, so
+    signature + IVF + brute force all run at realistic dims; full-probe IVF
+    stays exactly equal to brute force."""
+    import random
+
+    from s3parq_spark.operators import ivf_topk, kmeans_centroids
+
+    rnd = random.Random(7)
+    rows = [
+        (i, [rnd.uniform(-1.0, 1.0) for _ in range(512)]) for i in range(48)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    q = emb.filter(F.col("vec_id") == 0)
+    exact = [r.vec_id for r in
+             brute_force_cosine_topk(emb, "vec_id", "embedding", q, k=5).collect()]
+    full_probe = [r.vec_id for r in
+                  ivf_topk(emb, "vec_id", "embedding", q, k=5,
+                           n_cells=8, n_probe=8).collect()]
+    assert exact == full_probe
+    got = lsh_bucketed_topk(
+        emb, "vec_id", "embedding", q, dim=512, k=3, planes=8
+    ).collect()
+    assert all(r.vec_id != 0 for r in got)
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=4, iters=1)
+    assert len(cents) == 4 and len(cents[0]) == 512
+
+
+def test_kmeans_clamps_k_to_corpus_size(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(3)],
+        "vec_id int, embedding array<double>",
+    )
+    from s3parq_spark.operators import kmeans_centroids
+
+    cents = kmeans_centroids(emb, "vec_id", "embedding", k=8, iters=2)
+    assert len(cents) == 3  # clamped, no IndexError mid-iteration
+
+
 def test_token_stats_and_quality(spark):
     df = spark.createDataFrame([(1, "Hello world, this is a test!")], ["doc_id", "text"])
     r = token_stats(df, "text").first()
