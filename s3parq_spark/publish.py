@@ -66,17 +66,22 @@ def check_partitions(partitions: List[str], df: DataFrame) -> None:
             raise ValueError(f"Partition name {p!r} is a reserved word")
 
 
-# bytes/row keyed by schema: row width is a property of the schema plus
-# typical value widths, so one sample per schema per session is enough —
-# repeat publishes (chunked/continuous ingestion) skip the sampling job
-_ROW_BYTES_CACHE: Dict[str, float] = {}
+# bytes/row keyed by (dataset path, schema): row width depends on the
+# schema AND the dataset's typical value widths — two datasets sharing a
+# schema can have very different string lengths, so the cache never crosses
+# datasets. Repeat publishes to the same dataset (chunked/continuous
+# ingestion) still skip the sampling job.
+_ROW_BYTES_CACHE: Dict[tuple, float] = {}
 
 
-def _estimate_rows_per_file(df: DataFrame, sample_rows: int = 1000) -> int:
+def _estimate_rows_per_file(
+    df: DataFrame, path: str = "", sample_rows: int = 1000
+) -> int:
     """Rows per ~60 MB compressed file, from a sampled uncompressed row size
     and the reference's 4:1 assumption (``publish_parq.py:403-461``). Cheap:
-    samples ``limit(sample_rows)`` on the driver only, once per schema."""
-    key = df.schema.json()
+    samples ``limit(sample_rows)`` on the driver only, once per
+    (dataset, schema)."""
+    key = (path, df.schema.json())
     if key in _ROW_BYTES_CACHE:
         check_empty_dataframe(df)
         row_bytes = _ROW_BYTES_CACHE[key]
@@ -92,12 +97,59 @@ def _estimate_rows_per_file(df: DataFrame, sample_rows: int = 1000) -> int:
     return max(1, rows)
 
 
+def _check_no_timedelta(dataframe) -> None:
+    """Reference parity (``publish_parq.py:33-50`` intent + the dtype-mapper
+    rejection at ``publish_parq.py:354-356``): timedelta columns have no
+    supported parquet representation in the reference and publishing one
+    raises ``NotImplementedError``. Checked on dtypes (the reference's
+    name-based check is a bug its own dtype mapper backstops)."""
+    for col, dtype in dataframe.dtypes.items():
+        if "timedelta" in str(dtype):
+            raise NotImplementedError(
+                f"Column {col!r} is a timedelta type; timedelta columns "
+                "cannot be published to parquet"
+            )
+
+
 def _to_spark_df(spark: SparkSession, dataframe) -> DataFrame:
     """Accept either a Spark or a pandas DataFrame (the reference API is
-    pandas-first; Spark-native callers skip the conversion)."""
+    pandas-first; Spark-native callers skip the conversion).
+
+    pandas path parity: timedelta columns are rejected, and a failed
+    conversion retries once with non-string object columns coerced to
+    string (``publish_parq.py:185-202`` — mixed-type object columns;
+    Decimal-holding columns are left alone so they keep their exact type).
+    """
     if isinstance(dataframe, DataFrame):
+        from pyspark.sql.types import DayTimeIntervalType, YearMonthIntervalType
+
+        for f in dataframe.schema.fields:
+            if isinstance(f.dataType, (DayTimeIntervalType, YearMonthIntervalType)):
+                raise NotImplementedError(
+                    f"Column {f.name!r} is an interval type; interval columns "
+                    "cannot be published to parquet"
+                )
         return dataframe
-    return spark.createDataFrame(dataframe)
+    _check_no_timedelta(dataframe)
+    try:
+        return spark.createDataFrame(dataframe)
+    except Exception:
+        import decimal
+
+        coerced = dataframe.copy()
+        changed = False
+        for col in coerced.columns:
+            if coerced[col].dtype != object:
+                continue
+            vals = coerced[col]
+            if vals.map(lambda v: isinstance(v, decimal.Decimal)).any():
+                continue  # keep exact decimals; a str round-trip would corrupt
+            if not vals.map(lambda v: v is None or isinstance(v, str)).all():
+                coerced[col] = vals.astype(str)
+                changed = True
+        if not changed:
+            raise
+        return spark.createDataFrame(coerced)
 
 
 def publish_path(
@@ -148,7 +200,7 @@ def publish_path(
     if rebalance:
         df = df.hint("rebalance", *partitions) if partitions else df.hint("rebalance")
 
-    n_per_file = max_records_per_file or _estimate_rows_per_file(df)
+    n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
     writer = (
         df.write.mode(mode)
         .option("compression", "snappy")

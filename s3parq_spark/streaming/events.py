@@ -31,6 +31,21 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _stage_dir(src: str, extra: str = "") -> str:
+    """Temp staging dir for a single-file stream source, keyed by the
+    source's path AND (mtime, size) — regenerating the source file in place
+    yields a fresh staging dir instead of silently re-reading stale copies."""
+    import hashlib
+
+    st = os.stat(src)
+    tag = hashlib.sha1(
+        f"{os.path.abspath(src)}|{st.st_mtime_ns}|{st.st_size}|{extra}".encode()
+    ).hexdigest()[:10]
+    staged = os.path.join(tempfile.gettempdir(), f"s3parq_stream_{tag}")
+    os.makedirs(staged, exist_ok=True)
+    return staged
+
+
 def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
     """File-source stream over the events parquet. The source needs a
     directory; a single-file path is staged into a temp dir (tests/local
@@ -38,11 +53,7 @@ def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = events_parquet
     if os.path.isfile(events_parquet):
-        import hashlib
-
-        tag = hashlib.sha1(os.path.abspath(events_parquet).encode()).hexdigest()[:10]
-        staged = os.path.join(tempfile.gettempdir(), f"s3parq_stream_{tag}")
-        os.makedirs(staged, exist_ok=True)
+        staged = _stage_dir(events_parquet)
         dst = os.path.join(staged, os.path.basename(events_parquet))
         if not os.path.exists(dst):
             shutil.copy(events_parquet, dst)
@@ -143,10 +154,9 @@ def stateful_sessionize(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    num, unit = gap.split()
-    gap_us = int(num) * {"minute": 60, "minutes": 60, "hour": 3600, "hours": 3600}[
-        unit
-    ] * 1_000_000
+    from ..operators.joins import _duration_us
+
+    gap_us = _duration_us(gap)  # seconds/minutes/hours/days all accepted
 
     out_schema = T.StructType(
         [
@@ -190,7 +200,9 @@ def stateful_sessionize(
                 if cur is None:
                     cur = (t, t, 1)
                 elif t - cur[1] <= gap_us:
-                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                    # min-start: a cross-batch out-of-order event (within the
+                    # watermark) can predate the stored session start
+                    cur = (min(cur[0], t), max(cur[1], t), cur[2] + 1)
                 else:
                     emit(*cur)
                     cur = (t, t, 1)
@@ -235,14 +247,9 @@ def stream_dedup(
     state (still within the watermark) or by the watermark itself (older
     than it) — so the total output is exactly the distinct event set, which
     is what the DuckDB oracle states."""
-    import hashlib
     import shutil as sh
 
-    tag = hashlib.sha1(
-        f"{os.path.abspath(events_parquet)}|{copies}".encode()
-    ).hexdigest()[:10]
-    staged = os.path.join(tempfile.gettempdir(), f"s3parq_dedup_{tag}")
-    os.makedirs(staged, exist_ok=True)
+    staged = _stage_dir(events_parquet, extra=f"dedup|{copies}")
     for i in range(copies):
         dst = os.path.join(staged, f"copy{i}.parquet")
         if not os.path.exists(dst):

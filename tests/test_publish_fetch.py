@@ -195,6 +195,33 @@ def test_publish_reserved_partition_rejected(spark, tmp_dataset_dir):
         publish(tmp_dataset_dir, "", ["date"], pdf, spark=spark)
 
 
+def test_publish_rejects_timedelta(spark, tmp_dataset_dir):
+    # reference parity: publish_parq.py:33-50 + the dtype-mapper rejection
+    # at :354-356 — timedelta columns raise NotImplementedError
+    pdf = grouped_pdf(10)
+    pdf["time_col"] = pd.Timedelta("1 days")
+    with pytest.raises(NotImplementedError, match="timedelta"):
+        publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
+
+
+def test_publish_rejects_interval_spark_df(spark, tmp_dataset_dir):
+    df = spark.range(3).withColumn(
+        "iv", F.expr("INTERVAL 1 DAY") + F.expr("make_dt_interval(0, 0, 0, id)")
+    )
+    with pytest.raises(NotImplementedError, match="interval"):
+        publish_path(spark, tmp_dataset_dir, df, [])
+
+
+def test_publish_mixed_object_column_coerced(spark, tmp_dataset_dir):
+    # reference parity: publish_parq.py:185-202 — a mixed-type object column
+    # fails the first conversion and retries with object→string coercion
+    pdf = grouped_pdf(10)
+    pdf["mixed"] = ["x"] * 9 + [5]  # object dtype, str + int
+    publish(tmp_dataset_dir, "", ["string_col"], pdf, spark=spark)
+    got = fetch(tmp_dataset_dir, "", spark=spark, as_pandas=True)
+    assert set(got["mixed"]) == {"x", "5"}
+
+
 def test_non_s3parq_dataset(spark, tmp_dataset_dir, sf_dir):
     # plain parquet (no sidecar): fetch whole is allowed by default,
     # rejected when accept_not_s3parq=False (fetch_parq.py:174-200,649-654)
