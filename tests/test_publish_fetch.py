@@ -195,6 +195,39 @@ def test_publish_reserved_partition_rejected(spark, tmp_dataset_dir):
         publish(tmp_dataset_dir, "", ["date"], pdf, spark=spark)
 
 
+def test_publish_new_files_scoped_listing_matches_full_diff(spark, tmp_path):
+    """The partition-scoped new-file report equals a ground-truth full
+    before/after diff, across partition value types (incl. escaping-needing
+    strings, bools, floats, datetimes and nulls)."""
+    from s3parq_spark.fs import list_files
+
+    base = str(tmp_path / "ds")
+    pdf = pd.DataFrame(
+        {
+            "s": ["a b", "x:y", "plain", None] * 6,
+            "b": [True, False, True, False] * 6,
+            "f": [0.5, 1.25, 0.5, 2.0] * 6,
+            "d": [datetime.datetime(2024, 1, 1 + i % 2) for i in range(24)],
+            "v": list(range(24)),
+        }
+    )
+    publish_path(spark, base, pdf, ["s", "b"])
+    snapshot = set(list_files(spark, base))
+    add = pdf[pdf.s == "a b"]
+    got = publish_path(spark, base, add, ["s", "b"])
+    truth = sorted(set(list_files(spark, base)) - snapshot)
+    assert sorted(got) == truth
+    assert truth  # the append really added files
+    assert all(f.startswith("s=a b/") or f.startswith("s=a%20b/") for f in got)
+    # multi-type partitioning round #2: float + datetime + null dirs
+    base2 = str(tmp_path / "ds2")
+    publish_path(spark, base2, pdf, ["f", "d"])
+    snapshot2 = set(list_files(spark, base2))
+    got2 = publish_path(spark, base2, pdf[pdf.f == 1.25], ["f", "d"])
+    truth2 = sorted(set(list_files(spark, base2)) - snapshot2)
+    assert sorted(got2) == truth2 and truth2
+
+
 def test_publish_rejects_timedelta(spark, tmp_dataset_dir):
     # reference parity: publish_parq.py:33-50 + the dtype-mapper rejection
     # at :354-356 — timedelta columns raise NotImplementedError
