@@ -31,6 +31,22 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _ensure_state_store(spark: SparkSession) -> None:
+    """Default the state store to RocksDB for queries started by these
+    runners: streaming state (dedup keys, open sessions, join buffers) then
+    lives off-heap with incremental checkpointing instead of in executor
+    memory — the difference between bounded and unbounded heap on a
+    100 TB/day stream. An explicitly configured provider is respected."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    if spark.conf.get(key, None) in (None, ""):
+        spark.conf.set(key, _ROCKSDB_PROVIDER)
+
+
 def _stage_dir(src: str, extra: str = "") -> str:
     """Temp staging dir for a single-file stream source, keyed by the
     source's path AND (mtime, size) — regenerating the source file in place
@@ -51,6 +67,7 @@ def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
     directory; a single-file path is staged into a temp dir (tests/local
     only — a real deployment points at the landing directory)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_state_store(spark)
     path = events_parquet
     if os.path.isfile(events_parquet):
         staged = _stage_dir(events_parquet)
@@ -256,6 +273,7 @@ def stream_dedup(
             sh.copy(events_parquet, dst)
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _ensure_state_store(spark)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)

@@ -1833,6 +1833,38 @@ ORACLE_SQL.update(
     }
 )
 
+def q_sql_front_door(spark, sf_dir):
+    """SQL-string front door end-to-end (VERDICT r1 stretch): the published
+    hive dataset is attached as a view (fetch.attach → sidecar-typed scan)
+    and answered with plain ``spark.sql``; the partition predicate in the
+    SQL text prunes at the file index exactly like the programmatic filter
+    API (PLANS.md §fetch_filter_eq shows the same PartitionFilters)."""
+    from .fetch import attach
+
+    attach(spark, _li_flag_ds(spark, sf_dir), "li_front_door")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n_rows,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM li_front_door
+        WHERE l_returnflag = 'R'
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+QUERIES["sql_front_door"] = q_sql_front_door
+ORACLE_SQL["sql_front_door"] = """
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
 ORACLE_SQL.update(
     {
         "semi_join": """
