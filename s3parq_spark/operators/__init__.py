@@ -5,6 +5,7 @@ genuinely needs Python, in which case Arrow-batched Pandas UDFs are used.
 """
 
 from .dedup import (
+    dedup_against_corpus,
     exact_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
@@ -25,9 +26,12 @@ from .text import (
     document_fingerprint,
     language_id,
     quality_scores,
+    scrub_pii,
+    tf_idf,
     token_stats,
     winnow_fingerprints,
 )
+from .sampling import deterministic_sample
 from .multimodal import (
     attach_binary_payload,
     extract_binary_features,
@@ -39,6 +43,8 @@ from .multimodal import (
 __all__ = [
     "attach_binary_payload",
     "brute_force_cosine_topk",
+    "dedup_against_corpus",
+    "deterministic_sample",
     "document_fingerprint",
     "exact_dedup",
     "extract_binary_features",
@@ -56,7 +62,9 @@ __all__ = [
     "simhash_candidate_pairs",
     "simhash_fingerprints",
     "simhash_neardup_pairs",
+    "scrub_pii",
     "stub_decode_image",
+    "tf_idf",
     "token_stats",
     "winnow_fingerprints",
     "word_shingles",

@@ -68,6 +68,31 @@ def exact_dedup(
     )
 
 
+def dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame,
+    text_col: str,
+    broadcast: bool = False,
+) -> DataFrame:
+    """Incremental ingest dedup: drop ``batch`` rows whose normalized-text
+    fingerprint already exists in ``corpus`` — the batch form of streaming
+    cross-batch dedup, and the standard shape for appending a new crawl to
+    an existing 100 TB corpus. One left-anti equi-join on a fixed-width md5
+    key (never the text itself): shuffles hash+id only; ``broadcast=True``
+    when the corpus fingerprint set fits in executor memory."""
+    from .text import document_fingerprint
+
+    bf = document_fingerprint(batch, text_col, "__fp")
+    cf = (
+        document_fingerprint(corpus.select(text_col), text_col, "__fp")
+        .select("__fp")
+        .distinct()
+    )
+    if broadcast:
+        cf = F.broadcast(cf)
+    return bf.join(cf, "__fp", "left_anti").drop("__fp")
+
+
 def normalized_text(col, lowercase: bool = True):
     """Whitespace-collapsed (and optionally lowercased) text — the usual
     normalization applied before exact-hash dedup."""

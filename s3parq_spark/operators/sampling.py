@@ -1,0 +1,56 @@
+"""Deterministic corpus sampling.
+
+The property that matters at 100 TB: the SAME rows are selected regardless
+of cluster size, partitioning, or run count — ``df.sample`` is seeded per
+partition split and reshuffles between runs, so it cannot produce
+reproducible corpus subsets. Here membership is a pure function of the row
+id: ``pmod(hash60(id), RESOLUTION) < fraction·RESOLUTION``. The hash is the
+first 60 bits of md5 of the id string — portable, so any engine (and the
+correctness oracle) selects the identical subset.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Union
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: sampling granularity: fractions resolve to 1/10000
+RESOLUTION = 10_000
+
+
+def _hash60(col: Column) -> Column:
+    """First 60 bits of md5 of the stringified id — engine-portable."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("bigint")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: Union[float, Dict[str, float]],
+    strata_col: str = "",
+) -> DataFrame:
+    """Reproducible sample: keep a row iff
+    ``pmod(hash60(id), RESOLUTION) < fraction * RESOLUTION``.
+
+    ``fractions`` is a single float, or a ``{stratum value: fraction}`` dict
+    with ``strata_col`` naming the stratum column (stratified sampling —
+    e.g. downweight a crawl source, upweight a rare language). Unlisted
+    strata fall to fraction 0. A filter, not a shuffle: it pushes into the
+    scan and composes with partition pruning.
+    """
+    bucket = F.pmod(_hash60(F.col(id_col)), F.lit(RESOLUTION))
+    if isinstance(fractions, dict):
+        if not strata_col:
+            raise ValueError("per-stratum fractions require strata_col")
+        thr: Column = F.lit(0)
+        for value, frac in fractions.items():
+            thr = F.when(
+                F.col(strata_col) == value, F.lit(int(frac * RESOLUTION))
+            ).otherwise(thr)
+    else:
+        thr = F.lit(int(float(fractions) * RESOLUTION))
+    return df.filter(bucket < thr)

@@ -97,6 +97,68 @@ def document_fingerprint(
     return df.withColumn(out_col, F.md5(norm))
 
 
+#: RE2-safe PII patterns (no lookarounds/backrefs) so the identical regex
+#: runs in Spark (java.util.regex) and any RE2-class engine.
+PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    (r"(\+?\d{1,2}[ -])?(\(\d{3}\)|\d{3})[ -]\d{3}[ -]?\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str, out_col: Optional[str] = None
+) -> DataFrame:
+    """Mask common PII shapes (emails, US phone numbers, SSNs) with typed
+    placeholder tokens — the standard pre-training scrub pass. A chain of
+    ``regexp_replace`` built-ins: codegen'd, linear, no Python in the path.
+    Order matters: SSN before phone (an SSN is also a phone-shaped digit
+    run)."""
+    c = F.col(text_col)
+    for pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return df.withColumn(out_col or text_col, c)
+
+
+def tf_idf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 5,
+) -> DataFrame:
+    """Per-document top-``top_k`` TF-IDF terms.
+
+    Scale shape: two hash-aggregations (shuffle on (doc, term), then on
+    term) + one equi-join + a per-doc top-k window — every stage is
+    key-partitioned; the only driver scalar is the corpus document count.
+    ``idf = ln(N / df_t)`` and ``score = tf · idf`` are single-op float
+    steps over exact integers, so scores are bit-identical cross-engine
+    (ties broken by term text).
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).distinct().count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    scored = (
+        tf.join(dfreq, "term")
+        .withColumn("idf", F.log(F.lit(float(n_docs)) / F.col("df_t")))
+        .withColumn("tfidf", F.col("tf") * F.col("idf"))
+    )
+    w = Window.partitionBy("doc").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= top_k)
+        .select(F.col("doc").alias(id_col), "term", "tf", "tfidf", "rk")
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -219,6 +219,69 @@ def test_kmeans_clamps_k_to_corpus_size(spark):
     assert len(cents) == 3  # clamped, no IndexError mid-iteration
 
 
+def test_scrub_pii_masks_and_preserves(spark):
+    from s3parq_spark.operators import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.io call (555) 123-4567 ssn 123-45-6789 ok")],
+        ["id", "t"],
+    )
+    got = scrub_pii(df, "t").first().t
+    assert got == "mail <EMAIL> call <PHONE> ssn <SSN> ok"
+
+
+def test_tf_idf_ranks_distinctive_terms(spark):
+    from s3parq_spark.operators import tf_idf
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common common"),
+            (2, "banana cherry common common"),
+            (3, "common cherry date date date"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = tf_idf(df, "doc_id", "text", top_k=2)
+    top1 = {r.doc_id: r.term for r in out.collect() if r.rk == 1}
+    # 'apple' appears only in doc 1 (tf=2); 'date' only in doc 3 (tf=3);
+    # 'common' is everywhere → idf 0, never ranks first
+    assert top1[1] == "apple" and top1[3] == "date"
+    assert all(r.term != "common" or r.tfidf == 0 for r in out.collect())
+
+
+def test_deterministic_sample_stable_and_stratified(spark):
+    from s3parq_spark.operators import deterministic_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(2000)], ["id", "s"]
+    )
+    s1 = {r.id for r in deterministic_sample(df, "id", 0.3).collect()}
+    s2 = {r.id for r in
+          deterministic_sample(df.repartition(7), "id", 0.3).collect()}
+    assert s1 == s2  # partitioning-independent membership
+    assert 0.25 < len(s1) / 2000 < 0.35
+    strat = deterministic_sample(df, "id", {"a": 0.5, "b": 0.0}, strata_col="s")
+    rows = strat.collect()
+    assert rows and all(r.s == "a" for r in rows)
+    # subset property: sampled ids at a lower fraction nest in the higher one
+    s_small = {r.id for r in deterministic_sample(df, "id", 0.1).collect()}
+    assert s_small <= s1
+
+
+def test_dedup_against_corpus(spark):
+    from s3parq_spark.operators import dedup_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(1, "Known   Text"), (2, "other doc")], ["id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(10, "known text"), (11, "brand new"), (12, "OTHER  doc"), (13, "fresh")],
+        ["id", "text"],
+    )
+    got = {r.id for r in dedup_against_corpus(batch, corpus, "text").collect()}
+    assert got == {11, 13}  # whitespace/case-normalized matches dropped
+
+
 def test_token_stats_and_quality(spark):
     df = spark.createDataFrame([(1, "Hello world, this is a test!")], ["doc_id", "text"])
     r = token_stats(df, "text").first()
