@@ -71,6 +71,20 @@ def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List
     return sorted(out)
 
 
+def rename(spark: SparkSession, src: str, dst: str) -> bool:
+    """Directory/file rename through the Hadoop FileSystem (atomic on
+    local/HDFS; copy-based on object stores)."""
+    fs, jsrc, jvm = _jvm_fs(spark, src)
+    return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:
+    fs, jpath, _ = _jvm_fs(spark, path)
+    if not fs.exists(jpath):
+        return False
+    return bool(fs.delete(jpath, recursive))
+
+
 def read_text(spark: SparkSession, path: str) -> str:
     fs, jpath, jvm = _jvm_fs(spark, path)
     stream = fs.open(jpath)

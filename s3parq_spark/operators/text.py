@@ -159,6 +159,50 @@ def tf_idf(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into token-bounded chunks with overlap — the standard
+    pre-embedding/pre-training segmentation. One row in, ``ceil((n-overlap) /
+    stride)`` rows out, entirely JVM-side: tokenize once, generate chunk
+    start offsets with ``sequence``, slice+rejoin per offset, ``posexplode``.
+    A 1→N flatMap shape with no Python and no shuffle — chunking composes
+    with the scan and scales linearly.
+
+    Output: (id, chunk_id int, chunk_text, n_chunk_tokens int). The last
+    chunk may be shorter; a document shorter than ``chunk_tokens`` yields
+    itself as chunk 0.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.expr(
+        f"sequence(1, greatest(size(__toks) - {overlap}, 1), {stride})"
+    )
+    chunks = F.transform(
+        starts,
+        lambda s: F.array_join(F.slice(F.col("__toks"), s, chunk_tokens), " "),
+    )
+    return (
+        df.withColumn("__toks", toks)
+        .withColumn("__chunks", chunks)
+        .select(
+            F.col(id_col),
+            F.posexplode("__chunks").alias("chunk_id", "chunk_text"),
+        )
+        .withColumn("chunk_id", F.col("chunk_id").cast("int"))
+        .withColumn(
+            "n_chunk_tokens",
+            F.size(F.split(F.col("chunk_text"), r"\s+")).cast("int"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     id_col: str,

@@ -274,6 +274,51 @@ def publish_path(
     return [f for f in after if f not in before]
 
 
+def compact_dataset(
+    spark: SparkSession,
+    path: str,
+    max_records_per_file: Optional[int] = None,
+) -> List[str]:
+    """Small-file compaction: rewrite the dataset's data files back at the
+    ~60 MB target geometry, preserving the hive partitioning and sidecar.
+
+    Continuous ingestion (micro-batch appends, ``stream_publish``)
+    accumulates files far below the target size; at millions of files the
+    file index and listing dominate query planning, so periodic compaction
+    is the maintenance action that keeps the S7 file-size contract true
+    over a dataset's lifetime. The rewrite lands in a sibling temp dir and
+    is swapped in with two renames (atomic on local/HDFS; copy-based on
+    object stores — run in a maintenance window there), so a failed
+    compaction never corrupts the dataset. Returns the new data file list.
+    """
+    from .fetch import fetch_path
+
+    sidecar = metadata.read_sidecar(spark, path)
+    if sidecar is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    partitions = list(sidecar.partitions)
+    df = fetch_path(spark, path)
+    tmp = path.rstrip("/") + ".compacting"
+    fs.delete(spark, tmp)
+    publish_path(
+        spark,
+        tmp,
+        df,
+        partitions,
+        mode="overwrite",
+        max_records_per_file=max_records_per_file,
+    )
+    old = path.rstrip("/") + ".precompact"
+    fs.delete(spark, old)
+    if not fs.rename(spark, path, old):
+        raise IOError(f"compact_dataset: could not move {path} aside")
+    if not fs.rename(spark, tmp, path):
+        fs.rename(spark, old, path)  # roll back
+        raise IOError(f"compact_dataset: could not swap in compacted data")
+    fs.delete(spark, old)
+    return fs.list_files(spark, path)
+
+
 REDSHIFT_PARAM_KEYS = (
     "schema_name",
     "table_name",

@@ -1889,12 +1889,23 @@ def q_dedup_incremental(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Token-bounded sliding-window chunking (operators/text.py
+    chunk_documents): 64-token chunks, 8-token overlap — a JVM-side 1→N
+    flatMap (sequence → slice → posexplode), no shuffle, no Python."""
+    from .operators.text import chunk_documents
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=8)
+
+
 QUERIES.update(
     {
         "tf_idf_top_terms": q_tf_idf,
         "pii_scrub": q_pii_scrub,
         "stratified_sample": q_stratified_sample,
         "dedup_incremental": q_dedup_incremental,
+        "chunk_documents": q_chunk_documents,
     }
 )
 
@@ -1958,6 +1969,23 @@ ORACLE_SQL.update(
             )
             SELECT doc_id FROM norm
             WHERE nt NOT IN (SELECT nt FROM norm WHERE doc_id < 250)
+        """,
+        "chunk_documents": """
+            WITH d AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+              FROM documents
+            ), s AS (
+              SELECT doc_id, toks,
+                     unnest(generate_series(1, greatest(len(toks) - 8, 1), 56))
+                       AS start
+              FROM d
+            )
+            SELECT doc_id,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start)
+                        - 1 AS INT) AS chunk_id,
+                   array_to_string(toks[start:start+63], ' ') AS chunk_text,
+                   CAST(len(toks[start:start+63]) AS INT) AS n_chunk_tokens
+            FROM s
         """,
     }
 )

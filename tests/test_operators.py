@@ -282,6 +282,30 @@ def test_dedup_against_corpus(spark):
     assert got == {11, 13}  # whitespace/case-normalized matches dropped
 
 
+def test_chunk_documents_coverage_and_overlap(spark):
+    from s3parq_spark.operators.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words), (2, "short doc")], ["doc_id", "text"])
+    rows = sorted(
+        chunk_documents(df, "doc_id", "text", chunk_tokens=10, overlap=2).collect(),
+        key=lambda r: (r.doc_id, r.chunk_id),
+    )
+    short = [r for r in rows if r.doc_id == 2]
+    assert len(short) == 1 and short[0].chunk_text == "short doc"
+    long = [r for r in rows if r.doc_id == 1]
+    # strides of 8: chunk k starts at token 8k; every token covered
+    assert long[0].chunk_text.startswith("w0 w1")
+    assert long[1].chunk_text.startswith("w8 w9")
+    covered = set()
+    for r in long:
+        covered.update(r.chunk_text.split())
+    assert len(covered) == 100
+    assert all(r.n_chunk_tokens <= 10 for r in long)
+    # consecutive chunks share the 2-token overlap
+    assert long[0].chunk_text.split()[-2:] == long[1].chunk_text.split()[:2]
+
+
 def test_token_stats_and_quality(spark):
     df = spark.createDataFrame([(1, "Hello world, this is a test!")], ["doc_id", "text"])
     r = token_stats(df, "text").first()

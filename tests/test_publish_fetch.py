@@ -228,6 +228,31 @@ def test_publish_new_files_scoped_listing_matches_full_diff(spark, tmp_path):
     assert sorted(got2) == truth2 and truth2
 
 
+def test_compact_dataset(spark, tmp_path):
+    """Small-file compaction: file count collapses, data + sidecar typing
+    survive, filtered fetch still prunes."""
+    from s3parq_spark.fs import list_files
+    from s3parq_spark.publish import compact_dataset
+
+    base = str(tmp_path / "ds")
+    pdf = grouped_pdf(300)
+    # force lots of tiny files (micro-batch ingestion shape)
+    publish_path(spark, base, pdf, ["string_col"], max_records_per_file=10)
+    n_before = len(list_files(spark, base))
+    assert n_before >= 30
+    before = fetch(base, "", spark=spark, as_pandas=True)
+    new_files = compact_dataset(spark, base)
+    assert len(new_files) < n_before / 3
+    got = fetch(base, "", spark=spark, as_pandas=True)
+    assert_round_trip_equal(before, got)
+    filtered = fetch(
+        base, "",
+        filters=[{"partition": "string_col", "comparison": "==", "values": ["s1"]}],
+        spark=spark, as_pandas=True,
+    )
+    assert set(filtered["string_col"]) == {"s1"}
+
+
 def test_publish_rejects_timedelta(spark, tmp_dataset_dir):
     # reference parity: publish_parq.py:33-50 + the dtype-mapper rejection
     # at :354-356 — timedelta columns raise NotImplementedError
