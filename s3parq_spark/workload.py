@@ -1991,6 +1991,86 @@ ORACLE_SQL.update(
 )
 
 
+def q_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side-only predicate
+    (the order filter applied BEFORE the join, so customers with zero
+    qualifying orders survive with count 0 — an inner join silently loses
+    them), then a second aggregation into a histogram of counts."""
+    c = _table(spark, sf_dir, "customer").select("c_custkey")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_waiting_customers(spark, sf_dir):
+    """TPC-H Q22 shape: scalar aggregate subquery + anti-join. The
+    above-average-balance test is expressed multiplicatively
+    (``bal·n > sum``) over exact decimals/integers — a decimal DIVISION
+    would round at engine-specific scales and flip boundary customers;
+    the product form is exact in both engines."""
+    c = _table(spark, sf_dir, "customer")
+    o = _table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    stats = c.filter(F.col("c_acctbal") > 0).agg(
+        F.sum(_dec("c_acctbal")).alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    rich = c.crossJoin(F.broadcast(stats)).filter(
+        _dec("c_acctbal") * F.col("n") > F.col("s")
+    )
+    return (
+        rich.join(o, rich.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "customer_distribution": q_customer_distribution,
+        "waiting_customers": q_waiting_customers,
+    }
+)
+
+ORACLE_SQL.update(
+    {
+        "customer_distribution": """
+            SELECT c_count, COUNT(*) AS custdist FROM (
+              SELECT c_custkey, COUNT(o_orderkey) AS c_count
+              FROM customer LEFT OUTER JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey
+            ) GROUP BY c_count
+        """,
+        "waiting_customers": """
+            WITH stats AS (
+              SELECT SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS s,
+                     COUNT(*) AS n
+              FROM customer WHERE c_acctbal > 0
+            )
+            SELECT c_mktsegment, COUNT(*) AS numcust,
+                   CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                     AS totacctbal
+            FROM customer, stats
+            WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+    }
+)
+
+
 def q_events_stream_publish(spark, sf_dir):
     """Streaming ingestion INTO the engine's dataset format, end-to-end
     under the gate (streaming/events.py stream_publish): events readStream →
