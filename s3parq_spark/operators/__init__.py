@@ -21,6 +21,8 @@ from .similarity import (
     ivf_topk,
     kmeans_centroids,
     lsh_bucketed_topk,
+    normalize_vectors,
+    quantize_vectors,
 )
 from .text import (
     document_fingerprint,
@@ -56,6 +58,8 @@ __all__ = [
     "minhash_neardup_pairs",
     "minhash_signatures",
     "ngram_jaccard_pairs",
+    "normalize_vectors",
+    "quantize_vectors",
     "quality_scores",
     "resize_images",
     "sample_video_frames",

@@ -240,6 +240,47 @@ def ivf_topk(
     )
 
 
+def normalize_vectors(
+    df: DataFrame, vec_col: str, out_col: Optional[str] = None
+) -> DataFrame:
+    """L2-normalize an embedding column (unit vectors make cosine a plain
+    dot product — the usual pre-index transform). Pure JVM ``transform``
+    over the array; zero vectors pass through unchanged."""
+    v = F.col(vec_col).cast("array<double>")
+    n = _norm(v)
+    out = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
+    return df.withColumn(out_col or vec_col, out)
+
+
+def quantize_vectors(
+    df: DataFrame, vec_col: str, out_col: str = "qvec"
+) -> DataFrame:
+    """Per-vector min/max int8-range quantization: 4× smaller than float32
+    on disk and in shuffle — the storage/bandwidth lever for billion-vector
+    corpora. Emits ``out_col: array<int>`` in [0, 255] plus the
+    ``{out_col}_min`` / ``{out_col}_scale`` needed to dequantize. All
+    arithmetic is ``floor``-based single float ops (round() ties differ
+    across engines; floor does not). A constant vector maps to all-zeros
+    with scale 0."""
+    v = F.col(vec_col).cast("array<double>")
+    lo = F.array_min(v)
+    hi = F.array_max(v)
+    scale = hi - lo
+    q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.least(
+                F.lit(255), F.floor((x - lo) * 255.0 / scale).cast("int")
+            ),
+        )
+    )
+    return (
+        df.withColumn(f"{out_col}_min", lo)
+        .withColumn(f"{out_col}_scale", scale / 255.0)
+        .withColumn(out_col, q)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     id_col: str,

@@ -2034,10 +2034,24 @@ def q_waiting_customers(spark, sf_dir):
     )
 
 
+def q_embedding_quantize(spark, sf_dir):
+    """int8-range vector quantization (operators/similarity.py
+    quantize_vectors): per-vector min/max scaling with floor-based
+    arithmetic (round() tie behavior differs across engines; floor does
+    not) — the 4× storage/shuffle shrink for billion-vector corpora."""
+    from .operators import quantize_vectors
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return quantize_vectors(emb, "embedding", "qvec").select(
+        "vec_id", "qvec_min", "qvec_scale", "qvec"
+    )
+
+
 QUERIES.update(
     {
         "customer_distribution": q_customer_distribution,
         "waiting_customers": q_waiting_customers,
+        "embedding_quantize": q_embedding_quantize,
     }
 )
 
@@ -2066,6 +2080,23 @@ ORACLE_SQL.update(
                               WHERE o_custkey = c_custkey
                                 AND o_orderpriority = '1-URGENT')
             GROUP BY c_mktsegment
+        """,
+        "embedding_quantize": """
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+            ), m AS (
+              SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+            )
+            SELECT vec_id,
+                   lo AS qvec_min,
+                   (hi - lo) / 255.0 AS qvec_scale,
+                   CASE WHEN hi - lo = 0
+                        THEN list_transform(v, x -> 0)
+                        ELSE list_transform(v, x -> least(255,
+                               CAST(floor((x - lo) * 255.0 / (hi - lo))
+                                    AS INT)))
+                   END AS qvec
+            FROM m
         """,
     }
 )

@@ -208,6 +208,28 @@ def test_similarity_high_dim_no_literal_blowup(spark):
     assert len(cents) == 4 and len(cents[0]) == 512
 
 
+def test_normalize_and_quantize_vectors(spark):
+    import math
+
+    from s3parq_spark.operators import normalize_vectors, quantize_vectors
+
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [2.0, 2.0])],
+        "vec_id int, embedding array<double>",
+    )
+    normed = {r.vec_id: r.embedding
+              for r in normalize_vectors(df, "embedding").collect()}
+    assert abs(math.hypot(*normed[1]) - 1.0) < 1e-12
+    assert normed[2] == [0.0, 0.0]  # zero vector passes through
+    q = {r.vec_id: r for r in quantize_vectors(df, "embedding").collect()}
+    assert q[1].qvec == [0, 255] and q[1].qvec_min == 3.0
+    assert q[3].qvec == [0, 0] and q[3].qvec_scale == 0.0  # constant vector
+    # dequantize round-trips within one quantization step
+    r = q[1]
+    for orig, qi in zip([3.0, 4.0], r.qvec):
+        assert abs((r.qvec_min + qi * r.qvec_scale) - orig) <= r.qvec_scale + 1e-12
+
+
 def test_kmeans_clamps_k_to_corpus_size(spark):
     emb = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(3)],
