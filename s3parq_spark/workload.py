@@ -2034,6 +2034,98 @@ def q_waiting_customers(spark, sf_dir):
     )
 
 
+def q_returned_item_ranking(spark, sf_dir):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer over a date
+    window, customer/nation dims broadcast, top-20 via
+    TakeOrderedAndProject (per-partition top-k + k-row merge — never a
+    global sort)."""
+    li = _table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    c = _table(spark, sf_dir, "customer")
+    n = _table(spark, sf_dir, "nation")
+    rev = F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(rev.cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on a grouped aggregate (orders whose total
+    quantity exceeds 250) joined back to the order/customer dims — the
+    grouped filter runs FIRST so only qualifying keys reach the join."""
+    li = _table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("__sq"))
+        .filter(F.col("__sq") > 250)
+        .select("l_orderkey", F.col("__sq").cast("double").alias("sum_qty"))
+    )
+    o = _table(spark, sf_dir, "orders")
+    c = _table(spark, sf_dir, "customer")
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey", "o_orderdate",
+            "o_totalprice", "sum_qty",
+        )
+    )
+
+
+QUERIES.update(
+    {
+        "returned_item_ranking": q_returned_item_ranking,
+        "large_volume_customers": q_large_volume_customers,
+    }
+)
+
+_Q10_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+ORACLE_SQL.update(
+    {
+        "returned_item_ranking": f"""
+            SELECT c_custkey, c_name, c_acctbal, n_name, {_Q10_REV} AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            WHERE l_returnflag = 'R'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-07-01'
+            GROUP BY c_custkey, c_name, c_acctbal, n_name
+            ORDER BY revenue DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "large_volume_customers": """
+            WITH big AS (
+              SELECT l_orderkey,
+                     CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                       AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
+            )
+            SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                   o_totalprice, sum_qty
+            FROM big
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+        """,
+    }
+)
+
+
 def q_embedding_quantize(spark, sf_dir):
     """int8-range vector quantization (operators/similarity.py
     quantize_vectors): per-vector min/max scaling with floor-based
