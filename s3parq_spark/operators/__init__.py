@@ -36,6 +36,7 @@ from .text import (
 from .sampling import deterministic_sample
 from .multimodal import (
     attach_binary_payload,
+    audio_window_features,
     extract_binary_features,
     resize_images,
     sample_video_frames,
@@ -44,6 +45,7 @@ from .multimodal import (
 
 __all__ = [
     "attach_binary_payload",
+    "audio_window_features",
     "brute_force_cosine_topk",
     "dedup_against_corpus",
     "deterministic_sample",

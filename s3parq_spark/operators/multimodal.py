@@ -121,6 +121,58 @@ def resize_images(
     return df.select(id_col, payload_col).mapInPandas(op, schema=out_schema)
 
 
+def audio_window_features(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    window_samples: int = 32,
+    decode: Optional[Callable[[bytes], list]] = None,
+) -> DataFrame:
+    """Windowed audio features over PCM payloads: one payload → one row per
+    ``window_samples`` window with integer-exact energy (Σv²), peak and
+    sample count — the 1→N ``mapInPandas`` shape again, Arrow-batched.
+
+    ``decode(payload) -> [sample, ...]`` is injected at deployment
+    (torchaudio/soundfile for real containers); the default interprets the
+    payload as unsigned 8-bit PCM — which is CORRECT for raw u8 PCM and
+    doubles as the deterministic test path for arbitrary bytes. All outputs
+    are integers, so results are engine-exact end to end."""
+
+    out_schema = (
+        f"{id_col} bigint, window_id int, n_samples int, energy bigint, peak int"
+    )
+
+    def u8_pcm(payload: bytes) -> list:
+        return list(payload)
+
+    fn = decode or u8_pcm
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wids, ns, es, pk = [], [], [], [], []
+            for i, p in zip(pdf[id_col], pdf[payload_col]):
+                samples = fn(p)
+                # empty payload → no windows (0 samples yields 0 rows)
+                for w in range(0, len(samples), window_samples):
+                    win = samples[w : w + window_samples]
+                    ids.append(i)
+                    wids.append(w // window_samples)
+                    ns.append(len(win))
+                    es.append(sum(v * v for v in win))
+                    pk.append(max(win))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "window_id": pd.Series(wids, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "energy": pd.Series(es, dtype="int64"),
+                    "peak": pd.Series(pk, dtype="int32"),
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=out_schema)
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str,

@@ -716,6 +716,19 @@ def q_frame_sample(spark, sf_dir):
     )
 
 
+def q_audio_features(spark, sf_dir):
+    """Audio-modality plumbing (operators/multimodal.py
+    audio_window_features): payload → per-window integer-exact energy/peak
+    via Arrow-batched 1→N mapInPandas. The u8-PCM interpretation is real
+    for raw PCM and deterministic for the text payloads used here; the
+    oracle recomputes the same windows from character codes."""
+    from .operators import attach_binary_payload, audio_window_features
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    payloads = attach_binary_payload(docs, "text")
+    return audio_window_features(payloads, "doc_id", window_samples=32)
+
+
 def q_events_sessionize(spark, sf_dir):
     """Session windows (30 min gap) per user over events."""
     from .streaming import sessionize_events
@@ -750,6 +763,7 @@ QUERIES.update(
         "ann_topk": q_ann_topk,
         "media_features": q_media_features,
         "frame_sample": q_frame_sample,
+        "audio_features": q_audio_features,
         "events_sessionize": q_events_sessionize,
         "events_stream_tumbling": q_events_stream_tumbling,
     }
@@ -867,6 +881,29 @@ ORACLE_SQL.update(
                    CAST(least(16, len - i * 16) AS INT) AS frame_len
             FROM d, (VALUES (0), (1), (2), (3)) AS t(i)
             WHERE i < greatest(1, least(4, len // 16))
+        """,
+        "audio_features": """
+            WITH w AS (
+              SELECT doc_id, text,
+                     unnest(generate_series(0,
+                       CAST(floor((length(text) - 1) / 32.0) AS INT)))
+                       AS window_id
+              FROM documents
+            ), s AS (
+              SELECT doc_id, window_id, text,
+                     unnest(generate_series(1, 32)) AS off
+              FROM w
+            ), b AS (
+              SELECT doc_id, window_id,
+                     ascii(substr(text, window_id * 32 + off, 1)) AS v
+              FROM s WHERE window_id * 32 + off <= length(text)
+            )
+            SELECT doc_id,
+                   CAST(window_id AS INT) AS window_id,
+                   CAST(COUNT(*) AS INT) AS n_samples,
+                   CAST(SUM(v * v) AS BIGINT) AS energy,
+                   CAST(MAX(v) AS INT) AS peak
+            FROM b GROUP BY doc_id, window_id
         """,
         "events_sessionize": """
             WITH typed AS (

@@ -304,6 +304,24 @@ def test_dedup_against_corpus(spark):
     assert got == {11, 13}  # whitespace/case-normalized matches dropped
 
 
+def test_audio_window_features(spark):
+    from s3parq_spark.operators import attach_binary_payload, audio_window_features
+
+    df = spark.createDataFrame([(1, "ab" * 40), (2, "")], ["doc_id", "text"])
+    rows = sorted(
+        audio_window_features(
+            attach_binary_payload(df, "text"), "doc_id", window_samples=32
+        ).collect(),
+        key=lambda r: (r.doc_id, r.window_id),
+    )
+    d1 = [r for r in rows if r.doc_id == 1]
+    assert [r.n_samples for r in d1] == [32, 32, 16]  # 80 bytes → 32+32+16
+    a, b = ord("a"), ord("b")
+    assert d1[0].energy == 16 * (a * a + b * b)
+    assert d1[0].peak == b
+    assert not [r for r in rows if r.doc_id == 2]  # empty payload → no rows
+
+
 def test_chunk_documents_coverage_and_overlap(spark):
     from s3parq_spark.operators.text import chunk_documents
 
