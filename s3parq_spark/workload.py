@@ -2163,6 +2163,54 @@ ORACLE_SQL.update(
 )
 
 
+def q_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed ANN (operators/similarity.py
+    lsh_bucketed_topk): corpus and query bucketed by 4 deterministic ±1
+    hyperplanes (md5-parity coefficients), exact cosine inside the query's
+    bucket only. Oracle-checkable the ivf_topk way: the coefficient matrix
+    is deterministic and inlined into the SQL, so DuckDB replicates
+    bucketing + in-bucket search exactly."""
+    from .operators import lsh_bucketed_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    top = lsh_bucketed_topk(emb, "vec_id", "embedding", q, dim=64, k=10, planes=4)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _lsh_topk_oracle() -> str:
+    from .operators.similarity import _hyperplane_rows
+
+    planes = ", ".join(
+        f"({p}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(_hyperplane_rows(64, 4))
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), planes(pid, c) AS (
+          VALUES {planes}
+        ), buck AS (
+          SELECT e.vec_id, e.v,
+                 SUM(CASE WHEN list_dot_product(e.v, p.c) > 0
+                          THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END)
+                   AS bucket
+          FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.v
+        ), q AS (
+          SELECT v AS qv, bucket AS qb FROM buck WHERE vec_id = 0
+        )
+        SELECT b.vec_id, round(list_cosine_similarity(b.v, q.qv), 6) AS cosine
+        FROM buck b, q
+        WHERE b.bucket = q.qb AND b.vec_id <> 0
+        ORDER BY list_cosine_similarity(b.v, q.qv) DESC, b.vec_id ASC
+        LIMIT 10
+    """
+
+
+QUERIES["lsh_topk"] = q_lsh_topk
+ORACLE_SQL["lsh_topk"] = _lsh_topk_oracle()
+
+
 def q_embedding_quantize(spark, sf_dir):
     """int8-range vector quantization (operators/similarity.py
     quantize_vectors): per-vector min/max scaling with floor-based
