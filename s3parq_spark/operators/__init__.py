@@ -5,11 +5,13 @@ genuinely needs Python, in which case Arrow-batched Pandas UDFs are used.
 """
 
 from .dedup import (
+    connected_components,
     dedup_against_corpus,
     exact_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
     minhash_neardup_pairs,
+    neardup_clusters,
     ngram_jaccard_pairs,
     simhash_fingerprints,
     simhash_candidate_pairs,
@@ -47,6 +49,7 @@ __all__ = [
     "attach_binary_payload",
     "audio_window_features",
     "brute_force_cosine_topk",
+    "connected_components",
     "dedup_against_corpus",
     "deterministic_sample",
     "document_fingerprint",
@@ -59,6 +62,7 @@ __all__ = [
     "minhash_candidate_pairs",
     "minhash_neardup_pairs",
     "minhash_signatures",
+    "neardup_clusters",
     "ngram_jaccard_pairs",
     "normalize_vectors",
     "quantize_vectors",

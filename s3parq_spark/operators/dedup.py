@@ -93,6 +93,81 @@ def dedup_against_corpus(
     return bf.join(cf, "__fp", "left_anti").drop("__fp")
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list → ``(node, cluster)``
+    with ``cluster = min node id in the component`` — the step that turns
+    near-dup PAIRS into dedup CLUSTERS (pick one canonical doc per cluster).
+
+    Min-label propagation to fixpoint: each iteration joins labels across
+    edges and takes ``min`` per node — one key-partitioned shuffle per
+    iteration, converging in O(component diameter) rounds (near-dup
+    clusters are near-cliques, so 2-3 rounds in practice; ``max_iter``
+    bounds pathological chains). Each round ``localCheckpoint``s to sever
+    the growing lineage — the standard pattern for iterative DataFrame
+    algorithms. At extreme graph sizes swap in large-star/small-star
+    (Kiveris et al., SoCC'14) — same interface, fewer rounds.
+    """
+    sym = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(
+            labels, sym.b == labels.node
+        ).select(F.col("a").alias("node"), "cluster")
+        new_labels = (
+            labels.union(neigh)
+            .groupBy("node")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def neardup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """Full near-dup dedup pipeline: MinHash-LSH candidates → exact-Jaccard
+    verified pairs → connected components. Returns ``(id, cluster)`` for
+    every document participating in a near-dup cluster; keeping
+    ``id == cluster`` rows (plus all unclustered docs) is the canonical
+    dedup selection."""
+    pairs = minhash_neardup_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold,
+        broadcast_verify,
+    )
+    return connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias(id_col), "cluster"
+    )
+
+
 def normalized_text(col, lowercase: bool = True):
     """Whitespace-collapsed (and optionally lowercased) text — the usual
     normalization applied before exact-hash dedup."""

@@ -2163,6 +2163,57 @@ ORACLE_SQL.update(
 )
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Full near-dup dedup pipeline (operators/dedup.py neardup_clusters):
+    MinHash-LSH candidates → exact-Jaccard pairs → distributed connected
+    components (min-label propagation, one shuffle per round, localCheckpoint
+    against lineage growth). Emits (doc_id, cluster=min id in component);
+    the oracle computes the identical clusters with a recursive CTE over the
+    exact pair set."""
+    from .operators import neardup_clusters
+
+    docs = _table(spark, sf_dir, "documents")
+    return neardup_clusters(docs, "doc_id", "text", broadcast_verify=True)
+
+
+QUERIES["neardup_clusters"] = q_neardup_clusters
+ORACLE_SQL["neardup_clusters"] = """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    )
+    SELECT node AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster
+    FROM reach GROUP BY node
+"""
+
+
 def q_lsh_topk(spark, sf_dir):
     """Hyperplane-LSH bucketed ANN (operators/similarity.py
     lsh_bucketed_topk): corpus and query bucketed by 4 deterministic ±1

@@ -290,6 +290,33 @@ def test_deterministic_sample_stable_and_stratified(spark):
     assert s_small <= s1
 
 
+def test_connected_components_chain_and_islands(spark):
+    from s3parq_spark.operators import connected_components
+
+    # chain 1-2-3-4-5 (diameter 4 → several propagation rounds) + pair 10-11
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], ["src", "dst"]
+    )
+    got = {
+        (r.node, r.cluster)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_neardup_clusters_groups_planted_dups(docs, true_neardups):
+    from s3parq_spark.operators import neardup_clusters
+
+    labels = {r.doc_id: r.cluster for r in
+              neardup_clusters(docs, "doc_id", "text").collect()}
+    # every true pair lands in the same cluster
+    for a, b in true_neardups:
+        assert labels[a] == labels[b]
+    # cluster id is the min member
+    for doc, cl in labels.items():
+        assert cl <= doc and labels[cl] == cl
+
+
 def test_dedup_against_corpus(spark):
     from s3parq_spark.operators import dedup_against_corpus
 
