@@ -2424,3 +2424,10 @@ ORACLE_SQL.update(
         """,
     }
 )
+
+
+# round-2 extension queries (TPC-H Q7/Q8/Q9/Q15/Q19 shapes + corpus stats)
+from .workload_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+
+QUERIES.update(QUERIES_EXT)
+ORACLE_SQL.update(ORACLE_EXT)

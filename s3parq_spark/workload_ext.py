@@ -1,0 +1,544 @@
+"""Round-2 extension queries: remaining TPC-H shapes expressible on the
+driver's column subset, plus corpus-statistics / contamination / centroid
+operators for the training-data pipeline surface.
+
+Reference parity: the relational shapes mirror the query semantics of
+TPC-H Q7/Q8/Q9/Q15/Q19 restricted to the columns the testdata carries
+(no partsupp, no l_shipmode/commitdate); the pipeline operators extend
+SURVEY.md §2's text/dedup/similarity families.
+
+Every query here follows the repo's oracle-exactness rules (see
+ARCHITECTURE.md): decimal-exact aggregation cast to double at the edge,
+at most one float op per output value, identical column aliases on both
+engines.
+
+Registered into ``workload.QUERIES`` / ``workload.ORACLE_SQL`` by the
+import at the bottom of ``workload.py``.
+"""
+
+from __future__ import annotations
+
+import posixpath
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+
+
+def _dec(col, scale=2):
+    return F.col(col).cast(f"decimal(18,{scale})")
+
+
+def _rev_expr():
+    """Exact decimal revenue; cast to double only at the aggregate edge."""
+    return F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+
+
+_REV = (
+    "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+    "(1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H shapes
+# ---------------------------------------------------------------------------
+
+
+def q_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape (volume shipping): revenue flow between two nations
+    by ship year.  Scale plan: nation is filtered to the two names and
+    broadcast into supplier and (via orders) customer, pruning both dim
+    sides before the single big shuffle join lineitem ⋈ orders; the
+    cross-pair predicate runs on the joined row, never as a cartesian."""
+    n1 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        .select("s_suppkey", "supp_nation")
+    )
+    cust = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+        .select("c_custkey", "cust_nation")
+    )
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(_rev_expr().cast("double").alias("revenue"))
+    )
+
+
+def q_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): NATION_5's share of ASIA
+    customer revenue per order year.  Numerator and denominator are both
+    exact decimal sums; the share is ONE double division at the edge.
+    Scale plan: region→nation→customer prune broadcast-joins the fact
+    before its only shuffle (lineitem ⋈ orders)."""
+    region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation_c = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cr_key")
+    )
+    cust = (
+        _table(spark, sf_dir, "customer")
+        .join(F.broadcast(nation_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(region), F.col("cr_key") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    nation_s = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation_s), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    vol = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("o_year")
+        .agg(
+            F.sum(
+                F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                    F.lit(0).cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("nation_volume"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .withColumn("mkt_share", F.col("nation_volume") / F.col("total_volume"))
+    )
+
+
+def q_product_type_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit, no partsupp in the testdata so
+    profit = discounted revenue): ECONOMY parts, grouped by supplier
+    nation × ship year.  part and supplier⋈nation broadcast into the fact;
+    the only shuffle is the final two-key aggregation."""
+    part = (
+        _table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    nation = _table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), "n_name"
+    )
+    supp = (
+        _table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "n_name")
+    )
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").cast("int").alias("o_year"),
+        )
+        .agg(_rev_expr().cast("double").alias("sum_profit"))
+    )
+
+
+def q_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier): supplier(s) with max revenue over a
+    ship-date quarter, ties kept.  The max is joined back against the
+    per-supplier aggregate on EXACT decimal revenue (no float compare);
+    both sides of the self-comparison are the same small post-aggregate
+    relation, so the max is a broadcast join, not a global window sort."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    )
+    by_supp = li.groupBy("l_suppkey").agg(_rev_expr().alias("rev_dec"))
+    max_rev = by_supp.agg(F.max("rev_dec").alias("max_dec"))
+    supp = _table(spark, sf_dir, "supplier")
+    return (
+        by_supp.join(F.broadcast(max_rev), F.col("rev_dec") == F.col("max_dec"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            F.col("s_suppkey"),
+            F.col("s_name"),
+            F.col("rev_dec").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+def q_disjunctive_parts(spark, sf_dir):
+    """TPC-H Q19 shape (disjunctive predicates): OR-of-ANDs over
+    brand/size/quantity, single-row revenue + count.  The part side is
+    pre-filtered to the union of brand×size windows BEFORE the broadcast
+    join, so the fact scan keeps partial-pushdown on l_quantity and the
+    OR runs on broadcast-joined rows only."""
+    part = _table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#34")
+            & F.col("p_size").between(1, 15)
+            & qty.between(20, 30)
+        )
+    )
+    return joined.filter(cond).agg(
+        _rev_expr().cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# corpus statistics / pipeline operators
+# ---------------------------------------------------------------------------
+
+
+def q_repetition_quality(spark, sf_dir):
+    """Gopher-style repetition metrics per document: token count, distinct
+    ratio, most-frequent-token mass.  One explode + two hash aggregates
+    (both with map-side partial); ratios are single int/int double
+    divisions, bit-identical across engines."""
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    per_tok = (
+        docs.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_tok.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_distinct",
+            (F.col("n_distinct").cast("double") / F.col("n_tokens"))
+            .alias("distinct_ratio"),
+            (F.col("top_c").cast("double") / F.col("n_tokens")).alias("top_tok_frac"),
+        )
+    )
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-50 tokens by frequency (count desc, token
+    asc — fully deterministic).  Explode → hash aggregate with map-side
+    partials → TakeOrderedAndProject; never a global sort of the vocab."""
+    docs = _table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("tok"))
+        .limit(50)
+    )
+
+
+def q_embedding_centroids(spark, sf_dir):
+    """Per-label centroid of the embedding column, emitted as (label, pos,
+    centroid) rows.  posexplode → one (label,pos) hash aggregate; the sum
+    is exact decimal (order-independent), the mean is ONE double division.
+    At 100 TB this is the canonical layout: dim×labels output rows, no
+    driver-side matrix, no array reassembly shuffle."""
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    return (
+        emb.select("label", F.posexplode("v").alias("pos", "x"))
+        .groupBy("label", F.col("pos").cast("int").alias("pos"))
+        .agg(
+            F.sum(F.col("x").cast("decimal(28,10)")).alias("s"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / F.col("n_vectors")).alias("centroid"),
+            "n_vectors",
+        )
+    )
+
+
+def q_knn_graph(spark, sf_dir):
+    """k-nearest-neighbor graph (k=3) within label blocks: for every vector,
+    its 3 most-cosine-similar same-label neighbors.  Ranking key is
+    round(cosine,6) desc then neighbor id (deterministic across engines);
+    the candidate set is the label-blocked equi-join — never all-pairs.
+    At scale, swap the label block for an LSH bucket (operators/similarity
+    hyperplane signatures) with identical downstream ranking."""
+    from .operators.similarity import cosine_similarity
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("nbr_id"),
+            F.round(cosine_similarity(F.col("a.v"), F.col("b.v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cosine"), F.asc("nbr_id"))
+    return (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("vec_id", "nbr_id", "cosine", F.col("rk").cast("int").alias("rk"))
+    )
+
+
+def q_ngram_contamination(spark, sf_dir):
+    """Benchmark-contamination check: distinct (train_doc, bench_doc) pairs
+    sharing any 5-token shingle, with the corpus split into train
+    (source src0–src9) and benchmark (src10+) halves.  Both sides explode
+    to DISTINCT shingles first (prefix dedup shrinks the join input), then
+    one string equi-join — the scalable exact plan; at 100 TB the bench
+    side's distinct shingle set is the broadcast candidate."""
+    k = 5
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+        F.split("text", " ").alias("toks"),
+    )
+    shingles = docs.filter(F.size("toks") >= k).select(
+        "doc_id",
+        "src_num",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - k),
+                lambda i: F.concat_ws(" ", F.slice("toks", i + 1, k)),
+            )
+        ).alias("g"),
+    ).distinct()
+    train = shingles.filter(F.col("src_num") < 10).select(
+        F.col("doc_id").alias("train_doc"), "g"
+    )
+    bench = shingles.filter(F.col("src_num") >= 10).select(
+        F.col("doc_id").alias("bench_doc"), "g"
+    )
+    return (
+        train.join(bench, "g")
+        .select("train_doc", "bench_doc")
+        .distinct()
+    )
+
+
+QUERIES_EXT: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "volume_shipping": q_volume_shipping,
+    "market_share": q_market_share,
+    "product_type_profit": q_product_type_profit,
+    "top_supplier": q_top_supplier,
+    "disjunctive_parts": q_disjunctive_parts,
+    "repetition_quality": q_repetition_quality,
+    "vocab_topk": q_vocab_topk,
+    "embedding_centroids": q_embedding_centroids,
+    "knn_graph": q_knn_graph,
+    "ngram_contamination": q_ngram_contamination,
+}
+
+ORACLE_EXT: Dict[str, str] = {
+    "volume_shipping": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               {_REV} AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "market_share": """
+        WITH vol AS (
+          SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                 CAST(l_extendedprice AS DECIMAL(18,2)) *
+                   (1 - CAST(l_discount AS DECIMAL(18,2))) AS v,
+                 n2.n_name AS supp_nation
+          FROM lineitem
+          JOIN orders   ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation n1 ON c_nationkey = n1.n_nationkey
+          JOIN region   ON n1.n_regionkey = r_regionkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation n2 ON s_nationkey = n2.n_nationkey
+          WHERE r_name = 'ASIA'
+        )
+        SELECT o_year,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                             THEN v ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE) AS nation_volume,
+               CAST(SUM(v) AS DOUBLE) AS total_volume,
+               CAST(SUM(CASE WHEN supp_nation = 'NATION_5'
+                             THEN v ELSE CAST(0 AS DECIMAL(18,2)) END)
+                    AS DOUBLE)
+                 / CAST(SUM(v) AS DOUBLE) AS mkt_share
+        FROM vol
+        GROUP BY o_year
+    """,
+    "product_type_profit": f"""
+        SELECT n_name AS nation, CAST(year(l_shipdate) AS INT) AS o_year,
+               {_REV} AS sum_profit
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON s_nationkey = n_nationkey
+        WHERE p_type = 'ECONOMY'
+        GROUP BY 1, 2
+    """,
+    "top_supplier": """
+        WITH by_supp AS (
+          SELECT l_suppkey,
+                 SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                     (1 - CAST(l_discount AS DECIMAL(18,2)))) AS rev_dec
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate <  TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, CAST(rev_dec AS DOUBLE) AS total_revenue
+        FROM by_supp JOIN supplier ON l_suppkey = s_suppkey
+        WHERE rev_dec = (SELECT MAX(rev_dec) FROM by_supp)
+    """,
+    "disjunctive_parts": f"""
+        SELECT {_REV} AS revenue, COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "repetition_quality": """
+        WITH per_tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+        ), counts AS (
+          SELECT doc_id, tok, COUNT(*) AS c FROM per_tok GROUP BY doc_id, tok
+        )
+        SELECT doc_id,
+               SUM(c) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                 AS distinct_ratio,
+               CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+                 AS top_tok_frac
+        FROM counts
+        GROUP BY doc_id
+    """,
+    "vocab_topk": """
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok
+        ORDER BY n DESC, tok ASC
+        LIMIT 50
+    """,
+    "embedding_centroids": """
+        WITH e AS (
+          SELECT label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), pos AS (
+          SELECT label,
+                 unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                 unnest(v) AS x
+          FROM e
+        )
+        SELECT label, CAST(pos AS INT) AS pos,
+               CAST(SUM(CAST(x AS DECIMAL(28,10))) AS DOUBLE) / COUNT(*)
+                 AS centroid,
+               COUNT(*) AS n_vectors
+        FROM pos
+        GROUP BY label, pos
+    """,
+    "knn_graph": """
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS vec_id, b.vec_id AS nbr_id,
+                 round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          FROM e a JOIN e b
+            ON a.label = b.label AND a.vec_id <> b.vec_id
+        ), ranked AS (
+          SELECT vec_id, nbr_id, cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cosine DESC, nbr_id ASC) AS INT) AS rk
+          FROM pairs
+        )
+        SELECT vec_id, nbr_id, cosine, rk FROM ranked WHERE rk <= 3
+    """,
+    "ngram_contamination": """
+        WITH toks AS (
+          SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num,
+                 string_split(text, ' ') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, src_num,
+                 unnest(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM toks
+        )
+        SELECT DISTINCT a.doc_id AS train_doc, b.doc_id AS bench_doc
+        FROM sh a JOIN sh b ON a.g = b.g
+        WHERE a.src_num < 10 AND b.src_num >= 10
+    """,
+}

@@ -1,0 +1,86 @@
+"""Semantic invariants for the round-2 extension queries (workload_ext.py).
+
+The driver's oracle gate proves value-equality against DuckDB; these tests
+pin the *properties* that survive refactors: cardinalities, ranking
+invariants, ratio bounds, and split correctness.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark.workload_ext import QUERIES_EXT
+
+
+def test_knn_graph_k_and_ordering(spark, sf_dir):
+    rows = QUERIES_EXT["knn_graph"](spark, sf_dir).collect()
+    by_vec = {}
+    for r in rows:
+        by_vec.setdefault(r.vec_id, []).append(r)
+    for vec, nbrs in by_vec.items():
+        assert 1 <= len(nbrs) <= 3
+        nbrs.sort(key=lambda r: r.rk)
+        assert [r.rk for r in nbrs] == list(range(1, len(nbrs) + 1))
+        cosines = [r.cosine for r in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert vec not in {r.nbr_id for r in nbrs}
+
+
+def test_repetition_quality_bounds(spark, sf_dir):
+    df = QUERIES_EXT["repetition_quality"](spark, sf_dir)
+    bad = df.filter(
+        (F.col("distinct_ratio") <= 0)
+        | (F.col("distinct_ratio") > 1)
+        | (F.col("top_tok_frac") <= 0)
+        | (F.col("top_tok_frac") > 1)
+        | (F.col("n_distinct") > F.col("n_tokens"))
+    )
+    assert bad.count() == 0
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert df.count() == n_docs
+
+
+def test_top_supplier_is_argmax_with_ties(spark, sf_dir):
+    rows = QUERIES_EXT["top_supplier"](spark, sf_dir).collect()
+    assert len(rows) >= 1
+    revs = {r.total_revenue for r in rows}
+    assert len(revs) == 1  # all returned suppliers tie at the max
+
+
+def test_ngram_contamination_split(spark, sf_dir):
+    rows = QUERIES_EXT["ngram_contamination"](spark, sf_dir).collect()
+    docs = {
+        r.doc_id: int(r.source[3:])
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    for r in rows:
+        assert docs[r.train_doc] < 10
+        assert docs[r.bench_doc] >= 10
+    assert len(rows) == len({(r.train_doc, r.bench_doc) for r in rows})
+
+
+def test_embedding_centroids_shape(spark, sf_dir):
+    df = QUERIES_EXT["embedding_centroids"](spark, sf_dir)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_labels = emb.select("label").distinct().count()
+    dim = len(emb.select("embedding").first()[0])
+    assert df.count() == n_labels * dim
+    # n_vectors per (label,pos) equals the label's row count
+    counts = {r.label: r.n for r in emb.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    for r in df.select("label", "n_vectors").distinct().collect():
+        assert counts[r.label] == r.n_vectors
+
+
+def test_market_share_volume_consistency(spark, sf_dir):
+    rows = QUERIES_EXT["market_share"](spark, sf_dir).collect()
+    for r in rows:
+        assert 0.0 <= r.mkt_share <= 1.0
+        assert r.nation_volume <= r.total_volume + 1e-6
+        assert r.mkt_share == pytest.approx(r.nation_volume / r.total_volume)
+
+
+def test_disjunctive_parts_single_row(spark, sf_dir):
+    rows = QUERIES_EXT["disjunctive_parts"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].n_items >= 0
