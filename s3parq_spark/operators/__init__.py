@@ -33,9 +33,10 @@ from .text import (
     scrub_pii,
     tf_idf,
     token_stats,
+    pack_sequences,
     winnow_fingerprints,
 )
-from .sampling import deterministic_sample
+from .sampling import corpus_upsample, deterministic_sample
 from .multimodal import (
     attach_binary_payload,
     audio_window_features,
@@ -51,6 +52,7 @@ __all__ = [
     "brute_force_cosine_topk",
     "connected_components",
     "dedup_against_corpus",
+    "corpus_upsample",
     "deterministic_sample",
     "document_fingerprint",
     "exact_dedup",
@@ -76,6 +78,7 @@ __all__ = [
     "stub_decode_image",
     "tf_idf",
     "token_stats",
+    "pack_sequences",
     "winnow_fingerprints",
     "word_shingles",
 ]

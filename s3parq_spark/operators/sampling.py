@@ -54,3 +54,44 @@ def deterministic_sample(
     else:
         thr = F.lit(int(float(fractions) * RESOLUTION))
     return df.filter(bucket < thr)
+
+
+def corpus_upsample(
+    df: DataFrame,
+    id_col: str,
+    weights: Dict[str, float],
+    strata_col: str,
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted corpus mixing: replicate each row ``weight`` times,
+    where fractional weights are resolved deterministically per row — a
+    weight of 2.25 yields 2 copies always plus a 3rd for the 25% of rows
+    whose portable id-hash bucket falls under the fraction. This is the
+    standard training-mix upweighting (rare high-quality sources repeated,
+    bulk crawl downsampled) with exact reproducibility: the multiset of
+    (id, copy_idx) is a pure function of the data.
+
+    Rows in strata with resolved 0 copies are dropped (weight < 1 acts as
+    deterministic downsampling). Output = input columns + ``copy_idx``
+    (1-based int). A 1→N ``explode`` with no shuffle: composes with the
+    scan and scales linearly at any corpus size.
+    """
+    bucket = F.pmod(_hash60(F.col(id_col)), F.lit(RESOLUTION))
+
+    def resolve(w: float) -> Column:
+        whole = int(w)
+        frac_thr = int(round((w - whole) * RESOLUTION))
+        return F.lit(whole) + (bucket < F.lit(frac_thr)).cast("int")
+
+    n_copies: Column = resolve(default_weight)
+    for value, w in weights.items():
+        n_copies = F.when(F.col(strata_col) == value, resolve(w)).otherwise(
+            n_copies
+        )
+    return (
+        df.withColumn("__n_copies", n_copies)
+        .filter(F.col("__n_copies") >= 1)  # sequence(1,0) would descend
+        .withColumn("copy_idx", F.explode(F.sequence(F.lit(1), F.col("__n_copies"))))
+        .withColumn("copy_idx", F.col("copy_idx").cast("int"))
+        .drop("__n_copies")
+    )

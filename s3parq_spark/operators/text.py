@@ -229,3 +229,50 @@ def winnow_fingerprints(
     return (
         hashed.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    budget_tokens: int = 256,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Greedy sequence packing for training-data export: assign documents to
+    fixed-token-budget training sequences. Documents are ordered by id
+    within ``n_buckets`` portable-hash buckets; each doc's sequence is the
+    one its running token offset starts in (first-fit in id order).
+
+    A global ordered cumsum would serialize on one partition at 100 TB; the
+    bucket partitioning makes the window a per-bucket sort, embarrassingly
+    parallel — raise ``n_buckets`` with corpus size (sequences are then
+    ``(bucket, seq_id)``-scoped, which is what a sharded export wants).
+
+    Output: (id, bucket int, n_tokens int, seq_id int, seq_offset int) where
+    ``seq_offset`` is the doc's starting token offset within its bucket's
+    packing stream.
+    """
+    from pyspark.sql import Window
+
+    from .sampling import RESOLUTION, _hash60
+
+    toks = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    bucket = F.pmod(
+        F.pmod(_hash60(F.col(id_col)), F.lit(RESOLUTION)), F.lit(n_buckets)
+    ).cast("int")
+    w = Window.partitionBy("bucket").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (
+        df.select(F.col(id_col), toks.alias("n_tokens"))
+        .withColumn("bucket", bucket)
+        .withColumn("__cum", cum)
+        .select(
+            id_col,
+            "bucket",
+            F.col("n_tokens").cast("int").alias("n_tokens"),
+            F.floor((F.col("__cum") - F.col("n_tokens")) / budget_tokens)
+            .cast("int")
+            .alias("seq_id"),
+            (F.col("__cum") - F.col("n_tokens")).cast("int").alias("seq_offset"),
+        )
+    )

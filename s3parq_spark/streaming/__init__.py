@@ -24,3 +24,7 @@ __all__ += [
     "stream_publish",
     "stream_stream_click_purchase_join",
 ]
+
+from .events import run_streaming_enriched_counts  # noqa: E402,F401
+
+__all__ += ["run_streaming_enriched_counts"]

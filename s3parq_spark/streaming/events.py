@@ -387,3 +387,43 @@ def stream_publish(
         .start()
     )
     q.awaitTermination()
+
+
+def run_streaming_enriched_counts(
+    spark: SparkSession,
+    events_parquet: str,
+    dim: DataFrame,
+    join_key: str,
+    group_col: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment: the event stream inner-joins a STATIC
+    dimension (no state, no watermark needed on the dim — Spark re-plans
+    the static side per micro-batch, and a small dim broadcasts into every
+    batch), then windowed counts per dimension attribute. This is the
+    canonical streaming-ETL shape: enrich the firehose against reference
+    data, aggregate with bounded state.
+
+    ``dim`` must carry ``join_key`` (matched against ``user_id``) and
+    ``group_col``. availableNow trigger + memory sink, same contract as the
+    other runners.
+    """
+    name = f"enr_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, events_parquet).select(
+        "ts", F.col("user_id").alias(join_key)
+    )
+    enriched = stream.join(F.broadcast(dim.select(join_key, group_col)), join_key)
+    q = (
+        enriched.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col(group_col))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("window.start").alias("window_start"), group_col, "n_events")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -542,3 +542,164 @@ ORACLE_EXT: Dict[str, str] = {
         WHERE a.src_num < 10 AND b.src_num >= 10
     """,
 }
+
+
+# ---------------------------------------------------------------------------
+# training-data export: packing, mixing, selection, streaming enrichment
+# ---------------------------------------------------------------------------
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing for training export (operators/text.py
+    pack_sequences): docs → fixed-256-token training sequences, first-fit in
+    id order within 16 portable-hash buckets.  Per-bucket window cumsum —
+    parallel across buckets, never a single global sort."""
+    from .operators import pack_sequences
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, "doc_id", "text", budget_tokens=256, n_buckets=16)
+
+
+def q_corpus_upsample(spark, sf_dir):
+    """Epoch-weighted corpus mixing (operators/sampling.py corpus_upsample):
+    src1 ×2.0, src2 ×0.5, src3 ×1.25, everything else ×1 — deterministic
+    fractional replication by portable id hash, a pure 1→N explode."""
+    from .operators import corpus_upsample
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    return corpus_upsample(
+        docs,
+        "doc_id",
+        {"src1": 2.0, "src2": 0.5, "src3": 1.25},
+        strata_col="source",
+    )
+
+
+def q_quality_select(spark, sf_dir):
+    """Quality-based per-source selection: keep each source's 3 most
+    lexically-diverse documents (distinct-token ratio desc, id asc).  The
+    ranking key rounds to 6 digits so both engines rank identically; the
+    per-source window is a per-key sort with WindowGroupLimit pushdown."""
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split("text", " ").alias("toks")
+    )
+    stats = (
+        docs.select("doc_id", "source", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "source", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("c").alias("n_tokens"), F.count(F.lit(1)).alias("n_distinct"))
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.col("n_distinct").cast("double") / F.col("n_tokens"), 6),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("distinct_ratio"), F.asc("doc_id")
+    )
+    return (
+        stats.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "source", "doc_id", "distinct_ratio", F.col("rk").cast("int").alias("rk")
+        )
+    )
+
+
+def q_events_stream_enrich(spark, sf_dir):
+    """Stream-static enrichment (streaming/events.py
+    run_streaming_enriched_counts): the event stream broadcast-joins the
+    STATIC customer dim each micro-batch (no stream-side state for the
+    join), then watermarked tumbling counts per market segment."""
+    from .streaming import run_streaming_enriched_counts
+
+    cust = _table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return run_streaming_enriched_counts(
+        spark,
+        posixpath.join(sf_dir, "events.parquet"),
+        cust,
+        join_key="c_custkey",
+        group_col="c_mktsegment",
+        window="1 hour",
+    )
+
+
+_HASH60_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+QUERIES_EXT.update(
+    {
+        "pack_sequences": q_pack_sequences,
+        "corpus_upsample": q_corpus_upsample,
+        "quality_select": q_quality_select,
+        "events_stream_enrich": q_events_stream_enrich,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        "pack_sequences": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+                       AS n_tokens,
+                     CAST(({_HASH60_SQL} % 10000) % 16 AS INT) AS bucket
+              FROM documents
+            ), c AS (
+              SELECT doc_id, bucket, n_tokens,
+                     SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t
+            )
+            SELECT doc_id, bucket, CAST(n_tokens AS INT) AS n_tokens,
+                   CAST(floor((cum - n_tokens) / 256) AS INT) AS seq_id,
+                   CAST(cum - n_tokens AS INT) AS seq_offset
+            FROM c
+        """,
+        "corpus_upsample": f"""
+            WITH t AS (
+              SELECT doc_id, source, {_HASH60_SQL} % 10000 AS bucket
+              FROM documents
+            ), n AS (
+              SELECT doc_id, source,
+                     CASE source
+                       WHEN 'src1' THEN 2
+                       WHEN 'src2' THEN CASE WHEN bucket < 5000 THEN 1 ELSE 0 END
+                       WHEN 'src3' THEN 1 + CASE WHEN bucket < 2500 THEN 1 ELSE 0 END
+                       ELSE 1
+                     END AS n_copies
+              FROM t
+            )
+            SELECT doc_id, source, CAST(ci AS INT) AS copy_idx
+            FROM (SELECT doc_id, source,
+                         unnest(generate_series(1, n_copies)) AS ci
+                  FROM n WHERE n_copies >= 1)
+        """,
+        "quality_select": """
+            WITH per_tok AS (
+              SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+              FROM documents
+            ), counts AS (
+              SELECT doc_id, source, tok, COUNT(*) AS c
+              FROM per_tok GROUP BY doc_id, source, tok
+            ), stats AS (
+              SELECT doc_id, source,
+                     round(CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                       AS distinct_ratio
+              FROM counts GROUP BY doc_id, source
+            ), ranked AS (
+              SELECT source, doc_id, distinct_ratio,
+                     CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY distinct_ratio DESC, doc_id ASC) AS INT) AS rk
+              FROM stats
+            )
+            SELECT source, doc_id, distinct_ratio, rk FROM ranked WHERE rk <= 3
+        """,
+        "events_stream_enrich": """
+            SELECT date_trunc('hour', ts) AS window_start,
+                   c_mktsegment, COUNT(*) AS n_events
+            FROM events JOIN customer ON c_custkey = user_id
+            GROUP BY 1, 2
+        """,
+    }
+)

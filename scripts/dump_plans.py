@@ -121,6 +121,12 @@ CASES = [
         "aggregate with map-side partials; output stays as rows - no "
         "array reassembly, no driver-side matrix.",
     ),
+    (
+        "pack_sequences",
+        "Sequence packing: the running-offset window partitions by the "
+        "portable hash bucket (Exchange on bucket, per-bucket Sort) - "
+        "parallel across buckets, never a single global ordered cumsum.",
+    ),
 ]
 
 

@@ -84,3 +84,64 @@ def test_disjunctive_parts_single_row(spark, sf_dir):
     rows = QUERIES_EXT["disjunctive_parts"](spark, sf_dir).collect()
     assert len(rows) == 1
     assert rows[0].n_items >= 0
+
+
+def test_pack_sequences_offsets_are_bucket_cumsum(spark, sf_dir):
+    rows = QUERIES_EXT["pack_sequences"](spark, sf_dir).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r.bucket, []).append(r)
+    for bucket, docs in by_bucket.items():
+        docs.sort(key=lambda r: r.doc_id)
+        off = 0
+        for r in docs:
+            assert r.seq_offset == off
+            assert r.seq_id == off // 256
+            off += r.n_tokens
+
+
+def test_corpus_upsample_copy_counts(spark, sf_dir):
+    rows = QUERIES_EXT["corpus_upsample"](spark, sf_dir).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault((r.doc_id, r.source), []).append(r.copy_idx)
+    for (doc, src), idxs in per_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1))
+        if src == "src1":
+            assert len(idxs) == 2
+        elif src == "src2":
+            assert len(idxs) == 1  # survivors keep exactly one copy
+        elif src == "src3":
+            assert len(idxs) in (1, 2)
+        else:
+            assert len(idxs) == 1
+
+
+def test_quality_select_three_per_source(spark, sf_dir):
+    rows = QUERIES_EXT["quality_select"](spark, sf_dir).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r)
+    for src, sel in by_src.items():
+        assert len(sel) == 3
+        sel.sort(key=lambda r: r.rk)
+        ratios = [r.distinct_ratio for r in sel]
+        assert ratios == sorted(ratios, reverse=True)
+
+
+def test_stream_enrich_equals_batch(spark, sf_dir):
+    import pyspark.sql.functions as SF
+
+    stream = QUERIES_EXT["events_stream_enrich"](spark, sf_dir)
+    from s3parq_spark.workload import _events, _table
+
+    ev = _events(spark, sf_dir)
+    cust = _table(spark, sf_dir, "customer")
+    batch = (
+        ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy(
+            SF.date_trunc("hour", "ts").alias("window_start"), "c_mktsegment"
+        )
+        .agg(SF.count(SF.lit(1)).alias("n_events"))
+    )
+    assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
