@@ -74,24 +74,67 @@ def check_partitions(partitions: List[str], df: DataFrame) -> None:
 _ROW_BYTES_CACHE: Dict[tuple, float] = {}
 
 
+def _row_bytes_exprs(df: DataFrame):
+    """(fixed_bytes, var_width_avg_exprs) for the in-memory row-size model
+    the reference's pandas sizing used (``publish_parq.py:403-461``):
+    8 bytes per numeric/temporal cell, python-object overhead + payload for
+    strings/binary, element width × length for arrays. Variable-width
+    columns contribute an ``avg`` expression so the whole estimate is ONE
+    tiny JVM aggregate — no Arrow transfer, no pandas materialization."""
+    from pyspark.sql import types as T
+
+    fixed = 0.0
+    exprs = []
+    for i, f in enumerate(df.schema.fields):
+        dt = f.dataType
+        if isinstance(dt, T.StringType):
+            # sys.getsizeof('') == 49: the overhead pandas deep sizing counts
+            exprs.append(
+                (F.avg(F.coalesce(F.length(F.col(f.name)), F.lit(0))) + 49).alias(
+                    f"__v{i}"
+                )
+            )
+        elif isinstance(dt, T.BinaryType):
+            exprs.append(
+                (F.avg(F.coalesce(F.length(F.col(f.name)), F.lit(0))) + 33).alias(
+                    f"__v{i}"
+                )
+            )
+        elif isinstance(dt, T.DecimalType):
+            fixed += 104.0  # sys.getsizeof(Decimal)
+        elif isinstance(dt, (T.ArrayType, T.MapType, T.StructType)):
+            exprs.append(
+                (
+                    F.avg(F.coalesce(F.size(F.col(f.name)), F.lit(0))) * 8 + 64
+                ).alias(f"__v{i}")
+            )
+        else:
+            fixed += 8.0
+    return fixed, exprs
+
+
 def _estimate_rows_per_file(
     df: DataFrame, path: str = "", sample_rows: int = 1000
 ) -> int:
     """Rows per ~60 MB compressed file, from a sampled uncompressed row size
     and the reference's 4:1 assumption (``publish_parq.py:403-461``). Cheap:
-    samples ``limit(sample_rows)`` on the driver only, once per
-    (dataset, schema)."""
+    one single-row aggregate over ``limit(sample_rows)`` — and zero jobs for
+    all-fixed-width schemas or a (dataset, schema) cache hit."""
     key = (path, df.schema.json())
     if key in _ROW_BYTES_CACHE:
         check_empty_dataframe(df)
         row_bytes = _ROW_BYTES_CACHE[key]
         return max(1, int(TARGET_FILE_BYTES * ASSUMED_COMPRESSION_RATIO / row_bytes))
-    sample = df.limit(sample_rows).toPandas()
-    if len(sample) == 0:
-        raise ValueError("Cannot publish an empty dataframe")
-    row_bytes = max(
-        1.0, float(sample.memory_usage(index=False, deep=True).sum()) / len(sample)
-    )
+    fixed, exprs = _row_bytes_exprs(df)
+    if exprs:
+        row = df.limit(sample_rows).agg(F.count(F.lit(1)).alias("__n"), *exprs).first()
+        if row["__n"] == 0:
+            raise ValueError("Cannot publish an empty dataframe")
+        var_bytes = sum(float(v) for k, v in row.asDict().items() if k != "__n")
+    else:
+        check_empty_dataframe(df)
+        var_bytes = 0.0
+    row_bytes = max(1.0, fixed + var_bytes)
     _ROW_BYTES_CACHE[key] = row_bytes
     rows = int(TARGET_FILE_BYTES * ASSUMED_COMPRESSION_RATIO / row_bytes)
     return max(1, rows)
