@@ -321,6 +321,7 @@ def compact_dataset(
     spark: SparkSession,
     path: str,
     max_records_per_file: Optional[int] = None,
+    sort_by: Optional[List[str]] = None,
 ) -> List[str]:
     """Small-file compaction: rewrite the dataset's data files back at the
     ~60 MB target geometry, preserving the hive partitioning and sidecar.
@@ -333,6 +334,12 @@ def compact_dataset(
     is swapped in with two renames (atomic on local/HDFS; copy-based on
     object stores — run in a maintenance window there), so a failed
     compaction never corrupts the dataset. Returns the new data file list.
+
+    ``sort_by`` additionally clusters rows within each written file
+    (``sortWithinPartitions`` — no extra shuffle): parquet then stores tight
+    per-row-group min/max on those columns, so later range/equality filters
+    skip whole row groups at the scan. The cheap single-dimension version of
+    the data-layout optimization Z-ordering generalizes.
     """
     from .fetch import fetch_path
 
@@ -341,6 +348,25 @@ def compact_dataset(
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
     partitions = list(sidecar.partitions)
     df = fetch_path(spark, path)
+    rebalance = True
+    if sort_by:
+        missing = [c for c in sort_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"sort_by columns not in dataset: {missing}")
+        # partition-then-sort HERE and disable the write path's rebalance:
+        # a shuffle after the sort would destroy the clustering. Hive
+        # partitions co-locate per-directory; without them, range
+        # partitioning on the sort key gives globally disjoint file ranges.
+        if partitions:
+            # lead the sort with the hive partition columns: the partitioned
+            # writer re-sorts by partition key (unstably) unless the child
+            # ordering already satisfies it, which would scramble sort_by
+            df = df.repartition(*[F.col(p) for p in partitions])
+            df = df.sortWithinPartitions(*partitions, *sort_by)
+        else:
+            df = df.repartitionByRange(*[F.col(c) for c in sort_by])
+            df = df.sortWithinPartitions(*sort_by)
+        rebalance = False
     tmp = path.rstrip("/") + ".compacting"
     fs.delete(spark, tmp)
     publish_path(
@@ -350,6 +376,7 @@ def compact_dataset(
         partitions,
         mode="overwrite",
         max_records_per_file=max_records_per_file,
+        rebalance=rebalance,
     )
     old = path.rstrip("/") + ".precompact"
     fs.delete(spark, old)
