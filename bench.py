@@ -65,11 +65,23 @@ def main() -> None:
     timings["publish"] = round(time.time() - t0, 3)
 
     # the other datasets headline queries read from: their (cold) publishes
-    # are write-path work, timed as one entry so query timings measure reads
+    # are write-path work, timed as one entry so query timings measure reads.
+    # Independent datasets publish concurrently (S8: chunked parallel publish
+    # through Spark's scheduler — the reference used an upload thread pool)
+    from concurrent.futures import ThreadPoolExecutor
+
     t0 = time.time()
-    workload._li_month_ds(spark, sf_dir)
-    workload._orders_prio_ds(spark, sf_dir)
-    workload._orders_prio_subset_ds(spark, sf_dir)
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futs = [
+            pool.submit(fn, spark, sf_dir)
+            for fn in (
+                workload._li_month_ds,
+                workload._orders_prio_ds,
+                workload._orders_prio_subset_ds,
+            )
+        ]
+        for f in futs:
+            f.result()
     timings["publish_aux"] = round(time.time() - t0, 3)
 
     for name in HEADLINE:
