@@ -1,0 +1,97 @@
+"""Physical-plan contracts for the scale-critical queries.
+
+Correctness gates prove values; these tests pin the PLANS the engine must
+produce — partition pruning at the file index, broadcasts for dims, top-k
+pushdown, and the absence of cartesian products. A refactor that keeps
+values but regresses a plan (e.g. loses a broadcast and shuffles the fact
+side) fails here instead of at 100 TB.
+
+explain-only: no query executes, so the whole module costs seconds.
+"""
+
+import re
+
+import pytest
+
+from s3parq_spark.workload import QUERIES
+
+
+def _plan(spark, sf_dir, name):
+    df = QUERIES[name](spark, sf_dir)
+    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+NO_CARTESIAN = [
+    "neardup_jaccard",
+    "minhash_pairs",
+    "simhash_pairs",
+    "interval_join",
+    "knn_graph",
+    "ngram_contamination",
+    "emb_neardup",
+    "asof_clicks",
+    "volume_shipping",
+]
+
+
+@pytest.mark.parametrize("name", NO_CARTESIAN)
+def test_no_cartesian_product(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "CartesianProduct" not in plan, name
+
+
+def test_fetch_filter_prunes_at_file_index(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fetch_filter_eq")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_returnflag" in m.group(1)
+
+
+def test_nation_revenue_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "nation_revenue")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan or "lineitem" not in plan.split(
+        "SortMergeJoin"
+    )[0]
+
+
+def test_topk_orders_avoids_global_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_knn_graph_pushes_window_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "knn_graph")
+    # partial WindowGroupLimit before the exchange: top-k computed map-side
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_fetch_diff_is_broadcast_anti_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "fetch_diff")
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+
+
+def test_band_join_broadcasts_the_dim(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "band_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pack_sequences_windows_per_bucket(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    m = re.search(r"hashpartitioning\(bucket", plan)
+    assert m, "window must partition by the hash bucket, not a global sort"
+
+
+def test_aggregates_have_map_side_partials(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # two HashAggregates around one exchange = partial + final
+    assert len(re.findall(r"HashAggregate", plan)) >= 2
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "vocab_topk")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "doc_id" not in m.group(1), "projection must prune to text"

@@ -404,3 +404,32 @@ def test_compact_dataset_sort_by_clusters_rows(spark, tmp_path):
     for f in files:
         vals = [r.int_col for r in spark.read.parquet(f"{base}/{f}").collect()]
         assert vals == sorted(vals)
+
+
+def test_append_schema_evolution_new_column(spark, tmp_path):
+    """Appending a frame with an extra column widens the sidecar (union of
+    columns, same types); the explicit read schema then fills the missing
+    column with nulls for pre-evolution files."""
+    base = str(tmp_path / "ds")
+    pdf = grouped_pdf(40)
+    publish_path(spark, base, pdf, ["string_col"])
+    pdf2 = grouped_pdf(40)
+    pdf2["extra_col"] = 7.5
+    publish_path(spark, base, pdf2, ["string_col"])
+    got = fetch(base, "", spark=spark, as_pandas=True)
+    assert "extra_col" in got.columns
+    assert len(got) == 80
+    assert got["extra_col"].isna().sum() == 40
+    assert (got["extra_col"].dropna() == 7.5).all()
+
+
+def test_append_type_conflict_rejected(spark, tmp_path):
+    base = str(tmp_path / "ds")
+    pdf = grouped_pdf(20)
+    publish_path(spark, base, pdf, ["string_col"])
+    bad = grouped_pdf(20)
+    bad["int_col"] = bad["int_col"].astype(str)  # int -> string conflict
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="type mismatch"):
+        publish_path(spark, base, bad, ["string_col"])
