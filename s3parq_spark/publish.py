@@ -317,11 +317,53 @@ def publish_path(
     return [f for f in after if f not in before]
 
 
+
+def _zorder_expr(df: DataFrame, cols: List[str], bits: int = 16):
+    """Z-order (Morton) key over up to 4 numeric/temporal columns: each
+    column min-max normalizes to a ``bits``-bit integer (one tiny global
+    min/max aggregate), then the bit planes interleave into a single
+    bigint. Rows close in the multi-column domain get close keys, so a
+    range partition + sort on the key clusters files into tight
+    multi-dimensional bounding boxes — the layout that lets parquet
+    min/max row-group stats prune MULTIPLE filter dimensions at once
+    (single-dimension ``sort_by`` only helps its leading column).
+
+    Min-max scaling is the classic Z-order domain map; heavily skewed
+    domains would want rank/quantile scaling instead — documented
+    tradeoff, same interleave.
+    """
+    if not 1 <= len(cols) <= 4:
+        raise ValueError("zorder_by takes 1-4 columns")
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"mn{i}") for i, c in enumerate(cols)],
+        *[F.max(F.col(c).cast("double")).alias(f"mx{i}") for i, c in enumerate(cols)],
+    ).first()
+    n = len(cols)
+    scaled = []
+    top = (1 << bits) - 1
+    for i, c in enumerate(cols):
+        mn, mx = float(stats[f"mn{i}"]), float(stats[f"mx{i}"])
+        span = (mx - mn) or 1.0
+        x = (F.coalesce(F.col(c).cast("double"), F.lit(mn)) - mn) / span * top
+        scaled.append(F.least(F.lit(top), F.floor(x).cast("bigint")))
+    z = F.lit(0).cast("bigint")
+    for bit in range(bits):
+        for j, sc in enumerate(scaled):
+            plane = sc.bitwiseAND(F.lit(1 << bit))
+            # move bit ``bit`` of column j to position bit*n + j
+            shift = bit * (n - 1) + j
+            z = z.bitwiseOR(
+                F.shiftleft(plane, shift) if shift >= 0 else plane
+            )
+    return z
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
     max_records_per_file: Optional[int] = None,
     sort_by: Optional[List[str]] = None,
+    zorder_by: Optional[List[str]] = None,
 ) -> List[str]:
     """Small-file compaction: rewrite the dataset's data files back at the
     ~60 MB target geometry, preserving the hive partitioning and sidecar.
@@ -349,6 +391,21 @@ def compact_dataset(
     partitions = list(sidecar.partitions)
     df = fetch_path(spark, path)
     rebalance = True
+    if sort_by and zorder_by:
+        raise ValueError("pass sort_by or zorder_by, not both")
+    if zorder_by:
+        missing = [c for c in zorder_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"zorder_by columns not in dataset: {missing}")
+        df = df.withColumn("__z", _zorder_expr(df, zorder_by))
+        if partitions:
+            df = df.repartition(*[F.col(p) for p in partitions])
+            df = df.sortWithinPartitions(*partitions, "__z")
+        else:
+            df = df.repartitionByRange(F.col("__z"))
+            df = df.sortWithinPartitions("__z")
+        df = df.drop("__z")
+        rebalance = False
     if sort_by:
         missing = [c for c in sort_by if c not in df.columns]
         if missing:

@@ -433,3 +433,48 @@ def test_append_type_conflict_rejected(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="type mismatch"):
         publish_path(spark, base, bad, ["string_col"])
+
+
+def test_compact_dataset_zorder_clusters_2d(spark, tmp_path):
+    """Z-order compaction: files cover tight 2-D bounding boxes (the
+    multi-dimension row-group-skipping precondition), data survives."""
+    import pandas as pd
+
+    from s3parq_spark.fs import list_files
+    from s3parq_spark.publish import compact_dataset
+
+    base = str(tmp_path / "ds")
+    grid = pd.DataFrame(
+        [(x, y, "p") for x in range(64) for y in range(64)],
+        columns=["x", "y", "part_col"],
+    )
+    publish_path(spark, base, grid, ["part_col"], max_records_per_file=111)
+    before = fetch(base, "", spark=spark, as_pandas=True)
+    compact_dataset(spark, base, zorder_by=["x", "y"], max_records_per_file=256)
+    got = fetch(base, "", spark=spark, as_pandas=True)
+    assert sorted(map(tuple, before[["x", "y"]].values.tolist())) == sorted(
+        map(tuple, got[["x", "y"]].values.tolist())
+    )
+    files = list_files(spark, base)
+    assert len(files) >= 8
+    area = 0.0
+    for f in files:
+        pdf = spark.read.parquet(f"{base}/{f}").toPandas()
+        area += (pdf.x.max() - pdf.x.min() + 1) * (pdf.y.max() - pdf.y.min() + 1)
+    # random row order would give every file the full 64x64 box
+    # (sum ~= nfiles * 4096); z-order keeps the union of boxes near the
+    # domain size. Allow 3x for boundary-straddling boxes.
+    assert area <= 3 * 64 * 64, area
+
+
+def test_zorder_rejects_bad_args(spark, tmp_path):
+    from s3parq_spark.publish import compact_dataset
+
+    base = str(tmp_path / "ds")
+    publish_path(spark, base, grouped_pdf(30), ["string_col"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not both"):
+        compact_dataset(spark, base, sort_by=["int_col"], zorder_by=["int_col"])
+    with _pytest.raises(ValueError, match="zorder_by columns"):
+        compact_dataset(spark, base, zorder_by=["nope"])
