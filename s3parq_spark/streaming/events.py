@@ -81,15 +81,21 @@ def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
 
 
 def streaming_tumbling_counts(
-    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    slide: str | None = None,
 ) -> DataFrame:
-    """Watermarked tumbling-window counts/sums per event type. The watermark
-    bounds state: late events beyond it are dropped, so state size is
-    O(active windows), not O(stream length) — the property that matters on an
-    unbounded 100 TB/day stream."""
+    """Watermarked tumbling (or, with ``slide``, sliding/hopping) window
+    counts/sums per event type. The watermark bounds state: late events
+    beyond it are dropped, so state size is O(active windows), not
+    O(stream length) — the property that matters on an unbounded
+    100 TB/day stream. A slide of window/k multiplies state k×, still
+    bounded."""
+    win = F.window("ts", window, slide) if slide else F.window("ts", window)
     return (
         events.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window), F.col("event_type"))
+        .groupBy(win, F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
@@ -104,15 +110,18 @@ def streaming_tumbling_counts(
 
 
 def run_streaming_tumbling_counts(
-    spark: SparkSession, events_parquet: str, window: str = "1 hour"
+    spark: SparkSession,
+    events_parquet: str,
+    window: str = "1 hour",
+    slide: str | None = None,
 ) -> DataFrame:
     """Run the streaming aggregation to completion on the static events data
     (availableNow trigger + in-memory sink) and return the result — equal by
-    construction to the batch tumbling-window query."""
+    construction to the batch tumbling/sliding-window query."""
     name = f"ev_{uuid.uuid4().hex[:12]}"
     stream = read_event_stream(spark, events_parquet)
     q = (
-        streaming_tumbling_counts(stream, window)
+        streaming_tumbling_counts(stream, window, slide=slide)
         .writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")

@@ -703,3 +703,41 @@ ORACLE_EXT.update(
         """,
     }
 )
+
+
+def q_events_stream_sliding(spark, sf_dir):
+    """Sliding (hopping) windows as a STREAMING query (1 hour window,
+    30 minute slide, availableNow + memory sink) — same bounded-state
+    watermarked aggregation as the tumbling runner with k=2 windows per
+    event; checked against the identical batch oracle."""
+    from .streaming import run_streaming_tumbling_counts
+
+    return run_streaming_tumbling_counts(
+        spark,
+        posixpath.join(sf_dir, "events.parquet"),
+        window="1 hour",
+        slide="30 minutes",
+    )
+
+
+QUERIES_EXT["events_stream_sliding"] = q_events_stream_sliding
+# identical to the batch events_sliding oracle: each event falls in its
+# half-hour-floor window and the one 30 minutes earlier
+ORACLE_EXT["events_stream_sliding"] = """
+    WITH typed AS (
+      SELECT make_timestamp(epoch_us(ts)) AS ts, event_type, value FROM events
+    ), windows AS (
+      SELECT unnest([
+               make_timestamp((epoch_us(ts) // 1800000000) * 1800000000),
+               make_timestamp((epoch_us(ts) // 1800000000) * 1800000000)
+                 - INTERVAL 30 MINUTE
+             ]) AS window_start,
+             event_type, value
+      FROM typed
+    )
+    SELECT window_start, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM windows
+    GROUP BY 1, 2
+"""
