@@ -15,7 +15,7 @@ from __future__ import annotations
 import weakref
 from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -646,3 +646,28 @@ def simhash_neardup_pairs(
     sized = _sized_shingle_table(df, id_col, text_col, shingle_n).persist()
     result = _exact_jaccard_verify(cand, sized, threshold, broadcast_verify)
     return _unpersist_with(result, sized)
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    key_cols: List[str],
+    order_cols: List[Column],
+    payload_cols: List[str],
+) -> DataFrame:
+    """Exact dedup with an explicit winner policy: one row per ``key_cols``
+    group, the row minimizing the ``order_cols`` tuple (e.g. source
+    priority then id — "prefer the curated copy of this text"), plus
+    ``n_copies``.
+
+    ONE hash aggregate of ``min(struct(order..., payload...))`` — struct
+    min is lexicographic, so the winner is chosen with map-side partial
+    aggregation and no window shuffle of the full payload.
+    """
+    ordered = [c.alias(f"__o{i}") for i, c in enumerate(order_cols)]
+    w = F.min(F.struct(*ordered, *[F.col(c) for c in payload_cols])).alias("__w")
+    out = df.groupBy(*key_cols).agg(w, F.count(F.lit(1)).alias("n_copies"))
+    return out.select(
+        *key_cols,
+        *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
+        "n_copies",
+    )

@@ -95,3 +95,29 @@ def corpus_upsample(
         .withColumn("copy_idx", F.col("copy_idx").cast("int"))
         .drop("__n_copies")
     )
+
+
+def corpus_shuffle(
+    df: DataFrame, id_col: str, n_shards: int = 32
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    ``(shard, position)`` that is a pure function of its id — the same
+    corpus always yields the same training order, on any cluster size or
+    partition layout (``df.orderBy(rand())`` cannot promise either).
+
+    shard = portable hash60(id) mod ``n_shards``; position = rank of
+    (hash, id) within the shard. The per-shard window is a per-key sort,
+    parallel across shards — raise ``n_shards`` with corpus size so no
+    single sort dominates. Output: input columns + shard int +
+    position bigint (0-based).
+    """
+    from pyspark.sql import Window
+
+    h = _hash60(F.col(id_col))
+    w = Window.partitionBy("shard").orderBy("__h", id_col)
+    return (
+        df.withColumn("__h", h)
+        .withColumn("shard", F.pmod(F.col("__h"), F.lit(n_shards)).cast("int"))
+        .withColumn("position", F.row_number().over(w).cast("bigint") - 1)
+        .drop("__h")
+    )

@@ -741,3 +741,66 @@ ORACLE_EXT["events_stream_sliding"] = """
     FROM windows
     GROUP BY 1, 2
 """
+
+
+def q_corpus_shuffle(spark, sf_dir):
+    """Deterministic training order (operators/sampling.py corpus_shuffle):
+    every doc gets a reproducible (shard, position) from its portable id
+    hash — the same corpus yields the same order at any cluster size."""
+    from .operators.sampling import corpus_shuffle
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id")
+    return corpus_shuffle(docs, "doc_id", n_shards=8)
+
+
+def q_dedup_priority(spark, sf_dir):
+    """Policy dedup (operators/dedup.py dedup_keep_best): one row per exact
+    text, preferring the curated half of the corpus (src0–src9) and then
+    the smallest id — ONE min(struct) hash aggregate, no window over the
+    payload."""
+    from .operators.dedup import dedup_keep_best
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "text",
+        (F.substring("source", 4, 10).cast("int") >= 10).cast("int").alias("prio"),
+    )
+    return dedup_keep_best(
+        docs, ["text"], [F.col("prio"), F.col("doc_id")], ["prio", "doc_id", "source"]
+    ).select("doc_id", "source", "n_copies")
+
+
+QUERIES_EXT.update(
+    {"corpus_shuffle": q_corpus_shuffle, "dedup_priority": q_dedup_priority}
+)
+
+ORACLE_EXT.update(
+    {
+        "corpus_shuffle": f"""
+            WITH h AS (
+              SELECT doc_id, {_HASH60_SQL} AS hh FROM documents
+            )
+            SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+                   CAST(row_number() OVER (
+                     PARTITION BY hh % 8 ORDER BY hh, doc_id) AS BIGINT) - 1
+                     AS position
+            FROM h
+        """,
+        "dedup_priority": """
+            WITH p AS (
+              SELECT doc_id, source, text,
+                     CASE WHEN CAST(substr(source, 4) AS INT) >= 10
+                          THEN 1 ELSE 0 END AS prio
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, source, text, prio,
+                     row_number() OVER (PARTITION BY text
+                                        ORDER BY prio, doc_id) AS rk,
+                     COUNT(*) OVER (PARTITION BY text) AS n_copies
+              FROM p
+            )
+            SELECT doc_id, source, n_copies FROM ranked WHERE rk = 1
+        """,
+    }
+)

@@ -145,3 +145,39 @@ def test_stream_enrich_equals_batch(spark, sf_dir):
         .agg(SF.count(SF.lit(1)).alias("n_events"))
     )
     assert sorted(map(tuple, stream.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_corpus_shuffle_deterministic_and_dense(spark, sf_dir):
+    from s3parq_spark.operators.sampling import corpus_shuffle
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    a = corpus_shuffle(docs, "doc_id", n_shards=8).collect()
+    b = corpus_shuffle(docs.repartition(7), "doc_id", n_shards=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # layout-independent
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r.shard, []).append(r.position)
+    for shard, pos in by_shard.items():
+        assert sorted(pos) == list(range(len(pos)))  # dense 0..n-1
+
+
+def test_dedup_keep_best_prefers_priority(spark):
+    from pyspark.sql import functions as SF
+
+    from s3parq_spark.operators.dedup import dedup_keep_best
+
+    rows = [
+        (1, "crawl", "same text", 1),
+        (2, "curated", "same text", 0),
+        (3, "crawl", "unique", 1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, text string, prio int")
+    got = {
+        r.text: (r.doc_id, r.source, r.n_copies)
+        for r in dedup_keep_best(
+            df, ["text"], [SF.col("prio"), SF.col("doc_id")],
+            ["prio", "doc_id", "source"],
+        ).collect()
+    }
+    assert got["same text"] == (2, "curated", 2)  # prio 0 beats prio 1
+    assert got["unique"] == (3, "crawl", 1)
