@@ -659,9 +659,10 @@ def dedup_keep_best(
     priority then id — "prefer the curated copy of this text"), plus
     ``n_copies``.
 
-    ONE hash aggregate of ``min(struct(order..., payload...))`` — struct
-    min is lexicographic, so the winner is chosen with map-side partial
-    aggregation and no window shuffle of the full payload.
+    ONE aggregate of ``min(struct(order..., payload...))`` — struct min is
+    lexicographic, so the winner is chosen with map-side partial
+    aggregation (SortAggregate: struct buffers aren't fixed-width) and no
+    window shuffle of the full payload.
     """
     ordered = [c.alias(f"__o{i}") for i, c in enumerate(order_cols)]
     w = F.min(F.struct(*ordered, *[F.col(c) for c in payload_cols])).alias("__w")

@@ -804,3 +804,33 @@ ORACLE_EXT.update(
         """,
     }
 )
+
+
+def q_events_props_map(spark, sf_dir):
+    """Semi-structured → MapType path: JSON props parsed to
+    ``map<string,bigint>`` (from_json), entries exploded JVM-side, grouped
+    per key.  Complements events_json's single-path extraction with the
+    generic variant-shaped access pattern — schema-free keys, one explode +
+    hash agg, no Python."""
+    from .workload import _events
+
+    ev = _events(spark, sf_dir)
+    m = F.from_json("props", "map<string,bigint>")
+    return (
+        ev.select(F.explode(m).alias("key", "val"))
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).alias("n_entries"),
+            F.sum("val").alias("sum_val"),
+        )
+    )
+
+
+QUERIES_EXT["events_props_map"] = q_events_props_map
+ORACLE_EXT["events_props_map"] = """
+    WITH kv AS (SELECT unnest(json_keys(props)) AS key, props FROM events)
+    SELECT key, COUNT(*) AS n_entries,
+           CAST(SUM(CAST(json_extract(props, '$.'||key) AS BIGINT)) AS BIGINT)
+             AS sum_val
+    FROM kv GROUP BY key
+"""

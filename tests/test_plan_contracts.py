@@ -95,3 +95,16 @@ def test_scan_prunes_columns(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_topk")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m and "doc_id" not in m.group(1), "projection must prune to text"
+
+
+def test_dedup_priority_is_one_hash_agg_no_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_priority")
+    assert "Window" not in plan  # winner via min(struct), not row_number
+    # struct min buffers aren't fixed-width, so Spark picks SortAggregate —
+    # still partial + final around one exchange (map-side combine intact)
+    assert len(re.findall(r"HashAggregate|ObjectHashAggregate|SortAggregate", plan)) >= 2
+
+
+def test_corpus_upsample_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "corpus_upsample")
+    assert "Exchange" not in plan  # pure scan -> filter -> explode
