@@ -7,6 +7,7 @@ genuinely needs Python, in which case Arrow-batched Pandas UDFs are used.
 from .dedup import (
     connected_components,
     dedup_against_corpus,
+    dedup_keep_best,
     exact_dedup,
     minhash_signatures,
     minhash_candidate_pairs,
@@ -36,7 +37,7 @@ from .text import (
     pack_sequences,
     winnow_fingerprints,
 )
-from .sampling import corpus_upsample, deterministic_sample
+from .sampling import corpus_shuffle, corpus_upsample, deterministic_sample
 from .multimodal import (
     attach_binary_payload,
     audio_window_features,
@@ -52,9 +53,11 @@ __all__ = [
     "brute_force_cosine_topk",
     "connected_components",
     "dedup_against_corpus",
+    "corpus_shuffle",
     "corpus_upsample",
     "deterministic_sample",
     "document_fingerprint",
+    "dedup_keep_best",
     "exact_dedup",
     "extract_binary_features",
     "ivf_topk",
