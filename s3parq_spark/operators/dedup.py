@@ -112,9 +112,14 @@ def connected_components(
     algorithms. At extreme graph sizes swap in large-star/small-star
     (Kiveris et al., SoCC'14) — same interface, fewer rounds.
     """
+    # materialize the edge list ONCE: every iteration's joins would
+    # otherwise re-run the full upstream pipeline (LSH + exact verify)
+    # per action through lineage recompute
     sym = edges.select(
         F.col(src).alias("a"), F.col(dst).alias("b")
-    ).union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    ).union(
+        edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
+    ).localCheckpoint(eager=True)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()
