@@ -108,3 +108,17 @@ def test_dedup_priority_is_one_hash_agg_no_window(spark, sf_dir):
 def test_corpus_upsample_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "corpus_upsample")
     assert "Exchange" not in plan  # pure scan -> filter -> explode
+
+
+def test_volume_shipping_broadcasts_all_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "volume_shipping")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 3  # supp, cust, (small) orders
+
+
+def test_contamination_dedups_before_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_contamination")
+    # DISTINCT shingle aggregation must sit below the join on both sides
+    join_pos = plan.find("Join")
+    assert join_pos > 0
+    assert len(re.findall(r"HashAggregate", plan)) >= 4  # 2x partial+final dedup
