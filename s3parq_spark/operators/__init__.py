@@ -37,6 +37,7 @@ from .text import (
     pack_sequences,
     winnow_fingerprints,
 )
+from .bpe import bpe_apply, bpe_learn, word_freq_table
 from .sampling import corpus_shuffle, corpus_upsample, deterministic_sample
 from .multimodal import (
     attach_binary_payload,
@@ -53,6 +54,9 @@ __all__ = [
     "brute_force_cosine_topk",
     "connected_components",
     "dedup_against_corpus",
+    "bpe_apply",
+    "bpe_learn",
+    "word_freq_table",
     "corpus_shuffle",
     "corpus_upsample",
     "deterministic_sample",
