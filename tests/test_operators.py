@@ -141,6 +141,10 @@ def test_dedup_operators_unpersist_on_release(spark, docs):
 
     from s3parq_spark.operators import minhash_neardup_pairs
 
+    # other fixtures/tests may hold their own localCheckpoint blocks; this
+    # test owns only the DELTA the dedup operators create
+    gc.collect()
+    base = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toString())
     for op in (
         lambda: ngram_jaccard_pairs(docs, "doc_id", "text", 3, 0.8),
         lambda: minhash_neardup_pairs(docs, "doc_id", "text"),
@@ -150,7 +154,8 @@ def test_dedup_operators_unpersist_on_release(spark, docs):
         result.collect()
         del result
         gc.collect()
-        assert not spark.sparkContext._jsc.getPersistentRDDs()
+        now = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toString())
+        assert now <= base
 
 
 def test_brute_force_cosine_topk(spark, emb):
