@@ -38,7 +38,14 @@ from .text import (
     winnow_fingerprints,
 )
 from .bpe import bpe_apply, bpe_learn, word_freq_table
-from .sampling import corpus_shuffle, corpus_upsample, deterministic_sample
+from .profile import profile_columns
+from .sampling import (
+    corpus_shuffle,
+    corpus_upsample,
+    deterministic_sample,
+    percentile_band_filter,
+)
+from .timeseries import funnel_next_within, latest_state, rolling_window_agg
 from .multimodal import (
     attach_binary_payload,
     audio_window_features,
@@ -64,7 +71,12 @@ __all__ = [
     "dedup_keep_best",
     "exact_dedup",
     "extract_binary_features",
+    "funnel_next_within",
     "ivf_topk",
+    "latest_state",
+    "percentile_band_filter",
+    "profile_columns",
+    "rolling_window_agg",
     "kmeans_centroids",
     "language_id",
     "lsh_bucketed_topk",

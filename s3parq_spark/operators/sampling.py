@@ -97,6 +97,41 @@ def corpus_upsample(
     )
 
 
+def percentile_band_filter(
+    df: DataFrame, value_col: str, lo: float, hi: float
+) -> DataFrame:
+    """Keep rows whose ``value_col`` lies inside the [lo, hi] band of the
+    empirical distribution (cume_dist) — the standard outlier trim for
+    corpus curation (drop the shortest 5% and longest 5% of documents).
+
+    Scale design: a naive ``cume_dist() OVER (ORDER BY v)`` is a GLOBAL
+    window — one task sorts the whole corpus. Instead the distribution is
+    computed on the *distinct values* (groupBy(value).count(), a map-side
+    partial), the cumulative fraction is a window over that tiny by-value
+    table, and the per-value verdict broadcast-joins back to the rows. The
+    full corpus is never sorted and never shuffled: one hash aggregate +
+    one broadcast join.
+
+    cume_dist semantics match SQL engines exactly (rows_with_value<=x /
+    total, ties are peers), and the single division of identical integers
+    is bit-identical across engines — oracle-portable.
+    """
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(value_col).alias("__v")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    dist = counts.withColumn(
+        "__cd",
+        F.sum("__c").over(w) / F.sum("__c").over(Window.partitionBy()),
+    )
+    keep = dist.filter((F.col("__cd") >= lo) & (F.col("__cd") <= hi)).select("__v")
+    return df.join(
+        F.broadcast(keep), on=df[value_col] == keep["__v"], how="inner"
+    ).drop("__v")
+
+
 def corpus_shuffle(
     df: DataFrame, id_col: str, n_shards: int = 32
 ) -> DataFrame:

@@ -1,0 +1,141 @@
+"""Time-series operators over event streams: rolling time-range windows,
+changelog compaction (latest state per key), and funnel conversion.
+
+These extend the engine's query surface (SURVEY §7.4) for the event-log
+side of a training-data platform: per-entity rolling features for model
+inputs, upsert-view compaction of append-only logs, and conversion funnels.
+
+100 TB design notes:
+
+- ``rolling_window_agg`` shuffles once on the entity key and sorts within
+  the partition — the canonical single-exchange window plan. Frame sums use
+  exact DECIMAL (order-independent), never double folds.
+- ``latest_state`` is ONE aggregate with a map-side partial: the winner
+  row rides through ``max(struct(ts, tiebreak, payload...))`` so there is no
+  join-back and no window sort. This is the same aggregate-winner pattern as
+  ``dedup.dedup_keep_best`` and compacts a billion-row changelog with a
+  single shuffle of pre-combined partials.
+- ``funnel_next_within`` is one window over (key, time) — no self-join, no
+  cross product; the "next matching event" is a min over the following
+  frame, which Spark evaluates in a single reverse sweep per partition.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .joins import _duration_us
+
+
+def rolling_window_agg(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    window: str,
+    sum_col: Optional[str] = None,
+    sum_scale: int = 2,
+) -> DataFrame:
+    """Per-row rolling aggregates over a trailing time window (e.g. "each
+    event's count/sum of the same user's events in the preceding hour").
+
+    The frame is a RANGE frame on epoch seconds — all events whose timestamp
+    lies in ``(t - window, t]`` — so ties (equal timestamps) are peers and
+    the result is order-independent. The sum is computed in DECIMAL and
+    surfaced as DOUBLE (exact, associative; see workload.py design notes).
+
+    One shuffle on ``key``; within-partition sort by time. At 100 TB the
+    state per task is bounded by the densest single entity, not the corpus.
+    """
+    win_s = _duration_us(window) // 1_000_000
+    out = df.withColumn("__epoch", F.unix_timestamp(F.col(ts_col)))
+    w = (
+        Window.partitionBy(key)
+        .orderBy("__epoch")
+        .rangeBetween(-(win_s - 1), Window.currentRow)
+    )
+    out = out.withColumn("__n_window", F.count(F.lit(1)).over(w))
+    if sum_col is not None:
+        out = out.withColumn(
+            "__sum_window",
+            F.sum(F.col(sum_col).cast(f"decimal(18,{sum_scale})"))
+            .over(w)
+            .cast("double"),
+        )
+    return out.drop("__epoch")
+
+
+def latest_state(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    tiebreak: str,
+    payload: Sequence[str],
+) -> DataFrame:
+    """Changelog compaction: the most recent row per key — the "upsert view"
+    of an append-only event log (the materialization a CDC/merge sink would
+    produce).
+
+    Winner = max over (ts, tiebreak); ``tiebreak`` must make the ordering
+    total (a unique id). Implemented as ONE aggregate carrying the
+    payload through ``max(struct(...))`` — map-side partials combine, so a
+    key appearing in millions of rows still ships one candidate per map
+    task. No window, no sort, no join-back.
+
+    Output columns: ``keys + [ts_col, tiebreak] + payload``.
+    """
+    fields = [F.col(ts_col), F.col(tiebreak)] + [F.col(c) for c in payload]
+    agg = df.groupBy(*keys).agg(F.max(F.struct(*fields)).alias("__w"))
+    sel: List[Column] = [F.col(k) for k in keys]
+    sel.append(F.col(f"__w.{ts_col}").alias(ts_col))
+    sel.append(F.col(f"__w.{tiebreak}").alias(tiebreak))
+    sel += [F.col(f"__w.{c}").alias(c) for c in payload]
+    return agg.select(*sel)
+
+
+def funnel_next_within(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_col: str,
+    from_step: str,
+    to_step: str,
+    horizon: str,
+    order_tiebreak: str,
+) -> DataFrame:
+    """Funnel step: for every ``from_step`` event, whether the same entity
+    performed a ``to_step`` event within ``horizon`` afterwards.
+
+    Single-pass plan: one window over (key, time) computes, at each row, the
+    minimum ``to_step`` timestamp among strictly-later events (min over the
+    1-FOLLOWING → UNBOUNDED frame of a conditional column). No self-join —
+    the classic funnel-as-join is quadratic per entity; this is linear after
+    one sort. Returns the ``from_step`` rows with:
+
+    - ``next_{to_step}_ts`` — timestamp of the next later ``to_step`` event
+    - ``converted`` — whether it happened within ``horizon``
+    """
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col), F.col(order_tiebreak))
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    to_ts = F.when(F.col(step_col) == to_step, F.col(ts_col))
+    next_col = f"next_{to_step}_ts"
+    horizon_us = _duration_us(horizon)
+    return (
+        df.withColumn(next_col, F.min(to_ts).over(w))
+        .filter(F.col(step_col) == from_step)
+        .withColumn(
+            "converted",
+            F.col(next_col).isNotNull()
+            & (
+                F.col(next_col)
+                <= F.timestamp_micros(
+                    F.unix_micros(F.col(ts_col)) + F.lit(horizon_us)
+                )
+            ),
+        )
+    )

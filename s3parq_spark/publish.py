@@ -318,6 +318,72 @@ def publish_path(
 
 
 
+def overwrite_partitions(
+    spark: SparkSession,
+    path: str,
+    dataframe,
+    partitions: List[str],
+    max_records_per_file: Optional[int] = None,
+) -> List[str]:
+    """Replace ONLY the hive partitions present in ``dataframe``, leaving
+    every other partition untouched — the idempotent re-publish a daily
+    pipeline needs (re-run one day's extract without rewriting the dataset
+    or losing other days). Extends the reference's append-only sink
+    (``publish_parq.py:522-573``) with the standard warehouse "dynamic
+    partition overwrite" semantics.
+
+    Implementation is Spark's native dynamic overwrite
+    (``spark.sql.sources.partitionOverwriteMode=dynamic``): the job stages
+    new files per touched partition and the commit swaps those directories
+    only — no read-modify-write of the data, no driver-side file shuffling,
+    and untouched partitions are never listed or rewritten, so the cost is
+    O(replaced data) regardless of dataset size. Sidecar metadata merges
+    under the same same-name/type rules as append.
+
+    Returns the newly written data files (scoped listing of the touched
+    partition dirs, like ``publish_path``).
+    """
+    df = _to_spark_df(spark, dataframe)
+    if max_records_per_file is not None:
+        check_empty_dataframe(df)
+    check_partitions(partitions, df)
+    if not partitions:
+        raise ValueError(
+            "overwrite_partitions requires at least one partition column; "
+            "use publish_path(mode='overwrite') to replace a whole dataset"
+        )
+    existing = metadata.read_sidecar(spark, path)
+    if existing is not None and list(existing.partitions) != list(partitions):
+        raise ValueError(
+            f"partition columns {partitions} do not match the dataset's "
+            f"existing partitions {list(existing.partitions)}"
+        )
+    meta = metadata.DatasetMetadata.from_dataframe(df, partitions)
+    merged = metadata.merge_sidecar(existing, meta)
+
+    scoped_dirs = _touched_partition_dirs(spark, df, partitions)
+    before = set(_list_scoped(spark, path, scoped_dirs))
+
+    df = df.hint("rebalance", *partitions)
+    n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try:
+        (
+            df.write.mode("overwrite")
+            .option("compression", "snappy")
+            .option("maxRecordsPerFile", n_per_file)
+            .partitionBy(*partitions)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    metadata.write_sidecar(spark, path, merged)
+    return [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
+
+
 def _zorder_expr(df: DataFrame, cols: List[str], bits: int = 16):
     """Z-order (Morton) key over up to 4 numeric/temporal columns: each
     column min-max normalizes to a ``bits``-bit integer (one tiny global

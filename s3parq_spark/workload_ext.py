@@ -834,3 +834,211 @@ ORACLE_EXT["events_props_map"] = """
              AS sum_val
     FROM kv GROUP BY key
 """
+
+
+# ---------------------------------------------------------------------------
+# time-series / profiling / curation / partition-overwrite (round-2 session 3)
+# ---------------------------------------------------------------------------
+
+
+def q_rolling_user_window(spark, sf_dir):
+    """Per-event rolling 1-hour features (operators/timeseries.py
+    rolling_window_agg): each event's count and exact-decimal sum of the
+    same user's events in the trailing hour — ONE shuffle on user_id, a
+    RANGE frame on epoch seconds (ties are peers → order-independent)."""
+    from .operators import rolling_window_agg
+    from .workload import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = rolling_window_agg(
+        ev, "user_id", "ts", "1 hour", sum_col="value", sum_scale=6
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("__n_window").alias("n_window"),
+        F.col("__sum_window").alias("sum_window"),
+    )
+
+
+def q_latest_user_state(spark, sf_dir):
+    """Changelog compaction (operators/timeseries.py latest_state): the
+    upsert view of the event log — most recent event per user via ONE
+    max(struct) hash aggregate (map-side partials; no window sort, no
+    join-back)."""
+    from .operators import latest_state
+    from .workload import _events
+
+    ev = _events(spark, sf_dir)
+    return latest_state(ev, ["user_id"], "ts", "event_id", ["event_type", "value"])
+
+
+def q_funnel_click_purchase(spark, sf_dir):
+    """Funnel conversion (operators/timeseries.py funnel_next_within):
+    for every click, did the same user purchase within 1 hour — a single
+    window sweep (min of later purchase timestamps), never the quadratic
+    self-join."""
+    from .operators import funnel_next_within
+    from .workload import _events
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "ts", "event_type")
+    out = funnel_next_within(
+        ev, "user_id", "ts", "event_type", "click", "purchase", "1 hour", "event_id"
+    )
+    return out.select("event_id", "user_id", "ts", "next_purchase_ts", "converted")
+
+
+def q_dataset_profile(spark, sf_dir):
+    """Per-column quality profile (operators/profile.py profile_columns):
+    null count / exact cardinality / bounds for four documents columns in
+    ONE aggregate pass over the scan."""
+    from .operators import profile_columns
+
+    docs = _table(spark, sf_dir, "documents")
+    return profile_columns(docs, ["doc_id", "lang", "source", "n_chars"])
+
+
+def q_percentile_band(spark, sf_dir):
+    """Percentile-band corpus trim (operators/sampling.py
+    percentile_band_filter): keep documents whose length sits in the
+    [5%, 95%] band of the empirical cume_dist — computed on the distinct
+    lengths (tiny) and broadcast back; the corpus is never globally
+    sorted."""
+    from .operators import percentile_band_filter
+
+    docs = _table(spark, sf_dir, "documents")
+    return percentile_band_filter(docs, "n_chars", 0.05, 0.95)
+
+
+def q_overwrite_partition_fetch(spark, sf_dir):
+    """Dynamic partition overwrite end-to-end (publish.py
+    overwrite_partitions): publish lineitem partitioned by l_returnflag,
+    then re-publish ONLY the R partition with a corrected extract
+    (l_quantity <= 25); untouched partitions keep their files. Fetched
+    back through the sidecar-typed scan."""
+    import os
+    import re
+    import shutil
+
+    from .fetch import fetch_path
+    from .publish import overwrite_partitions, publish_path
+    from .workload import _CACHE_ROOT
+
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "li_overwrite")
+    marker = os.path.join(path, "_OVERWRITTEN")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        li = _table(spark, sf_dir, "lineitem")
+        publish_path(spark, path, li, ["l_returnflag"], mode="overwrite")
+        repl = li.filter(
+            (F.col("l_returnflag") == "R") & (F.col("l_quantity") <= 25)
+        )
+        overwrite_partitions(spark, path, repl, ["l_returnflag"])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_path(spark, path)
+
+
+QUERIES_EXT.update(
+    {
+        "rolling_user_window": q_rolling_user_window,
+        "latest_user_state": q_latest_user_state,
+        "funnel_click_purchase": q_funnel_click_purchase,
+        "dataset_profile": q_dataset_profile,
+        "percentile_band": q_percentile_band,
+        "overwrite_partition_fetch": q_overwrite_partition_fetch,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        # trailing [t-3599s, t] RANGE frame on epoch seconds; decimal-exact
+        # sum cast to double at the edge (one float op per value)
+        "rolling_user_window": """
+            WITH typed AS (
+              SELECT event_id, user_id, epoch_us(ts) // 1000000 AS es, value
+              FROM events
+            )
+            SELECT event_id, user_id,
+                   COUNT(*) OVER w AS n_window,
+                   CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+                     AS sum_window
+            FROM typed
+            WINDOW w AS (PARTITION BY user_id ORDER BY es
+                         RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+        """,
+        "latest_user_state": """
+            SELECT user_id, ts, event_id, event_type, value FROM (
+              SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id,
+                     event_type, value,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                                        ORDER BY ts DESC, event_id DESC) AS rn
+              FROM events
+            ) WHERE rn = 1
+        """,
+        "funnel_click_purchase": """
+            WITH typed AS (
+              SELECT event_id, user_id, make_timestamp(epoch_us(ts)) AS ts,
+                     event_type
+              FROM events
+            ), nxt AS (
+              SELECT *,
+                     MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+                       AS next_purchase_ts
+              FROM typed
+            )
+            SELECT event_id, user_id, ts, next_purchase_ts,
+                   next_purchase_ts IS NOT NULL
+                     AND next_purchase_ts <= ts + INTERVAL 1 HOUR AS converted
+            FROM nxt WHERE event_type = 'click'
+        """,
+        "dataset_profile": """
+            SELECT 'doc_id' AS column_name, COUNT(*) AS n_rows,
+                   COUNT(*) - COUNT(doc_id) AS n_nulls,
+                   COUNT(DISTINCT doc_id) AS n_distinct,
+                   CAST(MIN(doc_id) AS VARCHAR) AS min_value,
+                   CAST(MAX(doc_id) AS VARCHAR) AS max_value
+            FROM documents
+            UNION ALL
+            SELECT 'lang', COUNT(*), COUNT(*) - COUNT(lang),
+                   COUNT(DISTINCT lang),
+                   CAST(MIN(lang) AS VARCHAR), CAST(MAX(lang) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'source', COUNT(*), COUNT(*) - COUNT(source),
+                   COUNT(DISTINCT source),
+                   CAST(MIN(source) AS VARCHAR), CAST(MAX(source) AS VARCHAR)
+            FROM documents
+            UNION ALL
+            SELECT 'n_chars', COUNT(*), COUNT(*) - COUNT(n_chars),
+                   COUNT(DISTINCT n_chars),
+                   CAST(MIN(n_chars) AS VARCHAR), CAST(MAX(n_chars) AS VARCHAR)
+            FROM documents
+        """,
+        # cume_dist on distinct lengths; the single bigint/bigint division
+        # is the only float op and is bit-identical across engines
+        "percentile_band": """
+            WITH counts AS (
+              SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1
+            ), dist AS (
+              SELECT v,
+                     SUM(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW)
+                       / SUM(c) OVER () AS cd
+              FROM counts
+            ), keep AS (
+              SELECT v FROM dist WHERE cd >= 0.05 AND cd <= 0.95
+            )
+            SELECT d.* FROM documents d JOIN keep ON d.n_chars = keep.v
+        """,
+        "overwrite_partition_fetch": """
+            SELECT * FROM lineitem WHERE l_returnflag <> 'R'
+            UNION ALL
+            SELECT * FROM lineitem
+            WHERE l_returnflag = 'R' AND l_quantity <= 25
+        """,
+    }
+)
