@@ -38,14 +38,20 @@ from .text import (
     winnow_fingerprints,
 )
 from .bpe import bpe_apply, bpe_learn, word_freq_table
-from .profile import profile_columns
+from .fuzzy import edit_distance_pairs
+from .profile import numeric_histogram, profile_columns
 from .sampling import (
     corpus_shuffle,
     corpus_upsample,
     deterministic_sample,
     percentile_band_filter,
 )
-from .timeseries import funnel_next_within, latest_state, rolling_window_agg
+from .timeseries import (
+    cohort_retention,
+    funnel_next_within,
+    latest_state,
+    rolling_window_agg,
+)
 from .multimodal import (
     attach_binary_payload,
     audio_window_features,
@@ -69,6 +75,8 @@ __all__ = [
     "deterministic_sample",
     "document_fingerprint",
     "dedup_keep_best",
+    "cohort_retention",
+    "edit_distance_pairs",
     "exact_dedup",
     "extract_binary_features",
     "funnel_next_within",
@@ -80,6 +88,7 @@ __all__ = [
     "kmeans_centroids",
     "language_id",
     "lsh_bucketed_topk",
+    "numeric_histogram",
     "minhash_candidate_pairs",
     "minhash_neardup_pairs",
     "minhash_signatures",

@@ -59,3 +59,42 @@ def profile_columns(
         ]
     )
     return row.select(F.explode(per_col).alias("p")).select("p.*")
+
+
+def numeric_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
+    """Equi-width histogram of an integral column: ``bin_id, n_rows,
+    bin_min, bin_max`` for ``nbins`` buckets spanning [min, max].
+
+    The bounds come from one scalar aggregate broadcast back over the scan
+    (a 1-row BroadcastNestedLoopJoin — no driver collect, the histogram
+    stays a lazily-composable DataFrame), and the bucket formula is pure
+    integer arithmetic::
+
+        bin_id = least(nbins - 1, (v - lo) * nbins div (hi - lo + 1))
+
+    so results are bit-identical across engines (no float edges) and the
+    whole plan is two hash aggregates over one scan — at 100 TB the second
+    pass groups into at most ``nbins`` cells, all map-side combined.
+    Restrict to integer columns; float binning needs an epsilon contract.
+    """
+    bounds = df.agg(
+        F.min(F.col(col)).alias("__lo"), F.max(F.col(col)).alias("__hi")
+    )
+    return (
+        df.select(F.col(col).alias("__v"))
+        .filter(F.col("__v").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.expr(
+                f"least(cast({nbins} - 1 as bigint), "
+                f"((__v - __lo) * {nbins}) div (__hi - __lo + 1))"
+            ).alias("bin_id"),
+            "__v",
+        )
+        .groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("bin_min"),
+            F.max("__v").alias("bin_max"),
+        )
+    )

@@ -95,6 +95,42 @@ def latest_state(
     return agg.select(*sel)
 
 
+def cohort_retention(
+    df: DataFrame, user_col: str, ts_col: str
+) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-active week, counted
+    in each subsequent week they return — the standard engagement matrix
+    ``(cohort_week, week_offset) -> n_users``.
+
+    Plan: one hash aggregate assigns each user's cohort (min week — map-side
+    partials), the event log joins back on the user key, and a second
+    aggregate counts distinct users per (cohort, offset). Both the cohort
+    aggregate and the join hash-partition on ``user_col``, so Catalyst
+    plans ONE exchange of each input; the final distinct-count is Spark's
+    two-phase Expand aggregate. No windows, no sorts, no driver state —
+    every stage is a partial-aggregating shuffle that scales to a year of
+    events.
+
+    Week arithmetic is integer-exact and engine-portable: ISO Monday
+    ``date_trunc('week')`` and ``datediff // 7``.
+    """
+    weeks = df.select(
+        F.col(user_col).alias("__u"),
+        F.date_trunc("week", F.col(ts_col)).cast("date").alias("__w"),
+    )
+    cohort = weeks.groupBy("__u").agg(F.min("__w").alias("cohort_week"))
+    return (
+        weeks.join(cohort, "__u")
+        .select(
+            "__u",
+            "cohort_week",
+            F.expr("datediff(__w, cohort_week) div 7").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct(F.col("__u")).alias("n_users"))
+    )
+
+
 def funnel_next_within(
     df: DataFrame,
     key: str,

@@ -1042,3 +1042,90 @@ ORACLE_EXT.update(
         """,
     }
 )
+
+
+# ---------------------------------------------------------------------------
+# fuzzy matching / cohorts / histograms (round-2 session 4)
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_titles(spark, sf_dir):
+    """Edit-distance-1 pairs over document title prefixes
+    (operators/fuzzy.py edit_distance_pairs): FastSS deletion-neighborhood
+    blocking joined on a 64-bit variant hash, exact-levenshtein verified —
+    never the O(n^2) cross join the oracle runs."""
+    from .operators import edit_distance_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    titles = docs.select(F.substring("text", 1, 16).alias("title"))
+    return edit_distance_pairs(titles, "title", 1)
+
+
+def q_weekly_cohorts(spark, sf_dir):
+    """Weekly cohort retention matrix (operators/timeseries.py
+    cohort_retention): cohort assignment + join-back + distinct-count, all
+    hash-partitioned on user_id."""
+    from .operators import cohort_retention
+    from .workload import _events
+
+    ev = _events(spark, sf_dir)
+    return cohort_retention(ev, "user_id", "ts")
+
+
+def q_length_histogram(spark, sf_dir):
+    """20-bin equi-width histogram of document lengths
+    (operators/profile.py numeric_histogram): integer-exact bucket
+    arithmetic, bounds broadcast from a 1-row aggregate."""
+    from .operators import numeric_histogram
+
+    docs = _table(spark, sf_dir, "documents")
+    return numeric_histogram(docs, "n_chars", 20)
+
+
+QUERIES_EXT.update(
+    {
+        "fuzzy_titles": q_fuzzy_titles,
+        "weekly_cohorts": q_weekly_cohorts,
+        "length_histogram": q_length_histogram,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        # brute-force exact reference; the Spark side must produce the
+        # identical pair set through FastSS blocking
+        "fuzzy_titles": """
+            WITH t AS (
+              SELECT DISTINCT substr(text, 1, 16) AS title
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.title AS s1, b.title AS s2
+            FROM t a JOIN t b
+              ON a.title < b.title AND levenshtein(a.title, b.title) <= 1
+        """,
+        "weekly_cohorts": """
+            WITH typed AS (
+              SELECT user_id, CAST(date_trunc('week', ts) AS DATE) AS w
+              FROM events
+            ), cohort AS (
+              SELECT user_id, MIN(w) AS cohort_week FROM typed GROUP BY user_id
+            )
+            SELECT c.cohort_week,
+                   datediff('day', c.cohort_week, t.w) // 7 AS week_offset,
+                   COUNT(DISTINCT t.user_id) AS n_users
+            FROM typed t JOIN cohort c ON t.user_id = c.user_id
+            GROUP BY 1, 2
+        """,
+        "length_histogram": """
+            WITH b AS (
+              SELECT MIN(n_chars) AS lo, MAX(n_chars) AS hi FROM documents
+            )
+            SELECT LEAST(19, ((n_chars - lo) * 20) // (hi - lo + 1)) AS bin_id,
+                   COUNT(*) AS n_rows, MIN(n_chars) AS bin_min,
+                   MAX(n_chars) AS bin_max
+            FROM documents, b
+            WHERE n_chars IS NOT NULL
+            GROUP BY 1
+        """,
+    }
+)
