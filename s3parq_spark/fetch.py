@@ -155,6 +155,7 @@ def fetch_path(
     path: str,
     filters: Optional[List[dict]] = None,
     accept_not_s3parq: bool = True,
+    columns: Optional[List[str]] = None,
 ) -> DataFrame:
     """Partition-pruned read returning a Spark DataFrame.
 
@@ -162,6 +163,13 @@ def fetch_path(
     included), overriding Spark's own partition-type inference so
     string/boolean/datetime/category partition values round-trip exactly as
     the reference's ``convert_type`` produces them (SURVEY §7.4 risk #1).
+
+    ``columns`` projects the result — and because the projection sits
+    directly over the scan, Catalyst prunes the parquet ReadSchema to
+    exactly those columns (+ any filter columns), so a 2-column fetch of a
+    100-column dataset reads 2 column chunks, not 100. Unknown names raise
+    before any job runs. Filters still apply (their partition columns need
+    not be in ``columns``).
     """
     filters = filters or []
     validate_filter_rules(filters)
@@ -177,7 +185,13 @@ def fetch_path(
         if not accept_not_s3parq:
             raise MissingS3ParqMetadata(f"no sidecar at {path}")
         validate_matching_filter_data_type({}, filters)
-        return spark.read.parquet(path)
+        raw = spark.read.parquet(path)
+        if columns is not None:
+            missing = [c for c in columns if c not in raw.columns]
+            if missing:
+                raise ValueError(f"unknown columns {missing} in dataset at {path}")
+            raw = raw.select(*columns)
+        return raw
 
     validate_matching_filter_data_type(meta.partition_data_types, filters)
 
@@ -193,6 +207,12 @@ def fetch_path(
 
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
+    if columns is not None:
+        known = {f.name for f in full_schema.fields}
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise ValueError(f"unknown columns {missing} in dataset at {path}")
+        return df.select(*columns)
     return df.select(*[f.name for f in full_schema.fields])
 
 
@@ -204,15 +224,21 @@ def fetch(
     accept_not_s3parq: bool = True,
     spark: Optional[SparkSession] = None,
     as_pandas: bool = False,
+    columns: Optional[List[str]] = None,
 ) -> DataFrame:
     """Reference-compatible ``fetch`` (``fetch_parq.py:152-230``). Returns a
     Spark DataFrame by default (``as_pandas=True`` restores the reference's
-    pandas return type at the API edge)."""
+    pandas return type at the API edge). ``columns`` prunes the parquet
+    ReadSchema to the projection."""
     del parallel
     spark = spark or SparkSession.active()
     naming.validate_bucket_name(bucket)
     df = fetch_path(
-        spark, fs.dataset_uri(bucket, key), filters, accept_not_s3parq=accept_not_s3parq
+        spark,
+        fs.dataset_uri(bucket, key),
+        filters,
+        accept_not_s3parq=accept_not_s3parq,
+        columns=columns,
     )
     return df.toPandas() if as_pandas else df
 

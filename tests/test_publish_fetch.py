@@ -478,3 +478,43 @@ def test_zorder_rejects_bad_args(spark, tmp_path):
         compact_dataset(spark, base, sort_by=["int_col"], zorder_by=["int_col"])
     with _pytest.raises(ValueError, match="zorder_by columns"):
         compact_dataset(spark, base, zorder_by=["nope"])
+
+
+class TestFetchColumnProjection:
+    def test_columns_prune_read_schema(self, spark, tmp_dataset_dir):
+        pdf = grouped_pdf()
+        publish_path(spark, tmp_dataset_dir, pdf, ["string_col"])
+        df = fetch_path(
+            spark, tmp_dataset_dir, columns=["metrics", "string_col"]
+        )
+        assert df.columns == ["metrics", "string_col"]
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        import re
+
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        # partition col comes from the path, data schema must be metrics only
+        assert m and m.group(1) == "metrics:bigint"
+
+    def test_columns_with_filter_not_in_projection(self, spark, tmp_dataset_dir):
+        pdf = grouped_pdf()
+        publish_path(spark, tmp_dataset_dir, pdf, ["string_col"])
+        df = fetch_path(
+            spark,
+            tmp_dataset_dir,
+            filters=[
+                {"partition": "string_col", "comparison": "==", "values": ["s1"]}
+            ],
+            columns=["metrics"],
+        )
+        assert df.columns == ["metrics"]
+        got = sorted(r["metrics"] for r in df.collect())
+        want = sorted(pdf[pdf.string_col == "s1"].metrics)
+        assert got == want
+
+    def test_unknown_column_rejected(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, grouped_pdf(), ["string_col"])
+        with pytest.raises(ValueError, match="unknown columns"):
+            fetch_path(spark, tmp_dataset_dir, columns=["nope"])
