@@ -29,6 +29,7 @@ from .similarity import (
 )
 from .text import (
     document_fingerprint,
+    inverted_index,
     language_id,
     quality_scores,
     scrub_pii,
@@ -39,7 +40,12 @@ from .text import (
 )
 from .bpe import bpe_apply, bpe_learn, word_freq_table
 from .fuzzy import edit_distance_pairs
-from .profile import numeric_histogram, profile_columns
+from .profile import (
+    correlation_matrix,
+    numeric_histogram,
+    profile_columns,
+    skew_profile,
+)
 from .sampling import (
     corpus_shuffle,
     corpus_upsample,
@@ -76,6 +82,7 @@ __all__ = [
     "document_fingerprint",
     "dedup_keep_best",
     "cohort_retention",
+    "correlation_matrix",
     "edit_distance_pairs",
     "exact_dedup",
     "extract_binary_features",
@@ -89,6 +96,7 @@ __all__ = [
     "language_id",
     "lsh_bucketed_topk",
     "numeric_histogram",
+    "skew_profile",
     "minhash_candidate_pairs",
     "minhash_neardup_pairs",
     "minhash_signatures",
@@ -97,6 +105,7 @@ __all__ = [
     "normalize_vectors",
     "quantize_vectors",
     "quality_scores",
+    "inverted_index",
     "resize_images",
     "sample_video_frames",
     "simhash_candidate_pairs",

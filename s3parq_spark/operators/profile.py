@@ -61,6 +61,88 @@ def profile_columns(
     return row.select(F.explode(per_col).alias("p")).select("p.*")
 
 
+def skew_profile(df: DataFrame, keys: Sequence[str], k: int = 20) -> DataFrame:
+    """Heavy-hitter profile: the ``k`` most frequent key combinations with
+    their row counts and corpus share — the diagnostic that decides whether
+    a join/aggregate on ``keys`` needs salting before it runs at 100 TB.
+
+    Plan: one hash aggregate (map-side partials) counts the keys, the total
+    comes from a 1-row broadcast (no driver collect), and the top-k compiles
+    to TakeOrderedAndProject — per-partition heaps of size k, never a global
+    sort. Ties at the cut are broken by key value so the result set is
+    deterministic and oracle-checkable. ``share`` is a single bigint/bigint
+    double division — bit-identical across engines.
+    """
+    total = df.agg(F.count(F.lit(1)).alias("__total"))
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            *keys,
+            "n_rows",
+            (F.col("n_rows") / F.col("__total")).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), *[F.asc(c) for c in keys])
+        .limit(k)
+    )
+
+
+def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Pairwise Pearson correlation over INTEGER columns in ONE aggregate
+    pass: for every pair (i < j), ``col_x, col_y, n_pairs, corr``.
+
+    Exactness contract: all moment sums (Σx, Σx², Σxy) accumulate in
+    DECIMAL(38,0) — order-independent integer arithmetic, so partial
+    aggregation and shuffle order can't perturb the result — and the
+    float math happens only at the very edge in a fixed sequence
+    (cast → sqrt → multiply → divide, each IEEE correctly-rounded), making
+    the doubles bit-identical across engines. Null handling is pairwise-
+    complete: a row contributes to (x, y) only when both are non-null.
+    Integer columns only — float inputs need a quantization contract first.
+
+    One scan, one reduce of O(|cols|²) counters; nothing else moves.
+    """
+    pairs = [
+        (cols[i], cols[j])
+        for i in range(len(cols))
+        for j in range(i + 1, len(cols))
+    ]
+    aggs = []
+    for x, y in pairs:
+        both = F.col(x).isNotNull() & F.col(y).isNotNull()
+        dx = F.when(both, F.col(x).cast("decimal(18,0)"))
+        dy = F.when(both, F.col(y).cast("decimal(18,0)"))
+        p = f"{x}__{y}"
+        aggs += [
+            F.count(F.when(both, F.lit(1))).alias(f"__n_{p}"),
+            F.sum(dx).cast("decimal(38,0)").alias(f"__sx_{p}"),
+            F.sum(dy).cast("decimal(38,0)").alias(f"__sy_{p}"),
+            F.sum(dx * dx).cast("decimal(38,0)").alias(f"__sxx_{p}"),
+            F.sum(dy * dy).cast("decimal(38,0)").alias(f"__syy_{p}"),
+            F.sum(dx * dy).cast("decimal(38,0)").alias(f"__sxy_{p}"),
+        ]
+    row = df.agg(*aggs)
+    out = []
+    for x, y in pairs:
+        p = f"{x}__{y}"
+        # nullif: a zero-variance column yields NULL, not an ANSI /0 error
+        corr = (
+            f"CAST(__n_{p} * __sxy_{p} - __sx_{p} * __sy_{p} AS DOUBLE) / "
+            f"NULLIF(SQRT(CAST(__n_{p} * __sxx_{p} - __sx_{p} * __sx_{p} AS DOUBLE))"
+            f" * SQRT(CAST(__n_{p} * __syy_{p} - __sy_{p} * __sy_{p} AS DOUBLE)), "
+            f"CAST(0 AS DOUBLE))"
+        )
+        out.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col(f"__n_{p}").alias("n_pairs"),
+                F.expr(corr).alias("corr"),
+            )
+        )
+    return row.select(F.explode(F.array(*out)).alias("p")).select("p.*")
+
+
 def numeric_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     """Equi-width histogram of an integral column: ``bin_id, n_rows,
     bin_min, bin_max`` for ``nbins`` buckets spanning [min, max].

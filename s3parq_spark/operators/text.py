@@ -276,3 +276,51 @@ def pack_sequences(
             (F.col("__cum") - F.col("n_tokens")).cast("int").alias("seq_offset"),
         )
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_df: int = 2,
+    max_df: Optional[int] = None,
+) -> DataFrame:
+    """Inverted index over ``k``-token shingles: ``term, n_docs, postings``
+    with postings the sorted array of containing document ids — the lookup
+    structure behind exact-phrase contamination checks and corpus search.
+
+    Plan: per-document DISTINCT shingles (dedup before the shuffle, so a
+    term repeated 1000× in one doc ships once), one hash aggregate builds
+    each posting list with ``collect_set`` + ``array_sort`` (deterministic,
+    order-insensitive to shuffle arrival). The document-frequency band
+    [``min_df``, ``max_df``] is the scale contract: ``max_df`` caps the
+    posting list length, so stop-shingles (appearing in every document —
+    useless for lookup, unbounded state to carry) are dropped INSIDE the
+    aggregate's output filter before anything large materializes.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.split(F.trim(F.col(text_col)), r"\s+").alias("__t")
+    )
+    shingles = (
+        toks.filter(F.size("__t") >= k)
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size("__t") - k),
+                        lambda i: F.concat_ws(" ", F.slice("__t", i + 1, k)),
+                    )
+                )
+            ).alias("term"),
+        )
+    )
+    out = shingles.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.array_sort(F.collect_set("__id")).alias("postings"),
+    )
+    out = out.filter(F.col("n_docs") >= min_df)
+    if max_df is not None:
+        out = out.filter(F.col("n_docs") <= max_df)
+    return out

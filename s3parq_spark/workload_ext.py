@@ -1129,3 +1129,120 @@ ORACLE_EXT.update(
         """,
     }
 )
+
+
+def q_user_skew(spark, sf_dir):
+    """Heavy-hitter skew profile (operators/profile.py skew_profile): the
+    20 busiest users — hash-agg counts, 1-row broadcast total,
+    TakeOrderedAndProject top-k with key tie-break."""
+    from .operators import skew_profile
+    from .workload import _events
+
+    ev = _events(spark, sf_dir)
+    return skew_profile(ev, ["user_id"], 20)
+
+
+def q_doc_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation over integer document stats
+    (operators/profile.py correlation_matrix): decimal-exact moment sums in
+    ONE aggregate, float ops only at the edge in a fixed IEEE sequence."""
+    from .operators import correlation_matrix
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "n_chars",
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.trim("text"), r"\s+"))).alias(
+            "n_uniq"
+        ),
+    )
+    return correlation_matrix(docs, ["n_chars", "n_tokens", "n_uniq"])
+
+
+def q_shingle_index(spark, sf_dir):
+    """Inverted 3-shingle index (operators/text.py inverted_index):
+    per-doc-distinct shingles, posting lists via collect_set+array_sort,
+    document-frequency band [2, 40] caps posting length (stop-shingle
+    cutoff) before anything large materializes."""
+    from .operators import inverted_index
+
+    docs = _table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", k=3, min_df=2, max_df=40)
+
+
+QUERIES_EXT.update(
+    {
+        "user_skew": q_user_skew,
+        "doc_correlations": q_doc_correlations,
+        "shingle_index": q_shingle_index,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        "user_skew": """
+            WITH c AS (
+              SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY user_id
+            ), t AS (SELECT COUNT(*) AS total FROM events)
+            SELECT user_id, n_rows,
+                   CAST(n_rows AS DOUBLE) / CAST(total AS DOUBLE) AS share
+            FROM c, t
+            ORDER BY n_rows DESC, user_id LIMIT 20
+        """,
+        # identical moment sums in HUGEINT; identical final float sequence
+        "doc_correlations": """
+            WITH d AS (
+              SELECT n_chars,
+                     len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+                     len(list_distinct(string_split_regex(trim(text), '\\s+')))
+                       AS n_uniq
+              FROM documents
+            ), m AS (
+              SELECT
+                COUNT(*) AS n,
+                SUM(CAST(n_chars AS HUGEINT)) AS sx1,
+                SUM(CAST(n_tokens AS HUGEINT)) AS sy1,
+                SUM(CAST(n_chars AS HUGEINT) * n_chars) AS sxx1,
+                SUM(CAST(n_tokens AS HUGEINT) * n_tokens) AS syy1,
+                SUM(CAST(n_chars AS HUGEINT) * n_tokens) AS sxy1,
+                SUM(CAST(n_uniq AS HUGEINT)) AS sy2,
+                SUM(CAST(n_uniq AS HUGEINT) * n_uniq) AS syy2,
+                SUM(CAST(n_chars AS HUGEINT) * n_uniq) AS sxy2,
+                SUM(CAST(n_tokens AS HUGEINT) * n_uniq) AS sxy3
+              FROM d
+            )
+            SELECT 'n_chars' AS col_x, 'n_tokens' AS col_y, n AS n_pairs,
+                   CAST(n * sxy1 - sx1 * sy1 AS DOUBLE) /
+                   (SQRT(CAST(n * sxx1 - sx1 * sx1 AS DOUBLE)) *
+                    SQRT(CAST(n * syy1 - sy1 * sy1 AS DOUBLE))) AS corr
+            FROM m
+            UNION ALL
+            SELECT 'n_chars', 'n_uniq', n,
+                   CAST(n * sxy2 - sx1 * sy2 AS DOUBLE) /
+                   (SQRT(CAST(n * sxx1 - sx1 * sx1 AS DOUBLE)) *
+                    SQRT(CAST(n * syy2 - sy2 * sy2 AS DOUBLE)))
+            FROM m
+            UNION ALL
+            SELECT 'n_tokens', 'n_uniq', n,
+                   CAST(n * sxy3 - sy1 * sy2 AS DOUBLE) /
+                   (SQRT(CAST(n * syy1 - sy1 * sy1 AS DOUBLE)) *
+                    SQRT(CAST(n * syy2 - sy2 * sy2 AS DOUBLE)))
+            FROM m
+        """,
+        "shingle_index": """
+            WITH toks AS (
+              SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+              FROM documents
+            ), sh AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_transform(
+                       generate_series(1, len(t) - 2),
+                       i -> array_to_string(t[i:i+2], ' '))) AS term
+              FROM toks WHERE len(t) >= 3
+            )
+            SELECT term, COUNT(*) AS n_docs,
+                   list(doc_id ORDER BY doc_id) AS postings
+            FROM sh GROUP BY term
+            HAVING COUNT(*) BETWEEN 2 AND 40
+        """,
+    }
+)

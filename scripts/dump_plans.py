@@ -127,6 +127,31 @@ CASES = [
         "portable hash bucket (Exchange on bucket, per-bucket Sort) - "
         "parallel across buckets, never a single global ordered cumsum.",
     ),
+    (
+        "fuzzy_titles",
+        "FastSS fuzzy matching: variant expansion feeds ONE equi-join on the "
+        "64-bit variant hash (Exchange on __vh, SortMergeJoin/ShuffledHashJoin) "
+        "- no CartesianProduct, no BroadcastNestedLoop; levenshtein verify "
+        "runs post-join as a codegen filter.",
+    ),
+    (
+        "user_skew",
+        "Heavy-hitter top-k: hash-agg counts then TakeOrderedAndProject "
+        "(per-partition heaps) - no global Sort; the total is a 1-row "
+        "broadcast, not a driver collect.",
+    ),
+    (
+        "weekly_cohorts",
+        "Cohort retention: cohort min-agg and the join-back both hash-"
+        "partition on user_id (the aggregate side reuses its partitioning), "
+        "then one distinct-count Expand aggregate.",
+    ),
+    (
+        "shingle_index",
+        "Inverted index: per-doc-distinct shingles dedup BEFORE the exchange "
+        "(partial aggregate under the shuffle), posting lists built by "
+        "collect_set inside one hash aggregate.",
+    ),
 ]
 
 

@@ -133,3 +133,96 @@ class TestNumericHistogram:
         assert (r["bin_id"], r["n_rows"], r["bin_min"], r["bin_max"]) == (
             0, 2, 42, 42,
         )
+
+
+class TestSkewProfile:
+    def test_counts_share_and_tiebreak(self, spark):
+        from s3parq_spark.operators import skew_profile
+
+        rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] * 2 + [("d",)] * 1
+        df = spark.createDataFrame(rows, ["k"])
+        got = skew_profile(df, ["k"], 3).collect()
+        assert [(r["k"], r["n_rows"]) for r in got] == [
+            ("a", 4), ("b", 2), ("c", 2),  # b before c: key tie-break
+        ]
+        assert got[0]["share"] == 4 / 9
+
+    def test_topk_plan_avoids_global_sort(self, spark):
+        from s3parq_spark.operators import skew_profile
+
+        df = spark.createDataFrame([("a",), ("b",)], ["k"])
+        plan = skew_profile(df, ["k"], 5)._jdf.queryExecution().toString()
+        assert "TakeOrderedAndProject" in plan
+
+
+class TestCorrelationMatrix:
+    def test_perfect_and_anti_correlation(self, spark):
+        from s3parq_spark.operators import correlation_matrix
+
+        rows = [(i, 2 * i + 1, 10 - i) for i in range(8)]
+        df = spark.createDataFrame(rows, ["x", "y", "z"])
+        got = {(r["col_x"], r["col_y"]): r for r in correlation_matrix(
+            df, ["x", "y", "z"]).collect()}
+        assert got[("x", "y")]["corr"] == pytest.approx(1.0)
+        assert got[("x", "z")]["corr"] == pytest.approx(-1.0)
+        assert got[("y", "z")]["corr"] == pytest.approx(-1.0)
+        assert all(r["n_pairs"] == 8 for r in got.values())
+
+    def test_pairwise_nulls_and_constant(self, spark):
+        from s3parq_spark.operators import correlation_matrix
+
+        rows = [(1, 5, None), (2, 5, 7), (3, 5, 9), (None, 5, 11)]
+        df = spark.createDataFrame(rows, ["x", "c", "z"])
+        got = {(r["col_x"], r["col_y"]): r for r in correlation_matrix(
+            df, ["x", "c", "z"]).collect()}
+        assert got[("x", "c")]["corr"] is None          # zero variance
+        assert got[("x", "z")]["n_pairs"] == 2          # pairwise-complete
+        assert got[("x", "z")]["corr"] == pytest.approx(1.0)
+
+    def test_known_value(self, spark):
+        from s3parq_spark.operators import correlation_matrix
+
+        xs = [1, 2, 4, 5]
+        ys = [1, 3, 2, 6]
+        import math
+
+        n = len(xs)
+        num = n * sum(a * b for a, b in zip(xs, ys)) - sum(xs) * sum(ys)
+        den = math.sqrt(n * sum(a * a for a in xs) - sum(xs) ** 2) * math.sqrt(
+            n * sum(b * b for b in ys) - sum(ys) ** 2
+        )
+        df = spark.createDataFrame(list(zip(xs, ys)), ["x", "y"])
+        [r] = correlation_matrix(df, ["x", "y"]).collect()
+        assert r["corr"] == pytest.approx(num / den, abs=1e-12)
+
+
+class TestInvertedIndex:
+    def test_postings_and_df_band(self, spark):
+        from s3parq_spark.operators import inverted_index
+
+        docs = [
+            (1, "a b c a b c"),   # shingle "a b c" twice in one doc
+            (2, "a b c d"),
+            (3, "x y z"),
+            (4, "x y z"),
+            (5, "q"),             # too short for k=3
+        ]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {
+            r["term"]: (r["n_docs"], r["postings"])
+            for r in inverted_index(df, "doc_id", "text", k=3, min_df=2).collect()
+        }
+        # "a b c" appears twice in doc 1 but counts once (per-doc distinct)
+        assert got["a b c"] == (2, [1, 2])
+        assert got["x y z"] == (2, [3, 4])
+        # df-1 shingles ("b c a", "c a b", "b c d") fall below min_df
+        assert set(got) == {"a b c", "x y z"}
+
+    def test_max_df_drops_stop_shingles(self, spark):
+        from s3parq_spark.operators import inverted_index
+
+        docs = [(i, "s t o p") for i in range(6)] + [(10, "r a r e"), (11, "r a r e")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        got = {r["term"] for r in inverted_index(
+            df, "doc_id", "text", k=4, min_df=2, max_df=5).collect()}
+        assert got == {"r a r e"}
