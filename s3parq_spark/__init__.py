@@ -20,6 +20,7 @@ from .fetch import (
     get_diff_partition_values,
     get_max_partition_value,
 )
+from .export import export_jsonl, read_jsonl
 from .publish import custom_publish, publish, publish_path, validate_redshift_params
 from .session import get_spark
 from .session_helper import SessionHelper
@@ -28,6 +29,7 @@ __all__ = [
     "MissingS3ParqMetadata",
     "attach",
     "custom_publish",
+    "export_jsonl",
     "fetch",
     "fetch_diff",
     "fetch_diff_path",
@@ -38,6 +40,7 @@ __all__ = [
     "get_max_partition_value",
     "get_spark",
     "publish",
+    "read_jsonl",
     "publish_path",
     "SessionHelper",
     "validate_redshift_params",

@@ -436,3 +436,36 @@ def run_streaming_enriched_counts(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_latest_state(
+    spark: SparkSession, events_parquet: str
+) -> DataFrame:
+    """Streaming changelog compaction: the continuously-maintained
+    "latest event per user" view — the streaming twin of
+    ``operators.timeseries.latest_state`` and the state a CDC upsert sink
+    keeps.
+
+    The aggregate is the same ``max(struct(ts, tiebreak, payload...))``
+    winner: per-key state is ONE struct (bounded by distinct keys, not by
+    event volume), map-side partials combine within each micro-batch, and
+    every batch folds into the state store associatively — so the
+    availableNow run over the static data equals the batch operator by
+    construction, and an unbounded run maintains the same view
+    incrementally. Complete output mode republishes the compacted table
+    (at scale: update mode + an upsert sink).
+    """
+    from ..operators.timeseries import latest_state
+
+    name = f"latest_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, events_parquet)
+    q = (
+        latest_state(stream, ["user_id"], "ts", "event_id", ["event_type", "value"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1246,3 +1246,72 @@ ORACLE_EXT.update(
         """,
     }
 )
+
+
+def q_events_stream_latest(spark, sf_dir):
+    """Streaming changelog compaction (streaming/events.py
+    stream_latest_state): the same max(struct) aggregate-winner as the
+    batch operator, folded incrementally through the state store — equal
+    to the batch latest_user_state by associativity."""
+    import posixpath as pp
+
+    from .streaming import stream_latest_state
+
+    return stream_latest_state(spark, pp.join(sf_dir, "events.parquet"))
+
+
+QUERIES_EXT["events_stream_latest"] = q_events_stream_latest
+# same oracle as the batch compaction: the stream must converge to it
+ORACLE_EXT["events_stream_latest"] = """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id, make_timestamp(epoch_us(ts)) AS ts, event_id,
+             event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""
+
+
+def q_jsonl_export_roundtrip(spark, sf_dir):
+    """JSONL training export end-to-end (export.py): quality-filtered
+    documents written as 8 deterministic hash shards (xxhash64(doc_id) mod
+    8, partitionBy dirs), read back under an explicit schema — content and
+    shard assignment must both survive the round trip."""
+    import os
+    import re
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from .export import export_jsonl, read_jsonl
+    from .workload import _CACHE_ROOT
+
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "docs_jsonl")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
+        export_jsonl(docs, path, "doc_id", n_shards=8)
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    out = read_jsonl(spark, path, schema)
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+QUERIES_EXT["jsonl_export_roundtrip"] = q_jsonl_export_roundtrip
+# content contract: every row survives the JSON round trip exactly.
+# Shard determinism (xxhash64 mod n) is pinned by the pytest unit test —
+# DuckDB has no xxhash64 to recompute it.
+ORACLE_EXT["jsonl_export_roundtrip"] = """
+    SELECT doc_id, text, lang, source, n_chars
+    FROM documents WHERE n_chars >= 100
+"""
