@@ -54,6 +54,7 @@ from .sampling import (
 )
 from .timeseries import (
     cohort_retention,
+    resample_counts,
     funnel_next_within,
     latest_state,
     rolling_window_agg,
@@ -92,6 +93,7 @@ __all__ = [
     "percentile_band_filter",
     "profile_columns",
     "rolling_window_agg",
+    "resample_counts",
     "kmeans_centroids",
     "language_id",
     "lsh_bucketed_topk",

@@ -95,6 +95,47 @@ def latest_state(
     return agg.select(*sel)
 
 
+def resample_counts(
+    df: DataFrame, key: str, ts_col: str, unit: str = "hour"
+) -> DataFrame:
+    """Regularize an event series: per-``key`` event counts on a DENSE
+    ``unit`` grid spanning [first, last] activity of that key — missing
+    buckets become explicit zeros. Model features and anomaly detectors
+    need the gaps, not just the hits.
+
+    Plan: one hash aggregate buckets the events; per-key bounds come from a
+    second tiny aggregate over the buckets; ``sequence(lo, hi, interval)``
+    explodes each key's dense grid (bounded: keys × buckets, linear in
+    output) and a left join pulls the observed counts back in. Both the
+    bucket aggregate and the join hash-partition on the key columns, so the
+    grid never shuffles the raw events a second time. No window sorts.
+
+    Output: ``key, bucket (timestamp), n_events`` (0 where silent).
+    """
+    per = (
+        df.select(F.col(key), F.date_trunc(unit, F.col(ts_col)).alias("__b"))
+        .groupBy(key, "__b")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    bounds = per.groupBy(key).agg(
+        F.min("__b").alias("__lo"), F.max("__b").alias("__hi")
+    )
+    grid = bounds.select(
+        key,
+        F.explode(
+            F.expr(f"sequence(__lo, __hi, interval 1 {unit})")
+        ).alias("__b"),
+    )
+    return (
+        grid.join(per, [key, "__b"], "left")
+        .select(
+            key,
+            F.col("__b").alias("bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
 def cohort_retention(
     df: DataFrame, user_col: str, ts_col: str
 ) -> DataFrame:

@@ -1315,3 +1315,33 @@ ORACLE_EXT["jsonl_export_roundtrip"] = """
     SELECT doc_id, text, lang, source, n_chars
     FROM documents WHERE n_chars >= 100
 """
+
+
+def q_hourly_resample(spark, sf_dir):
+    """Dense per-user hourly series with explicit zero gaps
+    (operators/timeseries.py resample_counts): bucket hash-agg + per-key
+    sequence explode + left join, everything partitioned on user_id."""
+    from .operators import resample_counts
+    from .workload import _events
+
+    ev = _events(spark, sf_dir)
+    return resample_counts(ev, "user_id", "ts", "hour")
+
+
+QUERIES_EXT["hourly_resample"] = q_hourly_resample
+ORACLE_EXT["hourly_resample"] = """
+    WITH per AS (
+      SELECT user_id, date_trunc('hour', ts) AS b, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT user_id, MIN(b) AS lo, MAX(b) AS hi FROM per GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b
+      FROM bounds
+    )
+    SELECT g.user_id, CAST(g.b AS TIMESTAMP) AS bucket,
+           COALESCE(p.n_events, 0) AS n_events
+    FROM grid g LEFT JOIN per p
+      ON g.user_id = p.user_id AND g.b = p.b
+"""

@@ -226,3 +226,41 @@ class TestInvertedIndex:
         got = {r["term"] for r in inverted_index(
             df, "doc_id", "text", k=4, min_df=2, max_df=5).collect()}
         assert got == {"r a r e"}
+
+
+class TestResampleCounts:
+    def test_gaps_become_zero(self, spark):
+        from s3parq_spark.operators import resample_counts
+
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 0, 10)),
+            (1, datetime.datetime(2024, 1, 1, 0, 50)),   # same hour
+            (1, datetime.datetime(2024, 1, 1, 3, 0)),    # 2-hour gap
+            (2, datetime.datetime(2024, 1, 1, 5, 0)),    # single event
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        got = {
+            (r["user_id"], r["bucket"].hour): r["n_events"]
+            for r in resample_counts(df, "user_id", "ts", "hour").collect()
+        }
+        assert got == {
+            (1, 0): 2, (1, 1): 0, (1, 2): 0, (1, 3): 1,
+            (2, 5): 1,
+        }
+
+    def test_grid_spans_each_key_independently(self, spark):
+        from s3parq_spark.operators import resample_counts
+
+        rows = [
+            (1, datetime.datetime(2024, 1, 1, 0, 0)),
+            (1, datetime.datetime(2024, 1, 1, 9, 0)),
+            (2, datetime.datetime(2024, 1, 1, 4, 0)),
+        ]
+        df = spark.createDataFrame(rows, ["user_id", "ts"])
+        out = resample_counts(df, "user_id", "ts", "hour")
+        n_by_user = {
+            r["user_id"]: r["n"]
+            for r in out.groupBy("user_id").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        assert n_by_user == {1: 10, 2: 1}  # 0..9 inclusive for user 1
