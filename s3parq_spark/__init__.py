@@ -10,6 +10,8 @@ importable module members, and adds the large-scale pipeline operators
 
 from .fetch import (
     attach,
+    fetch_at,
+    list_versions,
     MissingS3ParqMetadata,
     fetch,
     fetch_diff,
@@ -31,6 +33,7 @@ __all__ = [
     "custom_publish",
     "export_jsonl",
     "fetch",
+    "fetch_at",
     "fetch_diff",
     "fetch_diff_path",
     "fetch_path",
@@ -39,6 +42,7 @@ __all__ = [
     "get_diff_partition_values",
     "get_max_partition_value",
     "get_spark",
+    "list_versions",
     "publish",
     "read_jsonl",
     "publish_path",

@@ -216,6 +216,85 @@ def fetch_path(
     return df.select(*[f.name for f in full_schema.fields])
 
 
+def list_versions(spark: SparkSession, path: str) -> List[dict]:
+    """The dataset's append-only version history:
+    ``[{"version": n, "n_files": k}, ...]`` (empty when the dataset predates
+    snapshot tracking or a destructive rewrite cleared it)."""
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        return []
+    return [
+        {"version": s["version"], "n_files": len(s["added"])}
+        for s in meta.snapshots
+    ]
+
+
+def fetch_at(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    filters: Optional[List[dict]] = None,
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Time travel over an append-only dataset: read EXACTLY the files that
+    existed at snapshot ``version`` — the reproducibility contract a
+    training pipeline needs ("retrain on the corpus as of version N",
+    byte-identical input set, regardless of appends since).
+
+    Each ``publish`` records the files it added in the sidecar's snapshot
+    list; ``fetch_at(v)`` reads the prefix union through the same explicit
+    sidecar schema as ``fetch_path`` with ``basePath`` recovery of hive
+    partition columns — so partition pruning (``filters``) and ReadSchema
+    projection (``columns``) both still reach the scan. Columns added by
+    later schema evolution read as NULL from older files (parquet
+    missing-column semantics), exactly as of-that-time data should.
+
+    Destructive rewrites (``overwrite_partitions``, ``compact_dataset``)
+    delete files, so they clear the history rather than leave versions that
+    can no longer be replayed; ``fetch_at`` then raises until a new
+    snapshot exists.
+    """
+    filters = filters or []
+    validate_filter_rules(filters)
+    meta = _dataset_meta(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(f"no version history at {path}")
+    versions = [s["version"] for s in meta.snapshots]
+    if version not in versions:
+        raise ValueError(
+            f"version {version} not in history {versions} at {path}"
+        )
+    rel = [
+        r
+        for s in meta.snapshots
+        if s["version"] <= version
+        for r in s["added"]
+    ]
+    files = [posixpath.join(path, r) for r in rel]
+
+    validate_matching_filter_data_type(meta.partition_data_types, filters)
+    full_schema = T.StructType(
+        [
+            T.StructField(n, metadata.vocab_to_spark_type(t), True)
+            for n, t in meta.column_types.items()
+        ]
+    )
+    df = (
+        spark.read.schema(full_schema)
+        .option("basePath", path)
+        .parquet(*files)
+    )
+    if filters:
+        df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
+    if columns is not None:
+        known = {f.name for f in full_schema.fields}
+        missing = [c for c in columns if c not in known]
+        if missing:
+            raise ValueError(f"unknown columns {missing} in dataset at {path}")
+        return df.select(*columns)
+    return df.select(*[f.name for f in full_schema.fields])
+
+
 def fetch(
     bucket: str,
     key: str,

@@ -129,10 +129,14 @@ class DatasetMetadata:
         partitions: List[str],
         partition_data_types: Dict[str, str],
         column_types: Dict[str, str],
+        snapshots: Optional[List[dict]] = None,
     ):
         self.partitions = list(partitions)
         self.partition_data_types = dict(partition_data_types)
         self.column_types = dict(column_types)
+        # append-only version history: [{"version": 1, "added": [relpath...]}]
+        # — each publish's file additions; fetch_at(v) reads the prefix union
+        self.snapshots = list(snapshots or [])
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -147,12 +151,15 @@ class DatasetMetadata:
         )
 
     def to_dict(self) -> dict:
-        return {
+        d = {
             "format": "s3parq-spark/1",
             "partitions": self.partitions,
             "partition_data_types": self.partition_data_types,
             "column_types": self.column_types,
         }
+        if self.snapshots:
+            d["snapshots"] = self.snapshots
+        return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "DatasetMetadata":
@@ -160,6 +167,7 @@ class DatasetMetadata:
             partitions=d.get("partitions", []),
             partition_data_types=d.get("partition_data_types", {}),
             column_types=d.get("column_types", {}),
+            snapshots=d.get("snapshots"),
         )
 
     def value_schema(self) -> T.StructType:
@@ -209,4 +217,9 @@ def merge_sidecar(
             raise ValueError(f"append type mismatch on column {col!r}: {old} vs {t}")
     merged_cols = dict(existing.column_types)
     merged_cols.update(new.column_types)
-    return DatasetMetadata(new.partitions, new.partition_data_types, merged_cols)
+    return DatasetMetadata(
+        new.partitions,
+        new.partition_data_types,
+        merged_cols,
+        snapshots=existing.snapshots,
+    )

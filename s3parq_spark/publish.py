@@ -216,6 +216,12 @@ def _touched_partition_dirs(
     ]
 
 
+def _rel_files(path: str, files: List[str]) -> List[str]:
+    """Dataset-relative manifest paths — portable if the dataset moves."""
+    pref = path.rstrip("/") + "/"
+    return [f[len(pref):] if f.startswith(pref) else f for f in files]
+
+
 def _list_scoped(spark: SparkSession, path: str, dirs: List[str]) -> List[str]:
     """List data files under only the given partition directories; paths
     come back relative to the dataset root (the publish return contract)."""
@@ -267,7 +273,8 @@ def publish_path(
             meta.column_types[col] = vocab
             if col in meta.partition_data_types:
                 meta.partition_data_types[col] = vocab
-    merged = metadata.merge_sidecar(metadata.read_sidecar(spark, path), meta)
+    existing = metadata.read_sidecar(spark, path)
+    merged = metadata.merge_sidecar(existing, meta)
 
     scoped_dirs: Optional[List[str]] = None
     if mode == "append" and partitions:
@@ -302,19 +309,39 @@ def publish_path(
         writer = writer.partitionBy(*partitions)
     writer.parquet(path)
 
-    metadata.write_sidecar(spark, path, merged)
-
     if scoped_dirs is not None:
         new = [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
-        if new:
-            return new
-        # defensive: a successful append always adds files to a touched
-        # partition, so an empty scoped diff means the constructed dirs
-        # missed (unsupported partition type rendering) — fall back to one
-        # full listing rather than report nothing
-        return [f for f in fs.list_files(spark, path) if f not in before]
-    after = fs.list_files(spark, path)
-    return [f for f in after if f not in before]
+        if not new:
+            # defensive: a successful append always adds files to a touched
+            # partition, so an empty scoped diff means the constructed dirs
+            # missed (unsupported partition type rendering) — fall back to
+            # one full listing rather than report nothing
+            new = [f for f in fs.list_files(spark, path) if f not in before]
+    else:
+        new = [f for f in fs.list_files(spark, path) if f not in before]
+
+    # Append-only version history: each publish is a snapshot recording the
+    # files it added; ``fetch_at(v)`` replays the prefix union. Overwrite
+    # starts history at v1. An append onto a pre-snapshot dataset bootstraps
+    # v1 from the files that predate this publish (one full listing, once).
+    if mode != "append" or existing is None:
+        snaps = [{"version": 1, "added": _rel_files(path, new)}]
+    else:
+        snaps = list(merged.snapshots)
+        if not snaps:
+            new_set = set(new)
+            prior = [f for f in fs.list_files(spark, path) if f not in new_set]
+            if prior:
+                snaps = [{"version": 1, "added": _rel_files(path, prior)}]
+        snaps.append(
+            {
+                "version": (snaps[-1]["version"] + 1) if snaps else 1,
+                "added": _rel_files(path, new),
+            }
+        )
+    merged.snapshots = snaps
+    metadata.write_sidecar(spark, path, merged)
+    return new
 
 
 
@@ -380,6 +407,10 @@ def overwrite_partitions(
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
+    # partition overwrite deletes replaced files, so older snapshots can no
+    # longer be replayed — clear the version history (honest, not stale);
+    # the next append bootstraps v1 from the then-live file set
+    merged.snapshots = []
     metadata.write_sidecar(spark, path, merged)
     return [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
 

@@ -1345,3 +1345,44 @@ ORACLE_EXT["hourly_resample"] = """
     FROM grid g LEFT JOIN per p
       ON g.user_id = p.user_id AND g.b = p.b
 """
+
+
+def q_time_travel_fetch(spark, sf_dir):
+    """Time travel end-to-end (fetch.py fetch_at): publish lineitem rows
+    with l_linenumber <= 3 as v1, append the rest as v2, then read the
+    dataset AS OF v1 — the byte-identical training-set reproducibility
+    contract. Partition pruning and the sidecar schema apply at the old
+    version exactly as at head."""
+    import os
+    import re
+    import shutil
+
+    from .fetch import fetch_at
+    from .publish import publish_path
+    from .workload import _CACHE_ROOT
+
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "li_versions")
+    marker = os.path.join(path, "_VERSIONED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        li = _table(spark, sf_dir, "lineitem")
+        publish_path(
+            spark, path, li.filter(F.col("l_linenumber") <= 3), ["l_returnflag"]
+        )
+        publish_path(
+            spark,
+            path,
+            li.filter(F.col("l_linenumber") > 3),
+            ["l_returnflag"],
+            mode="append",
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_at(spark, path, 1)
+
+
+QUERIES_EXT["time_travel_fetch"] = q_time_travel_fetch
+ORACLE_EXT["time_travel_fetch"] = """
+    SELECT * FROM lineitem WHERE l_linenumber <= 3
+"""

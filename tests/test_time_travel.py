@@ -1,0 +1,114 @@
+"""Time-travel tests: snapshot bookkeeping in the sidecar, prefix-union
+reads at a version, schema-evolution nulls, pruning at old versions, and
+history clearing on destructive rewrites."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark.fetch import fetch_at, fetch_path, list_versions
+from s3parq_spark.publish import overwrite_partitions, publish_path
+
+
+def batch(lo, hi, grp="a"):
+    return pd.DataFrame(
+        {
+            "grp": [grp] * (hi - lo),
+            "v": list(range(lo, hi)),
+        }
+    )
+
+
+class TestTimeTravel:
+    def test_prefix_union_per_version(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, batch(0, 10), ["grp"])
+        publish_path(spark, tmp_dataset_dir, batch(10, 25), ["grp"], mode="append")
+        publish_path(spark, tmp_dataset_dir, batch(25, 30), ["grp"], mode="append")
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [
+            1, 2, 3,
+        ]
+        got = lambda v: sorted(  # noqa: E731
+            r["v"] for r in fetch_at(spark, tmp_dataset_dir, v).collect()
+        )
+        assert got(1) == list(range(10))
+        assert got(2) == list(range(25))
+        assert got(3) == list(range(30))
+        latest = sorted(r["v"] for r in fetch_path(spark, tmp_dataset_dir).collect())
+        assert latest == got(3)
+
+    def test_filters_and_columns_at_version(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, batch(0, 5, "a"), ["grp"])
+        publish_path(
+            spark, tmp_dataset_dir, batch(5, 9, "b"), ["grp"], mode="append"
+        )
+        df = fetch_at(
+            spark,
+            tmp_dataset_dir,
+            2,
+            filters=[{"partition": "grp", "comparison": "==", "values": ["b"]}],
+            columns=["v"],
+        )
+        assert df.columns == ["v"]
+        assert sorted(r["v"] for r in df.collect()) == [5, 6, 7, 8]
+        plan = df._jdf.queryExecution().toString()
+        assert "PartitionFilters" in plan
+
+    def test_unknown_version_rejected(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, batch(0, 5), ["grp"])
+        with pytest.raises(ValueError, match="not in history"):
+            fetch_at(spark, tmp_dataset_dir, 7)
+
+    def test_schema_evolution_reads_null_at_old_files(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, batch(0, 4), ["grp"])
+        widened = batch(4, 8).assign(extra=[10.5, 11.5, 12.5, 13.5])
+        publish_path(spark, tmp_dataset_dir, widened, ["grp"], mode="append")
+        at2 = fetch_at(spark, tmp_dataset_dir, 2)
+        rows = {r["v"]: r["extra"] for r in at2.collect()}
+        assert rows[0] is None and rows[5] == 11.5
+
+    def test_overwrite_resets_history(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, batch(0, 5), ["grp"])
+        publish_path(spark, tmp_dataset_dir, batch(5, 9), ["grp"], mode="append")
+        publish_path(spark, tmp_dataset_dir, batch(0, 3), ["grp"], mode="overwrite")
+        vs = list_versions(spark, tmp_dataset_dir)
+        assert [v["version"] for v in vs] == [1]
+        assert sorted(
+            r["v"] for r in fetch_at(spark, tmp_dataset_dir, 1).collect()
+        ) == [0, 1, 2]
+
+    def test_partition_overwrite_clears_history(self, spark, tmp_dataset_dir):
+        publish_path(spark, tmp_dataset_dir, batch(0, 5, "a"), ["grp"])
+        publish_path(
+            spark, tmp_dataset_dir, batch(5, 9, "b"), ["grp"], mode="append"
+        )
+        overwrite_partitions(spark, tmp_dataset_dir, batch(1, 3, "a"), ["grp"])
+        assert list_versions(spark, tmp_dataset_dir) == []
+        with pytest.raises(ValueError, match="no version history"):
+            fetch_at(spark, tmp_dataset_dir, 1)
+        # next append bootstraps v1 from the live set, v2 = the append
+        publish_path(
+            spark, tmp_dataset_dir, batch(9, 12, "c"), ["grp"], mode="append"
+        )
+        vs = [v["version"] for v in list_versions(spark, tmp_dataset_dir)]
+        assert vs == [1, 2]
+        assert sorted(
+            r["v"] for r in fetch_at(spark, tmp_dataset_dir, 1).collect()
+        ) == [1, 2, 5, 6, 7, 8]
+
+    def test_append_to_pre_snapshot_dataset_bootstraps(
+        self, spark, tmp_dataset_dir
+    ):
+        from s3parq_spark import metadata
+
+        publish_path(spark, tmp_dataset_dir, batch(0, 6), ["grp"])
+        # simulate a dataset written before snapshot tracking existed
+        meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+        meta.snapshots = []
+        metadata.write_sidecar(spark, tmp_dataset_dir, meta)
+        publish_path(spark, tmp_dataset_dir, batch(6, 9), ["grp"], mode="append")
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [
+            1, 2,
+        ]
+        assert sorted(
+            r["v"] for r in fetch_at(spark, tmp_dataset_dir, 1).collect()
+        ) == list(range(6))
