@@ -23,7 +23,13 @@ from .fetch import (
     get_max_partition_value,
 )
 from .export import export_jsonl, read_jsonl
-from .publish import custom_publish, publish, publish_path, validate_redshift_params
+from .publish import (
+    custom_publish,
+    merge_upsert,
+    publish,
+    publish_path,
+    validate_redshift_params,
+)
 from .session import get_spark
 from .session_helper import SessionHelper
 
@@ -43,6 +49,7 @@ __all__ = [
     "get_max_partition_value",
     "get_spark",
     "list_versions",
+    "merge_upsert",
     "publish",
     "read_jsonl",
     "publish_path",

@@ -45,6 +45,7 @@ from .profile import (
     numeric_histogram,
     profile_columns,
     skew_profile,
+    validate_expectations,
 )
 from .sampling import (
     corpus_shuffle,
@@ -99,6 +100,7 @@ __all__ = [
     "lsh_bucketed_topk",
     "numeric_histogram",
     "skew_profile",
+    "validate_expectations",
     "minhash_candidate_pairs",
     "minhash_neardup_pairs",
     "minhash_signatures",

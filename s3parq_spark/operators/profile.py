@@ -143,6 +143,63 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     return row.select(F.explode(F.array(*out)).alias("p")).select("p.*")
 
 
+def validate_expectations(df: DataFrame, rules) -> DataFrame:
+    """Data-quality gate: evaluate declarative expectations in ONE
+    aggregate pass; output one row per rule: ``rule, n_rows, n_violations``
+    (publish gates on ``n_violations == 0``; reports feed monitoring).
+
+    Rules (dicts):
+    - ``{"rule": name, "type": "not_null", "col": c}``
+    - ``{"rule": name, "type": "unique", "col": c}`` — duplicates among
+      non-null values (``count(col) - count_distinct(col)``)
+    - ``{"rule": name, "type": "range", "col": c, "min": x, "max": y}``
+    - ``{"rule": name, "type": "in_set", "col": c, "values": [...]}``
+    - ``{"rule": name, "type": "regex", "col": c, "pattern": p}``
+
+    Every check compiles to a conditional count inside one hash aggregate
+    over one scan (``unique`` rides the same aggregate through Spark's
+    distinct-count Expand) — adding a rule adds a counter, never a pass.
+    """
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for i, r in enumerate(rules):
+        c, t = F.col(r["col"]), r["type"]
+        if t == "not_null":
+            bad = F.count(F.when(c.isNull(), F.lit(1)))
+        elif t == "unique":
+            bad = F.count(c) - F.count_distinct(c)
+        elif t == "range":
+            bad = F.count(
+                F.when(
+                    c.isNotNull()
+                    & ((c < F.lit(r["min"])) | (c > F.lit(r["max"]))),
+                    F.lit(1),
+                )
+            )
+        elif t == "in_set":
+            bad = F.count(
+                F.when(c.isNotNull() & ~c.isin(*r["values"]), F.lit(1))
+            )
+        elif t == "regex":
+            bad = F.count(
+                F.when(c.isNotNull() & ~c.rlike(r["pattern"]), F.lit(1))
+            )
+        else:
+            raise ValueError(f"unknown expectation type {t!r}")
+        aggs.append(bad.alias(f"__v{i}"))
+    row = df.agg(*aggs)
+    out = F.array(
+        *[
+            F.struct(
+                F.lit(r["rule"]).alias("rule"),
+                F.col("__rows").alias("n_rows"),
+                F.col(f"__v{i}").alias("n_violations"),
+            )
+            for i, r in enumerate(rules)
+        ]
+    )
+    return row.select(F.explode(out).alias("p")).select("p.*")
+
+
 def numeric_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
     """Equi-width histogram of an integral column: ``bin_id, n_rows,
     bin_min, bin_max`` for ``nbins`` buckets spanning [min, max].

@@ -415,6 +415,73 @@ def overwrite_partitions(
     return [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
 
 
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    updates,
+    keys: List[str],
+    seq_col: str,
+) -> List[str]:
+    """MERGE INTO for published datasets: apply a CDC batch (updates +
+    inserts) — per key, the row with the highest ``seq_col`` wins, updates
+    beating existing rows on ties. The warehouse upsert the reference's
+    append-only sink can't express.
+
+    Scale contract: ONLY the hive partitions the batch touches are read and
+    rewritten. That requires the partition columns to be functionally
+    dependent on ``keys`` (a key never moves partitions) — the standard
+    partitioned-MERGE precondition; a violating batch would strand the
+    key's old row in another partition, so choose partition columns that
+    are stable attributes of the key.
+
+    Plan: one partition-pruned read of the touched slice (the same
+    ``PartitionFilters`` machinery as fetch), a union with the batch, ONE
+    ``max(struct(seq, source, payload))`` hash aggregate to pick winners
+    (map-side partials — a key updated a million times ships one candidate
+    per task), and a dynamic partition overwrite of the touched
+    partitions. Cost is O(touched partitions + batch), not O(dataset).
+    """
+    from .fetch import fetch_path
+    from .operators.timeseries import latest_state
+
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"no dataset at {path}")
+    partitions = list(meta.partitions)
+    if not partitions:
+        raise ValueError(
+            "merge_upsert requires a partitioned dataset (the partition "
+            "scope is what keeps the rewrite O(touched), not O(dataset))"
+        )
+    up = _to_spark_df(spark, updates)
+    missing = [k for k in keys + [seq_col] if k not in up.columns]
+    if missing:
+        raise ValueError(f"updates missing merge columns {missing}")
+
+    touched = [
+        [row[p] for p in partitions]
+        for row in up.select(*partitions).distinct().collect()
+    ]
+    pred = None
+    for vals in touched:
+        clause = F.lit(True)
+        for p, v in zip(partitions, vals):
+            clause = clause & (F.col(p) == F.lit(v))
+        pred = clause if pred is None else (pred | clause)
+    existing = fetch_path(spark, path).filter(pred)
+
+    cols = existing.columns
+    src_old = existing.withColumn("__src", F.lit(0))
+    src_new = up.select(*cols).withColumn("__src", F.lit(1))
+    payload = [c for c in cols if c not in keys and c != seq_col]
+    merged = latest_state(
+        src_old.unionByName(src_new), keys, seq_col, "__src", payload
+    ).drop("__src")
+    # restore seq ordering column position, then swap the touched partitions
+    merged = merged.select(*cols)
+    return overwrite_partitions(spark, path, merged, partitions)
+
+
 def _zorder_expr(df: DataFrame, cols: List[str], bits: int = 16):
     """Z-order (Morton) key over up to 4 numeric/temporal columns: each
     column min-max normalizes to a ``bits``-bit integer (one tiny global

@@ -1386,3 +1386,131 @@ QUERIES_EXT["time_travel_fetch"] = q_time_travel_fetch
 ORACLE_EXT["time_travel_fetch"] = """
     SELECT * FROM lineitem WHERE l_linenumber <= 3
 """
+
+
+def q_merge_upsert_fetch(spark, sf_dir):
+    """CDC MERGE INTO end-to-end (publish.py merge_upsert): publish orders
+    partitioned by o_orderstatus, apply a batch of updates (totalprice
+    bump for o_orderkey % 10 == 0) + inserts (shifted keys for
+    o_orderkey % 1000 == 0); newest seq wins per key and only touched
+    partitions rewrite. Fetch the merged dataset back."""
+    import os
+    import re
+    import shutil
+
+    from .fetch import fetch_path
+    from .publish import merge_upsert, publish_path
+    from .workload import _CACHE_ROOT
+
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "orders_merge")
+    marker = os.path.join(path, "_MERGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders").withColumn("seq", F.lit(0))
+        publish_path(spark, path, orders, ["o_orderstatus"])
+        updates = (
+            orders.filter(F.col("o_orderkey") % 10 == 0)
+            .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1.0))
+            .withColumn("seq", F.lit(1))
+        )
+        inserts = (
+            orders.filter(F.col("o_orderkey") % 1000 == 0)
+            .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(30000000))
+            .withColumn("seq", F.lit(1))
+        )
+        merge_upsert(
+            spark, path, updates.unionByName(inserts), ["o_orderkey"], "seq"
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_path(spark, path)
+
+
+def q_expectations_report(spark, sf_dir):
+    """Data-quality expectations in one aggregate pass
+    (operators/profile.py validate_expectations): null / unique / range /
+    in_set / regex checks over orders."""
+    from .operators import validate_expectations
+
+    orders = _table(spark, sf_dir, "orders")
+    return validate_expectations(
+        orders,
+        [
+            {"rule": "orderkey_not_null", "type": "not_null", "col": "o_orderkey"},
+            {"rule": "orderkey_unique", "type": "unique", "col": "o_orderkey"},
+            {
+                "rule": "price_in_range",
+                "type": "range",
+                "col": "o_totalprice",
+                "min": 0.0,
+                "max": 100000.0,
+            },
+            {
+                "rule": "status_known",
+                "type": "in_set",
+                "col": "o_orderstatus",
+                "values": ["O", "F"],
+            },
+            {
+                "rule": "priority_format",
+                "type": "regex",
+                "col": "o_orderpriority",
+                "pattern": "^[0-9]-[A-Z]+$",
+            },
+        ],
+    )
+
+
+QUERIES_EXT.update(
+    {
+        "merge_upsert_fetch": q_merge_upsert_fetch,
+        "expectations_report": q_expectations_report,
+    }
+)
+
+ORACLE_EXT.update(
+    {
+        "merge_upsert_fetch": """
+            SELECT o_orderkey, o_custkey, o_orderstatus,
+                   o_totalprice + CASE WHEN o_orderkey % 10 = 0 THEN 1.0
+                                       ELSE 0.0 END AS o_totalprice,
+                   o_orderdate, o_orderpriority,
+                   CASE WHEN o_orderkey % 10 = 0 THEN 1 ELSE 0 END AS seq
+            FROM orders
+            UNION ALL
+            SELECT o_orderkey + 30000000, o_custkey, o_orderstatus,
+                   o_totalprice, o_orderdate, o_orderpriority, 1
+            FROM orders WHERE o_orderkey % 1000 = 0
+        """,
+        "expectations_report": """
+            SELECT 'orderkey_not_null' AS rule, COUNT(*) AS n_rows,
+                   COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)
+                     AS n_violations
+            FROM orders
+            UNION ALL
+            SELECT 'orderkey_unique', COUNT(*),
+                   COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)
+            FROM orders
+            UNION ALL
+            SELECT 'price_in_range', COUNT(*),
+                   COUNT(CASE WHEN o_totalprice IS NOT NULL
+                              AND (o_totalprice < 0.0 OR o_totalprice > 100000.0)
+                              THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'status_known', COUNT(*),
+                   COUNT(CASE WHEN o_orderstatus IS NOT NULL
+                              AND o_orderstatus NOT IN ('O', 'F')
+                              THEN 1 END)
+            FROM orders
+            UNION ALL
+            SELECT 'priority_format', COUNT(*),
+                   COUNT(CASE WHEN o_orderpriority IS NOT NULL
+                              AND NOT regexp_matches(o_orderpriority,
+                                                     '^[0-9]-[A-Z]+$')
+                              THEN 1 END)
+            FROM orders
+        """,
+    }
+)
