@@ -19,16 +19,48 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-EVENTS_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as int64
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_schema(ts_nanos: bool) -> T.StructType:
+    """File-stream read schema for the events table. Parquet TIMESTAMP(NANOS)
+    cannot be read as TimestampType by Spark's reader — it is read as int64
+    (``nanosAsLong``) and rebuilt; TIMESTAMP(MICROS) reads natively. The
+    generator has shipped both units across rounds, so the unit is probed
+    from the file footer, never assumed."""
+    ts_type = T.LongType() if ts_nanos else T.TimestampType()
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+# nanos-as-long shape, for callers that hand-build TIMESTAMP(NANOS) inputs
+EVENTS_SCHEMA = _events_schema(ts_nanos=True)
+
+
+def _ts_is_nanos(events_parquet: str) -> bool:
+    """True when the parquet file's ``ts`` column is TIMESTAMP(NANOS)."""
+    import pyarrow.parquet as pq
+
+    path = events_parquet
+    if os.path.isdir(path):
+        cands = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not cands:
+            return False
+        path = os.path.join(path, sorted(cands)[0])
+    field = pq.read_schema(path).field("ts")
+    return getattr(field.type, "unit", None) == "ns"
+
+
+def _rebuild_ts(sdf: DataFrame, ts_nanos: bool) -> DataFrame:
+    if not ts_nanos:
+        return sdf
+    # integer div: float division would round and shift some values by 1µs
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 _ROCKSDB_PROVIDER = (
@@ -75,9 +107,9 @@ def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
         if not os.path.exists(dst):
             shutil.copy(events_parquet, dst)
         path = staged
-    sdf = spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
-    # integer div: float division would round and shift some values by 1µs
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    nanos = _ts_is_nanos(path)
+    sdf = spark.readStream.schema(_events_schema(nanos)).parquet(path)
+    return _rebuild_ts(sdf, nanos)
 
 
 def streaming_tumbling_counts(
@@ -283,11 +315,12 @@ def stream_dedup(
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _ensure_state_store(spark)
-    stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+    nanos = _ts_is_nanos(staged)
+    stream = _rebuild_ts(
+        spark.readStream.schema(_events_schema(nanos))
         .option("maxFilesPerTrigger", 1)
-        .parquet(staged)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .parquet(staged),
+        nanos,
     )
     deduped = (
         stream.withWatermark("ts", watermark)

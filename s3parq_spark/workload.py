@@ -60,9 +60,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     TimestampType column — a pure-JVM projection, no driver materialization."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(posixpath.join(sf_dir, "events.parquet"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         # integer div: float division would round and shift some values by 1µs
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        # TIMESTAMP(MICROS, isAdjustedToUTC=false) data reads as NTZ; the
+        # session timezone is pinned UTC (session.py) so this cast is
+        # value-preserving, and downstream epoch math (unix_micros) needs LTZ
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -2340,8 +2346,10 @@ def q_events_stream_publish(spark, sf_dir):
 
     src = posixpath.join(sf_dir, "events.parquet")
     st = os.stat(src)
+    # v2: cache key versions the ingest logic — the v1 cache held data
+    # written before the timestamp-unit probe fix and would poison the gate
     tag = hashlib.sha1(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}".encode()
+        f"{src}|{st.st_mtime_ns}|{st.st_size}|v2".encode()
     ).hexdigest()[:10]
     path = os.path.join(_CACHE_ROOT, f"stream_pub_{tag}")
     if not os.path.exists(os.path.join(path, "_s3parq_metadata.json")):
