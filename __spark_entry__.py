@@ -46,8 +46,51 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
+# Queries that already have a green (hash-matched) row in a prior round's
+# CORRECTNESS_r{01,02,03}.json. The driver only records the first 50 entries
+# of queries(), so registration order IS verification coverage: we lead with
+# two sentinel parity queries, then every query that has never had a driver
+# row (including anything newly added this round), then the already-verified
+# remainder. Rotate this set forward each round as new rows land.
+_VERIFIED_PRIOR_ROUNDS = frozenset(
+    {
+        "ann_topk", "anti_join", "asof_clicks", "audio_features",
+        "cube_pricing", "dedup_exact", "distinct_counts", "doc_fingerprint",
+        "emb_neardup", "events_json", "events_sessionize", "events_sliding",
+        "events_stream_tumbling", "events_tumbling", "except_nations",
+        "fetch_all", "fetch_decimal", "fetch_diff", "fetch_diff_reverse",
+        "fetch_filter_bool", "fetch_filter_datetime", "fetch_filter_eq",
+        "fetch_filter_float_eq", "fetch_filter_gt", "fetch_filter_in",
+        "fetch_filter_neq", "frame_sample", "grouping_sets",
+        "intersect_nations", "lang_id", "media_features", "minhash_pairs",
+        "nation_revenue", "neardup_jaccard", "order_item_arrays",
+        "partition_diff_values", "partition_max", "partition_values",
+        "pivot_status", "pricing_summary", "quantiles", "rollup_pricing",
+        "scalar_functions", "semi_join", "simhash_pairs", "text_quality",
+        "token_stats", "top_revenue_orders", "topk_orders", "union_distinct",
+        "window_top_orders",
+    }
+)
+
+_SENTINELS = ("fetch_filter_eq", "pricing_summary")
+
+# Queries added this round, promoted right after the sentinels so they get a
+# CORRECTNESS row in their first round instead of waiting out the rotation.
+_NEW_THIS_ROUND: tuple[str, ...] = ()
+
+
+def _driver_order(names: list[str]) -> list[str]:
+    head = [*_SENTINELS, *(n for n in _NEW_THIS_ROUND if n in names)]
+    never_verified = [
+        n for n in names
+        if n not in _VERIFIED_PRIOR_ROUNDS and n not in head
+    ]
+    rest = [n for n in names if n in _VERIFIED_PRIOR_ROUNDS and n not in head]
+    return [*head, *never_verified, *rest]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: _wrap(fn) for name, fn in QUERIES.items()}
+    return {name: _wrap(QUERIES[name]) for name in _driver_order(list(QUERIES))}
 
 
 def oracle_sql() -> dict[str, str]:

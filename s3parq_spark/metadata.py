@@ -170,6 +170,24 @@ class DatasetMetadata:
             snapshots=d.get("snapshots"),
         )
 
+    def manifest_files(self) -> Optional[List[str]]:
+        """All data files of the dataset, from the per-version manifests —
+        the union of every snapshot's ``added`` list, sorted, dataset-relative.
+
+        Returns None when no version history exists (pre-snapshot dataset or
+        cleared by a destructive rewrite) — callers must fall back to a
+        filesystem walk. When history is intact this answers the metadata
+        plane (file listing, partition-value queries) in O(manifest) driver
+        work with ZERO filesystem listings — the 100 TB story for datasets
+        with millions of files, where a recursive walk costs driver-minutes.
+        Files written by anything other than this engine's publish are
+        invisible to the manifest, exactly as they are invisible to the
+        reference's stamped-metadata contract.
+        """
+        if not self.snapshots:
+            return None
+        return sorted({f for s in self.snapshots for f in s.get("added", [])})
+
     def value_schema(self) -> T.StructType:
         """Explicit read schema for the *value* (non-partition) columns, so the
         parquet scan never relies on inference."""

