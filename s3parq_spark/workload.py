@@ -1490,16 +1490,21 @@ def q_salted_revenue(spark, sf_dir):
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF ANN top-10 (operators/similarity.py ivf_topk): 16-cell coarse
-    quantizer, 4 probed cells. The quantizer is deterministic (centroids =
-    16 lowest-id vectors, argmax dot/||c||), so even the APPROXIMATE result
-    is oracle-checkable — the DuckDB oracle replicates index build, probe
-    selection, and in-cell exact search."""
+    """IVF ANN top-10 (operators/similarity.py ivf_topk): 16-cell kmeans
+    coarse quantizer (deterministic Lloyd's — init = 16 lowest-id vectors,
+    2 assign+mean rounds with exact-decimal means), 4 probed cells. Every
+    step is deterministic, so even the APPROXIMATE result is
+    oracle-checkable — the DuckDB oracle replays the two Lloyd iterations
+    (same decimal(30,12) sums), the probe selection, and the in-cell exact
+    search."""
     from .operators import ivf_topk
 
     emb = _table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") == 0)
-    top = ivf_topk(emb, "vec_id", "embedding", q, k=10, n_cells=16, n_probe=4)
+    top = ivf_topk(
+        emb, "vec_id", "embedding", q, k=10, n_cells=16, n_probe=4,
+        quantizer="kmeans", kmeans_iters=2,
+    )
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -1857,24 +1862,66 @@ ORACLE_SQL.update(
         "ivf_topk": """
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            ), c AS (
-              SELECT vec_id AS cid, v AS cv,
-                     sqrt(list_dot_product(v, v)) AS cn
-              FROM e WHERE vec_id < 16
-            ), assign AS (
+            ), c0 AS (             -- Lloyd init: the 16 lowest-id vectors
+              SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+            ), a1 AS (             -- iteration 1: assign
               SELECT e.vec_id, e.v,
-                     arg_max(c.cid, list_dot_product(e.v, c.cv) / c.cn) AS cell
-              FROM e CROSS JOIN c GROUP BY e.vec_id, e.v
+                     arg_max(c.cid, list_dot_product(e.v, c.cv) /
+                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv))))
+                       AS cell
+              FROM e CROSS JOIN c0 c GROUP BY e.vec_id, e.v
+            ), m1 AS (             -- iteration 1: exact-decimal mean
+              SELECT cell, pos,
+                     CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM (SELECT cell,
+                           unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                           unnest(v) AS x
+                    FROM a1)
+              GROUP BY cell, pos
+            ), c1 AS (             -- empty cells keep their old centroid
+              SELECT cell AS cid, list(m ORDER BY pos) AS cv
+              FROM m1 GROUP BY cell
+              UNION ALL
+              SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+            ), a2 AS (             -- iteration 2: assign
+              SELECT e.vec_id, e.v,
+                     arg_max(c.cid, list_dot_product(e.v, c.cv) /
+                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv))))
+                       AS cell
+              FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.v
+            ), m2 AS (             -- iteration 2: exact-decimal mean
+              SELECT cell, pos,
+                     CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
+                       / COUNT(*) AS m
+              FROM (SELECT cell,
+                           unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                           unnest(v) AS x
+                    FROM a2)
+              GROUP BY cell, pos
+            ), c2 AS (
+              SELECT cell AS cid, list(m ORDER BY pos) AS cv
+              FROM m2 GROUP BY cell
+              UNION ALL
+              SELECT cid, cv FROM c1 WHERE cid NOT IN (SELECT cell FROM m2)
+            ), af AS (             -- final cell assignment
+              SELECT e.vec_id, e.v,
+                     arg_max(c.cid, list_dot_product(e.v, c.cv) /
+                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv))))
+                       AS cell
+              FROM e CROSS JOIN c2 c GROUP BY e.vec_id, e.v
             ), q AS (
               SELECT v AS qv FROM e WHERE vec_id = 0
-            ), qc AS (
-              SELECT c.cid FROM c, q
-              ORDER BY list_dot_product(q.qv, c.cv) / c.cn DESC, c.cid ASC
+            ), qc AS (             -- probe the 4 nearest cells
+              SELECT c.cid FROM c2 c, q
+              ORDER BY list_dot_product(q.qv, c.cv) /
+                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))
+                       DESC, c.cid ASC
               LIMIT 4
             )
             SELECT a.vec_id,
                    round(list_cosine_similarity(a.v, q.qv), 6) AS cosine
-            FROM assign a, q
+            FROM af a, q
             WHERE a.cell IN (SELECT cid FROM qc) AND a.vec_id <> 0
             ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.vec_id ASC
             LIMIT 10
