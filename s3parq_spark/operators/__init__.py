@@ -20,9 +20,11 @@ from .dedup import (
     word_shingles,
 )
 from .similarity import (
+    batch_cosine_topk,
     brute_force_cosine_topk,
     ivf_topk,
     kmeans_centroids,
+    lsh_batch_topk,
     lsh_bucketed_topk,
     normalize_vectors,
     quantize_vectors,
@@ -72,7 +74,9 @@ from .multimodal import (
 __all__ = [
     "attach_binary_payload",
     "audio_window_features",
+    "batch_cosine_topk",
     "brute_force_cosine_topk",
+    "lsh_batch_topk",
     "connected_components",
     "dedup_against_corpus",
     "bpe_apply",

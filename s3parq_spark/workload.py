@@ -2347,6 +2347,44 @@ QUERIES["lsh_topk"] = q_lsh_topk
 ORACLE_SQL["lsh_topk"] = _lsh_topk_oracle()
 
 
+def q_ann_batch_topk(spark, sf_dir):
+    """Batch exact ANN (operators/similarity.py batch_cosine_topk): top-3
+    cosine neighbors for EACH of 8 query vectors in ONE plan — one corpus
+    scan, one broadcast of the query batch, per-query WindowGroupLimit
+    ranking. No driver loop (round-3 verdict: the single-query operator
+    would have looped N times)."""
+    from .operators import batch_cosine_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    top = batch_cosine_topk(emb, "vec_id", "embedding", q, k=3)
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+QUERIES["ann_batch_topk"] = q_ann_batch_topk
+ORACLE_SQL["ann_batch_topk"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT q.query_id, e.vec_id,
+             list_cosine_similarity(e.v, q.qv) AS c
+      FROM e CROSS JOIN q
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, c,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(c, 6) AS cosine
+    FROM ranked WHERE rk <= 3
+"""
+
+
 def q_embedding_quantize(spark, sf_dir):
     """int8-range vector quantization (operators/similarity.py
     quantize_vectors): per-vector min/max scaling with floor-based

@@ -250,6 +250,50 @@ def test_ivf_kmeans_recall_beats_first_n_on_skewed_ids(spark):
     assert r_kmeans == 1.0
 
 
+def test_batch_cosine_topk_matches_per_query_exact(spark, emb):
+    """The batch plan must return, for every query id, exactly the
+    single-query brute-force result — and do it in one plan (one broadcast,
+    no driver loop)."""
+    from s3parq_spark.operators import batch_cosine_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    batch = batch_cosine_topk(emb, "vec_id", "embedding", q, k=4)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r.query_id, []).append((r.vec_id, r.cosine))
+    assert set(got) == {0, 1, 2}
+    for qid in (0, 1, 2):
+        single = brute_force_cosine_topk(
+            emb, "vec_id", "embedding",
+            emb.filter(F.col("vec_id") == qid), k=4,
+        ).collect()
+        assert [v for v, _ in got[qid]] == [r.vec_id for r in single]
+    # AQE plan string repeats the initial plan, so assert shape not counts:
+    # the query side is broadcast, ranking is WindowGroupLimit (partial
+    # map-side top-k), and nothing shuffles the corpus for a sort-merge.
+    plan = batch._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_lsh_batch_topk_per_query_buckets(spark, emb):
+    from s3parq_spark.operators import lsh_batch_topk
+
+    q = emb.filter(F.col("vec_id") < 4)
+    rows = lsh_batch_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=5, planes=4
+    ).collect()
+    by_q = {}
+    for r in rows:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    assert set(by_q) <= {0, 1, 2, 3} and len(by_q) > 0
+    for cos in by_q.values():
+        assert len(cos) <= 5
+        assert cos == sorted(cos, reverse=True)
+
+
 def test_kmeans_k_cap_clear_error(spark):
     from s3parq_spark.operators import kmeans_centroids
     from s3parq_spark.operators.similarity import _KMEANS_MAX_ENTRIES
