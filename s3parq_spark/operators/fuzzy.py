@@ -7,20 +7,23 @@ naive plan is the O(n²) cross join — the one shape that never survives a
 algorithm (Bocek et al., "Fast Similarity Search in Large Dictionaries",
 2007) as a pure equi-join:
 
-1. For every distinct string ``s`` emit its deletion neighborhood — ``s``
-   itself plus each string obtained by deleting one character. Two strings
-   with ``levenshtein ≤ 1`` ALWAYS share a neighborhood member (a
-   substitution meets at the both-deleted variant; an insert/delete meets
-   at the shorter string itself), so the blocking has zero false
-   negatives for distance 1.
+1. For every distinct string ``s`` emit its deletion neighborhood
+   ``D_k(s)`` — every string obtainable by deleting up to ``k``
+   characters. Two strings with ``levenshtein(s, t) ≤ k`` ALWAYS share a
+   neighborhood member (each edit is covered by deleting the touched
+   character from one or both sides), so the blocking has zero false
+   negatives at radius ``k``.
 2. Equi-join the neighborhoods on a 64-bit ``xxhash64`` of the variant —
    the shuffle carries longs, not strings — and verify survivors with one
    JVM-side ``levenshtein`` call.
 
-Cost: O(n·L) variant rows (L = string length) through one hash-partitioned
-equi-join; candidate groups are bounded by the bucket population, never
-n². The variant expansion, hashing, join, and verification are all
-whole-stage-codegen built-ins — no Python in the pipeline.
+Cost: O(n·L^k) variant rows (L = string length, k = radius) through one
+hash-partitioned equi-join; candidate groups are bounded by the bucket
+population, never n². Radius 1 and 2 are supported (L² variants per
+string at k=2 is the practical ceiling — k=3 multiplies another L and a
+phonetic or q-gram blocker is the better tool). The variant expansion,
+hashing, join, and verification are all whole-stage-codegen built-ins —
+no Python in the pipeline.
 
 The reference engine has no fuzzy-matching surface; this extends the
 dedup family (``operators/dedup.py``) to the edit-distance metric the
@@ -33,36 +36,56 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _one_char_deletions(v):
+    """``array<string>`` of every single-character deletion of ``v``; empty
+    array for the empty string (Spark's ``sequence(1, 0)`` DESCENDS, so the
+    empty case must never reach the transform)."""
+    return F.coalesce(
+        F.when(
+            F.length(v) > 0,
+            F.transform(
+                F.sequence(F.lit(1), F.length(v)),
+                lambda i: F.concat(
+                    v.substr(F.lit(1), i - F.lit(1)),
+                    v.substr(i + F.lit(1), F.length(v)),
+                ),
+            ),
+        ),
+        F.array().cast("array<string>"),
+    )
+
+
 def edit_distance_pairs(
     df: DataFrame, col: str, max_distance: int = 1
 ) -> DataFrame:
     """All distinct-value pairs of ``col`` within ``max_distance`` edits
-    (currently distance 1 — the dominant fuzzy-dedup case; deeper
-    distances compose by recursing the deletion neighborhood).
+    (1 or 2): the radius-``k`` deletion neighborhood is built by recursing
+    the single-deletion expansion ``k`` times, deduplicated per string.
 
     Returns ``(s1, s2)`` with ``s1 < s2``, each pair exactly once.
     """
-    if max_distance != 1:
+    if not 1 <= max_distance <= 2:
         raise NotImplementedError(
-            "edit_distance_pairs implements the depth-1 deletion "
-            "neighborhood; recurse the variant expansion for larger radii"
+            "edit_distance_pairs supports radius 1 or 2; beyond that the "
+            "L^k deletion-neighborhood blow-up makes q-gram or phonetic "
+            "blocking the right tool"
         )
     strings = (
         df.select(F.col(col).alias("s")).filter(F.col("s").isNotNull()).distinct()
     )
-    # s itself + every single-character deletion. Spark's sequence(1, 0)
-    # DESCENDS, so the empty string must bypass the transform().
-    deletions = F.expr(
-        "transform(sequence(1, length(s)), "
-        "i -> concat(substr(s, 1, i - 1), substr(s, i + 1)))"
-    )
-    variants = strings.select(
-        "s",
-        F.explode(
-            F.when(F.length("s") == 0, F.array(F.col("s"))).otherwise(
-                F.array_union(F.array(F.col("s")), deletions)
-            )
-        ).alias("__v"),
+    cur = strings.withColumn("__vars", F.array(F.col("s")))
+    for _ in range(max_distance):
+        cur = cur.withColumn(
+            "__vars",
+            F.array_distinct(
+                F.array_union(
+                    F.col("__vars"),
+                    F.flatten(F.transform(F.col("__vars"), _one_char_deletions)),
+                )
+            ),
+        )
+    variants = cur.select(
+        "s", F.explode("__vars").alias("__v")
     ).select("s", F.xxhash64("__v").alias("__vh"))
     a, b = variants.alias("a"), variants.alias("b")
     return (

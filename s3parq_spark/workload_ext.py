@@ -1061,6 +1061,20 @@ def q_fuzzy_titles(spark, sf_dir):
     return edit_distance_pairs(titles, "title", 1)
 
 
+def q_fuzzy_titles_d2(spark, sf_dir):
+    """Edit-distance-2 pairs over document title prefixes: the radius-2
+    deletion neighborhood (recursed single-deletion expansion, deduped)
+    joined on the variant hash, exact-levenshtein verified. Same zero-
+    false-negative FastSS blocking as distance 1, ~L^2/2 variants per
+    string instead of L — still an equi-join, never the O(n^2) cross join
+    the oracle runs."""
+    from .operators import edit_distance_pairs
+
+    docs = _table(spark, sf_dir, "documents")
+    titles = docs.select(F.substring("text", 1, 16).alias("title"))
+    return edit_distance_pairs(titles, "title", 2)
+
+
 def q_weekly_cohorts(spark, sf_dir):
     """Weekly cohort retention matrix (operators/timeseries.py
     cohort_retention): cohort assignment + join-back + distinct-count, all
@@ -1085,6 +1099,7 @@ def q_length_histogram(spark, sf_dir):
 QUERIES_EXT.update(
     {
         "fuzzy_titles": q_fuzzy_titles,
+        "fuzzy_titles_d2": q_fuzzy_titles_d2,
         "weekly_cohorts": q_weekly_cohorts,
         "length_histogram": q_length_histogram,
     }
@@ -1102,6 +1117,15 @@ ORACLE_EXT.update(
             SELECT a.title AS s1, b.title AS s2
             FROM t a JOIN t b
               ON a.title < b.title AND levenshtein(a.title, b.title) <= 1
+        """,
+        "fuzzy_titles_d2": """
+            WITH t AS (
+              SELECT DISTINCT substr(text, 1, 16) AS title
+              FROM documents WHERE text IS NOT NULL
+            )
+            SELECT a.title AS s1, b.title AS s2
+            FROM t a JOIN t b
+              ON a.title < b.title AND levenshtein(a.title, b.title) <= 2
         """,
         "weekly_cohorts": """
             WITH typed AS (

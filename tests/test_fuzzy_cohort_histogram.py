@@ -68,10 +68,39 @@ class TestEditDistancePairs:
         df = spark.createDataFrame([("cat",), ("cat",), ("cot",)], ["s"])
         assert edit_distance_pairs(df, "s", 1).count() == 1
 
-    def test_depth_two_rejected(self, spark):
+    def test_distance_two_matches_brute_force(self, spark):
+        import itertools
+
+        words = [
+            "ring", "rings", "ting", "rang", "wing", "win", "wink",
+            "blue", "glue", "clue", "flue", "flu", "", "a", "b", "ab",
+            "ringses", "tank", "tonka",
+        ]
+        df = spark.createDataFrame([(w,) for w in words], ["s"])
+        got = {tuple(r) for r in edit_distance_pairs(df, "s", 2).collect()}
+
+        def lev(a, b):
+            prev = list(range(len(b) + 1))
+            for i, ca in enumerate(a, 1):
+                cur = [i]
+                for j, cb in enumerate(b, 1):
+                    cur.append(
+                        min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                    )
+                prev = cur
+            return prev[-1]
+
+        want = {
+            (a, b)
+            for a, b in itertools.combinations(sorted(words), 2)
+            if lev(a, b) <= 2
+        }
+        assert got == want
+
+    def test_depth_three_rejected(self, spark):
         df = spark.createDataFrame([("cat",)], ["s"])
         with pytest.raises(NotImplementedError):
-            edit_distance_pairs(df, "s", 2)
+            edit_distance_pairs(df, "s", 3)
 
     def test_no_cartesian_in_plan(self, spark):
         df = spark.createDataFrame([("cat",), ("cot",)], ["s"])
