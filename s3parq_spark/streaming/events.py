@@ -38,22 +38,56 @@ def _events_schema(ts_nanos: bool) -> T.StructType:
     )
 
 
-# nanos-as-long shape, for callers that hand-build TIMESTAMP(NANOS) inputs
-EVENTS_SCHEMA = _events_schema(ts_nanos=True)
+# The NANOS-as-long shape, for callers that hand-build TIMESTAMP(NANOS)
+# inputs. Unit-specific by construction: applying it to a MICROS-unit file
+# fails the read at runtime — probe with ``_ts_is_nanos`` or pass
+# ``ts_nanos`` to ``read_event_stream`` when the unit is known.
+EVENTS_SCHEMA_NANOS = _events_schema(ts_nanos=True)
+
+#: back-compat alias for the pre-rename name; prefer EVENTS_SCHEMA_NANOS.
+EVENTS_SCHEMA = EVENTS_SCHEMA_NANOS
 
 
 def _ts_is_nanos(events_parquet: str) -> bool:
-    """True when the parquet file's ``ts`` column is TIMESTAMP(NANOS)."""
+    """True when the source's ``ts`` column is TIMESTAMP(NANOS).
+
+    Probes EVERY data file (recursively, so hive-partitioned layouts work)
+    and requires a single unit — files of a non-probed unit would otherwise
+    fail the fixed schema read mid-stream instead of being converted. One
+    footer read per file, once at stream start. An empty source directory
+    raises: defaulting would silently lock a unit into the plan before any
+    data exists (pass ``ts_nanos=...`` to ``read_event_stream`` for a
+    landing directory that starts empty)."""
+    import glob as _glob
+
     import pyarrow.parquet as pq
 
-    path = events_parquet
-    if os.path.isdir(path):
-        cands = [f for f in os.listdir(path) if f.endswith(".parquet")]
-        if not cands:
-            return False
-        path = os.path.join(path, sorted(cands)[0])
-    field = pq.read_schema(path).field("ts")
-    return getattr(field.type, "unit", None) == "ns"
+    if os.path.isdir(events_parquet):
+        cands = sorted(
+            _glob.glob(
+                os.path.join(events_parquet, "**", "*.parquet"), recursive=True
+            )
+        )
+    else:
+        cands = [events_parquet]
+    if not cands:
+        raise ValueError(
+            f"no parquet files under {events_parquet!r} to probe the ts "
+            "unit from; declare it explicitly with "
+            "read_event_stream(..., ts_nanos=True/False)"
+        )
+    units = {}
+    for f in cands:
+        unit = getattr(pq.read_schema(f).field("ts").type, "unit", None)
+        units.setdefault(unit, f)
+    if len(units) > 1:
+        examples = ", ".join(f"{u}: {f}" for u, f in sorted(units.items(), key=str))
+        raise ValueError(
+            f"mixed ts timestamp units under {events_parquet!r} ({examples}); "
+            "a stream source needs one unit per directory — normalize the "
+            "files or split them into per-unit directories"
+        )
+    return next(iter(units)) == "ns"
 
 
 def _rebuild_ts(sdf: DataFrame, ts_nanos: bool) -> DataFrame:
@@ -94,10 +128,18 @@ def _stage_dir(src: str, extra: str = "") -> str:
     return staged
 
 
-def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
+def read_event_stream(
+    spark: SparkSession,
+    events_parquet: str,
+    ts_nanos: bool | None = None,
+) -> DataFrame:
     """File-source stream over the events parquet. The source needs a
     directory; a single-file path is staged into a temp dir (tests/local
-    only — a real deployment points at the landing directory)."""
+    only — a real deployment points at the landing directory).
+
+    ``ts_nanos`` declares the source's timestamp unit up front (required
+    for a landing directory that starts empty, where probing has nothing to
+    read); when None the unit is probed from every existing file footer."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     _ensure_state_store(spark)
     path = events_parquet
@@ -107,7 +149,7 @@ def read_event_stream(spark: SparkSession, events_parquet: str) -> DataFrame:
         if not os.path.exists(dst):
             shutil.copy(events_parquet, dst)
         path = staged
-    nanos = _ts_is_nanos(path)
+    nanos = _ts_is_nanos(path) if ts_nanos is None else ts_nanos
     sdf = spark.readStream.schema(_events_schema(nanos)).parquet(path)
     return _rebuild_ts(sdf, nanos)
 

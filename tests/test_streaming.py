@@ -163,3 +163,51 @@ def test_stream_dedup_bounded_state(spark, sf_dir):
     ev = _events(spark, sf_dir)
     assert out.count() == ev.count()
     assert out.select("event_id").distinct().count() == ev.count()
+
+def test_ts_unit_probe_contract(spark, tmp_path, sf_dir):
+    """ADVICE round-3 fixes: the unit probe must (a) raise on an empty
+    landing dir instead of silently locking in micros, (b) recurse into
+    partition subdirectories, (c) reject mixed units with a clear error,
+    and (d) be overridable via read_event_stream(ts_nanos=...)."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from s3parq_spark.streaming.events import _ts_is_nanos, read_event_stream
+
+    empty = str(tmp_path / "empty_landing")
+    os.makedirs(empty)
+    with _pytest.raises(ValueError, match="no parquet files"):
+        _ts_is_nanos(empty)
+    # explicit unit unblocks the empty landing dir
+    sdf = read_event_stream(spark, empty, ts_nanos=False)
+    assert sdf.isStreaming and dict(sdf.dtypes)["ts"] == "timestamp"
+
+    # unit probe sees files in partition subdirectories
+    nested = str(tmp_path / "nested" / "day=2024-01-01")
+    os.makedirs(nested)
+    src = f"{sf_dir}/events.parquet"
+    real_unit = _ts_is_nanos(src)
+    shutil.copy(src, os.path.join(nested, "part-0.parquet"))
+    assert _ts_is_nanos(str(tmp_path / "nested")) == real_unit
+
+    # mixed units raise: fabricate the other unit alongside the real file
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    mixed = str(tmp_path / "mixed")
+    os.makedirs(mixed)
+    shutil.copy(src, os.path.join(mixed, "a.parquet"))
+    other = "us" if real_unit else "ns"
+    tbl = pa.table({
+        "event_id": pa.array([1], pa.int64()),
+        "ts": pa.array([1], pa.timestamp(other)),
+        "user_id": pa.array([1], pa.int64()),
+        "event_type": pa.array(["click"], pa.string()),
+        "value": pa.array([1.0], pa.float64()),
+        "props": pa.array(["{}"], pa.string()),
+    })
+    pq.write_table(tbl, os.path.join(mixed, "b.parquet"))
+    with _pytest.raises(ValueError, match="mixed ts timestamp units"):
+        _ts_is_nanos(mixed)
