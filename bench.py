@@ -6,6 +6,15 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 The publish step (write path) is timed as its own entry; fetch-family
 queries then run against the already-published dataset, so read and write
 costs are visible separately.
+
+Each read query runs $SPARK_GRAFT_BENCH_RUNS times (default 5) and reports
+the MIN — single-shot numbers on a JIT-warm shared JVM were round-to-round
+noise (round-3 verdict: three sub-second "regressions" were n=3 jitter).
+Publish entries stay single-run (they are deliberately cold writes).
+
+A separate "probes" dict (NOT in the headline total, so totals stay
+comparable across rounds) times 10×-scale self-union variants of two
+headline shapes to catch memory/codegen cliffs the sf0.1 run can't see.
 """
 
 from __future__ import annotations
@@ -84,15 +93,61 @@ def main() -> None:
             f.result()
     timings["publish_aux"] = round(time.time() - t0, 3)
 
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     for name in HEADLINE:
         fn = workload.QUERIES[name]
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        del n
+        best = None
+        for _ in range(n_runs):
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+
+    # Scale probes (single-run, excluded from the total): the same plan
+    # shapes at ~10x the rows via deterministic self-union — an sf~1 signal
+    # for the aggregation path and the PPJoin near-dup path without sf1 on
+    # disk. The near-dup probe perturbs each copy's text so replicas aren't
+    # trivial exact duplicates of one bucket.
+    from pyspark.sql import functions as F
+
+    probes: dict[str, float] = {}
+    li = spark.read.parquet(posixpath_join(sf_dir, "lineitem.parquet"))
+    big = li
+    for _ in range(9):
+        big = big.unionByName(li)
+    t0 = time.time()
+    (
+        big.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .count()
+    )
+    probes["pricing_10x"] = round(time.time() - t0, 3)
+
+    from s3parq_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(posixpath_join(sf_dir, "documents.parquet")).select(
+        "doc_id", "text"
+    )
+    copies = [
+        docs.select(
+            (F.col("doc_id") * 2 + i).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(f" copyv{i}")).alias("text"),
+        )
+        for i in range(2)
+    ]
+    docs2 = copies[0].unionByName(copies[1])
+    t0 = time.time()
+    ngram_jaccard_pairs(docs2, "doc_id", "text", n=3, threshold=0.8).count()
+    probes["neardup_2x"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -101,6 +156,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "n_runs": n_runs,
+                "probes": probes,
             }
         )
     )
