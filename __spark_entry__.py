@@ -76,7 +76,11 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 
 # Queries added this round, promoted right after the sentinels so they get a
 # CORRECTNESS row in their first round instead of waiting out the rotation.
-_NEW_THIS_ROUND: tuple[str, ...] = ("ann_batch_topk", "fuzzy_titles_d2")
+_NEW_THIS_ROUND: tuple[str, ...] = (
+    "ann_batch_topk",
+    "fuzzy_titles_d2",
+    "catalog_join",
+)
 
 
 def _driver_order(names: list[str]) -> list[str]:

@@ -2551,6 +2551,63 @@ ORACLE_SQL.update(
 )
 
 
+def q_catalog_join(spark, sf_dir):
+    """Multi-dataset catalog sweep: two engine-published datasets
+    (partitioned lineitem + partitioned orders) registered as REAL catalog
+    tables via ``redshift.register_spark_table`` (CREATE TABLE ... USING
+    PARQUET PARTITIONED BY + MSCK REPAIR — the Spark-native Spectrum
+    registration, ``redshift.py:221``), then joined by NAME in plain
+    ``spark.sql``. Proves the catalog path end to end: partition discovery
+    via the metastore, partition pruning from the WHERE clause
+    (l_linestatus = 'F' prunes at the catalog partition level), and a
+    by-name join across two registered datasets."""
+    from . import redshift
+    from .fetch import fetch_path
+
+    li_path = _li_flag_ds(spark, sf_dir)
+    ord_path = _orders_prio_ds(spark, sf_dir)
+    schema = "cat_" + re.sub(r"[^A-Za-z0-9_]", "_", sf_dir.strip("/"))
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema}")
+    for tbl, path, parts in (
+        ("li_flag", li_path, ["l_returnflag", "l_linestatus"]),
+        ("orders_prio", ord_path, ["o_orderpriority"]),
+    ):
+        # re-register fresh each run: a stale entry could point at a
+        # cleared tmp cache dir from an earlier session
+        spark.sql(f"DROP TABLE IF EXISTS {schema}.{tbl}")
+        df = fetch_path(spark, path)
+        redshift.register_spark_table(
+            spark, tbl, schema,
+            {f.name: f.dataType for f in df.schema.fields}, parts, path,
+        )
+    return spark.sql(
+        f"""
+        SELECT o.o_orderpriority, l.l_returnflag,
+               CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                        (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+                 AS revenue,
+               COUNT(*) AS n_items
+        FROM {schema}.li_flag l
+        JOIN {schema}.orders_prio o ON l.l_orderkey = o.o_orderkey
+        WHERE l.l_linestatus = 'F'
+        GROUP BY o.o_orderpriority, l.l_returnflag
+        """
+    )
+
+
+QUERIES["catalog_join"] = q_catalog_join
+ORACLE_SQL["catalog_join"] = """
+    SELECT o_orderpriority, l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_linestatus = 'F'
+    GROUP BY o_orderpriority, l_returnflag
+"""
+
+
 # round-2 extension queries (TPC-H Q7/Q8/Q9/Q15/Q19 shapes + corpus stats)
 from .workload_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
 
