@@ -80,6 +80,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ann_batch_topk",
     "fuzzy_titles_d2",
     "catalog_join",
+    "embedding_normalize",
 )
 
 

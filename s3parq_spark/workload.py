@@ -2595,6 +2595,42 @@ def q_catalog_join(spark, sf_dir):
     )
 
 
+def q_embedding_normalize(spark, sf_dir):
+    """L2 normalization (operators/similarity.py normalize_vectors) made
+    oracle-checkable: emitted as (vec_id, pos, x_norm) rows rounded to 6
+    decimals — the same sequential-fold norm arithmetic the ANN oracles
+    already prove portable (Spark aggregate vs DuckDB list_dot_product).
+    Zero vectors pass through unchanged in both engines."""
+    from .operators import normalize_vectors
+
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    normed = normalize_vectors(emb, "embedding", "nvec")
+    return normed.select(
+        "vec_id", F.posexplode("nvec").alias("pos", "x")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("int").alias("pos"),
+        F.round("x", 6).alias("x_norm"),
+    )
+
+
+QUERIES["embedding_normalize"] = q_embedding_normalize
+ORACLE_SQL["embedding_normalize"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT vec_id,
+           CAST(pos - 1 AS INT) AS pos,
+           round(CASE WHEN nrm = 0 THEN x ELSE x / nrm END, 6) AS x_norm
+    FROM (SELECT vec_id, nrm,
+                 unnest(generate_series(1, list_count(v))) AS pos,
+                 unnest(v) AS x
+          FROM n)
+"""
+
+
 QUERIES["catalog_join"] = q_catalog_join
 ORACLE_SQL["catalog_join"] = """
     SELECT o_orderpriority, l_returnflag,

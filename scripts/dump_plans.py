@@ -152,6 +152,38 @@ CASES = [
         "(partial aggregate under the shuffle), posting lists built by "
         "collect_set inside one hash aggregate.",
     ),
+    (
+        "ann_batch_topk",
+        "Batch ANN: ONE corpus scan, the N-row query batch broadcast "
+        "(BroadcastNestedLoopJoin BuildRight), and per-query ranking as "
+        "WindowGroupLimit with a Partial (map-side) pass under the "
+        "query_id exchange - no driver loop, no SortMergeJoin, no global "
+        "sort.",
+    ),
+    (
+        "fuzzy_titles_d2",
+        "Radius-2 FastSS: the recursed deletion neighborhood still feeds "
+        "ONE equi-join on the 64-bit variant hash - variant count grows "
+        "L^2 but the join stays hash-partitioned; no CartesianProduct, "
+        "no BroadcastNestedLoop.",
+    ),
+    (
+        "catalog_join",
+        "Catalog sweep: both sides are metastore tables; the "
+        "l_linestatus = 'F' predicate prunes at the catalog partition "
+        "level (PartitionFilters on the li_flag scan), and the by-name "
+        "join is a plain equi-join on l_orderkey - the catalog path adds "
+        "zero plan overhead over fetch_path.",
+    ),
+    (
+        "ivf_topk",
+        "IVF ANN with the kmeans quantizer: index build is bounded "
+        "driver-side work (k x dim matrix); the probed-cell filter is a "
+        "codegen'd isin over the assigned cell - the corpus scan never "
+        "materializes non-probed cells past the filter, and at ingest "
+        "time the same assignment partitions the corpus for file-level "
+        "pruning.",
+    ),
 ]
 
 
