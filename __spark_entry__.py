@@ -81,6 +81,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "fuzzy_titles_d2",
     "catalog_join",
     "embedding_normalize",
+    "ngram_lm_quality",
 )
 
 

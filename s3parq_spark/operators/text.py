@@ -159,6 +159,90 @@ def tf_idf(
     )
 
 
+def _word_bigrams(text_col: str):
+    """``array<struct<w1,w2>>`` of adjacent word pairs from the shared
+    whitespace tokenization; empty for docs with fewer than two tokens
+    (``sequence(1, 0)`` DESCENDS, so short docs must bypass it)."""
+    t = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"),
+            F.element_at(t, i + 1).alias("w2"),
+        ),
+    )
+    return F.when(F.size(t) >= 2, pairs).otherwise(
+        F.array().cast("array<struct<w1:string,w2:string>>")
+    )
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    train_df: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """CCNet/KenLM-style n-gram language-model quality score: each document's
+    average add-one-smoothed word-bigram log-probability under a model
+    counted from ``train_df`` —
+
+        avg over bigrams (w1,w2) of  ln((C(w1,w2) + 1) / (C(w1) + V))
+
+    with V = train vocabulary size. Low scores mark text unlike the
+    reference corpus — the perplexity-bucket filter of the CCNet pipeline
+    (Wenzek et al. 2020), with the LM as exact distributed counts instead
+    of an external KenLM binary.
+
+    Determinism: every count is an exact integer, ``ln`` over their ratio
+    is one float op, and the per-doc mean sums ``decimal(28,12)``-cast
+    terms (order-independent) with ONE double division at the edge — so
+    scores hash-match a SQL oracle.
+
+    Scale shape: two key-partitioned hash aggregates build the model
+    (bigram and unigram counts); scoring is two equi-joins (on the bigram,
+    then on w1) plus a per-doc aggregate; V is a 1-row broadcast. No
+    collect, no cartesian, no Python. Docs with < 2 tokens have no bigrams
+    and drop out (score is undefined for them).
+
+    Output: ``(id_col, n_bigrams, avg_logp)``.
+    """
+    bigrams = _word_bigrams(text_col)
+    tr_tokens = train_df.select(
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("w1")
+    )
+    c1 = tr_tokens.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = (
+        train_df.select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    vdf = tr_tokens.agg(F.countDistinct("w1").alias("v"))
+
+    doc_bigrams = df.select(
+        F.col(id_col).alias("__doc"), F.explode(bigrams).alias("bg")
+    ).select("__doc", "bg.w1", "bg.w2")
+    logp = F.log(
+        (F.coalesce(F.col("c2"), F.lit(0)) + 1).cast("double")
+        / (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).cast("double")
+    )
+    return (
+        doc_bigrams.join(c2, ["w1", "w2"], "left")
+        .join(c1, ["w1"], "left")
+        .crossJoin(F.broadcast(vdf))
+        .select("__doc", logp.alias("__logp"))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("__logp").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logp"),
+        )
+        .select(F.col("__doc").alias(id_col), "n_bigrams", "avg_logp")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

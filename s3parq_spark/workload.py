@@ -2631,6 +2631,58 @@ ORACLE_SQL["embedding_normalize"] = """
 """
 
 
+def q_ngram_lm_quality(spark, sf_dir):
+    """Bigram LM quality scoring (operators/text.py ngram_lm_scores,
+    CCNet-style): model counted from the even-doc_id half of the corpus,
+    every document scored by average add-one-smoothed bigram log-prob.
+    Exact integer counts + one ln per bigram + decimal-exact mean, so the
+    oracle replays it bit-for-bit; rounded to 6 decimals at the edge."""
+    from .operators import ngram_lm_scores
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % 2 == 0)
+    out = ngram_lm_scores(docs, train, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logp", 6).alias("avg_logp")
+    )
+
+
+QUERIES["ngram_lm_quality"] = q_ngram_lm_quality
+ORACLE_SQL["ngram_lm_quality"] = """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS t
+      FROM documents
+    ), big AS (
+      SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+      FROM (SELECT doc_id, t,
+                   unnest(generate_series(1, len(t) - 1)) AS i
+            FROM toks WHERE len(t) >= 2)
+    ), tr_tok AS (
+      SELECT unnest(t) AS w FROM toks WHERE doc_id % 2 = 0
+    ), c1 AS (
+      SELECT w AS w1, COUNT(*) AS c1 FROM tr_tok GROUP BY w
+    ), c2 AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM big
+      WHERE doc_id % 2 = 0 GROUP BY w1, w2
+    ), v AS (
+      SELECT COUNT(DISTINCT w) AS v FROM tr_tok
+    ), scored AS (
+      SELECT b.doc_id,
+             ln(CAST(COALESCE(c2.c2, 0) + 1 AS DOUBLE) /
+                CAST(COALESCE(c1.c1, 0) + v.v AS DOUBLE)) AS logp
+      FROM big b
+      LEFT JOIN c2 ON b.w1 = c2.w1 AND b.w2 = c2.w2
+      LEFT JOIN c1 ON b.w1 = c1.w1
+      CROSS JOIN v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           round(CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_logp
+    FROM scored GROUP BY doc_id
+"""
+
+
 QUERIES["catalog_join"] = q_catalog_join
 ORACLE_SQL["catalog_join"] = """
     SELECT o_orderpriority, l_returnflag,

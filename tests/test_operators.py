@@ -571,6 +571,30 @@ def test_approx_sketches_bound_error(spark, sf_dir):
         assert a.parts_ok and a.supps_ok and a.median_ok
 
 
+def test_ngram_lm_scores_hand_computed(spark):
+    """Add-one-smoothed bigram LM against hand-computed probabilities:
+    train 'a b a c' -> V=3, C(a)=2, C(b)=1, C(a,b)=1; scoring 'a b x'
+    gives ln((1+1)/(2+3)) for (a,b) and ln((0+1)/(1+3)) for the unseen
+    (b,x). Docs with < 2 tokens drop out."""
+    import math
+
+    from s3parq_spark.operators import ngram_lm_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b x"), (3, "solo")],
+        "doc_id int, text string",
+    )
+    train = corpus.filter(F.col("doc_id") == 1)
+    got = {r.doc_id: r for r in
+           ngram_lm_scores(corpus, train, "doc_id", "text").collect()}
+    assert set(got) == {1, 2}  # 'solo' has no bigrams
+    assert got[2].n_bigrams == 2
+    want = (math.log(2 / 5) + math.log(1 / 4)) / 2
+    assert abs(got[2].avg_logp - want) < 1e-9
+    # the train doc scores higher than the half-unseen doc
+    assert got[1].avg_logp > got[2].avg_logp
+
+
 def test_resize_images_stub_raises(spark, docs):
     from s3parq_spark.operators import resize_images
 
