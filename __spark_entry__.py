@@ -82,6 +82,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "catalog_join",
     "embedding_normalize",
     "ngram_lm_quality",
+    "bm25_search",
 )
 
 

@@ -243,6 +243,78 @@ def ngram_lm_scores(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: List[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 10,
+) -> DataFrame:
+    """BM25 ranked retrieval (Robertson/Sparck-Jones, the Lucene
+    formulation): top-``top_k`` documents for a bag of query terms,
+
+        score(d) = Σ_t  idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t)   = ln((N − df_t + 0.5) / (df_t + 0.5) + 1)
+
+    Companion to ``tf_idf``: TF-IDF profiles a corpus, BM25 answers a
+    query against it. All counts are exact integers; the float steps are a
+    fixed left-associative expression sequence (portable cross-engine) and
+    the per-doc term sum is decimal(28,12)-cast (order-independent), so
+    the result hash-matches a SQL oracle.
+
+    Scale shape: one token explode feeding two key-partitioned aggregates
+    (per-doc length over all terms; tf over the query terms only — the
+    ``isin`` prunes before the shuffle), document frequency from the tf
+    side, corpus N/avgdl as a 1-row broadcast, final ranking
+    TakeOrderedAndProject (per-partition top-k, no global sort). The query
+    side is a literal list — at 100 TB the corpus side is the only scan.
+    """
+    terms = [t.lower() for t in query_terms]
+    toks = df.select(
+        F.col(id_col).alias("__doc"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    dl = toks.groupBy("__doc").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    tf = (
+        toks.filter(F.col("term").isin(terms))
+        .groupBy("__doc", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+
+    avgdl = F.col("total_len").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    return (
+        tf.join(dfreq, "term")
+        .join(dl, "__doc")
+        .crossJoin(F.broadcast(stats))
+        .select("__doc", (idf * tfn).cast("decimal(28,12)").alias("__s"))
+        .groupBy("__doc")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__s").cast("double").alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("__doc"))
+        .limit(top_k)
+        .select(F.col("__doc").alias(id_col), "n_terms", "score")
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str,

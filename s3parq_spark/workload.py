@@ -2647,6 +2647,58 @@ def q_ngram_lm_quality(spark, sf_dir):
     )
 
 
+def q_bm25_search(spark, sf_dir):
+    """BM25 ranked retrieval (operators/text.py bm25_scores): top-10 docs
+    for the query {hash, join, vector} with k1=1.2, b=0.75. Exact integer
+    counts, a fixed left-associative float expression sequence, and a
+    decimal-exact per-doc term sum — the oracle inlines the identical
+    constants and expression structure, so even the ranking cut is
+    hash-stable."""
+    from .operators import bm25_scores
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bm25_scores(docs, "doc_id", "text", ["hash", "join", "vector"])
+    return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+
+
+QUERIES["bm25_search"] = q_bm25_search
+ORACLE_SQL["bm25_search"] = """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+    ), agg AS (
+      SELECT doc, COUNT(*) AS n_terms, CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_terms, round(score, 6) AS score
+    FROM agg
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+"""
+
+
 QUERIES["ngram_lm_quality"] = q_ngram_lm_quality
 ORACLE_SQL["ngram_lm_quality"] = """
     WITH toks AS (

@@ -595,6 +595,32 @@ def test_ngram_lm_scores_hand_computed(spark):
     assert got[1].avg_logp > got[2].avg_logp
 
 
+def test_bm25_scores_hand_computed(spark):
+    import math
+
+    from s3parq_spark.operators import bm25_scores
+
+    corpus = spark.createDataFrame(
+        [(1, "hash hash join"), (2, "join scan"), (3, "scan scan scan scan")],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in
+           bm25_scores(corpus, "doc_id", "text", ["hash", "join"]).collect()}
+    assert set(got) == {1, 2}  # d3 matches no query term
+
+    def idf(df_t, n=3):
+        return math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    def tfn(tf, dl, avgdl=3.0, k1=1.2, b=0.75):
+        return tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    want1 = idf(1) * tfn(2, 3) + idf(2) * tfn(1, 3)
+    want2 = idf(2) * tfn(1, 2)
+    assert abs(got[1].score - want1) < 1e-9
+    assert abs(got[2].score - want2) < 1e-9
+    assert got[1].score > got[2].score and got[1].n_terms == 2
+
+
 def test_resize_images_stub_raises(spark, docs):
     from s3parq_spark.operators import resize_images
 
