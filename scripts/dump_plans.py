@@ -184,6 +184,20 @@ CASES = [
         "time the same assignment partitions the corpus for file-level "
         "pruning.",
     ),
+    (
+        "bm25_search",
+        "BM25: the query-term isin filter sits UNDER the tf aggregate's "
+        "exchange (only matching tokens shuffle); N/avgdl is a 1-row "
+        "BroadcastExchange; final ranking is TakeOrderedAndProject, "
+        "never a global Sort.",
+    ),
+    (
+        "ngram_lm_quality",
+        "Bigram LM scoring: two hash aggregates build the model (bigram "
+        "and unigram counts); scoring joins on the bigram key then w1, "
+        "vocabulary V is a 1-row broadcast, and the per-doc mean is one "
+        "hash aggregate - every exchange is on a key, no cartesian.",
+    ),
 ]
 
 
