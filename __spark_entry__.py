@@ -83,6 +83,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "embedding_normalize",
     "ngram_lm_quality",
     "bm25_search",
+    "stratified_fixed_n",
+    "doc_dup_ngrams",
 )
 
 

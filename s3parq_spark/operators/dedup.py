@@ -209,6 +209,45 @@ def word_shingles(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     )
 
 
+def duplicated_ngram_ratio(
+    df: DataFrame, id_col: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Per-document duplication pressure: the fraction of a doc's distinct
+    word ``n``-grams that also appear in at least one OTHER document — the
+    RefinedWeb/MassiveText-style signal for ranking documents by how much
+    boilerplate/duplicated content they carry (dedup the high-ratio tail
+    first; a 1.0 ratio is a near-copy of the corpus).
+
+    Output ``(id_col, n_ngrams, n_dup, dup_ratio)``; docs with fewer than
+    ``n`` words have no n-grams and drop out.
+
+    Scale shape: one shingle explode → one hash aggregate on the n-gram
+    (document frequency) → join back on the n-gram key → per-doc aggregate.
+    Every exchange is on a key; the ratio is a single double division.
+    """
+    sh = word_shingles(df.select(F.col(id_col), F.col(text_col)), text_col, n)
+    pairs = sh.select(F.col(id_col), F.explode("shingles").alias("__g"))
+    # (doc, g) pairs are distinct (word_shingles dedups per doc), so the
+    # per-gram row count IS its document frequency
+    dfreq = pairs.groupBy("__g").agg(F.count(F.lit(1)).alias("__df_g"))
+    return (
+        pairs.join(dfreq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum((F.col("__df_g") >= 2).cast("bigint")).alias("n_dup"),
+        )
+        .select(
+            id_col,
+            "n_ngrams",
+            "n_dup",
+            (F.col("n_dup").cast("double") / F.col("n_ngrams")).alias(
+                "dup_ratio"
+            ),
+        )
+    )
+
+
 def word_shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
     """Adds ``shingle_hashes: array<bigint>`` — distinct 64-bit hashes of the
     word n-grams, never materializing the n-gram strings: each word is

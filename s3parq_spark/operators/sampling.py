@@ -56,6 +56,37 @@ def deterministic_sample(
     return df.filter(bucket < thr)
 
 
+def stratified_fixed_n(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    n_per_stratum: int,
+) -> DataFrame:
+    """EXACTLY ``n_per_stratum`` rows per stratum (fewer if the stratum is
+    smaller), deterministically: rows are ranked inside each stratum by
+    ``(hash60(id), id)`` and the first N kept. Fraction-based sampling
+    (``deterministic_sample``) cannot hit exact counts — eval sets,
+    per-source quotas, and balanced probes need "N per bucket", not "p% of
+    bucket".
+
+    Membership is a pure function of the ids in the stratum, so the same
+    rows are chosen on any cluster size/partitioning and by the SQL oracle.
+    Plan shape: one hash exchange on the stratum + per-stratum
+    WindowGroupLimit (map-side partial top-N before the shuffle) — never a
+    global sort; skew bounded by N per stratum post-filter.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash60(F.col(id_col)).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_stratum)
+        .drop("__rk")
+    )
+
+
 def corpus_upsample(
     df: DataFrame,
     id_col: str,

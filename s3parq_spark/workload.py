@@ -2661,6 +2661,69 @@ def q_bm25_search(spark, sf_dir):
     return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
 
 
+def q_stratified_fixed_n(spark, sf_dir):
+    """Exact-count stratified sampling (operators/sampling.py
+    stratified_fixed_n): exactly 20 docs per source, chosen by the portable
+    md5-hash ranking — the 'N per bucket' contract fraction-based sampling
+    cannot give (eval sets, per-source quotas). Per-stratum
+    WindowGroupLimit, no global sort; identical membership on any cluster
+    and in the oracle."""
+    from .operators import stratified_fixed_n
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return stratified_fixed_n(docs, "doc_id", "source", 20)
+
+
+QUERIES["stratified_fixed_n"] = q_stratified_fixed_n
+ORACLE_SQL["stratified_fixed_n"] = """
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                            1, 15) AS BIGINT) ASC,
+                        doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+"""
+
+
+def q_doc_dup_ngrams(spark, sf_dir):
+    """Per-document duplicated-5-gram ratio (operators/dedup.py
+    duplicated_ngram_ratio, the RefinedWeb boilerplate signal): fraction of
+    each doc's distinct 5-grams appearing in at least one other doc. One
+    shingle explode, one document-frequency aggregate, one join-back —
+    every exchange on the n-gram key."""
+    from .operators import duplicated_ngram_ratio
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return duplicated_ngram_ratio(docs, "doc_id", "text", n=5)
+
+
+QUERIES["doc_dup_ngrams"] = q_doc_dup_ngrams
+ORACLE_SQL["doc_dup_ngrams"] = """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> array_to_string(t[i:i+4], ' '))) AS g
+      FROM toks
+    ), dfg AS (
+      SELECT g, COUNT(*) AS df_g FROM sh GROUP BY g
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_ngrams,
+           CAST(SUM(CASE WHEN df_g >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN df_g >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM sh JOIN dfg USING (g)
+    GROUP BY doc_id
+"""
+
+
 QUERIES["bm25_search"] = q_bm25_search
 ORACLE_SQL["bm25_search"] = """
     WITH toks AS (

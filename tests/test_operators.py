@@ -621,6 +621,47 @@ def test_bm25_scores_hand_computed(spark):
     assert got[1].score > got[2].score and got[1].n_terms == 2
 
 
+def test_stratified_fixed_n_exact_counts_and_stability(spark):
+    from s3parq_spark.operators import stratified_fixed_n
+
+    df = spark.createDataFrame(
+        [(i, "s%d" % (i % 3)) for i in range(100)], "id int, src string"
+    )
+    out = stratified_fixed_n(df, "id", "src", 5)
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.src, set()).add(r.id)
+    assert all(len(v) == 5 for v in by.values()) and len(by) == 3
+    # membership is partitioning-independent
+    again = {(r.src, r.id)
+             for r in stratified_fixed_n(df.repartition(7), "id", "src", 5).collect()}
+    assert again == {(r.src, r.id) for r in rows}
+    # stratum smaller than N: all rows kept
+    small = stratified_fixed_n(df.filter(F.col("id") < 2), "id", "src", 5)
+    assert small.count() == 2
+
+
+def test_duplicated_ngram_ratio_hand_computed(spark):
+    from s3parq_spark.operators import duplicated_ngram_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d"),        # bigrams: ab, bc, cd
+            (2, "a b x y"),        # bigrams: ab, xy... (shared: ab)
+            (3, "p q"),            # unique bigram
+            (4, "z"),              # no bigrams -> drops out
+        ],
+        "doc_id int, text string",
+    )
+    got = {r.doc_id: r for r in
+           duplicated_ngram_ratio(df, "doc_id", "text", n=2).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_ngrams == 3 and got[1].n_dup == 1
+    assert abs(got[1].dup_ratio - 1 / 3) < 1e-12
+    assert got[3].n_dup == 0 and got[3].dup_ratio == 0.0
+
+
 def test_resize_images_stub_raises(spark, docs):
     from s3parq_spark.operators import resize_images
 
