@@ -85,6 +85,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bm25_search",
     "stratified_fixed_n",
     "doc_dup_ngrams",
+    "schema_evolution_fetch",
 )
 
 

@@ -28,6 +28,7 @@ from .publish import (
     merge_upsert,
     publish,
     publish_path,
+    vacuum_dataset,
     validate_redshift_params,
 )
 from .session import get_spark
@@ -53,6 +54,7 @@ __all__ = [
     "publish",
     "read_jsonl",
     "publish_path",
+    "vacuum_dataset",
     "SessionHelper",
     "validate_redshift_params",
 ]

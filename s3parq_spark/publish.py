@@ -610,6 +610,42 @@ def compact_dataset(
     return fs.list_files(spark, path)
 
 
+def vacuum_dataset(
+    spark: SparkSession,
+    path: str,
+    dry_run: bool = False,
+) -> List[str]:
+    """Delete data files present on storage but absent from the sidecar's
+    per-version manifests — orphans left by failed or interrupted writes
+    (a Spark task that wrote its file before the job aborted, a partial
+    re-publish). Readers that go through ``fetch`` scan the directory, so
+    orphans silently pollute results until removed; at 100 TB a periodic
+    vacuum is the maintenance action that keeps "files on disk" equal to
+    "files the metadata acknowledges".
+
+    Requires intact snapshot history (the manifest IS the acknowledgment
+    record); raises when history is missing or was cleared by a destructive
+    rewrite — vacuuming against no record would delete everything. The
+    sidecar itself and non-parquet files are never touched. Returns the
+    orphaned relative paths (``dry_run=True`` reports without deleting).
+    """
+    meta = metadata.read_sidecar(spark, path)
+    manifest = meta.manifest_files() if meta is not None else None
+    if manifest is None:
+        raise ValueError(
+            f"vacuum_dataset: no snapshot history at {path} — the manifest "
+            "is the record of acknowledged files; publish at least once "
+            "(or re-publish) before vacuuming"
+        )
+    live = fs.list_files(spark, path)
+    known = set(manifest)
+    orphans = sorted(f for f in live if f not in known)
+    if not dry_run:
+        for rel in orphans:
+            fs.delete(spark, posixpath.join(path, rel), recursive=False)
+    return orphans
+
+
 REDSHIFT_PARAM_KEYS = (
     "schema_name",
     "table_name",

@@ -2661,6 +2661,48 @@ def q_bm25_search(spark, sf_dir):
     return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
 
 
+def _li_evolved_ds(spark, sf_dir):
+    """Two-publish dataset exercising append schema evolution: v1 holds 4
+    columns (l_linenumber <= 3), the v2 append adds l_extendedprice
+    (l_linenumber > 3). The merged sidecar appends the new column; v1 files
+    read it as NULL (parquet missing-column semantics)."""
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "li_evolved")
+    marker = os.path.join(path, "_PUBLISHED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        li = _table(spark, sf_dir, "lineitem")
+        v1 = li.filter(F.col("l_linenumber") <= 3).select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+        )
+        publish_path(spark, path, v1, ["l_returnflag"], mode="overwrite")
+        v2 = li.filter(F.col("l_linenumber") > 3).select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag",
+            "l_extendedprice",
+        )
+        publish_path(spark, path, v2, ["l_returnflag"], mode="append")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return path
+
+
+def q_schema_evolution_fetch(spark, sf_dir):
+    """Append schema evolution under the gate: publish 4 columns, append a
+    5th, fetch everything back through the merged sidecar schema — rows
+    from before the evolution must read the new column as NULL, typed
+    correctly, with partition pruning machinery untouched."""
+    return fetch_path(spark, _li_evolved_ds(spark, sf_dir))
+
+
+QUERIES["schema_evolution_fetch"] = q_schema_evolution_fetch
+ORACLE_SQL["schema_evolution_fetch"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag,
+           CASE WHEN l_linenumber > 3 THEN l_extendedprice END
+             AS l_extendedprice
+    FROM lineitem
+"""
+
+
 def q_stratified_fixed_n(spark, sf_dir):
     """Exact-count stratified sampling (operators/sampling.py
     stratified_fixed_n): exactly 20 docs per source, chosen by the portable

@@ -518,3 +518,47 @@ class TestFetchColumnProjection:
         publish_path(spark, tmp_dataset_dir, grouped_pdf(), ["string_col"])
         with pytest.raises(ValueError, match="unknown columns"):
             fetch_path(spark, tmp_dataset_dir, columns=["nope"])
+
+def test_vacuum_dataset_removes_orphans_only(spark, tmp_path):
+    """Vacuum deletes files on storage that no manifest acknowledges
+    (failed-write orphans) and nothing else; dry_run reports without
+    deleting; cleared history refuses to vacuum."""
+    import os
+    import shutil
+
+    import pytest as _pytest
+
+    from s3parq_spark.fs import list_files
+    from s3parq_spark.publish import overwrite_partitions, vacuum_dataset
+    from s3parq_spark import fetch, vacuum_dataset as exported
+
+    assert exported is vacuum_dataset  # public surface
+
+    base = str(tmp_path / "ds")
+    publish_path(spark, base, grouped_pdf(60), ["string_col"])
+    before_files = sorted(list_files(spark, base))
+    before = fetch(base, "", spark=spark, as_pandas=True)
+
+    # plant an orphan: copy a real data file to an unacknowledged name
+    rel = before_files[0]
+    src = os.path.join(base, rel)
+    orphan_rel = rel.rsplit("/", 1)[0] + "/part-orphan.parquet"
+    shutil.copy(src, os.path.join(base, orphan_rel))
+    assert len(list_files(spark, base)) == len(before_files) + 1
+    # the orphan pollutes reads until vacuumed
+    assert len(fetch(base, "", spark=spark, as_pandas=True)) > len(before)
+
+    reported = vacuum_dataset(spark, base, dry_run=True)
+    assert reported == [orphan_rel]
+    assert len(list_files(spark, base)) == len(before_files) + 1  # not deleted
+
+    deleted = vacuum_dataset(spark, base)
+    assert deleted == [orphan_rel]
+    assert sorted(list_files(spark, base)) == before_files
+    after = fetch(base, "", spark=spark, as_pandas=True)
+    assert_round_trip_equal(before, after)
+
+    # destructive rewrite clears history -> vacuum refuses
+    overwrite_partitions(spark, base, grouped_pdf(10), ["string_col"])
+    with _pytest.raises(ValueError, match="no snapshot history"):
+        vacuum_dataset(spark, base)
