@@ -198,6 +198,26 @@ CASES = [
         "vocabulary V is a 1-row broadcast, and the per-doc mean is one "
         "hash aggregate - every exchange is on a key, no cartesian.",
     ),
+    (
+        "stratified_fixed_n",
+        "Exact-N stratified sampling: ONE exchange on the stratum key and "
+        "a per-stratum WindowGroupLimit with a Partial (map-side) top-N "
+        "under it - never a global sort; output bounded at N per stratum.",
+    ),
+    (
+        "doc_dup_ngrams",
+        "Duplicated-n-gram ratio: shingle explode feeds one hash "
+        "aggregate on the n-gram (document frequency), one join-back on "
+        "the same key, one per-doc aggregate - no distinct-expand, no "
+        "cross join.",
+    ),
+    (
+        "schema_evolution_fetch",
+        "Evolved-schema fetch: ONE FileScan over both publish generations "
+        "with the merged sidecar ReadSchema - the missing column in "
+        "pre-evolution files materializes as NULL inside the scan, no "
+        "per-generation union in the plan.",
+    ),
 ]
 
 
