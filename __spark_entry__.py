@@ -86,6 +86,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "stratified_fixed_n",
     "doc_dup_ngrams",
     "schema_evolution_fetch",
+    "ivf_batch_topk",
 )
 
 

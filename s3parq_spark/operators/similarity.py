@@ -320,6 +320,103 @@ def ivf_topk(
     )
 
 
+def ivf_batch_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    query_id_col: Optional[str] = None,
+    exclude_self: bool = True,
+    centroids: Optional[list] = None,
+    quantizer: str = "kmeans",
+    kmeans_iters: int = 2,
+) -> DataFrame:
+    """IVF approximate top-k for an N-row query frame in ONE plan.
+
+    Improves on ``ivf_topk`` beyond batching: probe-cell selection runs
+    JVM-side per query row (score the centroid matrix, sort (score desc,
+    cell asc), slice ``n_probe``) instead of collecting the query vector to
+    the driver — so the query side can itself be a large frame. Candidates
+    come from the (probe_cell = assigned_cell) equi-join with the exploded
+    query×probe pairs broadcast; ranking is the per-``query_id``
+    WindowGroupLimit of ``batch_cosine_topk``.
+
+    Output ``(query_id, id_col, cosine)``. Same deterministic quantizer
+    options as ``ivf_topk``; with it, the whole index+search pipeline is
+    oracle-replayable."""
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    if centroids is not None:
+        cvecs = [list(v) for v in centroids]
+    elif quantizer == "kmeans":
+        cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=kmeans_iters)
+    elif quantizer == "first":
+        cents = corpus.orderBy(id_col).limit(n_cells).collect()
+        cvecs = [list(r["__vec"]) for r in cents]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
+    cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
+
+    s = _cell_scores(F.col("__vec"), cvecs, cnorms)
+    assigned = corpus.withColumn(
+        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
+    )
+
+    qid = query_id_col or id_col
+    q = query_df.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    qs = _cell_scores(F.col("__qvec"), cvecs, cnorms)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cvecs) - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("__scores"), i + 1).alias("s"),
+            i.cast("int").alias("c"),
+        ),
+    )
+    probe = (
+        q.withColumn("__scores", qs)
+        .withColumn("__pairs", pairs)
+        .withColumn(
+            "__probe",
+            F.slice(
+                F.expr(
+                    "array_sort(__pairs, (a, b) -> CASE WHEN a.s > b.s THEN -1 "
+                    "WHEN a.s < b.s THEN 1 WHEN a.c < b.c THEN -1 ELSE 1 END)"
+                ),
+                1,
+                min(n_probe, len(cvecs)),
+            ),
+        )
+        .select(
+            "query_id",
+            "__qvec",
+            F.explode(F.transform(F.col("__probe"), lambda p: p["c"])).alias(
+                "__cell"
+            ),
+        )
+    )
+    joined = assigned.join(F.broadcast(probe), on="__cell")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        joined.withColumn(
+            "cosine", cosine_similarity(F.col("__vec"), F.col("__qvec"))
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
 def normalize_vectors(
     df: DataFrame, vec_col: str, out_col: Optional[str] = None
 ) -> DataFrame:

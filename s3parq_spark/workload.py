@@ -1508,6 +1508,107 @@ def q_ivf_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
+def q_ivf_batch_topk(spark, sf_dir):
+    """Batch IVF ANN (operators/similarity.py ivf_batch_topk): top-5 for
+    each of 4 query vectors against the 16-cell kmeans index in ONE plan —
+    probe-cell selection is a JVM array-sort per query row (no driver
+    collect of query vectors), candidates come from the probe-cell
+    equi-join, ranking is per-query WindowGroupLimit. The oracle replays
+    the two Lloyd iterations, per-query probe selection, and in-cell
+    search."""
+    from .operators import ivf_batch_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    top = ivf_batch_topk(
+        emb, "vec_id", "embedding", q, k=5, n_cells=16, n_probe=4,
+        quantizer="kmeans", kmeans_iters=2,
+    )
+    return top.select(
+        "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+    )
+
+
+#: shared oracle CTE: deterministic 2-iteration Lloyd's over the embeddings
+#: table (init = 16 lowest-id vectors) ending in centroids ``c2`` and final
+#: cell assignment ``af`` — replayed by both IVF oracles.
+_IVF_KMEANS_CTE = """
+    e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
+    ), a1 AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c0 c GROUP BY e.vec_id, e.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), a2 AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.v
+    ), m2 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a2)
+      GROUP BY cell, pos
+    ), c2 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m2 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c1 WHERE cid NOT IN (SELECT cell FROM m2)
+    ), af AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c2 c GROUP BY e.vec_id, e.v
+    )
+"""
+
+QUERIES["ivf_batch_topk"] = q_ivf_batch_topk
+ORACLE_SQL["ivf_batch_topk"] = f"""
+    WITH {_IVF_KMEANS_CTE},
+    q AS (
+      SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4
+    ), qc AS (
+      SELECT query_id, cid,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY list_dot_product(qv, cv) /
+                        greatest(1e-12, sqrt(list_dot_product(cv, cv)))
+                        DESC, cid ASC) AS rk
+      FROM q CROSS JOIN c2
+    ), ranked AS (
+      SELECT q.query_id, a.vec_id,
+             list_cosine_similarity(a.v, q.qv) AS c,
+             row_number() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_cosine_similarity(a.v, q.qv) DESC,
+                        a.vec_id ASC) AS rk
+      FROM q
+      JOIN qc ON qc.query_id = q.query_id AND qc.rk <= 4
+      JOIN af a ON a.cell = qc.cid
+      WHERE a.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, round(c, 6) AS cosine
+    FROM ranked WHERE rk <= 5
+"""
+
+
 def q_events_stream_sessions(spark, sf_dir):
     """Custom stateful streaming sessionization via applyInPandasWithState
     (streaming/events.py stateful_sessionize). On the finite availableNow
@@ -1859,58 +1960,9 @@ ORACLE_SQL.update(
             FROM lineitem JOIN part ON l_partkey = p_partkey
             GROUP BY p_brand
         """,
-        "ivf_topk": """
-            WITH e AS (
-              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-            ), c0 AS (             -- Lloyd init: the 16 lowest-id vectors
-              SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
-            ), a1 AS (             -- iteration 1: assign
-              SELECT e.vec_id, e.v,
-                     arg_max(c.cid, list_dot_product(e.v, c.cv) /
-                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv))))
-                       AS cell
-              FROM e CROSS JOIN c0 c GROUP BY e.vec_id, e.v
-            ), m1 AS (             -- iteration 1: exact-decimal mean
-              SELECT cell, pos,
-                     CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
-                       / COUNT(*) AS m
-              FROM (SELECT cell,
-                           unnest(generate_series(0, list_count(v) - 1)) AS pos,
-                           unnest(v) AS x
-                    FROM a1)
-              GROUP BY cell, pos
-            ), c1 AS (             -- empty cells keep their old centroid
-              SELECT cell AS cid, list(m ORDER BY pos) AS cv
-              FROM m1 GROUP BY cell
-              UNION ALL
-              SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
-            ), a2 AS (             -- iteration 2: assign
-              SELECT e.vec_id, e.v,
-                     arg_max(c.cid, list_dot_product(e.v, c.cv) /
-                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv))))
-                       AS cell
-              FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.v
-            ), m2 AS (             -- iteration 2: exact-decimal mean
-              SELECT cell, pos,
-                     CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE)
-                       / COUNT(*) AS m
-              FROM (SELECT cell,
-                           unnest(generate_series(0, list_count(v) - 1)) AS pos,
-                           unnest(v) AS x
-                    FROM a2)
-              GROUP BY cell, pos
-            ), c2 AS (
-              SELECT cell AS cid, list(m ORDER BY pos) AS cv
-              FROM m2 GROUP BY cell
-              UNION ALL
-              SELECT cid, cv FROM c1 WHERE cid NOT IN (SELECT cell FROM m2)
-            ), af AS (             -- final cell assignment
-              SELECT e.vec_id, e.v,
-                     arg_max(c.cid, list_dot_product(e.v, c.cv) /
-                       greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv))))
-                       AS cell
-              FROM e CROSS JOIN c2 c GROUP BY e.vec_id, e.v
-            ), q AS (
+        "ivf_topk": f"""
+            WITH {_IVF_KMEANS_CTE},
+            q AS (
               SELECT v AS qv FROM e WHERE vec_id = 0
             ), qc AS (             -- probe the 4 nearest cells
               SELECT c.cid FROM c2 c, q

@@ -294,6 +294,35 @@ def test_lsh_batch_topk_per_query_buckets(spark, emb):
         assert cos == sorted(cos, reverse=True)
 
 
+def test_ivf_batch_topk_full_probe_equals_exact(spark, emb):
+    """With n_probe == n_cells the batch IVF degenerates to exact search:
+    per query it must equal batch_cosine_topk. Probe-cell selection is
+    JVM-side (no driver collect of query vectors)."""
+    from s3parq_spark.operators import batch_cosine_topk, ivf_batch_topk
+
+    q = emb.filter(F.col("vec_id") < 3)
+    exact = {}
+    for r in batch_cosine_topk(emb, "vec_id", "embedding", q, k=4).collect():
+        exact.setdefault(r.query_id, []).append(r.vec_id)
+    full = {}
+    out = ivf_batch_topk(
+        emb, "vec_id", "embedding", q, k=4, n_cells=6, n_probe=6
+    )
+    for r in out.collect():
+        full.setdefault(r.query_id, []).append(r.vec_id)
+    assert full == exact
+    # narrow probe returns a subset per query, ranked
+    narrow = ivf_batch_topk(
+        emb, "vec_id", "embedding", q, k=4, n_cells=6, n_probe=2
+    ).collect()
+    by_q = {}
+    for r in narrow:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append(r.cosine)
+    for cos in by_q.values():
+        assert cos == sorted(cos, reverse=True) and len(cos) <= 4
+
+
 def test_kmeans_k_cap_clear_error(spark):
     from s3parq_spark.operators import kmeans_centroids
     from s3parq_spark.operators.similarity import _KMEANS_MAX_ENTRIES
