@@ -212,6 +212,14 @@ CASES = [
         "cross join.",
     ),
     (
+        "ivf_batch_topk",
+        "Batch IVF: per-query probe selection is a codegen'd array-sort "
+        "projection (no driver collect of query vectors); candidates come "
+        "from ONE equi-join on the probed cell with the query x probe "
+        "pairs broadcast; per-query WindowGroupLimit ranks - no cartesian "
+        "against the corpus.",
+    ),
+    (
         "schema_evolution_fetch",
         "Evolved-schema fetch: ONE FileScan over both publish generations "
         "with the merged sidecar ReadSchema - the missing column in "
