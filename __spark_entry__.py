@@ -47,13 +47,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Queries that already have a green (hash-matched) row in a prior round's
-# CORRECTNESS_r{01,02,03}.json. The driver only records the first 50 entries
+# CORRECTNESS_r{01..04}.json. The driver only records the first 50 entries
 # of queries(), so registration order IS verification coverage: we lead with
 # two sentinel parity queries, then every query that has never had a driver
 # row (including anything newly added this round), then the already-verified
 # remainder. Rotate this set forward each round as new rows land.
 _VERIFIED_PRIOR_ROUNDS = frozenset(
     {
+        # r01-r03 greens
         "ann_topk", "anti_join", "asof_clicks", "audio_features",
         "cube_pricing", "dedup_exact", "distinct_counts", "doc_fingerprint",
         "emb_neardup", "events_json", "events_sessionize", "events_sliding",
@@ -69,24 +70,42 @@ _VERIFIED_PRIOR_ROUNDS = frozenset(
         "scalar_functions", "semi_join", "simhash_pairs", "text_quality",
         "token_stats", "top_revenue_orders", "topk_orders", "union_distinct",
         "window_top_orders",
+        # r04 greens (CORRECTNESS_r04.json, 48/50)
+        "ann_batch_topk", "approx_distinct_counts", "band_join",
+        "bm25_search", "brand_size_revenue", "catalog_join",
+        "chunk_documents", "customer_distribution", "dedup_incremental",
+        "disjunctive_parts", "embedding_centroids", "embedding_normalize",
+        "events_stream_dedup", "events_stream_join", "events_stream_publish",
+        "events_stream_sessions", "forecast_revenue", "fuzzy_titles_d2",
+        "interval_join", "ivf_batch_topk", "ivf_topk", "knn_graph",
+        "large_volume_customers", "lsh_topk", "market_share",
+        "neardup_clusters", "ngram_contamination", "ngram_lm_quality",
+        "order_priority_exists", "pii_scrub", "product_type_profit",
+        "promo_revenue", "returned_item_ranking", "salted_revenue",
+        "schema_evolution_fetch", "small_qty_revenue", "sql_front_door",
+        "stratified_fixed_n", "stratified_sample", "tf_idf_top_terms",
+        "top_supplier", "vocab_topk", "volume_shipping", "waiting_customers",
+        "window_running",
+        # NOT here (deliberately): "doc_dup_ngrams" — r04-green, but its
+        # oracle tokenization changed this round (regex split), so it
+        # re-verifies via _NEW_THIS_ROUND; "repetition_quality" and
+        # "embedding_quantize" — r04 RED, fixed this round, re-verify as
+        # never-verified.
     }
 )
 
 _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 
-# Queries added this round, promoted right after the sentinels so they get a
-# CORRECTNESS row in their first round instead of waiting out the rotation.
+# Queries added or changed this round, promoted right after the sentinels so
+# they get a CORRECTNESS row in their first round instead of waiting out the
+# rotation.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "ann_batch_topk",
-    "fuzzy_titles_d2",
-    "catalog_join",
-    "embedding_normalize",
-    "ngram_lm_quality",
-    "bm25_search",
-    "stratified_fixed_n",
-    "doc_dup_ngrams",
-    "schema_evolution_fetch",
-    "ivf_batch_topk",
+    "repetition_quality",   # r04 red: oracle SUM now CAST AS BIGINT
+    "embedding_quantize",   # r04 red: output posexploded to scalars
+    "doc_dup_ngrams",       # oracle tokenization changed to regex split
+    "vacuum_roundtrip",     # new: orphan-file vacuum under the gate
+    "bpe_roundtrip",        # new: BPE train/apply under the gate
+    "ivf_pruned_topk",      # new: IVF-at-rest via partition-pruned fetch
 )
 
 

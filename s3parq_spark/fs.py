@@ -101,6 +101,19 @@ def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List
     return sorted(out)
 
 
+def file_mtime(spark: SparkSession, path: str) -> float:
+    """Modification time of a file as epoch seconds (driver-side metadata
+    op; one ``stat``/``getFileStatus`` per call). Used by the vacuum
+    retention window."""
+    local = _local_root(path)
+    if local is not None:
+        import os
+
+        return os.stat(local).st_mtime
+    fs, jpath, _ = _jvm_fs(spark, path)
+    return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Directory/file rename through the Hadoop FileSystem (atomic on
     local/HDFS; copy-based on object stores)."""

@@ -614,6 +614,7 @@ def vacuum_dataset(
     spark: SparkSession,
     path: str,
     dry_run: bool = False,
+    retention_hours: float = 24.0,
 ) -> List[str]:
     """Delete data files present on storage but absent from the sidecar's
     per-version manifests — orphans left by failed or interrupted writes
@@ -628,6 +629,14 @@ def vacuum_dataset(
     rewrite — vacuuming against no record would delete everything. The
     sidecar itself and non-parquet files are never touched. Returns the
     orphaned relative paths (``dry_run=True`` reports without deleting).
+
+    ``retention_hours`` guards the in-flight-publish race: ``publish_path``
+    writes data files BEFORE committing the sidecar, so a concurrent (or
+    crashed-and-about-to-retry) publish's files look orphaned until its
+    commit lands. Files modified within the retention window are never
+    reported or deleted (the same guard Delta-style vacuums use; Delta's
+    default is 7 days). Pass ``retention_hours=0`` only when no other
+    writer can be active.
     """
     meta = metadata.read_sidecar(spark, path)
     manifest = meta.manifest_files() if meta is not None else None
@@ -637,9 +646,17 @@ def vacuum_dataset(
             "is the record of acknowledged files; publish at least once "
             "(or re-publish) before vacuuming"
         )
+    import time as _time
+
+    cutoff = _time.time() - retention_hours * 3600.0
     live = fs.list_files(spark, path)
     known = set(manifest)
-    orphans = sorted(f for f in live if f not in known)
+    orphans = sorted(
+        f
+        for f in live
+        if f not in known
+        and fs.file_mtime(spark, posixpath.join(path, f)) <= cutoff
+    )
     if not dry_run:
         for rel in orphans:
             fs.delete(spark, posixpath.join(path, rel), recursive=False)

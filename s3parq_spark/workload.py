@@ -2441,12 +2441,30 @@ def q_embedding_quantize(spark, sf_dir):
     """int8-range vector quantization (operators/similarity.py
     quantize_vectors): per-vector min/max scaling with floor-based
     arithmetic (round() tie behavior differs across engines; floor does
-    not) — the 4× storage/shuffle shrink for billion-vector corpora."""
+    not) — the 4× storage/shuffle shrink for billion-vector corpora.
+
+    Output is posexploded to (vec_id, pos, q) scalars: the driver's
+    canonicalizer pandas-sorts every column and cannot sort raw array
+    cells (round-4 red row), so array outputs surface element-wise —
+    the same shape q_embedding_centroids uses."""
     from .operators import quantize_vectors
 
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return quantize_vectors(emb, "embedding", "qvec").select(
-        "vec_id", "qvec_min", "qvec_scale", "qvec"
+    return (
+        quantize_vectors(emb, "embedding", "qvec")
+        .select(
+            "vec_id",
+            "qvec_min",
+            "qvec_scale",
+            F.posexplode("qvec").alias("pos", "q"),
+        )
+        .select(
+            "vec_id",
+            "qvec_min",
+            "qvec_scale",
+            F.col("pos").cast("int").alias("pos"),
+            "q",
+        )
     )
 
 
@@ -2489,17 +2507,22 @@ ORACLE_SQL.update(
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
             ), m AS (
               SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+            ), q AS (
+              SELECT vec_id,
+                     lo AS qvec_min,
+                     (hi - lo) / 255.0 AS qvec_scale,
+                     CASE WHEN hi - lo = 0
+                          THEN list_transform(v, x -> 0)
+                          ELSE list_transform(v, x -> least(255,
+                                 CAST(floor((x - lo) * 255.0 / (hi - lo))
+                                      AS INT)))
+                     END AS qvec
+              FROM m
             )
-            SELECT vec_id,
-                   lo AS qvec_min,
-                   (hi - lo) / 255.0 AS qvec_scale,
-                   CASE WHEN hi - lo = 0
-                        THEN list_transform(v, x -> 0)
-                        ELSE list_transform(v, x -> least(255,
-                               CAST(floor((x - lo) * 255.0 / (hi - lo))
-                                    AS INT)))
-                   END AS qvec
-            FROM m
+            SELECT vec_id, qvec_min, qvec_scale,
+                   unnest(generate_series(0, list_count(qvec) - 1)) AS pos,
+                   unnest(qvec) AS q
+            FROM q
         """,
     }
 )
@@ -2797,7 +2820,10 @@ def q_doc_dup_ngrams(spark, sf_dir):
 QUERIES["doc_dup_ngrams"] = q_doc_dup_ngrams
 ORACLE_SQL["doc_dup_ngrams"] = """
     WITH toks AS (
-      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+      -- regex split + trim matches word_shingles' split(trim(text), '\\s+');
+      -- a plain ' ' split diverges on any doubled/leading whitespace
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
     ), sh AS (
       SELECT DISTINCT doc_id,
              unnest(list_transform(

@@ -475,7 +475,7 @@ ORACLE_EXT: Dict[str, str] = {
           SELECT doc_id, tok, COUNT(*) AS c FROM per_tok GROUP BY doc_id, tok
         )
         SELECT doc_id,
-               SUM(c) AS n_tokens,
+               CAST(SUM(c) AS BIGINT) AS n_tokens,
                COUNT(*) AS n_distinct,
                CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
                  AS distinct_ratio,
@@ -1186,11 +1186,17 @@ def q_shingle_index(spark, sf_dir):
     """Inverted 3-shingle index (operators/text.py inverted_index):
     per-doc-distinct shingles, posting lists via collect_set+array_sort,
     document-frequency band [2, 40] caps posting length (stop-shingle
-    cutoff) before anything large materializes."""
+    cutoff) before anything large materializes.
+
+    Posting lists surface posexploded to (term, n_docs, pos, doc_id)
+    scalars — the driver's canonicalizer cannot sort raw array cells."""
     from .operators import inverted_index
 
     docs = _table(spark, sf_dir, "documents")
-    return inverted_index(docs, "doc_id", "text", k=3, min_df=2, max_df=40)
+    idx = inverted_index(docs, "doc_id", "text", k=3, min_df=2, max_df=40)
+    return idx.select(
+        "term", "n_docs", F.posexplode("postings").alias("pos", "doc_id")
+    ).select("term", "n_docs", F.col("pos").cast("int").alias("pos"), "doc_id")
 
 
 QUERIES_EXT.update(
@@ -1262,11 +1268,18 @@ ORACLE_EXT.update(
                        generate_series(1, len(t) - 2),
                        i -> array_to_string(t[i:i+2], ' '))) AS term
               FROM toks WHERE len(t) >= 3
-            )
-            SELECT term, COUNT(*) AS n_docs,
-                   list(doc_id ORDER BY doc_id) AS postings
-            FROM sh GROUP BY term
-            HAVING COUNT(*) BETWEEN 2 AND 40
+            ), idx AS (
+              SELECT term, COUNT(*) AS n_docs,
+                     list(doc_id ORDER BY doc_id) AS postings
+              FROM sh GROUP BY term
+              HAVING COUNT(*) BETWEEN 2 AND 40
+        ), px AS (
+            SELECT term, n_docs,
+                   unnest(generate_series(0, len(postings) - 1)) AS pos,
+                   unnest(postings) AS doc_id
+            FROM idx
+        )
+        SELECT term, n_docs, pos, doc_id FROM px
         """,
     }
 )
