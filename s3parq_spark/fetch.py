@@ -46,9 +46,10 @@ class MissingS3ParqMetadata(Exception):
 
 def _files_and_meta(
     spark: SparkSession, path: str
-) -> tuple[List[str], Optional[DatasetMetadata]]:
-    """Dataset-relative data files + sidecar, preferring the sidecar's
-    per-version manifests over a filesystem walk.
+) -> tuple[List[str], Optional[DatasetMetadata], bool]:
+    """Dataset-relative data files + sidecar + whether the list came from the
+    manifest, preferring the sidecar's per-version manifests over a
+    filesystem walk.
 
     When the sidecar's snapshot history is intact, the file list is the union
     of the manifests — one small sidecar read, zero directory listings, O(1)
@@ -60,8 +61,8 @@ def _files_and_meta(
     if meta is not None:
         manifest = meta.manifest_files()
         if manifest is not None:
-            return manifest, meta
-    return fs.list_files(spark, path), meta
+            return manifest, meta, True
+    return fs.list_files(spark, path), meta, False
 
 
 def get_all_files_list(bucket: str, key: str = "", spark: Optional[SparkSession] = None) -> List[str]:
@@ -69,7 +70,7 @@ def get_all_files_list(bucket: str, key: str = "", spark: Optional[SparkSession]
     paginated ``list_objects`` scan (``fetch_parq.py:327-354``), answered from
     the sidecar manifests when version history is intact (no FS walk)."""
     spark = spark or SparkSession.active()
-    files, _ = _files_and_meta(spark, fs.dataset_uri(bucket, key))
+    files, _, _ = _files_and_meta(spark, fs.dataset_uri(bucket, key))
     return files
 
 
@@ -105,7 +106,7 @@ def get_all_partition_values(
     version history is intact, else a file-listing walk."""
     spark = spark or SparkSession.active()
     path = fs.dataset_uri(bucket, key)
-    files, meta = _files_and_meta(spark, path)
+    files, meta, _ = _files_and_meta(spark, path)
     if not files:
         return []
     if meta is None:
@@ -123,7 +124,7 @@ def get_max_partition_value(
     spark = spark or SparkSession.active()
     naming.validate_bucket_name(bucket)
     path = fs.dataset_uri(bucket, key)
-    files, meta = _files_and_meta(spark, path)
+    files, meta, _ = _files_and_meta(spark, path)
     if not files:
         return None
     if meta is None:
@@ -148,7 +149,7 @@ def get_diff_partition_values(
     (``fetch_parq.py:73-118``)."""
     spark = spark or SparkSession.active()
     path = fs.dataset_uri(bucket, key)
-    files, meta = _files_and_meta(spark, path)
+    files, meta, _ = _files_and_meta(spark, path)
 
     if not files:
         return list(set(values_to_diff)) if reverse else []
@@ -194,7 +195,7 @@ def fetch_path(
     filters = filters or []
     validate_filter_rules(filters)
 
-    files, meta = _files_and_meta(spark, path)
+    files, meta, from_manifest = _files_and_meta(spark, path)
     if not files:
         return spark.createDataFrame([], T.StructType([]))
 
@@ -222,7 +223,24 @@ def fetch_path(
             for n, t in meta.column_types.items()
         ]
     )
-    df = spark.read.schema(full_schema).parquet(path)
+    if from_manifest:
+        # Scan the manifest's explicit file list (basePath keeps hive
+        # partition-column derivation and pruning identical to a directory
+        # scan): the data plane then reads exactly the files the metadata
+        # plane acknowledges, so orphans from failed writes are invisible to
+        # BOTH — one consistency story, and the contract vacuum_dataset
+        # enforces physically. Degenerates to the directory scan when
+        # history is gone. At extreme file counts the explicit list costs
+        # O(files) driver->JVM strings; a production object store deployment
+        # would hand Spark a custom FileIndex over the same manifest instead
+        # — same semantics, same pruning.
+        df = (
+            spark.read.schema(full_schema)
+            .option("basePath", path)
+            .parquet(*[posixpath.join(path, f) for f in files])
+        )
+    else:
+        df = spark.read.schema(full_schema).parquet(path)
 
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
@@ -360,7 +378,7 @@ def fetch_diff_path(
     if not inp.columns:
         return inp
 
-    cmp_files, cmp_meta = _files_and_meta(spark, comparison_path)
+    cmp_files, cmp_meta, _ = _files_and_meta(spark, comparison_path)
     if not cmp_files or cmp_meta is None:
         return inp  # nothing to subtract: everything differs
 

@@ -206,17 +206,22 @@ def kmeans_centroids(
     corpus = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__vec")
     )
-    init = corpus.orderBy("__id").limit(k).collect()
-    cents = [list(r["__vec"]) for r in init]
-    k = len(cents)  # corpus may hold fewer than k vectors
-    if k == 0:
+    # Validate k*dim BEFORE the limit(k).collect() — probing dim from one
+    # row first costs one tiny job and means the guard fires before, not
+    # after, the potentially multi-GB init collect it exists to prevent.
+    probe = corpus.select(F.size("__vec").alias("__d")).limit(1).collect()
+    if not probe:
         raise ValueError("kmeans_centroids: corpus is empty")
-    if k * len(cents[0]) > _KMEANS_MAX_ENTRIES:
+    dim = probe[0]["__d"]
+    if k * dim > _KMEANS_MAX_ENTRIES:
         raise ValueError(
-            f"kmeans_centroids: k*dim = {k}*{len(cents[0])} exceeds the "
+            f"kmeans_centroids: k*dim = {k}*{dim} exceeds the "
             f"driver-side cap of {_KMEANS_MAX_ENTRIES} matrix entries; train "
             "the quantizer on a sample (df.sample) or reduce k"
         )
+    init = corpus.orderBy("__id").limit(k).collect()
+    cents = [list(r["__vec"]) for r in init]
+    k = len(cents)  # corpus may hold fewer than k vectors
     for _ in range(iters):
         cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
         s = _cell_scores(F.col("__vec"), cents, cnorms)

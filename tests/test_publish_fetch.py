@@ -545,14 +545,22 @@ def test_vacuum_dataset_removes_orphans_only(spark, tmp_path):
     orphan_rel = rel.rsplit("/", 1)[0] + "/part-orphan.parquet"
     shutil.copy(src, os.path.join(base, orphan_rel))
     assert len(list_files(spark, base)) == len(before_files) + 1
-    # the orphan pollutes reads until vacuumed
-    assert len(fetch(base, "", spark=spark, as_pandas=True)) > len(before)
+    # metadata and data planes agree: fetch scans the manifest's file list,
+    # so the orphan is invisible to it — but a raw directory read sees the
+    # extra rows (the pollution vacuum physically removes)
+    assert len(fetch(base, "", spark=spark, as_pandas=True)) == len(before)
+    raw_rows = spark.read.parquet(base).count()
+    assert raw_rows > len(before)
 
-    reported = vacuum_dataset(spark, base, dry_run=True)
+    # the retention window guards the in-flight-publish race: a
+    # just-written file is never reported, even as an orphan
+    assert vacuum_dataset(spark, base, dry_run=True) == []
+
+    reported = vacuum_dataset(spark, base, dry_run=True, retention_hours=0)
     assert reported == [orphan_rel]
     assert len(list_files(spark, base)) == len(before_files) + 1  # not deleted
 
-    deleted = vacuum_dataset(spark, base)
+    deleted = vacuum_dataset(spark, base, retention_hours=0)
     assert deleted == [orphan_rel]
     assert sorted(list_files(spark, base)) == before_files
     after = fetch(base, "", spark=spark, as_pandas=True)
