@@ -52,6 +52,8 @@ def vocab_to_spark_type(name: str) -> T.DataType:
         p = int(m.group(1) or 38)
         s = int(m.group(2) or 18)
         return T.DecimalType(p, s)
+    if name.startswith("array<") and name.endswith(">"):
+        return T.ArrayType(vocab_to_spark_type(name[6:-1]), True)
     try:
         return VOCAB_TO_SPARK[name]
     except KeyError:
@@ -79,6 +81,12 @@ def spark_type_to_vocab(dtype: T.DataType) -> str:
         return f"decimal({dtype.precision},{dtype.scale})"
     if isinstance(dtype, T.StringType):
         return "string"
+    if isinstance(dtype, T.ArrayType):
+        # value columns only (embeddings, token-id lists, minhash
+        # signatures); publish rejects array partition columns. Element
+        # types recurse through the same vocabulary, so widths normalize
+        # exactly as scalars do (float -> double on the way back out).
+        return f"array<{spark_type_to_vocab(dtype.elementType)}>"
     raise NotImplementedError(
         f"spark type {dtype.simpleString()} has no s3parq metadata equivalent"
     )

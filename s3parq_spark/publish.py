@@ -59,11 +59,17 @@ def check_partitions(partitions: List[str], df: DataFrame) -> None:
     """``check_partitions`` (``publish_parq.py:66-91``): partitions must be
     dataframe columns and not hive reserved words."""
     cols = set(df.columns)
+    dtypes = dict(df.dtypes)
     for p in partitions:
         if p not in cols:
             raise ValueError(f"Partition column {p!r} is not in the dataframe")
         if p.lower() in _HIVE_RESERVED:
             raise ValueError(f"Partition name {p!r} is a reserved word")
+        if dtypes.get(p, "").startswith("array"):
+            raise ValueError(
+                f"Partition column {p!r} is an array type; only scalar "
+                "columns can be hive partition keys"
+            )
 
 
 # bytes/row keyed by (dataset path, schema): row width depends on the

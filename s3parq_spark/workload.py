@@ -2931,6 +2931,154 @@ ORACLE_SQL["catalog_join"] = """
 """
 
 
+def q_vacuum_roundtrip(spark, sf_dir):
+    """Full orphan-file lifecycle under the gate (publish.py vacuum_dataset):
+    publish nation through the engine, plant an orphan parquet copy in a
+    partition dir, then assert the three contracts in sequence — (1) a raw
+    directory scan sees the orphan's rows but fetch (manifest file list)
+    does not; (2) the retention window refuses to touch the fresh file;
+    (3) retention_hours=0 vacuum removes exactly the orphan, after which
+    the raw scan agrees with fetch again. Oracle = the clean nation table.
+    Rebuilt from scratch every run — the lifecycle IS the query."""
+    from .publish import vacuum_dataset
+    from . import fs
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "vacuum_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation")
+    publish_path(spark, path, nation, ["n_regionkey"])
+    files = sorted(fs.list_files(spark, path))
+    rel = files[0]
+    orphan = rel.rsplit("/", 1)[0] + "/part-orphan.parquet"
+    shutil.copy(os.path.join(path, rel), os.path.join(path, orphan))
+
+    n_clean = nation.count()
+    assert spark.read.parquet(path).count() > n_clean, "orphan not visible to raw scan"
+    assert fetch_path(spark, path).count() == n_clean, "fetch leaked an orphan"
+    assert vacuum_dataset(spark, path, dry_run=True) == [], "retention window ignored"
+    removed = vacuum_dataset(spark, path, retention_hours=0)
+    assert removed == [orphan], f"vacuum removed {removed}, expected [{orphan}]"
+    assert spark.read.parquet(path).count() == n_clean, "raw scan still polluted"
+    return fetch_path(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+QUERIES["vacuum_roundtrip"] = q_vacuum_roundtrip
+ORACLE_SQL["vacuum_roundtrip"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+def q_bpe_roundtrip(spark, sf_dir):
+    """Distributed BPE train + apply (operators/bpe.py), gated on the
+    lossless-roundtrip property: merges only ever concatenate adjacent
+    symbols, so rejoining every document's tokens must reproduce its text
+    with whitespace squashed out. Training is deterministic (count-desc,
+    pair-lexicographic tiebreak) on a fixed 60-doc slice; the hash compare
+    runs over the full reconstructed text of every document, so a single
+    lost/reordered/duplicated token anywhere in the corpus is a red row."""
+    from .operators.bpe import bpe_apply, bpe_learn
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    merges = bpe_learn(docs.filter(F.col("doc_id") < 60), "text", n_merges=12)
+    assert merges, "bpe_learn produced no merges"
+    toks = bpe_apply(docs, "text", merges, "toks")
+    return toks.select("doc_id", F.concat_ws("", "toks").alias("reconstructed"))
+
+
+QUERIES["bpe_roundtrip"] = q_bpe_roundtrip
+ORACLE_SQL["bpe_roundtrip"] = """
+    SELECT doc_id,
+           array_to_string(string_split_regex(trim(text), '\\s+'), '')
+             AS reconstructed
+    FROM documents
+"""
+
+
+def q_ivf_pruned_topk(spark, sf_dir):
+    """IVF at rest, end to end: the corpus is published through the engine
+    ``partitionBy(cell)`` (the layout ivf_topk's docstring promises for
+    100 TB), and probes are served through the PARTITION-PRUNED fetch path —
+    the scan's file index keeps only the probed cells' files, so a query
+    touches n_probe/n_cells of the corpus via the engine's own pruning
+    machinery, not a post-scan filter.
+
+    Same deterministic quantizer and parameters as ivf_batch_topk (16-cell
+    kmeans, 2 Lloyd iterations, 4 queries × 4 probes, top-5), so it shares
+    that oracle verbatim. Probe-cell selection here is driver-side on the
+    collected query vectors — bounded at n_queries × dim — because partition
+    filters must exist at plan time; that is the serving-path trade, while
+    ivf_batch_topk remains the all-JVM batch path."""
+    from .operators.similarity import (
+        _cell_scores,
+        cosine_similarity,
+        kmeans_centroids,
+    )
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cvecs = kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=2)
+    cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
+
+    def build(s, d):
+        corpus = _table(s, d, "embeddings").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        )
+        sc = _cell_scores(F.col("embedding"), cvecs, cnorms)
+        return corpus.withColumn(
+            "cell", (F.array_position(sc, F.array_max(sc)) - 1).cast("int")
+        )
+
+    path = _cached_dataset(spark, sf_dir, "ivf_cells", build, ["cell"])
+
+    qrows = (
+        emb.filter(F.col("vec_id") < 4)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .collect()
+    )
+    pairs = []
+    for r in qrows:
+        qv = [float(x) for x in r["v"]]
+        order = sorted(
+            range(len(cvecs)),
+            key=lambda j: (
+                -sum(a * b for a, b in zip(qv, cvecs[j])) / cnorms[j],
+                j,
+            ),
+        )
+        pairs.extend((r["vec_id"], c, qv) for c in order[:4])
+    cells = sorted({c for _, c, _ in pairs})
+
+    fetched = fetch_path(
+        spark,
+        path,
+        filters=[{"partition": "cell", "comparison": "==", "values": cells}],
+        columns=["vec_id", "embedding", "cell"],
+    )
+    probe = spark.createDataFrame(
+        pairs, "query_id bigint, cell bigint, qvec array<double>"
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        fetched.join(F.broadcast(probe), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", cosine_similarity(F.col("embedding"), F.col("qvec")))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= 5)
+        .select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+QUERIES["ivf_pruned_topk"] = q_ivf_pruned_topk
+# byte-identical pipeline to ivf_batch_topk (same quantizer, queries, k,
+# n_probe) — the at-rest layout must not change the answer
+ORACLE_SQL["ivf_pruned_topk"] = ORACLE_SQL["ivf_batch_topk"]
+
+
 # round-2 extension queries (TPC-H Q7/Q8/Q9/Q15/Q19 shapes + corpus stats)
 from .workload_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
 

@@ -226,6 +226,14 @@ CASES = [
         "pre-evolution files materializes as NULL inside the scan, no "
         "per-generation union in the plan.",
     ),
+    (
+        "ivf_pruned_topk",
+        "IVF at rest: the corpus scan's PartitionFilters shows 'cell INSET "
+        "<probed cells>' (plus a dynamicpruning expression from the "
+        "broadcast probe join) - the file index keeps only the probed "
+        "cells' files, so the query reads n_probe/n_cells of the corpus "
+        "through the engine's own pruning, not a post-scan filter.",
+    ),
 ]
 
 

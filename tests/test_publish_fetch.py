@@ -570,3 +570,41 @@ def test_vacuum_dataset_removes_orphans_only(spark, tmp_path):
     overwrite_partitions(spark, base, grouped_pdf(10), ["string_col"])
     with _pytest.raises(ValueError, match="no snapshot history"):
         vacuum_dataset(spark, base)
+
+
+def test_array_value_columns_round_trip(spark, tmp_path):
+    """array<...> value columns (embeddings, token-id lists) publish and
+    fetch with full value fidelity: the sidecar records array<elem> vocab,
+    the explicit read schema rebuilds ArrayType, element widths normalize
+    exactly as scalars do (float32 data reads back as array<double>).
+    Array columns are value-only — partitioning on one is rejected."""
+    from pyspark.sql import types as T
+
+    from s3parq_spark.metadata import spark_type_to_vocab, vocab_to_spark_type
+
+    # vocab mapping both ways
+    assert spark_type_to_vocab(T.ArrayType(T.FloatType())) == "array<float>"
+    assert vocab_to_spark_type("array<float>") == T.ArrayType(T.DoubleType(), True)
+    assert vocab_to_spark_type("array<integer>") == T.ArrayType(T.LongType(), True)
+
+    base = str(tmp_path / "arr_ds")
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i) + 0.5], [f"t{i}", "x"], i % 2) for i in range(20)],
+        "id bigint, vec array<double>, toks array<string>, grp int",
+    )
+    publish_path(spark, base, df, ["grp"])
+
+    meta = read_sidecar(spark, base)
+    assert meta.column_types["vec"] == "array<float>"
+    assert meta.column_types["toks"] == "array<string>"
+
+    got = fetch_path(spark, base)
+    assert dict(got.dtypes)["vec"] == "array<double>"
+    assert dict(got.dtypes)["toks"] == "array<string>"
+    rows = {r["id"]: r for r in got.collect()}
+    assert len(rows) == 20
+    assert rows[3]["vec"] == [3.0, 3.5]
+    assert rows[3]["toks"] == ["t3", "x"]
+
+    with pytest.raises(ValueError, match="array type"):
+        publish_path(spark, str(tmp_path / "bad"), df, ["vec"])
