@@ -106,6 +106,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "vacuum_roundtrip",     # new: orphan-file vacuum under the gate
     "bpe_roundtrip",        # new: BPE train/apply under the gate
     "ivf_pruned_topk",      # new: IVF-at-rest via partition-pruned fetch
+    "semantic_dedup",       # new: SemDeDup-style embedding dedup
 )
 
 

@@ -541,3 +541,65 @@ def lsh_batch_topk(
         .filter(F.col("__rk") <= k)
         .select("query_id", id_col, "cosine")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int = 16,
+    threshold: float = 0.9,
+    kmeans_iters: int = 2,
+    centroids: Optional[list] = None,
+    quantizer: str = "kmeans",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): cluster the embedding column with the deterministic
+    Lloyd quantizer, compute pairwise cosine only WITHIN each cluster, and
+    drop every row that has a lower-id neighbor at ``cosine >= threshold``
+    (greedy keep-lowest-id — deterministic, and expressible as a single SQL
+    EXISTS, so the whole pipeline is oracle-checkable like the IVF family).
+
+    Output: the kept rows as ``(id_col, cell)``.
+
+    Scale shape: cell assignment is the same codegen'd argmax as ``ivf_topk``;
+    the pair stage is a self-equi-join ON THE CELL KEY — the SemDeDup trade
+    that replaces the O(N²) corpus-wide pair space with sum(cell²). At 100 TB
+    you raise ``n_cells`` so cells stay bounded (the paper uses 50k clusters
+    for LAION-scale); skewed cells split under AQE, and the join never
+    materializes cross-cell pairs. The drop set is a distinct projection of
+    ids; the result is one broadcast-able left-anti join.
+    """
+    corpus = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
+    )
+    if centroids is not None:
+        cvecs = [list(v) for v in centroids]
+    elif quantizer == "kmeans":
+        cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=kmeans_iters)
+    elif quantizer == "first":
+        cents = corpus.orderBy(id_col).limit(n_cells).collect()
+        cvecs = [list(r["__vec"]) for r in cents]
+    else:
+        raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
+    cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
+
+    s = _cell_scores(F.col("__vec"), cvecs, cnorms)
+    assigned = corpus.withColumn(
+        "cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
+    )
+
+    a = assigned.select(
+        F.col(id_col).alias("__aid"), F.col("__vec").alias("__av"), "cell"
+    )
+    b = assigned.select(
+        F.col(id_col).alias("__bid"), F.col("__vec").alias("__bv"), "cell"
+    )
+    dups = (
+        a.join(b, "cell")
+        .filter(F.col("__bid") < F.col("__aid"))
+        .filter(cosine_similarity(F.col("__av"), F.col("__bv")) >= threshold)
+        .select(F.col("__aid").alias(id_col))
+        .distinct()
+    )
+    return assigned.join(dups, id_col, "left_anti").select(id_col, "cell")

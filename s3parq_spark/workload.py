@@ -1529,12 +1529,19 @@ def q_ivf_batch_topk(spark, sf_dir):
     )
 
 
-#: shared oracle CTE: deterministic 2-iteration Lloyd's over the embeddings
-#: table (init = 16 lowest-id vectors) ending in centroids ``c2`` and final
-#: cell assignment ``af`` — replayed by both IVF oracles.
-_IVF_KMEANS_CTE = """
+def _ivf_kmeans_cte(
+    source: str = "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings",
+) -> str:
+    """Shared oracle CTE: deterministic 2-iteration Lloyd's over ``source``
+    (init = 16 lowest-id vectors) ending in centroids ``c2`` and final cell
+    assignment ``af`` — replayed by the IVF and semantic-dedup oracles.
+    ``source`` must yield ``(vec_id, v DOUBLE[])``."""
+    return _IVF_KMEANS_CTE_TEMPLATE.replace("__SOURCE__", source)
+
+
+_IVF_KMEANS_CTE_TEMPLATE = """
     e AS (
-      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+      __SOURCE__
     ), c0 AS (
       SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16
     ), a1 AS (
@@ -1581,7 +1588,7 @@ _IVF_KMEANS_CTE = """
 
 QUERIES["ivf_batch_topk"] = q_ivf_batch_topk
 ORACLE_SQL["ivf_batch_topk"] = f"""
-    WITH {_IVF_KMEANS_CTE},
+    WITH {_ivf_kmeans_cte()},
     q AS (
       SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 4
     ), qc AS (
@@ -1961,7 +1968,7 @@ ORACLE_SQL.update(
             GROUP BY p_brand
         """,
         "ivf_topk": f"""
-            WITH {_IVF_KMEANS_CTE},
+            WITH {_ivf_kmeans_cte()},
             q AS (
               SELECT v AS qv FROM e WHERE vec_id = 0
             ), qc AS (             -- probe the 4 nearest cells
@@ -3077,6 +3084,51 @@ QUERIES["ivf_pruned_topk"] = q_ivf_pruned_topk
 # byte-identical pipeline to ivf_batch_topk (same quantizer, queries, k,
 # n_probe) — the at-rest layout must not change the answer
 ORACLE_SQL["ivf_pruned_topk"] = ORACLE_SQL["ivf_batch_topk"]
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py
+    semantic_dedup, Abbas et al. 2023): cluster embeddings with the
+    deterministic Lloyd quantizer, drop rows with a lower-id same-cell
+    neighbor at cosine >= 0.9.
+
+    The raw embeddings are near-orthogonal (max pairwise cosine ~0.51), so
+    the query plants duplicates: exact copies of vec_id < 20 re-keyed to
+    +10000. A copy lands in its original's cell (identical argmax) and has
+    cosine 1.0 with it, so the kept set must be exactly the original
+    corpus with its cell assignment — the oracle replays Lloyd over the
+    SAME union corpus and the same EXISTS drop rule."""
+    from .operators import semantic_dedup
+
+    emb = _table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    copies = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "v"
+    )
+    corpus = emb.unionByName(copies)
+    return semantic_dedup(
+        corpus, "vec_id", "v", n_cells=16, threshold=0.9, kmeans_iters=2
+    )
+
+
+QUERIES["semantic_dedup"] = q_semantic_dedup
+_SEMDEDUP_SOURCE = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+      UNION ALL
+      SELECT vec_id + 10000, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id < 20"""
+ORACLE_SQL["semantic_dedup"] = f"""
+    WITH {_ivf_kmeans_cte(_SEMDEDUP_SOURCE)},
+    dups AS (
+      SELECT DISTINCT a.vec_id
+      FROM af a JOIN af b
+        ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+    )
+    SELECT a.vec_id, a.cell FROM af a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dups)
+"""
 
 
 # round-2 extension queries (TPC-H Q7/Q8/Q9/Q15/Q19 shapes + corpus stats)

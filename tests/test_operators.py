@@ -765,3 +765,38 @@ def test_kmeans_centroids_deterministic_and_improving(spark, emb):
             ivf_topk(emb, "vec_id", "embedding", q, k=10,
                      n_cells=8, n_probe=8, centroids=c1).collect()]
     assert full == exact
+
+
+def test_semantic_dedup_drops_near_duplicates_keeps_lowest_id(spark):
+    """SemDeDup greedy-by-id: exact/near copies of a lower-id vector are
+    dropped (including transitively through an already-dropped one);
+    near-orthogonal vectors all survive; output carries cell assignment."""
+    from s3parq_spark.operators import semantic_dedup
+
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [1.0, 0.001, 0.0, 0.0]),   # near-copy of 0 -> dropped
+        (4, [1.0, 0.002, 0.0, 0.0]),   # near-copy of 0 and 3 -> dropped
+        (5, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(base, "vec_id int, v array<double>")
+    kept = semantic_dedup(
+        df, "vec_id", "v", n_cells=3, threshold=0.99, kmeans_iters=1
+    )
+    rows = {r["vec_id"]: r["cell"] for r in kept.collect()}
+    assert sorted(rows) == [0, 1, 2, 5]
+    # deterministic: same input -> same kept set and cells
+    again = {
+        r["vec_id"]: r["cell"]
+        for r in semantic_dedup(
+            df, "vec_id", "v", n_cells=3, threshold=0.99, kmeans_iters=1
+        ).collect()
+    }
+    assert again == rows
+    # threshold 1.01 keeps everything (no cosine can reach it)
+    assert (
+        semantic_dedup(df, "vec_id", "v", n_cells=3, threshold=1.01).count()
+        == 6
+    )
