@@ -107,6 +107,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "bpe_roundtrip",        # new: BPE train/apply under the gate
     "ivf_pruned_topk",      # new: IVF-at-rest via partition-pruned fetch
     "semantic_dedup",       # new: SemDeDup-style embedding dedup
+    "sorted_publish_fetch", # new: clustered publish + range read
 )
 
 

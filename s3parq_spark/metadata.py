@@ -138,6 +138,7 @@ class DatasetMetadata:
         partition_data_types: Dict[str, str],
         column_types: Dict[str, str],
         snapshots: Optional[List[dict]] = None,
+        sort_columns: Optional[List[str]] = None,
     ):
         self.partitions = list(partitions)
         self.partition_data_types = dict(partition_data_types)
@@ -145,6 +146,10 @@ class DatasetMetadata:
         # append-only version history: [{"version": 1, "added": [relpath...]}]
         # — each publish's file additions; fetch_at(v) reads the prefix union
         self.snapshots = list(snapshots or [])
+        # declared within-file clustering (publish sort_within_files):
+        # readers/planners can rely on tight parquet row-group stats on
+        # these columns for data skipping
+        self.sort_columns = list(sort_columns or [])
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -167,6 +172,8 @@ class DatasetMetadata:
         }
         if self.snapshots:
             d["snapshots"] = self.snapshots
+        if self.sort_columns:
+            d["sort_columns"] = self.sort_columns
         return d
 
     @classmethod
@@ -176,6 +183,7 @@ class DatasetMetadata:
             partition_data_types=d.get("partition_data_types", {}),
             column_types=d.get("column_types", {}),
             snapshots=d.get("snapshots"),
+            sort_columns=d.get("sort_columns"),
         )
 
     def manifest_files(self) -> Optional[List[str]]:
@@ -248,4 +256,8 @@ def merge_sidecar(
         new.partition_data_types,
         merged_cols,
         snapshots=existing.snapshots,
+        # an append that declares a sort takes over the declaration; one
+        # that declares none inherits (file-level clustering of already-
+        # written files is unaffected either way)
+        sort_columns=new.sort_columns or existing.sort_columns,
     )

@@ -249,6 +249,7 @@ def publish_path(
     max_records_per_file: Optional[int] = None,
     custom_types: Optional[Dict[str, str]] = None,
     rebalance: bool = True,
+    sort_within_files: Optional[List[str]] = None,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -301,6 +302,23 @@ def publish_path(
     # 100 TB; maxRecordsPerFile below still enforces the 60 MB file contract.
     if rebalance:
         df = df.hint("rebalance", *partitions) if partitions else df.hint("rebalance")
+
+    if sort_within_files:
+        # Within-task sort (NO global sort, no extra shuffle): after the
+        # rebalance each task holds one hive partition's rows, so sorting by
+        # (partitions..., sort cols...) makes every written file a contiguous
+        # sorted range — parquet row-group/file min-max stats on the sort
+        # columns become tight and disjoint, and a range predicate on them
+        # skips whole row groups/files at scan time. This is the data-
+        # skipping lever for 100 TB predicates on NON-partition columns
+        # (partition pruning covers the partition ones). The clustering is
+        # declared in the sidecar (sort_columns) for readers.
+        missing = [c for c in sort_within_files if c not in df.columns]
+        if missing:
+            raise ValueError(f"sort_within_files columns not in dataframe: {missing}")
+        df = df.sortWithinPartitions(*partitions, *sort_within_files)
+        meta.sort_columns = list(sort_within_files)
+        merged.sort_columns = list(sort_within_files)
 
     n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
     writer = (

@@ -78,6 +78,7 @@ def _cached_dataset(
     name: str,
     build: Callable[[SparkSession, str], DataFrame],
     partitions: list,
+    **publish_kwargs,
 ) -> str:
     """Publish ``build(...)`` through the engine into a cached dataset dir;
     reuse across queries in the same driver run."""
@@ -86,7 +87,10 @@ def _cached_dataset(
     marker = os.path.join(path, "_PUBLISHED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
-        publish_path(spark, path, build(spark, sf_dir), partitions, mode="overwrite")
+        publish_path(
+            spark, path, build(spark, sf_dir), partitions, mode="overwrite",
+            **publish_kwargs,
+        )
         with open(marker, "w") as fh:
             fh.write("ok")
     return path
@@ -3113,6 +3117,58 @@ def q_semantic_dedup(spark, sf_dir):
 
 
 QUERIES["semantic_dedup"] = q_semantic_dedup
+
+
+def q_sorted_publish_fetch(spark, sf_dir):
+    """Data-skipping publish (publish.py sort_within_files): lineitem is
+    published partitioned by l_linestatus and CLUSTERED by l_shipdate
+    within files — each file a contiguous sorted range with tight,
+    pairwise-disjoint parquet min/max stats on the sort column (asserted
+    in tests/test_publish_fetch.py), the clustering declared in the
+    sidecar. The query is the 100 TB read shape this layout exists for:
+    partition filter (partition pruning) + date-range predicate on the
+    SORT column, which the scan pushes down and answers from row-group
+    stats instead of data pages. Oracle = the same filter in SQL."""
+    path = _cached_dataset(
+        spark, sf_dir, "li_sorted",
+        lambda s, d: _table(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice",
+            "l_discount", "l_linestatus",
+        ),
+        ["l_linestatus"],
+        sort_within_files=["l_shipdate"],
+    )
+    df = fetch_path(
+        spark, path,
+        filters=[{"partition": "l_linestatus", "comparison": "==",
+                  "values": ["F"]}],
+    )
+    return (
+        df.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01"))
+        )
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+QUERIES["sorted_publish_fetch"] = q_sorted_publish_fetch
+ORACLE_SQL["sorted_publish_fetch"] = """
+    SELECT l_orderkey, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+                (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_linestatus = 'F'
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01'
+    GROUP BY l_orderkey
+"""
 _SEMDEDUP_SOURCE = """SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
         FROM embeddings
       UNION ALL

@@ -227,6 +227,14 @@ CASES = [
         "per-generation union in the plan.",
     ),
     (
+        "sorted_publish_fetch",
+        "Clustered publish read: l_linestatus=F appears as PartitionFilters "
+        "(partition pruning) and the l_shipdate range as PushedFilters on "
+        "the scan - with sort_within_files the files' min/max stats on "
+        "l_shipdate are disjoint ranges, so the pushed range skips whole "
+        "row groups/files instead of filtering rows.",
+    ),
+    (
         "ivf_pruned_topk",
         "IVF at rest: the corpus scan's PartitionFilters shows 'cell INSET "
         "<probed cells>' (plus a dynamicpruning expression from the "

@@ -608,3 +608,53 @@ def test_array_value_columns_round_trip(spark, tmp_path):
 
     with pytest.raises(ValueError, match="array type"):
         publish_path(spark, str(tmp_path / "bad"), df, ["vec"])
+
+
+def test_sort_within_files_clusters_row_groups(spark, tmp_path):
+    """sort_within_files publishes each file as a contiguous sorted range:
+    parquet footer min/max stats on the sort column are pairwise-disjoint
+    across a partition's files (the data-skipping contract for range
+    predicates on non-partition columns), the sidecar declares the
+    clustering, and values are unaffected."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "sorted_ds")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+    publish_path(
+        spark, base, li, ["l_returnflag"],
+        sort_within_files=["l_orderkey"], max_records_per_file=500,
+    )
+
+    from s3parq_spark.fs import list_files
+
+    meta = read_sidecar(spark, base)
+    assert meta.sort_columns == ["l_orderkey"]
+
+    by_part = {}
+    for rel in list_files(spark, base):
+        pf = pq.ParquetFile(os.path.join(base, rel))
+        idx = pf.schema_arrow.names.index("l_orderkey")
+        lo = min(pf.metadata.row_group(i).column(idx).statistics.min
+                 for i in range(pf.metadata.num_row_groups))
+        hi = max(pf.metadata.row_group(i).column(idx).statistics.max
+                 for i in range(pf.metadata.num_row_groups))
+        by_part.setdefault(rel.rsplit("/", 1)[0], []).append((lo, hi))
+    assert any(len(v) > 1 for v in by_part.values())  # the split happened
+    for ranges in by_part.values():
+        ranges.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, f"overlapping file ranges {(lo1,hi1)} {(lo2,hi2)}"
+
+    # values unaffected by the sort
+    got = fetch_path(spark, base)
+    assert got.count() == li.count()
+    assert got.filter(F.col("l_orderkey") <= 100).count() == \
+        li.filter(F.col("l_orderkey") <= 100).count()
+
+    with pytest.raises(ValueError, match="sort_within_files"):
+        publish_path(spark, str(tmp_path / "bad"), li, [],
+                     sort_within_files=["nope"])
