@@ -108,6 +108,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ivf_pruned_topk",      # new: IVF-at-rest via partition-pruned fetch
     "semantic_dedup",       # new: SemDeDup-style embedding dedup
     "sorted_publish_fetch", # new: clustered publish + range read
+    "zorder_publish_fetch", # new: Morton-key multi-dim clustering
 )
 
 

@@ -3159,6 +3159,43 @@ def q_sorted_publish_fetch(spark, sf_dir):
 
 
 QUERIES["sorted_publish_fetch"] = q_sorted_publish_fetch
+
+
+def q_zorder_publish_fetch(spark, sf_dir):
+    """Z-ordered publish (publish.py zorder_by): lineitem clustered by the
+    interleaved-bit Morton key over (l_orderkey, l_partkey) — per-file
+    min/max stats tight on BOTH columns (asserted in tests), so the scan's
+    pushed range predicates on either dimension skip files. The query
+    filters on both dimensions at once — the selective-point-lookup shape
+    z-ordering exists for. Oracle = the same two-range filter in SQL."""
+    path = _cached_dataset(
+        spark, sf_dir, "li_zorder",
+        lambda s, d: _table(s, d, "lineitem").select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            "l_extendedprice",
+        ),
+        [],
+        zorder_by=["l_orderkey", "l_partkey"],
+    )
+    df = fetch_path(spark, path)
+    return (
+        df.filter(
+            (F.col("l_orderkey") < 5000) & (F.col("l_partkey") < 800)
+        )
+        .select(
+            "l_orderkey", "l_partkey", "l_linenumber", "l_quantity",
+            F.col("l_extendedprice").alias("price"),
+        )
+    )
+
+
+QUERIES["zorder_publish_fetch"] = q_zorder_publish_fetch
+ORACLE_SQL["zorder_publish_fetch"] = """
+    SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+           l_extendedprice AS price
+    FROM lineitem
+    WHERE l_orderkey < 5000 AND l_partkey < 800
+"""
 ORACLE_SQL["sorted_publish_fetch"] = """
     SELECT l_orderkey, COUNT(*) AS n_items,
            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *

@@ -658,3 +658,89 @@ def test_sort_within_files_clusters_row_groups(spark, tmp_path):
     with pytest.raises(ValueError, match="sort_within_files"):
         publish_path(spark, str(tmp_path / "bad"), li, [],
                      sort_within_files=["nope"])
+
+
+def test_zorder_publish_clusters_both_dims(spark, tmp_path):
+    """zorder_by clusters per-file parquet stats on EVERY listed column at
+    once (a plain sort only clusters its leading column); values are
+    unaffected, the sidecar declares z(cols), and invalid uses raise."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from s3parq_spark.fs import list_files
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_returnflag"
+    )
+
+    base = str(tmp_path / "z_ds")
+    publish_path(spark, base, li, [], max_records_per_file=4000,
+                 zorder_by=["l_orderkey", "l_partkey"])
+    meta = read_sidecar(spark, base)
+    assert meta.sort_columns == ["z(l_orderkey, l_partkey)"]
+
+    for col in ("l_orderkey", "l_partkey"):
+        ranges = []
+        for rel in list_files(spark, base):
+            pf = pq.ParquetFile(os.path.join(base, rel))
+            i = pf.schema_arrow.names.index(col)
+            st = [pf.metadata.row_group(g).column(i).statistics
+                  for g in range(pf.metadata.num_row_groups)]
+            ranges.append((min(s.min for s in st), max(s.max for s in st)))
+        assert len(ranges) > 4
+        full = max(h for _, h in ranges) - min(l for l, _ in ranges)
+        avg = sum(h - l for l, h in ranges) / len(ranges) / full
+        # unclustered files each span ~the full domain (frac ~1.0)
+        assert avg < 0.7, f"{col} avg per-file range fraction {avg:.3f}"
+
+    got = fetch_path(spark, base)
+    assert got.count() == li.count()
+    assert got.agg(F.sum("l_quantity")).first()[0] == \
+        li.agg(F.sum("l_quantity")).first()[0]
+
+    with pytest.raises(ValueError, match="not both"):
+        publish_path(spark, str(tmp_path / "bad1"), li, [],
+                     sort_within_files=["l_orderkey"], zorder_by=["l_partkey"])
+    with pytest.raises(ValueError, match="numeric/temporal"):
+        publish_path(spark, str(tmp_path / "bad2"), li, [],
+                     zorder_by=["l_returnflag"])
+
+
+def test_bloom_filter_columns_written(spark, tmp_path):
+    """bloom_filter_columns writes a parquet bloom filter on the flagged
+    column — the row-group skipping mechanism for point lookups on
+    unclustered, high-cardinality columns where min/max stats cannot
+    prune. This pyarrow/duckdb can't surface bloom offsets from the
+    footer, so the bloom's presence is asserted via the file-size delta
+    of otherwise-identical publishes (parquet-mr appends the filter
+    bitset before the footer)."""
+    import os
+
+    from s3parq_spark.fs import list_files
+
+    # high-cardinality key: parquet-mr (correctly) skips the bloom when a
+    # chunk is fully dictionary-encoded, so a low-NDV column shows none
+    df = spark.range(100_000).selectExpr(
+        "id", "id * 7 % 99991 AS k"
+    ).coalesce(1)
+    base = str(tmp_path / "bloom_ds")
+    plain = str(tmp_path / "plain_ds")
+    publish_path(spark, base, df, [], rebalance=False,
+                 bloom_filter_columns=["k"])
+    publish_path(spark, plain, df, [], rebalance=False)
+
+    size = lambda root: sum(
+        os.path.getsize(os.path.join(root, f)) for f in list_files(spark, root)
+    )
+    delta = size(base) - size(plain)
+    assert delta > 100_000, f"bloom publish only {delta} bytes larger"
+
+    got = fetch_path(spark, base)
+    assert got.count() == df.count()
+    assert got.filter(F.col("k") == 7).count() == \
+        df.filter(F.col("k") == 7).count()
+
+    with pytest.raises(ValueError, match="bloom_filter_columns"):
+        publish_path(spark, str(tmp_path / "bad"), df, [],
+                     bloom_filter_columns=["nope"])
