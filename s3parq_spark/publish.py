@@ -691,6 +691,15 @@ def compact_dataset(
         max_records_per_file=max_records_per_file,
         rebalance=rebalance,
     )
+    if sort_by or zorder_by:
+        # declare the new clustering in the rewritten sidecar, exactly as a
+        # direct sorted/z-ordered publish would (readers learn the layout
+        # from metadata, not by probing footers)
+        new_meta = metadata.read_sidecar(spark, tmp)
+        new_meta.sort_columns = (
+            list(sort_by) if sort_by else [f"z({', '.join(zorder_by)})"]
+        )
+        metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".precompact"
     fs.delete(spark, old)
     if not fs.rename(spark, path, old):

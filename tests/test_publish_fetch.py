@@ -451,6 +451,7 @@ def test_compact_dataset_zorder_clusters_2d(spark, tmp_path):
     publish_path(spark, base, grid, ["part_col"], max_records_per_file=111)
     before = fetch(base, "", spark=spark, as_pandas=True)
     compact_dataset(spark, base, zorder_by=["x", "y"], max_records_per_file=256)
+    assert read_sidecar(spark, base).sort_columns == ["z(x, y)"]
     got = fetch(base, "", spark=spark, as_pandas=True)
     assert sorted(map(tuple, before[["x", "y"]].values.tolist())) == sorted(
         map(tuple, got[["x", "y"]].values.tolist())
