@@ -109,6 +109,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "semantic_dedup",       # new: SemDeDup-style embedding dedup
     "sorted_publish_fetch", # new: clustered publish + range read
     "zorder_publish_fetch", # new: Morton-key multi-dim clustering
+    "fetch_changes",        # new: CDC incremental read between versions
 )
 
 

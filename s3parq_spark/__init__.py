@@ -11,6 +11,7 @@ importable module members, and adds the large-scale pipeline operators
 from .fetch import (
     attach,
     fetch_at,
+    fetch_changes,
     list_versions,
     MissingS3ParqMetadata,
     fetch,
@@ -41,6 +42,7 @@ __all__ = [
     "export_jsonl",
     "fetch",
     "fetch_at",
+    "fetch_changes",
     "fetch_diff",
     "fetch_diff_path",
     "fetch_path",

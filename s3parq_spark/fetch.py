@@ -307,8 +307,69 @@ def fetch_at(
         if s["version"] <= version
         for r in s["added"]
     ]
-    files = [posixpath.join(path, r) for r in rel]
+    return _read_manifest_slice(spark, path, meta, rel, filters, columns)
 
+
+def fetch_changes(
+    spark: SparkSession,
+    path: str,
+    from_version: int,
+    to_version: int,
+    filters: Optional[List[dict]] = None,
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """CDC-style incremental read over an append-only dataset: EXACTLY the
+    rows appended after snapshot ``from_version``, up to and including
+    ``to_version`` — the "process only what's new since the last run"
+    contract an incremental training pipeline needs. ``from_version=0``
+    means "since before the first snapshot" (so ``fetch_changes(0, latest)``
+    ≡ ``fetch_at(latest)``).
+
+    Because the history is append-only, the delta is a FILE-level property:
+    the union of the ``added`` manifests of versions in
+    ``(from_version, to_version]``. No row diffing, no join against the old
+    snapshot — cost is proportional to the delta, not the dataset, which is
+    the only geometry that works when 100 TB of corpus gains a 100 GB
+    increment. The scan goes through the same explicit-schema ``basePath``
+    read as ``fetch_at``, so partition pruning and column projection still
+    reach the file index.
+    """
+    filters = filters or []
+    validate_filter_rules(filters)
+    meta = _dataset_meta(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(f"no version history at {path}")
+    versions = [s["version"] for s in meta.snapshots]
+    for v, arg in ((from_version, "from_version"), (to_version, "to_version")):
+        if v != 0 and v not in versions:
+            raise ValueError(
+                f"{arg} {v} not in history {versions} at {path}"
+            )
+    if from_version >= to_version:
+        raise ValueError(
+            f"from_version {from_version} must precede to_version {to_version}"
+        )
+    rel = [
+        r
+        for s in meta.snapshots
+        if from_version < s["version"] <= to_version
+        for r in s["added"]
+    ]
+    return _read_manifest_slice(spark, path, meta, rel, filters, columns)
+
+
+def _read_manifest_slice(
+    spark: SparkSession,
+    path: str,
+    meta: DatasetMetadata,
+    rel_files: List[str],
+    filters: List[dict],
+    columns: Optional[List[str]],
+) -> DataFrame:
+    """Scan an explicit manifest file list with the sidecar schema and
+    ``basePath`` partition recovery (shared by ``fetch_at`` /
+    ``fetch_changes``). An empty list yields an empty frame with the full
+    dataset schema — never a scan error."""
     validate_matching_filter_data_type(meta.partition_data_types, filters)
     full_schema = T.StructType(
         [
@@ -316,11 +377,15 @@ def fetch_at(
             for n, t in meta.column_types.items()
         ]
     )
-    df = (
-        spark.read.schema(full_schema)
-        .option("basePath", path)
-        .parquet(*files)
-    )
+    if rel_files:
+        files = [posixpath.join(path, r) for r in rel_files]
+        df = (
+            spark.read.schema(full_schema)
+            .option("basePath", path)
+            .parquet(*files)
+        )
+    else:
+        df = spark.createDataFrame([], full_schema)
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
     if columns is not None:

@@ -1384,17 +1384,14 @@ ORACLE_EXT["hourly_resample"] = """
 """
 
 
-def q_time_travel_fetch(spark, sf_dir):
-    """Time travel end-to-end (fetch.py fetch_at): publish lineitem rows
-    with l_linenumber <= 3 as v1, append the rest as v2, then read the
-    dataset AS OF v1 — the byte-identical training-set reproducibility
-    contract. Partition pruning and the sidecar schema apply at the old
-    version exactly as at head."""
+def _li_versions_ds(spark, sf_dir) -> str:
+    """Two-snapshot lineitem dataset (cached per sf): v1 = lines 1-3,
+    v2 appends the rest — the shared fixture for time travel (fetch_at)
+    and incremental CDC reads (fetch_changes)."""
     import os
     import re
     import shutil
 
-    from .fetch import fetch_at
     from .publish import publish_path
     from .workload import _CACHE_ROOT
 
@@ -1416,12 +1413,47 @@ def q_time_travel_fetch(spark, sf_dir):
         )
         with open(marker, "w") as fh:
             fh.write("ok")
-    return fetch_at(spark, path, 1)
+    return path
+
+
+def q_time_travel_fetch(spark, sf_dir):
+    """Time travel end-to-end (fetch.py fetch_at): publish lineitem rows
+    with l_linenumber <= 3 as v1, append the rest as v2, then read the
+    dataset AS OF v1 — the byte-identical training-set reproducibility
+    contract. Partition pruning and the sidecar schema apply at the old
+    version exactly as at head."""
+    from .fetch import fetch_at
+
+    return fetch_at(spark, _li_versions_ds(spark, sf_dir), 1)
 
 
 QUERIES_EXT["time_travel_fetch"] = q_time_travel_fetch
 ORACLE_EXT["time_travel_fetch"] = """
     SELECT * FROM lineitem WHERE l_linenumber <= 3
+"""
+
+
+def q_fetch_changes(spark, sf_dir):
+    """Incremental CDC read (fetch.py fetch_changes): over the same
+    two-snapshot dataset as time_travel_fetch, read EXACTLY the rows
+    appended between v1 and v2 — the "new since my last run" delta, priced
+    by the delta's files (the v2 manifest), never a diff against the full
+    dataset. Partition pruning still applies: the l_returnflag filter
+    prunes the delta's file index before any I/O."""
+    from .fetch import fetch_changes
+
+    return fetch_changes(
+        spark,
+        _li_versions_ds(spark, sf_dir),
+        from_version=1,
+        to_version=2,
+        filters=[{"partition": "l_returnflag", "comparison": "==", "values": ["A"]}],
+    )
+
+
+QUERIES_EXT["fetch_changes"] = q_fetch_changes
+ORACLE_EXT["fetch_changes"] = """
+    SELECT * FROM lineitem WHERE l_linenumber > 3 AND l_returnflag = 'A'
 """
 
 

@@ -112,3 +112,66 @@ class TestTimeTravel:
         assert sorted(
             r["v"] for r in fetch_at(spark, tmp_dataset_dir, 1).collect()
         ) == list(range(6))
+
+
+class TestFetchChanges:
+    def test_delta_between_versions(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import fetch_changes
+
+        publish_path(spark, tmp_dataset_dir, batch(0, 10), ["grp"])
+        publish_path(spark, tmp_dataset_dir, batch(10, 25), ["grp"], mode="append")
+        publish_path(spark, tmp_dataset_dir, batch(25, 30), ["grp"], mode="append")
+        got = lambda lo, hi: sorted(  # noqa: E731
+            r["v"]
+            for r in fetch_changes(spark, tmp_dataset_dir, lo, hi).collect()
+        )
+        assert got(1, 2) == list(range(10, 25))
+        assert got(2, 3) == list(range(25, 30))
+        assert got(1, 3) == list(range(10, 30))
+        # from_version=0: everything up to the target version
+        assert got(0, 3) == list(range(30))
+
+    def test_filters_prune_and_columns_project(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import fetch_changes
+
+        publish_path(spark, tmp_dataset_dir, batch(0, 5, "a"), ["grp"])
+        both = pd.concat([batch(5, 8, "a"), batch(8, 12, "b")])
+        publish_path(spark, tmp_dataset_dir, both, ["grp"], mode="append")
+        df = fetch_changes(
+            spark,
+            tmp_dataset_dir,
+            1,
+            2,
+            filters=[{"partition": "grp", "comparison": "==", "values": ["b"]}],
+            columns=["v"],
+        )
+        assert df.columns == ["v"]
+        assert sorted(r["v"] for r in df.collect()) == [8, 9, 10, 11]
+        plan = df._jdf.queryExecution().toString()
+        assert "PartitionFilters" in plan
+
+    def test_bad_version_args_rejected(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import fetch_changes
+
+        publish_path(spark, tmp_dataset_dir, batch(0, 5), ["grp"])
+        publish_path(spark, tmp_dataset_dir, batch(5, 7), ["grp"], mode="append")
+        with pytest.raises(ValueError, match="not in history"):
+            fetch_changes(spark, tmp_dataset_dir, 1, 9)
+        with pytest.raises(ValueError, match="must precede"):
+            fetch_changes(spark, tmp_dataset_dir, 2, 2)
+        with pytest.raises(ValueError, match="must precede"):
+            fetch_changes(spark, tmp_dataset_dir, 2, 1)
+
+    def test_empty_delta_keeps_schema(self, spark, tmp_dataset_dir):
+        from s3parq_spark import metadata
+        from s3parq_spark.fetch import fetch_changes
+
+        publish_path(spark, tmp_dataset_dir, batch(0, 5), ["grp"])
+        publish_path(spark, tmp_dataset_dir, batch(5, 7), ["grp"], mode="append")
+        # simulate a snapshot that added no files (empty append)
+        meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+        meta.snapshots.append({"version": 3, "added": []})
+        metadata.write_sidecar(spark, tmp_dataset_dir, meta)
+        df = fetch_changes(spark, tmp_dataset_dir, 2, 3)
+        assert df.count() == 0
+        assert set(df.columns) == {"grp", "v"}
