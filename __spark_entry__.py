@@ -110,6 +110,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "sorted_publish_fetch", # new: clustered publish + range read
     "zorder_publish_fetch", # new: Morton-key multi-dim clustering
     "fetch_changes",        # new: CDC incremental read between versions
+    "bucketed_join",        # new: publish_bucketed + shuffle-free SMJ
 )
 
 

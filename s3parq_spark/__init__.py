@@ -28,6 +28,7 @@ from .publish import (
     custom_publish,
     merge_upsert,
     publish,
+    publish_bucketed,
     publish_path,
     vacuum_dataset,
     validate_redshift_params,
@@ -55,6 +56,7 @@ __all__ = [
     "merge_upsert",
     "publish",
     "read_jsonl",
+    "publish_bucketed",
     "publish_path",
     "vacuum_dataset",
     "SessionHelper",

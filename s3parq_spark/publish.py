@@ -711,6 +711,69 @@ def compact_dataset(
     return fs.list_files(spark, path)
 
 
+def publish_bucketed(
+    spark: SparkSession,
+    path: str,
+    dataframe,
+    bucket_col: str,
+    n_buckets: int,
+    table_name: str,
+    schema_name: str = "default",
+    sort_cols: Optional[List[str]] = None,
+    mode: str = "overwrite",
+) -> str:
+    """Bucketed (pre-shuffled) publish: write the data hash-clustered into
+    ``n_buckets`` files by ``bucket_col`` and register it as a catalog
+    table — the at-scale layout for tables that are JOINED or AGGREGATED on
+    the same key again and again. Two tables bucketed the same way
+    sort-merge-join with ZERO Exchange in the plan (the shuffle was paid
+    once, at write time), which at 100 TB turns every repeated
+    fact-to-fact join from the dominant cost into a local merge.
+
+    Bucketing is the one layout Spark only honors THROUGH the catalog (the
+    bucket spec lives in the metastore, and bucket ids live in file names) —
+    so this is a ``saveAsTable`` publish, returning the fully qualified
+    table name. The s3parq sidecar metadata plane does not apply here by
+    design; ``spark.table(...)`` is the read path. Hive-partitioned +
+    sidecar publishes remain ``publish_path``'s job; this is the
+    complementary clustered layout (sorted/z-ordered files within a
+    partition → ``publish_path(sort_within_files=...)``; co-located joins →
+    here).
+
+    ``mode="append"`` adds files to the existing table; Spark validates the
+    bucket spec matches, so appends can never silently break the layout.
+    """
+    from .redshift import validate_name
+
+    df = _to_spark_df(spark, dataframe)
+    check_empty_dataframe(df)
+    if bucket_col not in df.columns:
+        raise ValueError(
+            f"bucket column {bucket_col!r} not in dataframe columns "
+            f"{df.columns}"
+        )
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    validate_name(table_name)
+    if schema_name != "default":  # "default" is reserved yet always legal
+        validate_name(schema_name)
+    full_name = f"{schema_name}.{table_name}"
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema_name}")
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {full_name}")
+    (
+        df.write.mode(mode)
+        .format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, bucket_col)
+        .sortBy(*(sort_cols or [bucket_col]))
+        .saveAsTable(full_name)
+    )
+    return full_name
+
+
 def vacuum_dataset(
     spark: SparkSession,
     path: str,

@@ -18,6 +18,7 @@ import at the bottom of ``workload.py``.
 
 from __future__ import annotations
 
+import os
 import posixpath
 from typing import Callable, Dict
 
@@ -1454,6 +1455,66 @@ def q_fetch_changes(spark, sf_dir):
 QUERIES_EXT["fetch_changes"] = q_fetch_changes
 ORACLE_EXT["fetch_changes"] = """
     SELECT * FROM lineitem WHERE l_linenumber > 3 AND l_returnflag = 'A'
+"""
+
+
+def q_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join end to end (publish.py
+    publish_bucketed): orders and lineitem both published hash-clustered
+    into 8 buckets on the order key via ``saveAsTable``, then sort-merge
+    joined BY NAME through the catalog — the merge hint pins SMJ so the
+    plan's join reads the bucketed scans directly, zero Exchange below the
+    join (asserted in tests/test_bucketing.py; at 100 TB this turns every
+    repeated fact-to-fact join into a local merge). Rebuilt each run: the
+    driver's in-memory catalog does not persist bucket specs across
+    sessions, and the bucketed WRITE is part of the operation under test."""
+    import re as _re
+
+    from .publish import publish_bucketed
+    from .workload import _CACHE_ROOT
+
+    key = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    schema = "bkt_" + _re.sub(r"[^A-Za-z0-9_]", "_", key)
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    base = os.path.join(_CACHE_ROOT, key)
+    publish_bucketed(
+        spark, os.path.join(base, "b_orders"), orders, "o_orderkey", 8,
+        "b_orders", schema,
+    )
+    publish_bucketed(
+        spark, os.path.join(base, "b_lineitem"), li, "l_orderkey", 8,
+        "b_lineitem", schema,
+    )
+    lt = spark.table(f"{schema}.b_lineitem")
+    ot = spark.table(f"{schema}.b_orders").hint("merge")
+    return (
+        lt.join(ot, lt.l_orderkey == ot.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+QUERIES_EXT["bucketed_join"] = q_bucketed_join
+ORACLE_EXT["bucketed_join"] = """
+    SELECT o.o_orderpriority,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) *
+                    (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
 """
 
 
