@@ -111,6 +111,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "zorder_publish_fetch", # new: Morton-key multi-dim clustering
     "fetch_changes",        # new: CDC incremental read between versions
     "bucketed_join",        # new: publish_bucketed + shuffle-free SMJ
+    "quality_classifier",   # new: hashing-trick linear quality model
+    "shipping_priority_split",  # new: TPC-H Q12 shape (CASE counting)
+    "temperature_mix",      # new: sqrt-temperature source mixing
 )
 
 

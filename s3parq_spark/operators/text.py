@@ -88,6 +88,54 @@ def quality_scores(df: DataFrame, text_col: str) -> DataFrame:
     )
 
 
+def linear_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    n_features: int = 4096,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """fastText-style linear classifier over hashed bag-of-words — the
+    standard learned quality filter (cf. CCNet / GPT-3's quality model),
+    with the hashing trick replacing a vocabulary: token → md5-derived
+    feature bucket → weight; document logit = mean of token weights.
+
+    The weight table is not shipped as data: weight(b) is DERIVED from the
+    bucket id by a Knuth multiplicative hash, so the whole model is three
+    integer ops per token — pure codegen'd JVM expressions, no UDF, no
+    broadcast, no vocabulary join, and the identical arithmetic runs in any
+    engine (the oracle replays it). Swapping in real trained weights means
+    replacing the derivation with a broadcast ``n_features``-entry lookup
+    array; the plan shape (one projection, zero shuffles) is unchanged,
+    which is the property that matters at 100 TB.
+
+    Exactness: token weights are exact integers in [-2^19, 2^19); the logit
+    sum stays integer (order-independent), and the ONE float op is the
+    final mean division. ``keep`` compares that mean against ``threshold``.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    scale = 1 << 20
+    weights = F.transform(
+        toks,
+        lambda t: (
+            F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint")
+            % F.lit(n_features)
+        )
+        * F.lit(2654435761)
+        % F.lit(scale)
+        - F.lit(scale // 2),
+    )
+    logit = F.aggregate(
+        weights, F.lit(0).cast("bigint"), lambda acc, x: acc + x
+    )
+    n = F.size(toks).cast("bigint")
+    score = logit.cast("double") / (n * F.lit(scale))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("score", score)
+        .withColumn("keep", score > F.lit(threshold))
+    )
+
+
 def document_fingerprint(
     df: DataFrame, text_col: str, out_col: str = "fingerprint"
 ) -> DataFrame:

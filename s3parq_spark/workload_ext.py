@@ -1505,6 +1505,138 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_shipping_priority_split(spark, sf_dir):
+    """TPC-H Q12 shape restricted to the carried columns (no l_shipmode /
+    commitdate): orders↔lineitem join over a one-year shipdate window, then
+    two-way conditional counting — lines belonging to high-priority orders
+    (1-URGENT/2-HIGH) vs the rest — per linestatus. The CASE-counting
+    aggregate is the shape's point: one shuffle on the group key, the
+    priority split costs nothing extra. Orders projects two columns and
+    broadcasts under AQE at this scale; at 100 TB both sides shuffle on
+    orderkey (or pre-bucket via publish_bucketed and skip the exchange)."""
+    li = _table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+    ).select("l_orderkey", "l_linestatus")
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(hi, 1)).alias("high_line_count"),
+            F.count(F.when(~hi, 1)).alias("low_line_count"),
+        )
+    )
+
+
+QUERIES_EXT["shipping_priority_split"] = q_shipping_priority_split
+ORACLE_EXT["shipping_priority_split"] = """
+    SELECT l_linestatus,
+           COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate < TIMESTAMP '1996-01-01'
+    GROUP BY l_linestatus
+"""
+
+
+def q_temperature_mix(spark, sf_dir):
+    """Temperature-scaled source mixing (T=0.5): each source's replication
+    factor is ``sqrt(N/n_s)`` — the standard inverse-frequency upweighting
+    that flattens a skewed source distribution toward uniform (factor 1 for
+    a source holding the whole corpus, growing as a source gets rarer).
+    Factors come from one bounded counts aggregate (n_sources rows on the
+    driver, the partition-combo-bounded pattern); replication is
+    operators/sampling.py corpus_upsample — integer thresholds resolved
+    from the factor BEFORE touching row data, then a pure 1→N explode.
+    Exactness across engines: factor = round(sqrt of one double division,
+    4), so the oracle derives bit-identical integer thresholds in SQL."""
+    import math
+
+    from .operators import corpus_upsample
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "source")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    total = sum(r["n"] for r in counts)
+    weights = {
+        r["source"]: round(math.sqrt(total / r["n"]), 4) for r in counts
+    }
+    out = corpus_upsample(docs, "doc_id", weights, "source")
+    return out.select("doc_id", "source", "copy_idx")
+
+
+QUERIES_EXT["temperature_mix"] = q_temperature_mix
+ORACLE_EXT["temperature_mix"] = """
+    WITH cnt AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS total FROM cnt
+    ), thr AS (
+      SELECT source,
+             CAST(floor(f) AS BIGINT) AS whole,
+             CAST(round((f - floor(f)) * 10000, 0) AS BIGINT) AS fthr
+      FROM (SELECT source,
+                   round(sqrt(CAST(total AS DOUBLE) / n), 4) AS f
+            FROM cnt CROSS JOIN tot)
+    ), t AS (
+      SELECT doc_id, d.source,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) % 10000 AS bucket,
+             whole, fthr
+      FROM documents d JOIN thr ON thr.source = d.source
+    ), n AS (
+      SELECT doc_id, source,
+             whole + CASE WHEN bucket < fthr THEN 1 ELSE 0 END AS n_copies
+      FROM t
+    )
+    SELECT doc_id, source, CAST(ci AS INT) AS copy_idx
+    FROM (SELECT doc_id, source,
+                 unnest(generate_series(1, n_copies)) AS ci
+          FROM n WHERE n_copies >= 1)
+"""
+
+
+def q_quality_classifier(spark, sf_dir):
+    """Hashed-bag-of-words linear quality classifier (operators/text.py
+    linear_quality_classifier): md5-bucketed tokens, Knuth-derived integer
+    weights, exact integer logit, one float mean at the edge. The oracle
+    replays the identical arithmetic, so the learned-filter PLUMBING (hash,
+    bucket, weight, mean, threshold) is what the gate certifies."""
+    from .operators import linear_quality_classifier
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = linear_quality_classifier(docs, "text", n_features=4096)
+    return out.select(
+        "doc_id", "n_tokens", F.round("score", 9).alias("score"), "keep"
+    )
+
+
+QUERIES_EXT["quality_classifier"] = q_quality_classifier
+ORACLE_EXT["quality_classifier"] = """
+    WITH t AS (
+      SELECT doc_id,
+             list_transform(
+               string_split_regex(trim(text), '\\s+'),
+               tok -> ((CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 4096)
+                       * 2654435761) % 1048576 - 524288
+             ) AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           round(CAST(list_aggregate(ws, 'sum') AS DOUBLE)
+                 / (len(ws) * 1048576), 9) AS score,
+           (CAST(list_aggregate(ws, 'sum') AS DOUBLE)
+            / (len(ws) * 1048576)) > 0.0 AS keep
+    FROM t
+"""
+
+
 QUERIES_EXT["bucketed_join"] = q_bucketed_join
 ORACLE_EXT["bucketed_join"] = """
     SELECT o.o_orderpriority,

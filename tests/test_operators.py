@@ -800,3 +800,34 @@ def test_semantic_dedup_drops_near_duplicates_keeps_lowest_id(spark):
         semantic_dedup(df, "vec_id", "v", n_cells=3, threshold=1.01).count()
         == 6
     )
+
+
+def test_linear_quality_classifier(spark):
+    from s3parq_spark.operators import linear_quality_classifier
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa aa aa"), (3, "zz")], ["doc_id", "text"]
+    )
+    rows = {
+        r.doc_id: r
+        for r in linear_quality_classifier(df, "text", n_features=64).collect()
+    }
+    assert rows[1].n_tokens == 3 and rows[3].n_tokens == 1
+    # replay the arithmetic in python for one token
+    import hashlib
+
+    def w(tok, nf=64, scale=1 << 20):
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % nf
+        return b * 2654435761 % scale - scale // 2
+
+    assert rows[3].score == w("zz") / (1 << 20)
+    assert rows[2].score == w("aa") / (1 << 20)  # mean of 3 equal weights
+    assert abs(rows[1].score - (w("aa") + w("bb") + w("cc")) / 3 / (1 << 20)) < 1e-12
+    for r in rows.values():
+        assert r.keep == (r.score > 0.0)
+    # deterministic across calls
+    again = {
+        r.doc_id: r.score
+        for r in linear_quality_classifier(df, "text", n_features=64).collect()
+    }
+    assert {k: v.score for k, v in rows.items()} == again
