@@ -114,6 +114,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "quality_classifier",   # new: hashing-trick linear quality model
     "shipping_priority_split",  # new: TPC-H Q12 shape (CASE counting)
     "temperature_mix",      # new: sqrt-temperature source mixing
+    "pq_topk",              # new: product-quantization ADC ANN
 )
 
 

@@ -463,6 +463,105 @@ def quantize_vectors(
     )
 
 
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 1,
+) -> tuple:
+    """Product-quantization codebook training + corpus encoding: split each
+    vector into ``m`` equal subvectors, train an independent ``codes``-entry
+    quantizer per subspace (the deterministic Lloyd's of
+    ``kmeans_centroids``, so index builds are reproducible), then encode
+    every corpus vector as ``m`` small integers — dim×4 bytes compressed to
+    m×1, the memory lever that fits billion-vector indexes in RAM (Jégou
+    et al., PAMI 2011).
+
+    Returns ``(encoded_df, codebooks)``: the input plus ``__code_0..m-1``
+    int columns (ONE shuffle-free projection over literal centroid arrays),
+    and the per-subspace centroid lists (driver-side, m×codes×(dim/m)
+    doubles — the bounded quantizer matrix, not data).
+    """
+    corpus = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    )
+    probe = corpus.select(F.size("__vec").alias("__d")).limit(1).collect()
+    if not probe:
+        raise ValueError("pq_encode: corpus is empty")
+    dim = probe[0]["__d"]
+    if dim % m != 0:
+        raise ValueError(f"pq_encode: dim {dim} not divisible by m {m}")
+    sub = dim // m
+    books = []
+    for j in range(m):
+        sliced = corpus.select(
+            "__id", F.slice("__vec", j * sub + 1, sub).alias("__sub")
+        )
+        books.append(
+            kmeans_centroids(sliced, "__id", "__sub", k=codes, iters=kmeans_iters)
+        )
+    out = df
+    for j, cents in enumerate(books):
+        cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
+        s = _cell_scores(
+            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub),
+            cents,
+            cnorms,
+        )
+        out = out.withColumn(
+            f"__code_{j}", (F.array_position(s, F.array_max(s)) - 1).cast("int")
+        )
+    return out, books
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 1,
+) -> DataFrame:
+    """Asymmetric-distance PQ search: the query stays exact, the corpus is
+    its PQ codes, and ``score(q, x) ≈ Σ_j dot(q_j, codebook_j[code_j(x)])``
+    — the ADC inner-product approximation. Per corpus row the score is m
+    array lookups + m small dot products against BROADCAST literal
+    codebooks: no shuffle, no join, linear scan of codes (at 100 TB,
+    compose with the IVF cell layout — prune cells first, ADC-scan
+    inside them — exactly how IVF-PQ indexes are built).
+
+    The query frame (one row) broadcast-crossJoins the encoded corpus;
+    ranking is score desc / id asc, so with the deterministic quantizer the
+    whole approximate result is oracle-checkable. Returns top-``k``
+    ``(id, adc)`` with the raw approximate dot product rounded to 6."""
+    enc, books = pq_encode(df, id_col, vec_col, m, codes, kmeans_iters)
+    sub = len(books[0][0])
+    q = query_df.select(
+        F.col(id_col).alias("__qid"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    joined = enc.crossJoin(F.broadcast(q)).filter(
+        F.col(id_col) != F.col("__qid")
+    )
+    score = None
+    for j, cents in enumerate(books):
+        cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
+        d = _dot(
+            F.slice("__qvec", j * sub + 1, sub),
+            F.element_at(cmat, F.col(f"__code_{j}") + 1),
+        )
+        score = d if score is None else score + d
+    ranked = joined.select(
+        F.col(id_col), score.alias("__score")
+    ).orderBy(F.desc("__score"), F.asc(id_col)).limit(k)
+    return ranked.select(id_col, F.round("__score", 6).alias("adc"))
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     id_col: str,

@@ -1601,6 +1601,88 @@ ORACLE_EXT["temperature_mix"] = """
 """
 
 
+def q_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_topk): 4
+    subspaces × 8 codes over the 64-dim embeddings, deterministic 1-iter
+    Lloyd codebooks, corpus encoded to 4 small ints per vector, then
+    asymmetric-distance top-10 for query vec 0 — m array lookups + m
+    16-dim dots against broadcast literal codebooks, zero shuffles in the
+    scoring scan. The oracle replays per-subspace training, encoding, and
+    ADC ranking, so the APPROXIMATE result is exactly checkable."""
+    from .operators import pq_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return pq_topk(
+        emb, "vec_id", "embedding", q, k=10, m=4, codes=8, kmeans_iters=1
+    )
+
+
+def _pq_subspace_cte(j: int, lo: int, hi: int, k: int = 8) -> str:
+    """Oracle CTE: deterministic 1-iteration Lloyd's + final assignment for
+    PQ subspace ``j`` over ``list_slice(v, lo, hi)`` (init = the ``k``
+    lowest-id subvectors), plus the query's subslice ``q{j}`` — the SQL
+    replay of ``pq_encode``'s per-subspace quantizer."""
+    return f"""
+    e{j} AS (
+      SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e
+    ), c{j}0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e{j} WHERE vec_id < {k}
+    ), a{j}1 AS (
+      SELECT e{j}.vec_id, e{j}.v,
+             arg_max(c.cid, list_dot_product(e{j}.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e{j} CROSS JOIN c{j}0 c GROUP BY e{j}.vec_id, e{j}.v
+    ), m{j}1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a{j}1)
+      GROUP BY cell, pos
+    ), c{j}1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m{j}1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c{j}0 WHERE cid NOT IN (SELECT cell FROM m{j}1)
+    ), af{j} AS (
+      SELECT e{j}.vec_id,
+             arg_max(c.cid, list_dot_product(e{j}.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e{j} CROSS JOIN c{j}1 c GROUP BY e{j}.vec_id, e{j}.v
+    ), q{j} AS (
+      SELECT list_slice(v, {lo}, {hi}) AS qv FROM e WHERE vec_id = 0
+    )"""
+
+
+QUERIES_EXT["pq_topk"] = q_pq_topk
+ORACLE_EXT["pq_topk"] = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {','.join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16) for j in range(4))},
+    scored AS (
+      SELECT af0.vec_id,
+             list_dot_product(q0.qv, b0.cv)
+           + list_dot_product(q1.qv, b1.cv)
+           + list_dot_product(q2.qv, b2.cv)
+           + list_dot_product(q3.qv, b3.cv) AS score
+      FROM af0
+      JOIN af1 USING (vec_id)
+      JOIN af2 USING (vec_id)
+      JOIN af3 USING (vec_id)
+      JOIN c01 b0 ON b0.cid = af0.cell
+      JOIN c11 b1 ON b1.cid = af1.cell
+      JOIN c21 b2 ON b2.cid = af2.cell
+      JOIN c31 b3 ON b3.cid = af3.cell
+      CROSS JOIN q0 CROSS JOIN q1 CROSS JOIN q2 CROSS JOIN q3
+      WHERE af0.vec_id <> 0
+    )
+    SELECT vec_id, round(score, 6) AS adc
+    FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Hashed-bag-of-words linear quality classifier (operators/text.py
     linear_quality_classifier): md5-bucketed tokens, Knuth-derived integer

@@ -831,3 +831,36 @@ def test_linear_quality_classifier(spark):
         for r in linear_quality_classifier(df, "text", n_features=64).collect()
     }
     assert {k: v.score for k, v in rows.items()} == again
+
+
+def test_pq_encode_and_adc_topk(spark, emb):
+    from s3parq_spark.operators import pq_encode, pq_topk
+
+    enc, books = pq_encode(emb, "vec_id", "embedding", m=4, codes=8)
+    assert len(books) == 4 and all(len(b) <= 8 for b in books)
+    assert all(len(c) == 16 for b in books for c in b)  # dim 64 / m 4
+    row = enc.select("__code_0", "__code_1", "__code_2", "__code_3").first()
+    for j in range(4):
+        assert 0 <= row[f"__code_{j}"] < 8
+    # codes compress the corpus: distinct code tuples << corpus size
+    n_tuples = enc.select("__code_0", "__code_1", "__code_2", "__code_3").distinct().count()
+    assert n_tuples <= 8 ** 4
+
+    q = emb.filter(F.col("vec_id") == 0)
+    top = pq_topk(emb, "vec_id", "embedding", q, k=5, m=4, codes=8)
+    rows = top.collect()
+    assert len(rows) == 5
+    assert all(r.vec_id != 0 for r in rows)
+    scores = [r.adc for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic rebuild: same top-5
+    again = pq_topk(emb, "vec_id", "embedding", q, k=5, m=4, codes=8).collect()
+    assert [(r.vec_id, r.adc) for r in rows] == [(r.vec_id, r.adc) for r in again]
+    # ADC approximates the exact search: its top-5 overlaps exact top-20
+    from s3parq_spark.operators import brute_force_cosine_topk
+
+    exact = {
+        r.vec_id
+        for r in brute_force_cosine_topk(emb, "vec_id", "embedding", q, k=20).collect()
+    }
+    assert len({r.vec_id for r in rows} & exact) >= 2
