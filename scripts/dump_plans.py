@@ -242,6 +242,43 @@ CASES = [
         "cells' files, so the query reads n_probe/n_cells of the corpus "
         "through the engine's own pruning, not a post-scan filter.",
     ),
+    (
+        "pq_topk",
+        "PQ asymmetric-distance search: encode + ADC score is a single "
+        "Project over the corpus scan (codebooks are literal arrays), the "
+        "1-row query is the only BroadcastExchange, ranking is "
+        "TakeOrderedAndProject - zero shuffles end to end.",
+    ),
+    (
+        "bucketed_join",
+        "Pre-shuffled co-located join: both scans read bucketed files "
+        "(SelectedBucketsCount), SortMergeJoin with NO Exchange below it - "
+        "the shuffle was paid once at write time.",
+    ),
+    (
+        "quality_classifier",
+        "Hashed linear model: one Project over the scan - per-token "
+        "bucket/weight/logit are array expressions, no UDF, no join, no "
+        "shuffle; the only Exchange would be absent entirely.",
+    ),
+    (
+        "shipping_priority_split",
+        "Q12 shape: shipdate range is a PushedFilter on the lineitem scan, "
+        "orders broadcasts, CASE-counting rides the single group-key "
+        "exchange.",
+    ),
+    (
+        "temperature_mix",
+        "Temperature mixing: the counts aggregate is one small job; the "
+        "replication itself is Generate(explode) over a Project - a 1->N "
+        "flatMap with no shuffle.",
+    ),
+    (
+        "fetch_changes",
+        "CDC delta read: the scan's file index holds ONLY the delta "
+        "manifest's files (InMemoryFileIndex path count = files added in "
+        "the version range), with PartitionFilters still applied on top.",
+    ),
 ]
 
 
