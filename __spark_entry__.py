@@ -115,6 +115,12 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "shipping_priority_split",  # new: TPC-H Q12 shape (CASE counting)
     "temperature_mix",      # new: sqrt-temperature source mixing
     "pq_topk",              # new: product-quantization ADC ANN
+    "split_assign",         # new: deterministic train/val/test assignment
+    "token_budget_select",  # new: per-source token-budget selection
+    "line_dedup",           # new: cross-doc line-level boilerplate dedup
+    "decontaminate",        # new: benchmark n-gram decontamination (corpus out)
+    "minhash_dedup_corpus", # new: full fuzzy dedup, kept corpus out
+    "restore_fetch",        # new: dataset rollback (restore) lifecycle
 )
 
 

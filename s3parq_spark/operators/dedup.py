@@ -716,3 +716,69 @@ def dedup_keep_best(
         *[F.col(f"__w.{c}").alias(c) for c in payload_cols],
         "n_copies",
     )
+
+def fuzzy_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """End-to-end fuzzy dedup: the input corpus MINUS near-duplicates —
+    the SlimPajama/BigCode pipeline as one operator. MinHash-LSH
+    candidates → exact-Jaccard verify → connected components → keep the
+    min-id document of every cluster plus every unclustered document.
+
+    Returns the kept rows with all input columns. The join against the
+    cluster assignment is on the id key; cluster labels are tiny relative
+    to the corpus (only docs participating in a near-dup pair), so at
+    100 TB the removal join broadcasts.
+    """
+    clusters = neardup_clusters(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold,
+        broadcast_verify,
+    )
+    losers = clusters.filter(F.col(id_col) != F.col("cluster")).select(id_col)
+    return df.join(F.broadcast(losers), id_col, "left_anti")
+
+
+def decontaminate(
+    train: DataFrame,
+    bench: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: drop training documents sharing at least
+    ``min_hits`` distinct word ``n``-grams with the benchmark corpus (the
+    GPT-3/PaLM 13-gram rule). Returns the CLEAN training rows, all
+    columns intact.
+
+    Plan shape: both sides explode to per-doc DISTINCT shingles (the same
+    prefix dedup as the contamination report), one string equi-join
+    against the benchmark's distinct shingle set, per-doc hit count, then
+    a broadcast left-anti of the contaminated id list. The benchmark's
+    distinct shingles are the small side at 100 TB — eval sets are
+    megabytes against terabytes of training text — so the join broadcasts
+    and the training corpus is never reshuffled.
+    """
+    t_sh = word_shingles(
+        train.select(F.col(id_col), F.col(text_col)), text_col, n
+    ).select(F.col(id_col), F.explode("shingles").alias("__g"))
+    b_sh = (
+        word_shingles(bench.select(F.col(text_col)), text_col, n)
+        .select(F.explode("shingles").alias("__g"))
+        .distinct()
+    )
+    hits = (
+        t_sh.join(F.broadcast(b_sh), "__g")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__hits"))
+        .filter(F.col("__hits") >= min_hits)
+        .select(id_col)
+    )
+    return train.join(F.broadcast(hits), id_col, "left_anti")

@@ -187,3 +187,74 @@ def corpus_shuffle(
         .withColumn("position", F.row_number().over(w).cast("bigint") - 1)
         .drop("__h")
     )
+
+def assign_splits(
+    df: DataFrame,
+    id_col: str,
+    splits: Dict[str, float],
+) -> DataFrame:
+    """Deterministic train/val/test assignment: adds a ``split`` string
+    column that is a pure function of the row id — the membership contract
+    every training pipeline needs (a document must land in the same split
+    on every run, any cluster size, any partition layout, and must NOT
+    migrate between splits when the corpus grows).
+
+    ``splits`` maps name -> fraction (must sum to <= 1.0; any remainder is
+    labelled NULL so callers see unassigned mass instead of silently
+    inflating the last split). Assignment: ``bucket = hash60(id) mod
+    RESOLUTION`` falls into consecutive half-open ranges in the given
+    order. A projection, not a shuffle — composes with partition pruning
+    and costs nothing at 100 TB.
+    """
+    total = sum(splits.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"split fractions sum to {total} > 1.0")
+    bucket = F.pmod(_hash60(F.col(id_col)), F.lit(RESOLUTION))
+    expr = F.lit(None).cast("string")
+    hi = 0
+    bounds = []
+    for name, frac in splits.items():
+        lo, hi = hi, hi + int(round(frac * RESOLUTION))
+        bounds.append((name, lo, hi))
+    for name, lo, hi in reversed(bounds):
+        expr = F.when((bucket >= lo) & (bucket < hi), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)
+
+
+def token_budget_select(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    order_col: str,
+    tokens_col: str,
+    budget: int,
+    ascending: bool = False,
+) -> DataFrame:
+    """Per-group token-budget selection: within each ``group_col`` value
+    (source, language, domain), rank rows by ``order_col`` (quality score;
+    best-first by default) and keep rows while the running sum of
+    ``tokens_col`` stays within ``budget`` — the "take the best N tokens
+    per source" step that turns quality scores into an actual training
+    mix. A row that would cross the budget is excluded (strict prefix).
+
+    Deterministic: ties on ``order_col`` break by id. One window per
+    group — a per-key sort, parallel across groups, no global sort; at
+    100 TB the group count (sources) bounds per-task state, not the corpus.
+    Output: input rows kept, plus ``cum_tokens`` (the running total
+    including the row itself).
+    """
+    from pyspark.sql import Window
+
+    order = [
+        F.col(order_col).asc() if ascending else F.col(order_col).desc(),
+        F.col(id_col).asc(),
+    ]
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        df.withColumn("cum_tokens", F.sum(F.col(tokens_col).cast("bigint")).over(w))
+        .filter(F.col("cum_tokens") <= budget)
+    )

@@ -528,3 +528,78 @@ def inverted_index(
     if max_df is not None:
         out = out.filter(F.col("n_docs") <= max_df)
     return out
+
+def remove_duplicated_lines(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_doc_freq: int = 2,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Cross-document line-level dedup (the RefinedWeb/CCNet boilerplate
+    filter): split every document into lines, count each distinct
+    (normalized) line's document frequency across the corpus, drop lines
+    appearing in ``min_doc_freq`` or more documents (navigation chrome,
+    cookie banners, footers), and reassemble each document's surviving
+    lines in their original order.
+
+    Output: ``(id, text_clean, n_lines, n_kept)`` — one row per input
+    document, ``text_clean = ''`` when everything was boilerplate. Empty /
+    whitespace-only lines are dropped unconditionally (they'd otherwise
+    count as a shared "line" in every document).
+
+    Scale shape: one explode → one distinct → one hash aggregate on the
+    line string (document frequency) → join back on the line key → per-doc
+    aggregate that sorts each doc's surviving lines by position AFTER
+    collecting them (collect_list order is nondeterministic; array_sort on
+    the (pos, line) struct restores it). Every exchange is keyed; the df
+    table is Zipf-shaped so the hot keys are exactly the boilerplate lines
+    being removed — AQE's skew handling splits them.
+    """
+    import re as _re
+
+    lines = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+                "pos", "line"
+            ),
+        )
+        .withColumn(
+            "__norm",
+            F.trim(F.lower(F.col("line")) if lowercase else F.col("line")),
+        )
+        .filter(F.length("__norm") > 0)
+    )
+    dfreq = (
+        lines.select(F.col(id_col), "__norm")
+        .distinct()
+        .groupBy("__norm")
+        .agg(F.count(F.lit(1)).alias("__line_df"))
+    )
+    kept = lines.join(dfreq, "__norm").filter(
+        F.col("__line_df") < min_doc_freq
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            sep,
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
+                ),
+                lambda x: x["line"],
+            ),
+        ).alias("__clean"),
+        F.count(F.lit(1)).alias("__kept"),
+    )
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
+            F.col("n_lines"),
+            F.coalesce(F.col("__kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        )
+    )

@@ -827,6 +827,61 @@ def vacuum_dataset(
     return orphans
 
 
+def restore_dataset(
+    spark: SparkSession,
+    path: str,
+    version: int,
+    dry_run: bool = False,
+) -> List[str]:
+    """Roll the dataset back to snapshot ``version`` (Delta-style RESTORE
+    for the append-only history): delete every data file added by later
+    snapshots and truncate the sidecar's version history so ``version`` is
+    the new head. After the restore, ``fetch`` ≡ what ``fetch_at(version)``
+    returned before it, and subsequent appends continue from ``version+1``.
+
+    The bad-append escape hatch: an upstream job published garbage, readers
+    must stop seeing it NOW, and the retained history must stay truthful
+    (time travel to rolled-back versions is gone, not silently empty).
+    DESTRUCTIVE for the rolled-back versions — their files are removed,
+    under the same single-writer assumption as ``vacuum_dataset``;
+    ``dry_run=True`` reports the files without touching anything. Raises
+    without intact snapshot history or when ``version`` is not in it.
+    Returns the removed relative paths.
+
+    Driver cost is O(files being removed), zero data movement or rewrite —
+    restore at 100 TB is a metadata operation plus unlinks, never a table
+    rewrite. (Reference analog: its datasets are immutable-once-published;
+    rollback there is "re-publish the old frame" — a full rewrite. The
+    manifest makes it O(delta) here.)
+    """
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(
+            f"restore_dataset: no snapshot history at {path} — nothing to "
+            "restore to"
+        )
+    versions = [s["version"] for s in meta.snapshots]
+    if version not in versions:
+        raise ValueError(
+            f"restore_dataset: version {version} not in history {versions} "
+            f"at {path}"
+        )
+    keep = [s for s in meta.snapshots if s["version"] <= version]
+    drop = [s for s in meta.snapshots if s["version"] > version]
+    kept_files = {f for s in keep for f in s.get("added", [])}
+    # a file can legally appear in multiple snapshots only via bootstrap
+    # edge cases; never remove anything the kept prefix still references
+    removed = sorted(
+        {f for s in drop for f in s.get("added", [])} - kept_files
+    )
+    if not dry_run:
+        for rel in removed:
+            fs.delete(spark, posixpath.join(path, rel), recursive=False)
+        meta.snapshots = keep
+        metadata.write_sidecar(spark, path, meta)
+    return removed
+
+
 REDSHIFT_PARAM_KEYS = (
     "schema_name",
     "table_name",

@@ -3226,6 +3226,9 @@ ORACLE_SQL["semantic_dedup"] = f"""
 
 # round-2 extension queries (TPC-H Q7/Q8/Q9/Q15/Q19 shapes + corpus stats)
 from .workload_ext import ORACLE_EXT, QUERIES_EXT  # noqa: E402
+from .workload_ext2 import ORACLE_EXT2, QUERIES_EXT2  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_EXT)
+QUERIES.update(QUERIES_EXT2)
+ORACLE_SQL.update(ORACLE_EXT2)

@@ -1,0 +1,402 @@
+"""Round-5 second-wave queries: corpus curation end-to-end — deterministic
+split assignment, per-source token budgeting, cross-document line dedup,
+benchmark decontamination, full fuzzy-dedup (corpus out, not pairs out),
+and dataset rollback (restore) under the oracle gate.
+
+Every query follows the repo's oracle-exactness rules (ARCHITECTURE.md):
+integer counts stay integer on both engines (DuckDB SUM/window-SUM cast to
+BIGINT), at most one float op per output value, identical aliases on both
+sides, no raw array/list output columns.
+
+Registered into ``workload.QUERIES`` / ``workload.ORACLE_SQL`` by the
+import at the bottom of ``workload.py``.
+"""
+
+from __future__ import annotations
+
+import os
+import posixpath
+import re
+import shutil
+from typing import Callable, Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+
+
+_HASH60_SQL = "CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# deterministic split assignment
+# ---------------------------------------------------------------------------
+
+
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators/sampling.py
+    assign_splits): split membership is a pure function of the doc id
+    (portable md5-60-bit hash mod 10000 against cumulative fraction
+    bounds), so a document lands in the same split on every run and every
+    cluster size, and never migrates when the corpus grows. A projection —
+    no shuffle, composes with partition pruning."""
+    from .operators.sampling import assign_splits
+
+    docs = _table(spark, sf_dir, "documents")
+    return assign_splits(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "source", "split")
+
+
+# ---------------------------------------------------------------------------
+# per-source token-budget selection
+# ---------------------------------------------------------------------------
+
+
+def q_token_budget_select(spark, sf_dir):
+    """Quality-ranked token budgeting (operators/sampling.py
+    token_budget_select): per source, rank documents by distinct-token
+    ratio (best first, id tiebreak) and keep the prefix whose running
+    token count stays within a 600-token budget — the step that turns
+    quality scores into an actual per-source training mix. One window per
+    source (per-key sort, parallel across sources, no global sort)."""
+    from .operators.sampling import token_budget_select
+
+    docs = _table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+        ).alias("quality"),
+    )
+    return token_budget_select(
+        scored,
+        id_col="doc_id",
+        group_col="source",
+        order_col="quality",
+        tokens_col="n_tokens",
+        budget=600,
+    ).select("doc_id", "source", "n_tokens", "cum_tokens")
+
+
+# ---------------------------------------------------------------------------
+# cross-document line-level dedup (boilerplate removal)
+# ---------------------------------------------------------------------------
+
+_BP_HEADER = "subscribe to our newsletter for updates"
+_BP_FOOTER = "copyright footer all rights reserved"
+
+
+def _lined_documents(spark, sf_dir):
+    """Documents re-rendered as newline-separated 8-token lines, with
+    boilerplate planted deterministically: every even doc gets a shared
+    header line, every doc_id % 3 == 0 a shared footer — the fixture both
+    engines build identically (testdata text has no newlines)."""
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("w")
+    )
+    lines = F.transform(
+        F.sequence(
+            F.lit(0), F.floor((F.size("w") - F.lit(1)) / F.lit(8)).cast("int")
+        ),
+        lambda i: F.concat_ws(" ", F.slice("w", i * 8 + 1, 8)),
+    )
+    with_header = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.array(F.lit(_BP_HEADER)), lines),
+    ).otherwise(lines)
+    with_footer = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(with_header, F.array(F.lit(_BP_FOOTER))),
+    ).otherwise(with_header)
+    return docs.select(
+        "doc_id", F.concat_ws("\n", with_footer).alias("text_lined")
+    )
+
+
+def q_line_dedup(spark, sf_dir):
+    """Cross-document line dedup (operators/text.py
+    remove_duplicated_lines — the RefinedWeb/CCNet boilerplate filter):
+    lines appearing in >= 2 documents are dropped corpus-wide, each
+    document's surviving lines reassembled in original order. The planted
+    header/footer lines vanish from every document; the hash compare runs
+    over every reconstructed document, so one mis-ordered or leaked line
+    anywhere is a red row. Plan: explode -> distinct -> line-df hash agg ->
+    join-back on the line key -> per-doc ordered reassembly."""
+    from .operators.text import remove_duplicated_lines
+
+    return remove_duplicated_lines(
+        _lined_documents(spark, sf_dir),
+        "doc_id",
+        "text_lined",
+        sep="\n",
+        min_doc_freq=2,
+    )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (corpus out)
+# ---------------------------------------------------------------------------
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py decontaminate — the
+    GPT-3/PaLM n-gram rule, n scaled to the testdata): training docs
+    (source src0-src9) sharing any 5-token shingle with the benchmark half
+    (src10+) are dropped; the CLEAN corpus is returned, which is what the
+    pipeline actually consumes (ngram_contamination reports the pairs;
+    this enforces them). The benchmark's distinct shingle set is the
+    broadcast side; the training corpus is never reshuffled."""
+    from .operators.dedup import decontaminate
+
+    docs = _table(spark, sf_dir, "documents").withColumn(
+        "__src_num", F.substring("source", 4, 10).cast("int")
+    )
+    train = docs.filter(F.col("__src_num") < 10)
+    bench = docs.filter(F.col("__src_num") >= 10)
+    return decontaminate(train, bench, "doc_id", "text", n=5).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# full fuzzy dedup: corpus out
+# ---------------------------------------------------------------------------
+
+
+def q_minhash_dedup_corpus(spark, sf_dir):
+    """End-to-end fuzzy dedup (operators/dedup.py fuzzy_dedup_corpus —
+    the SlimPajama/BigCode pipeline as one operator): MinHash-LSH
+    candidates -> exact-Jaccard verify -> connected components -> keep the
+    min-id doc per cluster plus all unclustered docs, returning the KEPT
+    corpus. The oracle recomputes the same clusters from the exact
+    all-pairs Jaccard set with a recursive CTE and keeps the complement of
+    the losers — so LSH banding, verification, component labels, and the
+    removal join must all agree exactly."""
+    from .operators.dedup import fuzzy_dedup_corpus
+
+    docs = _table(spark, sf_dir, "documents")
+    return fuzzy_dedup_corpus(
+        docs, "doc_id", "text", broadcast_verify=True
+    ).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# dataset rollback (restore) under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_restore_fetch(spark, sf_dir):
+    """Dataset rollback end-to-end (publish.py restore_dataset): publish
+    nation keys < 10 as v1, append the rest as v2, append a garbage
+    duplicate batch as v3 — then restore to v2. Asserts the lifecycle:
+    fetch sees the garbage before the restore; dry_run reports v3's files
+    without touching them; the restore removes exactly those files and
+    truncates history to [1, 2]; time travel to v1 still works. Oracle =
+    the clean nation table (v1 + v2). Restore is O(files removed) driver
+    work + unlinks — a metadata operation, never a table rewrite."""
+    from .fetch import fetch_path, fetch_at, list_versions
+    from .publish import publish_path, restore_dataset
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "restore_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(
+        spark, path, nation.filter(F.col("n_nationkey") < 10), ["n_regionkey"]
+    )
+    publish_path(
+        spark,
+        path,
+        nation.filter(F.col("n_nationkey") >= 10),
+        ["n_regionkey"],
+        mode="append",
+    )
+    garbage = nation.withColumn(
+        "n_nationkey", F.col("n_nationkey") + F.lit(1000)
+    )
+    v3_files = publish_path(spark, path, garbage, ["n_regionkey"], mode="append")
+
+    n_clean = nation.count()
+    assert fetch_path(spark, path).count() == 2 * n_clean, "v3 not visible"
+    rel_v3 = sorted(v3_files)  # publish_path returns dataset-relative paths
+    planned = restore_dataset(spark, path, 2, dry_run=True)
+    assert planned == rel_v3, f"dry_run planned {planned}, expected {rel_v3}"
+    assert fetch_path(spark, path).count() == 2 * n_clean, "dry_run mutated"
+    removed = restore_dataset(spark, path, 2)
+    assert removed == rel_v3, f"restore removed {removed}"
+    assert [v["version"] for v in list_versions(spark, path)] == [1, 2]
+    assert fetch_at(spark, path, 1).count() == nation.filter(
+        F.col("n_nationkey") < 10
+    ).count(), "time travel to v1 broken after restore"
+    return fetch_path(spark, path)
+
+
+QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "split_assign": q_split_assign,
+    "token_budget_select": q_token_budget_select,
+    "line_dedup": q_line_dedup,
+    "decontaminate": q_decontaminate,
+    "minhash_dedup_corpus": q_minhash_dedup_corpus,
+    "restore_fetch": q_restore_fetch,
+}
+
+# DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
+# inclusive of both bounds — matching Spark's slice(arr, start, length)
+# and sequence(lo, hi) forms used above.
+_LINED_SQL = f"""
+    w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents
+    ), built AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, CAST(floor((len(t) - 1) / 8) AS INT)),
+               i -> array_to_string(t[i*8+1 : i*8+8], ' ')) AS ls
+      FROM w
+    ), planted AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN
+               list_append(
+                 CASE WHEN doc_id % 2 = 0
+                      THEN list_prepend('{_BP_HEADER}', ls) ELSE ls END,
+                 '{_BP_FOOTER}')
+             ELSE
+               CASE WHEN doc_id % 2 = 0
+                    THEN list_prepend('{_BP_HEADER}', ls) ELSE ls END
+             END AS ls
+      FROM built
+    )
+"""
+
+ORACLE_EXT2: Dict[str, str] = {
+    "split_assign": f"""
+        SELECT doc_id, source,
+               CASE WHEN {_HASH60_SQL} % 10000 < 8000 THEN 'train'
+                    WHEN {_HASH60_SQL} % 10000 < 9000 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    "token_budget_select": """
+        WITH s AS (
+          SELECT doc_id, source,
+                 string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+        ), d AS (
+          SELECT doc_id, source, len(t) AS n_tokens,
+                 CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS q
+          FROM s
+        ), w AS (
+          SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY q DESC, doc_id
+                 ) AS cum_tokens
+          FROM d
+        )
+        SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(cum_tokens AS BIGINT) AS cum_tokens
+        FROM w WHERE cum_tokens <= 600
+    """,
+    "line_dedup": f"""
+        WITH {_LINED_SQL},
+        lines AS (
+          SELECT doc_id, generate_subscripts(ls, 1) AS pos,
+                 unnest(ls) AS line
+          FROM planted
+        ), norm AS (
+          SELECT doc_id, pos, line, trim(line) AS nrm
+          FROM lines WHERE length(trim(line)) > 0
+        ), dfq AS (
+          SELECT nrm, COUNT(DISTINCT doc_id) AS line_df
+          FROM norm GROUP BY nrm
+        ), kept AS (
+          SELECT n.doc_id, n.pos, n.line
+          FROM norm n JOIN dfq ON n.nrm = dfq.nrm
+          WHERE dfq.line_df < 2
+        ), reb AS (
+          SELECT doc_id,
+                 string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+                 COUNT(*) AS n_kept
+          FROM kept GROUP BY doc_id
+        ), tot AS (
+          SELECT doc_id, COUNT(*) AS n_lines FROM norm GROUP BY doc_id
+        )
+        SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+               t.n_lines, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+    "decontaminate": """
+        WITH toks AS (
+          SELECT doc_id, CAST(substr(source, 4) AS INT) AS src_num,
+                 string_split_regex(trim(text), '\\s+') AS t
+          FROM documents
+        ), sh AS (
+          SELECT DISTINCT doc_id, src_num,
+                 unnest(list_transform(
+                   generate_series(1, len(t) - 4),
+                   i -> array_to_string(t[i:i+4], ' '))) AS g
+          FROM toks
+        ), dirty AS (
+          SELECT DISTINCT a.doc_id
+          FROM sh a JOIN sh b ON a.g = b.g
+          WHERE a.src_num < 10 AND b.src_num >= 10
+        )
+        SELECT d.doc_id, d.source, d.n_chars
+        FROM documents d
+        WHERE CAST(substr(d.source, 4) AS INT) < 10
+          AND d.doc_id NOT IN (SELECT doc_id FROM dirty)
+    """,
+    "minhash_dedup_corpus": """
+        WITH RECURSIVE words AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents)
+        ), sh AS (
+          SELECT DISTINCT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' ' ||
+                 lead(w, 2) OVER win AS shingle
+          FROM words
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), sizes AS (
+          SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+        ), inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        ), pairs AS (
+          SELECT doc_a, doc_b
+          FROM inter
+          JOIN sizes sa ON sa.doc_id = doc_a
+          JOIN sizes sb ON sb.doc_id = doc_b
+          WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+        ), edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION
+          SELECT doc_b AS a, doc_a AS b FROM pairs
+        ), reach AS (
+          SELECT a AS node, a AS r FROM edges
+          UNION
+          SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+        ), losers AS (
+          SELECT node FROM reach GROUP BY node HAVING MIN(r) <> node
+        )
+        SELECT doc_id, source FROM documents
+        WHERE doc_id NOT IN (SELECT node FROM losers)
+    """,
+    "restore_fetch": """
+        SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+}

@@ -1,0 +1,212 @@
+"""Round-5 curation operators: split assignment, token budgeting,
+line-level dedup, decontamination, full fuzzy dedup, dataset restore."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark.fetch import fetch_path, fetch_at, list_versions
+from s3parq_spark.publish import publish_path, restore_dataset
+from s3parq_spark.operators.sampling import assign_splits, token_budget_select
+from s3parq_spark.operators.text import remove_duplicated_lines
+from s3parq_spark.operators.dedup import decontaminate, fuzzy_dedup_corpus
+
+
+class TestAssignSplits:
+    def test_partitions_complete_and_deterministic(self, spark):
+        df = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+        out = assign_splits(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        counts = {r["split"]: r["n"] for r in
+                  out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert sum(counts.values()) == 2000
+        assert counts["train"] > counts["val"]
+        # pure function of id: same assignment under a different layout
+        again = assign_splits(
+            df.repartition(7), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+        )
+        assert out.exceptAll(again).count() == 0
+
+    def test_membership_stable_under_corpus_growth(self, spark):
+        small = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+        big = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+        s = assign_splits(small, "doc_id", {"train": 0.9, "val": 0.1})
+        b = assign_splits(big, "doc_id", {"train": 0.9, "val": 0.1})
+        joined = s.alias("s").join(b.alias("b"), "doc_id").filter(
+            F.col("s.split") != F.col("b.split")
+        )
+        assert joined.count() == 0
+
+    def test_remainder_is_null_and_overflow_rejected(self, spark):
+        df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+        out = assign_splits(df, "doc_id", {"train": 0.5})
+        n_null = out.filter(F.col("split").isNull()).count()
+        assert 0 < n_null < 1000
+        with pytest.raises(ValueError, match="sum"):
+            assign_splits(df, "doc_id", {"a": 0.8, "b": 0.4})
+
+
+class TestTokenBudgetSelect:
+    def test_prefix_within_budget_best_first(self, spark):
+        rows = [
+            ("a", 1, 100, 0.9), ("a", 2, 100, 0.8), ("a", 3, 100, 0.7),
+            ("b", 4, 150, 0.5), ("b", 5, 150, 0.6),
+        ]
+        df = spark.createDataFrame(rows, ["src", "doc_id", "n_tok", "q"])
+        out = token_budget_select(
+            df, id_col="doc_id", group_col="src", order_col="q",
+            tokens_col="n_tok", budget=250,
+        )
+        got = {(r["src"], r["doc_id"]): r["cum_tokens"] for r in out.collect()}
+        # a: best-first 1 (100), 2 (200); 3 would cross 250
+        # b: best-first 5 (150); 4 would cross
+        assert got == {("a", 1): 100, ("a", 2): 200, ("b", 5): 150}
+
+    def test_row_crossing_budget_excluded_strictly(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1, 300, 1.0), ("a", 2, 10, 0.5)], ["src", "doc_id", "n_tok", "q"]
+        )
+        out = token_budget_select(
+            df, id_col="doc_id", group_col="src", order_col="q",
+            tokens_col="n_tok", budget=200,
+        )
+        # best doc alone exceeds the budget -> nothing from its prefix
+        assert out.count() == 0
+
+
+class TestRemoveDuplicatedLines:
+    def _docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "header\nunique one\nfooter"),
+                (2, "header\nunique two"),
+                (3, "unique three\nfooter"),
+                (4, "  \nonly unique"),
+            ],
+            ["doc_id", "text"],
+        )
+
+    def test_boilerplate_removed_order_kept(self, spark):
+        out = remove_duplicated_lines(
+            self._docs(spark), "doc_id", "text", min_doc_freq=2
+        )
+        got = {r["doc_id"]: (r["text_clean"], r["n_lines"], r["n_kept"])
+               for r in out.collect()}
+        assert got[1] == ("unique one", 3, 1)
+        assert got[2] == ("unique two", 2, 1)
+        assert got[3] == ("unique three", 2, 1)
+        # blank line dropped unconditionally, not counted
+        assert got[4] == ("only unique", 1, 1)
+
+    def test_fully_boilerplate_doc_becomes_empty(self, spark):
+        df = spark.createDataFrame(
+            [(1, "same"), (2, "same"), (3, "same\nsame")], ["doc_id", "text"]
+        )
+        out = remove_duplicated_lines(df, "doc_id", "text", min_doc_freq=2)
+        got = {r["doc_id"]: r["text_clean"] for r in out.collect()}
+        assert got == {1: "", 2: "", 3: ""}
+        # repeated WITHIN one doc only does not count as cross-doc dup
+        df2 = spark.createDataFrame([(1, "x\nx"), (2, "y")], ["doc_id", "text"])
+        out2 = remove_duplicated_lines(df2, "doc_id", "text", min_doc_freq=2)
+        got2 = {r["doc_id"]: r["text_clean"] for r in out2.collect()}
+        assert got2[1] == "x\nx"
+
+    def test_line_order_preserved_many_lines(self, spark):
+        text = "\n".join(f"line {i}" for i in range(50))
+        df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+        out = remove_duplicated_lines(df, "doc_id", "text", min_doc_freq=2)
+        assert out.collect()[0]["text_clean"] == text
+
+
+class TestDecontaminate:
+    def test_overlapping_docs_dropped(self, spark):
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps"),
+                (2, "completely different words here now"),
+            ],
+            ["doc_id", "text"],
+        )
+        bench = spark.createDataFrame(
+            [(100, "quick brown fox appears again")], ["doc_id", "text"]
+        )
+        out = decontaminate(train, bench, "doc_id", "text", n=3)
+        assert [r["doc_id"] for r in out.collect()] == [2]
+
+    def test_min_hits_threshold(self, spark):
+        train = spark.createDataFrame(
+            [(1, "a b c x y z")], ["doc_id", "text"]
+        )
+        bench = spark.createDataFrame([(9, "a b c")], ["doc_id", "text"])
+        # exactly one shared 3-gram: survives min_hits=2, dies at 1
+        assert decontaminate(train, bench, "doc_id", "text", 3, min_hits=2).count() == 1
+        assert decontaminate(train, bench, "doc_id", "text", 3, min_hits=1).count() == 0
+
+    def test_short_docs_pass_through(self, spark):
+        train = spark.createDataFrame([(1, "too short")], ["doc_id", "text"])
+        bench = spark.createDataFrame([(9, "too short")], ["doc_id", "text"])
+        # no 13-grams on either side -> nothing to match -> kept
+        assert decontaminate(train, bench, "doc_id", "text", n=13).count() == 1
+
+
+class TestFuzzyDedupCorpus:
+    def test_near_dupes_collapse_to_min_id(self, spark):
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        df = spark.createDataFrame(
+            [
+                (10, base),
+                (20, base + " lambda"),   # near-dup of 10
+                (30, "entirely different text with no overlap at all ok"),
+            ],
+            ["doc_id", "text"],
+        )
+        kept = fuzzy_dedup_corpus(df, "doc_id", "text", threshold=0.5)
+        assert sorted(r["doc_id"] for r in kept.collect()) == [10, 30]
+
+    def test_no_dupes_keeps_everything(self, spark, sf_dir):
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(30)
+        kept = fuzzy_dedup_corpus(docs, "doc_id", "text", threshold=0.99)
+        assert kept.count() == 30
+        assert kept.columns == docs.columns
+
+
+class TestRestoreDataset:
+    def _publish_versions(self, spark, path):
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"])
+        df2 = spark.createDataFrame([(3, "a")], ["k", "p"])
+        df3 = spark.createDataFrame([(4, "b"), (5, "a")], ["k", "p"])
+        publish_path(spark, path, df1, ["p"])
+        publish_path(spark, path, df2, ["p"], mode="append")
+        v3 = publish_path(spark, path, df3, ["p"], mode="append")
+        return v3
+
+    def test_restore_removes_later_versions(self, spark, tmp_dataset_dir):
+        v3_files = self._publish_versions(spark, tmp_dataset_dir)
+        assert fetch_path(spark, tmp_dataset_dir).count() == 5
+        removed = restore_dataset(spark, tmp_dataset_dir, 2)
+        assert sorted(removed) == sorted(v3_files)
+        assert fetch_path(spark, tmp_dataset_dir).count() == 3
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2]
+        # time travel within the kept prefix still works
+        assert fetch_at(spark, tmp_dataset_dir, 1).count() == 2
+
+    def test_dry_run_reports_without_deleting(self, spark, tmp_dataset_dir):
+        v3_files = self._publish_versions(spark, tmp_dataset_dir)
+        planned = restore_dataset(spark, tmp_dataset_dir, 2, dry_run=True)
+        assert sorted(planned) == sorted(v3_files)
+        assert fetch_path(spark, tmp_dataset_dir).count() == 5
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2, 3]
+
+    def test_append_after_restore_continues_versioning(self, spark, tmp_dataset_dir):
+        self._publish_versions(spark, tmp_dataset_dir)
+        restore_dataset(spark, tmp_dataset_dir, 2)
+        df = spark.createDataFrame([(9, "b")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"], mode="append")
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2, 3]
+        assert fetch_path(spark, tmp_dataset_dir).count() == 4
+
+    def test_bad_args_rejected(self, spark, tmp_dataset_dir):
+        with pytest.raises(ValueError, match="no snapshot history"):
+            restore_dataset(spark, tmp_dataset_dir, 1)
+        self._publish_versions(spark, tmp_dataset_dir)
+        with pytest.raises(ValueError, match="not in history"):
+            restore_dataset(spark, tmp_dataset_dir, 7)
