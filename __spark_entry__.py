@@ -121,6 +121,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "decontaminate",        # new: benchmark n-gram decontamination (corpus out)
     "minhash_dedup_corpus", # new: full fuzzy dedup, kept corpus out
     "restore_fetch",        # new: dataset rollback (restore) lifecycle
+    "ivf_pq_topk",          # new: IVF + product-quantization ADC ANN
 )
 
 

@@ -3232,3 +3232,43 @@ QUERIES.update(QUERIES_EXT)
 ORACLE_SQL.update(ORACLE_EXT)
 QUERIES.update(QUERIES_EXT2)
 ORACLE_SQL.update(ORACLE_EXT2)
+
+# IVF-PQ: the oracle composes the shared coarse-kmeans CTE (above) with the
+# per-subspace PQ quantizer CTEs (workload_ext) — both quantizer levels are
+# replayed in SQL, then probe-cell pruning and ADC-LUT ranking on top.
+from .workload_ext import _pq_subspace_cte  # noqa: E402
+from .workload_ext2 import q_ivf_pq_topk  # noqa: E402
+
+QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
+ORACLE_SQL["ivf_pq_topk"] = f"""
+    WITH {_ivf_kmeans_cte()},
+    {','.join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16) for j in range(4))},
+    qc AS (
+      SELECT cid,
+             row_number() OVER (
+               ORDER BY list_dot_product(qv.v, c.cv) /
+                        greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))
+                        DESC, cid ASC) AS rk
+      FROM (SELECT v FROM e WHERE vec_id = 0) qv CROSS JOIN c2 c
+    ), scored AS (
+      SELECT af.vec_id,
+             list_dot_product(q0.qv, b0.cv)
+           + list_dot_product(q1.qv, b1.cv)
+           + list_dot_product(q2.qv, b2.cv)
+           + list_dot_product(q3.qv, b3.cv) AS score
+      FROM af
+      JOIN af0 ON af0.vec_id = af.vec_id
+      JOIN af1 ON af1.vec_id = af.vec_id
+      JOIN af2 ON af2.vec_id = af.vec_id
+      JOIN af3 ON af3.vec_id = af.vec_id
+      JOIN c01 b0 ON b0.cid = af0.cell
+      JOIN c11 b1 ON b1.cid = af1.cell
+      JOIN c21 b2 ON b2.cid = af2.cell
+      JOIN c31 b3 ON b3.cid = af3.cell
+      CROSS JOIN q0 CROSS JOIN q1 CROSS JOIN q2 CROSS JOIN q3
+      WHERE af.cell IN (SELECT cid FROM qc WHERE rk <= 4)
+        AND af.vec_id <> 0
+    )
+    SELECT vec_id, round(score, 6) AS adc
+    FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+"""

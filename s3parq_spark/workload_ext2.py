@@ -244,6 +244,32 @@ def q_restore_fetch(spark, sf_dir):
     return fetch_path(spark, path)
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN (registered with its composed oracle at the bottom of
+# workload.py — the oracle reuses the shared coarse-kmeans and PQ-subspace
+# CTE builders already defined there / in workload_ext)
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_pq_topk(spark, sf_dir):
+    """IVF-PQ ANN (operators/similarity.py ivf_pq_topk — the FAISS
+    IndexIVFPQ shape with raw-vector codes): 16-cell deterministic kmeans
+    coarse quantizer prunes to 4 probed cells; inside them, scoring runs
+    over 4x8-code PQ codes via driver-computed ADC lookup tables embedded
+    as literals — per candidate row, 4 array lookups + 3 adds, no dot
+    products, no shuffle. The oracle replays both quantizer levels (2
+    coarse Lloyd iterations, 1 per subspace), the probe selection, and the
+    ADC ranking, so the doubly-approximate result is exactly checkable."""
+    from .operators import ivf_pq_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0)
+    return ivf_pq_topk(
+        emb, "vec_id", "embedding", q, k=10, n_cells=16, n_probe=4,
+        m=4, codes=8, coarse_iters=2, pq_iters=1,
+    )
+
+
 QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "split_assign": q_split_assign,
     "token_budget_select": q_token_budget_select,

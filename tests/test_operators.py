@@ -864,3 +864,38 @@ def test_pq_encode_and_adc_topk(spark, emb):
         for r in brute_force_cosine_topk(emb, "vec_id", "embedding", q, k=20).collect()
     }
     assert len({r.vec_id for r in rows} & exact) >= 2
+
+
+def test_ivf_pq_topk(spark, emb):
+    from s3parq_spark.operators import ivf_pq_topk, pq_topk
+
+    q = emb.filter(F.col("vec_id") == 0)
+    top = ivf_pq_topk(
+        emb, "vec_id", "embedding", q, k=5, n_cells=16, n_probe=4,
+        m=4, codes=8,
+    )
+    rows = top.collect()
+    assert len(rows) == 5
+    assert all(r.vec_id != 0 for r in rows)
+    scores = [r.adc for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # deterministic rebuild under a different partitioning
+    again = ivf_pq_topk(
+        emb.repartition(7), "vec_id", "embedding", q, k=5, n_cells=16,
+        n_probe=4, m=4, codes=8,
+    ).collect()
+    assert [(r.vec_id, r.adc) for r in rows] == [
+        (r.vec_id, r.adc) for r in again
+    ]
+    # probing ALL cells degenerates to the plain PQ ADC scan: identical
+    # top-k — cell pruning only ever removes candidates, never rescores
+    full = ivf_pq_topk(
+        emb, "vec_id", "embedding", q, k=5, n_cells=16, n_probe=16,
+        m=4, codes=8, coarse_iters=1, pq_iters=1,
+    ).collect()
+    flat = pq_topk(
+        emb, "vec_id", "embedding", q, k=5, m=4, codes=8, kmeans_iters=1
+    ).collect()
+    assert [(r.vec_id, r.adc) for r in full] == [
+        (r.vec_id, r.adc) for r in flat
+    ]
