@@ -711,6 +711,66 @@ def compact_dataset(
     return fs.list_files(spark, path)
 
 
+def repartition_dataset(
+    spark: SparkSession,
+    path: str,
+    new_partitions: List[str],
+    max_records_per_file: Optional[int] = None,
+) -> List[str]:
+    """Partition evolution: rewrite the dataset under a DIFFERENT hive
+    partition layout (e.g. ingested ``partitionBy(source)``, but the hot
+    query path filters on ``lang``). Partition pruning only helps filters
+    on the partition columns, so when the workload shifts, the layout must
+    follow — this is the maintenance action that migrates it.
+
+    Reuses the compaction machinery: full fetch (old pruning intact) →
+    one shuffle into the new layout → sibling-temp-dir write → two-rename
+    swap (a failed rewrite never corrupts the dataset). The sidecar is
+    re-stamped with the new partition columns and fresh v1 history (a
+    rewrite is destructive: old versions are gone, and the history says
+    so). Validates that the new partition columns exist and are
+    partitionable types. Returns the new data file list.
+
+    At 100 TB this is the one genuinely full-rewrite operation in the
+    maintenance family (vacuum/restore are O(delta), compaction preserves
+    layout) — the cost IS the shuffle into the new key, which is exactly
+    what a reader would otherwise pay per query on the un-pruned layout.
+    """
+    from .fetch import fetch_path
+
+    sidecar = metadata.read_sidecar(spark, path)
+    if sidecar is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    if list(new_partitions) == list(sidecar.partitions):
+        raise ValueError(
+            f"dataset is already partitioned by {new_partitions}; use "
+            "compact_dataset to rewrite within the same layout"
+        )
+    df = fetch_path(spark, path)
+    missing = [c for c in new_partitions if c not in df.columns]
+    if missing:
+        raise ValueError(f"new partition columns not in dataset: {missing}")
+    tmp = path.rstrip("/") + ".repartitioning"
+    fs.delete(spark, tmp)
+    publish_path(
+        spark,
+        tmp,
+        df,
+        list(new_partitions),
+        mode="overwrite",
+        max_records_per_file=max_records_per_file,
+    )
+    old = path.rstrip("/") + ".prerepartition"
+    fs.delete(spark, old)
+    if not fs.rename(spark, path, old):
+        raise IOError(f"repartition_dataset: could not move {path} aside")
+    if not fs.rename(spark, tmp, path):
+        fs.rename(spark, old, path)  # roll back
+        raise IOError("repartition_dataset: could not swap in new layout")
+    fs.delete(spark, old)
+    return fs.list_files(spark, path)
+
+
 def publish_bucketed(
     spark: SparkSession,
     path: str,

@@ -245,6 +245,95 @@ def q_restore_fetch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# partition evolution under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_repartition_fetch(spark, sf_dir):
+    """Partition evolution (publish.py repartition_dataset): documents are
+    published ``partitionBy(source)`` (the ingest layout), then rewritten
+    ``partitionBy(lang)`` because the hot filter is on language — and the
+    post-migration fetch with a lang filter must prune at the FILE INDEX
+    (asserted on the plan: ``PartitionFilters`` carries the lang
+    predicate, and only lang=en directories are read). The rewrite is the
+    compaction machinery: fetch → one shuffle into the new key →
+    temp-dir + two-rename swap; history resets to v1 (a rewrite is
+    destructive and the history says so)."""
+    from .fetch import fetch_path, list_versions
+    from .publish import publish_path, repartition_dataset
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "repartition_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    docs = _table(spark, sf_dir, "documents")
+    publish_path(spark, path, docs, ["source"])
+    repartition_dataset(spark, path, ["lang"])
+    assert [v["version"] for v in list_versions(spark, path)] == [1]
+    out = fetch_path(
+        spark,
+        path,
+        filters=[{"partition": "lang", "comparison": "==", "values": ["en"]}],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "lang" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], "lang filter did not reach the file index"
+    return out.select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q21 shape (exists + not-exists self-joins on the fact table)
+# ---------------------------------------------------------------------------
+
+
+def q_multi_supplier_waiting(spark, sf_dir):
+    """TPC-H Q21 plan shape on the driver's column subset (no
+    l_receiptdate/commitdate — "late" is l_shipdate > o_orderdate + 60
+    days): suppliers who were the ONLY late supplier on a multi-supplier
+    order. EXISTS (another supplier on the order) is a left-semi
+    self-join, NOT EXISTS (another LATE supplier) a left-anti self-join —
+    both on the orderkey with a suppkey inequality residual, all
+    hash-partitioned on the fact key; ranking is TakeOrdered. The classic
+    "blame the one slow supplier" correlated-subquery pattern."""
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    o = _table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    sup = _table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    pairs = li.select("l_orderkey", "l_suppkey").distinct()
+    multi = late.alias("a").join(
+        pairs.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        "left_semi",
+    )
+    sole = multi.alias("a").join(
+        late.alias("c"),
+        (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("c.l_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(sup), sole.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ ANN (registered with its composed oracle at the bottom of
 # workload.py — the oracle reuses the shared coarse-kmeans and PQ-subspace
 # CTE builders already defined there / in workload_ext)
@@ -277,6 +366,8 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate": q_decontaminate,
     "minhash_dedup_corpus": q_minhash_dedup_corpus,
     "restore_fetch": q_restore_fetch,
+    "repartition_fetch": q_repartition_fetch,
+    "multi_supplier_waiting": q_multi_supplier_waiting,
 }
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
@@ -424,5 +515,33 @@ ORACLE_EXT2: Dict[str, str] = {
     """,
     "restore_fetch": """
         SELECT n_nationkey, n_name, n_regionkey FROM nation
+    """,
+    "repartition_fetch": """
+        SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
+    """,
+    "multi_supplier_waiting": """
+        WITH late AS (
+          SELECT DISTINCT l_orderkey, l_suppkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        ), pairs AS (
+          SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        ), sole AS (
+          SELECT a.l_orderkey, a.l_suppkey
+          FROM late a
+          WHERE EXISTS (
+                  SELECT 1 FROM pairs b
+                  WHERE b.l_orderkey = a.l_orderkey
+                    AND b.l_suppkey <> a.l_suppkey)
+            AND NOT EXISTS (
+                  SELECT 1 FROM late c
+                  WHERE c.l_orderkey = a.l_orderkey
+                    AND c.l_suppkey <> a.l_suppkey)
+        )
+        SELECT s_name, COUNT(*) AS numwait
+        FROM sole JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name ASC
+        LIMIT 10
     """,
 }

@@ -210,3 +210,42 @@ class TestRestoreDataset:
         self._publish_versions(spark, tmp_dataset_dir)
         with pytest.raises(ValueError, match="not in history"):
             restore_dataset(spark, tmp_dataset_dir, 7)
+
+
+class TestRepartitionDataset:
+    def test_layout_migration_and_pruning(self, spark, tmp_dataset_dir, sf_dir):
+        import re
+
+        from s3parq_spark.publish import repartition_dataset
+        from s3parq_spark.metadata import read_sidecar
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        publish_path(spark, tmp_dataset_dir, docs, ["source"])
+        n = docs.count()
+        repartition_dataset(spark, tmp_dataset_dir, ["lang"])
+        meta = read_sidecar(spark, tmp_dataset_dir)
+        assert meta.partitions == ["lang"]
+        out = fetch_path(
+            spark, tmp_dataset_dir,
+            filters=[{"partition": "lang", "comparison": "==", "values": ["en"]}],
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m and "lang" in m.group(1)
+        assert fetch_path(spark, tmp_dataset_dir).count() == n
+        # all input columns survive the migration (source is data now)
+        assert set(out.columns) == set(docs.columns)
+
+    def test_same_layout_and_missing_column_rejected(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        import pytest as _pytest
+
+        from s3parq_spark.publish import repartition_dataset
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        publish_path(spark, tmp_dataset_dir, docs, ["source"])
+        with _pytest.raises(ValueError, match="already partitioned"):
+            repartition_dataset(spark, tmp_dataset_dir, ["source"])
+        with _pytest.raises(ValueError, match="not in dataset"):
+            repartition_dataset(spark, tmp_dataset_dir, ["nope"])

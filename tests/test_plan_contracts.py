@@ -122,3 +122,52 @@ def test_contamination_dedups_before_join(spark, sf_dir):
     join_pos = plan.find("Join")
     assert join_pos > 0
     assert len(re.findall(r"HashAggregate", plan)) >= 4  # 2x partial+final dedup
+
+
+class TestRound5PlanContracts:
+    def test_split_assign_is_shuffle_free(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "split_assign")
+        assert "Exchange" not in plan
+        assert "codegen id" in plan  # the md5-bucket CASE stays codegen'd
+
+    def test_decontaminate_broadcasts_never_shuffles_corpus(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "decontaminate")
+        # the clean-corpus join is a broadcast left-anti — the training
+        # rows themselves never move
+        assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_token_budget_window_partitioned_by_group(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "token_budget_select")
+        assert "CartesianProduct" not in plan
+        # per-source window: the only exchange key is the group column
+        assert "hashpartitioning(source" in plan
+
+    def test_line_dedup_no_cartesian(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "line_dedup")
+        assert "CartesianProduct" not in plan
+
+    def test_multi_supplier_waiting_semi_anti_takeordered(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "multi_supplier_waiting")
+        assert "LeftSemi" in plan and "LeftAnti" in plan
+        assert "TakeOrderedAndProject" in plan
+        assert "CartesianProduct" not in plan
+
+    def test_ivf_pq_scoring_scan_has_no_joins(self, spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from s3parq_spark.operators import ivf_pq_topk
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        q = emb.filter(F.col("vec_id") == 0)
+        df = ivf_pq_topk(emb, "vec_id", "embedding", q, k=5)
+        jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+        plan = df._jdf.queryExecution().explainString(jmode)
+        # index build ran eagerly (kmeans jobs); the QUERY plan left behind
+        # is pure scan -> filter -> project -> TakeOrdered: no join of any
+        # kind, no exchange other than the top-k's single-partition gather
+        for op in ("Join", "CartesianProduct", "Exchange hashpartitioning"):
+            assert op not in plan, op
+        assert "TakeOrderedAndProject" in plan
