@@ -139,6 +139,7 @@ class DatasetMetadata:
         column_types: Dict[str, str],
         snapshots: Optional[List[dict]] = None,
         sort_columns: Optional[List[str]] = None,
+        derived_partitions: Optional[Dict[str, str]] = None,
     ):
         self.partitions = list(partitions)
         self.partition_data_types = dict(partition_data_types)
@@ -150,6 +151,10 @@ class DatasetMetadata:
         # readers/planners can rely on tight parquet row-group stats on
         # these columns for data skipping
         self.sort_columns = list(sort_columns or [])
+        # hidden-partitioning transforms (Iceberg-style): partition column
+        # name -> the SQL expression it derives from; appends re-derive
+        # from the recorded expression so the layout stays consistent
+        self.derived_partitions = dict(derived_partitions or {})
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -174,6 +179,8 @@ class DatasetMetadata:
             d["snapshots"] = self.snapshots
         if self.sort_columns:
             d["sort_columns"] = self.sort_columns
+        if self.derived_partitions:
+            d["derived_partitions"] = self.derived_partitions
         return d
 
     @classmethod
@@ -184,6 +191,7 @@ class DatasetMetadata:
             column_types=d.get("column_types", {}),
             snapshots=d.get("snapshots"),
             sort_columns=d.get("sort_columns"),
+            derived_partitions=d.get("derived_partitions"),
         )
 
     def manifest_files(self) -> Optional[List[str]]:
@@ -260,4 +268,7 @@ def merge_sidecar(
         # that declares none inherits (file-level clustering of already-
         # written files is unaffected either way)
         sort_columns=new.sort_columns or existing.sort_columns,
+        # derived-partition transforms are part of the layout contract and
+        # persist across appends (publish validates agreement before here)
+        derived_partitions=new.derived_partitions or existing.derived_partitions,
     )

@@ -286,6 +286,99 @@ def q_repartition_fetch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# hidden partitioning (Iceberg-style partition transforms)
+# ---------------------------------------------------------------------------
+
+
+def q_hidden_partition_fetch(spark, sf_dir):
+    """Hidden partitioning (publish.py derived_partitions): lineitem is
+    published with ``ship_month = date_format(l_shipdate, 'yyyy-MM')``
+    derived AT WRITE — the caller never materializes the column upstream;
+    the transform is recorded in the sidecar and appends re-derive it.
+    A fetch filtering on the derived column prunes at the file index
+    (asserted: ``PartitionFilters`` carries ship_month), which is the
+    whole point — time-bucketed layout from a timestamp column with
+    Iceberg's ergonomics on top of plain hive dirs."""
+    from .fetch import fetch_path
+    from .publish import publish_path
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "hidden_part",
+    )
+    marker = os.path.join(path, "_HIDDEN_OK")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        li = _table(spark, sf_dir, "lineitem")
+        publish_path(
+            spark, path, li.filter(F.col("l_linenumber") <= 3), [],
+            derived_partitions={
+                "ship_month": "date_format(l_shipdate, 'yyyy-MM')"
+            },
+        )
+        # append WITHOUT restating the transform: re-derived from sidecar
+        publish_path(
+            spark, path, li.filter(F.col("l_linenumber") > 3), [],
+            mode="append",
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = fetch_path(
+        spark,
+        path,
+        filters=[
+            {"partition": "ship_month", "comparison": "==", "values": ["1996-03"]}
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ship_month" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], "ship_month filter did not reach the file index"
+    return out
+
+
+# ---------------------------------------------------------------------------
+# row-level DELETE (partition-scoped copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def q_delete_where_fetch(spark, sf_dir):
+    """Row-level DELETE (publish.py delete_where): on a lineitem dataset
+    partitioned by l_returnflag, delete every R row plus small-quantity
+    rows everywhere — the R partition's directory must disappear entirely
+    (dynamic overwrite alone cannot say "now empty"), A/N rewrite with
+    surviving rows only, and the pre-delete dry_run must count exactly
+    the rows the oracle says will go. Copy-on-write at partition scope:
+    cost is O(touched partitions), untouched data never moves."""
+    from .fetch import fetch_path
+    from .publish import delete_where
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "delete_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    li = _table(spark, sf_dir, "lineitem")
+    from .publish import publish_path
+
+    publish_path(spark, path, li, ["l_returnflag"])
+    pred = "l_returnflag = 'R' OR l_quantity < 5"
+    expected = li.filter(F.expr(pred)).count()
+    assert delete_where(spark, path, pred, dry_run=True) == expected
+    assert fetch_path(spark, path).count() == li.count(), "dry_run mutated"
+    n = delete_where(spark, path, pred)
+    assert n == expected, f"deleted {n}, expected {expected}"
+    assert not os.path.isdir(
+        os.path.join(path, "l_returnflag=R")
+    ), "emptied partition directory survived"
+    return fetch_path(spark, path)
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q21 shape (exists + not-exists self-joins on the fact table)
 # ---------------------------------------------------------------------------
 
@@ -368,6 +461,8 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "restore_fetch": q_restore_fetch,
     "repartition_fetch": q_repartition_fetch,
     "multi_supplier_waiting": q_multi_supplier_waiting,
+    "hidden_partition_fetch": q_hidden_partition_fetch,
+    "delete_where_fetch": q_delete_where_fetch,
 }
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
@@ -518,6 +613,15 @@ ORACLE_EXT2: Dict[str, str] = {
     """,
     "repartition_fetch": """
         SELECT doc_id, lang, source, n_chars FROM documents WHERE lang = 'en'
+    """,
+    "hidden_partition_fetch": """
+        SELECT *, strftime(l_shipdate, '%Y-%m') AS ship_month
+        FROM lineitem
+        WHERE strftime(l_shipdate, '%Y-%m') = '1996-03'
+    """,
+    "delete_where_fetch": """
+        SELECT * FROM lineitem
+        WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
     """,
     "multi_supplier_waiting": """
         WITH late AS (

@@ -249,3 +249,106 @@ class TestRepartitionDataset:
             repartition_dataset(spark, tmp_dataset_dir, ["source"])
         with _pytest.raises(ValueError, match="not in dataset"):
             repartition_dataset(spark, tmp_dataset_dir, ["nope"])
+
+
+class TestDerivedPartitions:
+    def test_transform_recorded_and_appends_rederive(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        from s3parq_spark.metadata import read_sidecar
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        publish_path(
+            spark, tmp_dataset_dir, li.filter(F.col("l_linenumber") <= 2), [],
+            derived_partitions={"ship_month": "date_format(l_shipdate, 'yyyy-MM')"},
+        )
+        meta = read_sidecar(spark, tmp_dataset_dir)
+        assert meta.partitions == ["ship_month"]
+        assert meta.derived_partitions == {
+            "ship_month": "date_format(l_shipdate, 'yyyy-MM')"
+        }
+        # append without restating the transform: re-derived from sidecar
+        publish_path(
+            spark, tmp_dataset_dir, li.filter(F.col("l_linenumber") > 2), [],
+            mode="append",
+        )
+        got = fetch_path(spark, tmp_dataset_dir)
+        assert got.count() == li.count()
+        assert "ship_month" in got.columns
+        # derived value equals the transform applied to the source column
+        bad = got.filter(
+            F.col("ship_month") != F.date_format("l_shipdate", "yyyy-MM")
+        ).count()
+        assert bad == 0
+
+    def test_conflicting_transform_and_collision_rejected(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(100)
+        publish_path(
+            spark, tmp_dataset_dir, li, [],
+            derived_partitions={"ship_month": "date_format(l_shipdate, 'yyyy-MM')"},
+        )
+        with pytest.raises(ValueError, match="derived-partition mismatch"):
+            publish_path(
+                spark, tmp_dataset_dir, li, [], mode="append",
+                derived_partitions={"ship_month": "year(l_shipdate)"},
+            )
+        with pytest.raises(ValueError, match="collides"):
+            publish_path(
+                spark, str(tmp_dataset_dir) + "2", li, [],
+                derived_partitions={"l_quantity": "l_orderkey % 5"},
+            )
+
+
+class TestDeleteWhere:
+    def test_partition_scoped_delete(self, spark, tmp_dataset_dir, sf_dir):
+        import os
+
+        from s3parq_spark.publish import delete_where
+        from s3parq_spark import fs
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        publish_path(spark, tmp_dataset_dir, li, ["l_returnflag"])
+        before_n_files = fs.list_files(spark, tmp_dataset_dir)
+        n_a_small = li.filter("l_returnflag = 'A' AND l_quantity < 3").count()
+        assert n_a_small > 0
+        # delete only from the A partition: N and R partition files untouched
+        n = delete_where(spark, tmp_dataset_dir, "l_returnflag = 'A' AND l_quantity < 3")
+        assert n == n_a_small
+        survivors = fetch_path(spark, tmp_dataset_dir)
+        assert survivors.count() == li.count() - n_a_small
+        assert survivors.filter("l_returnflag = 'A' AND l_quantity < 3").count() == 0
+        untouched = [f for f in before_n_files if not f.startswith("l_returnflag=A")]
+        after = set(fs.list_files(spark, tmp_dataset_dir))
+        assert all(f in after for f in untouched), "untouched partitions rewritten"
+
+    def test_emptied_partition_removed(self, spark, tmp_dataset_dir, sf_dir):
+        import os
+
+        from s3parq_spark.publish import delete_where
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        publish_path(spark, tmp_dataset_dir, li, ["l_returnflag"])
+        n_r = li.filter("l_returnflag = 'R'").count()
+        assert delete_where(spark, tmp_dataset_dir, "l_returnflag = 'R'") == n_r
+        assert not os.path.isdir(
+            os.path.join(tmp_dataset_dir, "l_returnflag=R")
+        )
+        assert fetch_path(spark, tmp_dataset_dir).filter(
+            "l_returnflag = 'R'"
+        ).count() == 0
+
+    def test_null_predicate_rows_kept_and_dry_run(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import delete_where
+
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "a"), (3, 99, "b")], ["k", "v", "p"]
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        assert delete_where(spark, tmp_dataset_dir, "v < 50", dry_run=True) == 1
+        assert fetch_path(spark, tmp_dataset_dir).count() == 3
+        assert delete_where(spark, tmp_dataset_dir, "v < 50") == 1
+        rows = {r["k"] for r in fetch_path(spark, tmp_dataset_dir).collect()}
+        # NULL predicate row survives (SQL DELETE semantics)
+        assert rows == {2, 3}
