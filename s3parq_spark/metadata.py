@@ -155,6 +155,9 @@ class DatasetMetadata:
         # name -> the SQL expression it derives from; appends re-derive
         # from the recorded expression so the layout stays consistent
         self.derived_partitions = dict(derived_partitions or {})
+        # ANALYZE record (stats.collect_stats): row count + per-column
+        # min/max/nulls/ndv, stamped with the snapshot version it saw
+        self.stats = None
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -181,11 +184,13 @@ class DatasetMetadata:
             d["sort_columns"] = self.sort_columns
         if self.derived_partitions:
             d["derived_partitions"] = self.derived_partitions
+        if self.stats:
+            d["stats"] = self.stats
         return d
 
     @classmethod
     def from_dict(cls, d: dict) -> "DatasetMetadata":
-        return cls(
+        out = cls(
             partitions=d.get("partitions", []),
             partition_data_types=d.get("partition_data_types", {}),
             column_types=d.get("column_types", {}),
@@ -193,6 +198,8 @@ class DatasetMetadata:
             sort_columns=d.get("sort_columns"),
             derived_partitions=d.get("derived_partitions"),
         )
+        out.stats = d.get("stats")
+        return out
 
     def manifest_files(self) -> Optional[List[str]]:
         """All data files of the dataset, from the per-version manifests —
@@ -259,7 +266,7 @@ def merge_sidecar(
             raise ValueError(f"append type mismatch on column {col!r}: {old} vs {t}")
     merged_cols = dict(existing.column_types)
     merged_cols.update(new.column_types)
-    return DatasetMetadata(
+    merged = DatasetMetadata(
         new.partitions,
         new.partition_data_types,
         merged_cols,
@@ -272,3 +279,9 @@ def merge_sidecar(
         # persist across appends (publish validates agreement before here)
         derived_partitions=new.derived_partitions or existing.derived_partitions,
     )
+    # a stored ANALYZE survives appends: it is stamped with as_of_version,
+    # so readers can tell it describes an older snapshot (re-ANALYZE to
+    # refresh) — silently dropping it would force a rescan for questions
+    # the stale record answers fine (e.g. monotone min bounds)
+    merged.stats = existing.stats
+    return merged

@@ -1,0 +1,92 @@
+"""Table statistics plane (ANALYZE): per-column stats collected in ONE
+distributed aggregate and stored in the sidecar, then served metadata-only.
+
+At 100 TB, stats answer the questions planners and humans ask constantly —
+row count, per-column null fraction, cardinality, bounds — and answering
+them with a scan per question is how clusters drown. The reference has no
+stats story at all (its metadata is partition dtypes only); warehouses
+(Delta ANALYZE, Iceberg table metrics) made this table infrastructure.
+Here: ``collect_stats`` scans once, ``read_stats`` never scans.
+
+Stats are stamped with the snapshot version they were computed at, so a
+reader can tell stale stats from fresh ones (publishes after the ANALYZE
+bump the head version; the stats record keeps its own).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from . import metadata
+
+
+def collect_stats(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[List[str]] = None,
+) -> Dict:
+    """ANALYZE the dataset: one full scan computing, per column, exact
+    ``min`` / ``max`` / ``n_nulls`` / ``n_distinct`` (plus the table row
+    count), written into the sidecar and returned.
+
+    ONE aggregate job for every column together — the single-pass shape of
+    ``profile_columns`` — never a job per column. min/max are stored as
+    strings (the sidecar is JSON; consumers re-type via the sidecar's
+    column vocabulary). ``columns`` defaults to every non-partition data
+    column; partition columns are answerable from the metadata plane
+    already (``get_all_partition_values``).
+    """
+    from .fetch import fetch_path
+
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    df = fetch_path(spark, path)
+    if columns is None:
+        columns = [c for c in df.columns if c not in meta.partitions]
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"stats columns not in dataset: {missing}")
+
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in columns:
+        aggs.extend(
+            [
+                F.min(c).cast("string").alias(f"__min_{c}"),
+                F.max(c).cast("string").alias(f"__max_{c}"),
+                F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"),
+                F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+            ]
+        )
+    row = df.agg(*aggs).collect()[0]
+
+    version = meta.snapshots[-1]["version"] if meta.snapshots else None
+    stats = {
+        "row_count": row["__n"],
+        "as_of_version": version,
+        "columns": {
+            c: {
+                "min": row[f"__min_{c}"],
+                "max": row[f"__max_{c}"],
+                "n_nulls": row[f"__nulls_{c}"],
+                "n_distinct": row[f"__nd_{c}"],
+            }
+            for c in columns
+        },
+    }
+    meta.stats = stats
+    metadata.write_sidecar(spark, path, meta)
+    return stats
+
+
+def read_stats(spark: SparkSession, path: str) -> Optional[Dict]:
+    """The stored ANALYZE record — one sidecar JSON read, ZERO data scan.
+    Returns None when the dataset has never been analyzed. Check
+    ``as_of_version`` against ``list_versions`` to detect staleness."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    return meta.stats or None

@@ -379,6 +379,56 @@ def q_delete_where_fetch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# ANALYZE: stats plane under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_stats(spark, sf_dir):
+    """Table statistics plane (stats.py): orders is published through the
+    engine, ANALYZEd once (ONE aggregate job computing every column's
+    exact min/max/null-count/cardinality together), and this query answers
+    from ``read_stats`` — a sidecar JSON read, ZERO data scan (asserted:
+    no fetch, no parquet read happens on the answer path). The oracle
+    recomputes the same stats from the raw table; matching hashes prove
+    the metadata plane tells the truth about the data plane."""
+    from .publish import publish_path
+    from .stats import collect_stats, read_stats
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "stats_ds",
+    )
+    marker = os.path.join(path, "_STATS_OK")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders")
+        publish_path(spark, path, orders, ["o_orderstatus"])
+        collect_stats(spark, path, columns=cols)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    stats = read_stats(spark, path)  # metadata-only: one JSON read
+    rows = [
+        (
+            c,
+            stats["columns"][c]["min"],
+            stats["columns"][c]["max"],
+            int(stats["columns"][c]["n_nulls"]),
+            int(stats["columns"][c]["n_distinct"]),
+            int(stats["row_count"]),
+        )
+        for c in cols
+    ]
+    return spark.createDataFrame(
+        rows,
+        "col_name string, min_val string, max_val string, "
+        "n_nulls bigint, n_distinct bigint, row_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
 # TPC-H Q21 shape (exists + not-exists self-joins on the fact table)
 # ---------------------------------------------------------------------------
 
@@ -463,6 +513,7 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_supplier_waiting": q_multi_supplier_waiting,
     "hidden_partition_fetch": q_hidden_partition_fetch,
     "delete_where_fetch": q_delete_where_fetch,
+    "dataset_stats": q_dataset_stats,
 }
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
@@ -622,6 +673,33 @@ ORACLE_EXT2: Dict[str, str] = {
     "delete_where_fetch": """
         SELECT * FROM lineitem
         WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
+    """,
+    "dataset_stats": """
+        SELECT 'o_orderkey' AS col_name,
+               CAST(MIN(o_orderkey) AS VARCHAR) AS min_val,
+               CAST(MAX(o_orderkey) AS VARCHAR) AS max_val,
+               COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               COUNT(*) AS row_count
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey', CAST(MIN(o_custkey) AS VARCHAR),
+               CAST(MAX(o_custkey) AS VARCHAR),
+               COUNT(CASE WHEN o_custkey IS NULL THEN 1 END),
+               COUNT(DISTINCT o_custkey), COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice', CAST(MIN(o_totalprice) AS VARCHAR),
+               CAST(MAX(o_totalprice) AS VARCHAR),
+               COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END),
+               COUNT(DISTINCT o_totalprice), COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderdate', CAST(MIN(o_orderdate) AS VARCHAR),
+               CAST(MAX(o_orderdate) AS VARCHAR),
+               COUNT(CASE WHEN o_orderdate IS NULL THEN 1 END),
+               COUNT(DISTINCT o_orderdate), COUNT(*)
+        FROM orders
     """,
     "multi_supplier_waiting": """
         WITH late AS (

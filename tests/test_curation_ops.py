@@ -352,3 +352,51 @@ class TestDeleteWhere:
         rows = {r["k"] for r in fetch_path(spark, tmp_dataset_dir).collect()}
         # NULL predicate row survives (SQL DELETE semantics)
         assert rows == {2, 3}
+
+
+class TestStatsPlane:
+    def test_collect_and_read_roundtrip(self, spark, tmp_dataset_dir, sf_dir):
+        from s3parq_spark.stats import collect_stats, read_stats
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        assert read_stats(spark, tmp_dataset_dir) is None  # never analyzed
+        got = collect_stats(spark, tmp_dataset_dir)
+        assert got["row_count"] == nation.count()
+        assert got["as_of_version"] == 1
+        ks = got["columns"]["n_nationkey"]
+        assert ks["min"] == "0" and ks["n_nulls"] == 0
+        assert ks["n_distinct"] == nation.count()
+        # partition column excluded by default
+        assert "n_regionkey" not in got["columns"]
+        # read path answers from the sidecar alone
+        assert read_stats(spark, tmp_dataset_dir) == got
+
+    def test_stats_survive_append_with_version_stamp(
+        self, spark, tmp_dataset_dir
+    ):
+        from s3parq_spark.stats import collect_stats, read_stats
+        from s3parq_spark.fetch import list_versions
+
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df1, ["p"])
+        collect_stats(spark, tmp_dataset_dir)
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(9, "a")], ["k", "p"]), ["p"], mode="append",
+        )
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s is not None and s["as_of_version"] == 1  # stale, stamped
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2]
+        s2 = collect_stats(spark, tmp_dataset_dir)  # re-ANALYZE refreshes
+        assert s2["as_of_version"] == 2 and s2["row_count"] == 3
+
+    def test_bad_columns_rejected(self, spark, tmp_dataset_dir):
+        from s3parq_spark.stats import collect_stats
+
+        df = spark.createDataFrame([(1, "a")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="not in dataset"):
+            collect_stats(spark, tmp_dataset_dir, columns=["nope"])
