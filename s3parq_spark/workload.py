@@ -3240,6 +3240,9 @@ from .workload_ext import _pq_subspace_cte  # noqa: E402
 from .workload_ext2 import q_ivf_pq_topk  # noqa: E402
 
 QUERIES["ivf_pq_topk"] = q_ivf_pq_topk
+# byte-identical pipeline at rest (codes-only storage, pruned fetch): the
+# layout must not change the answer, so it shares the oracle verbatim
+ORACLE_SQL["ivf_pq_at_rest"] = None  # placeholder, assigned right below
 ORACLE_SQL["ivf_pq_topk"] = f"""
     WITH {_ivf_kmeans_cte()},
     {','.join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16) for j in range(4))},
@@ -3272,3 +3275,4 @@ ORACLE_SQL["ivf_pq_topk"] = f"""
     SELECT vec_id, round(score, 6) AS adc
     FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
 """
+ORACLE_SQL["ivf_pq_at_rest"] = ORACLE_SQL["ivf_pq_topk"]

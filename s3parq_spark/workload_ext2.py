@@ -379,6 +379,85 @@ def q_delete_where_fetch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ at rest: codes-only storage served through partition pruning
+# ---------------------------------------------------------------------------
+
+
+def q_ivf_pq_at_rest(spark, sf_dir):
+    """IVF-PQ served from storage, end to end: the corpus is published
+    through the engine as CODES ONLY — (vec_id, 4 PQ code ints),
+    ``partitionBy(cell)`` — so the index at rest is m small ints per
+    vector instead of the dim-double embedding (the memory/IO lever that
+    fits billion-vector indexes), and probes are served through the
+    PARTITION-PRUNED fetch path: the scan's file index keeps only the
+    probed cells' files, then each candidate row costs 4 ADC lookup-table
+    reads + 3 adds. Same deterministic quantizers and parameters as
+    ivf_pq_topk, so the at-rest layout must reproduce its answer exactly
+    (shared oracle)."""
+    from .fetch import fetch_path
+    from .operators.similarity import _cell_scores, kmeans_centroids, pq_encode
+    from .workload import _cached_dataset
+
+    emb = _table(spark, sf_dir, "embeddings")
+    cvecs = kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=2)
+    cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
+    enc, books = pq_encode(emb, "vec_id", "embedding", m=4, codes=8,
+                           kmeans_iters=1)
+    sub = len(books[0][0])
+
+    def build(s, d):
+        sc = _cell_scores(
+            F.col("embedding").cast("array<double>"), cvecs, cnorms
+        )
+        return enc.withColumn(
+            "cell", (F.array_position(sc, F.array_max(sc)) - 1).cast("int")
+        ).select(
+            "vec_id",
+            "cell",
+            *[F.col(f"__code_{j}").alias(f"code_{j}") for j in range(4)],
+        )
+
+    path = _cached_dataset(spark, sf_dir, "ivfpq_cells", build, ["cell"])
+
+    qrow = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    order = sorted(
+        range(len(cvecs)),
+        key=lambda j: (-sum(a * b for a, b in zip(qv, cvecs[j])) / cnorms[j], j),
+    )
+    cells = sorted(order[:4])
+
+    fetched = fetch_path(
+        spark,
+        path,
+        filters=[{"partition": "cell", "comparison": "==", "values": cells}],
+    )
+    plan = fetched._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200], "cell probe did not prune at the file index"
+    score = None
+    for j, book in enumerate(books):
+        qj = qv[j * sub : (j + 1) * sub]
+        lut = [float(sum(a * b for a, b in zip(qj, c))) for c in book]
+        # codes round-trip as "integer" vocabulary (bigint) through the
+        # sidecar; element_at needs an INT index
+        term = F.element_at(
+            F.lit(lut), (F.col(f"code_{j}") + 1).cast("int")
+        )
+        score = term if score is None else score + term
+    return (
+        fetched.filter(F.col("vec_id") != 0)
+        .select(F.col("vec_id"), score.alias("__score"))
+        .orderBy(F.desc("__score"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id", F.round("__score", 6).alias("adc"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # ANALYZE: stats plane under the gate
 # ---------------------------------------------------------------------------
 
@@ -514,6 +593,7 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hidden_partition_fetch": q_hidden_partition_fetch,
     "delete_where_fetch": q_delete_where_fetch,
     "dataset_stats": q_dataset_stats,
+    "ivf_pq_at_rest": q_ivf_pq_at_rest,
 }
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
