@@ -876,6 +876,82 @@ def delete_where(
     return n_delete
 
 
+def update_where(
+    spark: SparkSession,
+    path: str,
+    set_exprs: Dict[str, str],
+    predicate: str,
+    dry_run: bool = False,
+) -> int:
+    """Row-level UPDATE on a published dataset — the same partition-scoped
+    copy-on-write as ``delete_where``: only hive partitions containing
+    matching rows rewrite, carrying their unmatched rows unchanged and
+    their matched rows with ``set_exprs`` applied (``{column: SQL
+    expression}``, evaluated against the pre-update row). Rows where the
+    predicate is NULL are untouched (SQL UPDATE semantics). Completes the
+    DML family: append (INSERT), ``merge_upsert`` (MERGE), ``delete_where``
+    (DELETE), and this (UPDATE).
+
+    Updating a partition column is rejected: rows would migrate between
+    partitions, which dynamic partition overwrite cannot express safely
+    (the destination partition would need a full read-merge-rewrite).
+    Express that as ``delete_where`` + append, or re-layout with
+    ``repartition_dataset``. Updating an unknown column is rejected too —
+    UPDATE changes values, it does not evolve schema (append does that).
+
+    Returns the number of rows updated (``dry_run=True`` counts only).
+    """
+    from .fetch import fetch_path
+
+    sidecar = metadata.read_sidecar(spark, path)
+    if sidecar is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    parts = list(sidecar.partitions)
+    bad = [c for c in set_exprs if c in parts]
+    if bad:
+        raise ValueError(
+            f"update_where cannot modify partition columns {bad}: rows "
+            "would migrate between partitions; use delete_where + append, "
+            "or repartition_dataset"
+        )
+    df = fetch_path(spark, path)
+    unknown = [c for c in set_exprs if c not in df.columns]
+    if unknown:
+        raise ValueError(f"update_where: columns not in dataset: {unknown}")
+    pred = F.expr(predicate)
+    n_update = df.filter(pred).count()
+    if n_update == 0 or dry_run:
+        return n_update
+    hit = F.coalesce(pred, F.lit(False))
+    updated = df.withColumns(
+        {
+            c: F.when(hit, F.expr(e).cast(df.schema[c].dataType)).otherwise(
+                F.col(c)
+            )
+            for c, e in set_exprs.items()
+        }
+    )
+
+    if not parts:
+        tmp = path.rstrip("/") + ".updating"
+        fs.delete(spark, tmp)
+        publish_path(spark, tmp, updated, [], mode="overwrite")
+        old = path.rstrip("/") + ".preupdate"
+        fs.delete(spark, old)
+        if not fs.rename(spark, path, old):
+            raise IOError(f"update_where: could not move {path} aside")
+        if not fs.rename(spark, tmp, path):
+            fs.rename(spark, old, path)  # roll back
+            raise IOError("update_where: could not swap in rewritten data")
+        fs.delete(spark, old)
+        return n_update
+
+    touched_vals = df.filter(pred).select(*parts).distinct()
+    rewrite = updated.join(F.broadcast(touched_vals), parts, "left_semi")
+    overwrite_partitions(spark, path, rewrite, parts)
+    return n_update
+
+
 def publish_bucketed(
     spark: SparkSession,
     path: str,

@@ -379,6 +379,47 @@ def q_delete_where_fetch(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# row-level UPDATE (partition-scoped copy-on-write)
+# ---------------------------------------------------------------------------
+
+
+def q_update_where_fetch(spark, sf_dir):
+    """Row-level UPDATE (publish.py update_where): on a lineitem dataset
+    partitioned by l_returnflag, small-quantity rows get a quantity bump
+    and their tax zeroed — both set-expressions evaluated against the
+    PRE-update row (simultaneous-assignment SQL UPDATE semantics, which
+    the oracle's ``SELECT * REPLACE`` reproduces). Copy-on-write at
+    partition scope, same machinery as DELETE; completes the DML family
+    (append=INSERT, merge_upsert=MERGE, delete_where=DELETE, this=UPDATE)."""
+    from .fetch import fetch_path
+    from .publish import publish_path, update_where
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "update_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    li = _table(spark, sf_dir, "lineitem")
+    publish_path(spark, path, li, ["l_returnflag"])
+    expected = li.filter("l_quantity < 5").count()
+    assert update_where(
+        spark, path,
+        {"l_quantity": "l_quantity + 100", "l_tax": "0.0"},
+        "l_quantity < 5",
+        dry_run=True,
+    ) == expected
+    n = update_where(
+        spark, path,
+        {"l_quantity": "l_quantity + 100", "l_tax": "0.0"},
+        "l_quantity < 5",
+    )
+    assert n == expected, f"updated {n}, expected {expected}"
+    return fetch_path(spark, path)
+
+
+# ---------------------------------------------------------------------------
 # IVF-PQ at rest: codes-only storage served through partition pruning
 # ---------------------------------------------------------------------------
 
@@ -594,6 +635,7 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delete_where_fetch": q_delete_where_fetch,
     "dataset_stats": q_dataset_stats,
     "ivf_pq_at_rest": q_ivf_pq_at_rest,
+    "update_where_fetch": q_update_where_fetch,
 }
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
@@ -753,6 +795,14 @@ ORACLE_EXT2: Dict[str, str] = {
     "delete_where_fetch": """
         SELECT * FROM lineitem
         WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
+    """,
+    "update_where_fetch": """
+        SELECT * REPLACE (
+            CASE WHEN l_quantity < 5 THEN l_quantity + 100
+                 ELSE l_quantity END AS l_quantity,
+            CASE WHEN l_quantity < 5 THEN 0.0 ELSE l_tax END AS l_tax
+        )
+        FROM lineitem
     """,
     "dataset_stats": """
         SELECT 'o_orderkey' AS col_name,

@@ -400,3 +400,59 @@ class TestStatsPlane:
 
         with _pytest.raises(ValueError, match="not in dataset"):
             collect_stats(spark, tmp_dataset_dir, columns=["nope"])
+
+
+class TestUpdateWhere:
+    def test_partition_scoped_update_preupdate_semantics(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        from s3parq_spark.publish import update_where
+        from s3parq_spark import fs
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        publish_path(spark, tmp_dataset_dir, li, ["l_returnflag"])
+        before_files = fs.list_files(spark, tmp_dataset_dir)
+        pred = "l_returnflag = 'A' AND l_quantity < 3"
+        n_exp = li.filter(pred).count()
+        assert n_exp > 0
+        n = update_where(
+            spark, tmp_dataset_dir,
+            {"l_quantity": "l_quantity * 10", "l_tax": "l_quantity"},
+            pred,
+        )
+        assert n == n_exp
+        got = fetch_path(spark, tmp_dataset_dir)
+        assert got.count() == li.count()  # UPDATE never changes row count
+        hit = got.filter("l_returnflag = 'A' AND l_tax = 1.0 AND l_quantity = 10.0")
+        # l_tax was set from the PRE-update l_quantity (simultaneous assign)
+        assert hit.count() == li.filter(pred + " AND l_quantity = 1").count()
+        # untouched partitions' files not rewritten
+        untouched = [f for f in before_files if not f.startswith("l_returnflag=A")]
+        after = set(fs.list_files(spark, tmp_dataset_dir))
+        assert all(f in after for f in untouched)
+
+    def test_null_predicate_rows_untouched_and_dry_run(
+        self, spark, tmp_dataset_dir
+    ):
+        from s3parq_spark.publish import update_where
+
+        df = spark.createDataFrame(
+            [(1, 10, "a"), (2, None, "a"), (3, 99, "b")], ["k", "v", "p"]
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        assert update_where(
+            spark, tmp_dataset_dir, {"v": "0"}, "v < 50", dry_run=True
+        ) == 1
+        assert update_where(spark, tmp_dataset_dir, {"v": "0"}, "v < 50") == 1
+        got = {r["k"]: r["v"] for r in fetch_path(spark, tmp_dataset_dir).collect()}
+        assert got == {1: 0, 2: None, 3: 99}
+
+    def test_partition_and_unknown_columns_rejected(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import update_where
+
+        df = spark.createDataFrame([(1, "a")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        with pytest.raises(ValueError, match="partition columns"):
+            update_where(spark, tmp_dataset_dir, {"p": "'b'"}, "k = 1")
+        with pytest.raises(ValueError, match="not in dataset"):
+            update_where(spark, tmp_dataset_dir, {"zz": "1"}, "k = 1")
