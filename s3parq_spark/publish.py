@@ -952,6 +952,72 @@ def update_where(
     return n_update
 
 
+def publish_with_expectations(
+    spark: SparkSession,
+    path: str,
+    dataframe,
+    partitions: List[str],
+    rules: List[Dict[str, str]],
+    quarantine_path: Optional[str] = None,
+    mode: str = "append",
+    **publish_kwargs,
+) -> Dict[str, int]:
+    """Publish behind write-time data-quality constraints (Delta-style
+    CHECK + dead-letter routing): every rule is ``{"name": ...,
+    "constraint": <SQL boolean expr>}``; a row VIOLATES a rule iff the
+    expression evaluates to FALSE (NULL passes — SQL CHECK semantics).
+
+    Rows passing every rule publish to ``path``. Violating rows either
+    fail the whole batch (no ``quarantine_path`` — all-or-nothing, the
+    contract for must-be-clean tables; nothing is written) or publish to
+    ``quarantine_path`` with a ``violated`` column naming the failed
+    rules (comma-joined, rule order) — the dead-letter queue a 100 TB
+    ingest pipeline triages instead of losing or poisoning data.
+
+    One pass over the data per sink — the rule columns are projections
+    fused into the write scan, not separate validation jobs. Returns
+    ``{"published": n, "quarantined": n}``.
+
+    Read-side counterpart: ``operators.profile.expectations_report``
+    audits rules over data already at rest; this enforces them at the
+    door.
+    """
+    df = _to_spark_df(spark, dataframe)
+    if not rules:
+        raise ValueError("publish_with_expectations: rules must be non-empty")
+    for r in rules:
+        if "name" not in r or "constraint" not in r:
+            raise ValueError(f"rule needs 'name' and 'constraint': {r!r}")
+    passes = [F.coalesce(F.expr(r["constraint"]), F.lit(True)) for r in rules]
+    ok = passes[0]
+    for p in passes[1:]:
+        ok = ok & p
+    violated = F.concat_ws(
+        ",",
+        *[
+            F.when(~p, F.lit(r["name"]))
+            for r, p in zip(rules, passes)
+        ],
+    )
+    good = df.filter(ok)
+    bad = df.filter(~ok).withColumn("violated", violated)
+    n_bad = bad.count()
+    if n_bad and quarantine_path is None:
+        raise ValueError(
+            f"publish_with_expectations: {n_bad} rows violate "
+            f"{[r['name'] for r in rules]} and no quarantine_path is set; "
+            "nothing was written"
+        )
+    n_good = good.count()
+    if n_good:
+        publish_path(spark, path, good, partitions, mode=mode, **publish_kwargs)
+    if n_bad:
+        publish_path(
+            spark, quarantine_path, bad, partitions, mode=mode, **publish_kwargs
+        )
+    return {"published": n_good, "quarantined": n_bad}
+
+
 def publish_bucketed(
     spark: SparkSession,
     path: str,

@@ -499,6 +499,58 @@ def q_ivf_pq_at_rest(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# write-time expectations + quarantine under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_expectations_publish(spark, sf_dir):
+    """Write-time data-quality gate (publish.py publish_with_expectations):
+    orders publish behind two CHECK rules; clean rows land in the main
+    dataset, violating rows in the quarantine dataset tagged with the
+    failed rule names (NULL passes — SQL CHECK semantics). The query
+    fetches BOTH datasets back through the engine and returns every row
+    with its quarantine verdict, so the split, the tagging, and both
+    round-trips are all under the hash. Also asserts the all-or-nothing
+    mode: without a quarantine path, a dirty batch writes NOTHING."""
+    from .fetch import fetch_path
+    from .publish import publish_with_expectations
+    from .workload import _CACHE_ROOT
+
+    base = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "expect_rt",
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    orders = _table(spark, sf_dir, "orders")
+    rules = [
+        {"name": "price_cap", "constraint": "o_totalprice <= 400000"},
+        {"name": "status_known", "constraint": "o_orderstatus IN ('O', 'F')"},
+    ]
+    main, quar = os.path.join(base, "main"), os.path.join(base, "quarantine")
+    try:
+        publish_with_expectations(
+            spark, main, orders, ["o_orderstatus"], rules
+        )
+        raise AssertionError("dirty batch must fail without quarantine_path")
+    except ValueError:
+        pass
+    assert not os.path.exists(os.path.join(main, "_s3parq_metadata.json")), (
+        "all-or-nothing violated: main dataset written on failure"
+    )
+    counts = publish_with_expectations(
+        spark, main, orders, ["o_orderstatus"], rules, quarantine_path=quar
+    )
+    assert counts["published"] + counts["quarantined"] == orders.count()
+    assert counts["quarantined"] > 0, "fixture has no violations to route"
+    good = fetch_path(spark, main).select("o_orderkey").withColumn(
+        "violated", F.lit("")
+    )
+    bad = fetch_path(spark, quar).select("o_orderkey", "violated")
+    return good.unionByName(bad)
+
+
+# ---------------------------------------------------------------------------
 # ANALYZE: stats plane under the gate
 # ---------------------------------------------------------------------------
 
@@ -636,6 +688,7 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dataset_stats": q_dataset_stats,
     "ivf_pq_at_rest": q_ivf_pq_at_rest,
     "update_where_fetch": q_update_where_fetch,
+    "expectations_publish": q_expectations_publish,
 }
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
@@ -795,6 +848,21 @@ ORACLE_EXT2: Dict[str, str] = {
     "delete_where_fetch": """
         SELECT * FROM lineitem
         WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
+    """,
+    "expectations_publish": """
+        SELECT o_orderkey,
+               CASE WHEN (o_totalprice <= 400000 OR o_totalprice IS NULL)
+                     AND (o_orderstatus IN ('O', 'F')
+                          OR o_orderstatus IS NULL)
+                    THEN ''
+                    ELSE concat_ws(',',
+                      CASE WHEN NOT COALESCE(o_totalprice <= 400000, TRUE)
+                           THEN 'price_cap' END,
+                      CASE WHEN NOT COALESCE(
+                               o_orderstatus IN ('O', 'F'), TRUE)
+                           THEN 'status_known' END)
+               END AS violated
+        FROM orders
     """,
     "update_where_fetch": """
         SELECT * REPLACE (

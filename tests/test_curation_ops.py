@@ -456,3 +456,58 @@ class TestUpdateWhere:
             update_where(spark, tmp_dataset_dir, {"p": "'b'"}, "k = 1")
         with pytest.raises(ValueError, match="not in dataset"):
             update_where(spark, tmp_dataset_dir, {"zz": "1"}, "k = 1")
+
+
+class TestPublishWithExpectations:
+    RULES = [
+        {"name": "v_positive", "constraint": "v > 0"},
+        {"name": "p_known", "constraint": "p IN ('a', 'b')"},
+    ]
+
+    def test_split_tagging_and_null_passes(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import publish_with_expectations
+
+        df = spark.createDataFrame(
+            [(1, 5, "a"), (2, -1, "a"), (3, None, "b"), (4, -2, "z")],
+            ["k", "v", "p"],
+        )
+        main = tmp_dataset_dir + "/main"
+        quar = tmp_dataset_dir + "/quar"
+        counts = publish_with_expectations(
+            spark, main, df, ["p"], self.RULES, quarantine_path=quar
+        )
+        # NULL v passes CHECK (SQL semantics): rows 1 and 3 are clean
+        assert counts == {"published": 2, "quarantined": 2}
+        good = {r["k"] for r in fetch_path(spark, main).collect()}
+        assert good == {1, 3}
+        bad = {r["k"]: r["violated"] for r in fetch_path(spark, quar).collect()}
+        assert bad == {2: "v_positive", 4: "v_positive,p_known"}
+
+    def test_all_or_nothing_without_quarantine(self, spark, tmp_dataset_dir):
+        import os
+
+        from s3parq_spark.publish import publish_with_expectations
+
+        df = spark.createDataFrame([(1, -5, "a")], ["k", "v", "p"])
+        with pytest.raises(ValueError, match="violate"):
+            publish_with_expectations(
+                spark, tmp_dataset_dir + "/m", df, ["p"], self.RULES
+            )
+        assert not os.path.exists(tmp_dataset_dir + "/m")
+        # a clean batch publishes fine without a quarantine path
+        clean = spark.createDataFrame([(1, 5, "a")], ["k", "v", "p"])
+        counts = publish_with_expectations(
+            spark, tmp_dataset_dir + "/m", clean, ["p"], self.RULES
+        )
+        assert counts == {"published": 1, "quarantined": 0}
+
+    def test_bad_rules_rejected(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import publish_with_expectations
+
+        df = spark.createDataFrame([(1, 5, "a")], ["k", "v", "p"])
+        with pytest.raises(ValueError, match="non-empty"):
+            publish_with_expectations(spark, tmp_dataset_dir, df, ["p"], [])
+        with pytest.raises(ValueError, match="name"):
+            publish_with_expectations(
+                spark, tmp_dataset_dir, df, ["p"], [{"constraint": "v > 0"}]
+            )
