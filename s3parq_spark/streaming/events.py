@@ -544,3 +544,105 @@ def stream_latest_state(
     )
     q.awaitTermination()
     return spark.table(name)
+
+def stream_user_profile(
+    spark: SparkSession,
+    events_parquet: str,
+) -> DataFrame:
+    """Per-user profile aggregation on Spark 4's arbitrary-state API
+    (``transformWithStateInPandas`` + ``StatefulProcessor`` — the
+    successor to ``applyInPandasWithState``, with typed state primitives):
+    a ``ValueState`` holds each user's running ``(n_events, n_clicks)``;
+    every micro-batch folds its rows in and emits the updated cumulative
+    snapshot.
+
+    The emitted stream is one snapshot per (user, batch-that-touched-it);
+    the final profile is the LARGEST snapshot per user (the counters are
+    monotone), taken downstream with one ``max(struct)`` aggregate — so
+    the result is independent of how the source splits into micro-batches,
+    and equals the plain batch aggregate (the oracle). State is O(1) per
+    user: two ints, the profile-store shape that scales to any user count
+    under RocksDB.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    try:  # pragma: no cover - environment probe
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "stream_user_profile uses Spark 4's transformWithStateInPandas, "
+            "whose state-server protocol requires the 'protobuf' package "
+            "(pip install protobuf). This environment does not provide it; "
+            "the applyInPandasWithState operators (stateful_sessionize, "
+            "stream_latest_state) cover custom stateful streaming without "
+            "that dependency."
+        ) from e
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_events", T.LongType()),
+            T.StructField("n_clicks", T.LongType()),
+        ]
+    )
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._counts = handle.getValueState(
+                "counts", "n BIGINT, clicks BIGINT"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._counts.exists():
+                n, clicks = self._counts.get()
+            else:
+                n, clicks = 0, 0
+            for pdf in rows:
+                n += len(pdf)
+                clicks += int((pdf["event_type"] == "click").sum())
+            self._counts.update((n, clicks))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "n_clicks": [clicks]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    # transformWithState REQUIRES the RocksDB provider (its state schema
+    # validation runs against it); the HDFS-backed default crashes the
+    # driver worker before the first batch
+    _ensure_state_store(spark)
+    name = f"prof_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, events_parquet).select(
+        "user_id", "event_type"
+    )
+    q = (
+        stream.groupBy("user_id")
+        .transformWithStateInPandas(
+            ProfileProcessor(),
+            outputStructType=out_schema,
+            outputMode="Append",
+            timeMode="None",
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # monotone counters: the per-user max snapshot IS the final profile
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "n_clicks")).alias("__s"))
+        .select(
+            "user_id",
+            F.col("__s.n_events").alias("n_events"),
+            F.col("__s.n_clicks").alias("n_clicks"),
+        )
+    )

@@ -211,3 +211,33 @@ def test_ts_unit_probe_contract(spark, tmp_path, sf_dir):
     pq.write_table(tbl, os.path.join(mixed, "b.parquet"))
     with _pytest.raises(ValueError, match="mixed ts timestamp units"):
         _ts_is_nanos(mixed)
+
+
+def test_stream_user_profile_gated_or_equals_batch(spark, sf_dir):
+    """Spark 4 transformWithStateInPandas path: runs (and must equal the
+    batch aggregate) where protobuf is available; raises the documented
+    dependency error where it is not."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.streaming.events import stream_user_profile
+    from s3parq_spark.workload import _events
+
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+        have_protobuf = True
+    except ImportError:
+        have_protobuf = False
+
+    src = f"{sf_dir}/events.parquet"
+    if not have_protobuf:
+        with _pytest.raises(RuntimeError, match="protobuf"):
+            stream_user_profile(spark, src)
+        return
+    out = stream_user_profile(spark, src)
+    batch = _events(spark, sf_dir).groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("bigint")).alias("n_clicks"),
+    )
+    assert out.exceptAll(batch).count() == 0
+    assert batch.exceptAll(out).count() == 0
