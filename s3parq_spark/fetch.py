@@ -255,13 +255,15 @@ def fetch_path(
 
 def list_versions(spark: SparkSession, path: str) -> List[dict]:
     """The dataset's append-only version history:
-    ``[{"version": n, "n_files": k}, ...]`` (empty when the dataset predates
-    snapshot tracking or a destructive rewrite cleared it)."""
+    ``[{"version": n, "n_files": k, "ts": commit_unix_seconds}, ...]``
+    (empty when the dataset predates snapshot tracking or a destructive
+    rewrite cleared it; ``ts`` is None for bootstrap snapshots adopted
+    from pre-snapshot data and for history written before timestamps)."""
     meta = _dataset_meta(spark, path)
     if meta is None:
         return []
     return [
-        {"version": s["version"], "n_files": len(s["added"])}
+        {"version": s["version"], "n_files": len(s["added"]), "ts": s.get("ts")}
         for s in meta.snapshots
     ]
 
@@ -310,7 +312,42 @@ def fetch_at(
     return _read_manifest_slice(spark, path, meta, rel, filters, columns)
 
 
+def fetch_at_timestamp(
+    spark: SparkSession,
+    path: str,
+    ts: float,
+    filters: Optional[List[dict]] = None,
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Timestamp time travel: read the dataset as of wall-clock ``ts``
+    (unix seconds) — resolves to the newest snapshot whose commit time is
+    <= ``ts`` and delegates to ``fetch_at``. The "what did the model
+    train on last Tuesday" form of the reproducibility contract; version
+    numbers remain the precise handle (``list_versions`` shows both).
+
+    Commit times are stamped by ``publish`` at sidecar-write time. A
+    bootstrap snapshot (files adopted from a pre-snapshot dataset) carries
+    no truthful timestamp and never matches; a ``ts`` earlier than the
+    first stamped commit raises rather than guessing.
+    """
+    meta = _dataset_meta(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(f"no version history at {path}")
+    eligible = [
+        s for s in meta.snapshots if s.get("ts") is not None and s["ts"] <= ts
+    ]
+    if not eligible:
+        stamped = [s["version"] for s in meta.snapshots if s.get("ts") is not None]
+        raise ValueError(
+            f"no snapshot at or before ts={ts} at {path} "
+            f"(timestamp-stamped versions: {stamped})"
+        )
+    version = max(s["version"] for s in eligible)
+    return fetch_at(spark, path, version, filters=filters, columns=columns)
+
+
 def fetch_changes(
+
     spark: SparkSession,
     path: str,
     from_version: int,

@@ -490,18 +490,25 @@ def publish_path(
     # files it added; ``fetch_at(v)`` replays the prefix union. Overwrite
     # starts history at v1. An append onto a pre-snapshot dataset bootstraps
     # v1 from the files that predate this publish (one full listing, once).
+    import time as _time
+
+    now = _time.time()  # commit wall-clock: enables timestamp time travel
     if mode != "append" or existing is None:
-        snaps = [{"version": 1, "added": _rel_files(path, new)}]
+        snaps = [{"version": 1, "ts": now, "added": _rel_files(path, new)}]
     else:
         snaps = list(merged.snapshots)
         if not snaps:
             new_set = set(new)
             prior = [f for f in fs.list_files(spark, path) if f not in new_set]
             if prior:
+                # bootstrap snapshot: its files predate this commit; no
+                # truthful timestamp exists, so it carries none (timestamp
+                # lookups before the first stamped snapshot raise)
                 snaps = [{"version": 1, "added": _rel_files(path, prior)}]
         snaps.append(
             {
                 "version": (snaps[-1]["version"] + 1) if snaps else 1,
+                "ts": now,
                 "added": _rel_files(path, new),
             }
         )

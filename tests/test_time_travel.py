@@ -175,3 +175,61 @@ class TestFetchChanges:
         df = fetch_changes(spark, tmp_dataset_dir, 2, 3)
         assert df.count() == 0
         assert set(df.columns) == {"grp", "v"}
+
+
+class TestTimestampTimeTravel:
+    def test_resolves_to_newest_at_or_before(self, spark, tmp_dataset_dir):
+        import time
+
+        from s3parq_spark.fetch import fetch_at_timestamp, list_versions
+        from s3parq_spark.publish import publish_path
+
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"]), ["p"],
+        )
+        t_mid = time.time()
+        time.sleep(0.05)
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(3, "a")], ["k", "p"]), ["p"], mode="append",
+        )
+        vs = list_versions(spark, tmp_dataset_dir)
+        assert [v["version"] for v in vs] == [1, 2]
+        assert all(v["ts"] is not None for v in vs)
+        assert vs[0]["ts"] <= t_mid <= vs[1]["ts"]
+        assert fetch_at_timestamp(spark, tmp_dataset_dir, t_mid).count() == 2
+        assert fetch_at_timestamp(spark, tmp_dataset_dir, time.time()).count() == 3
+
+    def test_before_first_commit_rejected(self, spark, tmp_dataset_dir):
+        import pytest as _pytest
+
+        from s3parq_spark.fetch import fetch_at_timestamp
+        from s3parq_spark.publish import publish_path
+
+        with _pytest.raises(ValueError, match="no version history"):
+            fetch_at_timestamp(spark, tmp_dataset_dir, 0)
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(1, "a")], ["k", "p"]), ["p"],
+        )
+        with _pytest.raises(ValueError, match="no snapshot at or before"):
+            fetch_at_timestamp(spark, tmp_dataset_dir, 0)
+
+    def test_filters_and_columns_pass_through(self, spark, tmp_dataset_dir):
+        import time
+
+        from s3parq_spark.fetch import fetch_at_timestamp
+        from s3parq_spark.publish import publish_path
+
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"]), ["p"],
+        )
+        out = fetch_at_timestamp(
+            spark, tmp_dataset_dir, time.time(),
+            filters=[{"partition": "p", "comparison": "==", "values": ["a"]}],
+            columns=["k"],
+        )
+        assert [r["k"] for r in out.collect()] == [1]
+        assert out.columns == ["k"]  # explicit projection, nothing extra
