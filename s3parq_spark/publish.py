@@ -48,6 +48,11 @@ _HIVE_RESERVED = frozenset(
 )
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between the caller's read and this publish
+    (optimistic-concurrency conflict on ``expected_version``)."""
+
+
 def check_empty_dataframe(df: DataFrame) -> None:
     """Reject empty publishes (``publish_parq.py:16-30``) without a full
     count: ``limit(1)`` short-circuits the scan."""
@@ -318,6 +323,7 @@ def publish_path(
     zorder_by: Optional[List[str]] = None,
     bloom_filter_columns: Optional[List[str]] = None,
     derived_partitions: Optional[Dict[str, str]] = None,
+    expected_version: Optional[int] = None,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -382,6 +388,25 @@ def publish_path(
             if col in meta.partition_data_types:
                 meta.partition_data_types[col] = vocab
     existing = metadata.read_sidecar(spark, path)
+    if expected_version is not None:
+        # optimistic concurrency (Delta-style CAS on the snapshot head):
+        # the caller read the dataset at some version and publishes only
+        # if nobody committed since. Checked before ANY file is written,
+        # and re-checked before the sidecar commit below; the remaining
+        # window is the write itself — on a conflict there the data files
+        # are already on storage but unacknowledged, i.e. exactly the
+        # orphans vacuum_dataset removes.
+        head = (
+            existing.snapshots[-1]["version"]
+            if existing is not None and existing.snapshots
+            else 0
+        )
+        if head != expected_version:
+            raise ConcurrentWriteError(
+                f"expected to publish onto version {expected_version} of "
+                f"{path}, but head is {head}: another writer committed; "
+                "re-read and retry"
+            )
     merged = metadata.merge_sidecar(existing, meta)
 
     scoped_dirs: Optional[List[str]] = None
@@ -490,6 +515,18 @@ def publish_path(
     # files it added; ``fetch_at(v)`` replays the prefix union. Overwrite
     # starts history at v1. An append onto a pre-snapshot dataset bootstraps
     # v1 from the files that predate this publish (one full listing, once).
+    if expected_version is not None:
+        cur = metadata.read_sidecar(spark, path)
+        cur_head = (
+            cur.snapshots[-1]["version"] if cur is not None and cur.snapshots else 0
+        )
+        if cur_head != expected_version:
+            raise ConcurrentWriteError(
+                f"version moved {expected_version} -> {cur_head} at {path} "
+                "during the write: another writer committed; this publish's "
+                "files are unacknowledged orphans (vacuum_dataset removes "
+                "them); re-read and retry"
+            )
     import time as _time
 
     now = _time.time()  # commit wall-clock: enables timestamp time travel

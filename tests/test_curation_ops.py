@@ -511,3 +511,37 @@ class TestPublishWithExpectations:
             publish_with_expectations(
                 spark, tmp_dataset_dir, df, ["p"], [{"constraint": "v > 0"}]
             )
+
+
+class TestOptimisticConcurrency:
+    def test_cas_publish_success_and_conflict(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import list_versions
+        from s3parq_spark.publish import ConcurrentWriteError
+
+        df = spark.createDataFrame([(1, "a")], ["k", "p"])
+        # first publish onto an empty dataset: head is 0
+        publish_path(spark, tmp_dataset_dir, df, ["p"], expected_version=0)
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1]
+        # append expecting v1 succeeds
+        publish_path(
+            spark, tmp_dataset_dir, df, ["p"], mode="append", expected_version=1
+        )
+        # appending again with a STALE expectation fails before writing
+        from s3parq_spark import fs
+
+        before = fs.list_files(spark, tmp_dataset_dir)
+        with pytest.raises(ConcurrentWriteError, match="head is 2"):
+            publish_path(
+                spark, tmp_dataset_dir, df, ["p"], mode="append",
+                expected_version=1,
+            )
+        assert fs.list_files(spark, tmp_dataset_dir) == before, (
+            "conflicting publish wrote files"
+        )
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2]
+
+    def test_unversioned_publish_unaffected(self, spark, tmp_dataset_dir):
+        df = spark.createDataFrame([(1, "a")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"], mode="append")
+        assert fetch_path(spark, tmp_dataset_dir).count() == 2
