@@ -777,3 +777,65 @@ def ivf_pq_topk(
         .limit(k)
         .select(id_col, F.round("__score", 6).alias("adc"))
     )
+
+def hard_negative_mining(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 3,
+    dim: int = 64,
+    planes: int = 4,
+) -> DataFrame:
+    """Contrastive-training hard negatives: for every vector, the top-``k``
+    most-similar vectors with a DIFFERENT label — the "looks alike but
+    isn't" examples that make embedding models learn boundaries (dense
+    retrieval / contrastive pipelines mine these constantly).
+
+    All-pairs cross-label search is quadratic, so candidates are blocked
+    the LSH way: both sides bucket by the deterministic hyperplane
+    signature, candidates come from ONE bucket equi-join (same bucket,
+    different label), exact cosine ranks inside, per-anchor
+    WindowGroupLimit takes k. Misses across buckets are the standard LSH
+    recall trade — raise recall with fewer planes or multi-probe, not by
+    abandoning the equi-join. Output: ``(id, neg_id, neg_label, cosine,
+    rk)``, deterministic ties (cosine desc, neg id asc).
+    """
+    from pyspark.sql import Window
+
+    base = df.select(
+        F.col(id_col),
+        F.col(label_col),
+        F.col(vec_col).cast("array<double>").alias("__vec"),
+    ).withColumn("__bucket", hyperplane_signature(F.col("__vec"), dim, planes))
+    a = base.select(
+        F.col(id_col).alias("__aid"),
+        F.col(label_col).alias("__albl"),
+        F.col("__vec").alias("__avec"),
+        "__bucket",
+    )
+    b = base.select(
+        F.col(id_col).alias("__bid"),
+        F.col(label_col).alias("__blbl"),
+        F.col("__vec").alias("__bvec"),
+        "__bucket",
+    )
+    w = Window.partitionBy("__aid").orderBy(
+        F.desc("cosine"), F.asc("__bid")
+    )
+    return (
+        a.join(b, "__bucket")
+        .filter(F.col("__albl") != F.col("__blbl"))
+        .withColumn(
+            "cosine", cosine_similarity(F.col("__avec"), F.col("__bvec"))
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("__aid").alias(id_col),
+            F.col("__bid").alias("neg_id"),
+            F.col("__blbl").alias("neg_label"),
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -603,3 +603,46 @@ def remove_duplicated_lines(
             F.coalesce(F.col("__kept"), F.lit(0)).cast("bigint").alias("n_kept"),
         )
     )
+
+def oov_rate(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Tokenizer-health report: per-document out-of-vocabulary rate against
+    the corpus's own top-``vocab_size`` token vocabulary (count desc, token
+    asc tiebreak — deterministic). The pre-training sanity check for "does
+    a vocab of size V cover this corpus", and the per-source signal for
+    spotting domains a fixed tokenizer will shred into rare tokens.
+
+    Plan shape: one token hash-aggregate → TakeOrdered top-V (the vocab is
+    V rows — broadcast side) → explode again → broadcast left-semi-style
+    membership via join + per-doc aggregate. The corpus is touched by two
+    scans and exchanges only on keys; the vocabulary never shuffles the
+    fact side. Output ``(id, n_tokens, n_oov, oov_rate)``.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__tok"),
+    )
+    vocab = (
+        toks.groupBy("__tok")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .orderBy(F.desc("__n"), F.asc("__tok"))
+        .limit(vocab_size)
+        .select("__tok", F.lit(True).alias("__in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "__tok", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(
+                F.col("__in_vocab").isNull().cast("bigint")
+            ).alias("n_oov"),
+        )
+        .withColumn(
+            "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
+        )
+    )

@@ -551,6 +551,41 @@ def q_expectations_publish(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# contrastive hard negatives + tokenizer OOV health
+# ---------------------------------------------------------------------------
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining (operators/similarity.py
+    hard_negative_mining): per vector, the 3 most-similar OTHER-label
+    vectors, candidates blocked by the deterministic hyperplane-LSH bucket
+    (one equi-join — never the all-pairs cross-label product). The oracle
+    inlines the same plane matrix and replicates bucketing, the label
+    mismatch, exact cosine, and the per-anchor ranking."""
+    from .operators.similarity import hard_negative_mining
+
+    emb = _table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 400)
+    out = hard_negative_mining(
+        emb, "vec_id", "embedding", "label", k=3, dim=64, planes=4
+    )
+    return out.select(
+        "vec_id", "neg_id", "neg_label", F.round("cosine", 6).alias("cosine"),
+        "rk",
+    )
+
+
+def q_oov_rate(spark, sf_dir):
+    """Tokenizer OOV health (operators/text.py oov_rate): per-document
+    out-of-vocabulary rate against the corpus's own top-50 token vocab
+    (deterministic count-desc/token-asc head). Two keyed aggregates and a
+    broadcast vocabulary join — the fact side never reshuffles."""
+    from .operators.text import oov_rate
+
+    docs = _table(spark, sf_dir, "documents")
+    return oov_rate(docs, "doc_id", "text", vocab_size=50)
+
+
+# ---------------------------------------------------------------------------
 # ANALYZE: stats plane under the gate
 # ---------------------------------------------------------------------------
 
@@ -689,7 +724,45 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_at_rest": q_ivf_pq_at_rest,
     "update_where_fetch": q_update_where_fetch,
     "expectations_publish": q_expectations_publish,
+    "hard_negatives": q_hard_negatives,
+    "oov_rate": q_oov_rate,
 }
+
+
+def _hard_negatives_oracle() -> str:
+    from .operators.similarity import _hyperplane_rows
+
+    planes = ", ".join(
+        f"({p}, [{', '.join(str(x) for x in row)}]::DOUBLE[])"
+        for p, row in enumerate(_hyperplane_rows(64, 4))
+    )
+    return f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 400
+        ), planes(pid, c) AS (
+          VALUES {planes}
+        ), buck AS (
+          SELECT e.vec_id, e.label, e.v,
+                 SUM(CASE WHEN list_dot_product(e.v, p.c) > 0
+                          THEN (CAST(1 AS BIGINT) << p.pid) ELSE 0 END)
+                   AS bucket
+          FROM e CROSS JOIN planes p GROUP BY e.vec_id, e.label, e.v
+        ), pairs AS (
+          SELECT a.vec_id, b.vec_id AS neg_id, b.label AS neg_label,
+                 list_cosine_similarity(a.v, b.v) AS cos_raw
+          FROM buck a JOIN buck b
+            ON a.bucket = b.bucket AND a.label <> b.label
+        ), ranked AS (
+          SELECT vec_id, neg_id, neg_label, cos_raw,
+                 CAST(row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY cos_raw DESC, neg_id ASC) AS INT) AS rk
+          FROM pairs
+        )
+        SELECT vec_id, neg_id, neg_label, round(cos_raw, 6) AS cosine, rk
+        FROM ranked WHERE rk <= 3
+    """
 
 # DuckDB list slicing l[a:b] is 1-based inclusive; generate_series is
 # inclusive of both bounds — matching Spark's slice(arr, start, length)
@@ -849,6 +922,26 @@ ORACLE_EXT2: Dict[str, str] = {
         SELECT * FROM lineitem
         WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
     """,
+    "oov_rate": """
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(trim(text), '\\s+')) AS tok
+          FROM documents
+        ), vocab AS (
+          SELECT tok FROM (
+            SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok
+            ORDER BY n DESC, tok ASC LIMIT 50
+          )
+        )
+        SELECT t.doc_id,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / COUNT(*) AS oov_rate
+        FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+        GROUP BY t.doc_id
+    """,
     "expectations_publish": """
         SELECT o_orderkey,
                CASE WHEN (o_totalprice <= 400000 OR o_totalprice IS NULL)
@@ -925,3 +1018,5 @@ ORACLE_EXT2: Dict[str, str] = {
         LIMIT 10
     """,
 }
+
+ORACLE_EXT2["hard_negatives"] = _hard_negatives_oracle()

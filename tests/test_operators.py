@@ -899,3 +899,51 @@ def test_ivf_pq_topk(spark, emb):
     assert [(r.vec_id, r.adc) for r in full] == [
         (r.vec_id, r.adc) for r in flat
     ]
+
+
+def test_hard_negative_mining(spark, emb):
+    from s3parq_spark.operators.similarity import hard_negative_mining
+
+    out = hard_negative_mining(
+        emb.filter(F.col("vec_id") < 200), "vec_id", "embedding", "label",
+        k=3, dim=64, planes=4,
+    )
+    rows = out.collect()
+    assert rows, "no negatives mined"
+    by_anchor = {}
+    for r in rows:
+        by_anchor.setdefault(r.vec_id, []).append(r)
+    labels = {r.vec_id: r.label for r in
+              emb.filter(F.col("vec_id") < 200).select("vec_id", "label").collect()}
+    for anchor, negs in by_anchor.items():
+        assert len(negs) <= 3
+        # every negative has a different label and never the anchor itself
+        for n in negs:
+            assert n.neg_label != labels[anchor]
+            assert n.neg_id != anchor
+        # ranked best-first
+        cs = [n.cosine for n in sorted(negs, key=lambda x: x.rk)]
+        assert cs == sorted(cs, reverse=True)
+    # deterministic under repartitioning
+    again = hard_negative_mining(
+        emb.filter(F.col("vec_id") < 200).repartition(7), "vec_id",
+        "embedding", "label", k=3, dim=64, planes=4,
+    ).collect()
+    assert sorted((r.vec_id, r.neg_id, r.rk) for r in rows) == sorted(
+        (r.vec_id, r.neg_id, r.rk) for r in again
+    )
+
+
+def test_oov_rate(spark, sf_dir):
+    from s3parq_spark.operators.text import oov_rate
+
+    docs = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c"), (3, "x y z")], ["doc_id", "text"]
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in oov_rate(docs, "doc_id", "text", vocab_size=2).collect()}
+    # vocab = top-2 by count desc, token asc: 'a' (4), then 'b'/'c'/'x'/'y'/'z'
+    # all have 1 -> 'b' wins the tiebreak
+    assert out[1] == (4, 0, 0.0)            # a,a,a,b all in vocab
+    assert out[2] == (2, 1, 0.5)            # c is OOV
+    assert out[3] == (3, 3, 1.0)            # x,y,z all OOV
