@@ -578,30 +578,31 @@ def remove_duplicated_lines(
         .groupBy("__norm")
         .agg(F.count(F.lit(1)).alias("__line_df"))
     )
-    kept = lines.join(dfreq, "__norm").filter(
-        F.col("__line_df") < min_doc_freq
-    )
-    rebuilt = kept.groupBy(id_col).agg(
-        F.concat_ws(
-            sep,
-            F.transform(
-                F.array_sort(
-                    F.collect_list(F.struct(F.col("pos"), F.col("line")))
-                ),
-                lambda x: x["line"],
-            ),
-        ).alias("__clean"),
-        F.count(F.lit(1)).alias("__kept"),
-    )
-    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_lines"))
+    keep = F.col("__line_df") < min_doc_freq
+    # ONE aggregate covers totals AND the surviving-line reassembly:
+    # collect_list drops the NULLs that when() assigns to boilerplate
+    # lines, so the kept list, the kept count, and the total line count
+    # all ride the same doc_id exchange (a totals-vs-kept join would cost
+    # a second shuffle for nothing)
     return (
-        totals.join(rebuilt, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce(F.col("__clean"), F.lit("")).alias("text_clean"),
-            F.col("n_lines"),
-            F.coalesce(F.col("__kept"), F.lit(0)).cast("bigint").alias("n_kept"),
+        lines.join(dfreq, "__norm")
+        .groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("line")))
+                        )
+                    ),
+                    lambda x: x["line"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(keep.cast("bigint")).alias("n_kept"),
         )
+        .select(id_col, "text_clean", "n_lines", "n_kept")
     )
 
 def oov_rate(
