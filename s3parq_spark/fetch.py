@@ -535,3 +535,28 @@ def attach(
     df = fetch_path(spark, path, accept_not_s3parq=accept_not_s3parq)
     df.createOrReplaceTempView(view_name)
     return df
+
+
+def attach_at(
+    spark: SparkSession,
+    path: str,
+    view_name: str,
+    version: Optional[int] = None,
+    ts: Optional[float] = None,
+) -> DataFrame:
+    """``attach`` for a historical snapshot — the SQL spelling of
+    ``VERSION AS OF`` / ``TIMESTAMP AS OF``: registers the dataset AS OF
+    ``version`` (or wall-clock ``ts``, unix seconds) as a temp view, so
+    plain ``spark.sql`` queries run against the frozen file set with
+    partition pruning and the sidecar schema intact. Exactly one of
+    ``version`` / ``ts`` must be given. Nothing is materialized; the view
+    is the versioned plan.
+    """
+    if (version is None) == (ts is None):
+        raise ValueError("attach_at: pass exactly one of version= or ts=")
+    if version is not None:
+        df = fetch_at(spark, path, version)
+    else:
+        df = fetch_at_timestamp(spark, path, ts)
+    df.createOrReplaceTempView(view_name)
+    return df

@@ -233,3 +233,37 @@ class TestTimestampTimeTravel:
         )
         assert [r["k"] for r in out.collect()] == [1]
         assert out.columns == ["k"]  # explicit projection, nothing extra
+
+
+class TestAttachAt:
+    def test_sql_version_as_of(self, spark, tmp_dataset_dir):
+        import time
+
+        from s3parq_spark.fetch import attach_at
+        from s3parq_spark.publish import publish_path
+
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"]), ["p"],
+        )
+        t_mid = time.time()
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(3, "a")], ["k", "p"]), ["p"], mode="append",
+        )
+        attach_at(spark, tmp_dataset_dir, "snap_v1", version=1)
+        assert spark.sql("SELECT count(*) c FROM snap_v1").first()["c"] == 2
+        attach_at(spark, tmp_dataset_dir, "snap_ts", ts=t_mid)
+        assert spark.sql("SELECT count(*) c FROM snap_ts").first()["c"] == 2
+        # partition predicate in SQL still prunes the versioned file index
+        df = spark.sql("SELECT * FROM snap_v1 WHERE p = 'a'")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan and "p#" in plan.split(
+            "PartitionFilters", 1
+        )[1][:120]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="exactly one"):
+            attach_at(spark, tmp_dataset_dir, "x", version=1, ts=t_mid)
+        with _pytest.raises(ValueError, match="exactly one"):
+            attach_at(spark, tmp_dataset_dir, "x")
