@@ -782,3 +782,109 @@ def decontaminate(
         .select(id_col)
     )
     return train.join(F.broadcast(hits), id_col, "left_anti")
+
+def build_minhash_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """The at-rest fuzzy-dedup index: one row per document carrying its
+    minhash ``signature`` (array<bigint>, for LSH candidate banding) and
+    its distinct ``shingle_hashes`` (array<bigint>, for exact-Jaccard
+    verification) — publish this once, and every future batch dedups
+    against the corpus WITHOUT recomputing anything over it. The index is
+    O(docs) rows of fixed-ish width (num_hashes longs + shingle hashes);
+    at 100 TB the text never needs to be read again for dedup.
+
+    Shingles are computed ONCE (persisted) and feed both columns; the
+    signature aggregate is the same codegen'd min-of-xxhash64 shape as
+    ``minhash_signatures``.
+    """
+    sh = (
+        word_shingle_hashes(
+            df.select(id_col, text_col), text_col, shingle_n
+        )
+        .select(id_col, "shingle_hashes")
+        .persist()
+    )
+    ex = sh.select(id_col, F.explode("shingle_hashes").alias("__s"))
+    sig = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64(F.lit(i), F.col("__s"))).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ]
+    ).select(
+        id_col,
+        F.array(*[f"__h{i}" for i in range(num_hashes)]).alias("signature"),
+    )
+    out = sh.join(sig, id_col).select(id_col, "signature", "shingle_hashes")
+    return _unpersist_with(out, sh)
+
+
+def fuzzy_dedup_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental fuzzy dedup against an indexed corpus: keep the rows of
+    ``new_df`` that near-duplicate NOTHING in ``index_df`` (a
+    ``build_minhash_index`` table, typically fetched from storage). The
+    production shape of continuous corpus ingestion: the existing corpus
+    costs zero text reads and zero recompute per batch — candidates come
+    from ONE (band_id, band_hash) equi-join between the new batch's bands
+    and the stored signatures' bands, then exact Jaccard over the stored
+    shingle-hash sets verifies (array_intersect on fixed-width longs).
+
+    Both banding and verification use the same hash family as the batch
+    pipeline (``minhash_neardup_pairs``), so incremental-then-union equals
+    re-running the batch dedup, up to LSH's standard near-threshold recall
+    trade.
+    """
+    rows = num_hashes // bands
+
+    def banded(d, idn):
+        return d.select(
+            F.col(id_col).alias(idn),
+            F.col("shingle_hashes").alias(f"__sh_{idn}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band_id"),
+                            F.hash(
+                                F.slice("signature", b * rows + 1, rows)
+                            ).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("__band"),
+        ).select(
+            idn, f"__sh_{idn}", "__band.band_id", "__band.band_hash"
+        )
+
+    new_idx = build_minhash_index(
+        new_df.select(id_col, text_col), id_col, text_col, num_hashes, shingle_n
+    )
+    nb = banded(new_idx, "__nid")
+    cb = banded(index_df, "__cid")
+    cand = (
+        nb.join(cb, ["band_id", "band_hash"])
+        .dropDuplicates(["__nid", "__cid"])
+    )
+    a, b = F.col("__sh___nid"), F.col("__sh___cid")
+    inter = F.size(F.array_intersect(a, b))
+    jac = inter / (F.size(a) + F.size(b) - inter)
+    dirty = (
+        cand.filter(jac.cast("double") >= threshold)
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(F.broadcast(dirty), id_col, "left_anti")

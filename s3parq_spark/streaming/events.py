@@ -443,6 +443,7 @@ def stream_publish(
     events_parquet: str,
     dataset_path: str,
     partitions: list,
+    **publish_kwargs,
 ) -> None:
     """Streaming ingestion INTO the engine's dataset format: readStream →
     ``foreachBatch(publish_path append)``. Each micro-batch appends
@@ -459,7 +460,10 @@ def stream_publish(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
-        publish_path(batch_df.sparkSession, dataset_path, batch_df, partitions)
+        publish_path(
+            batch_df.sparkSession, dataset_path, batch_df, partitions,
+            **publish_kwargs,
+        )
 
     q = (
         stream.writeStream.foreachBatch(sink)

@@ -551,6 +551,54 @@ def q_expectations_publish(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# incremental fuzzy dedup against an at-rest index
+# ---------------------------------------------------------------------------
+
+
+def q_fuzzy_dedup_at_rest(spark, sf_dir):
+    """Incremental fuzzy dedup against a PUBLISHED index (operators/dedup.py
+    build_minhash_index + fuzzy_dedup_incremental): the corpus half
+    (doc_id < 250) is indexed once — signatures + shingle-hash sets — and
+    published through the engine; a new batch (doc_id >= 250, plus five
+    planted near-copies of corpus docs) then dedups against the FETCHED
+    index: banded-LSH candidates from one equi-join, exact Jaccard over the
+    stored hash sets, broadcast anti-join of the dirty ids. The corpus text
+    is never re-read — the production continuous-ingestion shape. The
+    oracle brute-forces exact shingle Jaccard between the same two sides;
+    the planted copies (J ~ 0.97) must all be dropped."""
+    from .fetch import fetch_path
+    from .operators.dedup import fuzzy_dedup_incremental
+    from .workload import _cached_dataset
+
+    docs = _table(spark, sf_dir, "documents")
+
+    def build(s, d):
+        from .operators.dedup import build_minhash_index
+
+        corpus = (
+            _table(s, d, "documents")
+            .filter(F.col("doc_id") < 250)
+            .select("doc_id", "text")
+        )
+        return build_minhash_index(corpus, "doc_id", "text")
+
+    path = _cached_dataset(spark, sf_dir, "minhash_index", build, [])
+    index = fetch_path(spark, path)
+
+    planted = docs.filter(F.col("doc_id").isin([0, 10, 20, 30, 40])).select(
+        (F.col("doc_id") + 10000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" xcopy")).alias("text"),
+    )
+    new = (
+        docs.filter(F.col("doc_id") >= 250)
+        .select("doc_id", "text")
+        .unionByName(planted)
+    )
+    kept = fuzzy_dedup_incremental(new, index, "doc_id", "text")
+    return kept.select("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # contrastive hard negatives + tokenizer OOV health
 # ---------------------------------------------------------------------------
 
@@ -726,6 +774,7 @@ QUERIES_EXT2: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "expectations_publish": q_expectations_publish,
     "hard_negatives": q_hard_negatives,
     "oov_rate": q_oov_rate,
+    "fuzzy_dedup_at_rest": q_fuzzy_dedup_at_rest,
 }
 
 
@@ -921,6 +970,52 @@ ORACLE_EXT2: Dict[str, str] = {
     "delete_where_fetch": """
         SELECT * FROM lineitem
         WHERE NOT (l_returnflag = 'R' OR l_quantity < 5)
+    """,
+    "fuzzy_dedup_at_rest": """
+        WITH cw AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM documents WHERE doc_id < 250)
+        ), csh AS (
+          SELECT DISTINCT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' ' ||
+                 lead(w, 2) OVER win AS shingle
+          FROM cw
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), newb AS (
+          SELECT doc_id, text FROM documents WHERE doc_id >= 250
+          UNION ALL
+          SELECT doc_id + 10000, text || ' xcopy'
+          FROM documents WHERE doc_id IN (0, 10, 20, 30, 40)
+        ), nw AS (
+          SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+                FROM newb)
+        ), nsh AS (
+          SELECT DISTINCT doc_id,
+                 w || ' ' || lead(w, 1) OVER win || ' ' ||
+                 lead(w, 2) OVER win AS shingle
+          FROM nw
+          WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+          QUALIFY lead(w, 2) OVER win IS NOT NULL
+        ), nsz AS (
+          SELECT doc_id, COUNT(*) AS n FROM nsh GROUP BY doc_id
+        ), csz AS (
+          SELECT doc_id, COUNT(*) AS n FROM csh GROUP BY doc_id
+        ), inter AS (
+          SELECT n.doc_id AS nid, c.doc_id AS cid, COUNT(*) AS k
+          FROM nsh n JOIN csh c ON n.shingle = c.shingle
+          GROUP BY 1, 2
+        ), dirty AS (
+          SELECT DISTINCT nid
+          FROM inter
+          JOIN nsz ON nsz.doc_id = nid
+          JOIN csz ON csz.doc_id = cid
+          WHERE k / (nsz.n + csz.n - k) >= 0.8
+        )
+        SELECT doc_id FROM newb
+        WHERE doc_id NOT IN (SELECT nid FROM dirty)
     """,
     "oov_rate": """
         WITH toks AS (

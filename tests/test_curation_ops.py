@@ -545,3 +545,44 @@ class TestOptimisticConcurrency:
         publish_path(spark, tmp_dataset_dir, df, ["p"])
         publish_path(spark, tmp_dataset_dir, df, ["p"], mode="append")
         assert fetch_path(spark, tmp_dataset_dir).count() == 2
+
+
+class TestFuzzyDedupAtRest:
+    def test_incremental_equals_batch_semantics(self, spark, sf_dir, tmp_dataset_dir):
+        from s3parq_spark.operators.dedup import (
+            build_minhash_index,
+            fuzzy_dedup_incremental,
+        )
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
+        corpus = docs.filter(F.col("doc_id") < 100)
+        idx = build_minhash_index(corpus, "doc_id", "text")
+        row = idx.first()
+        assert len(row["signature"]) == 64 and len(row["shingle_hashes"]) > 0
+        # index round-trips through the engine's array-typed publish
+        publish_path(spark, tmp_dataset_dir, idx, [])
+        stored = fetch_path(spark, tmp_dataset_dir)
+
+        planted = corpus.limit(3).select(
+            (F.col("doc_id") + 5000).alias("doc_id"),
+            F.concat("text", F.lit(" zz")).alias("text"),
+        )
+        new = docs.filter(
+            (F.col("doc_id") >= 100) & (F.col("doc_id") < 150)
+        ).unionByName(planted)
+        kept = fuzzy_dedup_incremental(new, stored, "doc_id", "text")
+        kept_ids = {r["doc_id"] for r in kept.collect()}
+        # every planted near-copy is caught
+        assert not any(i >= 5000 for i in kept_ids)
+        # an unrelated doc survives
+        assert len(kept_ids) > 0
+        # disjoint corpora: nothing is dropped
+        clean = fuzzy_dedup_incremental(
+            docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 410)),
+            stored, "doc_id", "text",
+        )
+        nd = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 410))
+        # allow natural near-dups across halves; clean must be a subset
+        assert clean.count() <= nd.count()

@@ -241,3 +241,31 @@ def test_stream_user_profile_gated_or_equals_batch(spark, sf_dir):
     )
     assert out.exceptAll(batch).count() == 0
     assert batch.exceptAll(out).count() == 0
+
+
+def test_stream_publish_into_hidden_partitions(spark, sf_dir, tmp_path):
+    """Streaming ingestion composes with hidden partitioning: micro-batches
+    land under a derived event-hour layout, appends re-derive the transform
+    from the sidecar, and a fetch filtering the derived column prunes at
+    the file index."""
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.streaming.events import stream_publish
+
+    path = str(tmp_path / "stream_hidden")
+    stream_publish(
+        spark, f"{sf_dir}/events.parquet", path, [],
+        derived_partitions={"event_hour": "date_format(ts, 'yyyy-MM-dd-HH')"},
+    )
+    got = fetch_path(spark, path)
+    assert "event_hour" in got.columns
+    one_hour = got.select("event_hour").first()["event_hour"]
+    pruned = fetch_path(
+        spark, path,
+        filters=[{"partition": "event_hour", "comparison": "==",
+                  "values": [one_hour]}],
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "event_hour" in plan.split(
+        "PartitionFilters", 1
+    )[1][:200]
+    assert 0 < pruned.count() < got.count()
