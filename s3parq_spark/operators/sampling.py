@@ -258,3 +258,82 @@ def token_budget_select(
         df.withColumn("cum_tokens", F.sum(F.col(tokens_col).cast("bigint")).over(w))
         .filter(F.col("cum_tokens") <= budget)
     )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    target_col: str,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """DSIR-style importance weighting (Xie et al., "Data Selection for
+    Language Models via Importance Resampling", NeurIPS 2023): score every
+    RAW document by how much a hashed-n-gram bag model of the TARGET
+    distribution prefers it over a model of the raw distribution,
+
+        log w(d) = Σ_g  [ ln p̂_target(bucket(g)) − ln p̂_raw(bucket(g)) ]
+
+    over ``d``'s word unigrams + bigrams hashed into ``n_buckets`` buckets
+    (md5-derived, engine-portable), with add-one smoothing on both bag
+    models. ``target_col`` is a boolean column marking the target docs
+    (e.g. a trusted high-quality subset); the output ranks the remaining
+    raw docs — highest ``logw`` = most target-like, the DSIR selection
+    order (the paper resamples with Gumbel noise; deterministic top-rank
+    is the reproducible variant).
+
+    Exactness: bucket counts are exact integers; each bucket's
+    log-likelihood ratio is ONE fixed float expression rounded to
+    ``decimal(28,12)``, and the per-doc sum is a decimal sum —
+    order-independent, so the result hash-matches a SQL oracle (the
+    ``bm25_scores`` recipe).
+
+    Scale shape: one n-gram explode feeding a single ``n_buckets``-bounded
+    aggregate (map-side combine; output ≤ ``n_buckets`` rows no matter the
+    corpus), totals as a 1-row broadcast, and the λ table broadcast back
+    onto the raw-side n-gram stream — the corpus is scanned twice and
+    shuffled only on the bucket key and the doc id. No vocabulary, no
+    driver-side model state.
+    """
+    u = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    n1 = F.greatest(F.size(u) - 1, F.lit(0))
+    big = F.zip_with(
+        F.slice(u, 1, n1),
+        F.slice(u, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(target_col).alias("__t"),
+        F.explode(F.concat(u, big)).alias("__g"),
+    ).withColumn(
+        "__b",
+        F.conv(F.substring(F.md5(F.col("__g")), 1, 8), 16, 10).cast("bigint")
+        % F.lit(n_buckets),
+    )
+    tbl = ex.groupBy("__b").agg(
+        F.sum(F.when(F.col("__t"), 1).otherwise(0)).alias("tc"),
+        F.sum(F.when(~F.col("__t"), 1).otherwise(0)).alias("rc"),
+    )
+    tot = tbl.agg(
+        F.sum("tc").alias("__T"), F.sum("rc").alias("__R")
+    )
+    lam = tbl.crossJoin(F.broadcast(tot)).select(
+        "__b",
+        (
+            F.log((F.col("tc") + F.lit(1.0)) / (F.col("__T") + F.lit(n_buckets)))
+            - F.log((F.col("rc") + F.lit(1.0)) / (F.col("__R") + F.lit(n_buckets)))
+        )
+        .cast("decimal(28,12)")
+        .alias("__lam"),
+    )
+    return (
+        ex.filter(~F.col("__t"))
+        .join(F.broadcast(lam), "__b")
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum("__lam").cast("double").alias("logw"),
+        )
+        .select(F.col("__id").alias(id_col), "n_ngrams", "logw")
+    )

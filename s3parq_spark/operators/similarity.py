@@ -839,3 +839,81 @@ def hard_negative_mining(
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+def quantized_rescore_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    rescore: int = 50,
+    query_id_col: Optional[str] = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Two-stage retrieval: int8-code prefilter, exact-cosine rescore — the
+    standard quantized-index serving pattern (FAISS/ScaNN style). Stage 1
+    scores every corpus row against every query with the INTEGER dot
+    product of their ``quantize_vectors`` codes (exact arithmetic — the
+    candidate set is deterministic and engine-portable) and keeps the top
+    ``rescore`` candidates per query; stage 2 re-reads only those rows'
+    float vectors and ranks by exact cosine, returning the top ``k``.
+
+    At 100 TB the stage-1 scan reads the 4×-smaller code column only (at
+    rest: publish the codes as their own dataset); stage 2 touches
+    ``n_queries × rescore`` rows — with an id-clustered layout those are
+    point reads, here a broadcast-semi-join back onto the vector table.
+    Both rankings are per-query WindowGroupLimit (no global sort); the
+    query batch is broadcast once per stage. Recall is governed by
+    ``rescore`` — the exact knob the quantized-serving literature tunes.
+    """
+    qid = query_id_col or id_col
+    codes = quantize_vectors(
+        df.select(F.col(id_col), F.col(vec_col)), vec_col, "__c"
+    ).select(id_col, "__c")
+    qcodes = quantize_vectors(
+        query_df.select(
+            F.col(qid).alias("query_id"), F.col(vec_col)
+        ),
+        vec_col,
+        "__qc",
+    ).select("query_id", "__qc")
+
+    stage1 = codes.crossJoin(F.broadcast(qcodes))
+    if exclude_self:
+        stage1 = stage1.filter(F.col(id_col) != F.col("query_id"))
+    qscore = F.aggregate(
+        F.zip_with(
+            F.col("__c"), F.col("__qc"), lambda a, b: (a * b).cast("bigint")
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("qscore"), F.asc(id_col)
+    )
+    cand = (
+        stage1.withColumn("qscore", qscore)
+        .withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= rescore)
+        .select("query_id", id_col, "qscore")
+    )
+
+    corpus_v = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    qv = query_df.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qv"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        corpus_v.join(F.broadcast(cand), id_col)
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("cosine", cosine_similarity(F.col("__v"), F.col("__qv")))
+        .withColumn("__rk", F.row_number().over(w2))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, "qscore", "cosine")
+    )

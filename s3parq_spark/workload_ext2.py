@@ -1115,3 +1115,151 @@ ORACLE_EXT2: Dict[str, str] = {
 }
 
 ORACLE_EXT2["hard_negatives"] = _hard_negatives_oracle()
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (data selection)
+# ---------------------------------------------------------------------------
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (operators/sampling.py dsir_importance_weights):
+    hashed unigram+bigram bag models of the en-doc target distribution vs
+    the non-en raw pool, add-one smoothing, per-doc log-likelihood-ratio
+    importance weight as an order-independent decimal sum; top-100
+    most-target-like raw docs, ties by doc_id. The oracle replays the
+    identical hashing and arithmetic in SQL."""
+    from .operators import dsir_importance_weights
+
+    docs = (
+        _table(spark, sf_dir, "documents")
+        .select("doc_id", "text", (F.col("lang") == "en").alias("is_en"))
+    )
+    w = dsir_importance_weights(docs, "doc_id", "text", "is_en")
+    return (
+        w.orderBy(F.desc("logw"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_ngrams", F.round("logw", 9).alias("logw"))
+    )
+
+
+QUERIES_EXT2["dsir_select"] = q_dsir_select
+ORACLE_EXT2["dsir_select"] = """
+    WITH toks AS (
+      SELECT doc_id, (lang = 'en') AS t,
+             string_split_regex(trim(lower(text)), '\\s+') AS u
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, t, u, unnest(generate_series(1, len(u))) AS i
+      FROM toks
+    ),
+    grams AS (
+      SELECT doc_id, t, u[i] AS g FROM pos
+      UNION ALL
+      SELECT doc_id, t, u[i] || ' ' || u[i + 1] AS g FROM pos
+      WHERE i < len(u)
+    ),
+    bkt AS (
+      SELECT doc_id, t,
+             CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b
+      FROM grams
+    ),
+    tbl AS (
+      SELECT b,
+             SUM(CASE WHEN t THEN 1 ELSE 0 END) AS tc,
+             SUM(CASE WHEN NOT t THEN 1 ELSE 0 END) AS rc
+      FROM bkt GROUP BY b
+    ),
+    tot AS (SELECT SUM(tc) AS tt, SUM(rc) AS rt FROM tbl),
+    lam AS (
+      SELECT b,
+             CAST(ln((tc + 1.0) / (tt + 4096))
+                  - ln((rc + 1.0) / (rt + 4096)) AS DECIMAL(28,12)) AS lam
+      FROM tbl, tot
+    ),
+    w AS (
+      SELECT doc_id, COUNT(*) AS n_ngrams, CAST(SUM(lam) AS DOUBLE) AS logw
+      FROM bkt JOIN lam USING (b)
+      WHERE NOT t
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_ngrams AS BIGINT) AS n_ngrams,
+           round(logw, 9) AS logw
+    FROM w
+    ORDER BY logw DESC, doc_id ASC
+    LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# two-stage quantized-prefilter / exact-rescore ANN
+# ---------------------------------------------------------------------------
+
+
+def q_quantized_rescore(spark, sf_dir):
+    """Two-stage ANN serving (operators/similarity.py
+    quantized_rescore_topk): integer int8-code dot prefilter to 20
+    candidates per query, exact-cosine rescore to top-3 — the FAISS/ScaNN
+    quantized-index pattern with a deterministic (exact-integer) candidate
+    stage. The oracle replays both stages."""
+    from .operators import quantized_rescore_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    out = quantized_rescore_topk(
+        emb, "vec_id", "embedding", q, k=3, rescore=20
+    )
+    return out.select(
+        "query_id", "vec_id", "qscore", F.round("cosine", 6).alias("cosine")
+    )
+
+
+QUERIES_EXT2["quantized_rescore"] = q_quantized_rescore
+ORACLE_EXT2["quantized_rescore"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v, list_min(v) AS lo, list_max(v) AS hi FROM e
+    ),
+    c AS (
+      SELECT vec_id, v,
+             CASE WHEN hi - lo = 0
+                  THEN list_transform(v, x -> 0)
+                  ELSE list_transform(v, x -> least(255,
+                         CAST(floor((x - lo) * 255.0 / (hi - lo)) AS INT)))
+             END AS code
+      FROM m
+    ),
+    q AS (
+      SELECT vec_id AS query_id, v AS qv, code AS qcode
+      FROM c WHERE vec_id < 8
+    ),
+    s1 AS (
+      SELECT q.query_id, c.vec_id, c.v,
+             CAST(list_dot_product(
+               list_transform(c.code, x -> CAST(x AS DOUBLE)),
+               list_transform(q.qcode, x -> CAST(x AS DOUBLE))
+             ) AS BIGINT) AS qscore
+      FROM c CROSS JOIN q
+      WHERE c.vec_id <> q.query_id
+    ),
+    cand AS (
+      SELECT query_id, vec_id, v, qscore,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY qscore DESC, vec_id ASC) AS rk
+      FROM s1
+    ),
+    s2 AS (
+      SELECT cand.query_id, cand.vec_id, cand.qscore,
+             list_cosine_similarity(cand.v, q.qv) AS cosine,
+             row_number() OVER (PARTITION BY cand.query_id
+                                ORDER BY list_cosine_similarity(cand.v, q.qv)
+                                         DESC, cand.vec_id ASC) AS rk2
+      FROM cand JOIN q USING (query_id)
+      WHERE cand.rk <= 20
+    )
+    SELECT query_id, vec_id, qscore, round(cosine, 6) AS cosine
+    FROM s2 WHERE rk2 <= 3
+"""

@@ -586,3 +586,76 @@ class TestFuzzyDedupAtRest:
         nd = docs.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 410))
         # allow natural near-dups across halves; clean must be a subset
         assert clean.count() <= nd.count()
+
+class TestDsirImportanceWeights:
+    def _docs(self, spark):
+        rows = [
+            # target distribution: "spark sql" flavored
+            (1, "spark sql engine spark sql", True),
+            (2, "spark sql query engine", True),
+            (3, "spark engine sql plans", True),
+            # raw pool: one target-like, one off-distribution
+            (10, "spark sql engine at scale", False),
+            (11, "cats and dogs and birds", False),
+        ]
+        return spark.createDataFrame(rows, ["doc_id", "text", "is_t"])
+
+    def test_target_like_raw_doc_ranks_first(self, spark):
+        from s3parq_spark.operators.sampling import dsir_importance_weights
+
+        out = dsir_importance_weights(
+            self._docs(spark), "doc_id", "text", "is_t"
+        )
+        rows = {r["doc_id"]: r for r in out.collect()}
+        assert set(rows) == {10, 11}  # target docs are never scored
+        assert rows[10]["logw"] > rows[11]["logw"]
+        # unigrams + bigrams: 5 tokens -> 9 n-grams
+        assert rows[10]["n_ngrams"] == 9
+
+    def test_deterministic_under_repartition(self, spark):
+        from s3parq_spark.operators.sampling import dsir_importance_weights
+
+        docs = self._docs(spark)
+        a = dsir_importance_weights(docs, "doc_id", "text", "is_t")
+        b = dsir_importance_weights(
+            docs.repartition(5), "doc_id", "text", "is_t"
+        )
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+class TestQuantizedRescoreTopk:
+    def test_rescore_full_width_equals_exact_topk(self, spark):
+        from s3parq_spark.operators.similarity import (
+            batch_cosine_topk, quantized_rescore_topk,
+        )
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) - 5.0 for j in range(8)])
+            for i in range(40)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = df.filter(F.col("vec_id") < 3)
+        # rescore >= corpus: stage 2 sees everything -> must equal exact
+        two = quantized_rescore_topk(
+            df, "vec_id", "embedding", q, k=5, rescore=100
+        ).select("query_id", "vec_id", F.round("cosine", 9).alias("c"))
+        exact = batch_cosine_topk(df, "vec_id", "embedding", q, k=5).select(
+            "query_id", "vec_id", F.round("cosine", 9).alias("c")
+        )
+        assert sorted(map(tuple, two.collect())) == sorted(
+            map(tuple, exact.collect())
+        )
+
+    def test_candidate_count_bounded_by_rescore(self, spark):
+        from s3parq_spark.operators.similarity import quantized_rescore_topk
+
+        rows = [
+            (i, [float((i * 5 + j) % 7) for j in range(6)]) for i in range(30)
+        ]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+        q = df.filter(F.col("vec_id") == 0)
+        out = quantized_rescore_topk(
+            df, "vec_id", "embedding", q, k=50, rescore=4
+        )
+        # k > rescore: output is capped by the candidate stage
+        assert out.count() == 4
