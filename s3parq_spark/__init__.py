@@ -26,6 +26,7 @@ from .fetch import (
 from .export import export_jsonl, read_jsonl
 from .publish import (
     custom_publish,
+    expire_snapshots,
     merge_upsert,
     publish,
     publish_bucketed,
@@ -40,6 +41,7 @@ __all__ = [
     "MissingS3ParqMetadata",
     "attach",
     "custom_publish",
+    "expire_snapshots",
     "export_jsonl",
     "fetch",
     "fetch_at",

@@ -1233,6 +1233,60 @@ def restore_dataset(
     return removed
 
 
+def expire_snapshots(
+    spark: SparkSession,
+    path: str,
+    keep_last: int = 10,
+    dry_run: bool = False,
+) -> List[int]:
+    """Squash version history older than the newest ``keep_last`` snapshots
+    into a single base snapshot (Iceberg's ``expireSnapshots``, restated
+    for the append-only manifest): the sidecar keeps one base entry —
+    version number and commit timestamp of the newest squashed snapshot,
+    ``added`` = the union of every squashed manifest — plus the
+    ``keep_last`` recent entries unchanged.
+
+    Why it exists: each publish appends a snapshot entry, so a streaming
+    ingest committing every minute grows the sidecar by ~500k entries a
+    year — the metadata plane (``manifest_files``, pruned fetch) stays
+    O(total files), but parse cost and history length grow without bound.
+    Expiry bounds BOTH while keeping the manifest exact.
+
+    Invariants: ZERO data-file operations (contrast ``vacuum_dataset`` /
+    ``restore_dataset``) — purely a sidecar rewrite; ``manifest_files()``
+    is identical before and after; ``fetch`` is unchanged; ``fetch_at``
+    of the base version and anything newer is unchanged; ``fetch_at`` /
+    ``fetch_changes`` addressing versions BELOW the base now raise
+    not-in-history (gone loudly, not silently empty — the ``restore``
+    rule). Returns the version numbers that lost addressability;
+    ``dry_run=True`` reports without writing.
+    """
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(
+            f"expire_snapshots: no snapshot history at {path} — nothing to "
+            "expire"
+        )
+    if keep_last < 1:
+        raise ValueError("expire_snapshots: keep_last must be >= 1")
+    cut = len(meta.snapshots) - keep_last
+    if cut <= 1:
+        # nothing strictly older than the base-to-be: no-op
+        return []
+    squashed = meta.snapshots[:cut]
+    expired = [s["version"] for s in squashed[:-1]]
+    base = {
+        "version": squashed[-1]["version"],
+        "added": sorted({f for s in squashed for f in s.get("added", [])}),
+    }
+    if squashed[-1].get("ts") is not None:
+        base["ts"] = squashed[-1]["ts"]
+    if not dry_run:
+        meta.snapshots = [base, *meta.snapshots[cut:]]
+        metadata.write_sidecar(spark, path, meta)
+    return expired
+
+
 REDSHIFT_PARAM_KEYS = (
     "schema_name",
     "table_name",

@@ -1263,3 +1263,69 @@ ORACLE_EXT2["quantized_rescore"] = """
     SELECT query_id, vec_id, qscore, round(cosine, 6) AS cosine
     FROM s2 WHERE rk2 <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# snapshot expiry (history squash)
+# ---------------------------------------------------------------------------
+
+
+def q_expire_fetch(spark, sf_dir):
+    """Snapshot expiry end-to-end (publish.py expire_snapshots): publish
+    nation as four appends (keys <7, <14, <21, rest), squash history to
+    the last 2 snapshots, fetch. Asserts the lifecycle: the squash is
+    metadata-only (manifest file list identical before/after), history
+    becomes [2, 3, 4] (v2 = the squashed base), the base version still
+    reads exactly, expired versions raise. Oracle = the plain
+    nation table — the read plane must be byte-identical through a
+    squashed sidecar. This is the op that bounds sidecar growth for
+    per-minute streaming commits at 100 TB."""
+    from .fetch import fetch_path, fetch_at, get_all_files_list, list_versions
+    from .publish import expire_snapshots, publish_path
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT,
+        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "expire_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    bounds = [(None, 7), (7, 14), (14, 21), (21, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = nation
+        if lo is not None:
+            part = part.filter(F.col("n_nationkey") >= lo)
+        if hi is not None:
+            part = part.filter(F.col("n_nationkey") < hi)
+        publish_path(
+            spark, path, part, ["n_regionkey"],
+            mode="append" if i else "error",
+        )
+
+    files_before = sorted(get_all_files_list(path, spark=spark))
+    n_v2 = fetch_at(spark, path, 2).count()
+    expired = expire_snapshots(spark, path, keep_last=2)
+    # v2 survives as the squashed base entry; only v1 loses addressability
+    assert expired == [1], f"expired {expired}"
+    assert sorted(get_all_files_list(path, spark=spark)) == files_before, (
+        "squash touched the data plane"
+    )
+    assert [v["version"] for v in list_versions(spark, path)] == [2, 3, 4]
+    assert fetch_at(spark, path, 2).count() == n_v2, "base version drifted"
+    try:
+        fetch_at(spark, path, 1)
+        raise AssertionError("expired version still addressable")
+    except ValueError:
+        pass
+    return fetch_path(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+QUERIES_EXT2["expire_fetch"] = q_expire_fetch
+ORACLE_EXT2["expire_fetch"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""

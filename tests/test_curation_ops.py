@@ -659,3 +659,65 @@ class TestQuantizedRescoreTopk:
         )
         # k > rescore: output is capped by the candidate stage
         assert out.count() == 4
+
+
+class TestExpireSnapshots:
+    def _publish_n(self, spark, path, n):
+        for i in range(n):
+            df = spark.createDataFrame([(i * 10 + 1, "a"), (i * 10 + 2, "b")], ["k", "p"])
+            publish_path(spark, path, df, ["p"],
+                         mode="append" if i else "error")
+
+    def test_squash_preserves_data_and_head_history(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import get_all_files_list
+        from s3parq_spark.publish import expire_snapshots
+
+        self._publish_n(spark, tmp_dataset_dir, 5)
+        files_before = sorted(get_all_files_list(tmp_dataset_dir, spark=spark))
+        rows_before = sorted(
+            map(tuple, fetch_path(spark, tmp_dataset_dir).collect())
+        )
+        expired = expire_snapshots(spark, tmp_dataset_dir, keep_last=2)
+        assert expired == [1, 2]
+        # metadata-only: same files, same rows, manifest plane intact
+        assert sorted(get_all_files_list(tmp_dataset_dir, spark=spark)) == files_before
+        assert sorted(
+            map(tuple, fetch_path(spark, tmp_dataset_dir).collect())
+        ) == rows_before
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [3, 4, 5]
+        # base version reads exactly; expired versions are loudly gone
+        assert fetch_at(spark, tmp_dataset_dir, 3).count() == 6
+        with pytest.raises(ValueError, match="not in"):
+            fetch_at(spark, tmp_dataset_dir, 2)
+
+    def test_noop_when_history_within_keep(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import expire_snapshots
+
+        self._publish_n(spark, tmp_dataset_dir, 3)
+        assert expire_snapshots(spark, tmp_dataset_dir, keep_last=3) == []
+        # cut==1 squashes nothing either: base-to-be has nothing below it
+        assert expire_snapshots(spark, tmp_dataset_dir, keep_last=2) == []
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2, 3]
+
+    def test_dry_run_and_appends_continue(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import expire_snapshots
+
+        self._publish_n(spark, tmp_dataset_dir, 4)
+        # the newest squashed snapshot (v3) survives as the base entry
+        assert expire_snapshots(spark, tmp_dataset_dir, keep_last=1, dry_run=True) == [1, 2]
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [1, 2, 3, 4]
+        expire_snapshots(spark, tmp_dataset_dir, keep_last=1)
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [3, 4]
+        df = spark.createDataFrame([(99, "a")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"], mode="append")
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] == [3, 4, 5]
+        assert fetch_path(spark, tmp_dataset_dir).count() == 9
+
+    def test_bad_args(self, spark, tmp_dataset_dir):
+        from s3parq_spark.publish import expire_snapshots
+
+        with pytest.raises(ValueError, match="no snapshot history"):
+            expire_snapshots(spark, tmp_dataset_dir)
+        self._publish_n(spark, tmp_dataset_dir, 2)
+        with pytest.raises(ValueError, match="keep_last"):
+            expire_snapshots(spark, tmp_dataset_dir, keep_last=0)
