@@ -279,6 +279,21 @@ CASES = [
         "manifest's files (InMemoryFileIndex path count = files added in "
         "the version range), with PartitionFilters still applied on top.",
     ),
+    (
+        "dsir_select",
+        "DSIR importance weights: the bucket table aggregate is "
+        "n_buckets-bounded with map-side partials; totals (1 row) and the "
+        "lambda table are BroadcastHashJoins back onto the n-gram stream - "
+        "the corpus shuffles only on bucket and doc id; final ranking is "
+        "TakeOrderedAndProject, no cartesian.",
+    ),
+    (
+        "quantized_rescore",
+        "Two-stage ANN: stage 1 broadcasts the quantized query batch over "
+        "one corpus scan (BroadcastNestedLoopJoin of an 8-row frame); both "
+        "rankings are WindowGroupLimit; stage 2 re-joins the candidate set "
+        "by BroadcastHashJoin - the vector table is never reshuffled.",
+    ),
 ]
 
 

@@ -171,3 +171,24 @@ class TestRound5PlanContracts:
         for op in ("Join", "CartesianProduct", "Exchange hashpartitioning"):
             assert op not in plan, op
         assert "TakeOrderedAndProject" in plan
+
+
+class TestSessionNewOpPlanContracts:
+    def test_dsir_lambda_table_broadcast_no_cartesian(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dsir_select")
+        # the totals frame (1 row) and the lambda table (<= n_buckets rows)
+        # are the only non-keyed joins, and both must be broadcasts
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        # final ranking is top-k pushdown, not a global sort
+        assert "TakeOrderedAndProject" in plan
+
+    def test_quantized_rescore_broadcasts_candidates(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "quantized_rescore")
+        # stage 2 joins the tiny candidate set back onto the vector table:
+        # broadcast, never a corpus reshuffle
+        assert "BroadcastHashJoin" in plan
+        # the only cartesian-shaped node is the broadcast of the query batch
+        assert "CartesianProduct" not in plan
+        # both rankings run as per-query window group-limits
+        assert "WindowGroupLimit" in plan
