@@ -647,3 +647,99 @@ def oov_rate(
             "oov_rate", F.col("n_oov").cast("double") / F.col("n_tokens")
         )
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Exact substring dedup (Lee et al., "Deduplicating Training Data
+    Makes Language Models Better", ACL 2022 — the ExactSubstr variant,
+    token-granular): any ``k``-token gram occurring more than once in the
+    corpus (across OR within documents) is a duplicated span; every token
+    covered by such a span is removed, and each document's surviving
+    tokens are reassembled in order.
+
+    Output: ``(id, text_clean, n_tokens, n_removed)`` — one row per input
+    document, ``text_clean = ''`` when the whole document was duplicated
+    material. Documents shorter than ``k`` tokens have no grams and pass
+    through intact.
+
+    The paper builds a corpus-wide suffix array; the equivalent
+    declarative plan is a k-gram fingerprint join — the suffix array's
+    one niche (matches LONGER than k detected as such) costs a
+    sequential build, while every duplicated span >= k tokens is still
+    fully removed here because each of its k-windows is itself
+    duplicated. Scale shape: gram generation is array-side JVM
+    ``transform`` (no window, no per-doc sort); the duplicate set is one
+    hash aggregate on the gram fingerprint; coverage is a bounded
+    k-explode of duplicated starts; the final per-doc aggregate sorts
+    each doc's survivors after collecting (the ``remove_duplicated_lines``
+    reassembly). Every exchange is keyed — gram fingerprint or
+    (doc, pos) — nothing is broadcast-unbounded, no cartesian.
+    """
+    u = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(u)
+    # all full k-grams, array-side: candidate starts 1..n, keep i+k-1 <= n
+    cand = F.transform(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+        lambda i: F.struct(
+            i.cast("int").alias("gpos"),
+            F.array_join(F.slice(u, i, k), " ").alias("g"),
+            (i + F.lit(k) - 1 <= n).alias("full"),
+        ),
+    )
+    gr = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(F.filter(cand, lambda x: x["full"])).alias("s"),
+        )
+        .select(
+            "__id",
+            F.col("s.gpos").alias("gpos"),
+            F.conv(F.substring(F.md5(F.col("s.g")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("__h"),
+        )
+    )
+    dup = gr.groupBy("__h").agg(F.count(F.lit(1)).alias("__c")).filter(
+        F.col("__c") > 1
+    )
+    covered = (
+        gr.join(dup.select("__h"), "__h")
+        .select(
+            "__id",
+            F.explode(
+                F.sequence(F.col("gpos"), F.col("gpos") + F.lit(k - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+        .withColumn("__cov", F.lit(True))
+    )
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(u).alias("pos0", "tok"),
+    ).select("__id", (F.col("pos0") + 1).cast("int").alias("pos"), "tok")
+    keep = F.col("__cov").isNull()
+    return (
+        toks.join(covered, ["__id", "pos"], "left")
+        .groupBy("__id")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(keep, F.struct(F.col("pos"), F.col("tok")))
+                        )
+                    ),
+                    lambda x: x["tok"],
+                ),
+            ).alias("text_clean"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum((~keep).cast("bigint")).alias("n_removed"),
+        )
+        .select(F.col("__id").alias(id_col), "text_clean", "n_tokens", "n_removed")
+    )

@@ -1329,3 +1329,55 @@ QUERIES_EXT2["expire_fetch"] = q_expire_fetch
 ORACLE_EXT2["expire_fetch"] = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+
+# ---------------------------------------------------------------------------
+# exact substring (duplicated k-gram span) dedup
+# ---------------------------------------------------------------------------
+
+
+def q_span_dedup(spark, sf_dir):
+    """Exact substring dedup (operators/text.py remove_duplicated_spans,
+    the Lee et al. ExactSubstr rule at token granularity, k=5): any 5-gram
+    occurring >1 time corpus-wide marks its tokens for removal; documents
+    reassemble from surviving tokens in order. At sf0.01 this trims ~70
+    documents — the oracle replays the gram fingerprinting, coverage
+    explode, and ordered reassembly in SQL."""
+    from .operators import remove_duplicated_spans
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicated_spans(docs, "doc_id", "text", k=5)
+
+
+QUERIES_EXT2["span_dedup"] = q_span_dedup
+ORACLE_EXT2["span_dedup"] = """
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS u
+      FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, u, unnest(generate_series(1, len(u))) AS pos FROM t
+    ),
+    tok AS (SELECT doc_id, pos, u[pos] AS tok FROM pos),
+    gr AS (
+      SELECT doc_id, pos AS gpos,
+             CAST('0x' || substr(md5(array_to_string(u[pos:pos+4], ' ')),
+                                 1, 15) AS BIGINT) AS h
+      FROM pos WHERE pos + 4 <= len(u)
+    ),
+    dup AS (SELECT h FROM gr GROUP BY h HAVING COUNT(*) > 1),
+    cov AS (
+      SELECT DISTINCT doc_id, cpos AS pos FROM (
+        SELECT gr.doc_id, unnest(generate_series(gpos, gpos + 4)) AS cpos
+        FROM gr JOIN dup USING (h)
+      )
+    )
+    SELECT tok.doc_id,
+           COALESCE(string_agg(tok.tok, ' ' ORDER BY tok.pos)
+                      FILTER (WHERE cov.pos IS NULL), '') AS text_clean,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(CASE WHEN cov.pos IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_removed
+    FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
+    GROUP BY tok.doc_id
+"""

@@ -721,3 +721,42 @@ class TestExpireSnapshots:
         self._publish_n(spark, tmp_dataset_dir, 2)
         with pytest.raises(ValueError, match="keep_last"):
             expire_snapshots(spark, tmp_dataset_dir, keep_last=0)
+
+
+class TestRemoveDuplicatedSpans:
+    def test_shared_kgram_removed_both_sides(self, spark):
+        from s3parq_spark.operators.text import remove_duplicated_spans
+
+        rows = [
+            (1, "a b c d e f g h"),
+            (2, "x y a b c d e z"),
+            (3, "p q r s t"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, "doc_id", "text", k=5).collect()}
+        # "a b c d e" occurs in docs 1 and 2: its 5 tokens go on both sides
+        assert out[1]["text_clean"] == "f g h" and out[1]["n_removed"] == 5
+        assert out[2]["text_clean"] == "x y z" and out[2]["n_removed"] == 5
+        # no duplicated gram touches doc 3; shorter-than-k docs pass intact
+        assert out[3]["text_clean"] == "p q r s t" and out[3]["n_removed"] == 0
+
+    def test_within_doc_repeat_and_overlap_coverage(self, spark):
+        from s3parq_spark.operators.text import remove_duplicated_spans
+
+        # "a b c" repeats INSIDE one doc; k=3 -> both occurrences removed,
+        # and the overlapping middle tokens are not double-counted
+        df = spark.createDataFrame([(1, "a b c q a b c")], ["doc_id", "text"])
+        r = remove_duplicated_spans(df, "doc_id", "text", k=3).collect()[0]
+        assert r["text_clean"] == "q"
+        assert r["n_tokens"] == 7 and r["n_removed"] == 6
+
+    def test_fully_duplicated_doc_empties(self, spark):
+        from s3parq_spark.operators.text import remove_duplicated_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, "a b c d")], ["doc_id", "text"]
+        )
+        out = remove_duplicated_spans(df, "doc_id", "text", k=4).collect()
+        assert all(r["text_clean"] == "" and r["n_removed"] == 4 for r in out)
+        assert {r["doc_id"] for r in out} == {1, 2}
