@@ -1381,3 +1381,140 @@ ORACLE_EXT2["span_dedup"] = """
     FROM tok LEFT JOIN cov ON tok.doc_id = cov.doc_id AND tok.pos = cov.pos
     GROUP BY tok.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# timestamp time travel / SQL AS OF / optimistic concurrency under the gate
+# ---------------------------------------------------------------------------
+
+
+def _two_version_nation(spark, sf_dir, leaf):
+    """Publish nation as v1 (keys < 10) + v2 (the rest); returns path."""
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")), leaf
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    from .publish import publish_path
+
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(
+        spark, path, nation.filter(F.col("n_nationkey") < 10), ["n_regionkey"]
+    )
+    publish_path(
+        spark, path, nation.filter(F.col("n_nationkey") >= 10),
+        ["n_regionkey"], mode="append",
+    )
+    return path
+
+
+def q_time_travel_ts(spark, sf_dir):
+    """Timestamp time travel end-to-end (fetch.py fetch_at_timestamp):
+    publish nation in two commits, read list_versions' stamped commit
+    times, fetch AS OF v1's wall-clock timestamp. The timestamps are
+    runtime values, but the CONTENT they resolve to is deterministic —
+    oracle = nation keys < 10. Also asserts the boundary semantics: a ts
+    before the first commit raises; a ts after the head reads everything."""
+    from .fetch import fetch_at_timestamp, fetch_path, list_versions
+
+    path = _two_version_nation(spark, sf_dir, "ts_travel")
+    vs = list_versions(spark, path)
+    assert [v["version"] for v in vs] == [1, 2] and all(
+        v["ts"] is not None for v in vs
+    ), f"versions not stamped: {vs}"
+    try:
+        fetch_at_timestamp(spark, path, vs[0]["ts"] - 1000.0)
+        raise AssertionError("pre-history ts did not raise")
+    except ValueError:
+        pass
+    n_all = fetch_path(spark, path).count()
+    assert fetch_at_timestamp(spark, path, vs[1]["ts"] + 1000.0).count() == n_all
+    return fetch_at_timestamp(spark, path, vs[0]["ts"]).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+QUERIES_EXT2["time_travel_ts"] = q_time_travel_ts
+ORACLE_EXT2["time_travel_ts"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation WHERE n_nationkey < 10
+"""
+
+
+def q_attach_at_sql(spark, sf_dir):
+    """SQL VERSION AS OF front door (fetch.py attach_at): register v1 of a
+    two-commit dataset as a temp view and run a plain spark.sql aggregate
+    over it — the versioned read must compose with SQL exactly like a
+    table. Oracle replays the aggregate over the v1 subset."""
+    from .fetch import attach_at
+
+    path = _two_version_nation(spark, sf_dir, "attach_at_rt")
+    attach_at(spark, path, "nation_v1", version=1)
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+               MIN(n_name) AS first_name
+        FROM nation_v1
+        GROUP BY n_regionkey
+        """
+    )
+
+
+QUERIES_EXT2["attach_at_sql"] = q_attach_at_sql
+ORACLE_EXT2["attach_at_sql"] = """
+    SELECT n_regionkey, COUNT(*) AS n_nations, MIN(n_name) AS first_name
+    FROM nation WHERE n_nationkey < 10
+    GROUP BY n_regionkey
+"""
+
+
+def q_cas_publish(spark, sf_dir):
+    """Optimistic concurrency end-to-end (publish.py expected_version):
+    append with the correct expected head succeeds; a stale
+    expected_version raises ConcurrentWriteError BEFORE writing anything
+    (no orphans: file count is checked unchanged); the dataset then reads
+    back complete. Oracle = the full nation table."""
+    from .fetch import fetch_path, get_all_files_list, list_versions
+    from .publish import ConcurrentWriteError, publish_path
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "cas_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(
+        spark, path, nation.filter(F.col("n_nationkey") < 10), ["n_regionkey"]
+    )
+    # correct CAS: head is 1
+    publish_path(
+        spark, path, nation.filter(F.col("n_nationkey") >= 10),
+        ["n_regionkey"], mode="append", expected_version=1,
+    )
+    files = sorted(get_all_files_list(path, spark=spark))
+    try:
+        publish_path(
+            spark, path, nation.limit(1), ["n_regionkey"],
+            mode="append", expected_version=1,  # stale: head is now 2
+        )
+        raise AssertionError("stale expected_version did not raise")
+    except ConcurrentWriteError:
+        pass
+    assert sorted(get_all_files_list(path, spark=spark)) == files, (
+        "conflicted publish left files behind"
+    )
+    assert [v["version"] for v in list_versions(spark, path)] == [1, 2]
+    return fetch_path(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+QUERIES_EXT2["cas_publish"] = q_cas_publish
+ORACLE_EXT2["cas_publish"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
