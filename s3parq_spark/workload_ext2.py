@@ -1518,3 +1518,100 @@ QUERIES_EXT2["cas_publish"] = q_cas_publish
 ORACLE_EXT2["cas_publish"] = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction + streaming into hidden partitions under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_compact_fetch(spark, sf_dir):
+    """Small-file compaction end-to-end (publish.py compact_dataset): four
+    micro-appends of nation leave one file per partition per append;
+    compaction rewrites back to the ~60 MB target geometry (here: one file
+    per partition), the file count drops, and the fetch result is
+    byte-identical. Oracle = the plain nation table. This is the
+    maintenance op that keeps the S7 file-size contract true under
+    continuous ingestion."""
+    from .fetch import fetch_path, get_all_files_list
+    from .publish import compact_dataset, publish_path
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "compact_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    for i in range(4):
+        publish_path(
+            spark, path, nation.filter(F.col("n_nationkey") % 4 == i),
+            ["n_regionkey"], mode="append" if i else "error",
+        )
+    n_before = len(get_all_files_list(path, spark=spark))
+    compact_dataset(spark, path)
+    n_after = len(get_all_files_list(path, spark=spark))
+    assert n_after < n_before, f"compaction grew files: {n_before}->{n_after}"
+    return fetch_path(spark, path).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+QUERIES_EXT2["compact_fetch"] = q_compact_fetch
+ORACLE_EXT2["compact_fetch"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
+
+
+def q_stream_hidden_fetch(spark, sf_dir):
+    """Streaming ingestion into hidden partitions end-to-end
+    (streaming/events.py stream_publish + publish derived_partitions):
+    micro-batches land under a write-time event-day layout derived from
+    ts (a transform the writer computes — the column does not exist in the
+    source); the fetch filters on the derived column and must prune at the
+    file index (asserted on the plan). Returns per-day counts; the oracle
+    re-derives the day from the raw events table."""
+    from .fetch import fetch_path
+    from .streaming import stream_publish
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "stream_hidden_rt",
+    )
+    marker = os.path.join(path, "_s3parq_metadata.json")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        stream_publish(
+            spark, posixpath.join(sf_dir, "events.parquet"), path, [],
+            derived_partitions={
+                "event_day": "date_format(ts, 'yyyy-MM-dd')"
+            },
+        )
+    got = fetch_path(spark, path)
+    one_day = got.select("event_day").orderBy("event_day").first()[
+        "event_day"
+    ]
+    pruned = fetch_path(
+        spark, path,
+        filters=[{"partition": "event_day", "comparison": "==",
+                  "values": [one_day]}],
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, "derived-column filter did not prune"
+    return got.groupBy("event_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+QUERIES_EXT2["stream_hidden_fetch"] = q_stream_hidden_fetch
+ORACLE_EXT2["stream_hidden_fetch"] = """
+    SELECT strftime(ts, '%Y-%m-%d') AS event_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1
+"""
