@@ -888,3 +888,110 @@ def fuzzy_dedup_incremental(
         .distinct()
     )
     return new_df.join(F.broadcast(dirty), id_col, "left_anti")
+
+
+def corpus_overlap(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+) -> DataFrame:
+    """Pairwise corpus-overlap report: for every pair of groups (sources,
+    dumps, dataset versions), the EXACT shingle-set Jaccard and the
+    MinHash estimate of it, side by side — the mixture-design diagnostic
+    run before committing to a source blend ("how much of source B is
+    already in source A?"), and a live calibration of the same MinHash
+    machinery the document-level dedup relies on.
+
+    Output: ``(src_a, src_b, n_a, n_b, n_common, exact_jaccard,
+    est_jaccard)``, one row per unordered group pair (``src_a < src_b``),
+    including zero-overlap pairs. Hashing is md5-derived (engine-portable,
+    so a SQL oracle replays the estimate bit-for-bit — xxhash64 would not
+    be), and both Jaccards are one float division at the edge.
+
+    Scale shape: the corpus collapses to a distinct ``(group, shingle)``
+    table (keyed aggregate — the heavy step, linear in corpus shingles);
+    exact intersection is an equi-join ON THE SHINGLE key of that
+    deduplicated table (never doc×doc); signatures are ``num_hashes``
+    partial min-aggregates in one pass, yielding one row per group — the
+    pair spine is a broadcast join of two O(groups) frames. Group count,
+    not corpus size, bounds everything after the distinct.
+    """
+    sh = (
+        word_shingles(df.select(group_col, text_col), text_col, shingle_n)
+        .select(
+            F.col(group_col).alias("__g"), F.explode("shingles").alias("__s")
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("n_sh"))
+    inter = (
+        sh.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.__s") == F.col("b.__s"))
+            & (F.col("a.__g") < F.col("b.__g")),
+        )
+        .groupBy(
+            F.col("a.__g").alias("src_a"), F.col("b.__g").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+    def _h(i: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{i}:"), F.col("__s"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        )
+
+    mh = sh.groupBy("__g").agg(
+        *[F.min(_h(i)).alias(f"__h{i}") for i in range(num_hashes)]
+    )
+    eq = sum(
+        (F.col(f"ma.__h{i}") == F.col(f"mb.__h{i}")).cast("int")
+        for i in range(num_hashes)
+    )
+    pairs = (
+        mh.alias("ma")
+        .join(
+            F.broadcast(mh.alias("mb")),
+            F.col("ma.__g") < F.col("mb.__g"),
+        )
+        .select(
+            F.col("ma.__g").alias("src_a"),
+            F.col("mb.__g").alias("src_b"),
+            (eq.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+        )
+    )
+    return (
+        pairs.join(F.broadcast(inter), ["src_a", "src_b"], "left")
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__g", "src_a")
+                        .withColumnRenamed("n_sh", "n_a")),
+            "src_a",
+        )
+        .join(
+            F.broadcast(sizes.withColumnRenamed("__g", "src_b")
+                        .withColumnRenamed("n_sh", "n_b")),
+            "src_b",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b")
+                   - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("exact_jaccard"),
+            "est_jaccard",
+        )
+    )

@@ -1615,3 +1615,86 @@ ORACLE_EXT2["stream_hidden_fetch"] = """
     FROM events
     GROUP BY 1
 """
+
+
+# ---------------------------------------------------------------------------
+# corpus-level overlap matrix (mixture-design diagnostic)
+# ---------------------------------------------------------------------------
+
+
+def q_corpus_overlap(spark, sf_dir):
+    """Pairwise corpus overlap (operators/dedup.py corpus_overlap): exact
+    shingle-set Jaccard AND its 32-hash MinHash estimate for every source
+    pair — the "how much of B is already in A" mixture diagnostic, with
+    the estimate's hashing md5-portable so the oracle replays BOTH
+    numbers. Top-40 most-overlapping pairs for a bounded driver row."""
+    from .operators import corpus_overlap
+
+    docs = _table(spark, sf_dir, "documents").select("source", "text")
+    out = corpus_overlap(docs, "source", "text", shingle_n=3, num_hashes=32)
+    return (
+        out.orderBy(F.desc("exact_jaccard"), F.asc("src_a"), F.asc("src_b"))
+        .limit(40)
+        .select(
+            "src_a", "src_b", "n_a", "n_b", "n_common",
+            F.round("exact_jaccard", 9).alias("exact_jaccard"),
+            F.round("est_jaccard", 9).alias("est_jaccard"),
+        )
+    )
+
+
+QUERIES_EXT2["corpus_overlap"] = q_corpus_overlap
+ORACLE_EXT2["corpus_overlap"] = """
+    WITH t AS (
+      SELECT source AS g, string_split_regex(trim(text), '\\s+') AS u
+      FROM documents
+    ),
+    pos AS (
+      SELECT g, u, unnest(generate_series(1, len(u))) AS i FROM t
+    ),
+    sh AS (
+      SELECT DISTINCT g, array_to_string(u[i:i+2], ' ') AS s
+      FROM pos WHERE i + 2 <= len(u)
+    ),
+    sizes AS (SELECT g, COUNT(*) AS n_sh FROM sh GROUP BY g),
+    inter AS (
+      SELECT a.g AS src_a, b.g AS src_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.g < b.g
+      GROUP BY 1, 2
+    ),
+    mh AS (
+      SELECT g, i,
+             MIN(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || s),
+                                     1, 15) AS BIGINT)) AS h
+      FROM sh CROSS JOIN generate_series(0, 31) t2(i)
+      GROUP BY g, i
+    ),
+    est AS (
+      SELECT a.g AS src_a, b.g AS src_b,
+             SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) / 32.0
+               AS est_jaccard
+      FROM mh a JOIN mh b ON a.i = b.i AND a.g < b.g
+      GROUP BY 1, 2
+    ),
+    rep AS (
+      SELECT est.src_a, est.src_b,
+             sa.n_sh AS n_a, sb.n_sh AS n_b,
+             COALESCE(inter.n_common, 0) AS n_common,
+             CAST(COALESCE(inter.n_common, 0) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - COALESCE(inter.n_common, 0))
+               AS exact_jaccard,
+             est.est_jaccard
+      FROM est
+      LEFT JOIN inter ON est.src_a = inter.src_a AND est.src_b = inter.src_b
+      JOIN sizes sa ON est.src_a = sa.g
+      JOIN sizes sb ON est.src_b = sb.g
+    )
+    SELECT src_a, src_b, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(exact_jaccard, 9) AS exact_jaccard,
+           round(est_jaccard, 9) AS est_jaccard
+    FROM rep
+    ORDER BY exact_jaccard DESC, src_a ASC, src_b ASC
+    LIMIT 40
+"""

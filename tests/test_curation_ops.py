@@ -760,3 +760,35 @@ class TestRemoveDuplicatedSpans:
         out = remove_duplicated_spans(df, "doc_id", "text", k=4).collect()
         assert all(r["text_clean"] == "" and r["n_removed"] == 4 for r in out)
         assert {r["doc_id"] for r in out} == {1, 2}
+
+
+class TestCorpusOverlap:
+    def test_exact_jaccard_and_estimate(self, spark):
+        from s3parq_spark.operators.dedup import corpus_overlap
+
+        rows = [
+            ("A", "w1 w2 w3 w4 w5"),       # shingles: 3
+            ("B", "w1 w2 w3 w4 w5"),       # identical corpus -> J = 1
+            ("C", "x1 x2 x3 x4 x5"),       # disjoint -> J = 0
+        ]
+        df = spark.createDataFrame(rows, ["source", "text"])
+        out = {(r["src_a"], r["src_b"]): r for r in
+               corpus_overlap(df, "source", "text").collect()}
+        assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ab = out[("A", "B")]
+        assert ab["exact_jaccard"] == 1.0 and ab["est_jaccard"] == 1.0
+        assert ab["n_a"] == ab["n_b"] == ab["n_common"] == 3
+        # zero-overlap pairs still reported
+        assert out[("A", "C")]["exact_jaccard"] == 0.0
+        assert out[("A", "C")]["n_common"] == 0
+
+    def test_partial_overlap_value(self, spark):
+        from s3parq_spark.operators.dedup import corpus_overlap
+
+        # A: shingles {a b c, b c d}; B: {b c d, c d e} -> J = 1/3
+        df = spark.createDataFrame(
+            [("A", "a b c d"), ("B", "b c d e")], ["source", "text"]
+        )
+        r = corpus_overlap(df, "source", "text").collect()[0]
+        assert r["n_common"] == 1 and abs(r["exact_jaccard"] - 1 / 3) < 1e-12
+        assert 0.0 <= r["est_jaccard"] <= 1.0
