@@ -157,6 +157,25 @@ def main() -> None:
     ).count()
     probes["minhash_2x"] = round(time.time() - t0, 3)
 
+    # ANN path at 10x corpus: batch exact top-k is one corpus scan per
+    # query batch (broadcast queries, WindowGroupLimit ranking) — time
+    # must grow ~linearly in corpus rows, never in queries x corpus sorts
+    from s3parq_spark.operators.similarity import batch_cosine_topk
+
+    emb = spark.read.parquet(posixpath_join(sf_dir, "embeddings.parquet"))
+    bigemb = emb
+    for i in range(9):
+        bigemb = bigemb.unionByName(
+            emb.select(
+                (F.col("vec_id") + 100000 * (i + 1)).alias("vec_id"),
+                "embedding", "label",
+            )
+        )
+    queries_df = emb.filter(F.col("vec_id") < 8)
+    t0 = time.time()
+    batch_cosine_topk(bigemb, "vec_id", "embedding", queries_df, k=10).count()
+    probes["ann_10x"] = round(time.time() - t0, 3)
+
     print(
         json.dumps(
             {
