@@ -995,3 +995,87 @@ def corpus_overlap(
             "est_jaccard",
         )
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.9,
+    broadcast_verify: bool = False,
+) -> DataFrame:
+    """Asymmetric set-containment near-dup: pairs where the SMALLER
+    document's word-``n``-gram set is ``threshold``-contained in the
+    larger's (``|A∩B| / |A| >= t`` with ``|A| <= |B|``) — the
+    sub-document duplicate case symmetric Jaccard structurally misses (a
+    paragraph quoted inside a 100× larger page has J ≈ 0.01 but
+    containment 1.0; quote farms and wrapper pages are exactly this).
+
+    Output: ``(doc_small, doc_big, n_small, n_big, n_common,
+    containment)`` for qualifying pairs; equal-size pairs orient by id.
+
+    Plan shape — the prefix-filter argument adapts from Jaccard
+    (``ngram_jaccard_pairs``) to containment: if ``|A∩B| >= t·|A|``, fewer
+    than ``|A| − t·|A| + 1`` of A's globally-sorted shingle hashes fall
+    outside B, so A explodes only its first ``|A| − ceil(t·|A|) + 1``
+    hashes while the B side indexes ALL its hashes (asymmetric probing —
+    there is no length filter to exploit because containment does not
+    bound the size ratio). Candidates stay an equi-join on the shingle
+    hash; verify is exact ``array_intersect`` on the distinct candidates
+    only. At 100 TB the B-side full index is the cost driver — the same
+    trade the overlap-join literature (PPJoin's containment variant)
+    accepts.
+    """
+    sized = _sized_shingle_table(df, id_col, text_col, n).persist()
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).cast("int")
+    small = sized.select(
+        "doc", "n", F.explode(F.slice("sh", F.lit(1), prefix_len)).alias("p")
+    )
+    full = sized.select(
+        F.col("doc").alias("doc_f"),
+        F.col("n").alias("n_f"),
+        F.explode("sh").alias("pf"),
+    )
+    cand = (
+        small.join(
+            full,
+            (F.col("p") == F.col("pf"))
+            & (
+                (F.col("n") < F.col("n_f"))
+                | ((F.col("n") == F.col("n_f")) & (F.col("doc") < F.col("doc_f")))
+            ),
+        )
+        .select(
+            F.col("doc").alias("doc_small"), F.col("doc_f").alias("doc_big")
+        )
+        .distinct()
+    )
+    sa = sized.select(
+        F.col("doc").alias("doc_small"),
+        F.col("sh").alias("sh_a"),
+        F.col("n").alias("n_small"),
+    )
+    sb = sized.select(
+        F.col("doc").alias("doc_big"),
+        F.col("sh").alias("sh_b"),
+        F.col("n").alias("n_big"),
+    )
+    if broadcast_verify:
+        sa, sb = F.broadcast(sa), F.broadcast(sb)
+    result = (
+        cand.join(sa, "doc_small")
+        .join(sb, "doc_big")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "containment", F.col("n_common") / F.col("n_small")
+        )
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "doc_small", "doc_big", "n_small", "n_big", "n_common",
+            "containment",
+        )
+    )
+    return _unpersist_with(result, sized)

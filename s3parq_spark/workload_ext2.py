@@ -1698,3 +1698,70 @@ ORACLE_EXT2["corpus_overlap"] = """
     ORDER BY exact_jaccard DESC, src_a ASC, src_b ASC
     LIMIT 40
 """
+
+
+# ---------------------------------------------------------------------------
+# asymmetric containment near-dup (sub-document duplicates)
+# ---------------------------------------------------------------------------
+
+
+def q_containment_dedup(spark, sf_dir):
+    """Containment near-dup (operators/dedup.py containment_pairs): pairs
+    where the smaller doc's 3-gram set is >= 90% contained in the larger's
+    — the sub-document duplicate case symmetric Jaccard misses. Prefix
+    filter on the small side, full index on the big side, exact
+    array_intersect verify. The oracle replays exact all-pairs
+    containment over string shingle sets."""
+    from .operators import containment_pairs
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = containment_pairs(docs, "doc_id", "text", n=3, threshold=0.9)
+    return out.select(
+        "doc_small",
+        "doc_big",
+        F.col("n_small").cast("bigint").alias("n_small"),
+        F.col("n_big").cast("bigint").alias("n_big"),
+        F.col("n_common").cast("bigint").alias("n_common"),
+        F.round("containment", 9).alias("containment"),
+    )
+
+
+QUERIES_EXT2["containment_dedup"] = q_containment_dedup
+ORACLE_EXT2["containment_dedup"] = """
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' ||
+             lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), rep AS (
+      SELECT CASE WHEN sa.n < sb.n THEN doc_a
+                  WHEN sb.n < sa.n THEN doc_b ELSE doc_a END AS doc_small,
+             CASE WHEN sa.n < sb.n THEN doc_b
+                  WHEN sb.n < sa.n THEN doc_a ELSE doc_b END AS doc_big,
+             CASE WHEN sa.n <= sb.n THEN sa.n ELSE sb.n END AS n_small,
+             CASE WHEN sa.n <= sb.n THEN sb.n ELSE sa.n END AS n_big,
+             n_common
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_small, doc_big,
+           CAST(n_small AS BIGINT) AS n_small,
+           CAST(n_big AS BIGINT) AS n_big,
+           CAST(n_common AS BIGINT) AS n_common,
+           round(CAST(n_common AS DOUBLE) / n_small, 9) AS containment
+    FROM rep
+    WHERE CAST(n_common AS DOUBLE) / n_small >= 0.9
+"""

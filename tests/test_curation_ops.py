@@ -792,3 +792,49 @@ class TestCorpusOverlap:
         r = corpus_overlap(df, "source", "text").collect()[0]
         assert r["n_common"] == 1 and abs(r["exact_jaccard"] - 1 / 3) < 1e-12
         assert 0.0 <= r["est_jaccard"] <= 1.0
+
+
+class TestContainmentPairs:
+    def test_subdocument_found_where_jaccard_misses(self, spark):
+        from s3parq_spark.operators.dedup import (
+            containment_pairs, ngram_jaccard_pairs,
+        )
+
+        rows = [
+            (1, "a b c d e"),                                  # 3 shingles
+            (2, "z z a b c d e y y w w q r s t u v k m"),      # superset
+            (3, "p p2 q2 r2 s2"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        got = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9)
+        r = got.collect()
+        assert len(r) == 1
+        assert (r[0]["doc_small"], r[0]["doc_big"]) == (1, 2)
+        assert r[0]["containment"] == 1.0 and r[0]["n_common"] == 3
+        # symmetric Jaccard misses the same pair at any usable threshold
+        assert ngram_jaccard_pairs(
+            df, "doc_id", "text", n=3, threshold=0.8
+        ).count() == 0
+
+    def test_equal_size_pairs_orient_by_id(self, spark):
+        from s3parq_spark.operators.dedup import containment_pairs
+
+        df = spark.createDataFrame(
+            [(7, "a b c d"), (4, "a b c d")], ["doc_id", "text"]
+        )
+        r = containment_pairs(df, "doc_id", "text", n=3, threshold=0.9).collect()
+        assert len(r) == 1
+        assert (r[0]["doc_small"], r[0]["doc_big"]) == (4, 7)
+
+    def test_below_threshold_excluded(self, spark):
+        from s3parq_spark.operators.dedup import containment_pairs
+
+        # 4 shingles in small doc, 2 shared -> containment 0.5
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "a b c d x1 x2 x3 x4 x5 x6")],
+            ["doc_id", "text"],
+        )
+        out = containment_pairs(df, "doc_id", "text", n=3, threshold=0.6)
+        assert out.count() == 0
+        out2 = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5)
+        assert out2.collect()[0]["containment"] == 0.5
