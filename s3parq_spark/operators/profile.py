@@ -17,7 +17,7 @@ uses exact).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -235,5 +235,81 @@ def numeric_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
             F.min("__v").alias("bin_min"),
             F.max("__v").alias("bin_max"),
+        )
+    )
+
+
+def dataset_card(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    lang_col: Optional[str] = None,
+) -> DataFrame:
+    """Per-source dataset-card summary — the "Datasheets for Datasets"
+    composition table produced before a corpus ships: document and token
+    counts, token-length extremes and mean, language spread and the
+    dominant language, and each source's share of the corpus.
+
+    Output, one row per ``group_col`` value: ``(source, n_docs, n_tokens,
+    min_tokens, max_tokens, mean_tokens, n_langs, top_lang,
+    top_lang_docs, docs_share)``. ``mean_tokens`` and ``docs_share`` are
+    the only float ops; ties for the dominant language break
+    lexicographically (deterministic).
+
+    Scale shape: one keyed aggregate per granularity — (group) for the
+    counts, (group, lang) for the language table reduced by a per-group
+    window over ≤ |langs| rows — and the corpus total joins back as a
+    1-row broadcast. Group count bounds every post-aggregate frame.
+    """
+    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    base = df.select(
+        F.col(group_col).alias("__g"),
+        nt.alias("__nt"),
+        (F.col(lang_col) if lang_col else F.lit("und")).alias("__lang"),
+    )
+    per = base.groupBy("__g").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__nt").alias("n_tokens"),
+        F.min("__nt").alias("min_tokens"),
+        F.max("__nt").alias("max_tokens"),
+    )
+    from pyspark.sql.window import Window
+
+    lang_counts = base.groupBy("__g", "__lang").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    w = Window.partitionBy("__g").orderBy(F.desc("__c"), F.asc("__lang"))
+    langs = (
+        lang_counts.withColumn("__rk", F.row_number().over(w))
+        .groupBy("__g")
+        .agg(
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("__rk") == 1, F.col("__lang"))).alias(
+                "top_lang"
+            ),
+            F.max(F.when(F.col("__rk") == 1, F.col("__c"))).alias(
+                "top_lang_docs"
+            ),
+        )
+    )
+    total = per.agg(F.sum("n_docs").alias("__total"))
+    return (
+        per.join(langs, "__g")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("__g").alias(group_col),
+            "n_docs",
+            "n_tokens",
+            "min_tokens",
+            "max_tokens",
+            (F.col("n_tokens").cast("double") / F.col("n_docs")).alias(
+                "mean_tokens"
+            ),
+            "n_langs",
+            "top_lang",
+            "top_lang_docs",
+            (F.col("n_docs").cast("double") / F.col("__total")).alias(
+                "docs_share"
+            ),
         )
     )

@@ -1765,3 +1765,64 @@ ORACLE_EXT2["containment_dedup"] = """
     FROM rep
     WHERE CAST(n_common AS DOUBLE) / n_small >= 0.9
 """
+
+
+# ---------------------------------------------------------------------------
+# dataset card report
+# ---------------------------------------------------------------------------
+
+
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card (operators/profile.py dataset_card): doc and
+    token counts, length extremes/mean, language spread, dominant
+    language, corpus share — the datasheet table generated before a
+    corpus ships. One keyed aggregate per granularity; the oracle replays
+    every number."""
+    from .operators import dataset_card
+
+    docs = _table(spark, sf_dir, "documents")
+    out = dataset_card(docs, "source", "text", lang_col="lang")
+    return out.select(
+        "source", "n_docs", "n_tokens", "min_tokens", "max_tokens",
+        F.round("mean_tokens", 9).alias("mean_tokens"),
+        "n_langs", "top_lang",
+        F.col("top_lang_docs").cast("bigint").alias("top_lang_docs"),
+        F.round("docs_share", 9).alias("docs_share"),
+    )
+
+
+QUERIES_EXT2["dataset_card"] = q_dataset_card
+ORACLE_EXT2["dataset_card"] = """
+    WITH base AS (
+      SELECT source AS g, lang,
+             len(string_split_regex(trim(text), '\\s+')) AS nt
+      FROM documents
+    ),
+    per AS (
+      SELECT g, COUNT(*) AS n_docs,
+             CAST(SUM(nt) AS BIGINT) AS n_tokens,
+             CAST(MIN(nt) AS BIGINT) AS min_tokens,
+             CAST(MAX(nt) AS BIGINT) AS max_tokens
+      FROM base GROUP BY g
+    ),
+    lc AS (
+      SELECT g, lang, COUNT(*) AS c,
+             row_number() OVER (PARTITION BY g
+                                ORDER BY COUNT(*) DESC, lang ASC) AS rk
+      FROM base GROUP BY g, lang
+    ),
+    langs AS (
+      SELECT g, COUNT(*) AS n_langs,
+             MAX(CASE WHEN rk = 1 THEN lang END) AS top_lang,
+             MAX(CASE WHEN rk = 1 THEN c END) AS top_lang_docs
+      FROM lc GROUP BY g
+    ),
+    tot AS (SELECT SUM(n_docs) AS total FROM per)
+    SELECT per.g AS source, per.n_docs, per.n_tokens,
+           per.min_tokens, per.max_tokens,
+           round(CAST(per.n_tokens AS DOUBLE) / per.n_docs, 9) AS mean_tokens,
+           langs.n_langs, langs.top_lang,
+           CAST(langs.top_lang_docs AS BIGINT) AS top_lang_docs,
+           round(CAST(per.n_docs AS DOUBLE) / tot.total, 9) AS docs_share
+    FROM per JOIN langs ON per.g = langs.g, tot
+"""

@@ -164,3 +164,43 @@ def test_overwrite_partitions_rejects_mismatch(spark, tmp_dataset_dir):
         overwrite_partitions(spark, tmp_dataset_dir, df, ["id"])
     with pytest.raises(ValueError, match="at least one partition"):
         overwrite_partitions(spark, tmp_dataset_dir, df.drop("part"), [])
+
+
+class TestDatasetCard:
+    def test_card_numbers(self, spark):
+        from s3parq_spark.operators.profile import dataset_card
+        from pyspark.sql import functions as F
+
+        rows = [
+            ("A", "one two three", "en"),
+            ("A", "vier funf", "de"),
+            ("A", "six seven eight nine", "en"),
+            ("B", "x", "fr"),
+        ]
+        df = spark.createDataFrame(rows, ["source", "text", "lang"])
+        out = {r["source"]: r for r in
+               dataset_card(df, "source", "text", lang_col="lang").collect()}
+        a = out["A"]
+        assert a["n_docs"] == 3 and a["n_tokens"] == 9
+        assert a["min_tokens"] == 2 and a["max_tokens"] == 4
+        assert abs(a["mean_tokens"] - 3.0) < 1e-12
+        assert a["n_langs"] == 2
+        assert a["top_lang"] == "en" and a["top_lang_docs"] == 2
+        assert abs(a["docs_share"] - 0.75) < 1e-12
+        assert out["B"]["top_lang"] == "fr" and out["B"]["n_docs"] == 1
+
+    def test_top_lang_tie_breaks_lexicographically(self, spark):
+        from s3parq_spark.operators.profile import dataset_card
+
+        df = spark.createDataFrame(
+            [("A", "t", "zz"), ("A", "t", "aa")], ["source", "text", "lang"]
+        )
+        r = dataset_card(df, "source", "text", lang_col="lang").collect()[0]
+        assert r["top_lang"] == "aa"
+
+    def test_no_lang_col_defaults_single_lang(self, spark):
+        from s3parq_spark.operators.profile import dataset_card
+
+        df = spark.createDataFrame([("A", "a b")], ["source", "text"])
+        r = dataset_card(df, "source", "text").collect()[0]
+        assert r["n_langs"] == 1 and r["top_lang"] == "und"
