@@ -294,6 +294,27 @@ CASES = [
         "rankings are WindowGroupLimit; stage 2 re-joins the candidate set "
         "by BroadcastHashJoin - the vector table is never reshuffled.",
     ),
+    (
+        "span_dedup",
+        "Exact substring dedup: gram generation is array-side (no per-doc "
+        "window sort); duplicate set is one fingerprint HashAggregate; "
+        "coverage join and reassembly are keyed hash joins/aggregates - no "
+        "cartesian, no BroadcastNestedLoopJoin.",
+    ),
+    (
+        "containment_dedup",
+        "Containment near-dup: asymmetric prefix filter - small side "
+        "explodes its sorted-hash prefix, big side full index; candidates "
+        "are a shingle-hash equi-join; exact array_intersect verify on "
+        "distinct candidates only.",
+    ),
+    (
+        "corpus_overlap",
+        "Corpus overlap: corpus collapses to a distinct (group, shingle) "
+        "table; exact intersection joins on the shingle key (never doc x "
+        "doc); signatures are one-pass min-aggregates and the pair spine "
+        "is a broadcast of O(groups) frames.",
+    ),
 ]
 
 

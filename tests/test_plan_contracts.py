@@ -192,3 +192,25 @@ class TestSessionNewOpPlanContracts:
         assert "CartesianProduct" not in plan
         # both rankings run as per-query window group-limits
         assert "WindowGroupLimit" in plan
+
+    def test_span_dedup_no_cartesian_keyed_joins(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "span_dedup")
+        assert "CartesianProduct" not in plan
+        # duplicate-set join and coverage anti-structure stay hash joins
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_containment_no_cartesian(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "containment_dedup")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_corpus_overlap_broadcast_pair_spine(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "corpus_overlap")
+        assert "CartesianProduct" not in plan
+        # the O(groups) signature frames pair via broadcast
+        assert "Broadcast" in plan
+
+    def test_dataset_card_single_broadcast_total(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "dataset_card")
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
