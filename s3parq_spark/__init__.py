@@ -17,6 +17,7 @@ from .fetch import (
     fetch,
     fetch_diff,
     fetch_diff_path,
+    dataset_files,
     fetch_path,
     get_all_files_list,
     get_all_partition_values,
@@ -41,6 +42,7 @@ __all__ = [
     "MissingS3ParqMetadata",
     "attach",
     "custom_publish",
+    "dataset_files",
     "expire_snapshots",
     "export_jsonl",
     "fetch",

@@ -560,3 +560,54 @@ def attach_at(
         df = fetch_at_timestamp(spark, path, ts)
     df.createOrReplaceTempView(view_name)
     return df
+
+
+def dataset_files(spark: SparkSession, path: str) -> DataFrame:
+    """The dataset's FILES metadata table (Iceberg's ``db.table.files``,
+    restated for the sidecar): one row per data file with its committing
+    snapshot version and the hive partition values parsed from its path —
+    the introspection surface maintenance tooling (vacuum audits, skew
+    checks, compaction policies) queries without touching data.
+
+    Columns: ``file`` (dataset-relative path), ``version`` (null when the
+    file predates snapshot tracking), then one STRING column per partition
+    key holding the as-stored (URL-unescaped) directory value — typed
+    access to partition values is ``fetch``'s job; this table reports the
+    layout as it exists on storage.
+
+    Metadata-only: answered from the sidecar manifests when history is
+    intact (zero filesystem listings), FS-walk fallback otherwise — the
+    same contract as ``get_all_files_list``. Driver cost is O(files),
+    which is exactly the size of the table being returned.
+    """
+    files, meta, _ = _files_and_meta(spark, path)
+    version_of: Dict[str, int] = {}
+    if meta is not None and meta.snapshots:
+        for s in meta.snapshots:
+            for f in s.get("added", []):
+                version_of.setdefault(f, s["version"])
+    if meta is not None and meta.partitions:
+        part_keys = list(meta.partitions)
+    else:
+        part_keys = list(parse_partitions_and_values(files).keys())
+
+    def _vals(rel: str) -> Dict[str, str]:
+        out = {}
+        for comp in rel.split("/")[:-1]:
+            if "=" in comp:
+                k, _, v = comp.partition("=")
+                out[k] = unquote(v)
+        return out
+
+    rows = []
+    for f in files:
+        vals = _vals(f)
+        rows.append(
+            (f, version_of.get(f), *[vals.get(k) for k in part_keys])
+        )
+    fields = [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("version", T.LongType(), True),
+        *[T.StructField(k, T.StringType(), True) for k in part_keys],
+    ]
+    return spark.createDataFrame(rows, T.StructType(fields))

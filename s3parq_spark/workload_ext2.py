@@ -1826,3 +1826,39 @@ ORACLE_EXT2["dataset_card"] = """
            round(CAST(per.n_docs AS DOUBLE) / tot.total, 9) AS docs_share
     FROM per JOIN langs ON per.g = langs.g, tot
 """
+
+
+# ---------------------------------------------------------------------------
+# FILES metadata table
+# ---------------------------------------------------------------------------
+
+
+def q_files_table(spark, sf_dir):
+    """FILES metadata table (fetch.py dataset_files — Iceberg's
+    ``table.files``, from the sidecar manifests, zero FS listings):
+    publish nation in two commits, then report which (version, partition)
+    combinations hold files. File names and counts depend on write
+    parallelism, so the gated shape is the DISTINCT (version, partition
+    value) spine — deterministic, and exactly what a vacuum/compaction
+    audit reads. The oracle derives the same spine from the raw table."""
+    from .fetch import dataset_files
+
+    path = _two_version_nation(spark, sf_dir, "files_tbl")
+    ft = dataset_files(spark, path)
+    assert ft.filter(F.col("version").isNull()).count() == 0
+    assert ft.filter(F.col("file").endswith(".parquet")).count() == ft.count()
+    return (
+        ft.select("version", "n_regionkey")
+        .distinct()
+        .select("version", F.col("n_regionkey").cast("bigint").alias("n_regionkey"))
+    )
+
+
+QUERIES_EXT2["files_table"] = q_files_table
+ORACLE_EXT2["files_table"] = """
+    SELECT 1 AS version, n_regionkey FROM nation WHERE n_nationkey < 10
+    GROUP BY n_regionkey
+    UNION ALL
+    SELECT 2 AS version, n_regionkey FROM nation WHERE n_nationkey >= 10
+    GROUP BY n_regionkey
+"""

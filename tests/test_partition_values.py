@@ -157,3 +157,42 @@ def test_convert_type_reference_semantics():
     assert convert_type("__HIVE_DEFAULT_PARTITION__", "integer") is None
     with pytest.raises(ValueError):
         strtobool("maybe")
+
+
+class TestDatasetFiles:
+    def test_files_table_versions_and_partitions(self, spark, tmp_path):
+        from s3parq_spark.fetch import dataset_files, get_all_files_list
+        from s3parq_spark.publish import publish_path
+        from pyspark.sql import functions as F
+
+        path = str(tmp_path / "ft")
+        df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"])
+        df2 = spark.createDataFrame([(3, "a")], ["k", "p"])
+        publish_path(spark, path, df1, ["p"])
+        publish_path(spark, path, df2, ["p"], mode="append")
+        ft = dataset_files(spark, path)
+        assert ft.columns == ["file", "version", "p"]
+        rows = ft.collect()
+        # every manifest file appears exactly once with its commit version
+        assert sorted(r["file"] for r in rows) == sorted(
+            get_all_files_list(path, spark=spark)
+        )
+        assert {r["version"] for r in rows} == {1, 2}
+        # v2 touched only partition a
+        v2 = [r for r in rows if r["version"] == 2]
+        assert {r["p"] for r in v2} == {"a"}
+        # partition values parsed from the path as stored
+        assert all(r["p"] in ("a", "b") for r in rows)
+
+    def test_unpartitioned_dataset(self, spark, tmp_path):
+        from s3parq_spark.fetch import dataset_files
+        from s3parq_spark.publish import publish_path
+
+        path = str(tmp_path / "ft2")
+        publish_path(
+            spark, path,
+            spark.createDataFrame([(1,), (2,)], ["k"]), [],
+        )
+        ft = dataset_files(spark, path)
+        assert ft.columns == ["file", "version"]
+        assert ft.count() >= 1
