@@ -74,19 +74,27 @@ def get_all_files_list(bucket: str, key: str = "", spark: Optional[SparkSession]
     return files
 
 
+def _hive_path_values(rel_path: str) -> "OrderedDict[str, str]":
+    """Hive ``k=v`` components of ONE relative file path, in directory
+    order, values URL-unescaped (Spark percent-encodes special chars, e.g.
+    ``:`` in timestamps, in partition directory names). The single parsing
+    point shared by the partition-value queries and ``dataset_files``."""
+    out: "OrderedDict[str, str]" = OrderedDict()
+    for comp in rel_path.split("/")[:-1]:  # last component is the file name
+        if "=" in comp:
+            k, _, v = comp.partition("=")
+            out[k] = unquote(v)
+    return out
+
+
 def parse_partitions_and_values(file_paths: List[str]) -> "OrderedDict[str, set]":
     """Parse hive ``k=v`` components out of relative file paths →
     ``{partition: set(str values)}`` preserving directory order
-    (reference ``_parse_partitions_and_values``, ``fetch_parq.py:391-418``).
-    Values are URL-unescaped because Spark percent-encodes special chars
-    (e.g. ``:`` in timestamps) in partition directory names."""
+    (reference ``_parse_partitions_and_values``, ``fetch_parq.py:391-418``)."""
     parts: "OrderedDict[str, set]" = OrderedDict()
     for path in file_paths:
-        for comp in path.split("/")[:-1]:  # last component is the file name
-            if "=" not in comp:
-                continue
-            k, _, v = comp.partition("=")
-            parts.setdefault(k, set()).add(unquote(v))
+        for k, v in _hive_path_values(path).items():
+            parts.setdefault(k, set()).add(v)
     return parts
 
 
@@ -591,17 +599,9 @@ def dataset_files(spark: SparkSession, path: str) -> DataFrame:
     else:
         part_keys = list(parse_partitions_and_values(files).keys())
 
-    def _vals(rel: str) -> Dict[str, str]:
-        out = {}
-        for comp in rel.split("/")[:-1]:
-            if "=" in comp:
-                k, _, v = comp.partition("=")
-                out[k] = unquote(v)
-        return out
-
     rows = []
     for f in files:
-        vals = _vals(f)
+        vals = _hive_path_values(f)
         rows.append(
             (f, version_of.get(f), *[vals.get(k) for k in part_keys])
         )

@@ -918,12 +918,14 @@ def corpus_overlap(
     pair spine is a broadcast join of two O(groups) frames. Group count,
     not corpus size, bounds everything after the distinct.
     """
+    groups = df.select(F.col(group_col).alias("__g")).distinct()
     sh = (
         word_shingles(df.select(group_col, text_col), text_col, shingle_n)
         .select(
             F.col(group_col).alias("__g"), F.explode("shingles").alias("__s")
         )
         .distinct()
+        .persist()
     )
     sizes = sh.groupBy("__g").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (
@@ -957,44 +959,67 @@ def corpus_overlap(
         (F.col(f"ma.__h{i}") == F.col(f"mb.__h{i}")).cast("int")
         for i in range(num_hashes)
     )
-    pairs = (
-        mh.alias("ma")
-        .join(
-            F.broadcast(mh.alias("mb")),
-            F.col("ma.__g") < F.col("mb.__g"),
-        )
+    # the pair spine comes from ALL groups — a group whose docs are all
+    # shorter than shingle_n words has no shingles (and no signature) but
+    # must still appear in the report, as zero-overlap rows
+    spine = (
+        groups.alias("ga")
+        .join(F.broadcast(groups.alias("gb")), F.col("ga.__g") < F.col("gb.__g"))
         .select(
-            F.col("ma.__g").alias("src_a"),
-            F.col("mb.__g").alias("src_b"),
-            (eq.cast("double") / F.lit(num_hashes)).alias("est_jaccard"),
+            F.col("ga.__g").alias("src_a"), F.col("gb.__g").alias("src_b")
         )
     )
-    return (
+    pairs = (
+        spine.join(
+            F.broadcast(mh.alias("ma")),
+            F.col("src_a") == F.col("ma.__g"),
+            "left",
+        )
+        .join(
+            F.broadcast(mh.alias("mb")),
+            F.col("src_b") == F.col("mb.__g"),
+            "left",
+        )
+        .select(
+            "src_a",
+            "src_b",
+            F.when(
+                F.col("ma.__h0").isNotNull() & F.col("mb.__h0").isNotNull(),
+                eq.cast("double") / F.lit(num_hashes),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("est_jaccard"),
+        )
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0))
+    denom = F.col("n_a") + F.col("n_b") - n_common
+    result = (
         pairs.join(F.broadcast(inter), ["src_a", "src_b"], "left")
         .join(
             F.broadcast(sizes.withColumnRenamed("__g", "src_a")
                         .withColumnRenamed("n_sh", "n_a")),
             "src_a",
+            "left",
         )
         .join(
             F.broadcast(sizes.withColumnRenamed("__g", "src_b")
                         .withColumnRenamed("n_sh", "n_b")),
             "src_b",
+            "left",
         )
         .select(
             "src_a",
             "src_b",
-            "n_a",
-            "n_b",
-            F.coalesce(F.col("n_common"), F.lit(0)).alias("n_common"),
-            (
-                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b")
-                   - F.coalesce(F.col("n_common"), F.lit(0)))
-            ).alias("exact_jaccard"),
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+            n_common.alias("n_common"),
+            F.when(denom > 0, n_common.cast("double") / denom)
+            .otherwise(F.lit(0.0))
+            .alias("exact_jaccard"),
             "est_jaccard",
         )
     )
+    return _unpersist_with(result, sh)
 
 
 def containment_pairs(

@@ -1282,8 +1282,25 @@ def expire_snapshots(
     if squashed[-1].get("ts") is not None:
         base["ts"] = squashed[-1]["ts"]
     if not dry_run:
-        meta.snapshots = [base, *meta.snapshots[cut:]]
-        metadata.write_sidecar(spark, path, meta)
+        # guard the read-modify-write against a concurrent publish (the
+        # docstring's own motivating workload commits every minute): the
+        # sidecar is re-read immediately before the write and the squash
+        # aborts if the history changed since it was computed — the same
+        # re-check window publish_path's expected_version CAS uses. A lost
+        # snapshot entry here would silently drop its files from the
+        # manifest plane (and vacuum would then delete them), so a loud
+        # retry beats a racy write.
+        before = [s["version"] for s in meta.snapshots]
+        current = metadata.read_sidecar(spark, path)
+        if current is None or [
+            s["version"] for s in current.snapshots
+        ] != before:
+            raise ConcurrentWriteError(
+                f"expire_snapshots: history at {path} changed during the "
+                "squash (concurrent publish?); re-run"
+            )
+        current.snapshots = [base, *current.snapshots[cut:]]
+        metadata.write_sidecar(spark, path, current)
     return expired
 
 

@@ -1472,11 +1472,14 @@ ORACLE_EXT2["attach_at_sql"] = """
 
 def q_cas_publish(spark, sf_dir):
     """Optimistic concurrency end-to-end (publish.py expected_version):
-    append with the correct expected head succeeds; a stale
-    expected_version raises ConcurrentWriteError BEFORE writing anything
-    (no orphans: file count is checked unchanged); the dataset then reads
-    back complete. Oracle = the full nation table."""
-    from .fetch import fetch_path, get_all_files_list, list_versions
+    append with the correct expected head succeeds; a stale expected
+    head is caught at the PRE-WRITE check, so in this scenario nothing
+    touches storage at all (asserted on the real filesystem listing, not
+    the manifest — a conflict inside the write window would instead
+    leave unacknowledged orphans, vacuum's domain); the dataset then
+    reads back complete. Oracle = the full nation table."""
+    from . import fs as fs_mod
+    from .fetch import fetch_path, list_versions
     from .publish import ConcurrentWriteError, publish_path
     from .workload import _CACHE_ROOT
 
@@ -1496,7 +1499,7 @@ def q_cas_publish(spark, sf_dir):
         spark, path, nation.filter(F.col("n_nationkey") >= 10),
         ["n_regionkey"], mode="append", expected_version=1,
     )
-    files = sorted(get_all_files_list(path, spark=spark))
+    files = sorted(fs_mod.list_files(spark, path))
     try:
         publish_path(
             spark, path, nation.limit(1), ["n_regionkey"],
@@ -1505,8 +1508,8 @@ def q_cas_publish(spark, sf_dir):
         raise AssertionError("stale expected_version did not raise")
     except ConcurrentWriteError:
         pass
-    assert sorted(get_all_files_list(path, spark=spark)) == files, (
-        "conflicted publish left files behind"
+    assert sorted(fs_mod.list_files(spark, path)) == files, (
+        "pre-write CAS conflict left files on storage"
     )
     assert [v["version"] for v in list_versions(spark, path)] == [1, 2]
     return fetch_path(spark, path).select(
@@ -1581,15 +1584,16 @@ def q_stream_hidden_fetch(spark, sf_dir):
         _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
         "stream_hidden_rt",
     )
-    marker = os.path.join(path, "_s3parq_metadata.json")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        stream_publish(
-            spark, posixpath.join(sf_dir, "events.parquet"), path, [],
-            derived_partitions={
-                "event_day": "date_format(ts, 'yyyy-MM-dd')"
-            },
-        )
+    # no completion marker exists for a stream (the sidecar lands on the
+    # FIRST micro-batch, so its presence cannot mean "fully ingested");
+    # rebuild unconditionally rather than trust a partial cache
+    shutil.rmtree(path, ignore_errors=True)
+    stream_publish(
+        spark, posixpath.join(sf_dir, "events.parquet"), path, [],
+        derived_partitions={
+            "event_day": "date_format(ts, 'yyyy-MM-dd')"
+        },
+    )
     got = fetch_path(spark, path)
     one_day = got.select("event_day").orderBy("event_day").first()[
         "event_day"
@@ -1600,7 +1604,11 @@ def q_stream_hidden_fetch(spark, sf_dir):
                   "values": [one_day]}],
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan, "derived-column filter did not prune"
+    # the filter must appear INSIDE the PartitionFilters bracket — the key
+    # itself prints on every scan, so checking for it alone is vacuous
+    assert "event_day" in plan.split("PartitionFilters", 1)[1][:200], (
+        "derived-column filter did not prune at the file index"
+    )
     return got.groupBy("event_day").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("user_id").alias("n_users"),

@@ -838,3 +838,51 @@ class TestContainmentPairs:
         assert out.count() == 0
         out2 = containment_pairs(df, "doc_id", "text", n=3, threshold=0.5)
         assert out2.collect()[0]["containment"] == 0.5
+
+    def test_shingleless_group_still_reported(self, spark):
+        from s3parq_spark.operators.dedup import corpus_overlap
+
+        # source C's only doc is shorter than the shingle width: it has no
+        # shingles, but the report must still carry its pairs as zero rows
+        df = spark.createDataFrame(
+            [("A", "a b c d"), ("B", "a b c d"), ("C", "xy")],
+            ["source", "text"],
+        )
+        out = {(r["src_a"], r["src_b"]): r for r in
+               corpus_overlap(df, "source", "text").collect()}
+        assert set(out) == {("A", "B"), ("A", "C"), ("B", "C")}
+        ac = out[("A", "C")]
+        assert ac["n_b"] == 0 and ac["n_common"] == 0
+        assert ac["exact_jaccard"] == 0.0 and ac["est_jaccard"] == 0.0
+
+
+class TestExpireSnapshotsConcurrency:
+    def test_concurrent_history_change_aborts_squash(self, spark, tmp_dataset_dir, monkeypatch):
+        from s3parq_spark import metadata as md
+        from s3parq_spark.publish import ConcurrentWriteError, expire_snapshots, publish_path
+
+        for i in range(4):
+            df = spark.createDataFrame([(i, "a")], ["k", "p"])
+            publish_path(spark, tmp_dataset_dir, df, ["p"],
+                         mode="append" if i else "error")
+
+        real_read = md.read_sidecar
+        calls = {"n": 0}
+
+        def racy_read(spark_, path_):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                # a publish lands between the squash's first read and its
+                # pre-write re-check: commit it BEFORE serving the re-read
+                monkeypatch.undo()
+                df = spark.createDataFrame([(99, "a")], ["k", "p"])
+                publish_path(spark, tmp_dataset_dir, df, ["p"], mode="append")
+            return real_read(spark_, path_)
+
+        monkeypatch.setattr(md, "read_sidecar", racy_read)
+        with pytest.raises(ConcurrentWriteError, match="changed during"):
+            expire_snapshots(spark, tmp_dataset_dir, keep_last=1)
+        # nothing was lost: all five snapshots (4 + the racing one) intact
+        from s3parq_spark.fetch import list_versions
+        assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] \
+            == [1, 2, 3, 4, 5]
