@@ -27,11 +27,13 @@ from .fetch import (
 from .export import export_jsonl, read_jsonl
 from .publish import (
     custom_publish,
+    drop_column,
     expire_snapshots,
     merge_upsert,
     publish,
     publish_bucketed,
     publish_path,
+    rename_column,
     vacuum_dataset,
     validate_redshift_params,
 )
@@ -43,6 +45,7 @@ __all__ = [
     "attach",
     "custom_publish",
     "dataset_files",
+    "drop_column",
     "expire_snapshots",
     "export_jsonl",
     "fetch",
@@ -61,6 +64,7 @@ __all__ = [
     "publish",
     "read_jsonl",
     "publish_bucketed",
+    "rename_column",
     "publish_path",
     "vacuum_dataset",
     "SessionHelper",

@@ -175,6 +175,41 @@ def get_diff_partition_values(
     return [convert_type(v, dtype) for v in diff]
 
 
+
+def _scan_schema(meta: DatasetMetadata) -> T.StructType:
+    """Explicit read schema over the CURRENT column set plus every prior
+    physical name of renamed columns (same type, nullable): pre-rename
+    files surface their bytes under the old name, post-rename files under
+    the new; ``_resolve_renames`` coalesces them. With no renames this is
+    exactly the sidecar schema."""
+    fields = []
+    for n, t in meta.column_types.items():
+        fields.append(T.StructField(n, metadata.vocab_to_spark_type(t), True))
+        for prior in meta.column_renames.get(n, []):
+            fields.append(
+                T.StructField(prior, metadata.vocab_to_spark_type(t), True)
+            )
+    return T.StructType(fields)
+
+
+def _resolve_renames(df: DataFrame, meta: DatasetMetadata) -> DataFrame:
+    """Collapse renamed columns to their current name: a file carries the
+    column under exactly one physical name, so ``coalesce(new, *priors)``
+    is the per-row identity mapping. No-op without renames."""
+    if not meta.column_renames:
+        return df
+    cols = []
+    for n in meta.column_types:
+        priors = meta.column_renames.get(n)
+        if priors:
+            cols.append(
+                F.coalesce(F.col(n), *[F.col(p) for p in priors]).alias(n)
+            )
+        else:
+            cols.append(F.col(n))
+    return df.select(*cols)
+
+
 # ---------------------------------------------------------------------------
 # fetch (SURVEY §3.1) and fetch_diff (§3.3)
 # ---------------------------------------------------------------------------
@@ -223,14 +258,10 @@ def fetch_path(
 
     validate_matching_filter_data_type(meta.partition_data_types, filters)
 
-    # Explicit full schema in the dataset's original column order; Spark casts
-    # hive path strings to the partition columns' declared types.
-    full_schema = T.StructType(
-        [
-            T.StructField(n, metadata.vocab_to_spark_type(t), True)
-            for n, t in meta.column_types.items()
-        ]
-    )
+    # Explicit full schema in the dataset's original column order (plus
+    # prior names of renamed columns); Spark casts hive path strings to
+    # the partition columns' declared types.
+    full_schema = _scan_schema(meta)
     if from_manifest:
         # Scan the manifest's explicit file list (basePath keeps hive
         # partition-column derivation and pruning identical to a directory
@@ -249,16 +280,17 @@ def fetch_path(
         )
     else:
         df = spark.read.schema(full_schema).parquet(path)
+    df = _resolve_renames(df, meta)
 
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
     if columns is not None:
-        known = {f.name for f in full_schema.fields}
+        known = set(meta.column_types)
         missing = [c for c in columns if c not in known]
         if missing:
             raise ValueError(f"unknown columns {missing} in dataset at {path}")
         return df.select(*columns)
-    return df.select(*[f.name for f in full_schema.fields])
+    return df.select(*list(meta.column_types))
 
 
 def list_versions(spark: SparkSession, path: str) -> List[dict]:
@@ -416,12 +448,7 @@ def _read_manifest_slice(
     ``fetch_changes``). An empty list yields an empty frame with the full
     dataset schema — never a scan error."""
     validate_matching_filter_data_type(meta.partition_data_types, filters)
-    full_schema = T.StructType(
-        [
-            T.StructField(n, metadata.vocab_to_spark_type(t), True)
-            for n, t in meta.column_types.items()
-        ]
-    )
+    full_schema = _scan_schema(meta)
     if rel_files:
         files = [posixpath.join(path, r) for r in rel_files]
         df = (
@@ -431,15 +458,16 @@ def _read_manifest_slice(
         )
     else:
         df = spark.createDataFrame([], full_schema)
+    df = _resolve_renames(df, meta)
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
     if columns is not None:
-        known = {f.name for f in full_schema.fields}
+        known = set(meta.column_types)
         missing = [c for c in columns if c not in known]
         if missing:
             raise ValueError(f"unknown columns {missing} in dataset at {path}")
         return df.select(*columns)
-    return df.select(*[f.name for f in full_schema.fields])
+    return df.select(*list(meta.column_types))
 
 
 def fetch(

@@ -140,6 +140,7 @@ class DatasetMetadata:
         snapshots: Optional[List[dict]] = None,
         sort_columns: Optional[List[str]] = None,
         derived_partitions: Optional[Dict[str, str]] = None,
+        column_renames: Optional[Dict[str, List[str]]] = None,
     ):
         self.partitions = list(partitions)
         self.partition_data_types = dict(partition_data_types)
@@ -155,6 +156,14 @@ class DatasetMetadata:
         # name -> the SQL expression it derives from; appends re-derive
         # from the recorded expression so the layout stays consistent
         self.derived_partitions = dict(derived_partitions or {})
+        # name-based column mapping (rename evolution): current column
+        # name -> every prior physical name, newest first; readers scan
+        # all names for the column and coalesce. Parquet-name mapping has
+        # no field IDs, so a dropped/renamed-away name must not be reused
+        # for a new column (reads would resurrect the old bytes).
+        self.column_renames = {
+            k: list(v) for k, v in (column_renames or {}).items()
+        }
         # ANALYZE record (stats.collect_stats): row count + per-column
         # min/max/nulls/ndv, stamped with the snapshot version it saw
         self.stats = None
@@ -184,6 +193,8 @@ class DatasetMetadata:
             d["sort_columns"] = self.sort_columns
         if self.derived_partitions:
             d["derived_partitions"] = self.derived_partitions
+        if self.column_renames:
+            d["column_renames"] = self.column_renames
         if self.stats:
             d["stats"] = self.stats
         return d
@@ -197,6 +208,7 @@ class DatasetMetadata:
             snapshots=d.get("snapshots"),
             sort_columns=d.get("sort_columns"),
             derived_partitions=d.get("derived_partitions"),
+            column_renames=d.get("column_renames"),
         )
         out.stats = d.get("stats")
         return out
@@ -266,6 +278,22 @@ def merge_sidecar(
             raise ValueError(f"append type mismatch on column {col!r}: {old} vs {t}")
     merged_cols = dict(existing.column_types)
     merged_cols.update(new.column_types)
+    # name-based mapping hazard: a new column reusing a renamed-away (or
+    # still-mapped prior) physical name would make readers coalesce old
+    # files' bytes into it — resurrection, not evolution. Reject loudly.
+    prior_names = {
+        p for priors in existing.column_renames.values() for p in priors
+    }
+    clashes = [
+        c for c in new.column_types
+        if c in prior_names and c not in existing.column_types
+    ]
+    if clashes:
+        raise ValueError(
+            f"append columns {clashes} reuse prior physical names of "
+            "renamed columns; choose fresh names (name-based mapping has "
+            "no field IDs)"
+        )
     merged = DatasetMetadata(
         new.partitions,
         new.partition_data_types,
@@ -278,6 +306,8 @@ def merge_sidecar(
         # derived-partition transforms are part of the layout contract and
         # persist across appends (publish validates agreement before here)
         derived_partitions=new.derived_partitions or existing.derived_partitions,
+        # rename history is a dataset-level contract, carried forward
+        column_renames=existing.column_renames,
     )
     # a stored ANALYZE survives appends: it is stamped with as_of_version,
     # so readers can tell it describes an older snapshot (re-ANALYZE to

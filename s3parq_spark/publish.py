@@ -1304,6 +1304,120 @@ def expire_snapshots(
     return expired
 
 
+def _guarded_sidecar_write(spark, path, mutate):
+    """Read-mutate-write the sidecar with the expire_snapshots-style
+    concurrency guard: the snapshot history is re-read immediately before
+    the write and the operation aborts if it changed (a concurrent
+    publish's entry must never be lost to a stale write)."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"no sidecar at {path}")
+    before = [s["version"] for s in meta.snapshots]
+    mutate(meta)
+    current = metadata.read_sidecar(spark, path)
+    if current is None or [s["version"] for s in current.snapshots] != before:
+        raise ConcurrentWriteError(
+            f"sidecar at {path} changed during the metadata operation "
+            "(concurrent publish?); re-run"
+        )
+    metadata.write_sidecar(spark, path, meta)
+    return meta
+
+
+def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
+    """Rename a value column — metadata-only schema evolution (Iceberg's
+    ``RENAME COLUMN``, via name mapping instead of field IDs): no file is
+    rewritten; the sidecar records ``new -> [old, ...prior names]`` and
+    every read scans all physical names for the column and coalesces
+    (``fetch._resolve_renames``). Appends after the rename write ``new``;
+    pre-rename files keep serving their bytes under ``old``.
+
+    Rejected: renaming partition columns (their name IS the directory
+    layout — use ``repartition_dataset``), renaming onto an existing or
+    previously-used physical name (name-based mapping would resurrect old
+    bytes), and renaming columns referenced by derived-partition
+    transforms. A chained rename folds the history: a->b then b->c yields
+    ``c -> [b, a]``. Stored ANALYZE stats follow the column.
+    """
+    if not new or not new.replace("_", "").isalnum() or new[0].isdigit():
+        raise ValueError(f"rename_column: invalid column name {new!r}")
+
+    def mutate(meta):
+        if old not in meta.column_types:
+            raise ValueError(f"rename_column: no column {old!r} at {path}")
+        if old in meta.partitions:
+            raise ValueError(
+                f"rename_column: {old!r} is a partition column — its name "
+                "is the directory layout; re-layout with repartition_dataset"
+            )
+        used = set(meta.column_types) | {
+            p for priors in meta.column_renames.values() for p in priors
+        }
+        if new in used:
+            raise ValueError(
+                f"rename_column: name {new!r} already in use (current or "
+                "prior physical name); name-based mapping cannot reuse it"
+            )
+        import re as _re
+
+        for dcol, expr in meta.derived_partitions.items():
+            if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"rename_column: {old!r} is referenced by derived "
+                    f"partition {dcol!r} ({expr}); drop/recreate the "
+                    "transform first"
+                )
+        meta.column_types = {
+            (new if k == old else k): v for k, v in meta.column_types.items()
+        }
+        priors = meta.column_renames.pop(old, [])
+        meta.column_renames[new] = [old, *priors]
+        if old in meta.sort_columns:
+            meta.sort_columns = [
+                new if c == old else c for c in meta.sort_columns
+            ]
+        if meta.stats and old in meta.stats.get("columns", {}):
+            meta.stats["columns"][new] = meta.stats["columns"].pop(old)
+
+    _guarded_sidecar_write(spark, path, mutate)
+
+
+def drop_column(spark: SparkSession, path: str, name: str) -> None:
+    """Drop a value column — metadata-only (no file rewrite): the column
+    (and any prior physical names mapped to it) simply leaves the read
+    schema, so every fetch/time-travel/CDC path stops surfacing it while
+    the bytes stay in the files until a compaction naturally rewrites
+    them. Partition columns are rejected (the layout depends on them).
+
+    Name-based-mapping caveat, enforced at append time
+    (``metadata.merge_sidecar``): a dropped or renamed-away physical name
+    must not return as a NEW column — readers would coalesce the old
+    files' bytes into it. ``drop_column`` records the dropped column's
+    physical names under a tombstone entry for that check.
+    """
+
+    def mutate(meta):
+        if name not in meta.column_types:
+            raise ValueError(f"drop_column: no column {name!r} at {path}")
+        if name in meta.partitions:
+            raise ValueError(
+                f"drop_column: {name!r} is a partition column; re-layout "
+                "with repartition_dataset instead"
+            )
+        priors = meta.column_renames.pop(name, [])
+        meta.column_types.pop(name)
+        # tombstone: map a never-readable sentinel to the dead physical
+        # names so merge_sidecar keeps rejecting their reuse
+        dead = [name, *priors]
+        key = f"__dropped_{name}"
+        meta.column_renames[key] = dead
+        meta.sort_columns = [c for c in meta.sort_columns if c != name]
+        if meta.stats:
+            meta.stats.get("columns", {}).pop(name, None)
+
+    _guarded_sidecar_write(spark, path, mutate)
+
+
 REDSHIFT_PARAM_KEYS = (
     "schema_name",
     "table_name",

@@ -1870,3 +1870,60 @@ ORACLE_EXT2["files_table"] = """
     SELECT 2 AS version, n_regionkey FROM nation WHERE n_nationkey >= 10
     GROUP BY n_regionkey
 """
+
+
+# ---------------------------------------------------------------------------
+# column rename evolution under the gate
+# ---------------------------------------------------------------------------
+
+
+def q_rename_evolution_fetch(spark, sf_dir):
+    """Metadata-only column rename (publish.py rename_column — name-mapped
+    schema evolution, no file rewrite): publish nation with n_name, rename
+    it to nation_name, append more rows under the NEW name, fetch. The
+    scan reads both physical names and coalesces; appends under the old
+    name are rejected (asserted); time travel to the pre-rename snapshot
+    serves the mapped name. Oracle = the full nation table with the
+    renamed column."""
+    from .fetch import fetch_at, fetch_path
+    from .publish import publish_path, rename_column
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "rename_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(
+        spark, path, nation.filter(F.col("n_nationkey") < 10), ["n_regionkey"]
+    )
+    rename_column(spark, path, "n_name", "nation_name")
+    publish_path(
+        spark, path,
+        nation.filter(F.col("n_nationkey") >= 10)
+        .withColumnRenamed("n_name", "nation_name"),
+        ["n_regionkey"], mode="append",
+    )
+    try:
+        publish_path(
+            spark, path,
+            nation.limit(1), ["n_regionkey"], mode="append",
+        )
+        raise AssertionError("old-name append was accepted")
+    except ValueError:
+        pass
+    assert fetch_at(spark, path, 1).columns == [
+        "n_nationkey", "nation_name", "n_regionkey"
+    ]
+    return fetch_path(spark, path).select(
+        "n_nationkey", "nation_name", "n_regionkey"
+    )
+
+
+QUERIES_EXT2["rename_evolution_fetch"] = q_rename_evolution_fetch
+ORACLE_EXT2["rename_evolution_fetch"] = """
+    SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
+"""

@@ -267,3 +267,92 @@ class TestAttachAt:
             attach_at(spark, tmp_dataset_dir, "x", version=1, ts=t_mid)
         with _pytest.raises(ValueError, match="exactly one"):
             attach_at(spark, tmp_dataset_dir, "x")
+
+
+class TestColumnRenameDrop:
+    def _ds(self, spark, tmp_path):
+        from s3parq_spark.publish import publish_path
+
+        p = str(tmp_path / "ren")
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0)], ["k", "p", "price"]
+        )
+        publish_path(spark, p, df, ["p"])
+        return p
+
+    def test_rename_maps_old_files_and_new_appends(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_at, fetch_path
+        from s3parq_spark.publish import publish_path, rename_column
+
+        p = self._ds(spark, tmp_path)
+        rename_column(spark, p, "price", "unit_price")
+        assert fetch_path(spark, p).columns == ["k", "p", "unit_price"]
+        publish_path(
+            spark, p,
+            spark.createDataFrame([(3, "a", 30.0)], ["k", "p", "unit_price"]),
+            ["p"], mode="append",
+        )
+        got = sorted(
+            map(tuple, fetch_path(spark, p).select("k", "unit_price").collect())
+        )
+        assert got == [(1, 10.0), (2, 20.0), (3, 30.0)]
+        # time travel to the pre-rename snapshot serves the mapped name too
+        v1 = sorted(
+            map(tuple, fetch_at(spark, p, 1).select("k", "unit_price").collect())
+        )
+        assert v1 == [(1, 10.0), (2, 20.0)]
+
+    def test_old_name_append_rejected(self, spark, tmp_path):
+        from s3parq_spark.publish import publish_path, rename_column
+
+        p = self._ds(spark, tmp_path)
+        rename_column(spark, p, "price", "unit_price")
+        with pytest.raises(ValueError, match="prior physical names"):
+            publish_path(
+                spark, p,
+                spark.createDataFrame([(9, "a", 1.0)], ["k", "p", "price"]),
+                ["p"], mode="append",
+            )
+
+    def test_chained_rename_folds_history(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.metadata import read_sidecar
+        from s3parq_spark.publish import rename_column
+
+        p = self._ds(spark, tmp_path)
+        rename_column(spark, p, "price", "unit_price")
+        rename_column(spark, p, "unit_price", "cost")
+        meta = read_sidecar(spark, p)
+        assert meta.column_renames == {"cost": ["unit_price", "price"]}
+        got = sorted(map(tuple, fetch_path(spark, p).select("k", "cost").collect()))
+        assert got == [(1, 10.0), (2, 20.0)]
+
+    def test_drop_hides_column_and_tombstones_names(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import drop_column, publish_path, rename_column
+
+        p = self._ds(spark, tmp_path)
+        rename_column(spark, p, "price", "unit_price")
+        drop_column(spark, p, "unit_price")
+        assert fetch_path(spark, p).columns == ["k", "p"]
+        # neither dead physical name may return as a new column
+        for dead in ("price", "unit_price"):
+            with pytest.raises(ValueError, match="prior physical names"):
+                publish_path(
+                    spark, p,
+                    spark.createDataFrame([(8, "a", 5.0)], ["k", "p", dead]),
+                    ["p"], mode="append",
+                )
+
+    def test_partition_and_name_guards(self, spark, tmp_path):
+        from s3parq_spark.publish import drop_column, rename_column
+
+        p = self._ds(spark, tmp_path)
+        with pytest.raises(ValueError, match="partition column"):
+            rename_column(spark, p, "p", "p2")
+        with pytest.raises(ValueError, match="partition column"):
+            drop_column(spark, p, "p")
+        with pytest.raises(ValueError, match="already in use"):
+            rename_column(spark, p, "price", "k")
+        with pytest.raises(ValueError, match="no column"):
+            rename_column(spark, p, "ghost", "g2")
