@@ -849,11 +849,41 @@ def repartition_dataset(
     return fs.list_files(spark, path)
 
 
+def changes_path(path: str) -> str:
+    """The sibling change-feed dataset of ``path`` (Delta's CDF `_change_data`,
+    as its own published dataset)."""
+    return path.rstrip("/") + "__changes"
+
+
+def _log_changes(spark, path, rows_df, version) -> None:
+    """Append change rows (payload + ``_change_type`` already attached) to
+    the sibling change-feed dataset, stamped with the source's head
+    snapshot version at DML time. MUST run before the rewrite — the rows
+    are computed lazily from the pre-DML files. The log is its own
+    dataset commit, so a crash between the log append and the rewrite
+    leaves an at-least-once feed (consumers dedup on
+    (_commit_version, _change_type, key)); single-dataset engines make
+    this atomic with a shared commit, which two hive datasets cannot.
+
+    Ordering: ``_commit_version`` is the SOURCE's head version and goes
+    NULL once a destructive rewrite clears the source history — the
+    durable change ordering is the feed dataset's OWN snapshot history
+    (each DML logs one append), so consumers replay with
+    ``fetch_changes(changes_path(p), from_v, to_v)``.
+    """
+    log = rows_df.withColumn(
+        "_commit_version",
+        F.lit(version).cast("long"),
+    )
+    publish_path(spark, changes_path(path), log, [], mode="append")
+
+
 def delete_where(
     spark: SparkSession,
     path: str,
     predicate: str,
     dry_run: bool = False,
+    change_log: bool = False,
 ) -> int:
     """Row-level DELETE on a published dataset, as a partition-scoped
     rewrite (copy-on-write, the Delta/Iceberg CoW strategy): only hive
@@ -869,6 +899,12 @@ def delete_where(
     On an unpartitioned dataset every file is a candidate, so the whole
     table rewrites through the compaction temp-dir swap.
 
+    ``change_log=True`` additionally appends the deleted rows (payload +
+    ``_change_type='delete'`` + ``_commit_version``) to the sibling
+    change-feed dataset (``changes_path(path)``) BEFORE the rewrite —
+    row-level CDF for DELETE, complementing ``fetch_changes``'s
+    version-level feed for appends.
+
     Returns the number of rows deleted (``dry_run=True`` counts only).
     """
     from .fetch import fetch_path
@@ -882,6 +918,16 @@ def delete_where(
     n_delete = df.filter(pred).count()
     if n_delete == 0 or dry_run:
         return n_delete
+    if change_log:
+        head = sidecar.snapshots[-1]["version"] if sidecar.snapshots else None
+        _log_changes(
+            spark,
+            path,
+            df.filter(F.coalesce(pred, F.lit(False))).withColumn(
+                "_change_type", F.lit("delete")
+            ),
+            head,
+        )
     keep_pred = ~F.coalesce(pred, F.lit(False))
 
     if not parts:
@@ -926,6 +972,7 @@ def update_where(
     set_exprs: Dict[str, str],
     predicate: str,
     dry_run: bool = False,
+    change_log: bool = False,
 ) -> int:
     """Row-level UPDATE on a published dataset — the same partition-scoped
     copy-on-write as ``delete_where``: only hive partitions containing
@@ -975,6 +1022,22 @@ def update_where(
             for c, e in set_exprs.items()
         }
     )
+    if change_log:
+        # pre- and post-images of the matched rows, logged BEFORE the
+        # rewrite (both frames read the pre-DML files lazily)
+        head = sidecar.snapshots[-1]["version"] if sidecar.snapshots else None
+        _log_changes(
+            spark,
+            path,
+            df.filter(hit)
+            .withColumn("_change_type", F.lit("update_preimage"))
+            .unionByName(
+                updated.filter(hit).withColumn(
+                    "_change_type", F.lit("update_postimage")
+                )
+            ),
+            head,
+        )
 
     if not parts:
         tmp = path.rstrip("/") + ".updating"

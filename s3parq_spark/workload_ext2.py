@@ -1927,3 +1927,58 @@ QUERIES_EXT2["rename_evolution_fetch"] = q_rename_evolution_fetch
 ORACLE_EXT2["rename_evolution_fetch"] = """
     SELECT n_nationkey, n_name AS nation_name, n_regionkey FROM nation
 """
+
+
+# ---------------------------------------------------------------------------
+# row-level change data feed for DML
+# ---------------------------------------------------------------------------
+
+
+def q_dml_change_feed(spark, sf_dir):
+    """Row-level CDF for DML (publish.py change_log): publish nation,
+    UPDATE (bump region of nations 0-4) and DELETE (nations 20+) with
+    change logging; the feed dataset then carries the pre/post images and
+    deleted rows — what a downstream sync consumes to mirror the DML
+    without diffing snapshots. Feed ordering is the feed's own version
+    history (asserted: one append per DML). Oracle replays the expected
+    change rows from the raw table."""
+    from .fetch import fetch_path, list_versions
+    from .publish import (
+        changes_path, delete_where, publish_path, update_where,
+    )
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "cdf_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(changes_path(path), ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(spark, path, nation, ["n_regionkey"])
+    update_where(
+        spark, path, {"n_name": "concat(n_name, '_X')"},
+        "n_nationkey < 5", change_log=True,
+    )
+    delete_where(spark, path, "n_nationkey >= 20", change_log=True)
+    assert [v["version"] for v in list_versions(spark, changes_path(path))] \
+        == [1, 2], "feed history must order the two DML commits"
+    return fetch_path(spark, changes_path(path)).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type"
+    )
+
+
+QUERIES_EXT2["dml_change_feed"] = q_dml_change_feed
+ORACLE_EXT2["dml_change_feed"] = """
+    SELECT n_nationkey, n_name, n_regionkey,
+           'update_preimage' AS _change_type
+    FROM nation WHERE n_nationkey < 5
+    UNION ALL
+    SELECT n_nationkey, n_name || '_X', n_regionkey, 'update_postimage'
+    FROM nation WHERE n_nationkey < 5
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'delete'
+    FROM nation WHERE n_nationkey >= 20
+"""

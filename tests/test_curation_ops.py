@@ -886,3 +886,50 @@ class TestExpireSnapshotsConcurrency:
         from s3parq_spark.fetch import list_versions
         assert [v["version"] for v in list_versions(spark, tmp_dataset_dir)] \
             == [1, 2, 3, 4, 5]
+
+
+class TestDmlChangeFeed:
+    def test_update_and_delete_log_changes(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import fetch_path, list_versions
+        from s3parq_spark.publish import (
+            changes_path, delete_where, update_where,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0)], ["k", "p", "v"]
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        assert update_where(
+            spark, tmp_dataset_dir, {"v": "v + 1"}, "k = 2", change_log=True
+        ) == 1
+        assert delete_where(
+            spark, tmp_dataset_dir, "k = 3", change_log=True
+        ) == 1
+        ch = fetch_path(spark, changes_path(tmp_dataset_dir))
+        rows = {(r["_change_type"], r["k"]): r for r in ch.collect()}
+        assert set(rows) == {
+            ("update_preimage", 2), ("update_postimage", 2), ("delete", 3)
+        }
+        assert rows[("update_preimage", 2)]["v"] == 20.0
+        assert rows[("update_postimage", 2)]["v"] == 21.0
+        assert rows[("delete", 3)]["v"] == 30.0
+        # the feed's own history orders the commits: one append per DML
+        assert [v["version"] for v in
+                list_versions(spark, changes_path(tmp_dataset_dir))] == [1, 2]
+        # the main table is unaffected by logging
+        got = sorted(map(tuple, fetch_path(spark, tmp_dataset_dir)
+                         .select("k", "v").collect()))
+        assert got == [(1, 10.0), (2, 21.0)]
+
+    def test_no_log_without_flag_and_no_log_on_noop(self, spark, tmp_dataset_dir):
+        import os
+
+        from s3parq_spark.publish import changes_path, delete_where, update_where
+
+        df = spark.createDataFrame([(1, "a", 10.0)], ["k", "p", "v"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        update_where(spark, tmp_dataset_dir, {"v": "0.0"}, "k = 1")
+        assert not os.path.exists(changes_path(tmp_dataset_dir))
+        # matched-nothing DML logs nothing even with the flag
+        delete_where(spark, tmp_dataset_dir, "k = 99", change_log=True)
+        assert not os.path.exists(changes_path(tmp_dataset_dir))
