@@ -281,18 +281,20 @@ def merge_sidecar(
     # name-based mapping hazard: a new column reusing a renamed-away (or
     # still-mapped prior) physical name would make readers coalesce old
     # files' bytes into it — resurrection, not evolution. Reject loudly.
-    prior_names = {
+    reserved = {
         p for priors in existing.column_renames.values() for p in priors
-    }
+    } | set(existing.column_renames)  # prior names AND mapping/tombstone keys
     clashes = [
         c for c in new.column_types
-        if c in prior_names and c not in existing.column_types
+        if c not in existing.column_types
+        and (c in reserved or c.startswith("__dropped_"))
     ]
     if clashes:
         raise ValueError(
             f"append columns {clashes} reuse prior physical names of "
-            "renamed columns; choose fresh names (name-based mapping has "
-            "no field IDs)"
+            "renamed/dropped columns (or the reserved __dropped_ "
+            "namespace); choose fresh names (name-based mapping has no "
+            "field IDs)"
         )
     merged = DatasetMetadata(
         new.partitions,

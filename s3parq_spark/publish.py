@@ -550,6 +550,22 @@ def publish_path(
             }
         )
     merged.snapshots = snaps
+    if mode == "append" and existing is not None:
+        # a metadata DDL op (rename/drop) may have rewritten the sidecar
+        # while this publish's files were writing; committing the merged
+        # sidecar built from the pre-DDL read would silently undo it
+        cur2 = metadata.read_sidecar(spark, path)
+        if cur2 is not None and (
+            cur2.column_renames != existing.column_renames
+            or cur2.column_types != existing.column_types
+            or cur2.partitions != existing.partitions
+        ):
+            raise ConcurrentWriteError(
+                f"schema metadata at {path} changed during the write "
+                "(concurrent rename/drop?): this publish's files are "
+                "unacknowledged orphans (vacuum_dataset removes them); "
+                "re-read and retry"
+            )
     metadata.write_sidecar(spark, path, merged)
     return new
 
@@ -1024,17 +1040,25 @@ def update_where(
     )
     if change_log:
         # pre- and post-images of the matched rows, logged BEFORE the
-        # rewrite (both frames read the pre-DML files lazily)
+        # rewrite (both frames read the pre-DML files lazily). The
+        # postimage applies set_exprs to the PRE-image rows — filtering
+        # the post-update frame with the predicate would re-evaluate it
+        # on updated values and drop rows the update pushed out of the
+        # predicate (e.g. SET v = v - 100 WHERE v > 10).
         head = sidecar.snapshots[-1]["version"] if sidecar.snapshots else None
+        pre = df.filter(hit)
+        post = pre.withColumns(
+            {
+                c: F.expr(e).cast(df.schema[c].dataType)
+                for c, e in set_exprs.items()
+            }
+        )
         _log_changes(
             spark,
             path,
-            df.filter(hit)
-            .withColumn("_change_type", F.lit("update_preimage"))
+            pre.withColumn("_change_type", F.lit("update_preimage"))
             .unionByName(
-                updated.filter(hit).withColumn(
-                    "_change_type", F.lit("update_postimage")
-                )
+                post.withColumn("_change_type", F.lit("update_postimage"))
             ),
             head,
         )
@@ -1372,16 +1396,23 @@ def _guarded_sidecar_write(spark, path, mutate):
     concurrency guard: the snapshot history is re-read immediately before
     the write and the operation aborts if it changed (a concurrent
     publish's entry must never be lost to a stale write)."""
+    import json as _json
+
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"no sidecar at {path}")
-    before = [s["version"] for s in meta.snapshots]
+    before = _json.dumps(meta.to_dict(), sort_keys=True, default=str)
     mutate(meta)
     current = metadata.read_sidecar(spark, path)
-    if current is None or [s["version"] for s in current.snapshots] != before:
+    # full-content compare, not just the snapshot head: two concurrent
+    # METADATA ops (rename/rename, rename/drop) change no snapshot, and a
+    # stale write would silently discard the other's schema change
+    if current is None or _json.dumps(
+        current.to_dict(), sort_keys=True, default=str
+    ) != before:
         raise ConcurrentWriteError(
             f"sidecar at {path} changed during the metadata operation "
-            "(concurrent publish?); re-run"
+            "(concurrent publish or DDL?); re-run"
         )
     metadata.write_sidecar(spark, path, meta)
     return meta
@@ -1404,6 +1435,11 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
     """
     if not new or not new.replace("_", "").isalnum() or new[0].isdigit():
         raise ValueError(f"rename_column: invalid column name {new!r}")
+    if new.startswith("__dropped_"):
+        raise ValueError(
+            "rename_column: the __dropped_ prefix is reserved for drop "
+            "tombstones"
+        )
 
     def mutate(meta):
         if old not in meta.column_types:
@@ -1413,9 +1449,11 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
                 f"rename_column: {old!r} is a partition column — its name "
                 "is the directory layout; re-layout with repartition_dataset"
             )
-        used = set(meta.column_types) | {
-            p for priors in meta.column_renames.values() for p in priors
-        }
+        used = (
+            set(meta.column_types)
+            | set(meta.column_renames)  # incl. __dropped_ tombstone keys
+            | {p for priors in meta.column_renames.values() for p in priors}
+        )
         if new in used:
             raise ValueError(
                 f"rename_column: name {new!r} already in use (current or "
@@ -1467,6 +1505,16 @@ def drop_column(spark: SparkSession, path: str, name: str) -> None:
                 f"drop_column: {name!r} is a partition column; re-layout "
                 "with repartition_dataset instead"
             )
+        import re as _re
+
+        for dcol, expr in meta.derived_partitions.items():
+            if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"drop_column: {name!r} is referenced by derived "
+                    f"partition {dcol!r} ({expr}); appends re-derive the "
+                    "transform and would break — drop/recreate the "
+                    "transform first"
+                )
         priors = meta.column_renames.pop(name, [])
         meta.column_types.pop(name)
         # tombstone: map a never-readable sentinel to the dead physical

@@ -356,3 +356,51 @@ class TestColumnRenameDrop:
             rename_column(spark, p, "price", "k")
         with pytest.raises(ValueError, match="no column"):
             rename_column(spark, p, "ghost", "g2")
+
+    def test_cdf_postimage_when_update_leaves_predicate(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import changes_path, publish_path, update_where
+
+        p = str(tmp_path / "cdfpred")
+        df = spark.createDataFrame([(1, "a", 120.0), (2, "a", 5.0)], ["k", "p", "v"])
+        publish_path(spark, p, df, ["p"])
+        # the update pushes the matched row OUT of the predicate: the
+        # postimage must still be logged
+        update_where(spark, p, {"v": "v - 100"}, "v > 10", change_log=True)
+        ch = {(r["_change_type"]): r for r in
+              fetch_path(spark, changes_path(p)).collect()}
+        assert set(ch) == {"update_preimage", "update_postimage"}
+        assert ch["update_preimage"]["v"] == 120.0
+        assert ch["update_postimage"]["v"] == 20.0
+
+    def test_tombstone_namespace_reserved(self, spark, tmp_path):
+        from s3parq_spark.publish import drop_column, publish_path, rename_column
+
+        p = self._ds(spark, tmp_path)
+        drop_column(spark, p, "price")
+        # a literal __dropped_price column cannot be appended
+        with pytest.raises(ValueError, match="__dropped_"):
+            publish_path(
+                spark, p,
+                spark.createDataFrame(
+                    [(8, "a", 1.0)], ["k", "p", "__dropped_price"]
+                ),
+                ["p"], mode="append",
+            )
+        # and rename_column cannot target the reserved namespace
+        with pytest.raises(ValueError, match="reserved"):
+            rename_column(spark, p, "k", "__dropped_price")
+
+    def test_drop_guard_for_derived_partitions(self, spark, tmp_path):
+        from s3parq_spark.publish import drop_column, publish_path
+
+        p = str(tmp_path / "dropderived")
+        df = spark.createDataFrame(
+            [(1, 10.0, "2024-01-02")], ["k", "v", "d"]
+        ).withColumn("d", F.to_date("d"))
+        publish_path(
+            spark, p, df, [],
+            derived_partitions={"month": "date_format(d, 'yyyy-MM')"},
+        )
+        with pytest.raises(ValueError, match="derived"):
+            drop_column(spark, p, "d")
