@@ -647,6 +647,7 @@ def merge_upsert(
     updates,
     keys: List[str],
     seq_col: str,
+    change_log: bool = False,
 ) -> List[str]:
     """MERGE INTO for published datasets: apply a CDC batch (updates +
     inserts) — per key, the row with the highest ``seq_col`` wins, updates
@@ -666,6 +667,13 @@ def merge_upsert(
     (map-side partials — a key updated a million times ships one candidate
     per task), and a dynamic partition overwrite of the touched
     partitions. Cost is O(touched partitions + batch), not O(dataset).
+
+    ``change_log=True`` appends the MERGE's row-level effects to the
+    sibling change-feed dataset before the rewrite: ``insert`` rows (batch
+    keys new to the table), and ``update_preimage``/``update_postimage``
+    pairs for keys where the batch row won the seq tie-break (keys where
+    the existing row won produce no change rows). Preimages assume the
+    merge contract that keys are unique in the current table.
     """
     from .fetch import fetch_path
     from .operators.timeseries import latest_state
@@ -700,11 +708,34 @@ def merge_upsert(
     src_old = existing.withColumn("__src", F.lit(0))
     src_new = up.select(*cols).withColumn("__src", F.lit(1))
     payload = [c for c in cols if c not in keys and c != seq_col]
-    merged = latest_state(
+    merged_src = latest_state(
         src_old.unionByName(src_new), keys, seq_col, "__src", payload
-    ).drop("__src")
+    )
+    merged = merged_src.drop("__src").select(*cols)
+    if change_log:
+        head = meta.snapshots[-1]["version"] if meta.snapshots else None
+        ex_keys = existing.select(*keys).distinct()
+        inserts = (
+            merged_src.join(ex_keys, keys, "left_anti")
+            .drop("__src")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("insert"))
+        )
+        won = merged_src.filter(F.col("__src") == 1).join(
+            ex_keys, keys, "left_semi"
+        )
+        post = (
+            won.drop("__src")
+            .select(*cols)
+            .withColumn("_change_type", F.lit("update_postimage"))
+        )
+        pre = existing.join(
+            won.select(*keys).distinct(), keys, "left_semi"
+        ).withColumn("_change_type", F.lit("update_preimage"))
+        _log_changes(
+            spark, path, inserts.unionByName(post).unionByName(pre), head
+        )
     # restore seq ordering column position, then swap the touched partitions
-    merged = merged.select(*cols)
     return overwrite_partitions(spark, path, merged, partitions)
 
 

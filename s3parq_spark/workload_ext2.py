@@ -1982,3 +1982,55 @@ ORACLE_EXT2["dml_change_feed"] = """
     SELECT n_nationkey, n_name, n_regionkey, 'delete'
     FROM nation WHERE n_nationkey >= 20
 """
+
+
+def q_merge_change_feed(spark, sf_dir):
+    """MERGE change feed (publish.py merge_upsert change_log): publish
+    nation with a seq column, merge a batch that updates nations 0-2
+    (winning seq), re-sends nation 3 with a LOSING seq (no change rows),
+    and inserts shifted keys 100-102; the feed carries exactly the insert
+    rows and the update pre/post pairs. Oracle derives the same change
+    set from the raw table."""
+    from .fetch import fetch_path
+    from .publish import changes_path, merge_upsert, publish_path
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "merge_cdf_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    shutil.rmtree(changes_path(path), ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    ).withColumn("seq", F.lit(0))
+    publish_path(spark, path, nation, ["n_regionkey"])
+    batch = (
+        nation.filter(F.col("n_nationkey") < 3)
+        .withColumn("n_name", F.concat(F.col("n_name"), F.lit("_M")))
+        .withColumn("seq", F.lit(1))
+    ).unionByName(
+        nation.filter(F.col("n_nationkey") == 3).withColumn("seq", F.lit(-1))
+    ).unionByName(
+        nation.filter(F.col("n_nationkey") < 3)
+        .withColumn("n_nationkey", F.col("n_nationkey") + 100)
+        .withColumn("seq", F.lit(1))
+    )
+    merge_upsert(spark, path, batch, ["n_nationkey"], "seq", change_log=True)
+    return fetch_path(spark, changes_path(path)).select(
+        "n_nationkey", "n_name", "n_regionkey", "_change_type"
+    )
+
+
+QUERIES_EXT2["merge_change_feed"] = q_merge_change_feed
+ORACLE_EXT2["merge_change_feed"] = """
+    SELECT n_nationkey + 100 AS n_nationkey, n_name,
+           n_regionkey, 'insert' AS _change_type
+    FROM nation WHERE n_nationkey < 3
+    UNION ALL
+    SELECT n_nationkey, n_name, n_regionkey, 'update_preimage'
+    FROM nation WHERE n_nationkey < 3
+    UNION ALL
+    SELECT n_nationkey, n_name || '_M', n_regionkey, 'update_postimage'
+    FROM nation WHERE n_nationkey < 3
+"""

@@ -933,3 +933,28 @@ class TestDmlChangeFeed:
         # matched-nothing DML logs nothing even with the flag
         delete_where(spark, tmp_dataset_dir, "k = 99", change_log=True)
         assert not os.path.exists(changes_path(tmp_dataset_dir))
+
+    def test_merge_upsert_change_log(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import changes_path, merge_upsert
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0, 0), (2, "a", 20.0, 0)], ["k", "p", "v", "seq"]
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        batch = spark.createDataFrame(
+            [(2, "a", 99.0, 1),    # wins on seq -> update pair
+             (3, "a", 30.0, 1),    # new key -> insert
+             (1, "a", 5.0, -1)],   # loses on seq -> no change rows
+            ["k", "p", "v", "seq"],
+        )
+        merge_upsert(spark, tmp_dataset_dir, batch, ["k"], "seq",
+                     change_log=True)
+        ch = sorted(map(tuple, fetch_path(
+            spark, changes_path(tmp_dataset_dir)
+        ).select("k", "v", "_change_type").collect()))
+        assert ch == [
+            (2, 20.0, "update_preimage"),
+            (2, 99.0, "update_postimage"),
+            (3, 30.0, "insert"),
+        ]
