@@ -26,6 +26,7 @@ from .fetch import (
 )
 from .export import export_jsonl, read_jsonl
 from .publish import (
+    apply_change_feed,
     custom_publish,
     drop_column,
     expire_snapshots,
@@ -42,6 +43,7 @@ from .session_helper import SessionHelper
 
 __all__ = [
     "MissingS3ParqMetadata",
+    "apply_change_feed",
     "attach",
     "custom_publish",
     "dataset_files",

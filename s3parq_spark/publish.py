@@ -739,6 +739,103 @@ def merge_upsert(
     return overwrite_partitions(spark, path, merged, partitions)
 
 
+def apply_change_feed(
+    spark: SparkSession,
+    mirror_path: str,
+    feed_path: str,
+    keys: List[str],
+    from_version: int = 0,
+    to_version: Optional[int] = None,
+) -> int:
+    """Replay a change feed onto a MIRROR dataset — the downstream half of
+    the CDC story: the source runs DML with ``change_log=True``, the
+    mirror calls this with the feed versions it has not yet applied, and
+    afterwards the mirror equals the source without ever diffing
+    snapshots. Returns the number of change rows applied.
+
+    Semantics: feed commits in ``(from_version, to_version]`` apply in
+    version order; per key the newest effect wins — ``insert`` /
+    ``update_postimage`` upsert the row, ``delete`` removes it
+    (``update_preimage`` rows are provenance, not instructions, and are
+    ignored). Idempotent: re-applying an already-applied range converges
+    to the same mirror state.
+
+    Scale shape: the per-commit deltas are file-level manifest slices of
+    the feed (no row diffing); the mirror is read ONLY in the hive
+    partitions the change rows touch (the ``merge_upsert`` precondition:
+    partition columns stable per key); winner selection is one
+    max-struct aggregate; the swap is a dynamic partition overwrite of
+    touched partitions, with partitions emptied by deletes removed
+    explicitly (the ``delete_where`` rule).
+    """
+    from .fetch import fetch_changes, fetch_path, list_versions
+    from .operators.timeseries import latest_state
+
+    meta = metadata.read_sidecar(spark, mirror_path)
+    if meta is None:
+        raise ValueError(f"no dataset at {mirror_path}")
+    partitions = list(meta.partitions)
+    if not partitions:
+        raise ValueError(
+            "apply_change_feed requires a partitioned mirror (the "
+            "partition scope keeps the apply O(touched), not O(mirror))"
+        )
+    hist = [v["version"] for v in list_versions(spark, feed_path)]
+    if to_version is None:
+        to_version = hist[-1] if hist else 0
+    apply_vs = [v for v in hist if from_version < v <= to_version]
+    if not apply_vs:
+        return 0
+    deltas = []
+    for v in apply_vs:
+        idx = hist.index(v)
+        prev = hist[idx - 1] if idx > 0 else 0
+        deltas.append(
+            fetch_changes(spark, feed_path, prev, v).withColumn(
+                "__fv", F.lit(v).cast("long")
+            )
+        )
+    stream = deltas[0]
+    for d in deltas[1:]:
+        stream = stream.unionByName(d)
+    stream = stream.filter(
+        F.col("_change_type").isin("insert", "update_postimage", "delete")
+    )
+    n_applied = stream.count()
+    if n_applied == 0:
+        return 0
+
+    mirror = fetch_path(spark, mirror_path)
+    cols = mirror.columns
+    pred = None
+    for row in stream.select(*partitions).distinct().collect():
+        clause = F.lit(True)
+        for p in partitions:
+            clause = clause & (F.col(p) == F.lit(row[p]))
+        pred = clause if pred is None else (pred | clause)
+    base = (
+        mirror.filter(pred)
+        .withColumn("__fv", F.lit(0).cast("long"))
+        .withColumn("_change_type", F.lit("base"))
+    )
+    all_rows = base.unionByName(stream.select(*base.columns))
+    # the tiebreak column rides along in latest_state's output, so the
+    # change type is available for the delete filter without duplication
+    payload = [c for c in cols if c not in keys]
+    winners = latest_state(all_rows, keys, "__fv", "_change_type", payload)
+    survivors = winners.filter(
+        F.col("_change_type") != "delete"
+    ).select(*cols)
+
+    touched_dirs = set(_touched_partition_dirs(spark, stream, partitions))
+    survivor_dirs = set(_touched_partition_dirs(spark, survivors, partitions))
+    overwrite_partitions(spark, mirror_path, survivors, partitions)
+    emptied = sorted(touched_dirs - survivor_dirs)
+    for d in emptied:
+        fs.delete(spark, posixpath.join(mirror_path, d), recursive=True)
+    return n_applied
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,

@@ -2034,3 +2034,56 @@ ORACLE_EXT2["merge_change_feed"] = """
     SELECT n_nationkey, n_name || '_M', n_regionkey, 'update_postimage'
     FROM nation WHERE n_nationkey < 3
 """
+
+
+def q_cdc_mirror_fetch(spark, sf_dir):
+    """CDC round trip, source to mirror (publish.py apply_change_feed):
+    source and mirror both start as nation; the source runs UPDATE (name
+    suffix for keys < 5) and DELETE (keys >= 20) with change logging; the
+    mirror replays the feed and is fetched. Asserts mirror == source
+    exactly before returning. Oracle = the expected final table derived
+    from raw nation — the mirror must reconstruct it from change rows
+    alone, never reading the source."""
+    from .fetch import fetch_path
+    from .publish import (
+        apply_change_feed, changes_path, delete_where, publish_path,
+        update_where,
+    )
+    from .workload import _CACHE_ROOT
+
+    root = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    )
+    src = os.path.join(root, "cdc_src")
+    mir = os.path.join(root, "cdc_mir")
+    for p in (src, mir, changes_path(src)):
+        shutil.rmtree(p, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(spark, src, nation, ["n_regionkey"])
+    publish_path(spark, mir, nation, ["n_regionkey"])
+    update_where(
+        spark, src, {"n_name": "concat(n_name, '_C')"},
+        "n_nationkey < 5", change_log=True,
+    )
+    delete_where(spark, src, "n_nationkey >= 20", change_log=True)
+    n = apply_change_feed(spark, mir, changes_path(src), ["n_nationkey"])
+    assert n == 10, f"expected 10 applied change rows, got {n}"
+    a = sorted(map(tuple, fetch_path(spark, src).collect()))
+    b = sorted(map(tuple, fetch_path(spark, mir).collect()))
+    assert a == b, "mirror diverged from source after replay"
+    return fetch_path(spark, mir).select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+
+
+QUERIES_EXT2["cdc_mirror_fetch"] = q_cdc_mirror_fetch
+ORACLE_EXT2["cdc_mirror_fetch"] = """
+    SELECT n_nationkey,
+           CASE WHEN n_nationkey < 5 THEN n_name || '_C' ELSE n_name END
+             AS n_name,
+           n_regionkey
+    FROM nation
+    WHERE n_nationkey < 20
+"""

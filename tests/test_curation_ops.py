@@ -958,3 +958,54 @@ class TestDmlChangeFeed:
             (2, 99.0, "update_postimage"),
             (3, 30.0, "insert"),
         ]
+
+    def test_apply_change_feed_mirrors_source(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import (
+            apply_change_feed, changes_path, delete_where, update_where,
+        )
+
+        src, mir = str(tmp_path / "src"), str(tmp_path / "mir")
+        df = spark.createDataFrame(
+            [(i, "a" if i % 2 else "b", float(i)) for i in range(10)],
+            ["k", "p", "v"],
+        )
+        publish_path(spark, src, df, ["p"])
+        publish_path(spark, mir, df, ["p"])
+        update_where(spark, src, {"v": "v * 10"}, "k < 3", change_log=True)
+        delete_where(spark, src, "k >= 8", change_log=True)
+        n = apply_change_feed(spark, mir, changes_path(src), ["k"])
+        assert n == 5  # 3 update pairs -> 3 postimages, 2 deletes
+        a = sorted(map(tuple, fetch_path(spark, src).collect()))
+        b = sorted(map(tuple, fetch_path(spark, mir).collect()))
+        assert a == b
+        # idempotent: re-applying the same range converges
+        apply_change_feed(spark, mir, changes_path(src), ["k"])
+        assert sorted(map(tuple, fetch_path(spark, mir).collect())) == b
+
+    def test_apply_change_feed_incremental_ranges(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_path, list_versions
+        from s3parq_spark.publish import (
+            apply_change_feed, changes_path, delete_where, update_where,
+        )
+
+        src, mir = str(tmp_path / "s2"), str(tmp_path / "m2")
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0)], ["k", "p", "v"]
+        )
+        publish_path(spark, src, df, ["p"])
+        publish_path(spark, mir, df, ["p"])
+        update_where(spark, src, {"v": "99.0"}, "k = 1", change_log=True)
+        # apply only commit 1, then the rest
+        assert apply_change_feed(
+            spark, mir, changes_path(src), ["k"], from_version=0, to_version=1
+        ) == 1
+        delete_where(spark, src, "k = 2", change_log=True)
+        assert apply_change_feed(
+            spark, mir, changes_path(src), ["k"], from_version=1
+        ) == 1
+        a = sorted(map(tuple, fetch_path(spark, src).collect()))
+        b = sorted(map(tuple, fetch_path(spark, mir).collect()))
+        assert a == b == [(1, "a", 99.0)]
+        # the partition emptied by the delete is gone on the mirror too
+        assert [v["version"] for v in list_versions(spark, changes_path(src))] == [1, 2]
