@@ -176,6 +176,118 @@ def get_diff_partition_values(
 
 
 
+
+#: date_format patterns whose output string order equals the source time
+#: order (zero-padded, most-significant-first) — the safe range-pushdown set
+_MONOTONE_DATE_FMTS = ("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd-HH")
+
+
+def _eval_transform(spark, expr, col, vtype, value):
+    """Evaluate a derived-partition SQL expression against one literal value
+    of its source column — a 1-row local relation, no job."""
+    schema = T.StructType(
+        [T.StructField(col, metadata.vocab_to_spark_type(vtype), True)]
+    )
+    typed = metadata.convert_type(value, vtype) if isinstance(value, str) else value
+    row = (
+        spark.createDataFrame([(typed,)], schema)
+        .select(F.expr(expr).alias("v"))
+        .first()
+    )
+    return row["v"]
+
+
+def _derived_pushdown(spark, meta, filters):
+    """Iceberg-style transform-predicate pushdown: a filter naming the
+    SOURCE column of a derived (hidden) partition is split into (a) a
+    partition filter on the derived column — values computed by running
+    the recorded transform on the filter literals — and (b) the original
+    predicate as a row-level residual, so semantics stay exact while the
+    file index prunes. This is the half of hidden partitioning that makes
+    it "hidden": users filter on ``ts``, never on ``event_day``.
+
+    Safety rules: equality pushes down for any transform (same input ⇒
+    same derived value); range comparisons push down only for
+    ``date_format`` with a monotone (zero-padded, most-significant-first)
+    pattern, with ``>``/``<`` widened to ``>=``/``<=`` on the derived
+    bound (the partition holding the boundary value must be read — the
+    residual trims it); ``!=`` never prunes (a partition may hold other
+    rows). Filters on actual partition columns pass through untouched.
+
+    Returns ``(user_filters, derived_filters, residual_predicates)``:
+    user filters flow through the reference's validation unchanged;
+    derived filters become a direct Catalyst predicate on the derived
+    partition column (exempt from the reference's no-range-on-string
+    rule — monotone-format bounds are safe by construction, which is
+    knowledge the user-facing API cannot assume); residuals are
+    ``(column, comparison, typed_values)`` applied post-scan.
+    """
+    import re as _re
+
+    part_filters, derived_filters, residuals = [], [], []
+    for f in filters:
+        col = f["partition"]
+        if (
+            col in meta.partition_data_types
+            or not meta.derived_partitions
+            or col not in meta.column_types
+        ):
+            part_filters.append(f)
+            continue
+        hits = [
+            (d, e)
+            for d, e in meta.derived_partitions.items()
+            if _re.search(rf"\b{_re.escape(col)}\b", e)
+        ]
+        if not hits:
+            part_filters.append(f)
+            continue
+        cmp = f["comparison"]
+        vtype = meta.column_types[col]
+        typed_vals = [
+            metadata.convert_type(v, vtype) if isinstance(v, str) else v
+            for v in f["values"]
+        ]
+        residuals.append((col, cmp, typed_vals))
+        for dcol, expr in hits:
+            if cmp in (">", "<", ">=", "<="):
+                m = _re.fullmatch(
+                    rf"\s*date_format\s*\(\s*{_re.escape(col)}\s*,"
+                    rf"\s*'([^']+)'\s*\)\s*",
+                    expr,
+                )
+                if not (m and m.group(1) in _MONOTONE_DATE_FMTS):
+                    continue
+                dcmp = {">": ">=", "<": "<="}.get(cmp, cmp)
+            elif cmp == "==":
+                dcmp = "=="
+            else:
+                continue
+            dvals = [
+                _eval_transform(spark, expr, col, vtype, v) for v in typed_vals
+            ]
+            if any(v is None for v in dvals):
+                continue
+            derived_filters.append((dcol, dcmp, dvals))
+    return part_filters, derived_filters, residuals
+
+
+def _clause_predicate(residuals):
+    from .filters import OPS
+
+    pred = None
+    for col, cmp, vals in residuals:
+        if cmp == "==":
+            clause = F.col(col).isin(vals)
+        else:
+            clause = None
+            for v in vals:
+                term = OPS[cmp](F.col(col), F.lit(v))
+                clause = term if clause is None else (clause | term)
+        pred = clause if pred is None else (pred & clause)
+    return pred
+
+
 def _scan_schema(meta: DatasetMetadata) -> T.StructType:
     """Explicit read schema over the CURRENT column set plus every prior
     physical name of renamed columns (same type, nullable): pre-rename
@@ -256,6 +368,9 @@ def fetch_path(
             raw = raw.select(*columns)
         return raw
 
+    filters, derived_filters, residuals = _derived_pushdown(
+        spark, meta, filters
+    )
     validate_matching_filter_data_type(meta.partition_data_types, filters)
 
     # Explicit full schema in the dataset's original column order (plus
@@ -284,6 +399,14 @@ def fetch_path(
 
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
+    if derived_filters:
+        # superset prune on the derived partition column: Catalyst takes
+        # it to the file index like any partition predicate
+        df = df.filter(_clause_predicate(derived_filters))
+    if residuals:
+        # the exact source-column predicate rides as a row filter on top
+        # of the (superset) derived-partition prune
+        df = df.filter(_clause_predicate(residuals))
     if columns is not None:
         known = set(meta.column_types)
         missing = [c for c in columns if c not in known]

@@ -2087,3 +2087,48 @@ ORACLE_EXT2["cdc_mirror_fetch"] = """
     FROM nation
     WHERE n_nationkey < 20
 """
+
+
+def q_hidden_pushdown_fetch(spark, sf_dir):
+    """Transform-predicate pushdown (fetch.py _derived_pushdown — the
+    "hidden" half of hidden partitioning): events land under a derived
+    event-day layout; the fetch filters on the SOURCE column ts — never
+    naming event_day — and the filter must still prune at the file index
+    (asserted: event_day inside PartitionFilters) while the row-level
+    residual keeps semantics exact. Returns per-type aggregates of the
+    back half of the month; the oracle applies the raw ts predicate."""
+    from .fetch import fetch_path
+    from .streaming import stream_publish
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "hidden_push_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    stream_publish(
+        spark, posixpath.join(sf_dir, "events.parquet"), path, [],
+        derived_partitions={"event_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    out = fetch_path(spark, path, filters=[
+        {"partition": "ts", "comparison": ">=",
+         "values": ["2024-01-15 00:00:00"]},
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "event_day" in plan.split("PartitionFilters", 1)[1][:250], (
+        "source-column filter did not prune via the derived partition"
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+QUERIES_EXT2["hidden_pushdown_fetch"] = q_hidden_pushdown_fetch
+ORACLE_EXT2["hidden_pushdown_fetch"] = """
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
+    GROUP BY event_type
+"""

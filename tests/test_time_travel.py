@@ -404,3 +404,88 @@ class TestColumnRenameDrop:
         )
         with pytest.raises(ValueError, match="derived"):
             drop_column(spark, p, "d")
+
+
+class TestTransformPredicatePushdown:
+    def _ds(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.publish import publish_path
+
+        p = str(tmp_path / "hp")
+        rows = [
+            (i, datetime.datetime(2024, 1, 1 + i % 10, 6, 0, 0), float(i))
+            for i in range(100)
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        publish_path(
+            spark, p, df, [],
+            derived_partitions={"event_day": "date_format(ts, 'yyyy-MM-dd')"},
+        )
+        return p, rows
+
+    def test_source_range_filter_prunes_and_stays_exact(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+
+        p, rows = self._ds(spark, tmp_path)
+        out = fetch_path(spark, p, filters=[
+            {"partition": "ts", "comparison": ">=",
+             "values": ["2024-01-07 00:00:00"]},
+        ])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "event_day" in plan.split("PartitionFilters", 1)[1][:250]
+        assert out.count() == len(
+            [r for r in rows if r[1] >= datetime.datetime(2024, 1, 7)]
+        )
+
+    def test_strict_boundary_trimmed_by_residual(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+
+        p, rows = self._ds(spark, tmp_path)
+        # '>' widens to '>=' at the partition level; the residual row
+        # filter must trim the boundary partition's equal rows
+        out = fetch_path(spark, p, filters=[
+            {"partition": "ts", "comparison": ">",
+             "values": ["2024-01-07 06:00:00"]},
+        ])
+        assert out.count() == len(
+            [r for r in rows if r[1] > datetime.datetime(2024, 1, 7, 6)]
+        )
+
+    def test_equality_and_nonmonotone_fallback(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import publish_path
+
+        p, rows = self._ds(spark, tmp_path)
+        out = fetch_path(spark, p, filters=[
+            {"partition": "ts", "comparison": "==",
+             "values": ["2024-01-03 06:00:00"]},
+        ])
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "event_day" in plan.split("PartitionFilters", 1)[1][:250]
+        assert out.count() == len(
+            [r for r in rows if r[1] == datetime.datetime(2024, 1, 3, 6)]
+        )
+        # non-monotone pattern: range must NOT prune (wrong order), but
+        # the residual keeps the result exact
+        p2 = str(tmp_path / "hp2")
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        publish_path(
+            spark, p2, df, [],
+            derived_partitions={"odd_day": "date_format(ts, 'dd-MM')"},
+        )
+        out2 = fetch_path(spark, p2, filters=[
+            {"partition": "ts", "comparison": ">=",
+             "values": ["2024-01-07 00:00:00"]},
+        ])
+        plan2 = out2._jdf.queryExecution().executedPlan().toString()
+        assert "odd_day" not in plan2.split("PartitionFilters", 1)[1][:250]
+        assert out2.count() == len(
+            [r for r in rows if r[1] >= datetime.datetime(2024, 1, 7)]
+        )
