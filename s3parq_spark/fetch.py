@@ -182,19 +182,29 @@ def get_diff_partition_values(
 _MONOTONE_DATE_FMTS = ("yyyy", "yyyy-MM", "yyyy-MM-dd", "yyyy-MM-dd-HH")
 
 
-def _eval_transform(spark, expr, col, vtype, value):
-    """Evaluate a derived-partition SQL expression against one literal value
-    of its source column — a 1-row local relation, no job."""
+def _eval_transform_many(spark, expr, col, vtype, values):
+    """Evaluate a derived-partition SQL expression against a batch of
+    literal values of its source column — ONE local relation, one plan,
+    results in input order. Returns None when the expression cannot be
+    evaluated from this column alone (e.g. a transform referencing other
+    columns) — the caller then skips pruning and relies on the residual."""
     schema = T.StructType(
-        [T.StructField(col, metadata.vocab_to_spark_type(vtype), True)]
+        [
+            T.StructField("__i", T.IntegerType(), False),
+            T.StructField(col, metadata.vocab_to_spark_type(vtype), True),
+        ]
     )
-    typed = metadata.convert_type(value, vtype) if isinstance(value, str) else value
-    row = (
-        spark.createDataFrame([(typed,)], schema)
-        .select(F.expr(expr).alias("v"))
-        .first()
-    )
-    return row["v"]
+    rows = [(i, v) for i, v in enumerate(values)]
+    try:
+        got = (
+            spark.createDataFrame(rows, schema)
+            .select(F.col("__i"), F.expr(expr).alias("v"))
+            .collect()
+        )
+    except Exception:
+        return None
+    by_i = {r["__i"]: r["v"] for r in got}
+    return [by_i[i] for i in range(len(values))]
 
 
 def _derived_pushdown(spark, meta, filters):
@@ -224,6 +234,12 @@ def _derived_pushdown(spark, meta, filters):
     """
     import re as _re
 
+    from .filters import first_filter_per_partition
+
+    # the reference rule — only the FIRST filter naming a column applies —
+    # must hold whether the name is a real partition or a hidden-partition
+    # source column, or the same filter list means different things
+    filters = first_filter_per_partition(filters)
     part_filters, derived_filters, residuals = [], [], []
     for f in filters:
         col = f["partition"]
@@ -263,10 +279,8 @@ def _derived_pushdown(spark, meta, filters):
                 dcmp = "=="
             else:
                 continue
-            dvals = [
-                _eval_transform(spark, expr, col, vtype, v) for v in typed_vals
-            ]
-            if any(v is None for v in dvals):
+            dvals = _eval_transform_many(spark, expr, col, vtype, typed_vals)
+            if dvals is None or any(v is None for v in dvals):
                 continue
             derived_filters.append((dcol, dcmp, dvals))
     return part_filters, derived_filters, residuals

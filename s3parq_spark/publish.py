@@ -692,16 +692,9 @@ def merge_upsert(
     if missing:
         raise ValueError(f"updates missing merge columns {missing}")
 
-    touched = [
-        [row[p] for p in partitions]
-        for row in up.select(*partitions).distinct().collect()
-    ]
-    pred = None
-    for vals in touched:
-        clause = F.lit(True)
-        for p, v in zip(partitions, vals):
-            clause = clause & (F.col(p) == F.lit(v))
-        pred = clause if pred is None else (pred | clause)
+    pred = _touched_values_pred(up, partitions)
+    if pred is None:
+        return []  # empty batch: nothing touched, nothing rewritten
     existing = fetch_path(spark, path).filter(pred)
 
     cols = existing.columns
@@ -732,9 +725,11 @@ def merge_upsert(
         pre = existing.join(
             won.select(*keys).distinct(), keys, "left_semi"
         ).withColumn("_change_type", F.lit("update_preimage"))
-        _log_changes(
-            spark, path, inserts.unionByName(post).unionByName(pre), head
-        )
+        change_rows = inserts.unionByName(post).unionByName(pre)
+        # a fully-losing batch (at-least-once redelivery) produces zero
+        # change rows — publishing an empty frame would abort the merge
+        if change_rows.limit(1).count() > 0:
+            _log_changes(spark, path, change_rows, head)
     # restore seq ordering column position, then swap the touched partitions
     return overwrite_partitions(spark, path, merged, partitions)
 
@@ -800,19 +795,35 @@ def apply_change_feed(
         stream = stream.unionByName(d)
     stream = stream.filter(
         F.col("_change_type").isin("insert", "update_postimage", "delete")
-    )
+    ).persist()
     n_applied = stream.count()
     if n_applied == 0:
+        stream.unpersist()
         return 0
+    # ordering sanity: within ONE feed version a key has at most one
+    # effect (one DML per commit). If a key shows conflicting effects
+    # under the same version, the feed's history was squashed below the
+    # granularity this mirror still needs (expire_snapshots on the feed)
+    # — resolving by tiebreak could resurrect deleted rows, so refuse.
+    conflicted = (
+        stream.groupBy(*keys, "__fv")
+        .agg(F.count_distinct("_change_type").alias("__n"))
+        .filter(F.col("__n") > 1)
+        .limit(1)
+        .count()
+    )
+    if conflicted:
+        stream.unpersist()
+        raise ValueError(
+            "apply_change_feed: a feed version carries conflicting ops "
+            "for the same key — feed history was squashed past this "
+            "mirror's position (expire_snapshots?); re-seed the mirror "
+            "from the source instead"
+        )
 
     mirror = fetch_path(spark, mirror_path)
     cols = mirror.columns
-    pred = None
-    for row in stream.select(*partitions).distinct().collect():
-        clause = F.lit(True)
-        for p in partitions:
-            clause = clause & (F.col(p) == F.lit(row[p]))
-        pred = clause if pred is None else (pred | clause)
+    pred = _touched_values_pred(stream, partitions)
     base = (
         mirror.filter(pred)
         .withColumn("__fv", F.lit(0).cast("long"))
@@ -825,14 +836,24 @@ def apply_change_feed(
     winners = latest_state(all_rows, keys, "__fv", "_change_type", payload)
     survivors = winners.filter(
         F.col("_change_type") != "delete"
-    ).select(*cols)
+    ).select(*cols).persist()
 
     touched_dirs = set(_touched_partition_dirs(spark, stream, partitions))
     survivor_dirs = set(_touched_partition_dirs(spark, survivors, partitions))
-    overwrite_partitions(spark, mirror_path, survivors, partitions)
+    if survivor_dirs:
+        overwrite_partitions(spark, mirror_path, survivors, partitions)
     emptied = sorted(touched_dirs - survivor_dirs)
     for d in emptied:
         fs.delete(spark, posixpath.join(mirror_path, d), recursive=True)
+    if emptied and not survivor_dirs:
+        # overwrite_partitions didn't run: the dir removals invalidate
+        # older snapshots, so clear history here (the delete_where rule)
+        side = metadata.read_sidecar(spark, mirror_path)
+        if side is not None:
+            side.snapshots = []
+            metadata.write_sidecar(spark, mirror_path, side)
+    stream.unpersist()
+    survivors.unpersist()
     return n_applied
 
 
@@ -991,6 +1012,19 @@ def repartition_dataset(
         raise IOError("repartition_dataset: could not swap in new layout")
     fs.delete(spark, old)
     return fs.list_files(spark, path)
+
+
+def _touched_values_pred(df: DataFrame, partitions: List[str]):
+    """OR-of-ANDs predicate selecting the partition-value combinations
+    present in ``df`` (one bounded distinct+collect), or None when ``df``
+    has no rows — shared by merge_upsert / apply_change_feed."""
+    pred = None
+    for row in df.select(*partitions).distinct().collect():
+        clause = F.lit(True)
+        for p in partitions:
+            clause = clause & (F.col(p) == F.lit(row[p]))
+        pred = clause if pred is None else (pred | clause)
+    return pred
 
 
 def changes_path(path: str) -> str:

@@ -1007,5 +1007,52 @@ class TestDmlChangeFeed:
         a = sorted(map(tuple, fetch_path(spark, src).collect()))
         b = sorted(map(tuple, fetch_path(spark, mir).collect()))
         assert a == b == [(1, "a", 99.0)]
-        # the partition emptied by the delete is gone on the mirror too
         assert [v["version"] for v in list_versions(spark, changes_path(src))] == [1, 2]
+
+    def test_apply_change_feed_empties_partition(self, spark, tmp_path):
+        import os
+
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import (
+            apply_change_feed, changes_path, delete_where,
+        )
+
+        src, mir = str(tmp_path / "s3"), str(tmp_path / "m3")
+        df = spark.createDataFrame(
+            [(1, "a", 1.0), (2, "b", 2.0)], ["k", "p", "v"]
+        )
+        publish_path(spark, src, df, ["p"])
+        publish_path(spark, mir, df, ["p"])
+        # the delete removes EVERY row of partition b: the replay must
+        # remove the partition dir on the mirror, not crash on an empty
+        # overwrite (and here survivors are entirely empty)
+        delete_where(spark, src, "p = 'b'", change_log=True)
+        n = apply_change_feed(spark, mir, changes_path(src), ["k"])
+        assert n == 1
+        assert sorted(map(tuple, fetch_path(spark, mir).collect())) ==             sorted(map(tuple, fetch_path(spark, src).collect()))
+        assert not os.path.exists(os.path.join(mir, "p=b"))
+
+    def test_merge_change_log_noop_redelivery(self, spark, tmp_dataset_dir):
+        import os
+
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import changes_path, merge_upsert
+
+        df = spark.createDataFrame(
+            [(1, "a", 10.0, 5)], ["k", "p", "v", "seq"]
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        # redelivered batch: every row loses the seq tie-break -> zero
+        # change rows; the merge must no-op, not abort on an empty publish
+        stale = spark.createDataFrame(
+            [(1, "a", 0.0, 1)], ["k", "p", "v", "seq"]
+        )
+        merge_upsert(spark, tmp_dataset_dir, stale, ["k"], "seq",
+                     change_log=True)
+        assert not os.path.exists(changes_path(tmp_dataset_dir))
+        assert fetch_path(spark, tmp_dataset_dir).collect()[0]["v"] == 10.0
+        # fully-empty batch no-ops too
+        empty = spark.createDataFrame([], df.schema)
+        assert merge_upsert(
+            spark, tmp_dataset_dir, empty, ["k"], "seq", change_log=True
+        ) == []

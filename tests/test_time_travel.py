@@ -489,3 +489,49 @@ class TestTransformPredicatePushdown:
         assert out2.count() == len(
             [r for r in rows if r[1] >= datetime.datetime(2024, 1, 7)]
         )
+
+    def test_multi_column_transform_falls_back_to_residual(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import publish_path
+
+        p = str(tmp_path / "hp3")
+        rows = [
+            (i, datetime.datetime(2024, 1, 1 + i % 5), f"s{i % 2}")
+            for i in range(20)
+        ]
+        df = spark.createDataFrame(rows, ["k", "ts", "src"])
+        publish_path(
+            spark, p, df, [],
+            derived_partitions={
+                "d2": "concat(src, '_', date_format(ts, 'yyyy-MM-dd'))"
+            },
+        )
+        # equality on ts alone cannot evaluate the two-column transform:
+        # must fall back to residual-only, never crash
+        out = fetch_path(spark, p, filters=[
+            {"partition": "ts", "comparison": "==",
+             "values": ["2024-01-03 00:00:00"]},
+        ])
+        assert out.count() == len(
+            [r for r in rows if r[1] == datetime.datetime(2024, 1, 3)]
+        )
+
+    def test_first_filter_rule_applies_to_source_columns(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+
+        p, rows = self._ds(spark, tmp_path)
+        # the reference contract: only the FIRST filter naming a column
+        # applies — uniformly for hidden-partition source columns
+        out = fetch_path(spark, p, filters=[
+            {"partition": "ts", "comparison": ">=",
+             "values": ["2024-01-07 00:00:00"]},
+            {"partition": "ts", "comparison": "<",
+             "values": ["2024-01-02 00:00:00"]},  # ignored
+        ])
+        assert out.count() == len(
+            [r for r in rows if r[1] >= datetime.datetime(2024, 1, 7)]
+        )
