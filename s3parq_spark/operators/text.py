@@ -743,3 +743,57 @@ def remove_duplicated_spans(
         )
         .select(F.col("__id").alias(id_col), "text_clean", "n_tokens", "n_removed")
     )
+
+
+def unigram_entropy(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Per-group unigram Shannon entropy (nats) — the corpus-health signal
+    that catches degenerate sources (boilerplate farms, template spam have
+    low entropy; OCR noise and mixed-language dumps run high):
+
+        H(g) = − Σ_w  p_w · ln p_w,   p_w = count_w / total_tokens(g)
+
+    Output: ``(group, n_tokens, n_distinct, entropy, norm_entropy)`` with
+    ``norm_entropy = H / ln(n_distinct)`` in [0, 1] (1 = uniform usage;
+    single-token groups report 0). Exactness: counts are exact integers;
+    each word's −p·ln p term is one fixed float expression rounded to
+    ``decimal(28,12)`` and the per-group sum is a decimal sum
+    (order-independent — the ``bm25_scores`` recipe), so the result
+    hash-matches a SQL oracle.
+
+    Scale shape: one token explode into a (group, word) keyed aggregate,
+    its result re-aggregated per group with the totals joined back by
+    group key — two keyed exchanges, output bounded by |groups|.
+    """
+    toks = df.select(
+        F.col(group_col).alias("__g"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__w"),
+    )
+    wc = toks.groupBy("__g", "__w").agg(F.count(F.lit(1)).alias("c"))
+    totals = wc.groupBy("__g").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+    )
+    p = F.col("c").cast("double") / F.col("n_tokens")
+    term = (-(p) * F.log(p)).cast("decimal(28,12)")
+    return (
+        wc.join(totals, "__g")
+        .select("__g", "n_tokens", "n_distinct", term.alias("__t"))
+        .groupBy("__g", "n_tokens", "n_distinct")
+        .agg(F.sum("__t").cast("double").alias("entropy"))
+        .select(
+            F.col("__g").alias(group_col),
+            "n_tokens",
+            "n_distinct",
+            "entropy",
+            F.when(F.col("n_distinct") > 1,
+                   F.col("entropy") / F.log(F.col("n_distinct").cast("double")))
+            .otherwise(F.lit(0.0))
+            .alias("norm_entropy"),
+        )
+    )

@@ -2132,3 +2132,53 @@ ORACLE_EXT2["hidden_pushdown_fetch"] = """
     WHERE ts >= TIMESTAMP '2024-01-15 00:00:00'
     GROUP BY event_type
 """
+
+
+def q_source_entropy(spark, sf_dir):
+    """Per-source unigram entropy (operators/text.py unigram_entropy): the
+    corpus-health metric flagging degenerate sources — exact counts, one
+    decimal-rounded float term per word, order-independent decimal sum.
+    The oracle replays the identical arithmetic."""
+    from .operators import unigram_entropy
+
+    docs = _table(spark, sf_dir, "documents").select("source", "text")
+    out = unigram_entropy(docs, "source", "text")
+    return out.select(
+        "source", "n_tokens", "n_distinct",
+        F.round("entropy", 9).alias("entropy"),
+        F.round("norm_entropy", 9).alias("norm_entropy"),
+    )
+
+
+QUERIES_EXT2["source_entropy"] = q_source_entropy
+ORACLE_EXT2["source_entropy"] = """
+    WITH toks AS (
+      SELECT source AS g,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS w
+      FROM documents
+    ),
+    wc AS (SELECT g, w, COUNT(*) AS c FROM toks GROUP BY g, w),
+    totals AS (
+      SELECT g, CAST(SUM(c) AS BIGINT) AS n_tokens,
+             COUNT(*) AS n_distinct
+      FROM wc GROUP BY g
+    ),
+    terms AS (
+      SELECT wc.g, totals.n_tokens, totals.n_distinct,
+             CAST(-(CAST(c AS DOUBLE) / n_tokens)
+                  * ln(CAST(c AS DOUBLE) / n_tokens)
+                  AS DECIMAL(28,12)) AS t
+      FROM wc JOIN totals ON wc.g = totals.g
+    ),
+    ent AS (
+      SELECT g, n_tokens, n_distinct,
+             CAST(SUM(t) AS DOUBLE) AS entropy
+      FROM terms GROUP BY g, n_tokens, n_distinct
+    )
+    SELECT g AS source, n_tokens, CAST(n_distinct AS BIGINT) AS n_distinct,
+           round(entropy, 9) AS entropy,
+           round(CASE WHEN n_distinct > 1
+                      THEN entropy / ln(CAST(n_distinct AS DOUBLE))
+                      ELSE 0.0 END, 9) AS norm_entropy
+    FROM ent
+"""

@@ -181,3 +181,36 @@ def test_dedup_keep_best_prefers_priority(spark):
     }
     assert got["same text"] == (2, "curated", 2)  # prio 0 beats prio 1
     assert got["unique"] == (3, "crawl", 1)
+
+
+class TestUnigramEntropy:
+    def test_entropy_values(self, spark):
+        import math
+
+        from s3parq_spark.operators.text import unigram_entropy
+
+        rows = [
+            ("U", "a b c d"),        # uniform over 4 -> H = ln 4, norm = 1
+            ("S", "x x x x"),        # single token -> H = 0
+            ("M", "y y z"),          # H = -(2/3 ln 2/3 + 1/3 ln 1/3)
+        ]
+        df = spark.createDataFrame(rows, ["source", "text"])
+        out = {r["source"]: r for r in
+               unigram_entropy(df, "source", "text").collect()}
+        assert abs(out["U"]["entropy"] - math.log(4)) < 1e-9
+        assert abs(out["U"]["norm_entropy"] - 1.0) < 1e-9
+        assert out["S"]["entropy"] == 0.0 and out["S"]["norm_entropy"] == 0.0
+        h = -(2/3) * math.log(2/3) - (1/3) * math.log(1/3)
+        assert abs(out["M"]["entropy"] - h) < 1e-9
+        assert out["M"]["n_tokens"] == 3 and out["M"]["n_distinct"] == 2
+
+    def test_deterministic_under_repartition(self, spark):
+        from s3parq_spark.operators.text import unigram_entropy
+
+        df = spark.createDataFrame(
+            [("A", f"w{i % 7} w{i % 3}") for i in range(50)],
+            ["source", "text"],
+        )
+        a = unigram_entropy(df, "source", "text").collect()
+        b = unigram_entropy(df.repartition(9), "source", "text").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
