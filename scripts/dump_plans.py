@@ -315,6 +315,13 @@ CASES = [
         "doc); signatures are one-pass min-aggregates and the pair spine "
         "is a broadcast of O(groups) frames.",
     ),
+    (
+        "hidden_pushdown_fetch",
+        "Transform-predicate pushdown: the filter names ts only, yet the "
+        "scan's PartitionFilters carries the derived event_day bound "
+        "(file-index prune from the recorded transform) with the exact ts "
+        "predicate as a row-level Filter above it.",
+    ),
 ]
 
 
