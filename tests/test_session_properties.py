@@ -90,3 +90,43 @@ def test_corpus_overlap_exact_matches_brute_force(spark, texts, groups):
                 len(shingles[a] & shingles[b]),
             )
     assert got == expected, (rows, got, expected)
+
+
+@given(
+    cmp=st.sampled_from([">=", ">", "<", "<=", "=="]),
+    day=st.integers(min_value=1, max_value=6),
+    hour=st.sampled_from([0, 6, 12]),
+)
+@settings(max_examples=6, deadline=None)
+def test_transform_pushdown_equivalence(spark, cmp, day, hour):
+    import datetime
+    import shutil
+    import tempfile
+
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.publish import publish_path
+
+    from s3parq_spark.filters import OPS
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + i % 5, 6 * (i % 3), 0, 0))
+        for i in range(30)
+    ]
+    base = tempfile.mkdtemp(prefix="s3parq_prop_")
+    try:
+        p = base + "/ds"
+        df = spark.createDataFrame(rows, ["k", "ts"])
+        publish_path(
+            spark, p, df, [],
+            derived_partitions={"d": "date_format(ts, 'yyyy-MM-dd')"},
+        )
+        bound = datetime.datetime(2024, 1, day, hour, 0, 0)
+        out = fetch_path(spark, p, filters=[
+            {"partition": "ts", "comparison": cmp,
+             "values": [bound.strftime("%Y-%m-%d %H:%M:%S")]},
+        ])
+        got = sorted(r["k"] for r in out.collect())
+        expected = sorted(k for k, ts in rows if OPS[cmp](ts, bound))
+        assert got == expected, (cmp, bound, got, expected)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
