@@ -91,6 +91,20 @@ _VERIFIED_PRIOR_ROUNDS = frozenset(
         # re-verifies via _NEW_THIS_ROUND; "repetition_quality" and
         # "embedding_quantize" — r04 RED, fixed this round, re-verify as
         # never-verified.
+        #
+        # ROUND-6 HANDOFF: after r05's 50 rows land, these 30 queries will
+        # still lack a driver CORRECTNESS row (the r05 window was full);
+        # they are first in line for round 6's _NEW_THIS_ROUND / head —
+        # all pass the local driver-parity gate at sf0.01 AND sf0.1:
+        #   repartition_fetch multi_supplier_waiting hidden_partition_fetch
+        #   delete_where_fetch dataset_stats ivf_pq_at_rest
+        #   update_where_fetch expectations_publish hard_negatives oov_rate
+        #   fuzzy_dedup_at_rest dsir_select quantized_rescore expire_fetch
+        #   span_dedup time_travel_ts attach_at_sql cas_publish
+        #   compact_fetch stream_hidden_fetch corpus_overlap
+        #   containment_dedup dataset_card files_table
+        #   rename_evolution_fetch dml_change_feed merge_change_feed
+        #   cdc_mirror_fetch hidden_pushdown_fetch source_entropy
     }
 )
 
