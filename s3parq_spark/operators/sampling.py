@@ -337,3 +337,42 @@ def dsir_importance_weights(
         )
         .select(F.col("__id").alias(id_col), "n_ngrams", "logw")
     )
+
+
+def gumbel_topk_sample(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n: int,
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Deterministic Gumbel top-k sampling — the resampling half of DSIR
+    (sampling WITHOUT replacement proportional to ``exp(score/T)`` is
+    exactly "add Gumbel noise to score/T and take the top k"; Gumbel-max
+    trick, Vieira 2014). The noise is derandomized: each row's uniform is
+    derived from the md5 hash of its id,
+
+        u = (hash60(id) + 0.5) / 2^60,   g = −ln(−ln(u)),
+        key = score/T + g,
+
+    so the SAME rows are selected regardless of partitioning, cluster
+    size, or rerun — reproducible corpus subsets (the [[deterministic
+    sampling]] contract), while still being a faithful Gumbel draw across
+    ids (md5 is uniform). ``temperature`` sharpens (→0: plain top-k by
+    score) or flattens (→∞: uniform sampling) the draw.
+
+    Output: the selected rows plus ``gumbel_key`` (ties break by id).
+    Selection is TakeOrderedAndProject — per-partition top-k then a
+    k-row merge, no global sort; the score column is the only input, no
+    shuffle of payload columns before the limit.
+    """
+    if temperature <= 0:
+        raise ValueError("gumbel_topk_sample: temperature must be > 0")
+    u = (_hash60(F.col(id_col)) + F.lit(0.5)) / F.lit(float(1 << 60))
+    g = -F.log(-F.log(u))
+    key = F.col(score_col).cast("double") / F.lit(float(temperature)) + g
+    return (
+        df.withColumn("gumbel_key", key)
+        .orderBy(F.desc("gumbel_key"), F.asc(id_col))
+        .limit(n)
+    )

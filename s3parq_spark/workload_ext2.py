@@ -2182,3 +2182,44 @@ ORACLE_EXT2["source_entropy"] = """
                       ELSE 0.0 END, 9) AS norm_entropy
     FROM ent
 """
+
+
+def q_gumbel_sample(spark, sf_dir):
+    """Deterministic Gumbel top-k resampling (operators/sampling.py
+    gumbel_topk_sample — DSIR's selection step with derandomized noise):
+    top-100 documents drawn proportional to exp(n_chars/1000), the
+    Gumbel key derived from each doc's md5 hash so any engine draws the
+    identical subset. The oracle replays hash, uniform, Gumbel, and
+    ranking bit-for-bit."""
+    from .operators import gumbel_topk_sample
+
+    docs = _table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("n_chars").cast("double") / 1000.0).alias("score")
+    )
+    out = gumbel_topk_sample(docs, "doc_id", "score", n=100)
+    return out.select(
+        "doc_id",
+        F.round("score", 9).alias("score"),
+        F.round("gumbel_key", 9).alias("gumbel_key"),
+    )
+
+
+QUERIES_EXT2["gumbel_sample"] = q_gumbel_sample
+ORACLE_EXT2["gumbel_sample"] = """
+    WITH s AS (
+      SELECT doc_id, CAST(n_chars AS DOUBLE) / 1000.0 AS score,
+             (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT)
+              + 0.5) / 1152921504606846976.0 AS u
+      FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, score, score / 1.0 + (-ln(-ln(u))) AS gumbel_key
+      FROM s
+    )
+    SELECT doc_id, round(score, 9) AS score,
+           round(gumbel_key, 9) AS gumbel_key
+    FROM keyed
+    ORDER BY gumbel_key DESC, doc_id ASC
+    LIMIT 100
+"""

@@ -1056,3 +1056,44 @@ class TestDmlChangeFeed:
         assert merge_upsert(
             spark, tmp_dataset_dir, empty, ["k"], "seq", change_log=True
         ) == []
+
+
+class TestGumbelTopkSample:
+    def test_deterministic_and_score_sensitive(self, spark):
+        from s3parq_spark.operators.sampling import gumbel_topk_sample
+
+        df = spark.createDataFrame(
+            [(i, float(i % 7)) for i in range(200)], ["doc_id", "score"]
+        )
+        a = gumbel_topk_sample(df, "doc_id", "score", n=30)
+        b = gumbel_topk_sample(df.repartition(11), "doc_id", "score", n=30)
+        assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+        assert a.count() == 30
+        # high scores should be overrepresented in the draw
+        mean_sel = a.agg({"score": "avg"}).collect()[0][0]
+        mean_all = df.agg({"score": "avg"}).collect()[0][0]
+        assert mean_sel > mean_all
+
+    def test_low_temperature_approaches_plain_topk(self, spark):
+        from s3parq_spark.operators.sampling import gumbel_topk_sample
+
+        # scores well separated vs the Gumbel noise scale at T=1e-3:
+        # selection must equal the plain top-n by score
+        df = spark.createDataFrame(
+            [(i, float(i * 100)) for i in range(50)], ["doc_id", "score"]
+        )
+        got = sorted(
+            r["doc_id"] for r in
+            gumbel_topk_sample(df, "doc_id", "score", n=10,
+                               temperature=1e-3).collect()
+        )
+        assert got == list(range(40, 50))
+
+    def test_bad_temperature_rejected(self, spark):
+        import pytest as _pytest
+
+        from s3parq_spark.operators.sampling import gumbel_topk_sample
+
+        df = spark.createDataFrame([(1, 1.0)], ["doc_id", "score"])
+        with _pytest.raises(ValueError, match="temperature"):
+            gumbel_topk_sample(df, "doc_id", "score", n=1, temperature=0)
