@@ -650,3 +650,50 @@ def stream_user_profile(
             F.col("__s.n_clicks").alias("n_clicks"),
         )
     )
+
+
+def run_streaming_window_topk(
+    spark: SparkSession,
+    events_parquet: str,
+    window: str = "1 day",
+    k: int = 3,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Per-window heavy hitters from a stream: the windowed (window, user)
+    count aggregate runs STREAMING (watermarked — state stays O(active
+    windows × users-per-window)); the per-window rank runs on the
+    materialized sink, because ranking is not stream-expressible (a new
+    row can demote an earlier emission, which append-mode cannot
+    retract) — the standard production split: aggregate on the stream,
+    rank at read. With availableNow the composition equals the batch
+    query by construction.
+    """
+    name = f"ev_{uuid.uuid4().hex[:12]}"
+    stream = read_event_stream(spark, events_parquet)
+    q = (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("window").orderBy(
+        F.desc("n_events"), F.asc("user_id")
+    )
+    return (
+        spark.table(name)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            F.col("window.start").alias("window_start"),
+            "user_id",
+            "n_events",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

@@ -2223,3 +2223,35 @@ ORACLE_EXT2["gumbel_sample"] = """
     ORDER BY gumbel_key DESC, doc_id ASC
     LIMIT 100
 """
+
+
+def q_events_stream_topk(spark, sf_dir):
+    """Streaming per-window heavy hitters (streaming/events.py
+    run_streaming_window_topk): daily top-3 users by event count, the
+    count aggregate on the watermarked stream and the rank on the
+    materialized sink (ranking cannot retract in append mode — the
+    standard aggregate-then-rank split). availableNow makes it equal the
+    batch query, which is the oracle."""
+    from .streaming import run_streaming_window_topk
+
+    return run_streaming_window_topk(
+        spark, posixpath.join(sf_dir, "events.parquet"), window="1 day", k=3
+    )
+
+
+QUERIES_EXT2["events_stream_topk"] = q_events_stream_topk
+ORACLE_EXT2["events_stream_topk"] = """
+    WITH counts AS (
+      SELECT date_trunc('day', ts) AS window_start, user_id,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT window_start, user_id, n_events,
+             row_number() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, user_id ASC) AS rk
+      FROM counts
+    )
+    SELECT window_start, user_id, n_events, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+"""

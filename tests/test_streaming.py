@@ -269,3 +269,32 @@ def test_stream_publish_into_hidden_partitions(spark, sf_dir, tmp_path):
         "PartitionFilters", 1
     )[1][:200]
     assert 0 < pruned.count() < got.count()
+
+
+def test_streaming_window_topk_equals_batch(spark, sf_dir):
+    """The streamed aggregate + sink-side rank must equal the batch
+    daily top-k exactly (availableNow drains everything)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from s3parq_spark.streaming import run_streaming_window_topk
+    from s3parq_spark.streaming.events import read_event_stream  # noqa: F401
+
+    got = run_streaming_window_topk(
+        spark, f"{sf_dir}/events.parquet", window="1 day", k=2
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("d").orderBy(F.desc("n"), F.asc("user_id"))
+    batch = (
+        ev.groupBy(
+            F.date_trunc("day", "ts").alias("d"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+    )
+    a = sorted((r["window_start"], r["user_id"], r["n_events"], r["rk"])
+               for r in got.collect())
+    b = sorted((r["d"], r["user_id"], r["n"], r["rk"])
+               for r in batch.collect())
+    assert a == b and len(a) > 0
