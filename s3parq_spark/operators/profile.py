@@ -313,3 +313,49 @@ def dataset_card(
             ),
         )
     )
+
+
+def clip_outliers(
+    df: DataFrame,
+    cols: Sequence[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    mode: str = "clip",
+) -> DataFrame:
+    """Percentile winsorization — the numeric-cleaning step before
+    training-statistics or feature normalization: per column, the exact
+    ``lower``/``upper`` percentiles (percentile_cont interpolation) become
+    bounds, and each value is clamped to them (``mode='clip'``) or rows
+    outside any bound are dropped (``mode='drop'``).
+
+    One global aggregate computes every column's two bounds in a single
+    pass (exact percentile — at 100 TB swap for approx_percentile with an
+    accuracy knob; the plan shape is identical), broadcast back as a
+    1-row frame; the clamp itself is a pure projection. Deterministic and
+    engine-replayable (percentile_cont semantics match across engines).
+    """
+    if mode not in ("clip", "drop"):
+        raise ValueError(f"clip_outliers: unknown mode {mode!r}")
+    aggs = []
+    for c in cols:
+        aggs.append(F.percentile(c, lower).alias(f"__lo_{c}"))
+        aggs.append(F.percentile(c, upper).alias(f"__hi_{c}"))
+    bounds = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(bounds))
+    if mode == "drop":
+        pred = F.lit(True)
+        for c in cols:
+            pred = pred & F.col(c).between(
+                F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            )
+        out = out.filter(pred)
+    else:
+        for c in cols:
+            out = out.withColumn(
+                c,
+                F.greatest(
+                    F.col(f"__lo_{c}"),
+                    F.least(F.col(f"__hi_{c}"), F.col(c)),
+                ),
+            )
+    return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])

@@ -2255,3 +2255,44 @@ ORACLE_EXT2["events_stream_topk"] = """
     SELECT window_start, user_id, n_events, CAST(rk AS INT) AS rk
     FROM ranked WHERE rk <= 3
 """
+
+
+def q_winsorized_pricing(spark, sf_dir):
+    """Percentile winsorization (operators/profile.py clip_outliers):
+    lineitem prices clamped to their exact [p05, p95] band, then the Q1
+    aggregate over the cleaned values — the robust-statistics variant of
+    pricing_summary. The oracle replays quantile_cont bounds and the
+    clamp."""
+    from .operators import clip_outliers
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    cleaned = clip_outliers(li, ["l_extendedprice"], 0.05, 0.95)
+    return cleaned.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+    )
+
+
+QUERIES_EXT2["winsorized_pricing"] = q_winsorized_pricing
+ORACLE_EXT2["winsorized_pricing"] = """
+    WITH b AS (
+      SELECT quantile_cont(l_extendedprice, 0.05) AS lo,
+             quantile_cont(l_extendedprice, 0.95) AS hi
+      FROM lineitem
+    ),
+    c AS (
+      SELECT l_returnflag,
+             greatest(b.lo, least(b.hi, l_extendedprice)) AS p
+      FROM lineitem, b
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           CAST(SUM(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+           MIN(p) AS min_price, MAX(p) AS max_price
+    FROM c GROUP BY l_returnflag
+"""

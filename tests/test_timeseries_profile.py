@@ -204,3 +204,28 @@ class TestDatasetCard:
         df = spark.createDataFrame([("A", "a b")], ["source", "text"])
         r = dataset_card(df, "source", "text").collect()[0]
         assert r["n_langs"] == 1 and r["top_lang"] == "und"
+
+
+class TestClipOutliers:
+    def test_clip_and_drop_modes(self, spark):
+        from s3parq_spark.operators.profile import clip_outliers
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, float(i)) for i in range(1, 101)], ["k", "v"]
+        )
+        clipped = clip_outliers(df, ["v"], 0.10, 0.90)
+        r = clipped.agg(F.min("v"), F.max("v")).collect()[0]
+        # percentile_cont on 1..100 at 0.10/0.90 = 10.9 / 90.1
+        assert abs(r[0] - 10.9) < 1e-9 and abs(r[1] - 90.1) < 1e-9
+        assert clipped.count() == 100  # clip keeps every row
+        dropped = clip_outliers(df, ["v"], 0.10, 0.90, mode="drop")
+        assert dropped.count() == 80  # 11..90 survive
+        assert clipped.columns == df.columns
+
+    def test_bad_mode_rejected(self, spark):
+        from s3parq_spark.operators.profile import clip_outliers
+
+        df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
+        with pytest.raises(ValueError, match="mode"):
+            clip_outliers(df, ["v"], mode="nope")
