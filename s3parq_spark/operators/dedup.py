@@ -1104,3 +1104,48 @@ def containment_pairs(
         )
     )
     return _unpersist_with(result, sized)
+
+
+def split_leakage_report(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    split_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Cross-split leakage report — the eval-hygiene check run after split
+    assignment: near-duplicate document pairs (exact ``n``-gram Jaccard
+    ≥ ``threshold``, the ``ngram_jaccard_pairs`` machinery) whose two
+    sides landed in DIFFERENT splits. Any row here is an eval document
+    whose near-copy sits in train — benchmark contamination created by
+    the split itself, invisible to per-corpus dedup.
+
+    Output: ``(doc_a, doc_b, split_a, split_b, jaccard)``, only
+    differing-split pairs. Same scale shape as the underlying near-dup
+    join (prefix-filtered candidates, exact verify) plus two keyed
+    id-joins to attach splits; the split column never enters the
+    candidate generation, so the report costs the same as the dedup scan
+    it usually rides along with.
+    """
+    pairs = ngram_jaccard_pairs(
+        df.select(F.col(id_col), F.col(text_col)),
+        id_col,
+        text_col,
+        n=n,
+        threshold=threshold,
+    )
+    sa = df.select(
+        F.col(id_col).alias("doc_a"), F.col(split_col).alias("split_a")
+    )
+    sb = df.select(
+        F.col(id_col).alias("doc_b"), F.col(split_col).alias("split_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(
+            ~F.col("split_a").eqNullSafe(F.col("split_b"))
+        )
+        .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
+    )

@@ -359,3 +359,40 @@ def clip_outliers(
                 ),
             )
     return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
+
+
+def normalize_by_group(
+    df: DataFrame,
+    group_col: str,
+    cols: Sequence[str],
+    suffix: str = "_z",
+) -> DataFrame:
+    """Group-wise z-score normalization: for each column in ``cols``,
+    append ``col + suffix`` = (x − μ_g) / σ_g with mean and SAMPLE
+    standard deviation computed per ``group_col`` value — the per-source
+    feature scaling that keeps one source's scale from dominating a
+    mixed-corpus statistic. Constant columns (σ = 0) and single-row
+    groups (σ undefined) normalize to 0.0 rather than NULL/∞.
+
+    One keyed aggregate produces every column's (μ, σ) per group; the
+    group-stats frame is broadcast back (bounded by |groups|) and the
+    normalization is a pure projection — the corpus itself is never
+    reshuffled.
+    """
+    aggs = []
+    for c in cols:
+        aggs.append(F.avg(c).alias(f"__mu_{c}"))
+        aggs.append(F.stddev_samp(c).alias(f"__sd_{c}"))
+    stats = df.groupBy(group_col).agg(*aggs)
+    out = df.join(F.broadcast(stats), group_col)
+    for c in cols:
+        sd = F.col(f"__sd_{c}")
+        out = out.withColumn(
+            c + suffix,
+            F.when(
+                sd.isNull() | (sd == 0), F.lit(0.0)
+            ).otherwise((F.col(c) - F.col(f"__mu_{c}")) / sd),
+        )
+    return out.drop(
+        *[f"__mu_{c}" for c in cols], *[f"__sd_{c}" for c in cols]
+    )

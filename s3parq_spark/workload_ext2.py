@@ -2296,3 +2296,114 @@ ORACLE_EXT2["winsorized_pricing"] = """
            MIN(p) AS min_price, MAX(p) AS max_price
     FROM c GROUP BY l_returnflag
 """
+
+
+def q_zscore_by_flag(spark, sf_dir):
+    """Group-wise z-score normalization (operators/profile.py
+    normalize_by_group): lineitem prices normalized within each return
+    flag, validated through per-flag aggregates of the normalized column
+    (mean ~ 0, sample std ~ 1 by construction — the oracle replays the
+    arithmetic, not just the shape)."""
+    from .operators import normalize_by_group
+
+    li = _table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    z = normalize_by_group(li, "l_returnflag", ["l_extendedprice"])
+    return z.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.round(F.sum(F.col("l_extendedprice_z").cast("decimal(28,12)"))
+                 .cast("double"), 6) + F.lit(0.0)).alias("sum_z"),
+        F.round(F.max("l_extendedprice_z"), 9).alias("max_z"),
+        F.round(F.min("l_extendedprice_z"), 9).alias("min_z"),
+    )
+
+
+QUERIES_EXT2["zscore_by_flag"] = q_zscore_by_flag
+ORACLE_EXT2["zscore_by_flag"] = """
+    WITH stats AS (
+      SELECT l_returnflag, AVG(l_extendedprice) AS mu,
+             stddev_samp(l_extendedprice) AS sd
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    z AS (
+      SELECT l.l_returnflag,
+             CASE WHEN sd IS NULL OR sd = 0 THEN 0.0
+                  ELSE (l_extendedprice - mu) / sd END AS zv
+      FROM lineitem l JOIN stats USING (l_returnflag)
+    )
+    SELECT l_returnflag, COUNT(*) AS n_rows,
+           round(CAST(SUM(CAST(zv AS DECIMAL(28,12))) AS DOUBLE), 6) + 0.0
+             AS sum_z,
+           round(MAX(zv), 9) AS max_z,
+           round(MIN(zv), 9) AS min_z
+    FROM z GROUP BY l_returnflag
+"""
+
+
+def q_split_leakage(spark, sf_dir):
+    """Cross-split leakage report (operators/dedup.py
+    split_leakage_report): assign deterministic train/val/test splits,
+    then list near-dup pairs (3-gram Jaccard >= 0.8) straddling a split
+    boundary — benchmark contamination created by the split itself. The
+    oracle replays both the hash-range split assignment and the exact
+    near-dup join."""
+    from .operators import split_leakage_report
+    from .operators.sampling import assign_splits
+
+    docs = assign_splits(
+        _table(spark, sf_dir, "documents").select("doc_id", "text"),
+        "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    out = split_leakage_report(docs, "doc_id", "text", "split")
+    return out.select(
+        "doc_a", "doc_b", "split_a", "split_b",
+        F.round("jaccard", 9).alias("jaccard"),
+    )
+
+
+QUERIES_EXT2["split_leakage"] = q_split_leakage
+ORACLE_EXT2["split_leakage"] = """
+    WITH sp AS (
+      SELECT doc_id, text,
+             CASE
+               WHEN """ + _HASH60_SQL + """ % 10000 < 8000 THEN 'train'
+               WHEN """ + _HASH60_SQL + """ % 10000 < 9000 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    words AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM sp)
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' ||
+             lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(n_common AS DOUBLE)
+               / (sa.nsh + sb.nsh - n_common) AS jaccard
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.nsh + sb.nsh - n_common) >= 0.8
+    )
+    SELECT p.doc_a, p.doc_b, la.split AS split_a, lb.split AS split_b,
+           round(p.jaccard, 9) AS jaccard
+    FROM pairs p
+    JOIN sp la ON la.doc_id = p.doc_a
+    JOIN sp lb ON lb.doc_id = p.doc_b
+    WHERE la.split <> lb.split
+"""

@@ -1097,3 +1097,38 @@ class TestGumbelTopkSample:
         df = spark.createDataFrame([(1, 1.0)], ["doc_id", "score"])
         with _pytest.raises(ValueError, match="temperature"):
             gumbel_topk_sample(df, "doc_id", "score", n=1, temperature=0)
+
+
+class TestSplitLeakageReport:
+    def test_only_cross_split_neardups_reported(self, spark):
+        from s3parq_spark.operators.dedup import split_leakage_report
+
+        base = "alpha beta gamma delta epsilon zeta eta theta"
+        rows = [
+            (1, base, "train"),
+            (2, base + " iota", "val"),      # near-dup across splits
+            (3, base + " kappa", "train"),   # near-dup of 1 WITHIN train
+            (4, "totally different words here with no overlap at all x y",
+             "val"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+        got = split_leakage_report(
+            df, "doc_id", "text", "split", n=3, threshold=0.5
+        ).collect()
+        pairs = {(r["doc_a"], r["doc_b"]): (r["split_a"], r["split_b"])
+                 for r in got}
+        # the within-train pair (1,3) must NOT appear; cross pairs must
+        assert (1, 3) not in pairs
+        assert pairs[(1, 2)] == ("train", "val")
+        assert pairs[(2, 3)] == ("val", "train")
+
+    def test_clean_split_reports_nothing(self, spark):
+        from s3parq_spark.operators.dedup import split_leakage_report
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f", "train"), (2, "u v w x y z", "val")],
+            ["doc_id", "text", "split"],
+        )
+        assert split_leakage_report(
+            df, "doc_id", "text", "split", threshold=0.5
+        ).count() == 0

@@ -229,3 +229,25 @@ class TestClipOutliers:
         df = spark.createDataFrame([(1, 1.0)], ["k", "v"])
         with pytest.raises(ValueError, match="mode"):
             clip_outliers(df, ["v"], mode="nope")
+
+
+class TestNormalizeByGroup:
+    def test_zscore_values_and_edges(self, spark):
+        from s3parq_spark.operators.profile import normalize_by_group
+        from pyspark.sql import functions as F
+
+        rows = [("A", 1.0), ("A", 2.0), ("A", 3.0),
+                ("B", 5.0), ("B", 5.0),   # constant group -> z = 0
+                ("C", 9.0)]               # single row -> z = 0
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = normalize_by_group(df, "g", ["v"])
+        got = {(r["g"], r["v"]): r["v_z"] for r in out.collect()}
+        # A: mean 2, sample std 1
+        assert abs(got[("A", 1.0)] + 1.0) < 1e-12
+        assert abs(got[("A", 2.0)]) < 1e-12
+        assert abs(got[("A", 3.0)] - 1.0) < 1e-12
+        assert got[("B", 5.0)] == 0.0 and got[("C", 9.0)] == 0.0
+        # per-group mean of z is 0, sample std is 1 for non-degenerate
+        stats = (out.filter(F.col("g") == "A")
+                 .agg(F.avg("v_z"), F.stddev_samp("v_z")).collect()[0])
+        assert abs(stats[0]) < 1e-12 and abs(stats[1] - 1.0) < 1e-12
