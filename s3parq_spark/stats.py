@@ -90,3 +90,54 @@ def read_stats(spark: SparkSession, path: str) -> Optional[Dict]:
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
     return meta.stats or None
+
+
+def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
+    """ANALYZE at partition granularity (Iceberg's partition-stats files,
+    restated for the sidecar): ONE aggregate computing each hive
+    partition-value combination's row count, stored under
+    ``meta.stats["partitions"]`` (alongside any table-level ANALYZE) and
+    stamped with the snapshot version. Partition pruning tells a planner
+    which directories survive a filter; partition stats tell it HOW MUCH
+    survives — the input-size estimate joins and aggregations are sized
+    by, served with zero scans after this one.
+
+    Unpartitioned datasets store a single entry with an empty value map.
+    Returns the recorded list of ``{"values": {...}, "n_rows": int}``.
+    """
+    from .fetch import fetch_path
+
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    df = fetch_path(spark, path)
+    parts = list(meta.partitions)
+    if parts:
+        rows = (
+            df.groupBy(*[F.col(p).cast("string").alias(p) for p in parts])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        recs = [
+            {"values": {p: r[p] for p in parts}, "n_rows": r["__n"]}
+            for r in rows
+        ]
+    else:
+        recs = [{"values": {}, "n_rows": df.count()}]
+    recs.sort(key=lambda r: sorted(r["values"].items()))
+    version = meta.snapshots[-1]["version"] if meta.snapshots else None
+    stats = dict(meta.stats or {})
+    stats["partitions"] = recs
+    stats["partitions_as_of_version"] = version
+    meta.stats = stats
+    metadata.write_sidecar(spark, path, meta)
+    return recs
+
+
+def read_partition_stats(spark: SparkSession, path: str) -> Optional[List[Dict]]:
+    """The stored partition-stats record — sidecar JSON only, zero scan.
+    None when ``collect_partition_stats`` has never run."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    return (meta.stats or {}).get("partitions")

@@ -2407,3 +2407,40 @@ ORACLE_EXT2["split_leakage"] = """
     JOIN sp lb ON lb.doc_id = p.doc_b
     WHERE la.split <> lb.split
 """
+
+
+def q_partition_stats(spark, sf_dir):
+    """Partition-granularity ANALYZE (stats.py collect_partition_stats):
+    publish nation by region, collect per-partition row counts into the
+    sidecar, then answer "how many rows per partition" from METADATA
+    ONLY (read_partition_stats — zero data scan; the second read is
+    asserted to come from the stored record, not a recount). Oracle =
+    count(*) per region from the raw table."""
+    from .publish import publish_path
+    from .stats import collect_partition_stats, read_partition_stats
+    from .workload import _CACHE_ROOT
+
+    path = os.path.join(
+        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
+        "pstats_rt",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    nation = _table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    publish_path(spark, path, nation, ["n_regionkey"])
+    assert read_partition_stats(spark, path) is None, "stats before ANALYZE"
+    collect_partition_stats(spark, path)
+    recs = read_partition_stats(spark, path)
+    assert recs is not None and all("n_rows" in r for r in recs)
+    return spark.createDataFrame(
+        [(int(r["values"]["n_regionkey"]), r["n_rows"]) for r in recs],
+        "n_regionkey BIGINT, n_rows BIGINT",
+    )
+
+
+QUERIES_EXT2["partition_stats"] = q_partition_stats
+ORACLE_EXT2["partition_stats"] = """
+    SELECT n_regionkey, COUNT(*) AS n_rows
+    FROM nation GROUP BY n_regionkey
+"""

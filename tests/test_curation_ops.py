@@ -1132,3 +1132,46 @@ class TestSplitLeakageReport:
         assert split_leakage_report(
             df, "doc_id", "text", "split", threshold=0.5
         ).count() == 0
+
+
+class TestPartitionStats:
+    def test_counts_staleness_and_unpartitioned(self, spark, tmp_dataset_dir):
+        from s3parq_spark.fetch import list_versions
+        from s3parq_spark.stats import (
+            collect_partition_stats, read_partition_stats,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, "a"), (3, "b")], ["k", "p"]
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        assert read_partition_stats(spark, tmp_dataset_dir) is None
+        recs = collect_partition_stats(spark, tmp_dataset_dir)
+        assert recs == [
+            {"values": {"p": "a"}, "n_rows": 2},
+            {"values": {"p": "b"}, "n_rows": 1},
+        ]
+        # stored record survives an append, with staleness visible
+        publish_path(
+            spark, tmp_dataset_dir,
+            spark.createDataFrame([(9, "b")], ["k", "p"]),
+            ["p"], mode="append",
+        )
+        stored = read_partition_stats(spark, tmp_dataset_dir)
+        assert stored == recs  # still the v1 snapshot's numbers
+        from s3parq_spark.metadata import read_sidecar
+        meta = read_sidecar(spark, tmp_dataset_dir)
+        assert meta.stats["partitions_as_of_version"] == 1
+        assert [v["version"] for v in
+                list_versions(spark, tmp_dataset_dir)] == [1, 2]
+
+    def test_unpartitioned_single_entry(self, spark, tmp_path):
+        from s3parq_spark.stats import collect_partition_stats
+
+        p = str(tmp_path / "np")
+        publish_path(
+            spark, p, spark.createDataFrame([(1,), (2,)], ["k"]), []
+        )
+        assert collect_partition_stats(spark, p) == [
+            {"values": {}, "n_rows": 2}
+        ]
