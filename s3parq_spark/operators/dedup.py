@@ -1149,3 +1149,64 @@ def split_leakage_report(
         )
         .select("doc_a", "doc_b", "split_a", "split_b", "jaccard")
     )
+
+
+def cluster_exemplars(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Pick each near-dup cluster's EXEMPLAR — the member most similar to
+    the rest (maximum summed Jaccard over the cluster's verified edges;
+    ties by id) — instead of the arbitrary min-id the plain dedup keeps.
+    The canonical-version selection for near-dup groups where variants
+    differ in quality (truncations, boilerplate-wrapped copies, partial
+    scrapes): the most-central member is the best-connected one.
+
+    Output: ``(cluster, exemplar, n_members, centrality)`` with
+    ``centrality`` = the exemplar's summed edge Jaccard as an
+    order-independent ``decimal(28,12)`` sum (hash-stable cross-engine).
+
+    Scale shape: the pair list and components come from the standard
+    LSH → verify → label-propagation pipeline; per-doc centrality is one
+    keyed aggregate over the incident edges (each edge contributes to
+    both endpoints); the per-cluster argmax is a max-struct aggregate —
+    no window, no sort, everything keyed on doc or cluster.
+    """
+    pairs = minhash_neardup_pairs(
+        df, id_col, text_col, num_hashes, bands, shingle_n, threshold
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    incident = (
+        pairs.select(
+            F.col("doc_a").alias("node"),
+            F.col("jaccard").cast("decimal(28,12)").alias("__j"),
+        )
+        .unionByName(
+            pairs.select(
+                F.col("doc_b").alias("node"),
+                F.col("jaccard").cast("decimal(28,12)").alias("__j"),
+            )
+        )
+        .groupBy("node")
+        .agg(F.sum("__j").alias("__cent"))
+    )
+    return (
+        comp.join(incident, "node")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max(F.struct(F.col("__cent"), (-F.col("node")).alias("__negid")))
+            .alias("__best"),
+        )
+        .select(
+            "cluster",
+            (-F.col("__best.__negid")).alias("exemplar"),
+            "n_members",
+            F.col("__best.__cent").cast("double").alias("centrality"),
+        )
+    )

@@ -2444,3 +2444,77 @@ ORACLE_EXT2["partition_stats"] = """
     SELECT n_regionkey, COUNT(*) AS n_rows
     FROM nation GROUP BY n_regionkey
 """
+
+
+def q_cluster_exemplars(spark, sf_dir):
+    """Near-dup cluster exemplars (operators/dedup.py cluster_exemplars):
+    per cluster, the member with maximum summed edge Jaccard (the
+    best-connected canonical version), ties by id — the quality-aware
+    alternative to keep-min-id. The oracle replays pairs, transitive
+    closure, decimal centrality sums, and the argmax."""
+    from .operators import cluster_exemplars
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = cluster_exemplars(docs, "doc_id", "text", threshold=0.8)
+    return out.select(
+        "cluster", "exemplar", "n_members",
+        F.round("centrality", 9).alias("centrality"),
+    )
+
+
+QUERIES_EXT2["cluster_exemplars"] = q_cluster_exemplars
+ORACLE_EXT2["cluster_exemplars"] = """
+    WITH RECURSIVE words AS (
+      SELECT doc_id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             w || ' ' || lead(w, 1) OVER win || ' ' ||
+             lead(w, 2) OVER win AS shingle
+      FROM words
+      WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      QUALIFY lead(w, 2) OVER win IS NOT NULL
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b,
+             CAST(CAST(n_common AS DOUBLE)
+                  / (sa.n + sb.n - n_common) AS DECIMAL(28,12)) AS j
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common) >= 0.8
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT a AS node, a AS r FROM edges
+      UNION
+      SELECT reach.node, edges.b FROM reach JOIN edges ON reach.r = edges.a
+    ), comp AS (
+      SELECT node, MIN(r) AS cluster FROM reach GROUP BY node
+    ), cent AS (
+      SELECT node, SUM(j) AS c FROM (
+        SELECT doc_a AS node, j FROM pairs
+        UNION ALL
+        SELECT doc_b AS node, j FROM pairs
+      ) GROUP BY node
+    ), ranked AS (
+      SELECT comp.cluster, comp.node, cent.c,
+             COUNT(*) OVER (PARTITION BY comp.cluster) AS n_members,
+             row_number() OVER (PARTITION BY comp.cluster
+                                ORDER BY cent.c DESC, comp.node ASC) AS rk
+      FROM comp JOIN cent ON comp.node = cent.node
+    )
+    SELECT CAST(cluster AS BIGINT) AS cluster,
+           CAST(node AS BIGINT) AS exemplar,
+           n_members,
+           round(CAST(c AS DOUBLE), 9) AS centrality
+    FROM ranked WHERE rk = 1
+"""

@@ -1175,3 +1175,34 @@ class TestPartitionStats:
         assert collect_partition_stats(spark, p) == [
             {"values": {}, "n_rows": 2}
         ]
+
+
+class TestClusterExemplars:
+    def test_central_member_wins_over_min_id(self, spark):
+        from s3parq_spark.operators.dedup import cluster_exemplars
+
+        base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+        rows = [
+            (1, base),
+            (2, base + " extra1"),          # central: similar to 1 AND 3
+            (3, base + " extra1 extra2"),
+            (9, "unrelated words entirely different from everything here"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        out = cluster_exemplars(df, "doc_id", "text", threshold=0.5).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["exemplar"] == 2  # NOT the min-id member
+        assert r["cluster"] == 1 and r["n_members"] == 3
+        assert r["centrality"] > 1.0  # two strong edges
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        from s3parq_spark.operators.dedup import cluster_exemplars
+
+        # two identical docs: equal centrality, exemplar = lower id
+        df = spark.createDataFrame(
+            [(7, "a b c d e f g h"), (4, "a b c d e f g h")],
+            ["doc_id", "text"],
+        )
+        r = cluster_exemplars(df, "doc_id", "text", threshold=0.9).collect()[0]
+        assert r["exemplar"] == 4 and r["n_members"] == 2
