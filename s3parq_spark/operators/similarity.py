@@ -917,3 +917,67 @@ def quantized_rescore_topk(
         .filter(F.col("__rk") <= k)
         .select("query_id", id_col, "qscore", "cosine")
     )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    label_col: str,
+    k_sigma: float = 2.0,
+) -> DataFrame:
+    """Embedding-space outlier detection: flag vectors whose Euclidean
+    distance to their label's centroid exceeds ``mean + k_sigma * std``
+    of that label's distance distribution — the standard pre-training
+    sweep for mislabeled or corrupted embeddings (a wrong-class vector
+    sits far from its assigned centroid even when it is a perfectly good
+    vector of some OTHER class).
+
+    Output: ``(id, label, dist, threshold, is_outlier)``. Two passes:
+    per-(label, dim) centroid means (posexplode → keyed aggregate —
+    the ``embedding_centroids`` shape), then per-row distance via a
+    broadcast join of the dim-wise centroid rows and one keyed
+    aggregate; the per-label (mean, std) of distances broadcasts back
+    the same way. Everything is keyed or broadcast-bounded by
+    |labels| × dim; the corpus is scanned twice and never reshuffled on
+    payload.
+    """
+    ex = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(label_col).alias("__l"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+            "__pos", "__x"
+        ),
+    )
+    cent = ex.groupBy("__l", "__pos").agg(F.avg("__x").alias("__c"))
+    dist = (
+        ex.join(F.broadcast(cent), ["__l", "__pos"])
+        .groupBy("__id", "__l")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    (F.col("__x") - F.col("__c"))
+                    * (F.col("__x") - F.col("__c"))
+                )
+            ).alias("dist")
+        )
+    )
+    stats = dist.groupBy("__l").agg(
+        F.avg("dist").alias("__mu"),
+        F.coalesce(F.stddev_samp("dist"), F.lit(0.0)).alias("__sd"),
+    )
+    return (
+        dist.join(F.broadcast(stats), "__l")
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__l").alias(label_col),
+            "dist",
+            (F.col("__mu") + F.lit(float(k_sigma)) * F.col("__sd")).alias(
+                "threshold"
+            ),
+            (
+                F.col("dist")
+                > F.col("__mu") + F.lit(float(k_sigma)) * F.col("__sd")
+            ).alias("is_outlier"),
+        )
+    )

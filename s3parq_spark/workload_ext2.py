@@ -2518,3 +2518,57 @@ ORACLE_EXT2["cluster_exemplars"] = """
            round(CAST(c AS DOUBLE), 9) AS centrality
     FROM ranked WHERE rk = 1
 """
+
+
+def q_embedding_outliers(spark, sf_dir):
+    """Embedding-space outlier sweep (operators/similarity.py
+    embedding_outliers): vectors farther than mean + 2 sigma from their
+    label centroid — the mislabeled/corrupted-vector filter. Returns the
+    flagged rows; the oracle replays centroids, distances, and the
+    threshold arithmetic."""
+    from .operators import embedding_outliers
+
+    emb = _table(spark, sf_dir, "embeddings")
+    out = embedding_outliers(emb, "vec_id", "embedding", "label")
+    return (
+        out.filter(F.col("is_outlier"))
+        .select(
+            "vec_id", "label",
+            F.round("dist", 9).alias("dist"),
+            F.round("threshold", 9).alias("threshold"),
+        )
+    )
+
+
+QUERIES_EXT2["embedding_outliers"] = q_embedding_outliers
+ORACLE_EXT2["embedding_outliers"] = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label,
+             unnest(generate_series(1, len(v))) AS pos, v
+      FROM e
+    ),
+    ex2 AS (SELECT vec_id, label, pos, v[pos] AS x FROM ex),
+    cent AS (
+      SELECT label, pos, AVG(x) AS c FROM ex2 GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT ex2.vec_id, ex2.label,
+             sqrt(SUM((x - c) * (x - c))) AS dist
+      FROM ex2 JOIN cent ON ex2.label = cent.label AND ex2.pos = cent.pos
+      GROUP BY ex2.vec_id, ex2.label
+    ),
+    stats AS (
+      SELECT label, AVG(dist) AS mu,
+             COALESCE(stddev_samp(dist), 0.0) AS sd
+      FROM dist GROUP BY label
+    )
+    SELECT d.vec_id, d.label,
+           round(d.dist, 9) AS dist,
+           round(s.mu + 2.0 * s.sd, 9) AS threshold
+    FROM dist d JOIN stats s ON d.label = s.label
+    WHERE d.dist > s.mu + 2.0 * s.sd
+"""

@@ -947,3 +947,29 @@ def test_oov_rate(spark, sf_dir):
     assert out[1] == (4, 0, 0.0)            # a,a,a,b all in vocab
     assert out[2] == (2, 1, 0.5)            # c is OOV
     assert out[3] == (3, 3, 1.0)            # x,y,z all OOV
+
+
+class TestEmbeddingOutliers:
+    def test_far_vector_flagged(self, spark):
+        from s3parq_spark.operators.similarity import embedding_outliers
+
+        rows = [(i, [0.0, 0.0], "a") for i in range(10)]
+        rows += [(98, [0.1, 0.0], "a"), (99, [50.0, 50.0], "a")]
+        df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+        out = {r["vec_id"]: r for r in
+               embedding_outliers(df, "vec_id", "embedding", "label").collect()}
+        assert out[99]["is_outlier"] is True
+        assert all(not out[i]["is_outlier"] for i in range(10))
+        # a correctly-placed vector in a tight cluster stays in
+        assert out[98]["is_outlier"] is False
+
+    def test_degenerate_label_no_flags(self, spark):
+        from s3parq_spark.operators.similarity import embedding_outliers
+
+        # single-member label: distance 0, std undefined -> coalesced 0,
+        # never flagged (0 > 0 is false)
+        df = spark.createDataFrame(
+            [(1, [1.0, 2.0], "solo")], ["vec_id", "embedding", "label"]
+        )
+        r = embedding_outliers(df, "vec_id", "embedding", "label").collect()[0]
+        assert r["is_outlier"] is False and r["dist"] == 0.0
