@@ -1177,9 +1177,11 @@ def cluster_exemplars(
     both endpoints); the per-cluster argmax is a max-struct aggregate —
     no window, no sort, everything keyed on doc or cluster.
     """
+    # the LSH-candidate + exact-verify pipeline is the dominant cost and
+    # feeds BOTH the components and the centrality aggregate — persist it
     pairs = minhash_neardup_pairs(
         df, id_col, text_col, num_hashes, bands, shingle_n, threshold
-    )
+    ).persist()
     comp = connected_components(pairs, "doc_a", "doc_b")
     incident = (
         pairs.select(
@@ -1195,18 +1197,23 @@ def cluster_exemplars(
         .groupBy("node")
         .agg(F.sum("__j").alias("__cent"))
     )
-    return (
-        comp.join(incident, "node")
-        .groupBy("cluster")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max(F.struct(F.col("__cent"), (-F.col("node")).alias("__negid")))
-            .alias("__best"),
-        )
+    joined = comp.join(incident, "node")
+    best = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("__cent").alias("__cmax"),
+    )
+    # argmax via exact-decimal equality then MIN id: id-type generic
+    # (negating the id would break string/hash ids and ANSI mode)
+    result = (
+        joined.join(best, "cluster")
+        .filter(F.col("__cent") == F.col("__cmax"))
+        .groupBy("cluster", "n_members", "__cmax")
+        .agg(F.min("node").alias("exemplar"))
         .select(
             "cluster",
-            (-F.col("__best.__negid")).alias("exemplar"),
+            "exemplar",
             "n_members",
-            F.col("__best.__cent").cast("double").alias("centrality"),
+            F.col("__cmax").cast("double").alias("centrality"),
         )
     )
+    return _unpersist_with(result, pairs)

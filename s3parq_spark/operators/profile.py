@@ -328,6 +328,11 @@ def clip_outliers(
     bounds, and each value is clamped to them (``mode='clip'``) or rows
     outside any bound are dropped (``mode='drop'``).
 
+    NULLs are not outliers: in ``clip`` mode they pass through unchanged
+    (Spark's ``least``/``greatest`` skip NULLs, which would silently
+    rewrite a NULL to the upper bound), and in ``drop`` mode NULL rows
+    are kept — missingness is a separate concern from magnitude.
+
     One global aggregate computes every column's two bounds in a single
     pass (exact percentile — at 100 TB swap for approx_percentile with an
     accuracy knob; the plan shape is identical), broadcast back as a
@@ -345,17 +350,20 @@ def clip_outliers(
     if mode == "drop":
         pred = F.lit(True)
         for c in cols:
-            pred = pred & F.col(c).between(
-                F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+            pred = pred & (
+                F.col(c).isNull()
+                | F.col(c).between(F.col(f"__lo_{c}"), F.col(f"__hi_{c}"))
             )
         out = out.filter(pred)
     else:
         for c in cols:
             out = out.withColumn(
                 c,
-                F.greatest(
-                    F.col(f"__lo_{c}"),
-                    F.least(F.col(f"__hi_{c}"), F.col(c)),
+                F.when(F.col(c).isNull(), F.col(c)).otherwise(
+                    F.greatest(
+                        F.col(f"__lo_{c}"),
+                        F.least(F.col(f"__hi_{c}"), F.col(c)),
+                    )
                 ),
             )
     return out.drop(*[f"__lo_{c}" for c in cols], *[f"__hi_{c}" for c in cols])
@@ -383,8 +391,15 @@ def normalize_by_group(
     for c in cols:
         aggs.append(F.avg(c).alias(f"__mu_{c}"))
         aggs.append(F.stddev_samp(c).alias(f"__sd_{c}"))
-    stats = df.groupBy(group_col).agg(*aggs)
-    out = df.join(F.broadcast(stats), group_col)
+    stats = df.groupBy(group_col).agg(*aggs).withColumnRenamed(
+        group_col, "__nbg_g"
+    )
+    # null-safe join: a NULL group is a real group (groupBy keeps it);
+    # a plain equi-join would silently drop its rows
+    out = df.join(
+        F.broadcast(stats),
+        F.col(group_col).eqNullSafe(F.col("__nbg_g")),
+    ).drop("__nbg_g")
     for c in cols:
         sd = F.col(f"__sd_{c}")
         out = out.withColumn(

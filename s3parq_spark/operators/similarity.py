@@ -933,26 +933,42 @@ def embedding_outliers(
     sits far from its assigned centroid even when it is a perfectly good
     vector of some OTHER class).
 
-    Output: ``(id, label, dist, threshold, is_outlier)``. Two passes:
-    per-(label, dim) centroid means (posexplode → keyed aggregate —
-    the ``embedding_centroids`` shape), then per-row distance via a
-    broadcast join of the dim-wise centroid rows and one keyed
-    aggregate; the per-label (mean, std) of distances broadcasts back
-    the same way. Everything is keyed or broadcast-bounded by
-    |labels| × dim; the corpus is scanned twice and never reshuffled on
-    payload.
+    Output: ``(id, label, dist, threshold, is_outlier)`` — one row per
+    INPUT row. NULL labels form their own group (a mislabel sweep must
+    surface unlabeled rows, not drop them — label joins are null-safe),
+    and a NULL/empty vector is flagged outright with ``dist`` NULL
+    (posexplode would otherwise silently erase the very rows a
+    corruption sweep exists to find).
+
+    Two passes: per-(label, dim) centroid means (posexplode → keyed
+    aggregate — the ``embedding_centroids`` shape), then per-row distance
+    via a broadcast join of the dim-wise centroid rows and one keyed
+    aggregate; the per-label (mean, std) of distances broadcasts back.
+    Everything is keyed or broadcast-bounded by |labels| × dim; the
+    corpus is never reshuffled on payload.
     """
-    ex = df.select(
+    base = df.select(
         F.col(id_col).alias("__id"),
         F.col(label_col).alias("__l"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias(
-            "__pos", "__x"
-        ),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    cent = ex.groupBy("__l", "__pos").agg(F.avg("__x").alias("__c"))
+    ex = base.select(
+        "__id", "__l", F.posexplode("__v").alias("__pos", "__x")
+    )
+    cent = (
+        ex.groupBy("__l", "__pos")
+        .agg(F.avg("__x").alias("__c"))
+        .select(
+            F.col("__l").alias("__lc"), F.col("__pos").alias("__posc"), "__c"
+        )
+    )
     dist = (
-        ex.join(F.broadcast(cent), ["__l", "__pos"])
-        .groupBy("__id", "__l")
+        ex.join(
+            F.broadcast(cent),
+            F.col("__l").eqNullSafe(F.col("__lc"))
+            & (F.col("__pos") == F.col("__posc")),
+        )
+        .groupBy("__id")
         .agg(
             F.sqrt(
                 F.sum(
@@ -961,23 +977,32 @@ def embedding_outliers(
                 )
             ).alias("dist")
         )
+        .select(F.col("__id").alias("__idd"), "dist")
     )
-    stats = dist.groupBy("__l").agg(
-        F.avg("dist").alias("__mu"),
-        F.coalesce(F.stddev_samp("dist"), F.lit(0.0)).alias("__sd"),
+    stats_src = base.select("__id", "__l").join(
+        dist, F.col("__id") == F.col("__idd"), "left"
     )
+    stats = (
+        stats_src.filter(F.col("dist").isNotNull())
+        .groupBy("__l")
+        .agg(
+            F.avg("dist").alias("__mu"),
+            F.coalesce(F.stddev_samp("dist"), F.lit(0.0)).alias("__sd"),
+        )
+        .select(F.col("__l").alias("__ls"), "__mu", "__sd")
+    )
+    thr = F.col("__mu") + F.lit(float(k_sigma)) * F.col("__sd")
     return (
-        dist.join(F.broadcast(stats), "__l")
+        stats_src.join(
+            F.broadcast(stats), F.col("__l").eqNullSafe(F.col("__ls")), "left"
+        )
         .select(
             F.col("__id").alias(id_col),
             F.col("__l").alias(label_col),
             "dist",
-            (F.col("__mu") + F.lit(float(k_sigma)) * F.col("__sd")).alias(
-                "threshold"
-            ),
-            (
-                F.col("dist")
-                > F.col("__mu") + F.lit(float(k_sigma)) * F.col("__sd")
-            ).alias("is_outlier"),
+            thr.alias("threshold"),
+            F.when(F.col("dist").isNull(), F.lit(True))
+            .otherwise(F.col("dist") > thr)
+            .alias("is_outlier"),
         )
     )

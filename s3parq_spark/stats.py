@@ -64,7 +64,10 @@ def collect_stats(
     row = df.agg(*aggs).collect()[0]
 
     version = meta.snapshots[-1]["version"] if meta.snapshots else None
-    stats = {
+    # merge into any existing record: a table-level ANALYZE must not
+    # erase stored partition stats (and vice versa)
+    stats = dict(meta.stats or {})
+    stats.update({
         "row_count": row["__n"],
         "as_of_version": version,
         "columns": {
@@ -76,7 +79,7 @@ def collect_stats(
             }
             for c in columns
         },
-    }
+    })
     meta.stats = stats
     metadata.write_sidecar(spark, path, meta)
     return stats
@@ -124,7 +127,11 @@ def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
         ]
     else:
         recs = [{"values": {}, "n_rows": df.count()}]
-    recs.sort(key=lambda r: sorted(r["values"].items()))
+    recs.sort(
+        key=lambda r: [
+            (k, v is None, v or "") for k, v in sorted(r["values"].items())
+        ]
+    )
     version = meta.snapshots[-1]["version"] if meta.snapshots else None
     stats = dict(meta.stats or {})
     stats["partitions"] = recs

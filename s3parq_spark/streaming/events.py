@@ -660,13 +660,16 @@ def run_streaming_window_topk(
     watermark: str = "2 hours",
 ) -> DataFrame:
     """Per-window heavy hitters from a stream: the windowed (window, user)
-    count aggregate runs STREAMING (watermarked — state stays O(active
-    windows × users-per-window)); the per-window rank runs on the
+    count aggregate runs streaming; the per-window rank runs on the
     materialized sink, because ranking is not stream-expressible (a new
     row can demote an earlier emission, which append-mode cannot
-    retract) — the standard production split: aggregate on the stream,
-    rank at read. With availableNow the composition equals the batch
-    query by construction.
+    retract) — the aggregate-then-rank split. This helper is the ONE-SHOT
+    form: ``complete`` output mode re-emits every window and the
+    watermark does NOT evict state under it, so with availableNow it
+    drains a bounded source and equals the batch query by construction.
+    A long-running deployment instead runs the same aggregate in append
+    mode (watermark-bounded state) into a durable sink and ranks at
+    read — the plan is identical, only the sink/output mode differ.
     """
     name = f"ev_{uuid.uuid4().hex[:12]}"
     stream = read_event_stream(spark, events_parquet)

@@ -1206,3 +1206,26 @@ class TestClusterExemplars:
         )
         r = cluster_exemplars(df, "doc_id", "text", threshold=0.9).collect()[0]
         assert r["exemplar"] == 4 and r["n_members"] == 2
+
+    def test_stats_and_partition_stats_coexist(self, spark, tmp_dataset_dir):
+        from s3parq_spark.stats import (
+            collect_partition_stats, collect_stats,
+            read_partition_stats, read_stats,
+        )
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"])
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        collect_partition_stats(spark, tmp_dataset_dir)
+        collect_stats(spark, tmp_dataset_dir)   # must NOT erase partitions
+        assert read_partition_stats(spark, tmp_dataset_dir) is not None
+        assert read_stats(spark, tmp_dataset_dir)["row_count"] == 2
+
+    def test_null_partition_value_sorts(self, spark, tmp_dataset_dir):
+        from s3parq_spark.stats import collect_partition_stats
+
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None)], "k INT, p STRING"
+        )
+        publish_path(spark, tmp_dataset_dir, df, ["p"])
+        recs = collect_partition_stats(spark, tmp_dataset_dir)
+        assert sum(r["n_rows"] for r in recs) == 2  # no TypeError on None

@@ -251,3 +251,27 @@ class TestNormalizeByGroup:
         stats = (out.filter(F.col("g") == "A")
                  .agg(F.avg("v_z"), F.stddev_samp("v_z")).collect()[0])
         assert abs(stats[0]) < 1e-12 and abs(stats[1] - 1.0) < 1e-12
+
+    def test_nulls_pass_through_both_modes(self, spark):
+        from s3parq_spark.operators.profile import clip_outliers
+
+        df = spark.createDataFrame(
+            [(1, 1.0), (2, 50.0), (3, None), (4, 100.0)], "k INT, v DOUBLE"
+        )
+        clipped = {r["k"]: r["v"] for r in
+                   clip_outliers(df, ["v"], 0.1, 0.9).collect()}
+        assert clipped[3] is None          # NULL stays NULL, never a bound
+        assert clipped[2] == 50.0
+        dropped = clip_outliers(df, ["v"], 0.1, 0.9, mode="drop")
+        assert {r["k"] for r in dropped.collect()} == {2, 3}  # NULL row kept
+
+    def test_null_group_rows_survive(self, spark):
+        from s3parq_spark.operators.profile import normalize_by_group
+
+        df = spark.createDataFrame(
+            [("a", 1.0), ("a", 3.0), (None, 5.0)], "g STRING, v DOUBLE"
+        )
+        out = normalize_by_group(df, "g", ["v"])
+        assert out.count() == 3
+        nullrow = [r for r in out.collect() if r["g"] is None][0]
+        assert nullrow["v_z"] == 0.0  # single-member NULL group
