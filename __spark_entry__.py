@@ -92,10 +92,11 @@ _VERIFIED_PRIOR_ROUNDS = frozenset(
         # "embedding_quantize" — r04 RED, fixed this round, re-verify as
         # never-verified.
         #
-        # ROUND-6 HANDOFF: after r05's 50 rows land, these 30 queries will
+        # ROUND-6 HANDOFF: after r05's 50 rows land, these 38 queries will
         # still lack a driver CORRECTNESS row (the r05 window was full);
         # they are first in line for round 6's _NEW_THIS_ROUND / head —
-        # all pass the local driver-parity gate at sf0.01 AND sf0.1:
+        # all pass the local driver-parity gate (sf0.01 full suite; the
+        # session's additions also spot-checked at sf0.1):
         #   repartition_fetch multi_supplier_waiting hidden_partition_fetch
         #   delete_where_fetch dataset_stats ivf_pq_at_rest
         #   update_where_fetch expectations_publish hard_negatives oov_rate
@@ -105,6 +106,9 @@ _VERIFIED_PRIOR_ROUNDS = frozenset(
         #   containment_dedup dataset_card files_table
         #   rename_evolution_fetch dml_change_feed merge_change_feed
         #   cdc_mirror_fetch hidden_pushdown_fetch source_entropy
+        #   gumbel_sample events_stream_topk winsorized_pricing
+        #   zscore_by_flag split_leakage partition_stats cluster_exemplars
+        #   embedding_outliers
     }
 )
 
