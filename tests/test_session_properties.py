@@ -130,3 +130,47 @@ def test_transform_pushdown_equivalence(spark, cmp, day, hour):
         assert got == expected, (cmp, bound, got, expected)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@given(
+    seed=st.integers(min_value=0, max_value=10_000),
+    dim=st.integers(min_value=2, max_value=6),
+    n=st.integers(min_value=5, max_value=15),
+)
+@settings(max_examples=6, deadline=None)
+def test_full_rescore_equals_exact_topk(spark, seed, dim, n):
+    from s3parq_spark.operators.similarity import (
+        batch_cosine_topk, quantized_rescore_topk,
+    )
+
+    rows = [
+        (i, [float(((seed + i * 31 + j * 17) % 23) - 11) for j in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = df.filter(df.vec_id < 2)
+    two = quantized_rescore_topk(
+        df, "vec_id", "embedding", q, k=3, rescore=n + 5
+    ).select("query_id", "vec_id")
+    exact = batch_cosine_topk(df, "vec_id", "embedding", q, k=3).select(
+        "query_id", "vec_id"
+    )
+    assert sorted(map(tuple, two.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+@given(texts=st.lists(doc_st, min_size=2, max_size=4))
+@settings(max_examples=6, deadline=None)
+def test_dsir_prefers_exact_target_copy(spark, texts):
+    """A raw doc that IS a copy of the target corpus must outscore a raw
+    doc whose n-grams are disjoint from it."""
+    from s3parq_spark.operators.sampling import dsir_importance_weights
+
+    rows = [(i, t, True) for i, t in enumerate(texts)]
+    rows.append((100, texts[0], False))                  # exact target copy
+    rows.append((101, "zz1 zz2 zz3 zz4 zz5", False))     # disjoint vocab
+    df = spark.createDataFrame(rows, ["doc_id", "text", "t"])
+    got = {r["doc_id"]: r["logw"] for r in
+           dsir_importance_weights(df, "doc_id", "text", "t").collect()}
+    assert got[100] > got[101], (texts, got)
