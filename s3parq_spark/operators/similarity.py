@@ -1006,3 +1006,52 @@ def embedding_outliers(
             .alias("is_outlier"),
         )
     )
+
+
+def decontaminate_semantic(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    benchmark_df: DataFrame,
+    threshold: float = 0.95,
+    bench_vec_col: Optional[str] = None,
+) -> DataFrame:
+    """Semantic benchmark decontamination — the embedding-space complement
+    of the n-gram ``decontaminate`` rule: drop every corpus row whose
+    vector is cosine-similar (≥ ``threshold``) to ANY benchmark vector.
+    Lexical decontamination misses paraphrased eval leakage; this is the
+    standard second pass (cf. embedding-based contamination audits).
+
+    Returns the KEPT corpus rows (payload untouched), corpus-out like
+    ``decontaminate``.
+
+    Scale shape: benchmarks are small by definition, so the benchmark
+    frame broadcasts and the training corpus is ONE scan — cosine
+    against each benchmark vector as a codegen'd expression, a
+    semi-join-shaped filter with no shuffle of the corpus at all. For a
+    benchmark too large to broadcast, block both sides with
+    ``hyperplane_signature`` and use the ``lsh_batch_topk`` geometry
+    instead — same verify arithmetic.
+    """
+    bcol = bench_vec_col or vec_col
+    bench = benchmark_df.select(
+        F.col(bcol).cast("array<double>").alias("__bv")
+    )
+    dirty = (
+        df.select(
+            F.col(id_col).alias("__did"),
+            F.col(vec_col).cast("array<double>").alias("__dv"),
+        )
+        .crossJoin(F.broadcast(bench))
+        .filter(
+            cosine_similarity(F.col("__dv"), F.col("__bv"))
+            >= F.lit(float(threshold))
+        )
+        .select("__did")
+        .distinct()
+    )
+    return df.join(
+        F.broadcast(dirty),
+        F.col(id_col) == F.col("__did"),
+        "left_anti",
+    )

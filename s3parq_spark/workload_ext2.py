@@ -2572,3 +2572,40 @@ ORACLE_EXT2["embedding_outliers"] = """
     FROM dist d JOIN stats s ON d.label = s.label
     WHERE d.dist > s.mu + 2.0 * s.sd
 """
+
+
+def q_semantic_decontaminate(spark, sf_dir):
+    """Semantic benchmark decontamination (operators/similarity.py
+    decontaminate_semantic — the embedding-space complement of the n-gram
+    rule, catching paraphrased eval leakage): drop corpus vectors
+    cosine-similar (>= 0.25, tuned to this synthetic distribution) to any
+    of the 20 benchmark vectors; benchmark broadcast, corpus one scan.
+    Returns kept ids + labels; the oracle replays the cosine filter and
+    anti-join."""
+    from .operators import decontaminate_semantic
+
+    emb = _table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.col("vec_id") < 20)
+    corpus = emb.filter(F.col("vec_id") >= 20)
+    kept = decontaminate_semantic(
+        corpus, "vec_id", "embedding", bench, threshold=0.25
+    )
+    return kept.select("vec_id", "label")
+
+
+QUERIES_EXT2["semantic_decontaminate"] = q_semantic_decontaminate
+ORACLE_EXT2["semantic_decontaminate"] = """
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    bench AS (SELECT v AS bv FROM e WHERE vec_id < 20),
+    corpus AS (SELECT vec_id, label, v FROM e WHERE vec_id >= 20),
+    dirty AS (
+      SELECT DISTINCT c.vec_id
+      FROM corpus c CROSS JOIN bench b
+      WHERE list_cosine_similarity(c.v, b.bv) >= 0.25
+    )
+    SELECT c.vec_id, c.label
+    FROM corpus c
+    WHERE c.vec_id NOT IN (SELECT vec_id FROM dirty)
+"""

@@ -973,3 +973,37 @@ class TestEmbeddingOutliers:
         )
         r = embedding_outliers(df, "vec_id", "embedding", "label").collect()[0]
         assert r["is_outlier"] is False and r["dist"] == 0.0
+
+
+class TestDecontaminateSemantic:
+    def test_near_benchmark_vectors_dropped(self, spark):
+        from s3parq_spark.operators.similarity import decontaminate_semantic
+
+        bench = spark.createDataFrame(
+            [(0, [1.0, 0.0, 0.0])], ["vec_id", "embedding"]
+        )
+        corpus = spark.createDataFrame(
+            [
+                (10, [0.99, 0.1, 0.0], "keepable?"),   # ~ parallel to bench
+                (11, [0.0, 1.0, 0.0], "orthogonal"),
+                (12, [-1.0, 0.0, 0.0], "opposite"),
+            ],
+            ["vec_id", "embedding", "tag"],
+        )
+        kept = decontaminate_semantic(
+            corpus, "vec_id", "embedding", bench, threshold=0.9
+        )
+        assert sorted(r["vec_id"] for r in kept.collect()) == [11, 12]
+        # payload columns ride through untouched
+        assert kept.columns == corpus.columns
+
+    def test_empty_benchmark_keeps_everything(self, spark):
+        from s3parq_spark.operators.similarity import decontaminate_semantic
+
+        corpus = spark.createDataFrame(
+            [(1, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        bench = corpus.filter("vec_id < 0")
+        assert decontaminate_semantic(
+            corpus, "vec_id", "embedding", bench
+        ).count() == 1
