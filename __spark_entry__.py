@@ -92,7 +92,7 @@ _VERIFIED_PRIOR_ROUNDS = frozenset(
         # "embedding_quantize" — r04 RED, fixed this round, re-verify as
         # never-verified.
         #
-        # ROUND-6 HANDOFF: after r05's 50 rows land, these 38 queries will
+        # ROUND-6 HANDOFF: after r05's 50 rows land, these 39 queries will
         # still lack a driver CORRECTNESS row (the r05 window was full);
         # they are first in line for round 6's _NEW_THIS_ROUND / head —
         # all pass the local driver-parity gate (sf0.01 full suite; the
@@ -108,7 +108,7 @@ _VERIFIED_PRIOR_ROUNDS = frozenset(
         #   cdc_mirror_fetch hidden_pushdown_fetch source_entropy
         #   gumbel_sample events_stream_topk winsorized_pricing
         #   zscore_by_flag split_leakage partition_stats cluster_exemplars
-        #   embedding_outliers
+        #   embedding_outliers semantic_decontaminate
     }
 )
 
