@@ -34,8 +34,11 @@ def _norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two ``array<double>`` columns, fully JVM-side."""
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity of two ``array<double>`` columns, fully JVM-side.
+    NULL when either vector has zero magnitude (cosine is undefined
+    there; a plain division would THROW under ANSI mode, Spark 4's
+    default, killing whole jobs on one degenerate vector)."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_cosine_topk(
@@ -1025,13 +1028,18 @@ def decontaminate_semantic(
     Returns the KEPT corpus rows (payload untouched), corpus-out like
     ``decontaminate``.
 
+    Zero-magnitude vectors are never considered similar to anything
+    (cosine is undefined; Spark yields NULL and the filter keeps the
+    row) — the oracle replays this explicitly because DuckDB's NaN
+    would otherwise compare greater than any threshold.
+
     Scale shape: benchmarks are small by definition, so the benchmark
-    frame broadcasts and the training corpus is ONE scan — cosine
-    against each benchmark vector as a codegen'd expression, a
-    semi-join-shaped filter with no shuffle of the corpus at all. For a
-    benchmark too large to broadcast, block both sides with
-    ``hyperplane_signature`` and use the ``lsh_batch_topk`` geometry
-    instead — same verify arithmetic.
+    frame broadcasts; the corpus is read twice — a scan pruned to
+    (id, vector) builds the dirty-id set, then the broadcast anti-join
+    scan emits the kept rows — with no shuffle of the corpus at any
+    point. For a benchmark too large to broadcast, block both sides
+    with ``hyperplane_signature`` and use the ``lsh_batch_topk``
+    geometry instead — same verify arithmetic.
     """
     bcol = bench_vec_col or vec_col
     bench = benchmark_df.select(

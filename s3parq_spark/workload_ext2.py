@@ -2603,7 +2603,11 @@ ORACLE_EXT2["semantic_decontaminate"] = """
     dirty AS (
       SELECT DISTINCT c.vec_id
       FROM corpus c CROSS JOIN bench b
-      WHERE list_cosine_similarity(c.v, b.bv) >= 0.25
+      -- NaN guard: a zero-magnitude vector's cosine is NaN in DuckDB
+      -- (compares greater than everything) but NULL in Spark (filter
+      -- false); exclude it so both engines keep such rows
+      WHERE NOT isnan(list_cosine_similarity(c.v, b.bv))
+        AND list_cosine_similarity(c.v, b.bv) >= 0.25
     )
     SELECT c.vec_id, c.label
     FROM corpus c

@@ -1007,3 +1007,19 @@ class TestDecontaminateSemantic:
         assert decontaminate_semantic(
             corpus, "vec_id", "embedding", bench
         ).count() == 1
+
+    def test_zero_vector_never_similar(self, spark):
+        from s3parq_spark.operators.similarity import decontaminate_semantic
+
+        bench = spark.createDataFrame(
+            [(0, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        corpus = spark.createDataFrame(
+            [(10, [0.0, 0.0]), (11, [1.0, 0.0])], ["vec_id", "embedding"]
+        )
+        kept = decontaminate_semantic(
+            corpus, "vec_id", "embedding", bench, threshold=0.5
+        )
+        # the zero vector's cosine is undefined -> kept; the parallel
+        # vector is dropped
+        assert [r["vec_id"] for r in kept.collect()] == [10]
