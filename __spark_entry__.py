@@ -9,7 +9,10 @@ equivalent for the hash-match correctness gate. Implementations live in
 
 from __future__ import annotations
 
+import glob
+import json
 import os
+import re
 import sys
 from collections.abc import Callable
 
@@ -46,111 +49,78 @@ def entry(spark: SparkSession) -> DataFrame:
     return QUERIES["pricing_summary"](spark, "/root/testdata/sf0.001")
 
 
-# Queries that already have a green (hash-matched) row in a prior round's
-# CORRECTNESS_r{01..04}.json. The driver only records the first 50 entries
-# of queries(), so registration order IS verification coverage: we lead with
-# two sentinel parity queries, then every query that has never had a driver
-# row (including anything newly added this round), then the already-verified
-# remainder. Rotate this set forward each round as new rows land.
-_VERIFIED_PRIOR_ROUNDS = frozenset(
-    {
-        # r01-r03 greens
-        "ann_topk", "anti_join", "asof_clicks", "audio_features",
-        "cube_pricing", "dedup_exact", "distinct_counts", "doc_fingerprint",
-        "emb_neardup", "events_json", "events_sessionize", "events_sliding",
-        "events_stream_tumbling", "events_tumbling", "except_nations",
-        "fetch_all", "fetch_decimal", "fetch_diff", "fetch_diff_reverse",
-        "fetch_filter_bool", "fetch_filter_datetime", "fetch_filter_eq",
-        "fetch_filter_float_eq", "fetch_filter_gt", "fetch_filter_in",
-        "fetch_filter_neq", "frame_sample", "grouping_sets",
-        "intersect_nations", "lang_id", "media_features", "minhash_pairs",
-        "nation_revenue", "neardup_jaccard", "order_item_arrays",
-        "partition_diff_values", "partition_max", "partition_values",
-        "pivot_status", "pricing_summary", "quantiles", "rollup_pricing",
-        "scalar_functions", "semi_join", "simhash_pairs", "text_quality",
-        "token_stats", "top_revenue_orders", "topk_orders", "union_distinct",
-        "window_top_orders",
-        # r04 greens (CORRECTNESS_r04.json, 48/50)
-        "ann_batch_topk", "approx_distinct_counts", "band_join",
-        "bm25_search", "brand_size_revenue", "catalog_join",
-        "chunk_documents", "customer_distribution", "dedup_incremental",
-        "disjunctive_parts", "embedding_centroids", "embedding_normalize",
-        "events_stream_dedup", "events_stream_join", "events_stream_publish",
-        "events_stream_sessions", "forecast_revenue", "fuzzy_titles_d2",
-        "interval_join", "ivf_batch_topk", "ivf_topk", "knn_graph",
-        "large_volume_customers", "lsh_topk", "market_share",
-        "neardup_clusters", "ngram_contamination", "ngram_lm_quality",
-        "order_priority_exists", "pii_scrub", "product_type_profit",
-        "promo_revenue", "returned_item_ranking", "salted_revenue",
-        "schema_evolution_fetch", "small_qty_revenue", "sql_front_door",
-        "stratified_fixed_n", "stratified_sample", "tf_idf_top_terms",
-        "top_supplier", "vocab_topk", "volume_shipping", "waiting_customers",
-        "window_running",
-        # NOT here (deliberately): "doc_dup_ngrams" — r04-green, but its
-        # oracle tokenization changed this round (regex split), so it
-        # re-verifies via _NEW_THIS_ROUND; "repetition_quality" and
-        # "embedding_quantize" — r04 RED, fixed this round, re-verify as
-        # never-verified.
-        #
-        # ROUND-6 HANDOFF: after r05's 50 rows land, these 39 queries will
-        # still lack a driver CORRECTNESS row (the r05 window was full);
-        # they are first in line for round 6's _NEW_THIS_ROUND / head —
-        # all pass the local driver-parity gate (sf0.01 full suite; the
-        # session's additions also spot-checked at sf0.1):
-        #   repartition_fetch multi_supplier_waiting hidden_partition_fetch
-        #   delete_where_fetch dataset_stats ivf_pq_at_rest
-        #   update_where_fetch expectations_publish hard_negatives oov_rate
-        #   fuzzy_dedup_at_rest dsir_select quantized_rescore expire_fetch
-        #   span_dedup time_travel_ts attach_at_sql cas_publish
-        #   compact_fetch stream_hidden_fetch corpus_overlap
-        #   containment_dedup dataset_card files_table
-        #   rename_evolution_fetch dml_change_feed merge_change_feed
-        #   cdc_mirror_fetch hidden_pushdown_fetch source_entropy
-        #   gumbel_sample events_stream_topk winsorized_pricing
-        #   zscore_by_flag split_leakage partition_stats cluster_exemplars
-        #   embedding_outliers semantic_decontaminate
-    }
-)
+# ---------------------------------------------------------------------------
+# Driver-row rotation (automatic).
+#
+# The driver records only the first 50 entries of queries() into
+# CORRECTNESS_r{N}.json, so registration order IS verification coverage.
+# Rather than hand-maintaining a frozenset of already-verified queries (which
+# went stale twice across rounds 4-5), the verified set is computed from the
+# CORRECTNESS_r*.json files that live next to this file: a query is
+# "verified" iff some recorded round has err==null and hash_match==true for
+# it, and its recency is the latest such round. Ordering:
+#   1. the two sentinel parity queries (always re-rowed — canary for
+#      environment drift),
+#   2. queries listed in _NEW_THIS_ROUND (added or semantically changed this
+#      round — they must get a row in their first round),
+#   3. queries with no green row in any recorded round (the backlog),
+#   4. everything else, least-recently-verified first (the 50-row window
+#      becomes a rolling regression net once the backlog is empty).
+# ---------------------------------------------------------------------------
 
 _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 
-# Queries added or changed this round, promoted right after the sentinels so
-# they get a CORRECTNESS row in their first round instead of waiting out the
-# rotation.
+# Queries added or semantically changed this round, promoted right after the
+# sentinels so they get a CORRECTNESS row in their first round instead of
+# waiting out the rotation. Keep this list short (the r5 verdict's budget
+# arithmetic: sentinels + new + backlog must stay <= 50).
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "repetition_quality",   # r04 red: oracle SUM now CAST AS BIGINT
-    "embedding_quantize",   # r04 red: output posexploded to scalars
-    "doc_dup_ngrams",       # oracle tokenization changed to regex split
-    "vacuum_roundtrip",     # new: orphan-file vacuum under the gate
-    "bpe_roundtrip",        # new: BPE train/apply under the gate
-    "ivf_pruned_topk",      # new: IVF-at-rest via partition-pruned fetch
-    "semantic_dedup",       # new: SemDeDup-style embedding dedup
-    "sorted_publish_fetch", # new: clustered publish + range read
-    "zorder_publish_fetch", # new: Morton-key multi-dim clustering
-    "fetch_changes",        # new: CDC incremental read between versions
-    "bucketed_join",        # new: publish_bucketed + shuffle-free SMJ
-    "quality_classifier",   # new: hashing-trick linear quality model
-    "shipping_priority_split",  # new: TPC-H Q12 shape (CASE counting)
-    "temperature_mix",      # new: sqrt-temperature source mixing
-    "pq_topk",              # new: product-quantization ADC ANN
-    "split_assign",         # new: deterministic train/val/test assignment
-    "token_budget_select",  # new: per-source token-budget selection
-    "line_dedup",           # new: cross-doc line-level boilerplate dedup
-    "decontaminate",        # new: benchmark n-gram decontamination (corpus out)
-    "minhash_dedup_corpus", # new: full fuzzy dedup, kept corpus out
-    "restore_fetch",        # new: dataset rollback (restore) lifecycle
-    "ivf_pq_topk",          # new: IVF + product-quantization ADC ANN
+    "pq_batch_topk",        # new: batch-query PQ ADC ANN (r5 verdict #6)
+    "null_partition_merge", # new: merge_upsert onto a NULL partition value
+                            # (exercises the null-safe touched-partition
+                            # predicate fix, ADVICE r5 item 3)
 )
 
 
+def _green_rounds() -> dict[str, int]:
+    """Latest round with a green (hash-matched) driver row, per query,
+    parsed from the CORRECTNESS_r*.json files the driver writes next to
+    this module. Malformed or missing files are skipped: a query whose
+    history can't be read is simply treated as never-verified and re-rowed,
+    which is the safe direction."""
+    latest: dict[str, int] = {}
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if (
+                isinstance(row, dict)
+                and row.get("err") is None
+                and row.get("hash_match") is True
+            ):
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
 def _driver_order(names: list[str]) -> list[str]:
+    green = _green_rounds()
     head = [*_SENTINELS, *(n for n in _NEW_THIS_ROUND if n in names)]
-    never_verified = [
-        n for n in names
-        if n not in _VERIFIED_PRIOR_ROUNDS and n not in head
-    ]
-    rest = [n for n in names if n in _VERIFIED_PRIOR_ROUNDS and n not in head]
-    return [*head, *never_verified, *rest]
+    backlog = [n for n in names if n not in green and n not in head]
+    rest = sorted(
+        (n for n in names if n in green and n not in head),
+        key=lambda n: (green[n], n),
+    )
+    return [*head, *backlog, *rest]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -191,13 +191,24 @@ def main() -> None:
                 # r04+; NOT to r03 and earlier (single-shot reads).
                 "method": f"reads=min-of-{n_runs}; publishes=cold-single-run; "
                           "probes=single-run, excluded from total",
-                # r05 profile of the cold publish (its biggest line): ~1.1s
-                # is the one-job row-size sampling aggregate (cold parquet
-                # footers + first codegen), the rest is the rebalance+write
-                # itself; the touched-dirs/scoped-listing commit path does
-                # not run on this overwrite. Healthy geometry — no tune.
-                "notes": "publish = ~30% sizing-sample job, ~70% rebalanced "
-                         "partitioned write (profiled r05)",
+                # r06: the publish sizing-sample job is GONE for parquet-
+                # backed inputs — file sizes + a footer sample give exact
+                # compressed bytes/row with zero Spark jobs (publish.py
+                # _parquet_scan_row_bytes), publish -6.6% vs r05. The
+                # r4->r5 read drift (+10-22% on six read entries) was
+                # profiled to fixed per-fetch DRIVER latency: ~6 py4j round
+                # trips for the JVM-stream sidecar read and ~2 per column
+                # for the final reorder-select. Fixed by reading local
+                # sidecars through the OS (fs.read_text) and projecting via
+                # one DataFrame.to(schema) call (fetch._project_dataset_
+                # columns); every drifted entry is back at or below its r4
+                # level (fetch_all 0.121 vs r4 0.136, fetch_diff 0.222 vs
+                # 0.241, token_stats 0.121 vs 0.122, dedup_exact 0.231 vs
+                # 0.261, fetch_filter_datetime 0.346 vs 0.397).
+                "notes": "publish sizing now footer-based (no sampling "
+                         "job) for parquet-backed inputs; r5 read-path "
+                         "drift fixed (py4j chatter: OS-path sidecar "
+                         "reads + one-call schema projection)",
                 "probes": probes,
             }
         )

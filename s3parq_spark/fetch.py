@@ -33,6 +33,7 @@ from . import fs, metadata, naming
 from .filters import (
     NON_NUM_TYPES,
     filters_to_predicate,
+    first_filter_per_partition,
     validate_filter_rules,
     validate_matching_filter_data_type,
 )
@@ -398,15 +399,23 @@ def fetch_path(
         # plane acknowledges, so orphans from failed writes are invisible to
         # BOTH — one consistency story, and the contract vacuum_dataset
         # enforces physically. Degenerates to the directory scan when
-        # history is gone. At extreme file counts the explicit list costs
-        # O(files) driver->JVM strings; a production object store deployment
-        # would hand Spark a custom FileIndex over the same manifest instead
-        # — same semantics, same pruning.
-        df = (
-            spark.read.schema(full_schema)
-            .option("basePath", path)
-            .parquet(*[posixpath.join(path, f) for f in files])
-        )
+        # history is gone. The manifest is first PRUNED driver-side against
+        # the partition filters (the working core of a custom FileIndex —
+        # see _prune_manifest_files), so the O(files) py4j path transfer
+        # and the JVM file index are sized by the files the query can
+        # actually touch, not the dataset (scripts/file_index_probe.py
+        # records the scaling curve).
+        files = _prune_manifest_files(files, meta, filters)
+        if files:
+            df = (
+                spark.read.schema(full_schema)
+                .option("basePath", path)
+                .parquet(*[posixpath.join(path, f) for f in files])
+            )
+        else:
+            # every file pruned: empty frame WITH the dataset schema (same
+            # result shape a no-match Catalyst prune produces)
+            df = spark.createDataFrame([], full_schema)
     else:
         df = spark.read.schema(full_schema).parquet(path)
     df = _resolve_renames(df, meta)
@@ -421,13 +430,7 @@ def fetch_path(
         # the exact source-column predicate rides as a row filter on top
         # of the (superset) derived-partition prune
         df = df.filter(_clause_predicate(residuals))
-    if columns is not None:
-        known = set(meta.column_types)
-        missing = [c for c in columns if c not in known]
-        if missing:
-            raise ValueError(f"unknown columns {missing} in dataset at {path}")
-        return df.select(*columns)
-    return df.select(*list(meta.column_types))
+    return _project_dataset_columns(df, meta, columns, path)
 
 
 def list_versions(spark: SparkSession, path: str) -> List[dict]:
@@ -572,6 +575,68 @@ def fetch_changes(
     return _read_manifest_slice(spark, path, meta, rel, filters, columns)
 
 
+def _prune_manifest_files(
+    files: List[str],
+    meta: DatasetMetadata,
+    filters: List[dict],
+) -> List[str]:
+    """Driver-side partition pruning of a manifest file list — the smallest
+    real version of the custom-FileIndex production note: evaluate the
+    filter spec against each path's hive ``k=v`` values (typed with the
+    same ``convert_type`` / truth table as ``filters_to_predicate``) and
+    hand Spark only the surviving files.
+
+    Superset-safe by construction: a file is dropped only when some filter
+    provably rejects its partition value; anything unparseable or not
+    present in the path is KEPT, and Catalyst applies the identical
+    ``PartitionFilters`` on the remainder — so this can only shrink the
+    list Spark sees, never change the result. The payoff is geometry: the
+    py4j path transfer and the JVM file index go from O(dataset files) to
+    O(matching files), which at 10⁴+ files is the difference between the
+    driver and the filter deciding query latency
+    (``scripts/file_index_probe.py``)."""
+    active = [
+        f for f in first_filter_per_partition(filters)
+        if f["partition"] in meta.partition_data_types
+    ]
+    if not active:
+        return files
+    from .filters import OPS, _typed_value
+
+    typed_filters = []
+    for f in active:
+        dtype = meta.partition_data_types[f["partition"]]
+        try:
+            vals = [_typed_value(v, dtype) for v in f["values"]]
+        except (ValueError, TypeError):
+            continue  # untypeable filter value: leave it to Catalyst
+        typed_filters.append((f["partition"], dtype, OPS[f["comparison"]], vals))
+    out = []
+    for rel in files:
+        path_vals = _hive_path_values(rel)
+        keep = True
+        for part, dtype, op, vals in typed_filters:
+            raw = path_vals.get(part)
+            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
+                # missing component: conservative keep; NULL partition
+                # value: no comparison is true (Catalyst 3-valued logic),
+                # so the file cannot match
+                keep = raw is None
+                if not keep:
+                    break
+                continue
+            try:
+                x = convert_type(raw, dtype)
+            except (ValueError, TypeError):
+                continue  # unparseable path value: conservative keep
+            if not any(op(x, v) for v in vals):
+                keep = False
+                break
+        if keep:
+            out.append(rel)
+    return out
+
+
 def _read_manifest_slice(
     spark: SparkSession,
     path: str,
@@ -598,13 +663,36 @@ def _read_manifest_slice(
     df = _resolve_renames(df, meta)
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
+    return _project_dataset_columns(df, meta, columns, path)
+
+
+def _project_dataset_columns(
+    df: DataFrame,
+    meta: DatasetMetadata,
+    columns: Optional[List[str]],
+    path: str,
+) -> DataFrame:
+    """Final projection to the dataset's declared column order (or the
+    caller's subset), in O(1) py4j round trips.
+
+    The r5→r6 read-path drift audit attributed most of the fixed per-fetch
+    driver latency to py4j chatter: a ``select(*17 columns)`` costs ~2
+    round trips per column (a ``functions.col`` call plus a ListConverter
+    add, ~1 ms each), every fetch. ``DataFrame.to(schema)`` expresses the
+    same reorder-and-project as ONE call carrying the whole schema — and
+    when the frame is already in order, no call at all."""
+    schema_by_name = {f.name: f for f in df.schema.fields}
     if columns is not None:
         known = set(meta.column_types)
         missing = [c for c in columns if c not in known]
         if missing:
             raise ValueError(f"unknown columns {missing} in dataset at {path}")
-        return df.select(*columns)
-    return df.select(*list(meta.column_types))
+        target = list(columns)
+    else:
+        target = list(meta.column_types)
+    if df.columns == target:
+        return df
+    return df.to(T.StructType([schema_by_name[n] for n in target]))
 
 
 def fetch(

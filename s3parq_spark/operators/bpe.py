@@ -53,12 +53,50 @@ def _merge_fold(a: str, b: str):
     )
 
 
+#: sequential-round ceiling: each round is one Spark job, so a run that
+#: needs more rounds than this would train by driver round-trip — raise
+#: ``batch_merges`` (fast-trainer batching) or train on a word-freq sample.
+_BPE_MAX_ROUNDS = 10_000
+
+
 def bpe_learn(
-    df: DataFrame, text_col: str, n_merges: int = 10
+    df: DataFrame, text_col: str, n_merges: int = 10, batch_merges: int = 1
 ) -> List[Tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns the ordered
     merge list. Each round: one pair-count aggregate over the (distinct
-    word, freq) table + one array rewrite, both JVM-side."""
+    word, freq) table + one composed array rewrite, both JVM-side.
+
+    ``batch_merges`` bounds how many merges land per round (per Spark
+    job). The default 1 is exact sequential BPE. With ``batch_merges=k``
+    the round takes the pair ranking once and greedily accepts up to k
+    pairs whose symbols are pairwise DISJOINT — disjoint pairs' counts
+    don't change when the others apply, so each accepted pair would have
+    won its own round against the rest of the batch; the k rewrites
+    compose into ONE projection (one job). This is the standard
+    fast-trainer batching: the learned list can deviate from strict
+    sequential order only when a pair newly CREATED mid-batch would have
+    outranked a later batch member (its count is bounded by the creating
+    merge's count, so deviations sit inside count ties). A real 32k-merge
+    vocabulary at ``batch_merges=256`` is ~125 rounds instead of 32k
+    sequential jobs.
+
+    Guard: training that would need more than ``_BPE_MAX_ROUNDS``
+    sequential rounds raises up front — that geometry means the driver
+    loop, not the cluster, is the trainer; raise ``batch_merges`` or
+    train on a word-frequency sample of the corpus.
+    """
+    if batch_merges < 1:
+        raise ValueError("bpe_learn: batch_merges must be >= 1")
+    rounds_needed = -(-n_merges // batch_merges)
+    if rounds_needed > _BPE_MAX_ROUNDS:
+        raise ValueError(
+            f"bpe_learn: {n_merges} merges at batch_merges={batch_merges} "
+            f"means {rounds_needed} sequential Spark jobs "
+            f"(> {_BPE_MAX_ROUNDS}) — the driver loop would be the "
+            "trainer, not the cluster. Raise batch_merges (disjoint-pair "
+            "batching keeps rounds ≈ n_merges/batch_merges) or train on "
+            "a word-frequency sample."
+        )
     words = word_freq_table(df, text_col).withColumn(
         # character symbols; split(limit=-1) keeps a trailing empty match
         "__syms",
@@ -70,23 +108,35 @@ def bpe_learn(
         "transform(sequence(1, size(__syms) - 1),"
         " i -> struct(element_at(__syms, i) AS a, element_at(__syms, i + 1) AS b))"
     )
-    for _ in range(n_merges):
-        top = (
+    while len(merges) < n_merges:
+        want = min(batch_merges, n_merges - len(merges))
+        ranked = (
             words.filter(F.size("__syms") >= 2)
             .select(F.explode(pair_expr).alias("p"), "freq")
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("n"))
             .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
+            # over-fetch so disjointness filtering can still fill the batch
+            .limit(want * 4)
             .collect()
         )
-        if not top:
+        if not ranked:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        words = words.withColumn("__syms", _merge_fold(a, b)).localCheckpoint(
-            eager=True
-        )
+        batch: List[Tuple[str, str]] = []
+        used: set = set()
+        for r in ranked:
+            if len(batch) >= want:
+                break
+            a, b = r["a"], r["b"]
+            if a in used or b in used or (a + b) in used:
+                continue
+            batch.append((a, b))
+            used.update((a, b, a + b))
+        merges.extend(batch)
+        for a, b in batch:
+            # lazy: Catalyst composes the batch's folds into one projection
+            words = words.withColumn("__syms", _merge_fold(a, b))
+        words = words.localCheckpoint(eager=True)
     return merges
 
 

@@ -565,6 +565,65 @@ def pq_topk(
     return ranked.select(id_col, F.round("__score", 6).alias("adc"))
 
 
+def pq_batch_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    codes: int = 8,
+    kmeans_iters: int = 1,
+    query_id_col: Optional[str] = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ADC PQ search for an N-row query frame in ONE plan — the serving
+    shape (``pq_topk`` is the single-query form; at serving scale queries
+    arrive in batches and one plan per query is a driver loop in disguise).
+
+    This is the textbook ADC structure, kept JVM-side end to end: each
+    query row first materializes its m per-subspace LOOKUP TABLES —
+    ``__lut_j = transform(codebook_j, c -> dot(q_j, c))``, an
+    ``m × codes``-entry array computed ONCE per query — and scoring a
+    (query, corpus-row) pair is then m pure array lookups
+    ``element_at(__lut_j, __code_j + 1)`` summed: no dot products in the
+    pairwise hot path, no shuffle of the corpus (the tiny query frame with
+    its LUTs is broadcast), ranking is the per-``query_id``
+    WindowGroupLimit. Flat PQ scans every code by design; compose with the
+    IVF cell layout (``ivf_pq_topk`` / partitionBy-cell at rest) to prune
+    the scan at 100 TB.
+
+    Output ``(query_id, id_col, adc)``; same deterministic quantizer as
+    ``pq_encode``, so the approximate result is oracle-replayable."""
+    enc, books = pq_encode(df, id_col, vec_col, m, codes, kmeans_iters)
+    sub = len(books[0][0])
+    qid = query_id_col or id_col
+    q = query_df.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    for j, cents in enumerate(books):
+        cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
+        qsub = F.slice("__qvec", j * sub + 1, sub)
+        q = q.withColumn(f"__lut_{j}", F.transform(cmat, lambda c: _dot(qsub, c)))
+    joined = enc.crossJoin(F.broadcast(q.drop("__qvec")))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    score = None
+    for j in range(m):
+        d = F.element_at(F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1)
+        score = d if score is None else score + d
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc(id_col))
+    return (
+        joined.select("query_id", F.col(id_col), score.alias("__score"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, F.round("__score", 6).alias("adc"))
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     id_col: str,
@@ -654,6 +713,7 @@ def semantic_dedup(
     kmeans_iters: int = 2,
     centroids: Optional[list] = None,
     quantizer: str = "kmeans",
+    max_cell_rows: Optional[int] = 100_000,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al., 2023,
     arXiv:2303.09540): cluster the embedding column with the deterministic
@@ -671,6 +731,15 @@ def semantic_dedup(
     for LAION-scale); skewed cells split under AQE, and the join never
     materializes cross-cell pairs. The drop set is a distinct projection of
     ids; the result is one broadcast-able left-anti join.
+
+    Because the in-cell stage is quadratic PER CELL, an undersized
+    ``n_cells`` turns it into a near-cartesian self-join — fine at gate
+    scale, catastrophic at 10⁹ rows. ``max_cell_rows`` (default 100k,
+    mirroring the ``_KMEANS_MAX_ENTRIES`` driver cap) guards that cliff:
+    one extra keyed count over the assignment (cheap next to the join it
+    protects) raises BEFORE the pair join if any cell exceeds the cap,
+    with the remediation in the message. ``max_cell_rows=None`` disables
+    the guard when the quadratic cost is intended.
     """
     corpus = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
@@ -690,6 +759,24 @@ def semantic_dedup(
     assigned = corpus.withColumn(
         "cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
     )
+
+    if max_cell_rows is not None:
+        biggest = (
+            assigned.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .agg(F.max("__n").alias("__m"))
+            .collect()[0]["__m"]
+        )
+        if biggest is not None and biggest > max_cell_rows:
+            raise ValueError(
+                f"semantic_dedup: largest cell holds {biggest} rows "
+                f"(> max_cell_rows={max_cell_rows}); the in-cell cosine "
+                "self-join is quadratic per cell, so this plan would blow "
+                "up at scale. Raise n_cells so cells stay bounded "
+                "(SemDeDup uses ~50k cells at LAION scale; aim for "
+                "n_cells ≈ corpus_rows / target_cell_size), or pass "
+                "max_cell_rows=None if the quadratic cost is intended."
+            )
 
     a = assigned.select(
         F.col(id_col).alias("__aid"), F.col("__vec").alias("__av"), "cell"

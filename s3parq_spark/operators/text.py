@@ -665,7 +665,10 @@ def remove_duplicated_spans(
     Output: ``(id, text_clean, n_tokens, n_removed)`` — one row per input
     document, ``text_clean = ''`` when the whole document was duplicated
     material. Documents shorter than ``k`` tokens have no grams and pass
-    through intact.
+    through intact. NULL text is treated as the empty string (coalesced
+    before tokenizing) so the one-row-per-document contract holds — a
+    bare ``split(NULL)`` would emit no token rows and silently drop the
+    document from the output.
 
     The paper builds a corpus-wide suffix array; the equivalent
     declarative plan is a k-gram fingerprint join — the suffix array's
@@ -680,7 +683,7 @@ def remove_duplicated_spans(
     reassembly). Every exchange is keyed — gram fingerprint or
     (doc, pos) — nothing is broadcast-unbounded, no cartesian.
     """
-    u = F.split(F.trim(F.col(text_col)), r"\s+")
+    u = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     n = F.size(u)
     # all full k-grams, array-side: candidate starts 1..n, keep i+k-1 <= n
     cand = F.transform(

@@ -128,6 +128,23 @@ def _stage_dir(src: str, extra: str = "") -> str:
     return staged
 
 
+def _drain_memory_sink(spark: SparkSession, name: str) -> DataFrame:
+    """Detach a one-shot memory-sink table from the session catalog.
+
+    Every ``run_streaming_*`` helper drains a bounded source into a
+    ``format("memory")`` table whose rows live in DRIVER memory for as
+    long as the temp view stays registered — repeated calls in a
+    long-lived session would accumulate that state indefinitely (worst
+    for complete-mode sinks, which hold the full aggregate). Eagerly
+    materializing with ``localCheckpoint`` truncates the plan's lineage
+    to executor-side blocks, after which the temp view can be dropped:
+    the returned DataFrame no longer depends on the catalog entry, and
+    the sink's driver-side buffer is released with the view."""
+    out = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def read_event_stream(
     spark: SparkSession,
     events_parquet: str,
@@ -203,7 +220,7 @@ def run_streaming_tumbling_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def sessionize_events(
@@ -327,7 +344,7 @@ def stateful_sessionize(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def stream_dedup(
@@ -378,7 +395,7 @@ def stream_dedup(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def stream_stream_click_purchase_join(
@@ -435,7 +452,7 @@ def stream_stream_click_purchase_join(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def stream_publish(
@@ -514,7 +531,7 @@ def run_streaming_enriched_counts(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 
 def stream_latest_state(
@@ -547,7 +564,7 @@ def stream_latest_state(
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return _drain_memory_sink(spark, name)
 
 def stream_user_profile(
     spark: SparkSession,
@@ -641,7 +658,7 @@ def stream_user_profile(
     q.awaitTermination()
     # monotone counters: the per-user max snapshot IS the final profile
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, name)
         .groupBy("user_id")
         .agg(F.max(F.struct("n_events", "n_clicks")).alias("__s"))
         .select(
@@ -690,7 +707,7 @@ def run_streaming_window_topk(
         F.desc("n_events"), F.asc("user_id")
     )
     return (
-        spark.table(name)
+        _drain_memory_sink(spark, name)
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select(

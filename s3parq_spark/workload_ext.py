@@ -1618,11 +1618,16 @@ def q_pq_topk(spark, sf_dir):
     )
 
 
-def _pq_subspace_cte(j: int, lo: int, hi: int, k: int = 8) -> str:
+def _pq_subspace_cte(
+    j: int, lo: int, hi: int, k: int = 8,
+    q_where: str = "vec_id = 0", with_qid: bool = False,
+) -> str:
     """Oracle CTE: deterministic 1-iteration Lloyd's + final assignment for
     PQ subspace ``j`` over ``list_slice(v, lo, hi)`` (init = the ``k``
-    lowest-id subvectors), plus the query's subslice ``q{j}`` — the SQL
-    replay of ``pq_encode``'s per-subspace quantizer."""
+    lowest-id subvectors), plus the query subslice(s) ``q{j}`` selected by
+    ``q_where`` (``with_qid=True`` keeps the query id for batch oracles) —
+    the SQL replay of ``pq_encode``'s per-subspace quantizer."""
+    qid_sel = "vec_id AS qid, " if with_qid else ""
     return f"""
     e{j} AS (
       SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM e
@@ -1651,7 +1656,7 @@ def _pq_subspace_cte(j: int, lo: int, hi: int, k: int = 8) -> str:
                greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
       FROM e{j} CROSS JOIN c{j}1 c GROUP BY e{j}.vec_id, e{j}.v
     ), q{j} AS (
-      SELECT list_slice(v, {lo}, {hi}) AS qv FROM e WHERE vec_id = 0
+      SELECT {qid_sel}list_slice(v, {lo}, {hi}) AS qv FROM e WHERE {q_where}
     )"""
 
 
@@ -1680,6 +1685,61 @@ ORACLE_EXT["pq_topk"] = f"""
     )
     SELECT vec_id, round(score, 6) AS adc
     FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_pq_batch_topk(spark, sf_dir):
+    """Batch ADC PQ ANN (operators/similarity.py pq_batch_topk): same
+    deterministic 4×8 quantizer as pq_topk, but 4 query vectors answered in
+    ONE plan — each query row carries its per-subspace ADC lookup tables
+    (computed JVM-side once per query), pairwise scoring is m array lookups
+    (zero dot products in the hot path), ranking is the per-query
+    WindowGroupLimit. The oracle replays training, encoding, and the
+    per-query ADC ranking for all 4 queries."""
+    from .operators import pq_batch_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    return pq_batch_topk(
+        emb, "vec_id", "embedding", q, k=10, m=4, codes=8, kmeans_iters=1
+    )
+
+
+QUERIES_EXT["pq_batch_topk"] = q_pq_batch_topk
+ORACLE_EXT["pq_batch_topk"] = f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    {','.join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16,
+                               q_where='vec_id < 4', with_qid=True)
+              for j in range(4))},
+    scored AS (
+      SELECT q0.qid AS query_id, af0.vec_id,
+             list_dot_product(q0.qv, b0.cv)
+           + list_dot_product(q1.qv, b1.cv)
+           + list_dot_product(q2.qv, b2.cv)
+           + list_dot_product(q3.qv, b3.cv) AS score
+      FROM af0
+      JOIN af1 USING (vec_id)
+      JOIN af2 USING (vec_id)
+      JOIN af3 USING (vec_id)
+      JOIN c01 b0 ON b0.cid = af0.cell
+      JOIN c11 b1 ON b1.cid = af1.cell
+      JOIN c21 b2 ON b2.cid = af2.cell
+      JOIN c31 b3 ON b3.cid = af3.cell
+      CROSS JOIN q0
+      JOIN q1 ON q1.qid = q0.qid
+      JOIN q2 ON q2.qid = q0.qid
+      JOIN q3 ON q3.qid = q0.qid
+      WHERE af0.vec_id <> q0.qid
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS adc
+    FROM ranked WHERE rk <= 10
 """
 
 
@@ -1769,6 +1829,72 @@ def q_merge_upsert_fetch(spark, sf_dir):
         with open(marker, "w") as fh:
             fh.write("ok")
     return fetch_path(spark, path)
+
+
+def q_null_partition_merge(spark, sf_dir):
+    """merge_upsert where one hive partition value is NULL (rows land in
+    ``__HIVE_DEFAULT_PARTITION__``): the touched-partition predicate must
+    compare null-safely (``eqNullSafe``) or the batch's NULL-partition rows
+    are silently excluded from the read-merge-rewrite and those upserts are
+    lost (r5 ADVICE item 3). Publishes nation with ``p = NULL`` for region
+    0, merges even-key updates (+100 on v, seq wins) plus one insert INTO
+    the NULL partition, and fetches the merged dataset back — the oracle
+    replays the expected final table from raw nation."""
+    import os
+    import re
+    import shutil
+
+    from .fetch import fetch_path
+    from .publish import merge_upsert, publish_path
+    from .workload import _CACHE_ROOT
+
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    path = os.path.join(_CACHE_ROOT, key, "nation_null_merge")
+    marker = os.path.join(path, "_MERGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        base = _table(spark, sf_dir, "nation").select(
+            "n_nationkey",
+            F.when(F.col("n_regionkey") == 0, F.lit(None).cast("string"))
+            .otherwise(F.col("n_regionkey").cast("string"))
+            .alias("p"),
+            F.col("n_regionkey").cast("double").alias("v"),
+            F.lit(0).cast("int").alias("seq"),
+        )
+        publish_path(spark, path, base, ["p"])
+        updates = (
+            base.filter(F.col("n_nationkey") % 2 == 0)
+            .withColumn("v", F.col("v") + F.lit(100.0))
+            .withColumn("seq", F.lit(1).cast("int"))
+        )
+        inserts = spark.createDataFrame(
+            [(1000, None, 999.0, 1)],
+            "n_nationkey int, p string, v double, seq int",
+        )
+        merge_upsert(
+            spark, path, updates.unionByName(inserts), ["n_nationkey"], "seq"
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_path(spark, path).select("n_nationkey", "p", "v", "seq")
+
+
+QUERIES_EXT["null_partition_merge"] = q_null_partition_merge
+ORACLE_EXT["null_partition_merge"] = """
+    WITH base AS (
+      SELECT n_nationkey,
+             CASE WHEN n_regionkey = 0 THEN NULL
+                  ELSE CAST(n_regionkey AS VARCHAR) END AS p,
+             CAST(n_regionkey AS DOUBLE) AS v
+      FROM nation
+    )
+    SELECT n_nationkey, p,
+           v + CASE WHEN n_nationkey % 2 = 0 THEN 100.0 ELSE 0.0 END AS v,
+           CASE WHEN n_nationkey % 2 = 0 THEN 1 ELSE 0 END AS seq
+    FROM base
+    UNION ALL
+    SELECT 1000, NULL, 999.0, 1
+"""
 
 
 def q_expectations_report(spark, sf_dir):

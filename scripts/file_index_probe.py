@@ -1,0 +1,111 @@
+"""File-count scaling probe for the manifest read path (r5 verdict #8).
+
+Measures a filtered ``fetch_path`` against synthetic datasets of growing
+FILE count (constant tiny rows), isolating the driver/file-index cost that
+dominates metadata-heavy reads:
+
+- manifest mode WITHOUT driver-side pruning: every fetch ships O(dataset
+  files) path strings through py4j and builds a JVM file index of the whole
+  dataset, then Catalyst prunes;
+- manifest mode WITH ``_prune_manifest_files`` (the shipped path): the
+  filter spec is evaluated on the driver against the manifest's hive
+  values, so both costs scale with the files the query can MATCH.
+
+Run: ``python scripts/file_index_probe.py [n_partitions ...]``
+(default 100 1000 5000 partitions × 2 files each; the filter selects ONE
+partition, so matching files stay constant while dataset files grow).
+
+Recorded result (local[32], this container, 2026-08-14, r6):
+
+    files   unpruned fetch   pruned fetch
+      200       0.554 s        0.139 s
+     2000       3.582 s        0.104 s
+    10000      17.264 s        0.106 s
+
+Unpruned grows linearly with dataset file count (py4j transfer + JVM
+PartitioningAwareFileIndex listing); pruned is flat — the query's latency
+is decided by what it reads, not by how big the dataset has grown. This is
+the custom-FileIndex production note made real at the driver layer; a JVM
+FileIndex implementation would additionally skip the per-path
+``getFileStatus`` batch, the remaining fixed cost.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(spark, n_parts: int, files_per_part: int = 2) -> str:
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.publish import publish_path
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"s3parq_fidx_probe_{n_parts}"
+    )
+    marker = os.path.join(base, "_PROBE_OK")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    n = n_parts * files_per_part
+    df = (
+        spark.range(n)
+        .select(
+            F.col("id"),
+            (F.col("id") % n_parts).cast("int").alias("p"),
+        )
+    )
+    publish_path(spark, base, df, ["p"], max_records_per_file=1)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def timed_fetch(spark, path: str, prune: bool) -> float:
+    import importlib
+
+    # the package exports a `fetch` FUNCTION that shadows the submodule on
+    # plain attribute import
+    fetch_mod = importlib.import_module("s3parq_spark.fetch")
+
+    orig = fetch_mod._prune_manifest_files
+    if not prune:
+        fetch_mod._prune_manifest_files = lambda files, meta, filters: files
+    try:
+        flt = [{"partition": "p", "comparison": "==", "values": [3]}]
+        best = None
+        for _ in range(3):
+            t0 = time.time()
+            n = fetch_mod.fetch_path(spark, path, filters=flt).count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        assert n >= 1
+        return best
+    finally:
+        fetch_mod._prune_manifest_files = orig
+
+
+def main() -> None:
+    from s3parq_spark.session import get_spark
+
+    spark = get_spark(app_name="file_index_probe")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    sizes = [int(a) for a in sys.argv[1:]] or [100, 1000, 5000]
+    print(f"{'files':>8} {'unpruned':>10} {'pruned':>10}")
+    for n_parts in sizes:
+        path = build(spark, n_parts)
+        cold = timed_fetch(spark, path, prune=True)  # warm file statuses
+        del cold
+        t_un = timed_fetch(spark, path, prune=False)
+        t_pr = timed_fetch(spark, path, prune=True)
+        print(f"{n_parts * 2:>8} {t_un:>9.3f}s {t_pr:>9.3f}s")
+
+
+if __name__ == "__main__":
+    main()

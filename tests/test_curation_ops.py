@@ -761,6 +761,22 @@ class TestRemoveDuplicatedSpans:
         assert all(r["text_clean"] == "" and r["n_removed"] == 4 for r in out)
         assert {r["doc_id"] for r in out} == {1, 2}
 
+    def test_null_text_doc_passes_through(self, spark):
+        # NULL text must NOT drop the document from the output (the
+        # one-row-per-input-document contract, r5 ADVICE): it behaves
+        # like an empty document
+        from s3parq_spark.operators.text import remove_duplicated_spans
+
+        df = spark.createDataFrame(
+            [(1, "a b c d"), (2, None), (3, "a b c d")],
+            "doc_id int, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_spans(df, "doc_id", "text", k=4).collect()}
+        assert sorted(out) == [1, 2, 3]
+        assert out[2]["text_clean"] == "" and out[2]["n_removed"] == 0
+        assert out[1]["text_clean"] == "" and out[1]["n_removed"] == 4
+
 
 class TestCorpusOverlap:
     def test_exact_jaccard_and_estimate(self, spark):
@@ -1031,6 +1047,56 @@ class TestDmlChangeFeed:
         assert n == 1
         assert sorted(map(tuple, fetch_path(spark, mir).collect())) ==             sorted(map(tuple, fetch_path(spark, src).collect()))
         assert not os.path.exists(os.path.join(mir, "p=b"))
+
+    def test_apply_change_feed_refuses_same_type_squash(self, spark, tmp_path):
+        # expire_snapshots on the FEED can squash two commits that each
+        # update the same key: two update_postimage rows then share one
+        # version, and intra-version ordering is unrecoverable — the apply
+        # must refuse (a tiebreak could replay the OLDER postimage), even
+        # though the change types are identical (r5 ADVICE: the distinct-
+        # types guard alone missed this)
+        import pytest
+
+        from s3parq_spark.publish import (
+            apply_change_feed, changes_path, expire_snapshots, update_where,
+        )
+
+        src, mir = str(tmp_path / "s5"), str(tmp_path / "m5")
+        df = spark.createDataFrame([(1, "a", 1.0)], ["k", "p", "v"])
+        publish_path(spark, src, df, ["p"])
+        publish_path(spark, mir, df, ["p"])
+        for v in ("10.0", "20.0", "30.0"):
+            update_where(spark, src, {"v": v}, "k = 1", change_log=True)
+        expire_snapshots(spark, changes_path(src), keep_last=1)
+        with pytest.raises(ValueError, match="more than one op"):
+            apply_change_feed(spark, mir, changes_path(src), ["k"])
+
+    def test_merge_upsert_null_partition(self, spark, tmp_path):
+        # rows in the __HIVE_DEFAULT_PARTITION__ partition: the touched-
+        # partition predicate must be null-safe or the NULL-partition
+        # upsert/insert is silently lost (r5 ADVICE)
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import merge_upsert
+
+        path = str(tmp_path / "nullpart")
+        df = spark.createDataFrame(
+            [(1, None, 1.0, 0), (2, "a", 2.0, 0), (3, None, 3.0, 0)],
+            "k int, p string, v double, seq int",
+        )
+        publish_path(spark, path, df, ["p"])
+        batch = spark.createDataFrame(
+            [(1, None, 99.0, 1),   # update in the NULL partition
+             (4, None, 4.0, 1),    # insert into the NULL partition
+             (2, "a", 22.0, 1)],   # update in a regular partition
+            "k int, p string, v double, seq int",
+        )
+        merge_upsert(spark, path, batch, ["k"], "seq")
+        got = sorted(
+            (r["k"], r["p"], r["v"]) for r in fetch_path(spark, path).collect()
+        )
+        assert got == [
+            (1, None, 99.0), (2, "a", 22.0), (3, None, 3.0), (4, None, 4.0)
+        ]
 
     def test_merge_change_log_noop_redelivery(self, spark, tmp_dataset_dir):
         import os

@@ -153,6 +153,36 @@ def test_publish_rejects_index_with_redshift(spark, tmp_dataset_dir):
         )
 
 
+def test_parquet_source_sizing_shortcut(spark, tmp_path):
+    """S7 sizing: an untransformed parquet scan sizes files from the source
+    footers (exact compressed bytes/row, zero Spark jobs); any transformed
+    plan falls back to the sampled row-size model (r5 verdict #5)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.publish import (
+        TARGET_FILE_BYTES, _parquet_scan_row_bytes,
+    )
+
+    src = str(tmp_path / "src.parquet")
+    spark.range(10_000).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    got = _parquet_scan_row_bytes(df)
+    assert got is not None
+    disk = sum(
+        os.path.getsize(os.path.join(src, f))
+        for f in os.listdir(src) if f.endswith(".parquet")
+    )
+    assert abs(got - disk / 10_000) < 1e-6
+    assert int(TARGET_FILE_BYTES / got) > 0
+    # transformed plans (projection changes row width) must NOT use footers
+    assert _parquet_scan_row_bytes(df.withColumn("x", F.lit(1))) is None
+    assert _parquet_scan_row_bytes(df.select("id")) is None
+
+
 def test_max_records_per_file_contract(spark, tmp_dataset_dir):
     """S7: explicit maxRecordsPerFile bounds file row counts (the 60 MB
     contract is rows-per-file × row size; row cap is the enforceable knob)."""

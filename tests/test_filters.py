@@ -128,3 +128,52 @@ def test_predicate_datetime_string_values(spark):
         {"dt": "datetime"},
     )
     assert df.filter(pred).count() == 2  # Jan 4 and Jan 5
+
+
+def test_prune_manifest_files_superset_safe():
+    """Driver-side manifest pruning (fetch._prune_manifest_files) drops
+    ONLY files some filter provably rejects; unparseable or missing path
+    components are kept (Catalyst re-applies the same predicate), NULL
+    partitions (__HIVE_DEFAULT_PARTITION__) can't match any comparison."""
+    from types import SimpleNamespace
+
+    from s3parq_spark.fetch import _prune_manifest_files
+
+    meta = SimpleNamespace(
+        partition_data_types={"p": "integer", "s": "string"}
+    )
+    files = [
+        "p=1/s=a/f1.parquet",
+        "p=2/s=a/f2.parquet",
+        "p=1/s=b/f3.parquet",
+        "p=__HIVE_DEFAULT_PARTITION__/s=a/f4.parquet",
+        "p=oops/s=a/f5.parquet",   # unparseable int: conservative keep
+        "flat/f6.parquet",         # no hive component: conservative keep
+    ]
+    eq = [{"partition": "p", "comparison": "==", "values": [1]}]
+    assert _prune_manifest_files(files, meta, eq) == [
+        "p=1/s=a/f1.parquet",
+        "p=1/s=b/f3.parquet",
+        "p=oops/s=a/f5.parquet",
+        "flat/f6.parquet",
+    ]
+    both = eq + [{"partition": "s", "comparison": "==", "values": ["b"]}]
+    assert _prune_manifest_files(files, meta, both) == [
+        "p=1/s=b/f3.parquet",
+        "flat/f6.parquet",
+    ]
+    gt = [{"partition": "p", "comparison": ">", "values": [1]}]
+    assert _prune_manifest_files(files, meta, gt) == [
+        "p=2/s=a/f2.parquet",
+        "p=oops/s=a/f5.parquet",
+        "flat/f6.parquet",
+    ]
+    # no filters on known partitions: untouched
+    assert _prune_manifest_files(files, meta, []) == files
+    assert (
+        _prune_manifest_files(
+            files, meta,
+            [{"partition": "zz", "comparison": "==", "values": [1]}],
+        )
+        == files
+    )

@@ -802,6 +802,68 @@ def test_semantic_dedup_drops_near_duplicates_keeps_lowest_id(spark):
     )
 
 
+def test_semantic_dedup_guards_oversized_cells(spark):
+    """The max_cell_rows guard fires BEFORE the quadratic in-cell join when
+    a cell exceeds the cap (undersized n_cells at scale would make the
+    self-join near-cartesian), names the remediation, and can be disabled
+    explicitly (r5 verdict #4)."""
+    import pytest
+
+    from s3parq_spark.operators import semantic_dedup
+
+    # 12 near-identical vectors: one cell swallows everything
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0001 * i, 0.0, 0.0]) for i in range(12)],
+        "vec_id int, v array<double>",
+    )
+    with pytest.raises(ValueError, match="Raise n_cells"):
+        semantic_dedup(
+            df, "vec_id", "v", n_cells=2, threshold=0.99, max_cell_rows=4
+        )
+    # disabling the guard runs the quadratic plan deliberately
+    kept = semantic_dedup(
+        df, "vec_id", "v", n_cells=2, threshold=0.999999,
+        max_cell_rows=None,
+    )
+    assert kept.count() >= 1
+    # the default cap is far above gate-scale cells: normal runs unaffected
+    assert semantic_dedup(
+        df, "vec_id", "v", n_cells=2, threshold=1.01
+    ).count() == 12
+
+
+def test_pq_batch_topk_matches_single_query(spark):
+    """The batched ADC (per-query LUTs, one plan for N queries) must return
+    exactly the single-query pq_topk result for each query id."""
+    from s3parq_spark.operators import pq_batch_topk, pq_topk
+
+    import random
+
+    rng = random.Random(7)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)],
+        "vec_id int, v array<double>",
+    )
+    q = df.filter("vec_id < 3")
+    batch = pq_batch_topk(df, "vec_id", "v", q, k=5, m=2, codes=4)
+    got = {
+        qid: [(r["vec_id"], r["adc"]) for r in rows]
+        for qid, rows in (
+            (qid, sorted(
+                (r for r in batch.collect() if r["query_id"] == qid),
+                key=lambda r: (-r["adc"], r["vec_id"]),
+            ))
+            for qid in (0, 1, 2)
+        )
+    }
+    for qid in (0, 1, 2):
+        single = pq_topk(
+            df, "vec_id", "v", df.filter(f"vec_id = {qid}"), k=5, m=2, codes=4
+        )
+        want = [(r["vec_id"], r["adc"]) for r in single.collect()]
+        assert got[qid] == want, f"query {qid} diverged"
+
+
 def test_linear_quality_classifier(spark):
     from s3parq_spark.operators import linear_quality_classifier
 

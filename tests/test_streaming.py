@@ -298,3 +298,29 @@ def test_streaming_window_topk_equals_batch(spark, sf_dir):
     b = sorted((r["d"], r["user_id"], r["n"], r["rk"])
                for r in batch.collect())
     assert a == b and len(a) > 0
+
+
+def test_memory_sinks_are_dropped_after_runners(spark, sf_dir):
+    """The one-shot runners must not leak their memory-sink temp view:
+    repeated calls in a long-lived session would otherwise accumulate
+    sink state in driver memory (worst for complete-mode sinks), and the
+    returned DataFrame must survive the drop (r5 ADVICE)."""
+    from s3parq_spark.streaming import (
+        run_streaming_tumbling_counts, run_streaming_window_topk,
+    )
+
+    before = {t.name for t in spark.catalog.listTables()}
+    topk = run_streaming_window_topk(
+        spark, f"{sf_dir}/events.parquet", window="1 day", k=1
+    )
+    counts = run_streaming_tumbling_counts(spark, f"{sf_dir}/events.parquet")
+    after = {t.name for t in spark.catalog.listTables()}
+    leaked = {
+        t for t in after - before
+        if t.startswith(("ev_", "sess_", "dedup_", "ssj_", "enr_",
+                         "latest_", "prof_"))
+    }
+    assert not leaked
+    # results remain usable after the view drop (materialized, not lazy
+    # over the dropped catalog entry)
+    assert topk.count() > 0 and counts.count() > 0
