@@ -79,6 +79,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "null_partition_merge", # new: merge_upsert onto a NULL partition value
                             # (exercises the null-safe touched-partition
                             # predicate fix, ADVICE r5 item 3)
+    "ivf_pq_batch_topk",    # new: batched IVF-PQ — probe selection AND ADC
+                            # LUTs per query row, one plan for N queries
 )
 
 

@@ -175,6 +175,9 @@ def main() -> None:
     t0 = time.time()
     batch_cosine_topk(bigemb, "vec_id", "embedding", queries_df, k=10).count()
     probes["ann_10x"] = round(time.time() - t0, 3)
+    # (a train+search probe of ivf_pq_batch_topk was tried and dropped:
+    # the one-time quantizer training dominates and would misread as
+    # serving cost — the served shape is ivf_pq_at_rest, already gated)
 
     print(
         json.dumps(

@@ -648,8 +648,12 @@ def _read_manifest_slice(
     """Scan an explicit manifest file list with the sidecar schema and
     ``basePath`` partition recovery (shared by ``fetch_at`` /
     ``fetch_changes``). An empty list yields an empty frame with the full
-    dataset schema — never a scan error."""
+    dataset schema — never a scan error. The list gets the same
+    driver-side partition pruning as ``fetch_path`` (superset-safe;
+    Catalyst re-applies the predicate), so filtered time-travel/CDC reads
+    are priced by matching files, not snapshot size."""
     validate_matching_filter_data_type(meta.partition_data_types, filters)
+    rel_files = _prune_manifest_files(rel_files, meta, filters)
     full_schema = _scan_schema(meta)
     if rel_files:
         files = [posixpath.join(path, r) for r in rel_files]

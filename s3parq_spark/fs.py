@@ -38,7 +38,9 @@ def dataset_uri(bucket: str, key: str) -> str:
     paths (used by the test-suite the way moto is used by the reference)
     straight through.
     """
-    if bucket.startswith(("/", "file:", "s3a:", "s3:", "hdfs:")):
+    if bucket.startswith("/") or "://" in bucket or bucket.startswith("file:"):
+        # already a URI or an OS path (any Hadoop scheme — file, s3a, hdfs,
+        # viewfs, ... — passes through; s3:// is normalized to s3a 'bucket')
         base = bucket[5:] if bucket.startswith("s3://") else bucket
         return posixpath.join(base, key) if key else base
     return f"s3a://{bucket}/{key}"

@@ -868,6 +868,112 @@ def ivf_pq_topk(
         .select(id_col, F.round("__score", 6).alias("adc"))
     )
 
+
+def ivf_pq_batch_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 4,
+    codes: int = 8,
+    coarse_iters: int = 2,
+    pq_iters: int = 1,
+    query_id_col: Optional[str] = None,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-PQ for an N-row query frame in ONE plan — the full production
+    serving shape (``ivf_pq_topk`` answers one query per plan; real ANN
+    services answer batches). Composition of the two batch paths:
+
+    - coarse stage = ``ivf_batch_topk``'s JVM-side probe selection: each
+      query row scores the broadcast centroid matrix, sorts (score desc,
+      cell asc) and explodes its ``n_probe`` cells — no driver collect of
+      query vectors, so the query side can itself be a large frame;
+    - fine stage = ``pq_batch_topk``'s ADC lookup tables: each query row
+      materializes ``__lut_j = transform(codebook_j, c -> dot(q_j, c))``
+      once, and scoring a candidate is m integer-indexed array lookups
+      summed — zero dot products in the pairwise hot path.
+
+    Candidates come from the (probe cell = assigned cell) equi-join with
+    the query×probe frame broadcast; ranking is the per-``query_id``
+    WindowGroupLimit. At 100 TB the corpus is written
+    ``partitionBy(__cell)`` carrying only the m int8 codes, so the join
+    side reads ``n_probe/n_cells`` of the files and never touches raw
+    vectors. Deterministic end to end (fixed-init exact-decimal Lloyd at
+    both quantizer levels), so the approximate result is fully
+    oracle-replayable. Returns ``(query_id, id_col, adc)``."""
+    cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=coarse_iters)
+    cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
+    enc, books = pq_encode(df, id_col, vec_col, m, codes, pq_iters)
+    sub = len(books[0][0])
+
+    s = _cell_scores(F.col(vec_col).cast("array<double>"), cvecs, cnorms)
+    assigned = enc.withColumn(
+        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
+    ).select(id_col, "__cell", *[f"__code_{j}" for j in range(m)])
+
+    qid = query_id_col or id_col
+    q = query_df.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    )
+    # per-query ADC lookup tables, JVM-side (the pq_batch_topk shape)
+    for j, cents in enumerate(books):
+        cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
+        qsub = F.slice("__qvec", j * sub + 1, sub)
+        q = q.withColumn(f"__lut_{j}", F.transform(cmat, lambda c: _dot(qsub, c)))
+    # per-query probe cells, JVM-side (the ivf_batch_topk shape)
+    qs = _cell_scores(F.col("__qvec"), cvecs, cnorms)
+    pairs = F.transform(
+        F.sequence(F.lit(0), F.lit(len(cvecs) - 1)),
+        lambda i: F.struct(
+            F.element_at(F.col("__scores"), i + 1).alias("s"),
+            i.cast("int").alias("c"),
+        ),
+    )
+    probe = (
+        q.withColumn("__scores", qs)
+        .withColumn("__pairs", pairs)
+        .withColumn(
+            "__probe",
+            F.slice(
+                F.expr(
+                    "array_sort(__pairs, (a, b) -> CASE WHEN a.s > b.s THEN -1 "
+                    "WHEN a.s < b.s THEN 1 WHEN a.c < b.c THEN -1 ELSE 1 END)"
+                ),
+                1,
+                min(n_probe, len(cvecs)),
+            ),
+        )
+        .select(
+            "query_id",
+            *[f"__lut_{j}" for j in range(m)],
+            F.explode(F.transform(F.col("__probe"), lambda p: p["c"])).alias(
+                "__cell"
+            ),
+        )
+    )
+    joined = assigned.join(F.broadcast(probe), on="__cell")
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("query_id"))
+    score = None
+    for j in range(m):
+        d = F.element_at(F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1)
+        score = d if score is None else score + d
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc(id_col))
+    return (
+        joined.select("query_id", F.col(id_col), score.alias("__score"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, F.round("__score", 6).alias("adc"))
+    )
+
+
 def hard_negative_mining(
     df: DataFrame,
     id_col: str,

@@ -3276,3 +3276,69 @@ ORACLE_SQL["ivf_pq_topk"] = f"""
     FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
 """
 ORACLE_SQL["ivf_pq_at_rest"] = ORACLE_SQL["ivf_pq_topk"]
+
+
+def q_ivf_pq_batch_topk(spark, sf_dir):
+    """Batched IVF-PQ ANN (operators/similarity.py ivf_pq_batch_topk — the
+    full production serving shape): 4 query vectors in ONE plan. Each query
+    row selects its 4 probe cells JVM-side (scores the broadcast 16-cell
+    centroid matrix) and carries its 4 per-subspace ADC lookup tables;
+    candidates come from the probe-cell equi-join, scoring is 4 array
+    lookups + 3 adds per candidate, ranking is the per-query
+    WindowGroupLimit. The oracle replays both quantizer levels, each
+    query's probe selection, and the per-query ADC ranking."""
+    from .operators import ivf_pq_batch_topk
+
+    emb = _table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 4)
+    return ivf_pq_batch_topk(
+        emb, "vec_id", "embedding", q, k=10, n_cells=16, n_probe=4,
+        m=4, codes=8, coarse_iters=2, pq_iters=1,
+    )
+
+
+QUERIES["ivf_pq_batch_topk"] = q_ivf_pq_batch_topk
+ORACLE_SQL["ivf_pq_batch_topk"] = f"""
+    WITH {_ivf_kmeans_cte()},
+    {','.join(_pq_subspace_cte(j, j * 16 + 1, (j + 1) * 16,
+                               q_where='vec_id < 4', with_qid=True)
+              for j in range(4))},
+    qc AS (
+      SELECT q.vec_id AS qid, c.cid,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY list_dot_product(q.v, c.cv) /
+                        greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))
+                        DESC, c.cid ASC) AS rk
+      FROM (SELECT vec_id, v FROM e WHERE vec_id < 4) q CROSS JOIN c2 c
+    ), scored AS (
+      SELECT q0.qid AS query_id, af.vec_id,
+             list_dot_product(q0.qv, b0.cv)
+           + list_dot_product(q1.qv, b1.cv)
+           + list_dot_product(q2.qv, b2.cv)
+           + list_dot_product(q3.qv, b3.cv) AS score
+      FROM af
+      JOIN af0 ON af0.vec_id = af.vec_id
+      JOIN af1 ON af1.vec_id = af.vec_id
+      JOIN af2 ON af2.vec_id = af.vec_id
+      JOIN af3 ON af3.vec_id = af.vec_id
+      JOIN c01 b0 ON b0.cid = af0.cell
+      JOIN c11 b1 ON b1.cid = af1.cell
+      JOIN c21 b2 ON b2.cid = af2.cell
+      JOIN c31 b3 ON b3.cid = af3.cell
+      CROSS JOIN q0
+      JOIN q1 ON q1.qid = q0.qid
+      JOIN q2 ON q2.qid = q0.qid
+      JOIN q3 ON q3.qid = q0.qid
+      WHERE af.cell IN (SELECT cid FROM qc
+                        WHERE qc.qid = q0.qid AND rk <= 4)
+        AND af.vec_id <> q0.qid
+    ), ranked AS (
+      SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY score DESC, vec_id ASC) AS rk
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS adc
+    FROM ranked WHERE rk <= 10
+"""

@@ -322,6 +322,21 @@ CASES = [
         "(file-index prune from the recorded transform) with the exact ts "
         "predicate as a row-level Filter above it.",
     ),
+    (
+        "pq_batch_topk",
+        "Batch ADC PQ: one plan for N queries - the broadcast query frame "
+        "carries per-query ADC lookup tables (computed JVM-side in the "
+        "query row), pairwise scoring is m array lookups with zero dot "
+        "products, ranking is the per-query WindowGroupLimit; no "
+        "cartesian, single corpus scan.",
+    ),
+    (
+        "ivf_pq_batch_topk",
+        "Batch IVF-PQ: per-query probe cells AND ADC lookup tables both "
+        "live in the broadcast query frame; candidates come from the "
+        "(probe cell = assigned cell) BroadcastHashJoin - the corpus is "
+        "never reshuffled and raw vectors are never read at query time.",
+    ),
 ]
 
 

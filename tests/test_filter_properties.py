@@ -66,3 +66,35 @@ def test_spark_predicate_matches_brute_force_sample(spark):
             i for i in range(-3, 4) if any(OPS[cmp](i, v) for v in vals)
         }
         assert got == expected, cmp
+
+
+@given(filters=st.lists(filter_st, min_size=0, max_size=3))
+@settings(max_examples=150, deadline=None)
+def test_manifest_prune_agrees_with_truth_table(filters):
+    """Driver-side manifest pruning must keep EXACTLY the files the
+    reference truth table admits (OR across values, AND across partitions,
+    first filter per partition) on hive int-partition paths — the same
+    semantics Catalyst applies to the pruned remainder, so the two-layer
+    prune can never change results."""
+    from types import SimpleNamespace
+
+    from s3parq_spark.fetch import _prune_manifest_files
+
+    # single-value inequality rule mirrors validate_filter_rules
+    filters = [
+        f for f in filters
+        if f["comparison"] == "==" or len(f["values"]) == 1
+    ]
+    meta = SimpleNamespace(partition_data_types={"p": "integer"})
+    files = [f"p={i}/part.parquet" for i in range(-5, 6)]
+    got = _prune_manifest_files(files, meta, filters)
+    fil = next((f for f in filters if f["partition"] == "p"), None)
+    if fil is None:
+        expected = files
+    else:
+        op = OPS[fil["comparison"]]
+        expected = [
+            f"p={i}/part.parquet" for i in range(-5, 6)
+            if any(op(i, v) for v in fil["values"])
+        ]
+    assert got == expected

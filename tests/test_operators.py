@@ -864,6 +864,35 @@ def test_pq_batch_topk_matches_single_query(spark):
         assert got[qid] == want, f"query {qid} diverged"
 
 
+def test_ivf_pq_batch_topk_matches_single_query(spark):
+    """The batched IVF-PQ (JVM-side probe selection + per-query ADC LUTs)
+    must return exactly the single-query ivf_pq_topk result per query."""
+    import random
+
+    from s3parq_spark.operators import ivf_pq_batch_topk, ivf_pq_topk
+
+    rng = random.Random(11)
+    df = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)],
+        "vec_id int, v array<double>",
+    )
+    kw = dict(k=5, n_cells=4, n_probe=2, m=2, codes=4,
+              coarse_iters=1, pq_iters=1)
+    batch = ivf_pq_batch_topk(
+        df, "vec_id", "v", df.filter("vec_id < 3"), **kw
+    ).collect()
+    for qid in (0, 1, 2):
+        got = sorted(
+            ((r["vec_id"], r["adc"]) for r in batch if r["query_id"] == qid),
+            key=lambda t: (-t[1], t[0]),
+        )
+        single = ivf_pq_topk(
+            df, "vec_id", "v", df.filter(f"vec_id = {qid}"), **kw
+        )
+        want = [(r["vec_id"], r["adc"]) for r in single.collect()]
+        assert got == want, f"query {qid} diverged"
+
+
 def test_linear_quality_classifier(spark):
     from s3parq_spark.operators import linear_quality_classifier
 

