@@ -629,7 +629,14 @@ def _prune_manifest_files(
                 x = convert_type(raw, dtype)
             except (ValueError, TypeError):
                 continue  # unparseable path value: conservative keep
-            if not any(op(x, v) for v in vals):
+            try:
+                matched = any(op(x, v) for v in vals)
+            except TypeError:
+                # incomparable filter value (e.g. int > None): conservative
+                # keep — Catalyst's 3-valued logic then yields the same
+                # empty match it always did, instead of a crash here
+                continue
+            if not matched:
                 keep = False
                 break
         if keep:

@@ -38,11 +38,16 @@ def dataset_uri(bucket: str, key: str) -> str:
     paths (used by the test-suite the way moto is used by the reference)
     straight through.
     """
-    if bucket.startswith("/") or "://" in bucket or bucket.startswith("file:"):
-        # already a URI or an OS path (any Hadoop scheme — file, s3a, hdfs,
-        # viewfs, ... — passes through; s3:// is normalized to s3a 'bucket')
-        base = bucket[5:] if bucket.startswith("s3://") else bucket
+    if bucket.startswith(("s3://", "s3:/")) and not bucket.startswith("s3a"):
+        # reference s3:// URIs map to the Hadoop S3 connector scheme
+        rest = bucket.split(":", 1)[1].lstrip("/")
+        base = f"s3a://{rest}"
         return posixpath.join(base, key) if key else base
+    if bucket.startswith("/") or ":" in bucket.split("/", 1)[0]:
+        # absolute OS path, or any scheme'd URI (file:, s3a:, hdfs:,
+        # viewfs:, ... — single- or double-slash forms both valid Hadoop
+        # URIs) passes through untouched
+        return posixpath.join(bucket, key) if key else bucket
     return f"s3a://{bucket}/{key}"
 
 
@@ -57,11 +62,22 @@ def exists(spark: SparkSession, path: str) -> bool:
 
 
 def _local_root(path: str) -> str | None:
-    """OS path for file-scheme/plain URIs, else None."""
-    if path.startswith("file://"):
-        return path[len("file://"):] or "/"
-    if "://" not in path:
+    """OS path when ``path`` provably addresses the local filesystem —
+    an absolute OS path or a ``file:`` URI (any slash count: ``file:/p``,
+    ``file:///p``) with no foreign authority. Anything else — remote
+    schemes, scheme shorthands like ``hdfs:/nn/x``, or relative paths —
+    returns None and goes through the Hadoop FileSystem, which resolves
+    them against its own configuration instead of the Python process's
+    cwd (a relative path here silently doing OS I/O was the r6 review's
+    s3-shaped-path hazard)."""
+    if path.startswith("/"):
         return path
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        u = urlparse(path)
+        if u.netloc in ("", "localhost"):
+            return u.path or "/"
     return None
 
 

@@ -565,6 +565,39 @@ def pq_topk(
     return ranked.select(id_col, F.round("__score", 6).alias("adc"))
 
 
+def _attach_query_luts(q: DataFrame, books: list, sub: int) -> DataFrame:
+    """Materialize each query row's per-subspace ADC lookup tables:
+    ``__lut_j = transform(codebook_j, c -> dot(q_j, c))`` — computed ONCE
+    per query, JVM-side, from the ``__qvec`` column. Shared by the PQ and
+    IVF-PQ batch paths so their scoring semantics cannot diverge."""
+    for j, cents in enumerate(books):
+        cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
+        qsub = F.slice("__qvec", j * sub + 1, sub)
+        q = q.withColumn(f"__lut_{j}", F.transform(cmat, lambda c: _dot(qsub, c)))
+    return q
+
+
+def _adc_lut_rank(joined: DataFrame, id_col: str, m: int, k: int) -> DataFrame:
+    """ADC scoring + per-query ranking over a (corpus codes × query LUTs)
+    frame: the score is m integer-indexed array lookups summed (zero dot
+    products in the pairwise hot path), ranking is the per-``query_id``
+    WindowGroupLimit, ties broken score desc / id asc, rounded to 6 for
+    oracle parity. Shared tail of the PQ and IVF-PQ batch paths."""
+    score = None
+    for j in range(m):
+        d = F.element_at(F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1)
+        score = d if score is None else score + d
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc(id_col))
+    return (
+        joined.select("query_id", F.col(id_col), score.alias("__score"))
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .select("query_id", id_col, F.round("__score", 6).alias("adc"))
+    )
+
+
 def pq_batch_topk(
     df: DataFrame,
     id_col: str,
@@ -598,30 +631,18 @@ def pq_batch_topk(
     enc, books = pq_encode(df, id_col, vec_col, m, codes, kmeans_iters)
     sub = len(books[0][0])
     qid = query_id_col or id_col
-    q = query_df.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
+    q = _attach_query_luts(
+        query_df.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        ),
+        books,
+        sub,
     )
-    for j, cents in enumerate(books):
-        cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
-        qsub = F.slice("__qvec", j * sub + 1, sub)
-        q = q.withColumn(f"__lut_{j}", F.transform(cmat, lambda c: _dot(qsub, c)))
     joined = enc.crossJoin(F.broadcast(q.drop("__qvec")))
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
-    score = None
-    for j in range(m):
-        d = F.element_at(F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1)
-        score = d if score is None else score + d
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc(id_col))
-    return (
-        joined.select("query_id", F.col(id_col), score.alias("__score"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("query_id", id_col, F.round("__score", 6).alias("adc"))
-    )
+    return _adc_lut_rank(joined, id_col, m, k)
 
 
 def lsh_bucketed_topk(
@@ -916,15 +937,15 @@ def ivf_pq_batch_topk(
     ).select(id_col, "__cell", *[f"__code_{j}" for j in range(m)])
 
     qid = query_id_col or id_col
-    q = query_df.select(
-        F.col(qid).alias("query_id"),
-        F.col(vec_col).cast("array<double>").alias("__qvec"),
-    )
     # per-query ADC lookup tables, JVM-side (the pq_batch_topk shape)
-    for j, cents in enumerate(books):
-        cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
-        qsub = F.slice("__qvec", j * sub + 1, sub)
-        q = q.withColumn(f"__lut_{j}", F.transform(cmat, lambda c: _dot(qsub, c)))
+    q = _attach_query_luts(
+        query_df.select(
+            F.col(qid).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("__qvec"),
+        ),
+        books,
+        sub,
+    )
     # per-query probe cells, JVM-side (the ivf_batch_topk shape)
     qs = _cell_scores(F.col("__qvec"), cvecs, cnorms)
     pairs = F.transform(
@@ -959,19 +980,7 @@ def ivf_pq_batch_topk(
     joined = assigned.join(F.broadcast(probe), on="__cell")
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
-    score = None
-    for j in range(m):
-        d = F.element_at(F.col(f"__lut_{j}"), F.col(f"__code_{j}") + 1)
-        score = d if score is None else score + d
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("__score"), F.asc(id_col))
-    return (
-        joined.select("query_id", F.col(id_col), score.alias("__score"))
-        .withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") <= k)
-        .select("query_id", id_col, F.round("__score", 6).alias("adc"))
-    )
+    return _adc_lut_rank(joined, id_col, m, k)
 
 
 def hard_negative_mining(

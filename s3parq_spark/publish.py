@@ -163,7 +163,6 @@ def _parquet_scan_row_bytes(df: DataFrame) -> Optional[float]:
             return None
         paths.append(u.path)
     try:
-        total_bytes = sum(os.path.getsize(p) for p in paths)
         import pyarrow.parquet as pq
 
         step = max(1, len(paths) // _SOURCE_FOOTER_SAMPLE)
@@ -172,10 +171,12 @@ def _parquet_scan_row_bytes(df: DataFrame) -> Optional[float]:
         s_bytes = sum(os.path.getsize(p) for p in sampled)
     except Exception:
         return None
-    if s_rows <= 0 or s_bytes <= 0 or total_bytes <= 0:
+    if s_rows <= 0 or s_bytes <= 0:
         return None
-    total_rows = total_bytes * (s_rows / s_bytes)
-    return max(1.0, total_bytes / total_rows)
+    # the evenly-spaced sample's own ratio IS the estimate (extrapolating
+    # through the total-bytes sum cancels algebraically), so only the
+    # sampled files need stat+footer reads
+    return max(1.0, s_bytes / s_rows)
 
 
 def _estimate_rows_per_file(
@@ -198,8 +199,11 @@ def _estimate_rows_per_file(
         return max(1, int(TARGET_FILE_BYTES * ASSUMED_COMPRESSION_RATIO / row_bytes))
     src_bytes = _parquet_scan_row_bytes(df)
     if src_bytes is not None:
-        # cache in the model's uncompressed unit so hits replay identically
-        _ROW_BYTES_CACHE[key] = src_bytes / ASSUMED_COMPRESSION_RATIO
+        # cache in the model's uncompressed unit so a hit replays the
+        # SAME rows-per-file: the hit path computes
+        # TARGET * RATIO / row_bytes, so row_bytes must be src * RATIO
+        # (src / RATIO would replay 16x too many rows per file)
+        _ROW_BYTES_CACHE[key] = src_bytes * ASSUMED_COMPRESSION_RATIO
         return max(1, int(TARGET_FILE_BYTES / src_bytes))
     fixed, exprs = _row_bytes_exprs(df)
     if exprs:

@@ -183,6 +183,25 @@ def test_parquet_source_sizing_shortcut(spark, tmp_path):
     assert _parquet_scan_row_bytes(df.select("id")) is None
 
 
+def test_footer_sizing_cache_replays_identically(spark, tmp_path):
+    """The (path, schema) sizing cache must replay the SAME rows-per-file
+    the footer shortcut computed: the cache stores the model's
+    uncompressed unit, so a wrong conversion factor would make repeated
+    publishes to one dataset silently produce 16x-oversized files."""
+    from s3parq_spark.publish import _ROW_BYTES_CACHE, _estimate_rows_per_file
+
+    src = str(tmp_path / "cache_src.parquet")
+    spark.range(5_000).selectExpr(
+        "id", "CAST(id AS STRING) AS s"
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    _ROW_BYTES_CACHE.clear()
+    first = _estimate_rows_per_file(df, path="/ds/cachekey")
+    assert ("/ds/cachekey", df.schema.json()) in _ROW_BYTES_CACHE
+    replay = _estimate_rows_per_file(df, path="/ds/cachekey")
+    assert replay == first
+
+
 def test_max_records_per_file_contract(spark, tmp_dataset_dir):
     """S7: explicit maxRecordsPerFile bounds file row counts (the 60 MB
     contract is rows-per-file × row size; row cap is the enforceable knob)."""

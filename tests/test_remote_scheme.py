@@ -65,6 +65,39 @@ def test_publish_fetch_round_trip_through_remote_scheme(spark, viewfs_uri):
     ]
 
 
+def test_single_slash_file_uri_round_trip(spark, tmp_path):
+    """``file:/path`` (single-slash, a valid Hadoop URI form) must behave
+    exactly like the OS path: the sidecar lands AT the dataset root, not
+    under a literal ``file:`` directory in the cwd (r6 review)."""
+    import os
+
+    ds_os = str(tmp_path / "singleslash")
+    ds_uri = "file:" + ds_os
+    df = spark.createDataFrame([(1, "a", 1.0), (2, "b", 2.0)], ["k", "p", "v"])
+    publish_path(spark, ds_uri, df, ["p"])
+    assert os.path.exists(os.path.join(ds_os, "_s3parq_metadata.json"))
+    assert not os.path.exists("file:")
+    got = fetch_path(
+        spark, ds_uri,
+        filters=[{"partition": "p", "comparison": "==", "values": ["a"]}],
+    )
+    assert [(r["k"], r["v"]) for r in got.collect()] == [(1, 1.0)]
+
+
+def test_none_filter_value_returns_empty_not_crash(spark, tmp_path):
+    """An ordering filter against a None value must yield the empty result
+    Catalyst's 3-valued logic produces — the driver-side manifest prune
+    must not raise TypeError on the incomparable value (r6 review)."""
+    ds = str(tmp_path / "nonefilter")
+    df = spark.createDataFrame([(1, 5, 1.0), (2, 7, 2.0)], ["k", "p", "v"])
+    publish_path(spark, ds, df, ["p"])
+    got = fetch_path(
+        spark, ds,
+        filters=[{"partition": "p", "comparison": ">", "values": [None]}],
+    )
+    assert got.count() == 0
+
+
 def test_append_and_manifest_read_through_remote_scheme(spark, viewfs_uri):
     ds = viewfs_uri + "/appends"
     df1 = spark.createDataFrame([(1, "x", 1.0)], ["k", "p", "v"])
