@@ -40,9 +40,21 @@ def export_jsonl(
     ``n_shards`` sizes the export for the consumer (loader workers), not
     for Spark: each shard is one task's output after the hash repartition.
     ``compression`` may be ``gzip`` (universal for JSONL consumers).
+
+    ``shard`` is the export's reserved partition-directory column; a frame
+    that already carries one is refused loudly — ``withColumn`` would
+    silently REPLACE the business column with the synthetic hash and the
+    original data would be unrecoverable from the export. The write
+    replaces any existing export at ``path`` (mode=overwrite).
     """
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
+    if "shard" in df.columns:
+        raise ValueError(
+            "export_jsonl: input already has a 'shard' column, which is "
+            "the export's reserved partition-directory name — rename it "
+            "before exporting (the synthetic shard would overwrite it)"
+        )
     out = df.withColumn(
         "shard", F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
     )

@@ -110,34 +110,79 @@ def correlation_matrix(df: DataFrame, cols: Sequence[str]) -> DataFrame:
     aggs = []
     for x, y in pairs:
         both = F.col(x).isNotNull() & F.col(y).isNotNull()
-        dx = F.when(both, F.col(x).cast("decimal(18,0)"))
-        dy = F.when(both, F.col(y).cast("decimal(18,0)"))
+        # try_cast: overflow of the decimal(18,0) domain becomes NULL in
+        # BOTH ANSI modes (a plain cast raises a cryptic error under ANSI
+        # and corrupts silently under non-ANSI) — counted and refused with
+        # remediation below
+        dx = F.when(both, F.expr(f"try_cast({x} AS DECIMAL(18,0))"))
+        dy = F.when(both, F.expr(f"try_cast({y} AS DECIMAL(18,0))"))
         p = f"{x}__{y}"
         aggs += [
             F.count(F.when(both, F.lit(1))).alias(f"__n_{p}"),
-            F.sum(dx).cast("decimal(38,0)").alias(f"__sx_{p}"),
-            F.sum(dy).cast("decimal(38,0)").alias(f"__sy_{p}"),
-            F.sum(dx * dx).cast("decimal(38,0)").alias(f"__sxx_{p}"),
-            F.sum(dy * dy).cast("decimal(38,0)").alias(f"__syy_{p}"),
-            F.sum(dx * dy).cast("decimal(38,0)").alias(f"__sxy_{p}"),
+            F.try_sum(dx).cast("decimal(38,0)").alias(f"__sx_{p}"),
+            F.try_sum(dy).cast("decimal(38,0)").alias(f"__sy_{p}"),
+            F.try_sum(dx * dx).cast("decimal(38,0)").alias(f"__sxx_{p}"),
+            F.try_sum(dy * dy).cast("decimal(38,0)").alias(f"__syy_{p}"),
+            F.try_sum(dx * dy).cast("decimal(38,0)").alias(f"__sxy_{p}"),
+            F.count(
+                F.when(both & (dx.isNull() | dy.isNull()), F.lit(1))
+            ).alias(f"__ov_{p}"),
         ]
     row = df.agg(*aggs)
     out = []
     for x, y in pairs:
         p = f"{x}__{y}"
+        n38 = f"cast(__n_{p} as decimal(38,0))"
+        num = (
+            f"try_subtract(try_multiply({n38}, __sxy_{p}), "
+            f"try_multiply(__sx_{p}, __sy_{p}))"
+        )
+        varx = (
+            f"try_subtract(try_multiply({n38}, __sxx_{p}), "
+            f"try_multiply(__sx_{p}, __sx_{p}))"
+        )
+        vary = (
+            f"try_subtract(try_multiply({n38}, __syy_{p}), "
+            f"try_multiply(__sy_{p}, __sy_{p}))"
+        )
         # nullif: a zero-variance column yields NULL, not an ANSI /0 error
         corr = (
-            f"CAST(__n_{p} * __sxy_{p} - __sx_{p} * __sy_{p} AS DOUBLE) / "
-            f"NULLIF(SQRT(CAST(__n_{p} * __sxx_{p} - __sx_{p} * __sx_{p} AS DOUBLE))"
-            f" * SQRT(CAST(__n_{p} * __syy_{p} - __sy_{p} * __sy_{p} AS DOUBLE)), "
-            f"CAST(0 AS DOUBLE))"
+            f"CAST({num} AS DOUBLE) / "
+            f"NULLIF(SQRT(CAST({varx} AS DOUBLE))"
+            f" * SQRT(CAST({vary} AS DOUBLE)), CAST(0 AS DOUBLE))"
         )
+        # silent-corruption paths refused at execution: an input value
+        # outside decimal(18,0), or any moment sum / combination
+        # overflowing decimal(38,0) (all computed with try_* so they
+        # surface as NULL instead of an ANSI exception or a wrapped value)
+        moments_null = (
+            F.col(f"__sx_{p}").isNull()
+            | F.col(f"__sy_{p}").isNull()
+            | F.col(f"__sxx_{p}").isNull()
+            | F.col(f"__syy_{p}").isNull()
+            | F.col(f"__sxy_{p}").isNull()
+            | F.expr(num).isNull()
+            | F.expr(varx).isNull()
+            | F.expr(vary).isNull()
+        )
+        overflow = (F.col(f"__ov_{p}") > 0) | (
+            (F.col(f"__n_{p}") > 0) & moments_null
+        )
+        guarded = F.when(
+            overflow,
+            F.expr(
+                "raise_error('correlation_matrix: values exceed the "
+                "decimal(18,0) exact-arithmetic domain (|v| < 1e18 and "
+                "moment products within decimal(38,0)); rescale or bucket "
+                f"the column first: {p}')"
+            ).cast("double"),
+        ).otherwise(F.expr(corr))
         out.append(
             F.struct(
                 F.lit(x).alias("col_x"),
                 F.lit(y).alias("col_y"),
                 F.col(f"__n_{p}").alias("n_pairs"),
-                F.expr(corr).alias("corr"),
+                guarded.alias("corr"),
             )
         )
     return row.select(F.explode(F.array(*out)).alias("p")).select("p.*")
@@ -160,6 +205,10 @@ def validate_expectations(df: DataFrame, rules) -> DataFrame:
     over one scan (``unique`` rides the same aggregate through Spark's
     distinct-count Expand) — adding a rule adds a counter, never a pass.
     """
+    # rules is iterated twice (aggregate build + output build): a generator
+    # argument would be exhausted after the first pass and the gate would
+    # return ZERO rows — vacuously passing every downstream check
+    rules = list(rules)
     aggs = [F.count(F.lit(1)).alias("__rows")]
     for i, r in enumerate(rules):
         c, t = F.col(r["col"]), r["type"]
@@ -224,9 +273,14 @@ def numeric_histogram(df: DataFrame, col: str, nbins: int = 20) -> DataFrame:
         .filter(F.col("__v").isNotNull())
         .crossJoin(F.broadcast(bounds))
         .select(
+            # bin arithmetic in decimal(38,0): (v - lo) * nbins stays exact
+            # for the FULL bigint range, where bigint math would wrap
+            # negative for ranges past 2^63/nbins (identical values — and
+            # oracle hashes — for all in-range data)
             F.expr(
-                f"least(cast({nbins} - 1 as bigint), "
-                f"((__v - __lo) * {nbins}) div (__hi - __lo + 1))"
+                f"least(cast({nbins} - 1 as bigint), cast("
+                f"((cast(__v as decimal(38,0)) - __lo) * {nbins}) div "
+                f"(cast(__hi as decimal(38,0)) - __lo + 1) as bigint))"
             ).alias("bin_id"),
             "__v",
         )
@@ -260,8 +314,19 @@ def dataset_card(
     counts, (group, lang) for the language table reduced by a per-group
     window over ≤ |langs| rows — and the corpus total joins back as a
     1-row broadcast. Group count bounds every post-aggregate frame.
+
+    Empty / whitespace-only / NULL text counts 0 tokens (a bare
+    ``split('')`` yields ``['']`` = 1, which would inflate the datasheet
+    for exactly the degenerate docs it should surface), and a NULL group
+    value keeps its row in the card (null-safe join) — a card whose
+    shares don't sum to 1 is wrong by construction.
     """
-    nt = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("bigint")
+    txt = F.trim(F.coalesce(F.col(text_col), F.lit("")))
+    nt = (
+        F.when(F.length(txt) == 0, F.lit(0))
+        .otherwise(F.size(F.split(txt, r"\s+")))
+        .cast("bigint")
+    )
     base = df.select(
         F.col(group_col).alias("__g"),
         nt.alias("__nt"),
@@ -293,8 +358,10 @@ def dataset_card(
         )
     )
     total = per.agg(F.sum("n_docs").alias("__total"))
+    langs = langs.withColumnRenamed("__g", "__gl")
     return (
-        per.join(langs, "__g")
+        per.join(langs, per["__g"].eqNullSafe(langs["__gl"]))
+        .drop("__gl")
         .crossJoin(F.broadcast(total))
         .select(
             F.col("__g").alias(group_col),

@@ -41,6 +41,14 @@ def deterministic_sample(
     e.g. downweight a crawl source, upweight a rare language). Unlisted
     strata fall to fraction 0. A filter, not a shuffle: it pushes into the
     scan and composes with partition pruning.
+
+    The threshold is ``round(fraction * RESOLUTION)`` — truncation would
+    misplace ~6% of three-decimal fractions whose product lands a hair
+    under the integer (0.57 * 10000 = 5699.999...), breaking agreement
+    with any engine that rounds. Rows whose ``id_col`` is NULL hash to
+    NULL and are DROPPED whatever the fraction (membership is a pure
+    function of the id; a NULL id has none) — feed a non-null key or
+    coalesce ids upstream if those rows must participate.
     """
     bucket = F.pmod(_hash60(F.col(id_col)), F.lit(RESOLUTION))
     if isinstance(fractions, dict):
@@ -49,10 +57,11 @@ def deterministic_sample(
         thr: Column = F.lit(0)
         for value, frac in fractions.items():
             thr = F.when(
-                F.col(strata_col) == value, F.lit(int(frac * RESOLUTION))
+                F.col(strata_col) == value,
+                F.lit(int(round(frac * RESOLUTION))),
             ).otherwise(thr)
     else:
-        thr = F.lit(int(float(fractions) * RESOLUTION))
+        thr = F.lit(int(round(float(fractions) * RESOLUTION)))
     return df.filter(bucket < thr)
 
 
@@ -105,7 +114,9 @@ def corpus_upsample(
     Rows in strata with resolved 0 copies are dropped (weight < 1 acts as
     deterministic downsampling). Output = input columns + ``copy_idx``
     (1-based int). A 1→N ``explode`` with no shuffle: composes with the
-    scan and scales linearly at any corpus size.
+    scan and scales linearly at any corpus size. Rows with a NULL
+    ``id_col`` hash to NULL and are dropped regardless of weight (same
+    pure-function-of-id contract as ``deterministic_sample``).
     """
     bucket = F.pmod(_hash60(F.col(id_col)), F.lit(RESOLUTION))
 
@@ -146,11 +157,18 @@ def percentile_band_filter(
     cume_dist semantics match SQL engines exactly (rows_with_value<=x /
     total, ties are peers), and the single division of identical integers
     is bit-identical across engines — oracle-portable.
+
+    NULL values are excluded from the distribution AND the output (a NULL
+    can never match the band join anyway; counting it in the distribution
+    would shift every band boundary by the null mass, so a 5% trim on a
+    40%-null column would silently cut 8% of the real population).
     """
     from pyspark.sql import Window
 
-    counts = df.groupBy(F.col(value_col).alias("__v")).agg(
-        F.count(F.lit(1)).alias("__c")
+    counts = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(value_col).alias("__v"))
+        .agg(F.count(F.lit(1)).alias("__c"))
     )
     w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
     dist = counts.withColumn(

@@ -57,7 +57,12 @@ def collect_stats(
             [
                 F.min(c).cast("string").alias(f"__min_{c}"),
                 F.max(c).cast("string").alias(f"__max_{c}"),
-                F.sum(F.col(c).isNull().cast("bigint")).alias(f"__nulls_{c}"),
+                # coalesce: sum() over an EMPTY dataset is NULL, which
+                # would store n_nulls: null in the sidecar and break any
+                # consumer doing arithmetic on it
+                F.coalesce(
+                    F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
+                ).alias(f"__nulls_{c}"),
                 F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
             ]
         )

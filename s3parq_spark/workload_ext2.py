@@ -1803,7 +1803,8 @@ QUERIES_EXT2["dataset_card"] = q_dataset_card
 ORACLE_EXT2["dataset_card"] = """
     WITH base AS (
       SELECT source AS g, lang,
-             len(string_split_regex(trim(text), '\\s+')) AS nt
+             CASE WHEN trim(coalesce(text, '')) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+')) END AS nt
       FROM documents
     ),
     per AS (
@@ -1832,7 +1833,7 @@ ORACLE_EXT2["dataset_card"] = """
            langs.n_langs, langs.top_lang,
            CAST(langs.top_lang_docs AS BIGINT) AS top_lang_docs,
            round(CAST(per.n_docs AS DOUBLE) / tot.total, 9) AS docs_share
-    FROM per JOIN langs ON per.g = langs.g, tot
+    FROM per JOIN langs ON per.g IS NOT DISTINCT FROM langs.g, tot
 """
 
 

@@ -87,3 +87,13 @@ class TestStreamLatestState:
         g = sorted(map(tuple, got.collect()), key=lambda t: t[0])
         w = sorted(map(tuple, want.select(*got.columns).collect()), key=lambda t: t[0])
         assert g == w
+
+
+def test_export_refuses_existing_shard_column(spark, tmp_path):
+    import pytest
+
+    from s3parq_spark.export import export_jsonl
+
+    df = spark.createDataFrame([(1, 9)], ["id", "shard"])
+    with pytest.raises(ValueError, match="shard"):
+        export_jsonl(df, str(tmp_path / "out"), "id")

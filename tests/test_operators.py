@@ -1114,3 +1114,25 @@ class TestDecontaminateSemantic:
         # the zero vector's cosine is undefined -> kept; the parallel
         # vector is dropped
         assert [r["vec_id"] for r in kept.collect()] == [10]
+
+
+def test_deterministic_sample_threshold_rounds_not_truncates(spark):
+    """round(fraction*RESOLUTION), never int(): 0.57*10000 is
+    5699.999999999999 in floats, and truncation would disagree with every
+    engine (and oracle) that rounds."""
+    import hashlib
+
+    from s3parq_spark.operators import deterministic_sample
+
+    df = spark.createDataFrame([(str(i),) for i in range(400)], ["id"])
+
+    def bucket(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % 10_000
+
+    for frac in (0.57, 0.043, 0.5):
+        got = {r["id"] for r in deterministic_sample(df, "id", frac).collect()}
+        want = {
+            str(i) for i in range(400)
+            if bucket(str(i)) < round(frac * 10_000)
+        }
+        assert got == want, frac

@@ -275,3 +275,81 @@ class TestNormalizeByGroup:
         assert out.count() == 3
         nullrow = [r for r in out.collect() if r["g"] is None][0]
         assert nullrow["v_z"] == 0.0  # single-member NULL group
+
+
+class TestProfileReviewFixes:
+    def test_validate_expectations_accepts_generator(self, spark):
+        # a generator rules argument must not be silently exhausted into a
+        # zero-row report (which would vacuously pass publish gates)
+        from s3parq_spark.operators import validate_expectations
+
+        df = spark.createDataFrame([(1,), (None,)], "a int")
+        rules = ({"rule": "a_nn", "type": "not_null", "col": "a"}
+                 for _ in range(1))
+        out = validate_expectations(df, rules).collect()
+        assert len(out) == 1 and out[0]["n_violations"] == 1
+
+    def test_correlation_matrix_refuses_out_of_domain_values(self, spark):
+        import pytest
+
+        from s3parq_spark.operators import correlation_matrix
+
+        ok = spark.createDataFrame(
+            [(1, 2), (2, 4), (3, 7)], "x long, y long"
+        )
+        rows = correlation_matrix(ok, ["x", "y"]).collect()
+        assert abs(rows[0]["corr"] - 0.9934) < 1e-3
+        # snowflake-style ids blow past decimal(18,0): loud, not corrupt
+        huge = spark.createDataFrame(
+            [(4_000_000_000_000_000_000, 1),
+             (4_100_000_000_000_000_000, 2),
+             (4_200_000_000_000_000_000, 3)],
+            "x long, y long",
+        )
+        with pytest.raises(Exception, match="correlation_matrix"):
+            correlation_matrix(huge, ["x", "y"]).collect()
+
+    def test_numeric_histogram_survives_full_bigint_range(self, spark):
+        from s3parq_spark.operators import numeric_histogram
+
+        df = spark.createDataFrame(
+            [(-4_000_000_000_000_000_000,), (0,),
+             (4_000_000_000_000_000_000,)],
+            "v long",
+        )
+        rows = numeric_histogram(df, "v", nbins=4).collect()
+        assert sum(r["n_rows"] for r in rows) == 3
+        assert all(0 <= r["bin_id"] <= 3 for r in rows), rows
+
+    def test_dataset_card_empty_text_and_null_group(self, spark):
+        from s3parq_spark.operators import dataset_card
+
+        df = spark.createDataFrame(
+            [("a", "one two", "en"), ("a", "", "en"),
+             ("a", None, "en"), (None, "x y z", "de")],
+            "src string, text string, lang string",
+        )
+        rows = {r["src"]: r for r in
+                dataset_card(df, "src", "text", lang_col="lang").collect()}
+        # the NULL group keeps its row (null-safe join)...
+        assert set(rows) == {"a", None}
+        # ...empty/NULL text counts zero tokens...
+        assert rows["a"]["n_tokens"] == 2 and rows["a"]["min_tokens"] == 0
+        assert rows[None]["n_tokens"] == 3
+        # ...and shares sum to 1 again
+        assert abs(sum(r["docs_share"] for r in rows.values()) - 1.0) < 1e-12
+
+    def test_percentile_band_ignores_null_mass(self, spark):
+        from s3parq_spark.operators import percentile_band_filter
+
+        rows = [(i, float(i)) for i in range(1, 11)] + [
+            (100 + i, None) for i in range(10)
+        ]
+        df = spark.createDataFrame(rows, "k int, v double")
+        got = sorted(
+            r["k"] for r in
+            percentile_band_filter(df, "v", 0.15, 0.85).collect()
+        )
+        # 10 non-null values: cume_dist i/10; band [0.15, 0.85] keeps 2..8
+        # — the 10 NULL rows must not shift the boundaries (or appear)
+        assert got == [2, 3, 4, 5, 6, 7, 8]
