@@ -180,6 +180,32 @@ def normalized_text(col, lowercase: bool = True):
     return F.lower(c) if lowercase else c
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (one small file = one scan partition) to the
+    session's default parallelism so downstream hashing parallelizes.
+    Shared by the shingle/signature builders — one place to swap in a
+    cheaper partition-count probe later."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
+def _band_rows(num_hashes: int, bands: int) -> int:
+    """Rows per LSH band, validated: ``num_hashes`` must split evenly into
+    ``bands`` — a remainder's signature positions would be computed,
+    shuffled, and silently never banded, quietly de-calibrating the
+    documented collision probability (bands of ``num_hashes/bands`` rows)
+    while ``est_jaccard`` still divides by the full ``num_hashes``."""
+    if bands < 1 or num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes={num_hashes} must be a positive multiple of "
+            f"bands={bands}: equal-rows bands are what calibrate the LSH "
+            "collision probability"
+        )
+    return num_hashes // bands
+
+
 # ---------------------------------------------------------------------------
 # shingling (shared by minhash / jaccard)
 # ---------------------------------------------------------------------------
@@ -284,10 +310,7 @@ def _sized_shingle_table(
     candidate generation (prefix/LSH) and exact verification. A
     single-partition input (one small file) is spread first so the hashing
     parallelizes."""
-    src = df.select(id_col, text_col)
-    parallelism = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    src = _spread(df.select(id_col, text_col))
     return (
         word_shingle_hashes(src, text_col, n)
         .select(
@@ -407,9 +430,7 @@ def minhash_signatures(
     ``array_min(transform(...))`` formulations run interpreted per element
     and measured 5-200× slower. A single-partition input (one small file)
     is spread first so the hashing parallelizes."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        df = df.repartition(parallelism)
+    df = _spread(df)
     sh = word_shingle_hashes(df, text_col, shingle_n)
     other_cols = [c for c in df.columns if c != text_col]
     ex = sh.select(*other_cols, F.explode("shingle_hashes").alias("__shingle"))
@@ -441,7 +462,7 @@ def minhash_candidate_pairs(
     ``(band_id, band_hash)``); the estimated Jaccard is the fraction of equal
     signature positions (``zip_with`` + ``aggregate``, JVM-side).
     """
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     # persist: the signature column feeds `bands` band-hash expressions AND
     # both sides of the candidate self-join; without a materialization
     # barrier, projection collapse would recompute the minhash per use.
@@ -521,7 +542,7 @@ def minhash_neardup_pairs(
     shuffle on the doc id) and the verify stage reuses the same table —
     shingling runs once, not twice.
     """
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
     sized = _sized_shingle_table(df, id_col, text_col, shingle_n).persist()
     ex = sized.select("doc", F.explode("sh").alias("__shingle"))
     agg = ex.groupBy("doc").agg(
@@ -581,10 +602,7 @@ def simhash_fingerprints(
     of ``xxhash64`` — bit-identical in any engine with md5 (used by the
     correctness oracle, which replicates the whole pipeline in SQL); pass
     ``bits<=60`` with it. Default stays xxhash64 (faster, 64 full bits)."""
-    src = df.select(id_col, text_col)
-    parallelism = src.sparkSession.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < parallelism:
-        src = src.repartition(parallelism)
+    src = _spread(df.select(id_col, text_col))
     tok_hash = (
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
             "bigint"
@@ -843,11 +861,18 @@ def fuzzy_dedup_incremental(
     shingle-hash sets verifies (array_intersect on fixed-width longs).
 
     Both banding and verification use the same hash family as the batch
-    pipeline (``minhash_neardup_pairs``), so incremental-then-union equals
-    re-running the batch dedup, up to LSH's standard near-threshold recall
-    trade.
+    pipeline (``minhash_neardup_pairs``), so AGAINST THE INDEX the two
+    agree exactly, up to LSH's standard near-threshold recall trade.
+
+    Boundary (deliberate): the new batch is screened against the INDEX
+    only — two near-duplicates that are both new to the corpus BOTH
+    survive this call. That is the right unit cost for a streaming ingest
+    (one equi-join against stored bands, no batch self-join); when
+    within-batch duplicates matter, run ``fuzzy_dedup_corpus`` over the
+    batch first and feed its survivors here — the composition then equals
+    re-running the batch pipeline over the union.
     """
-    rows = num_hashes // bands
+    rows = _band_rows(num_hashes, bands)
 
     def banded(d, idn):
         return d.select(

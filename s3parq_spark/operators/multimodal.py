@@ -24,6 +24,15 @@ MULTIMODAL_SCHEMA_DDL = (
 )
 
 
+def _bytes(p) -> bytes:
+    """NULL payloads (outer-joined media tables, NULL source columns) are
+    treated as empty payloads: every operator already defines the empty
+    shape (first_byte=-1, zero audio windows, one empty fake frame), while
+    a bare None would crash the whole job inside the Arrow batch loop
+    (TypeError: object of type NoneType has no len())."""
+    return b"" if p is None else p
+
+
 def attach_binary_payload(
     df: DataFrame, source_col: str, media_type: str = "text/plain"
 ) -> DataFrame:
@@ -63,7 +72,7 @@ def extract_binary_features(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = pdf[payload_col]
+            payloads = [_bytes(p) for p in pdf[payload_col]]
             if decode is not None and featurize is not None:
                 feats = [featurize(decode(p)) for p in payloads]
                 yield pd.DataFrame(
@@ -108,7 +117,7 @@ def resize_images(
                     "image resize requires a media library not present in "
                     "this container; inject decode= and resize="
                 )
-            out = [resize(decode(p), target) for p in pdf[payload_col]]
+            out = [resize(decode(_bytes(p)), target) for p in pdf[payload_col]]
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],
@@ -151,7 +160,7 @@ def audio_window_features(
         for pdf in batches:
             ids, wids, ns, es, pk = [], [], [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                samples = fn(p)
+                samples = fn(_bytes(p))
                 # empty payload → no windows (0 samples yields 0 rows)
                 for w in range(0, len(samples), window_samples):
                     win = samples[w : w + window_samples]
@@ -205,7 +214,7 @@ def sample_video_frames(
         for pdf in batches:
             ids, tss, frames = [], [], []
             for i, p in zip(pdf[id_col], pdf[payload_col]):
-                for ts, fr in fn(p, every_ms):
+                for ts, fr in fn(_bytes(p), every_ms):
                     ids.append(i)
                     tss.append(ts)
                     frames.append(fr)

@@ -72,18 +72,22 @@ def quality_scores(df: DataFrame, text_col: str) -> DataFrame:
     n_chars = F.length(txt).cast("bigint")
     n_words = F.size(words).cast("bigint")
     n_punct = F.size(F.regexp_extract_all(txt, F.lit(r"([.,;:!?])"), 1)).cast("bigint")
-    n_stop = F.size(
-        F.regexp_extract_all(
-            F.lower(txt), F.lit(r"\b(the|and|of|to|a|in|is|that)\b"), 1
-        )
-    ).cast("bigint")
+    # the shared English inventory, not a re-spelled literal: editing
+    # LANG_STOPWORDS must move language_id and this ratio together
+    n_stop = _stopword_hits(txt, LANG_STOPWORDS["en"]).cast("bigint")
     return (
         df.withColumn("n_chars", n_chars)
         .withColumn("n_words", n_words)
         .withColumn("n_punct", n_punct)
         .withColumn("n_stopwords", n_stop)
         .withColumn("mean_word_len", (n_chars - (n_words - 1)) / n_words)
-        .withColumn("punct_ratio", n_punct / n_chars)
+        # empty text: 0/0 raises DIVIDE_BY_ZERO under ANSI; an empty doc
+        # has punct ratio 0 by any reading (n_words is never 0 — split('')
+        # yields [''] — so the other two ratios cannot hit /0)
+        .withColumn(
+            "punct_ratio",
+            F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        )
         .withColumn("stopword_ratio", n_stop / n_words)
     )
 
@@ -140,9 +144,13 @@ def document_fingerprint(
     df: DataFrame, text_col: str, out_col: str = "fingerprint"
 ) -> DataFrame:
     """Content fingerprint: md5 of whitespace-normalized lowercased text —
-    the exact-dedup key for 'same text modulo whitespace/case'."""
-    norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " "))
-    return df.withColumn(out_col, F.md5(norm))
+    the exact-dedup key for 'same text modulo whitespace/case'. The
+    normalization IS ``dedup.normalized_text`` (one definition, one key
+    space: a drift between the two would silently split exact-dedup keys
+    between this fingerprint and the dedup module's)."""
+    from .dedup import normalized_text
+
+    return df.withColumn(out_col, F.md5(normalized_text(F.col(text_col))))
 
 
 #: RE2-safe PII patterns (no lookarounds/backrefs) so the identical regex
@@ -417,18 +425,34 @@ def winnow_fingerprints(
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every k-gram of
     words, keep the minimum hash of each sliding window of ``window`` hashes
     → a sparse, position-robust fingerprint set per document. Returns
-    (id, fingerprint) rows. Pure DataFrame: shingle → hash → sliding-window
-    min via transform over index sequence → explode distinct."""
-    from .dedup import word_shingles
+    (id, fingerprint) rows. Pure DataFrame: positional shingle → hash →
+    sliding-window min via transform over index sequence → explode distinct.
 
-    kgrams = word_shingles(df.select(id_col, text_col), text_col, k)
-    hashed = kgrams.select(
+    The k-gram sequence is POSITIONAL (repeats kept): winnowing's guarantee
+    — any shared run of ``k + window - 1`` tokens shares a fingerprint —
+    only holds over the in-order sequence, so the dedup module's distinct
+    shingle SET cannot be used here. Documents with between 1 and
+    ``window`` k-grams yield one fingerprint (the min over all of them,
+    the single degenerate window); documents shorter than ``k`` words
+    have no k-grams and emit no rows."""
+    u = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    kgrams = F.when(
+        F.size(u) < k, F.expr("CAST(array() AS ARRAY<STRING>)")
+    ).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(u) - k + 1, F.lit(1))),
+            lambda i: F.array_join(F.slice(u, i, k), " "),
+        )
+    )
+    hashed = df.withColumn("__kgrams", kgrams).select(
         F.col(id_col),
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("hashes"),
+        F.transform(F.col("__kgrams"), lambda s: F.xxhash64(s)).alias("hashes"),
     )
     mins = F.expr(
-        f"transform(sequence(0, greatest(size(hashes) - {window}, -1)), "
-        f"i -> array_min(slice(hashes, i + 1, {window})))"
+        f"CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "
+        f"WHEN size(hashes) <= {window} THEN array(array_min(hashes)) "
+        f"ELSE transform(sequence(0, size(hashes) - {window}), "
+        f"i -> array_min(slice(hashes, i + 1, {window}))) END"
     )
     return (
         hashed.select(F.col(id_col), F.explode(F.array_distinct(mins)).alias("fingerprint"))
@@ -547,7 +571,11 @@ def remove_duplicated_lines(
     Output: ``(id, text_clean, n_lines, n_kept)`` — one row per input
     document, ``text_clean = ''`` when everything was boilerplate. Empty /
     whitespace-only lines are dropped unconditionally (they'd otherwise
-    count as a shared "line" in every document).
+    count as a shared "line" in every document). Documents whose text is
+    NULL, empty, or all-blank lines produce no line rows at all and are
+    re-attached by a left join on the input ids (``text_clean=''``,
+    ``n_lines=0``) — without it they'd silently vanish from the output,
+    breaking the one-row-per-document contract.
 
     Scale shape: one explode → one distinct → one hash aggregate on the
     line string (document frequency) → join back on the line key → per-doc
@@ -584,7 +612,7 @@ def remove_duplicated_lines(
     # lines, so the kept list, the kept count, and the total line count
     # all ride the same doc_id exchange (a totals-vs-kept join would cost
     # a second shuffle for nothing)
-    return (
+    agg = (
         lines.join(dfreq, "__norm")
         .groupBy(id_col)
         .agg(
@@ -602,7 +630,16 @@ def remove_duplicated_lines(
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(keep.cast("bigint")).alias("n_kept"),
         )
-        .select(id_col, "text_clean", "n_lines", "n_kept")
+    )
+    return (
+        df.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
     )
 
 def oov_rate(

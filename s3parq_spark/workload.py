@@ -805,7 +805,8 @@ ORACLE_SQL.update(
         "text_quality": f"""
             SELECT doc_id, n_chars, n_words, n_punct, n_stopwords,
                    (n_chars - (n_words - 1)) / n_words AS mean_word_len,
-                   n_punct / n_chars AS punct_ratio,
+                   CASE WHEN n_chars > 0 THEN n_punct / n_chars
+                        ELSE 0.0 END AS punct_ratio,
                    n_stopwords / n_words AS stopword_ratio
             FROM (
                 SELECT doc_id,

@@ -893,9 +893,12 @@ ORACLE_EXT2: Dict[str, str] = {
         ), tot AS (
           SELECT doc_id, COUNT(*) AS n_lines FROM norm GROUP BY doc_id
         )
-        SELECT t.doc_id, COALESCE(r.text_clean, '') AS text_clean,
-               t.n_lines, CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
-        FROM tot t LEFT JOIN reb r USING (doc_id)
+        SELECT p.doc_id, COALESCE(r.text_clean, '') AS text_clean,
+               CAST(COALESCE(t.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept
+        FROM (SELECT DISTINCT doc_id FROM planted) p
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN reb r USING (doc_id)
     """,
     "decontaminate": """
         WITH toks AS (

@@ -1295,3 +1295,97 @@ class TestClusterExemplars:
         publish_path(spark, tmp_dataset_dir, df, ["p"])
         recs = collect_partition_stats(spark, tmp_dataset_dir)
         assert sum(r["n_rows"] for r in recs) == 2  # no TypeError on None
+
+
+class TestTextReviewFixes:
+    def test_winnow_short_docs_do_not_crash(self, spark):
+        # k=5, window=4: a 6-word doc has 2 k-grams (< window) -> ONE
+        # fingerprint (the degenerate single window); a 3-word doc has no
+        # k-grams -> no rows; neither may abort the job (r6 review: the
+        # old floor of -1 made slice() raise on any short doc)
+        from s3parq_spark.operators.text import winnow_fingerprints
+
+        df = spark.createDataFrame(
+            [(1, "a b c d e f"), (2, "x y z"),
+             (3, "one two three four five six seven eight nine ten"),
+             (4, None)],
+            "doc_id int, text string",
+        )
+        rows = winnow_fingerprints(df, "doc_id", "text").collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert len(by_doc.get(1, set())) == 1
+        assert 2 not in by_doc and 4 not in by_doc
+        assert len(by_doc.get(3, set())) >= 1
+
+    def test_winnow_is_positional_shared_run_shares_fingerprint(self, spark):
+        # winnowing guarantee: any shared run of k+window-1 tokens shares
+        # a fingerprint — requires the POSITIONAL k-gram sequence (the old
+        # distinct-shingle input broke this for docs with repeated k-grams)
+        from s3parq_spark.operators.text import winnow_fingerprints
+
+        run = "q w e r t y u i"  # 8 tokens = k+window-1 for k=5, window=4
+        df = spark.createDataFrame(
+            [(1, f"a a a a a a {run} b b"),   # repeated prefix k-grams
+             (2, f"c d e f g h {run} j k")],
+            "doc_id int, text string",
+        )
+        rows = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+        by_doc = {}
+        for r in rows.collect():
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert by_doc[1] & by_doc[2], "shared run must share a fingerprint"
+
+    def test_quality_scores_empty_text_no_ansi_crash(self, spark):
+        from s3parq_spark.operators import quality_scores
+
+        df = spark.createDataFrame(
+            [(1, "Hello, world."), (2, "")], "doc_id int, text string"
+        )
+        rows = {r["doc_id"]: r for r in quality_scores(df, "text").collect()}
+        assert rows[2]["punct_ratio"] == 0.0 and rows[2]["n_chars"] == 0
+        assert rows[1]["n_punct"] == 2
+
+    def test_remove_duplicated_lines_keeps_blank_and_null_docs(self, spark):
+        from s3parq_spark.operators.text import remove_duplicated_lines
+
+        df = spark.createDataFrame(
+            [(1, "keep me\nshared"), (2, "other\nshared"),
+             (3, "   \n  "), (4, None)],
+            "doc_id int, text string",
+        )
+        out = {r["doc_id"]: r for r in
+               remove_duplicated_lines(df, "doc_id", "text").collect()}
+        assert sorted(out) == [1, 2, 3, 4]
+        assert out[3]["text_clean"] == "" and out[3]["n_lines"] == 0
+        assert out[4]["text_clean"] == "" and out[4]["n_lines"] == 0
+        assert out[1]["text_clean"] == "keep me"
+
+    def test_minhash_bands_must_divide_num_hashes(self, spark):
+        import pytest
+
+        from s3parq_spark.operators import minhash_candidate_pairs
+
+        df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+        with pytest.raises(ValueError, match="multiple of"):
+            minhash_candidate_pairs(
+                df, "doc_id", "text", num_hashes=64, bands=10
+            )
+
+    def test_multimodal_null_payload_no_crash(self, spark):
+        from s3parq_spark.operators import (
+            attach_binary_payload, audio_window_features,
+            extract_binary_features, sample_video_frames,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "some text"), (2, None)], "doc_id long, src string"
+        )
+        p = attach_binary_payload(df, "src")
+        feats = {r["doc_id"]: r for r in
+                 extract_binary_features(p, "doc_id").collect()}
+        assert feats[2]["byte_len"] == 0 and feats[2]["first_byte"] == -1
+        assert audio_window_features(p, "doc_id").filter(
+            "doc_id = 2").count() == 0
+        assert sample_video_frames(p, "doc_id").count() >= 1
