@@ -208,10 +208,14 @@ def main() -> None:
                 # level (fetch_all 0.121 vs r4 0.136, fetch_diff 0.222 vs
                 # 0.241, token_stats 0.121 vs 0.122, dedup_exact 0.231 vs
                 # 0.261, fetch_filter_datetime 0.346 vs 0.397).
-                "notes": "publish sizing now footer-based (no sampling "
-                         "job) for parquet-backed inputs; r5 read-path "
-                         "drift fixed (py4j chatter: OS-path sidecar "
-                         "reads + one-call schema projection)",
+                "notes": "publish sizing footer-based (no sampling job) "
+                         "for parquet-backed inputs — computed BEFORE the "
+                         "rebalance hint wraps the plan, where the review "
+                         "found it dead (publish 4.17s r5 -> ~2.7s r6); "
+                         "r5 read-path drift fixed (py4j chatter: OS-path "
+                         "sidecar reads + one-call schema projection + "
+                         "driver-side manifest pruning) — every read "
+                         "entry at or below its r4 level",
                 "probes": probes,
             }
         )

@@ -142,7 +142,11 @@ def get_max_partition_value(
     if dtype in NON_NUM_TYPES:
         raise ValueError(f"Max cannot be used on partition types of {dtype}")
     values = parse_partitions_and_values(files).get(partition, set())
-    return max(convert_type(v, dtype) for v in values)
+    # SQL MAX semantics: NULL partition values (__HIVE_DEFAULT_PARTITION__
+    # -> None) are ignored, not compared (max(None, 3) is a TypeError)
+    typed = [t for t in (convert_type(v, dtype) for v in values)
+             if t is not None]
+    return max(typed) if typed else None
 
 
 def get_diff_partition_values(
@@ -155,7 +159,11 @@ def get_diff_partition_values(
 ) -> list:
     """A3 — set difference over partition values, compared as *strings* and
     re-typed on the way out, with the reference's exact empty-side edge cases
-    (``fetch_parq.py:73-118``)."""
+    (``fetch_parq.py:73-118``). Values stringify the way THIS engine's
+    writer builds partition directories — booleans lowercase to
+    ``true``/``false`` (Spark's cast-to-string), where Python's
+    ``str(True)`` would never match a written path and silently report
+    every boolean as missing."""
     spark = spark or SparkSession.active()
     path = fs.dataset_uri(bucket, key)
     files, meta, _ = _files_and_meta(spark, path)
@@ -167,7 +175,10 @@ def get_diff_partition_values(
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
     dtype = meta.partition_data_types[partition]
     partition_set = set(parse_partitions_and_values(files).get(partition, set()))
-    diff_strs = {str(v) for v in values_to_diff}
+    diff_strs = {
+        str(v).lower() if isinstance(v, bool) else str(v)
+        for v in values_to_diff
+    }
 
     if not values_to_diff:
         return [] if reverse else [convert_type(v, dtype) for v in partition_set]
@@ -366,7 +377,12 @@ def fetch_path(
     validate_filter_rules(filters)
 
     files, meta, from_manifest = _files_and_meta(spark, path)
-    if not files:
+    if not files and meta is None:
+        # no dataset at all: empty, schema-less (reference fetch of a
+        # missing key). A FILE-less dataset whose sidecar remains falls
+        # through instead: the declared schema, column validation, and
+        # filter validation all still apply to the empty frame (same
+        # result shape as a filter that prunes every file).
         return spark.createDataFrame([], T.StructType([]))
 
     if meta is None:
@@ -416,8 +432,11 @@ def fetch_path(
             # every file pruned: empty frame WITH the dataset schema (same
             # result shape a no-match Catalyst prune produces)
             df = spark.createDataFrame([], full_schema)
-    else:
+    elif files:
         df = spark.read.schema(full_schema).parquet(path)
+    else:
+        # sidecar present, zero data files (walk found nothing)
+        df = spark.createDataFrame([], full_schema)
     df = _resolve_renames(df, meta)
 
     if filters:
@@ -601,15 +620,37 @@ def _prune_manifest_files(
     ]
     if not active:
         return files
+    import datetime as _dt
+
     from .filters import OPS, _typed_value
 
+    # Python types convert_type() produces per dtype: a filter value whose
+    # typed form falls outside them (e.g. int 12345 against a STRING
+    # partition) would compare '12345' == 12345 -> False here while
+    # Catalyst matches it via implicit cast — so such filters are skipped
+    # entirely (Catalyst prunes them instead). bool is an int subclass, so
+    # True/1 against integer partitions stays consistent with the cast.
+    prune_ok = {
+        "string": (str,),
+        "category": (str,),
+        "integer": (int,),
+        "float": (int, float),
+        "datetime": (_dt.datetime,),
+        "bool": (bool, int),
+        "boolean": (bool, int),
+    }
     typed_filters = []
     for f in active:
         dtype = meta.partition_data_types[f["partition"]]
+        ok = prune_ok.get(dtype)
+        if ok is None:
+            continue  # exotic partition dtype (decimal, ...): Catalyst only
         try:
             vals = [_typed_value(v, dtype) for v in f["values"]]
         except (ValueError, TypeError):
             continue  # untypeable filter value: leave it to Catalyst
+        if not all(isinstance(v, ok) for v in vals if v is not None):
+            continue  # type-mismatched value: Catalyst's cast semantics win
         typed_filters.append((f["partition"], dtype, OPS[f["comparison"]], vals))
     out = []
     for rel in files:
@@ -657,8 +698,13 @@ def _read_manifest_slice(
     ``fetch_changes``). An empty list yields an empty frame with the full
     dataset schema — never a scan error. The list gets the same
     driver-side partition pruning as ``fetch_path`` (superset-safe;
-    Catalyst re-applies the predicate), so filtered time-travel/CDC reads
-    are priced by matching files, not snapshot size."""
+    Catalyst re-applies the predicate), and the same DERIVED-partition
+    pushdown — a filter on a hidden-partition source column that
+    ``fetch_path`` accepts must not be rejected by a time-travel/CDC read
+    of the same dataset."""
+    filters, derived_filters, residuals = _derived_pushdown(
+        spark, meta, filters
+    )
     validate_matching_filter_data_type(meta.partition_data_types, filters)
     rel_files = _prune_manifest_files(rel_files, meta, filters)
     full_schema = _scan_schema(meta)
@@ -674,6 +720,10 @@ def _read_manifest_slice(
     df = _resolve_renames(df, meta)
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
+    if derived_filters:
+        df = df.filter(_clause_predicate(derived_filters))
+    if residuals:
+        df = df.filter(_clause_predicate(residuals))
     return _project_dataset_columns(df, meta, columns, path)
 
 
@@ -752,14 +802,21 @@ def fetch_diff_path(
     if not inp.columns:
         return inp
 
-    cmp_files, cmp_meta, _ = _files_and_meta(spark, comparison_path)
-    if not cmp_files or cmp_meta is None:
-        return inp  # nothing to subtract: everything differs
+    # ONE metadata read + listing for the comparison side: a separate
+    # existence probe would repeat the identical sidecar/manifest work
+    # fetch_path performs (it doubled the driver cost of every diff on a
+    # remote dataset). Missing or non-s3parq comparison -> nothing to
+    # subtract; an empty-but-typed comparison anti-joins to a no-op.
+    try:
+        cmp_df = fetch_path(spark, comparison_path, accept_not_s3parq=False)
+    except MissingS3ParqMetadata:
+        return inp
+    if not cmp_df.columns:
+        return inp
 
     inp_type = dict(inp.dtypes).get(partition)
     cmp_values = (
-        fetch_path(spark, comparison_path)
-        .select(F.col(partition).cast(inp_type).alias(partition))
+        cmp_df.select(F.col(partition).cast(inp_type).alias(partition))
         .distinct()
     )
     return inp.join(F.broadcast(cmp_values), on=partition, how="left_anti")

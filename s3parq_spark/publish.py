@@ -268,7 +268,18 @@ def _to_spark_df(spark: SparkSession, dataframe) -> DataFrame:
             if vals.map(lambda v: isinstance(v, decimal.Decimal)).any():
                 continue  # keep exact decimals; a str round-trip would corrupt
             if not vals.map(lambda v: v is None or isinstance(v, str)).all():
-                coerced[col] = vals.astype(str)
+                import pandas as pd
+
+                def _str_or_none(v):
+                    # missing values must STAY missing: astype(str) would
+                    # publish NaN/NaT/None as the literals 'nan'/'NaT'
+                    try:
+                        na = pd.isna(v)
+                    except (TypeError, ValueError):
+                        na = False
+                    return None if na is True else str(v)
+
+                coerced[col] = vals.map(_str_or_none)
                 changed = True
         if not changed:
             raise
@@ -418,8 +429,8 @@ def publish_path(
         check_empty_dataframe(df)
     # else: the sizing sample below doubles as the empty check — one job
 
+    prior = metadata.read_sidecar(spark, path) if mode == "append" else None
     if mode == "append":
-        prior = metadata.read_sidecar(spark, path)
         if prior is not None and prior.derived_partitions:
             if derived_partitions and dict(derived_partitions) != dict(
                 prior.derived_partitions
@@ -456,7 +467,10 @@ def publish_path(
             meta.column_types[col] = vocab
             if col in meta.partition_data_types:
                 meta.partition_data_types[col] = vocab
-    existing = metadata.read_sidecar(spark, path)
+    # reuse the append-mode read: a second read would be redundant driver
+    # I/O and a window where the derived-partition inheritance and the
+    # merge/CAS base could come from DIFFERENT sidecar states
+    existing = prior if mode == "append" else metadata.read_sidecar(spark, path)
     if expected_version is not None:
         # optimistic concurrency (Delta-style CAS on the snapshot head):
         # the caller read the dataset at some version and publishes only
@@ -497,6 +511,11 @@ def publish_path(
     # 100 TB; maxRecordsPerFile below still enforces the 60 MB file contract.
     if sort_within_files and zorder_by:
         raise ValueError("pass sort_within_files OR zorder_by, not both")
+    # size BEFORE the rebalance/sort transforms wrap the plan: the footer
+    # shortcut recognizes a bare parquet scan, and a hint node on top
+    # would silently push every publish back onto the sampling job (row
+    # width is transform-invariant, so the estimate is the same)
+    n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
     if rebalance and not zorder_by:
         df = df.hint("rebalance", *partitions) if partitions else df.hint("rebalance")
     if sort_within_files:
@@ -541,7 +560,6 @@ def publish_path(
         meta.sort_columns = declared
         merged.sort_columns = declared
 
-    n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
     writer = (
         df.write.mode(mode)
         .option("compression", "snappy")
@@ -562,12 +580,21 @@ def publish_path(
             )
         for c in bloom_filter_columns:
             writer = writer.option(f"parquet.bloom.filter.enabled#{c}", "true")
-    # ms-coerced timestamps on disk, like the reference's
-    # coerce_timestamps='ms' (publish_parq.py:206-207)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     if partitions:
         writer = writer.partitionBy(*partitions)
-    writer.parquet(path)
+    # ms-coerced timestamps on disk, like the reference's
+    # coerce_timestamps='ms' (publish_parq.py:206-207) — scoped to THIS
+    # write: leaking the conf would silently truncate the caller's own
+    # unrelated parquet writes for the rest of the session
+    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
+    try:
+        writer.parquet(path)
+    finally:
+        if prev_ts is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
     if scoped_dirs is not None:
         new = [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
@@ -686,9 +713,11 @@ def overwrite_partitions(
     scoped_dirs = _touched_partition_dirs(spark, df, partitions)
     before = set(_list_scoped(spark, path, scoped_dirs))
 
-    df = df.hint("rebalance", *partitions)
+    # size before the hint wraps the plan (see publish_path)
     n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
+    df = df.hint("rebalance", *partitions)
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
     try:
@@ -701,6 +730,10 @@ def overwrite_partitions(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        if prev_ts is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
     # partition overwrite deletes replaced files, so older snapshots can no
     # longer be replayed — clear the version history (honest, not stale);
@@ -1005,14 +1038,23 @@ def compact_dataset(
         max_records_per_file=max_records_per_file,
         rebalance=rebalance,
     )
-    if sort_by or zorder_by:
-        # declare the new clustering in the rewritten sidecar, exactly as a
-        # direct sorted/z-ordered publish would (readers learn the layout
-        # from metadata, not by probing footers)
+    carried_derived = dict(sidecar.derived_partitions or {})
+    if sort_by or zorder_by or carried_derived:
         new_meta = metadata.read_sidecar(spark, tmp)
-        new_meta.sort_columns = (
-            list(sort_by) if sort_by else [f"z({', '.join(zorder_by)})"]
-        )
+        if sort_by or zorder_by:
+            # declare the new clustering in the rewritten sidecar, exactly
+            # as a direct sorted/z-ordered publish would (readers learn the
+            # layout from metadata, not by probing footers)
+            new_meta.sort_columns = (
+                list(sort_by) if sort_by else [f"z({', '.join(zorder_by)})"]
+            )
+        if carried_derived:
+            # hidden-partition transforms must survive compaction: the
+            # fetched frame carries the derived COLUMN, but the rebuilt
+            # sidecar would otherwise lose the TRANSFORM — and the next
+            # append (which relies on automatic re-derivation) would fail
+            # the partition-mismatch check
+            new_meta.derived_partitions = carried_derived
         metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".precompact"
     fs.delete(spark, old)
@@ -1199,10 +1241,11 @@ def delete_where(
         return n_delete
 
     touched_dirs = _touched_partition_dirs(spark, df.filter(pred), parts)
-    # surviving rows of ONLY the touched partitions (broadcast semi-join on
-    # the partition combo — bounded like _touched_partition_dirs itself)
-    touched_vals = df.filter(pred).select(*parts).distinct()
-    keep = df.join(F.broadcast(touched_vals), parts, "left_semi").filter(
+    # surviving rows of ONLY the touched partitions. The selection must be
+    # null-safe (_touched_values_pred uses eqNullSafe): a plain semi-join
+    # on partition columns never matches NULL values, which would classify
+    # a NULL partition as emptied and DELETE its surviving rows' directory
+    keep = df.filter(_touched_values_pred(df.filter(pred), parts)).filter(
         keep_pred
     )
     survivor_dirs = set(_touched_partition_dirs(spark, keep, parts))
@@ -1314,8 +1357,10 @@ def update_where(
         fs.delete(spark, old)
         return n_update
 
-    touched_vals = df.filter(pred).select(*parts).distinct()
-    rewrite = updated.join(F.broadcast(touched_vals), parts, "left_semi")
+    # null-safe touched-partition selection (see delete_where): a plain
+    # semi-join would silently skip matched rows whose partition value is
+    # NULL while still reporting them in n_update
+    rewrite = updated.filter(_touched_values_pred(df.filter(pred), parts))
     overwrite_partitions(spark, path, rewrite, parts)
     return n_update
 
@@ -1367,22 +1412,34 @@ def publish_with_expectations(
             for r, p in zip(rules, passes)
         ],
     )
-    good = df.filter(ok)
-    bad = df.filter(~ok).withColumn("violated", violated)
-    n_bad = bad.count()
-    if n_bad and quarantine_path is None:
-        raise ValueError(
-            f"publish_with_expectations: {n_bad} rows violate "
-            f"{[r['name'] for r in rules]} and no quarantine_path is set; "
-            "nothing was written"
-        )
-    n_good = good.count()
-    if n_good:
-        publish_path(spark, path, good, partitions, mode=mode, **publish_kwargs)
-    if n_bad:
-        publish_path(
-            spark, quarantine_path, bad, partitions, mode=mode, **publish_kwargs
-        )
+    # persist for the operation: the counts and BOTH sinks read the split
+    # input, and on an unpersisted frame each would re-run the full
+    # rule-evaluation scan (4-5 source passes instead of one) — worse, a
+    # non-deterministic input could put different rows in the counts than
+    # in the published files
+    df = df.persist()
+    try:
+        good = df.filter(ok)
+        bad = df.filter(~ok).withColumn("violated", violated)
+        n_bad = bad.count()
+        if n_bad and quarantine_path is None:
+            raise ValueError(
+                f"publish_with_expectations: {n_bad} rows violate "
+                f"{[r['name'] for r in rules]} and no quarantine_path is set; "
+                "nothing was written"
+            )
+        n_good = good.count()
+        if n_good:
+            publish_path(
+                spark, path, good, partitions, mode=mode, **publish_kwargs
+            )
+        if n_bad:
+            publish_path(
+                spark, quarantine_path, bad, partitions, mode=mode,
+                **publish_kwargs,
+            )
+    finally:
+        df.unpersist()
     return {"published": n_good, "quarantined": n_bad}
 
 

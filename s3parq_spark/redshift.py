@@ -128,6 +128,7 @@ def create_table_sql(
     and ``partitions`` map name → Redshift DDL type (partition columns must
     not repeat in ``columns``)."""
     validate_name(table_name)
+    validate_name(schema_name)
     ddl = f"CREATE EXTERNAL TABLE {schema_name}.{table_name} {_columns_ddl(columns)}"
     if partitions:
         ddl += f" PARTITIONED BY {_columns_ddl(partitions)}"
@@ -152,10 +153,16 @@ def partition_location(filepath: str) -> str:
 
 def create_partitions_sql(bucket: str, schema: str, table: str, filepath: str) -> str:
     """``ALTER TABLE ... ADD IF NOT EXISTS PARTITION``
-    (``publish_redshift.py:300-332``)."""
+    (``publish_redshift.py:300-332``). Path components are hive-ESCAPED by
+    the writer (``:`` in every datetime value becomes ``%3A``); the
+    registered partition VALUE must be the unescaped original or Spectrum
+    queries comparing against the real value match zero partitions — the
+    same unquote ``fetch._hive_path_values`` applies on the read side."""
+    from urllib.parse import unquote
+
     parts = partitions_from_filepath(filepath)
     formatted = ", ".join(
-        f"{k}='{v}'" for k, v in (p.split("=", 1) for p in parts)
+        f"{k}='{unquote(v)}'" for k, v in (p.split("=", 1) for p in parts)
     )
     location = partition_location(filepath)
     return (
@@ -176,6 +183,18 @@ def create_schema(
     return sql
 
 
+def table_exists_sql(table_name: str, schema_name: str) -> str:
+    """The reference's existence probe (``publish_redshift.py:220-224``):
+    Redshift's ``CREATE EXTERNAL TABLE`` has no ``IF NOT EXISTS``, so an
+    unguarded re-CREATE on the second publish to a dataset errors."""
+    validate_name(table_name)
+    validate_name(schema_name)
+    return (
+        "SELECT 1 FROM SVV_EXTERNAL_TABLES WHERE "
+        f"schemaname = '{schema_name}' AND tablename = '{table_name}';"
+    )
+
+
 def create_table(
     table_name: str,
     schema_name: str,
@@ -184,7 +203,21 @@ def create_table(
     path: str,
     executor: Executor,
 ) -> str:
+    """Guarded CREATE (reference ``publish_redshift.py:202-239``): probe
+    SVV_EXTERNAL_TABLES first and skip the CREATE when the table already
+    exists — append publishes re-register partitions, not the table. An
+    executor that returns rows (any non-empty iterable) signals existence;
+    executors that return None (the dry-run recorder) always proceed."""
+    probe = executor(table_exists_sql(table_name, schema_name))
+    exists = False
+    if probe is not None:
+        try:
+            exists = bool(list(probe))
+        except TypeError:
+            exists = bool(probe)
     sql = create_table_sql(table_name, schema_name, columns, partitions, path)
+    if exists:
+        return sql
     executor(sql)
     return sql
 
@@ -198,12 +231,11 @@ def create_custom_table(
     executor: Executor,
 ) -> str:
     """``create_custom_table`` (``publish_redshift.py:241-297``): user-declared
-    types, split into partition / value columns by name."""
+    types, split into partition / value columns by name; same existence
+    guard as ``create_table``."""
     cols = {k: v for k, v in custom_redshift_columns.items() if k not in partitions}
     parts = {k: v for k, v in custom_redshift_columns.items() if k in partitions}
-    sql = create_table_sql(table_name, schema_name, cols, parts, path)
-    executor(sql)
-    return sql
+    return create_table(table_name, schema_name, cols, parts, path, executor)
 
 
 def create_partitions(
@@ -229,6 +261,7 @@ def register_spark_table(
     """Register the dataset in the Spark/Hive/Glue catalog so it is queryable
     by name — the deployment-real equivalent of Spectrum registration."""
     validate_name(table_name)
+    validate_name(schema_name)
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {schema_name}")
     cols_ddl = ", ".join(f"{c} {t.simpleString()}" for c, t in columns.items())
     part_ddl = ", ".join(partitions)

@@ -8,11 +8,16 @@ db_name, ec2_user)``, ``configure_session_helper()``, ``db_session_scope()``
 — and executes through whichever backend is available:
 
 1. an injected ``executor`` callable (tests; any DBAPI/JDBC bridge),
-2. boto3 + sqlalchemy when importable (deployment parity path),
-3. otherwise a dry-run recorder: SQL is captured on ``.executed`` so DDL
-   generation stays fully testable without a cluster — the same strategy the
-   reference's own test-suite uses (mocked sessions,
-   ``tests/test_publish_redshift.py``).
+2. boto3 + sqlalchemy when importable (deployment parity path) — note
+   this path connects EAGERLY, exactly like the reference
+   (``session_helper.py:43-122``): with the libraries installed but no
+   usable AWS credentials/cluster, ``configure_session_helper`` raises
+   the boto error instead of silently recording (a publish that LOOKS
+   registered but wasn't would be worse than a loud failure),
+3. only when the libraries are MISSING, a dry-run recorder: SQL is
+   captured on ``.executed`` so DDL generation stays fully testable
+   without a cluster — the same strategy the reference's own test-suite
+   uses (mocked sessions, ``tests/test_publish_redshift.py``).
 """
 
 from __future__ import annotations

@@ -460,6 +460,7 @@ def stream_publish(
     events_parquet: str,
     dataset_path: str,
     partitions: list,
+    checkpoint_location: str | None = None,
     **publish_kwargs,
 ) -> None:
     """Streaming ingestion INTO the engine's dataset format: readStream →
@@ -467,7 +468,17 @@ def stream_publish(
     hive-partitioned files and the sidecar merge-check guards schema drift —
     the idiomatic continuous-ingestion pattern for a 100 TB/day landing
     pipeline (checkpointed source progress; the parquet writes are
-    idempotent per batch via Spark's commit protocol)."""
+    idempotent per batch via Spark's commit protocol).
+
+    The checkpoint location is DERIVED from (source, dataset) by default so
+    re-invocations resume from the recorded offsets and ingest only new
+    files — a fresh checkpoint per call would replay the entire source and
+    append every previously-ingested row again. A production pipeline
+    should still pin ``checkpoint_location`` onto durable storage next to
+    the dataset; the default lives under the local tmpdir (this sandbox's
+    only writable durable-ish root)."""
+    import hashlib
+
     from ..publish import publish_path
 
     stream = read_event_stream(spark, events_parquet).withColumn(
@@ -482,13 +493,24 @@ def stream_publish(
             **publish_kwargs,
         )
 
+    if checkpoint_location is None:
+        tag = hashlib.sha1(
+            f"{os.path.abspath(events_parquet)}|{dataset_path}".encode()
+        ).hexdigest()[:12]
+        checkpoint_location = os.path.join(
+            tempfile.gettempdir(), f"s3parq_ckpt_{tag}"
+        )
+        from .. import fs as _fs
+
+        if not _fs.exists(spark, dataset_path):
+            # the dataset was (re)created from scratch: stale offsets from
+            # a previous incarnation would resume past the whole source
+            # and ingest nothing — a fresh dataset gets a fresh checkpoint
+            shutil.rmtree(checkpoint_location, ignore_errors=True)
     q = (
         stream.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            os.path.join(tempfile.gettempdir(), f"s3parq_ckpt_{uuid.uuid4().hex[:8]}"),
-        )
+        .option("checkpointLocation", checkpoint_location)
         .start()
     )
     q.awaitTermination()

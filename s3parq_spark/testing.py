@@ -12,6 +12,22 @@ def _to_pandas(df) -> pd.DataFrame:
     return df.toPandas() if isinstance(df, DataFrame) else df
 
 
+def _canon(v):
+    """Canonical hashable form of one cell: numpy arrays/scalars reduce to
+    plain Python containers/values so (a) long embedding arrays compare
+    element-by-element instead of through numpy's ELIDED '...' repr (which
+    made 1000+-element arrays that differ only in the hidden middle compare
+    EQUAL), and (b) numpy scalar wrappers ('np.int64(1)') compare equal to
+    the same Python value."""
+    if isinstance(v, (list, tuple)):
+        return tuple(_canon(x) for x in v)
+    tolist = getattr(v, "tolist", None)
+    if tolist is not None and not isinstance(v, (str, bytes)):
+        out = tolist()
+        return tuple(_canon(x) for x in out) if isinstance(out, list) else out
+    return v
+
+
 def df_equal_by_set(df1, df2) -> bool:
     """Order-free comparison (reference ``testing_helper.py:38-57``): same
     columns, same multiset of rows."""
@@ -19,8 +35,14 @@ def df_equal_by_set(df1, df2) -> bool:
     if sorted(p1.columns) != sorted(p2.columns):
         return False
     cols = sorted(p1.columns)
-    rows1 = sorted(map(repr, p1[cols].itertuples(index=False, name=None)))
-    rows2 = sorted(map(repr, p2[cols].itertuples(index=False, name=None)))
+    rows1 = sorted(
+        map(repr, (tuple(_canon(v) for v in row)
+                   for row in p1[cols].itertuples(index=False, name=None)))
+    )
+    rows2 = sorted(
+        map(repr, (tuple(_canon(v) for v in row)
+                   for row in p2[cols].itertuples(index=False, name=None)))
+    )
     return rows1 == rows2
 
 

@@ -1389,3 +1389,146 @@ class TestTextReviewFixes:
         assert audio_window_features(p, "doc_id").filter(
             "doc_id = 2").count() == 0
         assert sample_video_frames(p, "doc_id").count() >= 1
+
+
+class TestPublishReviewFixes:
+    def test_delete_where_null_partition_keeps_survivors(self, spark, tmp_path):
+        # r6 review: the null-unsafe semi-join classified the NULL
+        # partition as emptied and DELETED its surviving rows' directory
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import delete_where, publish_path
+
+        ds = str(tmp_path / "delnull")
+        df = spark.createDataFrame(
+            [(1, None, 1.0), (2, None, 2.0), (3, "a", 3.0)],
+            "k int, p string, v double",
+        )
+        publish_path(spark, ds, df, ["p"])
+        n = delete_where(spark, ds, "k = 1")
+        assert n == 1
+        got = sorted((r["k"], r["p"]) for r in fetch_path(spark, ds).collect())
+        assert got == [(2, None), (3, "a")]
+
+    def test_update_where_null_partition_applies(self, spark, tmp_path):
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import publish_path, update_where
+
+        ds = str(tmp_path / "updnull")
+        df = spark.createDataFrame(
+            [(1, None, 5.0), (2, "a", 5.0)], "k int, p string, v double"
+        )
+        publish_path(spark, ds, df, ["p"])
+        n = update_where(spark, ds, {"v": "v + 1"}, "v = 5")
+        assert n == 2
+        got = sorted((r["k"], r["v"]) for r in fetch_path(spark, ds).collect())
+        assert got == [(1, 6.0), (2, 6.0)]
+
+    def test_compact_preserves_derived_partitions(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.publish import compact_dataset, publish_path
+
+        ds = str(tmp_path / "compact_hidden")
+        rows = [(i, datetime.datetime(2024, 1, 1 + i % 2), float(i))
+                for i in range(6)]
+        df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+        publish_path(
+            spark, ds, df, [],
+            derived_partitions={"d": "date_format(ts, 'yyyy-MM-dd')"},
+        )
+        compact_dataset(spark, ds)
+        # the append relies on the sidecar still carrying the transform
+        more = spark.createDataFrame(
+            [(100, datetime.datetime(2024, 1, 5), 9.0)],
+            "k int, ts timestamp, v double",
+        )
+        publish_path(spark, ds, more, [])
+        assert fetch_path(spark, ds).count() == 7
+
+    def test_publish_restores_caller_timestamp_conf(self, spark, tmp_path):
+        from s3parq_spark.publish import publish_path
+
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key, None)
+        try:
+            spark.conf.set(key, "TIMESTAMP_MICROS")
+            df = spark.createDataFrame([(1, "a")], ["k", "p"])
+            publish_path(spark, str(tmp_path / "conf_ds"), df, ["p"])
+            assert spark.conf.get(key) == "TIMESTAMP_MICROS"
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
+
+    def test_mixed_object_coercion_preserves_missing_values(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from s3parq_spark.publish import _to_spark_df
+
+        pdf = pd.DataFrame(
+            {"k": [1, 2, 3],
+             "m": [pd.Timestamp("2024-01-01"), "x", np.nan]}
+        )
+        out = _to_spark_df(spark, pdf)
+        vals = {r["k"]: r["m"] for r in out.collect()}
+        assert vals[3] is None  # NaN must stay missing, never the str 'nan'
+        assert vals[2] == "x"
+
+    def test_df_equal_by_set_detects_long_array_diffs(self, spark):
+        import numpy as np
+        import pandas as pd
+
+        from s3parq_spark.testing import df_equal_by_set
+
+        a = np.zeros(1500)
+        b = np.zeros(1500)
+        b[700] = 1.0  # hidden inside numpy's elided '...' repr
+        p1 = pd.DataFrame({"v": [a]})
+        p2 = pd.DataFrame({"v": [b]})
+        assert not df_equal_by_set(p1, p2)
+        assert df_equal_by_set(p1, pd.DataFrame({"v": [a.copy()]}))
+
+    def test_stream_publish_is_incremental_across_invocations(self, spark, tmp_path):
+        import datetime
+
+        from s3parq_spark.fetch import fetch_path
+        from s3parq_spark.streaming.events import stream_publish
+
+        landing = tmp_path / "landing"
+        landing.mkdir()
+        ds = str(tmp_path / "stream_ds")
+
+        def drop_file(name, ids):
+            rows = [
+                (i, datetime.datetime(2024, 1, 1, 0, 0, i), i, "click",
+                 1.0, "{}")
+                for i in ids
+            ]
+            sdf = spark.createDataFrame(
+                rows,
+                "event_id long, ts timestamp, user_id long, "
+                "event_type string, value double, props string",
+            )
+            sdf.coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / "mk" / name)
+            )
+            import glob as g
+            import shutil
+
+            src = g.glob(str(tmp_path / "mk" / name / "*.parquet"))[0]
+            shutil.copy(src, str(landing / f"{name}.parquet"))
+
+        drop_file("a", [1, 2, 3])
+        stream_publish(spark, str(landing), ds, ["event_date"])
+        assert fetch_path(spark, ds).count() == 3
+        drop_file("b", [4, 5])
+        # second invocation must ingest ONLY the new file (the old
+        # per-call uuid checkpoint replayed everything and doubled rows)
+        stream_publish(spark, str(landing), ds, ["event_date"])
+        got = sorted(
+            r["event_id"] for r in fetch_path(spark, ds).collect()
+        )
+        assert got == [1, 2, 3, 4, 5]

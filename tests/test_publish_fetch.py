@@ -796,3 +796,108 @@ def test_manifest_prune_matches_catalyst_on_typed_partitions(
     )
     n_all = len(fetch_mod.fetch_path(spark, tmp_dataset_dir).inputFiles())
     assert 0 < n_pruned < n_all
+
+
+def test_prune_keeps_type_mismatched_filter_values():
+    """An int filter value against a STRING partition must NOT drop files
+    driver-side ('12345' == 12345 is False in Python, but Catalyst matches
+    via implicit cast) — such filters are left entirely to Catalyst."""
+    from types import SimpleNamespace
+
+    from s3parq_spark.fetch import _prune_manifest_files
+
+    meta = SimpleNamespace(partition_data_types={"zip": "string"})
+    files = ["zip=12345/a.parquet", "zip=99999/b.parquet"]
+    flt = [{"partition": "zip", "comparison": "==", "values": [12345]}]
+    assert _prune_manifest_files(files, meta, flt) == files
+    # a correctly-typed string value still prunes
+    flt2 = [{"partition": "zip", "comparison": "==", "values": ["12345"]}]
+    assert _prune_manifest_files(files, meta, flt2) == ["zip=12345/a.parquet"]
+
+
+def test_max_partition_value_ignores_null_partition(spark, tmp_path):
+    from s3parq_spark.fetch import get_max_partition_value
+    from s3parq_spark.publish import publish_path
+
+    ds = str(tmp_path / "maxnull")
+    df = spark.createDataFrame(
+        [(1, 5, "x"), (2, None, "y"), (3, 9, "z")], "k int, i int, v string"
+    )
+    publish_path(spark, ds, df, ["i"])
+    assert get_max_partition_value(ds, "", "i", spark=spark) == 9
+
+
+def test_diff_partition_values_boolean(spark, tmp_path):
+    # str(True)='True' vs Spark's written 'true' directory: booleans must
+    # stringify the writer's way or every bool reports as missing
+    from s3parq_spark.fetch import get_diff_partition_values
+    from s3parq_spark.publish import publish_path
+
+    ds = str(tmp_path / "booldiff")
+    df = spark.createDataFrame([(1, True, "a")], "k int, b boolean, v string")
+    publish_path(spark, ds, df, ["b"])
+    assert get_diff_partition_values(ds, "", "b", [True], spark=spark) == []
+    assert get_diff_partition_values(
+        ds, "", "b", [True], reverse=True, spark=spark
+    ) == []
+    assert get_diff_partition_values(
+        ds, "", "b", [False], reverse=True, spark=spark
+    ) == [False]
+
+
+def test_fetch_fileless_dataset_keeps_schema(spark, tmp_path):
+    # delete every data file but keep the sidecar: fetch must return an
+    # EMPTY frame with the declared schema (and still validate columns),
+    # not a schema-less husk that breaks downstream selects
+    import os
+    import shutil
+
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.publish import publish_path
+
+    ds = str(tmp_path / "fileless")
+    df = spark.createDataFrame([(1, "a", 1.0)], "k int, p string, v double")
+    publish_path(spark, ds, df, ["p"])
+    for entry in os.listdir(ds):
+        if entry.startswith("p="):
+            shutil.rmtree(os.path.join(ds, entry))
+    # destructive file removal invalidates snapshot history -> walk path
+    from s3parq_spark import metadata
+
+    side = metadata.read_sidecar(spark, ds)
+    side.snapshots = []
+    metadata.write_sidecar(spark, ds, side)
+    got = fetch_path(spark, ds)
+    assert got.count() == 0
+    assert got.columns == ["k", "p", "v"]
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown columns"):
+        fetch_path(spark, ds, columns=["nope"])
+
+
+def test_fetch_at_supports_derived_partition_filters(spark, tmp_path):
+    # a hidden-partition source-column filter accepted by fetch_path must
+    # also work on time-travel reads of the same dataset
+    import datetime
+
+    from s3parq_spark.fetch import fetch_at, fetch_path, list_versions
+    from s3parq_spark.publish import publish_path
+
+    ds = str(tmp_path / "hidden_tt")
+    rows = [
+        (i, datetime.datetime(2024, 1, 1 + (i % 3), 6), float(i))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "k int, ts timestamp, v double")
+    publish_path(
+        spark, ds, df, [],
+        derived_partitions={"event_day": "date_format(ts, 'yyyy-MM-dd')"},
+    )
+    flt = [{"partition": "ts", "comparison": ">=",
+            "values": ["2024-01-03 00:00:00"]}]
+    live = fetch_path(spark, ds, filters=flt)
+    v = list_versions(spark, ds)[-1]["version"]
+    at = fetch_at(spark, ds, v, filters=flt)
+    assert sorted(map(tuple, at.collect())) == sorted(map(tuple, live.collect()))
+    assert at.count() == 4

@@ -60,9 +60,27 @@ def test_executors_record_sql():
         {"colA": "VARCHAR(1000)", "colB": "DECIMAL(5,4)"},
         executed.append,
     )
-    assert len(executed) == 1
-    assert "PARTITIONED BY (colA VARCHAR(1000))" in executed[0]
-    assert "(colB DECIMAL(5,4))" in executed[0]
+    # existence probe first (reference publish_redshift.py:220-224), then
+    # the CREATE — the recorder returns None, so the CREATE always runs
+    assert len(executed) == 2
+    assert "SVV_EXTERNAL_TABLES" in executed[0]
+    assert "PARTITIONED BY (colA VARCHAR(1000))" in executed[1]
+    assert "(colB DECIMAL(5,4))" in executed[1]
+
+
+def test_create_table_skipped_when_probe_reports_existing():
+    calls = []
+
+    def exec_with_rows(sql):
+        calls.append(sql)
+        return [(1,)] if "SVV_EXTERNAL_TABLES" in sql else None
+
+    redshift.create_table(
+        "t", "s", {"a": "VARCHAR"}, {}, "s3://b/k", exec_with_rows
+    )
+    # probe said the table exists: CREATE EXTERNAL TABLE must NOT execute
+    # (Redshift has no IF NOT EXISTS for external tables)
+    assert len(calls) == 1 and "SVV_EXTERNAL_TABLES" in calls[0]
 
 
 def test_validate_name_rules():
