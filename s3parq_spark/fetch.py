@@ -651,19 +651,23 @@ def _prune_manifest_files(
             continue  # untypeable filter value: leave it to Catalyst
         if not all(isinstance(v, ok) for v in vals if v is not None):
             continue  # type-mismatched value: Catalyst's cast semantics win
-        typed_filters.append((f["partition"], dtype, OPS[f["comparison"]], vals))
+        typed_filters.append(
+            (f["partition"], dtype, f["comparison"], OPS[f["comparison"]], vals)
+        )
     out = []
     for rel in files:
         path_vals = _hive_path_values(rel)
         keep = True
-        for part, dtype, op, vals in typed_filters:
+        for part, dtype, cmp, op, vals in typed_filters:
             raw = path_vals.get(part)
-            if raw is None or raw == "__HIVE_DEFAULT_PARTITION__":
-                # missing component: conservative keep; NULL partition
-                # value: no comparison is true (Catalyst 3-valued logic),
-                # so the file cannot match
-                keep = raw is None
-                if not keep:
+            if raw is None:
+                continue  # missing component: conservative keep
+            if raw == "__HIVE_DEFAULT_PARTITION__":
+                # NULL partition: matches only the explicit '== None' arm
+                # (SQL 3-valued logic for everything else) — mirrors
+                # filters_to_predicate exactly
+                if not (cmp == "==" and any(v is None for v in vals)):
+                    keep = False
                     break
                 continue
             try:

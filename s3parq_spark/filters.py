@@ -14,6 +14,14 @@ The reference's query language is a list of filter dicts
 - only the FIRST filter naming a given partition applies
   (``fetch_parq.py:469`` — ``next(f for f in filters ...)``).
 
+NULL partition values (``__HIVE_DEFAULT_PARTITION__`` — a case the
+reference's string-only path values never produce, so its truth table is
+silent on it) follow SQL three-valued logic: no comparison against a
+non-NULL value matches a NULL partition, so ``!=`` does NOT return the
+NULL partition's rows. The one extension: ``== [None]`` (or None among
+the ``==`` values) selects the NULL partition explicitly (``IS NULL``
+semantics) — otherwise those rows would be unreachable through filters.
+
 Instead of cross-producting surviving path prefixes on the driver
 (``fetch_parq.py:480-498``), the predicate is handed to Catalyst as a
 ``Column`` on partition columns, where ``PruneFileSourcePartitions`` prunes
@@ -116,7 +124,13 @@ def filters_to_predicate(
         values = [_typed_value(v, dtype) for v in f["values"]]
         cmp = f["comparison"]
         if cmp == "==":
-            preds.append(col.isin(values))
+            non_null = [v for v in values if v is not None]
+            pred = col.isin(non_null) if non_null else F.lit(False)
+            if len(non_null) < len(values):
+                # None among the values: isin never matches NULL, so the
+                # NULL partition needs an explicit IS NULL arm
+                pred = pred | col.isNull()
+            preds.append(pred)
         else:
             op = OPS[cmp]
             preds.append(reduce(operator.or_, [op(col, F.lit(v)) for v in values]))
@@ -126,10 +140,23 @@ def filters_to_predicate(
 
 
 def apply_filters_to_values(values: set, filters: List[dict], partition: str):
-    """Driver-side variant used by the metadata-only value queries: same
-    truth table applied to an in-memory set of typed partition values."""
+    """Driver-side replica of the truth table over an in-memory set of
+    typed partition values — kept as the property-test oracle for the
+    Catalyst predicate (the product's metadata-value queries apply their
+    own typed pruning in ``fetch``). NULL values follow the module
+    contract: no comparison matches None except ``==`` with None among
+    its values."""
     fil = next((f for f in filters if f["partition"] == partition), None)
     if fil is None:
         return set(values)
     op = OPS[fil["comparison"]]
-    return {x for x in values if any(op(x, v) for v in fil["values"])}
+    eq = fil["comparison"] == "=="
+    out = set()
+    for x in values:
+        if x is None:
+            if eq and any(v is None for v in fil["values"]):
+                out.add(x)
+            continue
+        if any(v is not None and op(x, v) for v in fil["values"]):
+            out.add(x)
+    return out

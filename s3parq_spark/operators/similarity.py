@@ -106,7 +106,10 @@ def batch_cosine_topk(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
     )
     joined = corpus.crossJoin(F.broadcast(q))
-    if exclude_self:
+    if exclude_self and (query_id_col is None or query_id_col == id_col):
+        # self-exclusion only makes sense when query ids share the corpus
+        # id space; with a distinct query_id_col, an id collision is an
+        # UNRELATED corpus row whose true-neighbor rank must survive
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     from pyspark.sql.window import Window
 
@@ -145,11 +148,17 @@ def hyperplane_signature(vec_col: Column, dim: int, planes: int = 16) -> Column:
     dim×planes tree of per-value literals — at dim 4096 × 16 planes the old
     form was 10⁵ expression nodes and fell out of codegen; this form is 16
     constants regardless of dim, with the projection done by
-    ``transform``/``zip_with``/``aggregate`` over them."""
+    ``transform``/``zip_with``/``aggregate`` over them.
+
+    ``dim`` must equal the actual vector length — enforced per row: a
+    mismatch would silently NULL-poison every projection (``zip_with``
+    pads with NULLs), landing ALL rows in bucket 0 and turning the bucket
+    equi-join into a quadratic cross join with zero recall. The guard
+    raises at execution instead."""
     mat = F.array(*[F.lit(row) for row in _hyperplane_rows(dim, planes)])
     projs = F.transform(mat, lambda c: _dot(vec_col, c))
     pows = F.lit([1 << p for p in range(planes)])
-    return F.aggregate(
+    sig = F.aggregate(
         F.zip_with(
             projs,
             pows,
@@ -158,6 +167,18 @@ def hyperplane_signature(vec_col: Column, dim: int, planes: int = 16) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, v: acc + v,
     )
+    return F.when(
+        F.size(vec_col) != dim,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"hyperplane_signature: dim={dim} but a vector has "
+                    "length "
+                ),
+                F.size(vec_col).cast("string"),
+            )
+        ).cast("bigint"),
+    ).otherwise(sig)
 
 
 def _cell_scores(vec: Column, cvecs, cnorms) -> Column:
@@ -208,7 +229,11 @@ def kmeans_centroids(
         )
     corpus = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__vec")
-    )
+    ).filter(F.col("__vec").isNotNull())
+    # NULL vectors are excluded from training (a NULL among the k lowest
+    # ids would otherwise crash the init collect with 'NoneType is not
+    # iterable'); at query time a NULL corpus vector scores NULL and falls
+    # out of candidates naturally.
     # Validate k*dim BEFORE the limit(k).collect() — probing dim from one
     # row first costs one tiny job and means the guard fires before, not
     # after, the potentially multi-GB init collect it exists to prevent.
@@ -294,7 +319,12 @@ def ivf_topk(
     elif quantizer == "kmeans":
         cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=kmeans_iters)
     elif quantizer == "first":
-        cents = corpus.orderBy(id_col).limit(n_cells).collect()  # index build
+        cents = (
+            corpus.filter(F.col("__vec").isNotNull())
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )  # index build
         cvecs = [list(r["__vec"]) for r in cents]
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
@@ -309,6 +339,13 @@ def ivf_topk(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).first()
+    if qrow is None:
+        raise ValueError("query_df is empty: nothing to search for")
+    if qrow["__qvec"] is None:
+        raise ValueError(
+            f"query vector is NULL for id {qrow['__qid']!r}: cannot rank "
+            "probe cells against a missing embedding"
+        )
     qv = list(qrow["__qvec"])
     qscores = sorted(
         range(len(cvecs)),
@@ -363,7 +400,12 @@ def ivf_batch_topk(
     elif quantizer == "kmeans":
         cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=kmeans_iters)
     elif quantizer == "first":
-        cents = corpus.orderBy(id_col).limit(n_cells).collect()
+        cents = (
+            corpus.filter(F.col("__vec").isNotNull())
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )
         cvecs = [list(r["__vec"]) for r in cents]
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
@@ -410,7 +452,7 @@ def ivf_batch_topk(
         )
     )
     joined = assigned.join(F.broadcast(probe), on="__cell")
-    if exclude_self:
+    if exclude_self and (query_id_col is None or query_id_col == id_col):
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     from pyspark.sql.window import Window
 
@@ -430,11 +472,18 @@ def normalize_vectors(
 ) -> DataFrame:
     """L2-normalize an embedding column (unit vectors make cosine a plain
     dot product — the usual pre-index transform). Pure JVM ``transform``
-    over the array; zero vectors pass through unchanged."""
+    over the array; zero vectors pass through unchanged.
+
+    The norm is materialized as a column BEFORE the per-element divide:
+    embedded in the transform lambda it would re-aggregate the whole
+    array per element (Spark does not hoist loop invariants out of
+    higher-order-function lambdas — O(dim²) per row, ~16M ops at dim
+    4096 instead of ~8k)."""
     v = F.col(vec_col).cast("array<double>")
-    n = _norm(v)
+    staged = df.withColumn("__s3parq_nrm", _norm(v))
+    n = F.col("__s3parq_nrm")
     out = F.when(n == 0, v).otherwise(F.transform(v, lambda x: x / n))
-    return df.withColumn(out_col or vec_col, out)
+    return staged.withColumn(out_col or vec_col, out).drop("__s3parq_nrm")
 
 
 def quantize_vectors(
@@ -446,11 +495,19 @@ def quantize_vectors(
     ``{out_col}_min`` / ``{out_col}_scale`` needed to dequantize. All
     arithmetic is ``floor``-based single float ops (round() ties differ
     across engines; floor does not). A constant vector maps to all-zeros
-    with scale 0."""
+    with scale 0.
+
+    min/scale are materialized as columns before the per-element
+    transform (same loop-invariant-hoisting rule as
+    ``normalize_vectors`` — array_min/array_max inside the lambda would
+    re-scan the array per element)."""
     v = F.col(vec_col).cast("array<double>")
-    lo = F.array_min(v)
-    hi = F.array_max(v)
-    scale = hi - lo
+    staged = (
+        df.withColumn(f"{out_col}_min", F.array_min(v))
+        .withColumn("__s3parq_scale", F.array_max(v) - F.col(f"{out_col}_min"))
+    )
+    lo = F.col(f"{out_col}_min")
+    scale = F.col("__s3parq_scale")
     q = F.when(scale == 0, F.transform(v, lambda x: F.lit(0))).otherwise(
         F.transform(
             v,
@@ -460,9 +517,9 @@ def quantize_vectors(
         )
     )
     return (
-        df.withColumn(f"{out_col}_min", lo)
-        .withColumn(f"{out_col}_scale", scale / 255.0)
+        staged.withColumn(f"{out_col}_scale", scale / 255.0)
         .withColumn(out_col, q)
+        .drop("__s3parq_scale")
     )
 
 
@@ -529,6 +586,7 @@ def pq_topk(
     m: int = 4,
     codes: int = 8,
     kmeans_iters: int = 1,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Asymmetric-distance PQ search: the query stays exact, the corpus is
     its PQ codes, and ``score(q, x) ≈ Σ_j dot(q_j, codebook_j[code_j(x)])``
@@ -548,9 +606,9 @@ def pq_topk(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     )
-    joined = enc.crossJoin(F.broadcast(q)).filter(
-        F.col(id_col) != F.col("__qid")
-    )
+    joined = enc.crossJoin(F.broadcast(q))
+    if exclude_self:
+        joined = joined.filter(F.col(id_col) != F.col("__qid"))
     score = None
     for j, cents in enumerate(books):
         cmat = F.array(*[F.lit([float(x) for x in c]) for c in cents])
@@ -640,7 +698,7 @@ def pq_batch_topk(
         sub,
     )
     joined = enc.crossJoin(F.broadcast(q.drop("__qvec")))
-    if exclude_self:
+    if exclude_self and (query_id_col is None or query_id_col == id_col):
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     return _adc_lut_rank(joined, id_col, m, k)
 
@@ -710,7 +768,7 @@ def lsh_batch_topk(
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).withColumn("__bucket", hyperplane_signature(F.col("__qvec"), dim, planes))
     joined = corpus.join(F.broadcast(q), on="__bucket")
-    if exclude_self:
+    if exclude_self and (query_id_col is None or query_id_col == id_col):
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     from pyspark.sql.window import Window
 
@@ -770,7 +828,12 @@ def semantic_dedup(
     elif quantizer == "kmeans":
         cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=kmeans_iters)
     elif quantizer == "first":
-        cents = corpus.orderBy(id_col).limit(n_cells).collect()
+        cents = (
+            corpus.filter(F.col("__vec").isNotNull())
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        )
         cvecs = [list(r["__vec"]) for r in cents]
     else:
         raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
@@ -863,6 +926,13 @@ def ivf_pq_topk(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).first()
+    if qrow is None:
+        raise ValueError("query_df is empty: nothing to search for")
+    if qrow["__qvec"] is None:
+        raise ValueError(
+            f"query vector is NULL for id {qrow['__qid']!r}: cannot rank "
+            "probe cells against a missing embedding"
+        )
     qv = list(qrow["__qvec"])
     order = sorted(
         range(len(cvecs)),
@@ -978,7 +1048,7 @@ def ivf_pq_batch_topk(
         )
     )
     joined = assigned.join(F.broadcast(probe), on="__cell")
-    if exclude_self:
+    if exclude_self and (query_id_col is None or query_id_col == id_col):
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     return _adc_lut_rank(joined, id_col, m, k)
 
@@ -1085,7 +1155,7 @@ def quantized_rescore_topk(
     ).select("query_id", "__qc")
 
     stage1 = codes.crossJoin(F.broadcast(qcodes))
-    if exclude_self:
+    if exclude_self and (query_id_col is None or query_id_col == id_col):
         stage1 = stage1.filter(F.col(id_col) != F.col("query_id"))
     qscore = F.aggregate(
         F.zip_with(

@@ -47,7 +47,12 @@ from .fetch import (
 # dataset cache: publish-through-the-engine once per (sf_dir, dataset)
 # ---------------------------------------------------------------------------
 
-_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "s3parq_spark_cache")
+#: bump _CACHE_LOGIC_VERSION (defined with _cached_dataset below) when any
+#: logic feeding the cached datasets changes; the version is part of the
+#: cache ROOT, so every cache site — including the hand-rolled lifecycle
+#: ones in workload_ext/_ext2 — invalidates together instead of silently
+#: serving data written by old code against oracles replaying new code
+_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "s3parq_spark_cache_r6")
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,7 +62,13 @@ def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
     rejects; read the nanos as int64 (legacy conf) and rebuild a microsecond
-    TimestampType column — a pure-JVM projection, no driver materialization."""
+    TimestampType column — a pure-JVM projection, no driver materialization.
+
+    The nanosAsLong conf is DELIBERATELY left set on the session: the
+    returned DataFrame is lazy, and the conf must still hold when the scan
+    executes (restoring it here would break every downstream job over this
+    frame). The visible side effect: other TIMESTAMP(NANOS) reads in the
+    session also load as int64 instead of erroring."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(posixpath.join(sf_dir, "events.parquet"))
     ts_type = dict(df.dtypes).get("ts")
@@ -72,6 +83,14 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: bump when ANY logic feeding the cached datasets changes (publish write
+#: path, quantizer arithmetic, build projections): the marker records this
+#: token, and a mismatch forces a rebuild — a stale cache otherwise serves
+#: data from OLD code against oracles replaying NEW code, exactly the
+#: poisoning the one-off "v2" tag on the stream-publish cache patched once
+_CACHE_LOGIC_VERSION = "r6"
+
+
 def _cached_dataset(
     spark: SparkSession,
     sf_dir: str,
@@ -81,18 +100,24 @@ def _cached_dataset(
     **publish_kwargs,
 ) -> str:
     """Publish ``build(...)`` through the engine into a cached dataset dir;
-    reuse across queries in the same driver run."""
+    reuse across queries in the same driver run. The marker carries
+    ``_CACHE_LOGIC_VERSION`` so logic changes invalidate stale caches
+    instead of silently serving their output."""
     key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
     path = os.path.join(_CACHE_ROOT, key, name)
     marker = os.path.join(path, "_PUBLISHED")
-    if not os.path.exists(marker):
+    stamp = None
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            stamp = fh.read().strip()
+    if stamp != _CACHE_LOGIC_VERSION:
         shutil.rmtree(path, ignore_errors=True)
         publish_path(
             spark, path, build(spark, sf_dir), partitions, mode="overwrite",
             **publish_kwargs,
         )
         with open(marker, "w") as fh:
-            fh.write("ok")
+            fh.write(_CACHE_LOGIC_VERSION)
     return path
 
 
@@ -288,22 +313,13 @@ def _li_decimal_ds(spark, sf_dir):
             "l_extendedprice", "l_discount",
         )
 
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "li_decimal")
-    marker = os.path.join(path, "_PUBLISHED")
-    if not os.path.exists(marker):
-        shutil.rmtree(path, ignore_errors=True)
-        publish_path(
-            spark, path, build(spark, sf_dir), ["l_returnflag"],
-            custom_types={
-                "l_extendedprice": "decimal(18,2)",
-                "l_discount": "decimal(18,2)",
-            },
-            mode="overwrite",
-        )
-        with open(marker, "w") as fh:
-            fh.write("ok")
-    return path
+    return _cached_dataset(
+        spark, sf_dir, "li_decimal", build, ["l_returnflag"],
+        custom_types={
+            "l_extendedprice": "decimal(18,2)",
+            "l_discount": "decimal(18,2)",
+        },
+    )
 
 
 def q_fetch_decimal(spark, sf_dir):
@@ -2549,11 +2565,15 @@ def q_events_stream_publish(spark, sf_dir):
     import hashlib
 
     src = posixpath.join(sf_dir, "events.parquet")
-    st = os.stat(src)
-    # v2: cache key versions the ingest logic — the v1 cache held data
-    # written before the timestamp-unit probe fix and would poison the gate
+    try:
+        st = os.stat(src)
+        freshness = f"{st.st_mtime_ns}|{st.st_size}"
+    except OSError:
+        # remote-scheme sf_dir: no OS stat; the logic version still
+        # invalidates across code changes
+        freshness = "remote"
     tag = hashlib.sha1(
-        f"{src}|{st.st_mtime_ns}|{st.st_size}|v2".encode()
+        f"{src}|{freshness}|{_CACHE_LOGIC_VERSION}".encode()
     ).hexdigest()[:10]
     path = os.path.join(_CACHE_ROOT, f"stream_pub_{tag}")
     if not os.path.exists(os.path.join(path, "_s3parq_metadata.json")):

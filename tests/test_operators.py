@@ -1136,3 +1136,88 @@ def test_deterministic_sample_threshold_rounds_not_truncates(spark):
             if bucket(str(i)) < round(frac * 10_000)
         }
         assert got == want, frac
+
+
+def test_null_partition_selectable_via_eq_none(spark, tmp_path):
+    """'== [None]' selects the __HIVE_DEFAULT_PARTITION__ rows (IS NULL
+    semantics — the one extension over SQL 3-valued logic, which otherwise
+    makes the NULL partition unreachable through filters); '!=' keeps SQL
+    semantics and does NOT return them."""
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.publish import publish_path
+
+    ds = str(tmp_path / "nullsel")
+    df = spark.createDataFrame(
+        [(1, None, 1.0), (2, "a", 2.0), (3, "b", 3.0)],
+        "k int, p string, v double",
+    )
+    publish_path(spark, ds, df, ["p"])
+    eq_null = fetch_path(
+        spark, ds,
+        filters=[{"partition": "p", "comparison": "==", "values": [None]}],
+    )
+    assert [r["k"] for r in eq_null.collect()] == [1]
+    mixed = fetch_path(
+        spark, ds,
+        filters=[{"partition": "p", "comparison": "==",
+                  "values": ["a", None]}],
+    )
+    assert sorted(r["k"] for r in mixed.collect()) == [1, 2]
+    neq = fetch_path(
+        spark, ds,
+        filters=[{"partition": "p", "comparison": "!=", "values": ["a"]}],
+    )
+    assert sorted(r["k"] for r in neq.collect()) == [3]  # SQL: NULL != 'a' -> NULL
+
+
+def test_kmeans_skips_null_embeddings_and_guards_queries(spark):
+    import pytest
+
+    from s3parq_spark.operators import ivf_topk, kmeans_centroids
+
+    df = spark.createDataFrame(
+        [(0, None), (1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 1.0])],
+        "vec_id int, v array<double>",
+    )
+    # NULL vector among the k lowest ids must not crash training
+    cents = kmeans_centroids(df, "vec_id", "v", k=2, iters=1)
+    assert len(cents) == 2
+    # empty / NULL-vector queries refuse loudly instead of TypeError
+    with pytest.raises(ValueError, match="empty"):
+        ivf_topk(df, "vec_id", "v", df.filter("vec_id = 99"), k=2, n_cells=2)
+    with pytest.raises(ValueError, match="NULL"):
+        ivf_topk(df, "vec_id", "v", df.filter("vec_id = 0"), k=2, n_cells=2)
+
+
+def test_batch_topk_keeps_colliding_ids_for_distinct_query_space(spark):
+    """With a distinct query_id_col, a corpus row whose id equals a query
+    id is an UNRELATED document and must stay in that query's candidates
+    (the old filter silently dropped its true-neighbor rank)."""
+    from s3parq_spark.operators import batch_cosine_topk
+
+    corpus = spark.createDataFrame(
+        [(7, [1.0, 0.0]), (8, [0.0, 1.0])], "doc_id int, v array<double>"
+    )
+    queries = spark.createDataFrame(
+        [(7, [1.0, 0.0])], "qid int, v array<double>"
+    )
+    got = batch_cosine_topk(
+        corpus, "doc_id", "v", queries, k=2, query_id_col="qid"
+    ).collect()
+    ids = sorted(r["doc_id"] for r in got)
+    assert ids == [7, 8], "doc 7 must not be excluded for query qid=7"
+
+
+def test_hyperplane_signature_dim_mismatch_raises(spark):
+    import pytest
+
+    from s3parq_spark.operators import lsh_bucketed_topk
+
+    df = spark.createDataFrame(
+        [(1, [1.0] * 8), (2, [0.5] * 8)], "vec_id int, v array<double>"
+    )
+    q = df.filter("vec_id = 1")
+    with pytest.raises(Exception, match="hyperplane_signature"):
+        lsh_bucketed_topk(df, "vec_id", "v", q, dim=4, k=2).collect()
+    # matching dim still works
+    assert lsh_bucketed_topk(df, "vec_id", "v", q, dim=8, k=2).count() >= 0
