@@ -47,12 +47,24 @@ from .fetch import (
 # dataset cache: publish-through-the-engine once per (sf_dir, dataset)
 # ---------------------------------------------------------------------------
 
-#: bump _CACHE_LOGIC_VERSION (defined with _cached_dataset below) when any
-#: logic feeding the cached datasets changes; the version is part of the
-#: cache ROOT, so every cache site — including the hand-rolled lifecycle
-#: ones in workload_ext/_ext2 — invalidates together instead of silently
-#: serving data written by old code against oracles replaying new code
-_CACHE_ROOT = os.path.join(tempfile.gettempdir(), "s3parq_spark_cache_r6")
+#: bump when ANY logic feeding the cached datasets changes (publish write
+#: path, quantizer arithmetic, build projections). The version composes
+#: into the cache ROOT, so every cache site — _cached_dataset AND the
+#: hand-rolled lifecycle fixtures in workload_ext/_ext2 with their own
+#: markers — invalidates together in one bump, instead of silently serving
+#: data written by old code against oracles replaying new code.
+_CACHE_LOGIC_VERSION = "r6"
+
+_CACHE_ROOT = os.path.join(
+    tempfile.gettempdir(), f"s3parq_spark_cache_{_CACHE_LOGIC_VERSION}"
+)
+
+
+def _ds_path(sf_dir: str, leaf: str) -> str:
+    """Cache directory for a fixture dataset of ``sf_dir`` — the ONE copy
+    of the key-sanitization rule shared by all three workload modules."""
+    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
+    return os.path.join(_CACHE_ROOT, key, leaf)
 
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -83,14 +95,6 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-#: bump when ANY logic feeding the cached datasets changes (publish write
-#: path, quantizer arithmetic, build projections): the marker records this
-#: token, and a mismatch forces a rebuild — a stale cache otherwise serves
-#: data from OLD code against oracles replaying NEW code, exactly the
-#: poisoning the one-off "v2" tag on the stream-publish cache patched once
-_CACHE_LOGIC_VERSION = "r6"
-
-
 def _cached_dataset(
     spark: SparkSession,
     sf_dir: str,
@@ -103,8 +107,7 @@ def _cached_dataset(
     reuse across queries in the same driver run. The marker carries
     ``_CACHE_LOGIC_VERSION`` so logic changes invalidate stale caches
     instead of silently serving their output."""
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, name)
+    path = _ds_path(sf_dir, name)
     marker = os.path.join(path, "_PUBLISHED")
     stamp = None
     if os.path.exists(marker):
@@ -2773,8 +2776,7 @@ def _li_evolved_ds(spark, sf_dir):
     columns (l_linenumber <= 3), the v2 append adds l_extendedprice
     (l_linenumber > 3). The merged sidecar appends the new column; v1 files
     read it as NULL (parquet missing-column semantics)."""
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "li_evolved")
+    path = _ds_path(sf_dir, "li_evolved")
     marker = os.path.join(path, "_PUBLISHED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -2975,11 +2977,7 @@ def q_vacuum_roundtrip(spark, sf_dir):
     from .publish import vacuum_dataset
     from . import fs
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "vacuum_rt",
-    )
+    path = _ds_path(sf_dir, "vacuum_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation")
     publish_path(spark, path, nation, ["n_regionkey"])

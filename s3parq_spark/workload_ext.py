@@ -517,6 +517,10 @@ ORACLE_EXT: Dict[str, str] = {
                  round(list_cosine_similarity(a.v, b.v), 6) AS cosine
           FROM e a JOIN e b
             ON a.label = b.label AND a.vec_id <> b.vec_id
+          -- NaN guard (latent): a zero-magnitude vector would rank first
+          -- in DuckDB (NaN > everything DESC) while the engine's
+          -- try_divide NULL ranks last — keep the oracle aligned
+          WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         ), ranked AS (
           SELECT vec_id, nbr_id, cosine,
                  CAST(row_number() OVER (
@@ -923,10 +927,9 @@ def q_overwrite_partition_fetch(spark, sf_dir):
 
     from .fetch import fetch_path
     from .publish import overwrite_partitions, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "li_overwrite")
+    path = _ds_path(sf_dir, "li_overwrite")
     marker = os.path.join(path, "_OVERWRITTEN")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -1323,10 +1326,9 @@ def q_jsonl_export_roundtrip(spark, sf_dir):
     from pyspark.sql import types as T
 
     from .export import export_jsonl, read_jsonl
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "docs_jsonl")
+    path = _ds_path(sf_dir, "docs_jsonl")
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -1394,10 +1396,9 @@ def _li_versions_ds(spark, sf_dir) -> str:
     import shutil
 
     from .publish import publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "li_versions")
+    path = _ds_path(sf_dir, "li_versions")
     marker = os.path.join(path, "_VERSIONED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -1471,10 +1472,10 @@ def q_bucketed_join(spark, sf_dir):
     import re as _re
 
     from .publish import publish_bucketed
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
     key = _re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    schema = "bkt_" + _re.sub(r"[^A-Za-z0-9_]", "_", key)
+    schema = "bkt_" + _re.sub(r"[^A-Za-z0-9_]", "_", key)  # catalog name, not a path
     orders = _table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -1804,10 +1805,9 @@ def q_merge_upsert_fetch(spark, sf_dir):
 
     from .fetch import fetch_path
     from .publish import merge_upsert, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "orders_merge")
+    path = _ds_path(sf_dir, "orders_merge")
     marker = os.path.join(path, "_MERGED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -1846,10 +1846,9 @@ def q_null_partition_merge(spark, sf_dir):
 
     from .fetch import fetch_path
     from .publish import merge_upsert, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    key = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    path = os.path.join(_CACHE_ROOT, key, "nation_null_merge")
+    path = _ds_path(sf_dir, "nation_null_merge")
     marker = os.path.join(path, "_MERGED")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)

@@ -203,13 +203,9 @@ def q_restore_fetch(spark, sf_dir):
     work + unlinks — a metadata operation, never a table rewrite."""
     from .fetch import fetch_path, fetch_at, list_versions
     from .publish import publish_path, restore_dataset
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "restore_rt",
-    )
+    path = _ds_path(sf_dir, "restore_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -261,13 +257,9 @@ def q_repartition_fetch(spark, sf_dir):
     destructive and the history says so)."""
     from .fetch import fetch_path, list_versions
     from .publish import publish_path, repartition_dataset
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "repartition_rt",
-    )
+    path = _ds_path(sf_dir, "repartition_rt")
     shutil.rmtree(path, ignore_errors=True)
     docs = _table(spark, sf_dir, "documents")
     publish_path(spark, path, docs, ["source"])
@@ -301,13 +293,9 @@ def q_hidden_partition_fetch(spark, sf_dir):
     Iceberg's ergonomics on top of plain hive dirs."""
     from .fetch import fetch_path
     from .publish import publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "hidden_part",
-    )
+    path = _ds_path(sf_dir, "hidden_part")
     marker = os.path.join(path, "_HIDDEN_OK")
     if not os.path.exists(marker):
         shutil.rmtree(path, ignore_errors=True)
@@ -354,13 +342,9 @@ def q_delete_where_fetch(spark, sf_dir):
     cost is O(touched partitions), untouched data never moves."""
     from .fetch import fetch_path
     from .publish import delete_where
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "delete_rt",
-    )
+    path = _ds_path(sf_dir, "delete_rt")
     shutil.rmtree(path, ignore_errors=True)
     li = _table(spark, sf_dir, "lineitem")
     from .publish import publish_path
@@ -393,13 +377,9 @@ def q_update_where_fetch(spark, sf_dir):
     (append=INSERT, merge_upsert=MERGE, delete_where=DELETE, this=UPDATE)."""
     from .fetch import fetch_path
     from .publish import publish_path, update_where
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "update_rt",
-    )
+    path = _ds_path(sf_dir, "update_rt")
     shutil.rmtree(path, ignore_errors=True)
     li = _table(spark, sf_dir, "lineitem")
     publish_path(spark, path, li, ["l_returnflag"])
@@ -514,13 +494,9 @@ def q_expectations_publish(spark, sf_dir):
     mode: without a quarantine path, a dirty batch writes NOTHING."""
     from .fetch import fetch_path
     from .publish import publish_with_expectations
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    base = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "expect_rt",
-    )
+    base = _ds_path(sf_dir, "expect_rt")
     shutil.rmtree(base, ignore_errors=True)
     orders = _table(spark, sf_dir, "orders")
     rules = [
@@ -535,7 +511,9 @@ def q_expectations_publish(spark, sf_dir):
         raise AssertionError("dirty batch must fail without quarantine_path")
     except ValueError:
         pass
-    assert not os.path.exists(os.path.join(main, "_s3parq_metadata.json")), (
+    from . import fs as _fs
+
+    assert not os.path.exists(os.path.join(main, _fs.SIDECAR_NAME)), (
         "all-or-nothing violated: main dataset written on failure"
     )
     counts = publish_with_expectations(
@@ -648,13 +626,9 @@ def q_dataset_stats(spark, sf_dir):
     the metadata plane tells the truth about the data plane."""
     from .publish import publish_path
     from .stats import collect_stats, read_stats
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "stats_ds",
-    )
+    path = _ds_path(sf_dir, "stats_ds")
     marker = os.path.join(path, "_STATS_OK")
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
     if not os.path.exists(marker):
@@ -802,6 +776,7 @@ def _hard_negatives_oracle() -> str:
                  list_cosine_similarity(a.v, b.v) AS cos_raw
           FROM buck a JOIN buck b
             ON a.bucket = b.bucket AND a.label <> b.label
+          WHERE NOT isnan(list_cosine_similarity(a.v, b.v))
         ), ranked AS (
           SELECT vec_id, neg_id, neg_label, cos_raw,
                  CAST(row_number() OVER (
@@ -1262,6 +1237,7 @@ ORACLE_EXT2["quantized_rescore"] = """
                                          DESC, cand.vec_id ASC) AS rk2
       FROM cand JOIN q USING (query_id)
       WHERE cand.rk <= 20
+        AND NOT isnan(list_cosine_similarity(cand.v, q.qv))
     )
     SELECT query_id, vec_id, qscore, round(cosine, 6) AS cosine
     FROM s2 WHERE rk2 <= 3
@@ -1285,13 +1261,9 @@ def q_expire_fetch(spark, sf_dir):
     per-minute streaming commits at 100 TB."""
     from .fetch import fetch_path, fetch_at, get_all_files_list, list_versions
     from .publish import expire_snapshots, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT,
-        re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "expire_rt",
-    )
+    path = _ds_path(sf_dir, "expire_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -1393,11 +1365,9 @@ ORACLE_EXT2["span_dedup"] = """
 
 def _two_version_nation(spark, sf_dir, leaf):
     """Publish nation as v1 (keys < 10) + v2 (the rest); returns path."""
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")), leaf
-    )
+    path = _ds_path(sf_dir, leaf)
     shutil.rmtree(path, ignore_errors=True)
     from .publish import publish_path
 
@@ -1484,12 +1454,9 @@ def q_cas_publish(spark, sf_dir):
     from . import fs as fs_mod
     from .fetch import fetch_path, list_versions
     from .publish import ConcurrentWriteError, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "cas_rt",
-    )
+    path = _ds_path(sf_dir, "cas_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -1541,12 +1508,9 @@ def q_compact_fetch(spark, sf_dir):
     continuous ingestion."""
     from .fetch import fetch_path, get_all_files_list
     from .publish import compact_dataset, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "compact_rt",
-    )
+    path = _ds_path(sf_dir, "compact_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -1581,12 +1545,9 @@ def q_stream_hidden_fetch(spark, sf_dir):
     re-derives the day from the raw events table."""
     from .fetch import fetch_path
     from .streaming import stream_publish
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "stream_hidden_rt",
-    )
+    path = _ds_path(sf_dir, "stream_hidden_rt")
     # no completion marker exists for a stream (the sidecar lands on the
     # FIRST micro-batch, so its presence cannot mean "fully ingested");
     # rebuild unconditionally rather than trust a partial cache
@@ -1609,6 +1570,7 @@ def q_stream_hidden_fetch(spark, sf_dir):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     # the filter must appear INSIDE the PartitionFilters bracket — the key
     # itself prints on every scan, so checking for it alone is vacuous
+    assert "PartitionFilters" in plan, "no PartitionFilters section in plan"
     assert "event_day" in plan.split("PartitionFilters", 1)[1][:200], (
         "derived-column filter did not prune at the file index"
     )
@@ -1891,12 +1853,9 @@ def q_rename_evolution_fetch(spark, sf_dir):
     renamed column."""
     from .fetch import fetch_at, fetch_path
     from .publish import publish_path, rename_column
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "rename_rt",
-    )
+    path = _ds_path(sf_dir, "rename_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
@@ -1950,12 +1909,9 @@ def q_dml_change_feed(spark, sf_dir):
     from .publish import (
         changes_path, delete_where, publish_path, update_where,
     )
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "cdf_rt",
-    )
+    path = _ds_path(sf_dir, "cdf_rt")
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(changes_path(path), ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
@@ -1997,12 +1953,9 @@ def q_merge_change_feed(spark, sf_dir):
     set from the raw table."""
     from .fetch import fetch_path
     from .publish import changes_path, merge_upsert, publish_path
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "merge_cdf_rt",
-    )
+    path = _ds_path(sf_dir, "merge_cdf_rt")
     shutil.rmtree(path, ignore_errors=True)
     shutil.rmtree(changes_path(path), ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
@@ -2053,11 +2006,9 @@ def q_cdc_mirror_fetch(spark, sf_dir):
         apply_change_feed, changes_path, delete_where, publish_path,
         update_where,
     )
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    root = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/"))
-    )
+    root = _ds_path(sf_dir, "")
     src = os.path.join(root, "cdc_src")
     mir = os.path.join(root, "cdc_mir")
     for p in (src, mir, changes_path(src)):
@@ -2103,12 +2054,9 @@ def q_hidden_pushdown_fetch(spark, sf_dir):
     back half of the month; the oracle applies the raw ts predicate."""
     from .fetch import fetch_path
     from .streaming import stream_publish
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "hidden_push_rt",
-    )
+    path = _ds_path(sf_dir, "hidden_push_rt")
     shutil.rmtree(path, ignore_errors=True)
     stream_publish(
         spark, posixpath.join(sf_dir, "events.parquet"), path, [],
@@ -2119,6 +2067,7 @@ def q_hidden_pushdown_fetch(spark, sf_dir):
          "values": ["2024-01-15 00:00:00"]},
     ])
     plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, "no PartitionFilters section in plan"
     assert "event_day" in plan.split("PartitionFilters", 1)[1][:250], (
         "source-column filter did not prune via the derived partition"
     )
@@ -2422,12 +2371,9 @@ def q_partition_stats(spark, sf_dir):
     count(*) per region from the raw table."""
     from .publish import publish_path
     from .stats import collect_partition_stats, read_partition_stats
-    from .workload import _CACHE_ROOT
+    from .workload import _CACHE_ROOT, _ds_path
 
-    path = os.path.join(
-        _CACHE_ROOT, re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.strip("/")),
-        "pstats_rt",
-    )
+    path = _ds_path(sf_dir, "pstats_rt")
     shutil.rmtree(path, ignore_errors=True)
     nation = _table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name", "n_regionkey"
