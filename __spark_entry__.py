@@ -81,6 +81,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                             # predicate fix, ADVICE r5 item 3)
     "ivf_pq_batch_topk",    # new: batched IVF-PQ — probe selection AND ADC
                             # LUTs per query row, one plan for N queries
+    "winnow_matches",       # new: MOSS-style winnowing fingerprint match
+                            # (positional k-grams, window minima, portable
+                            # hash — fully oracle-replayed)
 )
 
 

@@ -421,6 +421,7 @@ def winnow_fingerprints(
     text_col: str,
     k: int = 5,
     window: int = 4,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03): hash every k-gram of
     words, keep the minimum hash of each sliding window of ``window`` hashes
@@ -434,7 +435,12 @@ def winnow_fingerprints(
     shingle SET cannot be used here. Documents with between 1 and
     ``window`` k-grams yield one fingerprint (the min over all of them,
     the single degenerate window); documents shorter than ``k`` words
-    have no k-grams and emit no rows."""
+    have no k-grams and emit no rows.
+
+    ``portable_hash=True`` hashes each k-gram as the first 60 bits of its
+    md5 instead of ``xxhash64`` — bit-identical in any engine with md5
+    (the correctness-oracle hash family, same trade as simhash's
+    ``portable_hash``); the default stays xxhash64 (faster, 64 bits)."""
     u = F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
     kgrams = F.when(
         F.size(u) < k, F.expr("CAST(array() AS ARRAY<STRING>)")
@@ -444,9 +450,18 @@ def winnow_fingerprints(
             lambda i: F.array_join(F.slice(u, i, k), " "),
         )
     )
+    if portable_hash:
+        def _h(s):
+            return F.conv(
+                F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10
+            ).cast("bigint")
+    else:
+        def _h(s):
+            return F.xxhash64(s)
+
     hashed = df.withColumn("__kgrams", kgrams).select(
         F.col(id_col),
-        F.transform(F.col("__kgrams"), lambda s: F.xxhash64(s)).alias("hashes"),
+        F.transform(F.col("__kgrams"), _h).alias("hashes"),
     )
     mins = F.expr(
         f"CASE WHEN size(hashes) = 0 THEN CAST(array() AS ARRAY<BIGINT>) "

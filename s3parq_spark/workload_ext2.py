@@ -2563,3 +2563,74 @@ ORACLE_EXT2["semantic_decontaminate"] = """
     FROM corpus c
     WHERE c.vec_id NOT IN (SELECT vec_id FROM dirty)
 """
+
+
+def q_winnow_matches(spark, sf_dir):
+    """Winnowing-based document matching (operators/text.py
+    winnow_fingerprints — Schleimer/Wilkerson/Aiken SIGMOD'03, the MOSS
+    plagiarism-detection fingerprint): positional 5-gram hashes, sliding
+    window-4 minima, distinct fingerprints per doc; documents sharing >= 3
+    fingerprints pair up via ONE equi-join on the fingerprint key (never
+    doc x doc). The portable md5-60-bit hash makes the whole pipeline —
+    tokenization, positional k-grams, window minima, the match join —
+    exactly replayable in SQL, so the approximate matcher is value-checked,
+    not just shape-checked."""
+    from .operators.text import winnow_fingerprints
+    from .workload import _table
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    fp = winnow_fingerprints(
+        docs, "doc_id", "text", k=5, window=4, portable_hash=True
+    )
+    a = fp.select(
+        F.col("doc_id").alias("doc_a"), F.col("fingerprint")
+    )
+    b = fp.select(
+        F.col("doc_id").alias("doc_b"), F.col("fingerprint")
+    )
+    return (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 3)
+    )
+
+
+QUERIES_EXT2["winnow_matches"] = q_winnow_matches
+ORACLE_EXT2["winnow_matches"] = """
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(trim(coalesce(text, '')), '\\s+') AS u
+      FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(u) < 5 THEN CAST([] AS VARCHAR[])
+                  ELSE list_transform(
+                    generate_series(1, len(u) - 4),
+                    i -> array_to_string(u[i:i+4], ' ')) END AS kg
+      FROM t
+    ), h AS (
+      SELECT doc_id,
+             list_transform(
+               kg,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT)) AS hs
+      FROM g
+    ), mins AS (
+      SELECT doc_id,
+             CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+                  WHEN len(hs) <= 4 THEN [list_min(hs)]
+                  ELSE list_transform(
+                    generate_series(0, len(hs) - 4),
+                    i -> list_min(hs[i+1:i+4])) END AS m
+      FROM h
+    ), fp AS (
+      SELECT DISTINCT doc_id, unnest(m) AS fingerprint FROM mins
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM fp a JOIN fp b ON a.fingerprint = b.fingerprint
+     AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= 3
+"""

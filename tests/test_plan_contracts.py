@@ -244,3 +244,10 @@ class TestRound6PlanContracts:
         # no joins left in the read plan
         assert "CartesianProduct" not in plan
         assert "Scan parquet" in plan
+
+    def test_winnow_matches_is_fingerprint_equi_join(self, spark, sf_dir):
+        plan = _plan(spark, sf_dir, "winnow_matches")
+        # candidates come from ONE equi-join on the fingerprint key —
+        # never a doc x doc comparison
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
