@@ -74,6 +74,13 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels so they get a CORRECTNESS row in their first round instead of
 # waiting out the rotation. Keep this list short (the r5 verdict's budget
 # arithmetic: sentinels + new + backlog must stay <= 50).
+#
+# ROUND-7 HANDOFF: reset this tuple at the start of the round (stale
+# entries only waste window slots on re-rows); after r06's rows land, the
+# never-rowed backlog should be EMPTY — every registered query will have a
+# green row in some round — and the window becomes a pure regression net:
+# sentinels + new/changed + least-recently-verified, all computed
+# automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
     "pq_batch_topk",        # new: batch-query PQ ADC ANN (r5 verdict #6)
     "null_partition_merge", # new: merge_upsert onto a NULL partition value

@@ -98,3 +98,47 @@ def test_manifest_prune_agrees_with_truth_table(filters):
             if any(op(i, v) for v in fil["values"])
         ]
     assert got == expected
+
+
+@given(
+    values=st.sets(
+        st.one_of(st.none(), st.integers(min_value=-5, max_value=5)),
+        min_size=1, max_size=8,
+    ),
+    filters=st.lists(
+        st.fixed_dictionaries(
+            {
+                "partition": st.just("p"),
+                "comparison": st.sampled_from(sorted(OPS)),
+                "values": st.lists(
+                    st.one_of(
+                        st.none(), st.integers(min_value=-5, max_value=5)
+                    ),
+                    min_size=1, max_size=3,
+                ),
+            }
+        ),
+        min_size=0, max_size=2,
+    ),
+)
+@settings(max_examples=200, deadline=None)
+def test_null_truth_table_is_total_and_sql_shaped(values, filters):
+    """With NULLs on either side, the driver-side truth table must be
+    TOTAL (no TypeError) and follow the documented contract: None matches
+    only '==' with None among the values; None filter values match no
+    non-null partition value under ordering comparisons."""
+    got = apply_filters_to_values(values, filters, "p")
+    fil = next((f for f in filters if f["partition"] == "p"), None)
+    if fil is None:
+        assert got == set(values)
+        return
+    op = OPS[fil["comparison"]]
+    expected = set()
+    for x in values:
+        if x is None:
+            if fil["comparison"] == "==" and None in fil["values"]:
+                expected.add(x)
+            continue
+        if any(v is not None and op(x, v) for v in fil["values"]):
+            expected.add(x)
+    assert got == expected
