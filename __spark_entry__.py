@@ -91,6 +91,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "winnow_matches",       # new: MOSS-style winnowing fingerprint match
                             # (positional k-grams, window minima, portable
                             # hash — fully oracle-replayed)
+    "history_table",        # new: HISTORY metadata table (Iceberg
+                            # table.history from the sidecar, zero FS)
 )
 
 

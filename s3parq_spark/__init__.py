@@ -18,6 +18,7 @@ from .fetch import (
     fetch_diff,
     fetch_diff_path,
     dataset_files,
+    dataset_history,
     fetch_path,
     get_all_files_list,
     get_all_partition_values,
@@ -47,6 +48,7 @@ __all__ = [
     "attach",
     "custom_publish",
     "dataset_files",
+    "dataset_history",
     "drop_column",
     "expire_snapshots",
     "export_jsonl",

@@ -895,6 +895,48 @@ def attach_at(
     return df
 
 
+def dataset_history(spark: SparkSession, path: str) -> DataFrame:
+    """The dataset's HISTORY metadata table (Iceberg's ``table.history``/
+    ``table.snapshots``, restated for the sidecar): one row per snapshot —
+    ``version``, ``committed_at`` (timestamp, null for bootstrap/
+    pre-timestamp history), ``n_files_added``, cumulative ``total_files``,
+    and ``partitions_touched`` (distinct hive directories the commit
+    added files under). The audit surface for retention policy, commit
+    cadence, and expire/vacuum decisions — queryable without touching
+    data.
+
+    Metadata-only: one sidecar read, zero filesystem access, O(history)
+    driver cost (and ``expire_snapshots`` bounds history length)."""
+    import datetime as _dt
+
+    meta = _dataset_meta(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(f"no snapshot history at {path}")
+    rows = []
+    total = 0
+    for s in meta.snapshots:
+        added = s.get("added", [])
+        total += len(added)
+        dirs = {tuple(_hive_path_values(f).items()) for f in added}
+        ts = s.get("ts")
+        committed = (
+            _dt.datetime.utcfromtimestamp(ts) if ts is not None else None
+        )
+        rows.append(
+            (int(s["version"]), committed, len(added), total, len(dirs))
+        )
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType(), False),
+            T.StructField("committed_at", T.TimestampType(), True),
+            T.StructField("n_files_added", T.IntegerType(), False),
+            T.StructField("total_files", T.IntegerType(), False),
+            T.StructField("partitions_touched", T.IntegerType(), False),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def dataset_files(spark: SparkSession, path: str) -> DataFrame:
     """The dataset's FILES metadata table (Iceberg's ``db.table.files``,
     restated for the sidecar): one row per data file with its committing

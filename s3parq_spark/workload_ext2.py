@@ -2634,3 +2634,37 @@ ORACLE_EXT2["winnow_matches"] = """
     GROUP BY a.doc_id, b.doc_id
     HAVING COUNT(*) >= 3
 """
+
+
+def q_history_table(spark, sf_dir):
+    """HISTORY metadata table (fetch.py dataset_history — Iceberg's
+    ``table.history``/``snapshots`` from the sidecar, zero FS access):
+    over the shared two-commit nation dataset, report each snapshot's
+    version and how many distinct hive partitions its commit touched.
+    File counts depend on write parallelism, so the gated shape is the
+    deterministic (version, partitions_touched) spine — exactly what a
+    retention/compaction audit reads; the oracle derives the same spine
+    from the raw table's split."""
+    from .fetch import dataset_history
+
+    path = _two_version_nation(spark, sf_dir, "files_tbl")
+    h = dataset_history(spark, path)
+    assert h.filter(F.col("committed_at").isNull()).count() == 0
+    assert h.filter(F.col("n_files_added") < 1).count() == 0
+    return h.select(
+        "version", F.col("partitions_touched").cast("bigint").alias(
+            "partitions_touched"
+        )
+    )
+
+
+QUERIES_EXT2["history_table"] = q_history_table
+ORACLE_EXT2["history_table"] = """
+    SELECT 1 AS version,
+           CAST(COUNT(DISTINCT n_regionkey) AS BIGINT) AS partitions_touched
+    FROM nation WHERE n_nationkey < 10
+    UNION ALL
+    SELECT 2,
+           CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
+    FROM nation WHERE n_nationkey >= 10
+"""

@@ -535,3 +535,26 @@ class TestTransformPredicatePushdown:
         assert out.count() == len(
             [r for r in rows if r[1] >= datetime.datetime(2024, 1, 7)]
         )
+
+
+def test_dataset_history_reports_snapshots(spark, tmp_path):
+    from s3parq_spark.fetch import dataset_history
+    from s3parq_spark.publish import publish_path
+
+    ds = str(tmp_path / "hist")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "p"])
+    df2 = spark.createDataFrame([(3, "a")], ["k", "p"])
+    publish_path(spark, ds, df1, ["p"])
+    publish_path(spark, ds, df2, ["p"])
+    rows = {r["version"]: r for r in dataset_history(spark, ds).collect()}
+    assert sorted(rows) == [1, 2]
+    assert rows[1]["partitions_touched"] == 2
+    assert rows[2]["partitions_touched"] == 1
+    assert rows[2]["total_files"] == (
+        rows[1]["n_files_added"] + rows[2]["n_files_added"]
+    )
+    assert all(r["committed_at"] is not None for r in rows.values())
+    import pytest
+
+    with pytest.raises(ValueError, match="no snapshot history"):
+        dataset_history(spark, str(tmp_path / "missing"))
