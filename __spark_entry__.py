@@ -93,6 +93,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                             # hash — fully oracle-replayed)
     "history_table",        # new: HISTORY metadata table (Iceberg
                             # table.history from the sidecar, zero FS)
+    "csv_ingest_roundtrip", # new: CSV source -> publish -> pruned fetch,
+                            # FAILFAST explicit-schema ingestion
 )
 
 

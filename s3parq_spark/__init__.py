@@ -26,6 +26,7 @@ from .fetch import (
     get_max_partition_value,
 )
 from .export import export_jsonl, read_jsonl
+from .sources import read_csv
 from .publish import (
     apply_change_feed,
     custom_publish,
@@ -66,6 +67,7 @@ __all__ = [
     "list_versions",
     "merge_upsert",
     "publish",
+    "read_csv",
     "read_jsonl",
     "publish_bucketed",
     "rename_column",

@@ -2668,3 +2668,59 @@ ORACLE_EXT2["history_table"] = """
            CAST(COUNT(DISTINCT n_regionkey) AS BIGINT)
     FROM nation WHERE n_nationkey >= 10
 """
+
+
+def q_csv_ingest_roundtrip(spark, sf_dir):
+    """CSV → engine dataset round trip (sources.read_csv → publish →
+    fetch): nation is exported to a headered CSV once (cached build), read
+    back under an EXPLICIT schema with FAILFAST parsing (corrupt extracts
+    abort at ingest, never silently NULL), published partitioned by
+    region, and fetched through the sidecar-typed pruned scan. Oracle =
+    the raw nation table — the whole ingestion path must be lossless."""
+    import csv as _csv
+
+    from pyspark.sql import types as T
+
+    from .fetch import fetch_path
+    from .publish import publish_path
+    from .sources import read_csv
+    from .workload import _ds_path
+
+    root = _ds_path(sf_dir, "csv_ingest")
+    csv_dir = os.path.join(root, "landing")
+    ds = os.path.join(root, "ds")
+    marker = os.path.join(ds, "_INGESTED")
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(csv_dir)
+        rows = (
+            _table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .collect()
+        )
+        with open(os.path.join(csv_dir, "nation.csv"), "w", newline="") as fh:
+            w = _csv.writer(fh)
+            w.writerow(["n_nationkey", "n_name", "n_regionkey"])
+            for r in rows:
+                w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
+        schema = T.StructType(
+            [
+                T.StructField("n_nationkey", T.IntegerType()),
+                T.StructField("n_name", T.StringType()),
+                T.StructField("n_regionkey", T.IntegerType()),
+            ]
+        )
+        df = read_csv(spark, csv_dir, schema)
+        publish_path(spark, ds, df, ["n_regionkey"])
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_path(spark, ds).select(
+        "n_nationkey", "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+QUERIES_EXT2["csv_ingest_roundtrip"] = q_csv_ingest_roundtrip
+ORACLE_EXT2["csv_ingest_roundtrip"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""

@@ -901,3 +901,26 @@ def test_fetch_at_supports_derived_partition_filters(spark, tmp_path):
     at = fetch_at(spark, ds, v, filters=flt)
     assert sorted(map(tuple, at.collect())) == sorted(map(tuple, live.collect()))
     assert at.count() == 4
+
+
+def test_read_csv_failfast_and_permissive(spark, tmp_path):
+    """sources.read_csv: FAILFAST aborts on a corrupt row by default
+    (corrupt extracts surface at ingest, never as silent NULLs); the
+    permissive mode routes the bad row whole into the rescue column."""
+    import pytest
+    from pyspark.sql import types as T
+
+    from s3parq_spark.sources import read_csv
+
+    p = tmp_path / "in.csv"
+    p.write_text("k,v\n1,alpha\nnot_an_int,beta\n")
+    schema = T.StructType(
+        [T.StructField("k", T.IntegerType()), T.StructField("v", T.StringType())]
+    )
+    with pytest.raises(Exception):
+        read_csv(spark, str(p), schema).collect()
+    rows = read_csv(spark, str(p), schema, permissive_col="_bad").collect()
+    good = [r for r in rows if r["_bad"] is None]
+    bad = [r for r in rows if r["_bad"] is not None]
+    assert [(r["k"], r["v"]) for r in good] == [(1, "alpha")]
+    assert len(bad) == 1 and "not_an_int" in bad[0]["_bad"]
