@@ -48,32 +48,44 @@ def asof_join(
 
     Implementation: tag both inputs, union them with aligned schemas, sort
     per key by ``(ts, side)`` (right rows sort before left rows at equal
-    timestamps, making the match inclusive), carry the last non-null right
-    payload forward with ``last(..., ignorenulls=True)``, keep left rows.
-    ``tolerance`` (e.g. ``"30 minutes"``) drops matches older than
-    ``left_ts - tolerance``.
+    timestamps, making the match inclusive), and carry the latest right
+    row forward AS ONE STRUCT with ``last(..., ignorenulls=True)`` — the
+    matched row travels wholesale, so a NULL inside its payload stays
+    NULL instead of being backfilled from an OLDER right row (per-column
+    carry would stitch columns from different rows into one that never
+    existed). Right rows with a NULL timestamp are dropped (no position
+    in as-of order — ``merge_asof``/ASOF semantics); left rows with a
+    NULL timestamp emit with no match. ``tolerance`` (e.g. ``"30
+    minutes"``) nulls out matches older than ``left_ts - tolerance`` —
+    the whole struct at once, payload and ``right_ts`` together.
     """
+    from pyspark.sql import types as T
+
     lcols = [c for c in left.columns if c not in on and c != left_ts]
     rcols = [c for c in right.columns if c not in on and c != right_ts]
     overlap = set(lcols) & set(rcols)
     if overlap:
         raise ValueError(f"ambiguous payload columns, rename first: {sorted(overlap)}")
 
+    r_struct_type = T.StructType(
+        [T.StructField("__rts", right.schema[right_ts].dataType, True)]
+        + [T.StructField(c, right.schema[c].dataType, True) for c in rcols]
+    )
     l_tagged = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in rcols],
-        F.lit(None).cast(dict(right.dtypes)[right_ts]).alias("__rts"),
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
-    r_tagged = right.select(
+    r_tagged = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
-        *[F.col(c) for c in rcols],
-        F.col(right_ts).alias("__rts"),
+        F.struct(
+            F.col(right_ts).alias("__rts"), *[F.col(c) for c in rcols]
+        ).alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged)
 
@@ -87,25 +99,25 @@ def asof_join(
         "__ts",
         "__side",
         *[F.col(c) for c in lcols],
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in rcols],
-        F.last("__rts", ignorenulls=True).over(w).alias("__rts"),
+        F.last("__r", ignorenulls=True).over(w).alias("__r"),
     )
     out = carried.filter(F.col("__side") == 1)
     if tolerance is not None:
-        expired = F.col("__rts") < F.col("__ts") - F.expr(f"INTERVAL {tolerance}")
-        out = out.select(
-            *on,
-            "__ts",
-            *[F.col(c) for c in lcols],
-            *[F.when(expired, F.lit(None)).otherwise(F.col(c)).alias(c) for c in rcols],
-            F.when(expired, F.lit(None)).otherwise(F.col("__rts")).alias("__rts"),
+        expired = F.col("__r.__rts") < F.col("__ts") - F.expr(
+            f"INTERVAL {tolerance}"
+        )
+        out = out.withColumn(
+            "__r",
+            F.when(expired, F.lit(None).cast(r_struct_type)).otherwise(
+                F.col("__r")
+            ),
         )
     return out.select(
         *on,
         F.col("__ts").alias(left_ts),
         *lcols,
-        F.col("__rts").alias(right_ts),
-        *rcols,
+        F.col("__r.__rts").alias(right_ts),
+        *[F.col(f"__r.{c}").alias(c) for c in rcols],
     )
 
 
@@ -131,6 +143,12 @@ def interval_join(
     as the residual filter. Each qualifying pair meets in exactly the
     bucket of the right row, so no dedup pass is needed.
     """
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        # same informative guard as asof_join: an ambiguous reference
+        # would otherwise surface as a cryptic AnalysisException (or two
+        # identically-named output columns)
+        raise ValueError(f"ambiguous columns, rename first: {sorted(overlap)}")
     lower_us = _duration_us(lower)
     upper_us = _duration_us(upper)
     width_us = max(1, lower_us + upper_us)
@@ -167,7 +185,19 @@ def salted_join(
     joins on equi-keys."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left equi-joins")
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt_buckets))
+    overlap = (set(left.columns) & set(right.columns)) - set(on)
+    if overlap:
+        raise ValueError(f"ambiguous columns, rename first: {sorted(overlap)}")
+    # salt routes rows, it never affects the result (the right side is
+    # exploded across every salt value), so it can be per-ROW rather than
+    # per-content: monotonically_increasing_id spreads even byte-identical
+    # duplicate rows of a hot key across buckets — hashing the row content
+    # would pile those duplicates into ONE task, the exact pathology this
+    # function exists for (and crashes on map-typed columns besides)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in on], F.monotonically_increasing_id()),
+        F.lit(salt_buckets),
+    )
     l_salted = left.withColumn("__salt", salt.cast("int"))
     r_exploded = right.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))

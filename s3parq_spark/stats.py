@@ -55,8 +55,11 @@ def collect_stats(
     for c in columns:
         aggs.extend(
             [
-                F.min(c).cast("string").alias(f"__min_{c}"),
-                F.max(c).cast("string").alias(f"__max_{c}"),
+                # F.col(c), never the bare string: a column literally
+                # named 'a.b' would otherwise parse as a nested-field
+                # reference despite passing the df.columns check
+                F.min(F.col(c)).cast("string").alias(f"__min_{c}"),
+                F.max(F.col(c)).cast("string").alias(f"__max_{c}"),
                 # coalesce: sum() over an EMPTY dataset is NULL, which
                 # would store n_nulls: null in the sidecar and break any
                 # consumer doing arithmetic on it
@@ -68,14 +71,22 @@ def collect_stats(
         )
     row = df.agg(*aggs).collect()[0]
 
-    version = meta.snapshots[-1]["version"] if meta.snapshots else None
-    # merge into any existing record: a table-level ANALYZE must not
-    # erase stored partition stats (and vice versa)
-    stats = dict(meta.stats or {})
-    stats.update({
-        "row_count": row["__n"],
-        "as_of_version": version,
-        "columns": {
+    # RE-READ the sidecar after the (potentially hours-long) scan and
+    # merge ONLY the stats field into the fresh metadata: writing back the
+    # pre-scan snapshot would clobber any publish committed meanwhile —
+    # erasing its snapshot entries from the log (orphaning its files and
+    # corrupting time travel)
+    fresh = metadata.read_sidecar(spark, path)
+    if fresh is None:
+        raise ValueError(f"{path} disappeared during ANALYZE (no sidecar)")
+    version = fresh.snapshots[-1]["version"] if fresh.snapshots else None
+    # merge into any existing record: a table-level ANALYZE must not erase
+    # stored partition stats, and a subset ANALYZE must not erase other
+    # columns' stored stats
+    stats = dict(fresh.stats or {})
+    merged_cols = dict(stats.get("columns", {}))
+    merged_cols.update(
+        {
             c: {
                 "min": row[f"__min_{c}"],
                 "max": row[f"__max_{c}"],
@@ -83,17 +94,26 @@ def collect_stats(
                 "n_distinct": row[f"__nd_{c}"],
             }
             for c in columns
-        },
+        }
+    )
+    stats.update({
+        "row_count": row["__n"],
+        "as_of_version": version,
+        "columns": merged_cols,
     })
-    meta.stats = stats
-    metadata.write_sidecar(spark, path, meta)
+    fresh.stats = stats
+    metadata.write_sidecar(spark, path, fresh)
     return stats
 
 
 def read_stats(spark: SparkSession, path: str) -> Optional[Dict]:
     """The stored ANALYZE record — one sidecar JSON read, ZERO data scan.
-    Returns None when the dataset has never been analyzed. Check
-    ``as_of_version`` against ``list_versions`` to detect staleness."""
+    Returns None when NO analysis has ever run. The record contains the
+    sections that have actually been collected: ``row_count`` /
+    ``columns`` / ``as_of_version`` after ``collect_stats``, and/or
+    ``partitions`` / ``partitions_as_of_version`` after
+    ``collect_partition_stats`` — use ``.get`` and check the matching
+    ``*_as_of_version`` against ``list_versions`` to detect staleness."""
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
@@ -137,12 +157,17 @@ def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
             (k, v is None, v or "") for k, v in sorted(r["values"].items())
         ]
     )
-    version = meta.snapshots[-1]["version"] if meta.snapshots else None
-    stats = dict(meta.stats or {})
+    # same fresh-merge discipline as collect_stats: never write back a
+    # pre-scan snapshot of the sidecar
+    fresh = metadata.read_sidecar(spark, path)
+    if fresh is None:
+        raise ValueError(f"{path} disappeared during ANALYZE (no sidecar)")
+    version = fresh.snapshots[-1]["version"] if fresh.snapshots else None
+    stats = dict(fresh.stats or {})
     stats["partitions"] = recs
     stats["partitions_as_of_version"] = version
-    meta.stats = stats
-    metadata.write_sidecar(spark, path, meta)
+    fresh.stats = stats
+    metadata.write_sidecar(spark, path, fresh)
     return recs
 
 

@@ -1532,3 +1532,57 @@ class TestPublishReviewFixes:
             r["event_id"] for r in fetch_path(spark, ds).collect()
         )
         assert got == [1, 2, 3, 4, 5]
+
+
+class TestStatsReviewFixes:
+    def test_subset_analyze_merges_not_replaces(self, spark, tmp_path):
+        from s3parq_spark.publish import publish_path
+        from s3parq_spark.stats import collect_stats, read_stats
+
+        ds = str(tmp_path / "stats_merge")
+        df = spark.createDataFrame(
+            [(1, "x", 1.0), (2, "y", 2.0)], "a int, b string, c double"
+        )
+        publish_path(spark, ds, df, [])
+        collect_stats(spark, ds, columns=["a", "b"])
+        collect_stats(spark, ds, columns=["c"])
+        s = read_stats(spark, ds)
+        # the second (subset) ANALYZE must not erase a/b's stored stats
+        assert set(s["columns"]) == {"a", "b", "c"}
+        assert s["columns"]["a"]["n_distinct"] == 2
+
+    def test_analyze_does_not_clobber_concurrent_publish(self, spark, tmp_path, monkeypatch):
+        # simulate a publish landing DURING the ANALYZE scan: the stats
+        # write must merge into the FRESH sidecar, never write back the
+        # pre-scan snapshot (which would erase the new commit's snapshot
+        # entries — orphaning its files)
+        import importlib
+
+        from s3parq_spark import stats as stats_mod
+        from s3parq_spark.fetch import list_versions
+        from s3parq_spark.publish import publish_path
+
+        ds = str(tmp_path / "stats_race")
+        df = spark.createDataFrame([(1, "x")], "a int, b string")
+        publish_path(spark, ds, df, [])
+
+        fetch_mod = importlib.import_module("s3parq_spark.fetch")
+        fetch_real = fetch_mod.fetch_path
+        calls = {"n": 0}
+
+        def fetch_path_with_concurrent_publish(spark_, path_, *a, **kw):
+            out = fetch_real(spark_, path_, *a, **kw)
+            if not calls["n"]:
+                calls["n"] = 1
+                publish_path(
+                    spark, ds,
+                    spark.createDataFrame([(2, "y")], "a int, b string"), [],
+                )
+            return out
+
+        monkeypatch.setattr(
+            fetch_mod, "fetch_path", fetch_path_with_concurrent_publish
+        )
+        stats_mod.collect_stats(spark, ds)
+        versions = [v["version"] for v in list_versions(spark, ds)]
+        assert versions == [1, 2], "the mid-ANALYZE commit must survive"

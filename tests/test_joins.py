@@ -106,3 +106,87 @@ def test_interval_join_equals_theta_join(spark, sf_dir):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan and "Cartesian" not in plan
     assert "SortMergeJoin" in plan or "HashJoin" in plan
+
+
+class TestJoinsReviewFixes:
+    def test_asof_matched_row_travels_wholesale(self, spark):
+        """A NULL inside the matched right row's payload must STAY NULL —
+        per-column carry stitched columns from different right rows into
+        one that never existed (r6 review)."""
+        import datetime
+
+        from s3parq_spark.operators import asof_join
+
+        t = datetime.datetime
+        right = spark.createDataFrame(
+            [("k", t(2024, 1, 1, 1), 1.0, 2.0),
+             ("k", t(2024, 1, 1, 2), None, 3.0)],
+            "k string, rts timestamp, a double, b double",
+        )
+        left = spark.createDataFrame(
+            [("k", t(2024, 1, 1, 3))], "k string, lts timestamp"
+        )
+        r = asof_join(left, right, ["k"], "lts", "rts").collect()[0]
+        assert r["b"] == 3.0
+        assert r["a"] is None, "a must come from the ts=2 row (NULL), not ts=1"
+        assert r["rts"] == t(2024, 1, 1, 2)
+
+    def test_asof_null_timestamps(self, spark):
+        import datetime
+
+        from s3parq_spark.operators import asof_join
+
+        t = datetime.datetime
+        right = spark.createDataFrame(
+            [("k", None, 9.0)], "k string, rts timestamp, x double"
+        )
+        left = spark.createDataFrame(
+            [("k", t(2024, 1, 1))], "k string, lts timestamp"
+        )
+        r = asof_join(left, right, ["k"], "lts", "rts").collect()[0]
+        # a right row with no position in as-of order can never match
+        assert r["x"] is None and r["rts"] is None
+
+    def test_asof_tolerance_nulls_whole_match(self, spark):
+        import datetime
+
+        from s3parq_spark.operators import asof_join
+
+        t = datetime.datetime
+        right = spark.createDataFrame(
+            [("k", t(2024, 1, 1, 0), 7.0)], "k string, rts timestamp, x double"
+        )
+        left = spark.createDataFrame(
+            [("k", t(2024, 1, 1, 5))], "k string, lts timestamp"
+        )
+        r = asof_join(
+            left, right, ["k"], "lts", "rts", tolerance="30 minutes"
+        ).collect()[0]
+        assert r["x"] is None and r["rts"] is None
+
+    def test_interval_and_salted_reject_ambiguous_columns(self, spark):
+        import pytest
+
+        from s3parq_spark.operators import interval_join, salted_join
+
+        a = spark.createDataFrame([(1, 2)], ["k", "v"])
+        b = spark.createDataFrame([(1, 3)], ["k", "v"])
+        with pytest.raises(ValueError, match="rename first"):
+            salted_join(a, b, ["k"])
+        import datetime
+        t = datetime.datetime
+        c = spark.createDataFrame([(1, t(2024, 1, 1), 2)], ["k", "ts", "v"])
+        d = spark.createDataFrame([(1, t(2024, 1, 1), 3)], ["k", "ts", "v"])
+        with pytest.raises(ValueError, match="rename first"):
+            interval_join(c, d, ["k"], "ts", "ts", "1 hour", "1 hour")
+
+    def test_salted_join_handles_map_columns_and_duplicates(self, spark):
+        from s3parq_spark.operators import salted_join
+
+        left = spark.createDataFrame(
+            [(1, {"a": "b"})] * 6, "k int, attrs map<string,string>"
+        )
+        right = spark.createDataFrame([(1, "dim")], ["k", "d"])
+        out = salted_join(left, right, ["k"], salt_buckets=4)
+        assert out.count() == 6  # identical duplicate rows all join
+        assert set(out.columns) == {"k", "attrs", "d"}
