@@ -82,19 +82,17 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    "pq_batch_topk",        # new: batch-query PQ ADC ANN (r5 verdict #6)
-    "null_partition_merge", # new: merge_upsert onto a NULL partition value
-                            # (exercises the null-safe touched-partition
-                            # predicate fix, ADVICE r5 item 3)
-    "ivf_pq_batch_topk",    # new: batched IVF-PQ — probe selection AND ADC
-                            # LUTs per query row, one plan for N queries
-    "winnow_matches",       # new: MOSS-style winnowing fingerprint match
-                            # (positional k-grams, window minima, portable
-                            # hash — fully oracle-replayed)
-    "history_table",        # new: HISTORY metadata table (Iceberg
-                            # table.history from the sidecar, zero FS)
-    "csv_ingest_roundtrip", # new: CSV source -> publish -> pruned fetch,
-                            # FAILFAST explicit-schema ingestion
+    # Round 7 additions (kept <= 4 so the 50-row window reaches deep into
+    # the least-recently-verified r01-r03-era tail, per the r6 verdict):
+    "partition_evolution_fetch",  # new: per-version partition specs —
+                                  # publish v1 on spec A, append v2 on
+                                  # spec B, pruned union fetch across both
+    "domain_cap_select",          # new: registrable-domain extraction +
+                                  # per-domain deterministic doc cap
+                                  # (RefinedWeb-style web-corpus curation)
+    "csv_deadletter_publish",     # new: permissive CSV ingest -> dead-
+                                  # letter routing -> expectations gate ->
+                                  # publish of the clean slice
 )
 
 

@@ -919,8 +919,13 @@ def dataset_history(spark: SparkSession, path: str) -> DataFrame:
         total += len(added)
         dirs = {tuple(_hive_path_values(f).items()) for f in added}
         ts = s.get("ts")
+        # tz-aware: a naive datetime would be read in the SESSION timezone,
+        # shifting the instant on any non-UTC session (and utcfromtimestamp
+        # is deprecated since Python 3.12)
         committed = (
-            _dt.datetime.utcfromtimestamp(ts) if ts is not None else None
+            _dt.datetime.fromtimestamp(ts, tz=_dt.timezone.utc)
+            if ts is not None
+            else None
         )
         rows.append(
             (int(s["version"]), committed, len(added), total, len(dirs))

@@ -52,7 +52,7 @@ def dataset_uri(bucket: str, key: str) -> str:
 
 
 def exists(spark: SparkSession, path: str) -> bool:
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         import os
 
@@ -61,17 +61,38 @@ def exists(spark: SparkSession, path: str) -> bool:
     return bool(fs.exists(jpath))
 
 
-def _local_root(path: str) -> str | None:
+# fs.defaultFS scheme check, once per SparkContext (py4j round trip).
+_DEFAULT_FS_LOCAL: dict = {}
+
+
+def _default_fs_is_local(spark: SparkSession) -> bool:
+    key = id(spark.sparkContext)
+    cached = _DEFAULT_FS_LOCAL.get(key)
+    if cached is None:
+        default = spark.sparkContext._jsc.hadoopConfiguration().get(
+            "fs.defaultFS", "file:///"
+        )
+        cached = default.startswith("file:")
+        _DEFAULT_FS_LOCAL[key] = cached
+    return cached
+
+
+def _local_root(path: str, spark: SparkSession | None = None) -> str | None:
     """OS path when ``path`` provably addresses the local filesystem —
-    an absolute OS path or a ``file:`` URI (any slash count: ``file:/p``,
-    ``file:///p``) with no foreign authority. Anything else — remote
-    schemes, scheme shorthands like ``hdfs:/nn/x``, or relative paths —
-    returns None and goes through the Hadoop FileSystem, which resolves
-    them against its own configuration instead of the Python process's
-    cwd (a relative path here silently doing OS I/O was the r6 review's
-    s3-shaped-path hazard)."""
+    a ``file:`` URI (any slash count: ``file:/p``, ``file:///p``) with no
+    foreign authority, or a bare absolute OS path *when the session's
+    ``fs.defaultFS`` is itself ``file:`` (Spark resolves bare paths against
+    defaultFS, so on an hdfs://-default cluster ``/p`` is NOT the driver's
+    disk — doing OS I/O there would split data and sidecar across two
+    filesystems). Anything else — remote schemes, scheme shorthands like
+    ``hdfs:/nn/x``, or relative paths — returns None and goes through the
+    Hadoop FileSystem, which resolves them against its own configuration
+    instead of the Python process's cwd (a relative path here silently
+    doing OS I/O was the r6 review's s3-shaped-path hazard)."""
     if path.startswith("/"):
-        return path
+        if spark is None or _default_fs_is_local(spark):
+            return path
+        return None
     if path.startswith("file:"):
         from urllib.parse import urlparse
 
@@ -94,7 +115,7 @@ def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List
     Hadoop API; at object-store scale the listing plane should be the
     scoped per-partition listing / manifest used by ``publish`` anyway.
     """
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         import os
 
@@ -128,7 +149,7 @@ def file_mtime(spark: SparkSession, path: str) -> float:
     """Modification time of a file as epoch seconds (driver-side metadata
     op; one ``stat``/``getFileStatus`` per call). Used by the vacuum
     retention window."""
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         import os
 
@@ -156,7 +177,7 @@ def read_text(spark: SparkSession, path: str) -> str:
     commons-io drain costs ~6 py4j round trips (~20 ms) PER READ, which the
     r5→r6 drift profile showed was the single biggest fixed cost on every
     fetch (the sidecar read). Remote schemes keep the Hadoop API."""
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         with open(local, encoding="utf-8") as fh:
             return fh.read()
@@ -171,7 +192,7 @@ def read_text(spark: SparkSession, path: str) -> str:
 
 
 def write_text(spark: SparkSession, path: str, content: str) -> None:
-    local = _local_root(path)
+    local = _local_root(path, spark)
     if local is not None:
         import os
 

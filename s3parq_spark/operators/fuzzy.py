@@ -92,7 +92,11 @@ def edit_distance_pairs(
         a.join(b, "__vh")
         .filter(F.col("a.s") < F.col("b.s"))
         .select(F.col("a.s").alias("s1"), F.col("b.s").alias("s2"))
-        .distinct()
-        # exact verify also discards xxhash64 collisions between variants
+        # verify BEFORE the distinct: a string pair sharing many deletion
+        # variants (up to ~L² at radius 2) appears once per shared variant,
+        # and the cheap JVM levenshtein (also discarding xxhash64 collisions)
+        # runs map-side on the join output — so the distinct's exchange
+        # carries only true pairs instead of the full candidate stream
         .filter(F.levenshtein("s1", "s2") <= max_distance)
+        .distinct()
     )

@@ -179,10 +179,26 @@ def salted_join(
     how: str = "inner",
     salt_buckets: int = 8,
 ) -> DataFrame:
-    """Equi-join with the left (big, possibly skewed) side salted
-    deterministically and the right side exploded ``salt_buckets``×.
-    Semantically identical to ``left.join(right, on, how)`` for inner/left
-    joins on equi-keys."""
+    """Equi-join with the left (big, possibly skewed) side salted per-row
+    and the right side exploded ``salt_buckets``×. Semantically identical
+    to ``left.join(right, on, how)`` for inner/left joins on equi-keys.
+
+    Retry caveat (SPARK-23207 class): the salt includes
+    ``monotonically_increasing_id()``, a nondeterministic expression, so if
+    the left plan sits downstream of a shuffle and an executor is lost
+    mid-stage, a re-computed map task can assign rows different salts than
+    its first attempt — a reducer mixing old and new map outputs could then
+    see a row twice or not at all. The salt never changes what a row JOINS
+    TO (every salt value meets a full copy of the right side), only which
+    reducer processes it, so any full-stage or full-job retry yields the
+    correct result; the exposure is limited to partial-stage recovery.
+    Deterministic alternatives all reintroduce the pathology this function
+    exists to fix: hashing row content piles byte-identical duplicates of a
+    hot key into one task (and crashes on map-typed columns), and a
+    deterministic per-row ordinal needs a row_number window — a full extra
+    sort-shuffle. Callers for whom partial-retry exactness matters more
+    than skew should checkpoint/persist the left input first (pinning its
+    row-to-partition assignment) or use AQE skew-join instead."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left equi-joins")
     overlap = (set(left.columns) & set(right.columns)) - set(on)

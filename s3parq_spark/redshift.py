@@ -205,16 +205,26 @@ def create_table(
 ) -> str:
     """Guarded CREATE (reference ``publish_redshift.py:202-239``): probe
     SVV_EXTERNAL_TABLES first and skip the CREATE when the table already
-    exists — append publishes re-register partitions, not the table. An
-    executor that returns rows (any non-empty iterable) signals existence;
-    executors that return None (the dry-run recorder) always proceed."""
+    exists — append publishes re-register partitions, not the table.
+
+    Executor contract for probe queries: return an iterable of result rows
+    (empty = table absent, non-empty = present) or None (the dry-run
+    recorder — always proceeds with the CREATE). Non-iterable returns
+    (DBAPI status strings, rowcount ints like 0/-1) are ambiguous — a
+    truthy one must NOT silently skip table creation — so they are
+    rejected loudly instead of guessed at."""
     probe = executor(table_exists_sql(table_name, schema_name))
     exists = False
     if probe is not None:
         try:
             exists = bool(list(probe))
         except TypeError:
-            exists = bool(probe)
+            raise TypeError(
+                "create_table executor must return result rows (an "
+                "iterable) or None for existence probes; got "
+                f"{type(probe).__name__!r} — a status/rowcount return "
+                "cannot distinguish 'table exists' from 'statement ran'"
+            ) from None
     sql = create_table_sql(table_name, schema_name, columns, partitions, path)
     if exists:
         return sql
