@@ -107,6 +107,54 @@ def _dataset_meta(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
 # metadata-only partition value queries (SURVEY §2.3 A1-A3)
 # ---------------------------------------------------------------------------
 
+def _partition_value_str(v) -> str:
+    """Typed partition value → the string form this engine's writer renders
+    into hive directory names (booleans lowercase, NULL as the hive default
+    marker) — so data-scanned values compare exactly against path-parsed
+    ones, and ``convert_type`` round-trips both identically."""
+    if v is None:
+        return metadata.HIVE_DEFAULT_PARTITION
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _partition_value_strs(
+    spark: SparkSession,
+    path: str,
+    files: List[str],
+    meta: Optional[DatasetMetadata],
+    partition: str,
+) -> set:
+    """String-form values of ``partition`` across the whole dataset. For a
+    single-spec dataset this is pure path parsing (metadata-only, the
+    reference's contract). On a partition-evolved dataset the column is a
+    hive directory only under the specs that partition by it; under the
+    others it lives in the data files, so those slices contribute via a
+    column-pruned DISTINCT scan — the one place evolution trades the
+    metadata-only property for correctness (a normalizing compact/
+    repartition restores it)."""
+    if meta is None or not meta.is_multi_spec():
+        return set(parse_partitions_and_values(files).get(partition, set()))
+    out: set = set()
+    by_spec = meta.files_by_spec()
+    for spec in meta.specs():
+        rel = by_spec.get(spec["spec_id"], [])
+        if not rel:
+            continue
+        if partition in spec["partition_data_types"]:
+            out |= set(parse_partitions_and_values(rel).get(partition, set()))
+        else:
+            vals = (
+                _read_files_one_spec(spark, path, meta, spec, rel, [])
+                .select(partition)
+                .distinct()
+                .collect()
+            )
+            out |= {_partition_value_str(r[0]) for r in vals}
+    return out
+
+
 def get_all_partition_values(
     bucket: str, key: str, partition: str, spark: Optional[SparkSession] = None
 ) -> list:
@@ -120,8 +168,8 @@ def get_all_partition_values(
         return []
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
-    dtype = meta.partition_data_types[partition]
-    values = parse_partitions_and_values(files).get(partition, set())
+    dtype = meta.all_partition_data_types()[partition]
+    values = _partition_value_strs(spark, path, files, meta, partition)
     return [convert_type(v, dtype) for v in values]
 
 
@@ -138,10 +186,10 @@ def get_max_partition_value(
         return None
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
-    dtype = meta.partition_data_types[partition]
+    dtype = meta.all_partition_data_types()[partition]
     if dtype in NON_NUM_TYPES:
         raise ValueError(f"Max cannot be used on partition types of {dtype}")
-    values = parse_partitions_and_values(files).get(partition, set())
+    values = _partition_value_strs(spark, path, files, meta, partition)
     # SQL MAX semantics: NULL partition values (__HIVE_DEFAULT_PARTITION__
     # -> None) are ignored, not compared (max(None, 3) is a TypeError)
     typed = [t for t in (convert_type(v, dtype) for v in values)
@@ -173,8 +221,8 @@ def get_diff_partition_values(
 
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
-    dtype = meta.partition_data_types[partition]
-    partition_set = set(parse_partitions_and_values(files).get(partition, set()))
+    dtype = meta.all_partition_data_types()[partition]
+    partition_set = _partition_value_strs(spark, path, files, meta, partition)
     diff_strs = {
         str(v).lower() if isinstance(v, bool) else str(v)
         for v in values_to_diff
@@ -398,6 +446,12 @@ def fetch_path(
                 raise ValueError(f"unknown columns {missing} in dataset at {path}")
             raw = raw.select(*columns)
         return raw
+
+    if meta.is_multi_spec():
+        # partition-evolved dataset: per-spec union plan. Evolution is
+        # recorded only at publish time, together with snapshots, so the
+        # manifest is intact whenever this branch is reachable.
+        return _union_spec_slices(spark, path, meta, files, filters, columns)
 
     filters, derived_filters, residuals = _derived_pushdown(
         spark, meta, filters
@@ -689,6 +743,141 @@ def _prune_manifest_files(
     return out
 
 
+def _split_spec_filters(
+    spec_meta: DatasetMetadata, meta: DatasetMetadata, filters: List[dict]
+) -> tuple[List[dict], List[dict], Dict[str, str]]:
+    """Split already-pushdown-processed partition filters for ONE spec of a
+    partition-evolved dataset: filters naming THIS spec's partition columns
+    prune its file slice; filters naming another spec's partition columns
+    become exact row-level predicates here (the column lives in the data
+    files of this spec — parquet min/max stats still skip). Both sides run
+    the reference's validation rules against the column's declared type, so
+    a filter is legal/illegal identically whichever spec a file is in."""
+    all_parts = meta.all_partition_data_types()
+    spec_f: List[dict] = []
+    cross_f: List[dict] = []
+    cross_types: Dict[str, str] = {}
+    for f in filters:
+        col = f["partition"]
+        if col in spec_meta.partition_data_types:
+            spec_f.append(f)
+            continue
+        dtype = all_parts.get(col)
+        if dtype is None:
+            # a hidden-partition SOURCE column of some OTHER spec: in this
+            # spec it is an ordinary data column, so the filter applies
+            # row-level with the column's declared type (the owning spec's
+            # slice got the transform pushdown from _derived_pushdown) —
+            # same no-extra-validation contract as single-spec source
+            # filters, which never pass through the partition rules
+            import re as _re
+
+            derived_src = col in meta.column_types and any(
+                _re.search(rf"\b{_re.escape(col)}\b", e)
+                for sp in meta.specs()
+                for e in (sp.get("derived_partitions") or {}).values()
+            )
+            if derived_src:
+                cross_f.append(f)
+                cross_types[col] = meta.column_types[col]
+                continue
+            # not a partition under ANY spec: same rejection as the
+            # single-spec path's validate_matching_filter_data_type
+            raise ValueError("Filter does not have a matching partition.")
+        validate_matching_filter_data_type({col: dtype}, [f])
+        cross_f.append(f)
+        cross_types[col] = dtype
+    validate_matching_filter_data_type(spec_meta.partition_data_types, spec_f)
+    return spec_f, cross_f, cross_types
+
+
+def _read_files_one_spec(
+    spark: SparkSession,
+    path: str,
+    meta: DatasetMetadata,
+    spec: dict,
+    rel_files: List[str],
+    filters: List[dict],
+) -> DataFrame:
+    """Scan ONE spec's file slice of a partition-evolved dataset under that
+    spec's layout: driver-side manifest pruning and Catalyst partition
+    pruning use the spec's own partition columns; filters on other specs'
+    partition columns apply as row predicates; the spec's derived-partition
+    transforms get the same pushdown as a single-spec read. Returns the
+    filtered frame in full-schema column shape (projection happens after
+    the specs union)."""
+    spec_meta = meta.spec_view(spec)
+    part_f, derived_f, residuals = _derived_pushdown(spark, spec_meta, filters)
+    spec_f, cross_f, cross_types = _split_spec_filters(spec_meta, meta, part_f)
+    rel = _prune_manifest_files(rel_files, spec_meta, spec_f)
+    full_schema = _scan_schema(meta)
+    if rel:
+        df = (
+            spark.read.schema(full_schema)
+            .option("basePath", path)
+            .parquet(*[posixpath.join(path, r) for r in rel])
+        )
+    else:
+        df = spark.createDataFrame([], full_schema)
+    df = _resolve_renames(df, meta)
+    if spec_f:
+        df = df.filter(
+            filters_to_predicate(spec_f, spec_meta.partition_data_types)
+        )
+    if cross_f:
+        # same truth table as the partition predicate (typed values, NULL
+        # arm, OR-within / AND-across), evaluated on the data column
+        df = df.filter(filters_to_predicate(cross_f, cross_types))
+    if derived_f:
+        df = df.filter(_clause_predicate(derived_f))
+    if residuals:
+        df = df.filter(_clause_predicate(residuals))
+    return df
+
+
+def _union_spec_slices(
+    spark: SparkSession,
+    path: str,
+    meta: DatasetMetadata,
+    rel_files: List[str],
+    filters: List[dict],
+    columns: Optional[List[str]],
+) -> DataFrame:
+    """Plan a partition-evolved read: group ``rel_files`` by the spec that
+    laid them out, scan each group under its own layout, union. Every
+    slice produces the same full-schema column shape, so the union is a
+    pure concatenation — no shuffle, and each slice keeps its own
+    PartitionFilters prune."""
+    spec_of: Dict[str, int] = {}
+    for s in meta.snapshots:
+        sid = meta.snapshot_spec_id(s)
+        for f in s.get("added", []):
+            spec_of.setdefault(f, sid)
+    default_sid = meta.specs()[-1]["spec_id"]
+    by_spec: Dict[int, List[str]] = {}
+    for f in rel_files:
+        by_spec.setdefault(spec_of.get(f, default_sid), []).append(f)
+    slices = [
+        _read_files_one_spec(spark, path, meta, spec, by_spec[spec["spec_id"]], filters)
+        for spec in meta.specs()
+        if by_spec.get(spec["spec_id"])
+    ]
+    if not slices:
+        # validate filters exactly as a non-empty read would, then return
+        # the empty frame in dataset shape
+        spec_meta = meta.spec_view(meta.specs()[-1])
+        part_f, _, _ = _derived_pushdown(spark, spec_meta, filters)
+        _split_spec_filters(spec_meta, meta, part_f)
+        df = _resolve_renames(
+            spark.createDataFrame([], _scan_schema(meta)), meta
+        )
+    else:
+        df = slices[0]
+        for s in slices[1:]:
+            df = df.unionByName(s)
+    return _project_dataset_columns(df, meta, columns, path)
+
+
 def _read_manifest_slice(
     spark: SparkSession,
     path: str,
@@ -706,6 +895,8 @@ def _read_manifest_slice(
     pushdown — a filter on a hidden-partition source column that
     ``fetch_path`` accepts must not be rejected by a time-travel/CDC read
     of the same dataset."""
+    if meta.is_multi_spec():
+        return _union_spec_slices(spark, path, meta, rel_files, filters, columns)
     filters, derived_filters, residuals = _derived_pushdown(
         spark, meta, filters
     )
@@ -968,6 +1159,10 @@ def dataset_files(spark: SparkSession, path: str) -> DataFrame:
                 version_of.setdefault(f, s["version"])
     if meta is not None and meta.partitions:
         part_keys = list(meta.partitions)
+        # partition-evolved datasets: archived specs' keys too (their
+        # files' layout is exactly what this table reports)
+        for sp in meta.specs():
+            part_keys += [p for p in sp["partitions"] if p not in part_keys]
     else:
         part_keys = list(parse_partitions_and_values(files).keys())
 

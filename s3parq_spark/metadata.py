@@ -141,6 +141,7 @@ class DatasetMetadata:
         sort_columns: Optional[List[str]] = None,
         derived_partitions: Optional[Dict[str, str]] = None,
         column_renames: Optional[Dict[str, List[str]]] = None,
+        partition_specs: Optional[List[dict]] = None,
     ):
         self.partitions = list(partitions)
         self.partition_data_types = dict(partition_data_types)
@@ -164,6 +165,19 @@ class DatasetMetadata:
         self.column_renames = {
             k: list(v) for k, v in (column_renames or {}).items()
         }
+        # partition-spec evolution (Iceberg-style): when a dataset's
+        # partition columns changed across versions, EVERY spec it has ever
+        # used lives here, oldest first, each
+        # {"spec_id", "partitions", "partition_data_types",
+        #  "derived_partitions"?}; the LAST entry is always the current
+        # spec and mirrors the top-level fields (so every pre-evolution
+        # reader of the sidecar keeps seeing the current layout). Each
+        # snapshot carries "spec": spec_id saying which layout its files
+        # were written under. None/absent = the dataset has only ever had
+        # one spec (the top-level fields).
+        self.partition_specs = (
+            [dict(s) for s in partition_specs] if partition_specs else None
+        )
         # ANALYZE record (stats.collect_stats): row count + per-column
         # min/max/nulls/ndv, stamped with the snapshot version it saw
         self.stats = None
@@ -195,6 +209,8 @@ class DatasetMetadata:
             d["derived_partitions"] = self.derived_partitions
         if self.column_renames:
             d["column_renames"] = self.column_renames
+        if self.partition_specs:
+            d["partition_specs"] = self.partition_specs
         if self.stats:
             d["stats"] = self.stats
         return d
@@ -209,8 +225,80 @@ class DatasetMetadata:
             sort_columns=d.get("sort_columns"),
             derived_partitions=d.get("derived_partitions"),
             column_renames=d.get("column_renames"),
+            partition_specs=d.get("partition_specs"),
         )
         out.stats = d.get("stats")
+        return out
+
+    # -- partition-spec evolution helpers ---------------------------------
+
+    def specs(self) -> List[dict]:
+        """Every partition spec the dataset has used, oldest first; the
+        last entry is the current spec. Single-spec datasets get one
+        implicit entry (spec_id 1) built from the top-level fields."""
+        if self.partition_specs:
+            return self.partition_specs
+        return [
+            {
+                "spec_id": 1,
+                "partitions": list(self.partitions),
+                "partition_data_types": dict(self.partition_data_types),
+                **(
+                    {"derived_partitions": dict(self.derived_partitions)}
+                    if self.derived_partitions
+                    else {}
+                ),
+            }
+        ]
+
+    def is_multi_spec(self) -> bool:
+        return bool(self.partition_specs) and len(self.partition_specs) > 1
+
+    def spec_view(self, spec: dict) -> "DatasetMetadata":
+        """A single-spec view of this metadata: the given spec's layout
+        over the dataset's full column set — what the per-spec slice of a
+        partition-evolved read plans against (no snapshots: a view plans
+        scans, it does not own history)."""
+        view = DatasetMetadata(
+            partitions=spec["partitions"],
+            partition_data_types=spec["partition_data_types"],
+            column_types=self.column_types,
+            sort_columns=self.sort_columns,
+            derived_partitions=spec.get("derived_partitions"),
+            column_renames=self.column_renames,
+        )
+        view.stats = self.stats
+        return view
+
+    def snapshot_spec_id(self, snapshot: dict) -> int:
+        """The spec a snapshot's files were written under. Snapshots that
+        predate spec tracking default to the OLDEST spec (evolution stamps
+        every later snapshot explicitly)."""
+        return snapshot.get("spec", self.specs()[0]["spec_id"])
+
+    def files_by_spec(self) -> "Dict[int, List[str]]":
+        """Data files grouped by the spec that laid them out (from the
+        per-version manifests), spec ids in spec order. A file appearing
+        in several snapshots (bootstrap edge) counts under its first."""
+        seen: Dict[str, int] = {}
+        for s in self.snapshots:
+            sid = self.snapshot_spec_id(s)
+            for f in s.get("added", []):
+                seen.setdefault(f, sid)
+        out: Dict[int, List[str]] = {
+            sp["spec_id"]: [] for sp in self.specs()
+        }
+        for f, sid in seen.items():
+            out.setdefault(sid, []).append(f)
+        return {sid: sorted(fl) for sid, fl in out.items()}
+
+    def all_partition_data_types(self) -> Dict[str, str]:
+        """Union of partition columns across every spec (newest spec wins
+        on a name collision) — the filterable-column surface of a
+        partition-evolved dataset."""
+        out: Dict[str, str] = {}
+        for sp in self.specs():
+            out.update(sp["partition_data_types"])
         return out
 
     def manifest_files(self) -> Optional[List[str]]:
@@ -260,17 +348,26 @@ def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
 
 
 def merge_sidecar(
-    existing: Optional[DatasetMetadata], new: DatasetMetadata
+    existing: Optional[DatasetMetadata],
+    new: DatasetMetadata,
+    evolve_partitions: bool = False,
 ) -> DatasetMetadata:
     """Append-mode publish into an existing dataset must agree on partitions
     and types (the reference stamps the same dict onto new objects,
-    ``publish_parq.py:211-267``; a conflicting append would corrupt readers)."""
+    ``publish_parq.py:211-267``; a conflicting append would corrupt readers)
+    — unless the caller opted into partition-spec EVOLUTION
+    (``evolve_partitions=True``): then a differing partition list starts a
+    new spec (Iceberg-style) — the old spec is archived in
+    ``partition_specs`` with every pre-evolution snapshot stamped to it,
+    the new spec becomes current, and readers plan each spec's file slice
+    under its own layout."""
     if existing is None:
         return new
-    if existing.partitions != new.partitions:
+    if existing.partitions != new.partitions and not evolve_partitions:
         raise ValueError(
             f"append partition mismatch: dataset has {existing.partitions}, "
-            f"publish got {new.partitions}"
+            f"publish got {new.partitions} (pass evolve_partitions=True to "
+            "start a new partition spec)"
         )
     for col, t in new.column_types.items():
         old = existing.column_types.get(col)
@@ -306,11 +403,51 @@ def merge_sidecar(
         # written files is unaffected either way)
         sort_columns=new.sort_columns or existing.sort_columns,
         # derived-partition transforms are part of the layout contract and
-        # persist across appends (publish validates agreement before here)
-        derived_partitions=new.derived_partitions or existing.derived_partitions,
+        # persist across appends (publish validates agreement before here;
+        # under evolution the new spec's transforms are exactly the new
+        # publish's — no inheritance from the archived spec)
+        derived_partitions=(
+            new.derived_partitions
+            if evolve_partitions
+            else new.derived_partitions or existing.derived_partitions
+        ),
         # rename history is a dataset-level contract, carried forward
         column_renames=existing.column_renames,
+        # spec history is a dataset-level contract too
+        partition_specs=existing.partition_specs,
     )
+    cur_spec = existing.specs()[-1]
+    new_body = {
+        "partitions": list(merged.partitions),
+        "partition_data_types": dict(merged.partition_data_types),
+        **(
+            {"derived_partitions": dict(merged.derived_partitions)}
+            if merged.derived_partitions
+            else {}
+        ),
+    }
+    spec_changed = (
+        cur_spec["partitions"] != new_body["partitions"]
+        or cur_spec["partition_data_types"] != new_body["partition_data_types"]
+        or cur_spec.get("derived_partitions", {})
+        != new_body.get("derived_partitions", {})
+    )
+    if evolve_partitions and spec_changed:
+        specs = [dict(sp) for sp in existing.specs()]
+        # stamp pre-evolution snapshots with the spec that laid them out
+        # (un-stamped = oldest spec, the snapshot_spec_id default) so the
+        # stamping stays correct however many evolutions follow
+        merged.snapshots = [
+            {**s, "spec": existing.snapshot_spec_id(s)}
+            for s in existing.snapshots
+        ]
+        specs.append(
+            {
+                "spec_id": max(sp["spec_id"] for sp in specs) + 1,
+                **new_body,
+            }
+        )
+        merged.partition_specs = specs
     # a stored ANALYZE survives appends: it is stamped with as_of_version,
     # so readers can tell it describes an older snapshot (re-ANALYZE to
     # refresh) — silently dropping it would force a rescan for questions

@@ -404,6 +404,7 @@ def publish_path(
     bloom_filter_columns: Optional[List[str]] = None,
     derived_partitions: Optional[Dict[str, str]] = None,
     expected_version: Optional[int] = None,
+    evolve_partitions: bool = False,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -423,6 +424,21 @@ def publish_path(
     caller partitions by time/bucket functions of real columns without
     ever materializing them upstream — and filters on the derived column
     prune at the file index like any partition.
+
+    ``evolve_partitions=True`` allows an append whose ``partitions`` (and/or
+    ``derived_partitions``) differ from the dataset's current layout:
+    instead of rejecting the mismatch, the publish starts a NEW partition
+    spec (Iceberg's partition evolution, restated for the sidecar). Old
+    files stay exactly where they are under the old layout; new files land
+    under the new one; every spec is recorded in the sidecar with each
+    snapshot stamped to its spec, and ``fetch`` plans a per-spec union with
+    per-spec pruning. Zero data movement — the whole point vs
+    ``repartition_dataset`` (full rewrite). The caller declares the
+    COMPLETE new spec (including any derived transforms — nothing is
+    inherited from the archived spec). Partition-scoped DML
+    (``merge_upsert``/``overwrite_partitions``/``delete_where``/
+    ``update_where``) requires a single spec; ``compact_dataset`` or
+    ``repartition_dataset`` normalizes an evolved dataset back to one.
     """
     df = _to_spark_df(spark, dataframe)
     if max_records_per_file is not None:
@@ -430,7 +446,7 @@ def publish_path(
     # else: the sizing sample below doubles as the empty check — one job
 
     prior = metadata.read_sidecar(spark, path) if mode == "append" else None
-    if mode == "append":
+    if mode == "append" and not evolve_partitions:
         if prior is not None and prior.derived_partitions:
             if derived_partitions and dict(derived_partitions) != dict(
                 prior.derived_partitions
@@ -490,7 +506,9 @@ def publish_path(
                 f"{path}, but head is {head}: another writer committed; "
                 "re-read and retry"
             )
-    merged = metadata.merge_sidecar(existing, meta)
+    merged = metadata.merge_sidecar(
+        existing, meta, evolve_partitions=evolve_partitions and mode == "append"
+    )
 
     scoped_dirs: Optional[List[str]] = None
     if mode == "append" and partitions:
@@ -628,7 +646,21 @@ def publish_path(
     now = _time.time()  # commit wall-clock: enables timestamp time travel
     if mode != "append" or existing is None:
         snaps = [{"version": 1, "ts": now, "added": _rel_files(path, new)}]
+        # a non-append write replaces the dataset: one fresh spec, whatever
+        # history the old sidecar carried
+        merged.partition_specs = None
     else:
+        # spec stamps for a partition-evolved dataset: the commit belongs
+        # to the CURRENT (last) spec; a bootstrap snapshot's files predate
+        # this publish, so they follow the PRE-publish layout
+        cur_sid = boot_sid = None
+        if merged.partition_specs:
+            cur_sid = merged.partition_specs[-1]["spec_id"]
+            boot_sid = next(
+                sp["spec_id"]
+                for sp in merged.partition_specs
+                if sp["partitions"] == list(existing.partitions)
+            )
         snaps = list(merged.snapshots)
         if not snaps:
             new_set = set(new)
@@ -637,14 +669,18 @@ def publish_path(
                 # bootstrap snapshot: its files predate this commit; no
                 # truthful timestamp exists, so it carries none (timestamp
                 # lookups before the first stamped snapshot raise)
-                snaps = [{"version": 1, "added": _rel_files(path, prior)}]
-        snaps.append(
-            {
-                "version": (snaps[-1]["version"] + 1) if snaps else 1,
-                "ts": now,
-                "added": _rel_files(path, new),
-            }
-        )
+                boot = {"version": 1, "added": _rel_files(path, prior)}
+                if boot_sid is not None:
+                    boot["spec"] = boot_sid
+                snaps = [boot]
+        commit = {
+            "version": (snaps[-1]["version"] + 1) if snaps else 1,
+            "ts": now,
+            "added": _rel_files(path, new),
+        }
+        if cur_sid is not None:
+            commit["spec"] = cur_sid
+        snaps.append(commit)
     merged.snapshots = snaps
     if mode == "append" and existing is not None:
         # a metadata DDL op (rename/drop) may have rewritten the sidecar
@@ -665,6 +701,21 @@ def publish_path(
     metadata.write_sidecar(spark, path, merged)
     return new
 
+
+
+def _reject_multi_spec(sidecar, op: str) -> None:
+    """Partition-scoped DML assumes every data file follows the CURRENT
+    hive layout (touched-partition predicates, dynamic partition
+    overwrite); on a partition-evolved dataset old-spec files live under
+    other directory shapes and would silently survive the rewrite. Reject
+    loudly — ``compact_dataset`` / ``repartition_dataset`` normalize an
+    evolved dataset back to a single spec first."""
+    if sidecar is not None and sidecar.is_multi_spec():
+        raise ValueError(
+            f"{op} requires a single partition spec, but this dataset has "
+            f"{len(sidecar.partition_specs)} (partition evolution); run "
+            "compact_dataset or repartition_dataset to normalize first"
+        )
 
 
 def overwrite_partitions(
@@ -702,6 +753,7 @@ def overwrite_partitions(
             "use publish_path(mode='overwrite') to replace a whole dataset"
         )
     existing = metadata.read_sidecar(spark, path)
+    _reject_multi_spec(existing, "overwrite_partitions")
     if existing is not None and list(existing.partitions) != list(partitions):
         raise ValueError(
             f"partition columns {partitions} do not match the dataset's "
@@ -783,6 +835,7 @@ def merge_upsert(
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"no dataset at {path}")
+    _reject_multi_spec(meta, "merge_upsert")
     partitions = list(meta.partitions)
     if not partitions:
         raise ValueError(
@@ -1207,6 +1260,7 @@ def delete_where(
     sidecar = metadata.read_sidecar(spark, path)
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    _reject_multi_spec(sidecar, "delete_where")
     parts = list(sidecar.partitions)
     df = fetch_path(spark, path)
     pred = F.expr(predicate)
@@ -1293,6 +1347,7 @@ def update_where(
     sidecar = metadata.read_sidecar(spark, path)
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    _reject_multi_spec(sidecar, "update_where")
     parts = list(sidecar.partitions)
     bad = [c for c in set_exprs if c in parts]
     if bad:
@@ -1610,6 +1665,29 @@ def restore_dataset(
         for rel in removed:
             fs.delete(spark, posixpath.join(path, rel), recursive=False)
         meta.snapshots = keep
+        if meta.partition_specs:
+            # partition evolution happens at snapshot boundaries, so
+            # rolling back past one must roll the CURRENT spec back too:
+            # the restored head's spec becomes current (the next append
+            # targets the layout the dataset actually had at ``version``),
+            # and specs no kept snapshot references are dropped. A dataset
+            # back down to one spec collapses to the plain sidecar form.
+            kept_ids = {meta.snapshot_spec_id(s) for s in keep}
+            specs = [
+                sp for sp in meta.partition_specs if sp["spec_id"] in kept_ids
+            ]
+            head = specs[-1]
+            meta.partitions = list(head["partitions"])
+            meta.partition_data_types = dict(head["partition_data_types"])
+            meta.derived_partitions = dict(head.get("derived_partitions", {}))
+            if len(specs) > 1:
+                meta.partition_specs = specs
+            else:
+                meta.partition_specs = None
+                meta.snapshots = [
+                    {k: v for k, v in s.items() if k != "spec"}
+                    for s in meta.snapshots
+                ]
         metadata.write_sidecar(spark, path, meta)
     return removed
 
@@ -1651,6 +1729,16 @@ def expire_snapshots(
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
     cut = len(meta.snapshots) - keep_last
+    if meta.partition_specs:
+        # a squashed base is ONE snapshot and can carry only one spec
+        # stamp, so the squash must never cross a partition-spec boundary
+        # (files of two layouts merged under one stamp would plan wrong):
+        # truncate the squash range at the first spec change
+        first_sid = meta.snapshot_spec_id(meta.snapshots[0])
+        for i, s in enumerate(meta.snapshots):
+            if meta.snapshot_spec_id(s) != first_sid:
+                cut = min(cut, i)
+                break
     if cut <= 1:
         # nothing strictly older than the base-to-be: no-op
         return []
@@ -1662,6 +1750,8 @@ def expire_snapshots(
     }
     if squashed[-1].get("ts") is not None:
         base["ts"] = squashed[-1]["ts"]
+    if meta.partition_specs:
+        base["spec"] = meta.snapshot_spec_id(squashed[-1])
     if not dry_run:
         # guard the read-modify-write against a concurrent publish (the
         # docstring's own motivating workload commits every minute): the

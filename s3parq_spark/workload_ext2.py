@@ -2724,3 +2724,70 @@ QUERIES_EXT2["csv_ingest_roundtrip"] = q_csv_ingest_roundtrip
 ORACLE_EXT2["csv_ingest_roundtrip"] = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+
+# ---------------------------------------------------------------------------
+# partition-spec evolution (round 7)
+# ---------------------------------------------------------------------------
+
+
+def q_partition_evolution_fetch(spark, sf_dir):
+    """Partition-SPEC evolution (publish.py evolve_partitions — Iceberg's
+    metadata-only partition evolution, vs ``repartition_dataset``'s full
+    rewrite): orders lands in two eras — v1 partitioned by
+    ``o_orderpriority`` (the ingest layout), v2 appended under a NEW spec
+    partitioned by ``o_orderstatus`` after the hot filter changed. ZERO
+    data movement: old files stay under the old hive dirs; the sidecar
+    records both specs with each snapshot stamped to its spec, and fetch
+    plans a per-spec UNION — the priority filter prunes v1's slice at the
+    file index (asserted on the plan) and applies row-level on v2's slice
+    where priority is a data column. Oracle = the filter over raw orders:
+    evolution must be invisible to results."""
+    from . import metadata
+    from .fetch import fetch_path
+    from .publish import publish_path
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "part_evo")
+    marker = os.path.join(path, "_EVOLVED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders")
+        publish_path(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderpriority"],
+        )
+        publish_path(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            ["o_orderstatus"],
+            evolve_partitions=True,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    m = metadata.read_sidecar(spark, path)
+    assert [sp["spec_id"] for sp in m.partition_specs] == [1, 2]
+    assert [s.get("spec") for s in m.snapshots] == [1, 2]
+    out = fetch_path(
+        spark,
+        path,
+        filters=[
+            {"partition": "o_orderpriority", "comparison": "==",
+             "values": ["1-URGENT"]}
+        ],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "o_orderpriority" in plan.split(
+        "PartitionFilters", 1
+    )[1][:300], "old-spec slice lost its file-index prune"
+    return out.select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+
+
+QUERIES_EXT2["partition_evolution_fetch"] = q_partition_evolution_fetch
+ORACLE_EXT2["partition_evolution_fetch"] = """
+    SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
