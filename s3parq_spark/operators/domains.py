@@ -1,0 +1,169 @@
+"""Web-corpus domain curation: registrable-domain extraction, per-domain
+document caps, and domain blocklists.
+
+At web-corpus scale the DOMAIN is a first-class dedup/quality axis:
+RefinedWeb (Penedo et al., 2023, §3) and C4 both cap or drop whole
+registrable domains because a handful of hosts (mirrors, SEO farms, link
+aggregators) contribute a grossly disproportionate share of low-quality
+mass — a per-domain cap removes more of it than any document-level
+classifier. The reference engine has no URL surface at all; this extends
+the dedup family (``operators/dedup.py``) with the domain axis.
+
+Everything here is JVM expressions (``parse_url``, ``split``, ``slice``,
+one window over a NARROW projection) — no Python in the hot path:
+
+- **Extraction** is pure whole-stage-codegen: host from ``parse_url``,
+  registrable domain from the trailing labels with a public-suffix
+  shortlist (the common multi-part suffixes of the Public Suffix List —
+  ``co.uk``, ``com.au``, ... — a deliberate shortlist, not the full PSL:
+  the tail of the PSL is private-registry entries that alter grouping for
+  a negligible fraction of web text; swap in the full list as an
+  ``extra_suffixes`` argument when that fraction matters).
+- **Capping** never shuffles the payload by domain: domains are Zipfian
+  (one hot domain would pin a whole text corpus partition to one task),
+  so the winners are chosen on a (key, domain) projection — the skewed
+  exchange carries ~16 bytes/row — and the payload joins back by its
+  uniform key. At 100 TB the payload moves once, hash-partitioned on the
+  key, never on the skewed domain.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+#: Multi-part public suffixes (Public Suffix List, the high-traffic
+#: subset): when a host's last TWO labels match one of these, the
+#: registrable domain is the last THREE labels. Kept sorted for stable
+#: oracle generation.
+MULTI_PART_SUFFIXES: tuple = tuple(sorted({
+    "ac.jp", "ac.th", "ac.uk", "co.il", "co.in", "co.jp", "co.kr",
+    "co.nz", "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br",
+    "com.cn", "com.co", "com.eg", "com.hk", "com.mx", "com.my", "com.pe",
+    "com.ph", "com.pk", "com.sa", "com.sg", "com.tr", "com.tw", "com.ua",
+    "com.ve", "com.vn", "edu.au", "edu.cn", "go.jp", "go.th", "gov.au",
+    "gov.br", "gov.cn", "gov.uk", "gov.ua", "me.uk", "ne.jp", "net.au",
+    "net.br", "net.cn", "net.in", "net.nz", "net.uk", "or.jp", "or.kr",
+    "org.au", "org.br", "org.cn", "org.il", "org.in", "org.nz", "org.uk",
+    "org.za",
+}))
+
+
+def registrable_domain(
+    url: Column, extra_suffixes: Optional[List[str]] = None
+) -> Column:
+    """Registrable domain ("example.co.uk", "sample.com") of a URL column —
+    one JVM expression, no UDF.
+
+    host = ``parse_url(url, 'HOST')`` lowercased, trailing dot stripped;
+    IPv4 hosts pass through whole (an IP has no registrable suffix);
+    otherwise the last two labels, or the last three when the last two
+    form a known multi-part public suffix. NULL/unparseable URLs yield
+    NULL (``parse_url`` semantics), single-label hosts (``localhost``)
+    pass through whole.
+    """
+    suffixes = list(MULTI_PART_SUFFIXES) + list(extra_suffixes or [])
+    # try_parse_url: a malformed URL yields NULL instead of failing the
+    # task (Spark 4 parse_url raises INVALID_URL) — web corpora always
+    # contain garbage URLs and one must never kill a 100 TB scan
+    host = F.lower(F.try_parse_url(url, F.lit("HOST")))
+    host = F.regexp_replace(host, r"\.$", "")
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # negative slice starts index from the end; a start beyond the array
+    # length yields an empty array, which the n-guards below never select
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    is_ip = host.rlike(r"^\d{1,3}(\.\d{1,3}){3}$")
+    return (
+        F.when(host.isNull(), F.lit(None).cast("string"))
+        .when(is_ip, host)
+        .when((n >= 3) & last2.isin(suffixes), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
+
+
+_HASH60_FMT = "cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
+
+
+def _rank_hash(key: str, portable: bool) -> Column:
+    """Deterministic pseudo-random rank for keep-first-N selection.
+    ``xxhash64`` is the production default (one JVM call); the portable
+    form is the repo's 60-bit md5 hash, byte-identical in DuckDB — used
+    when a result must replay under the oracle gate."""
+    if portable:
+        return F.expr(_HASH60_FMT.format(col=key))
+    return F.xxhash64(F.col(key))
+
+
+def domain_cap(
+    df: DataFrame,
+    url_col: str,
+    max_per_domain: int,
+    key_col: str,
+    portable_hash: bool = False,
+    extra_suffixes: Optional[List[str]] = None,
+) -> DataFrame:
+    """Keep at most ``max_per_domain`` rows per registrable domain,
+    chosen DETERMINISTICALLY (hash-ordered by ``key_col``, ties broken by
+    the key) — the RefinedWeb-style per-domain cap, reproducible across
+    runs and cluster sizes.
+
+    Plan shape (the 100 TB contract): winners are decided on a
+    ``(key, domain)`` projection — the window's exchange, partitioned by
+    the Zipf-skewed domain, carries two narrow columns, never the text
+    payload — and the full rows return via a key-partitioned semi-join.
+    The payload is shuffled exactly once, on the uniform key, so a
+    mega-domain skews a few-byte sort, not a text partition.
+    """
+    if max_per_domain < 1:
+        raise ValueError("max_per_domain must be >= 1")
+    if key_col not in df.columns or url_col not in df.columns:
+        raise ValueError(f"columns {key_col!r}/{url_col!r} not in dataframe")
+    keyed = df.select(
+        F.col(key_col).alias("__dc_key"),
+        registrable_domain(F.col(url_col), extra_suffixes).alias("__dc_dom"),
+    )
+    w = Window.partitionBy("__dc_dom").orderBy(
+        _rank_hash("__dc_key", portable_hash), F.col("__dc_key")
+    )
+    winners = (
+        keyed.withColumn("__dc_r", F.row_number().over(w))
+        .filter(F.col("__dc_r") <= max_per_domain)
+        .select("__dc_key")
+    )
+    return df.join(
+        winners, F.col(key_col) == F.col("__dc_key"), "left_semi"
+    )
+
+
+def domain_filter(
+    df: DataFrame,
+    url_col: str,
+    blocked: Union[List[str], DataFrame],
+    keep: bool = False,
+    extra_suffixes: Optional[List[str]] = None,
+) -> DataFrame:
+    """Drop (or with ``keep=True``, retain only) rows whose registrable
+    domain is in ``blocked`` — the blocklist/allowlist half of domain
+    curation. A Python list lowers to one ``isin`` literal predicate
+    (codegen, pushes to the scan); a DataFrame blocklist (first column =
+    domain) runs as a broadcast anti/semi join — blocklists are small
+    relative to any corpus worth filtering, so the corpus never shuffles.
+    """
+    dom = registrable_domain(F.col(url_col), extra_suffixes)
+    if isinstance(blocked, DataFrame):
+        bl = blocked.select(
+            F.lower(F.col(blocked.columns[0])).alias("__df_dom")
+        ).distinct()
+        tagged = df.withColumn("__df_dom", dom)
+        how = "left_semi" if keep else "left_anti"
+        return tagged.join(
+            F.broadcast(bl), on="__df_dom", how=how
+        ).drop("__df_dom")
+    blocked_l = [b.lower() for b in blocked]
+    pred = dom.isin(blocked_l)
+    return df.filter(pred if keep else (~F.coalesce(pred, F.lit(False))))

@@ -2791,3 +2791,99 @@ ORACLE_EXT2["partition_evolution_fetch"] = """
     SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice
     FROM orders WHERE o_orderpriority = '1-URGENT'
 """
+
+
+# ---------------------------------------------------------------------------
+# web-corpus domain curation (round 7)
+# ---------------------------------------------------------------------------
+
+
+def q_domain_cap_select(spark, sf_dir):
+    """Per-domain document cap + blocklist (operators/domains.py — the
+    RefinedWeb §3 curation axis: registrable-domain extraction as one JVM
+    expression, blocklisted domains dropped, then at most N docs kept per
+    domain, hash-deterministically). URLs are synthesized deterministically
+    from doc_id across seven host shapes — subdomains, a multi-part public
+    suffix (co.uk / com.au), a www host, an IPv4 — so the oracle replays
+    the full extraction: host parse, suffix-list grouping, IP passthrough,
+    blocklist, and the md5-rank cap. Plan: the cap's window runs on a
+    narrow (key, domain) projection; the text payload only moves in the
+    key-partitioned semi-join."""
+    from .operators import domain_cap, domain_filter, registrable_domain
+
+    docs = _table(spark, sf_dir, "documents")
+    sel = (F.col("doc_id") % 7).cast("int")
+    url = (
+        F.when(sel == 0, F.concat(F.lit("https://news.example.co.uk/a/"), F.col("doc_id")))
+        .when(sel == 1, F.concat(F.lit("http://blog.sample.com/p?id="), F.col("doc_id")))
+        .when(sel == 2, F.concat(F.lit("https://www.archive.org/d/"), F.col("doc_id")))
+        .when(sel == 3, F.concat(F.lit("https://mirror.data.example.com/x/"), F.col("doc_id")))
+        .when(sel == 4, F.concat(F.lit("http://sub.deep.site.com.au/p/"), F.col("doc_id")))
+        .when(sel == 5, F.concat(F.lit("https://192.168.10.1/raw/"), F.col("doc_id")))
+        .otherwise(F.concat(F.lit("https://wiki.sample.com/w/"), F.col("doc_id")))
+    )
+    tagged = docs.withColumn("url", url)
+    kept = domain_filter(tagged, "url", ["192.168.10.1"])
+    capped = domain_cap(kept, "url", 10, "doc_id", portable_hash=True)
+    return capped.select(
+        "doc_id",
+        registrable_domain(F.col("url")).alias("domain"),
+        "source",
+    )
+
+
+def _domain_cap_oracle() -> str:
+    from .operators.domains import MULTI_PART_SUFFIXES
+
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_PART_SUFFIXES)
+    return f"""
+        WITH u AS (
+          SELECT doc_id, source,
+                 CASE doc_id % 7
+                   WHEN 0 THEN 'https://news.example.co.uk/a/' || doc_id
+                   WHEN 1 THEN 'http://blog.sample.com/p?id=' || doc_id
+                   WHEN 2 THEN 'https://www.archive.org/d/' || doc_id
+                   WHEN 3 THEN 'https://mirror.data.example.com/x/' || doc_id
+                   WHEN 4 THEN 'http://sub.deep.site.com.au/p/' || doc_id
+                   WHEN 5 THEN 'https://192.168.10.1/raw/' || doc_id
+                   ELSE 'https://wiki.sample.com/w/' || doc_id
+                 END AS url
+          FROM documents
+        ), h AS (
+          SELECT doc_id, source,
+                 regexp_replace(
+                   lower(regexp_extract(url, '^[a-zA-Z]+://([^/:?#]+)', 1)),
+                   '\\.$', '') AS host
+          FROM u
+        ), l AS (
+          SELECT doc_id, source, host, string_split(host, '.') AS ls FROM h
+        ), d AS (
+          SELECT doc_id, source,
+                 CASE
+                   WHEN regexp_matches(host, '^\\d{{1,3}}(\\.\\d{{1,3}}){{3}}$')
+                     THEN host
+                   WHEN len(ls) >= 3
+                        AND (ls[-2] || '.' || ls[-1]) IN ({suffixes})
+                     THEN ls[-3] || '.' || ls[-2] || '.' || ls[-1]
+                   WHEN len(ls) >= 2 THEN ls[-2] || '.' || ls[-1]
+                   ELSE host
+                 END AS domain
+          FROM l
+        ), f AS (
+          SELECT * FROM d WHERE domain <> '192.168.10.1'
+        ), r AS (
+          SELECT doc_id, source, domain,
+                 row_number() OVER (
+                   PARTITION BY domain
+                   ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                                 AS BIGINT),
+                            doc_id
+                 ) AS rn
+          FROM f
+        )
+        SELECT doc_id, domain, source FROM r WHERE rn <= 10
+    """
+
+
+QUERIES_EXT2["domain_cap_select"] = q_domain_cap_select
+ORACLE_EXT2["domain_cap_select"] = _domain_cap_oracle()

@@ -1,0 +1,126 @@
+"""Web-corpus domain curation operators (operators/domains.py — extends
+the dedup family with the RefinedWeb/C4 per-domain axis; no reference
+analog, the reference has no URL surface)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark.operators import (
+    domain_cap,
+    domain_filter,
+    registrable_domain,
+)
+
+
+@pytest.fixture()
+def urls(spark):
+    rows = [
+        (0, "https://news.example.co.uk/article/1"),
+        (1, "http://blog.sample.com/post?id=1"),
+        (2, "https://www.Sample.COM/about"),
+        (3, "https://sub.deep.site.com.au/p/9"),
+        (4, "http://192.168.10.1/raw/4"),
+        (5, "https://archive.org/item/5"),
+        (6, "https://host.example.co.uk./dot-final"),
+        (7, "not a url"),
+        (8, None),
+        (9, "https://localhost:8080/dev"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "url"])
+
+
+def test_registrable_domain_extraction(spark, urls):
+    got = {
+        r["doc_id"]: r["d"]
+        for r in urls.select(
+            "doc_id", registrable_domain(F.col("url")).alias("d")
+        ).collect()
+    }
+    assert got[0] == "example.co.uk"          # multi-part public suffix
+    assert got[1] == "sample.com"             # subdomain stripped
+    assert got[2] == "sample.com"             # case-folded, www stripped
+    assert got[3] == "site.com.au"            # deep subdomain, com.au
+    assert got[4] == "192.168.10.1"           # IPv4 passes whole
+    assert got[5] == "archive.org"            # bare registrable
+    assert got[6] == "example.co.uk"          # trailing dot stripped
+    assert got[7] is None                     # unparseable -> NULL
+    assert got[8] is None
+    assert got[9] == "localhost"              # single label passes whole
+
+
+def test_extra_suffixes_extend_the_shortlist(spark, urls):
+    one = urls.filter("doc_id = 5").select(
+        registrable_domain(
+            F.col("url"), extra_suffixes=["archive.org"]
+        ).alias("d")
+    )
+    # with archive.org declared a public suffix, a bare archive.org host
+    # has no registrable label below it -> last-2 fallback keeps the host
+    assert one.collect()[0]["d"] == "archive.org"
+    deep = spark.createDataFrame(
+        [("https://user.archive.org/x",)], ["url"]
+    ).select(
+        registrable_domain(F.col("url"), extra_suffixes=["archive.org"]).alias("d")
+    )
+    assert deep.collect()[0]["d"] == "user.archive.org"
+
+
+def test_domain_cap_is_deterministic_and_bounded(spark):
+    rows = [(i, f"https://h{i % 3}.example.com/x/{i}") for i in range(60)]
+    rows += [(100 + i, f"https://solo{i}.org/y") for i in range(5)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    capped = domain_cap(df, "url", 4, "doc_id")
+    # example.com is ONE registrable domain across the h0/h1/h2 hosts
+    assert capped.count() == 4 + 5
+    again = domain_cap(df, "url", 4, "doc_id")
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # schema passes through untouched
+    assert capped.columns == df.columns
+
+
+def test_domain_cap_narrow_window_plan(spark, tmp_path):
+    """The window exchange must carry the narrow (key, domain) projection,
+    not the payload: the payload returns via the key-partitioned semi-join.
+    Asserted on the winner side's parquet ReadSchema — column pruning must
+    drop the text column there."""
+    rows = [(i, f"https://d{i % 4}.net/{i}", "PAYLOAD" * 10) for i in range(40)]
+    src = str(tmp_path / "docs")
+    spark.createDataFrame(rows, ["doc_id", "url", "text"]).write.parquet(src)
+    df = spark.read.parquet(src)
+    plan = (
+        domain_cap(df, "url", 2, "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert len(schemas) == 2
+    assert any("text" not in s for s in schemas), (
+        "payload column leaked into the window side of the cap"
+    )
+    assert "Window" in plan and ("LeftSemi" in plan or "left_semi" in plan)
+
+
+def test_domain_filter_list_and_frame(spark, urls):
+    kept = domain_filter(urls, "url", ["sample.com", "192.168.10.1"])
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 1, 2 (sample.com) and 4 (the IP) dropped; NULL-domain rows KEPT
+    # (a blocklist drops known-bad domains, not unparseable rows)
+    assert ids == [0, 3, 5, 6, 7, 8, 9]
+    allow = domain_filter(urls, "url", ["example.co.uk"], keep=True)
+    assert sorted(r["doc_id"] for r in allow.collect()) == [0, 6]
+    bl = spark.createDataFrame([("SAMPLE.com",)], ["domain"])
+    kept2 = domain_filter(urls, "url", bl)
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [0, 3, 4, 5, 6, 7, 8, 9]
+
+
+def test_domain_filter_frame_broadcasts(spark, urls):
+    bl = spark.createDataFrame([("sample.com",)], ["domain"])
+    plan = (
+        domain_filter(urls, "url", bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
+    assert "LeftAnti" in plan
