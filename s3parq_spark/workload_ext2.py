@@ -2677,8 +2677,6 @@ def q_csv_ingest_roundtrip(spark, sf_dir):
     abort at ingest, never silently NULL), published partitioned by
     region, and fetched through the sidecar-typed pruned scan. Oracle =
     the raw nation table — the whole ingestion path must be lossless."""
-    import csv as _csv
-
     from pyspark.sql import types as T
 
     from .fetch import fetch_path
@@ -2692,17 +2690,15 @@ def q_csv_ingest_roundtrip(spark, sf_dir):
     marker = os.path.join(ds, "_INGESTED")
     if not os.path.exists(marker):
         shutil.rmtree(root, ignore_errors=True)
-        os.makedirs(csv_dir)
-        rows = (
+        # the landing extract is staged by the engine's own distributed
+        # writer, not a driver-side csv.writer loop
+        (
             _table(spark, sf_dir, "nation")
             .select("n_nationkey", "n_name", "n_regionkey")
-            .collect()
+            .coalesce(1)
+            .write.option("header", "true")
+            .csv(csv_dir)
         )
-        with open(os.path.join(csv_dir, "nation.csv"), "w", newline="") as fh:
-            w = _csv.writer(fh)
-            w.writerow(["n_nationkey", "n_name", "n_regionkey"])
-            for r in rows:
-                w.writerow([r["n_nationkey"], r["n_name"], r["n_regionkey"]])
         schema = T.StructType(
             [
                 T.StructField("n_nationkey", T.IntegerType()),
@@ -2887,3 +2883,95 @@ def _domain_cap_oracle() -> str:
 
 QUERIES_EXT2["domain_cap_select"] = q_domain_cap_select
 ORACLE_EXT2["domain_cap_select"] = _domain_cap_oracle()
+
+
+# ---------------------------------------------------------------------------
+# CSV dead-letter ingestion (round 7)
+# ---------------------------------------------------------------------------
+
+
+def q_csv_deadletter_publish(spark, sf_dir):
+    """Permissive CSV ingest with dead-letter routing end-to-end
+    (sources.read_csv(permissive_col=...) → corrupt-row split →
+    publish_with_expectations quarantine → pruned fetch of the clean
+    slice): a landing area holds the nation extract PLUS two type-corrupt
+    lines and one parseable-but-invalid row (n_regionkey=99). Corrupt
+    lines land whole in the rescue column (never silent NULLs); the
+    invalid row fails the range expectation and quarantines with the
+    violated rule named; exactly the 25 clean rows publish. The good
+    rows' staging file is written by the engine itself (df.write.csv) —
+    only the hand-crafted corruption is driver-written. Oracle = the raw
+    nation table: the whole ingest gauntlet must be lossless for clean
+    data."""
+    from pyspark.sql import types as T
+
+    from .fetch import fetch_path
+    from .publish import publish_with_expectations
+    from .sources import read_csv
+    from .workload import _ds_path
+
+    root = _ds_path(sf_dir, "csv_deadletter")
+    landing = os.path.join(root, "landing")
+    ds = os.path.join(root, "ds")
+    quarantine = os.path.join(root, "quarantine")
+    marker = os.path.join(root, "_DONE")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    if not os.path.exists(marker):
+        shutil.rmtree(root, ignore_errors=True)
+        (
+            _table(spark, sf_dir, "nation")
+            .select("n_nationkey", "n_name", "n_regionkey")
+            .coalesce(1)
+            .write.option("header", "true")
+            .csv(landing)
+        )
+        with open(os.path.join(landing, "batch2.csv"), "w") as fh:
+            fh.write(
+                "n_nationkey,n_name,n_regionkey\n"
+                "xx,BADLAND,1\n"          # type-corrupt key
+                "7,OOPS,zz\n"             # type-corrupt region
+                "900,ATLANTIS,99\n"       # parses, violates the range rule
+            )
+        # Spark disallows filtering on the internal corrupt-record column
+        # of a raw CSV scan (SPARK-21610): the parsed batch must be
+        # materialized first — cheap here, and at scale the landing batch
+        # is a bounded micro-batch, never the corpus
+        raw = read_csv(
+            spark, landing, schema, permissive_col="_corrupt"
+        ).cache()
+        bad_n = raw.filter(F.col("_corrupt").isNotNull()).count()
+        assert bad_n == 2, f"expected 2 dead-letter rows, got {bad_n}"
+        good = raw.filter(F.col("_corrupt").isNull()).drop("_corrupt")
+        counts = publish_with_expectations(
+            spark,
+            ds,
+            good,
+            ["n_regionkey"],
+            rules=[
+                {"name": "key_present", "constraint": "n_nationkey IS NOT NULL"},
+                {"name": "region_range",
+                 "constraint": "n_regionkey BETWEEN 0 AND 4"},
+            ],
+            quarantine_path=quarantine,
+        )
+        assert counts == {"published": 25, "quarantined": 1}, counts
+        q = fetch_path(spark, quarantine)
+        assert [r["violated"] for r in q.collect()] == ["region_range"]
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_path(spark, ds).select(
+        "n_nationkey", "n_name",
+        F.col("n_regionkey").cast("int").alias("n_regionkey"),
+    )
+
+
+QUERIES_EXT2["csv_deadletter_publish"] = q_csv_deadletter_publish
+ORACLE_EXT2["csv_deadletter_publish"] = """
+    SELECT n_nationkey, n_name, n_regionkey FROM nation
+"""
