@@ -1,0 +1,161 @@
+"""Property: driver-side manifest pruning ≡ Catalyst-only pruning.
+
+``_prune_manifest_files`` (fetch.py) is superset-safe by careful
+construction — it may only shrink the file list Spark sees, never change
+the result, because Catalyst re-applies the identical predicate to the
+remainder. This test makes that safety a PROPERTY instead of a code-review
+argument: hypothesis generates filter specs (typed, mistyped, NULL-laden,
+range and multi-value) against a dataset whose partition paths include
+NULL (``__HIVE_DEFAULT_PARTITION__``) values and boolean dirs, and asserts
+that a fetch with the driver prune active returns exactly the rows of a
+fetch with the prune disabled (Catalyst alone) — including raising the
+identical validation errors. A separate case covers an UNPARSEABLE
+partition directory: Spark 4 hard-errors on it (INVALID_PARTITION_VALUE),
+and the conservative-keep rule means both modes surface that same error
+instead of the prune silently hiding the corrupt layout."""
+
+import importlib
+import json
+import os
+import shutil
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+# the package re-exports fetch() the FUNCTION under the same name as the
+# module; import the module explicitly
+fetch_mod = importlib.import_module("s3parq_spark.fetch")
+
+from s3parq_spark.filters import OPS
+from s3parq_spark.publish import publish_path
+
+
+@pytest.fixture(scope="module")
+def weird_dataset(spark, tmp_path_factory):
+    """Partitions: p_i integer (−1, 0, 2, NULL) × p_b boolean (true/false,
+    NULL), two rows per combination."""
+    path = str(tmp_path_factory.mktemp("prune_eq") / "ds")
+    rows = []
+    rid = 0
+    for p_i in (-1, 0, 2, None):
+        for p_b in (True, False, None):
+            for _ in range(2):
+                rows.append((rid, p_i, p_b))
+                rid += 1
+    df = spark.createDataFrame(rows, "id long, p_i long, p_b boolean")
+    publish_path(spark, path, df, ["p_i", "p_b"])
+    return path
+
+
+def _plant_garbage_dir(path: str) -> None:
+    """Copy one data file under an unparseable p_i directory value and
+    acknowledge it in the sidecar manifest."""
+    src_dir = next(d for d in os.listdir(path) if d.startswith("p_i=2"))
+    src_sub = os.listdir(os.path.join(path, src_dir))[0]
+    src_file = next(
+        f
+        for f in os.listdir(os.path.join(path, src_dir, src_sub))
+        if f.endswith(".parquet")
+    )
+    bad_rel = f"p_i=notanint/{src_sub}/{src_file}"
+    os.makedirs(os.path.dirname(os.path.join(path, bad_rel)))
+    shutil.copy(
+        os.path.join(path, src_dir, src_sub, src_file),
+        os.path.join(path, bad_rel),
+    )
+    sidecar = os.path.join(path, "_s3parq_metadata.json")
+    with open(sidecar) as fh:
+        meta = json.load(fh)
+    meta["snapshots"][-1]["added"].append(bad_rel)
+    with open(sidecar, "w") as fh:
+        json.dump(meta, fh)
+
+
+value_st = st.one_of(
+    st.none(),
+    st.integers(min_value=-2, max_value=3),
+    st.booleans(),
+    st.sampled_from(["1", "true", "false", "abc", "0.5", ""]),
+)
+
+filter_st = st.fixed_dictionaries(
+    {
+        "partition": st.sampled_from(["p_i", "p_b"]),
+        "comparison": st.sampled_from(sorted(OPS)),
+        "values": st.lists(value_st, min_size=1, max_size=3),
+    }
+)
+
+
+def _rows(df):
+    return sorted(tuple(str(c) for c in r) for r in df.collect())
+
+
+def _run(spark, path, filters, prune_active: bool):
+    real_prune = fetch_mod._prune_manifest_files
+    if not prune_active:
+        fetch_mod._prune_manifest_files = lambda files, meta, fltrs: files
+    try:
+        return ("ok", _rows(fetch_mod.fetch_path(spark, path, list(filters))))
+    except (ValueError, TypeError, NotImplementedError) as e:
+        return ("err", type(e).__name__)
+    finally:
+        fetch_mod._prune_manifest_files = real_prune
+
+
+@given(filters=st.lists(filter_st, min_size=0, max_size=3))
+@settings(
+    max_examples=30,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pruned_fetch_equals_unpruned_fetch(spark, weird_dataset, filters):
+    assert _run(spark, weird_dataset, filters, True) == _run(
+        spark, weird_dataset, filters, False
+    )
+
+
+def test_null_partition_arm_is_prune_exact(spark, weird_dataset):
+    """The '== None' arm addresses the NULL partition through BOTH layers
+    (eq filters on other values must prune those dirs away identically)."""
+    for filters, expected in (
+        ([{"partition": "p_i", "comparison": "==", "values": [None]}], 6),
+        ([{"partition": "p_i", "comparison": "==", "values": [2, None]}], 12),
+        (
+            [
+                {"partition": "p_i", "comparison": ">", "values": [0]},
+                {"partition": "p_b", "comparison": "==", "values": [True]},
+            ],
+            2,
+        ),
+    ):
+        pruned = _run(spark, weird_dataset, filters, True)
+        assert pruned == _run(spark, weird_dataset, filters, False)
+        assert pruned[0] == "ok" and len(pruned[1]) == expected
+
+
+def test_unparseable_dir_fails_identically_in_both_modes(
+    spark, tmp_path
+):
+    """Spark 4 refuses an unparseable partition directory value
+    (INVALID_PARTITION_VALUE). The driver prune conservative-KEEPS any
+    path value it cannot type, so the corrupt layout surfaces the same
+    loud Spark error whether or not the prune ran — pruning never hides
+    (or decides) what Catalyst would reject."""
+    path = str(tmp_path / "ds")
+    df = spark.createDataFrame(
+        [(0, 2, True), (1, 2, False)], "id long, p_i long, p_b boolean"
+    )
+    publish_path(spark, path, df, ["p_i", "p_b"])
+    _plant_garbage_dir(path)
+    filters = [{"partition": "p_i", "comparison": "==", "values": [2]}]
+    for prune_active in (True, False):
+        real_prune = fetch_mod._prune_manifest_files
+        if not prune_active:
+            fetch_mod._prune_manifest_files = lambda files, meta, fltrs: files
+        try:
+            with pytest.raises(SparkRuntimeException, match="INVALID_PARTITION_VALUE"):
+                fetch_mod.fetch_path(spark, path, filters).collect()
+        finally:
+            fetch_mod._prune_manifest_files = real_prune
