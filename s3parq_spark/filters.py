@@ -88,12 +88,70 @@ def validate_matching_filter_data_type(
 def _typed_value(value, dtype: str):
     """Coerce a filter value to the partition's metadata type the same way the
     reference types path values (``convert_type``, ``fetch_parq.py:283-305``),
-    so e.g. a ``'2025-01-01 00:00:00'`` string filters a datetime partition."""
+    so e.g. a ``'2025-01-01 00:00:00'`` string filters a datetime partition.
+    Python's ``bool ⊂ int`` extends the same courtesy to boolean literals
+    against numeric partitions (``True == 1`` in the reference's Python
+    comparisons) — coerced HERE so the Catalyst literal is numeric too
+    (Spark 4 has no boolean↔bigint implicit cast and would fail analysis)."""
     if value is None:
         return None
     if isinstance(value, str) and dtype not in ("string", "category"):
         return convert_type(value, dtype)
+    if isinstance(value, bool) and dtype == "integer":
+        return int(value)
+    if isinstance(value, bool) and dtype == "float":
+        return float(value)
+    if (
+        isinstance(value, int)
+        and not isinstance(value, bool)
+        and dtype in ("bool", "boolean")
+        and value in (0, 1)
+    ):
+        return bool(value)
     return value
+
+
+def _value_class(v) -> str:
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int, float, _decimal.Decimal)):
+        return "num"
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return "dt"
+    if isinstance(v, str):
+        return "str"
+    return "other"
+
+
+_DTYPE_CLASS = {
+    "integer": "num",
+    "float": "num",
+    "datetime": "dt",
+    "bool": "bool",
+    "boolean": "bool",
+    "string": "str",
+    "category": "str",
+}
+
+
+def _compatible(dtype: str, v) -> bool:
+    """Whether a (typed) filter value can meaningfully compare against the
+    partition dtype. String partitions defer to Catalyst's cast semantics
+    (the engine's documented choice: ``'2' == 2`` matches via implicit
+    cast); everything else mirrors the Python truth table the reference's
+    driver comparisons produce."""
+    dcls = _DTYPE_CLASS.get(dtype, "num")  # decimal(p,s) and friends: num
+    vcls = _value_class(v)
+    if dcls == "str":
+        return True
+    if dcls == vcls:
+        return True
+    if dcls == "num" and vcls == "bool":
+        return True  # _typed_value already coerced; defensive
+    return False
 
 
 def first_filter_per_partition(filters: List[dict]) -> List[dict]:
@@ -123,6 +181,18 @@ def filters_to_predicate(
         col = F.col(f["partition"])
         values = [_typed_value(v, dtype) for v in f["values"]]
         cmp = f["comparison"]
+        # type-incompatible values (a datetime against an integer
+        # partition, 2 against a boolean, ...) follow the reference's
+        # Python truth table instead of failing Catalyst analysis:
+        # '==' never matches, '!=' matches every non-NULL row, ordering
+        # raises (exactly what `5 > datetime` does in Python)
+        incompat = [v for v in values if v is not None and not _compatible(dtype, v)]
+        if incompat and cmp not in ("==", "!="):
+            raise ValueError(
+                f"Comparison {cmp} cannot compare partition type {dtype} "
+                f"with values {incompat!r}"
+            )
+        values = [v for v in values if v is None or _compatible(dtype, v)]
         if cmp == "==":
             non_null = [v for v in values if v is not None]
             pred = col.isin(non_null) if non_null else F.lit(False)
@@ -131,9 +201,16 @@ def filters_to_predicate(
                 # NULL partition needs an explicit IS NULL arm
                 pred = pred | col.isNull()
             preds.append(pred)
+        elif cmp == "!=" and incompat:
+            # at least one no-match value: x != v is TRUE for every
+            # non-NULL x (OR-semantics across the filter's values)
+            preds.append(col.isNotNull())
         else:
             op = OPS[cmp]
-            preds.append(reduce(operator.or_, [op(col, F.lit(v)) for v in values]))
+            terms = [op(col, F.lit(v)) for v in values]
+            preds.append(
+                reduce(operator.or_, terms) if terms else F.lit(False)
+            )
     if not preds:
         return F.lit(True)
     return reduce(operator.and_, preds)

@@ -140,6 +140,67 @@ def domain_cap(
     )
 
 
+#: query parameters that identify a CLICK, not a RESOURCE — the standard
+#: strip set for URL canonicalization (Google/Facebook/Microsoft click ids,
+#: utm_* campaign tags, mailchimp ids, instagram share ids)
+_TRACKING_PARAM_RE = (
+    r"^(utm_[^=]*|gclid|fbclid|msclkid|dclid|igshid|mc_cid|mc_eid|"
+    r"ref|ref_src|spm|cmpid)="
+)
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for exact URL-level dedup — one JVM
+    expression chain, no UDF: two pages that differ only in scheme/host
+    case, default port, trailing slash, fragment, tracking parameters, or
+    query-parameter order canonicalize to the same string.
+
+    Rules (the common WARC/crawl-dedup set): scheme and host lowercase,
+    host's trailing dot stripped, default ports (``:80`` http / ``:443``
+    https) dropped, fragment dropped, path's trailing slashes trimmed
+    (empty path → ``/``), tracking parameters removed
+    (``utm_*``/``gclid``/``fbclid``/...), remaining query parameters
+    SORTED. Unparseable URLs yield NULL — dedup then ignores them rather
+    than colliding every garbage row onto one key.
+
+    This is a dedup KEY, not a fetchable address: parameter order can
+    matter to a rare endpoint, which is exactly why the canonical form
+    lives in a derived column instead of rewriting the stored URL.
+    """
+    proto = F.lower(F.try_parse_url(url, F.lit("PROTOCOL")))
+    host = F.regexp_replace(
+        F.lower(F.try_parse_url(url, F.lit("HOST"))), r"\.$", ""
+    )
+    authority = F.lower(F.try_parse_url(url, F.lit("AUTHORITY")))
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
+    keep_port = (
+        (port != "")
+        & ~((proto == "http") & (port == "80"))
+        & ~((proto == "https") & (port == "443"))
+    )
+    path = F.coalesce(F.try_parse_url(url, F.lit("PATH")), F.lit(""))
+    path = F.regexp_replace(path, r"/+$", "")
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.coalesce(F.try_parse_url(url, F.lit("QUERY")), F.lit(""))
+    params = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(_TRACKING_PARAM_RE),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.when(
+        proto.isNull() | host.isNull(), F.lit(None).cast("string")
+    ).otherwise(
+        F.concat(
+            proto,
+            F.lit("://"),
+            host,
+            F.when(keep_port, F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
+    )
+
+
 def domain_filter(
     df: DataFrame,
     url_col: str,

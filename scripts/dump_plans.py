@@ -337,6 +337,22 @@ CASES = [
         "(probe cell = assigned cell) BroadcastHashJoin - the corpus is "
         "never reshuffled and raw vectors are never read at query time.",
     ),
+    (
+        "partition_evolution_fetch",
+        "Partition-evolved read: a Union of per-spec scans - the old "
+        "spec's slice carries the o_orderpriority predicate as "
+        "PartitionFilters (file-index prune under its layout), the new "
+        "spec's slice applies it as a DataFilter/PushedFilter on the data "
+        "column - no shuffle introduced by the union, zero data movement "
+        "at evolution time.",
+    ),
+    (
+        "domain_cap_select",
+        "Per-domain cap: the row_number Window partitions on the derived "
+        "domain over a NARROW (key, domain) projection (ReadSchema on the "
+        "winner side excludes text); full rows return via a key equi-join "
+        "- the Zipf-skewed domain never routes the payload.",
+    ),
 ]
 
 

@@ -124,3 +124,35 @@ def test_domain_filter_frame_broadcasts(spark, urls):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" not in plan
     assert "LeftAnti" in plan
+
+
+def test_canonicalize_url(spark):
+    from s3parq_spark.operators import canonicalize_url
+
+    rows = [
+        # case, default port, trailing slash, fragment, tracking params,
+        # param order -> all collapse to one canonical form
+        (0, "HTTPS://Example.COM:443/a/b/?utm_source=x&z=1&a=2#frag"),
+        (1, "https://example.com/a/b?a=2&z=1"),
+        (2, "https://example.com./a/b/?z=1&a=2&gclid=abc"),
+        # different resource stays different
+        (3, "https://example.com/a/b?z=2&a=2"),
+        # non-default port survives
+        (4, "https://example.com:8443/a/b"),
+        # empty path normalizes to /
+        (5, "http://example.com:80"),
+        (6, "http://example.com/"),
+        # garbage -> NULL, never a shared dedup key
+        (7, "not a url"),
+    ]
+    got = {
+        r["doc_id"]: r["c"]
+        for r in spark.createDataFrame(rows, ["doc_id", "url"])
+        .select("doc_id", canonicalize_url(F.col("url")).alias("c"))
+        .collect()
+    }
+    assert got[0] == got[1] == got[2] == "https://example.com/a/b?a=2&z=1"
+    assert got[3] == "https://example.com/a/b?a=2&z=2"
+    assert got[4] == "https://example.com:8443/a/b"
+    assert got[5] == got[6] == "http://example.com/"
+    assert got[7] is None
