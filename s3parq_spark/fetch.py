@@ -680,10 +680,12 @@ def _prune_manifest_files(
 
     # Python types convert_type() produces per dtype: a filter value whose
     # typed form falls outside them (e.g. int 12345 against a STRING
-    # partition) would compare '12345' == 12345 -> False here while
-    # Catalyst matches it via implicit cast — so such filters are skipped
-    # entirely (Catalyst prunes them instead). bool is an int subclass, so
-    # True/1 against integer partitions stays consistent with the cast.
+    # partition) is skipped here and left to the predicate layer, which
+    # since r7 resolves type-incompatible values with the reference's
+    # Python truth table ('==' no match, '!=' every non-NULL row) instead
+    # of Catalyst casts — Spark 4's ANSI cast would otherwise crash the
+    # file-index prune on any non-numeric partition value. bool is an int
+    # subclass, so True/1 against integer partitions stays consistent.
     prune_ok = {
         "string": (str,),
         "category": (str,),

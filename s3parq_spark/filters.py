@@ -139,14 +139,14 @@ _DTYPE_CLASS = {
 
 def _compatible(dtype: str, v) -> bool:
     """Whether a (typed) filter value can meaningfully compare against the
-    partition dtype. String partitions defer to Catalyst's cast semantics
-    (the engine's documented choice: ``'2' == 2`` matches via implicit
-    cast); everything else mirrors the Python truth table the reference's
-    driver comparisons produce."""
+    partition dtype, mirroring the Python truth table the reference's
+    driver comparisons produce (``'x' == 5`` is False, never an error).
+    Non-string values against STRING partitions are incompatible too: the
+    old let-Catalyst-cast behavior became a runtime crash under Spark 4's
+    ANSI casts (``CAST_INVALID_INPUT`` the moment any partition value is
+    non-numeric), and the reference's semantics were always no-match."""
     dcls = _DTYPE_CLASS.get(dtype, "num")  # decimal(p,s) and friends: num
     vcls = _value_class(v)
-    if dcls == "str":
-        return True
     if dcls == vcls:
         return True
     if dcls == "num" and vcls == "bool":

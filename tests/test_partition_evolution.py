@@ -283,3 +283,89 @@ def test_evolved_dataset_with_derived_partitions(spark, sf_dir, tmp_dataset_dir)
         ],
     )
     assert f.count() == orders.filter("o_orderdate >= '1997-01-01'").count()
+
+
+# ---------------------------------------------------------------------------
+# property: evolved-fetch filter routing ≡ post-hoc row filtering
+# ---------------------------------------------------------------------------
+
+
+def _truth_table_keep(row, filters):
+    """The reference truth table (OR across a filter's values, AND across
+    partitions, first filter per partition, SQL NULL semantics) evaluated
+    driver-side on a collected row."""
+    import operator
+
+    OPS = {
+        "==": operator.eq, "!=": operator.ne, ">": operator.gt,
+        "<": operator.lt, ">=": operator.ge, "<=": operator.le,
+    }
+    seen = set()
+    for f in filters:
+        col = f["partition"]
+        if col in seen:
+            continue
+        seen.add(col)
+        x = row[col]
+        if x is None:
+            if not (f["comparison"] == "==" and any(v is None for v in f["values"])):
+                return False
+            continue
+        op = OPS[f["comparison"]]
+        if not any(v is not None and op(x, v) for v in f["values"]):
+            return False
+    return True
+
+
+def test_evolved_filter_routing_matches_truth_table(spark, nation, tmp_dataset_dir):
+    """Across a partition-evolved dataset, every filter combination must
+    return exactly the rows the truth table admits — whichever spec each
+    row's file lives under (partition prune in one slice, row predicate in
+    the other). Sweeps a grid of filters over BOTH specs' columns."""
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    publish_path(spark, tmp_dataset_dir, nation.filter("n_nationkey < 10"), ["n_regionkey"])
+    publish_path(
+        spark, tmp_dataset_dir, nation.filter("n_nationkey >= 10"), ["n_name"],
+        evolve_partitions=True,
+    )
+    all_rows = [r.asDict() for r in fetch_path(spark, tmp_dataset_dir).collect()]
+    assert len(all_rows) == 25
+
+    filter_st = st.lists(
+        st.fixed_dictionaries(
+            {
+                "partition": st.sampled_from(["n_regionkey", "n_name"]),
+                "comparison": st.sampled_from(["==", "!=", ">", "<", ">=", "<="]),
+                "values": st.lists(
+                    st.one_of(
+                        st.integers(min_value=-1, max_value=5),
+                        st.sampled_from(["JAPAN", "FRANCE", "NOPE"]),
+                        st.none(),
+                    ),
+                    min_size=1, max_size=2,
+                ),
+            }
+        ),
+        min_size=0, max_size=2,
+    )
+
+    @given(filters=filter_st)
+    @settings(
+        max_examples=25, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(filters):
+        # respect the API's own validation rules: skip combos fetch rejects
+        # for BOTH engines identically (single-value inequalities, no
+        # ranges on strings, type-compatible values)
+        try:
+            got = fetch_path(spark, tmp_dataset_dir, list(filters)).collect()
+        except (ValueError, TypeError):
+            return
+        expected = [r for r in all_rows if _truth_table_keep(r, filters)]
+        assert sorted(r["n_nationkey"] for r in got) == sorted(
+            r["n_nationkey"] for r in expected
+        ), filters
+
+    run()
