@@ -282,28 +282,27 @@ def main() -> None:
                 # r04+; NOT to r03 and earlier (single-shot reads).
                 "method": f"reads=min-of-{n_runs}; publishes=cold-single-run; "
                           "probes=single-run, excluded from total",
-                # r06: the publish sizing-sample job is GONE for parquet-
-                # backed inputs — file sizes + a footer sample give exact
-                # compressed bytes/row with zero Spark jobs (publish.py
-                # _parquet_scan_row_bytes), publish -6.6% vs r05. The
-                # r4->r5 read drift (+10-22% on six read entries) was
-                # profiled to fixed per-fetch DRIVER latency: ~6 py4j round
-                # trips for the JVM-stream sidecar read and ~2 per column
-                # for the final reorder-select. Fixed by reading local
-                # sidecars through the OS (fs.read_text) and projecting via
-                # one DataFrame.to(schema) call (fetch._project_dataset_
-                # columns); every drifted entry is back at or below its r4
-                # level (fetch_all 0.121 vs r4 0.136, fetch_diff 0.222 vs
-                # 0.241, token_stats 0.121 vs 0.122, dedup_exact 0.231 vs
-                # 0.261, fetch_filter_datetime 0.346 vs 0.397).
-                "notes": "publish sizing footer-based (no sampling job) "
-                         "for parquet-backed inputs — computed BEFORE the "
-                         "rebalance hint wraps the plan, where the review "
-                         "found it dead (publish 4.17s r5 -> ~2.7s r6); "
-                         "r5 read-path drift fixed (py4j chatter: OS-path "
-                         "sidecar reads + one-call schema projection + "
-                         "driver-side manifest pruning) — every read "
-                         "entry at or below its r4 level",
+                # r07: no headline perf work this round — the round's code
+                # (partition-spec evolution, domain curation, the filter
+                # truth-table hardening) sits OFF the headline paths, and
+                # the pre/post totals confirm no regression (14.27 s vs
+                # r6's 14.206 s, within run noise; every entry within a
+                # few hundredths of its r6 value). The new signal is
+                # probes_sf1: real end-to-end runs of the top-5 shapes at
+                # ~sf1 (materialized 10x directory, 6M lineitem). 10x data
+                # -> publish 0.93x (the sf0.1 publish is fixed-cost/commit
+                # dominated, so the write path absorbs 10x volume inside
+                # the same wall time), Q3 3.3x, PPJoin near-dup 3.3x,
+                # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
+                # sublinear, none superlinear, which is the 100x-scale
+                # signal the sf0.1 totals cannot give.
+                "notes": "r7: totals flat vs r6 (14.27 vs 14.206 s — the "
+                         "round's features are off the headline paths); "
+                         "new probes_sf1 block runs the top-5 shapes "
+                         "end-to-end at ~sf1 via a materialized 10x "
+                         "directory — all sublinear (publish 0.93x, Q3 "
+                         "3.3x, neardup 3.3x, minhash 2.7x, ann 1.8x for "
+                         "10x data)",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time
