@@ -159,3 +159,81 @@ def test_unparseable_dir_fails_identically_in_both_modes(
                 fetch_mod.fetch_path(spark, path, filters).collect()
         finally:
             fetch_mod._prune_manifest_files = real_prune
+
+
+@pytest.fixture(scope="module")
+def temporal_dataset(spark, tmp_path_factory):
+    """Partitions: p_ts datetime (values whose path rendering needs URL
+    escaping — colons — plus NULL) and p_s string (values with spaces,
+    URL-escapable chars, and NULL)."""
+    import datetime as dt
+
+    path = str(tmp_path_factory.mktemp("prune_eq_t") / "ds")
+    stamps = [
+        dt.datetime(2021, 3, 1, 0, 0, 0),
+        dt.datetime(2021, 3, 2, 13, 45, 10),
+        dt.datetime(2022, 1, 1, 23, 59, 59),
+        None,
+    ]
+    names = ["plain", "has space", "a:b=c", None]
+    rows = []
+    rid = 0
+    for ts in stamps:
+        for s in names:
+            rows.append((rid, ts, s))
+            rid += 1
+    df = spark.createDataFrame(rows, "id long, p_ts timestamp, p_s string")
+    publish_path(spark, path, df, ["p_ts", "p_s"])
+    return path
+
+
+t_value_st = st.one_of(
+    st.none(),
+    st.sampled_from(
+        [
+            "2021-03-01 00:00:00",
+            "2021-03-02 13:45:10",
+            "2022-01-01 23:59:59",
+            "2020-01-01 00:00:00",
+        ]
+    ),
+)
+s_value_st = st.one_of(
+    st.none(),
+    st.sampled_from(["plain", "has space", "a:b=c", "missing", ""]),
+    st.integers(min_value=0, max_value=2),
+)
+
+t_filter_st = st.one_of(
+    st.fixed_dictionaries(
+        {
+            "partition": st.just("p_ts"),
+            "comparison": st.sampled_from(sorted(OPS)),
+            "values": st.lists(t_value_st, min_size=1, max_size=2),
+        }
+    ),
+    st.fixed_dictionaries(
+        {
+            "partition": st.just("p_s"),
+            "comparison": st.sampled_from(sorted(OPS)),
+            "values": st.lists(s_value_st, min_size=1, max_size=2),
+        }
+    ),
+)
+
+
+@given(filters=st.lists(t_filter_st, min_size=0, max_size=2))
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pruned_equals_unpruned_on_temporal_and_string(
+    spark, temporal_dataset, filters
+):
+    """Datetime partitions render with URL-escaped colons in hive paths and
+    string partitions can carry spaces/'='/':' — the driver prune parses
+    and types exactly what Catalyst does, or conservatively keeps."""
+    assert _run(spark, temporal_dataset, filters, True) == _run(
+        spark, temporal_dataset, filters, False
+    )
