@@ -170,7 +170,10 @@ def get_all_partition_values(
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
     dtype = meta.all_partition_data_types()[partition]
     values = _partition_value_strs(spark, path, files, meta, partition)
-    return [convert_type(v, dtype) for v in values]
+    # dedupe AFTER typing: on a multi-spec dataset the same value can
+    # arrive as a hive-path rendering and a str() rendering ('1.0E-7' vs
+    # '1e-07') that differ as strings but type identically
+    return list({convert_type(v, dtype) for v in values})
 
 
 def get_max_partition_value(
@@ -822,6 +825,28 @@ def _read_files_one_spec(
     else:
         df = spark.createDataFrame([], full_schema)
     df = _resolve_renames(df, meta)
+    # ANOTHER spec's derived partition column exists in this slice's files
+    # neither as a hive dir nor as data (derived cols are computed at
+    # write under their owning spec only) — it reads as all-NULL here,
+    # which would silently drop this slice's rows from any filter (or
+    # value query) naming it. Re-derive it from the recorded transform
+    # wherever the source columns are present: the column's VALUE is by
+    # definition the transform of its sources, whichever spec stored it.
+    import re as _re
+
+    for osp in meta.specs():
+        for dcol, expr in (osp.get("derived_partitions") or {}).items():
+            if dcol in spec_meta.partition_data_types or dcol not in df.columns:
+                continue
+            srcs = set(_re.findall(r"[A-Za-z_][A-Za-z0-9_]*", expr)) & set(
+                meta.column_types
+            )
+            if srcs <= set(df.columns):
+                dtype = metadata.vocab_to_spark_type(meta.column_types[dcol])
+                df = df.withColumn(
+                    dcol,
+                    F.coalesce(F.col(dcol), F.expr(expr).cast(dtype)),
+                )
     if spec_f:
         df = df.filter(
             filters_to_predicate(spec_f, spec_meta.partition_data_types)

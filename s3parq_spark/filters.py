@@ -101,13 +101,13 @@ def _typed_value(value, dtype: str):
         return int(value)
     if isinstance(value, bool) and dtype == "float":
         return float(value)
-    if (
-        isinstance(value, int)
-        and not isinstance(value, bool)
-        and dtype in ("bool", "boolean")
-        and value in (0, 1)
-    ):
-        return bool(value)
+    if dtype in ("bool", "boolean") and not isinstance(value, bool):
+        import decimal as _decimal
+
+        # Python's numeric tower: 1 == 1.0 == Decimal(1) == True — any
+        # numeric equal to 0/1 compares as that boolean in the reference
+        if isinstance(value, (int, float, _decimal.Decimal)) and value in (0, 1):
+            return bool(value)
     return value
 
 

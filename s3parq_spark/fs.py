@@ -66,7 +66,11 @@ _DEFAULT_FS_LOCAL: dict = {}
 
 
 def _default_fs_is_local(spark: SparkSession) -> bool:
-    key = id(spark.sparkContext)
+    # keyed by applicationId + startTime, NOT id(): a stopped context's
+    # id() can be reused by a successor with a different defaultFS, and a
+    # stale True would split sidecar (driver disk) from data (defaultFS)
+    sc = spark.sparkContext
+    key = (sc.applicationId, sc.startTime)
     cached = _DEFAULT_FS_LOCAL.get(key)
     if cached is None:
         default = spark.sparkContext._jsc.hadoopConfiguration().get(

@@ -86,16 +86,16 @@ def registrable_domain(
     )
 
 
-_HASH60_FMT = "cast(conv(substr(md5(cast({col} as string)), 1, 15), 16, 10) as bigint)"
-
-
 def _rank_hash(key: str, portable: bool) -> Column:
     """Deterministic pseudo-random rank for keep-first-N selection.
     ``xxhash64`` is the production default (one JVM call); the portable
-    form is the repo's 60-bit md5 hash, byte-identical in DuckDB — used
-    when a result must replay under the oracle gate."""
+    form is the repo's shared 60-bit md5 hash (``sampling._hash60``),
+    byte-identical in DuckDB — used when a result must replay under the
+    oracle gate."""
     if portable:
-        return F.expr(_HASH60_FMT.format(col=key))
+        from .sampling import _hash60
+
+        return _hash60(F.col(key))
     return F.xxhash64(F.col(key))
 
 
@@ -111,6 +111,12 @@ def domain_cap(
     chosen DETERMINISTICALLY (hash-ordered by ``key_col``, ties broken by
     the key) — the RefinedWeb-style per-domain cap, reproducible across
     runs and cluster sizes.
+
+    Rows with a NULL registrable domain (unparseable/garbage URLs) pass
+    through UNCAPPED: they share no domain, so pooling them under one
+    quota would discard documents for having a bad URL rather than for
+    belonging to a hot host — the same keep-the-unparseable policy as
+    ``domain_filter`` blocklists and ``canonicalize_url``.
 
     Plan shape (the 100 TB contract): winners are decided on a
     ``(key, domain)`` projection — the window's exchange, partitioned by
@@ -131,9 +137,13 @@ def domain_cap(
         _rank_hash("__dc_key", portable_hash), F.col("__dc_key")
     )
     winners = (
-        keyed.withColumn("__dc_r", F.row_number().over(w))
+        keyed.filter(F.col("__dc_dom").isNotNull())
+        .withColumn("__dc_r", F.row_number().over(w))
         .filter(F.col("__dc_r") <= max_per_domain)
         .select("__dc_key")
+    )
+    winners = winners.unionByName(
+        keyed.filter(F.col("__dc_dom").isNull()).select("__dc_key")
     )
     return df.join(
         winners, F.col(key_col) == F.col("__dc_key"), "left_semi"

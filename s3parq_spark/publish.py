@@ -1729,29 +1729,41 @@ def expire_snapshots(
     if keep_last < 1:
         raise ValueError("expire_snapshots: keep_last must be >= 1")
     cut = len(meta.snapshots) - keep_last
-    if meta.partition_specs:
-        # a squashed base is ONE snapshot and can carry only one spec
-        # stamp, so the squash must never cross a partition-spec boundary
-        # (files of two layouts merged under one stamp would plan wrong):
-        # truncate the squash range at the first spec change
-        first_sid = meta.snapshot_spec_id(meta.snapshots[0])
-        for i, s in enumerate(meta.snapshots):
-            if meta.snapshot_spec_id(s) != first_sid:
-                cut = min(cut, i)
-                break
     if cut <= 1:
         # nothing strictly older than the base-to-be: no-op
         return []
     squashed = meta.snapshots[:cut]
-    expired = [s["version"] for s in squashed[:-1]]
-    base = {
-        "version": squashed[-1]["version"],
-        "added": sorted({f for s in squashed for f in s.get("added", [])}),
-    }
-    if squashed[-1].get("ts") is not None:
-        base["ts"] = squashed[-1]["ts"]
-    if meta.partition_specs:
-        base["spec"] = meta.snapshot_spec_id(squashed[-1])
+    # A squashed base is ONE snapshot and can carry only one spec stamp,
+    # so a squash must never merge snapshots of two partition specs
+    # (files of two layouts under one stamp would plan wrong). Squash
+    # PER contiguous same-spec run — one base per run — so expiry keeps
+    # bounding history even after evolutions (a first-boundary cutoff
+    # would make expiry a permanent no-op for the post-evolution stream,
+    # the exact unbounded-growth case this function exists for).
+    # Single-spec datasets have one run: identical behavior to before.
+    runs: List[List[dict]] = []
+    for s in squashed:
+        sid = meta.snapshot_spec_id(s) if meta.partition_specs else None
+        if runs and runs[-1][0] == sid:
+            runs[-1][1].append(s)
+        else:
+            runs.append([sid, [s]])
+    bases: List[dict] = []
+    expired: List[int] = []
+    for sid, run in runs:
+        base = {
+            "version": run[-1]["version"],
+            "added": sorted({f for s in run for f in s.get("added", [])}),
+        }
+        if run[-1].get("ts") is not None:
+            base["ts"] = run[-1]["ts"]
+        if meta.partition_specs:
+            base["spec"] = sid
+        bases.append(base)
+        expired.extend(s["version"] for s in run[:-1])
+    if not expired:
+        # every run already a single snapshot: identity rewrite, skip
+        return []
     if not dry_run:
         # guard the read-modify-write against a concurrent publish (the
         # docstring's own motivating workload commits every minute): the
@@ -1770,7 +1782,7 @@ def expire_snapshots(
                 f"expire_snapshots: history at {path} changed during the "
                 "squash (concurrent publish?); re-run"
             )
-        current.snapshots = [base, *current.snapshots[cut:]]
+        current.snapshots = [*bases, *current.snapshots[cut:]]
         metadata.write_sidecar(spark, path, current)
     return expired
 
@@ -1828,11 +1840,16 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
     def mutate(meta):
         if old not in meta.column_types:
             raise ValueError(f"rename_column: no column {old!r} at {path}")
-        if old in meta.partitions:
-            raise ValueError(
-                f"rename_column: {old!r} is a partition column — its name "
-                "is the directory layout; re-layout with repartition_dataset"
-            )
+        # EVERY spec's partitions, not just the current one: an archived
+        # spec's partition column is still the directory layout of that
+        # spec's files (renaming it would leave its slice unfilterable)
+        for sp in meta.specs():
+            if old in sp["partitions"]:
+                raise ValueError(
+                    f"rename_column: {old!r} is a partition column (spec "
+                    f"{sp['spec_id']}) — its name is the directory layout; "
+                    "re-layout with repartition_dataset"
+                )
         used = (
             set(meta.column_types)
             | set(meta.column_renames)  # incl. __dropped_ tombstone keys
@@ -1845,13 +1862,14 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
             )
         import re as _re
 
-        for dcol, expr in meta.derived_partitions.items():
-            if _re.search(rf"\b{_re.escape(old)}\b", expr):
-                raise ValueError(
-                    f"rename_column: {old!r} is referenced by derived "
-                    f"partition {dcol!r} ({expr}); drop/recreate the "
-                    "transform first"
-                )
+        for sp in meta.specs():
+            for dcol, expr in (sp.get("derived_partitions") or {}).items():
+                if _re.search(rf"\b{_re.escape(old)}\b", expr):
+                    raise ValueError(
+                        f"rename_column: {old!r} is referenced by derived "
+                        f"partition {dcol!r} ({expr}); drop/recreate the "
+                        "transform first"
+                    )
         meta.column_types = {
             (new if k == old else k): v for k, v in meta.column_types.items()
         }
@@ -1884,21 +1902,26 @@ def drop_column(spark: SparkSession, path: str, name: str) -> None:
     def mutate(meta):
         if name not in meta.column_types:
             raise ValueError(f"drop_column: no column {name!r} at {path}")
-        if name in meta.partitions:
-            raise ValueError(
-                f"drop_column: {name!r} is a partition column; re-layout "
-                "with repartition_dataset instead"
-            )
+        # every spec's partitions (see rename_column): archived-spec
+        # partition columns still shape their slice's layout and reads
+        for sp in meta.specs():
+            if name in sp["partitions"]:
+                raise ValueError(
+                    f"drop_column: {name!r} is a partition column (spec "
+                    f"{sp['spec_id']}); re-layout with repartition_dataset "
+                    "instead"
+                )
         import re as _re
 
-        for dcol, expr in meta.derived_partitions.items():
-            if _re.search(rf"\b{_re.escape(name)}\b", expr):
-                raise ValueError(
-                    f"drop_column: {name!r} is referenced by derived "
-                    f"partition {dcol!r} ({expr}); appends re-derive the "
-                    "transform and would break — drop/recreate the "
-                    "transform first"
-                )
+        for sp in meta.specs():
+            for dcol, expr in (sp.get("derived_partitions") or {}).items():
+                if _re.search(rf"\b{_re.escape(name)}\b", expr):
+                    raise ValueError(
+                        f"drop_column: {name!r} is referenced by derived "
+                        f"partition {dcol!r} ({expr}); appends re-derive "
+                        "the transform and would break — drop/recreate "
+                        "the transform first"
+                    )
         priors = meta.column_renames.pop(name, [])
         meta.column_types.pop(name)
         # tombstone: map a never-readable sentinel to the dead physical

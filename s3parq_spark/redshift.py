@@ -216,6 +216,16 @@ def create_table(
     probe = executor(table_exists_sql(table_name, schema_name))
     exists = False
     if probe is not None:
+        if isinstance(probe, (str, bytes)):
+            # a DBAPI status string ('SELECT 1') is iterable and would
+            # silently read as "table exists" — exactly the ambiguity
+            # this contract rejects
+            raise TypeError(
+                "create_table executor must return result rows (an "
+                "iterable of rows) or None for existence probes; got a "
+                f"status string {probe!r} — it cannot distinguish 'table "
+                "exists' from 'statement ran'"
+            )
         try:
             exists = bool(list(probe))
         except TypeError:

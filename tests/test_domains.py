@@ -96,9 +96,10 @@ def test_domain_cap_narrow_window_plan(spark, tmp_path):
     import re
 
     schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
-    assert len(schemas) == 2
-    assert any("text" not in s for s in schemas), (
-        "payload column leaked into the window side of the cap"
+    # payload side reads text once; winner branches (window + NULL
+    # passthrough) stay narrow
+    assert sum("text" in s for s in schemas) == 1, (
+        "payload column leaked into the winner side of the cap"
     )
     assert "Window" in plan and ("LeftSemi" in plan or "left_semi" in plan)
 
@@ -156,3 +157,17 @@ def test_canonicalize_url(spark):
     assert got[4] == "https://example.com:8443/a/b"
     assert got[5] == got[6] == "http://example.com/"
     assert got[7] is None
+
+
+def test_domain_cap_null_domains_pass_through(spark):
+    from s3parq_spark.operators import domain_cap
+
+    rows = [(i, f"https://hot.example.com/{i}") for i in range(20)]
+    rows += [(100 + i, "not a url") for i in range(15)]
+    rows += [(200, None)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    capped = domain_cap(df, "url", 5, "doc_id")
+    # 5 example.com winners; ALL 16 NULL-domain rows kept (garbage URLs
+    # are not a domain and never compete for a quota)
+    assert capped.count() == 5 + 16
+    assert capped.filter("doc_id >= 100").count() == 16

@@ -369,3 +369,77 @@ def test_evolved_filter_routing_matches_truth_table(spark, nation, tmp_dataset_d
         ), filters
 
     run()
+
+
+def test_cross_spec_filter_on_derived_column_rederives(spark, sf_dir, tmp_dataset_dir):
+    """A filter naming spec-1's DERIVED partition column must match spec-2
+    rows too: the column exists in neither spec-2's paths nor its data
+    files, so the slice re-derives it from the recorded transform."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    old = orders.filter("o_orderkey % 2 = 0")
+    new = orders.filter("o_orderkey % 2 = 1")
+    publish_path(
+        spark, tmp_dataset_dir, old, [],
+        derived_partitions={"order_month": "date_format(o_orderdate, 'yyyy-MM')"},
+    )
+    publish_path(
+        spark, tmp_dataset_dir, new, ["o_orderpriority"], evolve_partitions=True
+    )
+    got = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "order_month", "comparison": "==", "values": ["1997-03"]}],
+    )
+    exp = orders.filter("date_format(o_orderdate, 'yyyy-MM') = '1997-03'")
+    assert got.count() == exp.count()
+    # both parities present: the v2 slice contributed its rows
+    assert got.filter("o_orderkey % 2 = 1").count() == exp.filter(
+        "o_orderkey % 2 = 1"
+    ).count()
+    # the full fetch surfaces the derived column computed for v2 rows too
+    full = fetch_path(spark, tmp_dataset_dir)
+    assert full.filter(F.col("order_month").isNull()).count() == 0
+    # and A1 sees the union of path values and re-derived values
+    vals = get_all_partition_values(tmp_dataset_dir, "", "order_month", spark=spark)
+    exp_vals = {
+        r[0]
+        for r in orders.selectExpr(
+            "date_format(o_orderdate, 'yyyy-MM') m"
+        ).distinct().collect()
+    }
+    assert set(vals) == exp_vals
+
+
+def test_rename_drop_guard_archived_spec_partitions(spark, evolved):
+    from s3parq_spark.publish import drop_column, rename_column
+
+    path, _ = evolved  # spec1 on n_regionkey (archived), spec2 on n_name
+    with pytest.raises(ValueError, match="partition column \\(spec 1\\)"):
+        rename_column(spark, path, "n_regionkey", "region_id")
+    with pytest.raises(ValueError, match="partition column \\(spec 1\\)"):
+        drop_column(spark, path, "n_regionkey")
+    # a plain value column still renames fine on an evolved dataset
+    rename_column(spark, path, "n_nationkey", "nation_id")
+    assert "nation_id" in fetch_path(spark, path).columns
+
+
+def test_expire_squashes_per_spec_run(spark, nation, tmp_dataset_dir):
+    """Expiry keeps bounding history after an evolution: one base per
+    contiguous same-spec run, never a cross-spec merge, never a no-op."""
+    publish_path(spark, tmp_dataset_dir, nation.filter("n_nationkey < 5"), ["n_regionkey"])
+    publish_path(
+        spark, tmp_dataset_dir,
+        nation.filter("n_nationkey >= 5 and n_nationkey < 10"), ["n_name"],
+        evolve_partitions=True,
+    )
+    publish_path(spark, tmp_dataset_dir, nation.filter("n_nationkey >= 10 and n_nationkey < 15"), ["n_name"])
+    publish_path(spark, tmp_dataset_dir, nation.filter("n_nationkey >= 15"), ["n_name"])
+    expired = expire_snapshots(spark, tmp_dataset_dir, keep_last=1)
+    # squash range = v1(spec1), v2+v3(spec2): spec-1 run is a singleton
+    # base, spec-2 run squashes v2 into the v3 base
+    assert expired == [2]
+    m = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert [(s["version"], s.get("spec")) for s in m.snapshots] == [
+        (1, 1), (3, 2), (4, 2),
+    ]
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+    assert fetch_at(spark, tmp_dataset_dir, 3).count() == 15
