@@ -251,3 +251,31 @@ class TestRound6PlanContracts:
         # never a doc x doc comparison
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+
+class TestRound7Contracts:
+    def test_partition_evolution_union_per_spec_prune(self, spark, sf_dir):
+        """The evolved read is a UNION of per-spec scans: the old-spec
+        slice carries the filter as PartitionFilters (file-index prune),
+        the new-spec slice pushes it to parquet on the data column, and
+        the union introduces no exchange."""
+        plan = _plan(spark, sf_dir, "partition_evolution_fetch")
+        assert "Union" in plan
+        m = re.search(r"PartitionFilters: \[([^\]]*o_orderpriority[^\]]*)\]", plan)
+        assert m, "old-spec slice lost its PartitionFilters prune"
+        assert re.search(
+            r"PushedFilters: \[[^\]]*EqualTo\(o_orderpriority", plan
+        ), "new-spec slice lost its parquet pushdown"
+        assert "Exchange" not in plan, "a spec-union read must not shuffle"
+
+    def test_domain_cap_narrow_window_and_key_join(self, spark, sf_dir):
+        """The cap's row_number window partitions on the derived domain
+        over a narrow projection; the payload returns via a key equi-join
+        — and the text column never reaches the winner branches."""
+        plan = _plan(spark, sf_dir, "domain_cap_select")
+        assert "Window" in plan
+        schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        assert sum("text" in s for s in schemas) <= 1, (
+            "payload leaked into a winner branch"
+        )
+        assert "CartesianProduct" not in plan
