@@ -1741,7 +1741,7 @@ def expire_snapshots(
     # would make expiry a permanent no-op for the post-evolution stream,
     # the exact unbounded-growth case this function exists for).
     # Single-spec datasets have one run: identical behavior to before.
-    runs: List[List[dict]] = []
+    runs: List[list] = []  # [spec_id, [snapshots...]] per contiguous run
     for s in squashed:
         sid = meta.snapshot_spec_id(s) if meta.partition_specs else None
         if runs and runs[-1][0] == sid:
