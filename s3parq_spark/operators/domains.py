@@ -211,6 +211,54 @@ def canonicalize_url(url: Column) -> Column:
     )
 
 
+def domain_stats(
+    df: DataFrame,
+    url_col: str,
+    size_col: Optional[str] = None,
+    extra_suffixes: Optional[List[str]] = None,
+) -> DataFrame:
+    """Per-registrable-domain corpus profile — the input to choosing cap
+    values and blocklists (RefinedWeb-style curation decides per-domain,
+    so the first question about any web corpus is "which domains carry
+    the mass"): one row per domain with ``n_docs``, the corpus share
+    ``doc_share``, and — when ``size_col`` names a numeric column (chars,
+    tokens, bytes) — ``total_size``/``size_share``. NULL domains
+    (unparseable URLs) aggregate under a NULL row so garbage volume is
+    visible rather than silently excluded.
+
+    One hash aggregate on the domain key with map-side partials plus a
+    1-row broadcast of the corpus totals — no sort, no window; the output
+    is O(domains), tiny relative to any corpus worth profiling. Sort by
+    ``doc_share`` downstream to see the Zipf head this module's cap
+    exists to tame.
+    """
+    dom = registrable_domain(F.col(url_col), extra_suffixes)
+    aggs = [F.count(F.lit(1)).alias("n_docs")]
+    if size_col is not None:
+        if size_col not in df.columns:
+            raise ValueError(f"size column {size_col!r} not in dataframe")
+        aggs.append(
+            F.sum(F.col(size_col).cast("double")).alias("total_size")
+        )
+    per_dom = df.select(dom.alias("domain"), *(
+        [F.col(size_col)] if size_col else []
+    )).groupBy("domain").agg(*aggs)
+    total_aggs = [F.sum("n_docs").alias("__t_docs")]
+    if size_col is not None:
+        total_aggs.append(F.sum("total_size").alias("__t_size"))
+    totals = per_dom.agg(*total_aggs)
+    out = per_dom.join(F.broadcast(totals))
+    out = out.withColumn(
+        "doc_share", (F.col("n_docs") / F.col("__t_docs")).cast("double")
+    ).drop("__t_docs")
+    if size_col is not None:
+        out = out.withColumn(
+            "size_share",
+            (F.col("total_size") / F.col("__t_size")).cast("double"),
+        ).drop("__t_size")
+    return out
+
+
 def domain_filter(
     df: DataFrame,
     url_col: str,

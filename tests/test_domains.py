@@ -171,3 +171,43 @@ def test_domain_cap_null_domains_pass_through(spark):
     # are not a domain and never compete for a quota)
     assert capped.count() == 5 + 16
     assert capped.filter("doc_id >= 100").count() == 16
+
+
+def test_domain_stats(spark):
+    from s3parq_spark.operators import domain_stats
+
+    rows = [(i, "https://big.example.com/x", 100) for i in range(6)]
+    rows += [(10 + i, "https://small.org/y", 50) for i in range(3)]
+    rows += [(20, "garbage", 10)]
+    df = spark.createDataFrame(rows, ["doc_id", "url", "n_chars"])
+    got = {
+        r["domain"]: r
+        for r in domain_stats(df, "url", size_col="n_chars").collect()
+    }
+    assert got["example.com"]["n_docs"] == 6
+    assert abs(got["example.com"]["doc_share"] - 0.6) < 1e-9
+    assert got["example.com"]["total_size"] == 600.0
+    assert got["small.org"]["n_docs"] == 3
+    # garbage URLs surface as a visible NULL-domain row
+    assert got[None]["n_docs"] == 1
+    assert abs(sum(r["doc_share"] for r in got.values()) - 1.0) < 1e-9
+    assert abs(sum(r["size_share"] for r in got.values()) - 1.0) < 1e-9
+    # without size_col, no size columns
+    slim = domain_stats(df, "url")
+    assert set(slim.columns) == {"domain", "n_docs", "doc_share"}
+
+
+def test_domain_stats_plan_is_agg_plus_broadcast(spark):
+    from s3parq_spark.operators import domain_stats
+
+    df = spark.createDataFrame(
+        [(i, f"https://d{i % 3}.net/{i}") for i in range(30)],
+        ["doc_id", "url"],
+    )
+    plan = (
+        domain_stats(df, "url")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan and "Window" not in plan
