@@ -21,6 +21,7 @@ row I/O — exactly like the reference.
 from __future__ import annotations
 
 import posixpath
+import re as _re
 from collections import OrderedDict
 from typing import Dict, List, Optional
 from urllib.parse import unquote
@@ -295,8 +296,6 @@ def _derived_pushdown(spark, meta, filters):
     knowledge the user-facing API cannot assume); residuals are
     ``(column, comparison, typed_values)`` applied post-scan.
     """
-    import re as _re
-
     from .filters import first_filter_per_partition
 
     # the reference rule — only the FIRST filter naming a column applies —
@@ -479,16 +478,9 @@ def fetch_path(
         # actually touch, not the dataset (scripts/file_index_probe.py
         # records the scaling curve).
         files = _prune_manifest_files(files, meta, filters)
-        if files:
-            df = (
-                spark.read.schema(full_schema)
-                .option("basePath", path)
-                .parquet(*[posixpath.join(path, f) for f in files])
-            )
-        else:
-            # every file pruned: empty frame WITH the dataset schema (same
-            # result shape a no-match Catalyst prune produces)
-            df = spark.createDataFrame([], full_schema)
+        # every file pruned -> empty frame WITH the dataset schema (same
+        # result shape a no-match Catalyst prune produces)
+        df = _scan_rel_files(spark, path, full_schema, files)
     elif files:
         df = spark.read.schema(full_schema).parquet(path)
     else:
@@ -775,8 +767,6 @@ def _split_spec_filters(
             # slice got the transform pushdown from _derived_pushdown) —
             # same no-extra-validation contract as single-spec source
             # filters, which never pass through the partition rules
-            import re as _re
-
             derived_src = col in meta.column_types and any(
                 _re.search(rf"\b{_re.escape(col)}\b", e)
                 for sp in meta.specs()
@@ -815,15 +805,7 @@ def _read_files_one_spec(
     part_f, derived_f, residuals = _derived_pushdown(spark, spec_meta, filters)
     spec_f, cross_f, cross_types = _split_spec_filters(spec_meta, meta, part_f)
     rel = _prune_manifest_files(rel_files, spec_meta, spec_f)
-    full_schema = _scan_schema(meta)
-    if rel:
-        df = (
-            spark.read.schema(full_schema)
-            .option("basePath", path)
-            .parquet(*[posixpath.join(path, r) for r in rel])
-        )
-    else:
-        df = spark.createDataFrame([], full_schema)
+    df = _scan_rel_files(spark, path, _scan_schema(meta), rel)
     df = _resolve_renames(df, meta)
     # ANOTHER spec's derived partition column exists in this slice's files
     # neither as a hive dir nor as data (derived cols are computed at
@@ -832,8 +814,6 @@ def _read_files_one_spec(
     # value query) naming it. Re-derive it from the recorded transform
     # wherever the source columns are present: the column's VALUE is by
     # definition the transform of its sources, whichever spec stored it.
-    import re as _re
-
     for osp in meta.specs():
         for dcol, expr in (osp.get("derived_partitions") or {}).items():
             if dcol in spec_meta.partition_data_types or dcol not in df.columns:
@@ -905,6 +885,20 @@ def _union_spec_slices(
     return _project_dataset_columns(df, meta, columns, path)
 
 
+def _scan_rel_files(spark, path, schema, rel_files):
+    """Explicit-schema scan of a dataset-relative file list with
+    ``basePath`` hive-partition recovery; an empty list yields a typed
+    empty frame, never a scan error. The one scan shape every manifest
+    read (plain, time-travel, CDC, per-spec slice) shares."""
+    if rel_files:
+        return (
+            spark.read.schema(schema)
+            .option("basePath", path)
+            .parquet(*[posixpath.join(path, r) for r in rel_files])
+        )
+    return spark.createDataFrame([], schema)
+
+
 def _read_manifest_slice(
     spark: SparkSession,
     path: str,
@@ -929,16 +923,7 @@ def _read_manifest_slice(
     )
     validate_matching_filter_data_type(meta.partition_data_types, filters)
     rel_files = _prune_manifest_files(rel_files, meta, filters)
-    full_schema = _scan_schema(meta)
-    if rel_files:
-        files = [posixpath.join(path, r) for r in rel_files]
-        df = (
-            spark.read.schema(full_schema)
-            .option("basePath", path)
-            .parquet(*files)
-        )
-    else:
-        df = spark.createDataFrame([], full_schema)
+    df = _scan_rel_files(spark, path, _scan_schema(meta), rel_files)
     df = _resolve_renames(df, meta)
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
