@@ -40,6 +40,7 @@ from .publish import (
     vacuum_dataset,
     validate_redshift_params,
 )
+from .maintenance import dataset_health, maintain_dataset
 from .session import get_spark
 from .session_helper import SessionHelper
 
@@ -63,8 +64,10 @@ __all__ = [
     "get_all_partition_values",
     "get_diff_partition_values",
     "get_max_partition_value",
+    "dataset_health",
     "get_spark",
     "list_versions",
+    "maintain_dataset",
     "merge_upsert",
     "publish",
     "read_csv",

@@ -149,6 +149,18 @@ def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List
     return sorted(out)
 
 
+def file_size(spark: SparkSession, path: str) -> int:
+    """Size of a file in bytes (driver-side metadata op; one ``stat`` /
+    ``getFileStatus`` per call). Used by the maintenance health probe."""
+    local = _local_root(path, spark)
+    if local is not None:
+        import os
+
+        return os.stat(local).st_size
+    fs, jpath, _ = _jvm_fs(spark, path)
+    return int(fs.getFileStatus(jpath).getLen())
+
+
 def file_mtime(spark: SparkSession, path: str) -> float:
     """Modification time of a file as epoch seconds (driver-side metadata
     op; one ``stat``/``getFileStatus`` per call). Used by the vacuum

@@ -1,0 +1,131 @@
+"""Policy-driven maintenance loop (maintenance.py): health probe +
+threshold-gated expire/compact/vacuum composition."""
+
+import os
+
+import pytest
+
+from s3parq_spark import metadata
+from s3parq_spark.fetch import fetch_path
+from s3parq_spark.maintenance import dataset_health, maintain_dataset
+from s3parq_spark.publish import publish_path
+
+
+@pytest.fixture()
+def nation(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+
+def _publish_n_versions(spark, path, nation, n):
+    for i in range(n):
+        publish_path(
+            spark, path,
+            nation.filter(f"n_nationkey % {n} = {i}"), ["n_regionkey"],
+        )
+
+
+def test_health_probe(spark, nation, tmp_dataset_dir):
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 3)
+    h = dataset_health(spark, tmp_dataset_dir)
+    assert h["n_snapshots"] == 3
+    assert h["n_files"] >= 3
+    assert h["avg_file_bytes"] > 0
+    assert h["n_specs"] == 1
+    with pytest.raises(ValueError, match="no sidecar"):
+        dataset_health(spark, tmp_dataset_dir + "_missing")
+
+
+def test_nothing_due_is_a_no_op(spark, nation, tmp_dataset_dir):
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 2)
+    report = maintain_dataset(spark, tmp_dataset_dir)
+    assert report["actions"] == []
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+
+
+def test_expire_triggers_on_snapshot_count(spark, nation, tmp_dataset_dir):
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 6)
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, max_snapshots=4, keep_last=2
+    )
+    acts = {a["action"] for a in report["actions"]}
+    assert acts == {"expire_snapshots"}
+    m = metadata.read_sidecar(spark, tmp_dataset_dir)
+    # base + the kept tail
+    assert len(m.snapshots) == 3
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+
+
+def test_compact_requires_both_signals(spark, nation, tmp_dataset_dir):
+    # many snapshots of tiny files: 10 publishes x ~3 files, each a few KB
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 10)
+    h = dataset_health(spark, tmp_dataset_dir)
+    # small files, but UNDER the file-count floor -> no compaction
+    report = maintain_dataset(
+        spark, tmp_dataset_dir,
+        compact_min_files=int(h["n_files"]) + 1,
+        max_snapshots=999,
+    )
+    assert report["actions"] == []
+    # over the floor AND small -> compaction runs and the data survives
+    report = maintain_dataset(
+        spark, tmp_dataset_dir,
+        compact_min_files=int(h["n_files"]),
+        max_snapshots=999,
+    )
+    acts = [a["action"] for a in report["actions"]]
+    assert acts == ["compact_dataset"]
+    m = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert len(m.snapshots) == 1  # rewrite resets history
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+    assert dataset_health(spark, tmp_dataset_dir)["n_files"] < h["n_files"]
+
+
+def test_dry_run_changes_nothing(spark, nation, tmp_dataset_dir):
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 6)
+    before = metadata.read_sidecar(spark, tmp_dataset_dir).to_dict()
+    h = dataset_health(spark, tmp_dataset_dir)
+    report = maintain_dataset(
+        spark, tmp_dataset_dir,
+        max_snapshots=2, keep_last=1,
+        compact_min_files=int(h["n_files"]),
+        vacuum_retention_hours=0.0,
+        dry_run=True,
+    )
+    acts = [a["action"] for a in report["actions"]]
+    assert acts == ["expire_snapshots", "compact_dataset", "vacuum_dataset"]
+    assert metadata.read_sidecar(spark, tmp_dataset_dir).to_dict() == before
+
+
+def test_vacuum_is_opt_in_and_reports_orphans(spark, nation, tmp_dataset_dir):
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 2)
+    # plant an orphan the manifest does not acknowledge
+    orphan = os.path.join(tmp_dataset_dir, "orphan.parquet")
+    with open(orphan, "wb") as fh:
+        fh.write(b"not really parquet")
+    # default policy never vacuums
+    report = maintain_dataset(spark, tmp_dataset_dir)
+    assert report["actions"] == []
+    assert os.path.exists(orphan)
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, vacuum_retention_hours=0.0
+    )
+    assert [a["action"] for a in report["actions"]] == ["vacuum_dataset"]
+    assert report["actions"][0]["result"] == ["orphan.parquet"]
+    assert not os.path.exists(orphan)
+
+
+def test_compact_normalizes_evolved_dataset(spark, nation, tmp_dataset_dir):
+    publish_path(spark, tmp_dataset_dir, nation.filter("n_nationkey < 10"), ["n_regionkey"])
+    publish_path(
+        spark, tmp_dataset_dir, nation.filter("n_nationkey >= 10"), ["n_name"],
+        evolve_partitions=True,
+    )
+    assert dataset_health(spark, tmp_dataset_dir)["n_specs"] == 2
+    h = dataset_health(spark, tmp_dataset_dir)
+    report = maintain_dataset(
+        spark, tmp_dataset_dir,
+        compact_min_files=int(h["n_files"]), max_snapshots=999,
+    )
+    assert [a["action"] for a in report["actions"]] == ["compact_dataset"]
+    assert dataset_health(spark, tmp_dataset_dir)["n_specs"] == 1
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
