@@ -209,13 +209,16 @@ def get_diff_partition_values(
     reverse: bool = False,
     spark: Optional[SparkSession] = None,
 ) -> list:
-    """A3 — set difference over partition values, compared as *strings* and
-    re-typed on the way out, with the reference's exact empty-side edge cases
-    (``fetch_parq.py:73-118``). Values stringify the way THIS engine's
-    writer builds partition directories — booleans lowercase to
-    ``true``/``false`` (Spark's cast-to-string), where Python's
-    ``str(True)`` would never match a written path and silently report
-    every boolean as missing."""
+    """A3 — set difference over partition values, with the reference's exact
+    empty-side edge cases (``fetch_parq.py:73-118``). Both sides are TYPED
+    through ``convert_type`` before diffing (mirroring the dedupe-after-
+    typing rule of ``get_all_partition_values``): on a partition-evolved
+    dataset the same value can arrive as a hive-path rendering and a
+    ``str()`` rendering (``1.0E-7`` vs ``1e-07``) that differ as strings
+    but type identically — a raw string diff would falsely report such a
+    value as missing (or return it twice). User-side values normalize
+    through the same writer string form (booleans lowercase) so both sets
+    round-trip through one canonicalization."""
     spark = spark or SparkSession.active()
     path = fs.dataset_uri(bucket, key)
     files, meta, _ = _files_and_meta(spark, path)
@@ -227,16 +230,17 @@ def get_diff_partition_values(
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
     dtype = meta.all_partition_data_types()[partition]
     partition_set = _partition_value_strs(spark, path, files, meta, partition)
-    diff_strs = {
-        str(v).lower() if isinstance(v, bool) else str(v)
-        for v in values_to_diff
+    dataset_typed = {convert_type(v, dtype) for v in partition_set}
+    diff_typed = {
+        convert_type(_partition_value_str(v), dtype) for v in values_to_diff
     }
 
     if not values_to_diff:
-        return [] if reverse else [convert_type(v, dtype) for v in partition_set]
+        return [] if reverse else list(dataset_typed)
 
-    diff = diff_strs - partition_set if reverse else partition_set - diff_strs
-    return [convert_type(v, dtype) for v in diff]
+    return list(
+        diff_typed - dataset_typed if reverse else dataset_typed - diff_typed
+    )
 
 
 
@@ -860,10 +864,24 @@ def _union_spec_slices(
         sid = meta.snapshot_spec_id(s)
         for f in s.get("added", []):
             spec_of.setdefault(f, sid)
-    default_sid = meta.specs()[-1]["spec_id"]
+    orphans = [f for f in rel_files if f not in spec_of]
+    if orphans:
+        # A file no snapshot manifest attributes to a spec has NO known
+        # hive layout: scanning it under any guessed spec would yield
+        # wrong partition values, so fail loudly instead (the reachable
+        # cases are a cleared snapshot history surfacing the listing
+        # fallback, or a stray non-engine file). expire_snapshots squashes
+        # per-spec run, so intact-but-expired history never lands here.
+        raise ValueError(
+            f"partition-evolved dataset at {path}: {len(orphans)} file(s) "
+            "not attributable to any partition spec via snapshot history "
+            f"(e.g. {orphans[0]!r}) — cannot choose a layout safely. "
+            "Restore the sidecar history or compact_dataset() to a single "
+            "spec."
+        )
     by_spec: Dict[int, List[str]] = {}
     for f in rel_files:
-        by_spec.setdefault(spec_of.get(f, default_sid), []).append(f)
+        by_spec.setdefault(spec_of[f], []).append(f)
     slices = [
         _read_files_one_spec(spark, path, meta, spec, by_spec[spec["spec_id"]], filters)
         for spec in meta.specs()

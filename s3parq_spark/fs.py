@@ -149,29 +149,48 @@ def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List
     return sorted(out)
 
 
+def _jvm_file_status(fs, jpath, path: str):
+    """``getFileStatus`` with the missing-file failure normalized: a
+    Hadoop-backed filesystem raises Py4JJavaError wrapping a java
+    FileNotFoundException, which is re-raised as Python
+    ``FileNotFoundError`` so both the local (``os.stat``) and remote
+    branches share ONE missing-file contract (``except OSError``) —
+    callers like the maintenance health probe degrade gracefully on any
+    filesystem instead of crashing on the JVM wrapper type."""
+    try:
+        return fs.getFileStatus(jpath)
+    except Exception as exc:
+        if "FileNotFoundException" in str(exc):
+            raise FileNotFoundError(path) from exc
+        raise
+
+
 def file_size(spark: SparkSession, path: str) -> int:
     """Size of a file in bytes (driver-side metadata op; one ``stat`` /
-    ``getFileStatus`` per call). Used by the maintenance health probe."""
+    ``getFileStatus`` per call). Used by the maintenance health probe.
+    A missing file raises ``FileNotFoundError`` (an ``OSError``) on BOTH
+    the local and Hadoop branches."""
     local = _local_root(path, spark)
     if local is not None:
         import os
 
         return os.stat(local).st_size
     fs, jpath, _ = _jvm_fs(spark, path)
-    return int(fs.getFileStatus(jpath).getLen())
+    return int(_jvm_file_status(fs, jpath, path).getLen())
 
 
 def file_mtime(spark: SparkSession, path: str) -> float:
     """Modification time of a file as epoch seconds (driver-side metadata
     op; one ``stat``/``getFileStatus`` per call). Used by the vacuum
-    retention window."""
+    retention window. A missing file raises ``FileNotFoundError`` (an
+    ``OSError``) on BOTH the local and Hadoop branches."""
     local = _local_root(path, spark)
     if local is not None:
         import os
 
         return os.stat(local).st_mtime
     fs, jpath, _ = _jvm_fs(spark, path)
-    return fs.getFileStatus(jpath).getModificationTime() / 1000.0
+    return _jvm_file_status(fs, jpath, path).getModificationTime() / 1000.0
 
 
 def rename(spark: SparkSession, src: str, dst: str) -> bool:

@@ -54,7 +54,9 @@ def dataset_health(spark: SparkSession, path: str) -> Dict[str, float]:
             )
         except OSError:
             # a file the manifest acknowledges but storage lost: report
-            # what exists; vacuum/restore are the repair tools
+            # what exists; vacuum/restore are the repair tools. fs.file_size
+            # normalizes the Hadoop-branch FileNotFoundException to
+            # FileNotFoundError, so this covers remote filesystems too.
             continue
     n = len(manifest)
     return {

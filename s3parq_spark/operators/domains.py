@@ -106,11 +106,22 @@ def domain_cap(
     key_col: str,
     portable_hash: bool = False,
     extra_suffixes: Optional[List[str]] = None,
+    validate_keys: bool = True,
 ) -> DataFrame:
     """Keep at most ``max_per_domain`` rows per registrable domain,
     chosen DETERMINISTICALLY (hash-ordered by ``key_col``, ties broken by
     the key) — the RefinedWeb-style per-domain cap, reproducible across
     runs and cluster sizes.
+
+    ``key_col`` MUST be a non-null unique row id — the winners-then-
+    semi-join plan identifies rows by key, so a NULL key would silently
+    vanish at the equality join and a duplicated key would let every
+    copy of a single winner through the cap. Rather than silently
+    producing either wrong result, the plan RAISES at execution time on
+    a NULL key always, and on a duplicated key when ``validate_keys``
+    is True (the default; callers whose key is a verified primary key
+    can pass ``validate_keys=False`` to skip the validation's extra
+    narrow-projection shuffle).
 
     Rows with a NULL registrable domain (unparseable/garbage URLs) pass
     through UNCAPPED: they share no domain, so pooling them under one
@@ -123,16 +134,52 @@ def domain_cap(
     the Zipf-skewed domain, carries two narrow columns, never the text
     payload — and the full rows return via a key-partitioned semi-join.
     The payload is shuffled exactly once, on the uniform key, so a
-    mega-domain skews a few-byte sort, not a text partition.
+    mega-domain skews a few-byte sort, not a text partition. Key
+    validation rides the same narrow projection (a count window over the
+    uniform key), never the payload.
     """
     if max_per_domain < 1:
         raise ValueError("max_per_domain must be >= 1")
     if key_col not in df.columns or url_col not in df.columns:
         raise ValueError(f"columns {key_col!r}/{url_col!r} not in dataframe")
+    key_checked = F.when(
+        F.col(key_col).isNotNull(), F.col(key_col)
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                f"domain_cap: key_col {key_col!r} must be non-null — a NULL "
+                "key would silently drop the row at the winners semi-join"
+            )
+        )
+    )
     keyed = df.select(
-        F.col(key_col).alias("__dc_key"),
+        key_checked.alias("__dc_key"),
         registrable_domain(F.col(url_col), extra_suffixes).alias("__dc_dom"),
     )
+    if validate_keys:
+        dup_w = Window.partitionBy("__dc_key")
+        keyed = (
+            keyed.withColumn("__dc_n", F.count(F.lit(1)).over(dup_w))
+            .withColumn(
+                "__dc_key",
+                F.when(F.col("__dc_n") == 1, F.col("__dc_key")).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                f"domain_cap: key_col {key_col!r} must be "
+                                "unique — duplicated key "
+                            ),
+                            F.col("__dc_key").cast("string"),
+                            F.lit(
+                                " would let every copy of one winner "
+                                "through the cap"
+                            ),
+                        )
+                    )
+                ),
+            )
+            .drop("__dc_n")
+        )
     w = Window.partitionBy("__dc_dom").orderBy(
         _rank_hash("__dc_key", portable_hash), F.col("__dc_key")
     )

@@ -211,3 +211,31 @@ def test_domain_stats_plan_is_agg_plus_broadcast(spark):
     assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan and "Window" not in plan
+
+def test_domain_cap_rejects_null_keys(spark):
+    """r7 ADVICE: a NULL key_col row used to vanish silently at the
+    winners semi-join (NULL == NULL never matches); now the plan raises."""
+    from s3parq_spark.operators import domain_cap
+
+    rows = [(1, "https://a.example.com/1"), (None, "https://a.example.com/2")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    with pytest.raises(Exception, match="must be non-null"):
+        domain_cap(df, "url", 5, "doc_id").count()
+
+
+def test_domain_cap_rejects_duplicate_keys(spark):
+    """r7 ADVICE: a duplicated key let every copy of one winner through the
+    cap; validate_keys (default) raises, and validate_keys=False documents
+    the caller-asserted-unique fast path."""
+    from s3parq_spark.operators import domain_cap
+
+    rows = [(7, f"https://hot.example.com/{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "url"])
+    with pytest.raises(Exception, match="must be\\s+unique|must be unique"):
+        domain_cap(df, "url", 2, "doc_id").count()
+    # caller-asserted-unique path keeps the old (unchecked) plan shape
+    uniq = spark.createDataFrame(
+        [(i, f"https://hot.example.com/{i}") for i in range(6)],
+        ["doc_id", "url"],
+    )
+    assert domain_cap(uniq, "url", 2, "doc_id", validate_keys=False).count() == 2

@@ -129,3 +129,39 @@ def test_compact_normalizes_evolved_dataset(spark, nation, tmp_dataset_dir):
     assert [a["action"] for a in report["actions"]] == ["compact_dataset"]
     assert dataset_health(spark, tmp_dataset_dir)["n_specs"] == 1
     assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+
+def test_jvm_missing_file_normalizes_to_oserror():
+    """r7 ADVICE: fs.file_size/file_mtime on a Hadoop-backed filesystem
+    raise Py4JJavaError(java FileNotFoundException) for a lost file;
+    _jvm_file_status normalizes that to FileNotFoundError (an OSError) so
+    dataset_health's manifest-vs-storage tolerance covers BOTH branches."""
+    from s3parq_spark import fs as fsmod
+
+    class _FakeJvmFs:
+        def getFileStatus(self, jpath):
+            raise RuntimeError(
+                "An error occurred while calling o1.getFileStatus.\n"
+                ": java.io.FileNotFoundException: File nope does not exist"
+            )
+
+    with pytest.raises(OSError):
+        fsmod._jvm_file_status(_FakeJvmFs(), object(), "s3a://b/nope")
+
+    class _FakeJvmFsOther:
+        def getFileStatus(self, jpath):
+            raise RuntimeError("some unrelated JVM failure")
+
+    with pytest.raises(RuntimeError, match="unrelated"):
+        fsmod._jvm_file_status(_FakeJvmFsOther(), object(), "s3a://b/x")
+
+
+def test_health_probe_tolerates_lost_manifest_file(spark, nation, tmp_dataset_dir):
+    """A manifest-acknowledged file deleted out from under the dataset must
+    degrade the probe (counted in n_files, absent from bytes), not crash."""
+    _publish_n_versions(spark, tmp_dataset_dir, nation, 3)
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    victim = meta.manifest_files()[0]
+    os.remove(os.path.join(tmp_dataset_dir, victim))
+    h = dataset_health(spark, tmp_dataset_dir)
+    assert h["n_files"] >= 3
+    assert h["total_bytes"] > 0

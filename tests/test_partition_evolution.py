@@ -443,3 +443,49 @@ def test_expire_squashes_per_spec_run(spark, nation, tmp_dataset_dir):
     ]
     assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
     assert fetch_at(spark, tmp_dataset_dir, 3).count() == 15
+
+def test_diff_values_type_both_sides_on_mixed_renderings(
+    spark, tmp_dataset_dir
+):
+    """r7 ADVICE (medium): on an evolved dataset the same float value
+    arrives as a hive-path rendering ('1.0E-7') and a str() rendering
+    ('1e-07'); get_diff_partition_values must type both sides before
+    diffing — a raw string diff falsely reports the value as a diff and
+    returns it twice on the empty-values_to_diff branch."""
+    df = spark.createDataFrame(
+        [(1, 1e-07, "a"), (2, 0.5, "b")], ["id", "rate", "tag"]
+    )
+    publish_path(spark, tmp_dataset_dir, df, ["rate"])
+    df2 = spark.createDataFrame(
+        [(3, 1e-07, "c"), (4, 2.5, "d")], ["id", "rate", "tag"]
+    )
+    # evolved append: rate moves from hive path to the data files
+    publish_path(spark, tmp_dataset_dir, df2, ["tag"], evolve_partitions=True)
+    # both renderings of 1e-07 are present; a string set-diff would
+    # report one of them as "missing" from [1e-07, 0.5, 2.5]
+    diff = get_diff_partition_values(
+        tmp_dataset_dir, "", "rate", [1e-07, 0.5, 2.5], spark=spark
+    )
+    assert diff == []
+    rev = get_diff_partition_values(
+        tmp_dataset_dir, "", "rate", [1e-07, 0.5, 2.5, 9.0],
+        reverse=True, spark=spark,
+    )
+    assert rev == [9.0]
+    # empty values_to_diff: each value exactly once, typed
+    all_vals = get_diff_partition_values(
+        tmp_dataset_dir, "", "rate", [], spark=spark
+    )
+    assert sorted(all_vals) == [1e-07, 0.5, 2.5]
+
+
+def test_unattributable_file_raises_not_misplans(spark, evolved):
+    """r7 ADVICE: a multi-spec dataset whose snapshot history was cleared
+    (listing fallback) has files with NO known hive layout; the per-spec
+    union must raise loudly instead of guessing the newest spec."""
+    path, _ = evolved
+    meta = metadata.read_sidecar(spark, path)
+    meta.snapshots = []
+    metadata.write_sidecar(spark, path, meta)
+    with pytest.raises(ValueError, match="not attributable"):
+        fetch_path(spark, path).count()
