@@ -82,17 +82,17 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 7 additions (kept <= 4 so the 50-row window reaches deep into
-    # the least-recently-verified r01-r03-era tail, per the r6 verdict):
-    "partition_evolution_fetch",  # new: per-version partition specs —
-                                  # publish v1 on spec A, append v2 on
-                                  # spec B, pruned union fetch across both
-    "domain_cap_select",          # new: registrable-domain extraction +
-                                  # per-domain deterministic doc cap
-                                  # (RefinedWeb-style web-corpus curation)
-    "csv_deadletter_publish",     # new: permissive CSV ingest -> dead-
-                                  # letter routing -> expectations gate ->
-                                  # publish of the clean slice
+    # Round 8 additions (kept <= 4 so the 50-row window reaches deep into
+    # the least-recently-verified tail):
+    "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
+                         # -> driver-side file skipping for VALUE-column
+                         # predicates (Delta/Iceberg data-skipping plane)
+    "metadata_count",    # new: COUNT(*)/per-partition counts answered from
+                         # manifest row counts, zero data I/O
+    "tagged_fetch",      # new: named snapshot refs (Iceberg tags) —
+                         # tag v1, append, fetch the tag
+    "pagerank_hosts",    # new: fixed-iteration integer-exact PageRank over
+                         # the host link graph (web-corpus quality signal)
 )
 
 

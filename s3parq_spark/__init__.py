@@ -11,6 +11,7 @@ importable module members, and adds the large-scale pipeline operators
 from .fetch import (
     attach,
     fetch_at,
+    fetch_at_tag,
     fetch_changes,
     list_versions,
     MissingS3ParqMetadata,
@@ -19,6 +20,8 @@ from .fetch import (
     fetch_diff_path,
     dataset_files,
     dataset_history,
+    dataset_rowcount,
+    partition_rowcounts,
     fetch_path,
     get_all_files_list,
     get_all_partition_values,
@@ -30,6 +33,7 @@ from .sources import read_csv
 from .publish import (
     apply_change_feed,
     custom_publish,
+    delete_tag,
     drop_column,
     expire_snapshots,
     merge_upsert,
@@ -37,6 +41,8 @@ from .publish import (
     publish_bucketed,
     publish_path,
     rename_column,
+    tag_snapshot,
+    list_tags,
     vacuum_dataset,
     validate_redshift_params,
 )
@@ -51,11 +57,14 @@ __all__ = [
     "custom_publish",
     "dataset_files",
     "dataset_history",
+    "dataset_rowcount",
+    "delete_tag",
     "drop_column",
     "expire_snapshots",
     "export_jsonl",
     "fetch",
     "fetch_at",
+    "fetch_at_tag",
     "fetch_changes",
     "fetch_diff",
     "fetch_diff_path",
@@ -69,11 +78,14 @@ __all__ = [
     "list_versions",
     "maintain_dataset",
     "merge_upsert",
+    "partition_rowcounts",
     "publish",
     "read_csv",
     "read_jsonl",
     "publish_bucketed",
     "rename_column",
+    "tag_snapshot",
+    "list_tags",
     "publish_path",
     "vacuum_dataset",
     "SessionHelper",

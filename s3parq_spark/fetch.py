@@ -462,6 +462,9 @@ def fetch_path(
     filters, derived_filters, residuals = _derived_pushdown(
         spark, meta, filters
     )
+    filters, zone_filters = _split_zone_filters(meta, filters)
+    if zone_filters:
+        validate_matching_filter_data_type(_zone_types(meta), zone_filters)
     validate_matching_filter_data_type(meta.partition_data_types, filters)
 
     # Explicit full schema in the dataset's original column order (plus
@@ -482,6 +485,9 @@ def fetch_path(
         # actually touch, not the dataset (scripts/file_index_probe.py
         # records the scaling curve).
         files = _prune_manifest_files(files, meta, filters)
+        # ... then against the zone-map filters (value-column min/max file
+        # skipping; files without stats are kept)
+        files = _prune_zone_files(files, meta, zone_filters)
         # every file pruned -> empty frame WITH the dataset schema (same
         # result shape a no-match Catalyst prune produces)
         df = _scan_rel_files(spark, path, full_schema, files)
@@ -502,7 +508,96 @@ def fetch_path(
         # the exact source-column predicate rides as a row filter on top
         # of the (superset) derived-partition prune
         df = df.filter(_clause_predicate(residuals))
+    if zone_filters:
+        # the exact value-column predicate on top of the (superset) zone
+        # skip — and pushed to parquet row-group stats by Catalyst
+        df = df.filter(filters_to_predicate(zone_filters, _zone_types(meta)))
     return _project_dataset_columns(df, meta, columns, path)
+
+
+def dataset_rowcount(
+    spark: SparkSession, path: str, strict: bool = True
+) -> Optional[int]:
+    """``COUNT(*)`` answered ENTIRELY from the sidecar's per-file row
+    counts (``publish(zone_map_columns=...)``) — one JSON read, zero data
+    or footer I/O, O(manifest) driver work. The aggregate-pushdown-to-
+    metadata shortcut every table format ships (Iceberg ``snapshot
+    summary``, Delta ``numRecords``), restated for the sidecar.
+
+    Honesty rule: a count is returned only when EVERY manifest file has a
+    recorded row count — files published before the zone-map declaration
+    (or by partition-scoped DML, which doesn't re-collect stats) make the
+    metadata answer unknowable, so ``strict=True`` raises with the number
+    of uncovered files and ``strict=False`` returns None (caller falls
+    back to a scan). Never a silently wrong count."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    manifest = meta.manifest_files()
+    if manifest is None:
+        if strict:
+            raise ValueError(
+                f"dataset_rowcount: no snapshot history at {path} — "
+                "metadata counts need an intact manifest"
+            )
+        return None
+    files_meta = (meta.zone_maps or {}).get("files", {})
+    missing = [
+        f for f in manifest
+        if "rows" not in files_meta.get(f, {})
+    ]
+    if missing:
+        if strict:
+            raise ValueError(
+                f"dataset_rowcount: {len(missing)} of {len(manifest)} "
+                f"manifest files at {path} have no recorded row count "
+                f"(e.g. {missing[0]!r}); publish with zone_map_columns "
+                "(or compact) to cover them, or pass strict=False to get "
+                "None and fall back to a scan"
+            )
+        return None
+    return sum(int(files_meta[f]["rows"]) for f in manifest)
+
+
+def partition_rowcounts(
+    spark: SparkSession, path: str, partition: str
+) -> Dict[object, int]:
+    """Per-partition-value row counts — manifest hive path values × the
+    sidecar's per-file row counts, zero data I/O (``{typed value: rows}``,
+    NULL partition under key None). Same coverage honesty rule as
+    ``dataset_rowcount``: raises when any manifest file lacks a recorded
+    count. Requires a single partition spec (on an evolved dataset the
+    column is not a path component under every spec)."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    if meta.is_multi_spec():
+        raise ValueError(
+            "partition_rowcounts requires a single partition spec; "
+            "compact_dataset or repartition_dataset to normalize first"
+        )
+    if partition not in meta.partition_data_types:
+        raise ValueError(f"{partition!r} is not a partition of {path}")
+    manifest = meta.manifest_files()
+    if manifest is None:
+        raise ValueError(
+            f"partition_rowcounts: no snapshot history at {path}"
+        )
+    files_meta = (meta.zone_maps or {}).get("files", {})
+    dtype = meta.partition_data_types[partition]
+    out: Dict[object, int] = {}
+    for rel in manifest:
+        entry = files_meta.get(rel, {})
+        if "rows" not in entry:
+            raise ValueError(
+                f"partition_rowcounts: {rel!r} at {path} has no recorded "
+                "row count; publish with zone_map_columns (or compact) to "
+                "cover the dataset"
+            )
+        raw = _hive_path_values(rel).get(partition)
+        val = convert_type(raw, dtype) if raw is not None else None
+        out[val] = out.get(val, 0) + int(entry["rows"])
+    return out
 
 
 def list_versions(spark: SparkSession, path: str) -> List[dict]:
@@ -562,6 +657,31 @@ def fetch_at(
         for r in s["added"]
     ]
     return _read_manifest_slice(spark, path, meta, rel, filters, columns)
+
+
+def fetch_at_tag(
+    spark: SparkSession,
+    path: str,
+    tag: str,
+    filters: Optional[List[dict]] = None,
+    columns: Optional[List[str]] = None,
+) -> DataFrame:
+    """Time travel by NAME: read the snapshot a tag pins
+    (``publish.tag_snapshot``) — ``fetch_at_tag(p, "train-2026-08")`` is
+    the reproducible-corpus read a training run records instead of a raw
+    version number. Resolves the tag in the sidecar and delegates to
+    ``fetch_at`` (pruning, projection, zone skipping all intact); unknown
+    tags raise with the available names."""
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    if tag not in meta.tags:
+        raise ValueError(
+            f"no tag {tag!r} at {path} (tags: {sorted(meta.tags)})"
+        )
+    return fetch_at(
+        spark, path, meta.tags[tag], filters=filters, columns=columns
+    )
 
 
 def fetch_at_timestamp(
@@ -645,6 +765,138 @@ def fetch_changes(
         for r in s["added"]
     ]
     return _read_manifest_slice(spark, path, meta, rel, filters, columns)
+
+
+def _split_zone_filters(
+    meta: DatasetMetadata, filters: List[dict]
+) -> tuple[List[dict], List[dict]]:
+    """Partition a (post-derived-pushdown) filter list into (partition-plane
+    filters, zone-map filters). A zone filter names a VALUE column the
+    dataset declared via ``publish(zone_map_columns=...)`` — it skips files
+    at the driver from the sidecar's per-file min/max and then applies
+    row-level, extending the reference's partitions-only filter surface to
+    clustered value columns without changing any partition semantics."""
+    zone_cols = set(meta.zone_map_columns()) - set(meta.partition_data_types)
+    if not zone_cols:
+        return filters, []
+    rest = [f for f in filters if f["partition"] not in zone_cols]
+    zone_f = [f for f in filters if f["partition"] in zone_cols]
+    return rest, zone_f
+
+
+def _zone_types(meta: DatasetMetadata) -> Dict[str, str]:
+    return {
+        c: meta.column_types[c]
+        for c in meta.zone_map_columns()
+        if c in meta.column_types
+    }
+
+
+def _zone_file_may_match(mn, mx, nulls, rows, cmp, vals, vocab) -> bool:
+    """Can a file with column bounds [mn, mx] (None = no non-null values),
+    ``nulls`` null rows and ``rows`` total rows contain a row matching
+    ``col <cmp> any(vals)``? Mirrors the predicate truth table of
+    ``filters_to_predicate`` (OR across values; NULL rows match only
+    ``== None``; type-incompatible values: '==' no match, '!=' every
+    non-NULL row, ordering raises downstream). Must only return False on a
+    PROVABLE no-match — Catalyst and the row-level residual re-apply the
+    exact predicate on every kept file."""
+    from .filters import _compatible
+
+    n_nonnull = rows - nulls
+    compat = [v for v in vals if v is not None and _compatible(vocab, v)]
+    incompat = [v for v in vals if v is not None and not _compatible(vocab, v)]
+    if cmp == "==":
+        if any(v is None for v in vals) and nulls > 0:
+            return True
+        if mn is None:
+            return False
+        return any(mn <= v <= mx for v in compat)
+    if cmp == "!=":
+        if not compat and not incompat:
+            return False  # only None values: col != NULL matches nothing
+        if n_nonnull <= 0:
+            return False  # != never matches a NULL row
+        if incompat or len(set(compat)) >= 2:
+            return True  # some value matches every non-NULL row
+        v = compat[0]
+        return not (mn == v and mx == v)
+    # ordering comparison: single value (validated); incompatible values
+    # raise in the predicate layer — keep the file so that error surfaces
+    if incompat or not compat:
+        return True
+    v = compat[0]
+    if mn is None:
+        return False  # all-NULL file: no ordering comparison matches
+    if cmp == ">":
+        return mx > v
+    if cmp == ">=":
+        return mx >= v
+    if cmp == "<":
+        return mn < v
+    return mn <= v  # "<="
+
+
+def _prune_zone_files(
+    files: List[str],
+    meta: DatasetMetadata,
+    zone_filters: List[dict],
+) -> List[str]:
+    """Driver-side FILE skipping on value-column predicates — the
+    data-skipping half of the zone-map plane (Delta ``stats``/Iceberg
+    manifest ``lower_bounds``/``upper_bounds``, restated for the sidecar).
+    Each manifest file's recorded [min, max, nulls] decides whether the
+    filter can possibly match it; skipped files never reach the py4j path
+    transfer, the JVM file index, or a footer read. Superset-safe: files
+    without stats (published before the declaration, DML rewrites) and
+    any untypeable value are KEPT, and the row-level residual re-applies
+    the exact predicate. Composes with ``sort_within_files``/``zorder_by``,
+    which make per-file bounds tight enough to skip most of a dataset on a
+    range predicate."""
+    if not zone_filters or not meta.zone_maps:
+        return files
+    from .filters import OPS as _ops  # noqa: F401  (validated upstream)
+    from .filters import _typed_value, first_filter_per_partition
+
+    file_stats = meta.zone_maps.get("files", {})
+    active = []
+    for f in first_filter_per_partition(zone_filters):
+        col = f["partition"]
+        vocab = meta.column_types.get(col)
+        if vocab is None:
+            continue
+        try:
+            vals = [_typed_value(v, vocab) for v in f["values"]]
+        except (ValueError, TypeError):
+            continue  # untypeable filter value: the residual decides
+        active.append((col, vocab, f["comparison"], vals))
+    if not active:
+        return files
+    out = []
+    for rel in files:
+        st = file_stats.get(rel)
+        stats = st.get("stats") if st else None
+        if not stats or "rows" not in st:
+            out.append(rel)
+            continue
+        keep = True
+        for col, vocab, cmp, vals in active:
+            cs = stats.get(col)
+            if cs is None:
+                continue
+            try:
+                mn = metadata.zone_stat_typed(cs[0], vocab)
+                mx = metadata.zone_stat_typed(cs[1], vocab)
+            except (ValueError, TypeError):
+                continue  # unreadable bound: conservative keep
+            if not _zone_file_may_match(
+                mn, mx, int(cs[2]), int(st["rows"]), cmp, vals, vocab
+            ):
+                keep = False
+                break
+        if keep:
+            out.append(rel)
+    return out
 
 
 def _prune_manifest_files(
@@ -939,8 +1191,12 @@ def _read_manifest_slice(
     filters, derived_filters, residuals = _derived_pushdown(
         spark, meta, filters
     )
+    filters, zone_filters = _split_zone_filters(meta, filters)
+    if zone_filters:
+        validate_matching_filter_data_type(_zone_types(meta), zone_filters)
     validate_matching_filter_data_type(meta.partition_data_types, filters)
     rel_files = _prune_manifest_files(rel_files, meta, filters)
+    rel_files = _prune_zone_files(rel_files, meta, zone_filters)
     df = _scan_rel_files(spark, path, _scan_schema(meta), rel_files)
     df = _resolve_renames(df, meta)
     if filters:
@@ -949,6 +1205,8 @@ def _read_manifest_slice(
         df = df.filter(_clause_predicate(derived_filters))
     if residuals:
         df = df.filter(_clause_predicate(residuals))
+    if zone_filters:
+        df = df.filter(filters_to_predicate(zone_filters, _zone_types(meta)))
     return _project_dataset_columns(df, meta, columns, path)
 
 

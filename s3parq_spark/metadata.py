@@ -181,6 +181,16 @@ class DatasetMetadata:
         # ANALYZE record (stats.collect_stats): row count + per-column
         # min/max/nulls/ndv, stamped with the snapshot version it saw
         self.stats = None
+        # file-level zone maps (Delta/Iceberg data-skipping plane):
+        # {"columns": [declared value cols], "files": {relpath:
+        #   {"rows": n, "stats": {col: [min, max, null_count]}}}}
+        # min/max JSON-rendered per the column vocab (zone_stat_to_json).
+        # Files absent from "files" simply never skip — append-safe.
+        self.zone_maps = None
+        # named snapshot refs (Iceberg tags): {name: version}. A tag pins
+        # a version against expire_snapshots; restore drops tags above
+        # the restore point.
+        self.tags = {}
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -213,6 +223,10 @@ class DatasetMetadata:
             d["partition_specs"] = self.partition_specs
         if self.stats:
             d["stats"] = self.stats
+        if self.zone_maps:
+            d["zone_maps"] = self.zone_maps
+        if self.tags:
+            d["tags"] = self.tags
         return d
 
     @classmethod
@@ -228,7 +242,17 @@ class DatasetMetadata:
             partition_specs=d.get("partition_specs"),
         )
         out.stats = d.get("stats")
+        out.zone_maps = d.get("zone_maps")
+        out.tags = dict(d.get("tags") or {})
         return out
+
+    def zone_map_columns(self) -> List[str]:
+        """Value columns declared filterable via file-level zone maps
+        (empty when the dataset was never published with
+        ``zone_map_columns``)."""
+        if not self.zone_maps:
+            return []
+        return list(self.zone_maps.get("columns", []))
 
     # -- partition-spec evolution helpers ---------------------------------
 
@@ -453,4 +477,41 @@ def merge_sidecar(
     # refresh) — silently dropping it would force a rescan for questions
     # the stale record answers fine (e.g. monotone min bounds)
     merged.stats = existing.stats
+    # file-level zone maps and named snapshot refs are dataset-level
+    # contracts: per-file stats of already-written files stay valid across
+    # appends (publish adds the new files' entries after the write), and a
+    # tag pins its version regardless of what lands after it
+    merged.zone_maps = existing.zone_maps
+    merged.tags = dict(existing.tags)
     return merged
+
+
+# -- zone-map stat value serialization --------------------------------------
+
+def zone_stat_to_json(v):
+    """A Spark min/max aggregate value → its JSON-safe sidecar form.
+    Numbers/strings/bools pass through (JSON doubles round-trip exactly);
+    datetimes/dates render ISO; Decimal renders as a string (JSON floats
+    would corrupt its exactness)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if isinstance(v, (_dt.datetime, _dt.date)):
+        return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else v.isoformat()
+    if isinstance(v, _decimal.Decimal):
+        return str(v)
+    return v
+
+
+def zone_stat_typed(v, vocab: str):
+    """Inverse of ``zone_stat_to_json`` under the column's declared vocab
+    type — the typed bound the driver-side skipping comparisons use."""
+    if v is None:
+        return None
+    if vocab == "datetime":
+        return _dt.datetime.fromisoformat(v)
+    if _DECIMAL_RE.match(vocab):
+        import decimal as _decimal
+
+        return _decimal.Decimal(v)
+    return v

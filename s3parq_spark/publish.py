@@ -16,6 +16,7 @@ no driver-side loops anywhere.
 from __future__ import annotations
 
 import posixpath
+import re as _re
 from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -405,6 +406,7 @@ def publish_path(
     derived_partitions: Optional[Dict[str, str]] = None,
     expected_version: Optional[int] = None,
     evolve_partitions: bool = False,
+    zone_map_columns: Optional[List[str]] = None,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -424,6 +426,22 @@ def publish_path(
     caller partitions by time/bucket functions of real columns without
     ever materializing them upstream — and filters on the derived column
     prune at the file index like any partition.
+
+    ``zone_map_columns`` records file-level zone maps (Delta/Iceberg-style
+    data skipping for VALUE columns): after the write, ONE column-pruned
+    distributed aggregate over the new files collects per-file row count +
+    min/max/null-count for each listed column into the sidecar. ``fetch``
+    then accepts filters on those columns, skipping whole files at the
+    DRIVER (no footer reads, no file-index entries for skipped files)
+    before Catalyst's row-group pushdown sees the rest — the metadata
+    plane's answer to range predicates on non-partition columns, and the
+    layout-aware complement to ``sort_within_files``/``zorder_by`` (which
+    make those per-file ranges tight). ``[]`` collects row counts only
+    (enables the zero-scan ``dataset_rowcount``/``partition_rowcounts``
+    metadata queries). Appends inherit the dataset's declared list when
+    passing ``None``; a conflicting list is rejected. Files published
+    before the declaration simply never skip (and make row-count queries
+    fall back to a scan) until rewritten.
 
     ``evolve_partitions=True`` allows an append whose ``partitions`` (and/or
     ``derived_partitions``) differ from the dataset's current layout:
@@ -466,6 +484,28 @@ def publish_path(
             df = df.withColumn(name, F.expr(expr))
         partitions = [*partitions, *derived_partitions]
     check_partitions(partitions, df)
+
+    if mode == "append" and prior is not None and prior.zone_maps:
+        declared = prior.zone_map_columns()
+        if zone_map_columns is None:
+            # the declaration is a dataset-level contract: appends keep
+            # collecting stats for the declared columns automatically
+            zone_map_columns = declared
+        elif list(zone_map_columns) != declared:
+            raise ValueError(
+                f"append zone-map mismatch: dataset declares {declared}, "
+                f"publish got {list(zone_map_columns)}"
+            )
+    if zone_map_columns is not None:
+        bad = [c for c in zone_map_columns if c in partitions]
+        if bad:
+            raise ValueError(
+                f"zone_map_columns {bad} are partition columns — partition "
+                "pruning already covers them; zone maps are for VALUE columns"
+            )
+        missing_zm = [c for c in zone_map_columns if c not in df.columns]
+        if missing_zm:
+            raise ValueError(f"zone_map_columns not in dataframe: {missing_zm}")
 
     if custom_types:
         # custom_publish overlays user-declared types (publish_parq.py:576-677)
@@ -647,8 +687,11 @@ def publish_path(
     if mode != "append" or existing is None:
         snaps = [{"version": 1, "ts": now, "added": _rel_files(path, new)}]
         # a non-append write replaces the dataset: one fresh spec, whatever
-        # history the old sidecar carried
+        # history the old sidecar carried; stale per-file stats and tags
+        # addressing destroyed versions go with it
         merged.partition_specs = None
+        merged.zone_maps = None
+        merged.tags = {}
     else:
         # spec stamps for a partition-evolved dataset: the commit belongs
         # to the CURRENT (last) spec; a bootstrap snapshot's files predate
@@ -698,8 +741,87 @@ def publish_path(
                 "unacknowledged orphans (vacuum_dataset removes them); "
                 "re-read and retry"
             )
+    if zone_map_columns is not None and new:
+        stats_map = _collect_file_zone_stats(
+            spark, path, new, merged, list(zone_map_columns)
+        )
+        zm = merged.zone_maps or {"columns": [], "files": {}}
+        zm["columns"] = list(zone_map_columns)
+        zm.setdefault("files", {}).update(stats_map)
+        merged.zone_maps = zm
     metadata.write_sidecar(spark, path, merged)
     return new
+
+
+def _collect_file_zone_stats(
+    spark: SparkSession,
+    path: str,
+    new_files: List[str],
+    meta: "metadata.DatasetMetadata",
+    cols: List[str],
+) -> Dict[str, dict]:
+    """Per-file row count + per-column [min, max, null_count] for the
+    files THIS publish wrote — ONE distributed aggregate grouped by the
+    ``_metadata.file_path`` hidden column, reading only the zone-mapped
+    columns (column-pruned; for ``cols=[]`` the count compiles to a
+    row-group-metadata read). O(new data) per publish, never O(dataset) —
+    the incremental-stats property that keeps the data-skipping plane
+    affordable at continuous-ingest scale. Values are read back from the
+    written files, so the recorded bounds match storage encodings (e.g.
+    ms-truncated timestamps) exactly."""
+    full = [path.rstrip("/") + "/" + _rel_files(path, [f])[0] for f in new_files]
+    scan = (
+        spark.read.schema(meta.value_schema())
+        .option("basePath", path)
+        .parquet(*full)
+    )
+    aggs = [F.count(F.lit(1)).alias("__zm_rows")]
+    for c in cols:
+        aggs.append(F.min(c).alias(f"__zm_min__{c}"))
+        aggs.append(F.max(c).alias(f"__zm_max__{c}"))
+        aggs.append(
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__zm_nulls__{c}")
+        )
+    rows = (
+        scan.groupBy(F.col("_metadata.file_path").alias("__zm_file"))
+        .agg(*aggs)
+        .collect()
+    )
+    from urllib.parse import unquote, urlparse
+
+    # map the scan's _metadata.file_path URIs back to dataset-relative
+    # manifest paths. Part FILENAMES repeat across hive partition dirs
+    # (part-00000-<uuid> appears once per partition), so the match must be
+    # on the path below the dataset root, not the basename.
+    known = set(_rel_files(path, new_files))
+    root = (
+        urlparse(path).path
+        if "://" in path or path.startswith("file:")
+        else path
+    ).rstrip("/")
+    out: Dict[str, dict] = {}
+    for r in rows:
+        uri = r["__zm_file"]
+        upath = urlparse(uri).path if "://" in uri or uri.startswith("file:") else uri
+        idx = upath.find(root + "/")
+        rel = upath[idx + len(root) + 1:] if idx >= 0 else None
+        if rel is not None and rel not in known:
+            # the URI form may percent-encode what the listing stored raw
+            rel = unquote(rel) if unquote(rel) in known else None
+        if rel is None:
+            continue  # defensive: an unmatched scan file records nothing
+        entry: dict = {"rows": int(r["__zm_rows"])}
+        if cols:
+            entry["stats"] = {
+                c: [
+                    metadata.zone_stat_to_json(r[f"__zm_min__{c}"]),
+                    metadata.zone_stat_to_json(r[f"__zm_max__{c}"]),
+                    int(r[f"__zm_nulls__{c}"]),
+                ]
+                for c in cols
+            }
+        out[rel] = entry
+    return out
 
 
 
@@ -1665,6 +1787,10 @@ def restore_dataset(
         for rel in removed:
             fs.delete(spark, posixpath.join(path, rel), recursive=False)
         meta.snapshots = keep
+        # tags addressing rolled-back versions go with them: restore is
+        # destruction by explicit request, and a tag pointing at a version
+        # that no longer exists would be a dangling lie
+        meta.tags = {n: v for n, v in meta.tags.items() if v <= version}
         if meta.partition_specs:
             # partition evolution happens at snapshot boundaries, so
             # rolling back past one must roll the CURRENT spec back too:
@@ -1764,6 +1890,14 @@ def expire_snapshots(
     if not expired:
         # every run already a single snapshot: identity rewrite, skip
         return []
+    blocked = {n: v for n, v in meta.tags.items() if v in set(expired)}
+    if blocked:
+        # a tag PINS its snapshot (Iceberg ref retention): squashing it
+        # away would break the named reproducibility contract silently
+        raise ValueError(
+            f"expire_snapshots: versions pinned by tags {blocked} at "
+            f"{path}; delete_tag first (or raise keep_last)"
+        )
     if not dry_run:
         # guard the read-modify-write against a concurrent publish (the
         # docstring's own motivating workload commits every minute): the
@@ -1785,6 +1919,79 @@ def expire_snapshots(
         current.snapshots = [*bases, *current.snapshots[cut:]]
         metadata.write_sidecar(spark, path, current)
     return expired
+
+
+def tag_snapshot(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    version: Optional[int] = None,
+    replace: bool = False,
+) -> int:
+    """Pin a snapshot under a NAME (Iceberg tags, restated for the
+    sidecar): ``tag_snapshot(p, "train-2026-08")`` freezes the current (or
+    given) version so ``fetch_at_tag`` can reproduce that exact file set
+    forever after — the human-addressable form of version time travel a
+    training pipeline records in its run config.
+
+    A tag is a metadata-only entry (``{name: version}``), written under
+    the same concurrency guard as every sidecar DDL. It PINS its version:
+    ``expire_snapshots`` refuses to squash a tagged version away (delete
+    the tag first), while ``restore_dataset`` — destruction by explicit
+    request — drops tags above the restore point along with the versions
+    themselves. Returns the resolved version. ``replace=True`` allows
+    re-pointing an existing tag; the default rejects (a silently moved
+    "frozen" ref is the exact failure tags exist to prevent)."""
+    if not name or not _re.match(r"^[A-Za-z0-9][A-Za-z0-9._-]*$", name):
+        raise ValueError(
+            f"invalid tag name {name!r}: letters/digits/._- only"
+        )
+
+    resolved: List[int] = []
+
+    def mutate(meta):
+        if not meta.snapshots:
+            raise ValueError(f"tag_snapshot: no snapshot history at {path}")
+        versions = [s["version"] for s in meta.snapshots]
+        v = versions[-1] if version is None else version
+        if v not in versions:
+            raise ValueError(
+                f"tag_snapshot: version {v} not in history {versions} at "
+                f"{path}"
+            )
+        if name in meta.tags and not replace and meta.tags[name] != v:
+            raise ValueError(
+                f"tag {name!r} already points at version {meta.tags[name]} "
+                f"(pass replace=True to move it)"
+            )
+        meta.tags[name] = v
+        resolved.append(v)
+
+    _guarded_sidecar_write(spark, path, mutate)
+    return resolved[0]
+
+
+def delete_tag(spark: SparkSession, path: str, name: str) -> int:
+    """Remove a named snapshot ref; returns the version it pointed at.
+    Unknown names raise (a cleanup script misspelling a tag should hear
+    about it, not succeed vacuously)."""
+    dropped: List[int] = []
+
+    def mutate(meta):
+        if name not in meta.tags:
+            raise ValueError(f"no tag {name!r} at {path} (tags: {sorted(meta.tags)})")
+        dropped.append(meta.tags.pop(name))
+
+    _guarded_sidecar_write(spark, path, mutate)
+    return dropped[0]
+
+
+def list_tags(spark: SparkSession, path: str) -> Dict[str, int]:
+    """``{tag name: version}`` for the dataset (empty when untagged)."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"no sidecar at {path}")
+    return dict(meta.tags)
 
 
 def _guarded_sidecar_write(spark, path, mutate):
