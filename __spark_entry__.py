@@ -91,8 +91,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                          # manifest row counts, zero data I/O
     "tagged_fetch",      # new: named snapshot refs (Iceberg tags) —
                          # tag v1, append, fetch the tag
-    "pagerank_hosts",    # new: fixed-iteration integer-exact PageRank over
-                         # the host link graph (web-corpus quality signal)
+    "pagerank_graph",    # new: fixed-iteration integer-exact PageRank over
+                         # the supplier->customer link graph
 )
 
 

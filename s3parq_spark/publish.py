@@ -1212,6 +1212,13 @@ def compact_dataset(
         mode="overwrite",
         max_records_per_file=max_records_per_file,
         rebalance=rebalance,
+        # the zone-map declaration is a dataset contract: compaction is
+        # exactly when per-file stats get re-collected (tighter after a
+        # sort/zorder rewrite), so carry it through and re-stat the
+        # rewritten files
+        zone_map_columns=(
+            sidecar.zone_map_columns() if sidecar.zone_maps else None
+        ),
     )
     carried_derived = dict(sidecar.derived_partitions or {})
     if sort_by or zorder_by or carried_derived:
@@ -1290,6 +1297,18 @@ def repartition_dataset(
         list(new_partitions),
         mode="overwrite",
         max_records_per_file=max_records_per_file,
+        # carry the zone-map declaration through the layout migration,
+        # minus any column the new layout promotes to a partition
+        # (partition pruning covers it from now on)
+        zone_map_columns=(
+            [
+                c
+                for c in sidecar.zone_map_columns()
+                if c not in new_partitions
+            ]
+            if sidecar.zone_maps
+            else None
+        ),
     )
     old = path.rstrip("/") + ".prerepartition"
     fs.delete(spark, old)

@@ -2975,3 +2975,204 @@ QUERIES_EXT2["csv_deadletter_publish"] = q_csv_deadletter_publish
 ORACLE_EXT2["csv_deadletter_publish"] = """
     SELECT n_nationkey, n_name, n_regionkey FROM nation
 """
+
+
+# ---------------------------------------------------------------------------
+# round 8: zone maps / metadata counts / tags / pagerank
+# ---------------------------------------------------------------------------
+
+
+def _zonemap_fixture(spark, sf_dir) -> str:
+    """lineitem partitioned by l_linestatus, sorted by l_orderkey within
+    files, chunked small enough that the zone-map plane has several files
+    per partition to skip, with per-file stats on l_orderkey."""
+    from .workload import _cached_dataset
+
+    return _cached_dataset(
+        spark, sf_dir, "li_zonemap",
+        lambda s, d: _table(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_linestatus",
+        ),
+        ["l_linestatus"],
+        sort_within_files=["l_orderkey"],
+        max_records_per_file=400,
+        zone_map_columns=["l_orderkey"],
+    )
+
+
+def q_zonemap_fetch(spark, sf_dir):
+    """File-level zone maps (publish zone_map_columns + fetch value-column
+    filters — the Delta/Iceberg data-skipping plane restated for the
+    sidecar): publish records per-file min/max/rows for l_orderkey via one
+    column-pruned aggregate; fetch takes a RANGE filter on that VALUE
+    column, skips dead files at the DRIVER from the recorded bounds
+    (asserted below — no footer reads, no file-index entries for skipped
+    files), and re-applies the exact predicate row-level (and to parquet
+    row-group stats). Composes with partition pruning on l_linestatus in
+    the same fetch. Oracle = the same two predicates in SQL."""
+    from . import metadata
+    from .fetch import _prune_zone_files, fetch_path
+
+    path = _zonemap_fixture(spark, sf_dir)
+    flt = [
+        {"partition": "l_linestatus", "comparison": "==", "values": ["O"]},
+        {"partition": "l_orderkey", "comparison": "<", "values": [1000]},
+    ]
+    meta = metadata.read_sidecar(spark, path)
+    files = meta.manifest_files()
+    kept = _prune_zone_files(
+        files, meta,
+        [f for f in flt if f["partition"] == "l_orderkey"],
+    )
+    if len(files) >= 6:
+        assert len(kept) < len(files), (
+            "zone maps skipped nothing on a range predicate over sorted files"
+        )
+    return fetch_path(spark, path, filters=flt).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+QUERIES_EXT2["zonemap_fetch"] = q_zonemap_fetch
+ORACLE_EXT2["zonemap_fetch"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_linestatus = 'O' AND l_orderkey < 1000
+"""
+
+
+def q_metadata_count(spark, sf_dir):
+    """Aggregate pushdown to METADATA (Iceberg snapshot-summary / Delta
+    numRecords): per-partition row counts and the dataset COUNT(*) are
+    answered entirely from the sidecar's per-file row counts — one JSON
+    read, zero data or footer I/O (asserted: the answer is computed on
+    the driver, no Spark job over the data). The honesty rule is tested
+    elsewhere: any manifest file without a recorded count makes the
+    metadata answer raise instead of under-counting. Oracle = the same
+    GROUP BY COUNT over raw lineitem."""
+    from .fetch import dataset_rowcount, partition_rowcounts
+
+    path = _zonemap_fixture(spark, sf_dir)
+    per = partition_rowcounts(spark, path, "l_linestatus")
+    total = dataset_rowcount(spark, path)
+    assert total == sum(per.values())  # two metadata answers must agree
+    return spark.createDataFrame(
+        sorted(per.items()), "l_linestatus string, n_rows long"
+    )
+
+
+QUERIES_EXT2["metadata_count"] = q_metadata_count
+ORACLE_EXT2["metadata_count"] = """
+    SELECT l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_linestatus
+"""
+
+
+def q_tagged_fetch(spark, sf_dir):
+    """Named snapshot refs (Iceberg tags): v1 of the dataset is tagged
+    ``baseline`` before a second append lands; ``fetch_at_tag`` then
+    reproduces EXACTLY the tagged file set by name — the human-addressable
+    reproducibility handle a training run records instead of a raw
+    version number. The tag also pins v1 against expire_snapshots
+    (lifecycle tests). Oracle = the v1 slice predicate over raw orders:
+    the later append must be invisible through the tag."""
+    from .fetch import fetch_at_tag
+    from .publish import list_tags, publish_path, tag_snapshot
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "orders_tagged")
+    marker = os.path.join(path, "_TAGGED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders")
+        publish_path(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 3 == 0),
+            ["o_orderstatus"],
+        )
+        tag_snapshot(spark, path, "baseline")
+        publish_path(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 3 != 0),
+            ["o_orderstatus"],
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    assert list_tags(spark, path) == {"baseline": 1}
+    return fetch_at_tag(spark, path, "baseline").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+QUERIES_EXT2["tagged_fetch"] = q_tagged_fetch
+ORACLE_EXT2["tagged_fetch"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+"""
+
+
+def q_pagerank_graph(spark, sf_dir):
+    """Fixed-iteration PageRank (operators/graph.py) over the
+    supplier→customer shipment graph (distinct (l_suppkey, o_custkey)
+    pairs through orders) — the link-centrality quality signal of
+    web-corpus curation, on the one graph the TPC-H tables contain.
+    Integer micro-unit ranks under floor division make every iteration
+    exact and order-independent, so the oracle replays all three
+    iterations in chained SQL CTEs and the top-20 ranking hash-matches.
+    Plan: degree joined once onto the edge list, then per iteration one
+    src-keyed join + one dst-keyed aggregate — no collect, no cartesian,
+    payload never wider than two numeric columns."""
+    from .operators import pagerank
+
+    li = _table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = _table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    edges = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("o_custkey") + F.lit(1000000)).alias("dst"),
+    )
+    r = pagerank(edges, iterations=3)
+    return (
+        r.select("node", F.col("rank").alias("pr"))
+        .orderBy(F.desc("pr"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _pagerank_oracle() -> str:
+    scale, num, den = 10**9, 85, 100
+    base = scale * (den - num) // den
+    sql = f"""
+    WITH e AS (
+      SELECT DISTINCT l_suppkey AS src, o_custkey + 1000000 AS dst
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank FROM n)"""
+    prev = "r0"
+    for i in (1, 2, 3):
+        sql += f""",
+    c{i} AS (
+      SELECT e.dst AS node, SUM({prev}.rank // deg.d) AS s
+      FROM e JOIN deg ON e.src = deg.src
+             JOIN {prev} ON {prev}.node = e.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT n.node,
+             CAST({base} + ({num} * COALESCE(c{i}.s, 0)) // {den} AS BIGINT)
+               AS rank
+      FROM n LEFT JOIN c{i} ON n.node = c{i}.node
+    )"""
+        prev = f"r{i}"
+    sql += """
+    SELECT node, rank AS pr FROM r3 ORDER BY pr DESC, node LIMIT 20
+    """
+    return sql
+
+
+QUERIES_EXT2["pagerank_graph"] = q_pagerank_graph
+ORACLE_EXT2["pagerank_graph"] = _pagerank_oracle()

@@ -1,0 +1,236 @@
+"""File-level zone maps (publish zone_map_columns + fetch value-column
+filters): driver-side data skipping, metadata row counts, and the
+superset-safety property."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark import metadata
+from s3parq_spark.fetch import (
+    _prune_zone_files,
+    dataset_rowcount,
+    fetch_at,
+    fetch_path,
+    partition_rowcounts,
+)
+from s3parq_spark.publish import compact_dataset, publish_path
+
+
+@pytest.fixture()
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice",
+        "l_linestatus",
+    )
+
+
+@pytest.fixture()
+def zoned(spark, li, tmp_dataset_dir):
+    """lineitem partitioned by l_linestatus, globally range-sorted on
+    l_orderkey into many small files, with zone maps on (l_orderkey,
+    l_shipdate)."""
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.repartitionByRange(4, "l_orderkey")
+          .sortWithinPartitions("l_orderkey"),
+        ["l_linestatus"],
+        max_records_per_file=400,
+        rebalance=False,
+        zone_map_columns=["l_orderkey", "l_shipdate"],
+    )
+    return tmp_dataset_dir
+
+
+def test_sidecar_records_per_file_stats(spark, zoned, li):
+    meta = metadata.read_sidecar(spark, zoned)
+    assert meta.zone_map_columns() == ["l_orderkey", "l_shipdate"]
+    files = meta.manifest_files()
+    fm = meta.zone_maps["files"]
+    assert set(fm) == set(files)
+    total = sum(e["rows"] for e in fm.values())
+    assert total == li.count()
+    for e in fm.values():
+        mn, mx, nulls = e["stats"]["l_orderkey"]
+        assert mn <= mx and nulls == 0
+
+
+def test_zone_filter_skips_files_and_matches(spark, zoned, li):
+    meta = metadata.read_sidecar(spark, zoned)
+    files = meta.manifest_files()
+    flt = [{"partition": "l_orderkey", "comparison": "<", "values": [300]}]
+    kept = _prune_zone_files(files, meta, flt)
+    assert len(kept) < len(files)  # skipping actually happened
+    got = fetch_path(spark, zoned, filters=flt)
+    assert got.count() == li.filter("l_orderkey < 300").count()
+    # point lookup
+    eq = [{"partition": "l_orderkey", "comparison": "==", "values": [42]}]
+    assert len(_prune_zone_files(files, meta, eq)) < len(files)
+    assert (
+        fetch_path(spark, zoned, filters=eq).count()
+        == li.filter("l_orderkey = 42").count()
+    )
+
+
+def test_zone_and_partition_filters_compose(spark, zoned, li):
+    flt = [
+        {"partition": "l_linestatus", "comparison": "==", "values": ["O"]},
+        {"partition": "l_shipdate", "comparison": ">=",
+         "values": ["1999-01-01 00:00:00"]},
+    ]
+    got = fetch_path(spark, zoned, filters=flt)
+    exp = li.filter("l_linestatus = 'O' and l_shipdate >= '1999-01-01'")
+    assert got.count() == exp.count()
+
+
+@pytest.mark.parametrize("cmp,vals", [
+    ("==", [1, 700]),
+    ("!=", [3]),
+    (">", [900]),
+    (">=", [900]),
+    ("<", [5]),
+    ("<=", [5]),
+])
+def test_zone_prune_superset_property(spark, zoned, li, cmp, vals):
+    """Pruned fetch == the same predicate over the full scan, for every
+    comparison shape (the skipping may only remove provably dead files)."""
+    flt = [{"partition": "l_orderkey", "comparison": cmp, "values": vals}]
+    got = fetch_path(spark, zoned, filters=flt).count()
+    from s3parq_spark.filters import filters_to_predicate
+
+    exp = (
+        fetch_path(spark, zoned)
+        .filter(filters_to_predicate(flt, {"l_orderkey": "integer"}))
+        .count()
+    )
+    assert got == exp
+
+
+def test_neq_single_value_drops_constant_file(spark, tmp_dataset_dir):
+    df = spark.createDataFrame(
+        [(7, "a")] * 10 + [(9, "b")] * 10, ["k", "v"]
+    ).repartitionByRange(2, "k").sortWithinPartitions("k")
+    publish_path(
+        spark, tmp_dataset_dir, df, [], rebalance=False,
+        zone_map_columns=["k"],
+    )
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    files = meta.manifest_files()
+    flt = [{"partition": "k", "comparison": "!=", "values": [7]}]
+    kept = _prune_zone_files(files, meta, flt)
+    # the all-7 file is provably dead under k != 7
+    assert len(kept) < len(files)
+    assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == 10
+
+
+def test_null_semantics(spark, tmp_dataset_dir):
+    df = spark.createDataFrame(
+        [(None, "n1"), (None, "n2"), (5, "x"), (8, "y")],
+        "k int, v string",
+    )
+    publish_path(spark, tmp_dataset_dir, df, [], zone_map_columns=["k"])
+    # == None selects the NULL rows (module contract)
+    got = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "k", "comparison": "==", "values": [None]}],
+    )
+    assert got.count() == 2
+    # != never returns NULL rows
+    got = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "k", "comparison": "!=", "values": [5]}],
+    )
+    assert [r["v"] for r in got.collect()] == ["y"]
+
+
+def test_rowcount_queries(spark, zoned, li):
+    assert dataset_rowcount(spark, zoned) == li.count()
+    per = partition_rowcounts(spark, zoned, "l_linestatus")
+    exp = {
+        r["l_linestatus"]: r["n"]
+        for r in li.groupBy("l_linestatus").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert per == exp
+
+
+def test_rowcount_honesty_on_uncovered_files(spark, li, tmp_dataset_dir):
+    # published WITHOUT zone maps: the metadata count is unknowable
+    publish_path(spark, tmp_dataset_dir, li.limit(100), [])
+    with pytest.raises(ValueError, match="no recorded row count"):
+        dataset_rowcount(spark, tmp_dataset_dir)
+    assert dataset_rowcount(spark, tmp_dataset_dir, strict=False) is None
+
+
+def test_append_inherits_declaration(spark, li, tmp_dataset_dir):
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(100), [], zone_map_columns=["l_orderkey"]
+    )
+    publish_path(spark, tmp_dataset_dir, li.limit(50), [])  # inherits
+    assert dataset_rowcount(spark, tmp_dataset_dir) == 150
+    with pytest.raises(ValueError, match="zone-map mismatch"):
+        publish_path(
+            spark, tmp_dataset_dir, li.limit(10), [],
+            zone_map_columns=["l_extendedprice"],
+        )
+
+
+def test_partition_column_rejected(spark, li, tmp_dataset_dir):
+    with pytest.raises(ValueError, match="partition columns"):
+        publish_path(
+            spark, tmp_dataset_dir, li, ["l_linestatus"],
+            zone_map_columns=["l_linestatus"],
+        )
+
+
+def test_rows_only_mode(spark, li, tmp_dataset_dir):
+    publish_path(spark, tmp_dataset_dir, li.limit(137), [], zone_map_columns=[])
+    assert dataset_rowcount(spark, tmp_dataset_dir) == 137
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert all("stats" not in e for e in meta.zone_maps["files"].values())
+    # no skipping surface declared: a value-column filter is still rejected
+    with pytest.raises(ValueError, match="matching partition"):
+        fetch_path(
+            spark, tmp_dataset_dir,
+            filters=[{"partition": "l_orderkey", "comparison": "==",
+                      "values": [1]}],
+        ).count()
+
+
+def test_zone_filter_on_time_travel_read(spark, li, tmp_dataset_dir):
+    publish_path(
+        spark, tmp_dataset_dir, li.filter("l_orderkey < 500"), [],
+        zone_map_columns=["l_orderkey"],
+    )
+    publish_path(spark, tmp_dataset_dir, li.filter("l_orderkey >= 500"), [])
+    flt = [{"partition": "l_orderkey", "comparison": "<", "values": [100]}]
+    got = fetch_at(spark, tmp_dataset_dir, 1, filters=flt)
+    assert got.count() == li.filter("l_orderkey < 100").count()
+
+
+def test_ordering_on_string_zone_column_rejected(spark, tmp_dataset_dir):
+    df = spark.createDataFrame([(1, "a")], ["k", "v"])
+    publish_path(spark, tmp_dataset_dir, df, [], zone_map_columns=["v"])
+    with pytest.raises(ValueError, match="cannot be used on partition"):
+        fetch_path(
+            spark, tmp_dataset_dir,
+            filters=[{"partition": "v", "comparison": ">", "values": ["a"]}],
+        )
+    # equality on strings is fine
+    assert fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "v", "comparison": "==", "values": ["a"]}],
+    ).count() == 1
+
+
+def test_compact_recollects_stats(spark, li, tmp_dataset_dir):
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(100), [],
+        zone_map_columns=["l_orderkey"],
+    )
+    publish_path(spark, tmp_dataset_dir, li.limit(60), [])
+    compact_dataset(spark, tmp_dataset_dir)
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    # the declaration survives the rewrite and the stats are re-collected
+    assert meta.zone_map_columns() == ["l_orderkey"]
+    assert dataset_rowcount(spark, tmp_dataset_dir) == 160
