@@ -748,6 +748,11 @@ def publish_path(
         zm = merged.zone_maps or {"columns": [], "files": {}}
         zm["columns"] = list(zone_map_columns)
         zm.setdefault("files", {}).update(stats_map)
+        # GC stat entries for files no snapshot references any more
+        # (partition-scoped DML replaced them): bounds sidecar growth over
+        # the dataset's DML lifetime at O(live files)
+        live = {f for s in snaps for f in s.get("added", [])}
+        zm["files"] = {k: v for k, v in zm["files"].items() if k in live}
         merged.zone_maps = zm
     metadata.write_sidecar(spark, path, merged)
     return new
@@ -1810,6 +1815,13 @@ def restore_dataset(
         # destruction by explicit request, and a tag pointing at a version
         # that no longer exists would be a dangling lie
         meta.tags = {n: v for n, v in meta.tags.items() if v <= version}
+        if meta.zone_maps:
+            # zone-map entries of unlinked files go with their files
+            meta.zone_maps["files"] = {
+                k: v
+                for k, v in meta.zone_maps.get("files", {}).items()
+                if k in kept_files
+            }
         if meta.partition_specs:
             # partition evolution happens at snapshot boundaries, so
             # rolling back past one must roll the CURRENT spec back too:

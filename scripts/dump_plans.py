@@ -353,6 +353,21 @@ CASES = [
         "winner side excludes text); full rows return via a key equi-join "
         "- the Zipf-skewed domain never routes the payload.",
     ),
+    (
+        "zonemap_fetch",
+        "Zone-map fetch: the scan's file list is ALREADY driver-pruned to "
+        "the surviving files (the l_orderkey range filter appears only as "
+        "a PushedFilter/row filter - never as a partition predicate); "
+        "PartitionFilters carries the l_linestatus prune; skipped files "
+        "appear nowhere in the plan.",
+    ),
+    (
+        "pagerank_graph",
+        "PageRank: per iteration one src-keyed join + one dst-keyed "
+        "HashAggregate (partial+final around a single node-key exchange); "
+        "the degree table is joined once onto the edge list, never per "
+        "round; no CartesianProduct, no driver collect of ranks.",
+    ),
 ]
 
 

@@ -234,3 +234,19 @@ def test_compact_recollects_stats(spark, li, tmp_dataset_dir):
     # the declaration survives the rewrite and the stats are re-collected
     assert meta.zone_map_columns() == ["l_orderkey"]
     assert dataset_rowcount(spark, tmp_dataset_dir) == 160
+
+
+def test_stale_entries_gc_on_publish_and_restore(spark, li, tmp_dataset_dir):
+    from s3parq_spark.publish import restore_dataset
+
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(100), [],
+        zone_map_columns=["l_orderkey"],
+    )
+    publish_path(spark, tmp_dataset_dir, li.limit(40), [])
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+    restore_dataset(spark, tmp_dataset_dir, version=1)
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+    assert dataset_rowcount(spark, tmp_dataset_dir) == 100
