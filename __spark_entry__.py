@@ -93,6 +93,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                          # tag v1, append, fetch the tag
     "pagerank_graph",    # new: fixed-iteration integer-exact PageRank over
                          # the supplier->customer link graph
+    "mor_delete_fetch",  # new: merge-on-read DELETE via predicate
+                         # tombstones; later appends survive per version
+                         # ordering; per-era union read
 )
 
 

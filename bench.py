@@ -228,6 +228,35 @@ def main() -> None:
     # the one-time quantizer training dominates and would misread as
     # serving cost — the served shape is ivf_pq_at_rest, already gated)
 
+    # ---- zone-map probe (r8): driver-side file skipping, measured ----
+    # The r8 zonemap fixture at sf0.1 is ~1.5k sorted 400-row files; the
+    # probe times the SAME value-column range fetch with the driver-side
+    # skip on (normal) and bypassed (monkeypatched identity, Catalyst
+    # still applies the predicate) — the delta is what per-file min/max
+    # in the manifest buys before any footer is read. Build time is the
+    # one-time publish + stats job, reported separately.
+    from s3parq_spark import fetch as fetch_mod
+    from s3parq_spark.workload_ext2 import _zonemap_fixture
+
+    t0 = time.time()
+    zm_path = _zonemap_fixture(spark, sf_dir)
+    probes["zonemap_build"] = round(time.time() - t0, 3)
+    zm_flt = [
+        {"partition": "l_linestatus", "comparison": "==", "values": ["O"]},
+        {"partition": "l_orderkey", "comparison": "<", "values": [1000]},
+    ]
+    t0 = time.time()
+    fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
+    probes["zonemap_skip"] = round(time.time() - t0, 3)
+    _orig_pzf = fetch_mod._prune_zone_files
+    fetch_mod._prune_zone_files = lambda files, meta, zf: files
+    try:
+        t0 = time.time()
+        fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
+        probes["zonemap_noskip"] = round(time.time() - t0, 3)
+    finally:
+        fetch_mod._prune_zone_files = _orig_pzf
+
     # ---- sf1 probes (r7): the top-5 bench queries end-to-end at ~sf1 ----
     # A REAL sf1-scale directory (6M lineitem, 1.5M orders, 50k docs, 20k
     # vectors) is materialized once to local disk by key-shifted 10x

@@ -156,6 +156,20 @@ def _partition_value_strs(
     return out
 
 
+def _reject_pending_tombstones(meta: Optional[DatasetMetadata], op: str):
+    """Metadata-only answers (partition values, row counts) describe the
+    FILES; pending merge-on-read deletes remove rows the files still
+    carry, so those answers could over-report. Loud refusal, not a wrong
+    result — ``compact_dataset`` materializes the deletes and restores
+    the metadata-only property."""
+    if meta is not None and meta.has_tombstones():
+        raise ValueError(
+            f"{op}: dataset has pending merge-on-read deletes — a "
+            "metadata-only answer would include deleted rows; run "
+            "compact_dataset to materialize them first"
+        )
+
+
 def get_all_partition_values(
     bucket: str, key: str, partition: str, spark: Optional[SparkSession] = None
 ) -> list:
@@ -169,6 +183,7 @@ def get_all_partition_values(
         return []
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    _reject_pending_tombstones(meta, "get_all_partition_values")
     dtype = meta.all_partition_data_types()[partition]
     values = _partition_value_strs(spark, path, files, meta, partition)
     # dedupe AFTER typing: on a multi-spec dataset the same value can
@@ -190,6 +205,7 @@ def get_max_partition_value(
         return None
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    _reject_pending_tombstones(meta, "get_max_partition_value")
     dtype = meta.all_partition_data_types()[partition]
     if dtype in NON_NUM_TYPES:
         raise ValueError(f"Max cannot be used on partition types of {dtype}")
@@ -228,6 +244,7 @@ def get_diff_partition_values(
 
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    _reject_pending_tombstones(meta, "get_diff_partition_values")
     dtype = meta.all_partition_data_types()[partition]
     partition_set = _partition_value_strs(spark, path, files, meta, partition)
     dataset_typed = {convert_type(v, dtype) for v in partition_set}
@@ -488,15 +505,23 @@ def fetch_path(
         # ... then against the zone-map filters (value-column min/max file
         # skipping; files without stats are kept)
         files = _prune_zone_files(files, meta, zone_filters)
-        # every file pruned -> empty frame WITH the dataset schema (same
-        # result shape a no-match Catalyst prune produces)
-        df = _scan_rel_files(spark, path, full_schema, files)
+        if meta.has_tombstones():
+            # merge-on-read deletes pending: per-era scan with tombstone
+            # row filters (already rename-resolved)
+            df = _tombstone_scan(spark, path, full_schema, meta, files)
+        else:
+            # every file pruned -> empty frame WITH the dataset schema
+            # (same result shape a no-match Catalyst prune produces)
+            df = _resolve_renames(
+                _scan_rel_files(spark, path, full_schema, files), meta
+            )
     elif files:
-        df = spark.read.schema(full_schema).parquet(path)
+        df = _resolve_renames(
+            spark.read.schema(full_schema).parquet(path), meta
+        )
     else:
         # sidecar present, zero data files (walk found nothing)
-        df = spark.createDataFrame([], full_schema)
-    df = _resolve_renames(df, meta)
+        df = _resolve_renames(spark.createDataFrame([], full_schema), meta)
 
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
@@ -533,6 +558,7 @@ def dataset_rowcount(
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    _reject_pending_tombstones(meta, "dataset_rowcount")
     manifest = meta.manifest_files()
     if manifest is None:
         if strict:
@@ -571,6 +597,7 @@ def partition_rowcounts(
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    _reject_pending_tombstones(meta, "partition_rowcounts")
     if meta.is_multi_spec():
         raise ValueError(
             "partition_rowcounts requires a single partition spec; "
@@ -656,7 +683,11 @@ def fetch_at(
         if s["version"] <= version
         for r in s["added"]
     ]
-    return _read_manifest_slice(spark, path, meta, rel, filters, columns)
+    # as-of semantics for merge-on-read deletes: only tombstones committed
+    # at or before ``version`` existed then — later ones must not apply
+    return _read_manifest_slice(
+        spark, path, meta.at_version(version), rel, filters, columns
+    )
 
 
 def fetch_at_tag(
@@ -758,13 +789,77 @@ def fetch_changes(
         raise ValueError(
             f"from_version {from_version} must precede to_version {to_version}"
         )
+    in_range_tombs = [
+        v for v, _ in meta.tombstones() if from_version < v <= to_version
+    ]
+    if in_range_tombs:
+        # a merge-on-read DELETE inside the range removes old rows — a
+        # delta that "files appended" cannot represent. Loud, not lossy.
+        raise ValueError(
+            f"fetch_changes({from_version}, {to_version}) at {path} spans "
+            f"merge-on-read delete commit(s) {in_range_tombs}: the delta "
+            "is not append-only; read full snapshots (fetch_at) or "
+            "compact_dataset to materialize the deletes first"
+        )
     rel = [
         r
         for s in meta.snapshots
         if from_version < s["version"] <= to_version
         for r in s["added"]
     ]
-    return _read_manifest_slice(spark, path, meta, rel, filters, columns)
+    # tombstones AFTER to_version did not exist as of this delta
+    return _read_manifest_slice(
+        spark, path, meta.at_version(to_version), rel, filters, columns
+    )
+
+
+def _tombstone_scan(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    meta: DatasetMetadata,
+    rel_files: List[str],
+) -> DataFrame:
+    """Merge-on-read DELETE application: scan ``rel_files`` with each
+    file's pending tombstone predicates applied as row filters. A
+    tombstone (``delete_where(mode="merge-on-read")``) deletes rows that
+    existed at its commit — so it applies exactly to files committed
+    BEFORE its version; later appends are untouched (SQL DELETE
+    semantics). Files are grouped into eras by their applicable-tombstone
+    set, each era scanned once and filtered with
+    ``NOT coalesce(pred, false)`` per tombstone (NULL-predicate rows are
+    KEPT, the delete_where rule), then unioned — a pure concatenation, no
+    shuffle, per-era pruning intact. The returned frame is already
+    rename-resolved (predicates reference CURRENT column names; DDL
+    renames are rejected while tombstones are pending)."""
+    vers = meta.file_commit_versions()
+    tombs = meta.tombstones()
+    orphans = [f for f in rel_files if f not in vers]
+    if orphans:
+        raise ValueError(
+            f"dataset at {path} has pending merge-on-read deletes but "
+            f"{len(orphans)} file(s) have no commit version (e.g. "
+            f"{orphans[0]!r}); tombstone applicability is undecidable — "
+            "restore the history or compact_dataset to materialize"
+        )
+    groups: Dict[tuple, List[str]] = {}
+    for f in rel_files:
+        key = tuple(p for (tv, p) in tombs if tv > vers[f])
+        groups.setdefault(key, []).append(f)
+    if not groups:
+        return _resolve_renames(
+            spark.createDataFrame([], schema), meta
+        )
+    slices = []
+    for preds, fl in sorted(groups.items()):
+        df = _resolve_renames(_scan_rel_files(spark, path, schema, fl), meta)
+        for p in preds:
+            df = df.filter(~F.coalesce(F.expr(p), F.lit(False)))
+        slices.append(df)
+    out = slices[0]
+    for s in slices[1:]:
+        out = out.unionByName(s)
+    return out
 
 
 def _split_zone_filters(
@@ -1197,8 +1292,12 @@ def _read_manifest_slice(
     validate_matching_filter_data_type(meta.partition_data_types, filters)
     rel_files = _prune_manifest_files(rel_files, meta, filters)
     rel_files = _prune_zone_files(rel_files, meta, zone_filters)
-    df = _scan_rel_files(spark, path, _scan_schema(meta), rel_files)
-    df = _resolve_renames(df, meta)
+    if meta.has_tombstones():
+        df = _tombstone_scan(spark, path, _scan_schema(meta), meta, rel_files)
+    else:
+        df = _resolve_renames(
+            _scan_rel_files(spark, path, _scan_schema(meta), rel_files), meta
+        )
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))
     if derived_filters:

@@ -246,6 +246,45 @@ class DatasetMetadata:
         out.tags = dict(d.get("tags") or {})
         return out
 
+    def at_version(self, version: int) -> "DatasetMetadata":
+        """A view of this metadata as of snapshot ``version``: the snapshot
+        history truncated to the prefix — so time-travel reads see only
+        the tombstones (and manifests) that existed then. Schema-level
+        fields stay current (schema evolution is append-compatible by
+        construction)."""
+        view = DatasetMetadata.from_dict(self.to_dict())
+        view.snapshots = [
+            s for s in self.snapshots if s["version"] <= version
+        ]
+        return view
+
+    def tombstones(self) -> List[tuple]:
+        """Pending merge-on-read DELETE commits, oldest first:
+        ``[(version, sql_predicate), ...]`` from the snapshot history. A
+        tombstone applies at read to every file committed BEFORE its
+        version (SQL DELETE semantics: later appends are untouched);
+        ``compact_dataset`` materializes and clears them."""
+        return [
+            (s["version"], s["delete_predicate"])
+            for s in self.snapshots
+            if s.get("delete_predicate") is not None
+        ]
+
+    def has_tombstones(self) -> bool:
+        return any(
+            s.get("delete_predicate") is not None for s in self.snapshots
+        )
+
+    def file_commit_versions(self) -> Dict[str, int]:
+        """Manifest file → the version of the snapshot that committed it
+        (first snapshot wins on the bootstrap edge) — what decides which
+        tombstones apply to which file."""
+        out: Dict[str, int] = {}
+        for s in self.snapshots:
+            for f in s.get("added", []):
+                out.setdefault(f, s["version"])
+        return out
+
     def zone_map_columns(self) -> List[str]:
         """Value columns declared filterable via file-level zone maps
         (empty when the dataset was never published with

@@ -464,6 +464,10 @@ def publish_path(
     # else: the sizing sample below doubles as the empty check — one job
 
     prior = metadata.read_sidecar(spark, path) if mode == "append" else None
+    if evolve_partitions and prior is not None:
+        # the per-spec union and the per-era tombstone union do not
+        # compose (yet): evolution onto pending MoR deletes is rejected
+        _require_materialized(prior, path, "publish(evolve_partitions=True)")
     if mode == "append" and not evolve_partitions:
         if prior is not None and prior.derived_partitions:
             if derived_partitions and dict(derived_partitions) != dict(
@@ -830,6 +834,21 @@ def _collect_file_zone_stats(
 
 
 
+def _require_materialized(sidecar, path: str, op: str) -> None:
+    """Operations that rewrite or re-declare PART of the dataset (dynamic
+    partition overwrite, partition-scoped DML, schema DDL, partition
+    evolution) assume the files they leave untouched are correct as-is;
+    pending merge-on-read tombstones break that — an untouched partition
+    still carries rows the tombstones delete, and the rewrite clears the
+    history that applied them (silent resurrection). Loud refusal;
+    ``compact_dataset`` materializes the deletes first."""
+    if sidecar is not None and sidecar.has_tombstones():
+        raise ValueError(
+            f"{op}: dataset at {path} has pending merge-on-read deletes "
+            "(tombstones) — run compact_dataset to materialize them first"
+        )
+
+
 def _reject_multi_spec(sidecar, op: str) -> None:
     """Partition-scoped DML assumes every data file follows the CURRENT
     hive layout (touched-partition predicates, dynamic partition
@@ -881,6 +900,7 @@ def overwrite_partitions(
         )
     existing = metadata.read_sidecar(spark, path)
     _reject_multi_spec(existing, "overwrite_partitions")
+    _require_materialized(existing, path, "overwrite_partitions")
     if existing is not None and list(existing.partitions) != list(partitions):
         raise ValueError(
             f"partition columns {partitions} do not match the dataset's "
@@ -963,6 +983,7 @@ def merge_upsert(
     if meta is None:
         raise ValueError(f"no dataset at {path}")
     _reject_multi_spec(meta, "merge_upsert")
+    _require_materialized(meta, path, "merge_upsert")
     partitions = list(meta.partitions)
     if not partitions:
         raise ValueError(
@@ -1378,6 +1399,7 @@ def delete_where(
     predicate: str,
     dry_run: bool = False,
     change_log: bool = False,
+    mode: str = "copy-on-write",
 ) -> int:
     """Row-level DELETE on a published dataset, as a partition-scoped
     rewrite (copy-on-write, the Delta/Iceberg CoW strategy): only hive
@@ -1399,10 +1421,28 @@ def delete_where(
     row-level CDF for DELETE, complementing ``fetch_changes``'s
     version-level feed for appends.
 
+    ``mode="merge-on-read"`` (Iceberg-v2's MoR strategy, restated as
+    PREDICATE tombstones): instead of rewriting anything, the DELETE
+    commits a tombstone snapshot — ``{version, delete_predicate}``, zero
+    data files touched — and every read applies ``NOT coalesce(pred,
+    false)`` to files committed BEFORE the tombstone (later appends are
+    untouched: SQL DELETE deletes what existed at commit time, which the
+    version ordering encodes exactly). O(1) storage work per delete vs
+    CoW's O(touched partitions) rewrite — the right strategy when deletes
+    are frequent and reads tolerate a residual filter. The costs are
+    explicit and loud: metadata-only answers (partition values, row
+    counts) and append-only CDC deltas are refused while tombstones are
+    pending, schema DDL and partition-scoped DML require materialization
+    first, and ``compact_dataset`` is the materialization (reads apply
+    the tombstones, so the rewrite folds them in and clears them).
+    ``change_log`` is CoW-only (a tombstone commits no row images).
+
     Returns the number of rows deleted (``dry_run=True`` counts only).
     """
     from .fetch import fetch_path
 
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown delete_where mode {mode!r}")
     sidecar = metadata.read_sidecar(spark, path)
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
@@ -1411,6 +1451,42 @@ def delete_where(
     df = fetch_path(spark, path)
     pred = F.expr(predicate)
     n_delete = df.filter(pred).count()
+    if mode == "merge-on-read":
+        if change_log:
+            raise ValueError(
+                "delete_where: change_log requires copy-on-write (a "
+                "merge-on-read tombstone commits no row images)"
+            )
+        if not sidecar.snapshots:
+            raise ValueError(
+                "delete_where(merge-on-read): no snapshot history at "
+                f"{path} — tombstone applicability needs per-file commit "
+                "versions (publish once to bootstrap, or use copy-on-write)"
+            )
+        if n_delete == 0 or dry_run:
+            return n_delete
+        import time as _time
+
+        now = _time.time()
+
+        def mutate(meta):
+            if not meta.snapshots:
+                raise ConcurrentWriteError(
+                    f"history at {path} was cleared during the delete"
+                )
+            meta.snapshots = [
+                *meta.snapshots,
+                {
+                    "version": meta.snapshots[-1]["version"] + 1,
+                    "ts": now,
+                    "added": [],
+                    "delete_predicate": predicate,
+                },
+            ]
+
+        _guarded_sidecar_write(spark, path, mutate)
+        return n_delete
+    _require_materialized(sidecar, path, "delete_where(copy-on-write)")
     if n_delete == 0 or dry_run:
         return n_delete
     if change_log:
@@ -1494,6 +1570,7 @@ def update_where(
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
     _reject_multi_spec(sidecar, "update_where")
+    _require_materialized(sidecar, path, "update_where")
     parts = list(sidecar.partitions)
     bad = [c for c in set_exprs if c in parts]
     if bad:
@@ -1901,6 +1978,13 @@ def expire_snapshots(
     runs: List[list] = []  # [spec_id, [snapshots...]] per contiguous run
     for s in squashed:
         sid = meta.snapshot_spec_id(s) if meta.partition_specs else None
+        if s.get("delete_predicate") is not None:
+            # a merge-on-read tombstone is a RUN BOUNDARY: squashing a
+            # data snapshot across it would raise its files' commit
+            # version past the tombstone and silently un-delete them —
+            # and the tombstone entry itself must survive verbatim
+            runs.append([("tombstone", s["version"]), [s]])
+            continue
         if runs and runs[-1][0] == sid:
             runs[-1][1].append(s)
         else:
@@ -1908,6 +1992,12 @@ def expire_snapshots(
     bases: List[dict] = []
     expired: List[int] = []
     for sid, run in runs:
+        if len(run) == 1:
+            # singleton run: pass the snapshot through UNCHANGED (also
+            # preserves fields the squash form doesn't model, e.g.
+            # delete_predicate)
+            bases.append(dict(run[0]))
+            continue
         base = {
             "version": run[-1]["version"],
             "added": sorted({f for s in run for f in s.get("added", [])}),
@@ -2078,6 +2168,9 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
     def mutate(meta):
         if old not in meta.column_types:
             raise ValueError(f"rename_column: no column {old!r} at {path}")
+        # pending tombstone predicates reference column names; a rename
+        # would silently invalidate them at read time
+        _require_materialized(meta, path, "rename_column")
         # EVERY spec's partitions, not just the current one: an archived
         # spec's partition column is still the directory layout of that
         # spec's files (renaming it would leave its slice unfilterable)
@@ -2140,6 +2233,7 @@ def drop_column(spark: SparkSession, path: str, name: str) -> None:
     def mutate(meta):
         if name not in meta.column_types:
             raise ValueError(f"drop_column: no column {name!r} at {path}")
+        _require_materialized(meta, path, "drop_column")
         # every spec's partitions (see rename_column): archived-spec
         # partition columns still shape their slice's layout and reads
         for sp in meta.specs():

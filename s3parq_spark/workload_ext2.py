@@ -3176,3 +3176,56 @@ def _pagerank_oracle() -> str:
 
 QUERIES_EXT2["pagerank_graph"] = q_pagerank_graph
 ORACLE_EXT2["pagerank_graph"] = _pagerank_oracle()
+
+
+def q_mor_delete_fetch(spark, sf_dir):
+    """Merge-on-read DELETE (publish.delete_where mode="merge-on-read" —
+    Iceberg-v2 MoR restated as predicate tombstones): v1 publishes the
+    even-key half of orders, a tombstone then deletes its expensive rows
+    WITHOUT touching a single data file (O(1) metadata commit), and v2
+    appends the odd-key half — which SURVIVES the earlier tombstone even
+    where it matches the predicate, because a tombstone applies only to
+    files committed before it (SQL DELETE semantics via version
+    ordering). Fetch plans a per-era union: v1's slice carries
+    NOT coalesce(pred, false); v2's slice scans clean. Oracle = the same
+    era logic inlined over raw orders."""
+    from . import metadata
+    from .fetch import fetch_path
+    from .publish import delete_where, publish_path
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "orders_mor")
+    marker = os.path.join(path, "_MOR")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders")
+        publish_path(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderstatus"],
+        )
+        delete_where(
+            spark, path, "o_totalprice > 150000.0", mode="merge-on-read"
+        )
+        publish_path(
+            spark, path,
+            orders.filter(F.col("o_orderkey") % 2 == 1),
+            ["o_orderstatus"],
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    meta = metadata.read_sidecar(spark, path)
+    assert meta.tombstones() == [(2, "o_totalprice > 150000.0")]
+    return fetch_path(spark, path).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+QUERIES_EXT2["mor_delete_fetch"] = q_mor_delete_fetch
+ORACLE_EXT2["mor_delete_fetch"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders
+    WHERE (o_orderkey % 2 = 0
+           AND NOT COALESCE(o_totalprice > 150000.0, FALSE))
+       OR o_orderkey % 2 = 1
+"""
