@@ -324,3 +324,28 @@ def test_memory_sinks_are_dropped_after_runners(spark, sf_dir):
     # results remain usable after the view drop (materialized, not lazy
     # over the dropped catalog entry)
     assert topk.count() > 0 and counts.count() > 0
+
+
+def test_stream_publish_collects_zone_maps(spark, sf_dir, tmp_path):
+    """Streaming ingestion composes with the zone-map plane: the first
+    micro-batch declares zone_map_columns, later appends inherit it, every
+    committed file gets stats, and the metadata COUNT(*) equals the scan."""
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import dataset_rowcount, fetch_path
+    from s3parq_spark.streaming.events import stream_publish
+
+    path = str(tmp_path / "stream_zm")
+    stream_publish(
+        spark, f"{sf_dir}/events.parquet", path, ["event_type"],
+        zone_map_columns=["user_id"],
+    )
+    meta = metadata.read_sidecar(spark, path)
+    assert meta.zone_map_columns() == ["user_id"]
+    assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+    assert dataset_rowcount(spark, path) == fetch_path(spark, path).count()
+    # value-column filter skips at the driver and stays exact
+    got = fetch_path(
+        spark, path,
+        filters=[{"partition": "user_id", "comparison": "<", "values": [50]}],
+    )
+    assert got.count() == fetch_path(spark, path).filter("user_id < 50").count()
