@@ -871,7 +871,11 @@ def _split_zone_filters(
     at the driver from the sidecar's per-file min/max and then applies
     row-level, extending the reference's partitions-only filter surface to
     clustered value columns without changing any partition semantics."""
-    zone_cols = set(meta.zone_map_columns()) - set(meta.partition_data_types)
+    # exclude partitions under ANY spec (publish forbids declaring one,
+    # but an old sidecar edited by hand must not bypass partition rules)
+    zone_cols = set(meta.zone_map_columns()) - set(
+        meta.all_partition_data_types()
+    )
     if not zone_cols:
         return filters, []
     rest = [f for f in filters if f["partition"] not in zone_cols]
@@ -1205,7 +1209,13 @@ def _union_spec_slices(
     laid them out, scan each group under its own layout, union. Every
     slice produces the same full-schema column shape, so the union is a
     pure concatenation — no shuffle, and each slice keeps its own
-    PartitionFilters prune."""
+    PartitionFilters prune. Zone-map filters compose: the value column is
+    a partition under NO spec, so the filter splits off first, skips dead
+    files per slice from the per-file stats, and re-applies row-level
+    after the union."""
+    filters, zone_filters = _split_zone_filters(meta, filters)
+    if zone_filters:
+        validate_matching_filter_data_type(_zone_types(meta), zone_filters)
     spec_of: Dict[str, int] = {}
     for s in meta.snapshots:
         sid = meta.snapshot_spec_id(s)
@@ -1229,6 +1239,11 @@ def _union_spec_slices(
     by_spec: Dict[int, List[str]] = {}
     for f in rel_files:
         by_spec.setdefault(spec_of[f], []).append(f)
+    if zone_filters:
+        by_spec = {
+            sid: _prune_zone_files(fl, meta, zone_filters)
+            for sid, fl in by_spec.items()
+        }
     slices = [
         _read_files_one_spec(spark, path, meta, spec, by_spec[spec["spec_id"]], filters)
         for spec in meta.specs()
@@ -1247,6 +1262,8 @@ def _union_spec_slices(
         df = slices[0]
         for s in slices[1:]:
             df = df.unionByName(s)
+    if zone_filters:
+        df = df.filter(filters_to_predicate(zone_filters, _zone_types(meta)))
     return _project_dataset_columns(df, meta, columns, path)
 
 

@@ -279,3 +279,40 @@ class TestRound7Contracts:
             "payload leaked into a winner branch"
         )
         assert "CartesianProduct" not in plan
+
+
+def test_zonemap_fetch_prunes_before_the_file_index(spark, sf_dir):
+    """The zone-mapped value-column range filter must never appear as a
+    partition predicate; the scan's file index must already be smaller
+    than the manifest (driver-side skipping), and the exact predicate
+    must ride as a pushed row filter."""
+    from s3parq_spark import metadata
+    from s3parq_spark.workload_ext2 import _zonemap_fixture
+
+    plan = _plan(spark, sf_dir, "zonemap_fetch")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "l_linestatus" in m.group(1)
+    assert "l_orderkey" not in m.group(1)
+    assert re.search(r"PushedFilters: \[[^\]]*l_orderkey", plan)
+    n_index = len(QUERIES["zonemap_fetch"](spark, sf_dir).inputFiles())
+    meta = metadata.read_sidecar(spark, _zonemap_fixture(spark, sf_dir))
+    assert n_index < len(meta.manifest_files())
+
+
+def test_pagerank_no_cartesian_no_collect_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pagerank_graph")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never a global sort
+    # per-iteration aggregates are hash aggregates over the node key
+    assert plan.count("HashAggregate") >= 6
+
+
+def test_mor_delete_union_keeps_per_slice_scan(spark, sf_dir):
+    """The tombstoned era carries the NOT(pred) row filter; the
+    post-tombstone era scans clean; both slices stay parquet scans under
+    one Union (no shuffle introduced by the delete)."""
+    plan = _plan(spark, sf_dir, "mor_delete_fetch")
+    assert "Union" in plan
+    assert "o_totalprice" in plan and "Exchange" not in plan.split(
+        "Union", 1
+    )[1], "merge-on-read union must not introduce an exchange"

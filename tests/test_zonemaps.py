@@ -250,3 +250,44 @@ def test_stale_entries_gc_on_publish_and_restore(spark, li, tmp_dataset_dir):
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
     assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
     assert dataset_rowcount(spark, tmp_dataset_dir) == 100
+
+
+def test_zone_filter_on_evolved_dataset(spark, li, tmp_dataset_dir):
+    """Zone maps compose with partition evolution: the value filter skips
+    files per spec slice and applies row-level across the union."""
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.filter("l_orderkey < 800")
+          .repartitionByRange(3, "l_orderkey")
+          .sortWithinPartitions("l_orderkey"),
+        ["l_linestatus"],
+        max_records_per_file=300, rebalance=False,
+        zone_map_columns=["l_orderkey"],
+    )
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.filter("l_orderkey >= 800"),
+        [],  # evolved: unpartitioned era
+        evolve_partitions=True,
+    )
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.is_multi_spec()
+    flt = [{"partition": "l_orderkey", "comparison": "<", "values": [200]}]
+    got = fetch_path(spark, tmp_dataset_dir, filters=flt)
+    assert got.count() == li.filter("l_orderkey < 200").count()
+    # the old-spec slice actually skipped files
+    kept = _prune_zone_files(
+        sorted(meta.zone_maps["files"]), meta, flt
+    )
+    assert len(kept) < len(meta.zone_maps["files"])
+    # zone + cross-spec partition filter together
+    both = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[
+            {"partition": "l_linestatus", "comparison": "==", "values": ["O"]},
+            {"partition": "l_orderkey", "comparison": "<", "values": [200]},
+        ],
+    )
+    assert both.count() == li.filter(
+        "l_linestatus = 'O' and l_orderkey < 200"
+    ).count()
