@@ -82,8 +82,10 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 8 additions (kept <= 4 so the 50-row window reaches deep into
-    # the least-recently-verified tail):
+    # Round 8 additions — 5 this round (one over the usual <=4 budget:
+    # mor_delete_fetch landed as a second-wave feature and must get its
+    # first-round row; the window still reaches 43 least-recently-verified
+    # tail queries after 2 sentinels + 5 new):
     "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
                          # -> driver-side file skipping for VALUE-column
                          # predicates (Delta/Iceberg data-skipping plane)

@@ -235,7 +235,12 @@ def main() -> None:
     # still applies the predicate) — the delta is what per-file min/max
     # in the manifest buys before any footer is read. Build time is the
     # one-time publish + stats job, reported separately.
-    from s3parq_spark import fetch as fetch_mod
+    import importlib
+
+    # NOTE: `from s3parq_spark import fetch` yields the package-level
+    # fetch() FUNCTION (it shadows the submodule attribute); import the
+    # module itself for the monkeypatch
+    fetch_mod = importlib.import_module("s3parq_spark.fetch")
     from s3parq_spark.workload_ext2 import _zonemap_fixture
 
     t0 = time.time()
@@ -325,13 +330,15 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r7: totals flat vs r6 (14.27 vs 14.206 s — the "
+                "notes": "r8: totals flat vs r7 (12.54 vs 12.47 s — the "
                          "round's features are off the headline paths); "
-                         "new probes_sf1 block runs the top-5 shapes "
-                         "end-to-end at ~sf1 via a materialized 10x "
-                         "directory — all sublinear (publish 0.93x, Q3 "
-                         "3.3x, neardup 3.3x, minhash 2.7x, ann 1.8x for "
-                         "10x data)",
+                         "new zonemap probe measures the data-skipping "
+                         "plane at ~1.5k sorted 400-row files: the same "
+                         "value-column range fetch runs 0.11 s with "
+                         "driver-side file skipping vs 1.60 s with the "
+                         "skip bypassed (~15x — the win before any "
+                         "footer is read); probes_sf1 unchanged, still "
+                         "sublinear across the top-5 shapes",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time

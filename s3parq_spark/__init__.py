@@ -31,6 +31,7 @@ from .fetch import (
 from .export import export_jsonl, read_jsonl
 from .sources import read_csv
 from .publish import (
+    TagPinnedError,
     apply_change_feed,
     custom_publish,
     delete_tag,
@@ -52,6 +53,7 @@ from .session_helper import SessionHelper
 
 __all__ = [
     "MissingS3ParqMetadata",
+    "TagPinnedError",
     "apply_change_feed",
     "attach",
     "custom_publish",

@@ -248,9 +248,19 @@ def get_diff_partition_values(
     dtype = meta.all_partition_data_types()[partition]
     partition_set = _partition_value_strs(spark, path, files, meta, partition)
     dataset_typed = {convert_type(v, dtype) for v in partition_set}
-    diff_typed = {
-        convert_type(_partition_value_str(v), dtype) for v in values_to_diff
-    }
+    # user-side values type through the same canonicalization — but an
+    # UNTYPEABLE value (e.g. 'unknown' against an integer partition) must
+    # not crash the forward diff: it simply can never match a dataset
+    # value (reference parity — its forward path only typed the dataset
+    # side). In reverse the value would be RETURNED typed, which is where
+    # the reference's own convert_type raises; same here.
+    diff_typed = set()
+    for v in values_to_diff:
+        try:
+            diff_typed.add(convert_type(_partition_value_str(v), dtype))
+        except (ValueError, TypeError):
+            if reverse:
+                raise
 
     if not values_to_diff:
         return [] if reverse else list(dataset_typed)
@@ -968,6 +978,11 @@ def _prune_zone_files(
             vals = [_typed_value(v, vocab) for v in f["values"]]
         except (ValueError, TypeError):
             continue  # untypeable filter value: the residual decides
+        if any(isinstance(v, float) and v != v for v in vals):
+            # NaN filter value: Spark's ordering treats NaN as equal to
+            # itself and greater than everything — Python's does neither,
+            # so no driver-side bound comparison is provable. Residual only.
+            continue
         active.append((col, vocab, f["comparison"], vals))
     if not active:
         return files
@@ -988,6 +1003,14 @@ def _prune_zone_files(
                 mx = metadata.zone_stat_typed(cs[1], vocab)
             except (ValueError, TypeError):
                 continue  # unreadable bound: conservative keep
+            if (isinstance(mn, float) and mn != mn) or (
+                isinstance(mx, float) and mx != mx
+            ):
+                # NaN bound (the file holds a NaN: Spark's max ranks NaN
+                # above everything): Python comparisons against NaN are
+                # all False, which would wrongly DROP matching files —
+                # the bound is unusable, keep the file
+                continue
             if not _zone_file_may_match(
                 mn, mx, int(cs[2]), int(st["rows"]), cmp, vals, vocab
             ):
@@ -1213,6 +1236,14 @@ def _union_spec_slices(
     a partition under NO spec, so the filter splits off first, skips dead
     files per slice from the per-file stats, and re-applies row-level
     after the union."""
+    if meta.has_tombstones():
+        # unreachable through the API (MoR deletes reject multi-spec and
+        # evolution rejects pending tombstones) — but a hand-edited
+        # sidecar must fail loudly, not silently skip the deletes
+        raise ValueError(
+            f"partition-evolved dataset at {path} carries merge-on-read "
+            "tombstones — unsupported combination; compact_dataset first"
+        )
     filters, zone_filters = _split_zone_filters(meta, filters)
     if zone_filters:
         validate_matching_filter_data_type(_zone_types(meta), zone_filters)

@@ -30,7 +30,12 @@ from typing import Dict, Optional
 from pyspark.sql import SparkSession
 
 from . import fs, metadata
-from .publish import compact_dataset, expire_snapshots, vacuum_dataset
+from .publish import (
+    TagPinnedError,
+    compact_dataset,
+    expire_snapshots,
+    vacuum_dataset,
+)
 
 #: publish's file-size contract (bytes): files far below it signal
 #: compaction; mirrors the ~60 MB target of ``_estimate_rows_per_file``
@@ -100,16 +105,21 @@ def maintain_dataset(
     report: Dict[str, object] = {"health": health, "actions": []}
 
     if health["n_snapshots"] > max_snapshots:
-        report["actions"].append(
-            {
-                "action": "expire_snapshots",
-                "reason": f"{int(health['n_snapshots'])} snapshots > "
-                          f"max_snapshots={max_snapshots}",
-                "result": expire_snapshots(
-                    spark, path, keep_last=keep_last, dry_run=dry_run
-                ),
-            }
-        )
+        entry = {
+            "action": "expire_snapshots",
+            "reason": f"{int(health['n_snapshots'])} snapshots > "
+                      f"max_snapshots={max_snapshots}",
+        }
+        try:
+            entry["result"] = expire_snapshots(
+                spark, path, keep_last=keep_last, dry_run=dry_run
+            )
+        except TagPinnedError as exc:
+            # a pinned ref is an operator decision, not a fault: record
+            # the skip and keep running the remaining remedies — one
+            # long-lived tag must not wedge the whole maintenance loop
+            entry["skipped"] = str(exc)
+        report["actions"].append(entry)
 
     small = (
         health["n_files"] >= compact_min_files
@@ -127,7 +137,10 @@ def maintain_dataset(
             ),
         }
         if not dry_run:
-            entry["result"] = compact_dataset(spark, path)
+            try:
+                entry["result"] = compact_dataset(spark, path)
+            except TagPinnedError as exc:
+                entry["skipped"] = str(exc)  # same pinned-ref policy
         report["actions"].append(entry)
 
     if vacuum_retention_hours is not None:

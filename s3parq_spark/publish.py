@@ -54,6 +54,15 @@ class ConcurrentWriteError(RuntimeError):
     (optimistic-concurrency conflict on ``expected_version``)."""
 
 
+class TagPinnedError(ValueError):
+    """A named snapshot ref pins a version the operation would destroy or
+    make unaddressable (``expire_snapshots`` squash, ``compact_dataset``
+    rewrite). Delete the tag — or pass the operation's explicit
+    drop-tags escape — to proceed. A dedicated type so policy loops
+    (``maintain_dataset``) can treat "pinned, try again later" as a
+    scheduling fact instead of a crash."""
+
+
 def check_empty_dataframe(df: DataFrame) -> None:
     """Reject empty publishes (``publish_parq.py:16-30``) without a full
     count: ``limit(1)`` short-circuits the scan."""
@@ -936,8 +945,13 @@ def overwrite_partitions(
 
     # partition overwrite deletes replaced files, so older snapshots can no
     # longer be replayed — clear the version history (honest, not stale);
-    # the next append bootstraps v1 from the then-live file set
+    # the next append bootstraps v1 from the then-live file set. Tags go
+    # with the history they addressed: a kept tag would dangle now and —
+    # worse — silently resolve against the REBOOTSTRAPPED version numbers
+    # after the next append (the moved-frozen-ref failure tags exist to
+    # prevent)
     merged.snapshots = []
+    merged.tags = {}
     metadata.write_sidecar(spark, path, merged)
     return [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
 
@@ -1156,6 +1170,7 @@ def apply_change_feed(
         side = metadata.read_sidecar(spark, mirror_path)
         if side is not None:
             side.snapshots = []
+            side.tags = {}
             metadata.write_sidecar(spark, mirror_path, side)
     stream.unpersist()
     survivors.unpersist()
@@ -1168,6 +1183,7 @@ def compact_dataset(
     max_records_per_file: Optional[int] = None,
     sort_by: Optional[List[str]] = None,
     zorder_by: Optional[List[str]] = None,
+    drop_tags: bool = False,
 ) -> List[str]:
     """Small-file compaction: rewrite the dataset's data files back at the
     ~60 MB target geometry, preserving the hive partitioning and sidecar.
@@ -1192,6 +1208,15 @@ def compact_dataset(
     sidecar = metadata.read_sidecar(spark, path)
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    if sidecar.tags and not drop_tags:
+        # the rewrite physically replaces every tagged version's file set
+        # — the same pin contract expire_snapshots refuses loudly; the
+        # caller either deletes the tags or opts into dropping them
+        raise TagPinnedError(
+            f"compact_dataset: snapshot tags {sidecar.tags} at {path} pin "
+            "versions the rewrite would destroy; delete_tag them or pass "
+            "drop_tags=True"
+        )
     partitions = list(sidecar.partitions)
     df = fetch_path(spark, path)
     rebalance = True
@@ -1280,6 +1305,7 @@ def repartition_dataset(
     path: str,
     new_partitions: List[str],
     max_records_per_file: Optional[int] = None,
+    drop_tags: bool = False,
 ) -> List[str]:
     """Partition evolution: rewrite the dataset under a DIFFERENT hive
     partition layout (e.g. ingested ``partitionBy(source)``, but the hot
@@ -1309,6 +1335,12 @@ def repartition_dataset(
         raise ValueError(
             f"dataset is already partitioned by {new_partitions}; use "
             "compact_dataset to rewrite within the same layout"
+        )
+    if sidecar.tags and not drop_tags:
+        raise TagPinnedError(
+            f"repartition_dataset: snapshot tags {sidecar.tags} at {path} "
+            "pin versions the rewrite would destroy; delete_tag them or "
+            "pass drop_tags=True"
         )
     df = fetch_path(spark, path)
     missing = [c for c in new_partitions if c not in df.columns]
@@ -1533,7 +1565,9 @@ def delete_where(
     if emptied and not survivor_dirs:
         # overwrite_partitions didn't run, so clear history here: the
         # directory removals invalidate older snapshots the same way
+        # (tags go with the history — see overwrite_partitions)
         sidecar.snapshots = []
+        sidecar.tags = {}
         metadata.write_sidecar(spark, path, sidecar)
     return n_delete
 
@@ -2015,7 +2049,7 @@ def expire_snapshots(
     if blocked:
         # a tag PINS its snapshot (Iceberg ref retention): squashing it
         # away would break the named reproducibility contract silently
-        raise ValueError(
+        raise TagPinnedError(
             f"expire_snapshots: versions pinned by tags {blocked} at "
             f"{path}; delete_tag first (or raise keep_last)"
         )
@@ -2212,6 +2246,18 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
             ]
         if meta.stats and old in meta.stats.get("columns", {}):
             meta.stats["columns"][new] = meta.stats["columns"].pop(old)
+        if meta.zone_maps and old in meta.zone_maps.get("columns", []):
+            # the zone-map declaration follows the rename (a stale old
+            # name would wedge every subsequent append and compaction on
+            # the inherit/mismatch checks); per-file stats keys move too —
+            # the recorded bounds describe the same physical data
+            meta.zone_maps["columns"] = [
+                new if c == old else c for c in meta.zone_maps["columns"]
+            ]
+            for entry in meta.zone_maps.get("files", {}).values():
+                st = entry.get("stats")
+                if st and old in st:
+                    st[new] = st.pop(old)
 
     _guarded_sidecar_write(spark, path, mutate)
 
@@ -2264,6 +2310,17 @@ def drop_column(spark: SparkSession, path: str, name: str) -> None:
         meta.sort_columns = [c for c in meta.sort_columns if c != name]
         if meta.stats:
             meta.stats.get("columns", {}).pop(name, None)
+        if meta.zone_maps:
+            # the dropped column leaves the zone-map declaration (a stale
+            # entry would wedge appends and compaction on the inherit
+            # checks) and its per-file stats go with it
+            meta.zone_maps["columns"] = [
+                c for c in meta.zone_maps.get("columns", []) if c != name
+            ]
+            for entry in meta.zone_maps.get("files", {}).values():
+                st = entry.get("stats")
+                if st:
+                    st.pop(name, None)
 
     _guarded_sidecar_write(spark, path, mutate)
 

@@ -196,3 +196,26 @@ class TestDatasetFiles:
         ft = dataset_files(spark, path)
         assert ft.columns == ["file", "version"]
         assert ft.count() >= 1
+
+
+def test_diff_untypeable_user_value_forward_tolerant(spark, tmp_dataset_dir):
+    """r8 review: an untypeable candidate value ('unknown' vs an integer
+    partition) can never match — the forward diff must report around it,
+    not crash (reference parity: its forward path never typed the user
+    side); reverse WOULD return it typed, so reverse raises like the
+    reference's convert_type does."""
+    from s3parq_spark.fetch import get_diff_partition_values
+    from s3parq_spark.publish import publish_path
+
+    df = spark.createDataFrame([(1, 2024, "a"), (2, 2025, "b")],
+                               ["id", "year", "v"])
+    publish_path(spark, tmp_dataset_dir, df, ["year"])
+    diff = get_diff_partition_values(
+        tmp_dataset_dir, "", "year", [2024, "unknown"], spark=spark
+    )
+    assert diff == [2025]
+    with pytest.raises(ValueError):
+        get_diff_partition_values(
+            tmp_dataset_dir, "", "year", [2024, "unknown"],
+            reverse=True, spark=spark,
+        )

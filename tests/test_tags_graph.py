@@ -177,3 +177,54 @@ def _capture_spark(spark):
     # hypothesis-decorated methods can't take fixtures; stash the session
     _SPARK[0] = spark
     yield
+
+
+class TestTagLifecycleReview:
+    """r8 code-review regressions: history-destroying ops must not leave
+    refs that later resolve against rebootstrapped version numbers, and
+    pinned refs must degrade policy loops instead of crashing them."""
+
+    def test_overwrite_partitions_clears_tags(self, spark, nation, tmp_dataset_dir):
+        from s3parq_spark.publish import overwrite_partitions
+
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        tag_snapshot(spark, tmp_dataset_dir, "baseline")
+        overwrite_partitions(
+            spark, tmp_dataset_dir, nation.filter("n_regionkey = 1"),
+            ["n_regionkey"],
+        )
+        assert list_tags(spark, tmp_dataset_dir) == {}
+        # and after the next append rebootstraps v1, the old name cannot
+        # silently resolve to different data
+        publish_path(spark, tmp_dataset_dir, nation.limit(1), ["n_regionkey"])
+        with pytest.raises(ValueError, match="no tag"):
+            fetch_at_tag(spark, tmp_dataset_dir, "baseline")
+
+    def test_compact_refuses_pinned_tags(self, spark, nation, tmp_dataset_dir):
+        from s3parq_spark.publish import TagPinnedError, compact_dataset
+
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        tag_snapshot(spark, tmp_dataset_dir, "pin")
+        with pytest.raises(TagPinnedError, match="pin"):
+            compact_dataset(spark, tmp_dataset_dir)
+        compact_dataset(spark, tmp_dataset_dir, drop_tags=True)
+        assert list_tags(spark, tmp_dataset_dir) == {}
+        assert fetch_path(spark, tmp_dataset_dir).count() == 25
+
+    def test_maintain_skips_pinned_expiry_and_continues(
+        self, spark, nation, tmp_dataset_dir
+    ):
+        from s3parq_spark.maintenance import maintain_dataset
+
+        for i in range(5):
+            publish_path(
+                spark, tmp_dataset_dir, nation.limit(i + 1), ["n_regionkey"]
+            )
+        tag_snapshot(spark, tmp_dataset_dir, "keep", version=1)
+        report = maintain_dataset(
+            spark, tmp_dataset_dir, max_snapshots=2, keep_last=1,
+            vacuum_retention_hours=0.0, dry_run=True,
+        )
+        actions = {a["action"]: a for a in report["actions"]}
+        assert "skipped" in actions["expire_snapshots"]
+        assert "vacuum_dataset" in actions  # the loop kept going

@@ -291,3 +291,67 @@ def test_zone_filter_on_evolved_dataset(spark, li, tmp_dataset_dir):
     assert both.count() == li.filter(
         "l_linestatus = 'O' and l_orderkey < 200"
     ).count()
+
+
+def test_nan_bounds_never_prune(spark, tmp_dataset_dir):
+    """r8 review: Spark ranks NaN above everything, Python NaN compares
+    False — a NaN bound (or NaN filter value) must keep the file and let
+    the row-level residual decide."""
+    df = spark.createDataFrame(
+        [(1.0, "a"), (2.0, "b"), (float("nan"), "c")], "x double, v string"
+    )
+    publish_path(spark, tmp_dataset_dir, df, [], zone_map_columns=["x"])
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    files = meta.manifest_files()
+    for cmp, vals, exp in [
+        ("==", [2.0], 1),
+        (">", [1.5], 2),   # Spark: 2.0 and NaN both > 1.5
+        (">=", [2.0], 2),
+        ("<", [1.5], 1),
+    ]:
+        flt = [{"partition": "x", "comparison": cmp, "values": vals}]
+        assert _prune_zone_files(files, meta, flt) == files  # NaN bound: keep
+        got = fetch_path(spark, tmp_dataset_dir, filters=flt).count()
+        assert got == exp, (cmp, vals)
+    # NaN filter value: no driver pruning either
+    flt = [{"partition": "x", "comparison": "==", "values": [float("nan")]}]
+    assert _prune_zone_files(files, meta, flt) == files
+
+
+def test_rename_and_drop_follow_zone_declaration(spark, li, tmp_dataset_dir):
+    from s3parq_spark.publish import drop_column, rename_column
+
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice").limit(100),
+        [], zone_map_columns=["l_orderkey", "l_extendedprice"],
+    )
+    rename_column(spark, tmp_dataset_dir, "l_orderkey", "order_id")
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.zone_map_columns() == ["order_id", "l_extendedprice"]
+    # appends keep working (inherit the renamed declaration)
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.select(
+            F.col("l_orderkey").alias("order_id"),
+            "l_linenumber", "l_extendedprice",
+        ).limit(10),
+        [],
+    )
+    # zone filter on the NEW name skips and matches
+    got = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "order_id", "comparison": "<", "values": [50]}],
+    )
+    assert got.count() > 0
+    drop_column(spark, tmp_dataset_dir, "l_extendedprice")
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.zone_map_columns() == ["order_id"]
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.select(
+            F.col("l_orderkey").alias("order_id"), "l_linenumber"
+        ).limit(5),
+        [],
+    )  # no wedge
+    assert dataset_rowcount(spark, tmp_dataset_dir) == 115
