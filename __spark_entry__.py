@@ -82,10 +82,11 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 8 additions — 5 this round (one over the usual <=4 budget:
-    # mor_delete_fetch landed as a second-wave feature and must get its
-    # first-round row; the window still reaches 43 least-recently-verified
-    # tail queries after 2 sentinels + 5 new):
+    # Round 8 additions — 6 this round (over the usual <=4 budget: the
+    # merge-on-read and continuous-aggregate features landed as later
+    # waves and each must get its first-round row; the window still
+    # reaches 42 least-recently-verified tail queries after 2 sentinels
+    # + 6 new):
     "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
                          # -> driver-side file skipping for VALUE-column
                          # predicates (Delta/Iceberg data-skipping plane)
@@ -98,6 +99,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "mor_delete_fetch",  # new: merge-on-read DELETE via predicate
                          # tombstones; later appends survive per version
                          # ordering; per-era union read
+    "continuous_aggregate",  # new: materialized rollup refreshed
+                             # incrementally from the CDC plane
+                             # (O(delta) refresh, exact decimal fold)
 )
 
 

@@ -48,6 +48,7 @@ from .publish import (
     validate_redshift_params,
 )
 from .maintenance import dataset_health, maintain_dataset
+from .views import create_aggregate, refresh_aggregate
 from .session import get_spark
 from .session_helper import SessionHelper
 
@@ -56,6 +57,7 @@ __all__ = [
     "TagPinnedError",
     "apply_change_feed",
     "attach",
+    "create_aggregate",
     "custom_publish",
     "dataset_files",
     "dataset_history",
@@ -84,6 +86,7 @@ __all__ = [
     "publish",
     "read_csv",
     "read_jsonl",
+    "refresh_aggregate",
     "publish_bucketed",
     "rename_column",
     "tag_snapshot",

@@ -191,6 +191,11 @@ class DatasetMetadata:
         # a version against expire_snapshots; restore drops tags above
         # the restore point.
         self.tags = {}
+        # continuous-aggregate definition (views.create_aggregate): this
+        # dataset IS a materialized aggregate of a source dataset —
+        # {"src", "group_by", "aggs", "last_src_version"}; refresh reads
+        # only the source versions after last_src_version.
+        self.aggregate = None
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -227,6 +232,8 @@ class DatasetMetadata:
             d["zone_maps"] = self.zone_maps
         if self.tags:
             d["tags"] = self.tags
+        if self.aggregate:
+            d["aggregate"] = self.aggregate
         return d
 
     @classmethod
@@ -244,6 +251,7 @@ class DatasetMetadata:
         out.stats = d.get("stats")
         out.zone_maps = d.get("zone_maps")
         out.tags = dict(d.get("tags") or {})
+        out.aggregate = d.get("aggregate")
         return out
 
     def at_version(self, version: int) -> "DatasetMetadata":
@@ -522,6 +530,7 @@ def merge_sidecar(
     # tag pins its version regardless of what lands after it
     merged.zone_maps = existing.zone_maps
     merged.tags = dict(existing.tags)
+    merged.aggregate = existing.aggregate
     return merged
 
 

@@ -705,6 +705,9 @@ def publish_path(
         merged.partition_specs = None
         merged.zone_maps = None
         merged.tags = {}
+        # a continuous-aggregate definition describes the REPLACED
+        # contents; refresh_aggregate re-attaches its own after its swap
+        merged.aggregate = None
     else:
         # spec stamps for a partition-evolved dataset: the commit belongs
         # to the CURRENT (last) spec; a bootstrap snapshot's files predate

@@ -1,0 +1,198 @@
+"""Continuous aggregates: a materialized GROUP BY dataset maintained
+INCREMENTALLY from the source's append-only version history.
+
+The Timescale continuous-aggregate / Iceberg incremental-refresh story,
+restated for the sidecar: ``create_aggregate`` materializes
+``SELECT group_by..., aggs... FROM src GROUP BY group_by`` as a normal
+published dataset and records the definition (plus the source version it
+saw) in the destination's sidecar; ``refresh_aggregate`` then reads ONLY
+the source versions committed since (``fetch_changes`` — O(delta), never
+O(source)), aggregates the delta, and folds it into the existing
+aggregate rows by each aggregate's MERGE function. At 100 TB of source
+with a GB of aggregate, a refresh costs the new data plus a rewrite of
+the (small) aggregate — the only geometry under which a dashboard-grade
+rollup over a continuously ingested corpus stays affordable.
+
+Only DECOMPOSABLE aggregates are accepted — ``count`` / ``sum`` /
+``min`` / ``max`` — because the incremental fold must be exact:
+``merge(agg(A), agg(B)) == agg(A ∪ B)``. ``avg`` is the caller's
+``sum``/``count`` pair (exactness rule: use a DECIMAL cast inside sum so
+the fold is order-independent). A source delta that is NOT append-only
+(a merge-on-read tombstone in the refresh range, or history rewritten/
+expired past the recorded version) falls back to a FULL recompute —
+reported, never silent.
+
+Reference analog: none (extension per SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import posixpath
+import re
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import metadata
+from .fetch import fetch_changes, fetch_path
+from .publish import _guarded_sidecar_write, publish_path
+
+__all__ = ["create_aggregate", "refresh_aggregate"]
+
+#: merge function per decomposable aggregate: how two partial results of
+#: the same aggregate fold into one (count partials fold by SUM)
+_MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+_AGG_RE = re.compile(r"^\s*(count|sum|min|max)\s*\(", re.I)
+
+
+def _agg_fn(expr: str) -> str:
+    m = _AGG_RE.match(expr)
+    if not m:
+        raise ValueError(
+            f"aggregate {expr!r} is not decomposable — only count/sum/"
+            "min/max can be refreshed incrementally (express avg as a "
+            "sum + count pair)"
+        )
+    return m.group(1).lower()
+
+
+def _src_head(src_meta: metadata.DatasetMetadata, src_path: str) -> int:
+    if src_meta is None:
+        raise ValueError(f"no sidecar at {src_path}")
+    if not src_meta.snapshots:
+        raise ValueError(
+            f"create/refresh_aggregate: source {src_path} has no snapshot "
+            "history — the incremental contract needs versioned appends"
+        )
+    return src_meta.snapshots[-1]["version"]
+
+
+def _aggregate(df: DataFrame, group_by: List[str], aggs: Dict[str, str]) -> DataFrame:
+    return df.groupBy(*group_by).agg(
+        *[F.expr(e).alias(name) for name, e in aggs.items()]
+    )
+
+
+def _merge_exprs(aggs: Dict[str, str]):
+    return [
+        getattr(F, _MERGE_FN[_agg_fn(e)])(name).alias(name)
+        for name, e in aggs.items()
+    ]
+
+
+def _attach_definition(spark: SparkSession, dst_path: str, defn: dict) -> None:
+    def mutate(meta):
+        meta.aggregate = defn
+
+    _guarded_sidecar_write(spark, dst_path, mutate)
+
+
+def create_aggregate(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    group_by: List[str],
+    aggs: Dict[str, str],
+) -> dict:
+    """Materialize ``SELECT group_by, aggs FROM src GROUP BY group_by``
+    into ``dst_path`` and record the refresh contract. ``aggs`` maps
+    output column name → a decomposable aggregate SQL expression
+    (``{"n": "count(*)", "rev": "sum(cast(price as decimal(18,2)))"}``).
+    Returns the recorded definition."""
+    if not group_by:
+        raise ValueError("group_by must name at least one column")
+    for name, e in aggs.items():
+        _agg_fn(e)  # validates decomposability
+        if name in group_by:
+            raise ValueError(f"aggregate output {name!r} collides with a group key")
+    src_meta = metadata.read_sidecar(spark, src_path)
+    head = _src_head(src_meta, src_path)
+    full = _aggregate(fetch_path(spark, src_path), group_by, aggs)
+    publish_path(spark, dst_path, full, [], mode="overwrite")
+    defn = {
+        "src": src_path,
+        "group_by": list(group_by),
+        "aggs": dict(aggs),
+        "last_src_version": head,
+    }
+    _attach_definition(spark, dst_path, defn)
+    return dict(defn)
+
+
+def refresh_aggregate(
+    spark: SparkSession, dst_path: str, src_path: Optional[str] = None
+) -> dict:
+    """Bring a continuous aggregate up to the source's current head.
+
+    Incremental path: aggregate ONLY the delta versions
+    (``fetch_changes(last, head)`` — the same partial shape as the
+    definition), union with the existing aggregate rows, fold by each
+    aggregate's merge function, rewrite ``dst`` (small), stamp the new
+    head. Falls back to a FULL recompute — reported via ``mode`` — when
+    the delta is not replayable as appends: a merge-on-read tombstone in
+    the range, or the recorded version expired/rewritten out of the
+    source history. ``src_path`` overrides the recorded source location
+    (dataset moved); the definition itself never changes on refresh.
+
+    Returns ``{"mode": "noop"|"incremental"|"full", "from_version",
+    "to_version"}``."""
+    dst_meta = metadata.read_sidecar(spark, dst_path)
+    if dst_meta is None or not dst_meta.aggregate:
+        raise ValueError(
+            f"{dst_path} is not a continuous aggregate "
+            "(create_aggregate records the definition in the sidecar)"
+        )
+    defn = dict(dst_meta.aggregate)
+    src = src_path or defn["src"]
+    group_by, aggs = defn["group_by"], defn["aggs"]
+    src_meta = metadata.read_sidecar(spark, src)
+    head = _src_head(src_meta, src)
+    last = defn["last_src_version"]
+    report = {"from_version": last, "to_version": head}
+    if head == last:
+        report["mode"] = "noop"
+        return report
+
+    src_versions = [s["version"] for s in src_meta.snapshots]
+    merged: Optional[DataFrame] = None
+    if last in src_versions and head > last:
+        try:
+            delta = fetch_changes(spark, src, last, head)
+            partial = _aggregate(delta, group_by, aggs)
+            current = fetch_path(spark, dst_path)
+            merged = (
+                current.unionByName(partial)
+                .groupBy(*group_by)
+                .agg(*_merge_exprs(aggs))
+            )
+            report["mode"] = "incremental"
+        except ValueError:
+            # a tombstone inside the range: the delta is not append-only
+            merged = None
+    if merged is None:
+        # full recompute: history rewritten/expired past the recorded
+        # version, source restored BELOW it, or a non-append delta
+        merged = _aggregate(fetch_path(spark, src), group_by, aggs)
+        report["mode"] = "full"
+    # the merged plan READS dst, so it cannot overwrite dst in place:
+    # write to a sibling temp dir and swap with two renames (the compact
+    # pattern) — no driver-side materialization, the aggregate never has
+    # to fit on the driver, and a failed refresh never corrupts dst
+    from . import fs
+
+    tmp = dst_path.rstrip("/") + ".refreshing"
+    fs.delete(spark, tmp)
+    publish_path(spark, tmp, merged, [], mode="overwrite")
+    defn["last_src_version"] = head
+    _attach_definition(spark, tmp, defn)
+    old = dst_path.rstrip("/") + ".prerefresh"
+    fs.delete(spark, old)
+    if not fs.rename(spark, dst_path, old):
+        raise IOError(f"refresh_aggregate: could not move {dst_path} aside")
+    if not fs.rename(spark, tmp, dst_path):
+        fs.rename(spark, old, dst_path)  # roll back
+        raise IOError("refresh_aggregate: could not swap in the refresh")
+    fs.delete(spark, old)
+    return report

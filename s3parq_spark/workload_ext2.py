@@ -3229,3 +3229,64 @@ ORACLE_EXT2["mor_delete_fetch"] = """
            AND NOT COALESCE(o_totalprice > 150000.0, FALSE))
        OR o_orderkey % 2 = 1
 """
+
+
+def q_continuous_aggregate(spark, sf_dir):
+    """Continuous aggregate (views.py — Timescale continuous aggregates /
+    Iceberg incremental refresh, restated for the sidecar): the rollup is
+    materialized once over v1 of the source, then REFRESHED from the CDC
+    plane after a v2 append — the refresh reads only the delta versions
+    (fetch_changes, O(delta)) and folds the partials into the stored rows
+    by each aggregate's merge function (count→sum, sum→sum, min/max),
+    exact because the sum runs over DECIMAL. Oracle = the same GROUP BY
+    over the full source: an incremental fold that disagrees with the
+    one-shot aggregate is wrong, whatever the refresh path. Asserted
+    in-query: the second refresh really took the incremental path."""
+    from .fetch import fetch_path
+    from .publish import publish_path
+    from .views import create_aggregate, refresh_aggregate
+    from .workload import _ds_path
+
+    src = _ds_path(sf_dir, "orders_ca_src")
+    dst = _ds_path(sf_dir, "orders_ca_agg")
+    marker = os.path.join(dst, "_REFRESHED")
+    if not os.path.exists(marker):
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(dst, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders")
+        publish_path(
+            spark, src, orders.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderstatus"],
+        )
+        create_aggregate(
+            spark, src, dst, ["o_orderstatus", "o_orderpriority"],
+            {
+                "n_orders": "count(*)",
+                "revenue": "sum(cast(o_totalprice as decimal(18,2)))",
+                "max_key": "max(o_orderkey)",
+            },
+        )
+        publish_path(
+            spark, src, orders.filter(F.col("o_orderkey") % 2 == 1),
+            ["o_orderstatus"],
+        )
+        report = refresh_aggregate(spark, dst)
+        assert report["mode"] == "incremental", report
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return fetch_path(spark, dst).select(
+        "o_orderstatus", "o_orderpriority", "n_orders",
+        F.col("revenue").cast("double").alias("revenue"), "max_key",
+    )
+
+
+QUERIES_EXT2["continuous_aggregate"] = q_continuous_aggregate
+ORACLE_EXT2["continuous_aggregate"] = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           MAX(o_orderkey) AS max_key
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+"""

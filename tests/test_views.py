@@ -1,0 +1,124 @@
+"""Continuous aggregates (views.py): incremental refresh from the CDC
+plane, exact folding, and the full-recompute fallbacks."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark import metadata
+from s3parq_spark.fetch import fetch_path
+from s3parq_spark.publish import (
+    delete_where,
+    expire_snapshots,
+    publish_path,
+    restore_dataset,
+)
+from s3parq_spark.views import create_aggregate, refresh_aggregate
+
+
+@pytest.fixture()
+def orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+AGGS = {
+    "n": "count(*)",
+    "rev": "sum(cast(o_totalprice as decimal(18,2)))",
+    "first_key": "min(o_orderkey)",
+    "last_key": "max(o_orderkey)",
+}
+
+
+def _expected(orders_slice):
+    return {
+        r["o_orderstatus"]: (
+            r["n"], str(r["rev"]), r["first_key"], r["last_key"]
+        )
+        for r in orders_slice.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("rev"),
+            F.min("o_orderkey").alias("first_key"),
+            F.max("o_orderkey").alias("last_key"),
+        ).collect()
+    }
+
+
+def _got(spark, dst):
+    return {
+        r["o_orderstatus"]: (
+            r["n"], str(r["rev"]), r["first_key"], r["last_key"]
+        )
+        for r in fetch_path(spark, dst).collect()
+    }
+
+
+def test_incremental_refresh_is_exact(spark, orders, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.filter("o_orderkey % 4 = 0"),
+                 ["o_orderstatus"])
+    d = create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    assert d["last_src_version"] == 1
+    assert _got(spark, dst) == _expected(orders.filter("o_orderkey % 4 = 0"))
+    assert refresh_aggregate(spark, dst)["mode"] == "noop"
+    # two more appends, one refresh spanning both versions
+    publish_path(spark, src, orders.filter("o_orderkey % 4 = 1"),
+                 ["o_orderstatus"])
+    publish_path(spark, src, orders.filter("o_orderkey % 4 = 2"),
+                 ["o_orderstatus"])
+    r = refresh_aggregate(spark, dst)
+    assert r == {"from_version": 1, "to_version": 3, "mode": "incremental"}
+    assert _got(spark, dst) == _expected(orders.filter("o_orderkey % 4 < 3"))
+
+
+def test_tombstone_in_range_falls_back_to_full(spark, orders, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.limit(500), ["o_orderstatus"])
+    create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    delete_where(spark, src, "o_totalprice > 100000", mode="merge-on-read")
+    r = refresh_aggregate(spark, dst)
+    assert r["mode"] == "full"
+    assert _got(spark, dst) == _expected(fetch_path(spark, src))
+
+
+def test_expired_baseline_falls_back_to_full(spark, orders, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.limit(100), ["o_orderstatus"])
+    create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    for i in range(4):
+        publish_path(spark, src, orders.limit(50 + i), ["o_orderstatus"])
+    expire_snapshots(spark, src, keep_last=2)  # v1 (the baseline) squashed
+    r = refresh_aggregate(spark, dst)
+    # v1 survives only as part of a squashed base -> full recompute
+    assert r["mode"] == "full"
+    assert _got(spark, dst) == _expected(fetch_path(spark, src))
+
+
+def test_restore_below_baseline_falls_back(spark, orders, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.limit(100), ["o_orderstatus"])
+    publish_path(spark, src, orders.limit(60), ["o_orderstatus"])
+    create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)  # last=2
+    restore_dataset(spark, src, version=1)
+    r = refresh_aggregate(spark, dst)
+    assert r["mode"] == "full"
+    assert _got(spark, dst) == _expected(fetch_path(spark, src))
+
+
+def test_validation_and_definition_hygiene(spark, orders, tmp_path):
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.limit(50), ["o_orderstatus"])
+    with pytest.raises(ValueError, match="not decomposable"):
+        create_aggregate(spark, src, dst, ["o_orderstatus"],
+                         {"a": "avg(o_totalprice)"})
+    with pytest.raises(ValueError, match="collides"):
+        create_aggregate(spark, src, dst, ["o_orderstatus"],
+                         {"o_orderstatus": "count(*)"})
+    with pytest.raises(ValueError, match="at least one column"):
+        create_aggregate(spark, src, dst, [], {"n": "count(*)"})
+    with pytest.raises(ValueError, match="not a continuous aggregate"):
+        refresh_aggregate(spark, src)
+    create_aggregate(spark, src, dst, ["o_orderstatus"], {"n": "count(*)"})
+    # a plain overwrite-publish onto dst invalidates the definition
+    publish_path(spark, dst, orders.limit(3), [], mode="overwrite")
+    assert metadata.read_sidecar(spark, dst).aggregate is None
+    with pytest.raises(ValueError, match="not a continuous aggregate"):
+        refresh_aggregate(spark, dst)
