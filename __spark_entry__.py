@@ -82,11 +82,11 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 8 additions — 6 this round (over the usual <=4 budget: the
-    # merge-on-read and continuous-aggregate features landed as later
-    # waves and each must get its first-round row; the window still
-    # reaches 42 least-recently-verified tail queries after 2 sentinels
-    # + 6 new):
+    # Round 8 additions — 7 this round (over the usual <=4 budget: the
+    # merge-on-read, continuous-aggregate, and write-audit-publish
+    # features landed as later waves and each must get its first-round
+    # row; the window still reaches 41 least-recently-verified tail
+    # queries after 2 sentinels + 7 new):
     "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
                          # -> driver-side file skipping for VALUE-column
                          # predicates (Delta/Iceberg data-skipping plane)
@@ -102,6 +102,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "continuous_aggregate",  # new: materialized rollup refreshed
                              # incrementally from the CDC plane
                              # (O(delta) refresh, exact decimal fold)
+    "wap_publish_fetch",     # new: write-audit-publish — staged snapshot
+                             # invisible to main, audit read, promote /
+                             # discard lifecycle
 )
 
 

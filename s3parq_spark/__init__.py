@@ -31,16 +31,19 @@ from .fetch import (
 from .export import export_jsonl, read_jsonl
 from .sources import read_csv
 from .publish import (
+    PendingAuditError,
     TagPinnedError,
     apply_change_feed,
     custom_publish,
     delete_tag,
+    discard_snapshot,
     drop_column,
     expire_snapshots,
     merge_upsert,
     publish,
     publish_bucketed,
     publish_path,
+    promote_snapshot,
     rename_column,
     tag_snapshot,
     list_tags,
@@ -54,6 +57,7 @@ from .session_helper import SessionHelper
 
 __all__ = [
     "MissingS3ParqMetadata",
+    "PendingAuditError",
     "TagPinnedError",
     "apply_change_feed",
     "attach",
@@ -63,6 +67,7 @@ __all__ = [
     "dataset_history",
     "dataset_rowcount",
     "delete_tag",
+    "discard_snapshot",
     "drop_column",
     "expire_snapshots",
     "export_jsonl",
@@ -83,6 +88,7 @@ __all__ = [
     "maintain_dataset",
     "merge_upsert",
     "partition_rowcounts",
+    "promote_snapshot",
     "publish",
     "read_csv",
     "read_jsonl",

@@ -691,6 +691,10 @@ def fetch_at(
         r
         for s in meta.snapshots
         if s["version"] <= version
+        # staged (write-audit-publish) snapshots are invisible to main-
+        # line reads — UNLESS this call addresses the staged version
+        # itself, which IS the audit read
+        and (not s.get("staged") or s["version"] == version)
         for r in s["added"]
     ]
     # as-of semantics for merge-on-read deletes: only tombstones committed
@@ -747,7 +751,9 @@ def fetch_at_timestamp(
     if meta is None or not meta.snapshots:
         raise ValueError(f"no version history at {path}")
     eligible = [
-        s for s in meta.snapshots if s.get("ts") is not None and s["ts"] <= ts
+        s
+        for s in meta.snapshots
+        if s.get("ts") is not None and s["ts"] <= ts and not s.get("staged")
     ]
     if not eligible:
         stamped = [s["version"] for s in meta.snapshots if s.get("ts") is not None]
@@ -815,6 +821,7 @@ def fetch_changes(
         r
         for s in meta.snapshots
         if from_version < s["version"] <= to_version
+        and not s.get("staged")  # pending audits are not part of any delta
         for r in s["added"]
     ]
     # tombstones AFTER to_version did not exist as of this delta

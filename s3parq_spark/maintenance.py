@@ -31,6 +31,7 @@ from pyspark.sql import SparkSession
 
 from . import fs, metadata
 from .publish import (
+    PendingAuditError,
     TagPinnedError,
     compact_dataset,
     expire_snapshots,
@@ -50,7 +51,9 @@ def dataset_health(spark: SparkSession, path: str) -> Dict[str, float]:
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
-    manifest = meta.manifest_files() or []
+    # all_files: staged (write-audit-publish) snapshots cost real storage
+    # and must show in the health numbers even though main reads skip them
+    manifest = meta.all_files() or []
     total = 0
     for rel in manifest:
         try:
@@ -139,8 +142,8 @@ def maintain_dataset(
         if not dry_run:
             try:
                 entry["result"] = compact_dataset(spark, path)
-            except TagPinnedError as exc:
-                entry["skipped"] = str(exc)  # same pinned-ref policy
+            except (TagPinnedError, PendingAuditError) as exc:
+                entry["skipped"] = str(exc)  # operator decision, not a fault
         report["actions"].append(entry)
 
     if vacuum_retention_hours is not None:

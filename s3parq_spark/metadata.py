@@ -353,6 +353,8 @@ class DatasetMetadata:
         in several snapshots (bootstrap edge) counts under its first."""
         seen: Dict[str, int] = {}
         for s in self.snapshots:
+            if s.get("staged"):
+                continue  # pending audits are invisible to main reads
             sid = self.snapshot_spec_id(s)
             for f in s.get("added", []):
                 seen.setdefault(f, sid)
@@ -388,7 +390,29 @@ class DatasetMetadata:
         """
         if not self.snapshots:
             return None
+        return sorted(
+            {
+                f
+                for s in self.snapshots
+                if not s.get("staged")
+                for f in s.get("added", [])
+            }
+        )
+
+    def all_files(self) -> Optional[List[str]]:
+        """Every acknowledged file INCLUDING staged (audit) snapshots —
+        the view vacuum and storage-health must use: a staged snapshot's
+        files are real and acknowledged, just not readable through main
+        yet, and treating them as orphans would delete pending audits."""
+        if not self.snapshots:
+            return None
         return sorted({f for s in self.snapshots for f in s.get("added", [])})
+
+    def staged_versions(self) -> List[int]:
+        """Versions of pending staged (write-audit-publish) snapshots."""
+        return [
+            s["version"] for s in self.snapshots if s.get("staged")
+        ]
 
     def value_schema(self) -> T.StructType:
         """Explicit read schema for the *value* (non-partition) columns, so the

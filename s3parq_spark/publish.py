@@ -54,6 +54,13 @@ class ConcurrentWriteError(RuntimeError):
     (optimistic-concurrency conflict on ``expected_version``)."""
 
 
+class PendingAuditError(ValueError):
+    """The dataset has staged (write-audit-publish) snapshots a
+    history-destroying operation would silently lose; promote or discard
+    them first. A dedicated type so the maintenance loop can record the
+    skip instead of crashing."""
+
+
 class TagPinnedError(ValueError):
     """A named snapshot ref pins a version the operation would destroy or
     make unaddressable (``expire_snapshots`` squash, ``compact_dataset``
@@ -416,6 +423,7 @@ def publish_path(
     expected_version: Optional[int] = None,
     evolve_partitions: bool = False,
     zone_map_columns: Optional[List[str]] = None,
+    staged: bool = False,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -452,6 +460,16 @@ def publish_path(
     before the declaration simply never skip (and make row-count queries
     fall back to a scan) until rewritten.
 
+    ``staged=True`` commits the append as a STAGED snapshot (Iceberg's
+    write-audit-publish): the files land and the snapshot is recorded,
+    but main reads (``fetch``, partition values, row counts, CDC) do not
+    see it — only ``fetch_at`` of that exact version can (the audit
+    read). ``promote_snapshot`` then republishes it at the head as a
+    normal commit (cherry-pick: visibility time = promote time), or
+    ``discard_snapshot`` unlinks it. Vacuum and storage health treat
+    staged files as acknowledged. Append-only (an overwrite has nothing
+    to stage against).
+
     ``evolve_partitions=True`` allows an append whose ``partitions`` (and/or
     ``derived_partitions``) differ from the dataset's current layout:
     instead of rejecting the mismatch, the publish starts a NEW partition
@@ -468,6 +486,8 @@ def publish_path(
     ``repartition_dataset`` normalizes an evolved dataset back to one.
     """
     df = _to_spark_df(spark, dataframe)
+    if staged and mode != "append":
+        raise ValueError("staged=True requires mode='append' (WAP stages an append)")
     if max_records_per_file is not None:
         check_empty_dataframe(df)
     # else: the sizing sample below doubles as the empty check — one job
@@ -739,6 +759,8 @@ def publish_path(
         }
         if cur_sid is not None:
             commit["spec"] = cur_sid
+        if staged:
+            commit["staged"] = True
         snaps.append(commit)
     merged.snapshots = snaps
     if mode == "append" and existing is not None:
@@ -846,6 +868,20 @@ def _collect_file_zone_stats(
 
 
 
+def _require_no_staged(sidecar, path: str, op: str) -> None:
+    """History-destroying rewrites (overwrite/compact/repartition and the
+    DML built on them) clear or replace the snapshot history; a pending
+    staged snapshot would lose its only record — its files silently
+    become orphans and the audit is gone. Loud refusal: promote or
+    discard first."""
+    if sidecar is not None and sidecar.staged_versions():
+        raise PendingAuditError(
+            f"{op}: dataset at {path} has pending staged snapshot(s) "
+            f"{sidecar.staged_versions()} — promote_snapshot or "
+            "discard_snapshot them first"
+        )
+
+
 def _require_materialized(sidecar, path: str, op: str) -> None:
     """Operations that rewrite or re-declare PART of the dataset (dynamic
     partition overwrite, partition-scoped DML, schema DDL, partition
@@ -913,6 +949,7 @@ def overwrite_partitions(
     existing = metadata.read_sidecar(spark, path)
     _reject_multi_spec(existing, "overwrite_partitions")
     _require_materialized(existing, path, "overwrite_partitions")
+    _require_no_staged(existing, path, "overwrite_partitions")
     if existing is not None and list(existing.partitions) != list(partitions):
         raise ValueError(
             f"partition columns {partitions} do not match the dataset's "
@@ -1001,6 +1038,7 @@ def merge_upsert(
         raise ValueError(f"no dataset at {path}")
     _reject_multi_spec(meta, "merge_upsert")
     _require_materialized(meta, path, "merge_upsert")
+    _require_no_staged(meta, path, "merge_upsert")
     partitions = list(meta.partitions)
     if not partitions:
         raise ValueError(
@@ -1211,6 +1249,7 @@ def compact_dataset(
     sidecar = metadata.read_sidecar(spark, path)
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    _require_no_staged(sidecar, path, "compact_dataset")
     if sidecar.tags and not drop_tags:
         # the rewrite physically replaces every tagged version's file set
         # — the same pin contract expire_snapshots refuses loudly; the
@@ -1339,6 +1378,7 @@ def repartition_dataset(
             f"dataset is already partitioned by {new_partitions}; use "
             "compact_dataset to rewrite within the same layout"
         )
+    _require_no_staged(sidecar, path, "repartition_dataset")
     if sidecar.tags and not drop_tags:
         raise TagPinnedError(
             f"repartition_dataset: snapshot tags {sidecar.tags} at {path} "
@@ -1522,6 +1562,7 @@ def delete_where(
         _guarded_sidecar_write(spark, path, mutate)
         return n_delete
     _require_materialized(sidecar, path, "delete_where(copy-on-write)")
+    _require_no_staged(sidecar, path, "delete_where(copy-on-write)")
     if n_delete == 0 or dry_run:
         return n_delete
     if change_log:
@@ -1608,6 +1649,7 @@ def update_where(
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
     _reject_multi_spec(sidecar, "update_where")
     _require_materialized(sidecar, path, "update_where")
+    _require_no_staged(sidecar, path, "update_where")
     parts = list(sidecar.partitions)
     bad = [c for c in set_exprs if c in parts]
     if bad:
@@ -1850,7 +1892,7 @@ def vacuum_dataset(
     writer can be active.
     """
     meta = metadata.read_sidecar(spark, path)
-    manifest = meta.manifest_files() if meta is not None else None
+    manifest = meta.all_files() if meta is not None else None
     if manifest is None:
         raise ValueError(
             f"vacuum_dataset: no snapshot history at {path} — the manifest "
@@ -2015,12 +2057,14 @@ def expire_snapshots(
     runs: List[list] = []  # [spec_id, [snapshots...]] per contiguous run
     for s in squashed:
         sid = meta.snapshot_spec_id(s) if meta.partition_specs else None
-        if s.get("delete_predicate") is not None:
+        if s.get("delete_predicate") is not None or s.get("staged"):
             # a merge-on-read tombstone is a RUN BOUNDARY: squashing a
             # data snapshot across it would raise its files' commit
             # version past the tombstone and silently un-delete them —
-            # and the tombstone entry itself must survive verbatim
-            runs.append([("tombstone", s["version"]), [s]])
+            # and the tombstone entry itself must survive verbatim. A
+            # STAGED snapshot likewise: merging it into a base would drop
+            # the flag — a silent promote of unaudited data
+            runs.append([("boundary", s["version"]), [s]])
             continue
         if runs and runs[-1][0] == sid:
             runs[-1][1].append(s)
@@ -2079,6 +2123,98 @@ def expire_snapshots(
     return expired
 
 
+def promote_snapshot(spark: SparkSession, path: str, version: int) -> int:
+    """Publish a staged (write-audit-publish) snapshot into the main
+    line: the audited files are re-committed at the HEAD as a normal
+    snapshot (Iceberg's cherry-pick — visibility time is promote time,
+    so the version line stays ordered by when readers could first see
+    the data) and the staged entry is removed. Zero file I/O — the same
+    files, a new metadata position. Returns the new head version."""
+    import time as _time
+
+    now = _time.time()
+    out: List[int] = []
+
+    def mutate(meta):
+        entry = next(
+            (
+                s
+                for s in meta.snapshots
+                if s["version"] == version and s.get("staged")
+            ),
+            None,
+        )
+        if entry is None:
+            raise ValueError(
+                f"promote_snapshot: no STAGED snapshot {version} at {path} "
+                f"(staged: {meta.staged_versions()})"
+            )
+        meta.snapshots = [
+            s for s in meta.snapshots if s["version"] != version
+        ]
+        head = meta.snapshots[-1]["version"] if meta.snapshots else 0
+        commit = {
+            k: v for k, v in entry.items() if k not in ("staged", "version", "ts")
+        }
+        commit["version"] = head + 1
+        commit["ts"] = now
+        meta.snapshots.append(commit)
+        out.append(head + 1)
+
+    _guarded_sidecar_write(spark, path, mutate)
+    return out[0]
+
+
+def discard_snapshot(
+    spark: SparkSession, path: str, version: int, dry_run: bool = False
+) -> List[str]:
+    """Reject a staged snapshot: unlink its files (those no other
+    snapshot references) and remove the entry — the audit said no.
+    ONLY staged snapshots can be discarded (main-line history is
+    rolled back with ``restore_dataset``, loudly). Returns the removed
+    relative paths; ``dry_run`` reports without touching anything."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"no sidecar at {path}")
+    entry = next(
+        (
+            s
+            for s in meta.snapshots
+            if s["version"] == version and s.get("staged")
+        ),
+        None,
+    )
+    if entry is None:
+        raise ValueError(
+            f"discard_snapshot: no STAGED snapshot {version} at {path} "
+            f"(staged: {meta.staged_versions()})"
+        )
+    others = {
+        f
+        for s in meta.snapshots
+        if s["version"] != version
+        for f in s.get("added", [])
+    }
+    removed = sorted(set(entry.get("added", [])) - others)
+    if dry_run:
+        return removed
+
+    def mutate(m):
+        if not any(
+            s["version"] == version and s.get("staged") for s in m.snapshots
+        ):
+            raise ConcurrentWriteError(
+                f"staged snapshot {version} at {path} changed during the "
+                "discard; re-run"
+            )
+        m.snapshots = [s for s in m.snapshots if s["version"] != version]
+
+    _guarded_sidecar_write(spark, path, mutate)
+    for rel in removed:
+        fs.delete(spark, posixpath.join(path, rel), recursive=False)
+    return removed
+
+
 def tag_snapshot(
     spark: SparkSession,
     path: str,
@@ -2111,11 +2247,25 @@ def tag_snapshot(
         if not meta.snapshots:
             raise ValueError(f"tag_snapshot: no snapshot history at {path}")
         versions = [s["version"] for s in meta.snapshots]
-        v = versions[-1] if version is None else version
+        main_line = [
+            x for x in versions if x not in set(meta.staged_versions())
+        ]
+        if version is None and not main_line:
+            raise ValueError(
+                f"tag_snapshot: no main-line snapshot to tag at {path} "
+                "(only staged snapshots exist)"
+            )
+        v = main_line[-1] if version is None else version
         if v not in versions:
             raise ValueError(
                 f"tag_snapshot: version {v} not in history {versions} at "
                 f"{path}"
+            )
+        if v in meta.staged_versions():
+            raise ValueError(
+                f"tag_snapshot: version {v} is a STAGED snapshot — promote "
+                "it first (promotion re-versions it, so a tag here would "
+                "dangle)"
             )
         if name in meta.tags and not replace and meta.tags[name] != v:
             raise ValueError(

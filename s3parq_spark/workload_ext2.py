@@ -3290,3 +3290,58 @@ ORACLE_EXT2["continuous_aggregate"] = """
     FROM orders
     GROUP BY o_orderstatus, o_orderpriority
 """
+
+
+def q_wap_publish_fetch(spark, sf_dir):
+    """Write-audit-publish (publish staged=True + promote/discard —
+    Iceberg's WAP, restated for the sidecar): v1 lands the even-key half
+    of orders; the odd-key half is STAGED (invisible to main reads until
+    audited — asserted below), audited via the fetch_at(version) audit
+    read, and PROMOTED (cherry-picked to the head, zero file I/O); a
+    deliberately corrupted third batch is staged and DISCARDED (its files
+    unlinked, the audit said no). Oracle = all of orders: a correct WAP
+    cycle is invisible in the result, and the discarded batch must leave
+    no trace."""
+    from . import metadata
+    from .fetch import fetch_at, fetch_path
+    from .publish import discard_snapshot, promote_snapshot, publish_path
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "orders_wap")
+    marker = os.path.join(path, "_WAP")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders")
+        publish_path(
+            spark, path, orders.filter(F.col("o_orderkey") % 2 == 0),
+            ["o_orderstatus"],
+        )
+        n_main = fetch_path(spark, path).count()
+        publish_path(
+            spark, path, orders.filter(F.col("o_orderkey") % 2 == 1),
+            ["o_orderstatus"], staged=True,
+        )
+        assert fetch_path(spark, path).count() == n_main, (
+            "staged snapshot leaked into the main read"
+        )
+        assert fetch_at(spark, path, 2).count() == orders.count()  # audit
+        promote_snapshot(spark, path, 2)
+        # a bad batch: duplicate rows that would corrupt the dataset
+        publish_path(
+            spark, path, orders.limit(100), ["o_orderstatus"], staged=True,
+        )
+        bad_v = metadata.read_sidecar(spark, path).staged_versions()[0]
+        discard_snapshot(spark, path, bad_v)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    meta = metadata.read_sidecar(spark, path)
+    assert meta.staged_versions() == []
+    return fetch_path(spark, path).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+QUERIES_EXT2["wap_publish_fetch"] = q_wap_publish_fetch
+ORACLE_EXT2["wap_publish_fetch"] = """
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+"""
