@@ -161,3 +161,78 @@ def maintain_dataset(
             }
         )
     return report
+
+
+def clustering_depth(spark: SparkSession, path: str, column: str) -> Dict[str, float]:
+    """Metadata-only clustering health for a zone-mapped column: how many
+    files a point lookup on ``column`` must read ("depth"), computed from
+    the per-file [min, max] ranges with ONE O(n log n) sweep over range
+    endpoints — zero data or footer I/O.
+
+    A freshly sorted/z-ordered dataset has near-disjoint ranges
+    (``max_depth`` 1-2: adjacent files can share a boundary KEY when a
+    duplicated value straddles a file split, so a point predicate reads
+    one or two files); continued appends interleave new ranges over old
+    ones and the depth climbs toward ``n_covered`` (every file overlaps
+    every point — zone maps stop skipping). This is the signal that decides WHEN
+    ``compact_dataset(sort_by=[column])`` is worth its rewrite: schedule
+    it when ``avg_depth`` crosses a policy threshold, not on a timer.
+
+    Returns ``n_files`` (manifest), ``n_covered`` (files with stats for
+    the column; all-NULL files excluded — they have no range),
+    ``max_depth``, ``avg_depth`` (depth averaged over distinct range
+    starts, weighted by nothing — a planner-facing shape signal, not a
+    row estimate). Raises if the column is not zone-mapped."""
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    if column not in meta.zone_map_columns():
+        raise ValueError(
+            f"clustering_depth: {column!r} is not zone-mapped at {path} "
+            f"(declared: {meta.zone_map_columns()}) — publish with "
+            "zone_map_columns to record per-file ranges"
+        )
+    manifest = meta.manifest_files() or []
+    vocab = meta.column_types.get(column, "string")
+    files_meta = (meta.zone_maps or {}).get("files", {})
+    ranges = []
+    for rel in manifest:
+        st = (files_meta.get(rel) or {}).get("stats", {}).get(column)
+        if not st or st[0] is None:
+            continue
+        mn = metadata.zone_stat_typed(st[0], vocab)
+        mx = metadata.zone_stat_typed(st[1], vocab)
+        if (isinstance(mn, float) and mn != mn) or (
+            isinstance(mx, float) and mx != mx
+        ):
+            continue  # NaN bound: no usable range
+        ranges.append((mn, mx))
+    if not ranges:
+        return {
+            "n_files": float(len(manifest)),
+            "n_covered": 0.0,
+            "max_depth": 0.0,
+            "avg_depth": 0.0,
+        }
+    # sweep: +1 at each range start, -1 AFTER each range end (closed
+    # intervals: [1,5] and [5,9] DO overlap at 5 -> end events sort
+    # after start events at the same key)
+    events = []
+    for mn, mx in ranges:
+        events.append((mn, 0))   # start (0 sorts before 1 at same key)
+        events.append((mx, 1))   # end
+    events.sort(key=lambda e: (e[0], e[1]))
+    depth = 0
+    depths = []
+    for _, kind in events:
+        if kind == 0:
+            depth += 1
+            depths.append(depth)  # depth at each range start
+        else:
+            depth -= 1
+    return {
+        "n_files": float(len(manifest)),
+        "n_covered": float(len(ranges)),
+        "max_depth": float(max(depths)),
+        "avg_depth": float(sum(depths) / len(depths)),
+    }

@@ -355,3 +355,35 @@ def test_rename_and_drop_follow_zone_declaration(spark, li, tmp_dataset_dir):
         [],
     )  # no wedge
     assert dataset_rowcount(spark, tmp_dataset_dir) == 115
+
+
+def test_clustering_depth_signal(spark, li, tmp_dataset_dir):
+    from s3parq_spark.maintenance import clustering_depth
+
+    # globally range-sorted publish: pairwise-disjoint ranges, depth 1
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.repartitionByRange(6, "l_orderkey")
+          .sortWithinPartitions("l_orderkey"),
+        [], max_records_per_file=400, rebalance=False,
+        zone_map_columns=["l_orderkey"],
+    )
+    d = clustering_depth(spark, tmp_dataset_dir, "l_orderkey")
+    # sorted: adjacent files may share a boundary KEY (duplicate orderkeys
+    # straddle a file split), so perfect clustering reads at most 2 files
+    # per point, never the dataset
+    assert d["n_covered"] >= 6 and d["max_depth"] <= 2.0
+    # interleaving appends degrade the depth -- the recompact signal
+    for i in range(3):
+        publish_path(spark, tmp_dataset_dir, li.limit(200), [])
+    d2 = clustering_depth(spark, tmp_dataset_dir, "l_orderkey")
+    assert d2["max_depth"] > d["max_depth"]
+    # re-sorting compaction restores depth 1
+    from s3parq_spark.publish import compact_dataset
+
+    compact_dataset(spark, tmp_dataset_dir, sort_by=["l_orderkey"],
+                    max_records_per_file=500)
+    d3 = clustering_depth(spark, tmp_dataset_dir, "l_orderkey")
+    assert d3["max_depth"] <= 2.0 and d3["max_depth"] < d2["max_depth"]
+    with pytest.raises(ValueError, match="not zone-mapped"):
+        clustering_depth(spark, tmp_dataset_dir, "l_linenumber")
