@@ -493,6 +493,15 @@ def publish_path(
     # else: the sizing sample below doubles as the empty check — one job
 
     prior = metadata.read_sidecar(spark, path) if mode == "append" else None
+    if staged and (prior is None or not prior.snapshots):
+        # the first-publish/bootstrap branches build the v1 snapshot
+        # without the flag — rather than silently committing unaudited
+        # data as visible, staging demands an existing audit baseline
+        raise ValueError(
+            "staged=True requires an existing dataset with snapshot "
+            f"history at {path} (write-audit-publish stages an append "
+            "AGAINST a main line); publish the first snapshot normally"
+        )
     if evolve_partitions and prior is not None:
         # the per-spec union and the per-era tombstone union do not
         # compose (yet): evolution onto pending MoR deletes is rejected
@@ -560,6 +569,11 @@ def publish_path(
     # I/O and a window where the derived-partition inheritance and the
     # merge/CAS base could come from DIFFERENT sidecar states
     existing = prior if mode == "append" else metadata.read_sidecar(spark, path)
+    if mode != "append":
+        # a full overwrite destroys the history and with it any pending
+        # staged snapshot's only record — same loud contract as
+        # overwrite_partitions/compact/repartition
+        _require_no_staged(existing, path, f"publish(mode={mode!r})")
     if expected_version is not None:
         # optimistic concurrency (Delta-style CAS on the snapshot head):
         # the caller read the dataset at some version and publishes only
@@ -2208,6 +2222,17 @@ def discard_snapshot(
                 "discard; re-run"
             )
         m.snapshots = [s for s in m.snapshots if s["version"] != version]
+        if m.zone_maps:
+            # the discarded files' stats entries die with the files —
+            # otherwise an audit-heavy (discard-dominated) ingest bloats
+            # the sidecar with entries for nonexistent files until the
+            # next zone-mapped publish happens to GC them
+            dead = set(removed)
+            m.zone_maps["files"] = {
+                k: v
+                for k, v in m.zone_maps.get("files", {}).items()
+                if k not in dead
+            }
 
     _guarded_sidecar_write(spark, path, mutate)
     for rel in removed:
@@ -2247,9 +2272,8 @@ def tag_snapshot(
         if not meta.snapshots:
             raise ValueError(f"tag_snapshot: no snapshot history at {path}")
         versions = [s["version"] for s in meta.snapshots]
-        main_line = [
-            x for x in versions if x not in set(meta.staged_versions())
-        ]
+        staged_set = set(meta.staged_versions())
+        main_line = [x for x in versions if x not in staged_set]
         if version is None and not main_line:
             raise ValueError(
                 f"tag_snapshot: no main-line snapshot to tag at {path} "

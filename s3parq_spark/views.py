@@ -44,29 +44,65 @@ __all__ = ["create_aggregate", "refresh_aggregate"]
 #: the same aggregate fold into one (count partials fold by SUM)
 _MERGE_FN = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
-_AGG_RE = re.compile(r"^\s*(count|sum|min|max)\s*\(", re.I)
+_AGG_RE = re.compile(r"^\s*(count|sum|min|max)\s*\((.*)\)\s*$", re.I | re.S)
 
 
 def _agg_fn(expr: str) -> str:
+    """Validate that ``expr`` is EXACTLY one decomposable aggregate call.
+
+    Prefix matching is not enough: ``min(a)+max(a)``, ``count(*) - 5``
+    and ``count(distinct x)`` all start like a decomposable aggregate but
+    none folds correctly under merge(agg(A), agg(B)) == agg(A ∪ B) —
+    so the whole expression must be a single count/sum/min/max call
+    (the closing paren is the last token and closes the opening one)
+    with no DISTINCT inside."""
     m = _AGG_RE.match(expr)
-    if not m:
+    ok = bool(m)
+    if ok:
+        inner = m.group(2)
+        depth = 0
+        for ch in inner:
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth < 0:  # the wrapping call closed early: min(a)+max(a)
+                    ok = False
+                    break
+        ok = ok and depth == 0
+        if ok and re.search(r"\bdistinct\b", inner, re.I):
+            raise ValueError(
+                f"aggregate {expr!r} is not decomposable — DISTINCT "
+                "aggregates cannot be merged from partials (a value seen "
+                "in two deltas would double-count)"
+            )
+    if not ok:
         raise ValueError(
-            f"aggregate {expr!r} is not decomposable — only count/sum/"
-            "min/max can be refreshed incrementally (express avg as a "
-            "sum + count pair)"
+            f"aggregate {expr!r} is not decomposable — only a single "
+            "count/sum/min/max call can be refreshed incrementally "
+            "(express avg as a sum + count pair)"
         )
     return m.group(1).lower()
 
 
 def _src_head(src_meta: metadata.DatasetMetadata, src_path: str) -> int:
+    """Newest MAIN-LINE source version. Staged (write-audit-publish)
+    snapshots must not move the baseline: their data is invisible to the
+    aggregate's own fetch, and their version number is REUSED after a
+    promote/discard — stamping it as last_src_version would make the
+    post-promote refresh a silent noop."""
     if src_meta is None:
         raise ValueError(f"no sidecar at {src_path}")
-    if not src_meta.snapshots:
+    main = [
+        s["version"] for s in src_meta.snapshots if not s.get("staged")
+    ]
+    if not main:
         raise ValueError(
-            f"create/refresh_aggregate: source {src_path} has no snapshot "
-            "history — the incremental contract needs versioned appends"
+            f"create/refresh_aggregate: source {src_path} has no main-line "
+            "snapshot history — the incremental contract needs versioned "
+            "appends"
         )
-    return src_meta.snapshots[-1]["version"]
+    return main[-1]
 
 
 def _aggregate(df: DataFrame, group_by: List[str], aggs: Dict[str, str]) -> DataFrame:
@@ -155,7 +191,9 @@ def refresh_aggregate(
         report["mode"] = "noop"
         return report
 
-    src_versions = [s["version"] for s in src_meta.snapshots]
+    src_versions = [
+        s["version"] for s in src_meta.snapshots if not s.get("staged")
+    ]
     merged: Optional[DataFrame] = None
     if last in src_versions and head > last:
         try:

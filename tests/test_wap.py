@@ -162,3 +162,86 @@ def test_restore_keeps_or_drops_staged_by_version(spark, nation, staged):
     assert fetch_path(spark, staged).count() == nation.filter(
         "n_regionkey < 3"
     ).count()
+
+
+class TestWapReviewRegressions:
+    """Second r8 review pass: staged snapshots vs the aggregate baseline,
+    bootstrap staging, overwrite, and sidecar hygiene."""
+
+    def test_staged_on_fresh_dataset_rejected(self, spark, nation, tmp_dataset_dir):
+        with pytest.raises(ValueError, match="existing dataset"):
+            publish_path(
+                spark, tmp_dataset_dir, nation, ["n_regionkey"], staged=True
+            )
+        # nothing landed: no half-committed unaudited data
+        assert not os.path.exists(os.path.join(tmp_dataset_dir))
+
+    def test_full_overwrite_refuses_pending_audits(self, spark, nation, staged):
+        with pytest.raises(PendingAuditError):
+            publish_path(
+                spark, staged, nation.limit(1), ["n_regionkey"],
+                mode="overwrite",
+            )
+        discard_snapshot(
+            spark, staged,
+            metadata.read_sidecar(spark, staged).staged_versions()[0],
+        )
+        publish_path(
+            spark, staged, nation.limit(1), ["n_regionkey"], mode="overwrite"
+        )  # after the discard it proceeds
+        assert fetch_path(spark, staged).count() == 1
+
+    def test_discard_gcs_zone_entries(self, spark, nation, tmp_dataset_dir):
+        publish_path(
+            spark, tmp_dataset_dir, nation.limit(10), ["n_regionkey"],
+            zone_map_columns=["n_nationkey"],
+        )
+        publish_path(
+            spark, tmp_dataset_dir, nation.limit(5), ["n_regionkey"],
+            staged=True,
+        )
+        meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+        n_before = len(meta.zone_maps["files"])
+        discard_snapshot(spark, tmp_dataset_dir, 2)
+        meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+        assert len(meta.zone_maps["files"]) < n_before
+        assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+
+    def test_aggregate_baseline_ignores_staged_head(self, spark, nation, tmp_path):
+        from s3parq_spark.views import create_aggregate, refresh_aggregate
+
+        src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+        publish_path(spark, src, nation.filter("n_regionkey < 3"),
+                     ["n_regionkey"])
+        publish_path(spark, src, nation.filter("n_regionkey >= 3"),
+                     ["n_regionkey"], staged=True)
+        d = create_aggregate(spark, src, dst, ["n_regionkey"],
+                             {"n": "count(*)"})
+        assert d["last_src_version"] == 1  # NOT the staged v2
+        promote_snapshot(spark, src, 2)
+        r = refresh_aggregate(spark, dst)
+        assert r["mode"] == "incremental"  # the promoted rows fold in
+        total = sum(x["n"] for x in fetch_path(spark, dst).collect())
+        assert total == 25
+
+    def test_nondecomposable_aggregates_rejected(self, spark, nation, tmp_path):
+        from s3parq_spark.views import create_aggregate
+
+        src = str(tmp_path / "src")
+        publish_path(spark, src, nation, ["n_regionkey"])
+        for bad in (
+            "count(distinct n_nationkey)",
+            "min(n_nationkey)+max(n_nationkey)",
+            "count(*) - 5",
+            "avg(n_nationkey)",
+        ):
+            with pytest.raises(ValueError, match="not decomposable"):
+                create_aggregate(
+                    spark, src, str(tmp_path / "agg"), ["n_regionkey"],
+                    {"x": bad},
+                )
+        # nested parens inside ONE call stay legal
+        create_aggregate(
+            spark, src, str(tmp_path / "agg_ok"), ["n_regionkey"],
+            {"x": "sum(cast(n_nationkey as decimal(18,2)))"},
+        )
