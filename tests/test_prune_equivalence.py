@@ -237,3 +237,85 @@ def test_pruned_equals_unpruned_on_temporal_and_string(
     assert _run(spark, temporal_dataset, filters, True) == _run(
         spark, temporal_dataset, filters, False
     )
+
+
+# ---------------------------------------------------------------------------
+# zone-map skipping ≡ no skipping (r8)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zoned_weird(spark, tmp_path_factory):
+    """Value column ``x`` (float, zone-mapped) with NULLs, NaN, duplicated
+    values and negative/fractional bounds across several small sorted
+    files — the adversarial surface for per-file [min,max,nulls] skipping."""
+    path = str(tmp_path_factory.mktemp("zone_eq") / "ds")
+    vals = [-3.5, -3.5, -1.0, 0.0, 0.25, 1.0, 1.0, 2.5, 7.0, 9.5,
+            None, None, float("nan"), 4.0, 4.0, 6.0]
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = (
+        spark.createDataFrame(rows, "id long, x double")
+        .repartitionByRange(3, "x")
+        .sortWithinPartitions("x")
+    )
+    publish_path(
+        spark, path, df, [], max_records_per_file=3, rebalance=False,
+        zone_map_columns=["x"],
+    )
+    return path
+
+
+_zone_values = st.lists(
+    st.one_of(
+        st.sampled_from([-3.5, -1.0, 0.0, 0.25, 1.0, 2.5, 7.0, 9.5, 4.0]),
+        st.floats(min_value=-10, max_value=10, allow_nan=False),
+        st.just(float("nan")),
+        st.just(None),
+        st.integers(-5, 10),
+        st.booleans(),
+        st.sampled_from(["0.25", "junk"]),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=40, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(cmp=st.sampled_from(list(OPS)), values=st.data())
+def test_zone_skip_equivalence(spark, zoned_weird, cmp, values):
+    from s3parq_spark.filters import SINGLE_VALUE_COMPARISONS
+
+    vals = values.draw(
+        _zone_values.map(lambda v: v[:1])
+        if cmp in SINGLE_VALUE_COMPARISONS
+        else _zone_values,
+        label="values",
+    )
+    flt = [{"partition": "x", "comparison": cmp, "values": vals}]
+
+    def run(skip_enabled):
+        orig = fetch_mod._prune_zone_files
+        if not skip_enabled:
+            fetch_mod._prune_zone_files = lambda files, meta, zf: files
+        try:
+            return (
+                "rows",
+                sorted(
+                    r["id"]
+                    for r in fetch_mod.fetch_path(
+                        spark, zoned_weird, filters=flt
+                    ).collect()
+                ),
+            )
+        except (ValueError, TypeError) as exc:
+            return ("err", type(exc).__name__, str(exc))
+        finally:
+            fetch_mod._prune_zone_files = orig
+
+    with_skip = run(True)
+    without = run(False)
+    assert with_skip == without, (flt, with_skip, without)
