@@ -82,10 +82,10 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 8 additions — 7 this round (over the usual <=4 budget: the
+    # Round 8 additions — 8 this round (over the usual <=4 budget: the
     # merge-on-read, continuous-aggregate, and write-audit-publish
     # features landed as later waves and each must get its first-round
-    # row; the window still reaches 41 least-recently-verified tail
+    # row; the window still reaches 40 least-recently-verified tail
     # queries after 2 sentinels + 7 new):
     "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
                          # -> driver-side file skipping for VALUE-column
@@ -105,6 +105,8 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "wap_publish_fetch",     # new: write-audit-publish — staged snapshot
                              # invisible to main, audit read, promote /
                              # discard lifecycle
+    "image_neardup",         # new: perceptual-hash (aHash) media dedup —
+                             # banded LSH + exact Hamming verify
 )
 
 

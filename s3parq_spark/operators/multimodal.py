@@ -228,3 +228,150 @@ def sample_video_frames(
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=out_schema)
+
+
+def _ahash_from_pixels(pixels) -> Optional[int]:
+    """60-bit average hash from a grayscale pixel sequence: sample 64
+    pixels evenly, bit_i = (pixel_i >= mean) for the first 60 samples
+    (integer-exact: ``p*64 >= total``). None for empty input."""
+    n = len(pixels)
+    if n == 0:
+        return None
+    sampled = [int(pixels[(i * n) // 64]) for i in range(64)]
+    total = sum(sampled)
+    h = 0
+    for i in range(60):
+        if sampled[i] * 64 >= total:
+            h |= 1 << i
+    return h
+
+
+def perceptual_hash(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    decode: Optional[Callable[[bytes], "object"]] = None,
+) -> DataFrame:
+    """Adds ``ahash: bigint`` — a 60-bit AVERAGE HASH (the classic aHash
+    perceptual fingerprint: sample a fixed grid, threshold each sample at
+    the mean) over the binary payload. Two images that differ only by
+    mild re-encoding/brightness shifts keep small Hamming distance — the
+    standard first-pass signal for image-level dedup of a multimodal
+    corpus.
+
+    ``decode`` injected (deployment: decode → grayscale → flat pixel
+    list) runs per payload through an Arrow-batched ``mapInPandas``.
+    Without it the payload bytes are interpreted as UTF-8 text and
+    sampled via ``ascii(substr(...))`` — ONE whole-stage-codegen JVM
+    expression, no Python in the loop, and byte-for-byte replayable in
+    the SQL oracle (the same deterministic-fake-decode stance as the
+    other media operators: the plumbing and the hash algebra are real
+    and tested; only the pixel source is faked in this container).
+
+    Empty/NULL payloads hash to NULL (dedup then ignores them rather
+    than colliding every empty payload onto one fingerprint)."""
+    if decode is not None:
+        out_schema = f"{id_col} bigint, ahash bigint"
+
+        def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                hashes = [
+                    _ahash_from_pixels(decode(_bytes(p)))
+                    for p in pdf[payload_col]
+                ]
+                yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
+
+        return df.select(id_col, payload_col).mapInPandas(op, out_schema)
+
+    # array + higher-order functions, NOT 60 inlined copies of the
+    # 64-term pixel sum: project-collapse would re-substitute the pixel
+    # expressions into every bit term (60×64 ascii() nodes — minutes of
+    # analysis); as one array the plan stays a few nodes
+    s = "__ph_s"
+    out = (
+        df.withColumn(s, F.expr(f"decode({payload_col}, 'UTF-8')"))
+        .withColumn(
+            "__ph_pix",
+            F.array(
+                *[
+                    F.expr(
+                        f"ascii(substr({s}, 1 + (({i} * length({s})) div 64), 1))"
+                    )
+                    for i in range(64)
+                ]
+            ),
+        )
+        .withColumn(
+            "__ph_tot",
+            F.expr("aggregate(__ph_pix, 0, (a, x) -> a + x)"),
+        )
+    )
+    h = F.expr(
+        "aggregate(zip_with(slice(__ph_pix, 1, 60), sequence(0, 59), "
+        "(x, i) -> IF(x * 64 >= __ph_tot, shiftleft(CAST(1 AS BIGINT), i), "
+        "CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, x) -> a + x)"
+    )
+    return (
+        out.withColumn(
+            "ahash",
+            F.when(F.length(F.col(s)) > 0, h).otherwise(F.lit(None)),
+        )
+        .drop(s, "__ph_pix", "__ph_tot")
+    )
+
+
+def phash_neardup_pairs(
+    df: DataFrame,
+    id_col: str,
+    payload_col: str = "payload",
+    bands: int = 4,
+    max_hamming: int = 3,
+    decode: Optional[Callable[[bytes], "object"]] = None,
+) -> DataFrame:
+    """Near-duplicate MEDIA pairs by perceptual hash: band the 60-bit
+    aHash into ``bands`` chunks (pigeonhole: Hamming ≤ bands-1 guarantees
+    one identical chunk), equi-join on (band, chunk) — never the
+    all-pairs product — and verify with exact ``bit_count(xor)``.
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``; NULL
+    hashes (empty payloads) never pair. The same banded-LSH plan shape
+    as ``simhash_candidate_pairs``, applied to the image fingerprint."""
+    width = 60 // bands
+    mask = (1 << width) - 1
+    fps = perceptual_hash(df, id_col, payload_col, decode=decode).select(
+        F.col(id_col).alias("doc"), "ahash"
+    ).filter(F.col("ahash").isNotNull())
+    banded = fps.select(
+        "doc",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("ahash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", "ahash", "band.band_id", "band.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -3345,3 +3345,62 @@ QUERIES_EXT2["wap_publish_fetch"] = q_wap_publish_fetch
 ORACLE_EXT2["wap_publish_fetch"] = """
     SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
 """
+
+
+def q_image_neardup(spark, sf_dir):
+    """Perceptual-hash media dedup (operators/multimodal.py
+    perceptual_hash + phash_neardup_pairs): documents wrapped as opaque
+    binary payloads (the multimodal ingestion shape), fingerprinted with
+    a 60-bit AVERAGE HASH (64 evenly-sampled pixels thresholded at the
+    mean — here over the deterministic fake decode, deployment injects a
+    real grayscale decoder), banded 4x15 for LSH candidates, verified by
+    exact Hamming <= 3. The corpus plants byte-identical duplicates so
+    the pair set is non-trivial. Oracle replays pixel sampling, the
+    integer mean threshold, bit packing, banding and the Hamming verify
+    entirely in SQL."""
+    from .operators import attach_binary_payload, phash_neardup_pairs
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionByName(
+        docs.filter(F.col("doc_id") < 50).select(
+            (F.col("doc_id") + 100000).alias("doc_id"), "text"
+        )
+    )
+    media = attach_binary_payload(corpus, "text")
+    return phash_neardup_pairs(media, "doc_id", max_hamming=3)
+
+
+QUERIES_EXT2["image_neardup"] = q_image_neardup
+ORACLE_EXT2["image_neardup"] = """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ), pix AS (
+      SELECT doc_id, i.i AS i,
+             ascii(substr(text, 1 + (i.i * length(text)) // 64, 1)) AS p
+      FROM corpus CROSS JOIN (SELECT unnest(range(64)) AS i) i
+      WHERE length(text) > 0
+    ), tot AS (
+      SELECT doc_id, SUM(p) AS total FROM pix GROUP BY doc_id
+    ), fp AS (
+      SELECT p.doc_id,
+             SUM(CASE WHEN p.i < 60 AND p.p * 64 >= t.total
+                      THEN (CAST(1 AS BIGINT) << p.i) ELSE 0 END) AS ahash
+      FROM pix p JOIN tot t ON p.doc_id = t.doc_id
+      GROUP BY p.doc_id
+    ), banded AS (
+      SELECT doc_id, ahash, b.b AS band_id,
+             (ahash >> (b.b * 15)) & 32767 AS chunk
+      FROM fp CROSS JOIN (SELECT unnest(range(4)) AS b) b
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.ahash AS ha, b.ahash AS hb
+      FROM banded a JOIN banded b
+        ON a.band_id = b.band_id AND a.chunk = b.chunk
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(ha, hb)) <= 3
+"""

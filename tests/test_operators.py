@@ -1221,3 +1221,74 @@ def test_hyperplane_signature_dim_mismatch_raises(spark):
         lsh_bucketed_topk(df, "vec_id", "v", q, dim=4, k=2).collect()
     # matching dim still works
     assert lsh_bucketed_topk(df, "vec_id", "v", q, dim=8, k=2).count() >= 0
+
+
+class TestPerceptualHash:
+    """aHash media fingerprinting (r8): JVM fake-decode path == the pure
+    Python model, NULL/empty semantics, LSH banding soundness."""
+
+    def test_matches_python_model(self, spark, sf_dir):
+        from s3parq_spark.operators import attach_binary_payload, perceptual_hash
+        from s3parq_spark.operators.multimodal import _ahash_from_pixels
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+        got = perceptual_hash(
+            attach_binary_payload(docs, "text"), "doc_id"
+        ).select("doc_id", "text", "ahash").collect()
+        for r in got:
+            exp = (
+                _ahash_from_pixels([ord(c) for c in r["text"]])
+                if r["text"] else None
+            )
+            assert r["ahash"] == exp, r["doc_id"]
+
+    def test_null_and_empty_payloads(self, spark):
+        from s3parq_spark.operators import attach_binary_payload, perceptual_hash
+
+        df = spark.createDataFrame(
+            [(1, "hello world"), (2, ""), (3, None)], "doc_id long, text string"
+        )
+        got = {
+            r["doc_id"]: r["ahash"]
+            for r in perceptual_hash(
+                attach_binary_payload(df, "text"), "doc_id"
+            ).collect()
+        }
+        assert got[1] is not None and got[2] is None and got[3] is None
+
+    def test_banding_catches_all_close_pairs(self, spark):
+        from s3parq_spark.operators import attach_binary_payload, phash_neardup_pairs
+        from s3parq_spark.operators.multimodal import _ahash_from_pixels
+
+        base = "the quick brown fox jumps over the lazy dog " * 4
+        variants = [base, base.replace("quick", "quack"),
+                    base.replace("dog", "cat"), "completely different text"]
+        rows = [(i, t) for i, t in enumerate(variants)]
+        df = attach_binary_payload(
+            spark.createDataFrame(rows, "doc_id long, text string"), "text"
+        )
+        pairs = {
+            (r["doc_a"], r["doc_b"], r["hamming"])
+            for r in phash_neardup_pairs(df, "doc_id", max_hamming=3).collect()
+        }
+        # exhaustive model: every pair within hamming 3 must be emitted
+        # (pigeonhole guarantee: <= bands-1 differing bits always share a band)
+        hashes = {i: _ahash_from_pixels([ord(c) for c in t]) for i, t in rows}
+        expected = {
+            (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+            for a in hashes for b in hashes
+            if a < b and bin(hashes[a] ^ hashes[b]).count("1") <= 3
+        }
+        assert pairs == expected
+
+    def test_injected_decoder_path(self, spark):
+        from s3parq_spark.operators import attach_binary_payload, perceptual_hash
+        from s3parq_spark.operators.multimodal import _ahash_from_pixels
+
+        df = attach_binary_payload(
+            spark.createDataFrame([(1, "abcdefgh" * 10)], "doc_id long, text string"),
+            "text",
+        )
+        decode = lambda payload: list(payload)  # bytes as pixels
+        got = perceptual_hash(df, "doc_id", decode=decode).collect()[0]
+        assert got["ahash"] == _ahash_from_pixels(list(("abcdefgh" * 10).encode()))
