@@ -990,6 +990,21 @@ def _prune_zone_files(
             # itself and greater than everything — Python's does neither,
             # so no driver-side bound comparison is provable. Residual only.
             continue
+        import datetime as _dtm
+
+        if (
+            vocab == "date"
+            and any(isinstance(v, _dtm.datetime) for v in vals)
+        ) or (
+            vocab == "datetime"
+            and any(
+                isinstance(v, _dtm.date) and not isinstance(v, _dtm.datetime)
+                for v in vals
+            )
+        ):
+            # date-vs-datetime comparisons TypeError in Python but cast
+            # implicitly in Spark: unprovable driver-side, residual only
+            continue
         active.append((col, vocab, f["comparison"], vals))
     if not active:
         return files
@@ -1072,6 +1087,7 @@ def _prune_manifest_files(
         "integer": (int,),
         "float": (int, float),
         "datetime": (_dt.datetime,),
+        "date": (_dt.date,),
         "bool": (bool, int),
         "boolean": (bool, int),
     }
@@ -1087,6 +1103,13 @@ def _prune_manifest_files(
             continue  # untypeable filter value: leave it to Catalyst
         if not all(isinstance(v, ok) for v in vals if v is not None):
             continue  # type-mismatched value: Catalyst's cast semantics win
+        if dtype == "date" and any(
+            isinstance(v, _dt.datetime) for v in vals
+        ):
+            # datetime IS a date subclass, but Python refuses the mixed
+            # comparison the path-value prune would make — Catalyst's
+            # implicit cast handles it exactly; skip the driver prune
+            continue
         typed_filters.append(
             (f["partition"], dtype, f["comparison"], OPS[f["comparison"]], vals)
         )

@@ -130,6 +130,7 @@ _DTYPE_CLASS = {
     "integer": "num",
     "float": "num",
     "datetime": "dt",
+    "date": "dt",
     "bool": "bool",
     "boolean": "bool",
     "string": "str",

@@ -34,6 +34,12 @@ VOCAB_TO_SPARK = {
     "integer": T.LongType(),
     "float": T.DoubleType(),
     "datetime": T.TimestampType(),
+    # vocab EXTENSION (like decimal(p,s)/array<>): the reference's
+    # vocabulary folds dates into 'datetime', which works for its
+    # schema-less pandas reads — but this engine reads with an EXPLICIT
+    # schema, and declaring TimestampType over a parquet DATE (INT32)
+    # column is a hard scan error. Date value columns need their own type.
+    "date": T.DateType(),
     "category": T.StringType(),
     "boolean": T.BooleanType(),
 }
@@ -73,8 +79,10 @@ def spark_type_to_vocab(dtype: T.DataType) -> str:
         return "integer"
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         return "float"
-    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType)):
         return "datetime"
+    if isinstance(dtype, T.DateType):
+        return "date"
     if isinstance(dtype, T.BooleanType):
         return "boolean"
     if isinstance(dtype, T.DecimalType):
@@ -120,6 +128,8 @@ def convert_type(val: str, dtype: str):
         except ValueError:
             # Spark writes date-typed / fractional-second partition values too
             return _dt.datetime.fromisoformat(val)
+    if dtype == "date":
+        return _dt.date.fromisoformat(val)
     if dtype in ("bool", "boolean"):
         return strtobool(val)
     if _DECIMAL_RE.match(dtype):
@@ -582,6 +592,8 @@ def zone_stat_typed(v, vocab: str):
         return None
     if vocab == "datetime":
         return _dt.datetime.fromisoformat(v)
+    if vocab == "date":
+        return _dt.date.fromisoformat(v)
     if _DECIMAL_RE.match(vocab):
         import decimal as _decimal
 

@@ -53,7 +53,7 @@ from .fetch import (
 #: hand-rolled lifecycle fixtures in workload_ext/_ext2 with their own
 #: markers — invalidates together in one bump, instead of silently serving
 #: data written by old code against oracles replaying new code.
-_CACHE_LOGIC_VERSION = "r6"
+_CACHE_LOGIC_VERSION = "r8"
 
 _CACHE_ROOT = os.path.join(
     tempfile.gettempdir(), f"s3parq_spark_cache_{_CACHE_LOGIC_VERSION}"

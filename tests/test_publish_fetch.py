@@ -924,3 +924,57 @@ def test_read_csv_failfast_and_permissive(spark, tmp_path):
     bad = [r for r in rows if r["_bad"] is not None]
     assert [(r["k"], r["v"]) for r in good] == [(1, "alpha")]
     assert len(bad) == 1 and "not_an_int" in bad[0]["_bad"]
+
+
+def test_date_columns_round_trip(spark, tmp_dataset_dir):
+    """r8: DATE value columns used to be stamped 'datetime' in the sidecar
+    — the explicit TimestampType read schema then hard-crashed on the
+    parquet DATE (INT32) encoding. Dates are a first-class vocab type now:
+    value columns round-trip typed, date partitions prune, and zone maps
+    record/skip on date bounds."""
+    import datetime as dt
+
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import (
+        _prune_zone_files,
+        fetch_path,
+        get_all_partition_values,
+        get_max_partition_value,
+    )
+    from s3parq_spark.publish import publish_path
+
+    rows = [
+        (i, dt.date(2024, 1 + (i % 3), 1 + i), dt.date(2020 + i % 2, 6, 15))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "id long, d date, pd date")
+    publish_path(
+        spark, tmp_dataset_dir, df, ["pd"], zone_map_columns=["d"],
+        max_records_per_file=3, sort_within_files=["d"],
+    )
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.column_types["d"] == "date"
+    assert meta.partition_data_types["pd"] == "date"
+    got = fetch_path(spark, tmp_dataset_dir)
+    assert dict(got.dtypes)["d"] == "date" and dict(got.dtypes)["pd"] == "date"
+    assert {r["d"] for r in got.collect()} == {r[1] for r in rows}
+    # date partition pruning (typed path values + string filter values)
+    pruned = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "pd", "comparison": "==",
+                  "values": ["2020-06-15"]}],
+    )
+    assert pruned.count() == sum(1 for r in rows if r[2].year == 2020)
+    # metadata-plane values come back as dates
+    vals = get_all_partition_values(tmp_dataset_dir, "", "pd", spark=spark)
+    assert sorted(vals) == [dt.date(2020, 6, 15), dt.date(2021, 6, 15)]
+    assert get_max_partition_value(
+        tmp_dataset_dir, "", "pd", spark=spark
+    ) == dt.date(2021, 6, 15)
+    # zone maps skip on date bounds
+    flt = [{"partition": "d", "comparison": "<", "values": ["2024-02-01"]}]
+    kept = _prune_zone_files(meta.manifest_files(), meta, flt)
+    assert len(kept) < len(meta.manifest_files())
+    assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == sum(
+        1 for r in rows if r[1] < dt.date(2024, 2, 1)
+    )

@@ -122,3 +122,34 @@ def test_validation_and_definition_hygiene(spark, orders, tmp_path):
     assert metadata.read_sidecar(spark, dst).aggregate is None
     with pytest.raises(ValueError, match="not a continuous aggregate"):
         refresh_aggregate(spark, dst)
+
+
+def test_streaming_ingest_composes_with_refresh(spark, sf_dir, tmp_path):
+    """The refresh contract is version-based, so WHO wrote the versions is
+    irrelevant: micro-batch streaming appends (stream_publish) advance the
+    head, and refresh_aggregate folds exactly the unseen versions."""
+    from s3parq_spark.streaming.events import stream_publish
+
+    src = str(tmp_path / "stream_src")
+    dst = str(tmp_path / "agg")
+    stream_publish(spark, f"{sf_dir}/events.parquet", src, ["event_type"])
+    create_aggregate(
+        spark, src, dst, ["event_type"],
+        {"n": "count(*)", "max_user": "max(user_id)"},
+    )
+    # second micro-batch wave: new source files picked up from the
+    # checkpoint, appended as new versions
+    ev = fetch_path(spark, src)
+    n_before = ev.count()
+    publish_path(spark, src, ev.limit(123), ["event_type"])
+    r = refresh_aggregate(spark, dst)
+    assert r["mode"] == "incremental"
+    got = {r["event_type"]: r["n"] for r in fetch_path(spark, dst).collect()}
+    exp = {
+        r["event_type"]: r["n"]
+        for r in fetch_path(spark, src).groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == exp
+    assert sum(got.values()) == n_before + 123
