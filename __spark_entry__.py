@@ -86,7 +86,7 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     # merge-on-read, continuous-aggregate, and write-audit-publish
     # features landed as later waves and each must get its first-round
     # row; the window still reaches 40 least-recently-verified tail
-    # queries after 2 sentinels + 7 new):
+    # queries after 2 sentinels + 8 new):
     "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
                          # -> driver-side file skipping for VALUE-column
                          # predicates (Delta/Iceberg data-skipping plane)

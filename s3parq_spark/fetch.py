@@ -974,6 +974,8 @@ def _prune_zone_files(
     from .filters import OPS as _ops  # noqa: F401  (validated upstream)
     from .filters import _typed_value, first_filter_per_partition
 
+    import datetime as _dtm
+
     file_stats = meta.zone_maps.get("files", {})
     active = []
     for f in first_filter_per_partition(zone_filters):
@@ -990,8 +992,6 @@ def _prune_zone_files(
             # itself and greater than everything — Python's does neither,
             # so no driver-side bound comparison is provable. Residual only.
             continue
-        import datetime as _dtm
-
         if (
             vocab == "date"
             and any(isinstance(v, _dtm.datetime) for v in vals)

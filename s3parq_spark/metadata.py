@@ -474,8 +474,19 @@ def merge_sidecar(
             f"publish got {new.partitions} (pass evolve_partitions=True to "
             "start a new partition spec)"
         )
-    for col, t in new.column_types.items():
+    for col, t in list(new.column_types.items()):
         old = existing.column_types.get(col)
+        if old == "datetime" and t == "date":
+            # legacy compat: pre-r8 sidecars stamp DATE columns as
+            # 'datetime' (the reference vocabulary). The dataset's declared
+            # contract wins — the append keeps reading/writing under the
+            # old declaration instead of wedging (publish_path casts the
+            # incoming DATE data to timestamp for value columns, and
+            # partition path values parse under either type)
+            new.column_types[col] = "datetime"
+            if col in new.partition_data_types:
+                new.partition_data_types[col] = "datetime"
+            continue
         if old is not None and old != t:
             raise ValueError(f"append type mismatch on column {col!r}: {old} vs {t}")
     merged_cols = dict(existing.column_types)

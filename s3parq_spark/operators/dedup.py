@@ -630,6 +630,70 @@ def simhash_fingerprints(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def banded_hamming_pairs(
+    fps: DataFrame,
+    hash_col: str,
+    bits: int,
+    bands: int,
+    max_hamming: int,
+) -> DataFrame:
+    """Shared banded-LSH Hamming pair engine: ``fps`` is ``(doc,
+    <hash_col>)``; the fingerprint is split into ``bands`` chunks, pairs
+    sharing any (band, chunk) become candidates via ONE equi-join (never
+    the all-pairs product), and exact ``bit_count(xor)`` verifies.
+    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``.
+
+    Recall contract (pigeonhole): COMPLETE for pairs with Hamming ≤
+    bands-1 — such a pair always shares an untouched band. Pairs beyond
+    that are found only if some band happens to match (the documented
+    bounded-recall stance of ``simhash_neardup_pairs``). Used by both
+    the simhash text fingerprint and the perceptual-hash media
+    fingerprint — one copy of the plan shape."""
+    if not 1 <= bands <= bits:
+        raise ValueError(f"bands must be in [1, {bits}], got {bands}")
+    if max_hamming < 0:
+        raise ValueError("max_hamming must be >= 0")
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        "doc",
+        hash_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned(hash_col, b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc", hash_col, "band.band_id", "band.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            F.bit_count(
+                F.col(f"a.{hash_col}").bitwiseXOR(F.col(f"b.{hash_col}"))
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -642,46 +706,10 @@ def simhash_candidate_pairs(
     """Near-dup pairs by SimHash: band the fingerprint into ``bands`` chunks
     (pigeonhole: distance ≤ bands-1 guarantees one identical chunk), equi-join
     on (band, chunk), verify with exact Hamming distance (``bit_count``)."""
-    width = bits // bands
-    mask = (1 << width) - 1
     fps = simhash_fingerprints(df, id_col, text_col, bits, portable_hash).select(
         F.col(id_col).alias("doc"), "simhash"
     )
-    banded = fps.select(
-        "doc",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned("simhash", b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc", "simhash", "band.band_id", "band.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
-                "hamming"
-            ),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return banded_hamming_pairs(fps, "simhash", bits, bands, max_hamming)
 
 
 def simhash_neardup_pairs(

@@ -271,7 +271,14 @@ def perceptual_hash(
     Empty/NULL payloads hash to NULL (dedup then ignores them rather
     than colliding every empty payload onto one fingerprint)."""
     if decode is not None:
-        out_schema = f"{id_col} bigint, ahash bigint"
+        # SAME output contract as the fake path: every input column passes
+        # through (typed from df.schema, never hardcoded) plus ahash —
+        # swapping the real decoder in must not change the frame shape
+        from pyspark.sql import types as T
+
+        out_schema = T.StructType(
+            [*df.schema.fields, T.StructField("ahash", T.LongType(), True)]
+        )
 
         def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -279,17 +286,29 @@ def perceptual_hash(
                     _ahash_from_pixels(decode(_bytes(p)))
                     for p in pdf[payload_col]
                 ]
-                yield pd.DataFrame({id_col: pdf[id_col], "ahash": hashes})
+                yield pdf.assign(ahash=hashes)
 
-        return df.select(id_col, payload_col).mapInPandas(op, out_schema)
+        return df.mapInPandas(op, out_schema)
 
     # array + higher-order functions, NOT 60 inlined copies of the
     # 64-term pixel sum: project-collapse would re-substitute the pixel
     # expressions into every bit term (60×64 ascii() nodes — minutes of
     # analysis); as one array the plan stays a few nodes
     s = "__ph_s"
+    # non-BMP characters normalize to '?' BEFORE sampling: Spark's ascii()
+    # is charAt(0) (returns the high surrogate) while the Python model and
+    # the SQL oracle return the full code point — replacing astral chars
+    # (1 char for 1 char, so sampling positions stay aligned) keeps all
+    # three implementations bit-identical
     out = (
-        df.withColumn(s, F.expr(f"decode({payload_col}, 'UTF-8')"))
+        df.withColumn(
+            s,
+            F.regexp_replace(
+                F.expr(f"decode({payload_col}, 'UTF-8')"),
+                "[\\x{10000}-\\x{10FFFF}]",
+                "?",
+            ),
+        )
         .withColumn(
             "__ph_pix",
             F.array(
@@ -328,50 +347,19 @@ def phash_neardup_pairs(
     max_hamming: int = 3,
     decode: Optional[Callable[[bytes], "object"]] = None,
 ) -> DataFrame:
-    """Near-duplicate MEDIA pairs by perceptual hash: band the 60-bit
-    aHash into ``bands`` chunks (pigeonhole: Hamming ≤ bands-1 guarantees
-    one identical chunk), equi-join on (band, chunk) — never the
-    all-pairs product — and verify with exact ``bit_count(xor)``.
-    Returns ``(doc_a, doc_b, hamming)`` with ``doc_a < doc_b``; NULL
-    hashes (empty payloads) never pair. The same banded-LSH plan shape
-    as ``simhash_candidate_pairs``, applied to the image fingerprint."""
-    width = 60 // bands
-    mask = (1 << width) - 1
+    """Near-duplicate MEDIA pairs by perceptual hash: banded LSH over the
+    60-bit aHash + exact ``bit_count(xor)`` verify, via the SAME
+    ``banded_hamming_pairs`` engine as the simhash text fingerprint (one
+    copy of the plan shape). Returns ``(doc_a, doc_b, hamming)`` with
+    ``doc_a < doc_b``; NULL hashes (empty payloads) never pair.
+
+    Recall contract (pigeonhole): complete for pairs with Hamming ≤
+    bands-1 (the defaults, 4 bands / ≤3, are inside that bound); a
+    larger ``max_hamming`` has BOUNDED recall — such pairs surface only
+    when some band happens to match, the simhash_neardup_pairs stance."""
+    from .dedup import banded_hamming_pairs
+
     fps = perceptual_hash(df, id_col, payload_col, decode=decode).select(
         F.col(id_col).alias("doc"), "ahash"
     ).filter(F.col("ahash").isNotNull())
-    banded = fps.select(
-        "doc",
-        "ahash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.shiftrightunsigned("ahash", b * width)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc", "ahash", "band.band_id", "band.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(
-            F.col("a.doc").alias("doc_a"),
-            F.col("b.doc").alias("doc_b"),
-            F.bit_count(
-                F.col("a.ahash").bitwiseXOR(F.col("b.ahash"))
-            ).cast("int").alias("hamming"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .distinct()
-    )
+    return banded_hamming_pairs(fps, "ahash", 60, bands, max_hamming)

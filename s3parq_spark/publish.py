@@ -557,6 +557,25 @@ def publish_path(
                     col, F.col(col).cast(metadata.vocab_to_spark_type(vocab))
                 )
 
+    if mode == "append" and prior is not None:
+        # legacy compat: a pre-r8 sidecar stamps DATE columns 'datetime'.
+        # Appending DateType VALUE data as-is would land parquet DATE
+        # bytes under a TimestampType read schema (the exact scan crash
+        # the 'date' vocab fixed) — cast at write so new files match the
+        # dataset's declared encoding. Partition columns stay DateType:
+        # their values live in the path, where either type parses.
+        from pyspark.sql import types as T
+
+        for field in df.schema.fields:
+            if (
+                isinstance(field.dataType, T.DateType)
+                and field.name not in partitions
+                and prior.column_types.get(field.name) == "datetime"
+            ):
+                df = df.withColumn(
+                    field.name, F.col(field.name).cast("timestamp")
+                )
+
     meta = metadata.DatasetMetadata.from_dataframe(df, partitions)
     if derived_partitions:
         meta.derived_partitions = dict(derived_partitions)

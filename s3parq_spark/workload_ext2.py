@@ -3376,10 +3376,17 @@ ORACLE_EXT2["image_neardup"] = """
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50
+    ), norm AS (
+      -- astral chars normalize to '?' exactly as the engine does (Spark's
+      -- ascii() is charAt(0); the replacement keeps all three
+      -- implementations byte-identical)
+      SELECT doc_id,
+             regexp_replace(text, '[\\x{10000}-\\x{10FFFF}]', '?', 'g') AS text
+      FROM corpus
     ), pix AS (
       SELECT doc_id, i.i AS i,
              ascii(substr(text, 1 + (i.i * length(text)) // 64, 1)) AS p
-      FROM corpus CROSS JOIN (SELECT unnest(range(64)) AS i) i
+      FROM norm CROSS JOIN (SELECT unnest(range(64)) AS i) i
       WHERE length(text) > 0
     ), tot AS (
       SELECT doc_id, SUM(p) AS total FROM pix GROUP BY doc_id

@@ -978,3 +978,96 @@ def test_date_columns_round_trip(spark, tmp_dataset_dir):
     assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == sum(
         1 for r in rows if r[1] < dt.date(2024, 2, 1)
     )
+
+
+def test_legacy_datetime_stamped_date_dataset_still_appends(spark, tmp_dataset_dir):
+    """r8 third review: pre-r8 sidecars stamp DATE columns 'datetime'
+    (partitions worked — path strings — but the new 'date' vocab would
+    wedge appends with a type mismatch). The dataset's declared contract
+    wins: appends keep working, value-column DATE data is cast to
+    timestamp at write so new files match the declared encoding."""
+    import datetime as dt
+    import json
+
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import fetch_path, get_all_partition_values
+    from s3parq_spark.publish import publish_path
+
+    rows = [(i, dt.date(2024, 1, 1 + i), dt.date(2020 + i % 2, 6, 15))
+            for i in range(4)]
+    df = spark.createDataFrame(rows, "id long, d date, pd date")
+    publish_path(spark, tmp_dataset_dir, df, ["pd"])
+    # simulate the pre-r8 sidecar: rewrite date -> datetime. The value
+    # column's files hold DATE bytes under a 'datetime' declaration —
+    # the historical broken-at-rest state this compat path targets; fix
+    # the physical encoding too so the fixture is the PARTITION-only
+    # legacy case that actually worked before r8.
+    side = json.load(open(f"{tmp_dataset_dir}/_s3parq_metadata.json"))
+    side["column_types"]["pd"] = "datetime"
+    side["partition_data_types"]["pd"] = "datetime"
+    side["column_types"]["d"] = "datetime"
+    json.dump(side, open(f"{tmp_dataset_dir}/_s3parq_metadata.json", "w"))
+    import shutil
+
+    # rewrite data files with timestamp-encoded d (what a pre-r8 publish
+    # of timestamp data produced)
+    old = fetch_path  # noqa: F841  (documentation of intent)
+    data = [(i, dt.datetime(2024, 1, 1 + i), dt.date(2020 + i % 2, 6, 15))
+            for i in range(4)]
+    shutil.rmtree(tmp_dataset_dir, ignore_errors=True)
+    publish_path(
+        spark, tmp_dataset_dir,
+        spark.createDataFrame(data, "id long, d timestamp, pd date"),
+        ["pd"],
+    )
+    side = json.load(open(f"{tmp_dataset_dir}/_s3parq_metadata.json"))
+    side["partition_data_types"]["pd"] = "datetime"
+    side["column_types"]["pd"] = "datetime"
+    json.dump(side, open(f"{tmp_dataset_dir}/_s3parq_metadata.json", "w"))
+
+    # the append arrives with today's natural types: d timestamp, pd DATE
+    publish_path(
+        spark, tmp_dataset_dir,
+        spark.createDataFrame(
+            [(9, dt.datetime(2024, 2, 1), dt.date(2022, 6, 15))],
+            "id long, d timestamp, pd date",
+        ),
+        ["pd"],
+    )
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.partition_data_types["pd"] == "datetime"  # contract kept
+    got = fetch_path(spark, tmp_dataset_dir)
+    assert got.count() == 5
+    assert dict(got.dtypes)["pd"] == "timestamp"
+    vals = get_all_partition_values(tmp_dataset_dir, "", "pd", spark=spark)
+    assert dt.datetime(2022, 6, 15) in vals
+
+
+def test_legacy_append_casts_date_value_columns(spark, tmp_dataset_dir):
+    """A DateType VALUE column appended onto a legacy 'datetime'
+    declaration is cast to timestamp at write — the new file's bytes
+    match the declared read schema instead of reproducing the scan crash."""
+    import datetime as dt
+    import json
+
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.publish import publish_path
+
+    publish_path(
+        spark, tmp_dataset_dir,
+        spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1))], "id long, d timestamp"
+        ),
+        [],
+    )
+    side = json.load(open(f"{tmp_dataset_dir}/_s3parq_metadata.json"))
+    assert side["column_types"]["d"] == "datetime"
+    publish_path(
+        spark, tmp_dataset_dir,
+        spark.createDataFrame([(2, dt.date(2024, 2, 1))], "id long, d date"),
+        [],
+    )
+    got = fetch_path(spark, tmp_dataset_dir).orderBy("id").collect()
+    assert [r["d"] for r in got] == [
+        dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
+    ]
