@@ -262,6 +262,32 @@ def main() -> None:
     finally:
         fetch_mod._prune_zone_files = _orig_pzf
 
+    # ---- merge-on-read probe (r8): the read cost of pending tombstones
+    # vs the same dataset materialized. The era-union fetch carries a
+    # NOT(pred) row filter on the pre-tombstone slice; compaction folds
+    # it in. The delta prices what "O(1) delete now, pay at read until
+    # the next compaction" actually costs.
+    from s3parq_spark.workload_ext2 import q_mor_delete_fetch
+    from s3parq_spark.workload import _ds_path as _dsp
+
+    q_mor_delete_fetch(spark, sf_dir)  # build/reuse the fixture
+    mor_path = _dsp(sf_dir, "orders_mor")
+    t0 = time.time()
+    fetch_mod.fetch_path(spark, mor_path).count()
+    probes["mor_read"] = round(time.time() - t0, 3)
+    import shutil as _sh
+
+    mat_path = mor_path + "_materialized"
+    if not os.path.exists(os.path.join(mat_path, "_s3parq_metadata.json")):
+        _sh.rmtree(mat_path, ignore_errors=True)
+        _sh.copytree(mor_path, mat_path)
+        from s3parq_spark.publish import compact_dataset
+
+        compact_dataset(spark, mat_path)
+    t0 = time.time()
+    fetch_mod.fetch_path(spark, mat_path).count()
+    probes["mor_materialized_read"] = round(time.time() - t0, 3)
+
     # ---- sf1 probes (r7): the top-5 bench queries end-to-end at ~sf1 ----
     # A REAL sf1-scale directory (6M lineitem, 1.5M orders, 50k docs, 20k
     # vectors) is materialized once to local disk by key-shifted 10x
@@ -338,7 +364,10 @@ def main() -> None:
                          "driver-side file skipping vs 1.60 s with the "
                          "skip bypassed (~15x — the win before any "
                          "footer is read); probes_sf1 unchanged, still "
-                         "sublinear across the top-5 shapes",
+                         "sublinear across the top-5 shapes; mor probe "
+                         "prices pending-tombstone reads vs the same "
+                         "dataset compacted (the pay-at-read half of "
+                         "O(1) merge-on-read deletes)",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time

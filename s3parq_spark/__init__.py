@@ -20,6 +20,7 @@ from .fetch import (
     fetch_diff_path,
     dataset_files,
     dataset_history,
+    dataset_refs,
     dataset_rowcount,
     partition_rowcounts,
     fetch_path,
@@ -65,6 +66,7 @@ __all__ = [
     "custom_publish",
     "dataset_files",
     "dataset_history",
+    "dataset_refs",
     "dataset_rowcount",
     "delete_tag",
     "discard_snapshot",

@@ -1551,6 +1551,54 @@ def attach_at(
     return df
 
 
+def dataset_refs(spark: SparkSession, path: str) -> DataFrame:
+    """The dataset's REFS metadata table (Iceberg's ``table.refs``,
+    widened for this engine's full lifecycle surface): one row per named
+    or pending reference into the version history —
+
+    - ``tag``: a named snapshot ref (``tag_snapshot``), pinned against
+      expiry/compaction;
+    - ``staged``: a pending write-audit-publish snapshot awaiting
+      ``promote_snapshot``/``discard_snapshot``;
+    - ``tombstone``: a pending merge-on-read DELETE commit (``detail``
+      carries the predicate), cleared by ``compact_dataset``;
+    - ``aggregate``: this dataset IS a continuous aggregate; ``version``
+      is the last source version folded in and ``detail`` the source.
+
+    Metadata-only (one sidecar read) — the single operational answer to
+    "what is holding this dataset's history in place, and what is still
+    pending?" before running expiry, compaction, or a destructive
+    rewrite."""
+    meta = _dataset_meta(spark, path)
+    if meta is None:
+        raise MissingS3ParqMetadata(f"no sidecar at {path}")
+    rows = []
+    for name, v in sorted(meta.tags.items()):
+        rows.append(("tag", name, int(v), None))
+    for v in meta.staged_versions():
+        rows.append(("staged", f"v{v}", int(v), None))
+    for v, pred in meta.tombstones():
+        rows.append(("tombstone", f"v{v}", int(v), pred))
+    if meta.aggregate:
+        rows.append(
+            (
+                "aggregate",
+                "definition",
+                int(meta.aggregate.get("last_src_version", 0)),
+                str(meta.aggregate.get("src")),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("ref_type", T.StringType(), False),
+            T.StructField("name", T.StringType(), False),
+            T.StructField("version", T.LongType(), False),
+            T.StructField("detail", T.StringType(), True),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def dataset_history(spark: SparkSession, path: str) -> DataFrame:
     """The dataset's HISTORY metadata table (Iceberg's ``table.history``/
     ``table.snapshots``, restated for the sidecar): one row per snapshot —

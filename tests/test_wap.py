@@ -245,3 +245,27 @@ class TestWapReviewRegressions:
             spark, src, str(tmp_path / "agg_ok"), ["n_regionkey"],
             {"x": "sum(cast(n_nationkey as decimal(18,2)))"},
         )
+
+
+def test_dataset_refs_table(spark, nation, staged):
+    """REFS metadata table: tags + staged + tombstones + aggregate
+    definition in one metadata-only view."""
+    from s3parq_spark.fetch import dataset_refs
+    from s3parq_spark.publish import delete_where
+    from s3parq_spark.views import create_aggregate
+
+    tag_snapshot(spark, staged, "baseline", version=1)
+    delete_where(spark, staged, "n_nationkey = 0", mode="merge-on-read")
+    rows = {
+        (r["ref_type"], r["name"], r["version"], r["detail"])
+        for r in dataset_refs(spark, staged).collect()
+    }
+    assert ("tag", "baseline", 1, None) in rows
+    assert ("staged", "v2", 2, None) in rows
+    assert ("tombstone", "v3", 3, "n_nationkey = 0") in rows
+    # an aggregate destination reports its definition ref
+    agg = staged + "_agg"
+    create_aggregate(spark, staged, agg, ["n_regionkey"], {"n": "count(*)"})
+    arows = dataset_refs(spark, agg).collect()
+    assert len(arows) == 1 and arows[0]["ref_type"] == "aggregate"
+    assert arows[0]["detail"] == staged
