@@ -153,3 +153,28 @@ def test_streaming_ingest_composes_with_refresh(spark, sf_dir, tmp_path):
     }
     assert got == exp
     assert sum(got.values()) == n_before + 123
+
+
+def test_refresh_equivalence_over_random_sequences(spark, orders, tmp_path):
+    """Property: any sequence of appends and refreshes leaves the
+    aggregate equal to the one-shot GROUP BY over the source — whatever
+    mix of noop/incremental refreshes the schedule produced. Deterministic
+    pseudo-random schedule (seeded), 3 rounds."""
+    import random
+
+    rng = random.Random(8)
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    slices = [orders.filter(f"o_orderkey % 7 = {i}") for i in range(7)]
+    publish_path(spark, src, slices[0], ["o_orderstatus"])
+    create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    used = [0]
+    modes = []
+    for _ in range(3):
+        for _ in range(rng.randint(1, 2)):
+            i = rng.choice([j for j in range(7) if j not in used])
+            used.append(i)
+            publish_path(spark, src, slices[i], ["o_orderstatus"])
+        modes.append(refresh_aggregate(spark, dst)["mode"])
+        pred = " or ".join(f"o_orderkey % 7 = {j}" for j in used)
+        assert _got(spark, dst) == _expected(orders.filter(pred)), modes
+    assert "incremental" in modes  # the schedule exercised the real path
