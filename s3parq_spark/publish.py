@@ -529,15 +529,29 @@ def publish_path(
 
     if mode == "append" and prior is not None and prior.zone_maps:
         declared = prior.zone_map_columns()
+        inherited = declared
+        if evolve_partitions:
+            # an evolving append may promote a declared zone-map column to
+            # a partition of the NEW spec; carry the declaration through
+            # minus the promoted columns (mirroring repartition_dataset's
+            # layout migration above) — otherwise the append is
+            # unrecoverable: None inherits the full list and fails the
+            # partition-column check, while any trimmed list fails the
+            # mismatch check. Old files keep their recorded stats; the
+            # promoted column is partition-pruned in the new spec from
+            # here on.
+            inherited = [c for c in declared if c not in partitions]
         if zone_map_columns is None:
             # the declaration is a dataset-level contract: appends keep
             # collecting stats for the declared columns automatically
-            zone_map_columns = declared
-        elif list(zone_map_columns) != declared:
+            zone_map_columns = inherited
+        elif list(zone_map_columns) not in (declared, inherited):
             raise ValueError(
                 f"append zone-map mismatch: dataset declares {declared}, "
                 f"publish got {list(zone_map_columns)}"
             )
+        elif evolve_partitions:
+            zone_map_columns = inherited
     if zone_map_columns is not None:
         bad = [c for c in zone_map_columns if c in partitions]
         if bad:

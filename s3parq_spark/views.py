@@ -105,6 +105,20 @@ def _src_head(src_meta: metadata.DatasetMetadata, src_path: str) -> int:
     return main[-1]
 
 
+def _snapshot_ts(src_meta: metadata.DatasetMetadata, version: int):
+    """Commit timestamp of the main-line source snapshot at ``version``
+    (``None`` for a bootstrap snapshot, which carries no truthful ts).
+    Version numbers alone do not identify a snapshot: ``restore_dataset``
+    drops history and subsequent appends REUSE the dropped numbers, so the
+    refresh baseline is pinned by (version, ts) — a reused version gets a
+    fresh wall-clock ts and the mismatch forces a reported full recompute
+    instead of silently keeping rolled-back contributions."""
+    for s in src_meta.snapshots:
+        if not s.get("staged") and s["version"] == version:
+            return s.get("ts")
+    return None
+
+
 def _aggregate(df: DataFrame, group_by: List[str], aggs: Dict[str, str]) -> DataFrame:
     return df.groupBy(*group_by).agg(
         *[F.expr(e).alias(name) for name, e in aggs.items()]
@@ -152,6 +166,7 @@ def create_aggregate(
         "group_by": list(group_by),
         "aggs": dict(aggs),
         "last_src_version": head,
+        "last_src_ts": _snapshot_ts(src_meta, head),
     }
     _attach_definition(spark, dst_path, defn)
     return dict(defn)
@@ -187,15 +202,32 @@ def refresh_aggregate(
     head = _src_head(src_meta, src)
     last = defn["last_src_version"]
     report = {"from_version": last, "to_version": head}
-    if head == last:
+    if (
+        head == last
+        and "last_src_ts" in defn
+        and defn["last_src_ts"] == _snapshot_ts(src_meta, head)
+    ):
+        # same version AND the same snapshot (restore + re-appends reuse
+        # version numbers; a lookalike head must fall through to a full
+        # recompute, not a noop)
         report["mode"] = "noop"
         return report
 
     src_versions = [
         s["version"] for s in src_meta.snapshots if not s.get("staged")
     ]
+    # the baseline snapshot must be the SAME snapshot the definition saw,
+    # not merely the same version number: restore_dataset + re-appends
+    # reuse version numbers, and an incremental fold from a lookalike
+    # baseline would silently keep rolled-back contributions. Definitions
+    # stamped before the ts field existed have no way to prove identity
+    # and take the reported full path once (which re-stamps them).
+    baseline_intact = (
+        "last_src_ts" in defn
+        and defn["last_src_ts"] == _snapshot_ts(src_meta, last)
+    )
     merged: Optional[DataFrame] = None
-    if last in src_versions and head > last:
+    if last in src_versions and head > last and baseline_intact:
         try:
             delta = fetch_changes(spark, src, last, head)
             partial = _aggregate(delta, group_by, aggs)
@@ -224,6 +256,7 @@ def refresh_aggregate(
     fs.delete(spark, tmp)
     publish_path(spark, tmp, merged, [], mode="overwrite")
     defn["last_src_version"] = head
+    defn["last_src_ts"] = _snapshot_ts(src_meta, head)
     _attach_definition(spark, tmp, defn)
     old = dst_path.rstrip("/") + ".prerefresh"
     fs.delete(spark, old)

@@ -178,3 +178,36 @@ def test_refresh_equivalence_over_random_sequences(spark, orders, tmp_path):
         pred = " or ".join(f"o_orderkey % 7 = {j}" for j in used)
         assert _got(spark, dst) == _expected(orders.filter(pred)), modes
     assert "incremental" in modes  # the schedule exercised the real path
+
+
+def test_restore_reappend_lookalike_baseline_forces_full(
+    spark, orders, tmp_path
+):
+    """restore_dataset + subsequent appends REUSE version numbers, so the
+    refresh baseline is pinned by (version, commit ts), not the version
+    number alone. Before the r9 fix, restoring below the recorded baseline
+    and appending back TO it hit the head==last noop, and appending PAST
+    it passed the `last in src_versions` check — both silently kept
+    rolled-back contributions."""
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.limit(100), ["o_orderstatus"])
+    publish_path(spark, src, orders.limit(60), ["o_orderstatus"])
+    create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)  # last=2
+    # leg 1: restore below the baseline, append back to EXACTLY version 2
+    # with different data -> lookalike head, must be full (not noop)
+    restore_dataset(spark, src, version=1)
+    publish_path(spark, src, orders.limit(40), ["o_orderstatus"])
+    r = refresh_aggregate(spark, dst)
+    assert r["mode"] == "full"
+    assert _got(spark, dst) == _expected(fetch_path(spark, src))
+    # leg 2 (baseline now re-stamped at the reused v2): restore below it
+    # again and append PAST it -> head > last, version number present in
+    # history, but the snapshot at last is a different commit -> full
+    restore_dataset(spark, src, version=1)
+    publish_path(spark, src, orders.limit(30), ["o_orderstatus"])
+    publish_path(spark, src, orders.limit(20), ["o_orderstatus"])
+    r = refresh_aggregate(spark, dst)
+    assert r["mode"] == "full"
+    assert _got(spark, dst) == _expected(fetch_path(spark, src))
+    # an untouched head refreshes as a true noop afterwards
+    assert refresh_aggregate(spark, dst)["mode"] == "noop"

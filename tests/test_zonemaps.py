@@ -387,3 +387,50 @@ def test_clustering_depth_signal(spark, li, tmp_dataset_dir):
     assert d3["max_depth"] <= 2.0 and d3["max_depth"] < d2["max_depth"]
     with pytest.raises(ValueError, match="not zone-mapped"):
         clustering_depth(spark, tmp_dataset_dir, "l_linenumber")
+
+
+def test_evolve_append_promoting_zone_column_trims_declaration(
+    spark, li, tmp_dataset_dir
+):
+    """An evolving append whose NEW spec promotes a declared zone-map
+    column to a partition must carry the declaration through minus the
+    promoted column (mirroring repartition_dataset) — before the r9 fix
+    this publish was unrecoverable: inheriting failed the partition-column
+    check and any trimmed list failed the mismatch check."""
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(200), ["l_linestatus"],
+        zone_map_columns=["l_orderkey", "l_linenumber"],
+    )
+    # promote l_linenumber to a partition in the new spec; declaration is
+    # inherited (None) and must auto-trim
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.limit(300).filter("l_linenumber <= 2"),
+        ["l_linenumber"],
+        mode="append",
+        evolve_partitions=True,
+    )
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.zone_map_columns() == ["l_orderkey"]
+    # an explicit already-trimmed list is also accepted on the evolve path
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.limit(50).filter("l_linenumber = 3"),
+        ["l_linenumber"],
+        mode="append",
+        evolve_partitions=True,
+        zone_map_columns=["l_orderkey"],
+    )
+    total = 200 + li.limit(300).filter("l_linenumber <= 2").count() + \
+        li.limit(50).filter("l_linenumber = 3").count()
+    assert fetch_path(spark, tmp_dataset_dir).count() == total
+    # zone skipping on the surviving declared column still works across specs
+    got = fetch_path(
+        spark, tmp_dataset_dir,
+        filters=[{"partition": "l_orderkey", "comparison": "<",
+                  "values": [50]}],
+    )
+    exp = fetch_path(spark, tmp_dataset_dir).filter("l_orderkey < 50")
+    assert got.count() == exp.count()
+    # row-count metadata plane stays consistent after the trim
+    assert dataset_rowcount(spark, tmp_dataset_dir) == total
