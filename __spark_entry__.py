@@ -82,31 +82,8 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 8 additions — 8 this round (over the usual <=4 budget: the
-    # merge-on-read, continuous-aggregate, and write-audit-publish
-    # features landed as later waves and each must get its first-round
-    # row; the window still reaches 40 least-recently-verified tail
-    # queries after 2 sentinels + 8 new):
-    "zonemap_fetch",     # new: file-level min/max zone maps in the manifest
-                         # -> driver-side file skipping for VALUE-column
-                         # predicates (Delta/Iceberg data-skipping plane)
-    "metadata_count",    # new: COUNT(*)/per-partition counts answered from
-                         # manifest row counts, zero data I/O
-    "tagged_fetch",      # new: named snapshot refs (Iceberg tags) —
-                         # tag v1, append, fetch the tag
-    "pagerank_graph",    # new: fixed-iteration integer-exact PageRank over
-                         # the supplier->customer link graph
-    "mor_delete_fetch",  # new: merge-on-read DELETE via predicate
-                         # tombstones; later appends survive per version
-                         # ordering; per-era union read
-    "continuous_aggregate",  # new: materialized rollup refreshed
-                             # incrementally from the CDC plane
-                             # (O(delta) refresh, exact decimal fold)
-    "wap_publish_fetch",     # new: write-audit-publish — staged snapshot
-                             # invisible to main, audit read, promote /
-                             # discard lifecycle
-    "image_neardup",         # new: perceptual-hash (aHash) media dedup —
-                             # banded LSH + exact Hamming verify
+    # Round 9 additions (filled as they land; keep <= 4 so the window
+    # still reaches the least-recently-verified tail):
 )
 
 

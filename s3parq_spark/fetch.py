@@ -513,8 +513,10 @@ def fetch_path(
         # records the scaling curve).
         files = _prune_manifest_files(files, meta, filters)
         # ... then against the zone-map filters (value-column min/max file
-        # skipping; files without stats are kept)
+        # skipping; files without stats are kept) and the per-file bloom
+        # fingerprints (equality probes on scattered keys)
         files = _prune_zone_files(files, meta, zone_filters)
+        files = _prune_bloom_files(files, meta, zone_filters)
         if meta.has_tombstones():
             # merge-on-read deletes pending: per-era scan with tombstone
             # row filters (already rename-resolved)
@@ -889,10 +891,13 @@ def _split_zone_filters(
     row-level, extending the reference's partitions-only filter surface to
     clustered value columns without changing any partition semantics."""
     # exclude partitions under ANY spec (publish forbids declaring one,
-    # but an old sidecar edited by hand must not bypass partition rules)
-    zone_cols = set(meta.zone_map_columns()) - set(
-        meta.all_partition_data_types()
-    )
+    # but an old sidecar edited by hand must not bypass partition rules).
+    # Bloom-declared columns ride the same lane: they are value columns
+    # whose filters prune files driver-side (fingerprint instead of
+    # min/max) and then re-apply row-level.
+    zone_cols = (
+        set(meta.zone_map_columns()) | set(meta.file_bloom_columns())
+    ) - set(meta.all_partition_data_types())
     if not zone_cols:
         return filters, []
     rest = [f for f in filters if f["partition"] not in zone_cols]
@@ -903,7 +908,7 @@ def _split_zone_filters(
 def _zone_types(meta: DatasetMetadata) -> Dict[str, str]:
     return {
         c: meta.column_types[c]
-        for c in meta.zone_map_columns()
+        for c in (*meta.zone_map_columns(), *meta.file_bloom_columns())
         if c in meta.column_types
     }
 
@@ -1036,6 +1041,67 @@ def _prune_zone_files(
             if not _zone_file_may_match(
                 mn, mx, int(cs[2]), int(st["rows"]), cmp, vals, vocab
             ):
+                keep = False
+                break
+        if keep:
+            out.append(rel)
+    return out
+
+
+def _prune_bloom_files(
+    files: List[str],
+    meta: DatasetMetadata,
+    zone_filters: List[dict],
+) -> List[str]:
+    """Driver-side FILE skipping on equality probes from per-file bloom
+    fingerprints (``publish(file_bloom_columns=...)`` — see ``bloom.py``):
+    the point-lookup half of the data-skipping plane, for scattered
+    high-cardinality keys where min/max bounds never prune. Only ``==``
+    filters prune (a fingerprint answers membership, not ordering); a
+    probe list containing None keeps every file (NULLs set no bits);
+    files without a recorded fingerprint are KEPT. Superset-safe like
+    the zone prune: a false positive costs one scanned file and the
+    row-level residual re-applies the exact predicate; false negatives
+    are impossible (collection sets every bit each value hashes to)."""
+    if not zone_filters or not meta.zone_maps:
+        return files
+    bloom_cols = set(meta.file_bloom_columns())
+    if not bloom_cols:
+        return files
+    from .bloom import may_contain
+    from .filters import _compatible, _typed_value, first_filter_per_partition
+
+    active = []
+    for f in first_filter_per_partition(zone_filters):
+        col = f["partition"]
+        if col not in bloom_cols or f["comparison"] != "==":
+            continue
+        vocab = meta.column_types.get(col)
+        if vocab is None:
+            continue
+        if any(v is None for v in f["values"]):
+            continue  # == None matches NULL rows, invisible to the bloom
+        try:
+            vals = [_typed_value(v, vocab) for v in f["values"]]
+        except (ValueError, TypeError):
+            continue  # untypeable filter value: the residual decides
+        # type-incompatible values match nothing under '==' (filters.py
+        # truth table) — they add no reachable files, so probe only the
+        # compatible ones; an all-incompatible list provably matches no
+        # row of any fingerprinted file
+        active.append((col, [v for v in vals if _compatible(vocab, v)]))
+    if not active:
+        return files
+    file_meta = meta.zone_maps.get("files", {})
+    out = []
+    for rel in files:
+        blooms = (file_meta.get(rel) or {}).get("bloom") or {}
+        keep = True
+        for col, vals in active:
+            fp = blooms.get(col)
+            if fp is None:
+                continue  # pre-declaration file, no fingerprint: keep
+            if not any(may_contain(fp, v) for v in vals):
                 keep = False
                 break
         if keep:
@@ -1302,7 +1368,9 @@ def _union_spec_slices(
         by_spec.setdefault(spec_of[f], []).append(f)
     if zone_filters:
         by_spec = {
-            sid: _prune_zone_files(fl, meta, zone_filters)
+            sid: _prune_bloom_files(
+                _prune_zone_files(fl, meta, zone_filters), meta, zone_filters
+            )
             for sid, fl in by_spec.items()
         }
     slices = [
@@ -1370,6 +1438,7 @@ def _read_manifest_slice(
     validate_matching_filter_data_type(meta.partition_data_types, filters)
     rel_files = _prune_manifest_files(rel_files, meta, filters)
     rel_files = _prune_zone_files(rel_files, meta, zone_filters)
+    rel_files = _prune_bloom_files(rel_files, meta, zone_filters)
     if meta.has_tombstones():
         df = _tombstone_scan(spark, path, _scan_schema(meta), meta, rel_files)
     else:

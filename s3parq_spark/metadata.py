@@ -311,6 +311,15 @@ class DatasetMetadata:
             return []
         return list(self.zone_maps.get("columns", []))
 
+    def file_bloom_columns(self) -> List[str]:
+        """Value columns declared point-lookup-skippable via per-file
+        bloom fingerprints (``publish(file_bloom_columns=...)``). Lives
+        inside the zone-map structure so the whole data-skipping plane
+        shares one lifecycle (GC, rename/drop, carry-through)."""
+        if not self.zone_maps:
+            return []
+        return list(self.zone_maps.get("bloom_columns", []))
+
     # -- partition-spec evolution helpers ---------------------------------
 
     def specs(self) -> List[dict]:

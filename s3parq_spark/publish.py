@@ -22,7 +22,7 @@ from typing import Dict, List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from . import fs, metadata, naming
+from . import bloom, fs, metadata, naming
 
 #: reference targets ~60 MB compressed parquet ("ideal for Spectrum",
 #: ``publish_parq.py:433-434``) assuming 4:1 compression
@@ -423,6 +423,8 @@ def publish_path(
     expected_version: Optional[int] = None,
     evolve_partitions: bool = False,
     zone_map_columns: Optional[List[str]] = None,
+    file_bloom_columns: Optional[List[str]] = None,
+    file_bloom_bits: Optional[int] = None,
     staged: bool = False,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
@@ -459,6 +461,24 @@ def publish_path(
     passing ``None``; a conflicting list is rejected. Files published
     before the declaration simply never skip (and make row-count queries
     fall back to a scan) until rewritten.
+
+    ``file_bloom_columns`` records per-FILE bloom fingerprints in the
+    sidecar (see ``bloom.py``): the point-lookup half of the data-skipping
+    plane. Zone maps prune ranges on CLUSTERED columns; a bloom fingerprint
+    prunes equality probes on SCATTERED high-cardinality keys (``doc_id ==
+    X`` over ingest-ordered files), again at the driver before any footer
+    read — and the in-file parquet blooms (``bloom_filter_columns``) still
+    prune row groups inside the survivors. Collection rides the same single
+    stats aggregate as zone maps (4 bounded ``collect_set`` probes per
+    column). Columns must be string/integer typed (the md5-of-cast-string
+    fingerprint must be reproducible driver-side — ``bloom.PORTABLE_
+    VOCABS``) and not partitions. Appends inherit the declaration; evolve
+    appends trim columns the new spec promotes to partitions, exactly like
+    zone maps. ``file_bloom_bits`` sizes the fingerprint (default 8192 —
+    size to ~10x the distinct keys per file for ~1% false positives;
+    under-sizing degrades toward keep-everything, never toward a wrong
+    skip); the width is recorded per file, and appends inherit the
+    dataset's declared width unless they pass their own.
 
     ``staged=True`` commits the append as a STAGED snapshot (Iceberg's
     write-audit-publish): the files land and the snapshot is recorded,
@@ -552,6 +572,24 @@ def publish_path(
             )
         elif evolve_partitions:
             zone_map_columns = inherited
+        # the bloom declaration is the same dataset-level contract
+        declared_bf = prior.file_bloom_columns()
+        inherited_bf = (
+            [c for c in declared_bf if c not in partitions]
+            if evolve_partitions
+            else declared_bf
+        )
+        if file_bloom_columns is None:
+            file_bloom_columns = inherited_bf
+        elif list(file_bloom_columns) not in (declared_bf, inherited_bf):
+            raise ValueError(
+                f"append file-bloom mismatch: dataset declares "
+                f"{declared_bf}, publish got {list(file_bloom_columns)}"
+            )
+        elif evolve_partitions:
+            file_bloom_columns = inherited_bf
+        if file_bloom_bits is None:
+            file_bloom_bits = prior.zone_maps.get("bloom_bits")
     if zone_map_columns is not None:
         bad = [c for c in zone_map_columns if c in partitions]
         if bad:
@@ -562,6 +600,41 @@ def publish_path(
         missing_zm = [c for c in zone_map_columns if c not in df.columns]
         if missing_zm:
             raise ValueError(f"zone_map_columns not in dataframe: {missing_zm}")
+    if file_bloom_columns:
+        bad = [c for c in file_bloom_columns if c in partitions]
+        if bad:
+            raise ValueError(
+                f"file_bloom_columns {bad} are partition columns — "
+                "partition pruning already covers them; file blooms are "
+                "for VALUE columns"
+            )
+        missing_bf = [c for c in file_bloom_columns if c not in df.columns]
+        if missing_bf:
+            raise ValueError(
+                f"file_bloom_columns not in dataframe: {missing_bf}"
+            )
+        dtypes_bf = dict(df.dtypes)
+        unportable = [
+            c
+            for c in file_bloom_columns
+            if dtypes_bf[c] not in ("string", "tinyint", "smallint", "int", "bigint")
+        ]
+        if unportable:
+            raise ValueError(
+                f"file_bloom_columns {unportable} are not string/integer "
+                "typed — the md5 fingerprint must hash the same canonical "
+                "string on the JVM (collection) and the driver (probe), "
+                "which only string and integer casts guarantee "
+                f"(got {[dtypes_bf[c] for c in unportable]})"
+            )
+        if zone_map_columns is None:
+            # the fingerprints live in the zone-map structure; a bloom-only
+            # declaration still runs the (rows-only) stats pass
+            zone_map_columns = []
+        file_bloom_bits = bloom.validate_bits(
+            file_bloom_bits if file_bloom_bits is not None
+            else bloom.DEFAULT_M_BITS
+        )
 
     if custom_types:
         # custom_publish overlays user-declared types (publish_parq.py:576-677)
@@ -828,10 +901,18 @@ def publish_path(
             )
     if zone_map_columns is not None and new:
         stats_map = _collect_file_zone_stats(
-            spark, path, new, merged, list(zone_map_columns)
+            spark, path, new, merged, list(zone_map_columns),
+            list(file_bloom_columns or []),
+            file_bloom_bits or bloom.DEFAULT_M_BITS,
         )
         zm = merged.zone_maps or {"columns": [], "files": {}}
         zm["columns"] = list(zone_map_columns)
+        if file_bloom_columns:
+            zm["bloom_columns"] = list(file_bloom_columns)
+            zm["bloom_bits"] = file_bloom_bits
+        else:
+            zm.pop("bloom_columns", None)
+            zm.pop("bloom_bits", None)
         zm.setdefault("files", {}).update(stats_map)
         # GC stat entries for files no snapshot references any more
         # (partition-scoped DML replaced them): bounds sidecar growth over
@@ -849,6 +930,8 @@ def _collect_file_zone_stats(
     new_files: List[str],
     meta: "metadata.DatasetMetadata",
     cols: List[str],
+    bloom_cols: List[str] = (),
+    bloom_bits: int = bloom.DEFAULT_M_BITS,
 ) -> Dict[str, dict]:
     """Per-file row count + per-column [min, max, null_count] for the
     files THIS publish wrote — ONE distributed aggregate grouped by the
@@ -872,6 +955,14 @@ def _collect_file_zone_stats(
         aggs.append(
             F.count(F.when(F.col(c).isNull(), 1)).alias(f"__zm_nulls__{c}")
         )
+    for c in bloom_cols:
+        # K bounded collect_set probes per column: each set holds DISTINCT
+        # bit positions (<= bloom_bits entries however many rows or
+        # distinct values the file has — partial aggregation dedups
+        # map-side), so the per-file fingerprint state is O(m), not
+        # O(rows). NULL values hash to NULL and set no bits.
+        for i, pos_expr in enumerate(bloom.spark_position_exprs(c, bloom_bits)):
+            aggs.append(F.collect_set(F.expr(pos_expr)).alias(f"__bf_{i}__{c}"))
     rows = (
         scan.groupBy(F.col("_metadata.file_path").alias("__zm_file"))
         .agg(*aggs)
@@ -909,6 +1000,18 @@ def _collect_file_zone_stats(
                     int(r[f"__zm_nulls__{c}"]),
                 ]
                 for c in cols
+            }
+        if bloom_cols:
+            entry["bloom"] = {
+                c: bloom.pack(
+                    bloom_bits,
+                    (
+                        p
+                        for i in range(bloom.K_HASHES)
+                        for p in (r[f"__bf_{i}__{c}"] or [])
+                    ),
+                )
+                for c in bloom_cols
             }
         out[rel] = entry
     return out
@@ -1359,6 +1462,8 @@ def compact_dataset(
         zone_map_columns=(
             sidecar.zone_map_columns() if sidecar.zone_maps else None
         ),
+        file_bloom_columns=(sidecar.file_bloom_columns() or None),
+        file_bloom_bits=(sidecar.zone_maps or {}).get("bloom_bits"),
     )
     carried_derived = dict(sidecar.derived_partitions or {})
     if sort_by or zorder_by or carried_derived:
@@ -1457,6 +1562,15 @@ def repartition_dataset(
             if sidecar.zone_maps
             else None
         ),
+        file_bloom_columns=(
+            [
+                c
+                for c in sidecar.file_bloom_columns()
+                if c not in new_partitions
+            ]
+            or None
+        ),
+        file_bloom_bits=(sidecar.zone_maps or {}).get("bloom_bits"),
     )
     old = path.rstrip("/") + ".prerepartition"
     fs.delete(spark, old)
@@ -2468,6 +2582,17 @@ def rename_column(spark: SparkSession, path: str, old: str, new: str) -> None:
                 st = entry.get("stats")
                 if st and old in st:
                     st[new] = st.pop(old)
+        if meta.zone_maps and old in meta.zone_maps.get("bloom_columns", []):
+            # the file-bloom declaration follows the rename for the same
+            # reason; fingerprints describe the same physical values
+            meta.zone_maps["bloom_columns"] = [
+                new if c == old else c
+                for c in meta.zone_maps["bloom_columns"]
+            ]
+            for entry in meta.zone_maps.get("files", {}).values():
+                bf = entry.get("bloom")
+                if bf and old in bf:
+                    bf[new] = bf.pop(old)
 
     _guarded_sidecar_write(spark, path, mutate)
 
@@ -2527,10 +2652,19 @@ def drop_column(spark: SparkSession, path: str, name: str) -> None:
             meta.zone_maps["columns"] = [
                 c for c in meta.zone_maps.get("columns", []) if c != name
             ]
+            if meta.zone_maps.get("bloom_columns"):
+                meta.zone_maps["bloom_columns"] = [
+                    c
+                    for c in meta.zone_maps["bloom_columns"]
+                    if c != name
+                ]
             for entry in meta.zone_maps.get("files", {}).values():
                 st = entry.get("stats")
                 if st:
                     st.pop(name, None)
+                bf = entry.get("bloom")
+                if bf:
+                    bf.pop(name, None)
 
     _guarded_sidecar_write(spark, path, mutate)
 
