@@ -84,6 +84,14 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # Round 9 additions (filled as they land; keep <= 4 so the window
     # still reaches the least-recently-verified tail):
+    "bloom_point_fetch",  # new: per-file bloom fingerprints — driver-side
+                          # point-lookup file skipping on scattered keys
+    "funnel_events",      # new: multi-stage ordered funnel — chained
+                          # running-min windows, one shuffle, no self-join
+    "hybrid_search_rrf",  # new: reciprocal-rank fusion of BM25 + cosine
+                          # rankings (hybrid lexical+vector retrieval)
+    "rollup_revenue",     # new: multidimensional ROLLUP aggregate with
+                          # grouping_id, one Expand pass
 )
 
 

@@ -13,7 +13,7 @@ hyperplanes derived from xxhash64 so no RNG state needs shipping.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -1334,4 +1334,64 @@ def decontaminate_semantic(
         F.broadcast(dirty),
         F.col(id_col) == F.col("__did"),
         "left_anti",
+    )
+
+
+def rrf_fuse(
+    rankings: List[Tuple[DataFrame, str]],
+    id_col: str,
+    k: int = 60,
+    top_k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Buettcher) of N ranked
+    retrieval lists: ``rrf(d) = Σ_lists 1 / (k + rank_list(d))``, the
+    standard scorer for hybrid lexical+vector search (a BM25 list fused
+    with a cosine-ANN list beats either alone without score calibration,
+    since only RANKS enter the sum).
+
+    Each ``(df, score_col)`` is an ALREADY-TRUNCATED top-N list (the
+    output shape of ``bm25_scores`` / ``*_cosine_topk``): ranks come from
+    one row_number over (score DESC, id ASC) per list — a single-partition
+    window that is fine precisely because the inputs are top-N lists
+    (bounded by construction), never corpora; the corpus-sized work
+    already happened inside each ranker. Contributions are cast to
+    DECIMAL(28,12) before the fold so the per-id sum is order-independent
+    and hash-stable cross-engine. Ids missing from a list contribute 0
+    (the union shape — no outer join needed).
+
+    Returns ``(id_col, n_lists, rrf_score)``, top ``top_k`` by
+    (rrf_score DESC, id ASC).
+
+    Reference analog: none (extension per SURVEY §7.4).
+    """
+    from pyspark.sql.window import Window
+
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    ranked = []
+    for df, score_col in rankings:
+        win = Window.orderBy(F.desc(score_col), F.asc(id_col))
+        ranked.append(
+            df.select(
+                F.col(id_col).alias("__id"),
+                (
+                    F.lit(1.0)
+                    / (F.lit(k) + F.row_number().over(win))
+                )
+                .cast("decimal(28,12)")
+                .alias("__contrib"),
+            )
+        )
+    allr = ranked[0]
+    for r in ranked[1:]:
+        allr = allr.unionByName(r)
+    return (
+        allr.groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lists"),
+            F.sum("__contrib").cast("double").alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("__id"))
+        .limit(top_k)
+        .select(F.col("__id").alias(id_col), "n_lists", "rrf_score")
     )

@@ -216,3 +216,71 @@ def funnel_next_within(
             ),
         )
     )
+
+
+def funnel_stages(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    step_col: str,
+    stages: Sequence[str],
+) -> DataFrame:
+    """Multi-stage ordered funnel: how many entities performed stage 1,
+    then stage 2 STRICTLY after their first qualifying stage 1, then stage
+    3 strictly after that, ... (the Amplitude/GA conversion-funnel shape;
+    ``funnel_next_within`` answers the 2-step/horizon variant).
+
+    Single-exchange plan: one shuffle on ``key`` + one sort on ``ts``,
+    then a chain of running-min window phases over the SAME window spec
+    (Spark stacks them on one Sort — no re-shuffle): ``m_i`` = earliest
+    timestamp of a ``stages[i]`` event preceded by a qualifying
+    ``m_{i-1}``. The strict ``<`` on timestamps makes the result
+    independent of tie order among equal timestamps, so no tiebreak
+    column is needed and a SQL oracle can mirror the windows verbatim.
+    A per-key aggregate then one global fold (both map-side-combined)
+    produce one row per stage: ``(stage_idx, stage, users)``.
+
+    Reference analog: none (extension per SURVEY §7.4).
+    """
+    if not stages:
+        raise ValueError("funnel_stages needs at least one stage")
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = df.select(key, ts_col, step_col)
+    for i, stage in enumerate(stages):
+        cond = F.col(step_col) == stage
+        if i > 0:
+            cond = cond & (F.col(f"__m{i - 1}") < F.col(ts_col))
+        out = out.withColumn(
+            f"__m{i}", F.min(F.when(cond, F.col(ts_col))).over(w)
+        )
+    per_key = out.groupBy(key).agg(
+        *[
+            F.max(F.col(f"__m{i}").isNotNull()).alias(f"__r{i}")
+            for i in range(len(stages))
+        ]
+    )
+    totals = per_key.agg(
+        *[
+            F.sum(F.col(f"__r{i}").cast("bigint")).alias(f"__n{i}")
+            for i in range(len(stages))
+        ]
+    )
+    melted = totals.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i + 1).alias("stage_idx"),
+                        F.lit(s).alias("stage"),
+                        F.coalesce(F.col(f"__n{i}"), F.lit(0)).alias("users"),
+                    )
+                    for i, s in enumerate(stages)
+                ]
+            )
+        ).alias("__f")
+    )
+    return melted.select("__f.stage_idx", "__f.stage", "__f.users")

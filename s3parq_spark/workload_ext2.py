@@ -3411,3 +3411,234 @@ ORACLE_EXT2["image_neardup"] = """
            CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
     FROM cand WHERE bit_count(xor(ha, hb)) <= 3
 """
+
+
+# ---------------------------------------------------------------------------
+# round 9: per-file bloom fingerprints
+# ---------------------------------------------------------------------------
+
+
+def q_bloom_point_fetch(spark, sf_dir):
+    """Per-file bloom fingerprints (publish ``file_bloom_columns`` + fetch
+    equality probes — see ``bloom.py``): the point-lookup half of the
+    data-skipping plane. The fixture is INGEST-ORDERED lineitem (not
+    sorted by key), so min/max zone maps could never prune a key probe;
+    the fingerprints skip dead files at the DRIVER (asserted below — no
+    footer reads, no file-index entries), and the exact IN-predicate
+    re-applies row-level on the survivors. The probe list mixes two
+    present keys with an absent one (the absent key must prune everywhere
+    and add nothing). Oracle = the same IN predicate in SQL."""
+    from . import metadata
+    from .fetch import _prune_bloom_files, fetch_path
+    from .workload import _cached_dataset
+
+    path = _cached_dataset(
+        spark, sf_dir, "li_bloom",
+        lambda s, d: _table(s, d, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice",
+            "l_linestatus",
+        ),
+        ["l_linestatus"],
+        max_records_per_file=2000,
+        file_bloom_columns=["l_orderkey"],
+    )
+    flt = [
+        {"partition": "l_orderkey", "comparison": "==",
+         "values": [1, 7, 999983]},
+    ]
+    meta = metadata.read_sidecar(spark, path)
+    files = meta.manifest_files()
+    kept = _prune_bloom_files(files, meta, flt)
+    if len(files) >= 6:
+        assert len(kept) < len(files), (
+            "bloom fingerprints skipped nothing on a point probe over "
+            "ingest-ordered files"
+        )
+    return fetch_path(spark, path, filters=flt).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+
+
+QUERIES_EXT2["bloom_point_fetch"] = q_bloom_point_fetch
+ORACLE_EXT2["bloom_point_fetch"] = """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey IN (1, 7, 999983)
+"""
+
+
+def q_funnel_events(spark, sf_dir):
+    """Multi-stage ordered funnel (operators/timeseries.py funnel_stages):
+    users who viewed, then clicked STRICTLY after their first qualifying
+    view, then purchased strictly after that. One shuffle on user_id +
+    one sort, then chained running-min window phases over the same spec —
+    no self-joins (the classic funnel-as-join is quadratic per user).
+    Strict ``<`` on timestamps makes the counts independent of tie order,
+    so the oracle mirrors the window chain verbatim."""
+    from .operators import funnel_stages
+
+    ev = _table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    return funnel_stages(
+        ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+    )
+
+
+QUERIES_EXT2["funnel_events"] = q_funnel_events
+ORACLE_EXT2["funnel_events"] = """
+    WITH s0 AS (
+      SELECT user_id, ts, event_type,
+             min(CASE WHEN event_type = 'view' THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m0
+      FROM events
+    ), s1 AS (
+      SELECT *, min(CASE WHEN event_type = 'click' AND m0 < ts
+                         THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m1
+      FROM s0
+    ), s2 AS (
+      SELECT *, min(CASE WHEN event_type = 'purchase' AND m1 < ts
+                         THEN ts END) OVER (
+               PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+      FROM s1
+    ), u AS (
+      SELECT user_id,
+             max(m0 IS NOT NULL) AS r0,
+             max(m1 IS NOT NULL) AS r1,
+             max(m2 IS NOT NULL) AS r2
+      FROM s2 GROUP BY user_id
+    )
+    SELECT 1 AS stage_idx, 'view' AS stage,
+           CAST(SUM(CASE WHEN r0 THEN 1 ELSE 0 END) AS BIGINT) AS users
+    FROM u
+    UNION ALL
+    SELECT 2, 'click',
+           CAST(SUM(CASE WHEN r1 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+    UNION ALL
+    SELECT 3, 'purchase',
+           CAST(SUM(CASE WHEN r2 THEN 1 ELSE 0 END) AS BIGINT) FROM u
+"""
+
+
+def q_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval (operators/similarity.py rrf_fuse): a lexical
+    BM25 top-20 for {hash, join, vector} over documents.text fused with a
+    vector cosine top-20 around the vec_id=0 embedding (doc_id and vec_id
+    share the id space), by reciprocal-rank fusion 1/(60+rank). Only RANKS
+    enter the fused score, so the two rankers need no score calibration —
+    the standard production shape for lexical+semantic search. The
+    corpus-scale work happens inside each ranker (BM25: key-partitioned
+    aggregates + TakeOrderedAndProject; cosine: one broadcast scan); the
+    fusion itself runs over two 20-row lists. Decimal-cast contributions
+    make the per-doc sum order-independent and hash-stable."""
+    from .operators import bm25_scores, brute_force_cosine_topk, rrf_fuse
+
+    docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = _table(spark, sf_dir, "embeddings")
+    bm = bm25_scores(docs, "doc_id", "text", ["hash", "join", "vector"],
+                     top_k=20)
+    cos = brute_force_cosine_topk(
+        emb, "vec_id", "embedding", emb.filter(F.col("vec_id") == 0), k=20
+    ).withColumnRenamed("vec_id", "doc_id")
+    fused = rrf_fuse([(bm, "score"), (cos, "cosine")], "doc_id",
+                     k=60, top_k=10)
+    return fused.select(
+        "doc_id", "n_lists", F.round("rrf_score", 6).alias("rrf_score")
+    )
+
+
+QUERIES_EXT2["hybrid_search_rrf"] = q_hybrid_search_rrf
+ORACLE_EXT2["hybrid_search_rrf"] = """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+    ), bm AS (
+      SELECT doc AS doc_id, CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY doc
+      ORDER BY score DESC, doc ASC
+      LIMIT 20
+    ), cos AS (
+      SELECT vec_id AS doc_id,
+             list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+               AS cosine
+      FROM embeddings,
+           (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+            WHERE vec_id = 0) q
+      WHERE vec_id <> 0
+      ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), q.qv)
+               DESC, vec_id ASC
+      LIMIT 20
+    ), contrib AS (
+      SELECT doc_id,
+             CAST(1.0 / (60 + row_number() OVER (
+               ORDER BY score DESC, doc_id ASC)) AS DECIMAL(28,12)) AS c
+      FROM bm
+      UNION ALL
+      SELECT doc_id,
+             CAST(1.0 / (60 + row_number() OVER (
+               ORDER BY cosine DESC, doc_id ASC)) AS DECIMAL(28,12)) AS c
+      FROM cos
+    )
+    SELECT doc_id, COUNT(*) AS n_lists,
+           round(CAST(SUM(c) AS DOUBLE), 6) AS rrf_score
+    FROM contrib
+    GROUP BY doc_id
+    ORDER BY CAST(SUM(c) AS DOUBLE) DESC, doc_id ASC
+    LIMIT 10
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """Multidimensional ROLLUP aggregate: revenue and row counts by
+    (l_returnflag, l_linestatus), per-flag subtotals, and the grand total
+    in ONE pass — Spark's ROLLUP lowers to a single Expand + hash
+    aggregate (map-side combined), never N scans. grouping_id
+    disambiguates real NULL keys from subtotal rows; revenue folds in
+    exact DECIMAL."""
+    li = _table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .alias("revenue"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "n_rows", "revenue")
+    )
+
+
+QUERIES_EXT2["rollup_revenue"] = q_rollup_revenue
+ORACLE_EXT2["rollup_revenue"] = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus)
+                AS INT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS revenue
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
