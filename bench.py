@@ -262,6 +262,34 @@ def main() -> None:
     finally:
         fetch_mod._prune_zone_files = _orig_pzf
 
+    # ---- file-bloom probe (r9): the point-lookup half of data skipping.
+    # The bloom fixture at sf0.1 is ingest-ordered (NOT key-sorted)
+    # lineitem in ~300 2k-row files — the layout where min/max zone maps
+    # can never prune an equality probe. Same fetch with the driver-side
+    # fingerprint skip on vs bypassed.
+    from s3parq_spark.workload_ext2 import q_bloom_point_fetch
+
+    q_bloom_point_fetch(spark, sf_dir)  # build/reuse the fixture
+    from s3parq_spark.workload import _ds_path as _dsp0
+
+    bf_path = _dsp0(sf_dir, "li_bloom")
+    bf_flt = [
+        {"partition": "l_orderkey", "comparison": "==",
+         "values": [1, 7, 999983]},
+    ]
+    fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()  # warm
+    t0 = time.time()
+    fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()
+    probes["bloom_skip"] = round(time.time() - t0, 3)
+    _orig_pbf = fetch_mod._prune_bloom_files
+    fetch_mod._prune_bloom_files = lambda files, meta, zf: files
+    try:
+        t0 = time.time()
+        fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()
+        probes["bloom_noskip"] = round(time.time() - t0, 3)
+    finally:
+        fetch_mod._prune_bloom_files = _orig_pbf
+
     # ---- merge-on-read probe (r8): the read cost of pending tombstones
     # vs the same dataset materialized. The era-union fetch carries a
     # NOT(pred) row filter on the pre-tombstone slice; compaction folds

@@ -105,18 +105,32 @@ def pack(m_bits: int, all_positions: Iterable[int]) -> List:
     return [m_bits, format(bits, f"0{(m_bits + 3) // 4}x")]
 
 
-def may_contain(fingerprint, value) -> bool:
-    """False only when the file PROVABLY lacks ``value`` (every kept file
-    still gets the exact predicate row-level and in parquet pushdown).
-    Unreadable fingerprints keep the file."""
+def parse(fingerprint):
+    """``[m_bits, hex]`` → ``(m_bits, bits_int)``, or ``None`` for an
+    unreadable fingerprint (callers must then KEEP the file). Parsing is
+    the dominant prune cost (one big-int conversion of m/4 hex chars), so
+    prune loops call this once per file and probe the int many times."""
     try:
         m_bits, hexstr = fingerprint
         m_bits = int(m_bits)
         bits = int(hexstr, 16)
         if m_bits < MIN_M_BITS:
-            return True
+            return None
+        return m_bits, bits
     except (TypeError, ValueError):
+        return None
+
+
+def bits_contain(bits: int, probe_positions: List[int]) -> bool:
+    return all((bits >> p) & 1 for p in probe_positions)
+
+
+def may_contain(fingerprint, value) -> bool:
+    """False only when the file PROVABLY lacks ``value`` (every kept file
+    still gets the exact predicate row-level and in parquet pushdown).
+    Unreadable fingerprints keep the file."""
+    parsed = parse(fingerprint)
+    if parsed is None:
         return True  # unreadable fingerprint: conservative keep
-    return all(
-        (bits >> p) & 1 for p in positions(canonical_str(value), m_bits)
-    )
+    m_bits, bits = parsed
+    return bits_contain(bits, positions(canonical_str(value), m_bits))

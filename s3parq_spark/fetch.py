@@ -1068,7 +1068,6 @@ def _prune_bloom_files(
     bloom_cols = set(meta.file_bloom_columns())
     if not bloom_cols:
         return files
-    from .bloom import may_contain
     from .filters import _compatible, _typed_value, first_filter_per_partition
 
     active = []
@@ -1092,6 +1091,18 @@ def _prune_bloom_files(
         active.append((col, [v for v in vals if _compatible(vocab, v)]))
     if not active:
         return files
+    from .bloom import bits_contain, canonical_str, parse, positions
+
+    # probe positions depend only on (value, width): cache per width so a
+    # million-file prune hashes each probe value once, not once per file
+    pos_cache: dict = {}
+
+    def _positions(v, m_bits):
+        key = (m_bits, v)
+        if key not in pos_cache:
+            pos_cache[key] = positions(canonical_str(v), m_bits)
+        return pos_cache[key]
+
     file_meta = meta.zone_maps.get("files", {})
     out = []
     for rel in files:
@@ -1101,7 +1112,13 @@ def _prune_bloom_files(
             fp = blooms.get(col)
             if fp is None:
                 continue  # pre-declaration file, no fingerprint: keep
-            if not any(may_contain(fp, v) for v in vals):
+            parsed = parse(fp)  # ONE big-int parse per (file, column)
+            if parsed is None:
+                continue  # unreadable fingerprint: conservative keep
+            m_bits, bits = parsed
+            if not any(
+                bits_contain(bits, _positions(v, m_bits)) for v in vals
+            ):
                 keep = False
                 break
         if keep:
