@@ -319,3 +319,77 @@ def test_zone_skip_equivalence(spark, zoned_weird, cmp, values):
     with_skip = run(True)
     without = run(False)
     assert with_skip == without, (flt, with_skip, without)
+
+
+# ---------------------------------------------------------------------------
+# bloom-fingerprint skipping ≡ no skipping (r9)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bloomed_weird(spark, tmp_path_factory):
+    """Integer key with NULLs, negatives, duplicates and collision-prone
+    density across small ingest-ordered files, plus a string column with
+    empty/unicode values — the adversarial surface for per-file
+    fingerprint membership."""
+    path = str(tmp_path_factory.mktemp("bloom_eq") / "ds")
+    ks = [0, 1, -1, 7, 7, 42, 999, None, 12345, -12345, 3, None, 8, 64, 2, 5]
+    ss = ["", "a", "Ü ✓", "dup", "dup", None, "x", "y", "z", "0", "-1",
+          "long " * 20, None, "b", "c", "d"]
+    rows = [(i, k, s) for i, (k, s) in enumerate(zip(ks, ss))]
+    df = spark.createDataFrame(rows, "id long, k long, s string")
+    publish_path(
+        spark, path, df, [], max_records_per_file=3, rebalance=False,
+        file_bloom_columns=["k", "s"], file_bloom_bits=256,
+    )
+    return path
+
+
+_bloom_values = st.lists(
+    st.one_of(
+        st.sampled_from([0, 1, -1, 7, 42, 999, 12345, -12345, 3, 8, 64]),
+        st.integers(-10**6, 10**6),
+        st.just(None),
+        st.booleans(),
+        st.sampled_from(["7", "junk", ""]),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(
+    max_examples=40, deadline=None,
+    suppress_health_check=[HealthCheck.too_slow,
+                           HealthCheck.function_scoped_fixture],
+)
+@given(col=st.sampled_from(["k", "s"]), cmp=st.sampled_from(["==", "!="]),
+       values=st.data())
+def test_bloom_skip_equivalence(spark, bloomed_weird, col, cmp, values):
+    vals = values.draw(_bloom_values, label="values")
+    if col == "s":
+        vals = [None if v is None else str(v) for v in vals]
+    flt = [{"partition": col, "comparison": cmp, "values": vals}]
+
+    def run(skip_enabled):
+        orig = fetch_mod._prune_bloom_files
+        if not skip_enabled:
+            fetch_mod._prune_bloom_files = lambda files, meta, zf: files
+        try:
+            return (
+                "rows",
+                sorted(
+                    r["id"]
+                    for r in fetch_mod.fetch_path(
+                        spark, bloomed_weird, filters=flt
+                    ).collect()
+                ),
+            )
+        except (ValueError, TypeError) as exc:
+            return ("err", type(exc).__name__, str(exc))
+        finally:
+            fetch_mod._prune_bloom_files = orig
+
+    with_skip = run(True)
+    without = run(False)
+    assert with_skip == without, (flt, with_skip, without)
