@@ -368,6 +368,29 @@ CASES = [
         "the degree table is joined once onto the edge list, never per "
         "round; no CartesianProduct, no driver collect of ranks.",
     ),
+    (
+        "bloom_point_fetch",
+        "Bloom point fetch: the scan's file list is ALREADY driver-pruned "
+        "by the per-file fingerprints (the key probe appears only as a "
+        "PushedFilter/row filter - min/max could never prune this "
+        "ingest-ordered layout); skipped files appear nowhere in the plan.",
+    ),
+    (
+        "funnel_events",
+        "Ordered funnel: ONE hashpartitioning exchange on user_id feeds "
+        "every chained running-min Window phase and the per-user "
+        "HashAggregate (stacked on a single Sort); the global stage fold "
+        "is a 1-row side show - no self-joins, no second shuffle of the "
+        "event log.",
+    ),
+    (
+        "hybrid_search_rrf",
+        "Hybrid RRF: corpus-scale work is inside the rankers (BM25: "
+        "term-keyed partial aggregates + TakeOrderedAndProject; cosine: "
+        "one scan with the 1-row query broadcast); the fusion windows run "
+        "over two 20-row lists - the single-partition exchange is bounded "
+        "by construction, never corpus-sized.",
+    ),
 ]
 
 
