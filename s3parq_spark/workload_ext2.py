@@ -3439,7 +3439,7 @@ def q_bloom_point_fetch(spark, sf_dir):
             "l_linestatus",
         ),
         ["l_linestatus"],
-        max_records_per_file=2000,
+        max_records_per_file=400,
         file_bloom_columns=["l_orderkey"],
     )
     flt = [
