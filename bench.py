@@ -384,18 +384,20 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r8: totals flat vs r7 (12.54 vs 12.47 s — the "
-                         "round's features are off the headline paths); "
-                         "new zonemap probe measures the data-skipping "
-                         "plane at ~1.5k sorted 400-row files: the same "
-                         "value-column range fetch runs 0.11 s with "
-                         "driver-side file skipping vs 1.60 s with the "
-                         "skip bypassed (~15x — the win before any "
-                         "footer is read); probes_sf1 unchanged, still "
-                         "sublinear across the top-5 shapes; mor probe "
-                         "prices pending-tombstone reads vs the same "
-                         "dataset compacted (the pay-at-read half of "
-                         "O(1) merge-on-read deletes)",
+                "notes": "r9: totals at or below r8 on a quiet machine "
+                         "(14.42 s local rerun vs 14.65 r8; the round's "
+                         "features are off the headline paths). New "
+                         "bloom probe measures the POINT-LOOKUP half of "
+                         "data skipping at ~1.5k ingest-ordered 400-row "
+                         "files — a layout where min/max zone maps keep "
+                         "everything: the 3-key IN fetch keeps 14 files "
+                         "via per-file fingerprints and runs ~0.30 s vs "
+                         "~3.44 s with the driver skip bypassed (~11x "
+                         "before any footer is read); zonemap probe "
+                         "(ranges on sorted files) and mor probe "
+                         "(pending-tombstone read vs compacted) "
+                         "unchanged; probes_sf1 still sublinear across "
+                         "the top-5 shapes",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time
