@@ -1088,7 +1088,26 @@ def _prune_bloom_files(
         # truth table) — they add no reachable files, so probe only the
         # compatible ones; an all-incompatible list provably matches no
         # row of any fingerprinted file
-        active.append((col, [v for v in vals if _compatible(vocab, v)]))
+        probe_vals = []
+        for v in vals:
+            if not _compatible(vocab, v):
+                continue
+            if vocab == "integer" and not isinstance(v, int):
+                # Python's numeric tower: 7.0 / Decimal('7.0') DO equal
+                # bigint 7 row-level, but collection hashed Spark's
+                # cast(col as string) = '7' — hashing '7.0' would wrongly
+                # prune every file holding the key. Canonicalize integral
+                # numerics to the int form; a NON-integral numeric (7.5,
+                # NaN, inf) equals no integer, so it adds no reachable
+                # files either.
+                try:
+                    if v != int(v):
+                        continue
+                    v = int(v)
+                except (ValueError, OverflowError):
+                    continue
+            probe_vals.append(v)
+        active.append((col, probe_vals))
     if not active:
         return files
     from .bloom import bits_contain, canonical_str, parse, positions

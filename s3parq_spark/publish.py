@@ -77,6 +77,30 @@ def check_empty_dataframe(df: DataFrame) -> None:
         raise ValueError("Cannot publish an empty dataframe")
 
 
+def _inherit_declaration(
+    declared: List[str],
+    passed: Optional[List[str]],
+    partitions: List[str],
+    evolve: bool,
+    kind: str,
+) -> List[str]:
+    """Resolve a per-column stats declaration (zone maps / file blooms)
+    for an append: None inherits the dataset's declared list; an explicit
+    list must equal the declared (or evolve-trimmed) one; an evolving
+    append drops columns the new spec promotes to partitions."""
+    inherited = (
+        [c for c in declared if c not in partitions] if evolve else declared
+    )
+    if passed is None:
+        return inherited
+    if list(passed) not in (declared, inherited):
+        raise ValueError(
+            f"append {kind} mismatch: dataset declares {declared}, "
+            f"publish got {list(passed)}"
+        )
+    return inherited if evolve else list(passed)
+
+
 def check_partitions(partitions: List[str], df: DataFrame) -> None:
     """``check_partitions`` (``publish_parq.py:66-91``): partitions must be
     dataframe columns and not hive reserved words."""
@@ -548,46 +572,23 @@ def publish_path(
     check_partitions(partitions, df)
 
     if mode == "append" and prior is not None and prior.zone_maps:
-        declared = prior.zone_map_columns()
-        inherited = declared
-        if evolve_partitions:
-            # an evolving append may promote a declared zone-map column to
-            # a partition of the NEW spec; carry the declaration through
-            # minus the promoted columns (mirroring repartition_dataset's
-            # layout migration above) — otherwise the append is
-            # unrecoverable: None inherits the full list and fails the
-            # partition-column check, while any trimmed list fails the
-            # mismatch check. Old files keep their recorded stats; the
-            # promoted column is partition-pruned in the new spec from
-            # here on.
-            inherited = [c for c in declared if c not in partitions]
-        if zone_map_columns is None:
-            # the declaration is a dataset-level contract: appends keep
-            # collecting stats for the declared columns automatically
-            zone_map_columns = inherited
-        elif list(zone_map_columns) not in (declared, inherited):
-            raise ValueError(
-                f"append zone-map mismatch: dataset declares {declared}, "
-                f"publish got {list(zone_map_columns)}"
-            )
-        elif evolve_partitions:
-            zone_map_columns = inherited
-        # the bloom declaration is the same dataset-level contract
-        declared_bf = prior.file_bloom_columns()
-        inherited_bf = (
-            [c for c in declared_bf if c not in partitions]
-            if evolve_partitions
-            else declared_bf
+        # both stats declarations are dataset-level contracts: appends keep
+        # collecting for the declared columns automatically (None), an
+        # explicit conflicting list is rejected, and an EVOLVING append
+        # trims columns the new spec promotes to partitions (mirroring
+        # repartition_dataset's layout migration) — otherwise the append
+        # would be unrecoverable: None inherits the full list and fails
+        # the partition-column check, while any trimmed list fails the
+        # mismatch check. Old files keep their recorded stats; promoted
+        # columns are partition-pruned under the new spec from here on.
+        zone_map_columns = _inherit_declaration(
+            prior.zone_map_columns(), zone_map_columns, partitions,
+            evolve_partitions, "zone-map",
         )
-        if file_bloom_columns is None:
-            file_bloom_columns = inherited_bf
-        elif list(file_bloom_columns) not in (declared_bf, inherited_bf):
-            raise ValueError(
-                f"append file-bloom mismatch: dataset declares "
-                f"{declared_bf}, publish got {list(file_bloom_columns)}"
-            )
-        elif evolve_partitions:
-            file_bloom_columns = inherited_bf
+        file_bloom_columns = _inherit_declaration(
+            prior.file_bloom_columns(), file_bloom_columns, partitions,
+            evolve_partitions, "file-bloom",
+        )
         if file_bloom_bits is None:
             file_bloom_bits = prior.zone_maps.get("bloom_bits")
     if zone_map_columns is not None:

@@ -3476,8 +3476,9 @@ def q_funnel_events(spark, sf_dir):
     Strict ``<`` on timestamps makes the counts independent of tie order,
     so the oracle mirrors the window chain verbatim."""
     from .operators import funnel_stages
+    from .workload import _events
 
-    ev = _table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_type")
     return funnel_stages(
         ev, "user_id", "ts", "event_type", ["view", "click", "purchase"]
     )

@@ -156,6 +156,33 @@ def test_superset_property_random_probes(spark, bloomed, li):
         assert got == exp
 
 
+def test_numeric_tower_probes_never_wrong_skip(spark, li, tmp_dataset_dir):
+    """7.0 and Decimal('7.0') DO equal bigint 7 row-level (Python's
+    numeric tower, the reference's comparison semantics), but collection
+    hashed Spark's cast-to-string '7' — probing '7.0' would prune every
+    file holding the key. Integral numerics must canonicalize to the int
+    form; non-integral/NaN numerics equal no integer and may prune
+    everything."""
+    import decimal
+
+    publish_path(spark, tmp_dataset_dir, li, [], max_records_per_file=400,
+                 file_bloom_columns=["l_orderkey"])
+    key = int(li.select("l_orderkey").first()[0])
+    exp = li.filter(F.col("l_orderkey") == key).count()
+    assert exp > 0
+    for probe in (float(key), decimal.Decimal(f"{key}.0"), True if key == 1
+                  else key):
+        flt = [{"partition": "l_orderkey", "comparison": "==",
+                "values": [probe]}]
+        got = fetch_path(spark, tmp_dataset_dir, filters=flt).count()
+        assert got == exp, (probe, got, exp)
+    # non-integral numerics match no integer row; NaN likewise
+    for probe in (key + 0.5, float("nan")):
+        flt = [{"partition": "l_orderkey", "comparison": "==",
+                "values": [probe]}]
+        assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == 0
+
+
 def test_append_inherits_and_mismatch_rejected(spark, li, tmp_dataset_dir):
     publish_path(spark, tmp_dataset_dir, li.limit(300), [],
                  file_bloom_columns=["l_orderkey"], file_bloom_bits=4096)

@@ -352,6 +352,9 @@ _bloom_values = st.lists(
         st.just(None),
         st.booleans(),
         st.sampled_from(["7", "junk", ""]),
+        # the numeric tower: integral floats/Decimals equal the int
+        # row-level but hash differently — the r9 wrong-skip regression
+        st.sampled_from([7.0, 42.0, 7.5, float("nan")]),
     ),
     min_size=1,
     max_size=3,
