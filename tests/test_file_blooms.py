@@ -294,3 +294,79 @@ def test_composes_with_zone_maps_on_same_column(spark, li, tmp_dataset_dir):
     flt = [{"partition": "l_orderkey", "comparison": "<", "values": [500]}]
     assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == \
         li.filter("l_orderkey < 500").count()
+
+
+def test_bloom_lifecycle_random_sequences(spark, tmp_path):
+    """Interaction property: random lifecycle sequences (append / compact /
+    rename / restore) on a fingerprinted dataset keep every point-probe
+    fetch equal to a driver-side model — the cross-feature failure mode
+    example tests miss. Each op re-checks three probes: a key present from
+    the start, a key added mid-sequence, and an absent key."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from s3parq_spark.fetch import fetch_path as _fp
+    from s3parq_spark.publish import (
+        compact_dataset, publish_path, rename_column, restore_dataset,
+    )
+
+    counter = [0]
+
+    @settings(
+        max_examples=5, deadline=None, derandomize=True,
+        suppress_health_check=[HealthCheck.too_slow,
+                               HealthCheck.function_scoped_fixture],
+    )
+    @given(ops=st.lists(
+        st.sampled_from(["append", "compact", "rename", "restore"]),
+        min_size=2, max_size=5,
+    ))
+    def run(ops):
+        counter[0] += 1
+        path = str(tmp_path / f"ds_{counter[0]}")
+        key_col = "k"
+        rows = [(i, i % 7) for i in range(40)]  # keys 0..6 present
+        df = spark.createDataFrame(rows, "id long, k long")
+        publish_path(spark, path, df, [], max_records_per_file=8,
+                     file_bloom_columns=["k"], file_bloom_bits=512)
+        model = {v for _, v in rows}
+        versions = [dict(rows)]  # model per version: id -> k
+        live = dict(rows)
+        next_id = 40
+        for op in ops:
+            if op == "append":
+                new = [(next_id + j, 100 + counter[0]) for j in range(5)]
+                next_id += 5
+                publish_path(
+                    spark, path,
+                    # appends carry the CURRENT logical schema (a renamed
+                    # key appends under its new name; the old physical
+                    # name is a tombstone)
+                    spark.createDataFrame(new, f"id long, {key_col} long"),
+                    [],
+                    max_records_per_file=8,
+                )
+                live.update(dict(new))
+                versions.append(dict(live))
+            elif op == "compact":
+                compact_dataset(spark, path, max_records_per_file=16)
+                versions = [dict(live)]
+            elif op == "rename":
+                new_name = f"{key_col}x"
+                rename_column(spark, path, key_col, new_name)
+                key_col = new_name
+            elif op == "restore":
+                if len(versions) > 1:
+                    restore_dataset(spark, path, version=1)
+                    live = dict(versions[0])
+                    versions = [dict(live)]
+            for probe in (3, 100 + counter[0], 10**9):
+                flt = [{"partition": key_col, "comparison": "==",
+                        "values": [probe]}]
+                got = sorted(
+                    r["id"] for r in _fp(spark, path, filters=flt).collect()
+                )
+                exp = sorted(i for i, k in live.items() if k == probe)
+                assert got == exp, (ops, op, probe, got, exp)
+
+    run()

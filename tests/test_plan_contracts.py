@@ -316,3 +316,40 @@ def test_mor_delete_union_keeps_per_slice_scan(spark, sf_dir):
     assert "o_totalprice" in plan and "Exchange" not in plan.split(
         "Union", 1
     )[1], "merge-on-read union must not introduce an exchange"
+
+
+def test_bloom_fetch_prunes_before_the_file_index(spark, sf_dir):
+    """The key probe must never be a partition predicate; the scan's file
+    index must already be fingerprint-pruned below the manifest; the
+    exact IN predicate rides as a pushed row filter into the survivors."""
+    from s3parq_spark import metadata
+    from s3parq_spark.workload import _ds_path
+
+    plan = _plan(spark, sf_dir, "bloom_point_fetch")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert "l_orderkey" not in (m.group(1) if m else "")
+    assert re.search(r"PushedFilters: \[[^\]]*In\(l_orderkey", plan)
+    n_index = len(QUERIES["bloom_point_fetch"](spark, sf_dir).inputFiles())
+    meta = metadata.read_sidecar(spark, _ds_path(sf_dir, "li_bloom"))
+    assert n_index < len(meta.manifest_files())
+
+
+def test_funnel_single_shuffle_of_the_event_log(spark, sf_dir):
+    """Every running-min window phase and the per-user aggregate ride ONE
+    hashpartitioning exchange on user_id; the global fold is a 1-row
+    SinglePartition side show; no joins anywhere."""
+    plan = _plan(spark, sf_dir, "funnel_events")
+    assert plan.count("hashpartitioning(user_id") <= 1
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 3
+
+
+def test_hybrid_rrf_rankers_bound_the_fusion(spark, sf_dir):
+    """Corpus-scale work stays inside the rankers: BM25 ends in a
+    TakeOrderedAndProject(limit=20) and the cosine side broadcasts its
+    1-row query; the fusion's single-partition windows sit above LIMITed
+    inputs only (bounded by construction)."""
+    plan = _plan(spark, sf_dir, "hybrid_search_rrf")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("row_number") == 2

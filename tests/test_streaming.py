@@ -349,3 +349,38 @@ def test_stream_publish_collects_zone_maps(spark, sf_dir, tmp_path):
         filters=[{"partition": "user_id", "comparison": "<", "values": [50]}],
     )
     assert got.count() == fetch_path(spark, path).filter("user_id < 50").count()
+
+
+def test_stream_publish_collects_file_blooms(spark, sf_dir, tmp_path):
+    """Streaming ingestion composes with the bloom plane exactly like the
+    zone plane: the first micro-batch declares file_bloom_columns, later
+    appends inherit (declaration + width), every committed file gets a
+    fingerprint, and an equality probe skips at the driver and stays
+    exact."""
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import _prune_bloom_files, fetch_path
+    from s3parq_spark.streaming.events import stream_publish
+
+    path = str(tmp_path / "stream_bf")
+    stream_publish(
+        spark, f"{sf_dir}/events.parquet", path, ["event_type"],
+        file_bloom_columns=["user_id"], file_bloom_bits=4096,
+    )
+    meta = metadata.read_sidecar(spark, path)
+    assert meta.file_bloom_columns() == ["user_id"]
+    assert meta.zone_maps["bloom_bits"] == 4096
+    files = meta.manifest_files()
+    assert all(
+        "user_id" in (meta.zone_maps["files"][f].get("bloom") or {})
+        for f in files
+    )
+    uid = int(fetch_path(spark, path).select("user_id").first()[0])
+    flt = [{"partition": "user_id", "comparison": "==", "values": [uid]}]
+    got = fetch_path(spark, path, filters=flt)
+    assert got.count() == \
+        fetch_path(spark, path).filter(f"user_id = {uid}").count() > 0
+    # an absent key prunes every fingerprinted file
+    absent = [{"partition": "user_id", "comparison": "==",
+               "values": [10**12]}]
+    assert _prune_bloom_files(files, meta, absent) == []
+    assert fetch_path(spark, path, filters=absent).count() == 0
