@@ -92,6 +92,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                           # rankings (hybrid lexical+vector retrieval)
     "rollup_revenue",     # new: multidimensional ROLLUP aggregate with
                           # grouping_id, one Expand pass
+    "mor_upsert_fetch",   # new: merge-on-read UPSERT — equality
+                          # key-deletes (Iceberg-v2 eq-delete files),
+                          # O(batch) commit, per-era anti-join read
 )
 
 

@@ -808,7 +808,9 @@ def fetch_changes(
             f"from_version {from_version} must precede to_version {to_version}"
         )
     in_range_tombs = [
-        v for v, _ in meta.tombstones() if from_version < v <= to_version
+        v
+        for v, _ in (*meta.tombstones(), *meta.eq_deletes())
+        if from_version < v <= to_version
     ]
     if in_range_tombs:
         # a merge-on-read DELETE inside the range removes old rows — a
@@ -853,6 +855,7 @@ def _tombstone_scan(
     renames are rejected while tombstones are pending)."""
     vers = meta.file_commit_versions()
     tombs = meta.tombstones()
+    eqs = meta.eq_deletes()
     orphans = [f for f in rel_files if f not in vers]
     if orphans:
         raise ValueError(
@@ -863,22 +866,68 @@ def _tombstone_scan(
         )
     groups: Dict[tuple, List[str]] = {}
     for f in rel_files:
-        key = tuple(p for (tv, p) in tombs if tv > vers[f])
+        key = (
+            tuple(p for (tv, p) in tombs if tv > vers[f]),
+            tuple(ev for (ev, _) in eqs if ev > vers[f]),
+        )
         groups.setdefault(key, []).append(f)
     if not groups:
         return _resolve_renames(
             spark.createDataFrame([], schema), meta
         )
+    eq_by_version = dict(eqs)
     slices = []
-    for preds, fl in sorted(groups.items()):
+    for (preds, eq_vers), fl in sorted(groups.items()):
         df = _resolve_renames(_scan_rel_files(spark, path, schema, fl), meta)
         for p in preds:
             df = df.filter(~F.coalesce(F.expr(p), F.lit(False)))
+        for ev in eq_vers:
+            df = _apply_eq_delete(spark, path, meta, df, eq_by_version[ev])
         slices.append(df)
     out = slices[0]
     for s in slices[1:]:
         out = out.unionByName(s)
     return out
+
+
+#: broadcast the eq-delete key side outright when its on-disk size is
+#: below this (a CDC batch's distinct keys — snappy parquet); larger key
+#: sets fall through to Catalyst/AQE's own strategy choice
+_EQ_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
+
+
+def _apply_eq_delete(
+    spark: SparkSession,
+    path: str,
+    meta: DatasetMetadata,
+    df: DataFrame,
+    eq: dict,
+) -> DataFrame:
+    """Apply one equality key-delete (``merge_upsert(mode=
+    "merge-on-read")``) to an era slice: LEFT ANTI join against the
+    stored key files on the upsert's key columns — rows whose key tuple
+    was upserted over are dead; NULL-keyed data rows never match an
+    equi-join and are KEPT (upsert batches reject NULL keys at write).
+    The key side is a bounded CDC batch: when its on-disk size is under
+    ``_EQ_DELETE_BROADCAST_BYTES`` it is broadcast outright (the file
+    sizes are already in hand — no job, no shuffle of the data side);
+    larger sets let Catalyst/AQE pick."""
+    import posixpath as _pp
+
+    key_cols = list(eq["keys"])
+    key_schema = T.StructType(
+        [f for f in _scan_schema(meta).fields if f.name in key_cols]
+    )
+    full = [_pp.join(path, f) for f in eq["files"]]
+    keys_df = spark.read.schema(key_schema).parquet(*full).select(*key_cols)
+    try:
+        small = sum(fs.file_size(spark, p) for p in full) <= \
+            _EQ_DELETE_BROADCAST_BYTES
+    except OSError:
+        small = False
+    if small:
+        keys_df = F.broadcast(keys_df)
+    return df.join(keys_df, key_cols, "left_anti")
 
 
 def _split_zone_filters(
@@ -1667,6 +1716,9 @@ def dataset_refs(spark: SparkSession, path: str) -> DataFrame:
       ``promote_snapshot``/``discard_snapshot``;
     - ``tombstone``: a pending merge-on-read DELETE commit (``detail``
       carries the predicate), cleared by ``compact_dataset``;
+    - ``eq_delete``: a pending merge-on-read UPSERT commit (``detail``
+      names the key columns and key-file count), likewise cleared by
+      ``compact_dataset``;
     - ``aggregate``: this dataset IS a continuous aggregate; ``version``
       is the last source version folded in and ``detail`` the source.
 
@@ -1684,6 +1736,15 @@ def dataset_refs(spark: SparkSession, path: str) -> DataFrame:
         rows.append(("staged", f"v{v}", int(v), None))
     for v, pred in meta.tombstones():
         rows.append(("tombstone", f"v{v}", int(v), pred))
+    for v, eq in meta.eq_deletes():
+        rows.append(
+            (
+                "eq_delete",
+                f"v{v}",
+                int(v),
+                f"keys={list(eq['keys'])} files={len(eq['files'])}",
+            )
+        )
     if meta.aggregate:
         rows.append(
             (

@@ -288,9 +288,28 @@ class DatasetMetadata:
             if s.get("delete_predicate") is not None
         ]
 
+    def eq_deletes(self) -> List[tuple]:
+        """Pending merge-on-read UPSERT key-deletes, oldest first:
+        ``[(version, {"keys": [...], "files": [...]}), ...]``. An entry
+        deletes every row of an OLDER file whose key tuple appears in the
+        stored key files (Iceberg-v2 equality deletes, restated for the
+        sidecar); the same snapshot's ``added`` files carry the new row
+        images. ``compact_dataset`` materializes and clears them."""
+        return [
+            (s["version"], s["eq_delete"])
+            for s in self.snapshots
+            if s.get("eq_delete") is not None
+        ]
+
     def has_tombstones(self) -> bool:
+        """Any pending merge-on-read state — predicate tombstones OR
+        equality key-deletes: both make untouched files carry dead rows,
+        so every refusal guard (_require_materialized, metadata-only
+        answers, CDC deltas, schema DDL) covers both."""
         return any(
-            s.get("delete_predicate") is not None for s in self.snapshots
+            s.get("delete_predicate") is not None
+            or s.get("eq_delete") is not None
+            for s in self.snapshots
         )
 
     def file_commit_versions(self) -> Dict[str, int]:
@@ -419,13 +438,23 @@ class DatasetMetadata:
         )
 
     def all_files(self) -> Optional[List[str]]:
-        """Every acknowledged file INCLUDING staged (audit) snapshots —
-        the view vacuum and storage-health must use: a staged snapshot's
-        files are real and acknowledged, just not readable through main
-        yet, and treating them as orphans would delete pending audits."""
+        """Every acknowledged file INCLUDING staged (audit) snapshots and
+        equality-delete KEY files — the view vacuum and storage-health
+        must use: a staged snapshot's files are real and acknowledged,
+        just not readable through main yet, and an eq-delete's key files
+        are live metadata the tombstone scan reads; treating either as
+        orphans would delete pending audits / resurrect upserted-over
+        rows."""
         if not self.snapshots:
             return None
-        return sorted({f for s in self.snapshots for f in s.get("added", [])})
+        return sorted(
+            {f for s in self.snapshots for f in s.get("added", [])}
+            | {
+                f
+                for s in self.snapshots
+                for f in (s.get("eq_delete") or {}).get("files", [])
+            }
+        )
 
     def staged_versions(self) -> List[int]:
         """Versions of pending staged (write-audit-publish) snapshots."""

@@ -450,6 +450,7 @@ def publish_path(
     file_bloom_columns: Optional[List[str]] = None,
     file_bloom_bits: Optional[int] = None,
     staged: bool = False,
+    _eq_delete: Optional[dict] = None,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -882,6 +883,12 @@ def publish_path(
             commit["spec"] = cur_sid
         if staged:
             commit["staged"] = True
+        if _eq_delete is not None:
+            # merge_upsert(mode="merge-on-read") stamps the equality
+            # key-delete onto the SAME snapshot that adds the new row
+            # images — one atomic commit: readers either see neither or
+            # both (internal: callers go through merge_upsert)
+            commit["eq_delete"] = dict(_eq_delete)
         snaps.append(commit)
     merged.snapshots = snaps
     if mode == "append" and existing is not None:
@@ -1154,6 +1161,7 @@ def merge_upsert(
     keys: List[str],
     seq_col: str,
     change_log: bool = False,
+    mode: str = "copy-on-write",
 ) -> List[str]:
     """MERGE INTO for published datasets: apply a CDC batch (updates +
     inserts) — per key, the row with the highest ``seq_col`` wins, updates
@@ -1180,21 +1188,49 @@ def merge_upsert(
     pairs for keys where the batch row won the seq tie-break (keys where
     the existing row won produce no change rows). Preimages assume the
     merge contract that keys are unique in the current table.
+
+    ``mode="merge-on-read"`` (Iceberg-v2 EQUALITY DELETES / Hudi MOR,
+    restated for the sidecar): instead of rewriting anything, the upsert
+    writes the batch's distinct key tuples as small parquet KEY FILES
+    under ``_eq_deletes/`` and commits ONE snapshot that both appends the
+    new row images and stamps ``eq_delete={keys, files}`` — O(batch)
+    storage work however many partitions the keys touch, the right
+    strategy for high-frequency CDC ingestion. Reads anti-join each
+    OLDER file's era against the key set (broadcast when the key files
+    are small — the sidecar already knows their sizes); later appends
+    are untouched per version ordering. Semantics divergence, explicit:
+    the batch REPLACES existing keys unconditionally (``seq_col``
+    resolves winners WITHIN the batch only — comparing against existing
+    rows would read the dataset, the cost this mode exists to avoid);
+    batch keys must be non-NULL (an equi-anti-join cannot delete a NULL
+    key). The same loud costs as merge-on-read DELETE apply: metadata
+    answers, CDC deltas, schema DDL and partition-scoped DML refuse
+    until ``compact_dataset`` materializes; expiry treats the commit as
+    a squash boundary; restore rolls it back whole (row images and key
+    files are one snapshot). ``change_log`` is copy-on-write-only (no
+    preimages without reading the old rows).
     """
     from .fetch import fetch_path
     from .operators.timeseries import latest_state
 
+    if mode not in ("copy-on-write", "merge-on-read"):
+        raise ValueError(f"unknown merge_upsert mode {mode!r}")
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"no dataset at {path}")
     _reject_multi_spec(meta, "merge_upsert")
+    if mode == "merge-on-read":
+        return _merge_upsert_mor(
+            spark, path, meta, updates, keys, seq_col, change_log
+        )
     _require_materialized(meta, path, "merge_upsert")
     _require_no_staged(meta, path, "merge_upsert")
     partitions = list(meta.partitions)
     if not partitions:
         raise ValueError(
             "merge_upsert requires a partitioned dataset (the partition "
-            "scope is what keeps the rewrite O(touched), not O(dataset))"
+            "scope is what keeps the rewrite O(touched), not O(dataset)); "
+            "mode='merge-on-read' handles unpartitioned datasets"
         )
     up = _to_spark_df(spark, updates)
     missing = [k for k in keys + [seq_col] if k not in up.columns]
@@ -1241,6 +1277,96 @@ def merge_upsert(
             _log_changes(spark, path, change_rows, head)
     # restore seq ordering column position, then swap the touched partitions
     return overwrite_partitions(spark, path, merged, partitions)
+
+
+def _merge_upsert_mor(
+    spark: SparkSession,
+    path: str,
+    meta: "metadata.DatasetMetadata",
+    updates,
+    keys: List[str],
+    seq_col: str,
+    change_log: bool,
+) -> List[str]:
+    """merge_upsert's merge-on-read strategy (see its docstring): ONE
+    commit = new row images appended + the batch's distinct key tuples
+    stamped as an equality delete over everything older."""
+    import uuid as _uuid
+
+    from .operators.timeseries import latest_state
+
+    if change_log:
+        raise ValueError(
+            "merge_upsert: change_log requires copy-on-write (preimages "
+            "need the old rows, which merge-on-read deliberately never "
+            "reads)"
+        )
+    if not keys:
+        raise ValueError("merge_upsert needs at least one key column")
+    if not meta.snapshots:
+        raise ValueError(
+            "merge_upsert(merge-on-read): no snapshot history at "
+            f"{path} — key-delete applicability needs per-file commit "
+            "versions (publish once to bootstrap, or use copy-on-write)"
+        )
+    up = _to_spark_df(spark, updates)
+    missing = [k for k in keys + [seq_col] if k not in up.columns]
+    if missing:
+        raise ValueError(f"updates missing merge columns {missing}")
+    # key columns take the DATASET's declared types: the key files are
+    # read back under the explicit scan schema, and an int32 file under
+    # a bigint schema is a scan error, not a cast
+    for k in keys:
+        vocab = meta.column_types.get(k)
+        if vocab is None:
+            raise ValueError(f"merge key {k!r} is not a dataset column")
+        up = up.withColumn(
+            k, F.col(k).cast(metadata.vocab_to_spark_type(vocab))
+        )
+    null_pred = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_pred = c if null_pred is None else (null_pred | c)
+    n_null = up.filter(null_pred).count()
+    if n_null:
+        raise ValueError(
+            f"merge_upsert(merge-on-read): {n_null} batch row(s) have "
+            "NULL merge keys — an equality delete cannot address them "
+            "(and the reference truth table matches NULL to nothing)"
+        )
+    payload = [c for c in up.columns if c not in keys and c != seq_col]
+    batch = (
+        latest_state(up.withColumn("__src", F.lit(1)), keys, seq_col,
+                     "__src", payload)
+        .drop("__src")
+        .select(*up.columns)
+    )
+    if batch.limit(1).count() == 0:
+        return []  # empty batch: no commit, no key files
+    key_dir_rel = f"_eq_deletes/{_uuid.uuid4().hex[:12]}"
+    key_dir = posixpath.join(path, key_dir_rel)
+    (
+        batch.select(*keys).distinct()
+        .write.mode("overwrite").option("compression", "snappy")
+        .parquet(key_dir)
+    )
+    key_files = [
+        posixpath.join(key_dir_rel, f)
+        for f in fs.list_files(spark, key_dir)
+    ]
+    # the append path re-derives hidden partition columns itself: pass
+    # only the BASE partitions (passing a derived name too would stamp it
+    # twice)
+    derived = set(meta.derived_partitions or {})
+    base_partitions = [p for p in meta.partitions if p not in derived]
+    return publish_path(
+        spark,
+        path,
+        batch.drop(*[c for c in batch.columns if c in derived]),
+        base_partitions,
+        mode="append",
+        _eq_delete={"keys": list(keys), "files": key_files},
+    )
 
 
 def apply_change_feed(
@@ -2219,13 +2345,18 @@ def expire_snapshots(
     runs: List[list] = []  # [spec_id, [snapshots...]] per contiguous run
     for s in squashed:
         sid = meta.snapshot_spec_id(s) if meta.partition_specs else None
-        if s.get("delete_predicate") is not None or s.get("staged"):
-            # a merge-on-read tombstone is a RUN BOUNDARY: squashing a
-            # data snapshot across it would raise its files' commit
-            # version past the tombstone and silently un-delete them —
-            # and the tombstone entry itself must survive verbatim. A
-            # STAGED snapshot likewise: merging it into a base would drop
-            # the flag — a silent promote of unaudited data
+        if (
+            s.get("delete_predicate") is not None
+            or s.get("eq_delete") is not None
+            or s.get("staged")
+        ):
+            # a merge-on-read tombstone (predicate OR equality key-delete)
+            # is a RUN BOUNDARY: squashing a data snapshot across it would
+            # raise its files' commit version past the tombstone and
+            # silently un-delete them — and the tombstone entry itself
+            # must survive verbatim. A STAGED snapshot likewise: merging
+            # it into a base would drop the flag — a silent promote of
+            # unaudited data
             runs.append([("boundary", s["version"]), [s]])
             continue
         if runs and runs[-1][0] == sid:

@@ -3643,3 +3643,84 @@ ORACLE_EXT2["rollup_revenue"] = """
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
+
+
+def q_mor_upsert_fetch(spark, sf_dir):
+    """Merge-on-read UPSERT (publish.merge_upsert mode="merge-on-read" —
+    Iceberg-v2 EQUALITY DELETES / Hudi MOR, restated for the sidecar):
+    v1 publishes orders, then one O(batch) commit both appends new row
+    images for a CDC batch (re-priced low-key orders + brand-new keys)
+    and stamps the batch's distinct keys as an equality delete over
+    everything older — zero data files rewritten, however many partitions
+    the keys touch. Fetch anti-joins the OLD era against the stored key
+    files (broadcast: the sidecar knows they are small) and unions the
+    new images; a later plain append SURVIVES the earlier key-delete per
+    version ordering. Oracle = the same upsert replayed in SQL."""
+    from . import metadata
+    from .fetch import fetch_path
+    from .publish import merge_upsert, publish_path
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "orders_mor_upsert")
+    marker = os.path.join(path, "_MOR_UPSERT")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        orders = _table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        )
+        publish_path(spark, path, orders, ["o_orderstatus"])
+        batch = (
+            orders.filter(F.col("o_orderkey") < 200)
+            .withColumn("o_orderstatus", F.lit("U"))
+            .withColumn(
+                "o_totalprice",
+                F.col("o_totalprice").cast("double") + F.lit(0.5),
+            )
+            .withColumn("seq", F.lit(1))
+        )
+        extra = spark.createDataFrame(
+            [(9_000_001, "U", 11.25, 1), (9_000_002, "U", 12.5, 1)],
+            "o_orderkey long, o_orderstatus string, o_totalprice double, "
+            "seq int",
+        )
+        merge_upsert(
+            spark, path, batch.unionByName(extra), ["o_orderkey"], "seq",
+            mode="merge-on-read",
+        )
+        publish_path(
+            spark, path,
+            spark.createDataFrame(
+                [(150, "L", 1.25)],
+                "o_orderkey long, o_orderstatus string, o_totalprice double",
+            ),
+            ["o_orderstatus"], mode="append",
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    meta = metadata.read_sidecar(spark, path)
+    assert [v for v, _ in meta.eq_deletes()] == [2]
+    return fetch_path(spark, path).select(
+        "o_orderkey", "o_orderstatus",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+
+
+QUERIES_EXT2["mor_upsert_fetch"] = q_mor_upsert_fetch
+ORACLE_EXT2["mor_upsert_fetch"] = """
+    -- era 1: the original rows whose key was NOT upserted over
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders WHERE o_orderkey >= 200
+    UNION ALL
+    -- era 2: the upsert batch's row images (re-priced + inserts)
+    SELECT o_orderkey, 'U' AS o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) + 0.5 AS o_totalprice
+    FROM orders WHERE o_orderkey < 200
+    UNION ALL
+    SELECT * FROM (VALUES
+        (CAST(9000001 AS BIGINT), 'U', CAST(11.25 AS DOUBLE)),
+        (CAST(9000002 AS BIGINT), 'U', CAST(12.5 AS DOUBLE)),
+    -- era 3: the later plain append survives the earlier key-delete
+        (CAST(150 AS BIGINT), 'L', CAST(1.25 AS DOUBLE))
+    ) AS t(o_orderkey, o_orderstatus, o_totalprice)
+"""
