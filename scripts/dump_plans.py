@@ -384,6 +384,14 @@ CASES = [
         "event log.",
     ),
     (
+        "mor_upsert_fetch",
+        "MoR upsert read: per-era union - the OLD era anti-joins the "
+        "eq-delete key files (BroadcastHashJoin LeftAnti: the key side "
+        "is a bounded CDC batch, broadcast from recorded sizes), newer "
+        "eras scan clean; no shuffle of the data side, no rewrite "
+        "anywhere in the plan.",
+    ),
+    (
         "hybrid_search_rrf",
         "Hybrid RRF: corpus-scale work is inside the rankers (BM25: "
         "term-keyed partial aggregates + TakeOrderedAndProject; cosine: "

@@ -353,3 +353,17 @@ def test_hybrid_rrf_rankers_bound_the_fusion(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("row_number") == 2
+
+
+def test_mor_upsert_era_antijoin_no_rewrite(spark, sf_dir):
+    """The OLD era anti-joins the eq-delete key files as a broadcast
+    (no shuffle of the data side), newer eras scan clean under one
+    Union; no rewrite machinery anywhere in the read plan."""
+    plan = _plan(spark, sf_dir, "mor_upsert_fetch")
+    assert "LeftAnti" in plan and "BroadcastExchange" in plan
+    assert "Union" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(o_orderkey" not in plan, (
+        "the eq-delete anti-join must broadcast the bounded key side, "
+        "never shuffle the data side on the key"
+    )
