@@ -82,8 +82,10 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 9 additions (filled as they land; keep <= 4 so the window
-    # still reaches the least-recently-verified tail):
+    # Round 9 additions — 5 this round (one over the usual <=4 budget:
+    # merge-on-read upsert landed as a second wave and must get its
+    # first-round row; the window still reaches 43 least-recently-
+    # verified tail queries after 2 sentinels + 5 new):
     "bloom_point_fetch",  # new: per-file bloom fingerprints — driver-side
                           # point-lookup file skipping on scattered keys
     "funnel_events",      # new: multi-stage ordered funnel — chained

@@ -876,13 +876,19 @@ def _tombstone_scan(
             spark.createDataFrame([], schema), meta
         )
     eq_by_version = dict(eqs)
+    key_frames: Dict[int, tuple] = {}  # version -> (key_cols, keys_df)
     slices = []
     for (preds, eq_vers), fl in sorted(groups.items()):
         df = _resolve_renames(_scan_rel_files(spark, path, schema, fl), meta)
         for p in preds:
             df = df.filter(~F.coalesce(F.expr(p), F.lit(False)))
         for ev in eq_vers:
-            df = _apply_eq_delete(spark, path, meta, df, eq_by_version[ev])
+            if ev not in key_frames:
+                key_frames[ev] = _eq_delete_keys(
+                    spark, path, meta, eq_by_version[ev]
+                )
+            key_cols, keys_df = key_frames[ev]
+            df = df.join(keys_df, key_cols, "left_anti")
         slices.append(df)
     out = slices[0]
     for s in slices[1:]:
@@ -890,28 +896,28 @@ def _tombstone_scan(
     return out
 
 
-#: broadcast the eq-delete key side outright when its on-disk size is
-#: below this (a CDC batch's distinct keys — snappy parquet); larger key
-#: sets fall through to Catalyst/AQE's own strategy choice
-_EQ_DELETE_BROADCAST_BYTES = 64 * 1024 * 1024
+#: explicit-broadcast threshold for the eq-delete key side, on RECORDED
+#: on-disk bytes (stamped into the commit at write time — the read path
+#: never stats the filesystem): modest, because compressed parquet of a
+#: single key column understates in-memory HashedRelation size by a lot.
+#: Commits without recorded bytes, and larger key sets, get no hint —
+#: Catalyst/AQE decide from the scan's own file-size statistics.
+_EQ_DELETE_BROADCAST_BYTES = 8 * 1024 * 1024
 
 
-def _apply_eq_delete(
+def _eq_delete_keys(
     spark: SparkSession,
     path: str,
     meta: DatasetMetadata,
-    df: DataFrame,
     eq: dict,
-) -> DataFrame:
-    """Apply one equality key-delete (``merge_upsert(mode=
-    "merge-on-read")``) to an era slice: LEFT ANTI join against the
-    stored key files on the upsert's key columns — rows whose key tuple
-    was upserted over are dead; NULL-keyed data rows never match an
-    equi-join and are KEPT (upsert batches reject NULL keys at write).
-    The key side is a bounded CDC batch: when its on-disk size is under
-    ``_EQ_DELETE_BROADCAST_BYTES`` it is broadcast outright (the file
-    sizes are already in hand — no job, no shuffle of the data side);
-    larger sets let Catalyst/AQE pick."""
+) -> tuple:
+    """(key_cols, keys_df) for one equality key-delete
+    (``merge_upsert(mode="merge-on-read")``): the stored key files
+    scanned under the dataset's declared key types. Era slices LEFT ANTI
+    join against it — rows whose key tuple was upserted over are dead;
+    NULL-keyed data rows never match an equi-join and are KEPT (upsert
+    batches reject NULL keys at write). Built once per pending eq-delete
+    per read and shared across era groups."""
     import posixpath as _pp
 
     key_cols = list(eq["keys"])
@@ -920,14 +926,12 @@ def _apply_eq_delete(
     )
     full = [_pp.join(path, f) for f in eq["files"]]
     keys_df = spark.read.schema(key_schema).parquet(*full).select(*key_cols)
-    try:
-        small = sum(fs.file_size(spark, p) for p in full) <= \
-            _EQ_DELETE_BROADCAST_BYTES
-    except OSError:
-        small = False
-    if small:
+    if (
+        eq.get("bytes") is not None
+        and eq["bytes"] <= _EQ_DELETE_BROADCAST_BYTES
+    ):
         keys_df = F.broadcast(keys_df)
-    return df.join(keys_df, key_cols, "left_anti")
+    return key_cols, keys_df
 
 
 def _split_zone_filters(

@@ -1309,10 +1309,22 @@ def _merge_upsert_mor(
             f"{path} — key-delete applicability needs per-file commit "
             "versions (publish once to bootstrap, or use copy-on-write)"
         )
+    # a staged (write-audit-publish) snapshot promotes at a LATER version
+    # than this upsert's key-delete, so its pre-upsert row images would
+    # escape the delete — a surprise duplicate key on promote. Same
+    # refusal as copy-on-write: resolve the audit first.
+    _require_no_staged(meta, path, "merge_upsert(merge-on-read)")
     up = _to_spark_df(spark, updates)
-    missing = [k for k in keys + [seq_col] if k not in up.columns]
+    # the batch must carry the COMPLETE dataset schema (like copy-on-write's
+    # select(*cols)): a partial CDC batch would silently NULL the missing
+    # payload columns of every upserted key
+    derived = set(meta.derived_partitions or {})
+    required = [c for c in meta.column_types if c not in derived]
+    missing = [
+        c for c in {*required, *keys, seq_col} if c not in up.columns
+    ]
     if missing:
-        raise ValueError(f"updates missing merge columns {missing}")
+        raise ValueError(f"updates missing merge columns {sorted(missing)}")
     # key columns take the DATASET's declared types: the key files are
     # read back under the explicit scan schema, and an int32 file under
     # a bigint schema is a scan error, not a cast
@@ -1339,7 +1351,12 @@ def _merge_upsert_mor(
         latest_state(up.withColumn("__src", F.lit(1)), keys, seq_col,
                      "__src", payload)
         .drop("__src")
-        .select(*up.columns)
+        # exactly the dataset's columns, in schema order: seq_col and any
+        # extra batch columns are MERGE machinery, not data — appending
+        # them would silently schema-evolve the dataset (copy-on-write
+        # strips them the same way); a seq_col that IS a dataset column
+        # stays, like any other payload column
+        .select(*required)
     )
     if batch.limit(1).count() == 0:
         return []  # empty batch: no commit, no key files
@@ -1354,18 +1371,25 @@ def _merge_upsert_mor(
         posixpath.join(key_dir_rel, f)
         for f in fs.list_files(spark, key_dir)
     ]
+    key_bytes = sum(
+        fs.file_size(spark, posixpath.join(path, f)) for f in key_files
+    )
     # the append path re-derives hidden partition columns itself: pass
-    # only the BASE partitions (passing a derived name too would stamp it
-    # twice)
-    derived = set(meta.derived_partitions or {})
+    # only the BASE partitions (`required` already excludes derived names)
     base_partitions = [p for p in meta.partitions if p not in derived]
     return publish_path(
         spark,
         path,
-        batch.drop(*[c for c in batch.columns if c in derived]),
+        batch,
         base_partitions,
         mode="append",
-        _eq_delete={"keys": list(keys), "files": key_files},
+        _eq_delete={
+            "keys": list(keys),
+            "files": key_files,
+            # recorded at write (the files were just written): read-path
+            # broadcast decisions never stat the filesystem
+            "bytes": key_bytes,
+        },
     )
 
 

@@ -225,3 +225,37 @@ def test_new_files_get_zone_and_bloom_stats(spark, tmp_path):
     for rel in _rel_files(path, new):
         entry = m.zone_maps["files"][rel]
         assert "v" in entry["stats"] and "k" in entry["bloom"]
+
+
+def test_review_fixes_schema_and_staged_guards(spark, tmp_path):
+    """r9 review findings: (1) seq_col must not schema-evolve the dataset,
+    (2) a partial batch missing payload columns raises instead of silently
+    NULLing them, (3) a pending staged snapshot refuses the upsert (its
+    promote would re-commit pre-upsert rows PAST the key-delete)."""
+    path = str(tmp_path / "ds")
+    _base(spark, path)
+    merge_upsert(
+        spark, path, _batch(spark, [(1, "B", 11.0, 1)]), ["k"], "seq",
+        mode="merge-on-read",
+    )
+    m = metadata.read_sidecar(spark, path)
+    assert "seq" not in m.column_types, "seq_col leaked into the schema"
+    assert set(fetch_path(spark, path).columns) == {"k", "p", "v"}
+    assert m.eq_deletes()[0][1]["bytes"] > 0  # sizes recorded at write
+    with pytest.raises(ValueError, match="missing merge columns"):
+        merge_upsert(
+            spark, path,
+            spark.createDataFrame([(2, "A", 1)], "k long, p string, seq int"),
+            ["k"], "seq", mode="merge-on-read",
+        )  # no v column: would silently NULL the payload
+    compact_dataset(spark, path)
+    publish_path(
+        spark, path,
+        spark.createDataFrame([(5000, "A", 1.0)], "k long, p string, v double"),
+        ["p"], mode="append", staged=True,
+    )
+    with pytest.raises(ValueError, match="staged"):
+        merge_upsert(
+            spark, path, _batch(spark, [(5000, "B", 2.0, 1)]), ["k"],
+            "seq", mode="merge-on-read",
+        )
