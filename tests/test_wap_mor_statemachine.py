@@ -1,15 +1,19 @@
 """Stateful property: random WAP x merge-on-read lifecycle sequences keep
 fetch ≡ model.
 
-Staged snapshots, predicate tombstones, restore and expiry each carry
-their own version-ordering rules; the escape route for example-based
-tests is an interaction (stage → tombstone → promote → expire →
+Staged snapshots, predicate tombstones, EQUALITY key-deletes (r9
+merge-on-read upserts), restore and expiry each carry their own
+version-ordering rules; the escape route for example-based tests is an
+interaction (stage → tombstone → upsert → promote → expire →
 restore ...). This machine drives random op sequences against a real
 dataset with a driver-side model of the snapshot list, asserting after
-every step that the main read equals the model's visible rows, the
-staged bookkeeping matches, and (as a rule) that ``fetch_at`` of a
-random historical version equals the model's as-of view — including the
-audit read of a staged version and era-correct tombstone application.
+every step that the main read equals the model's visible (id, grp) ROWS
+(not just ids: a failed eq-delete leaves the OLD image alive with a
+different grp and the row-set comparison catches it), the staged/
+tombstone/eq-delete bookkeeping matches, and (as a rule) that
+``fetch_at`` of a random historical version equals the model's as-of
+view — including the audit read of a staged version and era-correct
+application of both tombstone kinds.
 """
 
 import pytest
@@ -30,6 +34,7 @@ from s3parq_spark.publish import (
     delete_where,
     discard_snapshot,
     expire_snapshots,
+    merge_upsert,
     promote_snapshot,
     publish_path,
     restore_dataset,
@@ -47,8 +52,9 @@ def _machine(spark, base_dir):
             self.path = None
             self.next_id = 0
             # model snapshot list, version order:
-            # {"version", "ids": [..] (data), "staged": bool,
-            #  "pred": threshold or None (tombstone: id < threshold)}
+            # {"version", "rows": [(id, grp)..], "staged": bool,
+            #  "pred": threshold or None (tombstone: id < threshold),
+            #  "eq": set of upserted-over ids or None}
             self.snaps = []
 
         # -- model helpers ------------------------------------------------
@@ -65,53 +71,61 @@ def _machine(spark, base_dir):
                 for s in snaps
                 if s["pred"] is not None
             ]
+            eqs = [
+                (s["version"], s["eq"])
+                for s in snaps
+                if s.get("eq") is not None
+            ]
             out = set()
             for s in snaps:
-                if s["pred"] is not None:
-                    continue
                 if s["staged"] and s["version"] != audit_of:
                     continue
-                for i in s["ids"]:
-                    if not any(
+                for i, g in s["rows"]:
+                    if any(
                         tv > s["version"] and i < p for tv, p in tombs
                     ):
-                        out.add(i)
+                        continue
+                    if any(
+                        ev > s["version"] and i in ks for ev, ks in eqs
+                    ):
+                        continue
+                    out.add((i, g))
             return out
 
         def _frame(self, n):
             ids = list(range(self.next_id, self.next_id + n))
             self.next_id += n
-            return ids, spark.createDataFrame(
-                [(i, i % 3) for i in ids], "id long, grp long"
-            )
+            rows = [(i, i % 3) for i in ids]
+            return rows, spark.createDataFrame(rows, "id long, grp long")
 
         # -- ops ----------------------------------------------------------
 
         @initialize(n=st.integers(1, 4))
         def create(self, n):
             self.path = f"{base_dir}/ds{next(dir_counter)}"
-            ids, df = self._frame(n)
+            rows, df = self._frame(n)
             publish_path(spark, self.path, df, [])
             self.snaps = [
-                {"version": 1, "ids": ids, "staged": False, "pred": None}
+                {"version": 1, "rows": rows, "staged": False,
+                 "pred": None, "eq": None}
             ]
 
         @rule(n=st.integers(1, 4))
         def append(self, n):
-            ids, df = self._frame(n)
+            rows, df = self._frame(n)
             publish_path(spark, self.path, df, [])
             self.snaps.append(
-                {"version": self._head() + 1, "ids": ids,
-                 "staged": False, "pred": None}
+                {"version": self._head() + 1, "rows": rows,
+                 "staged": False, "pred": None, "eq": None}
             )
 
         @rule(n=st.integers(1, 3))
         def stage(self, n):
-            ids, df = self._frame(n)
+            rows, df = self._frame(n)
             publish_path(spark, self.path, df, [], staged=True)
             self.snaps.append(
-                {"version": self._head() + 1, "ids": ids,
-                 "staged": True, "pred": None}
+                {"version": self._head() + 1, "rows": rows,
+                 "staged": True, "pred": None, "eq": None}
             )
 
         @precondition(lambda self: any(s["staged"] for s in self.snaps))
@@ -123,8 +137,8 @@ def _machine(spark, base_dir):
             self.snaps.remove(s)
             assert new_v == self._head() + 1
             self.snaps.append(
-                {"version": new_v, "ids": s["ids"],
-                 "staged": False, "pred": None}
+                {"version": new_v, "rows": s["rows"],
+                 "staged": False, "pred": None, "eq": None}
             )
 
         @precondition(lambda self: any(s["staged"] for s in self.snaps))
@@ -144,14 +158,53 @@ def _machine(spark, base_dir):
                 spark, self.path, f"id < {thr}", mode="merge-on-read"
             )
             expected_n = len(
-                {i for i in self._visible() if i < thr}
+                {(i, g) for i, g in self._visible() if i < thr}
             )
             assert n == expected_n
             if n > 0:
                 self.snaps.append(
-                    {"version": self._head() + 1, "ids": [],
-                     "staged": False, "pred": thr}
+                    {"version": self._head() + 1, "rows": [],
+                     "staged": False, "pred": thr, "eq": None}
                 )
+
+        @precondition(
+            lambda self: not any(s["staged"] for s in self.snaps)
+        )
+        @rule(data=st.data(), n_new=st.integers(0, 2))
+        def mor_upsert(self, data, n_new):
+            visible_ids = sorted({i for i, _ in self._visible()})
+            n_upd = data.draw(
+                st.integers(0 if (n_new or visible_ids) else 1,
+                            min(3, len(visible_ids))),
+                label="n_updates",
+            ) if visible_ids else 0
+            upd_ids = (
+                data.draw(
+                    st.lists(st.sampled_from(visible_ids), min_size=n_upd,
+                             max_size=n_upd, unique=True),
+                    label="update_ids",
+                )
+                if n_upd
+                else []
+            )
+            new_ids = list(range(self.next_id, self.next_id + n_new))
+            self.next_id += n_new
+            ids = [*upd_ids, *new_ids]
+            if not ids:
+                return  # nothing to upsert this step
+            v = self._head() + 1
+            rows = [(i, 100 + v) for i in ids]  # grp marks the new image
+            batch = spark.createDataFrame(
+                [(i, g, 1) for i, g in rows], "id long, grp long, seq int"
+            )
+            merge_upsert(
+                spark, self.path, batch, ["id"], "seq",
+                mode="merge-on-read",
+            )
+            self.snaps.append(
+                {"version": v, "rows": rows, "staged": False,
+                 "pred": None, "eq": set(ids)}
+            )
 
         @precondition(lambda self: len(self.snaps) >= 2)
         @rule(data=st.data())
@@ -172,7 +225,11 @@ def _machine(spark, base_dir):
                 squashed = self.snaps[:cut]
                 runs = []
                 for s in squashed:
-                    boundary = s["staged"] or s["pred"] is not None
+                    boundary = (
+                        s["staged"]
+                        or s["pred"] is not None
+                        or s.get("eq") is not None
+                    )
                     if boundary or not runs or runs[-1][0]:
                         runs.append([boundary, [s]])
                     else:
@@ -187,9 +244,10 @@ def _machine(spark, base_dir):
                     bases.append(
                         {
                             "version": run[-1]["version"],
-                            "ids": [i for s in run for i in s["ids"]],
+                            "rows": [r for s in run for r in s["rows"]],
                             "staged": False,
                             "pred": None,
+                            "eq": None,
                         }
                     )
                 if changed:
@@ -201,7 +259,8 @@ def _machine(spark, base_dir):
             s = data.draw(st.sampled_from(self.snaps), label="as_of")
             v = s["version"]
             got = {
-                r["id"] for r in fetch_at(spark, self.path, v).collect()
+                (r["id"], r["grp"])
+                for r in fetch_at(spark, self.path, v).collect()
             }
             expected = self._visible(as_of=v, audit_of=v)
             assert got == expected, (
@@ -214,7 +273,10 @@ def _machine(spark, base_dir):
         def fetch_matches_model(self):
             if self.path is None:
                 return
-            got = {r["id"] for r in fetch_path(spark, self.path).collect()}
+            got = {
+                (r["id"], r["grp"])
+                for r in fetch_path(spark, self.path).collect()
+            }
             expected = self._visible()
             assert got == expected, (
                 f"fetch {sorted(got)} != model {sorted(expected)}"
@@ -235,6 +297,9 @@ def _machine(spark, base_dir):
                 (s["version"], f"id < {s['pred']}")
                 for s in self.snaps
                 if s["pred"] is not None
+            ]
+            assert [v for v, _ in m.eq_deletes()] == [
+                s["version"] for s in self.snaps if s.get("eq") is not None
             ]
 
     return WapMorMachine
