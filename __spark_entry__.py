@@ -82,10 +82,11 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 9 additions — 5 this round (one over the usual <=4 budget:
-    # merge-on-read upsert landed as a second wave and must get its
-    # first-round row; the window still reaches 43 least-recently-
-    # verified tail queries after 2 sentinels + 5 new):
+    # Round 9 additions — 6 this round (over the usual <=4 budget: the
+    # merge-on-read upsert and index-at-rest search landed as later
+    # waves and each must get its first-round row; the window still
+    # reaches 42 least-recently-verified tail queries after 2 sentinels
+    # + 6 new):
     "bloom_point_fetch",  # new: per-file bloom fingerprints — driver-side
                           # point-lookup file skipping on scattered keys
     "funnel_events",      # new: multi-stage ordered funnel — chained
@@ -97,6 +98,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "mor_upsert_fetch",   # new: merge-on-read UPSERT — equality
                           # key-deletes (Iceberg-v2 eq-delete files),
                           # O(batch) commit, per-era anti-join read
+    "text_index_search",  # new: BM25 from an index AT REST — bucket
+                          # partition prune + term bloom skip, exact
+                          # parity with full-corpus BM25
 )
 
 

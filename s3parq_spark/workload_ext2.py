@@ -3724,3 +3724,72 @@ ORACLE_EXT2["mor_upsert_fetch"] = """
         (CAST(150 AS BIGINT), 'L', CAST(1.25 AS DOUBLE))
     ) AS t(o_orderkey, o_orderstatus, o_totalprice)
 """
+
+
+def q_text_index_search(spark, sf_dir):
+    """Text search index AT REST (text_index.py): posting rows published
+    hive-partitioned by hash60(term) % 16 with per-file BLOOM fingerprints
+    on term; the search hashes the query terms driver-side, fetches ONLY
+    their buckets (partition prune) with term-equality bloom skipping
+    inside them, and scores with bm25_scores' exact expression sequence —
+    identical ranking to a full-corpus BM25 without ever scanning the
+    corpus (df_t falls out of the co-located postings; n_docs/avgdl from
+    the 1-row stats dataset). Oracle = the SAME full-corpus BM25 SQL as
+    bm25_search: the index must reproduce it exactly."""
+    from .text_index import build_text_index, search_text_index
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "text_index")
+    marker = os.path.join(path, "_INDEXED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path.rstrip("/") + "_stats", ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_text_index(
+            spark, docs, path, "doc_id", "text",
+            n_buckets=16, max_records_per_file=2000,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index(
+        spark, path, ["hash", "join", "vector"], k=10
+    )
+    return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+
+
+QUERIES_EXT2["text_index_search"] = q_text_index_search
+ORACLE_EXT2["text_index_search"] = """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+    ), agg AS (
+      SELECT doc, COUNT(*) AS n_terms, CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_terms, round(score, 6) AS score
+    FROM agg
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+"""
