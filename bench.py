@@ -316,6 +316,29 @@ def main() -> None:
     fetch_mod.fetch_path(spark, mat_path).count()
     probes["mor_materialized_read"] = round(time.time() - t0, 3)
 
+    # ---- merge-on-read UPSERT probe (r9): the read cost of a pending
+    # equality key-delete (era anti-join against the broadcast key files)
+    # vs the same dataset compacted.
+    from s3parq_spark.workload_ext2 import q_mor_upsert_fetch
+
+    q_mor_upsert_fetch(spark, sf_dir)  # build/reuse the fixture
+    up_path = _dsp(sf_dir, "orders_mor_upsert")
+    fetch_mod.fetch_path(spark, up_path).count()  # warm
+    t0 = time.time()
+    fetch_mod.fetch_path(spark, up_path).count()
+    probes["mor_upsert_read"] = round(time.time() - t0, 3)
+    up_mat = up_path + "_materialized"
+    if not os.path.exists(os.path.join(up_mat, "_s3parq_metadata.json")):
+        from s3parq_spark.publish import compact_dataset as _compact
+
+        _sh.rmtree(up_mat, ignore_errors=True)
+        _sh.copytree(up_path, up_mat)
+        _compact(spark, up_mat)
+    fetch_mod.fetch_path(spark, up_mat).count()  # warm
+    t0 = time.time()
+    fetch_mod.fetch_path(spark, up_mat).count()
+    probes["mor_upsert_materialized_read"] = round(time.time() - t0, 3)
+
     # ---- sf1 probes (r7): the top-5 bench queries end-to-end at ~sf1 ----
     # A REAL sf1-scale directory (6M lineitem, 1.5M orders, 50k docs, 20k
     # vectors) is materialized once to local disk by key-shifted 10x
@@ -396,8 +419,10 @@ def main() -> None:
                          "before any footer is read); zonemap probe "
                          "(ranges on sorted files) and mor probe "
                          "(pending-tombstone read vs compacted) "
-                         "unchanged; probes_sf1 still sublinear across "
-                         "the top-5 shapes",
+                         "unchanged; new mor_upsert probe prices the "
+                         "equality key-delete era anti-join vs the same "
+                         "dataset compacted; probes_sf1 still sublinear "
+                         "across the top-5 shapes",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time
