@@ -493,6 +493,12 @@ def fetch_path(
     if zone_filters:
         validate_matching_filter_data_type(_zone_types(meta), zone_filters)
     validate_matching_filter_data_type(meta.partition_data_types, filters)
+    # a residual from hidden-partition pushdown whose SOURCE column is
+    # zone/bloom-declared also drives the FILE prunes (the row-level
+    # exactness is already the residual's job): a term filter on a
+    # bucket-derived, bloom-fingerprinted column prunes at the partition
+    # index AND skips dead files inside the kept buckets
+    prune_filters = [*zone_filters, *_residual_prune_filters(meta, residuals)]
 
     # Explicit full schema in the dataset's original column order (plus
     # prior names of renamed columns); Spark casts hive path strings to
@@ -515,8 +521,8 @@ def fetch_path(
         # ... then against the zone-map filters (value-column min/max file
         # skipping; files without stats are kept) and the per-file bloom
         # fingerprints (equality probes on scattered keys)
-        files = _prune_zone_files(files, meta, zone_filters)
-        files = _prune_bloom_files(files, meta, zone_filters)
+        files = _prune_zone_files(files, meta, prune_filters)
+        files = _prune_bloom_files(files, meta, prune_filters)
         if meta.has_tombstones():
             # merge-on-read deletes pending: per-era scan with tombstone
             # row filters (already rename-resolved)
@@ -932,6 +938,22 @@ def _eq_delete_keys(
     ):
         keys_df = F.broadcast(keys_df)
     return key_cols, keys_df
+
+
+def _residual_prune_filters(
+    meta: DatasetMetadata, residuals: List[tuple]
+) -> List[dict]:
+    """Hidden-partition residual predicates restated as filter specs for
+    the FILE prunes only — the row-level predicate still comes from the
+    residual itself, so this can only skip provably-dead files, never
+    change results. Covers the source columns that carry per-file stats
+    (zone maps) or fingerprints (blooms)."""
+    covered = set(meta.zone_map_columns()) | set(meta.file_bloom_columns())
+    return [
+        {"partition": c, "comparison": cmp, "values": list(vals)}
+        for (c, cmp, vals) in residuals
+        if c in covered
+    ]
 
 
 def _split_zone_filters(
@@ -1525,9 +1547,15 @@ def _read_manifest_slice(
     if zone_filters:
         validate_matching_filter_data_type(_zone_types(meta), zone_filters)
     validate_matching_filter_data_type(meta.partition_data_types, filters)
+    # a residual from hidden-partition pushdown whose SOURCE column is
+    # zone/bloom-declared also drives the FILE prunes (the row-level
+    # exactness is already the residual's job): a term filter on a
+    # bucket-derived, bloom-fingerprinted column prunes at the partition
+    # index AND skips dead files inside the kept buckets
+    prune_filters = [*zone_filters, *_residual_prune_filters(meta, residuals)]
     rel_files = _prune_manifest_files(rel_files, meta, filters)
-    rel_files = _prune_zone_files(rel_files, meta, zone_filters)
-    rel_files = _prune_bloom_files(rel_files, meta, zone_filters)
+    rel_files = _prune_zone_files(rel_files, meta, prune_filters)
+    rel_files = _prune_bloom_files(rel_files, meta, prune_filters)
     if meta.has_tombstones():
         df = _tombstone_scan(spark, path, _scan_schema(meta), meta, rel_files)
     else:

@@ -6,37 +6,42 @@ path: at 100 TB of documents every search would be a full scan. This
 module materializes the classic inverted-index layout as a normal engine
 dataset and answers the SAME BM25 ranking from the index alone:
 
-- ``build_text_index`` tokenizes once and publishes posting rows
-  ``(term, doc id, tf, dl)`` hive-partitioned by ``bucket =
-  hash60(term) % n_buckets`` with a per-file BLOOM fingerprint on
-  ``term`` (``file_bloom_columns`` — round 9's point-lookup plane), plus
-  a 1-row corpus-stats dataset (n_docs, total_len). Per-term document
-  frequency is NOT stored: all postings of a term are co-located, so
-  ``df_t`` falls out of the fetched rows themselves — one less global to
-  keep consistent under rebuilds.
-- ``search_text_index`` hashes the query terms DRIVER-side (the same
-  portable md5-60 the engine uses everywhere), fetches only the matching
-  buckets — partition pruning — with the term equality probe skipping
-  dead files inside each bucket via the bloom fingerprints, and scores
-  the surviving postings with literally the same expression sequence as
-  ``bm25_scores``. Query cost is O(postings of the query terms), never
-  O(corpus); the result is bit-identical to running ``bm25_scores`` over
-  the original corpus (pinned by test).
+- ``build_text_index`` tokenizes the corpus (one exploded pass feeding
+  the tf and dl aggregates) and publishes posting rows ``(term, doc id,
+  tf, dl)`` under a HIDDEN bucket partition — ``derived_partitions``
+  records ``bucket = hash60(term) % n_buckets`` in the sidecar, so the
+  layout is the dataset's own contract, not caller-side bookkeeping —
+  with a per-file BLOOM fingerprint on ``term`` (round 9's point-lookup
+  plane), plus a 1-row corpus-stats dataset (n_docs, total_len).
+  Per-term document frequency is NOT stored: all postings of a term are
+  co-located, so ``df_t`` falls out of the fetched rows themselves.
+- ``search_text_index`` issues ONE filter, on ``term``. The engine's
+  hidden-partition pushdown computes the query terms' buckets from the
+  recorded transform (file-index prune), the pushdown residual drives
+  the bloom prune inside the kept buckets (r9's residual/data-skipping
+  composition), and the exact predicate re-applies row-level. Scoring
+  uses literally the same expression sequence as ``bm25_scores``, so
+  the result is bit-identical to running it over the original corpus
+  (pinned by test). Query cost is O(postings of the query terms), never
+  O(corpus).
 
 Scale notes: posting rows are (term, id, 2 ints) — a few percent of the
-corpus bytes; the build is one tokenize + two key-partitioned aggregates
-+ one partitioned write. A stop-term's posting list is large but
-SPLITS across files (maxRecordsPerFile), and ``max_df`` can drop terms
-above a document-frequency cap at build time (then searches simply get
-no contribution from those terms — standard stopword semantics, and the
-only deliberate divergence from corpus-side BM25).
+corpus bytes; a stop-term's posting list splits across files
+(maxRecordsPerFile), and ``max_df`` can drop terms above a document-
+frequency cap at build time (searches then get no contribution from
+them — standard stopword semantics, the one stated divergence from
+corpus-side BM25). A REBUILD writes two datasets (index, then stats)
+non-atomically; rebuild into a fresh path and repoint readers — the
+same recommendation every two-dataset pipeline in this engine follows —
+or accept the small window where stats and index disagree on
+n_docs/total_len (scores shift slightly; bucket routing cannot break:
+the layout travels inside the index's own sidecar).
 
 Reference analog: none (extension per SURVEY §7.4).
 """
 
 from __future__ import annotations
 
-import hashlib
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -47,10 +52,15 @@ from .publish import publish_path
 
 __all__ = ["build_text_index", "search_text_index"]
 
+#: the recorded hidden-partition transform (term -> bucket): the engine's
+#: portable 60-bit md5 folded to the bucket count. Stored in the sidecar
+#: at build; search never computes it — hidden-partition pushdown does.
+_BUCKET_EXPR = (
+    "cast(pmod(cast(conv(substring(md5(cast(term as binary)), 1, 15), "
+    "16, 10) as bigint), {n}) as int)"
+)
 
-def _bucket_of(term: str, n_buckets: int) -> int:
-    """Driver-side twin of the JVM bucket expression (md5-60 mod n)."""
-    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n_buckets
+_POSTING_COLS = ("term", "tf", "dl", "bucket")
 
 
 def _stats_path(index_path: str) -> str:
@@ -68,12 +78,9 @@ def build_text_index(
     max_records_per_file: Optional[int] = None,
 ) -> None:
     """Materialize the inverted index for ``corpus`` at ``index_path``
-    (overwrite — a rebuild; the bucketing is stable, so an incremental
-    variant could append new docs' postings into the same layout).
-    Tokenization matches ``bm25_scores`` exactly: whitespace split of
-    ``trim(lower(text))``."""
-    from .operators.sampling import _hash60
-
+    (overwrite — a rebuild; see the module docstring for the rebuild
+    contract). Tokenization matches ``bm25_scores`` exactly: whitespace
+    split of ``trim(lower(text))``."""
     toks = corpus.select(
         F.col(id_col),
         F.explode(
@@ -81,39 +88,43 @@ def build_text_index(
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    postings = tf.join(dl, id_col).select(
-        "term", id_col, "tf", "dl",
-        F.pmod(_hash60(F.col("term")), F.lit(n_buckets))
-        .cast("int").alias("bucket"),
-    )
-    if max_df is not None:
-        from pyspark.sql.window import Window
+    # dl feeds the postings join AND the stats row: persist the (small,
+    # one row per doc) aggregate so the corpus is tokenized for it once
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")).persist()
+    try:
+        postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
+        if max_df is not None:
+            from pyspark.sql.window import Window
 
-        # document frequency inside the already-keyed postings: one
-        # window over the term partitioning the rows are about to be
-        # written in anyway
-        w = Window.partitionBy("term")
-        postings = (
-            postings.withColumn("__df", F.count(F.lit(1)).over(w))
-            .filter(F.col("__df") <= max_df)
-            .drop("__df")
+            # document frequency inside the already-keyed postings: one
+            # window over the term partitioning the rows are about to be
+            # written in anyway
+            w = Window.partitionBy("term")
+            postings = (
+                postings.withColumn("__df", F.count(F.lit(1)).over(w))
+                .filter(F.col("__df") <= max_df)
+                .drop("__df")
+            )
+        publish_path(
+            spark,
+            index_path,
+            postings,
+            [],
+            mode="overwrite",
+            derived_partitions={"bucket": _BUCKET_EXPR.format(n=n_buckets)},
+            sort_within_files=["term"],
+            max_records_per_file=max_records_per_file,
+            file_bloom_columns=["term"],
         )
-    publish_path(
-        spark,
-        index_path,
-        postings,
-        ["bucket"],
-        mode="overwrite",
-        sort_within_files=["term"],
-        max_records_per_file=max_records_per_file,
-        file_bloom_columns=["term"],
-    )
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("dl").alias("total_len"),
-    ).withColumn("n_buckets", F.lit(n_buckets))
-    publish_path(spark, _stats_path(index_path), stats, [], mode="overwrite")
+        stats = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        )
+        publish_path(
+            spark, _stats_path(index_path), stats, [], mode="overwrite"
+        )
+    finally:
+        dl.unpersist()
 
 
 def search_text_index(
@@ -123,14 +134,13 @@ def search_text_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
-    id_col: str = "doc_id",
 ) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` from the index alone —
     same contract and identical scores as ``bm25_scores(corpus, ...)``.
-    The fetch carries a partition filter on the query terms' buckets
-    (file-index prune) and a term equality filter (bloom file skipping
-    inside the buckets + pushed row predicate); nothing outside the
-    query terms' postings is read."""
+    One term filter: hidden-partition pushdown prunes to the query
+    terms' buckets, the residual bloom-skips files inside them, and
+    nothing outside the query terms' postings is read. The document id
+    column is recovered from the index's own schema."""
     from . import metadata
 
     terms = sorted({t.lower() for t in query_terms})
@@ -139,18 +149,19 @@ def search_text_index(
     meta = metadata.read_sidecar(spark, index_path)
     if meta is None:
         raise ValueError(f"no text index at {index_path} (build_text_index)")
-    # the bucket count is a LAYOUT property recorded in the stats row at
-    # build time (counting distinct partition dirs would under-read it on
-    # sparse small corpora)
+    id_cols = [c for c in meta.column_types if c not in _POSTING_COLS]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"{index_path} does not look like a text index "
+            f"(columns: {list(meta.column_types)})"
+        )
+    id_col = id_cols[0]
     stats = fetch_path(spark, _stats_path(index_path)).collect()[0]
     n_docs, total_len = int(stats["n_docs"]), int(stats["total_len"])
-    n_buckets = int(stats["n_buckets"])
-    buckets = sorted({_bucket_of(t, n_buckets) for t in terms})
     postings = fetch_path(
         spark,
         index_path,
         filters=[
-            {"partition": "bucket", "comparison": "==", "values": buckets},
             {"partition": "term", "comparison": "==", "values": terms},
         ],
     )

@@ -1,6 +1,8 @@
 """Text search index at rest (text_index.py): exact BM25 parity with the
-corpus-side operator, and the pruned-read contract."""
+corpus-side operator, the hidden-bucket layout, and the pruned-read
+contract (derived-partition pushdown composing with bloom skipping)."""
 
+import hashlib
 import importlib
 
 import pytest
@@ -8,13 +10,14 @@ from pyspark.sql import functions as F
 
 from s3parq_spark import metadata
 from s3parq_spark.operators import bm25_scores
-from s3parq_spark.text_index import (
-    _bucket_of,
-    build_text_index,
-    search_text_index,
-)
+from s3parq_spark.text_index import build_text_index, search_text_index
 
 fetch_mod = importlib.import_module("s3parq_spark.fetch")
+
+
+def _bucket(term: str, n: int) -> int:
+    # test-side twin of the recorded transform, for plan assertions only
+    return int(hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16) % n
 
 
 @pytest.fixture()
@@ -49,42 +52,78 @@ def test_search_equals_corpus_bm25(spark, docs, index):
     assert got == []
 
 
-def test_bucket_hash_parity_and_layout(spark, index):
-    from s3parq_spark.operators.sampling import _hash60
-
+def test_layout_is_the_datasets_own_contract(spark, index):
+    """The bucket transform lives in the sidecar (hidden partitioning),
+    term carries bloom fingerprints, and the id column is recovered from
+    the schema — no caller-side bookkeeping anywhere."""
     m = metadata.read_sidecar(spark, index)
     assert m.partitions == ["bucket"]
+    assert "bucket" in (m.derived_partitions or {})
+    assert "md5" in m.derived_partitions["bucket"]
     assert m.file_bloom_columns() == ["term"]
-    # driver bucket == JVM bucket for assorted terms
-    terms = ["the", "hash", "Ünïcode", "", "a" * 100]
-    df = spark.createDataFrame([(t,) for t in terms], "term string")
-    got = df.select(
-        "term", F.pmod(_hash60(F.col("term")), F.lit(16)).alias("b")
-    ).collect()
-    for r in got:
-        assert r["b"] == _bucket_of(r["term"], 16)
+    # searching a non-index dataset fails loudly
+    with pytest.raises(ValueError, match="at least one query term"):
+        search_text_index(spark, index, [])
 
 
 def test_search_reads_only_query_buckets(spark, index):
-    """The search fetch must prune to the query terms' buckets at the
-    file index and bloom-skip within them — never a corpus/index scan."""
+    """One term filter must prune to the query terms' buckets at the file
+    index (hidden-partition pushdown) AND bloom-skip files within them
+    (the residual/data-skipping composition) — never an index scan."""
     terms = ["hash", "vector"]
     df = search_text_index(spark, index, terms, k=10)
-    jmode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
-        "formatted"
-    )
-    plan = df._jdf.queryExecution().explainString(jmode)
-    assert "bucket" in plan
     m = metadata.read_sidecar(spark, index)
     all_files = m.manifest_files()
-    want_buckets = {f"bucket={_bucket_of(t, 16)}/" for t in terms}
-    scanned = [
-        f for f in df.inputFiles() if "_stats" not in f
-    ]
+    want = {f"bucket={_bucket(t, 16)}/" for t in terms}
+    scanned = [f for f in df.inputFiles() if "_stats" not in f]
     assert scanned, "search read no index files"
     assert len(scanned) < len(all_files)
     for f in scanned:
-        assert any(b in f for b in want_buckets), f
+        assert any(b in f for b in want), f
+    # the bloom prune bites within the kept buckets when a bucket holds
+    # several files: kept files <= files of the wanted buckets
+    bucket_files = [
+        f for f in all_files if any(b in f for b in want)
+    ]
+    assert len(scanned) <= len(bucket_files)
+
+
+def test_residual_prune_composition_generic(spark, tmp_path):
+    """The engine-level piece on a plain dataset: a filter on the SOURCE
+    column of a derived partition drives partition pruning AND the bloom
+    file prune, with exact results."""
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.publish import publish_path
+
+    path = str(tmp_path / "ds")
+    # users in contiguous 50-row blocks: a bucket's files then hold
+    # DIFFERENT user subsets, so the fingerprints have something to skip
+    rows = [(i, f"u{i // 50}", float(i)) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, user string, v double")
+    publish_path(
+        spark, path, df, [],
+        derived_partitions={
+            "ub": "cast(pmod(cast(conv(substring(md5(cast(user as binary)),"
+                  " 1, 15), 16, 10) as bigint), 8) as int)"
+        },
+        max_records_per_file=100,
+        file_bloom_columns=["user"],
+    )
+    m = metadata.read_sidecar(spark, path)
+    files = m.manifest_files()
+    flt = [{"partition": "user", "comparison": "==", "values": ["u13"]}]
+    got = fetch_path(spark, path, filters=flt)
+    assert got.count() == sum(1 for _, u, _v in rows if u == "u13")
+    scanned = got.inputFiles()
+    assert 0 < len(scanned) < len(files)
+    b = _bucket("u13", 8)
+    assert all(f"ub={b}/" in f for f in scanned)
+    # within the bucket, the bloom fingerprint skips files lacking u13
+    in_bucket = [f for f in files if f.startswith(f"ub={b}/")]
+    if len(in_bucket) >= 4:
+        assert len(scanned) < len(in_bucket), (
+            "bloom did not skip inside the derived bucket"
+        )
 
 
 def test_max_df_drops_stop_terms(spark, tmp_dataset_dir):
@@ -98,5 +137,3 @@ def test_max_df_drops_stop_terms(spark, tmp_dataset_dir):
     assert _rows(search_text_index(spark, tmp_dataset_dir, ["stop"])) == []
     got = _rows(search_text_index(spark, tmp_dataset_dir, ["unique3", "stop"]))
     assert len(got) == 1 and got[0][0] == 3 and got[0][1] == 1
-    with pytest.raises(ValueError, match="at least one query term"):
-        search_text_index(spark, tmp_dataset_dir, [])

@@ -173,9 +173,11 @@ def _machine(spark, base_dir):
         @rule(data=st.data(), n_new=st.integers(0, 2))
         def mor_upsert(self, data, n_new):
             visible_ids = sorted({i for i, _ in self._visible()})
+            # force at least one update when there are no inserts (else
+            # the step would silently no-op and never reach merge_upsert)
+            lo = min(0 if n_new else 1, len(visible_ids))
             n_upd = data.draw(
-                st.integers(0 if (n_new or visible_ids) else 1,
-                            min(3, len(visible_ids))),
+                st.integers(lo, min(3, len(visible_ids))),
                 label="n_updates",
             ) if visible_ids else 0
             upd_ids = (
