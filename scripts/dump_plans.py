@@ -392,6 +392,14 @@ CASES = [
         "anywhere in the plan.",
     ),
     (
+        "text_index_search",
+        "Index-at-rest BM25: ONE term filter - hidden-partition pushdown "
+        "prunes the scan to the query terms' buckets (the InMemoryFileIndex "
+        "path count is the pruned set, bloom-skipped within buckets); "
+        "df_t and the ranking run over the tiny posting slice; the corpus "
+        "appears nowhere in the plan.",
+    ),
+    (
         "hybrid_search_rrf",
         "Hybrid RRF: corpus-scale work is inside the rankers (BM25: "
         "term-keyed partial aggregates + TakeOrderedAndProject; cosine: "
