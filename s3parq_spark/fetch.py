@@ -947,13 +947,30 @@ def _residual_prune_filters(
     the FILE prunes only — the row-level predicate still comes from the
     residual itself, so this can only skip provably-dead files, never
     change results. Covers the source columns that carry per-file stats
-    (zone maps) or fingerprints (blooms)."""
+    (zone maps) or fingerprints (blooms).
+
+    Type discipline: the residual row predicate is a RAW Catalyst
+    comparison (``_clause_predicate`` — implicit casts, so ``user = 7``
+    matches the string '7'), while the prunes follow the reference truth
+    table (cross-class ``==`` is a provable no-match). A filter carrying
+    any value outside the column's class could therefore match rows via
+    cast that the prunes would call dead — such a filter is excluded
+    from pruning ENTIRELY (keep every file; the residual still filters
+    rows), keeping the prune superset-safe relative to the predicate
+    actually applied."""
+    from .filters import _compatible
+
     covered = set(meta.zone_map_columns()) | set(meta.file_bloom_columns())
-    return [
-        {"partition": c, "comparison": cmp, "values": list(vals)}
-        for (c, cmp, vals) in residuals
-        if c in covered
-    ]
+    out = []
+    for c, cmp, vals in residuals:
+        vocab = meta.column_types.get(c)
+        if c not in covered or vocab is None:
+            continue
+        if all(v is None or _compatible(vocab, v) for v in vals):
+            out.append(
+                {"partition": c, "comparison": cmp, "values": list(vals)}
+            )
+    return out
 
 
 def _split_zone_filters(

@@ -88,9 +88,11 @@ def build_text_index(
         ).alias("term"),
     )
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # dl feeds the postings join AND the stats row: persist the (small,
-    # one row per doc) aggregate so the corpus is tokenized for it once
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl")).persist()
+    # dl derives from tf (postings cover ALL terms, so sum(tf) per doc IS
+    # the document length) and feeds the postings join AND the stats row:
+    # persisted, so the corpus is tokenized exactly once — by the tf
+    # aggregate — however many consumers follow
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
     try:
         postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
         if max_df is not None:

@@ -3758,38 +3758,9 @@ def q_text_index_search(spark, sf_dir):
 
 
 QUERIES_EXT2["text_index_search"] = q_text_index_search
-ORACLE_EXT2["text_index_search"] = """
-    WITH toks AS (
-      SELECT doc_id AS doc,
-             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
-      FROM documents
-    ), dl AS (
-      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
-    ), stats AS (
-      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
-    ), tf AS (
-      SELECT doc, term, COUNT(*) AS tf FROM toks
-      WHERE term IN ('hash', 'join', 'vector') GROUP BY doc, term
-    ), dfreq AS (
-      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
-    ), scored AS (
-      SELECT tf.doc,
-             CAST(
-               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
-               ((tf * 2.2) /
-                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
-                             (CAST(total_len AS DOUBLE) / n_docs))))
-               AS DECIMAL(28,12)) AS s
-      FROM tf
-      JOIN dfreq USING (term)
-      JOIN dl USING (doc)
-      CROSS JOIN stats
-    ), agg AS (
-      SELECT doc, COUNT(*) AS n_terms, CAST(SUM(s) AS DOUBLE) AS score
-      FROM scored GROUP BY doc
-    )
-    SELECT doc AS doc_id, n_terms, round(score, 6) AS score
-    FROM agg
-    ORDER BY score DESC, doc ASC
-    LIMIT 10
-"""
+# the index must reproduce the full-corpus BM25 EXACTLY: same oracle,
+# one copy (a tweak to bm25_search's oracle applies to both gates)
+from .workload import ORACLE_SQL as _ORACLE_MAIN  # noqa: E402
+
+ORACLE_EXT2["text_index_search"] = _ORACLE_MAIN["bm25_search"]
+

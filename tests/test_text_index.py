@@ -137,3 +137,44 @@ def test_max_df_drops_stop_terms(spark, tmp_dataset_dir):
     assert _rows(search_text_index(spark, tmp_dataset_dir, ["stop"])) == []
     got = _rows(search_text_index(spark, tmp_dataset_dir, ["unique3", "stop"]))
     assert len(got) == 1 and got[0][0] == 3 and got[0][1] == 1
+
+
+def test_residual_prune_respects_catalyst_cast_semantics(spark, tmp_path):
+    """r9 review repro: the residual ROW predicate is a raw Catalyst
+    comparison (implicit casts: user = 7 matches the string '7'), so a
+    type-mismatched probe must NOT let the truth-table prunes drop the
+    files — the filter is excluded from pruning and the residual decides."""
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.publish import publish_path
+
+    path = str(tmp_path / "ds")
+    rows = [(i, str(i // 50), float(i)) for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, user string, v double")
+    publish_path(
+        spark, path, df, [],
+        derived_partitions={
+            "ub": "cast(pmod(cast(conv(substring(md5(cast(user as binary)),"
+                  " 1, 15), 16, 10) as bigint), 4) as int)"
+        },
+        max_records_per_file=100,
+        file_bloom_columns=["user"],
+    )
+    # int probe against the string column: Catalyst casts and matches
+    got = fetch_path(spark, path, filters=[
+        {"partition": "user", "comparison": "==", "values": [7]},
+    ])
+    assert got.count() == 50
+    # string probe still prunes AND matches exactly
+    got = fetch_path(spark, path, filters=[
+        {"partition": "user", "comparison": "==", "values": ["7"]},
+    ])
+    assert got.count() == 50
+
+
+def test_non_index_dataset_fails_loudly(spark, tmp_path, index):
+    from s3parq_spark.text_index import _stats_path
+
+    with pytest.raises(ValueError, match="does not look like a text index"):
+        search_text_index(spark, _stats_path(index), ["hash"])
+    with pytest.raises(ValueError, match="no text index"):
+        search_text_index(spark, str(tmp_path / "nothing"), ["hash"])
