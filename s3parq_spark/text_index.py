@@ -50,7 +50,7 @@ from pyspark.sql import functions as F
 from .fetch import fetch_path
 from .publish import publish_path
 
-__all__ = ["build_text_index", "search_text_index"]
+__all__ = ["append_to_text_index", "build_text_index", "search_text_index"]
 
 #: the recorded hidden-partition transform (term -> bucket): the engine's
 #: portable 60-bit md5 folded to the bucket count. Stored in the sidecar
@@ -121,6 +121,62 @@ def build_text_index(
         stats = dl.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("dl").alias("total_len"),
+        )
+        publish_path(
+            spark, _stats_path(index_path), stats, [], mode="overwrite"
+        )
+    finally:
+        dl.unpersist()
+
+
+def append_to_text_index(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Incremental indexing: append NEW documents' postings into the
+    existing layout — the bucket transform is the dataset's recorded
+    derived partition, so the append re-derives it automatically and the
+    new postings land exactly where searches look; the stats row is
+    folded forward (O(new docs), never O(corpus)). The caller's contract,
+    stated not checked (checking would scan the index): ``new_docs`` ids
+    are NOT already indexed — an id indexed twice would double its
+    postings and inflate df_t. Re-indexing changed documents needs a
+    rebuild (or a future eq-delete of the old postings)."""
+    from . import metadata
+
+    meta = metadata.read_sidecar(spark, index_path)
+    if meta is None or "bucket" not in (meta.derived_partitions or {}):
+        raise ValueError(
+            f"no text index at {index_path} (build_text_index first)"
+        )
+    toks = new_docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
+    try:
+        postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
+        publish_path(
+            spark, index_path, postings, [], mode="append",
+            sort_within_files=["term"],
+        )
+        delta = dl.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("dl").alias("total_len"),
+        ).collect()[0]
+        prev = fetch_path(spark, _stats_path(index_path)).collect()[0]
+        stats = spark.createDataFrame(
+            [(
+                int(prev["n_docs"]) + int(delta["n_docs"]),
+                int(prev["total_len"]) + int(delta["total_len"]),
+            )],
+            "n_docs long, total_len long",
         )
         publish_path(
             spark, _stats_path(index_path), stats, [], mode="overwrite"

@@ -178,3 +178,28 @@ def test_non_index_dataset_fails_loudly(spark, tmp_path, index):
         search_text_index(spark, _stats_path(index), ["hash"])
     with pytest.raises(ValueError, match="no text index"):
         search_text_index(spark, str(tmp_path / "nothing"), ["hash"])
+
+
+def test_incremental_append_equals_full_rebuild(spark, docs, tmp_path):
+    """Index half the corpus, append the other half: searches must equal
+    full-corpus BM25 exactly (bucket routing is the dataset's recorded
+    transform, so appended postings land where searches look; stats fold
+    forward O(new docs))."""
+    from s3parq_spark.text_index import append_to_text_index
+
+    path = str(tmp_path / "idx")
+    build_text_index(
+        spark, docs.filter("doc_id < 250"), path, "doc_id", "text",
+        n_buckets=16,
+    )
+    append_to_text_index(
+        spark, docs.filter("doc_id >= 250"), path, "doc_id", "text"
+    )
+    for terms in (["hash", "join", "vector"], ["model", "data"]):
+        got = _rows(search_text_index(spark, path, terms, k=10))
+        exp = _rows(bm25_scores(docs, "doc_id", "text", terms, top_k=10))
+        assert got == exp, terms
+    with pytest.raises(ValueError, match="no text index"):
+        append_to_text_index(
+            spark, docs.limit(1), str(tmp_path / "nope"), "doc_id", "text"
+        )
