@@ -82,25 +82,14 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 9 additions — 6 this round (over the usual <=4 budget: the
-    # merge-on-read upsert and index-at-rest search landed as later
-    # waves and each must get its first-round row; the window still
-    # reaches 42 least-recently-verified tail queries after 2 sentinels
-    # + 6 new):
-    "bloom_point_fetch",  # new: per-file bloom fingerprints — driver-side
-                          # point-lookup file skipping on scattered keys
-    "funnel_events",      # new: multi-stage ordered funnel — chained
-                          # running-min windows, one shuffle, no self-join
-    "hybrid_search_rrf",  # new: reciprocal-rank fusion of BM25 + cosine
-                          # rankings (hybrid lexical+vector retrieval)
-    "rollup_revenue",     # new: multidimensional ROLLUP aggregate with
-                          # grouping_id, one Expand pass
-    "mor_upsert_fetch",   # new: merge-on-read UPSERT — equality
-                          # key-deletes (Iceberg-v2 eq-delete files),
-                          # O(batch) commit, per-era anti-join read
-    "text_index_search",  # new: BM25 from an index AT REST — bucket
-                          # partition prune + term bloom skip, exact
-                          # parity with full-corpus BM25
+    # Round 10 additions — 2 this round (under the <=4 budget so the
+    # window reaches 46 least-recently-verified tail queries):
+    "text_index_reindex",    # new: O(changed-docs) index maintenance via
+                             # equality key-deletes — search == rebuild
+                             # over the updated corpus exactly
+    "events_stream_upsert",  # new: streaming UPSERT sink — foreachBatch →
+                             # merge-on-read eq-delete snapshots, replayed
+                             # stream == batch latest_user_state oracle
 )
 
 

@@ -64,7 +64,15 @@ def _files_and_meta(
         manifest = meta.manifest_files()
         if manifest is not None:
             return manifest, meta, True
-    return fs.list_files(spark, path), meta, False
+    # fallback walk: engine-internal files (_eq_deletes key frames) are
+    # metadata, never data rows — defensive here (a dataset with pending
+    # eq-deletes always has an intact manifest), load-bearing for vacuumed
+    # accept_not_s3parq reads of directories someone else littered
+    return (
+        [f for f in fs.list_files(spark, path) if not fs.is_hidden_rel(f)],
+        meta,
+        False,
+    )
 
 
 def get_all_files_list(bucket: str, key: str = "", spark: Optional[SparkSession] = None) -> List[str]:
@@ -585,7 +593,7 @@ def dataset_rowcount(
                 "metadata counts need an intact manifest"
             )
         return None
-    files_meta = (meta.zone_maps or {}).get("files", {})
+    files_meta = meta.file_stats()
     missing = [
         f for f in manifest
         if "rows" not in files_meta.get(f, {})
@@ -628,7 +636,7 @@ def partition_rowcounts(
         raise ValueError(
             f"partition_rowcounts: no snapshot history at {path}"
         )
-    files_meta = (meta.zone_maps or {}).get("files", {})
+    files_meta = meta.file_stats()
     dtype = meta.partition_data_types[partition]
     out: Dict[object, int] = {}
     for rel in manifest:
@@ -1073,7 +1081,6 @@ def _prune_zone_files(
 
     import datetime as _dtm
 
-    file_stats = meta.zone_maps.get("files", {})
     active = []
     for f in first_filter_per_partition(zone_filters):
         col = f["partition"]
@@ -1105,6 +1112,9 @@ def _prune_zone_files(
         active.append((col, vocab, f["comparison"], vals))
     if not active:
         return files
+    # stats load AFTER the active check: a fetch whose filters can't prune
+    # never touches (or pays for) the stats manifests
+    file_stats = meta.file_stats()
     out = []
     for rel in files:
         st = file_stats.get(rel)
@@ -1214,7 +1224,7 @@ def _prune_bloom_files(
             pos_cache[key] = positions(canonical_str(v), m_bits)
         return pos_cache[key]
 
-    file_meta = meta.zone_maps.get("files", {})
+    file_meta = meta.file_stats()  # lazy: loads manifests only here
     out = []
     for rel in files:
         blooms = (file_meta.get(rel) or {}).get("bloom") or {}

@@ -20,6 +20,20 @@ from pyspark.sql import SparkSession
 
 SIDECAR_NAME = "_s3parq_metadata.json"
 
+#: engine-internal directories under a dataset root whose files are METADATA,
+#: never data rows: equality-delete key frames (merge-on-read upsert) and the
+#: columnar stats manifests. Anything computing "this dataset's data files"
+#: from a listing must skip them (stats manifests don't end in .parquet, so
+#: only the key files can actually collide — but one membership test covers
+#: both and every future hidden plane).
+HIDDEN_DATA_DIRS = ("_eq_deletes", "_s3parq_stats")
+
+
+def is_hidden_rel(rel: str) -> bool:
+    """True when a dataset-relative path lives under an engine-internal
+    (non-data) directory — see ``HIDDEN_DATA_DIRS``."""
+    return rel.split("/", 1)[0] in HIDDEN_DATA_DIRS
+
 
 def _jvm_fs(spark: SparkSession, path: str):
     """Resolve a Hadoop FileSystem + Path for a URI (local, hdfs or s3a)."""
@@ -241,6 +255,42 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
     stream = fs.create(jpath, True)  # overwrite
     try:
         stream.write(bytearray(content.encode("utf-8")))
+    finally:
+        stream.close()
+
+
+def read_bytes(spark: SparkSession, path: str) -> bytes:
+    """Whole-file binary read (driver-side metadata op) — the stats-manifest
+    loader's primitive. Local paths read from the OS; remote schemes drain
+    the Hadoop stream JVM-side (commons-io), same split as ``read_text``."""
+    local = _local_root(path, spark)
+    if local is not None:
+        with open(local, "rb") as fh:
+            return fh.read()
+    fs, jpath, jvm = _jvm_fs(spark, path)
+    stream = fs.open(jpath)
+    try:
+        return bytes(jvm.org.apache.commons.io.IOUtils.toByteArray(stream))
+    finally:
+        stream.close()
+
+
+def write_bytes(spark: SparkSession, path: str, data: bytes) -> None:
+    """Whole-file binary write (create/overwrite, parents made) — the
+    stats-manifest writer's primitive. Same local/Hadoop split as
+    ``write_text``."""
+    local = _local_root(path, spark)
+    if local is not None:
+        import os
+
+        os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
+        with open(local, "wb") as fh:
+            fh.write(data)
+        return
+    fs, jpath, _ = _jvm_fs(spark, path)
+    stream = fs.create(jpath, True)  # overwrite
+    try:
+        stream.write(bytearray(data))
     finally:
         stream.close()
 

@@ -194,7 +194,7 @@ def clustering_depth(spark: SparkSession, path: str, column: str) -> Dict[str, f
         )
     manifest = meta.manifest_files() or []
     vocab = meta.column_types.get(column, "string")
-    files_meta = (meta.zone_maps or {}).get("files", {})
+    files_meta = meta.file_stats()
     ranges = []
     for rel in manifest:
         st = (files_meta.get(rel) or {}).get("stats", {}).get(column)

@@ -46,6 +46,13 @@ VOCAB_TO_SPARK = {
 
 _DECIMAL_RE = re.compile(r"^decimal(?:\((\d+)\s*,\s*(\d+)\))?$", re.I)
 
+#: hidden directory (relative to the dataset root) holding per-version
+#: columnar stats manifests. Files there deliberately do NOT end in
+#: ``.parquet`` (they are ``.stats``), so every ``.parquet``-suffixed
+#: listing (publish diffs, fetch fallback walks, vacuum candidates) is
+#: blind to them by construction.
+STATS_DIR = "_s3parq_stats"
+
 #: reference datetime partition-path format (``fetch_parq.py:437-441``)
 DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"
 
@@ -206,6 +213,11 @@ class DatasetMetadata:
         # {"src", "group_by", "aggs", "last_src_version"}; refresh reads
         # only the source versions after last_src_version.
         self.aggregate = None
+        # lazy per-file stats source (set by read_sidecar): () -> merged
+        # {relpath: {"rows", "stats", "bloom"}} from the columnar stats
+        # manifests. NOT serialized — a loader binds a (spark, path) pair.
+        self._stats_loader = None
+        self._file_stats_cache: Optional[Dict[str, dict]] = None
 
     @classmethod
     def from_dataframe(cls, df: DataFrame, partitions: List[str]) -> "DatasetMetadata":
@@ -274,6 +286,10 @@ class DatasetMetadata:
         view.snapshots = [
             s for s in self.snapshots if s["version"] <= version
         ]
+        # the stats source travels with the view: a time-travel read prunes
+        # against the same manifests (stale-for-the-view entries describe
+        # files its truncated history doesn't reference — never looked up)
+        view._stats_loader = self._stats_loader
         return view
 
     def tombstones(self) -> List[tuple]:
@@ -339,6 +355,48 @@ class DatasetMetadata:
             return []
         return list(self.zone_maps.get("bloom_columns", []))
 
+    def stats_manifests(self) -> List[dict]:
+        """The per-version columnar stats manifests the sidecar points at:
+        ``[{"path": rel, "version": v, "files": n}, ...]`` in commit order.
+        The sidecar carries only these pointers — O(versions), never
+        O(files): the per-file min/max/bloom state itself lives in the
+        manifests and is loaded lazily by ``file_stats``."""
+        if not self.zone_maps:
+            return []
+        return list(self.zone_maps.get("stats_manifests", []))
+
+    def file_stats(self) -> Dict[str, dict]:
+        """Per-file data-skipping stats, lazily loaded and memoized:
+        ``{relpath: {"rows": n, "stats": {col: [min,max,nulls]}, "bloom":
+        {col: fingerprint}}}``. Merges (in order, later wins per file):
+
+        1. the columnar stats manifests (``stats_manifests`` pointers),
+           loaded through the module cache — each manifest is immutable
+           once written, so a load is paid once per process;
+        2. the legacy inline ``zone_maps["files"]`` dict (pre-r10
+           sidecars, and entries DDL ops mutated in place).
+
+        Column keys are normalized to CURRENT names via ``column_renames``
+        (manifests are never rewritten on a rename; the mapping is applied
+        at load, copy-on-write so the shared cache stays pristine).
+        Entries for files no snapshot references any more are simply never
+        looked up — consumers key by live manifest files. Returns ``{}``
+        when the dataset has no data-skipping state, or when manifests
+        exist but no loader was bound (a hand-built metadata object):
+        missing stats are superset-safe by contract — prunes keep the
+        file, counts raise their honesty error."""
+        if self._file_stats_cache is not None:
+            return self._file_stats_cache
+        if not self.zone_maps:
+            return {}
+        out: Dict[str, dict] = {}
+        if self.stats_manifests() and self._stats_loader is not None:
+            out.update(self._stats_loader(self))
+        inline = self.zone_maps.get("files") or {}
+        out.update(inline)
+        self._file_stats_cache = out
+        return out
+
     # -- partition-spec evolution helpers ---------------------------------
 
     def specs(self) -> List[dict]:
@@ -377,6 +435,7 @@ class DatasetMetadata:
             column_renames=self.column_renames,
         )
         view.stats = self.stats
+        view._stats_loader = self._stats_loader
         return view
 
     def snapshot_spec_id(self, snapshot: dict) -> int:
@@ -487,7 +546,160 @@ def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
     p = sidecar_path(path)
     if not fs.exists(spark, p):
         return None
-    return DatasetMetadata.from_dict(fs.read_json(spark, p))
+    meta = DatasetMetadata.from_dict(fs.read_json(spark, p))
+    meta._stats_loader = lambda m: _load_file_stats(spark, path, m)
+    return meta
+
+
+# -- per-version columnar stats manifests ------------------------------------
+#
+# The sidecar is the reference's authoritative-metadata contract
+# (``fetch_parq.py:357-388``) and must stay O(columns + versions): inlining
+# per-file min/max/bloom state couples its size to the FILE count
+# (~2.4 KB/file measured with one 8192-bit bloom column), i.e. gigabytes of
+# driver-side JSON parse per metadata read at the ~10^6 files a 100 TB
+# dataset implies. The Iceberg shape instead: each publish spills its new
+# files' stats to one immutable columnar manifest under _s3parq_stats/ and
+# the sidecar records only the pointer. Readers load manifests lazily —
+# only when an active prune filter references a declared zone/bloom column
+# — through a process-wide cache (manifests are write-once, so cache
+# entries never go stale).
+
+#: process-wide manifest cache: absolute manifest path -> parsed entries.
+#: Bounded LRU — a long-lived driver touching many datasets must not
+#: accumulate every manifest it ever pruned against.
+_STATS_MANIFEST_CACHE: "dict[str, Dict[str, dict]]" = {}
+_STATS_MANIFEST_CACHE_MAX = 64
+
+
+def write_stats_manifest(
+    spark: SparkSession, path: str, version: int, stats_map: Dict[str, dict]
+) -> str:
+    """Write ONE publish's per-file stats as an immutable columnar manifest
+    under ``_s3parq_stats/``; returns the dataset-relative manifest path the
+    sidecar should point at. Layout: one row per data file — ``file``
+    (relpath), ``rows``, ``stats`` / ``bloom`` as compact JSON (values are
+    already in their JSON-safe sidecar rendering, ``zone_stat_to_json``).
+    The ``.stats`` suffix keeps every ``.parquet`` listing blind to it."""
+    import io
+    import json as _json
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rel = f"{STATS_DIR}/v{version}-{_uuid.uuid4().hex[:12]}.stats"
+    files = sorted(stats_map)
+    table = pa.table(
+        {
+            "file": pa.array(files, pa.string()),
+            "rows": pa.array(
+                [int(stats_map[f].get("rows", 0)) for f in files], pa.int64()
+            ),
+            "stats": pa.array(
+                [
+                    _json.dumps(stats_map[f]["stats"])
+                    if stats_map[f].get("stats")
+                    else None
+                    for f in files
+                ],
+                pa.string(),
+            ),
+            "bloom": pa.array(
+                [
+                    _json.dumps(stats_map[f]["bloom"])
+                    if stats_map[f].get("bloom")
+                    else None
+                    for f in files
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    fs.write_bytes(spark, posixpath.join(path, rel), buf.getvalue())
+    return rel
+
+
+def _read_stats_manifest(
+    spark: SparkSession, path: str, rel: str
+) -> Dict[str, dict]:
+    """Parse one stats manifest → ``{relpath: entry}`` through the
+    process-wide cache. A missing/unreadable manifest contributes nothing
+    (superset-safe: prunes keep uncovered files; counts raise honestly)."""
+    full = posixpath.join(path, rel)
+    cached = _STATS_MANIFEST_CACHE.get(full)
+    if cached is not None:
+        return cached
+    import json as _json
+
+    import pyarrow.parquet as pq
+
+    try:
+        local = fs._local_root(full, spark)
+        if local is not None:
+            table = pq.read_table(local)
+        else:
+            import pyarrow as pa
+
+            table = pq.read_table(pa.BufferReader(fs.read_bytes(spark, full)))
+    except OSError:
+        return {}
+    out: Dict[str, dict] = {}
+    cols = table.to_pydict()
+    for i, f in enumerate(cols["file"]):
+        entry: dict = {"rows": int(cols["rows"][i])}
+        if cols["stats"][i] is not None:
+            entry["stats"] = _json.loads(cols["stats"][i])
+        if cols["bloom"][i] is not None:
+            entry["bloom"] = _json.loads(cols["bloom"][i])
+        out[f] = entry
+    if len(_STATS_MANIFEST_CACHE) >= _STATS_MANIFEST_CACHE_MAX:
+        _STATS_MANIFEST_CACHE.pop(next(iter(_STATS_MANIFEST_CACHE)))
+    _STATS_MANIFEST_CACHE[full] = out
+    return out
+
+
+def _load_file_stats(
+    spark: SparkSession, path: str, meta: DatasetMetadata
+) -> Dict[str, dict]:
+    """Union of every pointed-at stats manifest (commit order, later wins
+    per file), column keys normalized to CURRENT names via the sidecar's
+    rename history — copy-on-write so cached manifest entries are never
+    mutated."""
+    merged: Dict[str, dict] = {}
+    for m in meta.stats_manifests():
+        merged.update(_read_stats_manifest(spark, path, m["path"]))
+    # rename normalization: manifests written before a rename_column carry
+    # the old physical key; the declaration moved, the recorded bounds
+    # describe the same physical data
+    moves = []
+    for cur in (*meta.zone_map_columns(), *meta.file_bloom_columns()):
+        for prior in meta.column_renames.get(cur, []):
+            moves.append((cur, prior))
+    if moves:
+        for f, entry in list(merged.items()):
+            fixed = None
+            for kind in ("stats", "bloom"):
+                d = entry.get(kind)
+                if not d:
+                    continue
+                for cur, prior in moves:
+                    if cur not in d and prior in d:
+                        if fixed is None:
+                            fixed = {
+                                **entry,
+                                **{
+                                    k: dict(entry[k])
+                                    for k in ("stats", "bloom")
+                                    if entry.get(k)
+                                },
+                            }
+                        fixed[kind][cur] = fixed[kind].pop(prior)
+            if fixed is not None:
+                merged[f] = fixed
+    return merged
 
 
 def merge_sidecar(

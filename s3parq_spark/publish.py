@@ -809,6 +809,10 @@ def publish_path(
         else:
             spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
+    # full-listing diffs must never adopt engine-internal metadata files as
+    # data: an _eq_deletes/ key frame written just before this publish (or
+    # by a concurrent upsert) is NOT in a SCOPED 'before' set, so the
+    # fallback diff would commit it as a scannable data file
     if scoped_dirs is not None:
         new = [f for f in _list_scoped(spark, path, scoped_dirs) if f not in before]
         if not new:
@@ -816,9 +820,17 @@ def publish_path(
             # partition, so an empty scoped diff means the constructed dirs
             # missed (unsupported partition type rendering) — fall back to
             # one full listing rather than report nothing
-            new = [f for f in fs.list_files(spark, path) if f not in before]
+            new = [
+                f
+                for f in fs.list_files(spark, path)
+                if f not in before and not fs.is_hidden_rel(f)
+            ]
     else:
-        new = [f for f in fs.list_files(spark, path) if f not in before]
+        new = [
+            f
+            for f in fs.list_files(spark, path)
+            if f not in before and not fs.is_hidden_rel(f)
+        ]
 
     # Append-only version history: each publish is a snapshot recording the
     # files it added; ``fetch_at(v)`` replays the prefix union. Overwrite
@@ -865,7 +877,11 @@ def publish_path(
         snaps = list(merged.snapshots)
         if not snaps:
             new_set = set(new)
-            prior = [f for f in fs.list_files(spark, path) if f not in new_set]
+            prior = [
+                f
+                for f in fs.list_files(spark, path)
+                if f not in new_set and not fs.is_hidden_rel(f)
+            ]
             if prior:
                 # bootstrap snapshot: its files predate this commit; no
                 # truthful timestamp exists, so it carries none (timestamp
@@ -913,7 +929,7 @@ def publish_path(
             list(file_bloom_columns or []),
             file_bloom_bits or bloom.DEFAULT_M_BITS,
         )
-        zm = merged.zone_maps or {"columns": [], "files": {}}
+        zm = merged.zone_maps or {"columns": []}
         zm["columns"] = list(zone_map_columns)
         if file_bloom_columns:
             zm["bloom_columns"] = list(file_bloom_columns)
@@ -921,12 +937,26 @@ def publish_path(
         else:
             zm.pop("bloom_columns", None)
             zm.pop("bloom_bits", None)
-        zm.setdefault("files", {}).update(stats_map)
-        # GC stat entries for files no snapshot references any more
-        # (partition-scoped DML replaced them): bounds sidecar growth over
-        # the dataset's DML lifetime at O(live files)
-        live = {f for s in snaps for f in s.get("added", [])}
-        zm["files"] = {k: v for k, v in zm["files"].items() if k in live}
+        # per-file stats spill to ONE immutable columnar manifest per
+        # publish (the Iceberg shape): the sidecar stays O(columns +
+        # versions) however many files the dataset accumulates — the
+        # metadata-plane property that survives 10^6-file datasets —
+        # and readers load manifests lazily, only when a prune filter
+        # references a declared column (metadata.file_stats)
+        version = snaps[-1]["version"]
+        rel = metadata.write_stats_manifest(spark, path, version, stats_map)
+        zm.setdefault("stats_manifests", []).append(
+            {"path": rel, "version": version, "files": len(stats_map)}
+        )
+        if zm.get("files"):
+            # legacy inline entries (pre-r10 sidecars): GC the ones no
+            # snapshot references any more; new entries never land here
+            live = {f for s in snaps for f in s.get("added", [])}
+            zm["files"] = {
+                k: v for k, v in zm["files"].items() if k in live
+            }
+            if not zm["files"]:
+                zm.pop("files")
         merged.zone_maps = zm
     metadata.write_sidecar(spark, path, merged)
     return new
@@ -1291,8 +1321,6 @@ def _merge_upsert_mor(
     """merge_upsert's merge-on-read strategy (see its docstring): ONE
     commit = new row images appended + the batch's distinct key tuples
     stamped as an equality delete over everything older."""
-    import uuid as _uuid
-
     from .operators.timeseries import latest_state
 
     if change_log:
@@ -1358,6 +1386,31 @@ def _merge_upsert_mor(
         # stays, like any other payload column
         .select(*required)
     )
+    # the append path re-derives hidden partition columns itself: pass
+    # only the BASE partitions (`required` already excludes derived names)
+    base_partitions = [p for p in meta.partitions if p not in derived]
+    return eq_delete_append(spark, path, batch, keys, base_partitions)
+
+
+def eq_delete_append(
+    spark: SparkSession,
+    path: str,
+    batch,
+    keys: List[str],
+    base_partitions: Optional[List[str]] = None,
+) -> List[str]:
+    """The equality-delete commit primitive ``merge_upsert(mode=
+    "merge-on-read")`` specializes: write ``batch``'s distinct key tuples
+    as key files under ``_eq_deletes/`` and commit ONE snapshot that both
+    appends the batch rows and stamps the key delete over everything
+    older. Unlike ``merge_upsert`` — which dedupes the batch to one row
+    per key (CDC semantics) — the batch here may carry MANY rows per key:
+    the text index's ``reindex_documents`` replaces a document's whole
+    posting LIST under its doc-id key. The caller owns schema agreement
+    with the dataset, key typing, and non-NULL keys (``merge_upsert``
+    validates all three before delegating here)."""
+    import uuid as _uuid
+
     if batch.limit(1).count() == 0:
         return []  # empty batch: no commit, no key files
     key_dir_rel = f"_eq_deletes/{_uuid.uuid4().hex[:12]}"
@@ -1374,14 +1427,11 @@ def _merge_upsert_mor(
     key_bytes = sum(
         fs.file_size(spark, posixpath.join(path, f)) for f in key_files
     )
-    # the append path re-derives hidden partition columns itself: pass
-    # only the BASE partitions (`required` already excludes derived names)
-    base_partitions = [p for p in meta.partitions if p not in derived]
     return publish_path(
         spark,
         path,
         batch,
-        base_partitions,
+        list(base_partitions or []),
         mode="append",
         _eq_delete={
             "keys": list(keys),
@@ -2285,11 +2335,24 @@ def restore_dataset(
         meta.tags = {n: v for n, v in meta.tags.items() if v <= version}
         if meta.zone_maps:
             # zone-map entries of unlinked files go with their files
-            meta.zone_maps["files"] = {
-                k: v
-                for k, v in meta.zone_maps.get("files", {}).items()
-                if k in kept_files
-            }
+            if meta.zone_maps.get("files"):
+                meta.zone_maps["files"] = {
+                    k: v
+                    for k, v in meta.zone_maps["files"].items()
+                    if k in kept_files
+                }
+            # stats-manifest pointers of rolled-back versions too (each
+            # manifest describes exactly its publish's added files). A
+            # promoted-snapshot manifest keeps its STAGED version stamp,
+            # which is <= its promote version — so this can only retain a
+            # stale pointer (dead entries are never looked up), never drop
+            # stats of surviving files
+            if meta.zone_maps.get("stats_manifests"):
+                meta.zone_maps["stats_manifests"] = [
+                    m
+                    for m in meta.zone_maps["stats_manifests"]
+                    if m["version"] <= version
+                ]
         if meta.partition_specs:
             # partition evolution happens at snapshot boundaries, so
             # rolling back past one must roll the CURRENT spec back too:
@@ -2526,16 +2589,26 @@ def discard_snapshot(
             )
         m.snapshots = [s for s in m.snapshots if s["version"] != version]
         if m.zone_maps:
-            # the discarded files' stats entries die with the files —
-            # otherwise an audit-heavy (discard-dominated) ingest bloats
-            # the sidecar with entries for nonexistent files until the
-            # next zone-mapped publish happens to GC them
+            # the discarded files' stats die with the files — otherwise an
+            # audit-heavy (discard-dominated) ingest accumulates pointers/
+            # entries for nonexistent files until the next zone-mapped
+            # publish happens to GC them. The staged publish's stats
+            # manifest covers exactly its own added files, so dropping its
+            # pointer is the whole GC (version numbers are unique in the
+            # history, and a discarded number's reuse mints a NEW pointer).
             dead = set(removed)
-            m.zone_maps["files"] = {
-                k: v
-                for k, v in m.zone_maps.get("files", {}).items()
-                if k not in dead
-            }
+            if m.zone_maps.get("files"):
+                m.zone_maps["files"] = {
+                    k: v
+                    for k, v in m.zone_maps["files"].items()
+                    if k not in dead
+                }
+            if m.zone_maps.get("stats_manifests"):
+                m.zone_maps["stats_manifests"] = [
+                    e
+                    for e in m.zone_maps["stats_manifests"]
+                    if e["version"] != version
+                ]
 
     _guarded_sidecar_write(spark, path, mutate)
     for rel in removed:

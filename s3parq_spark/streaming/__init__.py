@@ -30,5 +30,6 @@ from .events import run_streaming_enriched_counts  # noqa: E402,F401
 __all__ += ["run_streaming_enriched_counts"]
 from .events import stream_latest_state  # noqa: E402,F401
 from .events import run_streaming_window_topk  # noqa: E402,F401
+from .events import stream_upsert  # noqa: E402,F401
 
-__all__ += ["run_streaming_window_topk"]
+__all__ += ["run_streaming_window_topk", "stream_latest_state", "stream_upsert"]

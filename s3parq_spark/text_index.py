@@ -12,7 +12,10 @@ dataset and answers the SAME BM25 ranking from the index alone:
   records ``bucket = hash60(term) % n_buckets`` in the sidecar, so the
   layout is the dataset's own contract, not caller-side bookkeeping —
   with a per-file BLOOM fingerprint on ``term`` (round 9's point-lookup
-  plane), plus a 1-row corpus-stats dataset (n_docs, total_len).
+  plane), plus a 1-row corpus-stats dataset (n_docs, total_len, and the
+  build's ``max_df`` so maintenance ops can enforce its semantics) and a
+  per-doc length dataset ``(id, dl)`` bloom-fingerprinted on the id —
+  the point-lookup side table ``reindex_documents`` folds stats with.
   Per-term document frequency is NOT stored: all postings of a term are
   co-located, so ``df_t`` falls out of the fetched rows themselves.
 - ``search_text_index`` issues ONE filter, on ``term``. The engine's
@@ -24,18 +27,35 @@ dataset and answers the SAME BM25 ranking from the index alone:
   the result is bit-identical to running it over the original corpus
   (pinned by test). Query cost is O(postings of the query terms), never
   O(corpus).
+- ``append_to_text_index`` adds NEW documents in O(new docs);
+  ``reindex_documents`` replaces CHANGED documents in O(changed docs)
+  by composing the engine's equality key-deletes (merge-on-read upsert
+  machinery): one snapshot deletes a doc's old posting list under its
+  id key and appends the new one.
 
 Scale notes: posting rows are (term, id, 2 ints) — a few percent of the
 corpus bytes; a stop-term's posting list splits across files
 (maxRecordsPerFile), and ``max_df`` can drop terms above a document-
 frequency cap at build time (searches then get no contribution from
 them — standard stopword semantics, the one stated divergence from
-corpus-side BM25). A REBUILD writes two datasets (index, then stats)
-non-atomically; rebuild into a fresh path and repoint readers — the
-same recommendation every two-dataset pipeline in this engine follows —
-or accept the small window where stats and index disagree on
-n_docs/total_len (scores shift slightly; bucket routing cannot break:
-the layout travels inside the index's own sidecar).
+corpus-side BM25). A ``max_df`` build records the cap in the stats row,
+and ``append_to_text_index`` / ``reindex_documents`` REFUSE on such an
+index: an incremental write would re-introduce dropped terms with
+postings from the new docs only — a partial postings list with a wildly
+inflated idf (df_t counting only the appended subset), silently wrong
+scores. Enforcing the cap incrementally is impossible without the
+dropped-term postings the build deliberately did not keep; rebuild.
+
+Commit discipline: a REBUILD writes three datasets (index, doclens,
+stats) non-atomically; rebuild into a fresh path and repoint readers —
+the same recommendation every multi-dataset pipeline in this engine
+follows. Incremental writes commit postings, then doclens, then the
+stats row; a failure between commits leaves n_docs/total_len understated
+(scores shift slightly — idf and avgdl use the stale totals) until the
+next successful stats write. The index itself cannot be corrupted by
+the window: postings and doclens are keyed, replayable state; re-running
+the SAME append after a partial failure is NOT idempotent (duplicate
+postings), re-running the same reindex IS (key-deletes replace).
 
 Reference analog: none (extension per SURVEY §7.4).
 """
@@ -48,9 +68,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .fetch import fetch_path
-from .publish import publish_path
+from .publish import eq_delete_append, publish_path
 
-__all__ = ["append_to_text_index", "build_text_index", "search_text_index"]
+__all__ = [
+    "append_to_text_index",
+    "build_text_index",
+    "reindex_documents",
+    "search_text_index",
+]
 
 #: the recorded hidden-partition transform (term -> bucket): the engine's
 #: portable 60-bit md5 folded to the bucket count. Stored in the sidecar
@@ -67,6 +92,68 @@ def _stats_path(index_path: str) -> str:
     return index_path.rstrip("/") + "_stats"
 
 
+def _doclens_path(index_path: str) -> str:
+    return index_path.rstrip("/") + "_doclens"
+
+
+def _check_names(id_col: str, text_col: str) -> None:
+    """The posting schema reserves term/tf/dl/bucket: an id column named
+    one of them would be ambiguous at build and mis-detected by search's
+    id recovery (ADVICE r9). text_col is never stored, but sharing the id
+    name would make the build's explode self-referential."""
+    if id_col in _POSTING_COLS:
+        raise ValueError(
+            f"id_col {id_col!r} collides with the reserved posting "
+            f"columns {_POSTING_COLS}; rename the id column"
+        )
+    if text_col == id_col:
+        raise ValueError("id_col and text_col must be different columns")
+
+
+def _tokenize(docs: DataFrame, id_col: str, text_col: str):
+    """(postings-without-bucket, per-doc dl) for ``docs`` — tokenization
+    matches ``bm25_scores`` exactly: whitespace split of
+    ``trim(lower(text))``. dl derives from tf (postings cover ALL terms,
+    so sum(tf) per doc IS the document length); the caller persists dl —
+    the corpus is tokenized exactly once however many consumers follow."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
+    return postings, dl
+
+
+def _write_stats(
+    spark: SparkSession,
+    index_path: str,
+    n_docs: int,
+    total_len: int,
+    max_df: Optional[int],
+) -> None:
+    stats = spark.createDataFrame(
+        [(int(n_docs), int(total_len), max_df if max_df is None else int(max_df))],
+        "n_docs long, total_len long, max_df long",
+    )
+    publish_path(spark, _stats_path(index_path), stats, [], mode="overwrite")
+
+
+def _read_stats(spark: SparkSession, index_path: str):
+    """The 1-row corpus stats → (n_docs, total_len, max_df). Pre-r10
+    stats rows have no max_df column; they read as None — matching their
+    era's append semantics (the cap was not recorded, appends proceeded)."""
+    row = fetch_path(spark, _stats_path(index_path)).collect()[0]
+    d = row.asDict()
+    mdf = d.get("max_df")
+    return int(d["n_docs"]), int(d["total_len"]), (
+        None if mdf is None else int(mdf)
+    )
+
+
 def build_text_index(
     spark: SparkSession,
     corpus: DataFrame,
@@ -79,22 +166,11 @@ def build_text_index(
 ) -> None:
     """Materialize the inverted index for ``corpus`` at ``index_path``
     (overwrite — a rebuild; see the module docstring for the rebuild
-    contract). Tokenization matches ``bm25_scores`` exactly: whitespace
-    split of ``trim(lower(text))``."""
-    toks = corpus.select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("term"),
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    # dl derives from tf (postings cover ALL terms, so sum(tf) per doc IS
-    # the document length) and feeds the postings join AND the stats row:
-    # persisted, so the corpus is tokenized exactly once — by the tf
-    # aggregate — however many consumers follow
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
+    contract)."""
+    _check_names(id_col, text_col)
+    postings, dl = _tokenize(corpus, id_col, text_col)
+    dl = dl.persist()
     try:
-        postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
         if max_df is not None:
             from pyspark.sql.window import Window
 
@@ -118,15 +194,55 @@ def build_text_index(
             max_records_per_file=max_records_per_file,
             file_bloom_columns=["term"],
         )
-        stats = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_len"),
-        )
+        # per-doc lengths, id-fingerprinted: reindex_documents' O(changed)
+        # point lookups ride the same bloom plane searches use for terms
         publish_path(
-            spark, _stats_path(index_path), stats, [], mode="overwrite"
+            spark,
+            _doclens_path(index_path),
+            dl.select(F.col(id_col), F.col("dl")),
+            [],
+            mode="overwrite",
+            file_bloom_columns=[id_col],
+        )
+        agg = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        _write_stats(
+            spark, index_path, int(agg["n"]), int(agg["t"] or 0), max_df
         )
     finally:
         dl.unpersist()
+
+
+def _require_index(spark: SparkSession, index_path: str):
+    from . import metadata
+
+    meta = metadata.read_sidecar(spark, index_path)
+    if meta is None or "bucket" not in (meta.derived_partitions or {}):
+        raise ValueError(
+            f"no text index at {index_path} (build_text_index first)"
+        )
+    return meta
+
+
+def _index_id_col(meta, index_path: str) -> str:
+    id_cols = [c for c in meta.column_types if c not in _POSTING_COLS]
+    if len(id_cols) != 1:
+        raise ValueError(
+            f"{index_path} does not look like a text index "
+            f"(columns: {list(meta.column_types)})"
+        )
+    return id_cols[0]
+
+
+def _refuse_max_df(max_df: Optional[int], op: str) -> None:
+    if max_df is not None:
+        raise ValueError(
+            f"{op}: this index was built with max_df={max_df} — "
+            "incremental writes would re-introduce dropped terms with "
+            "postings from the new docs only (partial lists, inflated "
+            "idf, silently wrong scores). Rebuild with build_text_index."
+        )
 
 
 def append_to_text_index(
@@ -139,47 +255,159 @@ def append_to_text_index(
     """Incremental indexing: append NEW documents' postings into the
     existing layout — the bucket transform is the dataset's recorded
     derived partition, so the append re-derives it automatically and the
-    new postings land exactly where searches look; the stats row is
-    folded forward (O(new docs), never O(corpus)). The caller's contract,
-    stated not checked (checking would scan the index): ``new_docs`` ids
-    are NOT already indexed — an id indexed twice would double its
-    postings and inflate df_t. Re-indexing changed documents needs a
-    rebuild (or a future eq-delete of the old postings)."""
-    from . import metadata
-
-    meta = metadata.read_sidecar(spark, index_path)
-    if meta is None or "bucket" not in (meta.derived_partitions or {}):
+    new postings land exactly where searches look; doclens and the stats
+    row are folded forward (O(new docs), never O(corpus)). The caller's
+    contract, stated not checked (checking would scan the index):
+    ``new_docs`` ids are NOT already indexed — an id indexed twice would
+    double its postings and inflate df_t; ``reindex_documents`` is the
+    changed-document path. Refuses on a ``max_df``-built index (module
+    docstring). See the module docstring for the multi-commit window."""
+    _check_names(id_col, text_col)
+    meta = _require_index(spark, index_path)
+    if _index_id_col(meta, index_path) != id_col:
         raise ValueError(
-            f"no text index at {index_path} (build_text_index first)"
+            f"append_to_text_index: index at {index_path} is keyed by "
+            f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
         )
-    toks = new_docs.select(
-        F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("term"),
-    )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl")).persist()
+    n_docs, total_len, max_df = _read_stats(spark, index_path)
+    _refuse_max_df(max_df, "append_to_text_index")
+    postings, dl = _tokenize(new_docs, id_col, text_col)
+    dl = dl.persist()
     try:
-        postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
         publish_path(
             spark, index_path, postings, [], mode="append",
             sort_within_files=["term"],
         )
+        # doclens exists for every index built/maintained r10+; a pre-r10
+        # index has none — appending a PARTIAL doclens would poison
+        # reindex's stats fold, so only maintain an existing one
+        if _doclens_exists(spark, index_path):
+            publish_path(
+                spark,
+                _doclens_path(index_path),
+                dl.select(F.col(id_col), F.col("dl")),
+                [],
+                mode="append",
+            )
         delta = dl.agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("dl").alias("total_len"),
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
         ).collect()[0]
-        prev = fetch_path(spark, _stats_path(index_path)).collect()[0]
-        stats = spark.createDataFrame(
-            [(
-                int(prev["n_docs"]) + int(delta["n_docs"]),
-                int(prev["total_len"]) + int(delta["total_len"]),
-            )],
-            "n_docs long, total_len long",
+        _write_stats(
+            spark,
+            index_path,
+            n_docs + int(delta["n"]),
+            total_len + int(delta["t"] or 0),
+            max_df,
         )
-        publish_path(
-            spark, _stats_path(index_path), stats, [], mode="overwrite"
+    finally:
+        dl.unpersist()
+
+
+def _doclens_exists(spark: SparkSession, index_path: str) -> bool:
+    from . import metadata
+
+    return metadata.read_sidecar(spark, _doclens_path(index_path)) is not None
+
+
+def reindex_documents(
+    spark: SparkSession,
+    changed_docs: DataFrame,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+) -> None:
+    """Replace CHANGED (or add new) documents in the index in O(changed
+    docs) — the eq-delete composition the r9 verdict asked for: ONE
+    equality key-delete snapshot on the postings dataset removes every
+    old posting row under the changed doc ids and appends the new
+    posting lists (``eq_delete_append`` — the merge-on-read upsert
+    machinery, multi-row-per-key); the doclens side table upserts the
+    same way, and the stats row folds forward using the OLD lengths
+    point-fetched from doclens (bloom-pruned id lookup — never a corpus
+    scan). Ids not previously indexed are treated as new documents.
+
+    After a reindex, ``search_text_index`` equals a full rebuild over the
+    updated corpus exactly (gated). Read cost until the next
+    ``compact_dataset`` is the documented merge-on-read trade (era
+    anti-joins); commit cost is O(changed docs). Idempotent: re-running
+    the same batch converges (key-deletes replace, never accumulate).
+    Requires the doclens side table (indexes built before it existed
+    must rebuild); refuses on a ``max_df``-built index (module
+    docstring); changed ids must be unique in the batch and non-NULL."""
+    _check_names(id_col, text_col)
+    meta = _require_index(spark, index_path)
+    if _index_id_col(meta, index_path) != id_col:
+        raise ValueError(
+            f"reindex_documents: index at {index_path} is keyed by "
+            f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
+        )
+    n_docs, total_len, max_df = _read_stats(spark, index_path)
+    _refuse_max_df(max_df, "reindex_documents")
+    if not _doclens_exists(spark, index_path):
+        raise ValueError(
+            f"reindex_documents: no doclens side table at "
+            f"{_doclens_path(index_path)} — this index predates "
+            "incremental reindexing; rebuild with build_text_index"
+        )
+    from . import metadata
+
+    dup = (
+        changed_docs.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n > 1 or " + id_col + " is null")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "reindex_documents: changed_docs ids must be unique and "
+            f"non-NULL (offender: {dup[0][0]!r})"
+        )
+    postings, dl = _tokenize(changed_docs, id_col, text_col)
+    dl = dl.persist()
+    try:
+        # old lengths: bloom-pruned point fetch on the id fingerprints —
+        # O(files holding the changed ids), never O(corpus). Driver holds
+        # the changed-id list: reindex batches are change sets, not
+        # corpora (the same boundedness as every filter-values list).
+        ids = [r[0] for r in dl.select(id_col).collect()]
+        old = (
+            fetch_path(
+                spark,
+                _doclens_path(index_path),
+                filters=[
+                    {"partition": id_col, "comparison": "==", "values": ids}
+                ],
+            ).collect()
+            if ids
+            else []
+        )
+        old_total = sum(int(r["dl"]) for r in old)
+        n_found = len(old)
+        # postings upsert: delete old posting lists under the id keys,
+        # append the new ones — one snapshot, O(batch) commit
+        vocab = meta.column_types.get(id_col)
+        batch = postings.withColumn(
+            id_col, F.col(id_col).cast(metadata.vocab_to_spark_type(vocab))
+        ).select("term", id_col, "tf", "dl")
+        eq_delete_append(spark, index_path, batch, [id_col])
+        dl_meta = metadata.read_sidecar(spark, _doclens_path(index_path))
+        dl_vocab = dl_meta.column_types.get(id_col) if dl_meta else vocab
+        dl_batch = dl.select(F.col(id_col), F.col("dl")).withColumn(
+            id_col, F.col(id_col).cast(metadata.vocab_to_spark_type(dl_vocab))
+        )
+        eq_delete_append(
+            spark, _doclens_path(index_path), dl_batch, [id_col]
+        )
+        delta = dl.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+        ).collect()[0]
+        _write_stats(
+            spark,
+            index_path,
+            n_docs + int(delta["n"]) - n_found,
+            total_len + int(delta["t"] or 0) - old_total,
+            max_df,
         )
     finally:
         dl.unpersist()
@@ -199,23 +427,12 @@ def search_text_index(
     terms' buckets, the residual bloom-skips files inside them, and
     nothing outside the query terms' postings is read. The document id
     column is recovered from the index's own schema."""
-    from . import metadata
-
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("search_text_index needs at least one query term")
-    meta = metadata.read_sidecar(spark, index_path)
-    if meta is None:
-        raise ValueError(f"no text index at {index_path} (build_text_index)")
-    id_cols = [c for c in meta.column_types if c not in _POSTING_COLS]
-    if len(id_cols) != 1:
-        raise ValueError(
-            f"{index_path} does not look like a text index "
-            f"(columns: {list(meta.column_types)})"
-        )
-    id_col = id_cols[0]
-    stats = fetch_path(spark, _stats_path(index_path)).collect()[0]
-    n_docs, total_len = int(stats["n_docs"]), int(stats["total_len"])
+    meta = _require_index(spark, index_path)
+    id_col = _index_id_col(meta, index_path)
+    n_docs, total_len, _ = _read_stats(spark, index_path)
     postings = fetch_path(
         spark,
         index_path,

@@ -3764,3 +3764,130 @@ from .workload import ORACLE_SQL as _ORACLE_MAIN  # noqa: E402
 
 ORACLE_EXT2["text_index_search"] = _ORACLE_MAIN["bm25_search"]
 
+
+
+def q_text_index_reindex(spark, sf_dir):
+    """Incremental index maintenance for CHANGED documents
+    (text_index.reindex_documents — r9 verdict 'what's missing' #2): the
+    engine's merge-on-read equality key-deletes (publish.eq_delete_append)
+    replace each changed doc's whole posting LIST under its doc-id key in
+    ONE O(changed-docs) snapshot — no rebuild, no corpus scan; the doclens
+    side table (id-bloom-fingerprinted) point-fetches the old lengths so
+    the stats row folds forward exactly. Search over the maintained index
+    must equal full-corpus BM25 over the UPDATED corpus bit-for-bit —
+    the oracle recomputes that corpus in SQL."""
+    from .text_index import (
+        build_text_index,
+        reindex_documents,
+        search_text_index,
+    )
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "text_index_rx")
+    marker = os.path.join(path, "_REINDEXED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path.rstrip("/") + "_stats", ignore_errors=True)
+        shutil.rmtree(path.rstrip("/") + "_doclens", ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_text_index(
+            spark, docs, path, "doc_id", "text",
+            n_buckets=16, max_records_per_file=2000,
+        )
+        changed = docs.filter("doc_id % 7 = 3").withColumn(
+            "text", F.concat(F.lit("vector vector hash "), F.col("text"))
+        )
+        reindex_documents(spark, changed, path, "doc_id", "text")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index(spark, path, ["hash", "join", "vector"], k=10)
+    return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+
+
+QUERIES_EXT2["text_index_reindex"] = q_text_index_reindex
+# bm25_search's oracle over the UPDATED corpus: the maintained index must
+# reproduce a full rebuild exactly
+ORACLE_EXT2["text_index_reindex"] = _ORACLE_MAIN["bm25_search"].replace(
+    "FROM documents",
+    """FROM (SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 3
+                         THEN 'vector vector hash ' || text
+                         ELSE text END AS text
+             FROM documents)""",
+)
+
+
+def q_events_stream_upsert(spark, sf_dir):
+    """Streaming UPSERT sink (streaming/events.py stream_upsert — r9
+    verdict 'what's missing' #3): a user-state mirror is bootstrapped from
+    the pre-cutoff events (one max-struct winner per user), then the
+    post-cutoff event stream lands through foreachBatch →
+    merge_upsert(mode="merge-on-read") — each micro-batch is O(batch):
+    eq-delete key files + new row images + one commit, zero rewrites.
+    The replayed stream must equal the batch latest_user_state oracle
+    (post-cutoff events all outrank pre-cutoff ones per user, so the
+    mirror converges to the global latest whatever the batch split).
+    Output ts is the dataset's ms-coerced storage value (the engine's
+    reference-parity write contract), mirrored in the oracle."""
+    import posixpath as pp
+
+    from .fetch import fetch_path
+    from .operators import latest_state
+    from .publish import publish_path
+    from .streaming import stream_upsert
+    from .workload import _ds_path, _events
+
+    path = _ds_path(sf_dir, "ev_stream_upsert")
+    stage = _ds_path(sf_dir, "ev_stream_upsert_src")
+    marker = os.path.join(path, "_UPSERTED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        ev = _events(spark, sf_dir)
+        cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        initial = latest_state(
+            ev.filter(F.col("ts") < cutoff),
+            ["user_id"], "ts", "event_id", ["event_type", "value", "props"],
+        ).select(*ev.columns)
+        publish_path(spark, path, initial, [])
+        # stage the post-cutoff slice as the stream's landing directory,
+        # micro-precision preserved (the in-batch winner rule must see the
+        # same ordering the oracle computes from the raw micros)
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            ev.filter(F.col("ts") >= cutoff).write.mode("overwrite").parquet(
+                stage
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.parquet.outputTimestampType")
+            else:
+                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+        stream_upsert(spark, stage, path, ["user_id"], "ts")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    from . import metadata as _md
+
+    meta = _md.read_sidecar(spark, path)
+    assert meta.eq_deletes(), "stream upsert landed no eq-delete snapshot"
+    return fetch_path(spark, path).select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+
+
+QUERIES_EXT2["events_stream_upsert"] = q_events_stream_upsert
+# the batch changelog-compaction oracle, with ts coerced to the dataset's
+# ms storage precision (publish writes TIMESTAMP_MILLIS, reference parity)
+ORACLE_EXT2["events_stream_upsert"] = """
+    SELECT user_id, ts, event_id, event_type, value FROM (
+      SELECT user_id,
+             make_timestamp(epoch_us(ts) // 1000 * 1000) AS ts, event_id,
+             event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""

@@ -190,7 +190,7 @@ def test_append_inherits_and_mismatch_rejected(spark, li, tmp_dataset_dir):
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
     assert meta.file_bloom_columns() == ["l_orderkey"]
     assert meta.zone_maps["bloom_bits"] == 4096
-    ent = list(meta.zone_maps["files"].values())
+    ent = list(meta.file_stats().values())
     assert all(e["bloom"]["l_orderkey"][0] == 4096 for e in ent)
     with pytest.raises(ValueError, match="file-bloom mismatch"):
         publish_path(spark, tmp_dataset_dir, li.limit(10), [],
@@ -238,7 +238,7 @@ def test_rename_drop_and_compact_carry_through(spark, li, tmp_dataset_dir):
     assert meta.file_bloom_columns() == ["order_id", "line_key"]
     assert all(
         "order_id" in e["bloom"] and "l_orderkey" not in e["bloom"]
-        for e in meta.zone_maps["files"].values()
+        for e in meta.file_stats().values()
     )
     key = int(li.select("l_orderkey").first()[0])
     flt = [{"partition": "order_id", "comparison": "==", "values": [key]}]
@@ -248,16 +248,19 @@ def test_rename_drop_and_compact_carry_through(spark, li, tmp_dataset_dir):
     compact_dataset(spark, tmp_dataset_dir, max_records_per_file=2000)
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
     assert meta.file_bloom_columns() == ["order_id", "line_key"]
-    assert all("bloom" in e for e in meta.zone_maps["files"].values())
+    assert all("bloom" in e for e in meta.file_stats().values())
     assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == \
         li.filter(F.col("l_orderkey") == key).count()
     drop_column(spark, tmp_dataset_dir, "line_key")
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
     assert meta.file_bloom_columns() == ["order_id"]
-    assert all(
-        "line_key" not in e.get("bloom", {})
-        for e in meta.zone_maps["files"].values()
-    )
+    # manifest entries may retain the dead key (manifests are immutable;
+    # only DECLARED columns are ever consulted) — the tombstone blocks the
+    # name from returning, so the stale key is unreachable forever
+    assert meta.column_renames["__dropped_line_key"] == ["line_key"]
+    assert "line_key" not in fetch_path(spark, tmp_dataset_dir).columns
+    assert fetch_path(spark, tmp_dataset_dir, filters=flt).count() == \
+        li.filter(F.col("l_orderkey") == key).count()
 
 
 def test_repartition_trims_promoted_column(spark, li, tmp_dataset_dir):

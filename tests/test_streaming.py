@@ -341,7 +341,7 @@ def test_stream_publish_collects_zone_maps(spark, sf_dir, tmp_path):
     )
     meta = metadata.read_sidecar(spark, path)
     assert meta.zone_map_columns() == ["user_id"]
-    assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+    assert set(meta.file_stats()) == set(meta.manifest_files())
     assert dataset_rowcount(spark, path) == fetch_path(spark, path).count()
     # value-column filter skips at the driver and stays exact
     got = fetch_path(
@@ -371,7 +371,7 @@ def test_stream_publish_collects_file_blooms(spark, sf_dir, tmp_path):
     assert meta.zone_maps["bloom_bits"] == 4096
     files = meta.manifest_files()
     assert all(
-        "user_id" in (meta.zone_maps["files"][f].get("bloom") or {})
+        "user_id" in (meta.file_stats()[f].get("bloom") or {})
         for f in files
     )
     uid = int(fetch_path(spark, path).select("user_id").first()[0])
@@ -384,3 +384,78 @@ def test_stream_publish_collects_file_blooms(spark, sf_dir, tmp_path):
                "values": [10**12]}]
     assert _prune_bloom_files(files, meta, absent) == []
     assert fetch_path(spark, path, filters=absent).count() == 0
+
+
+def test_stream_upsert_converges_to_batch_latest(spark, sf_dir, tmp_path):
+    """stream_upsert (r10): CDC stream -> merge-on-read eq-delete
+    snapshots. Bootstrap from batch 1, resume the checkpoint to upsert a
+    second wave, converge to the batch latest_state of everything seen."""
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.operators import latest_state
+    from s3parq_spark.streaming import stream_upsert
+    from s3parq_spark.workload import _events
+
+    import glob
+    import os
+    import shutil
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    src = str(tmp_path / "landing")
+    ds = str(tmp_path / "mirror")
+    os.makedirs(src)
+
+    def land(df, name):
+        # the landing dir holds FLAT files (the file-source layout): write
+        # to a scratch dir, move the parts in under unique names
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.write.parquet(scratch)
+        for i, p in enumerate(sorted(glob.glob(f"{scratch}/part-*.parquet"))):
+            shutil.move(p, f"{src}/{name}-{i}.parquet")
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        land(ev.filter(F.col("ts") < cutoff), "w1")
+        # wave 1 bootstraps the dataset (deduped publish, no eq-deletes)
+        stream_upsert(spark, src, ds, ["user_id"], "ts")
+        meta = metadata.read_sidecar(spark, ds)
+        assert meta is not None and not meta.eq_deletes()
+        got1 = {
+            (r["user_id"], r["event_id"])
+            for r in fetch_path(spark, ds).collect()
+        }
+        exp1 = {
+            (r["user_id"], r["event_id"])
+            for r in latest_state(
+                ev.filter(F.col("ts") < cutoff), ["user_id"], "ts",
+                "event_id", ["event_type", "value", "props"],
+            ).collect()
+        }
+        assert got1 == exp1
+        # wave 2 lands as NEW source files; the derived checkpoint
+        # resumes and only the new files are merged — as eq-delete commits
+        land(ev.filter(F.col("ts") >= cutoff), "w2")
+        stream_upsert(spark, src, ds, ["user_id"], "ts")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    meta = metadata.read_sidecar(spark, ds)
+    assert meta.eq_deletes(), "wave 2 should land as an eq-delete snapshot"
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in fetch_path(spark, ds).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_id"])
+        for r in latest_state(
+            ev, ["user_id"], "ts", "event_id",
+            ["event_type", "value", "props"],
+        ).collect()
+    }
+    assert got == exp
+    # one row per key after the merge — the mirror contract
+    assert len({u for u, _ in got}) == len(got)

@@ -174,7 +174,10 @@ def test_residual_prune_respects_catalyst_cast_semantics(spark, tmp_path):
 def test_non_index_dataset_fails_loudly(spark, tmp_path, index):
     from s3parq_spark.text_index import _stats_path
 
-    with pytest.raises(ValueError, match="does not look like a text index"):
+    # the stats side table has no bucket transform: caught by the same
+    # guard as a missing dataset (r10 — the transform check now runs
+    # before schema-shape detection)
+    with pytest.raises(ValueError, match="no text index"):
         search_text_index(spark, _stats_path(index), ["hash"])
     with pytest.raises(ValueError, match="no text index"):
         search_text_index(spark, str(tmp_path / "nothing"), ["hash"])
@@ -203,3 +206,100 @@ def test_incremental_append_equals_full_rebuild(spark, docs, tmp_path):
         append_to_text_index(
             spark, docs.limit(1), str(tmp_path / "nope"), "doc_id", "text"
         )
+
+def test_reindex_changed_docs_equals_full_rebuild(spark, docs, tmp_path):
+    """Change K documents' text, reindex_documents: searches must equal a
+    rebuild over the UPDATED corpus exactly (eq-delete replaces the old
+    posting lists; doclens + stats fold forward O(changed docs))."""
+    from s3parq_spark.text_index import reindex_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    changed = docs.filter("doc_id < 20").withColumn(
+        "text", F.concat(F.lit("vector vector hash "), F.col("text"))
+    )
+    reindex_documents(spark, changed, path, "doc_id", "text")
+    updated = docs.filter("doc_id >= 20").unionByName(changed)
+    for terms in (["hash", "vector"], ["model", "join", "data"]):
+        got = _rows(search_text_index(spark, path, terms, k=10))
+        exp = _rows(bm25_scores(updated, "doc_id", "text", terms, top_k=10))
+        assert got == exp, terms
+    # idempotent: replaying the same batch converges (keys replace)
+    reindex_documents(spark, changed, path, "doc_id", "text")
+    got = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
+    exp = _rows(
+        bm25_scores(updated, "doc_id", "text", ["hash", "vector"], top_k=10)
+    )
+    assert got == exp
+    # ids never indexed before are new documents (stats grow)
+    new = spark.createDataFrame(
+        [(9001, "hash join vector"), (9002, "data model")],
+        "doc_id long, text string",
+    )
+    reindex_documents(spark, new, path, "doc_id", "text")
+    updated2 = updated.unionByName(new)
+    got = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
+    exp = _rows(
+        bm25_scores(updated2, "doc_id", "text", ["hash", "vector"], top_k=10)
+    )
+    assert got == exp
+    # compaction materializes the eq-deletes; search unchanged after
+    from s3parq_spark.publish import compact_dataset
+
+    compact_dataset(spark, path)
+    got2 = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
+    assert got2 == got
+
+
+def test_max_df_index_refuses_incremental_writes(spark, docs, tmp_path):
+    """A max_df build drops stop terms' postings; an append/reindex would
+    re-introduce them with partial lists and inflated idf — refuse loudly
+    (r9 verdict 'what's wrong' #1)."""
+    from s3parq_spark.text_index import append_to_text_index, reindex_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(
+        spark, docs, path, "doc_id", "text", n_buckets=8, max_df=100
+    )
+    with pytest.raises(ValueError, match="max_df"):
+        append_to_text_index(
+            spark,
+            spark.createDataFrame([(9001, "hash")], "doc_id long, text string"),
+            path, "doc_id", "text",
+        )
+    with pytest.raises(ValueError, match="max_df"):
+        reindex_documents(
+            spark, docs.limit(1), path, "doc_id", "text"
+        )
+    # the cap is recorded in the stats row, not inferred
+    from s3parq_spark.text_index import _read_stats
+
+    assert _read_stats(spark, path)[2] == 100
+
+
+def test_reserved_posting_column_names_rejected(spark, docs, tmp_path):
+    """An id column named term/tf/dl/bucket would be ambiguous at build
+    and mis-detected by search's id recovery (ADVICE r9) — reject."""
+    path = str(tmp_path / "idx")
+    for bad in ("term", "tf", "dl", "bucket"):
+        with pytest.raises(ValueError, match="reserved posting"):
+            build_text_index(
+                spark, docs.withColumnRenamed("doc_id", bad), path, bad, "text"
+            )
+    with pytest.raises(ValueError, match="must be different"):
+        build_text_index(spark, docs, path, "text", "text")
+
+
+def test_reindex_rejects_duplicate_and_null_ids(spark, docs, tmp_path):
+    from s3parq_spark.text_index import reindex_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(
+        spark, docs.filter("doc_id < 50"), path, "doc_id", "text", n_buckets=8
+    )
+    dup = docs.filter("doc_id < 2").unionByName(docs.filter("doc_id < 1"))
+    with pytest.raises(ValueError, match="unique"):
+        reindex_documents(spark, dup, path, "doc_id", "text")
+    nulled = docs.limit(1).withColumn("doc_id", F.lit(None).cast("long"))
+    with pytest.raises(ValueError, match="unique"):
+        reindex_documents(spark, nulled, path, "doc_id", "text")

@@ -201,11 +201,11 @@ class TestWapReviewRegressions:
             staged=True,
         )
         meta = metadata.read_sidecar(spark, tmp_dataset_dir)
-        n_before = len(meta.zone_maps["files"])
+        n_before = len(meta.file_stats())
         discard_snapshot(spark, tmp_dataset_dir, 2)
         meta = metadata.read_sidecar(spark, tmp_dataset_dir)
-        assert len(meta.zone_maps["files"]) < n_before
-        assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+        assert len(meta.file_stats()) < n_before
+        assert set(meta.file_stats()) == set(meta.manifest_files())
 
     def test_aggregate_baseline_ignores_staged_head(self, spark, nation, tmp_path):
         from s3parq_spark.views import create_aggregate, refresh_aggregate

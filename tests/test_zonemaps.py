@@ -45,7 +45,7 @@ def test_sidecar_records_per_file_stats(spark, zoned, li):
     meta = metadata.read_sidecar(spark, zoned)
     assert meta.zone_map_columns() == ["l_orderkey", "l_shipdate"]
     files = meta.manifest_files()
-    fm = meta.zone_maps["files"]
+    fm = meta.file_stats()
     assert set(fm) == set(files)
     total = sum(e["rows"] for e in fm.values())
     assert total == li.count()
@@ -187,7 +187,7 @@ def test_rows_only_mode(spark, li, tmp_dataset_dir):
     publish_path(spark, tmp_dataset_dir, li.limit(137), [], zone_map_columns=[])
     assert dataset_rowcount(spark, tmp_dataset_dir) == 137
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
-    assert all("stats" not in e for e in meta.zone_maps["files"].values())
+    assert all("stats" not in e for e in meta.file_stats().values())
     # no skipping surface declared: a value-column filter is still rejected
     with pytest.raises(ValueError, match="matching partition"):
         fetch_path(
@@ -245,10 +245,10 @@ def test_stale_entries_gc_on_publish_and_restore(spark, li, tmp_dataset_dir):
     )
     publish_path(spark, tmp_dataset_dir, li.limit(40), [])
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
-    assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+    assert set(meta.file_stats()) == set(meta.manifest_files())
     restore_dataset(spark, tmp_dataset_dir, version=1)
     meta = metadata.read_sidecar(spark, tmp_dataset_dir)
-    assert set(meta.zone_maps["files"]) == set(meta.manifest_files())
+    assert set(meta.file_stats()) == set(meta.manifest_files())
     assert dataset_rowcount(spark, tmp_dataset_dir) == 100
 
 
@@ -277,9 +277,9 @@ def test_zone_filter_on_evolved_dataset(spark, li, tmp_dataset_dir):
     assert got.count() == li.filter("l_orderkey < 200").count()
     # the old-spec slice actually skipped files
     kept = _prune_zone_files(
-        sorted(meta.zone_maps["files"]), meta, flt
+        sorted(meta.file_stats()), meta, flt
     )
-    assert len(kept) < len(meta.zone_maps["files"])
+    assert len(kept) < len(meta.file_stats())
     # zone + cross-spec partition filter together
     both = fetch_path(
         spark, tmp_dataset_dir,
