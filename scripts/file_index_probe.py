@@ -91,11 +91,86 @@ def timed_fetch(spark, path: str, prune: bool) -> float:
         fetch_mod._prune_manifest_files = orig
 
 
+def build_stats(spark, n_files: int) -> str:
+    """Unpartitioned dataset with ``n_files`` one-row files, zone maps on
+    the clustered id and a bloom fingerprint on a scattered key — the
+    shape the r10 stats-manifest layout exists for."""
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.publish import publish_path
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"s3parq_zstats_probe_{n_files}"
+    )
+    marker = os.path.join(base, "_PROBE_OK")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    df = spark.range(n_files).select(
+        F.col("id"),
+        (F.col("id") * F.lit(2654435761) % F.lit(2**31)).alias("key"),
+    )
+    publish_path(
+        spark, base, df, [], max_records_per_file=1,
+        zone_map_columns=["id"], file_bloom_columns=["key"],
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def stats_probe(spark, sizes) -> None:
+    """r10 probe (r9 verdict 'next round' #1 done-criterion): sidecar
+    bytes, stats-manifest lazy-load time, and bloom point-fetch latency
+    must all stay FLAT (sidecar) / proportional-to-stats (load) as the
+    stats-carrying file count grows 10x — the per-file state lives in
+    columnar manifests, not the sidecar JSON every read parses."""
+    from s3parq_spark import fs, metadata
+
+    print(
+        f"{'files':>8} {'sidecar_B':>10} {'stats_load':>11} "
+        f"{'point_fetch':>12} {'kept':>5}"
+    )
+    for n in sizes:
+        path = build_stats(spark, n)
+        sidecar_b = os.path.getsize(os.path.join(path, fs.SIDECAR_NAME))
+        # cold manifest load (bypass the process cache)
+        metadata._STATS_MANIFEST_CACHE.clear()
+        meta = metadata.read_sidecar(spark, path)
+        t0 = time.time()
+        stats = meta.file_stats()
+        t_load = time.time() - t0
+        assert len(stats) == n
+        import importlib
+
+        fetch_mod = importlib.import_module("s3parq_spark.fetch")
+        probe_key = (3 * 2654435761) % (2**31)
+        flt = [{"partition": "key", "comparison": "==", "values": [probe_key]}]
+        best = None
+        kept = None
+        for _ in range(3):
+            t0 = time.time()
+            got = fetch_mod.fetch_path(spark, path, filters=flt)
+            kept = len(got.inputFiles())
+            c = got.count()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        assert c == 1, c
+        print(
+            f"{n:>8} {sidecar_b:>10} {t_load:>10.3f}s {best:>11.3f}s "
+            f"{kept:>5}"
+        )
+
+
 def main() -> None:
     from s3parq_spark.session import get_spark
 
     spark = get_spark(app_name="file_index_probe")
     spark.range(1_000_000).selectExpr("sum(id)").collect()  # warmup
+    if sys.argv[1:2] == ["stats"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [200, 2000, 10000]
+        stats_probe(spark, sizes)
+        return
     sizes = [int(a) for a in sys.argv[1:]] or [100, 1000, 5000]
     print(f"{'files':>8} {'unpruned':>10} {'pruned':>10}")
     for n_parts in sizes:
