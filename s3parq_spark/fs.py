@@ -26,7 +26,7 @@ SIDECAR_NAME = "_s3parq_metadata.json"
 #: from a listing must skip them (stats manifests don't end in .parquet, so
 #: only the key files can actually collide — but one membership test covers
 #: both and every future hidden plane).
-HIDDEN_DATA_DIRS = ("_eq_deletes", "_s3parq_stats")
+HIDDEN_DATA_DIRS = ("_eq_deletes", "_s3parq_stats", "_s3parq_manifests")
 
 
 def is_hidden_rel(rel: str) -> bool:

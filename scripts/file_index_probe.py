@@ -28,6 +28,23 @@ is decided by what it reads, not by how big the dataset has grown. This is
 the custom-FileIndex production note made real at the driver layer; a JVM
 FileIndex implementation would additionally skip the per-path
 ``getFileStatus`` batch, the remaining fixed cost.
+
+``stats`` mode (r10) probes the metadata plane itself: sidecar bytes,
+cold lazy-load of the per-file zone/bloom stats, and a bloom point fetch,
+as the stats-carrying file count grows. Recorded (local[32], this
+container, 2026-08-15, r10 — per-file stats in columnar manifests AND
+snapshot file lists spilled to per-version manifests):
+
+    files   sidecar_B   stats_load   point_fetch   kept
+      200        610       0.008s       0.200s       1
+     2000        612       0.035s       0.201s       1
+    10000        614       0.262s       0.338s       1
+
+The sidecar is ~612 bytes FLAT at any file count (r9 inlined ~2.4 KB/file
+of bloom state — ~24 MB at 10k files, GBs at 10^6 — plus ~80 B/file of
+added-lists); the one-time per-process stats load is columnar+zstd and is
+paid only by queries whose filters can prune; the point fetch stays flat
+because exactly one file survives the skip however many files exist.
 """
 
 from __future__ import annotations
