@@ -407,22 +407,24 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r9: totals at or below r8 on a quiet machine "
-                         "(14.42 s local rerun vs 14.65 r8; the round's "
-                         "features are off the headline paths). New "
-                         "bloom probe measures the POINT-LOOKUP half of "
-                         "data skipping at ~1.5k ingest-ordered 400-row "
-                         "files — a layout where min/max zone maps keep "
-                         "everything: the 3-key IN fetch keeps 14 files "
-                         "via per-file fingerprints and runs ~0.30 s vs "
-                         "~3.44 s with the driver skip bypassed (~11x "
-                         "before any footer is read); zonemap probe "
-                         "(ranges on sorted files) and mor probe "
-                         "(pending-tombstone read vs compacted) "
-                         "unchanged; new mor_upsert probe prices the "
-                         "equality key-delete era anti-join vs the same "
-                         "dataset compacted; probes_sf1 still sublinear "
-                         "across the top-5 shapes",
+                "notes": "r10: the r9 sf1 probe drift is RESOLVED as "
+                         "machine load, by measurement — quiet-machine "
+                         "reruns put every sf1 factor back in its "
+                         "historical band (publish 2.7 s/0.83x vs r9's "
+                         "6.5 s/7.2x, top_revenue 2.9 s/3.6x vs 6.4 s, "
+                         "neardup 7.9 s/3.4x vs 16.7 s, minhash "
+                         "6.3 s/2.5x vs 16.1 s): every probed shape "
+                         "sublinear again, none superlinear, plans "
+                         "unchanged (contracts green). Metadata plane "
+                         "rebuilt this round (per-file zone/bloom stats "
+                         "+ large snapshot file lists now live in "
+                         "immutable per-version manifests; sidecar is "
+                         "~0.6 KB at ANY file count, measured flat "
+                         "200->10k files) — headline unchanged (reads "
+                         "within noise of r8/r9; publish cold-run band "
+                         "3.2-3.8 s), bloom/zonemap/mor probes "
+                         "unchanged: the skip state moved, the skips "
+                         "didn't",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time

@@ -2242,7 +2242,10 @@ def vacuum_dataset(
     Requires intact snapshot history (the manifest IS the acknowledgment
     record); raises when history is missing or was cleared by a destructive
     rewrite — vacuuming against no record would delete everything. The
-    sidecar itself and non-parquet files are never touched. Returns the
+    sidecar itself is never touched; since r10 the sweep ALSO collects
+    metadata-plane orphans — file-list (``_s3parq_manifests/``) and stats
+    (``_s3parq_stats/``) manifests the sidecar no longer points at, left
+    behind by restore/discard/expire or interrupted writes. Returns the
     orphaned relative paths (``dry_run=True`` reports without deleting).
 
     ``retention_hours`` guards the in-flight-publish race: ``publish_path``
@@ -2272,6 +2275,28 @@ def vacuum_dataset(
         if f not in known
         and fs.file_mtime(spark, posixpath.join(path, f)) <= cutoff
     )
+    # metadata-plane GC (r10): file-list and stats manifests the sidecar
+    # no longer points at — left behind by restore/discard/expire (their
+    # pointers are dropped, the immutable files linger) and by writes that
+    # failed between the manifest write and the sidecar commit. Same
+    # retention window: an in-flight publish writes its manifests BEFORE
+    # its sidecar commit, exactly like data files.
+    referenced = {
+        s["manifest"]["path"]
+        for s in meta.snapshots
+        if s.get("manifest")
+    } | {m["path"] for m in meta.stats_manifests()}
+    for d, suffix in (
+        (metadata.MANIFESTS_DIR, ".manifest"),
+        (metadata.STATS_DIR, ".stats"),
+    ):
+        for f in fs.list_files(spark, posixpath.join(path, d), suffix=suffix):
+            rel = f"{d}/{f}"
+            if rel in referenced:
+                continue
+            if fs.file_mtime(spark, posixpath.join(path, rel)) <= cutoff:
+                orphans.append(rel)
+    orphans = sorted(orphans)
     if not dry_run:
         for rel in orphans:
             fs.delete(spark, posixpath.join(path, rel), recursive=False)

@@ -230,3 +230,67 @@ def test_missing_file_manifest_raises_loudly(spark, li, tmp_path):
         os.remove(m)
     with pytest.raises(Exception):
         metadata.read_sidecar(spark, path)
+
+
+def test_vacuum_collects_unreferenced_manifests(spark, li, tmp_path):
+    """restore/discard drop manifest POINTERS; the immutable files linger
+    until vacuum sweeps them (r10 metadata-plane GC). Referenced manifests
+    survive; the dataset reads identically after the sweep."""
+    import glob
+
+    from s3parq_spark.publish import vacuum_dataset
+
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(1000), [], max_records_per_file=20,
+        zone_map_columns=["l_orderkey"], file_bloom_columns=["l_partkey"],
+    )
+    publish_path(
+        spark, path, li.limit(500), [], mode="append",
+        max_records_per_file=20,
+    )
+    restore_dataset(spark, path, 1)
+    n_stats = len(glob.glob(os.path.join(path, metadata.STATS_DIR, "*")))
+    n_lists = len(glob.glob(os.path.join(path, metadata.MANIFESTS_DIR, "*")))
+    assert n_stats == 2 and n_lists == 2  # v2's files linger after restore
+    orphans = vacuum_dataset(spark, path, retention_hours=0)
+    assert any(f.startswith(metadata.STATS_DIR) for f in orphans)
+    assert any(f.startswith(metadata.MANIFESTS_DIR) for f in orphans)
+    assert len(glob.glob(os.path.join(path, metadata.STATS_DIR, "*"))) == 1
+    assert len(glob.glob(os.path.join(path, metadata.MANIFESTS_DIR, "*"))) == 1
+    # the kept manifests still serve reads and prunes exactly
+    metadata._ADDED_MANIFEST_CACHE.clear()
+    metadata._STATS_MANIFEST_CACHE.clear()
+    assert fetch_path(spark, path).count() == 1000
+    assert dataset_rowcount(spark, path) == 1000
+    # within the retention window nothing is touched (in-flight publish)
+    publish_path(
+        spark, path, li.limit(100), [], mode="append",
+        max_records_per_file=20,
+    )
+    restore_dataset(spark, path, 1)
+    assert vacuum_dataset(spark, path, retention_hours=24) == []
+
+
+def test_expire_squash_respills_merged_lists(spark, li, tmp_path):
+    """Micro-append histories consolidate through expire_snapshots: the
+    squashed base's MERGED list crosses the spill threshold and lands in
+    one manifest — the documented consolidation path for small commits."""
+    from s3parq_spark.publish import expire_snapshots
+
+    path = str(tmp_path / "ds")
+    publish_path(spark, path, li.limit(50), [], max_records_per_file=10)
+    for _ in range(4):
+        publish_path(
+            spark, path, li.limit(50), [], mode="append",
+            max_records_per_file=10,
+        )
+    raw = json.loads(open(os.path.join(path, fs.SIDECAR_NAME)).read())
+    assert all("added" in s for s in raw["snapshots"])  # small: inline
+    expire_snapshots(spark, path, keep_last=1)
+    raw = json.loads(open(os.path.join(path, fs.SIDECAR_NAME)).read())
+    base = raw["snapshots"][0]
+    assert "manifest" in base and "added" not in base
+    assert base["manifest"]["n"] >= 20
+    metadata._ADDED_MANIFEST_CACHE.clear()
+    assert fetch_path(spark, path).count() == 250
