@@ -407,6 +407,22 @@ CASES = [
         "over two 20-row lists - the single-partition exchange is bounded "
         "by construction, never corpus-sized.",
     ),
+    (
+        "text_index_reindex",
+        "Reindexed search (r10): same plan contract as text_index_search — "
+        "bucket-pruned scan + bloom skip — now over a dataset with a "
+        "pending eq-delete: the pre-reindex era anti-joins the doc-id key "
+        "frame (BroadcastHashJoin LeftAnti, key side = the changed-doc "
+        "batch) and the reindex era scans clean; the corpus and the "
+        "unchanged postings appear nowhere.",
+    ),
+    (
+        "events_stream_upsert",
+        "Streamed mirror read (r10): per-era union of the bootstrap scan "
+        "anti-joined against the stream batch's eq-delete keys (broadcast "
+        "from recorded sizes) plus the batch's row images; one row per "
+        "user by construction — no window, no global sort, no rewrite.",
+    ),
 ]
 
 
