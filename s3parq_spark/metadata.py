@@ -616,6 +616,7 @@ def _read_added_manifest(
     full = posixpath.join(path, rel)
     cached = _ADDED_MANIFEST_CACHE.get(full)
     if cached is not None:
+        _ADDED_MANIFEST_CACHE[full] = _ADDED_MANIFEST_CACHE.pop(full)
         return cached
     import pyarrow.parquet as pq
 
@@ -733,6 +734,9 @@ def _read_stats_manifest(
     full = posixpath.join(path, rel)
     cached = _STATS_MANIFEST_CACHE.get(full)
     if cached is not None:
+        # true LRU: refresh recency on hit so the hot dataset's manifests
+        # outlive a trickle of one-off reads
+        _STATS_MANIFEST_CACHE[full] = _STATS_MANIFEST_CACHE.pop(full)
         return cached
     import json as _json
 
@@ -746,17 +750,20 @@ def _read_stats_manifest(
             import pyarrow as pa
 
             table = pq.read_table(pa.BufferReader(fs.read_bytes(spark, full)))
-    except OSError:
+        out: Dict[str, dict] = {}
+        cols = table.to_pydict()
+        for i, f in enumerate(cols["file"]):
+            entry: dict = {"rows": int(cols["rows"][i])}
+            if cols["stats"][i] is not None:
+                entry["stats"] = _json.loads(cols["stats"][i])
+            if cols["bloom"][i] is not None:
+                entry["bloom"] = _json.loads(cols["bloom"][i])
+            out[f] = entry
+    except (OSError, ValueError, KeyError):
+        # missing, truncated (pyarrow ArrowInvalid IS a ValueError), or
+        # malformed manifest: contribute nothing — prunes keep uncovered
+        # files, counts raise their honesty error. Never crash the fetch.
         return {}
-    out: Dict[str, dict] = {}
-    cols = table.to_pydict()
-    for i, f in enumerate(cols["file"]):
-        entry: dict = {"rows": int(cols["rows"][i])}
-        if cols["stats"][i] is not None:
-            entry["stats"] = _json.loads(cols["stats"][i])
-        if cols["bloom"][i] is not None:
-            entry["bloom"] = _json.loads(cols["bloom"][i])
-        out[f] = entry
     if len(_STATS_MANIFEST_CACHE) >= _STATS_MANIFEST_CACHE_MAX:
         _STATS_MANIFEST_CACHE.pop(next(iter(_STATS_MANIFEST_CACHE)))
     _STATS_MANIFEST_CACHE[full] = out

@@ -564,10 +564,14 @@ def pq_encode(
     sub = dim // m
     if books is not None:
         books = [[[float(x) for x in c] for c in b] for b in books]
-        if len(books) != m or any(len(c) != sub for b in books for c in b):
+        if (
+            len(books) != m
+            or any(len(b) != codes for b in books)
+            or any(len(c) != sub for b in books for c in b)
+        ):
             raise ValueError(
                 f"pq_encode: supplied books do not match m={m}, "
-                f"subspace dim={sub}"
+                f"codes={codes}, subspace dim={sub}"
             )
     else:
         books = []

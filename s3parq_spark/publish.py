@@ -1398,6 +1398,7 @@ def eq_delete_append(
     batch,
     keys: List[str],
     base_partitions: Optional[List[str]] = None,
+    **publish_kwargs,
 ) -> List[str]:
     """The equality-delete commit primitive ``merge_upsert(mode=
     "merge-on-read")`` specializes: write ``batch``'s distinct key tuples
@@ -1406,11 +1407,23 @@ def eq_delete_append(
     older. Unlike ``merge_upsert`` — which dedupes the batch to one row
     per key (CDC semantics) — the batch here may carry MANY rows per key:
     the text index's ``reindex_documents`` replaces a document's whole
-    posting LIST under its doc-id key. The caller owns schema agreement
-    with the dataset, key typing, and non-NULL keys (``merge_upsert``
-    validates all three before delegating here)."""
+    posting LIST under its doc-id key. Extra ``publish_kwargs`` reach the
+    append (e.g. ``sort_within_files`` so reindexed files keep the
+    index's clustering). The caller owns schema agreement with the
+    dataset, key typing, and non-NULL keys (``merge_upsert`` validates
+    all three before delegating here); the staged-snapshot and
+    history-present invariants are enforced HERE so every caller gets
+    them — a staged snapshot promotes at a LATER version than this
+    commit's key-delete, so its pre-delete rows would escape it."""
     import uuid as _uuid
 
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None or not meta.snapshots:
+        raise ValueError(
+            f"eq_delete_append: no snapshot history at {path} — key-delete "
+            "applicability needs per-file commit versions"
+        )
+    _require_no_staged(meta, path, "eq_delete_append")
     if batch.limit(1).count() == 0:
         return []  # empty batch: no commit, no key files
     key_dir_rel = f"_eq_deletes/{_uuid.uuid4().hex[:12]}"
@@ -1440,6 +1453,7 @@ def eq_delete_append(
             # broadcast decisions never stat the filesystem
             "bytes": key_bytes,
         },
+        **publish_kwargs,
     )
 
 
@@ -2366,17 +2380,27 @@ def restore_dataset(
                     for k, v in meta.zone_maps["files"].items()
                     if k in kept_files
                 }
-            # stats-manifest pointers of rolled-back versions too (each
-            # manifest describes exactly its publish's added files). A
-            # promoted-snapshot manifest keeps its STAGED version stamp,
-            # which is <= its promote version — so this can only retain a
-            # stale pointer (dead entries are never looked up), never drop
-            # stats of surviving files
+            # stats-manifest pointers GC by FILE IDENTITY, not version
+            # stamp: version numbers restart after a destructive rewrite
+            # (overwrite_partitions clears history while merge_sidecar
+            # carries zone_maps forward), so an old-era pointer stamped
+            # v5 can describe files a NEW-era v1 bootstrap still serves —
+            # a stamp comparison would drop live stats and permanently
+            # orphan their manifests to vacuum. Keeping a pointer iff any
+            # of its files survive is immune, and also sheds fully-dead
+            # pointers whatever their stamp (bounds file_stats load over
+            # the dataset's DML lifetime). Manifests are process-cached;
+            # restore is rare.
             if meta.zone_maps.get("stats_manifests"):
                 meta.zone_maps["stats_manifests"] = [
                     m
                     for m in meta.zone_maps["stats_manifests"]
-                    if m["version"] <= version
+                    if any(
+                        f in kept_files
+                        for f in metadata._read_stats_manifest(
+                            spark, path, m["path"]
+                        )
+                    )
                 ]
         if meta.partition_specs:
             # partition evolution happens at snapshot boundaries, so
@@ -2629,10 +2653,23 @@ def discard_snapshot(
                     if k not in dead
                 }
             if m.zone_maps.get("stats_manifests"):
+                # file-identity GC (see restore_dataset): keep a pointer
+                # iff any of its files remain live after the discard —
+                # version stamps collide across history-reset eras
+                live = {
+                    f
+                    for s2 in m.snapshots
+                    for f in s2.get("added", [])
+                }
                 m.zone_maps["stats_manifests"] = [
                     e
                     for e in m.zone_maps["stats_manifests"]
-                    if e["version"] != version
+                    if any(
+                        f in live
+                        for f in metadata._read_stats_manifest(
+                            spark, path, e["path"]
+                        )
+                    )
                 ]
 
     _guarded_sidecar_write(spark, path, mutate)

@@ -353,15 +353,21 @@ def reindex_documents(
 
     dup = (
         changed_docs.groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter("__n > 1 or " + id_col + " is null")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.count(F.when(F.col(text_col).isNull(), 1)).alias("__nulltext"),
+        )
+        .filter(f"__n > 1 or {id_col} is null or __nulltext > 0")
         .limit(1)
         .collect()
     )
     if dup:
         raise ValueError(
             "reindex_documents: changed_docs ids must be unique and "
-            f"non-NULL (offender: {dup[0][0]!r})"
+            "non-NULL, and text must be non-NULL (a NULL text tokenizes "
+            "to nothing, so the doc would vanish from the eq-delete batch "
+            "and its OLD postings would silently survive — breaking the "
+            f"search==rebuild contract; offender: {dup[0][0]!r})"
         )
     postings, dl = _tokenize(changed_docs, id_col, text_col)
     dl = dl.persist()
@@ -390,7 +396,13 @@ def reindex_documents(
         batch = postings.withColumn(
             id_col, F.col(id_col).cast(metadata.vocab_to_spark_type(vocab))
         ).select("term", id_col, "tf", "dl")
-        eq_delete_append(spark, index_path, batch, [id_col])
+        # same within-file clustering as build/append: reindexed files keep
+        # tight term runs, so their bloom fingerprints stay sparse and the
+        # bucket-internal skip keeps biting until the next compaction
+        eq_delete_append(
+            spark, index_path, batch, [id_col],
+            sort_within_files=["term"],
+        )
         dl_meta = metadata.read_sidecar(spark, _doclens_path(index_path))
         dl_vocab = dl_meta.column_types.get(id_col) if dl_meta else vocab
         dl_batch = dl.select(F.col(id_col), F.col("dl")).withColumn(

@@ -3829,8 +3829,6 @@ def q_events_stream_upsert(spark, sf_dir):
     mirror converges to the global latest whatever the batch split).
     Output ts is the dataset's ms-coerced storage value (the engine's
     reference-parity write contract), mirrored in the oracle."""
-    import posixpath as pp
-
     from .fetch import fetch_path
     from .operators import latest_state
     from .publish import publish_path

@@ -1292,3 +1292,24 @@ class TestPerceptualHash:
         decode = lambda payload: list(payload)  # bytes as pixels
         got = perceptual_hash(df, "doc_id", decode=decode).collect()[0]
         assert got["ahash"] == _ahash_from_pixels(list(("abcdefgh" * 10).encode()))
+
+
+def test_pq_encode_validates_supplied_books(spark, sf_dir):
+    """r10 review: pre-trained codebooks must match m, codes AND the
+    subspace dim — a books=16-codes cache fed into a codes=8 call would
+    otherwise silently encode against the wrong cardinality."""
+    import pytest
+
+    from s3parq_spark.operators.similarity import pq_encode
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(64)
+    _, books = pq_encode(emb, "vec_id", "embedding", m=4, codes=8)
+    # round trip: the same books re-encode fine
+    enc, books2 = pq_encode(
+        emb, "vec_id", "embedding", m=4, codes=8, books=books
+    )
+    assert books2 == books and enc.limit(1).count() == 1
+    with pytest.raises(ValueError, match="codes=16"):
+        pq_encode(emb, "vec_id", "embedding", m=4, codes=16, books=books)
+    with pytest.raises(ValueError, match="do not match m=2"):
+        pq_encode(emb, "vec_id", "embedding", m=2, codes=8, books=books)

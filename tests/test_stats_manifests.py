@@ -294,3 +294,73 @@ def test_expire_squash_respills_merged_lists(spark, li, tmp_path):
     assert base["manifest"]["n"] >= 20
     metadata._ADDED_MANIFEST_CACHE.clear()
     assert fetch_path(spark, path).count() == 250
+
+
+def test_corrupt_stats_manifest_degrades_to_keep_all(spark, li, tmp_path):
+    """r10 review: a truncated/bit-rotted stats manifest must cost only
+    the skipping (conservative keep), never crash the fetch — pyarrow's
+    ArrowInvalid is a ValueError, not an OSError."""
+    import glob
+
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(500), [], max_records_per_file=100,
+        zone_map_columns=["l_orderkey"], file_bloom_columns=["l_partkey"],
+    )
+    key = int(li.select(F.max("l_orderkey")).first()[0])
+    flt = [{"partition": "l_orderkey", "comparison": "==", "values": [key]}]
+    exp = li.limit(500).filter(F.col("l_orderkey") == key).count()
+    assert fetch_path(spark, path, filters=flt).count() == exp
+    mf = glob.glob(os.path.join(path, metadata.STATS_DIR, "*"))[0]
+    data = open(mf, "rb").read()
+    open(mf, "wb").write(data[: len(data) // 2])  # truncate mid-file
+    metadata._STATS_MANIFEST_CACHE.clear()
+    got = fetch_path(spark, path, filters=flt)
+    assert got.count() == exp  # no skip, exact rows, no crash
+    with pytest.raises(ValueError, match="no recorded row count"):
+        dataset_rowcount(spark, path)  # honesty error, not a wrong count
+
+
+def test_stats_pointer_gc_survives_history_reset(spark, li, tmp_path):
+    """r10 review: version stamps restart after a destructive rewrite, so
+    restore must GC stats pointers by FILE identity — a stamp comparison
+    would drop manifests still describing live (bootstrap-era) files."""
+    from s3parq_spark.publish import overwrite_partitions
+
+    path = str(tmp_path / "ds")
+    li200 = li.limit(200).withColumn(
+        "flag", (F.col("l_orderkey") % 2 == 0).cast("string")
+    )
+    # several zone-declared commits push the pointer stamps up
+    publish_path(
+        spark, path, li200, ["flag"], max_records_per_file=50,
+        zone_map_columns=["l_orderkey"],
+    )
+    for _ in range(3):
+        publish_path(
+            spark, path, li200.limit(40), ["flag"], mode="append",
+            max_records_per_file=20,
+        )
+    # destructive partition rewrite clears history; zone_maps (and the
+    # old-era pointers, stamped up to v4) carry forward
+    overwrite_partitions(
+        spark, path, li200.filter("flag = 'true'"), ["flag"],
+    )
+    # new era: v1 bootstraps from surviving files, v2 appends
+    publish_path(
+        spark, path, li200.limit(10), ["flag"], mode="append",
+        max_records_per_file=5,
+    )
+    publish_path(
+        spark, path, li200.limit(10), ["flag"], mode="append",
+        max_records_per_file=5,
+    )
+    restore_dataset(spark, path, 2)  # roll off the new-era v3
+    meta = metadata.read_sidecar(spark, path)
+    # old-era pointers (stamps > 2) must SURVIVE: their files are live
+    stats = meta.file_stats()
+    untouched = [
+        f for f in meta.manifest_files() if f.startswith("flag=false/")
+    ]
+    assert untouched and all(f in stats for f in untouched)
+    assert fetch_path(spark, path).count() > 0

@@ -459,3 +459,38 @@ def test_stream_upsert_converges_to_batch_latest(spark, sf_dir, tmp_path):
     assert got == exp
     # one row per key after the merge — the mirror contract
     assert len({u for u, _ in got}) == len(got)
+
+
+def test_stream_upsert_bootstrap_refuses_null_keys(spark, tmp_path):
+    """r10 review: the bootstrap batch must honor the same non-NULL-key
+    contract as every later merge — a NULL-key row landed at bootstrap
+    could never be replaced by an equality delete."""
+    import os
+
+    import pytest
+
+    from s3parq_spark.streaming import stream_upsert
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    rows = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", None, "click", 1.0, "{}"),
+         (2, "2024-01-01 00:00:01", 5, "click", 2.0, "{}")],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts_s as timestamp) as ts", "user_id",
+        "event_type", "value", "props",
+    )
+    rows.coalesce(1).write.parquet(str(tmp_path / "w"))
+    import glob
+    import shutil
+
+    shutil.move(
+        glob.glob(str(tmp_path / "w" / "part-*.parquet"))[0],
+        f"{src}/w1.parquet",
+    )
+    with pytest.raises(Exception, match="NULL"):
+        stream_upsert(
+            spark, src, str(tmp_path / "mirror"), ["user_id"], "ts"
+        )

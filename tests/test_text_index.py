@@ -303,3 +303,33 @@ def test_reindex_rejects_duplicate_and_null_ids(spark, docs, tmp_path):
     nulled = docs.limit(1).withColumn("doc_id", F.lit(None).cast("long"))
     with pytest.raises(ValueError, match="unique"):
         reindex_documents(spark, nulled, path, "doc_id", "text")
+
+
+def test_reindex_refuses_null_text_and_staged_index(spark, docs, tmp_path):
+    """r10 review: (1) a NULL text tokenizes to nothing, so the doc would
+    vanish from the eq-delete batch and its OLD postings would silently
+    survive — refuse; (2) eq-delete commits refuse on a WAP-staged
+    dataset (promote would re-version the staged rows ABOVE the
+    key-delete and resurrect them)."""
+    from s3parq_spark.publish import PendingAuditError, publish_path
+    from s3parq_spark.text_index import reindex_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(
+        spark, docs.filter("doc_id < 50"), path, "doc_id", "text",
+        n_buckets=8,
+    )
+    nulled = docs.filter("doc_id < 2").withColumn(
+        "text", F.lit(None).cast("string")
+    )
+    with pytest.raises(ValueError, match="non-NULL"):
+        reindex_documents(spark, nulled, path, "doc_id", "text")
+    # stage an (arbitrary) snapshot on the index dataset, then reindex
+    idx_rows = spark.createDataFrame(
+        [("zzstaged", 7777, 1, 1)], "term string, doc_id long, tf long, dl long"
+    )
+    publish_path(spark, path, idx_rows, [], mode="append", staged=True)
+    with pytest.raises(PendingAuditError):
+        reindex_documents(
+            spark, docs.filter("doc_id < 2"), path, "doc_id", "text"
+        )
