@@ -378,6 +378,47 @@ def main() -> None:
                     probes_sf1[name] / timings[name], 2
                 )
 
+        # ---- text-index probes (r10), at sf1 where the asymmetry shows
+        # (at sf0.1's 5k docs every path is fixed-job-overhead bound):
+        # BM25 from the index (bucket prune + term bloom skip, corpus
+        # never touched) vs the full-corpus scan it replaces, and
+        # reindexing ~1% of documents (ONE eq-delete commit, O(changed))
+        # vs the full rebuild it replaces.
+        from s3parq_spark.operators import bm25_scores
+        from s3parq_spark.text_index import (
+            build_text_index, reindex_documents, search_text_index,
+        )
+
+        docs1 = spark.read.parquet(
+            os.path.join(sf1_dir, "documents.parquet")
+        ).select("doc_id", "text")
+        ti = os.path.join(workload._CACHE_ROOT, "bench_text_index_sf1")
+        for p in (ti, ti + "_stats", ti + "_doclens"):
+            _sh.rmtree(p, ignore_errors=True)
+        t0 = time.time()
+        build_text_index(spark, docs1, ti, "doc_id", "text", n_buckets=64)
+        probes_sf1["text_index_build"] = round(time.time() - t0, 3)
+        terms = ["hash", "join", "vector"]
+        search_text_index(spark, ti, terms, k=10).count()  # warm
+        t0 = time.time()
+        search_text_index(spark, ti, terms, k=10).count()
+        probes_sf1["text_search_indexed"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        bm25_scores(docs1, "doc_id", "text", terms, top_k=10).count()
+        probes_sf1["text_search_fullscan"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reindex_documents(
+            spark,
+            docs1.filter("doc_id % 97 = 3").withColumn(
+                "text", F.concat(F.lit("probe probe "), F.col("text"))
+            ),
+            ti, "doc_id", "text",
+        )
+        probes_sf1["text_reindex_1pct"] = round(time.time() - t0, 3)
+        probes_sf1["text_rebuild_full"] = probes_sf1["text_index_build"]
+        for p in (ti, ti + "_stats", ti + "_doclens"):
+            _sh.rmtree(p, ignore_errors=True)
+
     print(
         json.dumps(
             {
@@ -424,7 +465,15 @@ def main() -> None:
                          "within noise of r8/r9; publish cold-run band "
                          "3.2-3.8 s), bloom/zonemap/mor probes "
                          "unchanged: the skip state moved, the skips "
-                         "didn't",
+                         "didn't. New text-index probes (sf1, 50k docs): "
+                         "indexed BM25 1.2 s vs 2.0 s full scan (even at "
+                         "5k docs they tie — the gap is corpus-size-"
+                         "proportional); reindex-1pct ~7 s is FIXED "
+                         "commit overhead (~10 small Spark jobs, "
+                         "corpus-size-independent) while rebuild grows "
+                         "with the corpus (4.6 s at 5k docs -> 9.4 s at "
+                         "50k): the crossover any real corpus is far "
+                         "beyond",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time

@@ -35,21 +35,34 @@ from .publish import (
     PendingAuditError,
     TagPinnedError,
     apply_change_feed,
+    compact_dataset,
     custom_publish,
     delete_tag,
+    delete_where,
     discard_snapshot,
     drop_column,
+    eq_delete_append,
     expire_snapshots,
     merge_upsert,
+    overwrite_partitions,
     publish,
     publish_bucketed,
     publish_path,
     promote_snapshot,
     rename_column,
+    repartition_dataset,
+    restore_dataset,
     tag_snapshot,
     list_tags,
     vacuum_dataset,
     validate_redshift_params,
+)
+from .text_index import (
+    append_to_text_index,
+    build_text_index,
+    reindex_documents,
+    remove_documents,
+    search_text_index,
 )
 from .maintenance import dataset_health, maintain_dataset
 from .views import create_aggregate, refresh_aggregate
@@ -60,8 +73,19 @@ __all__ = [
     "MissingS3ParqMetadata",
     "PendingAuditError",
     "TagPinnedError",
+    "append_to_text_index",
     "apply_change_feed",
     "attach",
+    "build_text_index",
+    "compact_dataset",
+    "delete_where",
+    "eq_delete_append",
+    "overwrite_partitions",
+    "reindex_documents",
+    "remove_documents",
+    "repartition_dataset",
+    "restore_dataset",
+    "search_text_index",
     "create_aggregate",
     "custom_publish",
     "dataset_files",

@@ -74,6 +74,7 @@ __all__ = [
     "append_to_text_index",
     "build_text_index",
     "reindex_documents",
+    "remove_documents",
     "search_text_index",
 ]
 
@@ -423,6 +424,71 @@ def reindex_documents(
         )
     finally:
         dl.unpersist()
+
+
+def remove_documents(
+    spark: SparkSession,
+    doc_ids: List,
+    index_path: str,
+    id_col: str,
+) -> int:
+    """Remove documents from the index in O(removed docs) — the DELETE
+    corner of the index's CRUD: one merge-on-read predicate tombstone on
+    the postings dataset (``delete_where(mode="merge-on-read")`` — zero
+    data files touched), one on the doclens side table, and the stats
+    row folds DOWN using the old lengths point-fetched from doclens
+    (bloom-pruned id lookup). Ids not currently indexed are ignored
+    (idempotent — re-running a removal converges). Search afterwards
+    equals a full rebuild over the corpus minus the removed docs
+    (pinned by test); ``compact_dataset`` materializes the tombstones on
+    the usual MOR cadence. Refuses on a ``max_df``-built index: removal
+    shifts document frequencies, and a rebuild might then KEEP a term
+    whose postings the original build dropped — unreproducible from the
+    index alone. Returns the number of documents actually removed."""
+    from .publish import delete_where
+
+    meta = _require_index(spark, index_path)
+    if _index_id_col(meta, index_path) != id_col:
+        raise ValueError(
+            f"remove_documents: index at {index_path} is keyed by "
+            f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
+        )
+    n_docs, total_len, max_df = _read_stats(spark, index_path)
+    _refuse_max_df(max_df, "remove_documents")
+    if not _doclens_exists(spark, index_path):
+        raise ValueError(
+            f"remove_documents: no doclens side table at "
+            f"{_doclens_path(index_path)} — this index predates "
+            "incremental maintenance; rebuild with build_text_index"
+        )
+    ids = sorted({i for i in doc_ids if i is not None})
+    if not ids:
+        return 0
+    old = fetch_path(
+        spark,
+        _doclens_path(index_path),
+        filters=[{"partition": id_col, "comparison": "==", "values": ids}],
+    ).collect()
+    if not old:
+        return 0  # nothing indexed under these ids: idempotent no-op
+    vocab = meta.column_types.get(id_col, "string")
+    if vocab == "integer":
+        lits = ", ".join(str(int(i)) for i in ids)
+    else:
+        lits = ", ".join("'" + str(i).replace("'", "''") + "'" for i in ids)
+    pred = f"{id_col} IN ({lits})"
+    delete_where(spark, index_path, pred, mode="merge-on-read")
+    delete_where(
+        spark, _doclens_path(index_path), pred, mode="merge-on-read"
+    )
+    _write_stats(
+        spark,
+        index_path,
+        n_docs - len(old),
+        total_len - sum(int(r["dl"]) for r in old),
+        max_df,
+    )
+    return len(old)
 
 
 def search_text_index(

@@ -333,3 +333,60 @@ def test_reindex_refuses_null_text_and_staged_index(spark, docs, tmp_path):
         reindex_documents(
             spark, docs.filter("doc_id < 2"), path, "doc_id", "text"
         )
+
+
+def test_remove_documents_equals_rebuild_minus_removed(spark, docs, tmp_path):
+    """remove_documents (r10): predicate tombstones on postings + doclens,
+    stats fold down — search equals a rebuild over corpus minus the
+    removed docs; idempotent; composes with reindex and compaction."""
+    from s3parq_spark.text_index import reindex_documents, remove_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(spark, docs, path, "doc_id", "text", n_buckets=16)
+    removed = [3, 7, 11, 9999]  # 9999 was never indexed: ignored
+    n = remove_documents(spark, removed, path, "doc_id")
+    assert n == 3
+    remaining = docs.filter(~F.col("doc_id").isin(removed))
+    for terms in (["hash", "vector"], ["model", "data", "join"]):
+        got = _rows(search_text_index(spark, path, terms, k=10))
+        exp = _rows(bm25_scores(remaining, "doc_id", "text", terms, top_k=10))
+        assert got == exp, terms
+    # idempotent: removing again converges (0 found)
+    assert remove_documents(spark, [3, 7], path, "doc_id") == 0
+    # removal composes with a later reindex of OTHER docs...
+    changed = remaining.filter("doc_id < 5").withColumn(
+        "text", F.concat(F.lit("vector hash "), F.col("text"))
+    )
+    reindex_documents(spark, changed, path, "doc_id", "text")
+    updated = remaining.filter("doc_id >= 5").unionByName(changed)
+    got = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
+    exp = _rows(
+        bm25_scores(updated, "doc_id", "text", ["hash", "vector"], top_k=10)
+    )
+    assert got == exp
+    # ...and with compaction materializing the tombstones
+    from s3parq_spark.publish import compact_dataset
+
+    compact_dataset(spark, path)
+    compact_dataset(spark, path.rstrip("/") + "_doclens")
+    assert _rows(search_text_index(spark, path, ["hash", "vector"], k=10)) == got
+
+
+def test_remove_documents_refuses_max_df_and_missing_doclens(
+    spark, docs, tmp_path
+):
+    from s3parq_spark.text_index import _doclens_path, remove_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(
+        spark, docs, path, "doc_id", "text", n_buckets=8, max_df=100
+    )
+    with pytest.raises(ValueError, match="max_df"):
+        remove_documents(spark, [1], path, "doc_id")
+    import shutil as _sh
+
+    path2 = str(tmp_path / "idx2")
+    build_text_index(spark, docs, path2, "doc_id", "text", n_buckets=8)
+    _sh.rmtree(_doclens_path(path2))
+    with pytest.raises(ValueError, match="doclens"):
+        remove_documents(spark, [1], path2, "doc_id")
