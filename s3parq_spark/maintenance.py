@@ -67,12 +67,30 @@ def dataset_health(spark: SparkSession, path: str) -> Dict[str, float]:
             # FileNotFoundError, so this covers remote filesystems too.
             continue
     n = len(manifest)
+    try:
+        sidecar_bytes = float(
+            fs.file_size(spark, metadata.sidecar_path(path))
+        )
+    except OSError:
+        sidecar_bytes = 0.0
     return {
         "n_snapshots": float(len(meta.snapshots)),
         "n_files": float(n),
         "avg_file_bytes": float(total / n) if n else 0.0,
         "total_bytes": float(total),
         "n_specs": float(len(meta.specs())),
+        # merge-on-read debt (r10): every pending commit adds a row filter
+        # (predicate tombstone) or an era anti-join (eq key-delete) to
+        # every read — the signal that schedules compaction on evidence
+        "n_pending_tombstones": float(len(meta.tombstones())),
+        "n_pending_eq_deletes": float(len(meta.eq_deletes())),
+        # metadata-plane shape (r10): the sidecar must stay O(versions);
+        # spilled state lives in the per-version manifests
+        "sidecar_bytes": sidecar_bytes,
+        "n_stats_manifests": float(len(meta.stats_manifests())),
+        "n_spilled_snapshots": float(
+            sum(1 for s in meta.snapshots if s.get("manifest"))
+        ),
     }
 
 
@@ -83,6 +101,7 @@ def maintain_dataset(
     keep_last: int = 16,
     compact_min_files: int = 64,
     compact_below_fraction: float = 0.25,
+    max_pending_tombstones: int = 8,
     vacuum_retention_hours: Optional[float] = None,
     dry_run: bool = False,
 ) -> Dict[str, object]:
@@ -94,8 +113,14 @@ def maintain_dataset(
     - ``compact_dataset()`` when the dataset holds at least
       ``compact_min_files`` files AND their average size is below
       ``compact_below_fraction`` of the ~60 MB contract — the full-rewrite
-      action, so both signals must agree. Compaction also normalizes a
-      partition-evolved dataset back to a single spec.
+      action, so both signals must agree — OR when pending merge-on-read
+      commits (predicate tombstones + eq key-deletes) reach
+      ``max_pending_tombstones``: each pending commit taxes every read
+      with a residual filter or era anti-join, and past the threshold the
+      one-time materialization beats the recurring tax (the standard
+      Hudi/Iceberg MOR compaction cadence, scheduled on evidence).
+      Compaction also normalizes a partition-evolved dataset back to a
+      single spec.
     - ``vacuum_dataset(retention_hours=...)`` only when the caller passes
       ``vacuum_retention_hours`` explicitly — deleting files is opt-in per
       call, never something a generic policy loop silently starts doing.
@@ -129,14 +154,27 @@ def maintain_dataset(
         and health["avg_file_bytes"]
         < compact_below_fraction * TARGET_FILE_BYTES
     )
-    if small:
+    # merge-on-read debt (r10): each pending tombstone/eq-delete commit
+    # taxes EVERY read (row filter / era anti-join); past the threshold
+    # the one-time rewrite is cheaper than the recurring read tax
+    mor_debt = int(
+        health["n_pending_tombstones"] + health["n_pending_eq_deletes"]
+    )
+    if small or mor_debt >= max_pending_tombstones:
         entry = {
             "action": "compact_dataset",
             "reason": (
-                f"{int(health['n_files'])} files averaging "
-                f"{health['avg_file_bytes'] / 1024:.0f} KiB < "
-                f"{compact_below_fraction:.0%} of the "
-                f"{TARGET_FILE_BYTES // (1024 * 1024)} MB contract"
+                (
+                    f"{int(health['n_files'])} files averaging "
+                    f"{health['avg_file_bytes'] / 1024:.0f} KiB < "
+                    f"{compact_below_fraction:.0%} of the "
+                    f"{TARGET_FILE_BYTES // (1024 * 1024)} MB contract"
+                )
+                if small
+                else (
+                    f"{mor_debt} pending merge-on-read commits >= "
+                    f"max_pending_tombstones={max_pending_tombstones}"
+                )
             ),
         }
         if not dry_run:

@@ -1415,8 +1415,6 @@ def eq_delete_append(
     history-present invariants are enforced HERE so every caller gets
     them — a staged snapshot promotes at a LATER version than this
     commit's key-delete, so its pre-delete rows would escape it."""
-    import uuid as _uuid
-
     meta = metadata.read_sidecar(spark, path)
     if meta is None or not meta.snapshots:
         raise ValueError(
@@ -1424,6 +1422,23 @@ def eq_delete_append(
             "applicability needs per-file commit versions"
         )
     _require_no_staged(meta, path, "eq_delete_append")
+    # the batch lineage evaluates three times below (empty probe, key-file
+    # write, the append itself) — for a derived batch (reindex tokenizes
+    # the changed docs) each recompute is a repeated job; pin it once
+    batch = batch.persist()
+    try:
+        return _eq_delete_append_commit(
+            spark, path, batch, keys, base_partitions, publish_kwargs
+        )
+    finally:
+        batch.unpersist()
+
+
+def _eq_delete_append_commit(
+    spark, path, batch, keys, base_partitions, publish_kwargs
+) -> List[str]:
+    import uuid as _uuid
+
     if batch.limit(1).count() == 0:
         return []  # empty batch: no commit, no key files
     key_dir_rel = f"_eq_deletes/{_uuid.uuid4().hex[:12]}"

@@ -165,3 +165,49 @@ def test_health_probe_tolerates_lost_manifest_file(spark, nation, tmp_dataset_di
     h = dataset_health(spark, tmp_dataset_dir)
     assert h["n_files"] >= 3
     assert h["total_bytes"] > 0
+
+
+def test_health_reports_mor_debt_and_metadata_plane(spark, sf_dir, tmp_path):
+    """r10: health carries the merge-on-read debt (pending tombstones +
+    eq-deletes) and the metadata-plane shape; maintain_dataset compacts
+    on the debt threshold — scheduled on evidence, not a timer."""
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.maintenance import dataset_health, maintain_dataset
+    from s3parq_spark.publish import delete_where, merge_upsert, publish_path
+
+    path = str(tmp_path / "ds")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).limit(2000)
+    publish_path(spark, path, orders, [])
+    h0 = dataset_health(spark, path)
+    assert h0["n_pending_tombstones"] == 0
+    assert h0["n_pending_eq_deletes"] == 0
+    assert h0["sidecar_bytes"] > 0
+    delete_where(spark, path, "o_orderkey < 5", mode="merge-on-read")
+    merge_upsert(
+        spark, path,
+        orders.limit(10).withColumn("seq", F.lit(1)),
+        ["o_orderkey"], "seq", mode="merge-on-read",
+    )
+    h1 = dataset_health(spark, path)
+    assert h1["n_pending_tombstones"] == 1
+    assert h1["n_pending_eq_deletes"] == 1
+    # debt threshold triggers compaction (dry_run: report only)
+    rep = maintain_dataset(
+        spark, path, max_pending_tombstones=2, dry_run=True
+    )
+    acts = {a["action"]: a for a in rep["actions"]}
+    assert "compact_dataset" in acts
+    assert "merge-on-read" in acts["compact_dataset"]["reason"]
+    # below threshold: no compaction scheduled
+    rep2 = maintain_dataset(
+        spark, path, max_pending_tombstones=5, dry_run=True
+    )
+    assert "compact_dataset" not in {a["action"] for a in rep2["actions"]}
+    # for real: compaction clears the debt
+    maintain_dataset(spark, path, max_pending_tombstones=2)
+    h2 = dataset_health(spark, path)
+    assert h2["n_pending_tombstones"] == 0
+    assert h2["n_pending_eq_deletes"] == 0
