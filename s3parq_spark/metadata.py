@@ -673,6 +673,9 @@ def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
 #: accumulate every manifest it ever pruned against.
 _STATS_MANIFEST_CACHE: "dict[str, Dict[str, dict]]" = {}
 _STATS_MANIFEST_CACHE_MAX = 64
+#: manifests whose last non-strict read failed (bounded): non-strict
+#: readers short-circuit to {}, strict readers always retry the real I/O
+_STATS_MANIFEST_FAILED: "set[str]" = set()
 
 
 def write_stats_manifest(
@@ -726,11 +729,17 @@ def write_stats_manifest(
 
 
 def _read_stats_manifest(
-    spark: SparkSession, path: str, rel: str
+    spark: SparkSession, path: str, rel: str, strict: bool = False
 ) -> Dict[str, dict]:
     """Parse one stats manifest → ``{relpath: entry}`` through the
     process-wide cache. A missing/unreadable manifest contributes nothing
-    (superset-safe: prunes keep uncovered files; counts raise honestly)."""
+    (superset-safe: prunes keep uncovered files; counts raise honestly) —
+    and the FAILURE is cached too: manifests are immutable once written,
+    so a corrupt one stays corrupt and must not re-pay remote I/O + parse
+    on every fetch. ``strict=True`` re-raises read failures instead
+    (pointer-GC callers must distinguish "manifest read, zero live files"
+    from "could not read" — dropping a pointer on a transient I/O error
+    would lose live stats permanently)."""
     full = posixpath.join(path, rel)
     cached = _STATS_MANIFEST_CACHE.get(full)
     if cached is not None:
@@ -738,6 +747,8 @@ def _read_stats_manifest(
         # outlive a trickle of one-off reads
         _STATS_MANIFEST_CACHE[full] = _STATS_MANIFEST_CACHE.pop(full)
         return cached
+    if not strict and full in _STATS_MANIFEST_FAILED:
+        return {}  # known-bad: don't re-pay the I/O + parse per fetch
     import json as _json
 
     import pyarrow.parquet as pq
@@ -763,7 +774,17 @@ def _read_stats_manifest(
         # missing, truncated (pyarrow ArrowInvalid IS a ValueError), or
         # malformed manifest: contribute nothing — prunes keep uncovered
         # files, counts raise their honesty error. Never crash the fetch.
+        # The failure is remembered SEPARATELY from the value cache:
+        # non-strict readers skip the re-read, while strict readers (the
+        # pointer GC) always retry the real I/O — a transiently-failed
+        # read must never masquerade as "manifest read, zero live files".
+        if strict:
+            raise
+        _STATS_MANIFEST_FAILED.add(full)
+        if len(_STATS_MANIFEST_FAILED) > _STATS_MANIFEST_CACHE_MAX:
+            _STATS_MANIFEST_FAILED.pop()
         return {}
+    _STATS_MANIFEST_FAILED.discard(full)
     if len(_STATS_MANIFEST_CACHE) >= _STATS_MANIFEST_CACHE_MAX:
         _STATS_MANIFEST_CACHE.pop(next(iter(_STATS_MANIFEST_CACHE)))
     _STATS_MANIFEST_CACHE[full] = out

@@ -564,9 +564,12 @@ def pq_encode(
     sub = dim // m
     if books is not None:
         books = [[[float(x) for x in c] for c in b] for b in books]
+        # <= codes, not ==: training itself returns FEWER centroids when
+        # the corpus holds fewer than `codes` vectors (kmeans_centroids
+        # caps k at the corpus size), and those books must round-trip
         if (
             len(books) != m
-            or any(len(b) != codes for b in books)
+            or any(len(b) > codes for b in books)
             or any(len(c) != sub for b in books for c in b)
         ):
             raise ValueError(

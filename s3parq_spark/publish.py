@@ -1363,17 +1363,7 @@ def _merge_upsert_mor(
         up = up.withColumn(
             k, F.col(k).cast(metadata.vocab_to_spark_type(vocab))
         )
-    null_pred = None
-    for k in keys:
-        c = F.col(k).isNull()
-        null_pred = c if null_pred is None else (null_pred | c)
-    n_null = up.filter(null_pred).count()
-    if n_null:
-        raise ValueError(
-            f"merge_upsert(merge-on-read): {n_null} batch row(s) have "
-            "NULL merge keys — an equality delete cannot address them "
-            "(and the reference truth table matches NULL to nothing)"
-        )
+    reject_null_merge_keys(up, keys, "merge_upsert(merge-on-read)")
     payload = [c for c in up.columns if c not in keys and c != seq_col]
     batch = (
         latest_state(up.withColumn("__src", F.lit(1)), keys, seq_col,
@@ -1389,7 +1379,31 @@ def _merge_upsert_mor(
     # the append path re-derives hidden partition columns itself: pass
     # only the BASE partitions (`required` already excludes derived names)
     base_partitions = [p for p in meta.partitions if p not in derived]
-    return eq_delete_append(spark, path, batch, keys, base_partitions)
+    return eq_delete_append(
+        spark, path, batch, keys, base_partitions, _meta=meta
+    )
+
+
+def reject_null_merge_keys(df, keys: List[str], op: str) -> None:
+    """The equality-delete plane's shared non-NULL-key contract: an
+    equi-anti-join can never delete a NULL key (and the reference truth
+    table matches NULL to nothing), so any row that would land under one
+    is refused loudly — by ``merge_upsert`` and by ``stream_upsert``'s
+    bootstrap publish alike (a NULL-key bootstrap row would be a
+    permanent zombie no later merge could replace)."""
+    if not keys:
+        raise ValueError(f"{op} needs at least one key column")
+    null_pred = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_pred = c if null_pred is None else (null_pred | c)
+    n_null = df.filter(null_pred).count()
+    if n_null:
+        raise ValueError(
+            f"{op}: {n_null} batch row(s) have NULL merge keys — an "
+            "equality delete cannot address them (and the reference "
+            "truth table matches NULL to nothing)"
+        )
 
 
 def eq_delete_append(
@@ -1398,6 +1412,7 @@ def eq_delete_append(
     batch,
     keys: List[str],
     base_partitions: Optional[List[str]] = None,
+    _meta: "Optional[metadata.DatasetMetadata]" = None,
     **publish_kwargs,
 ) -> List[str]:
     """The equality-delete commit primitive ``merge_upsert(mode=
@@ -1414,8 +1429,10 @@ def eq_delete_append(
     all three before delegating here); the staged-snapshot and
     history-present invariants are enforced HERE so every caller gets
     them — a staged snapshot promotes at a LATER version than this
-    commit's key-delete, so its pre-delete rows would escape it."""
-    meta = metadata.read_sidecar(spark, path)
+    commit's key-delete, so its pre-delete rows would escape it.
+    ``_meta`` lets a caller that JUST read the sidecar (``merge_upsert``)
+    skip the second read+hydration — the guards still run."""
+    meta = _meta if _meta is not None else metadata.read_sidecar(spark, path)
     if meta is None or not meta.snapshots:
         raise ValueError(
             f"eq_delete_append: no snapshot history at {path} — key-delete "
@@ -1866,6 +1883,7 @@ def delete_where(
     dry_run: bool = False,
     change_log: bool = False,
     mode: str = "copy-on-write",
+    count_matches: bool = True,
 ) -> int:
     """Row-level DELETE on a published dataset, as a partition-scoped
     rewrite (copy-on-write, the Delta/Iceberg CoW strategy): only hive
@@ -1904,6 +1922,10 @@ def delete_where(
     ``change_log`` is CoW-only (a tombstone commits no row images).
 
     Returns the number of rows deleted (``dry_run=True`` counts only).
+    ``count_matches=False`` (merge-on-read only) skips the match count —
+    the tombstone commit then touches ZERO data, and the return value is
+    -1 (callers that already proved matches exist, like the text index's
+    ``remove_documents``, opt in to keep removal O(1)).
     """
     from .fetch import fetch_path
 
@@ -1916,7 +1938,20 @@ def delete_where(
     parts = list(sidecar.partitions)
     df = fetch_path(spark, path)
     pred = F.expr(predicate)
-    n_delete = df.filter(pred).count()
+    if count_matches or dry_run or mode != "merge-on-read":
+        n_delete = df.filter(pred).count()
+    else:
+        # count_matches=False (merge-on-read only): the caller already
+        # knows matches exist (e.g. remove_documents proved them via a
+        # bloom-pruned point fetch) — skip the full-scan count that would
+        # otherwise be the tombstone commit's ONLY data read, keeping the
+        # commit O(1). A no-match tombstone is semantically harmless (it
+        # filters nothing) but taxes reads until compaction; returns -1.
+        # The predicate must still ANALYZE against the schema before it is
+        # committed (schema access, zero jobs): a malformed predicate
+        # stored as a tombstone would poison every subsequent read.
+        df.filter(pred).schema
+        n_delete = -1
     if mode == "merge-on-read":
         if change_log:
             raise ValueError(
@@ -2401,21 +2436,28 @@ def restore_dataset(
             # carries zone_maps forward), so an old-era pointer stamped
             # v5 can describe files a NEW-era v1 bootstrap still serves —
             # a stamp comparison would drop live stats and permanently
-            # orphan their manifests to vacuum. Keeping a pointer iff any
-            # of its files survive is immune, and also sheds fully-dead
-            # pointers whatever their stamp (bounds file_stats load over
-            # the dataset's DML lifetime). Manifests are process-cached;
-            # restore is rare.
+            # orphan their manifests to vacuum. Only pointers stamped
+            # ABOVE the restore point can have lost their last live file
+            # (a kept stamp's snapshot survives whole in the same era,
+            # and cross-era files die only with their bootstrap), so only
+            # those pay a manifest read — strict: a pointer is dropped on
+            # evidence, never on a transient read failure.
             if meta.zone_maps.get("stats_manifests"):
+                def _still_live(m):
+                    if m["version"] <= version:
+                        return True
+                    try:
+                        covered = metadata._read_stats_manifest(
+                            spark, path, m["path"], strict=True
+                        )
+                    except Exception:
+                        return True  # unreadable: keep (conservative)
+                    return any(f in kept_files for f in covered)
+
                 meta.zone_maps["stats_manifests"] = [
                     m
                     for m in meta.zone_maps["stats_manifests"]
-                    if any(
-                        f in kept_files
-                        for f in metadata._read_stats_manifest(
-                            spark, path, m["path"]
-                        )
-                    )
+                    if _still_live(m)
                 ]
         if meta.partition_specs:
             # partition evolution happens at snapshot boundaries, so
@@ -2668,23 +2710,33 @@ def discard_snapshot(
                     if k not in dead
                 }
             if m.zone_maps.get("stats_manifests"):
-                # file-identity GC (see restore_dataset): keep a pointer
-                # iff any of its files remain live after the discard —
-                # version stamps collide across history-reset eras
+                # file-identity GC (see restore_dataset): only pointers
+                # stamped with the DISCARDED version could have lost
+                # their last live file (stamp collisions across
+                # history-reset eras included — that's why the stamp
+                # alone can't decide the DROP), so only those pay a
+                # manifest read; strict + keep-on-failure like restore.
                 live = {
                     f
                     for s2 in m.snapshots
                     for f in s2.get("added", [])
                 }
+
+                def _still_live(e):
+                    if e["version"] != version:
+                        return True
+                    try:
+                        covered = metadata._read_stats_manifest(
+                            spark, path, e["path"], strict=True
+                        )
+                    except Exception:
+                        return True  # unreadable: keep (conservative)
+                    return any(f in live for f in covered)
+
                 m.zone_maps["stats_manifests"] = [
                     e
                     for e in m.zone_maps["stats_manifests"]
-                    if any(
-                        f in live
-                        for f in metadata._read_stats_manifest(
-                            spark, path, e["path"]
-                        )
-                    )
+                    if _still_live(e)
                 ]
 
     _guarded_sidecar_write(spark, path, mutate)

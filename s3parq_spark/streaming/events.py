@@ -562,20 +562,12 @@ def stream_upsert(
         s = batch_df.sparkSession
         if metadata.read_sidecar(s, dataset_path) is None:
             # bootstrap enforces the same non-NULL-key contract as every
-            # later merge: a NULL-key row landed here could never be
-            # replaced by an equality delete — a permanent zombie in the
-            # mirror the sink exists to keep converged
-            null_pred = None
-            for kcol in keys:
-                c = F.col(kcol).isNull()
-                null_pred = c if null_pred is None else (null_pred | c)
-            n_null = batch_df.filter(null_pred).count()
-            if n_null:
-                raise ValueError(
-                    f"stream_upsert: {n_null} bootstrap row(s) have NULL "
-                    "merge keys — an equality delete could never address "
-                    "them (same refusal as merge_upsert)"
-                )
+            # later merge (shared helper): a NULL-key row landed here
+            # could never be replaced by an equality delete — a permanent
+            # zombie in the mirror the sink exists to keep converged
+            from ..publish import reject_null_merge_keys
+
+            reject_null_merge_keys(batch_df, keys, "stream_upsert")
             payload = [
                 c for c in batch_df.columns if c not in keys and c != seq_col
             ]

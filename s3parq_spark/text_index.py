@@ -445,7 +445,7 @@ def remove_documents(
     shifts document frequencies, and a rebuild might then KEEP a term
     whose postings the original build dropped — unreproducible from the
     index alone. Returns the number of documents actually removed."""
-    from .publish import delete_where
+    from .publish import _require_no_staged, delete_where
 
     meta = _require_index(spark, index_path)
     if _index_id_col(meta, index_path) != id_col:
@@ -453,6 +453,13 @@ def remove_documents(
             f"remove_documents: index at {index_path} is keyed by "
             f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
         )
+    # a staged snapshot's postings would promote ABOVE the removal's
+    # tombstone and escape it — while the stats row already folded down:
+    # the index would hold postings for docs its stats no longer count.
+    # (delete_where itself deliberately allows staged+tombstone — SQL
+    # deletes what was VISIBLE — but this module's stats-parity contract
+    # cannot survive it.)
+    _require_no_staged(meta, index_path, "remove_documents")
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     _refuse_max_df(max_df, "remove_documents")
     if not _doclens_exists(spark, index_path):
@@ -475,11 +482,22 @@ def remove_documents(
     if vocab == "integer":
         lits = ", ".join(str(int(i)) for i in ids)
     else:
-        lits = ", ".join("'" + str(i).replace("'", "''") + "'" for i in ids)
+        # Spark SQL string literals treat BOTH backslash and quote as
+        # escapes: escape backslash first, then the quote — an id like
+        # r"a\nb" must not become a newline inside the stored predicate
+        lits = ", ".join(
+            "'" + str(i).replace("\\", "\\\\").replace("'", "\\'") + "'"
+            for i in ids
+        )
     pred = f"{id_col} IN ({lits})"
-    delete_where(spark, index_path, pred, mode="merge-on-read")
+    # matches were just proven via the bloom-pruned doclens fetch:
+    # count_matches=False keeps each tombstone commit zero-data-read
     delete_where(
-        spark, _doclens_path(index_path), pred, mode="merge-on-read"
+        spark, index_path, pred, mode="merge-on-read", count_matches=False
+    )
+    delete_where(
+        spark, _doclens_path(index_path), pred, mode="merge-on-read",
+        count_matches=False,
     )
     _write_stats(
         spark,

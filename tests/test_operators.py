@@ -1309,7 +1309,18 @@ def test_pq_encode_validates_supplied_books(spark, sf_dir):
         emb, "vec_id", "embedding", m=4, codes=8, books=books
     )
     assert books2 == books and enc.limit(1).count() == 1
-    with pytest.raises(ValueError, match="codes=16"):
-        pq_encode(emb, "vec_id", "embedding", m=4, codes=16, books=books)
+    # codes is an UPPER bound for supplied books: small-corpus training
+    # returns fewer centroids and those books must round-trip...
+    _, books3 = pq_encode(
+        emb, "vec_id", "embedding", m=4, codes=16, books=books
+    )
+    assert books3 == books
+    # ...but books trained at a HIGHER cardinality than declared reject
+    _, books16 = pq_encode(emb, "vec_id", "embedding", m=4, codes=16)
+    if any(len(b) > 8 for b in books16):
+        with pytest.raises(ValueError, match="codes=8"):
+            pq_encode(
+                emb, "vec_id", "embedding", m=4, codes=8, books=books16
+            )
     with pytest.raises(ValueError, match="do not match m=2"):
         pq_encode(emb, "vec_id", "embedding", m=2, codes=8, books=books)

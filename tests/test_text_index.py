@@ -390,3 +390,60 @@ def test_remove_documents_refuses_max_df_and_missing_doclens(
     _sh.rmtree(_doclens_path(path2))
     with pytest.raises(ValueError, match="doclens"):
         remove_documents(spark, [1], path2, "doc_id")
+
+
+def test_remove_documents_escapes_string_ids(spark, tmp_path):
+    """r10 review #2: Spark SQL string literals treat backslash AND quote
+    as escapes — ids like r'a\\nb' (or ending in a bare backslash, or
+    carrying quotes) must survive the stored tombstone predicate exactly,
+    and re-running must be a true no-op (idempotent stats)."""
+    from s3parq_spark.text_index import _read_stats, remove_documents
+
+    rows = [
+        ("a\\nb", "hash join"),          # literal backslash-n
+        ("it's", "vector hash"),          # single quote
+        ("tail\\", "join vector data"),  # trailing backslash
+        ("plain", "hash vector model"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id string, text string")
+    path = str(tmp_path / "idx")
+    build_text_index(spark, docs, path, "doc_id", "text", n_buckets=4)
+    n = remove_documents(
+        spark, ["a\\nb", "it's", "tail\\"], path, "doc_id"
+    )
+    assert n == 3
+    remaining = docs.filter(F.col("doc_id") == "plain")
+    got = _rows_str(search_text_index(spark, path, ["hash"], k=5))
+    exp = _rows_str(bm25_scores(remaining, "doc_id", "text", ["hash"], top_k=5))
+    assert got == exp
+    # idempotent: the tombstone really matched — nothing left to find
+    assert remove_documents(spark, ["a\\nb", "tail\\"], path, "doc_id") == 0
+    assert _read_stats(spark, path)[0] == 1  # n_docs did not drift
+
+
+def _rows_str(df):
+    return [
+        (r[0], r[1], round(r[2], 9)) for r in df.collect()
+    ]
+
+
+def test_remove_documents_refuses_staged_index(spark, docs, tmp_path):
+    """r10 review #2: a staged snapshot's postings would promote ABOVE
+    the removal tombstone and escape it while stats already folded down."""
+    from s3parq_spark.publish import PendingAuditError, publish_path
+    from s3parq_spark.text_index import remove_documents
+
+    path = str(tmp_path / "idx")
+    build_text_index(
+        spark, docs.filter("doc_id < 30"), path, "doc_id", "text",
+        n_buckets=4,
+    )
+    publish_path(
+        spark, path,
+        spark.createDataFrame(
+            [("zz", 9001, 1, 1)], "term string, doc_id long, tf long, dl long"
+        ),
+        [], mode="append", staged=True,
+    )
+    with pytest.raises(PendingAuditError):
+        remove_documents(spark, [1], path, "doc_id")
