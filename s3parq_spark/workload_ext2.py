@@ -3889,3 +3889,46 @@ ORACLE_EXT2["events_stream_upsert"] = """
       FROM events
     ) WHERE rn = 1
 """
+
+
+def q_text_index_remove(spark, sf_dir):
+    """Document DELETION from the index at rest (text_index.
+    remove_documents — r10 second wave): merge-on-read predicate
+    tombstones on postings + doclens (zero data files touched,
+    count-free commits: matches were proven by the bloom-pruned doclens
+    point fetch), stats row folds DOWN from the fetched old lengths.
+    Search afterwards must equal full-corpus BM25 over the corpus MINUS
+    the removed docs — the oracle recomputes that corpus in SQL. The
+    fixture also replays a second (idempotent) removal: re-running the
+    same batch must find nothing and leave stats untouched."""
+    from .text_index import build_text_index, remove_documents, search_text_index
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "text_index_rm")
+    marker = os.path.join(path, "_REMOVED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(path.rstrip("/") + "_stats", ignore_errors=True)
+        shutil.rmtree(path.rstrip("/") + "_doclens", ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_text_index(
+            spark, docs, path, "doc_id", "text",
+            n_buckets=16, max_records_per_file=2000,
+        )
+        ids = [r[0] for r in docs.filter("doc_id % 11 = 4")
+               .select("doc_id").collect()]
+        n = remove_documents(spark, ids, path, "doc_id")
+        assert n == len(ids), (n, len(ids))
+        assert remove_documents(spark, ids, path, "doc_id") == 0  # idempotent
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index(spark, path, ["hash", "join", "vector"], k=10)
+    return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+
+
+QUERIES_EXT2["text_index_remove"] = q_text_index_remove
+# bm25_search's oracle over the corpus MINUS the removed documents
+ORACLE_EXT2["text_index_remove"] = _ORACLE_MAIN["bm25_search"].replace(
+    "FROM documents",
+    "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 4)",
+)
