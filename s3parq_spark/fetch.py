@@ -1113,8 +1113,10 @@ def _prune_zone_files(
     if not active:
         return files
     # stats load AFTER the active check: a fetch whose filters can't prune
-    # never touches (or pays for) the stats manifests
-    file_stats = meta.file_stats()
+    # never touches (or pays for) the stats manifests; the candidate list
+    # (already partition-pruned) lets pointer-level partition summaries
+    # skip whole manifests at load (metadata.file_stats)
+    file_stats = meta.file_stats(files)
     out = []
     for rel in files:
         st = file_stats.get(rel)
@@ -1224,7 +1226,9 @@ def _prune_bloom_files(
             pos_cache[key] = positions(canonical_str(v), m_bits)
         return pos_cache[key]
 
-    file_meta = meta.file_stats()  # lazy: loads manifests only here
+    # lazy + selective: loads only the manifests whose partition summary
+    # intersects the (already partition-pruned) candidate list
+    file_meta = meta.file_stats(files)
     out = []
     for rel in files:
         blooms = (file_meta.get(rel) or {}).get("bloom") or {}

@@ -381,7 +381,9 @@ class DatasetMetadata:
             return []
         return list(self.zone_maps.get("stats_manifests", []))
 
-    def file_stats(self) -> Dict[str, dict]:
+    def file_stats(
+        self, candidates: Optional[List[str]] = None
+    ) -> Dict[str, dict]:
         """Per-file data-skipping stats, lazily loaded and memoized:
         ``{relpath: {"rows": n, "stats": {col: [min,max,nulls]}, "bloom":
         {col: fingerprint}}}``. Merges (in order, later wins per file):
@@ -391,6 +393,15 @@ class DatasetMetadata:
            once written, so a load is paid once per process;
         2. the legacy inline ``zone_maps["files"]`` dict (pre-r10
            sidecars, and entries DDL ops mutated in place).
+
+        ``candidates`` enables the SECOND pruning level (Iceberg's
+        manifest-level partition summaries, restated for the sidecar):
+        pointers record the top-level hive dirs their publish touched, so
+        a partition-pruned query loads ONLY the manifests that can cover
+        its surviving files — a one-day query over a 10^4-publish dataset
+        reads one manifest, not 10^4. Selective results are NOT memoized
+        at the meta level (the per-manifest cache already makes repeats
+        cheap); the full load is.
 
         Column keys are normalized to CURRENT names via ``column_renames``
         (manifests are never rewritten on a rename; the mapping is applied
@@ -407,10 +418,11 @@ class DatasetMetadata:
             return {}
         out: Dict[str, dict] = {}
         if self.stats_manifests() and self._stats_loader is not None:
-            out.update(self._stats_loader(self))
+            out.update(self._stats_loader(self, candidates))
         inline = self.zone_maps.get("files") or {}
         out.update(inline)
-        self._file_stats_cache = out
+        if candidates is None:
+            self._file_stats_cache = out
         return out
 
     # -- partition-spec evolution helpers ---------------------------------
@@ -650,7 +662,9 @@ def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
             s["added"] = list(
                 _read_added_manifest(spark, path, s["manifest"]["path"])
             )
-    meta._stats_loader = lambda m: _load_file_stats(spark, path, m)
+    meta._stats_loader = lambda m, candidates=None: _load_file_stats(
+        spark, path, m, candidates
+    )
     return meta
 
 
@@ -792,14 +806,31 @@ def _read_stats_manifest(
 
 
 def _load_file_stats(
-    spark: SparkSession, path: str, meta: DatasetMetadata
+    spark: SparkSession,
+    path: str,
+    meta: DatasetMetadata,
+    candidates: Optional[List[str]] = None,
 ) -> Dict[str, dict]:
-    """Union of every pointed-at stats manifest (commit order, later wins
+    """Union of the pointed-at stats manifests (commit order, later wins
     per file), column keys normalized to CURRENT names via the sidecar's
     rename history — copy-on-write so cached manifest entries are never
-    mutated."""
+    mutated. With ``candidates``, pointers carrying a ``dirs`` partition
+    summary are skipped when no candidate file lives under their dirs —
+    a manifest with a summary contains ONLY files under those dirs, so a
+    skip can never hide a candidate's stats (pointers without a summary
+    always load)."""
+    cand_dirs = None
+    if candidates is not None:
+        cand_dirs = {f.split("/", 1)[0] for f in candidates if "/" in f}
     merged: Dict[str, dict] = {}
     for m in meta.stats_manifests():
+        dirs = m.get("dirs")
+        if (
+            cand_dirs is not None
+            and dirs is not None
+            and not cand_dirs.intersection(dirs)
+        ):
+            continue
         merged.update(_read_stats_manifest(spark, path, m["path"]))
     # rename normalization: manifests written before a rename_column carry
     # the old physical key; the declaration moved, the recorded bounds

@@ -945,9 +945,18 @@ def publish_path(
         # references a declared column (metadata.file_stats)
         version = snaps[-1]["version"]
         rel = metadata.write_stats_manifest(spark, path, version, stats_map)
-        zm.setdefault("stats_manifests", []).append(
-            {"path": rel, "version": version, "files": len(stats_map)}
+        ptr = {"path": rel, "version": version, "files": len(stats_map)}
+        # manifest-level partition summary (Iceberg-style): the top-level
+        # hive dirs this publish touched, so partition-pruned queries can
+        # skip whole manifests at load. Recorded only when EVERY file has
+        # one (hive layout) and the publish touched few enough dirs that
+        # the summary stays pointer-sized; omitted = always load.
+        dirs = sorted(
+            {f.split("/", 1)[0] for f in stats_map if "/" in f}
         )
+        if dirs and len(dirs) <= 32 and all("/" in f for f in stats_map):
+            ptr["dirs"] = dirs
+        zm.setdefault("stats_manifests", []).append(ptr)
         if zm.get("files"):
             # legacy inline entries (pre-r10 sidecars): GC the ones no
             # snapshot references any more; new entries never land here

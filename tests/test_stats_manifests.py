@@ -364,3 +364,58 @@ def test_stats_pointer_gc_survives_history_reset(spark, li, tmp_path):
     ]
     assert untouched and all(f in stats for f in untouched)
     assert fetch_path(spark, path).count() > 0
+
+
+def test_partition_summary_skips_whole_manifests(spark, li, tmp_path):
+    """r10 second wave: pointers record the hive dirs their publish
+    touched (Iceberg manifest partition summaries); a partition-pruned
+    point fetch loads ONLY the intersecting manifests — the second level
+    of metadata pruning, O(touched publishes) not O(all publishes)."""
+    path = str(tmp_path / "ds")
+    li2 = li.limit(600).withColumn(
+        "flag", (F.col("l_orderkey") % 3).cast("string")
+    )
+    # three publishes, each touching ONE partition -> three summarized
+    # pointers with disjoint dirs
+    publish_path(
+        spark, path, li2.filter("flag = '0'"), ["flag"],
+        max_records_per_file=50, zone_map_columns=["l_orderkey"],
+        file_bloom_columns=["l_partkey"],
+    )
+    for v in ("1", "2"):
+        publish_path(
+            spark, path, li2.filter(f"flag = '{v}'"), ["flag"],
+            mode="append", max_records_per_file=50,
+        )
+    meta = metadata.read_sidecar(spark, path)
+    ptrs = meta.stats_manifests()
+    assert [p["dirs"] for p in ptrs] == [
+        ["flag=0"], ["flag=1"], ["flag=2"]
+    ]
+    key = int(
+        li2.filter("flag = '2'").select(F.max("l_partkey")).first()[0]
+    )
+    calls = []
+    orig = metadata._read_stats_manifest
+
+    def spy(spark_, path_, rel, strict=False):
+        calls.append(rel)
+        return orig(spark_, path_, rel, strict)
+
+    metadata._read_stats_manifest = spy
+    try:
+        got = fetch_path(spark, path, filters=[
+            {"partition": "flag", "comparison": "==", "values": ["2"]},
+            {"partition": "l_partkey", "comparison": "==", "values": [key]},
+        ])
+        exp = li2.filter(
+            (F.col("flag") == "2") & (F.col("l_partkey") == key)
+        ).count()
+        assert got.count() == exp and exp > 0
+        # only flag=2's manifest was read (twice: zone + bloom prune,
+        # second hit served by the process cache — still one distinct)
+        assert set(calls) == {ptrs[2]["path"]}
+    finally:
+        metadata._read_stats_manifest = orig
+    # the FULL load (counts) still covers everything
+    assert dataset_rowcount(spark, path) == 600
