@@ -254,7 +254,7 @@ def main() -> None:
     fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
     probes["zonemap_skip"] = round(time.time() - t0, 3)
     _orig_pzf = fetch_mod._prune_zone_files
-    fetch_mod._prune_zone_files = lambda files, meta, zf: files
+    fetch_mod._prune_zone_files = lambda files, meta, zf, *a: files
     try:
         t0 = time.time()
         fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
@@ -282,7 +282,7 @@ def main() -> None:
     fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()
     probes["bloom_skip"] = round(time.time() - t0, 3)
     _orig_pbf = fetch_mod._prune_bloom_files
-    fetch_mod._prune_bloom_files = lambda files, meta, zf: files
+    fetch_mod._prune_bloom_files = lambda files, meta, zf, *a: files
     try:
         t0 = time.time()
         fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()

@@ -62,6 +62,7 @@ from .text_index import (
     build_text_index,
     reindex_documents,
     remove_documents,
+    repair_index_stats,
     search_text_index,
 )
 from .maintenance import dataset_health, maintain_dataset
@@ -83,6 +84,7 @@ __all__ = [
     "overwrite_partitions",
     "reindex_documents",
     "remove_documents",
+    "repair_index_stats",
     "repartition_dataset",
     "restore_dataset",
     "search_text_index",

@@ -528,9 +528,16 @@ def fetch_path(
         files = _prune_manifest_files(files, meta, filters)
         # ... then against the zone-map filters (value-column min/max file
         # skipping; files without stats are kept) and the per-file bloom
-        # fingerprints (equality probes on scattered keys)
-        files = _prune_zone_files(files, meta, prune_filters)
-        files = _prune_bloom_files(files, meta, prune_filters)
+        # fingerprints (equality probes on scattered keys). ONE selective
+        # stats load feeds both prunes (partition summaries skip whole
+        # manifests; see metadata.file_stats).
+        fstats = (
+            meta.file_stats(files)
+            if prune_filters and meta.zone_maps
+            else None
+        )
+        files = _prune_zone_files(files, meta, prune_filters, fstats)
+        files = _prune_bloom_files(files, meta, prune_filters, fstats)
         if meta.has_tombstones():
             # merge-on-read deletes pending: per-era scan with tombstone
             # row filters (already rename-resolved)
@@ -1062,6 +1069,7 @@ def _prune_zone_files(
     files: List[str],
     meta: DatasetMetadata,
     zone_filters: List[dict],
+    file_stats: Optional[Dict[str, dict]] = None,
 ) -> List[str]:
     """Driver-side FILE skipping on value-column predicates — the
     data-skipping half of the zone-map plane (Delta ``stats``/Iceberg
@@ -1115,8 +1123,10 @@ def _prune_zone_files(
     # stats load AFTER the active check: a fetch whose filters can't prune
     # never touches (or pays for) the stats manifests; the candidate list
     # (already partition-pruned) lets pointer-level partition summaries
-    # skip whole manifests at load (metadata.file_stats)
-    file_stats = meta.file_stats(files)
+    # skip whole manifests at load (metadata.file_stats). A caller that
+    # runs BOTH prunes preloads once and passes the dict through.
+    if file_stats is None:
+        file_stats = meta.file_stats(files)
     out = []
     for rel in files:
         st = file_stats.get(rel)
@@ -1156,6 +1166,7 @@ def _prune_bloom_files(
     files: List[str],
     meta: DatasetMetadata,
     zone_filters: List[dict],
+    file_stats: Optional[Dict[str, dict]] = None,
 ) -> List[str]:
     """Driver-side FILE skipping on equality probes from per-file bloom
     fingerprints (``publish(file_bloom_columns=...)`` — see ``bloom.py``):
@@ -1227,8 +1238,9 @@ def _prune_bloom_files(
         return pos_cache[key]
 
     # lazy + selective: loads only the manifests whose partition summary
-    # intersects the (already partition-pruned) candidate list
-    file_meta = meta.file_stats(files)
+    # intersects the (already partition-pruned) candidate list; callers
+    # running both prunes preload once and pass the dict through
+    file_meta = file_stats if file_stats is not None else meta.file_stats(files)
     out = []
     for rel in files:
         blooms = (file_meta.get(rel) or {}).get("bloom") or {}
@@ -1509,9 +1521,11 @@ def _union_spec_slices(
     for f in rel_files:
         by_spec.setdefault(spec_of[f], []).append(f)
     if zone_filters:
+        fstats = meta.file_stats(rel_files) if meta.zone_maps else None
         by_spec = {
             sid: _prune_bloom_files(
-                _prune_zone_files(fl, meta, zone_filters), meta, zone_filters
+                _prune_zone_files(fl, meta, zone_filters, fstats),
+                meta, zone_filters, fstats,
             )
             for sid, fl in by_spec.items()
         }
@@ -1585,8 +1599,13 @@ def _read_manifest_slice(
     # index AND skips dead files inside the kept buckets
     prune_filters = [*zone_filters, *_residual_prune_filters(meta, residuals)]
     rel_files = _prune_manifest_files(rel_files, meta, filters)
-    rel_files = _prune_zone_files(rel_files, meta, prune_filters)
-    rel_files = _prune_bloom_files(rel_files, meta, prune_filters)
+    fstats = (
+        meta.file_stats(rel_files)
+        if prune_filters and meta.zone_maps
+        else None
+    )
+    rel_files = _prune_zone_files(rel_files, meta, prune_filters, fstats)
+    rel_files = _prune_bloom_files(rel_files, meta, prune_filters, fstats)
     if meta.has_tombstones():
         df = _tombstone_scan(spark, path, _scan_schema(meta), meta, rel_files)
     else:

@@ -597,17 +597,13 @@ def _spill_snapshot(spark: SparkSession, path: str, s: dict) -> dict:
 def _write_added_manifest(
     spark: SparkSession, path: str, version: int, files: List[str]
 ) -> dict:
-    import io
     import uuid as _uuid
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     rel = f"{MANIFESTS_DIR}/v{version}-{_uuid.uuid4().hex[:12]}.manifest"
     table = pa.table({"file": pa.array(sorted(files), pa.string())})
-    buf = io.BytesIO()
-    pq.write_table(table, buf, compression="zstd")
-    fs.write_bytes(spark, posixpath.join(path, rel), buf.getvalue())
+    _write_parquet_file(spark, posixpath.join(path, rel), table)
     return {"path": rel, "n": len(files)}
 
 
@@ -630,15 +626,7 @@ def _read_added_manifest(
     if cached is not None:
         _ADDED_MANIFEST_CACHE[full] = _ADDED_MANIFEST_CACHE.pop(full)
         return cached
-    import pyarrow.parquet as pq
-
-    local = fs._local_root(full, spark)
-    if local is not None:
-        table = pq.read_table(local)
-    else:
-        import pyarrow as pa
-
-        table = pq.read_table(pa.BufferReader(fs.read_bytes(spark, full)))
+    table = _read_parquet_file(spark, full)
     out = table.column("file").to_pylist()
     if len(_ADDED_MANIFEST_CACHE) >= _ADDED_MANIFEST_CACHE_MAX:
         _ADDED_MANIFEST_CACHE.pop(next(iter(_ADDED_MANIFEST_CACHE)))
@@ -692,6 +680,44 @@ _STATS_MANIFEST_CACHE_MAX = 64
 _STATS_MANIFEST_FAILED: "set[str]" = set()
 
 
+def _write_parquet_file(spark: SparkSession, full: str, table) -> None:
+    """One manifest-plane parquet write: buffered pyarrow + zstd through
+    the fs byte primitives (local OS write or Hadoop stream) — the shared
+    plumbing of both manifest kinds."""
+    import io
+
+    import pyarrow.parquet as pq
+
+    buf = io.BytesIO()
+    pq.write_table(table, buf, compression="zstd")
+    fs.write_bytes(spark, full, buf.getvalue())
+
+
+def _read_parquet_file(spark: SparkSession, full: str):
+    """One manifest-plane parquet read → pyarrow Table. Local paths read
+    directly; remote schemes drain through fs.read_bytes — whose JVM
+    failure surfaces as Py4JJavaError, NOT an OSError, so it is
+    normalized here: a wrapped FileNotFoundException becomes
+    FileNotFoundError and anything else JVM-side becomes IOError, giving
+    BOTH manifest planes one exception contract on every filesystem."""
+    import pyarrow.parquet as pq
+
+    local = fs._local_root(full, spark)
+    if local is not None:
+        return pq.read_table(local)
+    import pyarrow as pa
+
+    try:
+        data = fs.read_bytes(spark, full)
+    except Exception as exc:
+        if isinstance(exc, OSError):
+            raise
+        if "FileNotFoundException" in str(exc):
+            raise FileNotFoundError(full) from exc
+        raise IOError(f"manifest read failed: {full}: {exc}") from exc
+    return pq.read_table(pa.BufferReader(data))
+
+
 def write_stats_manifest(
     spark: SparkSession, path: str, version: int, stats_map: Dict[str, dict]
 ) -> str:
@@ -701,12 +727,10 @@ def write_stats_manifest(
     (relpath), ``rows``, ``stats`` / ``bloom`` as compact JSON (values are
     already in their JSON-safe sidecar rendering, ``zone_stat_to_json``).
     The ``.stats`` suffix keeps every ``.parquet`` listing blind to it."""
-    import io
     import json as _json
     import uuid as _uuid
 
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
     rel = f"{STATS_DIR}/v{version}-{_uuid.uuid4().hex[:12]}.stats"
     files = sorted(stats_map)
@@ -736,9 +760,7 @@ def write_stats_manifest(
             ),
         }
     )
-    buf = io.BytesIO()
-    pq.write_table(table, buf, compression="zstd")
-    fs.write_bytes(spark, posixpath.join(path, rel), buf.getvalue())
+    _write_parquet_file(spark, posixpath.join(path, rel), table)
     return rel
 
 
@@ -765,16 +787,8 @@ def _read_stats_manifest(
         return {}  # known-bad: don't re-pay the I/O + parse per fetch
     import json as _json
 
-    import pyarrow.parquet as pq
-
     try:
-        local = fs._local_root(full, spark)
-        if local is not None:
-            table = pq.read_table(local)
-        else:
-            import pyarrow as pa
-
-            table = pq.read_table(pa.BufferReader(fs.read_bytes(spark, full)))
+        table = _read_parquet_file(spark, full)
         out: Dict[str, dict] = {}
         cols = table.to_pydict()
         for i, f in enumerate(cols["file"]):
@@ -784,19 +798,27 @@ def _read_stats_manifest(
             if cols["bloom"][i] is not None:
                 entry["bloom"] = _json.loads(cols["bloom"][i])
             out[f] = entry
-    except (OSError, ValueError, KeyError):
+    except Exception as exc:
         # missing, truncated (pyarrow ArrowInvalid IS a ValueError), or
         # malformed manifest: contribute nothing — prunes keep uncovered
-        # files, counts raise their honesty error. Never crash the fetch.
-        # The failure is remembered SEPARATELY from the value cache:
-        # non-strict readers skip the re-read, while strict readers (the
-        # pointer GC) always retry the real I/O — a transiently-failed
-        # read must never masquerade as "manifest read, zero live files".
+        # files, counts raise their honesty error. Never crash the fetch
+        # (a remote-FS failure reaches here as FileNotFoundError/IOError
+        # via _read_parquet_file's normalization; anything else is still
+        # a conservative keep, not a query crash).
         if strict:
             raise
-        _STATS_MANIFEST_FAILED.add(full)
-        if len(_STATS_MANIFEST_FAILED) > _STATS_MANIFEST_CACHE_MAX:
-            _STATS_MANIFEST_FAILED.pop()
+        # Failures are remembered SEPARATELY from the value cache, and
+        # only PERMANENT ones: corrupt bytes (ValueError/KeyError) stay
+        # corrupt, so skip the re-parse per fetch; an OSError may be
+        # transient (fd pressure, NFS blip), and poisoning the cache
+        # would silently disable pruning — and make metadata counts
+        # raise — for the process lifetime, so those retry per read (one
+        # cheap failed open). Strict readers (the pointer GC) always
+        # retry the real I/O either way.
+        if isinstance(exc, (ValueError, KeyError)):
+            _STATS_MANIFEST_FAILED.add(full)
+            if len(_STATS_MANIFEST_FAILED) > _STATS_MANIFEST_CACHE_MAX:
+                _STATS_MANIFEST_FAILED.pop()
         return {}
     _STATS_MANIFEST_FAILED.discard(full)
     if len(_STATS_MANIFEST_CACHE) >= _STATS_MANIFEST_CACHE_MAX:

@@ -1029,9 +1029,11 @@ def ivf_pq_batch_topk(
     if trained is not None:
         cvecs, pre_books = trained
         cvecs = [[float(x) for x in v] for v in cvecs]
-        if len(cvecs) != n_cells:
+        # <= like pq_encode's books check: training caps k at the corpus
+        # size, and its own output must round-trip through trained=
+        if len(cvecs) > n_cells:
             raise ValueError(
-                f"trained coarse centroids: {len(cvecs)} != n_cells={n_cells}"
+                f"trained coarse centroids: {len(cvecs)} > n_cells={n_cells}"
             )
     else:
         cvecs = kmeans_centroids(

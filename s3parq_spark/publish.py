@@ -1940,6 +1940,14 @@ def delete_where(
 
     if mode not in ("copy-on-write", "merge-on-read"):
         raise ValueError(f"unknown delete_where mode {mode!r}")
+    if not count_matches and mode != "merge-on-read":
+        # loud, like the change_log/merge-on-read combo: a CoW delete
+        # scans and rewrites anyway — silently honoring the flag would
+        # let a caller believe they bought the O(1) commit
+        raise ValueError(
+            "delete_where: count_matches=False is merge-on-read only "
+            "(copy-on-write reads the rows regardless)"
+        )
     sidecar = metadata.read_sidecar(spark, path)
     if sidecar is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")

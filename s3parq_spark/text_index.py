@@ -50,10 +50,15 @@ Commit discipline: a REBUILD writes three datasets (index, doclens,
 stats) non-atomically; rebuild into a fresh path and repoint readers —
 the same recommendation every multi-dataset pipeline in this engine
 follows. Incremental writes commit postings, then doclens, then the
-stats row; a failure between commits leaves n_docs/total_len understated
-(scores shift slightly — idf and avgdl use the stale totals) until the
-next successful stats write. The index itself cannot be corrupted by
-the window: postings and doclens are keyed, replayable state; re-running
+stats row; a crash between commits leaves n_docs/total_len stale, and —
+honesty over optimism — NO later incremental write recomputes them from
+ground truth (each folds forward from the stored row; a reindex/removal
+replayed after a partial crash finds its doclens rows already written/
+tombstoned and folds nothing). ``repair_index_stats`` is the recovery
+tool: it recomputes the stats row from the doclens side table (one
+O(docs) scan of 2-column rows, never the corpus) — run it after any
+crashed maintenance op. The index itself cannot be corrupted by the
+window: postings and doclens are keyed, replayable state; re-running
 the SAME append after a partial failure is NOT idempotent (duplicate
 postings), re-running the same reindex IS (key-deletes replace).
 
@@ -75,6 +80,7 @@ __all__ = [
     "build_text_index",
     "reindex_documents",
     "remove_documents",
+    "repair_index_stats",
     "search_text_index",
 ]
 
@@ -265,10 +271,11 @@ def append_to_text_index(
     docstring). See the module docstring for the multi-commit window."""
     _check_names(id_col, text_col)
     meta = _require_index(spark, index_path)
-    if _index_id_col(meta, index_path) != id_col:
+    key = _index_id_col(meta, index_path)
+    if key != id_col:
         raise ValueError(
             f"append_to_text_index: index at {index_path} is keyed by "
-            f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
+            f"{key!r}, not {id_col!r}"
         )
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     _refuse_max_df(max_df, "append_to_text_index")
@@ -337,10 +344,11 @@ def reindex_documents(
     docstring); changed ids must be unique in the batch and non-NULL."""
     _check_names(id_col, text_col)
     meta = _require_index(spark, index_path)
-    if _index_id_col(meta, index_path) != id_col:
+    key = _index_id_col(meta, index_path)
+    if key != id_col:
         raise ValueError(
             f"reindex_documents: index at {index_path} is keyed by "
-            f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
+            f"{key!r}, not {id_col!r}"
         )
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     _refuse_max_df(max_df, "reindex_documents")
@@ -448,10 +456,11 @@ def remove_documents(
     from .publish import _require_no_staged, delete_where
 
     meta = _require_index(spark, index_path)
-    if _index_id_col(meta, index_path) != id_col:
+    key = _index_id_col(meta, index_path)
+    if key != id_col:
         raise ValueError(
             f"remove_documents: index at {index_path} is keyed by "
-            f"{_index_id_col(meta, index_path)!r}, not {id_col!r}"
+            f"{key!r}, not {id_col!r}"
         )
     # a staged snapshot's postings would promote ABOVE the removal's
     # tombstone and escape it — while the stats row already folded down:
@@ -507,6 +516,32 @@ def remove_documents(
         max_df,
     )
     return len(old)
+
+
+def repair_index_stats(
+    spark: SparkSession, index_path: str
+) -> tuple:
+    """Recompute the 1-row corpus stats from the doclens side table and
+    rewrite the stats dataset — the recovery tool for a maintenance op
+    that crashed between its tombstone/append commits and its stats
+    write (module docstring: the fold-forward writes never self-heal).
+    One scan of doclens (2-column rows, one per document — O(docs),
+    never O(corpus)); ``max_df`` is preserved from the existing stats
+    row. Returns the repaired ``(n_docs, total_len)``."""
+    meta = _require_index(spark, index_path)
+    if not _doclens_exists(spark, index_path):
+        raise ValueError(
+            f"repair_index_stats: no doclens side table at "
+            f"{_doclens_path(index_path)} — pre-doclens indexes carry no "
+            "ground truth to repair from; rebuild with build_text_index"
+        )
+    _, _, max_df = _read_stats(spark, index_path)
+    agg = fetch_path(spark, _doclens_path(index_path)).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
+    ).collect()[0]
+    n_docs, total_len = int(agg["n"]), int(agg["t"] or 0)
+    _write_stats(spark, index_path, n_docs, total_len, max_df)
+    return n_docs, total_len
 
 
 def search_text_index(

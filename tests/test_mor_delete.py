@@ -210,3 +210,38 @@ def test_analyze_reflects_tombstones(spark, nation, ds):
     delete_where(spark, ds, "n_nationkey >= 20", mode="merge-on-read")
     stats = collect_stats(spark, ds, columns=["n_nationkey"])
     assert int(stats["columns"]["n_nationkey"]["max"]) == 19
+
+
+def test_count_matches_false_is_mor_only_and_loud(spark, sf_dir, tmp_path):
+    """r10 third review: count_matches=False on copy-on-write would
+    silently scan-and-rewrite anyway — reject loudly, like the adjacent
+    change_log/merge-on-read combo."""
+    import pytest
+
+    from s3parq_spark.publish import delete_where, publish_path
+
+    path = str(tmp_path / "ds")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(100)
+    publish_path(spark, path, orders, [])
+    with pytest.raises(ValueError, match="count_matches"):
+        delete_where(
+            spark, path, "o_orderkey < 5", count_matches=False
+        )
+    # the sanctioned combo commits without counting and returns -1
+    n = delete_where(
+        spark, path, "o_orderkey < 5", mode="merge-on-read",
+        count_matches=False,
+    )
+    assert n == -1
+    from s3parq_spark.fetch import fetch_path
+
+    assert fetch_path(spark, path).filter("o_orderkey < 5").count() == 0
+    # a malformed predicate is rejected BEFORE it could be committed
+    with pytest.raises(Exception):
+        delete_where(
+            spark, path, "no_such_column = 1", mode="merge-on-read",
+            count_matches=False,
+        )
+    assert fetch_path(spark, path).count() == orders.filter(
+        "o_orderkey >= 5"
+    ).count()

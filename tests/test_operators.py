@@ -1324,3 +1324,31 @@ def test_pq_encode_validates_supplied_books(spark, sf_dir):
             )
     with pytest.raises(ValueError, match="do not match m=2"):
         pq_encode(emb, "vec_id", "embedding", m=2, codes=8, books=books)
+
+
+def test_trained_cvecs_round_trip_small_corpus(spark, sf_dir):
+    """r10 third review: trained coarse centroids are capped at corpus
+    size by training itself — its own output must round-trip through
+    trained=; only HIGHER-cardinality supplies reject."""
+    import pytest
+
+    from s3parq_spark.operators.similarity import (
+        ivf_pq_batch_topk, kmeans_centroids, pq_encode,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    cvecs = kmeans_centroids(emb, "vec_id", "embedding", k=16, iters=1)
+    assert len(cvecs) <= 16
+    _, books = pq_encode(emb, "vec_id", "embedding", m=4, codes=8, kmeans_iters=1)
+    q = emb.limit(2)
+    out = ivf_pq_batch_topk(
+        emb, "vec_id", "embedding", q, k=3, n_cells=16, n_probe=4,
+        m=4, codes=8, trained=(cvecs, books),
+    )
+    assert out.count() > 0
+    with pytest.raises(ValueError, match="> n_cells"):
+        ivf_pq_batch_topk(
+            emb, "vec_id", "embedding", q, k=3,
+            n_cells=max(1, len(cvecs) - 1), n_probe=2,
+            m=4, codes=8, trained=(cvecs, books),
+        )

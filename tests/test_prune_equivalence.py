@@ -300,7 +300,7 @@ def test_zone_skip_equivalence(spark, zoned_weird, cmp, values):
     def run(skip_enabled):
         orig = fetch_mod._prune_zone_files
         if not skip_enabled:
-            fetch_mod._prune_zone_files = lambda files, meta, zf: files
+            fetch_mod._prune_zone_files = lambda files, meta, zf, *a: files
         try:
             return (
                 "rows",
@@ -377,7 +377,7 @@ def test_bloom_skip_equivalence(spark, bloomed_weird, col, cmp, values):
     def run(skip_enabled):
         orig = fetch_mod._prune_bloom_files
         if not skip_enabled:
-            fetch_mod._prune_bloom_files = lambda files, meta, zf: files
+            fetch_mod._prune_bloom_files = lambda files, meta, zf, *a: files
         try:
             return (
                 "rows",

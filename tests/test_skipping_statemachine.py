@@ -155,8 +155,8 @@ def _machine(spark, base_dir):
 
         def _bypassed(self, flt):
             oz, ob = fetch_mod._prune_zone_files, fetch_mod._prune_bloom_files
-            fetch_mod._prune_zone_files = lambda files, meta, zf: files
-            fetch_mod._prune_bloom_files = lambda files, meta, zf: files
+            fetch_mod._prune_zone_files = lambda files, meta, zf, *a: files
+            fetch_mod._prune_bloom_files = lambda files, meta, zf, *a: files
             try:
                 return self._fetch_rows(flt)
             finally:

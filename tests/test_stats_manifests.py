@@ -419,3 +419,38 @@ def test_partition_summary_skips_whole_manifests(spark, li, tmp_path):
         metadata._read_stats_manifest = orig
     # the FULL load (counts) still covers everything
     assert dataset_rowcount(spark, path) == 600
+
+
+def test_transient_oserror_does_not_poison_negative_cache(
+    spark, li, tmp_path, monkeypatch
+):
+    """r10 third review: only PERMANENT failures (corrupt bytes) are
+    negatively cached; an OSError may be transient and must retry — a
+    poisoned cache would silently disable pruning and make metadata
+    counts raise for the whole process lifetime."""
+    path = str(tmp_path / "ds")
+    publish_path(
+        spark, path, li.limit(300), [], max_records_per_file=100,
+        zone_map_columns=["l_orderkey"],
+    )
+    meta = metadata.read_sidecar(spark, path)
+    rel = meta.stats_manifests()[0]["path"]
+    metadata._STATS_MANIFEST_CACHE.clear()
+    metadata._STATS_MANIFEST_FAILED.clear()
+    flaky = {"fail": True}
+    orig = metadata._read_parquet_file
+
+    def flaky_read(spark_, full):
+        if flaky["fail"] and full.endswith(rel):
+            raise OSError("transient blip")
+        return orig(spark_, full)
+
+    monkeypatch.setattr(metadata, "_read_parquet_file", flaky_read)
+    m1 = metadata.read_sidecar(spark, path)
+    assert m1.file_stats() == {}  # failed read: conservative empty
+    assert not metadata._STATS_MANIFEST_FAILED  # OSError NOT poisoned
+    flaky["fail"] = False
+    m2 = metadata.read_sidecar(spark, path)
+    stats = m2.file_stats()  # retried and succeeded
+    assert set(stats) == set(m2.manifest_files())
+    assert dataset_rowcount(spark, path) == 300

@@ -447,3 +447,40 @@ def test_remove_documents_refuses_staged_index(spark, docs, tmp_path):
     )
     with pytest.raises(PendingAuditError):
         remove_documents(spark, [1], path, "doc_id")
+
+
+def test_repair_index_stats_recovers_crashed_fold(spark, docs, tmp_path):
+    """r10 third review: a crash between a removal's tombstone commits
+    and its stats write leaves the fold permanently stale (re-runs find
+    nothing to fold) — repair_index_stats recomputes from doclens."""
+    from s3parq_spark.text_index import (
+        _read_stats,
+        remove_documents,
+        repair_index_stats,
+    )
+
+    path = str(tmp_path / "idx")
+    build_text_index(spark, docs, path, "doc_id", "text", n_buckets=8)
+    n0, t0, _ = _read_stats(spark, path)
+    # simulate the crash window: tombstones land, stats write doesn't
+    import s3parq_spark.text_index as ti
+
+    orig = ti._write_stats
+    ti._write_stats = lambda *a, **k: None
+    try:
+        assert remove_documents(spark, [1, 2, 3], path, "doc_id") == 3
+    finally:
+        ti._write_stats = orig
+    stale = _read_stats(spark, path)
+    assert stale[0] == n0  # the fold never landed
+    # idempotent re-run cannot heal it (doclens rows already tombstoned)
+    assert remove_documents(spark, [1, 2, 3], path, "doc_id") == 0
+    # ...repair recomputes from ground truth
+    n, t = repair_index_stats(spark, path)
+    assert n == n0 - 3 and t < t0
+    got = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
+    exp = _rows(bm25_scores(
+        docs.filter("doc_id not in (1,2,3)"), "doc_id", "text",
+        ["hash", "vector"], top_k=10,
+    ))
+    assert got == exp
