@@ -36,9 +36,9 @@ container, 2026-08-15, r10 — per-file stats in columnar manifests AND
 snapshot file lists spilled to per-version manifests):
 
     files   sidecar_B   stats_load   point_fetch   kept
-      200        610       0.008s       0.200s       1
-     2000        612       0.035s       0.201s       1
-    10000        614       0.262s       0.338s       1
+      200        610       0.009s       0.245s       1
+     2000        612       0.037s       0.165s       1
+    10000        614       0.205s       0.212s       1
 
 The sidecar is ~612 bytes FLAT at any file count (r9 inlined ~2.4 KB/file
 of bloom state — ~24 MB at 10k files, GBs at 10^6 — plus ~80 B/file of
