@@ -82,17 +82,8 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 10 additions — 3 this round (under the <=4 budget so the
-    # window reaches 45 least-recently-verified tail queries):
-    "text_index_reindex",    # new: O(changed-docs) index maintenance via
-                             # equality key-deletes — search == rebuild
-                             # over the updated corpus exactly
-    "events_stream_upsert",  # new: streaming UPSERT sink — foreachBatch →
-                             # merge-on-read eq-delete snapshots, replayed
-                             # stream == batch latest_user_state oracle
-    "text_index_remove",     # new (second wave): document DELETION from
-                             # the index — zero-data-read tombstone
-                             # commits, search == rebuild minus removed
+    # Round 11 additions (reset at round start per the r10 verdict #4;
+    # keep <= 4 so the window reaches the r6/r7-era tail):
 )
 
 

@@ -675,9 +675,11 @@ def read_sidecar(spark: SparkSession, path: str) -> Optional[DatasetMetadata]:
 #: accumulate every manifest it ever pruned against.
 _STATS_MANIFEST_CACHE: "dict[str, Dict[str, dict]]" = {}
 _STATS_MANIFEST_CACHE_MAX = 64
-#: manifests whose last non-strict read failed (bounded): non-strict
-#: readers short-circuit to {}, strict readers always retry the real I/O
-_STATS_MANIFEST_FAILED: "set[str]" = set()
+#: manifests whose last non-strict read failed (bounded FIFO, same shape
+#: as the value LRU above — insertion-ordered dict, oldest evicted):
+#: non-strict readers short-circuit to {}, strict readers always retry
+#: the real I/O
+_STATS_MANIFEST_FAILED: "dict[str, None]" = {}
 
 
 def _write_parquet_file(spark: SparkSession, full: str, table) -> None:
@@ -816,11 +818,15 @@ def _read_stats_manifest(
         # cheap failed open). Strict readers (the pointer GC) always
         # retry the real I/O either way.
         if isinstance(exc, (ValueError, KeyError)):
-            _STATS_MANIFEST_FAILED.add(full)
+            _STATS_MANIFEST_FAILED[full] = None
             if len(_STATS_MANIFEST_FAILED) > _STATS_MANIFEST_CACHE_MAX:
-                _STATS_MANIFEST_FAILED.pop()
+                # evict the OLDEST entry (set.pop() here would evict an
+                # arbitrary one — r10 verdict cosmetic finding)
+                _STATS_MANIFEST_FAILED.pop(
+                    next(iter(_STATS_MANIFEST_FAILED))
+                )
         return {}
-    _STATS_MANIFEST_FAILED.discard(full)
+    _STATS_MANIFEST_FAILED.pop(full, None)
     if len(_STATS_MANIFEST_CACHE) >= _STATS_MANIFEST_CACHE_MAX:
         _STATS_MANIFEST_CACHE.pop(next(iter(_STATS_MANIFEST_CACHE)))
     _STATS_MANIFEST_CACHE[full] = out
