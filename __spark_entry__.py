@@ -84,6 +84,11 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 _NEW_THIS_ROUND: tuple[str, ...] = (
     # Round 11 additions (reset at round start per the r10 verdict #4;
     # keep <= 4 so the window reaches the r6/r7-era tail):
+    "stream_upsert_exactly_once",  # new: crash-replay gate — batch-id
+                                   # txn ledger skips the re-delivered
+                                   # batch; dup_snapshots must hash 0
+    "events_stream_upsert",        # changed: sink now stamps txns —
+                                   # re-row under the new commit path
 )
 
 

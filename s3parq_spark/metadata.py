@@ -229,6 +229,17 @@ class DatasetMetadata:
         # {"src", "group_by", "aggs", "last_src_version"}; refresh reads
         # only the source versions after last_src_version.
         self.aggregate = None
+        # idempotent-writer ledger (Delta txnAppId/txnVersion shape):
+        # {writer identity: highest committed writer-side version}. A
+        # streaming sink records its foreachBatch batch_id here with the
+        # snapshot it commits; on restart it skips batch ids <= the
+        # recorded value — exactly-once across the crash window between
+        # snapshot commit and checkpoint advance. Survives
+        # expire_snapshots (top-level, with per-snapshot stamps folded
+        # into squash bases); restore_dataset recomputes it from the kept
+        # snapshots' stamps (conservative: an unprovable entry is dropped,
+        # so the writer re-merges — value-correct replace semantics).
+        self.txns: Dict[str, int] = {}
         # lazy per-file stats source (set by read_sidecar): () -> merged
         # {relpath: {"rows", "stats", "bloom"}} from the columnar stats
         # manifests. NOT serialized — a loader binds a (spark, path) pair.
@@ -272,6 +283,8 @@ class DatasetMetadata:
             d["tags"] = self.tags
         if self.aggregate:
             d["aggregate"] = self.aggregate
+        if self.txns:
+            d["txns"] = self.txns
         return d
 
     @classmethod
@@ -290,6 +303,9 @@ class DatasetMetadata:
         out.zone_maps = d.get("zone_maps")
         out.tags = dict(d.get("tags") or {})
         out.aggregate = d.get("aggregate")
+        out.txns = {
+            k: int(v) for k, v in (d.get("txns") or {}).items()
+        }
         return out
 
     def at_version(self, version: int) -> "DatasetMetadata":
@@ -1015,6 +1031,9 @@ def merge_sidecar(
     merged.zone_maps = existing.zone_maps
     merged.tags = dict(existing.tags)
     merged.aggregate = existing.aggregate
+    # the idempotent-writer ledger is a dataset-level contract too: an
+    # unrelated append must not erase a streaming sink's commit record
+    merged.txns = dict(existing.txns)
     return merged
 
 

@@ -451,6 +451,7 @@ def publish_path(
     file_bloom_bits: Optional[int] = None,
     staged: bool = False,
     _eq_delete: Optional[dict] = None,
+    _txn: Optional[dict] = None,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -862,6 +863,9 @@ def publish_path(
         # a continuous-aggregate definition describes the REPLACED
         # contents; refresh_aggregate re-attaches its own after its swap
         merged.aggregate = None
+        # a replaced dataset starts a fresh idempotent-writer ledger:
+        # the old commit records describe destroyed snapshots
+        merged.txns = {}
     else:
         # spec stamps for a partition-evolved dataset: the commit belongs
         # to the CURRENT (last) spec; a bootstrap snapshot's files predate
@@ -907,6 +911,18 @@ def publish_path(
             commit["eq_delete"] = dict(_eq_delete)
         snaps.append(commit)
     merged.snapshots = snaps
+    if _txn is not None:
+        # idempotent-writer stamp (Delta txnAppId/txnVersion): the commit
+        # carries it for provenance/restore-recompute, and the top-level
+        # ledger (which survives snapshot expiry) records the writer's
+        # high-water mark — monotone, so a replayed lower version never
+        # moves it backwards
+        app, tv = str(_txn["app"]), int(_txn["version"])
+        snaps[-1]["txn"] = {"app": app, "version": tv}
+        ledger = dict(merged.txns or {})
+        if tv > ledger.get(app, -1):
+            ledger[app] = tv
+        merged.txns = ledger
     if mode == "append" and existing is not None:
         # a metadata DDL op (rename/drop) may have rewritten the sidecar
         # while this publish's files were writing; committing the merged
@@ -1201,6 +1217,7 @@ def merge_upsert(
     seq_col: str,
     change_log: bool = False,
     mode: str = "copy-on-write",
+    txn: Optional[dict] = None,
 ) -> List[str]:
     """MERGE INTO for published datasets: apply a CDC batch (updates +
     inserts) — per key, the row with the highest ``seq_col`` wins, updates
@@ -1260,7 +1277,13 @@ def merge_upsert(
     _reject_multi_spec(meta, "merge_upsert")
     if mode == "merge-on-read":
         return _merge_upsert_mor(
-            spark, path, meta, updates, keys, seq_col, change_log
+            spark, path, meta, updates, keys, seq_col, change_log, txn
+        )
+    if txn is not None:
+        raise ValueError(
+            "merge_upsert: txn stamping is merge-on-read-only (the "
+            "copy-on-write path commits through a partition overwrite, "
+            "which has no single snapshot to stamp)"
         )
     _require_materialized(meta, path, "merge_upsert")
     _require_no_staged(meta, path, "merge_upsert")
@@ -1326,6 +1349,7 @@ def _merge_upsert_mor(
     keys: List[str],
     seq_col: str,
     change_log: bool,
+    txn: Optional[dict] = None,
 ) -> List[str]:
     """merge_upsert's merge-on-read strategy (see its docstring): ONE
     commit = new row images appended + the batch's distinct key tuples
@@ -1389,8 +1413,25 @@ def _merge_upsert_mor(
     # only the BASE partitions (`required` already excludes derived names)
     base_partitions = [p for p in meta.partitions if p not in derived]
     return eq_delete_append(
-        spark, path, batch, keys, base_partitions, _meta=meta
+        spark, path, batch, keys, base_partitions, _meta=meta, _txn=txn
     )
+
+
+def _ledger_from_snapshots(snaps: List[dict]) -> Dict[str, int]:
+    """Reconstruct the idempotent-writer ledger provable from a snapshot
+    list: per-commit ``txn`` stamps plus ``txns`` dicts folded into squash
+    bases by ``expire_snapshots`` — max version per writer."""
+    ledger: Dict[str, int] = {}
+    for s in snaps:
+        stamp = s.get("txn")
+        if stamp:
+            a, v = str(stamp["app"]), int(stamp["version"])
+            if v > ledger.get(a, -1):
+                ledger[a] = v
+        for a, v in (s.get("txns") or {}).items():
+            if int(v) > ledger.get(a, -1):
+                ledger[a] = int(v)
+    return ledger
 
 
 def reject_null_merge_keys(df, keys: List[str], op: str) -> None:
@@ -1422,6 +1463,7 @@ def eq_delete_append(
     keys: List[str],
     base_partitions: Optional[List[str]] = None,
     _meta: "Optional[metadata.DatasetMetadata]" = None,
+    _txn: Optional[dict] = None,
     **publish_kwargs,
 ) -> List[str]:
     """The equality-delete commit primitive ``merge_upsert(mode=
@@ -1454,14 +1496,14 @@ def eq_delete_append(
     batch = batch.persist()
     try:
         return _eq_delete_append_commit(
-            spark, path, batch, keys, base_partitions, publish_kwargs
+            spark, path, batch, keys, base_partitions, _txn, publish_kwargs
         )
     finally:
         batch.unpersist()
 
 
 def _eq_delete_append_commit(
-    spark, path, batch, keys, base_partitions, publish_kwargs
+    spark, path, batch, keys, base_partitions, _txn, publish_kwargs
 ) -> List[str]:
     import uuid as _uuid
 
@@ -1494,6 +1536,7 @@ def _eq_delete_append_commit(
             # broadcast decisions never stat the filesystem
             "bytes": key_bytes,
         },
+        _txn=_txn,
         **publish_kwargs,
     )
 
@@ -2439,6 +2482,12 @@ def restore_dataset(
         # destruction by explicit request, and a tag pointing at a version
         # that no longer exists would be a dangling lie
         meta.tags = {n: v for n, v in meta.tags.items() if v <= version}
+        # idempotent-writer ledger: recompute from the KEPT snapshots'
+        # txn stamps. An entry the kept history can no longer prove is
+        # dropped — the safe direction: the writer re-merges its batch
+        # (value-correct replace semantics) instead of silently skipping
+        # a batch whose snapshot this restore just destroyed.
+        meta.txns = _ledger_from_snapshots(keep)
         if meta.zone_maps:
             # zone-map entries of unlinked files go with their files
             if meta.zone_maps.get("files"):
@@ -2590,6 +2639,12 @@ def expire_snapshots(
             base["ts"] = run[-1]["ts"]
         if meta.partition_specs:
             base["spec"] = sid
+        # fold the run's idempotent-writer stamps into the base (max per
+        # writer) so a later restore_dataset can still recompute the
+        # ledger from what survives the squash
+        run_txns = _ledger_from_snapshots(run)
+        if run_txns:
+            base["txns"] = run_txns
         bases.append(base)
         expired.extend(s["version"] for s in run[:-1])
     if not expired:

@@ -544,10 +544,19 @@ def stream_upsert(
     Checkpoint derivation matches ``stream_publish``: derived from
     (source, dataset) so re-invocations resume from recorded offsets and
     upsert only NEW source files; fresh dataset → fresh checkpoint.
-    NOT exactly-once across failures: a batch that committed its snapshot
-    before the checkpoint advanced is re-merged on restart — idempotent
-    for the keys it carries (replace semantics), duplicate-snapshot only
-    in history."""
+
+    Exactly-once across failures (r10 verdict #1, the Delta
+    txnAppId/txnVersion pattern): every batch's snapshot is stamped with
+    a writer identity derived from the checkpoint plus its
+    ``foreachBatch`` ``batch_id``, and the sidecar keeps a monotone
+    per-writer high-water mark (``DatasetMetadata.txns`` — it survives
+    snapshot expiry and is recomputed conservatively by restore). A
+    batch that committed its snapshot but crashed before the checkpoint
+    advanced is re-delivered by Structured Streaming under the SAME
+    batch_id; the sink sees ``batch_id <= ledger`` and skips — one
+    snapshot per batch, a duplicate-free change feed/history. Replays
+    were already value-correct (replace semantics); the ledger makes
+    them history-correct too."""
     import hashlib
 
     from .. import metadata
@@ -556,11 +565,37 @@ def stream_upsert(
 
     stream = read_event_stream(spark, events_parquet)
 
+    if checkpoint_location is None:
+        tag = hashlib.sha1(
+            f"{os.path.abspath(events_parquet)}|{dataset_path}|upsert".encode()
+        ).hexdigest()[:12]
+        checkpoint_location = os.path.join(
+            tempfile.gettempdir(), f"s3parq_ckpt_{tag}"
+        )
+        from .. import fs as _fs
+
+        if not _fs.exists(spark, dataset_path):
+            shutil.rmtree(checkpoint_location, ignore_errors=True)
+    # writer identity = the checkpoint (THE stream's progress record: same
+    # checkpoint ⇒ same batch_id numbering; a fresh checkpoint restarts
+    # batch ids at 0 and must not collide with the old incarnation's
+    # ledger entry — abspath'd so cwd changes don't fork identities)
+    app_id = "stream_upsert/" + hashlib.sha1(
+        os.path.abspath(checkpoint_location).encode()
+    ).hexdigest()[:16]
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
         s = batch_df.sparkSession
-        if metadata.read_sidecar(s, dataset_path) is None:
+        cur = metadata.read_sidecar(s, dataset_path)
+        if cur is not None and int(batch_id) <= cur.txns.get(app_id, -1):
+            # this batch's snapshot already committed in a previous run
+            # that crashed before the checkpoint advanced: re-merging it
+            # would write a duplicate snapshot into history/change feeds
+            return
+        txn = {"app": app_id, "version": int(batch_id)}
+        if cur is None:
             # bootstrap enforces the same non-NULL-key contract as every
             # later merge (shared helper): a NULL-key row landed here
             # could never be replaced by an equality delete — a permanent
@@ -579,24 +614,13 @@ def stream_upsert(
                 .drop("__src")
                 .select(*batch_df.columns)
             )
-            publish_path(s, dataset_path, deduped, [])
+            publish_path(s, dataset_path, deduped, [], _txn=txn)
         else:
             merge_upsert(
                 s, dataset_path, batch_df, keys, seq_col,
-                mode="merge-on-read",
+                mode="merge-on-read", txn=txn,
             )
 
-    if checkpoint_location is None:
-        tag = hashlib.sha1(
-            f"{os.path.abspath(events_parquet)}|{dataset_path}|upsert".encode()
-        ).hexdigest()[:12]
-        checkpoint_location = os.path.join(
-            tempfile.gettempdir(), f"s3parq_ckpt_{tag}"
-        )
-        from .. import fs as _fs
-
-        if not _fs.exists(spark, dataset_path):
-            shutil.rmtree(checkpoint_location, ignore_errors=True)
     q = (
         stream.writeStream.foreachBatch(sink)
         .trigger(availableNow=True)

@@ -3932,3 +3932,101 @@ ORACLE_EXT2["text_index_remove"] = _ORACLE_MAIN["bm25_search"].replace(
     "FROM documents",
     "FROM (SELECT doc_id, text FROM documents WHERE doc_id % 11 <> 4)",
 )
+
+
+def q_stream_upsert_exactly_once(spark, sf_dir):
+    """Exactly-once streaming upsert (r10 verdict #1): the sink stamps
+    every snapshot with (writer identity, foreachBatch batch_id) and the
+    sidecar keeps a monotone per-writer ledger, so a batch replayed after
+    a crash between snapshot commit and checkpoint advance is SKIPPED —
+    one snapshot per batch, duplicate-free history. The fixture replays
+    that exact crash: it deletes the checkpoint's newest commits/<N>
+    marker after a successful run and restarts the stream; Structured
+    Streaming re-delivers batch N under the same batch_id. The output
+    carries ``dup_snapshots`` = snapshots added by the replay (must hash
+    as 0) alongside the converged per-user latest state."""
+    import json
+
+    from .fetch import fetch_path
+    from .operators import latest_state
+    from .publish import publish_path
+    from .streaming import stream_upsert
+    from .workload import _ds_path, _events
+    from . import metadata as _md
+
+    path = _ds_path(sf_dir, "ev_stream_eo")
+    stage = _ds_path(sf_dir, "ev_stream_eo_src")
+    ckpt = path.rstrip("/") + "_ckpt"
+    marker = os.path.join(path, "_REPLAYED")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        ev = _events(spark, sf_dir)
+        cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+        initial = latest_state(
+            ev.filter(F.col("ts") < cutoff),
+            ["user_id"], "ts", "event_id", ["event_type", "value", "props"],
+        ).select(*ev.columns)
+        publish_path(spark, path, initial, [])
+        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+        spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
+        try:
+            ev.filter(F.col("ts") >= cutoff).write.mode("overwrite").parquet(
+                stage
+            )
+        finally:
+            if prev is None:
+                spark.conf.unset("spark.sql.parquet.outputTimestampType")
+            else:
+                spark.conf.set(
+                    "spark.sql.parquet.outputTimestampType", prev
+                )
+        stream_upsert(spark, stage, path, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        meta = _md.read_sidecar(spark, path)
+        n_before, eq_before = len(meta.snapshots), len(meta.eq_deletes())
+        assert eq_before >= 1 and meta.txns, "stream landed nothing"
+        # crash simulation: snapshot committed, checkpoint completion not
+        cdir = os.path.join(ckpt, "commits")
+        victim = os.path.join(
+            cdir,
+            sorted(n for n in os.listdir(cdir)
+                   if not n.startswith(".") and not n.endswith(".crc"))[-1],
+        )
+        os.remove(victim)
+        crc = os.path.join(cdir, f".{os.path.basename(victim)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        stream_upsert(spark, stage, path, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        assert os.path.exists(victim), "batch was not re-delivered"
+        meta2 = _md.read_sidecar(spark, path)
+        assert len(meta2.eq_deletes()) == eq_before
+        with open(marker, "w") as fh:
+            json.dump({"dup": len(meta2.snapshots) - n_before}, fh)
+    with open(marker) as fh:
+        dup = int(json.load(fh)["dup"])
+    return fetch_path(spark, path).select(
+        "user_id", "ts", "event_id", "event_type", "value",
+        F.lit(dup).cast("long").alias("dup_snapshots"),
+    )
+
+
+QUERIES_EXT2["stream_upsert_exactly_once"] = q_stream_upsert_exactly_once
+# the same converged-mirror oracle as events_stream_upsert, plus the
+# replay's snapshot delta — exactly-once means the replay added zero
+ORACLE_EXT2["stream_upsert_exactly_once"] = """
+    SELECT user_id, ts, event_id, event_type, value,
+           CAST(0 AS BIGINT) AS dup_snapshots
+    FROM (
+      SELECT user_id,
+             make_timestamp(epoch_us(ts) // 1000 * 1000) AS ts, event_id,
+             event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+"""

@@ -494,3 +494,143 @@ def test_stream_upsert_bootstrap_refuses_null_keys(spark, tmp_path):
         stream_upsert(
             spark, src, str(tmp_path / "mirror"), ["user_id"], "ts"
         )
+
+
+def test_stream_upsert_exactly_once_across_crash(spark, sf_dir, tmp_path):
+    """r10 verdict #1: a batch whose snapshot committed before the
+    checkpoint advanced must NOT re-merge on restart. Simulated by
+    deleting the checkpoint's commits/<N> marker after a successful run
+    (exactly the on-disk state of a crash inside that window: offsets
+    recorded, sink ran, completion not) — the restarted query re-delivers
+    batch N under the same batch_id and the sink's txn-ledger check must
+    skip it: ONE snapshot for the batch, duplicate-free history."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.operators import latest_state
+    from s3parq_spark.streaming import stream_upsert
+    from s3parq_spark.workload import _events
+
+    ev = _events(spark, sf_dir)
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp")
+    src = str(tmp_path / "landing")
+    ds = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(df, name):
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.write.parquet(scratch)
+        for i, p in enumerate(sorted(glob.glob(f"{scratch}/part-*.parquet"))):
+            shutil.move(p, f"{src}/{name}-{i}.parquet")
+
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try:
+        land(ev.filter(F.col("ts") < cutoff), "w1")
+        stream_upsert(spark, src, ds, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        land(ev.filter(F.col("ts") >= cutoff), "w2")
+        stream_upsert(spark, src, ds, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        meta = metadata.read_sidecar(spark, ds)
+        n_snaps = len(meta.snapshots)
+        n_eq = len(meta.eq_deletes())
+        assert n_eq >= 1
+        # the ledger records the sink's high-water mark
+        assert meta.txns and max(meta.txns.values()) >= 1, meta.txns
+        # crash simulation: batch N's snapshot is committed, its
+        # checkpoint completion marker is not
+        cdir = os.path.join(ckpt, "commits")
+        victim = os.path.join(
+            cdir,
+            sorted(n for n in os.listdir(cdir)
+                   if not n.startswith(".") and not n.endswith(".crc"))[-1],
+        )
+        os.remove(victim)
+        # a real crash leaves no checksum sidecar either (the local-FS
+        # ChecksumFileSystem would refuse the re-write over an orphan CRC)
+        crc = os.path.join(cdir, f".{os.path.basename(victim)}.crc")
+        if os.path.exists(crc):
+            os.remove(crc)
+        stream_upsert(spark, src, ds, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        # Spark re-ran the batch through the sink (completion re-marked)...
+        assert os.path.exists(victim), "batch was not re-delivered"
+        meta2 = metadata.read_sidecar(spark, ds)
+        # ...but the sink skipped it: no duplicate snapshot, no second
+        # eq-delete for the same batch, ledger unchanged
+        assert len(meta2.snapshots) == n_snaps, (n_snaps, len(meta2.snapshots))
+        assert len(meta2.eq_deletes()) == n_eq
+        assert meta2.txns == meta.txns
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in fetch_path(spark, ds).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_id"])
+        for r in latest_state(
+            ev, ["user_id"], "ts", "event_id",
+            ["event_type", "value", "props"],
+        ).collect()
+    }
+    assert got == exp
+
+
+def test_txn_ledger_restore_and_expiry(spark, tmp_path):
+    """The idempotent-writer ledger's lifecycle contracts: it survives
+    snapshot expiry (per-snapshot stamps fold into squash bases), and
+    restore_dataset recomputes it conservatively from the kept prefix —
+    an entry whose snapshot was rolled back is dropped, so the writer
+    re-merges instead of silently skipping a destroyed batch."""
+    from s3parq_spark import metadata
+    from s3parq_spark.publish import (
+        expire_snapshots,
+        merge_upsert,
+        publish_path,
+        restore_dataset,
+    )
+
+    ds = str(tmp_path / "ds")
+    rows = spark.createDataFrame(
+        [(1, 10, 100), (2, 20, 100)], "k long, v long, seq long"
+    )
+    publish_path(spark, ds, rows, [], _txn={"app": "w1", "version": 0})
+    meta = metadata.read_sidecar(spark, ds)
+    assert meta.txns == {"w1": 0}
+    assert meta.snapshots[-1]["txn"] == {"app": "w1", "version": 0}
+    # two more stamped appends, then an unstamped one
+    publish_path(spark, ds, rows, [], _txn={"app": "w1", "version": 1})
+    publish_path(spark, ds, rows, [], _txn={"app": "w2", "version": 7})
+    publish_path(spark, ds, rows, [])
+    meta = metadata.read_sidecar(spark, ds)
+    assert meta.txns == {"w1": 1, "w2": 7}
+    # a replayed LOWER version never moves the ledger backwards
+    publish_path(spark, ds, rows, [], _txn={"app": "w1", "version": 0})
+    meta = metadata.read_sidecar(spark, ds)
+    assert meta.txns == {"w1": 1, "w2": 7}
+    # expiry squashes v1..v4 into a base carrying the folded stamps
+    expire_snapshots(spark, ds, keep_last=1)
+    meta = metadata.read_sidecar(spark, ds)
+    base = meta.snapshots[0]
+    assert base.get("txns") == {"w1": 1, "w2": 7}, base
+    assert meta.txns == {"w1": 1, "w2": 7}
+    # a stamped merge-on-read upsert, then restore to before it: the
+    # ledger must drop what the kept history can no longer prove
+    up = spark.createDataFrame([(1, 11, 200)], "k long, v long, seq long")
+    merge_upsert(spark, ds, up, ["k"], "seq", mode="merge-on-read",
+                 txn={"app": "w3", "version": 3})
+    meta = metadata.read_sidecar(spark, ds)
+    assert meta.txns == {"w1": 1, "w2": 7, "w3": 3}
+    head_before = meta.snapshots[0]["version"]
+    restore_dataset(spark, ds, head_before)
+    meta = metadata.read_sidecar(spark, ds)
+    assert meta.txns == {"w1": 1, "w2": 7}, meta.txns
