@@ -259,3 +259,50 @@ def test_review_fixes_schema_and_staged_guards(spark, tmp_path):
             spark, path, _batch(spark, [(5000, "B", 2.0, 1)]), ["k"],
             "seq", mode="merge-on-read",
         )
+
+
+def test_eq_delete_keyfile_gc(spark, tmp_path):
+    """r10 verdict #6: equality-delete key files must not accumulate
+    forever. Three lifecycles: (a) compaction materializes the deletes
+    and the directory swap removes `_eq_deletes/` wholesale; (b) restore
+    below an upsert drops the snapshot's eq_delete entry but leaves its
+    key files on disk — vacuum must sweep exactly those; (c) live key
+    files are never reported. Reads unchanged throughout."""
+    import os
+
+    path = str(tmp_path / "ds")
+    model = _base(spark, path, n=50)
+    for i in range(4):
+        merge_upsert(
+            spark, path, _batch(spark, [(i, "B", 100.0 + i, 1)]),
+            ["k"], "seq", mode="merge-on-read",
+        )
+        model[i] = ("B", 100.0 + i)
+    assert _state(spark, path) == model
+    kd = os.path.join(path, "_eq_deletes")
+    n_live = sum(len(fs) for _, _, fs in os.walk(kd))
+    assert n_live >= 4
+    # (c) all key files are acknowledged while their snapshots live
+    assert vacuum_dataset(spark, path, dry_run=True, retention_hours=0) == []
+    # (b) restore below the last two upserts: their key files become
+    # unreferenced orphans; vacuum sweeps exactly them
+    m = metadata.read_sidecar(spark, path)
+    dropped_keys = {
+        f for v, info in m.eq_deletes() if v > m.snapshots[-3]["version"]
+        for f in info["files"]
+    }
+    assert dropped_keys
+    restore_dataset(spark, path, m.snapshots[-3]["version"])
+    orphans = vacuum_dataset(spark, path, retention_hours=0)
+    assert set(orphans) == dropped_keys, (orphans, dropped_keys)
+    model[2] = ("AB"[2 % 2], 2.0)
+    model[3] = ("AB"[3 % 2], 3.0)
+    assert _state(spark, path) == model
+    # nothing double-reported on a second pass
+    assert vacuum_dataset(spark, path, dry_run=True, retention_hours=0) == []
+    # (a) compaction: the rewrite materializes the remaining key deletes
+    # and the two-rename swap leaves no _eq_deletes directory at all
+    compact_dataset(spark, path)
+    assert not os.path.exists(kd), os.listdir(kd)
+    assert not metadata.read_sidecar(spark, path).eq_deletes()
+    assert _state(spark, path) == model
