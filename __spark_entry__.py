@@ -89,6 +89,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                                    # batch; dup_snapshots must hash 0
     "events_stream_upsert",        # changed: sink now stamps txns —
                                    # re-row under the new commit path
+    "text_index_maxdf_maintain",   # new: capped index full maintenance —
+                                   # live/stopped split + forward table,
+                                   # cap crossings in both directions
 )
 
 

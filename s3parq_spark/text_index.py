@@ -35,16 +35,35 @@ dataset and answers the SAME BM25 ranking from the index alone:
 
 Scale notes: posting rows are (term, id, 2 ints) — a few percent of the
 corpus bytes; a stop-term's posting list splits across files
-(maxRecordsPerFile), and ``max_df`` can drop terms above a document-
-frequency cap at build time (searches then get no contribution from
-them — standard stopword semantics, the one stated divergence from
-corpus-side BM25). A ``max_df`` build records the cap in the stats row,
-and ``append_to_text_index`` / ``reindex_documents`` REFUSE on such an
-index: an incremental write would re-introduce dropped terms with
-postings from the new docs only — a partial postings list with a wildly
-inflated idf (df_t counting only the appended subset), silently wrong
-scores. Enforcing the cap incrementally is impossible without the
-dropped-term postings the build deliberately did not keep; rebuild.
+(maxRecordsPerFile), and ``max_df`` drops terms above a document-
+frequency cap from SEARCH (standard stopword semantics, the one stated
+divergence from corpus-side BM25).
+
+``max_df`` + maintenance (r11, closing the r10 "maintenance-dead"
+gap): a capped build keeps EVERY posting, physically split — under-cap
+terms in the live index (all search ever reads: query cost stays
+O(useful postings), stop terms cost nothing at query time), over-cap
+terms in a sibling ``{index}_stopped`` dataset with the identical
+bucket/bloom layout — plus a forward side table ``{index}_fwd`` of
+``(id, term)`` pairs, id-bloom-fingerprinted, so maintenance can learn
+a changed/removed document's OLD vocabulary with a point fetch instead
+of an index scan. The invariant: a term's posting list lives whole in
+exactly one of live/stopped, live ⟺ df ≤ max_df. Maintenance
+re-derives df exactly for the batch-affected terms only (increments
+from the batch, decrements from the forward table, current counts from
+a term-pruned fetch — live counts are ≤ max_df rows/term by the
+invariant; stopped counts are read only for terms whose decrement
+could bring them under the cap) and MOVES crossing terms' posting
+lists between the two datasets (copy, then tombstone the source — a
+crash between the two leaves a term double-resident in favor of the
+copy; re-run the op or rebuild to reconcile, the same multi-commit
+honesty as the stats fold). Search therefore equals a full
+rebuild-with-max_df over the updated corpus exactly (gated). The
+driver holds the batch's distinct-term list, the same change-set
+boundedness contract as the changed-id lists. Capped indexes built
+BEFORE the forward table existed (r10) still refuse maintenance
+loudly: without the stopped postings and forward pairs the cap cannot
+be enforced incrementally; rebuild.
 
 Commit discipline: a REBUILD writes three datasets (index, doclens,
 stats) non-atomically; rebuild into a fresh path and repoint readers —
@@ -72,6 +91,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from . import fs
 from .fetch import fetch_path
 from .publish import eq_delete_append, publish_path
 
@@ -101,6 +121,19 @@ def _stats_path(index_path: str) -> str:
 
 def _doclens_path(index_path: str) -> str:
     return index_path.rstrip("/") + "_doclens"
+
+
+def _stopped_path(index_path: str) -> str:
+    """Over-cap terms' postings (max_df builds only) — same layout as the
+    live index; search never reads it."""
+    return index_path.rstrip("/") + "_stopped"
+
+
+def _fwd_path(index_path: str) -> str:
+    """Forward table (id, term) for max_df builds — the id-keyed
+    transposition of the postings, so maintenance learns a document's
+    old vocabulary with an id-bloom point fetch."""
+    return index_path.rstrip("/") + "_fwd"
 
 
 def _check_names(id_col: str, text_col: str) -> None:
@@ -175,21 +208,34 @@ def build_text_index(
     (overwrite — a rebuild; see the module docstring for the rebuild
     contract)."""
     _check_names(id_col, text_col)
+    if max_df is not None and max_df < 1:
+        raise ValueError("build_text_index: max_df must be >= 1")
     postings, dl = _tokenize(corpus, id_col, text_col)
     dl = dl.persist()
-    try:
-        if max_df is not None:
-            from pyspark.sql.window import Window
+    stopped = None
+    if max_df is not None:
+        from pyspark.sql.window import Window
 
-            # document frequency inside the already-keyed postings: one
-            # window over the term partitioning the rows are about to be
-            # written in anyway
-            w = Window.partitionBy("term")
-            postings = (
-                postings.withColumn("__df", F.count(F.lit(1)).over(w))
-                .filter(F.col("__df") <= max_df)
-                .drop("__df")
+        # document frequency inside the already-keyed postings: one
+        # window over the term partitioning the rows are about to be
+        # written in anyway. Over-cap terms are SPLIT OUT, not dropped:
+        # the stopped sibling keeps their postings so maintenance can
+        # re-admit a term whose df later falls under the cap.
+        w = Window.partitionBy("term")
+        tagged = postings.withColumn(
+            "__df", F.count(F.lit(1)).over(w)
+        ).persist()
+        postings = tagged.filter(F.col("__df") <= max_df).drop("__df")
+        stopped = tagged.filter(F.col("__df") > max_df).drop("__df")
+        if postings.limit(1).count() == 0:
+            tagged.unpersist()
+            dl.unpersist()
+            raise ValueError(
+                f"build_text_index: max_df={max_df} leaves no under-cap "
+                "terms — every term in the corpus is a stop term; raise "
+                "the cap"
             )
+    try:
         publish_path(
             spark,
             index_path,
@@ -201,6 +247,42 @@ def build_text_index(
             max_records_per_file=max_records_per_file,
             file_bloom_columns=["term"],
         )
+        if max_df is not None:
+            if stopped.limit(1).count() > 0:
+                publish_path(
+                    spark,
+                    _stopped_path(index_path),
+                    stopped.select("term", id_col, "tf", "dl"),
+                    [],
+                    mode="overwrite",
+                    derived_partitions={
+                        "bucket": _BUCKET_EXPR.format(n=n_buckets)
+                    },
+                    sort_within_files=["term"],
+                    max_records_per_file=max_records_per_file,
+                    file_bloom_columns=["term"],
+                )
+            else:
+                # a rebuild must not leave a previous build's stopped
+                # postings behind (they would resurrect on the next move)
+                fs.delete(spark, _stopped_path(index_path))
+            # forward table: EVERY (id, term) pair, live and stopped —
+            # the id-bloomed point-lookup plane for df decrements
+            fwd = tagged.select(F.col(id_col), F.col("term"))
+            publish_path(
+                spark,
+                _fwd_path(index_path),
+                fwd,
+                [],
+                mode="overwrite",
+                file_bloom_columns=[id_col],
+            )
+            tagged.unpersist()
+        else:
+            # an uncapped rebuild over a previously capped index drops
+            # the cap's companion datasets with the cap itself
+            fs.delete(spark, _stopped_path(index_path))
+            fs.delete(spark, _fwd_path(index_path))
         # per-doc lengths, id-fingerprinted: reindex_documents' O(changed)
         # point lookups ride the same bloom plane searches use for terms
         publish_path(
@@ -242,14 +324,199 @@ def _index_id_col(meta, index_path: str) -> str:
     return id_cols[0]
 
 
-def _refuse_max_df(max_df: Optional[int], op: str) -> None:
-    if max_df is not None:
+def _capped(spark: SparkSession, index_path: str, max_df: Optional[int],
+            op: str) -> bool:
+    """True when the index enforces a maintainable ``max_df`` cap. A
+    capped index WITHOUT the forward table predates r11's split layout
+    (its over-cap postings were dropped at build, so the cap cannot be
+    enforced incrementally) — refuse loudly, as r10 did."""
+    if max_df is None:
+        return False
+    from . import metadata
+
+    if metadata.read_sidecar(spark, _fwd_path(index_path)) is None:
         raise ValueError(
-            f"{op}: this index was built with max_df={max_df} — "
-            "incremental writes would re-introduce dropped terms with "
-            "postings from the new docs only (partial lists, inflated "
-            "idf, silently wrong scores). Rebuild with build_text_index."
+            f"{op}: this index was built with max_df={max_df} before "
+            "the split live/stopped layout existed — its over-cap "
+            "postings were dropped at build, so incremental writes "
+            "would re-introduce them with partial lists and inflated "
+            "idf. Rebuild with build_text_index."
         )
+    return True
+
+
+def _in_literals(values, vocab: str) -> str:
+    """Comma-joined SQL literals for an IN predicate, typed per the
+    dataset vocabulary. Spark SQL string literals treat BOTH backslash
+    and quote as escapes: escape backslash first, then the quote."""
+    if vocab == "integer":
+        return ", ".join(str(int(v)) for v in values)
+    return ", ".join(
+        "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in values
+    )
+
+
+def _term_filter(terms) -> list:
+    return [
+        {"partition": "term", "comparison": "==", "values": sorted(terms)}
+    ]
+
+
+def _term_counts(spark: SparkSession, path: str, terms) -> dict:
+    """Current posting-row count per term (= its df: one row per
+    (term, doc)) over ``path``, term-pruned — bucket pushdown + bloom
+    skip keep the read O(postings of the asked terms). Missing terms
+    are absent from the result (count 0)."""
+    if not terms:
+        return {}
+    rows = (
+        fetch_path(spark, path, filters=_term_filter(terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    )
+    return {r["term"]: int(r["__n"]) for r in rows}
+
+
+def _companion_append(
+    spark: SparkSession,
+    index_path: str,
+    dst: str,
+    rows: DataFrame,
+    like_meta,
+) -> None:
+    """Append posting rows into ``dst`` (live or stopped), creating it
+    with the live index's recorded layout (bucket transform + term
+    blooms) on first use — the stopped sibling is born lazily, on the
+    first over-cap crossing."""
+    from . import metadata
+
+    if metadata.read_sidecar(spark, dst) is None:
+        publish_path(
+            spark, dst, rows, [], mode="append",
+            derived_partitions=dict(like_meta.derived_partitions),
+            sort_within_files=["term"],
+            file_bloom_columns=["term"],
+        )
+    else:
+        publish_path(
+            spark, dst, rows, [], mode="append",
+            sort_within_files=["term"],
+        )
+
+
+def _move_terms(
+    spark: SparkSession,
+    index_path: str,
+    src: str,
+    dst: str,
+    terms,
+    id_col: str,
+    like_meta,
+) -> None:
+    """Move the full (current) posting lists of ``terms`` from ``src``
+    to ``dst`` — the cap-crossing transition. Copy first, tombstone
+    second: a crash between the two leaves the term double-resident in
+    favor of the copy (documented in the module docstring), never
+    lost. O(postings of the moving terms)."""
+    if not terms:
+        return
+    rows = fetch_path(spark, src, filters=_term_filter(terms)).select(
+        "term", id_col, "tf", "dl"
+    )
+    if rows.limit(1).count() == 0:
+        return
+    from .publish import delete_where
+
+    _companion_append(spark, index_path, dst, rows, like_meta)
+    pred = f"term IN ({_in_literals(sorted(terms), 'string')})"
+    delete_where(
+        spark, src, pred, mode="merge-on-read", count_matches=False
+    )
+
+
+def _group_counts(df: DataFrame, col: str) -> dict:
+    return {
+        r[col]: int(r["__n"])
+        for r in df.groupBy(col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+
+
+def _classify_terms(
+    spark: SparkSession,
+    index_path: str,
+    max_df: int,
+    inc: dict,
+    dec: dict,
+) -> tuple:
+    """Exact post-batch state for every batch-affected term. Returns
+    ``(live_terms, stop_terms, movers_up, movers_down)`` where the
+    first two partition the AFFECTED set (batch rows route by them) and
+    the movers are existing posting lists that cross the cap. df
+    arithmetic: new_df = current - dec + inc, with current read
+    term-pruned — live counts are ≤ max_df rows/term by the invariant;
+    stopped counts are read only for terms whose net change is a
+    decrease (anything else provably stays over the cap)."""
+    affected = sorted(set(inc) | set(dec))
+    stopped_now: set = set()
+    sp = _stopped_path(index_path)
+    from . import metadata
+
+    has_stopped = metadata.read_sidecar(spark, sp) is not None
+    if has_stopped and affected:
+        stopped_now = {
+            r["term"]
+            for r in fetch_path(spark, sp, filters=_term_filter(affected))
+            .select("term")
+            .distinct()
+            .collect()
+        }
+    live_cand = [t for t in affected if t not in stopped_now]
+    live_cnt = _term_counts(spark, index_path, live_cand)
+    # stopped terms only need an exact count when the batch NET-decreases
+    # their df — otherwise they provably stay over the cap
+    need_cnt = [
+        t for t in stopped_now if dec.get(t, 0) > inc.get(t, 0)
+    ]
+    stop_cnt = _term_counts(spark, sp, need_cnt) if need_cnt else {}
+    live_terms, stop_terms = set(), set()
+    movers_up, movers_down = [], []
+    for t in affected:
+        if t in stopped_now:
+            if t in stop_cnt:
+                new_df = stop_cnt[t] - dec.get(t, 0) + inc.get(t, 0)
+            else:
+                new_df = max_df + 1  # provably still over the cap
+        else:
+            new_df = (
+                live_cnt.get(t, 0) - dec.get(t, 0) + inc.get(t, 0)
+            )
+        if new_df <= max_df:
+            live_terms.add(t)
+            if t in stopped_now:
+                movers_down.append(t)
+        else:
+            stop_terms.add(t)
+            if t not in stopped_now and live_cnt.get(t, 0) > 0:
+                movers_up.append(t)
+    return live_terms, stop_terms, movers_up, movers_down
+
+
+def _route_batch(postings: DataFrame, live_terms, stop_terms) -> tuple:
+    """Split batch postings by their terms' post-batch state — broadcast
+    semi/anti joins against the (bounded, change-set-sized) term frames,
+    never a giant IN literal in the plan."""
+    s = postings.sparkSession
+    if not stop_terms:
+        return postings, None
+    stop_df = s.createDataFrame([(t,) for t in sorted(stop_terms)],
+                                "term string")
+    live_rows = postings.join(F.broadcast(stop_df), "term", "left_anti")
+    stop_rows = postings.join(F.broadcast(stop_df), "term", "left_semi")
+    return live_rows, stop_rows
 
 
 def append_to_text_index(
@@ -267,8 +534,12 @@ def append_to_text_index(
     contract, stated not checked (checking would scan the index):
     ``new_docs`` ids are NOT already indexed — an id indexed twice would
     double its postings and inflate df_t; ``reindex_documents`` is the
-    changed-document path. Refuses on a ``max_df``-built index (module
-    docstring). See the module docstring for the multi-commit window."""
+    changed-document path. On a ``max_df`` index (r11): batch terms are
+    routed live/stopped by their exact post-append df, and a live term
+    the append pushes over the cap has its whole posting list moved to
+    the stopped sibling — search stays ≡ rebuild-with-max_df (module
+    docstring; O(batch terms' postings) extra work). See the module
+    docstring for the multi-commit window."""
     _check_names(id_col, text_col)
     meta = _require_index(spark, index_path)
     key = _index_id_col(meta, index_path)
@@ -278,14 +549,49 @@ def append_to_text_index(
             f"{key!r}, not {id_col!r}"
         )
     n_docs, total_len, max_df = _read_stats(spark, index_path)
-    _refuse_max_df(max_df, "append_to_text_index")
+    capped = _capped(spark, index_path, max_df, "append_to_text_index")
     postings, dl = _tokenize(new_docs, id_col, text_col)
+    if capped:
+        postings = postings.persist()
     dl = dl.persist()
     try:
-        publish_path(
-            spark, index_path, postings, [], mode="append",
-            sort_within_files=["term"],
-        )
+        if capped:
+            inc = _group_counts(postings, "term")
+            live_terms, stop_terms, movers_up, _down = _classify_terms(
+                spark, index_path, max_df, inc, {}
+            )
+            live_rows, stop_rows = _route_batch(
+                postings, live_terms, stop_terms
+            )
+            if live_rows.limit(1).count() > 0:
+                publish_path(
+                    spark, index_path, live_rows, [], mode="append",
+                    sort_within_files=["term"],
+                )
+            # crossing terms' existing lists leave the live index BEFORE
+            # their batch rows land stopped-side (a crash in between
+            # leaves the term double-resident toward stopped — the
+            # documented copy-first direction)
+            _move_terms(
+                spark, index_path, index_path, _stopped_path(index_path),
+                movers_up, id_col, meta,
+            )
+            if stop_rows is not None and stop_rows.limit(1).count() > 0:
+                _companion_append(
+                    spark, index_path, _stopped_path(index_path),
+                    stop_rows.select("term", F.col(id_col), "tf", "dl"),
+                    meta,
+                )
+            publish_path(
+                spark, _fwd_path(index_path),
+                postings.select(F.col(id_col), F.col("term")),
+                [], mode="append",
+            )
+        else:
+            publish_path(
+                spark, index_path, postings, [], mode="append",
+                sort_within_files=["term"],
+            )
         # doclens exists for every index built/maintained r10+; a pre-r10
         # index has none — appending a PARTIAL doclens would poison
         # reindex's stats fold, so only maintain an existing one
@@ -309,6 +615,8 @@ def append_to_text_index(
         )
     finally:
         dl.unpersist()
+        if capped:
+            postings.unpersist()
 
 
 def _doclens_exists(spark: SparkSession, index_path: str) -> bool:
@@ -340,8 +648,18 @@ def reindex_documents(
     anti-joins); commit cost is O(changed docs). Idempotent: re-running
     the same batch converges (key-deletes replace, never accumulate).
     Requires the doclens side table (indexes built before it existed
-    must rebuild); refuses on a ``max_df``-built index (module
-    docstring); changed ids must be unique in the batch and non-NULL."""
+    must rebuild); changed ids must be unique in the batch and non-NULL.
+
+    On a ``max_df`` index (r11): the changed docs' OLD vocabulary is
+    point-fetched from the forward table (id blooms — never an index
+    scan), df deltas are exact (decrements from the old pairs,
+    increments from the batch), batch rows route live/stopped by the
+    post-reindex df, and terms crossing the cap in EITHER direction
+    have their posting lists moved — search stays ≡ rebuild-with-max_df
+    over the updated corpus. The capped commit sequence is id-tombstone
+    → routed appends → moves → forward-table upsert (multi-commit
+    honesty per the module docstring) instead of the uncapped single
+    eq-delete snapshot."""
     _check_names(id_col, text_col)
     meta = _require_index(spark, index_path)
     key = _index_id_col(meta, index_path)
@@ -351,7 +669,7 @@ def reindex_documents(
             f"{key!r}, not {id_col!r}"
         )
     n_docs, total_len, max_df = _read_stats(spark, index_path)
-    _refuse_max_df(max_df, "reindex_documents")
+    capped = _capped(spark, index_path, max_df, "reindex_documents")
     if not _doclens_exists(spark, index_path):
         raise ValueError(
             f"reindex_documents: no doclens side table at "
@@ -405,13 +723,71 @@ def reindex_documents(
         batch = postings.withColumn(
             id_col, F.col(id_col).cast(metadata.vocab_to_spark_type(vocab))
         ).select("term", id_col, "tf", "dl")
-        # same within-file clustering as build/append: reindexed files keep
-        # tight term runs, so their bloom fingerprints stay sparse and the
-        # bucket-internal skip keeps biting until the next compaction
-        eq_delete_append(
-            spark, index_path, batch, [id_col],
-            sort_within_files=["term"],
-        )
+        if capped and ids:
+            from .publish import delete_where
+
+            batch = batch.persist()
+            fwdp = _fwd_path(index_path)
+            old_pairs = fetch_path(
+                spark, fwdp,
+                filters=[
+                    {"partition": id_col, "comparison": "==", "values": ids}
+                ],
+            ) if ids else None
+            dec = _group_counts(old_pairs, "term") if old_pairs is not None else {}
+            inc = _group_counts(batch, "term")
+            live_terms, stop_terms, movers_up, movers_down = (
+                _classify_terms(spark, index_path, max_df, inc, dec)
+            )
+            id_pred = f"{id_col} IN ({_in_literals(ids, vocab)})"
+            # changed ids' old postings leave both sides (zero-read
+            # predicate tombstones; reads below already see them)
+            delete_where(
+                spark, index_path, id_pred, mode="merge-on-read",
+                count_matches=False,
+            )
+            from . import metadata as _md
+
+            sp = _stopped_path(index_path)
+            if _md.read_sidecar(spark, sp) is not None:
+                delete_where(
+                    spark, sp, id_pred, mode="merge-on-read",
+                    count_matches=False,
+                )
+            live_rows, stop_rows = _route_batch(
+                batch, live_terms, stop_terms
+            )
+            if live_rows.limit(1).count() > 0:
+                publish_path(
+                    spark, index_path, live_rows, [], mode="append",
+                    sort_within_files=["term"],
+                )
+            if stop_rows is not None and stop_rows.limit(1).count() > 0:
+                _companion_append(
+                    spark, index_path, sp,
+                    stop_rows.select("term", F.col(id_col), "tf", "dl"),
+                    meta,
+                )
+            _move_terms(spark, index_path, index_path, sp,
+                        movers_up, id_col, meta)
+            _move_terms(spark, index_path, sp, index_path,
+                        movers_down, id_col, meta)
+            # forward table upsert: ONE eq-delete snapshot replaces the
+            # changed docs' pair lists
+            eq_delete_append(
+                spark, fwdp,
+                batch.select(F.col(id_col), F.col("term")), [id_col],
+            )
+            batch.unpersist()
+        else:
+            # same within-file clustering as build/append: reindexed
+            # files keep tight term runs, so their bloom fingerprints
+            # stay sparse and the bucket-internal skip keeps biting
+            # until the next compaction
+            eq_delete_append(
+                spark, index_path, batch, [id_col],
+                sort_within_files=["term"],
+            )
         dl_meta = metadata.read_sidecar(spark, _doclens_path(index_path))
         dl_vocab = dl_meta.column_types.get(id_col) if dl_meta else vocab
         dl_batch = dl.select(F.col(id_col), F.col("dl")).withColumn(
@@ -449,10 +825,13 @@ def remove_documents(
     (idempotent — re-running a removal converges). Search afterwards
     equals a full rebuild over the corpus minus the removed docs
     (pinned by test); ``compact_dataset`` materializes the tombstones on
-    the usual MOR cadence. Refuses on a ``max_df``-built index: removal
-    shifts document frequencies, and a rebuild might then KEEP a term
-    whose postings the original build dropped — unreproducible from the
-    index alone. Returns the number of documents actually removed."""
+    the usual MOR cadence. On a ``max_df`` index (r11): removal shifts
+    df DOWN, so a stop term whose decrement brings it under the cap has
+    its remaining posting list moved back into the live index — the
+    re-admission the r10 refusal couldn't express (decrements come from
+    the forward table's id-bloom point fetch; tombstones additionally
+    cover the stopped and forward siblings). Returns the number of
+    documents actually removed."""
     from .publish import _require_no_staged, delete_where
 
     meta = _require_index(spark, index_path)
@@ -470,7 +849,7 @@ def remove_documents(
     # cannot survive it.)
     _require_no_staged(meta, index_path, "remove_documents")
     n_docs, total_len, max_df = _read_stats(spark, index_path)
-    _refuse_max_df(max_df, "remove_documents")
+    capped = _capped(spark, index_path, max_df, "remove_documents")
     if not _doclens_exists(spark, index_path):
         raise ValueError(
             f"remove_documents: no doclens side table at "
@@ -488,17 +867,21 @@ def remove_documents(
     if not old:
         return 0  # nothing indexed under these ids: idempotent no-op
     vocab = meta.column_types.get(id_col, "string")
-    if vocab == "integer":
-        lits = ", ".join(str(int(i)) for i in ids)
-    else:
-        # Spark SQL string literals treat BOTH backslash and quote as
-        # escapes: escape backslash first, then the quote — an id like
-        # r"a\nb" must not become a newline inside the stored predicate
-        lits = ", ".join(
-            "'" + str(i).replace("\\", "\\\\").replace("'", "\\'") + "'"
-            for i in ids
+    pred = f"{id_col} IN ({_in_literals(ids, vocab)})"
+    movers_down: list = []
+    if capped:
+        # exact df decrements from the removed docs' old vocabulary
+        # (forward-table point fetch), BEFORE the tombstones land
+        old_pairs = fetch_path(
+            spark, _fwd_path(index_path),
+            filters=[
+                {"partition": id_col, "comparison": "==", "values": ids}
+            ],
         )
-    pred = f"{id_col} IN ({lits})"
+        dec = _group_counts(old_pairs, "term")
+        _live, _stop, _up, movers_down = _classify_terms(
+            spark, index_path, max_df, {}, dec
+        )
     # matches were just proven via the bloom-pruned doclens fetch:
     # count_matches=False keeps each tombstone commit zero-data-read
     delete_where(
@@ -508,6 +891,24 @@ def remove_documents(
         spark, _doclens_path(index_path), pred, mode="merge-on-read",
         count_matches=False,
     )
+    if capped:
+        from . import metadata as _md
+
+        sp = _stopped_path(index_path)
+        if _md.read_sidecar(spark, sp) is not None:
+            delete_where(
+                spark, sp, pred, mode="merge-on-read",
+                count_matches=False,
+            )
+        delete_where(
+            spark, _fwd_path(index_path), pred, mode="merge-on-read",
+            count_matches=False,
+        )
+        # re-admission: stop terms the removal dropped under the cap
+        # (reads see the id tombstones, so the moved lists are already
+        # minus the removed docs)
+        _move_terms(spark, index_path, sp, index_path,
+                    movers_down, id_col, meta)
     _write_stats(
         spark,
         index_path,

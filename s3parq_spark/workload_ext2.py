@@ -4030,3 +4030,134 @@ ORACLE_EXT2["stream_upsert_exactly_once"] = """
       FROM events
     ) WHERE rn = 1
 """
+
+
+def q_text_index_maxdf_maintain(spark, sf_dir):
+    """max_df-capped text index under FULL maintenance (r10 verdict #2):
+    an r11 capped build keeps over-cap terms' postings in a stopped
+    sibling plus an id-bloomed forward table, so append/reindex/remove
+    re-derive df exactly for the batch's terms and MOVE posting lists
+    across the cap. The fixture forces both crossings with a synthetic
+    marker term: a reindex wave introduces it under the cap (live), an
+    append wave pushes it over (its list moves to stopped — searches
+    stop seeing it), and a removal wave drops it back under
+    (re-admission — searches see it again). The final search must equal
+    SQL BM25 with the same df cap over the updated corpus."""
+    from .text_index import (
+        _stopped_path,
+        append_to_text_index,
+        build_text_index,
+        remove_documents,
+        reindex_documents,
+        search_text_index,
+    )
+    from .workload import _ds_path
+
+    MAXDF = 90
+    path = _ds_path(sf_dir, "text_index_maxdf")
+    marker = os.path.join(path, "_MAINTAINED")
+    if not os.path.exists(marker):
+        for suffix in ("", "_stats", "_doclens", "_stopped", "_fwd"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        base = docs.filter("doc_id % 9 <> 2")
+        build_text_index(
+            spark, base, path, "doc_id", "text",
+            n_buckets=16, max_df=MAXDF, max_records_per_file=2000,
+        )
+        # wave 1 — reindex: %9=5 docs gain the marker term (df stays
+        # under the cap at the gate's sf: the term enters LIVE)
+        w1 = base.filter("doc_id % 9 = 5").select(
+            "doc_id",
+            F.concat("text", F.lit(" qqmarker qqmarker qqmarker")).alias(
+                "text"
+            ),
+        )
+        n1 = w1.count()
+        reindex_documents(spark, w1, path, "doc_id", "text")
+        # wave 2 — append: the held-out %9=2 docs arrive with one marker
+        # each; past the cap the marker's whole list crosses to stopped
+        w2 = docs.filter("doc_id % 9 = 2").select(
+            "doc_id", F.concat("text", F.lit(" qqmarker")).alias("text")
+        )
+        n2 = w2.count()
+        append_to_text_index(spark, w2, path, "doc_id", "text")
+        if n1 + n2 > MAXDF >= n1:
+            assert (
+                _rows_empty(search_text_index(spark, path, ["qqmarker"]))
+            ), "marker must be capped out after the append"
+            assert os.path.exists(_stopped_path(path)), (
+                "append crossing must create the stopped sibling"
+            )
+        # wave 3 — remove: the odd reindexed docs go; the marker drops
+        # back under the cap and its postings re-admit to live
+        gone = [
+            r[0]
+            for r in docs.filter("doc_id % 9 = 5 AND doc_id % 2 = 1")
+            .select("doc_id")
+            .collect()
+        ]
+        assert remove_documents(spark, gone, path, "doc_id") == len(gone)
+        if n1 + n2 - len(gone) <= MAXDF < n1 + n2:
+            assert not _rows_empty(
+                search_text_index(spark, path, ["qqmarker"])
+            ), "marker must be re-admitted after the removal"
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index(spark, path, ["hash", "join", "qqmarker"], k=10)
+    return out.select(
+        "doc_id", "n_terms", F.round("score", 6).alias("score")
+    )
+
+
+def _rows_empty(df) -> bool:
+    return df.limit(1).count() == 0
+
+
+QUERIES_EXT2["text_index_maxdf_maintain"] = q_text_index_maxdf_maintain
+# capped BM25 over the maintained corpus: reindexed texts modified,
+# appended docs present, removed docs absent, terms with df > 90 dropped
+ORACLE_EXT2["text_index_maxdf_maintain"] = """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 9 = 5
+                    THEN text || ' qqmarker qqmarker qqmarker'
+                  WHEN doc_id % 9 = 2 THEN text || ' qqmarker'
+                  ELSE text END AS text
+      FROM documents
+      WHERE NOT (doc_id % 9 = 5 AND doc_id % 2 = 1)
+    ), toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM corpus
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('hash', 'join', 'qqmarker') GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+      WHERE df_t <= 90
+    ), agg AS (
+      SELECT doc, COUNT(*) AS n_terms, CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_terms, round(score, 6) AS score
+    FROM agg
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+"""

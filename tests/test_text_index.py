@@ -251,26 +251,42 @@ def test_reindex_changed_docs_equals_full_rebuild(spark, docs, tmp_path):
     assert got2 == got
 
 
-def test_max_df_index_refuses_incremental_writes(spark, docs, tmp_path):
-    """A max_df build drops stop terms' postings; an append/reindex would
-    re-introduce them with partial lists and inflated idf — refuse loudly
-    (r9 verdict 'what's wrong' #1)."""
-    from s3parq_spark.text_index import append_to_text_index, reindex_documents
+def test_legacy_max_df_index_refuses_incremental_writes(
+    spark, docs, tmp_path
+):
+    """A PRE-r11 max_df build dropped stop terms' postings outright (no
+    stopped sibling, no forward table) — incremental writes on such an
+    index would re-introduce them with partial lists and inflated idf,
+    so they refuse loudly (the r9/r10 contract, now scoped to legacy
+    capped indexes). Simulated by deleting the forward table an r11
+    build writes."""
+    import shutil as _sh
+
+    from s3parq_spark.text_index import (
+        _fwd_path,
+        append_to_text_index,
+        reindex_documents,
+        remove_documents,
+    )
 
     path = str(tmp_path / "idx")
     build_text_index(
         spark, docs, path, "doc_id", "text", n_buckets=8, max_df=100
     )
-    with pytest.raises(ValueError, match="max_df"):
-        append_to_text_index(
+    _sh.rmtree(_fwd_path(path))
+    for op in (
+        lambda: append_to_text_index(
             spark,
-            spark.createDataFrame([(9001, "hash")], "doc_id long, text string"),
+            spark.createDataFrame([(9001, "hash")],
+                                  "doc_id long, text string"),
             path, "doc_id", "text",
-        )
-    with pytest.raises(ValueError, match="max_df"):
-        reindex_documents(
-            spark, docs.limit(1), path, "doc_id", "text"
-        )
+        ),
+        lambda: reindex_documents(spark, docs.limit(1), path,
+                                  "doc_id", "text"),
+        lambda: remove_documents(spark, [1], path, "doc_id"),
+    ):
+        with pytest.raises(ValueError, match="max_df"):
+            op()
     # the cap is recorded in the stats row, not inferred
     from s3parq_spark.text_index import _read_stats
 
@@ -372,17 +388,9 @@ def test_remove_documents_equals_rebuild_minus_removed(spark, docs, tmp_path):
     assert _rows(search_text_index(spark, path, ["hash", "vector"], k=10)) == got
 
 
-def test_remove_documents_refuses_max_df_and_missing_doclens(
-    spark, docs, tmp_path
-):
+def test_remove_documents_refuses_missing_doclens(spark, docs, tmp_path):
     from s3parq_spark.text_index import _doclens_path, remove_documents
 
-    path = str(tmp_path / "idx")
-    build_text_index(
-        spark, docs, path, "doc_id", "text", n_buckets=8, max_df=100
-    )
-    with pytest.raises(ValueError, match="max_df"):
-        remove_documents(spark, [1], path, "doc_id")
     import shutil as _sh
 
     path2 = str(tmp_path / "idx2")
@@ -484,3 +492,100 @@ def test_repair_index_stats_recovers_crashed_fold(spark, docs, tmp_path):
         ["hash", "vector"], top_k=10,
     ))
     assert got == exp
+
+
+def test_max_df_maintenance_equals_rebuild(spark, tmp_path):
+    """r10 verdict #2: a capped index is fully maintainable. Every
+    lifecycle op below forces a cap crossing — append pushes a live term
+    over (its list moves to the stopped sibling), reindex pulls a term
+    back under (re-admission), removal drops a stop term under the cap —
+    and after EVERY op, search over several query shapes (live terms,
+    stop terms, mixed, new terms) must equal a fresh
+    build_text_index(max_df=...) over the updated corpus, bit for bit.
+    Stats rows must agree too."""
+    import itertools
+
+    from s3parq_spark.text_index import (
+        _read_stats,
+        append_to_text_index,
+        reindex_documents,
+        remove_documents,
+    )
+
+    MAXDF = 3
+    path = str(tmp_path / "idx")
+    ref_counter = itertools.count()
+
+    corpus = {
+        1: "alpha common fillerone",
+        2: "alpha common fillertwo",
+        3: "alpha common fillerthree",
+        4: "stopper fillerfour",
+        5: "stopper fillerfive",
+        6: "stopper fillersix",
+        7: "stopper fillerseven",
+        8: "stopper fillereight",
+    }
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "doc_id long, text string"
+        )
+
+    QUERIES = (
+        ["common"], ["stopper"], ["alpha", "common", "stopper"],
+        ["newword"], ["burst", "fillerfive"], ["plainword", "alpha"],
+    )
+
+    def assert_equals_rebuild(tag):
+        ref = str(tmp_path / f"ref{next(ref_counter)}")
+        build_text_index(
+            spark, df_of(corpus), ref, "doc_id", "text",
+            n_buckets=4, max_df=MAXDF,
+        )
+        for q in QUERIES:
+            got = _rows(search_text_index(spark, path, q, k=20))
+            exp = _rows(search_text_index(spark, ref, q, k=20))
+            assert got == exp, (tag, q, got, exp)
+        assert _read_stats(spark, path) == _read_stats(spark, ref), tag
+
+    build_text_index(
+        spark, df_of(corpus), path, "doc_id", "text",
+        n_buckets=4, max_df=MAXDF,
+    )
+    assert_equals_rebuild("build")
+    # 'stopper' (df 5 > 3) contributes nothing; 'common' (df 3) does
+    assert _rows(search_text_index(spark, path, ["stopper"], k=5)) == []
+    assert len(_rows(search_text_index(spark, path, ["common"], k=5))) == 3
+
+    # APPEND: 'common' crosses UP (3 -> 4); 'burst' lands over-cap in
+    # one batch (df 4 > 3, straight to stopped); 'newword' stays live
+    wave = {
+        9: "common newword",
+        10: "burst", 11: "burst", 12: "burst", 13: "burst",
+    }
+    append_to_text_index(spark, df_of(wave), path, "doc_id", "text")
+    corpus.update(wave)
+    assert_equals_rebuild("append")
+    assert _rows(search_text_index(spark, path, ["common"], k=5)) == []
+
+    # REINDEX: doc 9 loses 'common' (4 -> 3: re-admission DOWN), doc 4
+    # swaps 'stopper' for 'plainword' (5 -> 4: stays stopped)
+    changed = {9: "newword plainword", 4: "plainword fillerfour"}
+    reindex_documents(spark, df_of(changed), path, "doc_id", "text")
+    corpus.update(changed)
+    assert_equals_rebuild("reindex")
+    assert len(_rows(search_text_index(spark, path, ["common"], k=5))) == 3
+
+    # re-running the same reindex converges (key-deletes replace)
+    reindex_documents(spark, df_of(changed), path, "doc_id", "text")
+    assert_equals_rebuild("reindex-idempotent")
+
+    # REMOVE: docs 5,6 drop 'stopper' (4 -> 2: re-admission via DELETE);
+    # 'burst' drops to 3 (re-admission too)
+    assert remove_documents(spark, [5, 6, 10], path, "doc_id") == 3
+    for k in (5, 6, 10):
+        corpus.pop(k)
+    assert_equals_rebuild("remove")
+    assert len(_rows(search_text_index(spark, path, ["stopper"], k=5))) == 2
+    assert remove_documents(spark, [5, 6, 10], path, "doc_id") == 0
