@@ -92,6 +92,9 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "text_index_maxdf_maintain",   # new: capped index full maintenance —
                                    # live/stopped split + forward table,
                                    # cap crossings in both directions
+    "ivf_index_append",            # new: ANN at-rest maintenance — O(new)
+                                   # appends with frozen quantizers,
+                                   # tombstone removal, pruned probes
 )
 
 

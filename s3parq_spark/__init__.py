@@ -65,6 +65,13 @@ from .text_index import (
     repair_index_stats,
     search_text_index,
 )
+from .ann_index import (
+    append_to_ivf_index,
+    build_ivf_index,
+    index_drift,
+    remove_vectors,
+    search_ivf_index,
+)
 from .maintenance import dataset_health, maintain_dataset
 from .views import create_aggregate, refresh_aggregate
 from .session import get_spark
@@ -74,10 +81,15 @@ __all__ = [
     "MissingS3ParqMetadata",
     "PendingAuditError",
     "TagPinnedError",
+    "append_to_ivf_index",
     "append_to_text_index",
     "apply_change_feed",
     "attach",
+    "build_ivf_index",
     "build_text_index",
+    "index_drift",
+    "remove_vectors",
+    "search_ivf_index",
     "compact_dataset",
     "delete_where",
     "eq_delete_append",

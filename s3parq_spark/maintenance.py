@@ -91,7 +91,25 @@ def dataset_health(spark: SparkSession, path: str) -> Dict[str, float]:
         "n_spilled_snapshots": float(
             sum(1 for s in meta.snapshots if s.get("manifest"))
         ),
+        # ANN drift (r11): present only when the dataset is an ANN index
+        # (quantizer sidecar exists) — appended vectors quantize against
+        # frozen centroids, so a rising error ratio is the retrain signal
+        **_ann_drift(spark, path),
     }
+
+
+def _ann_drift(spark: SparkSession, path: str) -> Dict[str, float]:
+    from .ann_index import _quantizers_path, index_drift
+
+    if not fs.exists(spark, _quantizers_path(path)):
+        return {}
+    d = index_drift(spark, path)
+    out = {"ann_train_qerr": float(d["train_qerr"])}
+    if d["appended_qerr"] is not None:
+        out["ann_appended_qerr"] = float(d["appended_qerr"])
+    if d["drift_ratio"] is not None:
+        out["ann_drift_ratio"] = float(d["drift_ratio"])
+    return out
 
 
 def maintain_dataset(

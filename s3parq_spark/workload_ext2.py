@@ -4161,3 +4161,122 @@ ORACLE_EXT2["text_index_maxdf_maintain"] = """
     ORDER BY score DESC, doc ASC
     LIMIT 10
 """
+
+
+def q_ivf_index_append(spark, sf_dir):
+    """ANN at-rest index MAINTENANCE (ann_index.py — r10 verdict #3):
+    the index is built over a training prefix (deterministic Lloyd
+    centroids, persisted in the quantizer sidecar), the remaining
+    vectors arrive through ``append_to_ivf_index`` — cell assignment
+    against the FROZEN centroids, one projection, O(new), landing in
+    the cell partitions — and a removal wave lands as one zero-read
+    tombstone. The search probes the top cells through the
+    partition-pruned fetch (PartitionFilters asserted) and must equal
+    the oracle, which replays the same deterministic training in SQL
+    over the training prefix and assigns the FINAL corpus (appended
+    included, removed excluded) with those centroids."""
+    from .ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        index_drift,
+        remove_vectors,
+        search_ivf_index,
+    )
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "ivf_maintained")
+    marker = os.path.join(path, "_MAINTAINED")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        qp = path.rstrip("/") + "_quantizers.json"
+        if os.path.exists(qp):
+            os.remove(qp)
+        build_ivf_index(
+            spark, emb.filter("vec_id < 350"), path, "vec_id", "embedding",
+            k=8, iters=1,
+        )
+        append_to_ivf_index(
+            spark, emb.filter("vec_id >= 350"), path, "vec_id", "embedding"
+        )
+        gone = [r[0] for r in emb.filter("vec_id % 50 = 7")
+                .select("vec_id").collect()]
+        n = remove_vectors(spark, gone, path, "vec_id")
+        assert n == len(gone), (n, len(gone))
+        assert remove_vectors(spark, gone, path, "vec_id") == 0
+        d = index_drift(spark, path)
+        assert d["appended_n"] > 0 and d["drift_ratio"] is not None
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    qrow = emb.filter("vec_id = 0").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    # k=11: rank 1 is the query vector itself (self-cosine 1.0, lowest
+    # id on ties) — dropped below, leaving exactly the top-10 neighbors
+    out = search_ivf_index(
+        spark, path, [float(x) for x in qrow["v"]], k=11, nprobe=3
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    i = plan.find("PartitionFilters")
+    assert i >= 0 and "cell" in plan[i:i + 200], (
+        "cell probe did not prune at the file index"
+    )
+    return out.filter("vec_id <> 0").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["ivf_index_append"] = q_ivf_index_append
+# deterministic-training replay: one Lloyd refinement over the training
+# prefix, FINAL corpus assigned with those frozen centroids, top-3 cells
+# probed, exact cosine inside them
+ORACLE_EXT2["ivf_index_append"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 350
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 0
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), corpus AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 50 <> 7
+    ), asg AS (
+      SELECT corpus.vec_id, corpus.v,
+             arg_max(c.cid, list_dot_product(corpus.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM corpus CROSS JOIN c1 c GROUP BY corpus.vec_id, corpus.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 0
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
