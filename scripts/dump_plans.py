@@ -423,6 +423,32 @@ CASES = [
         "from recorded sizes) plus the batch's row images; one row per "
         "user by construction — no window, no global sort, no rewrite.",
     ),
+    (
+        "stream_upsert_exactly_once",
+        "Exactly-once mirror read (r11): the crash-replayed batch was "
+        "SKIPPED by the txn ledger, so the plan is identical to "
+        "events_stream_upsert — one bootstrap era + ONE eq-delete era "
+        "(no duplicate snapshot union branch), keys broadcast.",
+    ),
+    (
+        "text_index_maxdf_maintain",
+        "Capped-index search after full maintenance (r11): the SAME "
+        "bucket-pruned + bloom-skipped scan shape as every index search "
+        "— the stopped sibling and the forward table appear NOWHERE in "
+        "the plan (search reads live postings only; the cap's companions "
+        "are maintenance-plane datasets). Pending eq-deletes/tombstones "
+        "from the maintenance ops anti-join/filter per era, key frames "
+        "broadcast.",
+    ),
+    (
+        "ivf_index_append",
+        "ANN probe over the maintained index (r11): PartitionFilters on "
+        "cell at the FileScan (the probe prunes at the file index — "
+        "non-probed cells cost zero I/O), appended files inside the "
+        "probed cells scan in the same node, the removal tombstone is a "
+        "row-level filter on the pre-removal eras, and scoring is a "
+        "projection (no join, no shuffle before TakeOrderedAndProject).",
+    ),
 ]
 
 

@@ -367,3 +367,29 @@ def test_mor_upsert_era_antijoin_no_rewrite(spark, sf_dir):
         "the eq-delete anti-join must broadcast the bounded key side, "
         "never shuffle the data side on the key"
     )
+
+
+def test_ivf_probe_prunes_cells_scores_as_projection(spark, sf_dir):
+    """The ANN probe (r11 ivf_index_append) must prune at the FILE INDEX
+    on the cell partition — non-probed cells cost zero I/O — and score
+    as a pure projection: no join and no shuffle below the final top-k
+    (the removal tombstone is a row filter on the pre-removal eras, not
+    a join)."""
+    plan = _plan(spark, sf_dir, "ivf_index_append")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:800]
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_capped_search_reads_live_postings_only(spark, sf_dir):
+    """A max_df search (r11) must read the LIVE index alone: the stopped
+    sibling and the forward table are maintenance-plane datasets and
+    must appear NOWHERE in the search plan — that absence IS the cap's
+    query-time win (stop terms cost nothing). Bucket pruning unchanged."""
+    plan = _plan(spark, sf_dir, "text_index_maxdf_maintain")
+    assert "_stopped" not in plan and "_fwd" not in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1)
+    assert "CartesianProduct" not in plan
