@@ -419,6 +419,45 @@ def main() -> None:
         for p in (ti, ti + "_stats", ti + "_doclens"):
             _sh.rmtree(p, ignore_errors=True)
 
+        # ---- ANN index maintenance probes (r11): append against the
+        # FROZEN quantizers (O(new) — one projection + cell-partition
+        # append) vs the rebuild it replaces (retrains + rewrites the
+        # celled corpus); probe latency shows the cell prune serving
+        # from storage after maintenance.
+        from s3parq_spark.ann_index import (
+            append_to_ivf_index, build_ivf_index, search_ivf_index,
+        )
+
+        emb1 = spark.read.parquet(
+            os.path.join(sf1_dir, "embeddings.parquet")
+        ).select("vec_id", "embedding")
+        ai = os.path.join(workload._CACHE_ROOT, "bench_ivf_index_sf1")
+        _sh.rmtree(ai, ignore_errors=True)
+        if os.path.exists(ai + "_quantizers.json"):
+            os.remove(ai + "_quantizers.json")
+        t0 = time.time()
+        build_ivf_index(
+            spark, emb1.filter("vec_id % 97 != 3"), ai,
+            "vec_id", "embedding", k=16, iters=2,
+        )
+        probes_sf1["ivf_index_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        append_to_ivf_index(
+            spark, emb1.filter("vec_id % 97 = 3"), ai,
+            "vec_id", "embedding",
+        )
+        probes_sf1["ivf_append_1pct"] = round(time.time() - t0, 3)
+        probes_sf1["ivf_rebuild_full"] = probes_sf1["ivf_index_build"]
+        qv = [float(x) for x in emb1.filter("vec_id = 0").select(
+            F.col("embedding").cast("array<double>").alias("v")
+        ).first()["v"]]
+        search_ivf_index(spark, ai, qv, k=10, nprobe=4).count()  # warm
+        t0 = time.time()
+        search_ivf_index(spark, ai, qv, k=10, nprobe=4).count()
+        probes_sf1["ivf_probe_search"] = round(time.time() - t0, 3)
+        _sh.rmtree(ai, ignore_errors=True)
+        os.remove(ai + "_quantizers.json")
+
     line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",

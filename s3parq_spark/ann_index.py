@@ -294,10 +294,11 @@ def search_ivf_index(
     q = _load_quantizers(spark, index_path, "search_ivf_index")
     id_col = q["id_col"]
     cents, qv = q["centroids"], [float(x) for x in query_vec]
+    cn = _cnorms(cents)
     order = sorted(
         range(len(cents)),
         key=lambda j: (
-            -sum(a * b for a, b in zip(qv, cents[j])) / _cnorms(cents)[j],
+            -sum(a * b for a, b in zip(qv, cents[j])) / cn[j],
             j,
         ),
     )

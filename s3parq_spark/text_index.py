@@ -56,8 +56,14 @@ invariant; stopped counts are read only for terms whose decrement
 could bring them under the cap) and MOVES crossing terms' posting
 lists between the two datasets (copy, then tombstone the source — a
 crash between the two leaves a term double-resident in favor of the
-copy; re-run the op or rebuild to reconcile, the same multi-commit
-honesty as the stats fold). Search therefore equals a full
+copy; rebuild to reconcile, the same multi-commit honesty as the
+stats fold). One more capped crash window, stated plainly: a capped
+reindex that committed its id tombstones but crashed before its
+appends leaves df counts the RE-RUN's classification reads
+post-delete while the forward table still holds the pre-crash pairs —
+the re-run can misclassify a term near the cap (a COMPLETED capped
+reindex re-run converges exactly: the forward table then agrees with
+the batch, so every delta cancels). Search therefore equals a full
 rebuild-with-max_df over the updated corpus exactly (gated). The
 driver holds the batch's distinct-term list, the same change-set
 boundedness contract as the changed-id lists. Capped indexes built

@@ -589,3 +589,88 @@ def test_max_df_maintenance_equals_rebuild(spark, tmp_path):
     assert_equals_rebuild("remove")
     assert len(_rows(search_text_index(spark, path, ["stopper"], k=5))) == 2
     assert remove_documents(spark, [5, 6, 10], path, "doc_id") == 0
+
+
+def test_max_df_lifecycle_statemachine(spark, tmp_path):
+    """Randomized composition pinning: a deterministic pseudo-random
+    schedule of append/reindex/remove batches over a small vocabulary
+    engineered so terms cross the cap repeatedly IN BOTH DIRECTIONS
+    (including a term re-crossing back), checked after every step
+    against the model — build_text_index(max_df) over the tracked
+    corpus. Catches composition bugs the single-pass equivalence test
+    can't (a move that leaves a stale row breaks some LATER step's df
+    accounting, not its own)."""
+    import random
+
+    from s3parq_spark.text_index import (
+        _read_stats,
+        append_to_text_index,
+        reindex_documents,
+        remove_documents,
+    )
+
+    rng = random.Random(11)
+    MAXDF = 4
+    VOCAB = ["hot", "warm", "cold", "rare"]
+    path = str(tmp_path / "idx")
+    corpus = {}
+    next_id = 0
+
+    def text_for(i):
+        # each doc draws 2 vocabulary terms + a unique term: vocabulary
+        # dfs swing around the cap as docs come and go
+        a = VOCAB[i % 4]
+        b = VOCAB[(i // 2) % 4]
+        return f"{a} {b} unique{i}"
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "doc_id long, text string"
+        )
+
+    def check(tag):
+        ref = str(tmp_path / f"ref_{tag}")
+        build_text_index(
+            spark, df_of(corpus), ref, "doc_id", "text",
+            n_buckets=4, max_df=MAXDF,
+        )
+        for q in (["hot"], ["warm", "cold"], ["rare", "hot"]):
+            got = _rows(search_text_index(spark, path, q, k=30))
+            exp = _rows(search_text_index(spark, ref, q, k=30))
+            assert got == exp, (tag, q, got, exp)
+        assert _read_stats(spark, path) == _read_stats(spark, ref), tag
+
+    # seed corpus: everything under the cap
+    for _ in range(6):
+        corpus[next_id] = text_for(next_id)
+        next_id += 1
+    build_text_index(
+        spark, df_of(corpus), path, "doc_id", "text",
+        n_buckets=4, max_df=MAXDF,
+    )
+    check("seed")
+
+    for step in range(6):
+        op = rng.choice(["append", "append", "reindex", "remove"])
+        if op == "append":
+            wave = {}
+            for _ in range(rng.randint(2, 4)):
+                wave[next_id] = text_for(next_id)
+                next_id += 1
+            append_to_text_index(spark, df_of(wave), path, "doc_id", "text")
+            corpus.update(wave)
+        elif op == "reindex" and corpus:
+            ids = rng.sample(sorted(corpus), min(3, len(corpus)))
+            wave = {
+                i: text_for(i + rng.randint(1, 7) * 4) + f" unique{i}"
+                for i in ids
+            }
+            reindex_documents(spark, df_of(wave), path, "doc_id", "text")
+            corpus.update(wave)
+        elif op == "remove" and len(corpus) > 3:
+            ids = rng.sample(sorted(corpus), rng.randint(1, 3))
+            n = remove_documents(spark, ids, path, "doc_id")
+            assert n == len(ids)
+            for i in ids:
+                corpus.pop(i)
+        check(f"step{step}:{op}")
