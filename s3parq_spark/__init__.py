@@ -71,6 +71,7 @@ from .ann_index import (
     index_drift,
     remove_vectors,
     search_ivf_index,
+    upsert_vectors,
 )
 from .maintenance import dataset_health, maintain_dataset
 from .views import create_aggregate, refresh_aggregate
@@ -90,6 +91,7 @@ __all__ = [
     "index_drift",
     "remove_vectors",
     "search_ivf_index",
+    "upsert_vectors",
     "compact_dataset",
     "delete_where",
     "eq_delete_append",

@@ -65,6 +65,7 @@ __all__ = [
     "index_drift",
     "remove_vectors",
     "search_ivf_index",
+    "upsert_vectors",
 ]
 
 
@@ -276,6 +277,51 @@ def remove_vectors(
         mode="merge-on-read", count_matches=False,
     )
     return int(present)
+
+
+def upsert_vectors(
+    spark: SparkSession,
+    vectors: DataFrame,
+    index_path: str,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """REPLACE vectors by id (the CRUD corner append's not-already-
+    indexed contract leaves open): one tombstone removes any existing
+    rows under the batch's ids, then the batch appends through the
+    frozen quantizers — a changed vector re-assigns to its NEW cell, so
+    probes find it where the centroids say it now lives. Two commits
+    (remove, then append): a crash between them loses the ids' rows
+    until the re-run, never duplicates them — re-running the same batch
+    converges. Returns the number of ids that were already indexed
+    (replaced); the rest inserted."""
+    dup = (
+        vectors.filter(F.col(id_col).isNotNull())
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter("__n > 1")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise ValueError(
+            "upsert_vectors: batch ids must be unique (two rows under "
+            f"one id would both survive the replace; offender: "
+            f"{dup[0][0]!r})"
+        )
+    ids = [
+        r[0]
+        for r in vectors.select(id_col).distinct().collect()
+        if r[0] is not None
+    ]
+    if not ids:
+        return 0
+    replaced = remove_vectors(spark, ids, index_path, id_col)
+    append_to_ivf_index(
+        spark, vectors.filter(F.col(id_col).isNotNull()),
+        index_path, id_col, vec_col,
+    )
+    return replaced
 
 
 def search_ivf_index(

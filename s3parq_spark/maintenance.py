@@ -121,6 +121,7 @@ def maintain_dataset(
     compact_below_fraction: float = 0.25,
     max_pending_tombstones: int = 8,
     vacuum_retention_hours: Optional[float] = None,
+    ann_drift_threshold: float = 1.5,
     dry_run: bool = False,
 ) -> Dict[str, object]:
     """Run whatever maintenance the dataset is due for; return a report.
@@ -142,6 +143,13 @@ def maintain_dataset(
     - ``vacuum_dataset(retention_hours=...)`` only when the caller passes
       ``vacuum_retention_hours`` explicitly — deleting files is opt-in per
       call, never something a generic policy loop silently starts doing.
+    - ANN retrain ADVISORY (r11) when the dataset is an ANN index and its
+      appended-vs-training quantization-error ratio reaches
+      ``ann_drift_threshold``: appends encode against frozen quantizers,
+      so distribution shift decays recall with no error anywhere — but a
+      rebuild needs the vectors themselves, which this loop does not
+      have, so the entry recommends ``build_ivf_index`` rather than
+      running anything.
 
     ``dry_run=True`` reports which actions WOULD run (and vacuum's orphan
     list) without changing anything. The report carries the health probe,
@@ -201,6 +209,22 @@ def maintain_dataset(
             except (TagPinnedError, PendingAuditError) as exc:
                 entry["skipped"] = str(exc)  # operator decision, not a fault
         report["actions"].append(entry)
+
+    drift = health.get("ann_drift_ratio")
+    if drift is not None and drift >= ann_drift_threshold:
+        report["actions"].append(
+            {
+                "action": "rebuild_ivf_index",
+                "reason": f"ann_drift_ratio {drift:.2f} >= "
+                          f"ann_drift_threshold={ann_drift_threshold}",
+                "advisory": (
+                    "appended vectors quantize markedly worse than the "
+                    "training corpus (frozen quantizers): recall is "
+                    "decaying silently — re-train with build_ivf_index "
+                    "over the current vectors"
+                ),
+            }
+        )
 
     if vacuum_retention_hours is not None:
         report["actions"].append(

@@ -173,3 +173,81 @@ def test_key_mismatch_and_missing_index_fail_loudly(spark, emb, tmp_path):
         )
     with pytest.raises(ValueError, match="keyed by"):
         remove_vectors(spark, [1], path, "other")
+
+
+def test_upsert_replaces_and_reassigns_cells(spark, tmp_path):
+    """upsert_vectors: a changed vector must leave its old cell and be
+    found in the cell the frozen centroids now assign — probing the OLD
+    cell alone no longer returns it, the NEW cell does, and the global
+    top-1 for its new position is itself."""
+    from s3parq_spark.ann_index import upsert_vectors
+
+    def vecs(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    base = []
+    for i in range(80):
+        v = [0.0] * 8
+        v[i % 4] = 1.0
+        v[4 + ((i // 4) % 2)] = 0.05
+        base.append((i, v))
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, vecs(base), path, "vec_id", "embedding",
+                    k=4, iters=2)
+    # move vector 5 (cluster 1) to cluster 2's region
+    moved = [0.0] * 8
+    moved[2] = 1.0
+    moved[4] = 0.05
+    assert upsert_vectors(
+        spark, vecs([(5, moved), (9000, [0.0] * 7 + [1.0])]),
+        path, "vec_id", "embedding",
+    ) == 1  # 5 replaced, 9000 inserted
+    got = _rows(search_ivf_index(spark, path, moved, k=3, nprobe=1))
+    assert 5 in {i for i, _ in got}
+    # the old cluster's probe no longer sees id 5
+    old = [0.0] * 8
+    old[1] = 1.0
+    old_hits = _rows(search_ivf_index(spark, path, old, k=80, nprobe=1))
+    assert 5 not in {i for i, _ in old_hits}
+    # re-running the same upsert converges (now both ids replace)
+    assert upsert_vectors(
+        spark, vecs([(5, moved), (9000, [0.0] * 7 + [1.0])]),
+        path, "vec_id", "embedding",
+    ) == 2
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="unique"):
+        upsert_vectors(
+            spark, vecs([(1, moved), (1, moved)]), path,
+            "vec_id", "embedding",
+        )
+
+
+def test_maintain_dataset_ann_drift_advisory(spark, tmp_path):
+    from s3parq_spark.maintenance import maintain_dataset
+
+    def vecs(ids, base_dim):
+        rows = []
+        for i in ids:
+            v = [0.0] * 8
+            v[base_dim + (i % 4)] = 1.0
+            v[(base_dim + 4 + ((i // 4) % 2)) % 8] = 0.05
+            rows.append((i, v))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<double>"
+        )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, vecs(range(100), 0), path, "vec_id",
+                    "embedding", k=4, iters=2)
+    rep = maintain_dataset(spark, path, dry_run=True)
+    assert not [a for a in rep["actions"]
+                if a["action"] == "rebuild_ivf_index"]
+    # out-of-distribution appends push the ratio past the threshold
+    append_to_ivf_index(spark, vecs(range(200, 300), 4), path,
+                        "vec_id", "embedding")
+    rep = maintain_dataset(spark, path, dry_run=True)
+    adv = [a for a in rep["actions"] if a["action"] == "rebuild_ivf_index"]
+    assert adv and "build_ivf_index" in adv[0]["advisory"]
