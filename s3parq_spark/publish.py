@@ -2766,6 +2766,11 @@ def discard_snapshot(
                 "discard; re-run"
             )
         m.snapshots = [s for s in m.snapshots if s["version"] != version]
+        # a txn stamp on the discarded snapshot must not survive it (the
+        # writer's batch was rejected — claiming it would make the writer
+        # silently skip its re-merge). Recompute from what remains:
+        # lossless, because expiry folds squashed stamps into its bases.
+        m.txns = _ledger_from_snapshots(m.snapshots)
         if m.zone_maps:
             # the discarded files' stats die with the files — otherwise an
             # audit-heavy (discard-dominated) ingest accumulates pointers/
