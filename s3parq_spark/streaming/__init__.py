@@ -33,3 +33,6 @@ from .events import run_streaming_window_topk  # noqa: E402,F401
 from .events import stream_upsert  # noqa: E402,F401
 
 __all__ += ["run_streaming_window_topk", "stream_latest_state", "stream_upsert"]
+from .documents import stream_index_documents  # noqa: E402,F401
+
+__all__ += ["stream_index_documents"]

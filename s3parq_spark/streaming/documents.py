@@ -1,0 +1,107 @@
+"""Streaming document ingestion into the text search index.
+
+The composition the index lifecycle was missing: a landing directory of
+document parquet files drives the index CONTINUOUSLY — readStream →
+``foreachBatch(reindex_documents)``. Each micro-batch costs O(batch
+docs) (the reindex contract: key-deletes replace whole posting lists,
+doclens and stats fold forward), new ids insert and changed ids replace
+— CDC upsert semantics for documents.
+
+Replay safety here is IDEMPOTENCE, not a txn ledger: a reindex commits
+across four datasets (postings, doclens, stats, and a capped index's
+stopped/forward siblings), which no single-snapshot stamp can cover —
+but re-running the SAME reindex converges exactly (key-deletes replace,
+stats deltas cancel), so a batch re-delivered after a crash between its
+commits and the checkpoint advance re-replaces the same posting lists
+and search results cannot diverge. The index datasets' HISTORIES may
+carry the duplicate maintenance commits (stated honestly — compaction
+folds them away); contrast ``stream_upsert``, whose single-dataset
+commit lets the ledger make even history exactly-once.
+
+A nonexistent index bootstraps from the first batch
+(``build_text_index`` — including a ``max_df`` cap, since r11 capped
+indexes are fully maintainable and later batches reindex through the
+same cap). Batches must carry one row per id with non-NULL text
+(``reindex_documents`` refuses loudly otherwise — a landing-file
+contract, same as every CDC source).
+
+Reference analog: none (extension per SURVEY §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+import tempfile
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["stream_index_documents"]
+
+
+def stream_index_documents(
+    spark: SparkSession,
+    docs_parquet: str,
+    index_path: str,
+    id_col: str,
+    text_col: str,
+    checkpoint_location: Optional[str] = None,
+    n_buckets: int = 64,
+    max_df: Optional[int] = None,
+) -> None:
+    """Drain the landing directory into the index (availableNow — each
+    invocation processes the files that arrived since the recorded
+    offsets, exactly like ``stream_publish``). The landing directory
+    must hold at least one file on the FIRST run (the stream's schema
+    is probed from it; later runs reuse the checkpoint's)."""
+    from .. import fs as _fs
+    from .. import metadata as _md
+    from ..text_index import build_text_index, reindex_documents
+
+    schema = spark.read.parquet(docs_parquet).schema
+    missing = [c for c in (id_col, text_col) if c not in schema.names]
+    if missing:
+        raise ValueError(
+            f"stream_index_documents: landing files lack columns "
+            f"{missing} (have: {schema.names})"
+        )
+    stream = spark.readStream.schema(schema).parquet(docs_parquet)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.limit(1).count() == 0:
+            return
+        s = batch_df.sparkSession
+        docs = batch_df.select(id_col, text_col)
+        if _md.read_sidecar(s, index_path) is None:
+            # bootstrap: the first batch IS the initial corpus. A crash
+            # before the checkpoint advance re-delivers it — the index
+            # exists then, so the replay goes through reindex and
+            # replaces the same lists (converges).
+            build_text_index(
+                s, docs, index_path, id_col, text_col,
+                n_buckets=n_buckets, max_df=max_df,
+            )
+        else:
+            reindex_documents(s, docs, index_path, id_col, text_col)
+
+    if checkpoint_location is None:
+        tag = hashlib.sha1(
+            f"{os.path.abspath(docs_parquet)}|{index_path}|index".encode()
+        ).hexdigest()[:12]
+        checkpoint_location = os.path.join(
+            tempfile.gettempdir(), f"s3parq_ckpt_{tag}"
+        )
+        if not _fs.exists(spark, index_path):
+            # fresh index, stale offsets from a previous incarnation
+            # would skip the whole landing directory (stream_publish's
+            # rule)
+            shutil.rmtree(checkpoint_location, ignore_errors=True)
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", checkpoint_location)
+        .start()
+    )
+    q.awaitTermination()

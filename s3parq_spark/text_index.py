@@ -104,6 +104,7 @@ from .publish import eq_delete_append, publish_path
 __all__ = [
     "append_to_text_index",
     "build_text_index",
+    "compact_text_index",
     "reindex_documents",
     "remove_documents",
     "repair_index_stats",
@@ -949,6 +950,44 @@ def repair_index_stats(
     n_docs, total_len = int(agg["n"]), int(agg["t"] or 0)
     _write_stats(spark, index_path, n_docs, total_len, max_df)
     return n_docs, total_len
+
+
+def compact_text_index(
+    spark: SparkSession,
+    index_path: str,
+    max_records_per_file: Optional[int] = None,
+) -> dict:
+    """Materialize the index family's accumulated merge-on-read debt in
+    one call: every maintenance op leaves tombstones/eq-deletes on the
+    postings AND the side tables (doclens, and for capped indexes the
+    stopped sibling and forward table) — each taxes every read with a
+    row filter or era anti-join. This compacts whichever family members
+    exist and carry history, preserving each dataset's recorded layout
+    (the bucket transform and blooms ride compact_dataset's sidecar
+    carry-through). Search before == search after (pinned by test).
+    Returns {dataset suffix: n files rewritten}; members with no debt
+    still compact (small-file consolidation is the other half of the
+    maintenance story)."""
+    from . import metadata
+    from .publish import compact_dataset
+
+    _require_index(spark, index_path)
+    report = {}
+    members = [
+        ("", index_path),
+        ("_doclens", _doclens_path(index_path)),
+        ("_stopped", _stopped_path(index_path)),
+        ("_fwd", _fwd_path(index_path)),
+    ]
+    for suffix, p in members:
+        if metadata.read_sidecar(spark, p) is None:
+            continue
+        files = compact_dataset(
+            spark, p, max_records_per_file=max_records_per_file,
+            sort_by=(["term"] if suffix in ("", "_stopped") else None),
+        )
+        report[suffix or "postings"] = len(files)
+    return report
 
 
 def search_text_index(

@@ -674,3 +674,136 @@ def test_max_df_lifecycle_statemachine(spark, tmp_path):
             for i in ids:
                 corpus.pop(i)
         check(f"step{step}:{op}")
+
+
+def test_compact_text_index_clears_debt_search_unchanged(spark, tmp_path):
+    """compact_text_index: one call materializes the whole family's
+    merge-on-read debt (postings + doclens + the capped siblings),
+    preserving each dataset's recorded layout — search and stats
+    bit-identical before/after, pending tombstones/eq-deletes zero."""
+    from s3parq_spark.text_index import (
+        _doclens_path,
+        _fwd_path,
+        _read_stats,
+        _stopped_path,
+        compact_text_index,
+        reindex_documents,
+        remove_documents,
+    )
+
+    MAXDF = 3
+    path = str(tmp_path / "idx")
+    corpus = {i: f"{'hot' if i % 2 else 'cold'} word{i}" for i in range(10)}
+
+    def df_of(d):
+        return spark.createDataFrame(
+            sorted(d.items()), "doc_id long, text string"
+        )
+
+    build_text_index(spark, df_of(corpus), path, "doc_id", "text",
+                     n_buckets=4, max_df=MAXDF)
+    # accumulate debt on every member: reindex (eq-deletes on postings /
+    # fwd, tombstones via the capped path) + removal (tombstones)
+    changed = {1: "hot moved", 3: "cold moved"}
+    reindex_documents(spark, df_of(changed), path, "doc_id", "text")
+    corpus.update(changed)
+    remove_documents(spark, [4, 6], path, "doc_id")
+    corpus.pop(4), corpus.pop(6)
+
+    queries = (["hot"], ["cold", "word1"], ["moved"])
+    before = [
+        _rows(search_text_index(spark, path, q, k=20)) for q in queries
+    ]
+    stats_before = _read_stats(spark, path)
+    report = compact_text_index(spark, path)
+    assert set(report) >= {"postings", "_doclens", "_fwd"}, report
+    for q, exp in zip(queries, before):
+        assert _rows(search_text_index(spark, path, q, k=20)) == exp, q
+    assert _read_stats(spark, path) == stats_before
+    for p in (path, _doclens_path(path), _fwd_path(path)):
+        m = metadata.read_sidecar(spark, p)
+        assert m is not None and not m.has_tombstones(), p
+    sm = metadata.read_sidecar(spark, _stopped_path(path))
+    assert sm is None or not sm.has_tombstones()
+    # layout preserved: search on a LIVE term still prunes at the bucket
+    # partition ('hot' is over-cap here — its search is an empty frame
+    # by design, which has no scan to assert on)
+    plan = search_text_index(spark, path, ["word2"], k=5) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan
+
+
+def test_stream_index_documents_ingests_and_replays_safely(
+    spark, tmp_path
+):
+    """Streaming ingestion into the index: wave 1 bootstraps, wave 2
+    updates + inserts through reindex; search equals a rebuild over the
+    final corpus. Crash replay (deleted commits marker, the
+    stream_upsert test's simulation) re-delivers the batch — reindex's
+    key-deletes make it converge: identical search, identical stats."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark.streaming import stream_index_documents
+    from s3parq_spark.text_index import _read_stats
+
+    src = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        for i, p in enumerate(
+            sorted(glob.glob(f"{scratch}/part-*.parquet"))
+        ):
+            shutil.move(p, f"{src}/{name}-{i}.parquet")
+
+    w1 = [(i, f"alpha doc{i}") for i in range(8)]
+    land(w1, "w1")
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+    # wave 2: docs 2,5 change, 8..9 are new
+    w2 = [(2, "beta changed"), (5, "beta changed"),
+          (8, "alpha doc8new"), (9, "beta doc9new")]
+    land(w2, "w2")
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+
+    final = dict(w1)
+    final.update(dict(w2))
+    ref = str(tmp_path / "ref")
+    build_text_index(
+        spark,
+        spark.createDataFrame(sorted(final.items()),
+                              "doc_id long, text string"),
+        ref, "doc_id", "text", n_buckets=4,
+    )
+    queries = (["alpha"], ["beta"], ["doc8new", "alpha"])
+    for q in queries:
+        assert _rows(search_text_index(spark, idx, q, k=20)) == \
+            _rows(search_text_index(spark, ref, q, k=20)), q
+    assert _read_stats(spark, idx) == _read_stats(spark, ref)
+    # crash replay: drop the newest checkpoint completion marker and
+    # re-run — the batch re-delivers, the reindex replays, results and
+    # stats converge (histories may carry the duplicate commit)
+    cdir = os.path.join(ckpt, "commits")
+    victim = os.path.join(
+        cdir,
+        sorted(n for n in os.listdir(cdir)
+               if not n.startswith(".") and not n.endswith(".crc"))[-1],
+    )
+    os.remove(victim)
+    crc = os.path.join(cdir, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+    assert os.path.exists(victim), "batch was not re-delivered"
+    for q in queries:
+        assert _rows(search_text_index(spark, idx, q, k=20)) == \
+            _rows(search_text_index(spark, ref, q, k=20)), q
+    assert _read_stats(spark, idx) == _read_stats(spark, ref)
