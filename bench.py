@@ -419,6 +419,34 @@ def main() -> None:
         for p in (ti, ti + "_stats", ti + "_doclens"):
             _sh.rmtree(p, ignore_errors=True)
 
+        # capped (max_df) index maintenance probe (r11): the df-exact
+        # reclassification reads the batch terms' current postings
+        # (live counts bounded by the cap; stopped only on net
+        # decrease), so a capped reindex pays a bounded premium over
+        # the uncapped one — this measures it at 50k docs.
+        tic = os.path.join(workload._CACHE_ROOT, "bench_text_capped_sf1")
+        for p in (tic, tic + "_stats", tic + "_doclens",
+                  tic + "_stopped", tic + "_fwd"):
+            _sh.rmtree(p, ignore_errors=True)
+        t0 = time.time()
+        build_text_index(
+            spark, docs1, tic, "doc_id", "text",
+            n_buckets=64, max_df=docs1.count() // 2,
+        )
+        probes_sf1["text_capped_build"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        reindex_documents(
+            spark,
+            docs1.filter("doc_id % 97 = 3").withColumn(
+                "text", F.concat(F.lit("probe probe "), F.col("text"))
+            ),
+            tic, "doc_id", "text",
+        )
+        probes_sf1["text_capped_reindex_1pct"] = round(time.time() - t0, 3)
+        for p in (tic, tic + "_stats", tic + "_doclens",
+                  tic + "_stopped", tic + "_fwd"):
+            _sh.rmtree(p, ignore_errors=True)
+
         # ---- ANN index maintenance probes (r11): append against the
         # FROZEN quantizers (O(new) — one projection + cell-partition
         # append) vs the rebuild it replaces (retrains + rewrites the
