@@ -109,6 +109,7 @@ __all__ = [
     "remove_documents",
     "repair_index_stats",
     "search_text_index",
+    "search_text_index_batch",
 ]
 
 #: the recorded hidden-partition transform (term -> bucket): the engine's
@@ -950,6 +951,83 @@ def repair_index_stats(
     n_docs, total_len = int(agg["n"]), int(agg["t"] or 0)
     _write_stats(spark, index_path, n_docs, total_len, max_df)
     return n_docs, total_len
+
+
+def search_text_index_batch(
+    spark: SparkSession,
+    index_path: str,
+    queries: dict,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Serve MANY queries in ONE pass over the index — the batch shape
+    every serving path here has (``ivf_batch_topk``, ``lsh_batch_topk``):
+    the UNION of all queries' terms issues a single pruned fetch (bucket
+    pushdown + bloom skip, O(postings of the asked terms) total, not per
+    query), a broadcast (query id, term) frame fans each posting row out
+    to the queries that asked for its term, and one windowed top-k per
+    query id ranks — per-query results are BIT-IDENTICAL to
+    ``search_text_index`` run per query (pinned by test), including
+    per-query df_t (a term shared by two queries is fetched once but
+    scored under the same global df either way). ``queries`` maps a
+    query id to its term list; returns (query_id, doc id, n_terms,
+    score) ordered within each query id by score desc, id asc."""
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("search_text_index_batch needs at least one query")
+    pairs = sorted(
+        {(str(qid), t.lower()) for qid, terms in queries.items()
+         for t in terms}
+    )
+    if not pairs:
+        raise ValueError(
+            "search_text_index_batch: every query needs at least one term"
+        )
+    all_terms = sorted({t for _, t in pairs})
+    meta = _require_index(spark, index_path)
+    id_col = _index_id_col(meta, index_path)
+    n_docs, total_len, _ = _read_stats(spark, index_path)
+    postings = fetch_path(
+        spark, index_path, filters=_term_filter(all_terms)
+    )
+    # global df per term — computed ONCE over the shared fetch, exactly
+    # what each per-query search would compute for its own terms
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    qt = spark.createDataFrame(pairs, "query_id string, term string")
+    avgdl = F.lit(float(total_len)) / F.lit(n_docs)
+    idf = F.log(
+        (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))
+        / (F.col("df_t") + F.lit(0.5))
+        + F.lit(1.0)
+    )
+    tfn = (F.col("tf") * F.lit(k1 + 1)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
+    )
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qt), "term")
+        .select(
+            "query_id", F.col(id_col),
+            (idf * tfn).cast("decimal(28,12)").alias("__s"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("__s").cast("double").alias("score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
+    )
 
 
 def compact_text_index(

@@ -807,3 +807,36 @@ def test_stream_index_documents_ingests_and_replays_safely(
         assert _rows(search_text_index(spark, idx, q, k=20)) == \
             _rows(search_text_index(spark, ref, q, k=20)), q
     assert _read_stats(spark, idx) == _read_stats(spark, ref)
+
+
+def test_batch_search_equals_per_query_search(spark, docs, index):
+    """search_text_index_batch: ONE pruned pass over the union of all
+    queries' terms must reproduce each per-query search bit-for-bit —
+    including shared terms (fetched once, same global df either way),
+    absent terms, and per-query k cuts. The batch fetch must still
+    prune: scanned files ⊂ the union terms' buckets."""
+    from s3parq_spark.text_index import search_text_index_batch
+
+    queries = {
+        "q1": ["hash", "join", "vector"],
+        "q2": ["the"],
+        "q3": ["model", "data", "hash"],       # shares 'hash' with q1
+        "q4": ["zzqqxx_notaterm"],             # absent: no rows at all
+    }
+    got = search_text_index_batch(spark, index, queries, k=10)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms"], round(r["score"], 9))
+        )
+    for qid, terms in queries.items():
+        exp = _rows(search_text_index(spark, index, terms, k=10))
+        assert by_q.get(qid, []) == exp, qid
+    # pruning: the one scan reads only the union terms' buckets
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    m = metadata.read_sidecar(spark, index)
+    want = {f"bucket={_bucket(t, 16)}/" for t in all_terms}
+    scanned = [f for f in got.inputFiles() if "_stats" not in f]
+    assert scanned and len(scanned) < len(m.manifest_files())
+    for f in scanned:
+        assert any(b in f for b in want), f
