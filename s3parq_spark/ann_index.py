@@ -65,6 +65,7 @@ __all__ = [
     "index_drift",
     "remove_vectors",
     "search_ivf_index",
+    "search_ivf_index_batch",
     "upsert_vectors",
 ]
 
@@ -383,6 +384,115 @@ def search_ivf_index(
         hits.select(F.col(id_col), score.alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
+    )
+
+
+def search_ivf_index_batch(
+    spark: SparkSession,
+    index_path: str,
+    queries: dict,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Serve MANY query vectors in ONE pass over the index — the batch
+    shape of ``ivf_batch_topk``, at rest: every query's probed cells are
+    ranked driver-side against the persisted centroids (nq × k×dim
+    float work — quantizer state, not data), the UNION of probed cells
+    issues a single partition-pruned fetch, a broadcast
+    (query_id, cell[, per-query scoring state]) frame restricts each
+    candidate row to the queries that probed its cell, and one windowed
+    top-k per query ranks. Per-query results are BIT-IDENTICAL to
+    ``search_ivf_index`` per query (pinned by test): flat indexes score
+    exact cosine against the stored vector; PQ indexes score the ADC
+    lookup-table sum with per-query LUTs carried on the broadcast
+    frame. Returns (query_id, id, score), ordered within each query by
+    score desc, id asc."""
+    from pyspark.sql.window import Window
+
+    if not queries:
+        raise ValueError("search_ivf_index_batch needs at least one query")
+    q = _load_quantizers(spark, index_path, "search_ivf_index_batch")
+    id_col = q["id_col"]
+    cents = q["centroids"]
+    cn = _cnorms(cents)
+    per_q = {}
+    for qid, vec in queries.items():
+        qv = [float(x) for x in vec]
+        order = sorted(
+            range(len(cents)),
+            key=lambda j: (
+                -sum(a * b for a, b in zip(qv, cents[j])) / cn[j], j,
+            ),
+        )
+        per_q[str(qid)] = (qv, sorted(order[: max(1, nprobe)]))
+    all_cells = sorted({c for _, cells in per_q.values() for c in cells})
+    hits = fetch_path(
+        spark, index_path,
+        filters=[
+            {"partition": "cell", "comparison": "==", "values": all_cells}
+        ],
+    )
+    if q["m"] is not None:
+        sub = len(q["books"][0][0])
+        rows = []
+        for qid, (qv, cells) in per_q.items():
+            luts = [
+                [
+                    float(sum(a * b for a, b in zip(
+                        qv[j * sub:(j + 1) * sub], c
+                    )))
+                    for c in book
+                ]
+                for j, book in enumerate(q["books"])
+            ]
+            rows.extend((qid, c, luts) for c in cells)
+        qframe = spark.createDataFrame(
+            rows,
+            "query_id string, cell int, luts array<array<double>>",
+        )
+        score = None
+        for j in range(q["m"]):
+            term = F.element_at(
+                F.element_at("luts", j + 1),
+                (F.col(f"code_{j}") + 1).cast("int"),
+            )
+            score = term if score is None else score + term
+    else:
+        rows = []
+        for qid, (qv, cells) in per_q.items():
+            qn = max(1e-12, sum(x * x for x in qv) ** 0.5)
+            rows.extend((qid, c, qv, qn) for c in cells)
+        qframe = spark.createDataFrame(
+            rows,
+            "query_id string, cell int, qv array<double>, qn double",
+        )
+        dot = F.aggregate(
+            F.zip_with(F.col("vec"), F.col("qv"), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        vnorm = F.greatest(
+            F.lit(1e-12),
+            F.sqrt(
+                F.aggregate(
+                    F.col("vec"), F.lit(0.0), lambda a, x: a + x * x
+                )
+            ),
+        )
+        score = dot / (vnorm * F.col("qn"))
+    scored = (
+        hits.withColumn("cell", F.col("cell").cast("int"))
+        .join(F.broadcast(qframe), "cell")
+        .select("query_id", F.col(id_col), score.alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+        .orderBy("query_id", F.desc("score"), F.asc(id_col))
     )
 
 

@@ -251,3 +251,34 @@ def test_maintain_dataset_ann_drift_advisory(spark, tmp_path):
     rep = maintain_dataset(spark, path, dry_run=True)
     adv = [a for a in rep["actions"] if a["action"] == "rebuild_ivf_index"]
     assert adv and "build_ivf_index" in adv[0]["advisory"]
+
+
+def test_batch_search_equals_per_query(spark, emb, tmp_path):
+    """search_ivf_index_batch: one pruned pass over the union of the
+    queries' probed cells must reproduce each per-query search
+    bit-for-bit — flat (exact cosine) and PQ (per-query ADC LUTs on the
+    broadcast frame) flavors both."""
+    from s3parq_spark.ann_index import search_ivf_index_batch
+
+    queries = {
+        "a": _query_vec(emb, 0),
+        "b": _query_vec(emb, 7),
+        "c": [0.1] * len(_query_vec(emb, 0)),
+    }
+    for kwargs in ({"k": 8, "iters": 1},
+                   {"k": 8, "iters": 1, "m": 4, "codes": 8}):
+        path = str(tmp_path / f"idx_{'pq' if 'm' in kwargs else 'flat'}")
+        build_ivf_index(spark, emb, path, "vec_id", "embedding", **kwargs)
+        got = search_ivf_index_batch(spark, path, queries, k=5, nprobe=3)
+        by_q = {}
+        for r in got.collect():
+            by_q.setdefault(r["query_id"], []).append(
+                (r["vec_id"], round(r["score"], 9))
+            )
+        for qid, qv in queries.items():
+            exp = _rows(search_ivf_index(spark, path, qv, k=5, nprobe=3))
+            assert by_q.get(qid, []) == exp, (path, qid)
+        # the one scan is pruned to the union of probed cells
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        i = plan.find("PartitionFilters")
+        assert i >= 0 and "cell" in plan[i:i + 200]
