@@ -4280,3 +4280,182 @@ ORACLE_EXT2["ivf_index_append"] = """
     ORDER BY score DESC, vec_id ASC
     LIMIT 10
 """
+
+
+def q_text_batch_search(spark, sf_dir):
+    """Batch BM25 serving (text_index.search_text_index_batch — r11):
+    three queries answered in ONE bucket-pruned, bloom-skipped pass over
+    the union of their terms; a broadcast (query_id, term) frame fans
+    posting rows out to the queries that asked, one windowed top-k per
+    query ranks. Must equal per-query BM25 recomputed from the corpus in
+    SQL — including the shared term ('hash' rides both q1 and q3 from
+    one fetch) and per-query df."""
+    from .text_index import build_text_index, search_text_index_batch
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "text_index_batchq")
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        for suffix in ("", "_stats", "_doclens"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        build_text_index(
+            spark, docs, path, "doc_id", "text",
+            n_buckets=16, max_records_per_file=2000,
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index_batch(
+        spark, path,
+        {
+            "q1": ["hash", "join", "vector"],
+            "q2": ["the"],
+            "q3": ["model", "data", "hash"],
+        },
+        k=10,
+    )
+    return out.select(
+        "query_id", "doc_id", "n_terms",
+        F.round("score", 6).alias("score"),
+    )
+
+
+QUERIES_EXT2["text_batch_search"] = q_text_batch_search
+ORACLE_EXT2["text_batch_search"] = """
+    WITH toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM documents
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), qt AS (
+      SELECT * FROM (VALUES
+        ('q1', 'hash'), ('q1', 'join'), ('q1', 'vector'),
+        ('q2', 'the'),
+        ('q3', 'model'), ('q3', 'data'), ('q3', 'hash')
+      ) t(query_id, term)
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN (SELECT DISTINCT term FROM qt) GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT qt.query_id, tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      JOIN qt USING (term)
+      CROSS JOIN stats
+    ), agg AS (
+      SELECT query_id, doc, COUNT(*) AS n_terms,
+             CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY query_id, doc
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc ASC) AS rn
+      FROM agg
+    )
+    SELECT query_id, doc AS doc_id, n_terms, round(score, 6) AS score
+    FROM ranked WHERE rn <= 10
+    ORDER BY query_id, score DESC, doc_id ASC
+"""
+
+
+def q_ann_batch_search_rest(spark, sf_dir):
+    """Batch ANN serving over the MAINTAINED at-rest index (r11): two
+    query vectors answered in one partition-pruned pass over the union
+    of their probed cells (per-query candidate restriction via the
+    broadcast query frame), against the same maintained fixture as
+    ivf_index_append — so the oracle replays training, assigns the
+    final corpus (appends in, removals out) with the frozen centroids,
+    ranks each query's top-3 cells, and scores exact cosine inside
+    them."""
+    from .ann_index import search_ivf_index_batch
+    from .workload import _ds_path
+
+    # reuse (and if needed build) the maintained-index fixture
+    q_ivf_index_append(spark, sf_dir)
+    path = _ds_path(sf_dir, "ivf_maintained")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qs = {}
+    for vid in (0, 7):
+        row = emb.filter(f"vec_id = {vid}").select(
+            F.col("embedding").cast("array<double>").alias("v")
+        ).first()
+        qs[str(vid)] = [float(x) for x in row["v"]]
+    out = search_ivf_index_batch(spark, path, qs, k=10, nprobe=3)
+    return out.select(
+        "query_id", "vec_id", F.round("score", 6).alias("cos")
+    )
+
+
+QUERIES_EXT2["ann_batch_search_rest"] = q_ann_batch_search_rest
+ORACLE_EXT2["ann_batch_search_rest"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 350
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), q AS (
+      SELECT CAST(vec_id AS VARCHAR) AS query_id, v AS qv
+      FROM e WHERE vec_id IN (0, 7)
+    ), ranked_cells AS (
+      SELECT q.query_id, c1.cid,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.query_id
+               ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC,
+                 cid ASC) AS crn
+      FROM c1 CROSS JOIN q
+    ), cells AS (
+      SELECT query_id, cid FROM ranked_cells WHERE crn <= 3
+    ), corpus AS (
+      SELECT vec_id, v FROM e WHERE vec_id % 50 <> 7
+    ), asg AS (
+      SELECT corpus.vec_id, corpus.v,
+             arg_max(c.cid, list_dot_product(corpus.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM corpus CROSS JOIN c1 c GROUP BY corpus.vec_id, corpus.v
+    ), scored AS (
+      SELECT cells.query_id, a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a
+      JOIN cells ON a.cell = cells.cid
+      JOIN q ON q.query_id = cells.query_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, round(score, 6) AS cos
+    FROM ranked WHERE rn <= 10
+    ORDER BY query_id, cos DESC, vec_id ASC
+"""
