@@ -246,10 +246,21 @@ def write_text(spark: SparkSession, path: str, content: str) -> None:
         import os
 
         # same semantics as Hadoop create(overwrite=True): parents made,
-        # existing file replaced
+        # existing file replaced — but ATOMICALLY (temp + rename): the
+        # callers are metadata sidecars (dataset sidecar, quantizer
+        # JSON), where a crash mid-write must leave the PREVIOUS
+        # version readable, never a truncated file. Remote schemes keep
+        # the direct create: S3 PUTs are whole-object atomic already,
+        # and an object-store "rename" is a slower copy.
         os.makedirs(os.path.dirname(local) or "/", exist_ok=True)
-        with open(local, "w", encoding="utf-8") as fh:
-            fh.write(content)
+        tmp = f"{local}.tmp.{os.getpid()}"
+        try:
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(content)
+            os.replace(tmp, local)
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
         return
     fs, jpath, _ = _jvm_fs(spark, path)
     stream = fs.create(jpath, True)  # overwrite

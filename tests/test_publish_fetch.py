@@ -1071,3 +1071,44 @@ def test_legacy_append_casts_date_value_columns(spark, tmp_dataset_dir):
     assert [r["d"] for r in got] == [
         dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1)
     ]
+
+
+def test_sidecar_write_is_atomic_on_local_fs(spark, tmp_path, monkeypatch):
+    """r11: a crash mid-sidecar-write must leave the PREVIOUS sidecar
+    readable — write_text goes through temp + os.replace on local
+    paths, so a failure inside the write never truncates the live file
+    (the sidecar is the dataset's single most important object)."""
+    import builtins
+    import os
+
+    from s3parq_spark import fs as _fs
+
+    p = str(tmp_path / "x" / "file.json")
+    _fs.write_text(spark, p, '{"v": 1}')
+    assert _fs.read_text(spark, p) == '{"v": 1}'
+
+    real_open = builtins.open
+
+    def exploding_open(f, *a, **kw):
+        fh = real_open(f, *a, **kw)
+        if str(f).endswith(f".tmp.{os.getpid()}") and "w" in str(a[:1]):
+            class Boom:
+                def __enter__(self):
+                    return self
+                def __exit__(self, *exc):
+                    fh.close()
+                    return False
+                def write(self, _):
+                    raise OSError("disk full")
+            return Boom()
+        return fh
+
+    monkeypatch.setattr(builtins, "open", exploding_open)
+    try:
+        with __import__("pytest").raises(OSError, match="disk full"):
+            _fs.write_text(spark, p, '{"v": 2}')
+    finally:
+        monkeypatch.undo()
+    # the previous content survived the failed write; no temp debris
+    assert _fs.read_text(spark, p) == '{"v": 1}'
+    assert [f for f in os.listdir(os.path.dirname(p)) if ".tmp." in f] == []
