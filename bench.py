@@ -416,6 +416,26 @@ def main() -> None:
         )
         probes_sf1["text_reindex_1pct"] = round(time.time() - t0, 3)
         probes_sf1["text_rebuild_full"] = probes_sf1["text_index_build"]
+        # batch serving probe (r11): 8 queries in ONE pruned pass vs 8
+        # per-query searches — the batch path amortizes the fixed
+        # job/fetch overhead that dominates single-query latency
+        from s3parq_spark.text_index import search_text_index_batch
+
+        batch_qs = {
+            f"q{i}": [t]
+            for i, t in enumerate(
+                ["hash", "join", "vector", "model", "data",
+                 "the", "index", "spark"]
+            )
+        }
+        search_text_index_batch(spark, ti, batch_qs, k=10).count()  # warm
+        t0 = time.time()
+        search_text_index_batch(spark, ti, batch_qs, k=10).count()
+        probes_sf1["text_batch8_search"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        for terms in batch_qs.values():
+            search_text_index(spark, ti, terms, k=10).count()
+        probes_sf1["text_single8_search"] = round(time.time() - t0, 3)
         for p in (ti, ti + "_stats", ti + "_doclens"):
             _sh.rmtree(p, ignore_errors=True)
 
