@@ -110,6 +110,7 @@ __all__ = [
     "repair_index_stats",
     "search_text_index",
     "search_text_index_batch",
+    "text_index_info",
 ]
 
 #: the recorded hidden-partition transform (term -> bucket): the engine's
@@ -960,6 +961,7 @@ def search_text_index_batch(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Serve MANY queries in ONE pass over the index — the batch shape
     every serving path here has (``ivf_batch_topk``, ``lsh_batch_topk``):
@@ -1019,6 +1021,17 @@ def search_text_index_batch(
             F.sum("__s").cast("double").alias("score"),
         )
     )
+    if require_all:
+        # conjunctive per query: each query's own distinct-term count is
+        # the bar (search_text_index's require_all, batched)
+        need = qt.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("__need")
+        )
+        scored = (
+            scored.join(F.broadcast(need), "query_id")
+            .filter(F.col("n_terms") == F.col("__need"))
+            .drop("__need")
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
@@ -1028,6 +1041,60 @@ def search_text_index_batch(
         .drop("__rn")
         .orderBy("query_id", F.desc("score"), F.asc(id_col))
     )
+
+
+def text_index_info(
+    spark: SparkSession,
+    index_path: str,
+    count_stopped_terms: bool = False,
+) -> dict:
+    """One ops-facing summary of the index family — corpus stats
+    (n_docs, total_len, avgdl), the recorded cap and bucket layout, and
+    each member dataset's merge-on-read debt (the compaction signal
+    ``compact_text_index`` clears). Metadata-only by default;
+    ``count_stopped_terms=True`` additionally scans the stopped
+    sibling's distinct terms (stop-term cardinality is SMALL by nature,
+    but it is a data read — opt-in, like vacuum's deletions)."""
+    from . import metadata
+
+    meta = _require_index(spark, index_path)
+    n_docs, total_len, max_df = _read_stats(spark, index_path)
+    import re as _re
+
+    m = _re.search(r"%?\s*(?:pmod[^,]*,\s*)?(\d+)\)+\s*as int",
+                   meta.derived_partitions["bucket"])
+    info = {
+        "n_docs": n_docs,
+        "total_len": total_len,
+        "avgdl": (total_len / n_docs) if n_docs else 0.0,
+        "max_df": max_df,
+        "n_buckets": int(m.group(1)) if m else None,
+        "id_col": _index_id_col(meta, index_path),
+        "members": {},
+    }
+    for suffix, p in (
+        ("postings", index_path),
+        ("doclens", _doclens_path(index_path)),
+        ("stopped", _stopped_path(index_path)),
+        ("fwd", _fwd_path(index_path)),
+    ):
+        mm = meta if suffix == "postings" else metadata.read_sidecar(
+            spark, p
+        )
+        if mm is None:
+            continue
+        info["members"][suffix] = {
+            "n_files": len(mm.manifest_files() or []),
+            "n_snapshots": len(mm.snapshots),
+            "pending_mor_commits": len(mm.tombstones())
+            + len(mm.eq_deletes()),
+        }
+    if count_stopped_terms and "stopped" in info["members"]:
+        info["n_stopped_terms"] = (
+            fetch_path(spark, _stopped_path(index_path))
+            .select("term").distinct().count()
+        )
+    return info
 
 
 def compact_text_index(
@@ -1075,13 +1142,22 @@ def search_text_index(
     k: int = 10,
     k1: float = 1.2,
     b: float = 0.75,
+    require_all: bool = False,
 ) -> DataFrame:
     """Top-``k`` documents for ``query_terms`` from the index alone —
     same contract and identical scores as ``bm25_scores(corpus, ...)``.
     One term filter: hidden-partition pushdown prunes to the query
     terms' buckets, the residual bloom-skips files inside them, and
     nothing outside the query terms' postings is read. The document id
-    column is recovered from the index's own schema."""
+    column is recovered from the index's own schema.
+
+    ``require_all=True`` is conjunctive (AND) retrieval: only documents
+    matching EVERY distinct query term rank (the standard boolean-AND +
+    BM25-rank composition) — a post-aggregation n_terms filter, so the
+    read cost is identical and scores of the surviving docs are exactly
+    their disjunctive scores. On a ``max_df`` index a capped-out term
+    has no postings to match, so an AND including it returns empty —
+    the honest reading of 'the index does not serve this term'."""
     terms = sorted({t.lower() for t in query_terms})
     if not terms:
         raise ValueError("search_text_index needs at least one query term")
@@ -1106,7 +1182,7 @@ def search_text_index(
         F.col("tf")
         + F.lit(k1) * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl)
     )
-    return (
+    agg = (
         postings.join(F.broadcast(dfreq), "term")
         .select(F.col(id_col), (idf * tfn).cast("decimal(28,12)").alias("__s"))
         .groupBy(id_col)
@@ -1114,6 +1190,7 @@ def search_text_index(
             F.count(F.lit(1)).alias("n_terms"),
             F.sum("__s").cast("double").alias("score"),
         )
-        .orderBy(F.desc("score"), F.asc(id_col))
-        .limit(k)
     )
+    if require_all:
+        agg = agg.filter(F.col("n_terms") == F.lit(len(terms)))
+    return agg.orderBy(F.desc("score"), F.asc(id_col)).limit(k)

@@ -840,3 +840,63 @@ def test_batch_search_equals_per_query_search(spark, docs, index):
     assert scanned and len(scanned) < len(m.manifest_files())
     for f in scanned:
         assert any(b in f for b in want), f
+
+
+def test_require_all_and_info(spark, docs, index):
+    """Conjunctive retrieval: require_all keeps exactly the docs whose
+    n_terms equals the distinct query-term count, with their disjunctive
+    scores untouched; the batch variant applies each query's own bar.
+    text_index_info reports corpus stats, layout, and per-member MoR
+    debt without reading data."""
+    from s3parq_spark.text_index import (
+        search_text_index_batch,
+        text_index_info,
+    )
+
+    terms = ["hash", "join"]
+    dis = _rows(search_text_index(spark, index, terms, k=500))
+    con = _rows(search_text_index(spark, index, terms, k=500,
+                                  require_all=True))
+    exp = [r for r in dis if r[1] == 2]
+    assert con == exp and 0 < len(con) < len(dis)
+    # batch: per-query bars — q_and needs both, q_one needs its single
+    got = search_text_index_batch(
+        spark, index, {"q_and": terms, "q_one": ["hash"]},
+        k=500, require_all=True,
+    )
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["n_terms"], round(r["score"], 9))
+        )
+    assert by_q["q_and"] == exp
+    assert by_q["q_one"] == _rows(
+        search_text_index(spark, index, ["hash"], k=500)
+    )
+    info = text_index_info(spark, index)
+    assert info["n_docs"] > 0 and info["avgdl"] > 0
+    assert info["max_df"] is None and info["n_buckets"] == 16
+    assert info["id_col"] == "doc_id"
+    assert info["members"]["postings"]["n_files"] > 0
+    assert info["members"]["doclens"]["pending_mor_commits"] == 0
+    assert "stopped" not in info["members"]
+
+
+def test_info_capped_counts_and_debt(spark, tmp_path):
+    from s3parq_spark.text_index import (
+        remove_documents,
+        text_index_info,
+    )
+
+    path = str(tmp_path / "idx")
+    rows = [(i, "stop stop unique%d" % i) for i in range(20)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    build_text_index(spark, docs, path, "doc_id", "text",
+                     n_buckets=4, max_df=5)
+    remove_documents(spark, [3], path, "doc_id")
+    info = text_index_info(spark, path, count_stopped_terms=True)
+    assert info["max_df"] == 5 and info["n_buckets"] == 4
+    assert info["n_stopped_terms"] == 1  # 'stop'
+    assert info["members"]["postings"]["pending_mor_commits"] >= 1
+    assert set(info["members"]) == {"postings", "doclens",
+                                    "stopped", "fwd"}
