@@ -74,6 +74,13 @@ def _quantizers_path(index_path: str) -> str:
     return index_path.rstrip("/") + "_quantizers.json"
 
 
+def _vectors_path(index_path: str) -> str:
+    """Raw-vector companion (``store_vectors=True`` builds): (id, vec)
+    with id bloom fingerprints — the point-lookup side table exact
+    re-ranking reads O(candidate files) from, never the corpus."""
+    return index_path.rstrip("/") + "_vectors"
+
+
 def _cnorms(cents: list) -> list:
     return [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
 
@@ -145,13 +152,22 @@ def build_ivf_index(
     codes: int = 8,
     pq_iters: int = 1,
     max_records_per_file: Optional[int] = None,
+    store_vectors: bool = False,
 ) -> None:
     """Train + publish the IVF index (overwrite — a rebuild). ``m=None``
     stores the vector itself per row (IVF-flat: exact scores inside the
     probed cells); ``m`` set stores PQ codes only (``m`` small ints per
     vector — the memory lever that fits billion-vector indexes). Either
     way the layout is ``partitionBy(cell)`` + id blooms, and the trained
-    quantizers persist beside the dataset for O(new) appends."""
+    quantizers persist beside the dataset for O(new) appends.
+
+    ``store_vectors=True`` (PQ builds) additionally publishes the raw
+    vectors as an id-bloomed side dataset, enabling
+    ``search_ivf_index(refine_factor=...)`` — FAISS's IndexRefineFlat:
+    ADC ranks cheaply over codes, the top candidates' true vectors are
+    point-fetched (bloom-pruned, O(candidate files)), and exact cosine
+    re-ranks. Maintenance keeps the companion in step (appends append,
+    removals tombstone)."""
     if "cell" in (id_col, vec_col):
         raise ValueError("'cell' is reserved for the IVF partition column")
     cents = kmeans_centroids(vectors, id_col, vec_col, k=k, iters=iters)
@@ -178,6 +194,22 @@ def build_ivf_index(
         file_bloom_columns=[id_col],
         max_records_per_file=max_records_per_file,
     )
+    if store_vectors:
+        if m is None:
+            raise ValueError(
+                "build_ivf_index: store_vectors is for PQ builds — a "
+                "flat index already stores the vectors themselves"
+            )
+        publish_path(
+            spark, _vectors_path(index_path),
+            assigned.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            ),
+            [], mode="overwrite", file_bloom_columns=[id_col],
+        )
+    else:
+        fs.delete(spark, _vectors_path(index_path))
     n, s = _batch_qerr(vectors, vec_col, cents)
     _write_quantizers(spark, index_path, {
         "id_col": id_col,
@@ -234,6 +266,15 @@ def append_to_ivf_index(
     if rows.limit(1).count() == 0:
         return
     publish_path(spark, index_path, rows, ["cell"], mode="append")
+    if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
+        publish_path(
+            spark, _vectors_path(index_path),
+            batch.select(
+                F.col(id_col),
+                F.col(vec_col).cast("array<double>").alias("vec"),
+            ),
+            [], mode="append",
+        )
     n, s = _batch_qerr(batch, vec_col, cents)
     q["appended"] = {
         "n": q["appended"]["n"] + n,
@@ -272,11 +313,15 @@ def remove_vectors(
     vocab = meta.column_types.get(id_col, "string")
     from .text_index import _in_literals
 
+    pred = f"{id_col} IN ({_in_literals(want, vocab)})"
     delete_where(
-        spark, index_path,
-        f"{id_col} IN ({_in_literals(want, vocab)})",
-        mode="merge-on-read", count_matches=False,
+        spark, index_path, pred, mode="merge-on-read", count_matches=False
     )
+    if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
+        delete_where(
+            spark, _vectors_path(index_path), pred,
+            mode="merge-on-read", count_matches=False,
+        )
     return int(present)
 
 
@@ -331,13 +376,21 @@ def search_ivf_index(
     query_vec: List[float],
     k: int = 10,
     nprobe: int = 4,
+    refine_factor: Optional[int] = None,
 ) -> DataFrame:
     """Top-``k`` ids for ``query_vec`` from the index alone: the persisted
     centroids rank cells driver-side (k×dim floats), ONE partition
     filter prunes the scan to the probed cells' files, and scoring is a
     JVM projection — exact cosine against the stored vector (flat) or
     the ADC lookup-table sum (PQ). Returns ``(id, score)`` ordered by
-    score desc, id asc."""
+    score desc, id asc.
+
+    ``refine_factor=f`` (PQ + ``store_vectors`` builds — FAISS's
+    IndexRefineFlat): ADC selects the top ``k*f`` candidates cheaply
+    over codes, their TRUE vectors point-fetch from the id-bloomed
+    companion (O(candidate files), never the corpus), and exact cosine
+    re-ranks the final ``k`` — quantization error leaves the top of the
+    list at the cost of k*f point reads."""
     q = _load_quantizers(spark, index_path, "search_ivf_index")
     id_col = q["id_col"]
     cents, qv = q["centroids"], [float(x) for x in query_vec]
@@ -380,8 +433,52 @@ def search_ivf_index(
             ),
         )
         score = dot / (vnorm * F.lit(qn))
-    return (
+    ranked = (
         hits.select(F.col(id_col), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+    )
+    if refine_factor is None:
+        return ranked.limit(k)
+    if q["m"] is None:
+        raise ValueError(
+            "search_ivf_index: refine_factor is for PQ indexes — a flat "
+            "index already scores exact cosine"
+        )
+    vp = _vectors_path(index_path)
+    if metadata.read_sidecar(spark, vp) is None:
+        raise ValueError(
+            f"search_ivf_index: no vectors companion at {vp} — rebuild "
+            "with build_ivf_index(store_vectors=True) to enable "
+            "refine_factor"
+        )
+    # candidate ids collect to the driver (k*f, bounded — the same
+    # boundedness as every filter-values list), then point-fetch their
+    # TRUE vectors through the id blooms
+    cand = [
+        r[0] for r in ranked.limit(max(k, k * int(refine_factor))).collect()
+    ]
+    if not cand:
+        return ranked.limit(0)
+    true_vecs = fetch_path(
+        spark, vp,
+        filters=[{"partition": id_col, "comparison": "==", "values": cand}],
+    )
+    qn = max(1e-12, sum(x * x for x in qv) ** 0.5)
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.lit(qv), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    vnorm = F.greatest(
+        F.lit(1e-12),
+        F.sqrt(
+            F.aggregate(F.col("vec"), F.lit(0.0), lambda a, x: a + x * x)
+        ),
+    )
+    return (
+        true_vecs.select(
+            F.col(id_col), (dot / (vnorm * F.lit(qn))).alias("score")
+        )
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )

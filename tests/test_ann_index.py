@@ -282,3 +282,70 @@ def test_batch_search_equals_per_query(spark, emb, tmp_path):
         plan = got._jdf.queryExecution().executedPlan().toString()
         i = plan.find("PartitionFilters")
         assert i >= 0 and "cell" in plan[i:i + 200]
+
+
+def test_pq_refine_recovers_exact_ranking(spark, emb, tmp_path):
+    """FAISS IndexRefineFlat shape: PQ + store_vectors — ADC selects
+    candidates, their true vectors point-fetch from the id-bloomed
+    companion, exact cosine re-ranks. With a refine pool covering the
+    probed cells, the result must EQUAL a flat index's exact search
+    over the same cells; maintenance keeps the companion in step."""
+    from s3parq_spark.ann_index import upsert_vectors
+
+    pq = str(tmp_path / "pq")
+    build_ivf_index(
+        spark, emb.filter("vec_id < 400"), pq, "vec_id", "embedding",
+        k=8, iters=1, m=4, codes=8, store_vectors=True,
+    )
+    append_to_ivf_index(
+        spark, emb.filter("vec_id >= 400"), pq, "vec_id", "embedding"
+    )
+    # the flat reference must share the PQ index's coarse quantizer:
+    # same training prefix + append (deterministic training makes the
+    # centroids — and so the probed cell membership — identical)
+    flat = str(tmp_path / "flat")
+    build_ivf_index(spark, emb.filter("vec_id < 400"), flat, "vec_id",
+                    "embedding", k=8, iters=1)
+    append_to_ivf_index(
+        spark, emb.filter("vec_id >= 400"), flat, "vec_id", "embedding"
+    )
+    qv = _query_vec(emb, 3)
+    # pool big enough to cover the probed cells: exact == flat exact
+    got = _rows(search_ivf_index(spark, pq, qv, k=10, nprobe=3,
+                                 refine_factor=100))
+    exp = _rows(search_ivf_index(spark, flat, qv, k=10, nprobe=3))
+    assert got == exp and got[0][0] == 3 and abs(got[0][1] - 1.0) < 1e-9
+    # small pool: still exact cosines, k rows, self on top
+    small = _rows(search_ivf_index(spark, pq, qv, k=5, nprobe=3,
+                                   refine_factor=2))
+    assert len(small) == 5 and small[0][0] == 3
+    assert all(abs(s) <= 1.0 + 1e-9 for _, s in small)
+    # removal tombstones the companion too: a removed id cannot
+    # resurface through the refine path
+    remove_vectors(spark, [got[1][0]], pq, "vec_id")
+    after = _rows(search_ivf_index(spark, pq, qv, k=10, nprobe=3,
+                                   refine_factor=100))
+    assert got[1][0] not in {i for i, _ in after}
+    # upsert keeps the companion coherent (replaced vector re-ranks by
+    # its NEW true value)
+    moved = list(qv)
+    moved[0] = float(moved[0]) + 0.01  # slight, direction nearly kept
+    upsert_vectors(
+        spark,
+        spark.createDataFrame([(3, moved)],
+                              "vec_id long, embedding array<double>"),
+        pq, "vec_id", "embedding",
+    )
+    again = _rows(search_ivf_index(spark, pq, qv, k=3, nprobe=8,
+                                   refine_factor=200))
+    assert 3 in {i for i, _ in again}  # still near, scored by NEW vector
+    row = [r for r in again if r[0] == 3][0]
+    assert row[1] < 1.0 - 1e-9  # no longer a perfect self-match
+    # guards: flat index refuses refine; missing companion refuses
+    with pytest.raises(ValueError, match="flat"):
+        search_ivf_index(spark, flat, qv, refine_factor=2)
+    pq2 = str(tmp_path / "pq2")
+    build_ivf_index(spark, emb.filter("vec_id < 100"), pq2, "vec_id",
+                    "embedding", k=4, iters=1, m=4, codes=8)
+    with pytest.raises(ValueError, match="vectors companion"):
+        search_ivf_index(spark, pq2, qv, refine_factor=2)
