@@ -56,8 +56,8 @@ invariant; stopped counts are read only for terms whose decrement
 could bring them under the cap) and MOVES crossing terms' posting
 lists between the two datasets (copy, then tombstone the source — a
 crash between the two leaves a term double-resident in favor of the
-copy; rebuild to reconcile, the same multi-commit honesty as the
-stats fold). One more capped crash window, stated plainly: a capped
+copy; ``repair_capped_index`` detects and fixes it exactly — bounded
+by stop-term cardinality, never a rebuild). One more capped crash window, stated plainly: a capped
 reindex that committed its id tombstones but crashed before its
 appends leaves df counts the RE-RUN's classification reads
 post-delete while the forward table still holds the pre-crash pairs —
@@ -107,6 +107,7 @@ __all__ = [
     "compact_text_index",
     "reindex_documents",
     "remove_documents",
+    "repair_capped_index",
     "repair_index_stats",
     "search_text_index",
     "search_text_index_batch",
@@ -1041,6 +1042,87 @@ def search_text_index_batch(
         .drop("__rn")
         .orderBy("query_id", F.desc("score"), F.asc(id_col))
     )
+
+
+def repair_capped_index(spark: SparkSession, index_path: str) -> dict:
+    """Recover a max_df index from a crashed cap-crossing move: the move
+    is copy-then-tombstone, so a crash between the two leaves a term's
+    posting list resident on BOTH sides (rows duplicated — search would
+    double-count it). Detection is bounded by NATURE, not by luck: only
+    stopped-side terms can be double-resident, and stop-term cardinality
+    is small — one distinct-terms scan of the stopped sibling, one
+    term-pruned live lookup. Repair rebuilds each affected term exactly:
+    the union of both sides' rows deduplicates per (term, id) (the two
+    copies are identical rows by construction), df decides the correct
+    side against the cap, tombstones clear BOTH sides, and the clean
+    list re-appends — after which search ≡ rebuild again (pinned by
+    test). Returns {term: side it now lives on}; empty = nothing to
+    repair. Run it (with ``repair_index_stats``) after any crashed
+    capped maintenance op."""
+    from . import metadata
+
+    meta = _require_index(spark, index_path)
+    _, _, max_df = _read_stats(spark, index_path)
+    if max_df is None:
+        return {}
+    sp = _stopped_path(index_path)
+    if metadata.read_sidecar(spark, sp) is None:
+        return {}
+    id_col = _index_id_col(meta, index_path)
+    stopped_terms = [
+        r["term"]
+        for r in fetch_path(spark, sp).select("term").distinct().collect()
+    ]
+    if not stopped_terms:
+        return {}
+    dup_terms = [
+        r["term"]
+        for r in fetch_path(
+            spark, index_path, filters=_term_filter(stopped_terms)
+        ).select("term").distinct().collect()
+    ]
+    if not dup_terms:
+        return {}
+    from .publish import delete_where
+
+    clean = (
+        fetch_path(spark, index_path, filters=_term_filter(dup_terms))
+        .select("term", id_col, "tf", "dl")
+        .unionByName(
+            fetch_path(spark, sp, filters=_term_filter(dup_terms))
+            .select("term", id_col, "tf", "dl")
+        )
+        .dropDuplicates(["term", id_col])
+        .persist()
+    )
+    try:
+        dfs = _group_counts(clean, "term")
+        pred = f"term IN ({_in_literals(sorted(dup_terms), 'string')})"
+        for p in (index_path, sp):
+            delete_where(
+                spark, p, pred, mode="merge-on-read", count_matches=False
+            )
+        out = {}
+        live_terms = {t for t, n in dfs.items() if n <= max_df}
+        live_rows, stop_rows = _route_batch(
+            clean, live_terms, set(dfs) - live_terms
+        )
+        if live_rows.limit(1).count() > 0:
+            publish_path(
+                spark, index_path, live_rows, [], mode="append",
+                sort_within_files=["term"],
+            )
+        if stop_rows is not None and stop_rows.limit(1).count() > 0:
+            _companion_append(
+                spark, index_path, sp,
+                stop_rows.select("term", F.col(id_col), "tf", "dl"),
+                meta,
+            )
+        for t, n in dfs.items():
+            out[t] = "live" if n <= max_df else "stopped"
+        return out
+    finally:
+        clean.unpersist()
 
 
 def text_index_info(

@@ -900,3 +900,65 @@ def test_info_capped_counts_and_debt(spark, tmp_path):
     assert info["members"]["postings"]["pending_mor_commits"] >= 1
     assert set(info["members"]) == {"postings", "doclens",
                                     "stopped", "fwd"}
+
+
+def test_repair_capped_index_fixes_double_residency(spark, tmp_path):
+    """A crashed cap-crossing move leaves a term's posting list on BOTH
+    sides (copy landed, tombstone didn't) — search then double-counts or
+    partially serves it. repair_capped_index must detect exactly the
+    double-resident terms (bounded by stop-term cardinality), rebuild
+    each from the deduplicated union, route by true df, and restore
+    search ≡ rebuild. Idempotent: a clean index repairs to {}."""
+    from s3parq_spark.publish import publish_path
+    from s3parq_spark.text_index import repair_capped_index
+
+    MAXDF = 3
+    path = str(tmp_path / "idx")
+    corpus = {i: f"{'stopper' if i < 5 else 'live'} word{i}"
+              for i in range(8)}
+    docs = spark.createDataFrame(
+        sorted(corpus.items()), "doc_id long, text string"
+    )
+    build_text_index(spark, docs, path, "doc_id", "text",
+                     n_buckets=4, max_df=MAXDF)
+    assert repair_capped_index(spark, path) == {}  # clean: no-op
+    # simulate the crash: copy 'stopper' rows into live WITHOUT removing
+    # them from stopped (a crashed DOWN-move's on-disk state)
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.text_index import _stopped_path
+
+    stray = fetch_path(
+        spark, _stopped_path(path),
+        filters=[{"partition": "term", "comparison": "==",
+                  "values": ["stopper"]}],
+    ).select("term", "doc_id", "tf", "dl")
+    publish_path(spark, path, stray, [], mode="append")
+    # the corruption is visible: search now (wrongly) serves 'stopper'
+    assert _rows(search_text_index(spark, path, ["stopper"], k=10)) != []
+    fixed = repair_capped_index(spark, path)
+    assert fixed == {"stopper": "stopped"}, fixed
+    # search ≡ rebuild again, live terms untouched
+    ref = str(tmp_path / "ref")
+    build_text_index(spark, docs, ref, "doc_id", "text",
+                     n_buckets=4, max_df=MAXDF)
+    for q in (["stopper"], ["live"], ["word2", "stopper"]):
+        assert _rows(search_text_index(spark, path, q, k=10)) == \
+            _rows(search_text_index(spark, ref, q, k=10)), q
+    assert repair_capped_index(spark, path) == {}
+    # and maintenance still composes after the repair (the invariant is
+    # restored, not just the visible results)
+    from s3parq_spark.text_index import remove_documents
+
+    assert remove_documents(spark, [0, 1], path, "doc_id") == 2
+    for k_ in (0, 1):
+        corpus.pop(k_)
+    ref2 = str(tmp_path / "ref2")
+    build_text_index(
+        spark,
+        spark.createDataFrame(sorted(corpus.items()),
+                              "doc_id long, text string"),
+        ref2, "doc_id", "text", n_buckets=4, max_df=MAXDF,
+    )
+    for q in (["stopper"], ["live"]):
+        assert _rows(search_text_index(spark, path, q, k=10)) == \
+            _rows(search_text_index(spark, ref2, q, k=10)), q
