@@ -227,13 +227,17 @@ def append_to_ivf_index(
     index_path: str,
     id_col: str,
     vec_col: str,
+    validate_new_ids: bool = False,
 ) -> None:
     """Add NEW vectors in O(new): cell assignment and (for PQ indexes)
     encoding run against the PERSISTED quantizers — zero training jobs,
     one projection — and the rows append into the cell partitions.
-    Caller contract, stated not checked (checking would scan the
-    index): ids are not already indexed — ``remove_vectors`` first to
-    replace. The batch's quantization error accumulates in the
+    Caller contract: ids are not already indexed — ``upsert_vectors``
+    is the replace path. ``validate_new_ids=True`` CHECKS it before
+    writing (one id-bloom point fetch over the index, O(files holding
+    the batch ids)); stated-not-checked remains the default because the
+    check costs a read the contract usually makes redundant. The
+    batch's quantization error accumulates in the
     quantizer sidecar (``index_drift`` is the retrain signal: appends
     never move the centroids, so a drifting distribution degrades
     recall silently without it)."""
@@ -245,6 +249,20 @@ def append_to_ivf_index(
         )
     cents = q["centroids"]
     batch = new_vectors.filter(F.col(vec_col).isNotNull())
+    if validate_new_ids:
+        ids = [r[0] for r in batch.select(id_col).distinct().collect()]
+        hit = fetch_path(
+            spark, index_path,
+            filters=[
+                {"partition": id_col, "comparison": "==", "values": ids}
+            ],
+        ).select(id_col).limit(5).collect() if ids else []
+        if hit:
+            raise ValueError(
+                "append_to_ivf_index: batch ids already indexed "
+                f"(e.g. {[r[0] for r in hit]}) — appending would "
+                "duplicate their rows; use upsert_vectors to replace"
+            )
     assigned = _assign_cells(batch, vec_col, cents)
     if q["m"] is not None:
         enc, _ = pq_encode(

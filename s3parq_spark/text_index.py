@@ -535,16 +535,22 @@ def append_to_text_index(
     index_path: str,
     id_col: str,
     text_col: str,
+    validate_new_ids: bool = False,
 ) -> None:
     """Incremental indexing: append NEW documents' postings into the
     existing layout — the bucket transform is the dataset's recorded
     derived partition, so the append re-derives it automatically and the
     new postings land exactly where searches look; doclens and the stats
     row are folded forward (O(new docs), never O(corpus)). The caller's
-    contract, stated not checked (checking would scan the index):
-    ``new_docs`` ids are NOT already indexed — an id indexed twice would
-    double its postings and inflate df_t; ``reindex_documents`` is the
-    changed-document path. On a ``max_df`` index (r11): batch terms are
+    contract: ``new_docs`` ids are NOT already indexed — an id indexed
+    twice would double its postings and inflate df_t;
+    ``reindex_documents`` is the changed-document path.
+    ``validate_new_ids=True`` CHECKS it before writing anything — one
+    id-bloom point fetch of the doclens side table (O(files holding the
+    batch ids), never an index scan — the blooms exist exactly for
+    this), refusing loudly on any already-indexed id; stated-not-checked
+    remains the default because the check costs a read the contract
+    usually makes redundant. On a ``max_df`` index (r11): batch terms are
     routed live/stopped by their exact post-append df, and a live term
     the append pushes over the cap has its whole posting list moved to
     the stopped sibling — search stays ≡ rebuild-with-max_df (module
@@ -560,6 +566,26 @@ def append_to_text_index(
         )
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     capped = _capped(spark, index_path, max_df, "append_to_text_index")
+    if validate_new_ids:
+        if not _doclens_exists(spark, index_path):
+            raise ValueError(
+                "append_to_text_index: validate_new_ids needs the "
+                "doclens side table (pre-doclens indexes can't check "
+                "membership without an index scan); rebuild first"
+            )
+        ids = [r[0] for r in new_docs.select(id_col).distinct().collect()]
+        hit = fetch_path(
+            spark, _doclens_path(index_path),
+            filters=[
+                {"partition": id_col, "comparison": "==", "values": ids}
+            ],
+        ).select(id_col).limit(5).collect() if ids else []
+        if hit:
+            raise ValueError(
+                "append_to_text_index: batch ids already indexed "
+                f"(e.g. {[r[0] for r in hit]}) — appending would double "
+                "their postings; use reindex_documents to replace"
+            )
     postings, dl = _tokenize(new_docs, id_col, text_col)
     if capped:
         postings = postings.persist()

@@ -349,3 +349,47 @@ def test_pq_refine_recovers_exact_ranking(spark, emb, tmp_path):
                     "embedding", k=4, iters=1, m=4, codes=8)
     with pytest.raises(ValueError, match="vectors companion"):
         search_ivf_index(spark, pq2, qv, refine_factor=2)
+
+
+def test_validate_new_ids_refuses_duplicates(spark, emb, tmp_path):
+    """The append contract becomes checkable: validate_new_ids point-
+    fetches membership through the id blooms and refuses already-indexed
+    ids before writing anything — both index families."""
+    from s3parq_spark.text_index import (
+        append_to_text_index,
+        build_text_index,
+    )
+
+    ai = str(tmp_path / "ann")
+    build_ivf_index(spark, emb.filter("vec_id < 200"), ai, "vec_id",
+                    "embedding", k=4, iters=1)
+    with pytest.raises(ValueError, match="already indexed"):
+        append_to_ivf_index(
+            spark, emb.filter("vec_id < 10"), ai, "vec_id", "embedding",
+            validate_new_ids=True,
+        )
+    # clean batch passes, and the refusal wrote NOTHING
+    append_to_ivf_index(
+        spark, emb.filter("vec_id >= 200 and vec_id < 250"), ai,
+        "vec_id", "embedding", validate_new_ids=True,
+    )
+    ti = str(tmp_path / "text")
+    docs = spark.createDataFrame(
+        [(i, f"word{i} common") for i in range(10)],
+        "doc_id long, text string",
+    )
+    build_text_index(spark, docs, ti, "doc_id", "text", n_buckets=4)
+    with pytest.raises(ValueError, match="already indexed"):
+        append_to_text_index(
+            spark, docs.limit(2), ti, "doc_id", "text",
+            validate_new_ids=True,
+        )
+    from s3parq_spark.text_index import _read_stats
+
+    assert _read_stats(spark, ti)[0] == 10  # stats untouched by refusal
+    append_to_text_index(
+        spark,
+        spark.createDataFrame([(100, "fresh")], "doc_id long, text string"),
+        ti, "doc_id", "text", validate_new_ids=True,
+    )
+    assert _read_stats(spark, ti)[0] == 11
