@@ -56,11 +56,13 @@ from pyspark.sql import functions as F
 
 from . import fs, metadata
 from .fetch import fetch_path
+from .filters import in_literals
 from .operators.similarity import _cell_scores, kmeans_centroids, pq_encode
 from .publish import delete_where, publish_path
 
 __all__ = [
     "append_to_ivf_index",
+    "attach_vectors_companion",
     "build_ivf_index",
     "index_drift",
     "remove_vectors",
@@ -126,6 +128,22 @@ def _batch_qerr(df: DataFrame, vec_col: str, cents: list) -> tuple:
     return int(row["n"]), float(row["s"] or 0.0)
 
 
+def _reject_null_ids(df: DataFrame, id_col: str, op: str) -> None:
+    """A NULL-id row would be indexed yet permanently unremovable:
+    ``remove_vectors`` drops ``None`` from its id list and
+    ``upsert_vectors`` filters null ids before appending — so a null-id
+    vector admitted here could never be replaced or deleted. Mirror the
+    text index's non-NULL-key contract and refuse loudly (ADVICE r11).
+    Only rows that would actually be INDEXED are checked (null-vector
+    rows are filtered out upstream, like everywhere else)."""
+    if df.filter(F.col(id_col).isNull()).limit(1).count() > 0:
+        raise ValueError(
+            f"{op}: NULL {id_col} in the batch — a null-id vector could "
+            "never be removed or upserted (every id predicate drops "
+            "NULL); assign ids before indexing"
+        )
+
+
 def _write_quantizers(spark: SparkSession, index_path: str, q: dict) -> None:
     fs.write_text(spark, _quantizers_path(index_path), json.dumps(q))
 
@@ -170,6 +188,10 @@ def build_ivf_index(
     removals tombstone)."""
     if "cell" in (id_col, vec_col):
         raise ValueError("'cell' is reserved for the IVF partition column")
+    _reject_null_ids(
+        vectors.filter(F.col(vec_col).isNotNull()), id_col,
+        "build_ivf_index",
+    )
     cents = kmeans_centroids(vectors, id_col, vec_col, k=k, iters=iters)
     assigned = _assign_cells(
         vectors.filter(F.col(vec_col).isNotNull()), vec_col, cents
@@ -228,6 +250,7 @@ def append_to_ivf_index(
     id_col: str,
     vec_col: str,
     validate_new_ids: bool = False,
+    _txn: Optional[dict] = None,
 ) -> None:
     """Add NEW vectors in O(new): cell assignment and (for PQ indexes)
     encoding run against the PERSISTED quantizers — zero training jobs,
@@ -240,7 +263,17 @@ def append_to_ivf_index(
     batch's quantization error accumulates in the
     quantizer sidecar (``index_drift`` is the retrain signal: appends
     never move the centroids, so a drifting distribution degrades
-    recall silently without it)."""
+    recall silently without it).
+
+    Commit order: the raw-vector companion (when present) appends
+    FIRST, then the index rows — the index publish is the commit point
+    (``_txn`` stamps it for the streaming ledger). A crash in between
+    leaves companion rows whose ids are not yet indexed, which refine
+    never reads (it point-fetches only indexed candidate ids) and which
+    the streaming upsert path's unconditional tombstone clears on
+    replay; the reverse order would leave INDEXED ids with no true
+    vector — a silent refine miss. NULL ids are rejected loudly
+    (ADVICE r11): a null-id row could never be removed or upserted."""
     q = _load_quantizers(spark, index_path, "append_to_ivf_index")
     if q["id_col"] != id_col:
         raise ValueError(
@@ -249,6 +282,7 @@ def append_to_ivf_index(
         )
     cents = q["centroids"]
     batch = new_vectors.filter(F.col(vec_col).isNotNull())
+    _reject_null_ids(batch, id_col, "append_to_ivf_index")
     if validate_new_ids:
         ids = [r[0] for r in batch.select(id_col).distinct().collect()]
         hit = fetch_path(
@@ -283,7 +317,6 @@ def append_to_ivf_index(
         )
     if rows.limit(1).count() == 0:
         return
-    publish_path(spark, index_path, rows, ["cell"], mode="append")
     if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
         publish_path(
             spark, _vectors_path(index_path),
@@ -293,6 +326,7 @@ def append_to_ivf_index(
             ),
             [], mode="append",
         )
+    publish_path(spark, index_path, rows, ["cell"], mode="append", _txn=_txn)
     n, s = _batch_qerr(batch, vec_col, cents)
     q["appended"] = {
         "n": q["appended"]["n"] + n,
@@ -306,12 +340,21 @@ def remove_vectors(
     ids: List,
     index_path: str,
     id_col: str,
+    count_matches: bool = True,
 ) -> int:
     """Remove vectors by id: one zero-data-read merge-on-read tombstone
     (matches proven by the id-bloom-pruned point fetch, so the commit
     itself reads nothing). Idempotent; returns the number of vectors
     actually removed. ``compact_dataset`` materializes on the usual
-    merge-on-read cadence."""
+    merge-on-read cadence.
+
+    ``count_matches=False`` (r11 verdict #7) skips the membership
+    point-fetch and tombstones UNCONDITIONALLY (returns -1 — unknown):
+    the zero-job shape for callers that don't need the count, and the
+    convergence lever for the streaming upsert sink — an unconditional
+    tombstone clears companion rows a crash orphaned between the
+    companion append and the index commit, which a membership check
+    against the INDEX would skip."""
     q = _load_quantizers(spark, index_path, "remove_vectors")
     if q["id_col"] != id_col:
         raise ValueError(
@@ -322,16 +365,19 @@ def remove_vectors(
     if not want:
         return 0
     meta = metadata.read_sidecar(spark, index_path)
-    present = fetch_path(
-        spark, index_path,
-        filters=[{"partition": id_col, "comparison": "==", "values": want}],
-    ).count()
-    if not present:
-        return 0
+    if count_matches:
+        present = fetch_path(
+            spark, index_path,
+            filters=[
+                {"partition": id_col, "comparison": "==", "values": want}
+            ],
+        ).count()
+        if not present:
+            return 0
+    else:
+        present = -1
     vocab = meta.column_types.get(id_col, "string")
-    from .text_index import _in_literals
-
-    pred = f"{id_col} IN ({_in_literals(want, vocab)})"
+    pred = f"{id_col} IN ({in_literals(want, vocab)})"
     delete_where(
         spark, index_path, pred, mode="merge-on-read", count_matches=False
     )
@@ -349,6 +395,8 @@ def upsert_vectors(
     index_path: str,
     id_col: str,
     vec_col: str,
+    count_matches: bool = True,
+    _txn: Optional[dict] = None,
 ) -> int:
     """REPLACE vectors by id (the CRUD corner append's not-already-
     indexed contract leaves open): one tombstone removes any existing
@@ -358,7 +406,13 @@ def upsert_vectors(
     (remove, then append): a crash between them loses the ids' rows
     until the re-run, never duplicates them — re-running the same batch
     converges. Returns the number of ids that were already indexed
-    (replaced); the rest inserted."""
+    (replaced); the rest inserted.
+
+    ``count_matches=False`` makes the tombstone UNCONDITIONAL (and the
+    return value -1): one fewer point-fetch per call, and the streaming
+    sink's convergence lever — see ``remove_vectors``. ``_txn`` stamps
+    the append's index commit for the idempotent-writer ledger
+    (``streaming.stream_upsert_vectors`` passes both)."""
     dup = (
         vectors.filter(F.col(id_col).isNotNull())
         .groupBy(id_col)
@@ -380,10 +434,12 @@ def upsert_vectors(
     ]
     if not ids:
         return 0
-    replaced = remove_vectors(spark, ids, index_path, id_col)
+    replaced = remove_vectors(
+        spark, ids, index_path, id_col, count_matches=count_matches
+    )
     append_to_ivf_index(
         spark, vectors.filter(F.col(id_col).isNotNull()),
-        index_path, id_col, vec_col,
+        index_path, id_col, vec_col, _txn=_txn,
     )
     return replaced
 

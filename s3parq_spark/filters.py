@@ -238,3 +238,18 @@ def apply_filters_to_values(values: set, filters: List[dict], partition: str):
         if any(v is not None and op(x, v) for v in fil["values"]):
             out.add(x)
     return out
+
+
+def in_literals(values, vocab: str) -> str:
+    """Comma-joined SQL literals for an ``IN`` predicate, typed per the
+    dataset vocabulary — the shared helper behind every id/term
+    tombstone predicate (text and ANN index maintenance both build
+    ``key IN (...)`` strings for ``delete_where``). Spark SQL string
+    literals treat BOTH backslash and quote as escapes: escape
+    backslash first, then the quote."""
+    if vocab == "integer":
+        return ", ".join(str(int(v)) for v in values)
+    return ", ".join(
+        "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
+        for v in values
+    )

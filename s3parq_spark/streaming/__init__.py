@@ -36,3 +36,6 @@ __all__ += ["run_streaming_window_topk", "stream_latest_state", "stream_upsert"]
 from .documents import stream_index_documents  # noqa: E402,F401
 
 __all__ += ["stream_index_documents"]
+from .vectors import stream_upsert_vectors  # noqa: E402,F401
+
+__all__ += ["stream_upsert_vectors"]

@@ -69,16 +69,32 @@ def stream_index_documents(
         )
     stream = spark.readStream.schema(schema).parquet(docs_parquet)
 
+    from ..text_index import _doclens_path, _stats_path
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.limit(1).count() == 0:
             return
         s = batch_df.sparkSession
         docs = batch_df.select(id_col, text_col)
-        if _md.read_sidecar(s, index_path) is None:
+        meta = _md.read_sidecar(s, index_path)
+        # partial bootstrap (ADVICE r11): build_text_index commits its
+        # datasets in order postings → (stopped/fwd) → doclens → stats,
+        # each sidecar installed atomically — so "postings present but
+        # doclens or stats missing" can ONLY mean a crash mid-bootstrap
+        # (a later maintenance crash always leaves the older sidecar in
+        # place). Routing that replay to reindex_documents would wedge
+        # the stream (missing-stats IndexError); re-running the
+        # overwrite build converges instead.
+        partial = meta is not None and (
+            _md.read_sidecar(s, _stats_path(index_path)) is None
+            or _md.read_sidecar(s, _doclens_path(index_path)) is None
+        )
+        if meta is None or partial:
             # bootstrap: the first batch IS the initial corpus. A crash
             # before the checkpoint advance re-delivers it — the index
-            # exists then, so the replay goes through reindex and
-            # replaces the same lists (converges).
+            # exists then; a COMPLETE bootstrap replays through reindex
+            # and replaces the same lists, a partial one re-builds
+            # (both converge).
             build_text_index(
                 s, docs, index_path, id_col, text_col,
                 n_buckets=n_buckets, max_df=max_df,

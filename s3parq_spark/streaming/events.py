@@ -19,6 +19,29 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+def _checkpoint_incarnation(checkpoint_location: str) -> str:
+    """A UUID persisted INSIDE the checkpoint directory on first use.
+    Folded into the ledger writer identity so a deleted/reset checkpoint
+    — the common operator 'reprocess' action, which restarts Structured
+    Streaming's batch ids at 0 — forks a NEW identity instead of
+    colliding with the old incarnation's high-water mark (ADVICE r11:
+    under the old path-only identity the sink saw ``batch_id <=
+    ledger`` and silently skipped every replayed batch — the mirror
+    appeared to run but wrote nothing). Written atomically
+    (temp + ``os.replace``); Structured Streaming ignores foreign files
+    in its checkpoint dir, and its own checkpoint lock already forbids
+    two live streams on one checkpoint."""
+    os.makedirs(checkpoint_location, exist_ok=True)
+    marker = os.path.join(checkpoint_location, "_s3parq_incarnation")
+    if not os.path.exists(marker):
+        tmp = f"{marker}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as fh:
+            fh.write(uuid.uuid4().hex)
+        os.replace(tmp, marker)
+    with open(marker) as fh:
+        return fh.read().strip()
+
+
 def _events_schema(ts_nanos: bool) -> T.StructType:
     """File-stream read schema for the events table. Parquet TIMESTAMP(NANOS)
     cannot be read as TimestampType by Spark's reader — it is read as int64
@@ -577,11 +600,16 @@ def stream_upsert(
         if not _fs.exists(spark, dataset_path):
             shutil.rmtree(checkpoint_location, ignore_errors=True)
     # writer identity = the checkpoint (THE stream's progress record: same
-    # checkpoint ⇒ same batch_id numbering; a fresh checkpoint restarts
-    # batch ids at 0 and must not collide with the old incarnation's
-    # ledger entry — abspath'd so cwd changes don't fork identities)
+    # checkpoint ⇒ same batch_id numbering — abspath'd so cwd changes don't
+    # fork identities) PLUS its persisted incarnation UUID: a reset
+    # checkpoint restarts batch ids at 0, and the fresh incarnation forks
+    # the identity so the old ledger entry can't swallow the replay
     app_id = "stream_upsert/" + hashlib.sha1(
-        os.path.abspath(checkpoint_location).encode()
+        (
+            os.path.abspath(checkpoint_location)
+            + "|"
+            + _checkpoint_incarnation(checkpoint_location)
+        ).encode()
     ).hexdigest()[:16]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -99,6 +99,10 @@ from pyspark.sql import functions as F
 
 from . import fs
 from .fetch import fetch_path
+
+# shared with ann_index (r11 verdict #7): the typed IN-literal builder
+# lives with the rest of the predicate vocabulary in filters.py
+from .filters import in_literals as _in_literals
 from .publish import eq_delete_append, publish_path
 
 __all__ = [
@@ -353,18 +357,6 @@ def _capped(spark: SparkSession, index_path: str, max_df: Optional[int],
             "idf. Rebuild with build_text_index."
         )
     return True
-
-
-def _in_literals(values, vocab: str) -> str:
-    """Comma-joined SQL literals for an IN predicate, typed per the
-    dataset vocabulary. Spark SQL string literals treat BOTH backslash
-    and quote as escapes: escape backslash first, then the quote."""
-    if vocab == "integer":
-        return ", ".join(str(int(v)) for v in values)
-    return ", ".join(
-        "'" + str(v).replace("\\", "\\\\").replace("'", "\\'") + "'"
-        for v in values
-    )
 
 
 def _term_filter(terms) -> list:

@@ -393,3 +393,194 @@ def test_validate_new_ids_refuses_duplicates(spark, emb, tmp_path):
         ti, "doc_id", "text", validate_new_ids=True,
     )
     assert _read_stats(spark, ti)[0] == 11
+
+
+def test_null_ids_rejected_at_build_and_append(spark, emb, tmp_path):
+    """ADVICE r11: a null-id vector would be indexed yet permanently
+    unremovable (remove_vectors drops None from its id list,
+    upsert_vectors filters null ids) — build and append must refuse
+    loudly, mirroring the text index's non-NULL-key contract. Null-VECTOR
+    rows stay filtered (not indexed), including a (null id, null vec)
+    row."""
+    p = str(tmp_path / "ivf")
+    poisoned = emb.limit(20).unionByName(
+        spark.createDataFrame(
+            [(None, [0.5] * 64)], "vec_id long, embedding array<double>"
+        ).select("vec_id", F.col("embedding").cast("array<float>")
+                 .alias("embedding"))
+    )
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        build_ivf_index(spark, poisoned, p, "vec_id", "embedding",
+                        k=4, iters=1)
+    build_ivf_index(spark, emb.filter("vec_id < 50"), p, "vec_id",
+                    "embedding", k=4, iters=1)
+    with pytest.raises(ValueError, match="NULL vec_id"):
+        append_to_ivf_index(
+            spark,
+            poisoned.filter("vec_id is null or vec_id >= 50"),
+            p, "vec_id", "embedding",
+        )
+    # a (null id, null vec) row is filtered with every other null-vec
+    # row, never indexed — no refusal, no extra rows
+    nullvec = spark.createDataFrame(
+        [(None, None), (60, None)], "vec_id long, embedding array<float>"
+    ).unionByName(emb.filter("vec_id >= 50 and vec_id < 60"))
+    append_to_ivf_index(spark, nullvec, p, "vec_id", "embedding")
+    from s3parq_spark.fetch import fetch_path
+
+    assert fetch_path(spark, p).count() == 60
+
+
+def test_remove_vectors_count_matches_opt_out(spark, emb, tmp_path):
+    """count_matches=False skips the membership point-fetch (returns -1,
+    unknown) and tombstones unconditionally — same post-state as the
+    counted path, one commit either way, and idempotent re-runs stay
+    convergent."""
+    from s3parq_spark.fetch import fetch_path
+
+    p = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter("vec_id < 40"), p, "vec_id",
+                    "embedding", k=4, iters=1)
+    got = remove_vectors(spark, [1, 2, 999], p, "vec_id",
+                         count_matches=False)
+    assert got == -1
+    left = {r[0] for r in fetch_path(spark, p).select("vec_id").collect()}
+    assert left == set(range(40)) - {1, 2}
+    # unconditional: re-running still returns -1 and changes nothing
+    assert remove_vectors(spark, [1, 2], p, "vec_id",
+                          count_matches=False) == -1
+    assert fetch_path(spark, p).count() == 38
+
+
+def test_stream_upsert_vectors_exactly_once_across_crash(
+    spark, emb, tmp_path
+):
+    """r11 verdict #4: streaming ANN ingestion — readStream →
+    foreachBatch(upsert_vectors) with the txn ledger. The crash window
+    (batch committed, checkpoint completion marker not) must replay
+    WITHOUT a duplicate snapshot and WITHOUT double-counting the drift
+    counters (the r11 gap: the sidecar accumulation was not
+    ledger-guarded). Search over the final index equals exact cosine
+    over the final corpus (all cells probed + refine ⇒ exact)."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.streaming import stream_upsert_vectors
+
+    idx = str(tmp_path / "ivfpq")
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(df, name):
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        for i, p in enumerate(sorted(glob.glob(f"{scratch}/part-*.parquet"))):
+            shutil.move(p, f"{src}/{name}-{i}.parquet")
+
+    base = emb.filter("vec_id < 60").select("vec_id", "embedding")
+    build_ivf_index(spark, base, idx, "vec_id", "embedding",
+                    k=4, iters=1, m=4, codes=4, store_vectors=True)
+    land(emb.filter("vec_id >= 60 and vec_id < 90")
+         .select("vec_id", "embedding"), "w1")
+    stream_upsert_vectors(spark, src, idx, "vec_id", "embedding",
+                          checkpoint_location=ckpt)
+    # wave 2: 10 changed (negated ⇒ different cell) + 10 new
+    changed = base.filter("vec_id < 10").select(
+        "vec_id",
+        F.transform("embedding", lambda x: -x).alias("embedding"),
+    )
+    land(changed.unionByName(
+        emb.filter("vec_id >= 90 and vec_id < 100")
+        .select("vec_id", "embedding")), "w2")
+    stream_upsert_vectors(spark, src, idx, "vec_id", "embedding",
+                          checkpoint_location=ckpt)
+
+    meta = metadata.read_sidecar(spark, idx)
+    n_snaps = len(meta.snapshots)
+    assert meta.txns and max(meta.txns.values()) >= 1, meta.txns
+    drift = index_drift(spark, idx)
+    assert drift["appended_n"] == 50  # 30 + (10 changed + 10 new)
+
+    # every id exactly once on BOTH sides (index and raw-vector
+    # companion) — the unconditional tombstone kept them in step
+    for path in (idx, idx + "_vectors"):
+        per_id = (
+            fetch_path(spark, path).groupBy("vec_id")
+            .count().filter("count > 1").count()
+        )
+        assert per_id == 0, path
+        assert fetch_path(spark, path).count() == 100, path
+
+    # crash simulation: newest completion marker deleted, batch replays
+    cdir = os.path.join(ckpt, "commits")
+    victim = os.path.join(
+        cdir,
+        sorted(n for n in os.listdir(cdir)
+               if not n.startswith(".") and not n.endswith(".crc"))[-1],
+    )
+    os.remove(victim)
+    crc = os.path.join(cdir, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_upsert_vectors(spark, src, idx, "vec_id", "embedding",
+                          checkpoint_location=ckpt)
+    assert os.path.exists(victim), "batch was not re-delivered"
+    meta2 = metadata.read_sidecar(spark, idx)
+    assert len(meta2.snapshots) == n_snaps
+    assert meta2.txns == meta.txns
+    assert index_drift(spark, idx)["appended_n"] == 50  # not re-counted
+    assert fetch_path(spark, idx).count() == 100
+
+    # exact-search convergence: all cells probed + refine ⇒ exact cosine
+    # over the final corpus (changed vectors found at their NEW values)
+    qv = _query_vec(emb, 3)
+    got = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in search_ivf_index(spark, idx, qv, k=5, nprobe=4,
+                                  refine_factor=40).collect()
+    ]
+    final = (
+        emb.filter("vec_id >= 10 and vec_id < 100")
+        .select("vec_id", F.col("embedding").cast("array<double>")
+                .alias("v"))
+        .unionByName(changed.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")))
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("v"), F.lit(qv), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    nrm = F.sqrt(F.aggregate(F.col("v"), F.lit(0.0),
+                             lambda a, x: a + x * x))
+    qn = sum(x * x for x in qv) ** 0.5
+    exp = [
+        (r["vec_id"], round(r["score"], 9))
+        for r in final.select(
+            "vec_id", (dot / (nrm * F.lit(qn))).alias("score")
+        ).orderBy(F.desc("score"), F.asc("vec_id")).limit(5).collect()
+    ]
+    assert got == exp
+
+
+def test_stream_upsert_vectors_refuses_wrong_key_or_missing_index(
+    spark, emb, tmp_path
+):
+    import os
+
+    from s3parq_spark.streaming import stream_upsert_vectors
+
+    src = str(tmp_path / "landing")
+    os.makedirs(src)
+    emb.limit(5).write.mode("overwrite").parquet(f"{src}/w1.parquet")
+    with pytest.raises(ValueError, match="no quantizer sidecar"):
+        stream_upsert_vectors(spark, src, str(tmp_path / "nope"),
+                              "vec_id", "embedding")
+    p = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter("vec_id < 30"), p, "vec_id",
+                    "embedding", k=2, iters=1)
+    with pytest.raises(ValueError, match="keyed by"):
+        stream_upsert_vectors(spark, src, p, "label", "embedding")

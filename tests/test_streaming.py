@@ -634,3 +634,68 @@ def test_txn_ledger_restore_and_expiry(spark, tmp_path):
     restore_dataset(spark, ds, head_before)
     meta = metadata.read_sidecar(spark, ds)
     assert meta.txns == {"w1": 1, "w2": 7}, meta.txns
+
+
+def test_checkpoint_reset_forks_writer_identity(spark, sf_dir, tmp_path):
+    """ADVICE r11: deleting/resetting the checkpoint (the common
+    operator 'reprocess' action) restarts Structured Streaming's batch
+    ids at 0. Under a path-only writer identity the old ledger
+    high-water mark silently swallowed every replayed batch — the
+    mirror appeared to run but wrote nothing. The incarnation UUID
+    persisted inside the checkpoint forks the identity, so the
+    reprocess actually re-merges (and stays value-correct: replace
+    semantics)."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark import metadata
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.operators import latest_state
+    from s3parq_spark.streaming import stream_upsert
+    from s3parq_spark.workload import _events
+
+    ev = _events(spark, sf_dir)
+    src = str(tmp_path / "landing")
+    ds = str(tmp_path / "mirror")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+                   "TIMESTAMP_MICROS")
+    try:
+        scratch = str(tmp_path / "scratch")
+        ev.write.parquet(scratch)
+        for i, p in enumerate(sorted(glob.glob(f"{scratch}/part-*.parquet"))):
+            shutil.move(p, f"{src}/w1-{i}.parquet")
+        stream_upsert(spark, src, ds, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        meta1 = metadata.read_sidecar(spark, ds)
+        assert len(meta1.txns) == 1
+        n1 = len(meta1.snapshots)
+        # operator reprocess: checkpoint wiped, dataset survives
+        shutil.rmtree(ckpt)
+        stream_upsert(spark, src, ds, ["user_id"], "ts",
+                      checkpoint_location=ckpt)
+        meta2 = metadata.read_sidecar(spark, ds)
+        # a SECOND writer identity re-merged the landing dir (batch 0
+        # again, NOT skipped by the old identity's high-water mark)
+        assert len(meta2.txns) == 2, meta2.txns
+        assert len(meta2.snapshots) > n1
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.parquet.outputTimestampType")
+        else:
+            spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
+    got = {
+        (r["user_id"], r["event_id"])
+        for r in fetch_path(spark, ds).collect()
+    }
+    exp = {
+        (r["user_id"], r["event_id"])
+        for r in latest_state(
+            ev, ["user_id"], "ts", "event_id",
+            ["event_type", "value", "props"],
+        ).collect()
+    }
+    assert got == exp

@@ -962,3 +962,54 @@ def test_repair_capped_index_fixes_double_residency(spark, tmp_path):
     for q in (["stopper"], ["live"]):
         assert _rows(search_text_index(spark, path, q, k=10)) == \
             _rows(search_text_index(spark, ref2, q, k=10)), q
+
+
+def test_stream_index_documents_recovers_partial_bootstrap(spark, tmp_path):
+    """ADVICE r11: build_text_index commits postings → doclens → stats;
+    a crash mid-bootstrap leaves the postings sidecar present with
+    doclens/stats missing. The replayed first batch used to route to
+    reindex_documents (which needs both) and wedge the stream — the
+    sink now detects the partial state and re-runs the overwrite build,
+    converging."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark.streaming import stream_index_documents
+    from s3parq_spark.text_index import _read_stats
+
+    src = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    rows = [(i, f"alpha doc{i}") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    scratch = str(tmp_path / "scratch")
+    df.coalesce(1).write.parquet(scratch)
+    for i, p in enumerate(sorted(glob.glob(f"{scratch}/part-*.parquet"))):
+        shutil.move(p, f"{src}/w1-{i}.parquet")
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+    # crash simulation: postings committed, doclens/stats never did, and
+    # the checkpoint completion marker never landed
+    shutil.rmtree(idx + "_doclens")
+    shutil.rmtree(idx + "_stats")
+    cdir = os.path.join(ckpt, "commits")
+    victim = os.path.join(
+        cdir,
+        sorted(n for n in os.listdir(cdir)
+               if not n.startswith(".") and not n.endswith(".crc"))[-1],
+    )
+    os.remove(victim)
+    crc = os.path.join(cdir, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    # the replay must NOT wedge (the old behavior: reindex_documents
+    # IndexError on the missing stats row) — it re-runs the build
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+    ref = str(tmp_path / "ref")
+    build_text_index(spark, df, ref, "doc_id", "text", n_buckets=4)
+    assert _rows(search_text_index(spark, idx, ["alpha"], k=20)) == \
+        _rows(search_text_index(spark, ref, ["alpha"], k=20))
+    assert _read_stats(spark, idx) == _read_stats(spark, ref)
