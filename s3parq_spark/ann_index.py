@@ -444,6 +444,86 @@ def upsert_vectors(
     return replaced
 
 
+def attach_vectors_companion(
+    spark: SparkSession,
+    index_path: str,
+    vectors: DataFrame,
+    id_col: str,
+    vec_col: str,
+) -> int:
+    """Backfill the raw-vector companion for an EXISTING PQ index
+    without a rebuild (r11 verdict #5) — enables
+    ``search_ivf_index(refine_factor=...)`` on indexes built before
+    ``store_vectors=True``, or whose companion was dropped. Publishes
+    ``vectors`` as the id-bloomed side dataset (overwrite — the
+    companion is derived state, replaceable wholesale).
+
+    Id parity is VERIFIED before anything is written — a companion that
+    disagrees with the index would silently corrupt refine (a missing
+    candidate drops out of the exact re-rank; a stale extra can't be
+    read but hides the drift): the batch must carry every indexed id
+    exactly once (unique, non-NULL) and nothing else. Two anti-joins
+    over the (id-only) index projection — O(index ids), a backfill-time
+    cost, never paid at search. Returns the number of vectors
+    attached."""
+    q = _load_quantizers(spark, index_path, "attach_vectors_companion")
+    if q["id_col"] != id_col:
+        raise ValueError(
+            f"attach_vectors_companion: index at {index_path} is keyed "
+            f"by {q['id_col']!r}, not {id_col!r}"
+        )
+    if q["m"] is None:
+        raise ValueError(
+            "attach_vectors_companion: a flat index already stores its "
+            "vectors — the companion is for PQ (code-only) indexes"
+        )
+    batch = vectors.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("vec")
+    ).persist()
+    try:
+        _reject_null_ids(batch, id_col, "attach_vectors_companion")
+        dup = (
+            batch.groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter("__n > 1").limit(1).collect()
+        )
+        if dup:
+            raise ValueError(
+                "attach_vectors_companion: batch ids must be unique "
+                f"(offender: {dup[0][0]!r}) — refine point-fetches one "
+                "true vector per candidate id"
+            )
+        idx_ids = fetch_path(spark, index_path).select(id_col)
+        missing = (
+            idx_ids.join(batch.select(id_col), id_col, "left_anti")
+            .limit(5).collect()
+        )
+        if missing:
+            raise ValueError(
+                "attach_vectors_companion: indexed ids absent from the "
+                f"batch (e.g. {[r[0] for r in missing]}) — refine would "
+                "silently drop them from the exact re-rank"
+            )
+        extra = (
+            batch.select(id_col).join(idx_ids, id_col, "left_anti")
+            .limit(5).collect()
+        )
+        if extra:
+            raise ValueError(
+                "attach_vectors_companion: batch ids not in the index "
+                f"(e.g. {[r[0] for r in extra]}) — attach exactly the "
+                "indexed corpus"
+            )
+        n = batch.count()
+        publish_path(
+            spark, _vectors_path(index_path), batch, [],
+            mode="overwrite", file_bloom_columns=[id_col],
+        )
+        return int(n)
+    finally:
+        batch.unpersist()
+
+
 def search_ivf_index(
     spark: SparkSession,
     index_path: str,
@@ -564,6 +644,7 @@ def search_ivf_index_batch(
     queries: dict,
     k: int = 10,
     nprobe: int = 4,
+    refine_factor: Optional[int] = None,
 ) -> DataFrame:
     """Serve MANY query vectors in ONE pass over the index — the batch
     shape of ``ivf_batch_topk``, at rest: every query's probed cells are
@@ -577,7 +658,16 @@ def search_ivf_index_batch(
     exact cosine against the stored vector; PQ indexes score the ADC
     lookup-table sum with per-query LUTs carried on the broadcast
     frame. Returns (query_id, id, score), ordered within each query by
-    score desc, id asc."""
+    score desc, id asc.
+
+    ``refine_factor=f`` (PQ + companion builds — r11 verdict #6, batch
+    parity with per-query refine): each query's top ``k*f`` ADC
+    candidates are collected (bounded: nq × k×f id pairs — the same
+    boundedness as the per-query path), ONE union point-fetch pulls
+    every candidate's true vector from the id-bloomed companion
+    (O(candidate files), never the corpus), and exact cosine re-ranks
+    per query — bit-identical to ``search_ivf_index(refine_factor=f)``
+    per query (pinned by test)."""
     from pyspark.sql.window import Window
 
     if not queries:
@@ -659,8 +749,77 @@ def search_ivf_index_batch(
     w = Window.partitionBy("query_id").orderBy(
         F.desc("score"), F.asc(id_col)
     )
-    return (
+    if refine_factor is None:
+        return (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+            .orderBy("query_id", F.desc("score"), F.asc(id_col))
+        )
+    if q["m"] is None:
+        raise ValueError(
+            "search_ivf_index_batch: refine_factor is for PQ indexes — "
+            "a flat index already scores exact cosine"
+        )
+    vp = _vectors_path(index_path)
+    if metadata.read_sidecar(spark, vp) is None:
+        raise ValueError(
+            f"search_ivf_index_batch: no vectors companion at {vp} — "
+            "rebuild with build_ivf_index(store_vectors=True) or "
+            "attach_vectors_companion to enable refine_factor"
+        )
+    topf = max(k, k * int(refine_factor))
+    cand = (
         scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= topf)
+        .select("query_id", id_col)
+        .collect()
+    )
+    if not cand:
+        empty = scored.limit(0).select("query_id", F.col(id_col), "score")
+        return empty
+    all_ids = sorted({r[id_col] for r in cand})
+    true_vecs = fetch_path(
+        spark, vp,
+        filters=[
+            {"partition": id_col, "comparison": "==", "values": all_ids}
+        ],
+    )
+    from pyspark.sql import types as T
+
+    pairs = spark.createDataFrame(
+        [(r["query_id"], r[id_col]) for r in cand],
+        T.StructType([
+            T.StructField("query_id", T.StringType()),
+            T.StructField(id_col, true_vecs.schema[id_col].dataType),
+        ]),
+    )
+    qrows = [
+        (qid, qv, max(1e-12, sum(x * x for x in qv) ** 0.5))
+        for qid, (qv, _) in per_q.items()
+    ]
+    q2 = spark.createDataFrame(
+        qrows, "query_id string, qv array<double>, qn double"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0.0), lambda a, x: a + x,
+    )
+    vnorm = F.greatest(
+        F.lit(1e-12),
+        F.sqrt(F.aggregate(F.col("vec"), F.lit(0.0),
+                           lambda a, x: a + x * x)),
+    )
+    exact = (
+        true_vecs.join(F.broadcast(pairs), id_col)
+        .join(F.broadcast(q2), "query_id")
+        .select(
+            "query_id", F.col(id_col),
+            (dot / (vnorm * F.col("qn"))).alias("score"),
+        )
+    )
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .drop("__rn")
         .orderBy("query_id", F.desc("score"), F.asc(id_col))

@@ -584,3 +584,103 @@ def test_stream_upsert_vectors_refuses_wrong_key_or_missing_index(
                     "embedding", k=2, iters=1)
     with pytest.raises(ValueError, match="keyed by"):
         stream_upsert_vectors(spark, src, p, "label", "embedding")
+
+
+def test_attach_vectors_companion_backfills_refine(spark, emb, tmp_path):
+    """r11 verdict #5: a PQ index built WITHOUT store_vectors gains the
+    refine path by attaching the companion afterwards — no index
+    rebuild. Id parity is enforced both ways before anything is
+    written, and maintenance keeps the attached companion in step
+    (appends append, removals tombstone)."""
+    from s3parq_spark.ann_index import attach_vectors_companion
+    from s3parq_spark.fetch import fetch_path
+
+    pq = str(tmp_path / "pq")
+    corpus = emb.filter("vec_id < 200")
+    build_ivf_index(spark, corpus, pq, "vec_id", "embedding",
+                    k=4, iters=1, m=4, codes=8)
+    qv = _query_vec(emb, 3)
+    with pytest.raises(ValueError, match="no vectors companion"):
+        search_ivf_index(spark, pq, qv, k=5, nprobe=4, refine_factor=50)
+    # refusals: wrong key, missing indexed ids, extra ids, dup ids
+    with pytest.raises(ValueError, match="keyed by"):
+        attach_vectors_companion(spark, pq, corpus, "label", "embedding")
+    with pytest.raises(ValueError, match="absent from the batch"):
+        attach_vectors_companion(
+            spark, pq, corpus.filter("vec_id < 150"), "vec_id", "embedding"
+        )
+    with pytest.raises(ValueError, match="not in the index"):
+        attach_vectors_companion(
+            spark, pq, emb.filter("vec_id < 250"), "vec_id", "embedding"
+        )
+    with pytest.raises(ValueError, match="unique"):
+        attach_vectors_companion(
+            spark, pq, corpus.unionByName(corpus.limit(1)),
+            "vec_id", "embedding",
+        )
+    assert attach_vectors_companion(
+        spark, pq, corpus, "vec_id", "embedding"
+    ) == 200
+    # refine now works and (pool covers the probed cells) equals the
+    # exact cosine ranking a flat index gives over the same cells
+    flat = str(tmp_path / "flat")
+    build_ivf_index(spark, corpus, flat, "vec_id", "embedding",
+                    k=4, iters=1)
+    got = _rows(search_ivf_index(spark, pq, qv, k=5, nprobe=4,
+                                 refine_factor=50))
+    exp = _rows(search_ivf_index(spark, flat, qv, k=5, nprobe=4))
+    assert got == exp
+    # maintenance keeps the attached companion in step
+    append_to_ivf_index(
+        spark, emb.filter("vec_id >= 200 and vec_id < 220"), pq,
+        "vec_id", "embedding",
+    )
+    assert fetch_path(spark, pq + "_vectors").count() == 220
+    # flat index refuses the attach (it already stores vectors)
+    with pytest.raises(ValueError, match="flat index"):
+        attach_vectors_companion(spark, flat, corpus, "vec_id",
+                                 "embedding")
+
+
+def test_batch_refine_equals_per_query_refine(spark, emb, tmp_path):
+    """r11 verdict #6: search_ivf_index_batch(refine_factor=f) — one
+    union point-fetch over all queries' ADC candidates, per-query exact
+    re-rank — must reproduce per-query refine bit-for-bit, including a
+    query whose ADC misranking refine corrects."""
+    from s3parq_spark.ann_index import search_ivf_index_batch
+
+    pq = str(tmp_path / "pq")
+    build_ivf_index(spark, emb, pq, "vec_id", "embedding",
+                    k=8, iters=1, m=4, codes=8, store_vectors=True)
+    queries = {
+        "a": _query_vec(emb, 0),
+        "b": _query_vec(emb, 7),
+        "c": [0.1] * len(_query_vec(emb, 0)),
+    }
+    got = search_ivf_index_batch(spark, pq, queries, k=5, nprobe=3,
+                                 refine_factor=4)
+    by_q = {}
+    for r in got.collect():
+        by_q.setdefault(r["query_id"], []).append(
+            (r["vec_id"], round(r["score"], 9))
+        )
+    for qid, qv in queries.items():
+        exp = _rows(search_ivf_index(spark, pq, qv, k=5, nprobe=3,
+                                     refine_factor=4))
+        assert by_q.get(qid, []) == exp, qid
+    # refine changed at least one query's ADC-only answer (the reason
+    # the path exists) — deterministic fixture, checked once here
+    adc = search_ivf_index_batch(spark, pq, queries, k=5, nprobe=3)
+    adc_by_q = {}
+    for r in adc.collect():
+        adc_by_q.setdefault(r["query_id"], []).append(r["vec_id"])
+    assert any(
+        adc_by_q.get(qid, []) != [v for v, _ in by_q.get(qid, [])]
+        for qid in queries
+    ), "ADC and refined rankings were identical for every query"
+    with pytest.raises(ValueError, match="refine_factor is for PQ"):
+        flat = str(tmp_path / "flat")
+        build_ivf_index(spark, emb.limit(50), flat, "vec_id",
+                        "embedding", k=2, iters=1)
+        search_ivf_index_batch(spark, flat, queries, k=5, nprobe=2,
+                               refine_factor=2)
