@@ -82,19 +82,17 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 11 additions (reset at round start per the r10 verdict #4;
-    # keep <= 4 so the window reaches the r6/r7-era tail):
-    "stream_upsert_exactly_once",  # new: crash-replay gate — batch-id
-                                   # txn ledger skips the re-delivered
-                                   # batch; dup_snapshots must hash 0
-    "events_stream_upsert",        # changed: sink now stamps txns —
-                                   # re-row under the new commit path
-    "text_index_maxdf_maintain",   # new: capped index full maintenance —
-                                   # live/stopped split + forward table,
-                                   # cap crossings in both directions
-    "ivf_index_append",            # new: ANN at-rest maintenance — O(new)
-                                   # appends with frozen quantizers,
-                                   # tombstone removal, pruned probes
+    # Round 12 additions (reset at round start per the r11 verdict #2;
+    # keep <= 4 so the window drains the r7-era tail):
+    "stream_index_docs",    # new: streaming doc ingestion steady state —
+                            # bootstrap + CDC reindex waves; search ==
+                            # SQL BM25 over the post-CDC corpus
+    "pq_refine_search",     # new: PQ + companion refine — ADC misranks
+                            # (asserted), exact re-rank == SQL cosine
+                            # inside the probed cells
+    "ann_stream_upsert",    # new: streaming vector CDC with the txn
+                            # ledger — negated re-arrivals re-assign to
+                            # new cells; refine search == SQL replay
 )
 
 

@@ -4459,3 +4459,352 @@ ORACLE_EXT2["ann_batch_search_rest"] = """
     FROM ranked WHERE rn <= 10
     ORDER BY query_id, cos DESC, vec_id ASC
 """
+
+
+def q_stream_index_docs(spark, sf_dir):
+    """Streaming document ingestion into the text index (r11 verdict
+    #1a — streaming/documents.py steady state): wave 1 lands the full
+    documents table in a landing directory and bootstraps the index
+    through the stream (readStream → foreachBatch(build)); wave 2 lands
+    a CDC batch — every doc_id % 10 = 3 document gains the token
+    'streamupdate' twice, plus two brand-new documents — and drains
+    through foreachBatch(reindex): O(batch) eq-delete maintenance, no
+    rebuild. The final search must equal full-corpus BM25 over the
+    post-CDC corpus, which the oracle recomputes in SQL (updated texts
+    via CASE, inserts via VALUES)."""
+    import glob
+
+    from .streaming import stream_index_documents
+    from .text_index import search_text_index
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "stream_docs_idx")
+    landing = path.rstrip("/") + "_landing"
+    ckpt = path.rstrip("/") + "_ckpt"
+    marker = os.path.join(path, "_STREAMED")
+    if not os.path.exists(marker):
+        for suffix in ("", "_stats", "_doclens", "_stopped", "_fwd",
+                       "_landing", "_ckpt"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        os.makedirs(landing)
+
+        def land(df, name):
+            scratch = path.rstrip("/") + f"_scratch_{name}"
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            for i, p in enumerate(
+                sorted(glob.glob(f"{scratch}/part-*.parquet"))
+            ):
+                shutil.move(p, f"{landing}/{name}-{i}.parquet")
+            shutil.rmtree(scratch, ignore_errors=True)
+
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        land(docs, "w1")
+        stream_index_documents(spark, landing, path, "doc_id", "text",
+                               checkpoint_location=ckpt, n_buckets=16)
+        cdc = docs.filter("doc_id % 10 = 3").withColumn(
+            "text", F.concat(F.col("text"),
+                             F.lit(" streamupdate streamupdate"))
+        ).unionByName(spark.createDataFrame(
+            [(1000, "streamnew alpha quality"),
+             (1001, "streamnew vector quality hash")],
+            "doc_id long, text string",
+        ))
+        land(cdc, "w2")
+        stream_index_documents(spark, landing, path, "doc_id", "text",
+                               checkpoint_location=ckpt, n_buckets=16)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index(
+        spark, path, ["streamupdate", "quality", "hash"], k=10
+    )
+    return out.select("doc_id", "n_terms", F.round("score", 6).alias("score"))
+
+
+QUERIES_EXT2["stream_index_docs"] = q_stream_index_docs
+# full-corpus BM25 over the post-CDC corpus: updates via CASE, the two
+# streamed inserts via VALUES — same constants/expression sequence as
+# bm25_search's oracle
+ORACLE_EXT2["stream_index_docs"] = """
+    WITH corpus AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 3
+                  THEN text || ' streamupdate streamupdate'
+                  ELSE text END AS text
+      FROM documents
+      UNION ALL
+      SELECT * FROM (VALUES
+        (1000, 'streamnew alpha quality'),
+        (1001, 'streamnew vector quality hash')) v(doc_id, text)
+    ), toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM corpus
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('streamupdate', 'quality', 'hash')
+      GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+    ), agg AS (
+      SELECT doc, COUNT(*) AS n_terms, CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_terms, round(score, 6) AS score
+    FROM agg
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+"""
+
+
+def q_pq_refine_search(spark, sf_dir):
+    """PQ refine at rest (r11 verdict #1b — ann_index.py's
+    IndexRefineFlat shape): the index stores 4 PQ codes per vector
+    (codes=8 ⇒ coarse quantization that MISRANKS — asserted below
+    against the ADC-only answer), plus the raw-vector companion
+    (store_vectors=True, id-bloomed). Search ranks cells with the
+    frozen centroids, ADC-scores the probed cells, point-fetches the
+    top k*f candidates' TRUE vectors through the id blooms, and exact
+    cosine re-ranks — with the refine pool covering the probed cells,
+    the answer is the exact cosine top-k inside them, which the oracle
+    replays: deterministic coarse training over the <350 prefix in SQL,
+    final corpus (appends included) assigned with those centroids,
+    exact cosine in the query's top-3 cells."""
+    from .ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        search_ivf_index,
+    )
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "ivfpq_refine")
+    marker = os.path.join(path, "_BUILT")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(marker):
+        for suffix in ("", "_vectors"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        qp = path.rstrip("/") + "_quantizers.json"
+        if os.path.exists(qp):
+            os.remove(qp)
+        build_ivf_index(
+            spark, emb.filter("vec_id < 350"), path, "vec_id", "embedding",
+            k=8, iters=1, m=4, codes=8, store_vectors=True,
+        )
+        append_to_ivf_index(
+            spark, emb.filter("vec_id >= 350"), path, "vec_id", "embedding"
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    qrow = emb.filter("vec_id = 42").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    # k=11: rank 1 is the query vector itself — dropped below. The
+    # refine pool (11*50) covers every probed row, so the refined
+    # answer IS the exact cosine top-k inside the probed cells.
+    refined = search_ivf_index(spark, path, qv, k=11, nprobe=3,
+                               refine_factor=50)
+    adc = search_ivf_index(spark, path, qv, k=11, nprobe=3)
+    assert [r["vec_id"] for r in adc.collect()] != \
+        [r["vec_id"] for r in refined.collect()], (
+        "ADC-only ranking already exact — the refine gate is vacuous"
+    )
+    return refined.filter("vec_id <> 42").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["pq_refine_search"] = q_pq_refine_search
+# deterministic coarse-training replay (one Lloyd refinement over the
+# <350 prefix, init = first 8 vectors), full corpus assigned with those
+# frozen centroids, exact cosine in the query's top-3 cells
+ORACLE_EXT2["pq_refine_search"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 350
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 42
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), asg AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 42
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+def q_ann_stream_upsert(spark, sf_dir):
+    """Streaming ANN ingestion (r11 verdict #4 —
+    streaming/vectors.py): the PQ + companion index is built over the
+    <350 prefix, then the stream drains two landing waves through
+    foreachBatch(upsert_vectors) with the txn ledger — wave 1 inserts
+    [350,430), wave 2 is CDC (every vec_id % 25 = 3 of the prefix
+    re-arrives NEGATED — re-assigned to its new cell by the frozen
+    centroids — plus inserts [430,500)). The final refine search must
+    equal exact cosine inside the query's top-3 cells over the
+    POST-CDC corpus, which the oracle replays: coarse training over
+    the original prefix, final corpus (negations applied) assigned
+    with the frozen centroids."""
+    import glob
+
+    from .ann_index import build_ivf_index, search_ivf_index
+    from .streaming import stream_upsert_vectors
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "ivf_streamed")
+    landing = path.rstrip("/") + "_landing"
+    ckpt = path.rstrip("/") + "_ckpt"
+    marker = os.path.join(path, "_STREAMED")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if not os.path.exists(marker):
+        for suffix in ("", "_vectors", "_landing", "_ckpt"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        qp = path.rstrip("/") + "_quantizers.json"
+        if os.path.exists(qp):
+            os.remove(qp)
+        os.makedirs(landing)
+
+        def land(df, name):
+            scratch = path.rstrip("/") + f"_scratch_{name}"
+            df.coalesce(1).write.mode("overwrite").parquet(scratch)
+            for i, p in enumerate(
+                sorted(glob.glob(f"{scratch}/part-*.parquet"))
+            ):
+                shutil.move(p, f"{landing}/{name}-{i}.parquet")
+            shutil.rmtree(scratch, ignore_errors=True)
+
+        build_ivf_index(
+            spark, emb.filter("vec_id < 350"), path, "vec_id", "embedding",
+            k=8, iters=1, m=4, codes=8, store_vectors=True,
+        )
+        land(emb.filter("vec_id >= 350 and vec_id < 430"), "w1")
+        stream_upsert_vectors(spark, landing, path, "vec_id", "embedding",
+                              checkpoint_location=ckpt)
+        cdc = emb.filter("vec_id % 25 = 3 and vec_id < 350").select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ).unionByName(emb.filter("vec_id >= 430"))
+        land(cdc, "w2")
+        stream_upsert_vectors(spark, landing, path, "vec_id", "embedding",
+                              checkpoint_location=ckpt)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    qrow = emb.filter("vec_id = 5").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    out = search_ivf_index(spark, path, qv, k=11, nprobe=3,
+                           refine_factor=50)
+    return out.filter("vec_id <> 5").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["ann_stream_upsert"] = q_ann_stream_upsert
+# coarse replay over the ORIGINAL <350 prefix; the post-CDC corpus
+# (negations applied to vec_id % 25 = 3 of the prefix) assigned with
+# the frozen centroids; exact cosine in the query's top-3 cells
+ORACLE_EXT2["ann_stream_upsert"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 350
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 25 = 3 AND vec_id < 350
+                  THEN list_transform(v, x -> -x)
+                  ELSE v END AS v
+      FROM e
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 5
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), asg AS (
+      SELECT corpus.vec_id, corpus.v,
+             arg_max(c.cid, list_dot_product(corpus.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM corpus CROSS JOIN c1 c GROUP BY corpus.vec_id, corpus.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 5
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
