@@ -546,7 +546,7 @@ def fetch_path(
             # every file pruned -> empty frame WITH the dataset schema
             # (same result shape a no-match Catalyst prune produces)
             df = _resolve_renames(
-                _scan_rel_files(spark, path, full_schema, files), meta
+                _scan_rel_files(spark, path, full_schema, files, meta), meta
             )
     elif files:
         df = _resolve_renames(
@@ -900,7 +900,9 @@ def _tombstone_scan(
     key_frames: Dict[int, tuple] = {}  # version -> (key_cols, keys_df)
     slices = []
     for (preds, eq_vers), fl in sorted(groups.items()):
-        df = _resolve_renames(_scan_rel_files(spark, path, schema, fl), meta)
+        df = _resolve_renames(
+            _scan_rel_files(spark, path, schema, fl, meta), meta
+        )
         for p in preds:
             df = df.filter(~F.coalesce(F.expr(p), F.lit(False)))
         for ev in eq_vers:
@@ -1433,7 +1435,7 @@ def _read_files_one_spec(
     part_f, derived_f, residuals = _derived_pushdown(spark, spec_meta, filters)
     spec_f, cross_f, cross_types = _split_spec_filters(spec_meta, meta, part_f)
     rel = _prune_manifest_files(rel_files, spec_meta, spec_f)
-    df = _scan_rel_files(spark, path, _scan_schema(meta), rel)
+    df = _scan_rel_files(spark, path, _scan_schema(meta), rel, meta)
     df = _resolve_renames(df, meta)
     # ANOTHER spec's derived partition column exists in this slice's files
     # neither as a hive dir nor as data (derived cols are computed at
@@ -1552,18 +1554,129 @@ def _union_spec_slices(
     return _project_dataset_columns(df, meta, columns, path)
 
 
-def _scan_rel_files(spark, path, schema, rel_files):
+#: attempt directory-granular path shipping only past this survivor-file
+#: count — below it the per-file py4j/getFileStatus fixed cost is noise
+#: and the dir-coverage bookkeeping would cost more than it saves
+_DIR_SCAN_MIN_FILES = 256
+#: ... and only when dirs actually compress the path list this much
+#: (1 file/dir layouts gain nothing and would pay the verification)
+_DIR_SCAN_MIN_RATIO = 4
+
+#: test hook: True iff the most recent _scan_rel_files shipped dirs
+#: (observability only — concurrent fetches in one process may interleave)
+_LAST_SCAN_USED_DIRS = False
+
+
+def _scan_rel_files(spark, path, schema, rel_files, meta=None):
     """Explicit-schema scan of a dataset-relative file list with
     ``basePath`` hive-partition recovery; an empty list yields a typed
     empty frame, never a scan error. The one scan shape every manifest
-    read (plain, time-travel, CDC, per-spec slice) shares."""
-    if rel_files:
-        return (
-            spark.read.schema(schema)
-            .option("basePath", path)
-            .parquet(*[posixpath.join(path, r) for r in rel_files])
-        )
-    return spark.createDataFrame([], schema)
+    read (plain, time-travel, CDC, per-spec slice) shares.
+
+    When ``meta`` is supplied and the survivor list is large, whole hive
+    directories ship instead of per-file paths (r10 verdict #7 / r11 #8
+    stretch — the remaining O(matching files) py4j + ``getFileStatus``
+    fixed cost): see ``_dir_scan``."""
+    global _LAST_SCAN_USED_DIRS
+    if not rel_files:
+        return spark.createDataFrame([], schema)
+    reader = spark.read.schema(schema).option("basePath", path)
+    if meta is not None and len(rel_files) >= _DIR_SCAN_MIN_FILES:
+        df = _dir_scan(spark, reader, path, meta, rel_files)
+        if df is not None:
+            _LAST_SCAN_USED_DIRS = True
+            return df
+    _LAST_SCAN_USED_DIRS = False
+    return reader.parquet(*[posixpath.join(path, r) for r in rel_files])
+
+
+def _rel_from_uri(uri: str, base_variants) -> Optional[str]:
+    """Qualified scan URI → dataset-relative path, matched against the
+    base path's qualified forms. Tries the raw suffix first, then the
+    URL-unquoted one (Hadoop ``Path`` escapes special characters in
+    ``toString``; on-disk names — what manifests record — are unescaped)."""
+    from urllib.parse import unquote
+
+    for b in base_variants:
+        if uri.startswith(b):
+            return uri[len(b):].lstrip("/")
+    dec = unquote(uri)
+    for b in base_variants:
+        if dec.startswith(b):
+            return dec[len(b):].lstrip("/")
+    return None
+
+
+def _dir_scan(spark, reader, path, meta, rel_files):
+    """Ship hive DIRECTORIES through py4j when the pruned survivor set
+    covers them completely, instead of one path string per file.
+
+    Why: a pruned manifest read is flat in DATASET size, but still pays
+    O(matching files) fixed cost — the py4j transfer of each path plus
+    the JVM's per-leaf-path ``getFileStatus`` when building its file
+    index (``scripts/file_index_probe.py``). When the query's survivors
+    are exactly the manifest's live files of a directory (the common
+    case: partition pruning keeps or drops whole dirs), passing the dir
+    lets the JVM discover the files with one ``listStatus`` per dir —
+    one LIST request per directory on an object store instead of one
+    HEAD per file.
+
+    Why it stays CORRECT: a directory may physically hold files the
+    manifest does not acknowledge (a crashed publish's orphans, a
+    concurrent writer's not-yet-committed files) — scanning those would
+    read uncommitted data, which is exactly why this engine ships
+    explicit file lists. So the dir-granular frame is VERIFIED before
+    it is returned: Spark's ``InMemoryFileIndex`` lists eagerly at read
+    construction and execution reuses that listing, so
+    ``df.inputFiles()`` (one py4j round trip) is precisely the file set
+    the scan would read. If it is not exactly the survivor set — any
+    orphan, any missing file — fall back to explicit per-file paths.
+    There is no listing race: the verified index IS the one executed.
+
+    Returns None (caller uses per-file paths) when dirs don't compress
+    the path list, coverage is partial, or verification fails."""
+    live = meta.manifest_files()
+    if not live:
+        return None
+    by_dir_live: Dict[str, set] = {}
+    for f in live:
+        by_dir_live.setdefault(posixpath.dirname(f), set()).add(f)
+    by_dir_sel: Dict[str, set] = {}
+    for f in rel_files:
+        by_dir_sel.setdefault(posixpath.dirname(f), set()).add(f)
+    dirs: List[str] = []
+    loose: List[str] = []
+    for d, sel in by_dir_sel.items():
+        if sel == by_dir_live.get(d):
+            dirs.append(d)
+        else:
+            loose.extend(sel)
+    if not dirs or len(rel_files) < _DIR_SCAN_MIN_RATIO * (
+        len(dirs) + len(loose)
+    ):
+        return None
+    df = reader.parquet(
+        *[posixpath.join(path, d) for d in sorted(dirs)],
+        *[posixpath.join(path, f) for f in sorted(loose)],
+    )
+    # the base path as the JVM qualifies it: derive the qualified prefix
+    # from the first input file instead of guessing scheme/authority
+    expected = set(rel_files)
+    base_variants = []
+    norm = path.rstrip("/")
+    base_variants.append(norm)
+    if norm.startswith("/"):
+        base_variants.append("file:" + norm)
+        base_variants.append("file://" + norm)
+    actual = set()
+    for uri in df.inputFiles():
+        rel = _rel_from_uri(uri, base_variants)
+        if rel is None or rel not in expected:
+            return None  # unacknowledged file (or unmappable URI): refuse
+        actual.add(rel)
+    if actual != expected:
+        return None  # a live manifest file the listing missed: refuse
+    return df
 
 
 def _read_manifest_slice(
@@ -1610,7 +1723,8 @@ def _read_manifest_slice(
         df = _tombstone_scan(spark, path, _scan_schema(meta), meta, rel_files)
     else:
         df = _resolve_renames(
-            _scan_rel_files(spark, path, _scan_schema(meta), rel_files), meta
+            _scan_rel_files(spark, path, _scan_schema(meta), rel_files, meta),
+            meta,
         )
     if filters:
         df = df.filter(filters_to_predicate(filters, meta.partition_data_types))

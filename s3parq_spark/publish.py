@@ -452,6 +452,7 @@ def publish_path(
     staged: bool = False,
     _eq_delete: Optional[dict] = None,
     _txn: Optional[dict] = None,
+    _write_hints: Optional[dict] = None,
 ) -> List[str]:
     """Write a dataset and its sidecar; return the newly written data files
     (the reference returns the list of new object keys,
@@ -515,6 +516,21 @@ def publish_path(
     ``discard_snapshot`` unlinks it. Vacuum and storage health treat
     staged files as acknowledged. Append-only (an overwrite has nothing
     to stage against).
+
+    ``_write_hints`` (internal, for the engine's own maintenance planes —
+    the index-family commit collapse, r11 verdict #3): driver-side facts a
+    caller can assert to skip this publish's per-commit probe jobs.
+    ``{"rows_per_file": N}`` replaces the sizing sample AND the empty
+    check (the caller asserts the batch is NON-empty — publishing an
+    actually-empty frame under this hint commits a fileless snapshot);
+    ``{"touched_dirs": [...]}`` replaces the touched-partition distinct
+    job with the caller's own exact hive-dir list. The dirs hint MUST be
+    a superset of the dirs the rows land in: the scoped new-file diff
+    only looks there, so a missing dir's files would never enter the
+    snapshot (unacknowledged orphans — silent data loss). The text index
+    derives it from the same portable md5 the bucket transform uses,
+    pinned by a JVM⇄driver parity test, mirroring the bloom plane's
+    portability contract.
 
     ``evolve_partitions=True`` allows an append whose ``partitions`` (and/or
     ``derived_partitions``) differ from the dataset's current layout:
@@ -706,9 +722,15 @@ def publish_path(
         existing, meta, evolve_partitions=evolve_partitions and mode == "append"
     )
 
+    hints = _write_hints or {}
     scoped_dirs: Optional[List[str]] = None
     if mode == "append" and partitions:
-        scoped_dirs = _touched_partition_dirs(spark, df, partitions)
+        hinted = hints.get("touched_dirs")
+        scoped_dirs = (
+            sorted(hinted)
+            if hinted is not None
+            else _touched_partition_dirs(spark, df, partitions)
+        )
     if mode != "append":
         before = set()
     elif scoped_dirs is not None:
@@ -729,7 +751,11 @@ def publish_path(
     # shortcut recognizes a bare parquet scan, and a hint node on top
     # would silently push every publish back onto the sampling job (row
     # width is transform-invariant, so the estimate is the same)
-    n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
+    n_per_file = (
+        max_records_per_file
+        or hints.get("rows_per_file")
+        or _estimate_rows_per_file(df, path)
+    )
     if rebalance and not zorder_by:
         df = df.hint("rebalance", *partitions) if partitions else df.hint("rebalance")
     if sort_within_files:
@@ -1464,6 +1490,7 @@ def eq_delete_append(
     base_partitions: Optional[List[str]] = None,
     _meta: "Optional[metadata.DatasetMetadata]" = None,
     _txn: Optional[dict] = None,
+    _known_nonempty: bool = False,
     **publish_kwargs,
 ) -> List[str]:
     """The equality-delete commit primitive ``merge_upsert(mode=
@@ -1496,18 +1523,23 @@ def eq_delete_append(
     batch = batch.persist()
     try:
         return _eq_delete_append_commit(
-            spark, path, batch, keys, base_partitions, _txn, publish_kwargs
+            spark, path, batch, keys, base_partitions, _txn,
+            _known_nonempty, publish_kwargs,
         )
     finally:
         batch.unpersist()
 
 
 def _eq_delete_append_commit(
-    spark, path, batch, keys, base_partitions, _txn, publish_kwargs
+    spark, path, batch, keys, base_partitions, _txn, known_nonempty,
+    publish_kwargs,
 ) -> List[str]:
     import uuid as _uuid
 
-    if batch.limit(1).count() == 0:
+    # _known_nonempty: the caller already holds driver-side proof the
+    # batch has rows (e.g. reindex collected its changed-id list) — the
+    # empty-batch probe job would re-prove it
+    if not known_nonempty and batch.limit(1).count() == 0:
         return []  # empty batch: no commit, no key files
     key_dir_rel = f"_eq_deletes/{_uuid.uuid4().hex[:12]}"
     key_dir = posixpath.join(path, key_dir_rel)

@@ -51,13 +51,16 @@ of an index scan. The invariant: a term's posting list lives whole in
 exactly one of live/stopped, live ⟺ df ≤ max_df. Maintenance
 re-derives df exactly for the batch-affected terms only (increments
 from the batch, decrements from the forward table, current counts from
-a term-pruned fetch — live counts are ≤ max_df rows/term by the
-invariant; stopped counts are read only for terms whose decrement
-could bring them under the cap) and MOVES crossing terms' posting
-lists between the two datasets (copy, then tombstone the source — a
-crash between the two leaves a term double-resident in favor of the
-copy; ``repair_capped_index`` detects and fixes it exactly — bounded
-by stop-term cardinality, never a rebuild). One more capped crash window, stated plainly: a capped
+ONE term-pruned live∪stopped fetch — live counts are ≤ max_df
+rows/term by the invariant, and the affected stop terms' rows are read
+once for residency and count together) and MOVES crossing terms'
+posting lists between the two datasets. The move rides the same
+commit as the batch-routed append — one publish per destination
+dataset per maintenance call (r11 verdict #3) — and the moved terms'
+sources tombstone after (copy first: a crash between the append and
+its tombstones leaves a term double-resident in favor of the copy;
+``repair_capped_index`` detects and fixes it exactly — bounded by
+stop-term cardinality, never a rebuild). One more capped crash window, stated plainly: a capped
 reindex that committed its id tombstones but crashed before its
 appends leaves df counts the RE-RUN's classification reads
 post-delete while the forward table still holds the pre-crash pairs —
@@ -128,6 +131,44 @@ _BUCKET_EXPR = (
 
 _POSTING_COLS = ("term", "tf", "dl", "bucket")
 
+#: rows-per-file for maintenance-plane appends: posting/pair rows are a
+#: few dozen bytes, so this keeps the 60 MB file contract while letting
+#: the publish skip its sizing sample — maintenance batches are change
+#: sets, far below one file's worth (see publish_path _write_hints)
+_MAINT_ROWS_PER_FILE = 2_000_000
+
+
+def _n_buckets_of(meta) -> Optional[int]:
+    """The bucket count recorded in the index's derived-partition
+    transform (None for a non-engine layout)."""
+    import re as _re
+
+    expr = (meta.derived_partitions or {}).get("bucket", "")
+    m = _re.search(r"%?\s*(?:pmod[^,]*,\s*)?(\d+)\)+\s*as int", expr)
+    return int(m.group(1)) if m else None
+
+
+def _bucket_of(term: str, n_buckets: int) -> int:
+    """Driver-side twin of ``_BUCKET_EXPR`` — the same portable 60-bit
+    md5 fold the JVM computes at write, so maintenance can hand publish
+    the exact hive dirs a batch touches without a distinct job
+    (JVM⇄driver parity pinned by test, the bloom plane's contract)."""
+    import hashlib
+
+    return int(
+        hashlib.md5(term.encode("utf-8")).hexdigest()[:15], 16
+    ) % n_buckets
+
+
+def _bucket_dirs(meta, terms) -> Optional[List[str]]:
+    """``touched_dirs`` publish hint for posting rows of ``terms`` —
+    None when the layout's bucket count can't be recovered (hint simply
+    not passed; publish falls back to its own distinct job)."""
+    n = _n_buckets_of(meta)
+    if n is None:
+        return None
+    return sorted({f"bucket={_bucket_of(t, n)}" for t in terms})
+
 
 def _stats_path(index_path: str) -> str:
     return index_path.rstrip("/") + "_stats"
@@ -193,7 +234,11 @@ def _write_stats(
         [(int(n_docs), int(total_len), max_df if max_df is None else int(max_df))],
         "n_docs long, total_len long, max_df long",
     )
-    publish_path(spark, _stats_path(index_path), stats, [], mode="overwrite")
+    # a literal 1-row local frame: provably nonempty, sizing irrelevant
+    publish_path(
+        spark, _stats_path(index_path), stats, [], mode="overwrite",
+        _write_hints={"rows_per_file": 1},
+    )
 
 
 def _read_stats(spark: SparkSession, index_path: str):
@@ -365,28 +410,13 @@ def _term_filter(terms) -> list:
     ]
 
 
-def _term_counts(spark: SparkSession, path: str, terms) -> dict:
-    """Current posting-row count per term (= its df: one row per
-    (term, doc)) over ``path``, term-pruned — bucket pushdown + bloom
-    skip keep the read O(postings of the asked terms). Missing terms
-    are absent from the result (count 0)."""
-    if not terms:
-        return {}
-    rows = (
-        fetch_path(spark, path, filters=_term_filter(terms))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .collect()
-    )
-    return {r["term"]: int(r["__n"]) for r in rows}
-
-
 def _companion_append(
     spark: SparkSession,
     index_path: str,
     dst: str,
     rows: DataFrame,
     like_meta,
+    write_hints: Optional[dict] = None,
 ) -> None:
     """Append posting rows into ``dst`` (live or stopped), creating it
     with the live index's recorded layout (bucket transform + term
@@ -400,42 +430,110 @@ def _companion_append(
             derived_partitions=dict(like_meta.derived_partitions),
             sort_within_files=["term"],
             file_bloom_columns=["term"],
+            _write_hints=write_hints,
         )
     else:
         publish_path(
             spark, dst, rows, [], mode="append",
             sort_within_files=["term"],
+            _write_hints=write_hints,
         )
 
 
-def _move_terms(
+def _commit_capped_routing(
     spark: SparkSession,
     index_path: str,
-    src: str,
-    dst: str,
-    terms,
+    meta,
     id_col: str,
-    like_meta,
+    live_rows,
+    stop_rows,
+    inc: dict,
+    live_terms,
+    stop_terms,
+    movers_up,
+    movers_down,
 ) -> None:
-    """Move the full (current) posting lists of ``terms`` from ``src``
-    to ``dst`` — the cap-crossing transition. Copy first, tombstone
-    second: a crash between the two leaves the term double-resident in
-    favor of the copy (documented in the module docstring), never
-    lost. O(postings of the moving terms)."""
-    if not terms:
-        return
-    rows = fetch_path(spark, src, filters=_term_filter(terms)).select(
-        "term", id_col, "tf", "dl"
-    )
-    if rows.limit(1).count() == 0:
-        return
+    """ONE publish per destination dataset per maintenance call (r11
+    verdict #3 — the commit-overhead collapse): each side's append
+    carries its batch-routed rows AND the other side's cap-crossing
+    posting lists in the same commit, then the movers' sources tombstone
+    (two zero-read metadata commits). Copy-first is preserved — a crash
+    after an append but before its tombstones leaves crossing terms
+    double-resident in favor of the copy, exactly the state
+    ``repair_capped_index`` fixes — but the copy now rides the routed
+    append instead of paying its own publish. The mover fetches are lazy
+    (evaluated inside the write job), so they see the id tombstones the
+    caller already committed; the live append lands first and adds only
+    live-term rows, so the stopped side's mover copy (live-resident
+    posting lists of ``movers_up``) reads an unchanged set. Emptiness is
+    decided DRIVER-side from the already-collected term routing — no
+    ``limit(1)`` probe jobs: a side publishes iff it receives batch rows
+    (some ``inc`` term routed to it) or a mover's posting list."""
+    sp = _stopped_path(index_path)
+
+    def _sel(df: DataFrame) -> DataFrame:
+        return df.select("term", F.col(id_col), "tf", "dl")
+
+    def _union(parts):
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    batch_terms = {t for t, n in inc.items() if n > 0}
+    live_batch = batch_terms & set(live_terms)
+    stop_batch = batch_terms & set(stop_terms)
+    live_parts = []
+    if live_rows is not None and live_batch:
+        live_parts.append(_sel(live_rows))
+    if movers_down:
+        live_parts.append(
+            _sel(fetch_path(spark, sp, filters=_term_filter(movers_down)))
+        )
+    stop_parts = []
+    if stop_rows is not None and stop_batch:
+        stop_parts.append(_sel(stop_rows))
+    if movers_up:
+        stop_parts.append(
+            _sel(
+                fetch_path(
+                    spark, index_path, filters=_term_filter(movers_up)
+                )
+            )
+        )
+    if live_parts:
+        dirs = _bucket_dirs(meta, live_batch | set(movers_down))
+        publish_path(
+            spark, index_path, _union(live_parts), [], mode="append",
+            sort_within_files=["term"],
+            _write_hints={
+                "rows_per_file": _MAINT_ROWS_PER_FILE,
+                **({"touched_dirs": dirs} if dirs is not None else {}),
+            },
+        )
+    if stop_parts:
+        dirs = _bucket_dirs(meta, stop_batch | set(movers_up))
+        _companion_append(
+            spark, index_path, sp, _union(stop_parts), meta,
+            write_hints={
+                "rows_per_file": _MAINT_ROWS_PER_FILE,
+                **({"touched_dirs": dirs} if dirs is not None else {}),
+            },
+        )
     from .publish import delete_where
 
-    _companion_append(spark, index_path, dst, rows, like_meta)
-    pred = f"term IN ({_in_literals(sorted(terms), 'string')})"
-    delete_where(
-        spark, src, pred, mode="merge-on-read", count_matches=False
-    )
+    if movers_up:
+        delete_where(
+            spark, index_path,
+            f"term IN ({_in_literals(sorted(movers_up), 'string')})",
+            mode="merge-on-read", count_matches=False,
+        )
+    if movers_down:
+        delete_where(
+            spark, sp,
+            f"term IN ({_in_literals(sorted(movers_down), 'string')})",
+            mode="merge-on-read", count_matches=False,
+        )
 
 
 def _group_counts(df: DataFrame, col: str) -> dict:
@@ -457,52 +555,56 @@ def _classify_terms(
     """Exact post-batch state for every batch-affected term. Returns
     ``(live_terms, stop_terms, movers_up, movers_down)`` where the
     first two partition the AFFECTED set (batch rows route by them) and
-    the movers are existing posting lists that cross the cap. df
-    arithmetic: new_df = current - dec + inc, with current read
-    term-pruned — live counts are ≤ max_df rows/term by the invariant;
-    stopped counts are read only for terms whose net change is a
-    decrease (anything else provably stays over the cap)."""
+    the movers are existing posting lists that cross the cap AND still
+    have rows to move once the caller's id tombstones land (a term whose
+    surviving postings all belong to the batch ids has nothing to copy —
+    its batch rows alone re-seed the destination side). df arithmetic:
+    new_df = current - dec + inc, with current read term-pruned in ONE
+    job — a live∪stopped union fetch of the affected terms, grouped by
+    (term, side): live counts are ≤ max_df rows/term by the residency
+    invariant, stopped rows were read anyway to learn WHICH terms are
+    stopped, so counting them in the same pass costs nothing extra
+    (r11 verdict #3: this was three separate fetch jobs)."""
     affected = sorted(set(inc) | set(dec))
-    stopped_now: set = set()
+    if not affected:
+        return set(), set(), [], []
     sp = _stopped_path(index_path)
     from . import metadata
 
-    has_stopped = metadata.read_sidecar(spark, sp) is not None
-    if has_stopped and affected:
-        stopped_now = {
-            r["term"]
-            for r in fetch_path(spark, sp, filters=_term_filter(affected))
+    scan = fetch_path(
+        spark, index_path, filters=_term_filter(affected)
+    ).select("term").withColumn("__side", F.lit("live"))
+    if metadata.read_sidecar(spark, sp) is not None:
+        scan = scan.unionByName(
+            fetch_path(spark, sp, filters=_term_filter(affected))
             .select("term")
-            .distinct()
-            .collect()
-        }
-    live_cand = [t for t in affected if t not in stopped_now]
-    live_cnt = _term_counts(spark, index_path, live_cand)
-    # stopped terms only need an exact count when the batch NET-decreases
-    # their df — otherwise they provably stay over the cap
-    need_cnt = [
-        t for t in stopped_now if dec.get(t, 0) > inc.get(t, 0)
-    ]
-    stop_cnt = _term_counts(spark, sp, need_cnt) if need_cnt else {}
+            .withColumn("__side", F.lit("stopped"))
+        )
+    counts = {
+        (r["term"], r["__side"]): int(r["__n"])
+        for r in scan.groupBy("term", "__side")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()
+    }
+    stopped_now = {t for (t, side) in counts if side == "stopped"}
     live_terms, stop_terms = set(), set()
     movers_up, movers_down = [], []
     for t in affected:
         if t in stopped_now:
-            if t in stop_cnt:
-                new_df = stop_cnt[t] - dec.get(t, 0) + inc.get(t, 0)
-            else:
-                new_df = max_df + 1  # provably still over the cap
+            cur = counts[(t, "stopped")]
         else:
-            new_df = (
-                live_cnt.get(t, 0) - dec.get(t, 0) + inc.get(t, 0)
-            )
+            cur = counts.get((t, "live"), 0)
+        new_df = cur - dec.get(t, 0) + inc.get(t, 0)
+        # rows of this term still resident on its CURRENT side after the
+        # caller's id tombstones: only those can (and need to) move
+        remaining = cur - dec.get(t, 0)
         if new_df <= max_df:
             live_terms.add(t)
-            if t in stopped_now:
+            if t in stopped_now and remaining > 0:
                 movers_down.append(t)
         else:
             stop_terms.add(t)
-            if t not in stopped_now and live_cnt.get(t, 0) > 0:
+            if t not in stopped_now and remaining > 0:
                 movers_up.append(t)
     return live_terms, stop_terms, movers_up, movers_down
 
@@ -591,29 +693,19 @@ def append_to_text_index(
             live_rows, stop_rows = _route_batch(
                 postings, live_terms, stop_terms
             )
-            if live_rows.limit(1).count() > 0:
-                publish_path(
-                    spark, index_path, live_rows, [], mode="append",
-                    sort_within_files=["term"],
-                )
-            # crossing terms' existing lists leave the live index BEFORE
-            # their batch rows land stopped-side (a crash in between
-            # leaves the term double-resident toward stopped — the
-            # documented copy-first direction)
-            _move_terms(
-                spark, index_path, index_path, _stopped_path(index_path),
-                movers_up, id_col, meta,
+            _commit_capped_routing(
+                spark, index_path, meta, id_col, live_rows, stop_rows,
+                inc, live_terms, stop_terms, movers_up, [],
             )
-            if stop_rows is not None and stop_rows.limit(1).count() > 0:
-                _companion_append(
-                    spark, index_path, _stopped_path(index_path),
-                    stop_rows.select("term", F.col(id_col), "tf", "dl"),
-                    meta,
-                )
             publish_path(
                 spark, _fwd_path(index_path),
                 postings.select(F.col(id_col), F.col("term")),
                 [], mode="append",
+                # inc nonempty proves the pair frame has rows; an empty
+                # batch never reaches here (publish raised upstream)
+                _write_hints=(
+                    {"rows_per_file": _MAINT_ROWS_PER_FILE} if inc else None
+                ),
             )
         else:
             publish_path(
@@ -624,12 +716,15 @@ def append_to_text_index(
         # index has none — appending a PARTIAL doclens would poison
         # reindex's stats fold, so only maintain an existing one
         if _doclens_exists(spark, index_path):
+            # reached only after a postings publish succeeded, which
+            # proves the batch nonempty (an empty one raised above)
             publish_path(
                 spark,
                 _doclens_path(index_path),
                 dl.select(F.col(id_col), F.col("dl")),
                 [],
                 mode="append",
+                _write_hints={"rows_per_file": _MAINT_ROWS_PER_FILE},
             )
         delta = dl.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
@@ -685,9 +780,10 @@ def reindex_documents(
     post-reindex df, and terms crossing the cap in EITHER direction
     have their posting lists moved — search stays ≡ rebuild-with-max_df
     over the updated corpus. The capped commit sequence is id-tombstone
-    → routed appends → moves → forward-table upsert (multi-commit
-    honesty per the module docstring) instead of the uncapped single
-    eq-delete snapshot."""
+    → one routed append per destination (each carrying its side's
+    cap-crossing copies, r12) → mover-source tombstones → forward-table
+    upsert (multi-commit honesty per the module docstring) instead of
+    the uncapped single eq-delete snapshot."""
     _check_names(id_col, text_col)
     meta = _require_index(spark, index_path)
     key = _index_id_col(meta, index_path)
@@ -706,16 +802,23 @@ def reindex_documents(
         )
     from . import metadata
 
-    dup = (
+    # ONE pass over the batch yields the validation AND the changed-id
+    # list (bounded driver state — reindex batches are change sets, not
+    # corpora, the same boundedness as every filter-values list); the
+    # tokenizer keeps every non-NULL text (empty text still yields one
+    # empty-string token), so these ids are exactly dl's ids
+    id_rows = (
         changed_docs.groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("__n"),
             F.count(F.when(F.col(text_col).isNull(), 1)).alias("__nulltext"),
         )
-        .filter(f"__n > 1 or {id_col} is null or __nulltext > 0")
-        .limit(1)
         .collect()
     )
+    dup = [
+        r for r in id_rows
+        if r["__n"] > 1 or r[id_col] is None or r["__nulltext"] > 0
+    ]
     if dup:
         raise ValueError(
             "reindex_documents: changed_docs ids must be unique and "
@@ -728,10 +831,8 @@ def reindex_documents(
     dl = dl.persist()
     try:
         # old lengths: bloom-pruned point fetch on the id fingerprints —
-        # O(files holding the changed ids), never O(corpus). Driver holds
-        # the changed-id list: reindex batches are change sets, not
-        # corpora (the same boundedness as every filter-values list).
-        ids = [r[0] for r in dl.select(id_col).collect()]
+        # O(files holding the changed ids), never O(corpus)
+        ids = [r[id_col] for r in id_rows]
         old = (
             fetch_path(
                 spark,
@@ -785,26 +886,18 @@ def reindex_documents(
             live_rows, stop_rows = _route_batch(
                 batch, live_terms, stop_terms
             )
-            if live_rows.limit(1).count() > 0:
-                publish_path(
-                    spark, index_path, live_rows, [], mode="append",
-                    sort_within_files=["term"],
-                )
-            if stop_rows is not None and stop_rows.limit(1).count() > 0:
-                _companion_append(
-                    spark, index_path, sp,
-                    stop_rows.select("term", F.col(id_col), "tf", "dl"),
-                    meta,
-                )
-            _move_terms(spark, index_path, index_path, sp,
-                        movers_up, id_col, meta)
-            _move_terms(spark, index_path, sp, index_path,
-                        movers_down, id_col, meta)
+            _commit_capped_routing(
+                spark, index_path, meta, id_col, live_rows, stop_rows,
+                inc, live_terms, stop_terms, movers_up, movers_down,
+            )
             # forward table upsert: ONE eq-delete snapshot replaces the
-            # changed docs' pair lists
+            # changed docs' pair lists (nonempty: ids were collected, and
+            # every non-NULL text yields at least one posting)
             eq_delete_append(
                 spark, fwdp,
                 batch.select(F.col(id_col), F.col("term")), [id_col],
+                _known_nonempty=True,
+                _write_hints={"rows_per_file": _MAINT_ROWS_PER_FILE},
             )
             batch.unpersist()
         else:
@@ -815,6 +908,10 @@ def reindex_documents(
             eq_delete_append(
                 spark, index_path, batch, [id_col],
                 sort_within_files=["term"],
+                _known_nonempty=bool(ids),
+                _write_hints=(
+                    {"rows_per_file": _MAINT_ROWS_PER_FILE} if ids else None
+                ),
             )
         dl_meta = metadata.read_sidecar(spark, _doclens_path(index_path))
         dl_vocab = dl_meta.column_types.get(id_col) if dl_meta else vocab
@@ -822,7 +919,13 @@ def reindex_documents(
             id_col, F.col(id_col).cast(metadata.vocab_to_spark_type(dl_vocab))
         )
         eq_delete_append(
-            spark, _doclens_path(index_path), dl_batch, [id_col]
+            spark, _doclens_path(index_path), dl_batch, [id_col],
+            # ids collected driver-side: the batch provably has one dl
+            # row per changed id (empty batches keep the probe)
+            _known_nonempty=bool(ids),
+            _write_hints=(
+                {"rows_per_file": _MAINT_ROWS_PER_FILE} if ids else None
+            ),
         )
         delta = dl.agg(
             F.count(F.lit(1)).alias("n"), F.sum("dl").alias("t")
@@ -934,9 +1037,12 @@ def remove_documents(
         )
         # re-admission: stop terms the removal dropped under the cap
         # (reads see the id tombstones, so the moved lists are already
-        # minus the removed docs)
-        _move_terms(spark, index_path, sp, index_path,
-                    movers_down, id_col, meta)
+        # minus the removed docs) — one live-side publish + one stopped
+        # tombstone via the shared routing commit (no batch rows here)
+        _commit_capped_routing(
+            spark, index_path, meta, id_col, None, None,
+            {}, set(), set(), [], movers_down,
+        )
     _write_stats(
         spark,
         index_path,
@@ -1159,16 +1265,12 @@ def text_index_info(
 
     meta = _require_index(spark, index_path)
     n_docs, total_len, max_df = _read_stats(spark, index_path)
-    import re as _re
-
-    m = _re.search(r"%?\s*(?:pmod[^,]*,\s*)?(\d+)\)+\s*as int",
-                   meta.derived_partitions["bucket"])
     info = {
         "n_docs": n_docs,
         "total_len": total_len,
         "avgdl": (total_len / n_docs) if n_docs else 0.0,
         "max_df": max_df,
-        "n_buckets": int(m.group(1)) if m else None,
+        "n_buckets": _n_buckets_of(meta),
         "id_col": _index_id_col(meta, index_path),
         "members": {},
     }

@@ -45,6 +45,25 @@ of bloom state — ~24 MB at 10k files, GBs at 10^6 — plus ~80 B/file of
 added-lists); the one-time per-process stats load is columnar+zstd and is
 paid only by queries whose filters can prune; the point fetch stays flat
 because exactly one file survives the skip however many files exist.
+
+``matching`` mode (r12) probes the OTHER axis — the r11 #8 stretch: the
+MATCHING file count grows 10x while the filter still keeps one whole
+partition. ``files-path`` ships one py4j path string per matching file
+(the pre-r12 plan, forced); ``dirs-path`` is the shipped
+``fetch._dir_scan`` plan — whole hive dirs, verified against the
+manifest via the executed InMemoryFileIndex. Recorded (local[32], this
+container, 2026-08-16, r12; 4 partitions x N files, one kept):
+
+    matching   files-path   dirs-path
+        500       1.616s      0.568s
+       2000       4.140s      1.419s
+       5000       8.637s      3.500s
+
+The remaining dirs-path slope is the scan itself (N one-row files =
+N footer reads + tasks — irreducible work that rides executors, not the
+driver); the ~1 ms/file driver-side fixed cost (py4j transfer + per-leaf
+``getFileStatus``) is gone. On an object store the same change turns N
+HEAD requests into one LIST per directory.
 """
 
 from __future__ import annotations
@@ -179,6 +198,74 @@ def stats_probe(spark, sizes) -> None:
         )
 
 
+def build_matching(spark, files_per_part: int) -> str:
+    """Few partitions, MANY files each: the filter keeps one whole
+    partition, so the MATCHING file count grows with files_per_part —
+    the r11 #8 shape (pruned reads were flat in dataset size but O(
+    matching files) in py4j path transfer + per-leaf getFileStatus)."""
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.publish import publish_path
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"s3parq_match_probe_{files_per_part}"
+    )
+    marker = os.path.join(base, "_PROBE_OK")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    n = 4 * files_per_part
+    df = spark.range(n).select(
+        F.col("id"), (F.col("id") % 4).cast("int").alias("p")
+    )
+    publish_path(
+        spark, base, df.repartition(files_per_part), ["p"],
+        max_records_per_file=1,
+    )
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def matching_probe(spark, sizes) -> None:
+    """r12 probe (r11 verdict #8 done-criterion): a pruned fetch whose
+    MATCHING file count grows 10x. ``dirs`` mode ships whole hive
+    directories (fetch._dir_scan — the survivor set covers them, the
+    InMemoryFileIndex verification pins correctness); ``files`` mode
+    forces the per-file path list (the pre-r12 plan) by disabling the
+    dir coalescing. The per-matching-file fixed cost is the gap."""
+    import importlib
+
+    fetch_mod = importlib.import_module("s3parq_spark.fetch")
+    flt = [{"partition": "p", "comparison": "==", "values": [3]}]
+    print(f"{'matching':>9} {'files-path':>11} {'dirs-path':>10} {'dirs?':>6}")
+    for fp in sizes:
+        path = build_matching(spark, fp)
+        times = {}
+        used = None
+        for mode in ("files", "dirs"):
+            orig = fetch_mod._DIR_SCAN_MIN_FILES
+            if mode == "files":
+                fetch_mod._DIR_SCAN_MIN_FILES = 10**9
+            best = None
+            try:
+                for _ in range(3):
+                    t0 = time.time()
+                    n = fetch_mod.fetch_path(spark, path, filters=flt).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                assert n == fp, (n, fp)
+            finally:
+                fetch_mod._DIR_SCAN_MIN_FILES = orig
+            times[mode] = best
+            if mode == "dirs":
+                used = fetch_mod._LAST_SCAN_USED_DIRS
+        print(
+            f"{fp:>9} {times['files']:>10.3f}s {times['dirs']:>9.3f}s "
+            f"{str(used):>6}"
+        )
+
+
 def main() -> None:
     from s3parq_spark.session import get_spark
 
@@ -187,6 +274,10 @@ def main() -> None:
     if sys.argv[1:2] == ["stats"]:
         sizes = [int(a) for a in sys.argv[2:]] or [200, 2000, 10000]
         stats_probe(spark, sizes)
+        return
+    if sys.argv[1:2] == ["matching"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [500, 2000, 5000]
+        matching_probe(spark, sizes)
         return
     sizes = [int(a) for a in sys.argv[1:]] or [100, 1000, 5000]
     print(f"{'files':>8} {'unpruned':>10} {'pruned':>10}")

@@ -1013,3 +1013,67 @@ def test_stream_index_documents_recovers_partial_bootstrap(spark, tmp_path):
     assert _rows(search_text_index(spark, idx, ["alpha"], k=20)) == \
         _rows(search_text_index(spark, ref, ["alpha"], k=20))
     assert _read_stats(spark, idx) == _read_stats(spark, ref)
+
+
+def test_bucket_transform_jvm_driver_parity(spark):
+    """The maintenance plane hands publish the exact hive dirs a batch
+    touches, computed DRIVER-side from the same md5 fold the recorded
+    bucket transform runs on the JVM (_bucket_of) — wrong parity would
+    scope the commit's new-file listing to the wrong dirs and silently
+    drop files from the snapshot, so it is pinned here over ASCII,
+    unicode, punctuation, and the empty token."""
+    from s3parq_spark.text_index import _BUCKET_EXPR, _bucket_of
+
+    terms = [
+        "hash", "the", "", "a" * 100, "naïve", "日本語", "emoji🙂",
+        "tab\tchar", "percent%sign", "eq=sign", "slash/term",
+    ]
+    for n in (4, 16, 64, 1000):
+        df = spark.createDataFrame([(t,) for t in terms], "term string")
+        got = {
+            r["term"]: r["b"]
+            for r in df.withColumn(
+                "b", F.expr(_BUCKET_EXPR.format(n=n))
+            ).collect()
+        }
+        for t in terms:
+            assert got[t] == _bucket_of(t, n), (t, n)
+
+
+def test_write_hints_commit_parity(spark, tmp_path):
+    """A publish carrying _write_hints (caller-known touched dirs +
+    sizing) must commit exactly the same snapshot shape as the unhinted
+    publish: same added-file dirs, same readable rows."""
+    from s3parq_spark.publish import publish_path
+    from s3parq_spark.fetch import fetch_path
+
+    rows = [(i, i % 4, f"v{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, k int, v string")
+    plain = str(tmp_path / "plain")
+    hinted = str(tmp_path / "hinted")
+    for p in (plain, hinted):
+        publish_path(spark, p, df, ["k"])
+    batch = spark.createDataFrame(
+        [(100, 1, "new"), (101, 3, "new")], "id long, k int, v string"
+    )
+    new_plain = publish_path(spark, plain, batch, ["k"], mode="append")
+    new_hinted = publish_path(
+        spark, hinted, batch, ["k"], mode="append",
+        _write_hints={"rows_per_file": 1000,
+                      "touched_dirs": ["k=1", "k=3"]},
+    )
+    assert sorted({f.rsplit("/", 1)[0].split("/")[-1] for f in new_plain}) \
+        == sorted({f.rsplit("/", 1)[0].split("/")[-1] for f in new_hinted}) \
+        == ["k=1", "k=3"]
+    a = sorted(fetch_path(spark, plain).collect())
+    b = sorted(fetch_path(spark, hinted).collect())
+    assert a == b and len(a) == 42
+    # an OVER-inclusive dir hint is harmless (extra dirs list empty)
+    publish_path(
+        spark, hinted,
+        spark.createDataFrame([(102, 2, "x")], "id long, k int, v string"),
+        ["k"], mode="append",
+        _write_hints={"rows_per_file": 1000,
+                      "touched_dirs": ["k=0", "k=2"]},
+    )
+    assert fetch_path(spark, hinted).count() == 43
