@@ -22,7 +22,8 @@ storage lifecycle:
   accumulates in the sidecar so drift is observable.
 - ``remove_vectors`` is one zero-data-read merge-on-read tombstone per
   call (the same machinery as ``text_index.remove_documents``);
-  ``compact_dataset`` materializes on the usual cadence.
+  ``compact_ivf_index`` materializes the accumulated debt across the
+  index AND its raw-vector companion on the usual cadence.
 - ``search_ivf_index`` ranks cells against the persisted centroids,
   issues ONE partition filter on ``cell`` (file-index prune), and
   scores candidates — exact cosine for flat indexes, ADC lookup-table
@@ -64,6 +65,7 @@ __all__ = [
     "append_to_ivf_index",
     "attach_vectors_companion",
     "build_ivf_index",
+    "compact_ivf_index",
     "index_drift",
     "remove_vectors",
     "search_ivf_index",
@@ -522,6 +524,54 @@ def attach_vectors_companion(
         return int(n)
     finally:
         batch.unpersist()
+
+
+def compact_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    max_records_per_file: Optional[int] = None,
+) -> dict:
+    """Materialize the index family's merge-on-read debt in one
+    maintenance call — the ANN mirror of ``compact_text_index``.
+
+    Continuous ingestion (``append_to_ivf_index`` batches,
+    ``stream_upsert_vectors`` micro-batches) leaves one small file set
+    per touched cell per commit, and every ``remove_vectors``/
+    ``upsert_vectors`` leaves a tombstone that taxes each probe with a
+    row filter over the pre-removal eras. This compacts the index
+    dataset (cell partitioning, id blooms, and — when the index is a
+    streaming sink — the exactly-once txn ledger all ride
+    ``compact_dataset``'s sidecar carry-through) and, when present, the
+    raw-vector companion, clustered by id (``sort_by``): refine's
+    point-fetch pushes ``id IN (...)`` into the scan, so id-disjoint
+    files let parquet row-group stats skip everything but the
+    candidates' groups. Quantizers are a sibling JSON sidecar — the
+    two-rename swap never touches them, so drift counters and frozen
+    centroids/books survive by construction (pinned by test).
+
+    Search before == search after (probes, scores, refine) — compaction
+    only rewrites file geometry. Returns {member: n files rewritten}.
+    """
+    q = _load_quantizers(spark, index_path, "compact_ivf_index")
+    from .publish import compact_dataset
+
+    report = {
+        "index": len(
+            compact_dataset(
+                spark, index_path,
+                max_records_per_file=max_records_per_file,
+            )
+        )
+    }
+    if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
+        report["vectors"] = len(
+            compact_dataset(
+                spark, _vectors_path(index_path),
+                max_records_per_file=max_records_per_file,
+                sort_by=[q["id_col"]],
+            )
+        )
+    return report
 
 
 def search_ivf_index(

@@ -1797,7 +1797,14 @@ def compact_dataset(
         file_bloom_bits=(sidecar.zone_maps or {}).get("bloom_bits"),
     )
     carried_derived = dict(sidecar.derived_partitions or {})
-    if sort_by or zorder_by or carried_derived:
+    carried_txns = dict(sidecar.txns or {})
+    carried_aggregate = (
+        dict(sidecar.aggregate) if sidecar.aggregate else None
+    )
+    if (
+        sort_by or zorder_by or carried_derived or carried_txns
+        or carried_aggregate
+    ):
         new_meta = metadata.read_sidecar(spark, tmp)
         if sort_by or zorder_by:
             # declare the new clustering in the rewritten sidecar, exactly
@@ -1813,6 +1820,32 @@ def compact_dataset(
             # append (which relies on automatic re-derivation) would fail
             # the partition-mismatch check
             new_meta.derived_partitions = carried_derived
+        if carried_txns:
+            # the idempotent-writer ledger must survive compaction: the
+            # rewrite's overwrite publish starts a fresh ledger (correct
+            # for a REPLACED dataset, not for a layout-preserving
+            # rewrite) — without the carry, a streaming sink's
+            # crash-replay after a routine compaction would re-apply an
+            # already-committed batch (duplicate rows / double-counted
+            # drift). expire_snapshots and restore_dataset preserve the
+            # ledger the same way; compaction is no less a maintenance
+            # op. The folded top-level dict is the source of truth
+            # (stamped at every _txn commit); the rewritten v1 snapshot
+            # additionally carries it as a squash-base ``txns`` dict —
+            # the compacted snapshot CONTAINS every claimed batch's
+            # rows, so the claims stay PROVABLE from history (a later
+            # restore_dataset recomputes the ledger from snapshot
+            # stamps and would otherwise drop them).
+            new_meta.txns = carried_txns
+            if new_meta.snapshots:
+                new_meta.snapshots[-1]["txns"] = dict(carried_txns)
+        if carried_aggregate:
+            # ditto the continuous-aggregate definition: refresh appends
+            # per-refresh deltas (exactly the small-file debt compaction
+            # exists to clear), and losing {"src", "group_by", "aggs",
+            # "last_src_version"} here would turn the next
+            # refresh_aggregate into a loud failure on its own dataset
+            new_meta.aggregate = carried_aggregate
         metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".precompact"
     fs.delete(spark, old)
@@ -1903,6 +1936,25 @@ def repartition_dataset(
         ),
         file_bloom_bits=(sidecar.zone_maps or {}).get("bloom_bits"),
     )
+    if sidecar.txns or sidecar.aggregate:
+        # layout evolution is still a maintenance rewrite: the writer
+        # ledger and the continuous-aggregate definition describe the
+        # dataset's CONTENT, which is unchanged — same carry as
+        # compact_dataset (a dropped ledger would re-apply a streaming
+        # sink's crash-replayed batch as duplicates). Derived-partition
+        # transforms do NOT carry: the new layout was stated explicitly,
+        # and any old transform's column is either gone or now an
+        # explicit partition of the rewritten dataset.
+        new_meta = metadata.read_sidecar(spark, tmp)
+        if sidecar.txns:
+            new_meta.txns = dict(sidecar.txns)
+            if new_meta.snapshots:
+                # squash-base stamp: keeps the claims provable from
+                # history across a later restore_dataset recompute
+                new_meta.snapshots[-1]["txns"] = dict(sidecar.txns)
+        if sidecar.aggregate:
+            new_meta.aggregate = dict(sidecar.aggregate)
+        metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".prerepartition"
     fs.delete(spark, old)
     if not fs.rename(spark, path, old):

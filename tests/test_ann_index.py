@@ -684,3 +684,147 @@ def test_batch_refine_equals_per_query_refine(spark, emb, tmp_path):
                         "embedding", k=2, iters=1)
         search_ivf_index_batch(spark, flat, queries, k=5, nprobe=2,
                                refine_factor=2)
+
+
+def test_compact_ivf_index_search_parity_and_geometry(spark, emb, tmp_path):
+    """compact_ivf_index materializes the family's MoR debt (batch-append
+    small files, removal/upsert tombstones) in index AND companion
+    without changing a single search answer: probes, ADC scores, refine
+    re-ranks, and the drift counters are bit-identical across the
+    rewrite, the frozen quantizers are untouched by construction, and
+    the file count actually drops."""
+    import glob
+    import json
+
+    from s3parq_spark.ann_index import compact_ivf_index, upsert_vectors
+
+    idx = str(tmp_path / "ivfpq")
+    build_ivf_index(
+        spark, emb.filter("vec_id < 70"), idx, "vec_id", "embedding",
+        k=4, iters=1, m=4, codes=4, store_vectors=True,
+        max_records_per_file=16,
+    )
+    for lo, hi in ((70, 80), (80, 90), (90, 100)):
+        append_to_ivf_index(
+            spark,
+            emb.filter(f"vec_id >= {lo} and vec_id < {hi}"),
+            idx, "vec_id", "embedding",
+        )
+    remove_vectors(spark, [5, 17, 29], idx, "vec_id")
+    upsert_vectors(
+        spark,
+        emb.filter("vec_id < 8").select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ),
+        idx, "vec_id", "embedding",
+    )
+
+    def nfiles(p):
+        return len(glob.glob(f"{p}/**/*.parquet", recursive=True))
+
+    def probe():
+        qv = _query_vec(emb, 3)
+        adc = _rows(search_ivf_index(spark, idx, qv, k=8, nprobe=3))
+        ref = _rows(search_ivf_index(spark, idx, qv, k=8, nprobe=3,
+                                     refine_factor=6))
+        return adc, ref, index_drift(spark, idx)
+
+    before = probe()
+    q_before = open(idx + "_quantizers.json").read()
+    files_before = (nfiles(idx), nfiles(idx + "_vectors"))
+
+    report = compact_ivf_index(spark, idx)
+    assert set(report) == {"index", "vectors"}
+
+    assert probe() == before
+    assert open(idx + "_quantizers.json").read() == q_before
+    files_after = (nfiles(idx), nfiles(idx + "_vectors"))
+    assert files_after[0] < files_before[0], (files_before, files_after)
+    assert files_after[1] < files_before[1], (files_before, files_after)
+    # the debt is actually materialized: single-snapshot history, no
+    # tombstones taxing the next read
+    from s3parq_spark import metadata as _md
+    for p in (idx, idx + "_vectors"):
+        m = _md.read_sidecar(spark, p)
+        assert len(m.snapshots) == 1, p
+        assert not any(s.get("deletes") for s in m.snapshots), p
+
+
+def test_stream_upsert_vectors_replay_after_compaction(spark, emb, tmp_path):
+    """REGRESSION (r12): compact_dataset's rewrite used to reset the
+    idempotent-writer ledger (an overwrite publish starts a fresh
+    ``txns``), so a streaming sink's crash-replay AFTER a routine
+    compaction re-applied an already-committed batch — double-counted
+    drift counters and a duplicate snapshot. The ledger now rides the
+    compaction carry-through (and is stamped onto the rewritten v1
+    snapshot squash-base style, so it stays provable across restore)."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark import metadata
+    from s3parq_spark.ann_index import compact_ivf_index
+    from s3parq_spark.fetch import fetch_path
+    from s3parq_spark.streaming import stream_upsert_vectors
+
+    idx = str(tmp_path / "ivfpq")
+    src = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(df, name):
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        for i, p in enumerate(sorted(glob.glob(f"{scratch}/part-*.parquet"))):
+            shutil.move(p, f"{src}/{name}-{i}.parquet")
+
+    build_ivf_index(
+        spark, emb.filter("vec_id < 60").select("vec_id", "embedding"),
+        idx, "vec_id", "embedding", k=4, iters=1, m=4, codes=4,
+        store_vectors=True,
+    )
+    land(emb.filter("vec_id >= 60 and vec_id < 90")
+         .select("vec_id", "embedding"), "w1")
+    stream_upsert_vectors(spark, src, idx, "vec_id", "embedding",
+                          checkpoint_location=ckpt)
+    land(emb.filter("vec_id >= 90 and vec_id < 100")
+         .select("vec_id", "embedding"), "w2")
+    stream_upsert_vectors(spark, src, idx, "vec_id", "embedding",
+                          checkpoint_location=ckpt)
+
+    ledger = metadata.read_sidecar(spark, idx).txns
+    assert ledger and max(ledger.values()) >= 1
+
+    compact_ivf_index(spark, idx)
+    meta = metadata.read_sidecar(spark, idx)
+    assert meta.txns == ledger  # the carry under test
+    assert len(meta.snapshots) == 1
+    assert index_drift(spark, idx)["appended_n"] == 40
+
+    # crash window: newest checkpoint completion marker deleted — the
+    # sink re-delivers the last batch, and the carried ledger must skip it
+    cdir = os.path.join(ckpt, "commits")
+    victim = os.path.join(
+        cdir,
+        sorted(n for n in os.listdir(cdir)
+               if not n.startswith(".") and not n.endswith(".crc"))[-1],
+    )
+    os.remove(victim)
+    crc = os.path.join(cdir, f".{os.path.basename(victim)}.crc")
+    if os.path.exists(crc):
+        os.remove(crc)
+    stream_upsert_vectors(spark, src, idx, "vec_id", "embedding",
+                          checkpoint_location=ckpt)
+    assert os.path.exists(victim), "batch was not re-delivered"
+
+    meta2 = metadata.read_sidecar(spark, idx)
+    assert len(meta2.snapshots) == 1  # replay SKIPPED: no new commit
+    assert meta2.txns == ledger
+    assert index_drift(spark, idx)["appended_n"] == 40  # not re-counted
+    assert fetch_path(spark, idx).count() == 100
+    dups = (
+        fetch_path(spark, idx).groupBy("vec_id").count()
+        .filter("count > 1").count()
+    )
+    assert dups == 0

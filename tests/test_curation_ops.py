@@ -236,6 +236,29 @@ class TestRepartitionDataset:
         # all input columns survive the migration (source is data now)
         assert set(out.columns) == set(docs.columns)
 
+    def test_ledger_and_aggregate_survive_the_migration(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """REGRESSION (r12): the layout rewrite's overwrite publish used
+        to reset the idempotent-writer txn ledger (and would drop a
+        continuous-aggregate definition) — a streaming sink's replay
+        after a repartition re-applied committed batches."""
+        from s3parq_spark.metadata import read_sidecar
+        from s3parq_spark.publish import repartition_dataset
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        publish_path(spark, tmp_dataset_dir, docs.filter("doc_id % 2 = 0"),
+                     ["source"])
+        publish_path(spark, tmp_dataset_dir, docs.filter("doc_id % 2 = 1"),
+                     ["source"], mode="append",
+                     _txn={"app": "mirror", "version": 7})
+        repartition_dataset(spark, tmp_dataset_dir, ["lang"])
+        meta = read_sidecar(spark, tmp_dataset_dir)
+        assert meta.txns == {"mirror": 7}
+        # provable from history too (squash-base stamp on the v1
+        # snapshot): a restore recompute keeps the claim
+        assert meta.snapshots[-1].get("txns") == {"mirror": 7}
+
     def test_same_layout_and_missing_column_rejected(
         self, spark, tmp_dataset_dir, sf_dir
     ):

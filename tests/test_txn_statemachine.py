@@ -15,6 +15,7 @@ import random
 
 from s3parq_spark import metadata
 from s3parq_spark.publish import (
+    compact_dataset,
     expire_snapshots,
     merge_upsert,
     publish_path,
@@ -48,7 +49,7 @@ def test_txn_ledger_statemachine(spark, tmp_path):
     for step in range(14):
         op = rng.choice(
             ["stamped_append", "stamped_mor", "plain_append",
-             "replay", "expire", "restore"]
+             "replay", "expire", "restore", "compact"]
         )
         meta = metadata.read_sidecar(spark, ds)
         if op == "stamped_append":
@@ -98,6 +99,16 @@ def test_txn_ledger_statemachine(spark, tmp_path):
             # squashed snapshots <= base version by construction, so
             # version <= target keeps exactly the provable ones)
             stamps = [(v, s) for v, s in stamps if v <= target]
+        elif op == "compact":
+            # maintenance rewrite: history restarts at v1 but the folded
+            # ledger carries, stamped onto the v1 snapshot as a
+            # squash-base ``txns`` dict — so every surviving claim is
+            # provable at version 1 from now on (restore keeps them)
+            compact_dataset(spark, ds)
+            head = 1
+            stamps = [
+                (1, (a, v)) for a, v in sorted(_model_ledger(stamps).items())
+            ]
         got = metadata.read_sidecar(spark, ds).txns
         want = _model_ledger(stamps)
         assert got == want, (step, op, got, want)

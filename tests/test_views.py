@@ -211,3 +211,35 @@ def test_restore_reappend_lookalike_baseline_forces_full(
     assert _got(spark, dst) == _expected(fetch_path(spark, src))
     # an untouched head refreshes as a true noop afterwards
     assert refresh_aggregate(spark, dst)["mode"] == "noop"
+
+
+def test_compaction_preserves_the_aggregate_definition(
+    spark, orders, tmp_path
+):
+    """compact_dataset on a continuous aggregate must carry the recorded
+    definition through its rewrite: refresh appends per-refresh deltas —
+    exactly the small-file debt compaction clears — and the pre-fix
+    rewrite dropped ``aggregate`` from the rebuilt sidecar, turning the
+    next refresh_aggregate into a loud 'not a continuous aggregate'
+    failure on its own dataset."""
+    from s3parq_spark.publish import compact_dataset
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "agg")
+    publish_path(spark, src, orders.filter("o_orderkey % 4 = 0"),
+                 ["o_orderstatus"])
+    create_aggregate(spark, src, dst, ["o_orderstatus"], AGGS)
+    publish_path(spark, src, orders.filter("o_orderkey % 4 = 1"),
+                 ["o_orderstatus"])
+    assert refresh_aggregate(spark, dst)["mode"] == "incremental"
+
+    compact_dataset(spark, dst)
+    d = metadata.read_sidecar(spark, dst).aggregate
+    assert d and d["src"] == src and d["last_src_version"] == 2
+    assert _got(spark, dst) == _expected(orders.filter("o_orderkey % 4 < 2"))
+
+    # the definition still drives refresh: noop at head, incremental past
+    assert refresh_aggregate(spark, dst)["mode"] == "noop"
+    publish_path(spark, src, orders.filter("o_orderkey % 4 = 2"),
+                 ["o_orderstatus"])
+    assert refresh_aggregate(spark, dst)["mode"] == "incremental"
+    assert _got(spark, dst) == _expected(orders.filter("o_orderkey % 4 < 3"))
