@@ -449,6 +449,38 @@ CASES = [
         "row-level filter on the pre-removal eras, and scoring is a "
         "projection (no join, no shuffle before TakeOrderedAndProject).",
     ),
+    (
+        "stream_index_docs",
+        "Steady-state search over the STREAM-maintained text index "
+        "(r12): the landing directory, checkpoint, and foreachBatch "
+        "plumbing appear NOWHERE — the plan is the same bucket-pruned "
+        "(PartitionFilters on bucket) + term-pushed (PushedFilters In("
+        "term,...)) BM25 scan a batch-built index serves; the CDC "
+        "reindex waves surface only as per-era eq-delete anti-joins "
+        "(keys broadcast) pending compaction. Streaming ingestion "
+        "costs the QUERY plan nothing.",
+    ),
+    (
+        "pq_refine_search",
+        "PQ + exact refine (r12): two bounded phases — ADC ranks as a "
+        "pure projection over the code columns inside the probed cells "
+        "(PartitionFilters on cell; non-probed cells are zero I/O), "
+        "then refine point-fetches the k*f candidates' TRUE vectors "
+        "from the id-bloomed companion (id IN (...) pushed to its "
+        "scan, O(candidate files) via the blooms) and re-ranks exact "
+        "cosine. Never a corpus scan; the candidate list is the only "
+        "driver-side state (bounded k*f).",
+    ),
+    (
+        "ann_stream_upsert",
+        "Post-CDC probe over the streaming-upserted IVF index (r12): "
+        "PartitionFilters on cell at the FileScan; re-arrived (negated) "
+        "vectors scan in their NEW cells only; the upsert tombstones "
+        "are row-level NOT-IN filters on pre-upsert eras. Exactly-once "
+        "is an ABSENCE in the plan — the txn-ledger-skipped replay adds "
+        "no duplicate era, so the union has exactly one branch per "
+        "committed batch.",
+    ),
 ]
 
 

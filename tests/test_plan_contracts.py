@@ -393,3 +393,46 @@ def test_capped_search_reads_live_postings_only(spark, sf_dir):
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1)
     assert "CartesianProduct" not in plan
+
+
+def test_stream_indexed_search_plan_is_batch_identical(spark, sf_dir):
+    """stream_index_docs (r12): the steady-state search over a
+    STREAM-maintained index must be the same bucket-pruned, term-pushed
+    scan a batch-built index serves — the landing dir, checkpoint, and
+    foreachBatch plumbing appear nowhere, and the cap companions stay
+    out of the query plane. Streaming ingestion costs the query plan
+    nothing."""
+    plan = _plan(spark, sf_dir, "stream_index_docs")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:800]
+    assert "In(term" in plan
+    assert "_stopped" not in plan and "_fwd" not in plan
+    assert "StreamingRelation" not in plan and "checkpoint" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_refine_is_bounded_point_fetch_no_shuffle(spark, sf_dir):
+    """pq_refine_search (r12): the refine phase must be ONE bounded
+    point-fetch of the k*f ADC candidates' true vectors — id IN (...)
+    pushed into the companion scan (bloom-pruned at the file index) —
+    re-ranked as a projection: no join, no shuffle, never a corpus
+    scan."""
+    plan = _plan(spark, sf_dir, "pq_refine_search")
+    assert "In(vec_id" in plan, plan[:800]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan  # candidate re-rank shuffles nothing
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_stream_upserted_index_refine_has_one_era_per_commit(spark, sf_dir):
+    """ann_stream_upsert (r12): the post-CDC refine reads the companion
+    eras as a union — ONE branch per committed batch (the ledger-skipped
+    replay adds none) — with upsert tombstones as row-level NOT-IN
+    filters, candidates pushed as id IN (...), and no shuffle below the
+    top-k."""
+    plan = _plan(spark, sf_dir, "ann_stream_upsert")
+    assert "In(vec_id" in plan, plan[:800]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    assert "StreamingRelation" not in plan
