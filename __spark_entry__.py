@@ -93,6 +93,10 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
     "ann_stream_upsert",    # new: streaming vector CDC with the txn
                             # ledger — negated re-arrivals re-assign to
                             # new cells; refine search == SQL replay
+    "ann_compact_search",   # new: the lifecycle incl. compact_ivf_index
+                            # — MoR debt materialized across index +
+                            # companion, search == SQL replay minus
+                            # removed ids
 )
 
 

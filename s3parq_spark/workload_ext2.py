@@ -4750,6 +4750,137 @@ def q_ann_stream_upsert(spark, sf_dir):
     ).limit(10)
 
 
+def q_ann_compact_search(spark, sf_dir):
+    """The at-rest ANN lifecycle INCLUDING compaction (r12 —
+    ann_index.compact_ivf_index): build PQ + companion over the <350
+    prefix, append [350,430), REMOVE every vec_id % 50 = 7, upsert CDC
+    (vec_id % 25 = 3 of the prefix re-arrives NEGATED, plus inserts
+    [430,500)), then compact_ivf_index materializes the accumulated
+    merge-on-read debt across index and companion (single-snapshot
+    history asserted; search parity across the rewrite asserted). The
+    final refine search equals exact cosine inside the query's top-3
+    cells over the post-CDC corpus minus the removed ids — which the
+    oracle replays from the coarse-training definition."""
+    from .ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        compact_ivf_index,
+        remove_vectors,
+        search_ivf_index,
+        upsert_vectors,
+    )
+    from .workload import _ds_path
+    from . import metadata as _md
+
+    path = _ds_path(sf_dir, "ivf_compacted")
+    marker = os.path.join(path, "_COMPACTED")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter("vec_id = 5").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    if not os.path.exists(marker):
+        for suffix in ("", "_vectors"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        qp = path.rstrip("/") + "_quantizers.json"
+        if os.path.exists(qp):
+            os.remove(qp)
+        build_ivf_index(
+            spark, emb.filter("vec_id < 350"), path, "vec_id", "embedding",
+            k=8, iters=1, m=4, codes=8, store_vectors=True,
+        )
+        append_to_ivf_index(
+            spark, emb.filter("vec_id >= 350 and vec_id < 430"),
+            path, "vec_id", "embedding",
+        )
+        removed = [r[0] for r in emb.filter("vec_id % 50 = 7")
+                   .select("vec_id").collect()]
+        remove_vectors(spark, removed, path, "vec_id")
+        cdc = emb.filter("vec_id % 25 = 3 and vec_id < 350").select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ).unionByName(emb.filter("vec_id >= 430"))
+        upsert_vectors(spark, cdc, path, "vec_id", "embedding")
+        pre = [(r[0], round(r[1], 9)) for r in search_ivf_index(
+            spark, path, qv, k=11, nprobe=3, refine_factor=50).collect()]
+        compact_ivf_index(spark, path)
+        post = [(r[0], round(r[1], 9)) for r in search_ivf_index(
+            spark, path, qv, k=11, nprobe=3, refine_factor=50).collect()]
+        # the op under test: the rewrite changed file geometry only
+        assert pre == post, "compaction changed a search answer"
+        for p in (path, path.rstrip("/") + "_vectors"):
+            m = _md.read_sidecar(spark, p)
+            assert m is not None and len(m.snapshots) == 1, p
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_ivf_index(spark, path, qv, k=11, nprobe=3,
+                           refine_factor=50)
+    return out.filter("vec_id <> 5").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["ann_compact_search"] = q_ann_compact_search
+# same coarse replay as ann_stream_upsert (train over the ORIGINAL <350
+# prefix, frozen-centroid assignment of the post-CDC corpus), minus the
+# REMOVED ids (vec_id % 50 = 7) — compaction must not change a single
+# score, so the oracle is the lifecycle\'s value-level definition
+ORACLE_EXT2["ann_compact_search"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 350
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 25 = 3 AND vec_id < 350
+                  THEN list_transform(v, x -> -x)
+                  ELSE v END AS v
+      FROM e WHERE vec_id % 50 <> 7
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 5
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), asg AS (
+      SELECT corpus.vec_id, corpus.v,
+             arg_max(c.cid, list_dot_product(corpus.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM corpus CROSS JOIN c1 c GROUP BY corpus.vec_id, corpus.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 5
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
 QUERIES_EXT2["ann_stream_upsert"] = q_ann_stream_upsert
 # coarse replay over the ORIGINAL <350 prefix; the post-CDC corpus
 # (negations applied to vec_id % 25 = 3 of the prefix) assigned with
