@@ -129,7 +129,11 @@ def maintain_dataset(
     - ``expire_snapshots(keep_last)`` when history exceeds
       ``max_snapshots`` entries — bounds sidecar parse cost, never touches
       data files.
-    - ``compact_dataset()`` when the dataset holds at least
+    - ``compact_dataset()`` — or the family-aware variant when the
+      dataset is an index: ``compact_ivf_index`` (quantizer sidecar
+      present; covers the raw-vector companion) / ``compact_text_index``
+      (bucket-derived postings with a stats sibling; covers doclens,
+      stopped, fwd) — when the dataset holds at least
       ``compact_min_files`` files AND their average size is below
       ``compact_below_fraction`` of the ~60 MB contract — the full-rewrite
       action, so both signals must agree — OR when pending merge-on-read
@@ -187,8 +191,34 @@ def maintain_dataset(
         health["n_pending_tombstones"] + health["n_pending_eq_deletes"]
     )
     if small or mor_debt >= max_pending_tombstones:
+        # family-aware dispatch (r12): an index dataset's MoR debt lives
+        # across its companions too — compacting the postings/cells alone
+        # leaves the side tables taxing every search. The index families'
+        # own compaction ops preserve their invariants (bucket transform,
+        # id blooms, quantizers, txn ledger) and cover the whole family
+        # in one maintenance window.
+        compact_fn, compact_name = compact_dataset, "compact_dataset"
+        from .ann_index import _quantizers_path
+
+        if fs.exists(spark, _quantizers_path(path)):
+            from .ann_index import compact_ivf_index
+
+            compact_fn, compact_name = compact_ivf_index, "compact_ivf_index"
+        else:
+            m = metadata.read_sidecar(spark, path)
+            if (
+                m is not None
+                and "bucket" in (m.derived_partitions or {})
+                and metadata.read_sidecar(spark, path.rstrip("/") + "_stats")
+                is not None
+            ):
+                from .text_index import compact_text_index
+
+                compact_fn, compact_name = (
+                    compact_text_index, "compact_text_index",
+                )
         entry = {
-            "action": "compact_dataset",
+            "action": compact_name,
             "reason": (
                 (
                     f"{int(health['n_files'])} files averaging "
@@ -205,7 +235,7 @@ def maintain_dataset(
         }
         if not dry_run:
             try:
-                entry["result"] = compact_dataset(spark, path)
+                entry["result"] = compact_fn(spark, path)
             except (TagPinnedError, PendingAuditError) as exc:
                 entry["skipped"] = str(exc)  # operator decision, not a fault
         report["actions"].append(entry)

@@ -211,3 +211,54 @@ def test_health_reports_mor_debt_and_metadata_plane(spark, sf_dir, tmp_path):
     h2 = dataset_health(spark, path)
     assert h2["n_pending_tombstones"] == 0
     assert h2["n_pending_eq_deletes"] == 0
+
+
+def test_compaction_dispatches_to_the_index_family_ops(
+    spark, sf_dir, tmp_path
+):
+    """r12: when the maintained dataset IS an index, the compaction
+    remedy must be the family op — compact_ivf_index for an ANN index
+    (quantizer sidecar; covers the raw-vector companion too),
+    compact_text_index for bucket-derived postings with a stats sibling
+    — so one maintenance window clears the WHOLE family's MoR debt
+    while preserving the index invariants."""
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.ann_index import build_ivf_index, search_ivf_index
+    from s3parq_spark.text_index import build_text_index, search_text_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 80")
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, ivf, "vec_id", "embedding",
+                    k=4, iters=1, m=4, codes=4, store_vectors=True,
+                    max_records_per_file=4)
+    report = maintain_dataset(
+        spark, ivf, compact_min_files=2, compact_below_fraction=1.0,
+        max_snapshots=999,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    assert "compact_ivf_index" in acts, report["actions"]
+    assert set(acts["compact_ivf_index"]["result"]) == {"index", "vectors"}
+    row = emb.filter("vec_id = 3").select(
+        F.col("embedding").cast("array<double>").alias("v")).first()
+    assert search_ivf_index(
+        spark, ivf, [float(x) for x in row["v"]], k=3, nprobe=2,
+        refine_factor=4,
+    ).count() == 3
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).filter("doc_id < 300")
+    tix = str(tmp_path / "tix")
+    build_text_index(spark, docs, tix, "doc_id", "text", n_buckets=4,
+                     max_records_per_file=64)
+    report = maintain_dataset(
+        spark, tix, compact_min_files=2, compact_below_fraction=1.0,
+        max_snapshots=999,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    assert "compact_text_index" in acts, report["actions"]
+    assert "postings" in acts["compact_text_index"]["result"]
+    assert search_text_index(spark, tix, ["hash"], k=3).count() > 0
