@@ -534,21 +534,21 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r11: the r8->r10 headline creep (14.65 -> "
-                         "16.25, publish_aux 2.26 -> 2.98) is RESOLVED "
-                         "as host load by a back-to-back same-machine "
-                         "A/B (r10 verdict #5): quiet HEAD run 14.21 s "
-                         "total / publish_aux 2.42 (the r8 band), while "
-                         "the r8 COMMIT's own harness run immediately "
-                         "after measured 17.16 s / publish_aux 3.32 — "
-                         "the old code is not faster, the old number "
-                         "was a quieter moment. No suspect on the "
-                         "publish path; the txn-ledger stamp (r11) adds "
-                         "only dict work inside the existing sidecar "
-                         "commit. This JSON line now also lands in "
-                         "BENCH_LAST.json so the driver's 2 KB stdout "
-                         "tail can never truncate the totals again "
-                         "(the BENCH_r10 capture loss).",
+                "notes": "r12: quiet-machine HEAD run 13.77 s total — "
+                         "at/under the r8 band (r11: 14.87; the r8-r10 "
+                         "creep stays resolved as host load per the r10 "
+                         "A/B). This round's publish-plane changes "
+                         "(_write_hints probe-job skips for the index "
+                         "maintenance planes, hive-dir path shipping on "
+                         "wide pruned reads) landed publish 3.24 -> "
+                         "2.88 and publish_aux 2.69 -> 2.26. sf1 "
+                         "probes: capped-index 1pct reindex 7.11 s vs "
+                         "7.34 s full capped rebuild and 4.04 s "
+                         "uncapped reindex — the r11 verdict #3 target "
+                         "(< 2x uncapped) holds at 50k docs. Full JSON "
+                         "line also lands in BENCH_LAST.json (the "
+                         "driver's 2 KB stdout tail cannot truncate "
+                         "totals).",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time

@@ -179,57 +179,77 @@ def maintain_dataset(
             entry["skipped"] = str(exc)
         report["actions"].append(entry)
 
-    small = (
-        health["n_files"] >= compact_min_files
-        and health["avg_file_bytes"]
+    # family-aware compaction (r12): an index dataset's MoR debt lives
+    # across its companions too — the vectors side table / doclens /
+    # stopped / fwd accrue their own tombstones and small files from the
+    # same maintenance ops, and compacting the postings/cells alone would
+    # leave them taxing every search. Detect the family FIRST so both the
+    # TRIGGER (member healths fold into the small-file and MoR-debt
+    # signals — debt hiding in a companion schedules the family rewrite)
+    # and the REMEDY (the families' own compaction ops preserve bucket
+    # transform, id blooms, quantizers, and the txn ledger) see the whole
+    # family.
+    compact_fn, compact_name = compact_dataset, "compact_dataset"
+    companions: list = []
+    from .ann_index import _quantizers_path
+
+    if fs.exists(spark, _quantizers_path(path)):
+        from .ann_index import compact_ivf_index
+
+        compact_fn, compact_name = compact_ivf_index, "compact_ivf_index"
+        companions = [path.rstrip("/") + "_vectors"]
+    else:
+        m = metadata.read_sidecar(spark, path)
+        if (
+            m is not None
+            and "bucket" in (m.derived_partitions or {})
+            and metadata.read_sidecar(spark, path.rstrip("/") + "_stats")
+            is not None
+        ):
+            from .text_index import compact_text_index
+
+            compact_fn, compact_name = (
+                compact_text_index, "compact_text_index",
+            )
+            companions = [
+                path.rstrip("/") + s
+                for s in ("_doclens", "_stopped", "_fwd")
+            ]
+    member_healths = [health] + [
+        dataset_health(spark, p)
+        for p in companions
+        if metadata.read_sidecar(spark, p) is not None
+    ]
+    small = any(
+        h["n_files"] >= compact_min_files
+        and h["avg_file_bytes"]
         < compact_below_fraction * TARGET_FILE_BYTES
+        for h in member_healths
     )
     # merge-on-read debt (r10): each pending tombstone/eq-delete commit
     # taxes EVERY read (row filter / era anti-join); past the threshold
     # the one-time rewrite is cheaper than the recurring read tax
-    mor_debt = int(
-        health["n_pending_tombstones"] + health["n_pending_eq_deletes"]
+    mor_debt = sum(
+        int(h["n_pending_tombstones"] + h["n_pending_eq_deletes"])
+        for h in member_healths
     )
     if small or mor_debt >= max_pending_tombstones:
-        # family-aware dispatch (r12): an index dataset's MoR debt lives
-        # across its companions too — compacting the postings/cells alone
-        # leaves the side tables taxing every search. The index families'
-        # own compaction ops preserve their invariants (bucket transform,
-        # id blooms, quantizers, txn ledger) and cover the whole family
-        # in one maintenance window.
-        compact_fn, compact_name = compact_dataset, "compact_dataset"
-        from .ann_index import _quantizers_path
-
-        if fs.exists(spark, _quantizers_path(path)):
-            from .ann_index import compact_ivf_index
-
-            compact_fn, compact_name = compact_ivf_index, "compact_ivf_index"
-        else:
-            m = metadata.read_sidecar(spark, path)
-            if (
-                m is not None
-                and "bucket" in (m.derived_partitions or {})
-                and metadata.read_sidecar(spark, path.rstrip("/") + "_stats")
-                is not None
-            ):
-                from .text_index import compact_text_index
-
-                compact_fn, compact_name = (
-                    compact_text_index, "compact_text_index",
-                )
         entry = {
             "action": compact_name,
             "reason": (
                 (
-                    f"{int(health['n_files'])} files averaging "
-                    f"{health['avg_file_bytes'] / 1024:.0f} KiB < "
-                    f"{compact_below_fraction:.0%} of the "
-                    f"{TARGET_FILE_BYTES // (1024 * 1024)} MB contract"
+                    f"a family member holds >= {compact_min_files} files "
+                    f"averaging < {compact_below_fraction:.0%} of the "
+                    f"{TARGET_FILE_BYTES // (1024 * 1024)} MB contract "
+                    f"({int(health['n_files'])} files / "
+                    f"{health['avg_file_bytes'] / 1024:.0f} KiB avg on the "
+                    "primary)"
                 )
                 if small
                 else (
-                    f"{mor_debt} pending merge-on-read commits >= "
-                    f"max_pending_tombstones={max_pending_tombstones}"
+                    f"{mor_debt} pending merge-on-read commits across the "
+                    f"family >= max_pending_tombstones="
+                    f"{max_pending_tombstones}"
                 )
             ),
         }

@@ -262,3 +262,39 @@ def test_compaction_dispatches_to_the_index_family_ops(
     assert "compact_text_index" in acts, report["actions"]
     assert "postings" in acts["compact_text_index"]["result"]
     assert search_text_index(spark, tix, ["hash"], k=3).count() > 0
+
+
+def test_companion_debt_alone_schedules_family_compaction(
+    spark, sf_dir, tmp_path
+):
+    """r12: the compaction trigger folds the FAMILY members' healths —
+    merge-on-read debt hiding in the raw-vector companion (e.g. after a
+    manual compact of the index dataset alone) must still schedule
+    compact_ivf_index, or every refine search keeps paying the
+    companion's tombstone filters forever."""
+    from s3parq_spark.ann_index import build_ivf_index, remove_vectors
+    from s3parq_spark.publish import compact_dataset
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 60")
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, ivf, "vec_id", "embedding",
+                    k=4, iters=1, m=4, codes=4, store_vectors=True)
+    remove_vectors(spark, [3, 7], ivf, "vec_id")
+    # half-done manual maintenance: the index dataset is compacted clean,
+    # the companion keeps its removal tombstone
+    compact_dataset(spark, ivf)
+    assert dataset_health(spark, ivf)["n_pending_tombstones"] == 0
+    assert dataset_health(spark, ivf + "_vectors")[
+        "n_pending_tombstones"] == 1
+
+    report = maintain_dataset(
+        spark, ivf, compact_min_files=9999, max_pending_tombstones=1,
+        max_snapshots=999,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    assert "compact_ivf_index" in acts, report["actions"]
+    assert "family" in acts["compact_ivf_index"]["reason"]
+    assert dataset_health(spark, ivf + "_vectors")[
+        "n_pending_tombstones"] == 0
