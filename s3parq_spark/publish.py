@@ -1803,7 +1803,7 @@ def compact_dataset(
     )
     if (
         sort_by or zorder_by or carried_derived or carried_txns
-        or carried_aggregate
+        or carried_aggregate or sidecar.stats
     ):
         new_meta = metadata.read_sidecar(spark, tmp)
         if sort_by or zorder_by:
@@ -1846,6 +1846,19 @@ def compact_dataset(
             # "last_src_version"} here would turn the next
             # refresh_aggregate into a loud failure on its own dataset
             new_meta.aggregate = carried_aggregate
+        if sidecar.stats:
+            # the ANALYZE record describes CONTENT (row count, column
+            # NDVs/min/max, per-partition row counts), which a
+            # layout-preserving rewrite does not change — carry it,
+            # re-stamped to the rewritten v1 head so the staleness
+            # check (as_of_version ∈ history) keeps working instead of
+            # silently discarding an expensive full-scan analysis
+            carried_stats = dict(sidecar.stats)
+            if "as_of_version" in carried_stats:
+                carried_stats["as_of_version"] = 1
+            if "partitions_as_of_version" in carried_stats:
+                carried_stats["partitions_as_of_version"] = 1
+            new_meta.stats = carried_stats
         metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".precompact"
     fs.delete(spark, old)
@@ -1936,7 +1949,7 @@ def repartition_dataset(
         ),
         file_bloom_bits=(sidecar.zone_maps or {}).get("bloom_bits"),
     )
-    if sidecar.txns or sidecar.aggregate:
+    if sidecar.txns or sidecar.aggregate or sidecar.stats:
         # layout evolution is still a maintenance rewrite: the writer
         # ledger and the continuous-aggregate definition describe the
         # dataset's CONTENT, which is unchanged — same carry as
@@ -1954,6 +1967,21 @@ def repartition_dataset(
                 new_meta.snapshots[-1]["txns"] = dict(sidecar.txns)
         if sidecar.aggregate:
             new_meta.aggregate = dict(sidecar.aggregate)
+        if sidecar.stats:
+            # table/column ANALYZE records survive (content unchanged),
+            # re-stamped to the rewritten v1 head; the per-PARTITION
+            # section does NOT — it described the OLD layout's value
+            # combinations, and carrying it would feed the planner
+            # row-count estimates for directories that no longer exist
+            carried_stats = {
+                k: v
+                for k, v in sidecar.stats.items()
+                if k not in ("partitions", "partitions_as_of_version")
+            }
+            if "as_of_version" in carried_stats:
+                carried_stats["as_of_version"] = 1
+            if carried_stats:
+                new_meta.stats = carried_stats
         metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".prerepartition"
     fs.delete(spark, old)

@@ -414,6 +414,42 @@ class TestStatsPlane:
         s2 = collect_stats(spark, tmp_dataset_dir)  # re-ANALYZE refreshes
         assert s2["as_of_version"] == 2 and s2["row_count"] == 3
 
+    def test_stats_survive_maintenance_rewrites(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """r12: a layout-preserving compaction does not change content,
+        so the ANALYZE record carries through the rewrite re-stamped to
+        the fresh v1 head (it used to be silently discarded with the
+        rebuilt sidecar). Repartition keeps the table/column sections
+        (content-level) but drops the per-PARTITION section — it
+        described the old layout's value combinations."""
+        from s3parq_spark.publish import compact_dataset, repartition_dataset
+        from s3parq_spark.stats import (
+            collect_partition_stats,
+            collect_stats,
+            read_stats,
+        )
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        full = collect_stats(spark, tmp_dataset_dir)
+        collect_partition_stats(spark, tmp_dataset_dir)
+
+        compact_dataset(spark, tmp_dataset_dir)
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s is not None
+        assert s["row_count"] == full["row_count"]
+        assert s["columns"] == full["columns"]
+        assert s["as_of_version"] == 1  # re-stamped to the rewritten head
+        assert s["partitions_as_of_version"] == 1
+        assert sum(p["n_rows"] for p in s["partitions"]) == nation.count()
+
+        repartition_dataset(spark, tmp_dataset_dir, ["n_nationkey"])
+        s2 = read_stats(spark, tmp_dataset_dir)
+        assert s2 is not None and s2["columns"] == full["columns"]
+        assert "partitions" not in s2  # old layout's combinations: dropped
+        assert "partitions_as_of_version" not in s2
+
     def test_bad_columns_rejected(self, spark, tmp_dataset_dir):
         from s3parq_spark.stats import collect_stats
 
