@@ -503,7 +503,20 @@ def main() -> None:
         t0 = time.time()
         search_ivf_index(spark, ai, qv, k=10, nprobe=4).count()
         probes_sf1["ivf_probe_search"] = round(time.time() - t0, 3)
+        # ---- family compaction (r12): materialize the append's MoR-free
+        # small-file debt without retraining — the cost of a routine
+        # maintenance window vs the rebuild it replaces (compaction is a
+        # rewrite at the current geometry; rebuild retrains AND rewrites)
+        from s3parq_spark.ann_index import compact_ivf_index
+
+        t0 = time.time()
+        compact_ivf_index(spark, ai)
+        probes_sf1["ivf_compact"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        search_ivf_index(spark, ai, qv, k=10, nprobe=4).count()
+        probes_sf1["ivf_probe_search_compacted"] = round(time.time() - t0, 3)
         _sh.rmtree(ai, ignore_errors=True)
+        _sh.rmtree(ai + "_vectors", ignore_errors=True)
         os.remove(ai + "_quantizers.json")
 
     line = json.dumps(
