@@ -13,6 +13,8 @@ sidecar's ledger must equal the model's.
 
 import random
 
+import pytest
+
 from s3parq_spark import metadata
 from s3parq_spark.publish import (
     compact_dataset,
@@ -31,8 +33,9 @@ def _model_ledger(stamps):
     return led
 
 
-def test_txn_ledger_statemachine(spark, tmp_path):
-    rng = random.Random(7)
+@pytest.mark.parametrize("seed", [7, 21])
+def test_txn_ledger_statemachine(spark, tmp_path, seed):
+    rng = random.Random(seed)
     ds = str(tmp_path / "ds")
 
     def rows(k0):
