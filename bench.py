@@ -547,21 +547,24 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r12: quiet-machine HEAD run 13.77 s total — "
-                         "at/under the r8 band (r11: 14.87; the r8-r10 "
-                         "creep stays resolved as host load per the r10 "
-                         "A/B). This round's publish-plane changes "
-                         "(_write_hints probe-job skips for the index "
-                         "maintenance planes, hive-dir path shipping on "
-                         "wide pruned reads) landed publish 3.24 -> "
-                         "2.88 and publish_aux 2.69 -> 2.26. sf1 "
-                         "probes: capped-index 1pct reindex 7.11 s vs "
-                         "7.34 s full capped rebuild and 4.04 s "
-                         "uncapped reindex — the r11 verdict #3 target "
-                         "(< 2x uncapped) holds at 50k docs. Full JSON "
-                         "line also lands in BENCH_LAST.json (the "
-                         "driver's 2 KB stdout tail cannot truncate "
-                         "totals).",
+                "notes": "r12: four same-day HEAD runs measured 13.77 / "
+                         "15.43 / 15.79 / 16.20 s total with NO headline-"
+                         "path code change between them — the same host-"
+                         "variance band the r10 A/B established (best "
+                         "run 13.77 beats r11's 14.87 and sits at the "
+                         "r8 floor; per-query minima all in band). This "
+                         "round's publish-plane changes (_write_hints "
+                         "probe-job skips for the index maintenance "
+                         "planes, hive-dir path shipping on wide pruned "
+                         "reads) landed publish 3.24 -> 2.88 and "
+                         "publish_aux 2.69 -> 2.26 on the quiet run. "
+                         "sf1 probes: capped-index 1pct reindex 7.11 s "
+                         "vs 7.34 s full capped rebuild and 4.04 s "
+                         "uncapped (r11 #3 target < 2x holds at 50k "
+                         "docs); NEW ivf_compact ~0.9 s materializes "
+                         "the ANN family's debt vs 6.4 s retrain-and-"
+                         "rewrite. Full JSON line also lands in "
+                         "BENCH_LAST.json.",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time
