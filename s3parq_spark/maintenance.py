@@ -162,33 +162,13 @@ def maintain_dataset(
     health = dataset_health(spark, path)
     report: Dict[str, object] = {"health": health, "actions": []}
 
-    if health["n_snapshots"] > max_snapshots:
-        entry = {
-            "action": "expire_snapshots",
-            "reason": f"{int(health['n_snapshots'])} snapshots > "
-                      f"max_snapshots={max_snapshots}",
-        }
-        try:
-            entry["result"] = expire_snapshots(
-                spark, path, keep_last=keep_last, dry_run=dry_run
-            )
-        except TagPinnedError as exc:
-            # a pinned ref is an operator decision, not a fault: record
-            # the skip and keep running the remaining remedies — one
-            # long-lived tag must not wedge the whole maintenance loop
-            entry["skipped"] = str(exc)
-        report["actions"].append(entry)
-
-    # family-aware compaction (r12): an index dataset's MoR debt lives
+    # family detection (r12): an index dataset's maintenance debt lives
     # across its companions too — the vectors side table / doclens /
-    # stopped / fwd accrue their own tombstones and small files from the
-    # same maintenance ops, and compacting the postings/cells alone would
-    # leave them taxing every search. Detect the family FIRST so both the
-    # TRIGGER (member healths fold into the small-file and MoR-debt
-    # signals — debt hiding in a companion schedules the family rewrite)
-    # and the REMEDY (the families' own compaction ops preserve bucket
-    # transform, id blooms, quantizers, and the txn ledger) see the whole
-    # family.
+    # stopped / fwd accrue their own snapshots, tombstones, and small
+    # files from the same maintenance ops (a streaming upsert adds TWO
+    # snapshots per batch on each side), and maintaining the
+    # postings/cells alone would leave them taxing every search. Detect
+    # the family FIRST so every remedy below sees the whole family.
     compact_fn, compact_name = compact_dataset, "compact_dataset"
     companions: list = []
     from .ann_index import _quantizers_path
@@ -215,11 +195,36 @@ def maintain_dataset(
                 path.rstrip("/") + s
                 for s in ("_doclens", "_stopped", "_fwd")
             ]
-    member_healths = [health] + [
-        dataset_health(spark, p)
-        for p in companions
+    live_companions = [
+        p for p in companions
         if metadata.read_sidecar(spark, p) is not None
     ]
+    member_healths = [health] + [
+        dataset_health(spark, p) for p in live_companions
+    ]
+
+    # snapshot-history bounds apply PER MEMBER: expiry squashes history
+    # without touching data (search-invisible), and a companion's
+    # history grows at the same per-batch rate as the primary's
+    for p, h in zip([path] + live_companions, member_healths):
+        if h["n_snapshots"] > max_snapshots:
+            entry = {
+                "action": "expire_snapshots",
+                "dataset": p,
+                "reason": f"{int(h['n_snapshots'])} snapshots > "
+                          f"max_snapshots={max_snapshots}",
+            }
+            try:
+                entry["result"] = expire_snapshots(
+                    spark, p, keep_last=keep_last, dry_run=dry_run
+                )
+            except TagPinnedError as exc:
+                # a pinned ref is an operator decision, not a fault:
+                # record the skip and keep running the remaining
+                # remedies — one long-lived tag must not wedge the
+                # whole maintenance loop
+                entry["skipped"] = str(exc)
+            report["actions"].append(entry)
     small = any(
         h["n_files"] >= compact_min_files
         and h["avg_file_bytes"]

@@ -298,3 +298,44 @@ def test_companion_debt_alone_schedules_family_compaction(
     assert "family" in acts["compact_ivf_index"]["reason"]
     assert dataset_health(spark, ivf + "_vectors")[
         "n_pending_tombstones"] == 0
+
+
+def test_companion_history_expires_with_the_family(spark, sf_dir, tmp_path):
+    """r12: snapshot-history bounds apply per family member — a
+    streaming-fed companion accrues snapshots at the same per-batch rate
+    as the primary, and expiring the primary alone would leave the
+    companion's sidecar parse cost growing forever."""
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.ann_index import append_to_ivf_index, build_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb.filter("vec_id < 40"), ivf, "vec_id",
+                    "embedding", k=4, iters=1, m=4, codes=4,
+                    store_vectors=True)
+    # append-only ingestion: plain append histories on BOTH sides —
+    # the case expiry can actually squash (tombstone-laden histories
+    # refuse to fold across the tombstone and are compaction's job)
+    for lo in (40, 45, 50, 55, 60, 65):
+        append_to_ivf_index(
+            spark,
+            emb.filter(f"vec_id >= {lo} and vec_id < {lo + 5}"),
+            ivf, "vec_id", "embedding",
+        )
+    comp = ivf + "_vectors"
+    n_before = dataset_health(spark, comp)["n_snapshots"]
+    assert n_before > 3  # one append per wave
+    report = maintain_dataset(
+        spark, ivf, max_snapshots=3, keep_last=2,
+        compact_min_files=9999, max_pending_tombstones=9999,
+    )
+    expired = [a for a in report["actions"]
+               if a["action"] == "expire_snapshots"]
+    assert {a["dataset"] for a in expired} == {ivf, comp}
+    assert dataset_health(spark, comp)["n_snapshots"] <= 3
+    # data untouched: every id exactly once on both sides
+    from s3parq_spark.fetch import fetch_path
+    assert fetch_path(spark, comp).count() == 70
