@@ -282,19 +282,24 @@ def maintain_dataset(
         )
 
     if vacuum_retention_hours is not None:
-        report["actions"].append(
-            {
-                "action": "vacuum_dataset",
-                "reason": f"caller-enabled, retention="
-                          f"{vacuum_retention_hours}h",
-                "result": vacuum_dataset(
-                    spark,
-                    path,
-                    dry_run=dry_run,
-                    retention_hours=vacuum_retention_hours,
-                ),
-            }
-        )
+        # opt-in orphan sweep runs per family member: a crash between a
+        # companion append and the primary commit leaves ITS orphans on
+        # the companion side, where a primary-only vacuum never looks
+        for p in [path] + live_companions:
+            report["actions"].append(
+                {
+                    "action": "vacuum_dataset",
+                    "dataset": p,
+                    "reason": f"caller-enabled, retention="
+                              f"{vacuum_retention_hours}h",
+                    "result": vacuum_dataset(
+                        spark,
+                        p,
+                        dry_run=dry_run,
+                        retention_hours=vacuum_retention_hours,
+                    ),
+                }
+            )
     return report
 
 

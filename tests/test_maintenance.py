@@ -339,3 +339,10 @@ def test_companion_history_expires_with_the_family(spark, sf_dir, tmp_path):
     # data untouched: every id exactly once on both sides
     from s3parq_spark.fetch import fetch_path
     assert fetch_path(spark, comp).count() == 70
+    # opt-in vacuum fans out per member too (dry run: report-only)
+    report2 = maintain_dataset(
+        spark, ivf, compact_min_files=9999, max_pending_tombstones=9999,
+        max_snapshots=999, vacuum_retention_hours=0.0, dry_run=True,
+    )
+    vac = [a for a in report2["actions"] if a["action"] == "vacuum_dataset"]
+    assert {a["dataset"] for a in vac} == {ivf, comp}
