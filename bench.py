@@ -547,12 +547,12 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r12: four same-day HEAD runs measured 13.77 / "
-                         "15.43 / 15.79 / 16.20 s total with NO headline-"
-                         "path code change between them — the same host-"
-                         "variance band the r10 A/B established (best "
-                         "run 13.77 beats r11's 14.87 and sits at the "
-                         "r8 floor; per-query minima all in band). This "
+                "notes": "r12: five same-day HEAD runs measured 13.77 / "
+                         "14.42 / 15.43 / 15.79 / 16.20 s total with NO "
+                         "headline-path code change between them — the "
+                         "host-variance band the r10 A/B established "
+                         "(best run 13.77 beats r11's 14.87 and sits at "
+                         "the r8 floor; per-query minima in band). This "
                          "round's publish-plane changes (_write_hints "
                          "probe-job skips for the index maintenance "
                          "planes, hive-dir path shipping on wide pruned "

@@ -128,7 +128,9 @@ def maintain_dataset(
 
     - ``expire_snapshots(keep_last)`` when history exceeds
       ``max_snapshots`` entries — bounds sidecar parse cost, never touches
-      data files.
+      data files. Runs PER FAMILY MEMBER on an index dataset (each
+      member's history grows at the same per-batch rate), as does the
+      opt-in vacuum below.
     - ``compact_dataset()`` — or the family-aware variant when the
       dataset is an index: ``compact_ivf_index`` (quantizer sidecar
       present; covers the raw-vector companion) / ``compact_text_index``
