@@ -652,6 +652,15 @@ def test_max_df_lifecycle_statemachine(spark, tmp_path):
 
     for step in range(6):
         op = rng.choice(["append", "append", "reindex", "remove"])
+        if step == 3:
+            # mid-schedule family compaction (r12): the maintenance
+            # rewrite must be INVISIBLE to every later step's df
+            # accounting and cap-crossing moves — materialized MoR debt,
+            # fresh histories, same search and stats
+            from s3parq_spark.text_index import compact_text_index
+
+            compact_text_index(spark, path)
+            check("midcompact")
         if op == "append":
             wave = {}
             for _ in range(rng.randint(2, 4)):
