@@ -36,7 +36,7 @@ def _cos(a, b):
     return dot / (na * nb)
 
 
-@pytest.mark.parametrize("seed", [13])
+@pytest.mark.parametrize("seed", [13, 29])
 def test_ann_lifecycle_statemachine(spark, sf_dir, tmp_path, seed):
     rng = random.Random(seed)
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
