@@ -122,6 +122,7 @@ def maintain_dataset(
     max_pending_tombstones: int = 8,
     vacuum_retention_hours: Optional[float] = None,
     ann_drift_threshold: float = 1.5,
+    resort_depth_threshold: float = 8.0,
     dry_run: bool = False,
 ) -> Dict[str, object]:
     """Run whatever maintenance the dataset is due for; return a report.
@@ -145,7 +146,15 @@ def maintain_dataset(
       one-time materialization beats the recurring tax (the standard
       Hudi/Iceberg MOR compaction cadence, scheduled on evidence).
       Compaction also normalizes a partition-evolved dataset back to a
-      single spec.
+      single spec — and (r12) a THIRD trigger fires it on clustering
+      decay: when the dataset declares a sort/z-order whose lead column
+      is zone-mapped, ``clustering_depth`` is consulted (metadata-only)
+      and an ``avg_depth`` at or past ``resort_depth_threshold`` with at
+      least ``compact_min_files`` files schedules the rewrite —
+      compaction re-applies the declared clustering by default, so the
+      same action restores the zone-map locality appends interleaved
+      away. This is the "schedule it when avg_depth crosses a policy
+      threshold, not on a timer" loop ``clustering_depth`` documents.
     - ``vacuum_dataset(retention_hours=...)`` only when the caller passes
       ``vacuum_retention_hours`` explicitly — deleting files is opt-in per
       call, never something a generic policy loop silently starts doing.
@@ -240,7 +249,37 @@ def maintain_dataset(
         int(h["n_pending_tombstones"] + h["n_pending_eq_deletes"])
         for h in member_healths
     )
-    if small or mor_debt >= max_pending_tombstones:
+    # clustering decay (r12): a declared sort/z-order whose lead column
+    # is zone-mapped gets its depth probed (metadata-only, O(n log n)
+    # over per-file ranges) — appends interleave ranges over the sorted
+    # base until zone maps stop skipping, and the rewrite that fixes it
+    # is the same compaction (which re-applies the declared clustering
+    # by default). Index families keep their own layouts; plain
+    # datasets only.
+    decayed = None
+    if compact_name == "compact_dataset":
+        m = metadata.read_sidecar(spark, path)
+        decl = list(m.sort_columns or []) if m is not None else []
+        import re as _re2
+
+        zm = (
+            _re2.fullmatch(r"z\((.+)\)", decl[0])
+            if len(decl) == 1 else None
+        )
+        lead = (
+            [c.strip() for c in zm.group(1).split(",")][0]
+            if zm else (decl[0] if decl else None)
+        )
+        if (
+            lead is not None
+            and m is not None
+            and lead in m.zone_map_columns()
+            and health["n_files"] >= compact_min_files
+        ):
+            d = clustering_depth(spark, path, lead)
+            if d["n_covered"] and d["avg_depth"] >= resort_depth_threshold:
+                decayed = (lead, d["avg_depth"])
+    if small or decayed or mor_debt >= max_pending_tombstones:
         entry = {
             "action": compact_name,
             "reason": (
@@ -253,6 +292,13 @@ def maintain_dataset(
                     "primary)"
                 )
                 if small
+                else (
+                    f"clustering decay on {decayed[0]!r}: avg_depth "
+                    f"{decayed[1]:.1f} >= resort_depth_threshold="
+                    f"{resort_depth_threshold} (rewrite re-applies the "
+                    "declared clustering)"
+                )
+                if decayed
                 else (
                     f"{mor_debt} pending merge-on-read commits across the "
                     f"family >= max_pending_tombstones="

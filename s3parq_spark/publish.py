@@ -1708,7 +1708,12 @@ def compact_dataset(
     drop_tags: bool = False,
 ) -> List[str]:
     """Small-file compaction: rewrite the dataset's data files back at the
-    ~60 MB target geometry, preserving the hive partitioning and sidecar.
+    ~60 MB target geometry, preserving the hive partitioning, the sidecar,
+    and (by default) the DECLARED clustering — a sidecar that records
+    ``sort_columns`` gets its sort/z-order re-applied, so a policy-loop
+    compaction tightens the zone maps instead of silently rebalancing the
+    layout away. Pass ``sort_by``/``zorder_by`` explicitly to change the
+    layout instead.
 
     Continuous ingestion (micro-batch appends, ``stream_publish``)
     accumulates files far below the target size; at millions of files the
@@ -1745,6 +1750,26 @@ def compact_dataset(
     rebalance = True
     if sort_by and zorder_by:
         raise ValueError("pass sort_by or zorder_by, not both")
+    if sort_by is None and zorder_by is None and sidecar.sort_columns:
+        # layout-preserving by default (r12): the declared clustering is
+        # part of the dataset's layout exactly like the hive partitions —
+        # a policy-loop compaction that silently rebalanced a sorted
+        # dataset destroyed the zone-map locality the operator built AND
+        # dropped the declaration. Re-apply what the sidecar declares
+        # (callers that WANT a layout change pass sort_by/zorder_by
+        # explicitly; the rewrite is the same full rewrite either way,
+        # the sort adds no extra shuffle over the rebalance it replaces).
+        decl = list(sidecar.sort_columns)
+        zm = _re.fullmatch(r"z\((.+)\)", decl[0]) if len(decl) == 1 else None
+        cols = [c.strip() for c in zm.group(1).split(",")] if zm else decl
+        if all(c in df.columns for c in cols):
+            # a z-order key column dropped since the declaration leaves a
+            # stale z(...) entry — fall back to the plain rebalance
+            # rather than erroring a maintenance rewrite
+            if zm:
+                zorder_by = cols
+            else:
+                sort_by = cols
     if zorder_by:
         missing = [c for c in zorder_by if c not in df.columns]
         if missing:

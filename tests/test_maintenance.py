@@ -346,3 +346,51 @@ def test_companion_history_expires_with_the_family(spark, sf_dir, tmp_path):
     )
     vac = [a for a in report2["actions"] if a["action"] == "vacuum_dataset"]
     assert {a["dataset"] for a in vac} == {ivf, comp}
+
+
+def test_clustering_decay_schedules_a_resorting_compaction(
+    spark, sf_dir, tmp_path
+):
+    """r12: the third compaction trigger — a declared sort whose lead
+    column's clustering depth decayed past the threshold fires the
+    rewrite, and (compaction being layout-preserving by default) the
+    same action restores the zone-map locality."""
+    from s3parq_spark.maintenance import clustering_depth
+    from s3parq_spark.publish import compact_dataset
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_shipdate"
+    )
+    ds = str(tmp_path / "ds")
+    publish_path(spark, ds, li, [], max_records_per_file=400,
+                 zone_map_columns=["l_orderkey"])
+    compact_dataset(spark, ds, sort_by=["l_orderkey"],
+                    max_records_per_file=500)
+    for _ in range(3):
+        publish_path(spark, ds, li.limit(200), [])
+    assert clustering_depth(spark, ds, "l_orderkey")["avg_depth"] > 2.0
+
+    # depth under threshold / files under floor: nothing scheduled
+    report = maintain_dataset(
+        spark, ds, compact_min_files=9999, max_pending_tombstones=9999,
+        max_snapshots=999, resort_depth_threshold=2.0,
+    )
+    assert report["actions"] == []
+    report = maintain_dataset(
+        spark, ds, compact_min_files=2, max_pending_tombstones=9999,
+        max_snapshots=999, resort_depth_threshold=999.0,
+        compact_below_fraction=0.0,
+    )
+    assert report["actions"] == []
+
+    report = maintain_dataset(
+        spark, ds, compact_min_files=2, max_pending_tombstones=9999,
+        max_snapshots=999, resort_depth_threshold=2.0,
+        compact_below_fraction=0.0,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    assert "compact_dataset" in acts, report["actions"]
+    assert "clustering decay" in acts["compact_dataset"]["reason"]
+    assert clustering_depth(spark, ds, "l_orderkey")["max_depth"] <= 2.0
+    from s3parq_spark.metadata import read_sidecar
+    assert read_sidecar(spark, ds).sort_columns == ["l_orderkey"]

@@ -434,3 +434,32 @@ def test_evolve_append_promoting_zone_column_trims_declaration(
     assert got.count() == exp.count()
     # row-count metadata plane stays consistent after the trim
     assert dataset_rowcount(spark, tmp_dataset_dir) == total
+
+
+def test_plain_compaction_preserves_declared_clustering(
+    spark, li, tmp_dataset_dir
+):
+    """r12: compact_dataset() with NO layout args re-applies the
+    DECLARED sort — a policy-loop compaction used to silently rebalance
+    a sorted dataset (physical clustering gone, declaration dropped),
+    degrading every later zone-map prune. The declaration is part of
+    the layout, like the hive partitions."""
+    from s3parq_spark.maintenance import clustering_depth
+    from s3parq_spark.publish import compact_dataset
+
+    publish_path(
+        spark, tmp_dataset_dir, li, [], max_records_per_file=400,
+        zone_map_columns=["l_orderkey"],
+    )
+    compact_dataset(spark, tmp_dataset_dir, sort_by=["l_orderkey"],
+                    max_records_per_file=500)  # declares the layout
+    for _ in range(3):
+        publish_path(spark, tmp_dataset_dir, li.limit(200), [])
+    d_bad = clustering_depth(spark, tmp_dataset_dir, "l_orderkey")
+    assert d_bad["max_depth"] > 2.0
+
+    compact_dataset(spark, tmp_dataset_dir, max_records_per_file=500)
+    meta = metadata.read_sidecar(spark, tmp_dataset_dir)
+    assert meta.sort_columns == ["l_orderkey"]  # declaration survives
+    d = clustering_depth(spark, tmp_dataset_dir, "l_orderkey")
+    assert d["max_depth"] <= 2.0  # physically re-clustered
