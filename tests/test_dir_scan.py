@@ -105,3 +105,47 @@ def test_dir_scan_partial_dir_survivors_fall_back(spark, tmp_path):
     )
     assert sorted(r["id"] for r in got.collect()) == [0, 1, 2, 3, 4]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_dir_scan_composes_with_time_travel(spark, wide_dataset):
+    """fetch_at flows through the same _scan_rel_files: a version whose
+    file set no longer covers a dir's CURRENT live contents (later
+    appends landed there) must fall back to loose per-file paths for
+    that dir — never scan the newer files — while an untouched dir still
+    ships whole. Either way the replayed version is exact."""
+    from s3parq_spark.fetch import fetch_at
+
+    # v2 touches ONLY k=0 (odd ids belong to k=1 dirs, untouched)
+    extra = spark.createDataFrame(
+        [(1000 + i, 0, 0.0) for i in range(4)], "id long, k int, v double"
+    )
+    publish_path(spark, wide_dataset, extra, ["k"], mode="append")
+
+    v1 = fetch_at(spark, wide_dataset, version=1)
+    ids = sorted(r["id"] for r in v1.collect())
+    assert ids == list(range(520))  # v2's rows invisible at v1
+
+    # current read still dir-ships and sees everything
+    n, ids_now = _counts(spark, wide_dataset)
+    assert fetch_mod._LAST_SCAN_USED_DIRS is True
+    assert n == 524
+
+    # a v1 read pruned to the UNTOUCHED partition covers its dir exactly
+    # (v1 files == live files there): dir shipping applies and is exact
+    df = fetch_at(
+        spark, wide_dataset, version=1,
+        filters=[{"partition": "k", "comparison": "==", "values": [1]}],
+    )
+    got = sorted(r["id"] for r in df.collect())
+    assert fetch_mod._LAST_SCAN_USED_DIRS is True
+    assert got == [i for i in range(520) if i % 2 == 1]
+
+    # pruned to the TOUCHED partition: survivors no longer cover the
+    # dir (v2 files live there too) — per-file fallback, still exact
+    df0 = fetch_at(
+        spark, wide_dataset, version=1,
+        filters=[{"partition": "k", "comparison": "==", "values": [0]}],
+    )
+    got0 = sorted(r["id"] for r in df0.collect())
+    assert fetch_mod._LAST_SCAN_USED_DIRS is False
+    assert got0 == [i for i in range(520) if i % 2 == 0]
