@@ -1881,6 +1881,13 @@ def compact_dataset(
             carried_stats = dict(sidecar.stats)
             if "as_of_version" in carried_stats:
                 carried_stats["as_of_version"] = 1
+                if new_meta.snapshots:
+                    # keep the snapshot-identity stamp in step so a later
+                    # incremental ANALYZE folds from the rewritten head
+                    # instead of bailing to a full scan
+                    carried_stats["as_of_ts"] = (
+                        new_meta.snapshots[-1].get("ts")
+                    )
             if "partitions_as_of_version" in carried_stats:
                 carried_stats["partitions_as_of_version"] = 1
             new_meta.stats = carried_stats
@@ -2005,6 +2012,10 @@ def repartition_dataset(
             }
             if "as_of_version" in carried_stats:
                 carried_stats["as_of_version"] = 1
+                if new_meta.snapshots:
+                    carried_stats["as_of_ts"] = (
+                        new_meta.snapshots[-1].get("ts")
+                    )
             if carried_stats:
                 new_meta.stats = carried_stats
         metadata.write_sidecar(spark, tmp, new_meta)

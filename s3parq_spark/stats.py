@@ -23,34 +23,29 @@ from pyspark.sql import functions as F
 from . import metadata
 
 
-def collect_stats(
-    spark: SparkSession,
-    path: str,
-    columns: Optional[List[str]] = None,
-) -> Dict:
-    """ANALYZE the dataset: one full scan computing, per column, exact
-    ``min`` / ``max`` / ``n_nulls`` / ``n_distinct`` (plus the table row
-    count), written into the sidecar and returned.
+def _snap_ts(meta, version):
+    for s in meta.snapshots or []:
+        if s.get("version") == version:
+            return s.get("ts")
+    return None
 
-    ONE aggregate job for every column together — the single-pass shape of
-    ``profile_columns`` — never a job per column. min/max are stored as
-    strings (the sidecar is JSON; consumers re-type via the sidecar's
-    column vocabulary). ``columns`` defaults to every non-partition data
-    column; partition columns are answerable from the metadata plane
-    already (``get_all_partition_values``).
-    """
-    from .fetch import fetch_path
 
-    meta = metadata.read_sidecar(spark, path)
-    if meta is None:
-        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
-    df = fetch_path(spark, path)
-    if columns is None:
-        columns = [c for c in df.columns if c not in meta.partitions]
-    missing = [c for c in columns if c not in df.columns]
-    if missing:
-        raise ValueError(f"stats columns not in dataset: {missing}")
+def _typed_for_fold(v, vocab: str):
+    """Stored string bound → comparable typed value for the incremental
+    min/max fold (stats store everything as strings; lexicographic
+    compare would rank '9' above '10')."""
+    if v is None:
+        return None
+    if vocab == "integer":
+        return int(v)
+    if vocab == "float":
+        return float(v)
+    if vocab == "boolean":
+        return v == "true"
+    return metadata.zone_stat_typed(v, vocab)
 
+
+def _stat_aggs(columns) -> list:
     aggs = [F.count(F.lit(1)).alias("__n")]
     for c in columns:
         aggs.extend(
@@ -67,9 +62,71 @@ def collect_stats(
                     F.sum(F.col(c).isNull().cast("bigint")), F.lit(0)
                 ).alias(f"__nulls_{c}"),
                 F.count_distinct(F.col(c)).alias(f"__nd_{c}"),
+                # mergeable NDV (Iceberg's puffin-sketch idea, via
+                # Spark's Datasketches HLL): sketched over the CANONICAL
+                # STRING cast so every vocabulary type folds through the
+                # same sketch; nulls are ignored, matching count_distinct
+                F.hll_sketch_agg(F.col(c).cast("string")).alias(
+                    f"__hll_{c}"
+                ),
             ]
         )
-    row = df.agg(*aggs).collect()[0]
+    return aggs
+
+
+def collect_stats(
+    spark: SparkSession,
+    path: str,
+    columns: Optional[List[str]] = None,
+    incremental: bool = False,
+) -> Dict:
+    """ANALYZE the dataset: one full scan computing, per column, exact
+    ``min`` / ``max`` / ``n_nulls`` / ``n_distinct`` (plus the table row
+    count), written into the sidecar and returned.
+
+    ONE aggregate job for every column together — the single-pass shape of
+    ``profile_columns`` — never a job per column. min/max are stored as
+    strings (the sidecar is JSON; consumers re-type via the sidecar's
+    column vocabulary). ``columns`` defaults to every non-partition data
+    column; partition columns are answerable from the metadata plane
+    already (``get_all_partition_values``).
+
+    ``incremental=True`` (r12) folds the stored record forward by
+    scanning ONLY the appended delta — at 100 TB a nightly ANALYZE that
+    re-reads the whole table is how clusters drown, and everything in
+    the record is foldable: row_count/n_nulls add, min/max compare
+    typed, and NDV folds through the Datasketches HLL sketch every
+    ANALYZE stores per column (``hll_union`` of the stored sketch and
+    the delta's — the Iceberg puffin-sketch design). After a fold the
+    per-column ``n_distinct`` is the sketch ESTIMATE and its
+    ``ndv_mode`` flips from ``exact`` to ``hll`` (the record says which
+    it is). Falls back to the full scan — reported via
+    ``last_analyze_mode`` — when the delta is not replayable as appends
+    (a merge-on-read tombstone or rewrite in the range), the recorded
+    baseline snapshot is gone or identity-mismatched (restore +
+    re-append lookalikes), a requested column has no stored sketch
+    (pre-sketch record or schema evolution), or the column vocabulary
+    does not fold (``array<...>`` min/max compare element-wise, not as
+    strings). A noop (head unchanged) returns the stored record.
+    """
+    from .fetch import fetch_path
+
+    meta = metadata.read_sidecar(spark, path)
+    if meta is None:
+        raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    df = fetch_path(spark, path)
+    if columns is None:
+        columns = [c for c in df.columns if c not in meta.partitions]
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"stats columns not in dataset: {missing}")
+
+    if incremental:
+        folded = _fold_stats_forward(spark, path, meta, columns)
+        if folded is not None:
+            return folded
+
+    row = df.agg(*_stat_aggs(columns)).collect()[0]
 
     # RE-READ the sidecar after the (potentially hours-long) scan and
     # merge ONLY the stats field into the fresh metadata: writing back the
@@ -85,6 +142,8 @@ def collect_stats(
     # columns' stored stats
     stats = dict(fresh.stats or {})
     merged_cols = dict(stats.get("columns", {}))
+    import base64 as _b64
+
     merged_cols.update(
         {
             c: {
@@ -92,6 +151,16 @@ def collect_stats(
                 "max": row[f"__max_{c}"],
                 "n_nulls": row[f"__nulls_{c}"],
                 "n_distinct": row[f"__nd_{c}"],
+                "ndv_mode": "exact",
+                **(
+                    {
+                        "ndv_hll": _b64.b64encode(
+                            bytes(row[f"__hll_{c}"])
+                        ).decode("ascii")
+                    }
+                    if row[f"__hll_{c}"] is not None
+                    else {}
+                ),
             }
             for c in columns
         }
@@ -99,6 +168,111 @@ def collect_stats(
     stats.update({
         "row_count": row["__n"],
         "as_of_version": version,
+        "as_of_ts": _snap_ts(fresh, version),
+        "last_analyze_mode": "full",
+        "columns": merged_cols,
+    })
+    fresh.stats = stats
+    metadata.write_sidecar(spark, path, fresh)
+    return stats
+
+
+def _fold_stats_forward(
+    spark: SparkSession, path: str, meta, columns: List[str]
+) -> Optional[Dict]:
+    """The incremental ANALYZE fold, or None when only the full scan is
+    honest (every bail-out reason in the ``collect_stats`` docstring).
+    One delta-only aggregate plus a 1-row union/estimate job."""
+    import base64 as _b64
+
+    from .fetch import fetch_changes
+
+    prior = meta.stats or {}
+    cols_rec = prior.get("columns", {})
+    last, ts = prior.get("as_of_version"), prior.get("as_of_ts")
+    if last is None or ts is None:
+        return None
+    versions = [
+        s["version"] for s in meta.snapshots or [] if not s.get("staged")
+    ]
+    head = versions[-1] if versions else None
+    if head is None or last not in versions or _snap_ts(meta, last) != ts:
+        return None  # baseline gone or a restore+re-append lookalike
+    for c in columns:
+        rec = cols_rec.get(c)
+        if not rec or "ndv_hll" not in rec:
+            return None  # no sketch to fold (pre-sketch record / new col)
+        vocab = meta.column_types.get(c, "string")
+        if vocab.startswith("array<"):
+            return None  # array min/max do not compare as strings
+    if head == last:
+        return prior  # noop: the record is already at the head
+    try:
+        delta = fetch_changes(spark, path, last, head)
+    except ValueError:
+        return None  # non-append delta (tombstone/rewrite in range)
+    row = delta.agg(*_stat_aggs(columns)).collect()[0]
+
+    # fold NDV sketches: one 1-row job unioning stored+delta per column
+    # and estimating the union (hll_union is a scalar binary function)
+    pairs = {}
+    for c in columns:
+        old_sk = _b64.b64decode(cols_rec[c]["ndv_hll"])
+        new_sk = row[f"__hll_{c}"]
+        if new_sk is not None:
+            pairs[c] = (old_sk, bytes(new_sk))
+    unions: Dict[str, tuple] = {}
+    if pairs:
+        exprs = []
+        for c, (a, b) in pairs.items():
+            u = F.hll_union(F.lit(bytearray(a)), F.lit(bytearray(b)))
+            exprs.append(u.alias(f"__u_{c}"))
+            exprs.append(
+                F.hll_sketch_estimate(
+                    F.hll_union(F.lit(bytearray(a)), F.lit(bytearray(b)))
+                ).alias(f"__e_{c}")
+            )
+        urow = spark.range(1).select(*exprs).collect()[0]
+        unions = {
+            c: (bytes(urow[f"__u_{c}"]), int(urow[f"__e_{c}"]))
+            for c in pairs
+        }
+
+    fresh = metadata.read_sidecar(spark, path)
+    if fresh is None:
+        raise ValueError(f"{path} disappeared during ANALYZE (no sidecar)")
+    stats = dict(fresh.stats or {})
+    merged_cols = dict(stats.get("columns", {}))
+    for c in columns:
+        rec = dict(cols_rec[c])
+        vocab = meta.column_types.get(c, "string")
+        for key, fn in (("min", min), ("max", max)):
+            dv = row[f"__{key}_{c}"]
+            if dv is None:
+                continue  # all-NULL delta column: bounds unchanged
+            if rec.get(key) is None:
+                rec[key] = dv
+            else:
+                rec[key] = (
+                    dv
+                    if fn(
+                        _typed_for_fold(dv, vocab),
+                        _typed_for_fold(rec[key], vocab),
+                    )
+                    == _typed_for_fold(dv, vocab)
+                    else rec[key]
+                )
+        rec["n_nulls"] = int(rec["n_nulls"]) + int(row[f"__nulls_{c}"])
+        if c in unions:
+            rec["ndv_hll"] = _b64.b64encode(unions[c][0]).decode("ascii")
+            rec["n_distinct"] = unions[c][1]
+            rec["ndv_mode"] = "hll"
+        merged_cols[c] = rec
+    stats.update({
+        "row_count": int(prior["row_count"]) + int(row["__n"]),
+        "as_of_version": head,
+        "as_of_ts": _snap_ts(fresh, head),
+        "last_analyze_mode": "incremental",
         "columns": merged_cols,
     })
     fresh.stats = stats

@@ -450,6 +450,96 @@ class TestStatsPlane:
         assert "partitions" not in s2  # old layout's combinations: dropped
         assert "partitions_as_of_version" not in s2
 
+    def test_incremental_analyze_folds_the_delta(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """r12: incremental ANALYZE scans only the appended delta and
+        folds — row_count/n_nulls add, min/max compare typed, NDV folds
+        through the stored HLL sketch (ndv_mode flips exact -> hll with
+        a tight estimate). Non-append deltas and baseline mismatches
+        fall back to the full scan, reported."""
+        from s3parq_spark.publish import delete_where
+        from s3parq_spark.stats import collect_stats, read_stats
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity", "l_returnflag"
+        )
+        publish_path(spark, tmp_dataset_dir, li.filter("l_orderkey < 400"),
+                     [])
+        full = collect_stats(spark, tmp_dataset_dir)
+        assert full["last_analyze_mode"] == "full"
+        assert full["columns"]["l_orderkey"]["ndv_mode"] == "exact"
+
+        # noop at head: the stored record comes back unchanged
+        again = collect_stats(spark, tmp_dataset_dir, incremental=True)
+        assert again["as_of_version"] == full["as_of_version"]
+
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 400 and l_orderkey < 900"), [],
+            mode="append",
+        )
+        inc = collect_stats(spark, tmp_dataset_dir, incremental=True)
+        assert inc["last_analyze_mode"] == "incremental"
+        # the fold must equal a fresh full scan on everything exact
+        truth = {
+            r: dict(v) for r, v in collect_stats(
+                spark, tmp_dataset_dir
+            )["columns"].items()
+        }
+        assert inc["row_count"] == li.filter("l_orderkey < 900").count()
+        for c in ("l_orderkey", "l_quantity", "l_returnflag"):
+            assert inc["columns"][c]["min"] == truth[c]["min"], c
+            assert inc["columns"][c]["max"] == truth[c]["max"], c
+            assert inc["columns"][c]["n_nulls"] == truth[c]["n_nulls"], c
+            assert inc["columns"][c]["ndv_mode"] == "hll"
+            # HLL at this cardinality: within 5% of the exact NDV
+            exact = truth[c]["n_distinct"]
+            assert abs(inc["columns"][c]["n_distinct"] - exact) <= max(
+                2, exact * 0.05
+            ), (c, inc["columns"][c]["n_distinct"], exact)
+
+        # the full re-scan above re-stamped the record as exact again;
+        # a tombstone in the range forces the next incremental to full
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 900 and l_orderkey < 1000"), [],
+            mode="append",
+        )
+        delete_where(spark, tmp_dataset_dir, "l_orderkey < 10",
+                     mode="merge-on-read")
+        out = collect_stats(spark, tmp_dataset_dir, incremental=True)
+        assert out["last_analyze_mode"] == "full"
+
+    def test_incremental_analyze_survives_compaction(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """The maintenance carry re-stamps as_of_version AND as_of_ts to
+        the rewritten head, so an incremental ANALYZE after compaction
+        still folds instead of rescanning the world."""
+        from s3parq_spark.publish import compact_dataset
+        from s3parq_spark.stats import collect_stats
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        publish_path(spark, tmp_dataset_dir, li.filter("l_orderkey < 500"),
+                     [])
+        collect_stats(spark, tmp_dataset_dir)
+        compact_dataset(spark, tmp_dataset_dir)
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 500 and l_orderkey < 800"), [],
+            mode="append",
+        )
+        inc = collect_stats(spark, tmp_dataset_dir, incremental=True)
+        assert inc["last_analyze_mode"] == "incremental"
+        assert inc["row_count"] == li.filter("l_orderkey < 800").count()
+        truth = collect_stats(spark, tmp_dataset_dir)  # full rescan
+        assert inc["columns"]["l_orderkey"]["max"] == (
+            truth["columns"]["l_orderkey"]["max"]
+        )
+
     def test_bad_columns_rejected(self, spark, tmp_dataset_dir):
         from s3parq_spark.stats import collect_stats
 
