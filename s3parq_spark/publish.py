@@ -1699,6 +1699,63 @@ def apply_change_feed(
     return n_applied
 
 
+def _carry_stats_through_rewrite(
+    sidecar, new_meta, drop_partition_section: bool = False
+) -> dict:
+    """The ANALYZE-record carry shared by ``compact_dataset`` and
+    ``repartition_dataset``: stats describe CONTENT (row count, column
+    NDVs/min/max), which a content-preserving rewrite does not change —
+    so the record survives the rewrite. The ``as_of_*`` snapshot-identity
+    stamp, however, only survives when the stats were CURRENT at rewrite
+    time (``as_of_version``/``as_of_ts`` match the pre-rewrite head):
+    then re-stamping to the rewritten v1 head is a true identity and a
+    later incremental ANALYZE folds from it. When the record was STALE
+    (appends / merge-on-read commits landed after the ANALYZE), the
+    rewrite squashes the un-analyzed delta into the v1 snapshot — there
+    is no version range left to fold over — so re-stamping would
+    manufacture a false baseline that ``_fold_stats_forward``'s
+    gone/identity-mismatch guards can never catch, permanently losing
+    the delta from row_count/min/max/NDV. Instead the stale record is
+    carried WITHOUT the ``as_of_*`` fields: readers see it as stale and
+    the incremental fold bails to an honest full scan. Same rule for the
+    per-partition section's ``partitions_as_of_version`` stamp (which
+    ``repartition_dataset`` drops wholesale: the old layout's value
+    combinations no longer exist)."""
+    carried_stats = {
+        k: v
+        for k, v in sidecar.stats.items()
+        if not drop_partition_section
+        or k not in ("partitions", "partitions_as_of_version")
+    }
+    head = sidecar.snapshots[-1] if sidecar.snapshots else None
+    head_version = head.get("version") if head else None
+    head_ts = head.get("ts") if head else None
+    new_ts = (
+        new_meta.snapshots[-1].get("ts") if new_meta.snapshots else None
+    )
+    if "as_of_version" in carried_stats:
+        current = (
+            head_version is not None
+            and carried_stats.get("as_of_version") == head_version
+            and carried_stats.get("as_of_ts") == head_ts
+        )
+        if current:
+            carried_stats["as_of_version"] = 1
+            carried_stats["as_of_ts"] = new_ts
+        else:
+            carried_stats.pop("as_of_version", None)
+            carried_stats.pop("as_of_ts", None)
+    if "partitions_as_of_version" in carried_stats:
+        if (
+            head_version is not None
+            and carried_stats["partitions_as_of_version"] == head_version
+        ):
+            carried_stats["partitions_as_of_version"] = 1
+        else:
+            carried_stats.pop("partitions_as_of_version", None)
+    return carried_stats
+
+
 def compact_dataset(
     spark: SparkSession,
     path: str,
@@ -1872,25 +1929,9 @@ def compact_dataset(
             # refresh_aggregate into a loud failure on its own dataset
             new_meta.aggregate = carried_aggregate
         if sidecar.stats:
-            # the ANALYZE record describes CONTENT (row count, column
-            # NDVs/min/max, per-partition row counts), which a
-            # layout-preserving rewrite does not change — carry it,
-            # re-stamped to the rewritten v1 head so the staleness
-            # check (as_of_version ∈ history) keeps working instead of
-            # silently discarding an expensive full-scan analysis
-            carried_stats = dict(sidecar.stats)
-            if "as_of_version" in carried_stats:
-                carried_stats["as_of_version"] = 1
-                if new_meta.snapshots:
-                    # keep the snapshot-identity stamp in step so a later
-                    # incremental ANALYZE folds from the rewritten head
-                    # instead of bailing to a full scan
-                    carried_stats["as_of_ts"] = (
-                        new_meta.snapshots[-1].get("ts")
-                    )
-            if "partitions_as_of_version" in carried_stats:
-                carried_stats["partitions_as_of_version"] = 1
-            new_meta.stats = carried_stats
+            new_meta.stats = _carry_stats_through_rewrite(
+                sidecar, new_meta
+            )
         metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".precompact"
     fs.delete(spark, old)
@@ -2000,22 +2041,15 @@ def repartition_dataset(
         if sidecar.aggregate:
             new_meta.aggregate = dict(sidecar.aggregate)
         if sidecar.stats:
-            # table/column ANALYZE records survive (content unchanged),
-            # re-stamped to the rewritten v1 head; the per-PARTITION
-            # section does NOT — it described the OLD layout's value
-            # combinations, and carrying it would feed the planner
-            # row-count estimates for directories that no longer exist
-            carried_stats = {
-                k: v
-                for k, v in sidecar.stats.items()
-                if k not in ("partitions", "partitions_as_of_version")
-            }
-            if "as_of_version" in carried_stats:
-                carried_stats["as_of_version"] = 1
-                if new_meta.snapshots:
-                    carried_stats["as_of_ts"] = (
-                        new_meta.snapshots[-1].get("ts")
-                    )
+            # table/column ANALYZE records survive (content unchanged);
+            # the per-PARTITION section does NOT — it described the OLD
+            # layout's value combinations, and carrying it would feed
+            # the planner row-count estimates for directories that no
+            # longer exist. The as_of stamp survives only when the
+            # record was current at rewrite time (see helper).
+            carried_stats = _carry_stats_through_rewrite(
+                sidecar, new_meta, drop_partition_section=True
+            )
             if carried_stats:
                 new_meta.stats = carried_stats
         metadata.write_sidecar(spark, tmp, new_meta)

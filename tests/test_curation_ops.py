@@ -540,6 +540,101 @@ class TestStatsPlane:
             truth["columns"]["l_orderkey"]["max"]
         )
 
+    def test_stale_stats_lose_stamp_through_compaction(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """r13 (advice): a record that was STALE at compaction time
+        (appends landed after the ANALYZE) must NOT be re-stamped to
+        the rewritten v1 head — the rewrite squashes the un-analyzed
+        delta into the new baseline, so a re-stamp manufactures a false
+        identity the fold's guards can never catch and the delta is
+        permanently lost from row_count/min/max/NDV. The carry keeps
+        the record but drops the as_of fields; the next incremental
+        ANALYZE bails to an honest full scan and self-corrects."""
+        from s3parq_spark.publish import compact_dataset
+        from s3parq_spark.stats import collect_stats, read_stats
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        publish_path(spark, tmp_dataset_dir, li.filter("l_orderkey < 300"),
+                     [])
+        collect_stats(spark, tmp_dataset_dir)
+        # two appends AFTER the ANALYZE: the record is now stale
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 300 and l_orderkey < 600"), [],
+            mode="append",
+        )
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 600 and l_orderkey < 900"), [],
+            mode="append",
+        )
+        compact_dataset(spark, tmp_dataset_dir)
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s is not None and "columns" in s  # record carried...
+        assert "as_of_version" not in s  # ...but visibly stale
+        assert "as_of_ts" not in s
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 900 and l_orderkey < 1000"), [],
+            mode="append",
+        )
+        out = collect_stats(spark, tmp_dataset_dir, incremental=True)
+        assert out["last_analyze_mode"] == "full"  # fold refused, honest
+        assert out["row_count"] == li.filter("l_orderkey < 1000").count()
+
+    def test_stale_partition_stats_lose_stamp_through_compaction(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """Same rule for the per-partition section: a stale
+        partitions_as_of_version must not be re-stamped to the
+        rewritten head (the un-analyzed partitions' rows would read as
+        analyzed)."""
+        from s3parq_spark.publish import compact_dataset
+        from s3parq_spark.stats import collect_partition_stats, read_stats
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(
+            spark, tmp_dataset_dir,
+            nation.filter("n_regionkey < 3"), ["n_regionkey"],
+        )
+        collect_partition_stats(spark, tmp_dataset_dir)
+        publish_path(
+            spark, tmp_dataset_dir,
+            nation.filter("n_regionkey >= 3"), ["n_regionkey"],
+            mode="append",
+        )
+        compact_dataset(spark, tmp_dataset_dir)
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s is not None and "partitions" in s  # record carried
+        assert "partitions_as_of_version" not in s  # stamp dropped
+
+    def test_stale_stats_lose_stamp_through_repartition(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """repartition_dataset shares the carry; a stale record loses
+        its stamp through the layout migration too."""
+        from s3parq_spark.publish import repartition_dataset
+        from s3parq_spark.stats import collect_stats, read_stats
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(
+            spark, tmp_dataset_dir,
+            nation.filter("n_nationkey < 10"), ["n_regionkey"],
+        )
+        collect_stats(spark, tmp_dataset_dir)
+        publish_path(
+            spark, tmp_dataset_dir,
+            nation.filter("n_nationkey >= 10"), ["n_regionkey"],
+            mode="append",
+        )
+        repartition_dataset(spark, tmp_dataset_dir, ["n_nationkey"])
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s is not None and "columns" in s
+        assert "as_of_version" not in s and "as_of_ts" not in s
+
     def test_bad_columns_rejected(self, spark, tmp_dataset_dir):
         from s3parq_spark.stats import collect_stats
 
