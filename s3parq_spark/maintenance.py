@@ -194,6 +194,11 @@ def maintain_dataset(
         if (
             m is not None
             and "bucket" in (m.derived_partitions or {})
+            # require the POSTINGS schema, not just the bucket layout:
+            # any bucket_by-published dataset with an unrelated sibling
+            # named <path>_stats would otherwise be dispatched to
+            # compact_text_index, which fails on a non-postings schema
+            and all(c in m.column_types for c in ("term", "tf", "dl"))
             and metadata.read_sidecar(spark, path.rstrip("/") + "_stats")
             is not None
         ):
@@ -236,11 +241,18 @@ def maintain_dataset(
                 # whole maintenance loop
                 entry["skipped"] = str(exc)
             report["actions"].append(entry)
-    small = any(
-        h["n_files"] >= compact_min_files
-        and h["avg_file_bytes"]
-        < compact_below_fraction * TARGET_FILE_BYTES
-        for h in member_healths
+    # identify the TRIGGERING member, not just whether one exists: the
+    # reason string must name whose files are small (the primary may be
+    # perfectly healthy while a companion crossed the threshold)
+    small = next(
+        (
+            (p, h)
+            for p, h in zip([path] + live_companions, member_healths)
+            if h["n_files"] >= compact_min_files
+            and h["avg_file_bytes"]
+            < compact_below_fraction * TARGET_FILE_BYTES
+        ),
+        None,
     )
     # merge-on-read debt (r10): each pending tombstone/eq-delete commit
     # taxes EVERY read (row filter / era anti-join); past the threshold
@@ -284,12 +296,11 @@ def maintain_dataset(
             "action": compact_name,
             "reason": (
                 (
-                    f"a family member holds >= {compact_min_files} files "
-                    f"averaging < {compact_below_fraction:.0%} of the "
-                    f"{TARGET_FILE_BYTES // (1024 * 1024)} MB contract "
-                    f"({int(health['n_files'])} files / "
-                    f"{health['avg_file_bytes'] / 1024:.0f} KiB avg on the "
-                    "primary)"
+                    f"{small[0]} holds {int(small[1]['n_files'])} files "
+                    f"averaging {small[1]['avg_file_bytes'] / 1024:.0f} "
+                    f"KiB (>= {compact_min_files} files under "
+                    f"{compact_below_fraction:.0%} of the "
+                    f"{TARGET_FILE_BYTES // (1024 * 1024)} MB contract)"
                 )
                 if small
                 else (
@@ -311,6 +322,14 @@ def maintain_dataset(
                 entry["result"] = compact_fn(spark, path)
             except (TagPinnedError, PendingAuditError) as exc:
                 entry["skipped"] = str(exc)  # operator decision, not a fault
+            except Exception as exc:  # noqa: BLE001
+                # a compaction fault must not abort the whole policy
+                # loop (the remaining remedies — advisory, vacuum —
+                # still apply); record it so the scheduler's report
+                # shows the failure instead of the loop dying mid-pass.
+                # Compaction's sibling-temp + two-rename discipline
+                # means a failed rewrite left the dataset untouched.
+                entry["failed"] = f"{type(exc).__name__}: {exc}"
         report["actions"].append(entry)
 
     drift = health.get("ann_drift_ratio")

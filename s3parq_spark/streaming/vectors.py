@@ -109,7 +109,9 @@ def stream_upsert_vectors(
     ).hexdigest()[:16]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.limit(1).count() == 0:
+        if batch_df.isEmpty():
+            # take(1)-style probe, not a count plan: skip empty batches
+            # without scheduling an aggregate job per micro-batch
             return
         s = batch_df.sparkSession
         cur = metadata.read_sidecar(s, index_path)

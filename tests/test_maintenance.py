@@ -394,3 +394,90 @@ def test_clustering_decay_schedules_a_resorting_compaction(
     assert clustering_depth(spark, ds, "l_orderkey")["max_depth"] <= 2.0
     from s3parq_spark.metadata import read_sidecar
     assert read_sidecar(spark, ds).sort_columns == ["l_orderkey"]
+
+
+def test_bucketed_lookalike_is_not_a_text_index(spark, nation, tmp_path):
+    """r13 (advice): text-index family detection must require the
+    POSTINGS schema, not just a bucket-derived partition plus a sibling
+    named _stats — a bucket_by-published plain dataset with an
+    unrelated _stats neighbor used to be dispatched to
+    compact_text_index, which dies on the non-postings schema."""
+    ds = str(tmp_path / "ds")
+    # plain dataset published under a derived 'bucket' partition, exactly
+    # the layout shape build_text_index uses — but not a postings table
+    publish_path(
+        spark, ds, nation, [],
+        derived_partitions={"bucket": "pmod(hash(n_nationkey), 4)"},
+        max_records_per_file=2,
+    )
+    # unrelated sibling that merely shares the _stats naming convention
+    publish_path(spark, ds + "_stats", nation.limit(3), [])
+    report = maintain_dataset(
+        spark, ds, compact_min_files=2, compact_below_fraction=1.0,
+        max_snapshots=999,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    assert "compact_text_index" not in acts, report["actions"]
+    assert "compact_dataset" in acts, report["actions"]
+    assert "failed" not in acts["compact_dataset"]
+    assert fetch_path(spark, ds).count() == nation.count()
+
+
+def test_compaction_fault_is_recorded_not_fatal(
+    spark, nation, tmp_dataset_dir, monkeypatch
+):
+    """r13 (advice): an unexpected exception from the dispatched
+    compaction op is recorded as a failed action instead of aborting
+    the whole maintenance pass — the remaining remedies still run."""
+    import s3parq_spark.maintenance as mx
+
+    publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"],
+                 max_records_per_file=2)
+
+    def boom(spark_, path_):
+        raise RuntimeError("synthetic compaction fault")
+
+    monkeypatch.setattr(mx, "compact_dataset", boom)
+    report = mx.maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=2,
+        compact_below_fraction=1.0, max_snapshots=999,
+        vacuum_retention_hours=0.0, dry_run=False,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    assert acts["compact_dataset"]["failed"].startswith("RuntimeError")
+    # the pass kept going: the opt-in vacuum after the fault still ran
+    assert "vacuum_dataset" in acts, report["actions"]
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+
+
+def test_small_file_reason_names_the_triggering_member(
+    spark, sf_dir, tmp_path
+):
+    """r13 (advice): when a COMPANION crosses the small-file threshold,
+    the reason must name that member and its numbers — not report the
+    (possibly healthy) primary's."""
+    from s3parq_spark.ann_index import build_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 80")
+    ivf = str(tmp_path / "ivf")
+    build_ivf_index(spark, emb, ivf, "vec_id", "embedding",
+                    k=4, iters=1, m=4, codes=4, store_vectors=True,
+                    max_records_per_file=4)
+    primary_files = dataset_health(spark, ivf)["n_files"]
+    companion_files = dataset_health(spark, ivf + "_vectors")["n_files"]
+    # threshold between the two: only the larger-file-count member
+    # qualifies, and the reason must carry ITS path and numbers
+    lo, hi = sorted([(primary_files, ivf),
+                     (companion_files, ivf + "_vectors")])
+    if lo[0] == hi[0]:
+        pytest.skip("members landed identical file counts")
+    report = maintain_dataset(
+        spark, ivf, compact_min_files=int(lo[0]) + 1,
+        compact_below_fraction=1.0, max_snapshots=999, dry_run=True,
+    )
+    acts = {a["action"]: a for a in report["actions"]}
+    reason = acts["compact_ivf_index"]["reason"]
+    assert hi[1] in reason, reason
+    assert f"{int(hi[0])} files" in reason, reason
