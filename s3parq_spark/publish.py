@@ -1725,7 +1725,13 @@ def _carry_stats_through_rewrite(
         k: v
         for k, v in sidecar.stats.items()
         if not drop_partition_section
-        or k not in ("partitions", "partitions_as_of_version")
+        or k
+        not in (
+            "partitions",
+            "partitions_as_of_version",
+            "partitions_as_of_ts",
+            "last_partitions_analyze_mode",
+        )
     }
     head = sidecar.snapshots[-1] if sidecar.snapshots else None
     head_version = head.get("version") if head else None
@@ -1746,13 +1752,22 @@ def _carry_stats_through_rewrite(
             carried_stats.pop("as_of_version", None)
             carried_stats.pop("as_of_ts", None)
     if "partitions_as_of_version" in carried_stats:
-        if (
+        p_current = (
             head_version is not None
             and carried_stats["partitions_as_of_version"] == head_version
-        ):
+            # pre-r13 records carry no ts; a version match alone is
+            # accepted for them (the fold requires the ts, so they fall
+            # back to a full recollect either way)
+            and carried_stats.get("partitions_as_of_ts", head_ts)
+            == head_ts
+        )
+        if p_current:
             carried_stats["partitions_as_of_version"] = 1
+            if "partitions_as_of_ts" in carried_stats:
+                carried_stats["partitions_as_of_ts"] = new_ts
         else:
             carried_stats.pop("partitions_as_of_version", None)
+            carried_stats.pop("partitions_as_of_ts", None)
     return carried_stats
 
 

@@ -294,7 +294,34 @@ def read_stats(spark: SparkSession, path: str) -> Optional[Dict]:
     return meta.stats or None
 
 
-def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
+def _partition_counts(df, parts: List[str]) -> List[Dict]:
+    """One aggregate: per partition-value-combination row counts, values
+    canonicalized to strings (the sidecar is JSON) — shared by the full
+    collect and the incremental delta fold."""
+    if parts:
+        rows = (
+            df.groupBy(*[F.col(p).cast("string").alias(p) for p in parts])
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        return [
+            {"values": {p: r[p] for p in parts}, "n_rows": r["__n"]}
+            for r in rows
+        ]
+    return [{"values": {}, "n_rows": df.count()}]
+
+
+def _sort_partition_recs(recs: List[Dict]) -> None:
+    recs.sort(
+        key=lambda r: [
+            (k, v is None, v or "") for k, v in sorted(r["values"].items())
+        ]
+    )
+
+
+def collect_partition_stats(
+    spark: SparkSession, path: str, incremental: bool = False
+) -> List[Dict]:
     """ANALYZE at partition granularity (Iceberg's partition-stats files,
     restated for the sidecar): ONE aggregate computing each hive
     partition-value combination's row count, stored under
@@ -304,6 +331,19 @@ def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
     survives — the input-size estimate joins and aggregations are sized
     by, served with zero scans after this one.
 
+    ``incremental=True`` (r13) folds the stored record forward by
+    scanning ONLY the appended delta — the same design as
+    ``collect_stats(incremental=True)``: per-partition row counts ADD,
+    so an append touching one partition re-scans that append's files
+    and every untouched partition's stored count carries verbatim.
+    Falls back to the full scan — reported via
+    ``last_partitions_analyze_mode`` — when the delta is not replayable
+    as appends, the recorded baseline snapshot is gone or
+    identity-mismatched, the stored record predates the identity stamp,
+    or the partition SPEC evolved since the record (the stored value
+    combinations describe a different layout). A noop (head unchanged)
+    returns the stored record.
+
     Unpartitioned datasets store a single entry with an empty value map.
     Returns the recorded list of ``{"values": {...}, "n_rows": int}``.
     """
@@ -312,25 +352,14 @@ def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
+    if incremental:
+        folded = _fold_partition_stats_forward(spark, path, meta)
+        if folded is not None:
+            return folded
     df = fetch_path(spark, path)
     parts = list(meta.partitions)
-    if parts:
-        rows = (
-            df.groupBy(*[F.col(p).cast("string").alias(p) for p in parts])
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
-        recs = [
-            {"values": {p: r[p] for p in parts}, "n_rows": r["__n"]}
-            for r in rows
-        ]
-    else:
-        recs = [{"values": {}, "n_rows": df.count()}]
-    recs.sort(
-        key=lambda r: [
-            (k, v is None, v or "") for k, v in sorted(r["values"].items())
-        ]
-    )
+    recs = _partition_counts(df, parts)
+    _sort_partition_recs(recs)
     # same fresh-merge discipline as collect_stats: never write back a
     # pre-scan snapshot of the sidecar
     fresh = metadata.read_sidecar(spark, path)
@@ -340,9 +369,68 @@ def collect_partition_stats(spark: SparkSession, path: str) -> List[Dict]:
     stats = dict(fresh.stats or {})
     stats["partitions"] = recs
     stats["partitions_as_of_version"] = version
+    stats["partitions_as_of_ts"] = _snap_ts(fresh, version)
+    stats["last_partitions_analyze_mode"] = "full"
     fresh.stats = stats
     metadata.write_sidecar(spark, path, fresh)
     return recs
+
+
+def _fold_partition_stats_forward(
+    spark: SparkSession, path: str, meta
+) -> Optional[List[Dict]]:
+    """The incremental partition-stats fold, or None when only the full
+    scan is honest (every bail-out reason in the
+    ``collect_partition_stats`` docstring). One delta-only aggregate;
+    untouched partitions' stored counts carry verbatim."""
+    from .fetch import fetch_changes
+
+    prior = meta.stats or {}
+    recs = prior.get("partitions")
+    last = prior.get("partitions_as_of_version")
+    ts = prior.get("partitions_as_of_ts")
+    if recs is None or last is None or ts is None:
+        return None  # never collected, or a pre-stamp record
+    versions = [
+        s["version"] for s in meta.snapshots or [] if not s.get("staged")
+    ]
+    head = versions[-1] if versions else None
+    if head is None or last not in versions or _snap_ts(meta, last) != ts:
+        return None  # baseline gone or a restore+re-append lookalike
+    parts = list(meta.partitions)
+    if any(set(r["values"]) != set(parts) for r in recs):
+        return None  # partition spec evolved: old combos describe a
+        # different layout — only a full recollect is honest
+    if head == last:
+        return recs  # noop: the record is already at the head
+    try:
+        delta = fetch_changes(spark, path, last, head)
+    except ValueError:
+        return None  # non-append delta (tombstone/rewrite in range)
+    delta_recs = _partition_counts(delta, parts)
+
+    merged = {
+        tuple(sorted(r["values"].items())): int(r["n_rows"]) for r in recs
+    }
+    for r in delta_recs:
+        key = tuple(sorted(r["values"].items()))
+        merged[key] = merged.get(key, 0) + int(r["n_rows"])
+    out = [
+        {"values": dict(key), "n_rows": n} for key, n in merged.items()
+    ]
+    _sort_partition_recs(out)
+
+    fresh = metadata.read_sidecar(spark, path)
+    if fresh is None:
+        raise ValueError(f"{path} disappeared during ANALYZE (no sidecar)")
+    stats = dict(fresh.stats or {})
+    stats["partitions"] = out
+    stats["partitions_as_of_version"] = head
+    stats["partitions_as_of_ts"] = _snap_ts(fresh, head)
+    stats["last_partitions_analyze_mode"] = "incremental"
+    fresh.stats = stats
+    metadata.write_sidecar(spark, path, fresh)
+    return out
 
 
 def read_partition_stats(spark: SparkSession, path: str) -> Optional[List[Dict]]:

@@ -540,6 +540,104 @@ class TestStatsPlane:
             truth["columns"]["l_orderkey"]["max"]
         )
 
+    def test_incremental_partition_stats_fold_touched_partitions_only(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """r13: incremental partition-stats scans ONLY the appended
+        delta — an append to one partition re-reads that append's
+        files, untouched partitions' stored counts carry verbatim, and
+        the merged record equals a full recollect."""
+        from unittest.mock import patch
+
+        from s3parq_spark import stats as stats_mod
+        from s3parq_spark.stats import (
+            collect_partition_stats,
+            read_stats,
+        )
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        full = collect_partition_stats(spark, tmp_dataset_dir)
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s["last_partitions_analyze_mode"] == "full"
+        assert s["partitions_as_of_ts"] is not None
+
+        # noop at head: stored record back, no scan needed
+        assert collect_partition_stats(
+            spark, tmp_dataset_dir, incremental=True
+        ) == full
+
+        # one appended delta hitting region 0 plus a brand-new combo
+        extra = nation.filter("n_regionkey = 0").limit(3).selectExpr(
+            "n_nationkey + 100 as n_nationkey", "n_name", "n_regionkey",
+        )
+        novel = nation.limit(2).selectExpr(
+            "n_nationkey + 200 as n_nationkey", "n_name",
+            "cast(9 as int) as n_regionkey",
+        )
+        publish_path(
+            spark, tmp_dataset_dir, extra.unionByName(novel),
+            ["n_regionkey"], mode="append",
+        )
+        # the fold must read the DELTA, never the full dataset
+        with patch.object(
+            stats_mod, "_fold_partition_stats_forward",
+            wraps=stats_mod._fold_partition_stats_forward,
+        ) as fold:
+            inc = collect_partition_stats(
+                spark, tmp_dataset_dir, incremental=True
+            )
+            assert fold.called
+        assert read_stats(spark, tmp_dataset_dir)[
+            "last_partitions_analyze_mode"] == "incremental"
+        # ≡ a full recollect of the final corpus
+        truth = collect_partition_stats(spark, tmp_dataset_dir)
+        assert inc == truth
+        by_region = {r["values"]["n_regionkey"]: r["n_rows"] for r in inc}
+        assert by_region["9"] == 2  # the new combo appeared
+        assert sum(by_region.values()) == nation.count() + 5
+
+    def test_incremental_partition_stats_bails_honestly(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """Non-foldable situations fall back to the full recollect:
+        a merge-on-read tombstone in the range, and a partition-spec
+        evolution since the record."""
+        from s3parq_spark.publish import delete_where, repartition_dataset
+        from s3parq_spark.stats import collect_partition_stats, read_stats
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        collect_partition_stats(spark, tmp_dataset_dir)
+        delete_where(spark, tmp_dataset_dir, "n_nationkey = 3",
+                     mode="merge-on-read")
+        inc = collect_partition_stats(
+            spark, tmp_dataset_dir, incremental=True
+        )
+        assert read_stats(spark, tmp_dataset_dir)[
+            "last_partitions_analyze_mode"] == "full"
+        assert sum(r["n_rows"] for r in inc) == nation.count() - 1
+
+        # spec evolution: old combos describe a different layout
+        repartition_dataset(spark, tmp_dataset_dir, ["n_nationkey"])
+        # (repartition drops the partition section wholesale; recollect
+        # under the new layout, then append and fold)
+        collect_partition_stats(spark, tmp_dataset_dir)
+        publish_path(
+            spark, tmp_dataset_dir,
+            nation.limit(1).selectExpr(
+                "n_nationkey + 500 as n_nationkey", "n_name",
+                "n_regionkey",
+            ),
+            ["n_nationkey"], mode="append",
+        )
+        inc2 = collect_partition_stats(
+            spark, tmp_dataset_dir, incremental=True
+        )
+        assert read_stats(spark, tmp_dataset_dir)[
+            "last_partitions_analyze_mode"] == "incremental"
+        assert sum(r["n_rows"] for r in inc2) == nation.count()
+
     def test_stale_stats_lose_stamp_through_compaction(
         self, spark, tmp_dataset_dir, sf_dir
     ):
