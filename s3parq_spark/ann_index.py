@@ -67,6 +67,7 @@ __all__ = [
     "build_ivf_index",
     "compact_ivf_index",
     "index_drift",
+    "rebuild_ivf_index",
     "remove_vectors",
     "search_ivf_index",
     "search_ivf_index_batch",
@@ -572,6 +573,153 @@ def compact_ivf_index(
             )
         )
     return report
+
+
+def rebuild_ivf_index(
+    spark: SparkSession,
+    index_path: str,
+    vectors: Optional[DataFrame] = None,
+    vec_col: str = "vec",
+    k: Optional[int] = None,
+    iters: int = 2,
+    codes: Optional[int] = None,
+    pq_iters: int = 1,
+    max_records_per_file: Optional[int] = None,
+    drop_tags: bool = False,
+) -> dict:
+    """Retrain-and-swap: the REMEDY for ``index_drift`` (r12 left it
+    advisory-only). Appends encode against frozen quantizers, so a
+    shifted distribution quantizes worse and recall decays silently;
+    past the drift threshold the fix is new quantizers trained over the
+    CURRENT corpus — which this does without the caller hand-running
+    ``build_ivf_index`` and swapping paths themselves.
+
+    The current corpus is recovered from at-rest state: a flat index
+    stores its vectors per row; a PQ index reads its raw-vector
+    companion (``store_vectors=True`` builds). A PQ index WITHOUT a
+    companion has no true vectors at rest — pass ``vectors`` explicitly
+    (it then DEFINES the rebuilt corpus; ``attach_vectors_companion``
+    is the parity-checked way to make future rebuilds self-sufficient).
+    Geometry carries by default: same k, same m, same codes — override
+    k/codes to re-size while retraining.
+
+    Swap discipline: the new family (index, companion, quantizer
+    sidecar) is built COMPLETELY in sibling temp paths — the same
+    deterministic Lloyd training as ``build_ivf_index`` — then swapped
+    in with two renames per member, old state parked at ``.prerebuild``
+    until the swap completes. The exactly-once txn ledger carries into
+    the rebuilt index sidecar (a streaming sink's crash-replay after a
+    routine rebuild must not re-apply a committed batch — the same
+    carry compaction does); drift counters reset (train = the new
+    corpus, appended = 0) because the new quantizers ARE trained on
+    everything current. Crash-window honesty: the index directory and
+    the quantizer JSON are two storage objects, so a crash between
+    their swaps (one rename apart) leaves new cells with old centroids
+    until the rebuild re-runs — re-running converges; searches in the
+    window may misprobe but the parked ``.prerebuild`` state allows
+    manual restore.
+
+    Returns ``{"n_vectors", "k", "m", "train_qerr",
+    "prev_train_qerr", "prev_drift_ratio"}``.
+    """
+    from .publish import TagPinnedError, _require_no_staged
+
+    q = _load_quantizers(spark, index_path, "rebuild_ivf_index")
+    id_col = q["id_col"]
+    old_meta = metadata.read_sidecar(spark, index_path)
+    if old_meta is None:
+        raise ValueError(
+            f"rebuild_ivf_index: no dataset sidecar at {index_path}"
+        )
+    _require_no_staged(old_meta, index_path, "rebuild_ivf_index")
+    if old_meta.tags and not drop_tags:
+        raise TagPinnedError(
+            f"rebuild_ivf_index: snapshot tags {old_meta.tags} at "
+            f"{index_path} pin versions the rewrite would destroy; "
+            "delete_tag them or pass drop_tags=True"
+        )
+    has_companion = (
+        metadata.read_sidecar(spark, _vectors_path(index_path)) is not None
+    )
+    if vectors is None:
+        if q["m"] is None:
+            vectors = fetch_path(spark, index_path).select(
+                F.col(id_col), F.col("vec")
+            )
+        elif has_companion:
+            vectors = fetch_path(spark, _vectors_path(index_path)).select(
+                F.col(id_col), F.col("vec")
+            )
+        else:
+            raise ValueError(
+                "rebuild_ivf_index: a PQ index without a raw-vector "
+                "companion has no true vectors at rest — pass the "
+                "current corpus as `vectors` (or "
+                "attach_vectors_companion first)"
+            )
+        vec_col = "vec"
+
+    prev_drift = index_drift(spark, index_path)
+    k = int(k) if k is not None else len(q["centroids"])
+    m = q["m"]
+    if codes is None:
+        codes = max(len(b) for b in q["books"]) if q["books"] else 8
+
+    tmp = index_path.rstrip("/") + ".rebuilding"
+    for p in (tmp, _vectors_path(tmp), _quantizers_path(tmp)):
+        fs.delete(spark, p)
+    build_ivf_index(
+        spark, vectors, tmp, id_col, vec_col,
+        k=k, iters=iters, m=m, codes=codes, pq_iters=pq_iters,
+        max_records_per_file=max_records_per_file,
+        store_vectors=(m is not None and has_companion),
+    )
+    if old_meta.txns:
+        tmp_meta = metadata.read_sidecar(spark, tmp)
+        tmp_meta.txns = dict(old_meta.txns)
+        if tmp_meta.snapshots:
+            # squash-base stamp, same as compaction: keeps the claims
+            # provable from history across a later restore_dataset
+            tmp_meta.snapshots[-1]["txns"] = dict(old_meta.txns)
+        metadata.write_sidecar(spark, tmp, tmp_meta)
+    new_q = json.loads(fs.read_text(spark, _quantizers_path(tmp)))
+
+    # swap each member: park old at .prerebuild, rename new in. The
+    # index dir and quantizer JSON swap back-to-back (see docstring).
+    swaps = [(index_path, tmp)]
+    if m is not None and has_companion:
+        swaps.append((_vectors_path(index_path), _vectors_path(tmp)))
+    swaps.append((_quantizers_path(index_path), _quantizers_path(tmp)))
+    parked = []
+    for live, fresh in swaps:
+        old = live.rstrip("/") + ".prerebuild"
+        fs.delete(spark, old)
+        if fs.exists(spark, live) and not fs.rename(spark, live, old):
+            raise IOError(
+                f"rebuild_ivf_index: could not move {live} aside"
+            )
+        if not fs.rename(spark, fresh, live):
+            fs.rename(spark, old, live)  # roll this member back
+            raise IOError(
+                f"rebuild_ivf_index: could not swap in {fresh}"
+            )
+        parked.append(old)
+    for old in parked:
+        fs.delete(spark, old)
+    if m is not None and not has_companion:
+        # caller-supplied corpus for a companion-less PQ index: the
+        # rebuild does not manufacture a companion the operator never
+        # declared (attach_vectors_companion is the opt-in for that)
+        fs.delete(spark, _vectors_path(index_path))
+    train = new_q["train"]
+    return {
+        "n_vectors": int(train["n"]),
+        "k": k,
+        "m": m,
+        "train_qerr": train["sum_qerr"] / max(1, train["n"]),
+        "prev_train_qerr": prev_drift["train_qerr"],
+        "prev_drift_ratio": prev_drift["drift_ratio"],
+    }
 
 
 def search_ivf_index(

@@ -122,6 +122,7 @@ def maintain_dataset(
     max_pending_tombstones: int = 8,
     vacuum_retention_hours: Optional[float] = None,
     ann_drift_threshold: float = 1.5,
+    rebuild_on_drift: bool = False,
     resort_depth_threshold: float = 8.0,
     dry_run: bool = False,
 ) -> Dict[str, object]:
@@ -158,13 +159,16 @@ def maintain_dataset(
     - ``vacuum_dataset(retention_hours=...)`` only when the caller passes
       ``vacuum_retention_hours`` explicitly — deleting files is opt-in per
       call, never something a generic policy loop silently starts doing.
-    - ANN retrain ADVISORY (r11) when the dataset is an ANN index and its
+    - ANN retrain when the dataset is an ANN index and its
       appended-vs-training quantization-error ratio reaches
       ``ann_drift_threshold``: appends encode against frozen quantizers,
-      so distribution shift decays recall with no error anywhere — but a
-      rebuild needs the vectors themselves, which this loop does not
-      have, so the entry recommends ``build_ivf_index`` rather than
-      running anything.
+      so distribution shift decays recall with no error anywhere. With
+      ``rebuild_on_drift=True`` (r13) and the true vectors recoverable
+      at rest (flat index, or PQ with its raw-vector companion), the
+      loop runs ``rebuild_ivf_index`` — retrain-and-swap with the txn
+      ledger carried. Otherwise the entry stays an ADVISORY naming the
+      remedy (retraining is the one full-train action in the family,
+      so it is opt-in like vacuum).
 
     ``dry_run=True`` reports which actions WOULD run (and vacuum's orphan
     list) without changing anything. The report carries the health probe,
@@ -334,19 +338,44 @@ def maintain_dataset(
 
     drift = health.get("ann_drift_ratio")
     if drift is not None and drift >= ann_drift_threshold:
-        report["actions"].append(
-            {
-                "action": "rebuild_ivf_index",
-                "reason": f"ann_drift_ratio {drift:.2f} >= "
-                          f"ann_drift_threshold={ann_drift_threshold}",
-                "advisory": (
-                    "appended vectors quantize markedly worse than the "
-                    "training corpus (frozen quantizers): recall is "
-                    "decaying silently — re-train with build_ivf_index "
-                    "over the current vectors"
-                ),
-            }
-        )
+        entry = {
+            "action": "rebuild_ivf_index",
+            "reason": f"ann_drift_ratio {drift:.2f} >= "
+                      f"ann_drift_threshold={ann_drift_threshold}",
+        }
+        # the rebuild needs the true vectors, which are at rest only
+        # for a flat index (rows carry vec) or a PQ index with its
+        # raw-vector companion — opt-in because retraining is the one
+        # full-train action in the family (r13: the drift advisory's
+        # scheduled remedy)
+        from .ann_index import _load_quantizers
+
+        q = _load_quantizers(spark, path, "maintain_dataset")
+        recoverable = q["m"] is None or bool(live_companions)
+        if rebuild_on_drift and recoverable and not dry_run:
+            from .ann_index import rebuild_ivf_index
+
+            try:
+                entry["result"] = rebuild_ivf_index(spark, path)
+            except (TagPinnedError, PendingAuditError) as exc:
+                entry["skipped"] = str(exc)
+            except Exception as exc:  # noqa: BLE001
+                entry["failed"] = f"{type(exc).__name__}: {exc}"
+        else:
+            entry["advisory"] = (
+                "appended vectors quantize markedly worse than the "
+                "training corpus (frozen quantizers): recall is "
+                "decaying silently — "
+                + (
+                    "pass rebuild_on_drift=True to retrain-and-swap "
+                    "(rebuild_ivf_index)"
+                    if recoverable
+                    else "re-train with build_ivf_index over the "
+                    "current vectors (no true vectors at rest: PQ "
+                    "index without a companion)"
+                )
+            )
+        report["actions"].append(entry)
 
     if vacuum_retention_hours is not None:
         # opt-in orphan sweep runs per family member: a crash between a

@@ -828,3 +828,152 @@ def test_stream_upsert_vectors_replay_after_compaction(spark, emb, tmp_path):
         .filter("count > 1").count()
     )
     assert dups == 0
+
+
+def _clustered_vecs(spark, ids, base_dim):
+    rows = []
+    for i in ids:
+        v = [0.0] * 8
+        v[base_dim + (i % 4)] = 1.0
+        v[(base_dim + 4 + ((i // 4) % 2)) % 8] = 0.05
+        rows.append((i, v))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+
+
+def test_rebuild_flat_index_resets_drift_and_matches_fresh_build(
+    spark, tmp_path
+):
+    """r13 (verdict #3): the drift advisory's remedy. A flat index whose
+    appends drifted out of distribution retrains over the CURRENT
+    corpus (recovered from the index rows themselves) and swaps in —
+    search equals a fresh build_ivf_index over the same corpus
+    (deterministic training), drift counters reset."""
+    from s3parq_spark.ann_index import _load_quantizers, rebuild_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=2)
+    append_to_ivf_index(spark, _clustered_vecs(spark, range(200, 300), 4),
+                        path, "vec_id", "embedding")
+    assert index_drift(spark, path)["drift_ratio"] > 2.0
+    old_cents = _load_quantizers(spark, path, "t")["centroids"]
+
+    rep = rebuild_ivf_index(spark, path, iters=2)
+    assert rep["n_vectors"] == 200 and rep["k"] == 4 and rep["m"] is None
+    assert rep["prev_drift_ratio"] > 2.0
+    d = index_drift(spark, path)
+    assert d["appended_n"] == 0 and d["appended_qerr"] is None
+    new_cents = _load_quantizers(spark, path, "t")["centroids"]
+    assert new_cents != old_cents  # actually retrained
+
+    # parity: a fresh build over the same corpus is byte-identical
+    ref = str(tmp_path / "ref")
+    corpus = _clustered_vecs(spark, range(100), 0).unionByName(
+        _clustered_vecs(spark, range(200, 300), 4)
+    )
+    build_ivf_index(spark, corpus, ref, "vec_id", "embedding",
+                    k=4, iters=2)
+    assert _load_quantizers(spark, ref, "t")["centroids"] == new_cents
+    qv = [0.0] * 8
+    qv[4] = 1.0
+    got = _rows(search_ivf_index(spark, path, qv, k=8, nprobe=2))
+    want = _rows(search_ivf_index(spark, ref, qv, k=8, nprobe=2))
+    assert got == want and len(got) == 8
+
+
+def test_rebuild_pq_family_carries_ledger_and_companion(
+    spark, emb, tmp_path
+):
+    """PQ + companion rebuild: corpus recovered from the raw-vector
+    companion, refine search equals a fresh build, and the
+    exactly-once txn ledger survives the swap (a streaming sink's
+    crash-replay after a routine rebuild must not re-apply)."""
+    from s3parq_spark import metadata as _md
+    from s3parq_spark.ann_index import rebuild_ivf_index, upsert_vectors
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.filter("vec_id < 300"), path, "vec_id",
+                    "embedding", k=8, iters=1, m=4, codes=8,
+                    store_vectors=True)
+    upsert_vectors(
+        spark, emb.filter("vec_id >= 300 and vec_id < 360"), path,
+        "vec_id", "embedding", count_matches=False,
+        _txn={"app": "sinkA", "version": 7},
+    )
+    assert _md.read_sidecar(spark, path).txns == {"sinkA": 7}
+
+    rep = rebuild_ivf_index(spark, path, iters=1)
+    assert rep["n_vectors"] == 360 and rep["m"] == 4
+    # ledger carried through the swap (and provable from the squash base)
+    m = _md.read_sidecar(spark, path)
+    assert m.txns == {"sinkA": 7}
+    assert m.snapshots[-1]["txns"] == {"sinkA": 7}
+    # companion swapped in step: refine equals a fresh build's refine
+    ref = str(tmp_path / "ref")
+    build_ivf_index(spark, emb.filter("vec_id < 360"), ref, "vec_id",
+                    "embedding", k=8, iters=1, m=4, codes=8,
+                    store_vectors=True)
+    qv = _query_vec(emb, 5)
+    got = _rows(search_ivf_index(spark, path, qv, k=10, nprobe=3,
+                                 refine_factor=5))
+    want = _rows(search_ivf_index(spark, ref, qv, k=10, nprobe=3,
+                                  refine_factor=5))
+    assert got == want and len(got) == 10
+    # no .prerebuild/.rebuilding residue
+    import glob as _glob
+    assert not _glob.glob(str(tmp_path / "idx*prerebuild*"))
+    assert not _glob.glob(str(tmp_path / "idx*rebuilding*"))
+
+
+def test_rebuild_pq_without_companion_needs_vectors(spark, emb, tmp_path):
+    """A PQ index without a companion has no true vectors at rest: the
+    rebuild refuses without an explicit corpus, and accepts one."""
+    from s3parq_spark.ann_index import rebuild_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.filter("vec_id < 200"), path, "vec_id",
+                    "embedding", k=4, iters=1, m=4, codes=8)
+    with pytest.raises(ValueError, match="no true vectors at rest"):
+        rebuild_ivf_index(spark, path)
+    rep = rebuild_ivf_index(
+        spark, path, vectors=emb.filter("vec_id < 200"),
+        vec_col="embedding", iters=1,
+    )
+    assert rep["n_vectors"] == 200
+    qv = _query_vec(emb, 5)
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
+
+
+def test_maintain_dataset_rebuild_on_drift(spark, tmp_path):
+    """r13: the policy loop runs the retrain-and-swap when opted in and
+    the vectors are recoverable; the default stays advisory."""
+    from s3parq_spark.maintenance import maintain_dataset
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=2)
+    append_to_ivf_index(spark, _clustered_vecs(spark, range(200, 300), 4),
+                        path, "vec_id", "embedding")
+    rep = maintain_dataset(
+        spark, path, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999,
+    )
+    adv = [a for a in rep["actions"] if a["action"] == "rebuild_ivf_index"]
+    assert adv and "advisory" in adv[0]  # default: advisory only
+    rep = maintain_dataset(
+        spark, path, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, rebuild_on_drift=True,
+    )
+    acts = [a for a in rep["actions"]
+            if a["action"] == "rebuild_ivf_index"]
+    assert acts and acts[0]["result"]["n_vectors"] == 200
+    assert index_drift(spark, path)["appended_n"] == 0
+    # after the retrain the ratio is gone; no further action scheduled
+    rep = maintain_dataset(
+        spark, path, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, rebuild_on_drift=True,
+    )
+    assert not [a for a in rep["actions"]
+                if a["action"] == "rebuild_ivf_index"]
