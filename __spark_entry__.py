@@ -82,21 +82,17 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 12 additions (reset at round start per the r11 verdict #2;
-    # keep <= 4 so the window drains the r7-era tail):
-    "stream_index_docs",    # new: streaming doc ingestion steady state —
-                            # bootstrap + CDC reindex waves; search ==
-                            # SQL BM25 over the post-CDC corpus
-    "pq_refine_search",     # new: PQ + companion refine — ADC misranks
-                            # (asserted), exact re-rank == SQL cosine
-                            # inside the probed cells
-    "ann_stream_upsert",    # new: streaming vector CDC with the txn
-                            # ledger — negated re-arrivals re-assign to
-                            # new cells; refine search == SQL replay
-    "ann_compact_search",   # new: the lifecycle incl. compact_ivf_index
-                            # — MoR debt materialized across index +
-                            # companion, search == SQL replay minus
-                            # removed ids
+    # Round 13 additions (reset at round start per the r12 verdict #2;
+    # keep <= 4 so the window drains the r8/r9-era tail):
+    "incremental_analyze",   # new: table + partition ANALYZE folds
+                             # forward over an appended delta; stored
+                             # record == full-scan SQL recompute
+    "ann_rebuild_search",    # new: drift remedy — retrain-and-swap
+                             # over the current corpus; search == SQL
+                             # replay of quantizers trained on ALL
+    "maintain_ann_family",   # new: maintain_dataset end-to-end — the
+                             # policy loop dispatches family compaction;
+                             # search == frozen-quantizer SQL replay
 )
 
 

@@ -4939,3 +4939,400 @@ ORACLE_EXT2["ann_stream_upsert"] = """
     ORDER BY score DESC, vec_id ASC
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# r13: incremental ANALYZE — the stats plane folds forward over appends
+# ---------------------------------------------------------------------------
+
+
+def q_incremental_analyze(spark, sf_dir):
+    """Incremental ANALYZE end-to-end (r12 stats.py fold, gated r13):
+    publish a partitioned base, ANALYZE it (table-level +
+    per-partition), append a delta, then fold BOTH records forward
+    scanning only the delta — ``collect_stats(incremental=True)`` adds
+    row_count/n_nulls, compares min/max typed, folds NDV through the
+    stored HLL sketch; ``collect_partition_stats(incremental=True)``
+    adds per-partition counts with untouched partitions carried
+    verbatim. The gate asserts the folds actually ran
+    (``last_*analyze_mode == 'incremental'``) and returns the STORED
+    record's exact fields (min/max/n_nulls/row_count per column +
+    per-partition counts), which the oracle recomputes with full-scan
+    SQL over the final corpus — so a fold that lost any of the delta
+    (the r12 restamp bug) hash-mismatches. NDV is excluded: after a
+    fold it is the sketch estimate by design (``ndv_mode: hll``)."""
+    from .publish import publish_path
+    from .stats import collect_partition_stats, collect_stats, read_stats
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "stats_folded")
+    marker = os.path.join(path, "_ANALYZED")
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
+    )
+    if not os.path.exists(marker):
+        shutil.rmtree(path, ignore_errors=True)
+        publish_path(
+            spark, path, orders.filter("o_orderkey % 5 <> 0"),
+            ["o_orderpriority"],
+        )
+        full = collect_stats(spark, path)
+        assert full["last_analyze_mode"] == "full"
+        assert full["columns"]["o_orderkey"]["ndv_mode"] == "exact"
+        collect_partition_stats(spark, path)
+        publish_path(
+            spark, path, orders.filter("o_orderkey % 5 = 0"),
+            ["o_orderpriority"], mode="append",
+        )
+        collect_stats(spark, path, incremental=True)
+        collect_partition_stats(spark, path, incremental=True)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    s = read_stats(spark, path)
+    # the op under test: the folds ran, not full rescans
+    assert s["last_analyze_mode"] == "incremental", s["last_analyze_mode"]
+    assert s["last_partitions_analyze_mode"] == "incremental"
+    assert s["columns"]["o_orderkey"]["ndv_mode"] == "hll"
+    rows = []
+    for c in ("o_orderkey", "o_custkey", "o_orderstatus"):
+        rec = s["columns"][c]
+        rows.append((
+            f"col:{c}", rec["min"], rec["max"], int(rec["n_nulls"]),
+            int(s["row_count"]),
+        ))
+    for p in s["partitions"]:
+        rows.append((
+            f"part:{p['values']['o_orderpriority']}", None, None, None,
+            int(p["n_rows"]),
+        ))
+    return spark.createDataFrame(
+        rows,
+        "stat string, min_s string, max_s string, n_nulls bigint, "
+        "n_rows bigint",
+    ).orderBy("stat")
+
+
+QUERIES_EXT2["incremental_analyze"] = q_incremental_analyze
+# full-scan recompute of the folded record over the final corpus (base
+# %5<>0 plus appended %5=0 == the whole table): exact min/max/n_nulls/
+# row_count per analyzed column, exact per-partition counts
+ORACLE_EXT2["incremental_analyze"] = """
+    WITH corpus AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_orderpriority
+      FROM orders
+    ), cols AS (
+      SELECT 'col:o_orderkey' AS stat,
+             CAST(min(o_orderkey) AS VARCHAR) AS min_s,
+             CAST(max(o_orderkey) AS VARCHAR) AS max_s,
+             CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_nulls,
+             CAST(COUNT(*) AS BIGINT) AS n_rows
+      FROM corpus
+      UNION ALL
+      SELECT 'col:o_custkey',
+             CAST(min(o_custkey) AS VARCHAR),
+             CAST(max(o_custkey) AS VARCHAR),
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM corpus
+      UNION ALL
+      SELECT 'col:o_orderstatus',
+             CAST(min(o_orderstatus) AS VARCHAR),
+             CAST(max(o_orderstatus) AS VARCHAR),
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(COUNT(*) AS BIGINT)
+      FROM corpus
+      UNION ALL
+      SELECT 'part:' || o_orderpriority, NULL, NULL, NULL,
+             CAST(COUNT(*) AS BIGINT)
+      FROM corpus GROUP BY o_orderpriority
+    )
+    SELECT stat, min_s, max_s, n_nulls, n_rows FROM cols ORDER BY stat
+"""
+
+
+# ---------------------------------------------------------------------------
+# r13: ANN drift rebuild — retrain-and-swap over the current corpus
+# ---------------------------------------------------------------------------
+
+
+
+def _ivf_fixture_ok(path: str, m: int) -> bool:
+    """Marker-independent fixture validation for the ANN gates: a gate
+    must never trust a marker over the state itself (an interrupted or
+    concurrent run can leave a half-built family behind) — check the
+    quantizer geometry and the refine companion before skipping the
+    rebuild."""
+    import json as _json
+
+    qp = path.rstrip("/") + "_quantizers.json"
+    try:
+        with open(qp) as fh:
+            q = _json.load(fh)
+    except (OSError, ValueError):
+        return False
+    return q.get("m") == m and os.path.isdir(path.rstrip("/") + "_vectors")
+
+
+def q_ann_rebuild_search(spark, sf_dir):
+    """The drift remedy end-to-end (r13 — ann_index.rebuild_ivf_index):
+    build PQ + companion over the <300 prefix, append the rest (drift
+    counters accumulate against the FROZEN quantizers), then
+    rebuild_ivf_index retrains over the CURRENT corpus — recovered from
+    the raw-vector companion — and swaps the family in (drift counters
+    reset asserted; ledger-carrying swap pinned by unit test). The
+    final refine search therefore equals exact cosine inside the top-3
+    cells of quantizers trained over the FULL corpus — which the oracle
+    replays from scratch (c0 = first 8 ids of the whole table, one
+    deterministic Lloyd step), unlike every frozen-quantizer oracle
+    that trains on the build prefix only."""
+    import glob
+
+    from .ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        index_drift,
+        rebuild_ivf_index,
+        search_ivf_index,
+    )
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "ivf_rebuilt")
+    marker = os.path.join(path, "_REBUILT")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter("vec_id = 5").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    if not os.path.exists(marker) or not _ivf_fixture_ok(path, m=4):
+        for suffix in ("", "_vectors"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        qp = path.rstrip("/") + "_quantizers.json"
+        if os.path.exists(qp):
+            os.remove(qp)
+        build_ivf_index(
+            spark, emb.filter("vec_id < 300"), path, "vec_id", "embedding",
+            k=8, iters=1, m=4, codes=8, store_vectors=True,
+        )
+        append_to_ivf_index(
+            spark, emb.filter("vec_id >= 300"), path, "vec_id", "embedding",
+        )
+        assert index_drift(spark, path)["appended_n"] > 0
+        rep = rebuild_ivf_index(spark, path, iters=1)
+        assert rep["n_vectors"] == emb.count(), rep
+        assert index_drift(spark, path)["appended_n"] == 0
+        # swap hygiene: no temp/parked state left behind
+        assert not glob.glob(path.rstrip("/") + "*rebuilding*")
+        assert not glob.glob(path.rstrip("/") + "*prerebuild*")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_ivf_index(spark, path, qv, k=11, nprobe=3,
+                           refine_factor=50)
+    return out.filter("vec_id <> 5").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["ann_rebuild_search"] = q_ann_rebuild_search
+# retrained replay: quantizers trained over the WHOLE table (c0 = the 8
+# lowest vec_ids, one Lloyd step), every vector assigned to its new
+# cell, exact cosine inside the query's top-3 cells
+ORACLE_EXT2["ann_rebuild_search"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8
+    ), a1 AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c0 c GROUP BY e.vec_id, e.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 5
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), asg AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 5
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# r13: maintain_dataset end-to-end — the policy loop clears family debt
+# ---------------------------------------------------------------------------
+
+
+def q_maintain_ann_family(spark, sf_dir):
+    """The r12 family trigger/dispatch machinery end-to-end (gated r13
+    per the verdict — it was tests-only): an ANN family accumulates
+    small files and merge-on-read debt across index AND companion
+    (append, remove, CDC upsert), then ONE ``maintain_dataset`` call —
+    the thing an operator actually schedules — detects the family,
+    triggers on the debt, dispatches ``compact_ivf_index``, and the
+    rewrite changes no answer. The gate asserts the loop ran the family
+    op (result recorded, nothing failed), the debt is cleared on BOTH
+    members, and search parity holds across the pass; the oracle
+    replays the lifecycle's value-level definition (frozen-quantizer
+    assignment of the post-CDC corpus minus removed ids)."""
+    from .ann_index import (
+        append_to_ivf_index,
+        build_ivf_index,
+        remove_vectors,
+        search_ivf_index,
+        upsert_vectors,
+    )
+    from .maintenance import dataset_health, maintain_dataset
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "ivf_maintained")
+    marker = os.path.join(path, "_MAINTAINED")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter("vec_id = 5").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    if not os.path.exists(marker) or not _ivf_fixture_ok(path, m=4):
+        for suffix in ("", "_vectors"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        qp = path.rstrip("/") + "_quantizers.json"
+        if os.path.exists(qp):
+            os.remove(qp)
+        build_ivf_index(
+            spark, emb.filter("vec_id < 320"), path, "vec_id", "embedding",
+            k=8, iters=1, m=4, codes=8, store_vectors=True,
+            max_records_per_file=16,
+        )
+        append_to_ivf_index(
+            spark, emb.filter("vec_id >= 320 and vec_id < 400"),
+            path, "vec_id", "embedding",
+        )
+        removed = [r[0] for r in emb.filter(
+            "vec_id % 40 = 9 and vec_id < 400"
+        ).select("vec_id").collect()]
+        remove_vectors(spark, removed, path, "vec_id")
+        cdc = emb.filter("vec_id % 20 = 6 and vec_id < 320").select(
+            "vec_id",
+            F.transform("embedding", lambda x: -x).alias("embedding"),
+        ).unionByName(emb.filter("vec_id >= 400"))
+        upsert_vectors(spark, cdc, path, "vec_id", "embedding")
+        assert dataset_health(spark, path)["n_pending_tombstones"] > 0
+        pre = [(r[0], round(r[1], 9)) for r in search_ivf_index(
+            spark, path, qv, k=11, nprobe=3, refine_factor=50).collect()]
+        report = maintain_dataset(
+            spark, path, compact_min_files=2, compact_below_fraction=1.0,
+            max_pending_tombstones=1, max_snapshots=999,
+        )
+        acts = {a["action"]: a for a in report["actions"]}
+        # the op under test: the POLICY LOOP ran the family compaction
+        assert "compact_ivf_index" in acts, report["actions"]
+        assert "result" in acts["compact_ivf_index"], report["actions"]
+        assert set(acts["compact_ivf_index"]["result"]) == {
+            "index", "vectors"
+        }
+        assert not any("failed" in a for a in report["actions"])
+        for p in (path, path.rstrip("/") + "_vectors"):
+            h = dataset_health(spark, p)
+            assert h["n_pending_tombstones"] == 0, p
+            assert h["n_pending_eq_deletes"] == 0, p
+        post = [(r[0], round(r[1], 9)) for r in search_ivf_index(
+            spark, path, qv, k=11, nprobe=3, refine_factor=50).collect()]
+        assert pre == post, "maintenance pass changed a search answer"
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_ivf_index(spark, path, qv, k=11, nprobe=3,
+                           refine_factor=50)
+    return out.filter("vec_id <> 5").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["maintain_ann_family"] = q_maintain_ann_family
+# frozen-quantizer replay (train over the <320 prefix), post-CDC corpus
+# (negations for vec_id % 20 = 6 of the prefix, inserts >= 400) minus
+# the removed ids (vec_id % 40 = 9 below 400); the maintenance pass
+# must not change a single score, so the oracle is the lifecycle's
+# value-level definition
+ORACLE_EXT2["maintain_ann_family"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 320
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), corpus AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 20 = 6 AND vec_id < 320
+                  THEN list_transform(v, x -> -x)
+                  ELSE v END AS v
+      FROM e WHERE NOT (vec_id % 40 = 9 AND vec_id < 400)
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 5
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), asg AS (
+      SELECT corpus.vec_id, corpus.v,
+             arg_max(c.cid, list_dot_product(corpus.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM corpus CROSS JOIN c1 c GROUP BY corpus.vec_id, corpus.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 5
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""

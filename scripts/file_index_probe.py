@@ -266,6 +266,73 @@ def matching_probe(spark, sizes) -> None:
         )
 
 
+def build_serving(spark, n_cells: int, files_per_cell: int) -> str:
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.publish import publish_path
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"s3parq_serving_probe_{n_cells}x{files_per_cell}",
+    )
+    marker = os.path.join(base, "_PROBE_OK")
+    if os.path.exists(marker):
+        return base
+    shutil.rmtree(base, ignore_errors=True)
+    n = n_cells * files_per_cell
+    df = spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % n_cells).cast("int").alias("cell"),
+    )
+    publish_path(spark, base, df, ["cell"], max_records_per_file=1)
+    with open(marker, "w") as fh:
+        fh.write("ok")
+    return base
+
+
+def serving_probe(spark, sizes) -> None:
+    """r13 probe (r12 verdict #8 stretch): should INDEX SERVING reads
+    ship dirs below the 256-survivor threshold? An ANN probe touches
+    nprobe cells x few files each — far under ``_DIR_SCAN_MIN_FILES`` —
+    so it always takes the per-file path today. ``files`` is that
+    shipped plan; ``dirs`` forces dir shipping (threshold 1, ratio 1)
+    for the same 3-cell probe read."""
+    import importlib
+
+    fetch_mod = importlib.import_module("s3parq_spark.fetch")
+    flt = [{"partition": "cell", "comparison": "==", "values": [3, 17, 42]}]
+    print(f"{'files/cell':>10} {'survivors':>9} {'files-path':>11} "
+          f"{'dirs-path':>10} {'dirs?':>6}")
+    for fpc in sizes:
+        path = build_serving(spark, 64, fpc)
+        times = {}
+        used = None
+        for mode in ("files", "dirs"):
+            o_min = fetch_mod._DIR_SCAN_MIN_FILES
+            o_rat = fetch_mod._DIR_SCAN_MIN_RATIO
+            if mode == "dirs":
+                fetch_mod._DIR_SCAN_MIN_FILES = 1
+                fetch_mod._DIR_SCAN_MIN_RATIO = 1
+            best = None
+            try:
+                for _ in range(5):
+                    t0 = time.time()
+                    n = fetch_mod.fetch_path(spark, path, filters=flt).count()
+                    dt = time.time() - t0
+                    best = dt if best is None else min(best, dt)
+                assert n == 3 * fpc, (n, fpc)
+            finally:
+                fetch_mod._DIR_SCAN_MIN_FILES = o_min
+                fetch_mod._DIR_SCAN_MIN_RATIO = o_rat
+            times[mode] = best
+            if mode == "dirs":
+                used = fetch_mod._LAST_SCAN_USED_DIRS
+        print(
+            f"{fpc:>10} {3 * fpc:>9} {times['files']:>10.3f}s "
+            f"{times['dirs']:>9.3f}s {str(used):>6}"
+        )
+
+
 def main() -> None:
     from s3parq_spark.session import get_spark
 
@@ -278,6 +345,10 @@ def main() -> None:
     if sys.argv[1:2] == ["matching"]:
         sizes = [int(a) for a in sys.argv[2:]] or [500, 2000, 5000]
         matching_probe(spark, sizes)
+        return
+    if sys.argv[1:2] == ["serving"]:
+        sizes = [int(a) for a in sys.argv[2:]] or [2, 8, 32]
+        serving_probe(spark, sizes)
         return
     sizes = [int(a) for a in sys.argv[1:]] or [100, 1000, 5000]
     print(f"{'files':>8} {'unpruned':>10} {'pruned':>10}")
