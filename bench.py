@@ -515,6 +515,19 @@ def main() -> None:
         t0 = time.time()
         search_ivf_index(spark, ai, qv, k=10, nprobe=4).count()
         probes_sf1["ivf_probe_search_compacted"] = round(time.time() - t0, 3)
+        # ---- drift remedy (r13): retrain-and-swap over the current
+        # corpus recovered from at-rest state (flat index: its own rows)
+        # — the scheduled rebuild vs the hand-run build_ivf_index it
+        # replaces (ivf_rebuild_full); the delta is the corpus
+        # recovery + family swap overhead
+        from s3parq_spark.ann_index import rebuild_ivf_index
+
+        t0 = time.time()
+        rebuild_ivf_index(spark, ai, iters=2)
+        probes_sf1["ivf_drift_rebuild"] = round(time.time() - t0, 3)
+        t0 = time.time()
+        search_ivf_index(spark, ai, qv, k=10, nprobe=4).count()
+        probes_sf1["ivf_probe_search_rebuilt"] = round(time.time() - t0, 3)
         _sh.rmtree(ai, ignore_errors=True)
         _sh.rmtree(ai + "_vectors", ignore_errors=True)
         os.remove(ai + "_quantizers.json")

@@ -1556,9 +1556,16 @@ def _union_spec_slices(
 
 
 #: attempt directory-granular path shipping only past this survivor-file
-#: count — below it the per-file py4j/getFileStatus fixed cost is noise
-#: and the dir-coverage bookkeeping would cost more than it saves
-_DIR_SCAN_MIN_FILES = 256
+#: count — below it the per-file py4j/getFileStatus fixed cost is noise.
+#: r13 (r12 verdict #8 stretch): lowered 256 -> 24 after measuring
+#: INDEX-SERVING cardinality (scripts/file_index_probe.py serving mode,
+#: 3-cell probe over a 64-cell layout): dirs never lose even at 6
+#: survivors (0.209 vs 0.195 s — the coverage check rides the same
+#: InMemoryFileIndex listing both paths build), break even at 24
+#: (0.226 -> 0.166 s), and win 2.4x at 96 (0.456 -> 0.187 s) — exactly
+#: an ANN probe's nprobe x files-per-cell shape. The compression-ratio
+#: floor below still keeps 1-file/dir layouts on the per-file path.
+_DIR_SCAN_MIN_FILES = 24
 #: ... and only when dirs actually compress the path list this much
 #: (1 file/dir layouts gain nothing and would pay the verification)
 _DIR_SCAN_MIN_RATIO = 4

@@ -64,6 +64,22 @@ N footer reads + tasks — irreducible work that rides executors, not the
 driver); the ~1 ms/file driver-side fixed cost (py4j transfer + per-leaf
 ``getFileStatus``) is gone. On an object store the same change turns N
 HEAD requests into one LIST per directory.
+
+``serving`` mode (r13) answers the r12 verdict #8 stretch: should INDEX
+SERVING reads (an ANN probe = nprobe cells x few files each — far below
+the old 256-survivor threshold) ship dirs too? Recorded (local[32],
+this container, 2026-08-16, r13; 64 cells, 3-cell probe):
+
+    files/cell   survivors   files-path   dirs-path
+         2            6        0.209s      0.195s
+         8           24        0.226s      0.166s
+        32           96        0.456s      0.187s
+
+Dirs never lose (the coverage verification rides the InMemoryFileIndex
+listing BOTH paths build anyway) and win 2.4x at 96 survivors — exactly
+a production probe's shape between compactions. Consequence:
+``_DIR_SCAN_MIN_FILES`` lowered 256 -> 24 (the compression-ratio >= 4
+floor still keeps 1-file/dir layouts on the per-file path).
 """
 
 from __future__ import annotations
