@@ -124,6 +124,7 @@ def maintain_dataset(
     ann_drift_threshold: float = 1.5,
     rebuild_on_drift: bool = False,
     resort_depth_threshold: float = 8.0,
+    analyze_stale_versions: Optional[int] = None,
     dry_run: bool = False,
 ) -> Dict[str, object]:
     """Run whatever maintenance the dataset is due for; return a report.
@@ -159,6 +160,19 @@ def maintain_dataset(
     - ``vacuum_dataset(retention_hours=...)`` only when the caller passes
       ``vacuum_retention_hours`` explicitly — deleting files is opt-in per
       call, never something a generic policy loop silently starts doing.
+      The same opt-in also sweeps PARKED REWRITE RESIDUE (r13): a crash
+      between a rewrite's swap-in and its final cleanup leaves the old
+      copy at ``<path>.precompact`` / ``.prerebuild`` / etc. — residue
+      only when the live sidecar is valid (the swap completed), which
+      holds here because the health probe raised otherwise.
+    - ``collect_stats(incremental=True)`` (r13) when the caller passes
+      ``analyze_stale_versions`` and an EXISTING ANALYZE record lags the
+      head by at least that many snapshots (or lost its identity stamp to
+      a stale-at-rewrite carry). The loop only refreshes records an
+      operator once collected — it never starts analyzing an unanalyzed
+      dataset. Incremental-first: a delta scan when the history permits,
+      an honest reported full scan when it does not; the per-partition
+      section refreshes on its own staleness the same way.
     - ANN retrain when the dataset is an ANN index and its
       appended-vs-training quantization-error ratio reaches
       ``ann_drift_threshold``: appends encode against frozen quantizers,
@@ -377,6 +391,77 @@ def maintain_dataset(
             )
         report["actions"].append(entry)
 
+    if analyze_stale_versions is not None:
+        # opt-in ANALYZE refresh (r13): the loop only REFRESHES a record
+        # an operator once collected — never starts analyzing a dataset
+        # nobody asked stats for. Runs AFTER any compaction above so the
+        # post-rewrite state is what gets stamped. Incremental first:
+        # with the r12/r13 folds this is a delta scan when the history
+        # permits and an honest reported full scan when it does not
+        # (including the record having lost its identity stamp to a
+        # stale-at-rewrite carry).
+        m2 = metadata.read_sidecar(spark, path)
+        rec = (m2.stats or {}) if m2 is not None else {}
+        if rec.get("columns") or rec.get("partitions"):
+            versions = [
+                s.get("version")
+                for s in (m2.snapshots or [])
+                if not s.get("staged")
+            ]
+
+            def _lag(stamp_key: str) -> int:
+                stamp = rec.get(stamp_key)
+                if stamp is None:
+                    return len(versions)  # stampless record: refresh
+                if stamp not in versions:
+                    return len(versions)
+                return len(versions) - 1 - versions.index(stamp)
+
+            due = []
+            if rec.get("columns") and (
+                _lag("as_of_version") >= analyze_stale_versions
+            ):
+                due.append("table")
+            if rec.get("partitions") and (
+                _lag("partitions_as_of_version") >= analyze_stale_versions
+            ):
+                due.append("partitions")
+            if due:
+                entry = {
+                    "action": "collect_stats",
+                    "reason": (
+                        f"ANALYZE record ({' + '.join(due)}) lags the "
+                        f"head by >= analyze_stale_versions="
+                        f"{analyze_stale_versions} snapshots"
+                    ),
+                }
+                if not dry_run:
+                    from .stats import (
+                        collect_partition_stats,
+                        collect_stats,
+                    )
+
+                    try:
+                        result = {}
+                        if "table" in due:
+                            s = collect_stats(
+                                spark, path, incremental=True
+                            )
+                            result["mode"] = s["last_analyze_mode"]
+                            result["row_count"] = s["row_count"]
+                        if "partitions" in due:
+                            collect_partition_stats(
+                                spark, path, incremental=True
+                            )
+                            result["partitions_mode"] = (
+                                metadata.read_sidecar(spark, path)
+                                .stats["last_partitions_analyze_mode"]
+                            )
+                        entry["result"] = result
+                    except Exception as exc:  # noqa: BLE001
+                        entry["failed"] = f"{type(exc).__name__}: {exc}"
+                report["actions"].append(entry)
+
     if vacuum_retention_hours is not None:
         # opt-in orphan sweep runs per family member: a crash between a
         # companion append and the primary commit leaves ITS orphans on
@@ -396,6 +481,44 @@ def maintain_dataset(
                     ),
                 }
             )
+        # parked-rewrite residue (r13): the two-rename swap in compact/
+        # repartition/rebuild deletes its parked ".pre*" sibling last, so
+        # a crash in that window leaves a full old copy next to the live
+        # dataset. It is residue ONLY when the live dataset has a valid
+        # sidecar (the swap completed); the other crash window — live
+        # path missing, parked dir the sole good copy — never reaches
+        # here because the health probe raises first. Same opt-in as
+        # vacuum: this deletes files.
+        residue_candidates = [
+            p.rstrip("/") + suffix
+            for p in [path] + live_companions
+            for suffix in (
+                ".precompact", ".prerepartition", ".prerebuild",
+                ".compacting", ".repartitioning", ".rebuilding",
+            )
+        ]
+        if compact_name == "compact_ivf_index":
+            # the ANN rebuild additionally parks/builds the companion and
+            # quantizer-sidecar members under the index's own temp names
+            base = path.rstrip("/")
+            residue_candidates += [
+                base + ".rebuilding_vectors",
+                base + ".rebuilding_quantizers.json",
+                base + "_quantizers.json.prerebuild",
+            ]
+        for parked in residue_candidates:
+            if not fs.exists(spark, parked):
+                continue
+            entry = {
+                "action": "remove_rewrite_residue",
+                "reason": f"crashed rewrite left {parked} behind "
+                          "(live sidecar is valid, so the swap "
+                          "completed)",
+                "result": parked,
+            }
+            if not dry_run:
+                fs.delete(spark, parked)
+            report["actions"].append(entry)
     return report
 
 

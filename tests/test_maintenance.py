@@ -481,3 +481,104 @@ def test_small_file_reason_names_the_triggering_member(
     reason = acts["compact_ivf_index"]["reason"]
     assert hi[1] in reason, reason
     assert f"{int(hi[0])} files" in reason, reason
+
+
+def test_analyze_refresh_is_opt_in_and_incremental(
+    spark, nation, tmp_dataset_dir, sf_dir
+):
+    """r13: maintain_dataset(analyze_stale_versions=N) refreshes an
+    EXISTING ANALYZE record once it lags the head by N snapshots —
+    incremental-first — and never starts analyzing an unanalyzed
+    dataset."""
+    from s3parq_spark.stats import collect_stats, read_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    publish_path(spark, tmp_dataset_dir, li.filter("l_orderkey < 300"), [])
+    # unanalyzed dataset: nothing scheduled even with the opt-in
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, analyze_stale_versions=1,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "collect_stats"]
+
+    collect_stats(spark, tmp_dataset_dir)
+    # fresh record: lag 0 < threshold
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, analyze_stale_versions=2,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "collect_stats"]
+
+    for lo in (300, 500):
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter(f"l_orderkey >= {lo} and l_orderkey < {lo + 200}"),
+            [], mode="append",
+        )
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, analyze_stale_versions=2,
+    )
+    acts = [a for a in report["actions"] if a["action"] == "collect_stats"]
+    assert acts and acts[0]["result"]["mode"] == "incremental"
+    s = read_stats(spark, tmp_dataset_dir)
+    assert s["row_count"] == li.filter("l_orderkey < 700").count()
+    assert s["as_of_version"] == 3  # stamped at the refreshed head
+
+    # default (no opt-in): staleness alone schedules nothing
+    publish_path(
+        spark, tmp_dataset_dir,
+        li.filter("l_orderkey >= 700 and l_orderkey < 800"), [],
+        mode="append",
+    )
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "collect_stats"]
+
+
+def test_rewrite_residue_swept_with_vacuum_opt_in(
+    spark, nation, tmp_dataset_dir
+):
+    """r13: a crash between a rewrite's swap-in and its cleanup leaves
+    the parked old copy next to the live dataset; the vacuum opt-in
+    sweeps it (live sidecar valid => the swap completed). Dry run
+    reports without deleting; no opt-in leaves it alone."""
+    import shutil as _sh
+
+    publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+    parked = tmp_dataset_dir.rstrip("/") + ".precompact"
+    _sh.copytree(tmp_dataset_dir, parked)
+
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "remove_rewrite_residue"]
+    assert os.path.isdir(parked)
+
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=0.0,
+        dry_run=True,
+    )
+    swept = [a for a in report["actions"]
+             if a["action"] == "remove_rewrite_residue"]
+    assert swept and swept[0]["result"] == parked
+    assert os.path.isdir(parked)  # dry run: reported, not deleted
+
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=0.0,
+    )
+    swept = [a for a in report["actions"]
+             if a["action"] == "remove_rewrite_residue"]
+    assert swept and not os.path.exists(parked)
+    assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
