@@ -436,3 +436,43 @@ def test_stream_upserted_index_refine_has_one_era_per_commit(spark, sf_dir):
     assert "Exchange" not in plan
     assert "CartesianProduct" not in plan
     assert "StreamingRelation" not in plan
+
+
+def test_incremental_analyze_serves_metadata_only(spark, sf_dir):
+    """incremental_analyze (r13): the SERVED stats read is the sidecar
+    record alone — the returned plan must contain NO parquet scan of
+    the analyzed dataset (that is the whole point of the stats plane:
+    collect once, answer from metadata forever)."""
+    plan = _plan(spark, sf_dir, "incremental_analyze")
+    assert "Scan parquet" not in plan, plan[:800]
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_rebuilt_index_search_plan_is_fresh_build_identical(spark, sf_dir):
+    """ann_rebuild_search (r13): a search over the REBUILT family must
+    be the same plan a fresh build serves — cell partition pruning at
+    the file index, candidates pushed as id IN (...) into the
+    companion, exact re-rank as a projection (no join, no shuffle
+    below the top-k), and none of the rebuild's temp/parked paths
+    anywhere (the swap left no plan residue)."""
+    plan = _plan(spark, sf_dir, "ann_rebuild_search")
+    assert "In(vec_id" in plan, plan[:800]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert ".rebuilding" not in plan and ".prerebuild" not in plan
+
+
+def test_maintained_family_search_pays_no_mor_tax(spark, sf_dir):
+    """maintain_ann_family (r13): after the policy loop's family
+    compaction the search plan must carry NO merge-on-read residue —
+    no era anti-join filters (the tombstones were materialized), one
+    clean bounded point-fetch for refine, no shuffle below the
+    top-k. This absence IS the compaction's query-time win."""
+    plan = _plan(spark, sf_dir, "maintain_ann_family")
+    assert "In(vec_id" in plan, plan[:800]
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+    assert "CartesianProduct" not in plan
+    # materialized debt: no NOT-IN tombstone filters survive the rewrite
+    assert "Not(In(vec_id" not in plan, plan[:800]
