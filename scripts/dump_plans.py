@@ -481,6 +481,30 @@ CASES = [
         "no duplicate era, so the union has exactly one branch per "
         "committed batch.",
     ),
+    (
+        "ann_rebuild_search",
+        "Probe over the REBUILT family (r13 drift remedy): the plan must "
+        "be fresh-build identical — PartitionFilters on cell, candidates "
+        "pushed as id IN (...) into the companion point-fetch, exact "
+        "re-rank as a projection with no Exchange below the top-k, and "
+        "no .rebuilding/.prerebuild path residue (the swap left nothing "
+        "in the read plane).",
+    ),
+    (
+        "maintain_ann_family",
+        "Probe after the POLICY LOOP's family compaction (r13): no "
+        "merge-on-read residue survives — no NOT-IN tombstone filters, "
+        "no era union branches beyond the compacted snapshot, one clean "
+        "bounded refine point-fetch. The absence IS the maintenance "
+        "win: every pre-compaction read paid those filters per probe.",
+    ),
+    (
+        "incremental_analyze",
+        "Served stats read (r13): LocalTableScan only — the record "
+        "answers from the sidecar with ZERO parquet scans. The fold "
+        "that produced it scanned the appended delta, not the table; "
+        "min/max/n_nulls/row_count exact, NDV an HLL union estimate.",
+    ),
 ]
 
 
