@@ -638,6 +638,33 @@ class TestStatsPlane:
             "last_partitions_analyze_mode"] == "incremental"
         assert sum(r["n_rows"] for r in inc2) == nation.count()
 
+    def test_incremental_partition_stats_survive_compaction(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """The maintenance carry restamps partitions_as_of_version AND
+        partitions_as_of_ts when the record was current, so the fold
+        keeps working across a compaction instead of rescanning."""
+        from s3parq_spark.publish import compact_dataset
+        from s3parq_spark.stats import collect_partition_stats, read_stats
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        collect_partition_stats(spark, tmp_dataset_dir)
+        compact_dataset(spark, tmp_dataset_dir)
+        publish_path(
+            spark, tmp_dataset_dir,
+            nation.limit(2).selectExpr(
+                "n_nationkey + 70 as n_nationkey", "n_name", "n_regionkey",
+            ),
+            ["n_regionkey"], mode="append",
+        )
+        inc = collect_partition_stats(
+            spark, tmp_dataset_dir, incremental=True
+        )
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s["last_partitions_analyze_mode"] == "incremental"
+        assert sum(r["n_rows"] for r in inc) == nation.count() + 2
+
     def test_stale_stats_lose_stamp_through_compaction(
         self, spark, tmp_dataset_dir, sf_dir
     ):
