@@ -5214,8 +5214,8 @@ def q_maintain_ann_family(spark, sf_dir):
     from .maintenance import dataset_health, maintain_dataset
     from .workload import _ds_path
 
-    path = _ds_path(sf_dir, "ivf_maintained")
-    marker = os.path.join(path, "_MAINTAINED")
+    path = _ds_path(sf_dir, "ivf_policy_loop")
+    marker = os.path.join(path, "_POLICY_MAINTAINED")
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     qrow = emb.filter("vec_id = 5").select(
         F.col("embedding").cast("array<double>").alias("v")

@@ -1,0 +1,70 @@
+"""Gate-fixture hygiene: every workload gate that materializes a cached
+dataset must OWN its leaf name. Two gates sharing a leaf (and especially
+a marker file) silently clobber each other's fixtures — the r13 incident:
+a new gate reused ``ivf_maintained`` + ``_MAINTAINED`` and each gate then
+trusted the OTHER's fixture through the shared marker, flipping two
+previously-green oracle rows to hash mismatches. Sharing is sanctioned
+only by CALLING the owning gate (ann_batch_search_rest ->
+q_ivf_index_append), never by spelling the same leaf twice."""
+
+import ast
+import os
+
+import s3parq_spark
+
+PKG = os.path.dirname(s3parq_spark.__file__)
+
+#: leafs legitimately referenced from more than one function: the extra
+#: reference must CALL the owner to build (listed here after review)
+SANCTIONED = {
+    "ivf_maintained": {"q_ivf_index_append", "q_ann_batch_search_rest"},
+}
+
+
+def _leaf_claims():
+    claims = {}
+    for mod in ("workload.py", "workload_ext.py", "workload_ext2.py"):
+        tree = ast.parse(open(os.path.join(PKG, mod)).read())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            for call in ast.walk(node):
+                if (
+                    isinstance(call, ast.Call)
+                    and isinstance(call.func, ast.Name)
+                    and call.func.id == "_ds_path"
+                    and len(call.args) == 2
+                    and isinstance(call.args[1], ast.Constant)
+                ):
+                    leaf = call.args[1].value
+                    claims.setdefault(leaf, set()).add(node.name)
+    return claims
+
+
+def test_fixture_leaf_names_are_uniquely_owned():
+    conflicts = {
+        leaf: sorted(fns)
+        for leaf, fns in _leaf_claims().items()
+        if len(fns) > 1 and fns != SANCTIONED.get(leaf)
+    }
+    assert conflicts == {}, (
+        f"fixture leaf claimed by multiple gates: {conflicts} — pick a "
+        "unique leaf or call the owning gate to build (then add the "
+        "reviewed pair to SANCTIONED)"
+    )
+
+
+def test_sanctioned_sharers_call_the_owner():
+    # the sanctioned non-owner must invoke the owner, not rebuild
+    src = open(os.path.join(PKG, "workload_ext2.py")).read()
+    tree = ast.parse(src)
+    fns = {
+        n.name: n for n in ast.walk(tree) if isinstance(n, ast.FunctionDef)
+    }
+    batch = fns["q_ann_batch_search_rest"]
+    called = {
+        c.func.id
+        for c in ast.walk(batch)
+        if isinstance(c, ast.Call) and isinstance(c.func, ast.Name)
+    }
+    assert "q_ivf_index_append" in called
