@@ -760,6 +760,54 @@ class TestStatsPlane:
         assert s is not None and "columns" in s
         assert "as_of_version" not in s and "as_of_ts" not in s
 
+    def test_restore_makes_newer_stats_visibly_stale(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """A restore rewinds the head BELOW the ANALYZE stamp: the
+        record must read as stale (its as_of_version is no longer in
+        history) and the incremental fold must bail to an honest full
+        scan — never fold from a baseline describing rolled-back rows.
+        The restore+re-append lookalike (same version NUMBER, different
+        snapshot) is caught by the as_of_ts identity."""
+        import time as _time
+
+        from s3parq_spark.fetch import list_versions
+        from s3parq_spark.publish import restore_dataset
+        from s3parq_spark.stats import collect_stats, read_stats
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        )
+        publish_path(spark, tmp_dataset_dir, li.filter("l_orderkey < 300"),
+                     [])
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 300 and l_orderkey < 600"), [],
+            mode="append",
+        )
+        s2 = collect_stats(spark, tmp_dataset_dir)  # stamped at v2
+        assert s2["as_of_version"] == 2
+        restore_dataset(spark, tmp_dataset_dir, 1)
+        s = read_stats(spark, tmp_dataset_dir)
+        # record survives but its stamp is outside the retained history
+        assert s["as_of_version"] not in [
+            v["version"] for v in list_versions(spark, tmp_dataset_dir)
+        ]
+        # re-append: the head version NUMBER is 2 again, but a different
+        # snapshot — the ts identity must still refuse the fold
+        _time.sleep(0.05)
+        publish_path(
+            spark, tmp_dataset_dir,
+            li.filter("l_orderkey >= 600 and l_orderkey < 900"), [],
+            mode="append",
+        )
+        out = collect_stats(spark, tmp_dataset_dir, incremental=True)
+        assert out["last_analyze_mode"] == "full"
+        assert out["row_count"] == (
+            li.filter("l_orderkey < 300").count()
+            + li.filter("l_orderkey >= 600 and l_orderkey < 900").count()
+        )
+
     def test_bad_columns_rejected(self, spark, tmp_dataset_dir):
         from s3parq_spark.stats import collect_stats
 
