@@ -62,6 +62,7 @@ from .operators.similarity import _cell_scores, kmeans_centroids, pq_encode
 from .publish import delete_where, publish_path
 
 __all__ = [
+    "QuantizerEpochError",
     "append_to_ivf_index",
     "attach_vectors_companion",
     "build_ivf_index",
@@ -73,6 +74,14 @@ __all__ = [
     "search_ivf_index_batch",
     "upsert_vectors",
 ]
+
+
+class QuantizerEpochError(RuntimeError):
+    """The index rows and the quantizer sidecar disagree about which
+    quantizers the rows were encoded against — the crash window between
+    an ANN rebuild's index-dir rename and its quantizer-JSON rename.
+    Serving would silently misprobe (and, for PQ, decode with the wrong
+    codebooks), so every quantizer consumer refuses loudly instead."""
 
 
 def _quantizers_path(index_path: str) -> str:
@@ -151,14 +160,66 @@ def _write_quantizers(spark: SparkSession, index_path: str, q: dict) -> None:
     fs.write_text(spark, _quantizers_path(index_path), json.dumps(q))
 
 
-def _load_quantizers(spark: SparkSession, index_path: str, op: str) -> dict:
+def _quantizer_epoch(q: dict) -> str:
+    """Deterministic content hash of the quantizer STATE the index rows
+    depend on (centroids/books/geometry — not the drift counters, which
+    appends legitimately advance under the same encoding). Stamped into
+    both the quantizer JSON (``epoch``) and the index dataset's sidecar
+    (``ann_epoch``, which travels atomically with the index directory in
+    every rename-based swap), so a crash between a rebuild's two renames
+    is DETECTABLE: the halves carry different epochs."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "id_col": q["id_col"],
+            "m": q["m"],
+            "centroids": q["centroids"],
+            "books": q["books"],
+        },
+        sort_keys=True,
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def _load_quantizers(
+    spark: SparkSession,
+    index_path: str,
+    op: str,
+    check_epoch: bool = True,
+) -> dict:
     p = _quantizers_path(index_path)
     if not fs.exists(spark, p):
         raise ValueError(
             f"{op}: no quantizer sidecar at {p} — not an ANN index "
             "(build_ivf_index first)"
         )
-    return json.loads(fs.read_text(spark, p))
+    q = json.loads(fs.read_text(spark, p))
+    if not check_epoch:
+        # rebuild_ivf_index passes False: it is the CONVERGING remedy
+        # for a mismatch, reads only geometry from here plus raw vectors
+        # from at-rest state (never decodes PQ codes), so it must not
+        # refuse on the very state it exists to repair
+        return q
+    # crash-window refusal (r14): the index dir and the quantizer JSON
+    # swap one rename apart during rebuild_ivf_index; if a crash split
+    # them, serving with the mismatched half would misprobe SILENTLY.
+    # Both pins absent => pre-pin index (back-compat) or mid-build state;
+    # both present and different => refuse loudly, naming the remedy.
+    meta = metadata.read_sidecar(spark, index_path)
+    pinned = meta.ann_epoch if meta is not None else None
+    stamped = q.get("epoch")
+    if pinned and stamped and pinned != stamped:
+        raise QuantizerEpochError(
+            f"{op}: quantizer epoch mismatch at {index_path} — the index "
+            f"rows pin epoch {pinned} but {p} carries {stamped}. A crash "
+            "between rebuild_ivf_index's index-dir and quantizer-JSON "
+            "renames leaves this state; re-run rebuild_ivf_index to "
+            "converge, or manually restore the parked pre-rebuild family "
+            f"({index_path.rstrip('/')}.prerebuild / "
+            f"{p}.prerebuild) to roll back."
+        )
+    return q
 
 
 def build_ivf_index(
@@ -236,14 +297,23 @@ def build_ivf_index(
     else:
         fs.delete(spark, _vectors_path(index_path))
     n, s = _batch_qerr(vectors, vec_col, cents)
-    _write_quantizers(spark, index_path, {
+    q = {
         "id_col": id_col,
         "m": m,
         "centroids": cents,
         "books": books,
         "train": {"n": n, "sum_qerr": s},
         "appended": {"n": 0, "sum_qerr": 0.0},
-    })
+    }
+    q["epoch"] = _quantizer_epoch(q)
+    # pin the epoch in the index sidecar FIRST: an overwrite-build over an
+    # existing index has its own crash window (new rows at rest, old
+    # quantizer JSON still live) — sidecar-pin-then-quantizer-write makes
+    # that window a refusal too, not just the rebuild swap's
+    idx_meta = metadata.read_sidecar(spark, index_path)
+    idx_meta.ann_epoch = q["epoch"]
+    metadata.write_sidecar(spark, index_path, idx_meta)
+    _write_quantizers(spark, index_path, q)
 
 
 def append_to_ivf_index(
@@ -612,19 +682,26 @@ def rebuild_ivf_index(
     routine rebuild must not re-apply a committed batch — the same
     carry compaction does); drift counters reset (train = the new
     corpus, appended = 0) because the new quantizers ARE trained on
-    everything current. Crash-window honesty: the index directory and
-    the quantizer JSON are two storage objects, so a crash between
-    their swaps (one rename apart) leaves new cells with old centroids
-    until the rebuild re-runs — re-running converges; searches in the
-    window may misprobe but the parked ``.prerebuild`` state allows
-    manual restore.
+    everything current. Crash-window honesty (r14: fail-LOUD): the
+    index directory and the quantizer JSON are two storage objects, so
+    a crash between their swaps (one rename apart) leaves new cells
+    paired with old centroids — but the index sidecar pins the epoch of
+    the quantizers its rows were encoded against (``ann_epoch``,
+    riding inside the directory rename), so every quantizer consumer
+    raises ``QuantizerEpochError`` in that window instead of silently
+    misprobing. Re-running the rebuild converges; the parked
+    ``.prerebuild`` state allows manual restore. A failed rename
+    mid-swap unwinds every already-swapped member in reverse, leaving
+    the old family fully live.
 
     Returns ``{"n_vectors", "k", "m", "train_qerr",
     "prev_train_qerr", "prev_drift_ratio"}``.
     """
     from .publish import TagPinnedError, _require_no_staged
 
-    q = _load_quantizers(spark, index_path, "rebuild_ivf_index")
+    q = _load_quantizers(
+        spark, index_path, "rebuild_ivf_index", check_epoch=False
+    )
     id_col = q["id_col"]
     old_meta = metadata.read_sidecar(spark, index_path)
     if old_meta is None:
@@ -659,7 +736,13 @@ def rebuild_ivf_index(
             )
         vec_col = "vec"
 
-    prev_drift = index_drift(spark, index_path)
+    try:
+        prev_drift = index_drift(spark, index_path)
+    except QuantizerEpochError:
+        # re-run after a crashed swap: the mismatched halves make the
+        # pre-rebuild drift numbers meaningless — report-only fields, so
+        # degrade instead of refusing the converging remedy
+        prev_drift = {"train_qerr": None, "drift_ratio": None}
     k = int(k) if k is not None else len(q["centroids"])
     m = q["m"]
     if codes is None:
@@ -690,21 +773,37 @@ def rebuild_ivf_index(
     if m is not None and has_companion:
         swaps.append((_vectors_path(index_path), _vectors_path(tmp)))
     swaps.append((_quantizers_path(index_path), _quantizers_path(tmp)))
-    parked = []
+    # a failed rename must unwind EVERY member already swapped, in
+    # reverse, not just the failing one: members swap index-dir-first,
+    # so a partial swap would leave a live index served against the old
+    # quantizer sidecar — for PQ that decodes with the WRONG codebooks,
+    # not just misprobes. (The epoch pin would make serving refuse, but
+    # an error return must leave the old family fully live, not wedged.)
+    done: list = []  # (live, fresh, old) completed swaps, in order
+
+    def _unwind() -> None:
+        for live, fresh, old in reversed(done):
+            fs.rename(spark, live, fresh)  # new state back to its temp
+            if fs.exists(spark, old):
+                fs.rename(spark, old, live)  # parked old state back live
+
     for live, fresh in swaps:
         old = live.rstrip("/") + ".prerebuild"
         fs.delete(spark, old)
         if fs.exists(spark, live) and not fs.rename(spark, live, old):
+            _unwind()
             raise IOError(
                 f"rebuild_ivf_index: could not move {live} aside"
             )
         if not fs.rename(spark, fresh, live):
-            fs.rename(spark, old, live)  # roll this member back
+            if fs.exists(spark, old):
+                fs.rename(spark, old, live)  # roll this member back
+            _unwind()
             raise IOError(
                 f"rebuild_ivf_index: could not swap in {fresh}"
             )
-        parked.append(old)
-    for old in parked:
+        done.append((live, fresh, old))
+    for _, _, old in done:
         fs.delete(spark, old)
     if m is not None and not has_companion:
         # caller-supplied corpus for a companion-less PQ index: the

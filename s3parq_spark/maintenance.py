@@ -99,11 +99,23 @@ def dataset_health(spark: SparkSession, path: str) -> Dict[str, float]:
 
 
 def _ann_drift(spark: SparkSession, path: str) -> Dict[str, float]:
-    from .ann_index import _quantizers_path, index_drift
+    from .ann_index import (
+        QuantizerEpochError,
+        _quantizers_path,
+        index_drift,
+    )
 
     if not fs.exists(spark, _quantizers_path(path)):
         return {}
-    d = index_drift(spark, path)
+    try:
+        d = index_drift(spark, path)
+    except QuantizerEpochError:
+        # the crash window between a rebuild's two renames: index rows
+        # and quantizer JSON carry different epochs. The health probe
+        # must still RETURN (maintain_dataset is how an operator learns
+        # about and remedies this), so surface it as a health flag; the
+        # policy loop suspends every quantizer-dependent remedy on it.
+        return {"ann_epoch_mismatch": 1.0}
     out = {"ann_train_qerr": float(d["train_qerr"])}
     if d["appended_qerr"] is not None:
         out["ann_appended_qerr"] = float(d["appended_qerr"])
@@ -164,7 +176,14 @@ def maintain_dataset(
       between a rewrite's swap-in and its final cleanup leaves the old
       copy at ``<path>.precompact`` / ``.prerebuild`` / etc. — residue
       only when the live sidecar is valid (the swap completed), which
-      holds here because the health probe raised otherwise.
+      holds here because the health probe raised otherwise. The sweep
+      honors the SAME retention window as vacuum (r14): candidates
+      whose mtime is inside ``vacuum_retention_hours`` are skipped —
+      another process's in-flight compaction/rebuild temp state looks
+      identical to abandoned residue until it ages past the window —
+      and an ANN family whose index/quantizer epochs mismatch has its
+      sweep suspended entirely (the parked state is the manual-restore
+      path).
     - ``collect_stats(incremental=True)`` (r13) when the caller passes
       ``analyze_stale_versions`` and an EXISTING ANALYZE record lags the
       head by at least that many snapshots (or lost its identity stamp to
@@ -236,6 +255,30 @@ def maintain_dataset(
     member_healths = [health] + [
         dataset_health(spark, p) for p in live_companions
     ]
+
+    # quantizer-epoch mismatch (r14): the index rows and the quantizer
+    # JSON disagree about which quantizers the rows were encoded against
+    # — the rebuild swap's crash window. Every quantizer-dependent remedy
+    # (family compaction, drift/rebuild) AND the parked-residue sweep is
+    # suspended: the parked ``.prerebuild`` family is the manual-restore
+    # path the refusal names, and sweeping it would destroy the only
+    # rollback while the live family serves refusals.
+    epoch_broken = bool(health.get("ann_epoch_mismatch"))
+    if epoch_broken:
+        report["actions"].append(
+            {
+                "action": "quantizer_epoch_mismatch",
+                "advisory": (
+                    "index rows and quantizer sidecar carry different "
+                    "epochs (crashed rebuild swap): searches refuse "
+                    "loudly until remedied — re-run rebuild_ivf_index "
+                    "to converge, or manually restore the parked "
+                    f"{path.rstrip('/')}.prerebuild family. Compaction, "
+                    "drift remedies, and the parked-residue sweep are "
+                    "suspended for this family."
+                ),
+            }
+        )
 
     # snapshot-history bounds apply PER MEMBER: expiry squashes history
     # without touching data (search-invisible), and a companion's
@@ -309,7 +352,9 @@ def maintain_dataset(
             d = clustering_depth(spark, path, lead)
             if d["n_covered"] and d["avg_depth"] >= resort_depth_threshold:
                 decayed = (lead, d["avg_depth"])
-    if small or decayed or mor_debt >= max_pending_tombstones:
+    if (small or decayed or mor_debt >= max_pending_tombstones) and (
+        not epoch_broken
+    ):
         entry = {
             "action": compact_name,
             "reason": (
@@ -366,7 +411,12 @@ def maintain_dataset(
 
         q = _load_quantizers(spark, path, "maintain_dataset")
         recoverable = q["m"] is None or bool(live_companions)
-        if rebuild_on_drift and recoverable and not dry_run:
+        if rebuild_on_drift and recoverable and dry_run:
+            # the operator ALREADY opted in — the dry_run contract is
+            # "report which actions WOULD run", not re-advise the flag
+            # they passed (r13 ADVICE)
+            entry["would_run"] = True
+        elif rebuild_on_drift and recoverable:
             from .ann_index import rebuild_ivf_index
 
             try:
@@ -488,7 +538,18 @@ def maintain_dataset(
         # sidecar (the swap completed); the other crash window — live
         # path missing, parked dir the sole good copy — never reaches
         # here because the health probe raises first. Same opt-in as
-        # vacuum: this deletes files.
+        # vacuum: this deletes files — and (r14) the same RETENTION
+        # WINDOW as vacuum: a candidate younger than
+        # ``vacuum_retention_hours`` may be another process's IN-FLIGHT
+        # compaction/rebuild temp dir (".compacting"/".rebuilding" exist
+        # for the whole build, ".pre*" between a live swap's renames),
+        # so only age past the window marks it abandoned. An ANN family
+        # whose epochs mismatch never reaches here (sweep suspended
+        # above): its parked ".prerebuild" state IS the manual-restore
+        # path the refusal names.
+        import time as _time
+
+        residue_cutoff = _time.time() - vacuum_retention_hours * 3600.0
         residue_candidates = [
             p.rstrip("/") + suffix
             for p in [path] + live_companions
@@ -506,9 +567,16 @@ def maintain_dataset(
                 base + ".rebuilding_quantizers.json",
                 base + "_quantizers.json.prerebuild",
             ]
+        if epoch_broken:
+            residue_candidates = []
         for parked in residue_candidates:
             if not fs.exists(spark, parked):
                 continue
+            try:
+                if fs.file_mtime(spark, parked) > residue_cutoff:
+                    continue  # possibly in-flight in another process
+            except OSError:
+                continue  # raced away between exists and stat
             entry = {
                 "action": "remove_rewrite_residue",
                 "reason": f"crashed rewrite left {parked} behind "

@@ -240,6 +240,15 @@ class DatasetMetadata:
         # snapshots' stamps (conservative: an unprovable entry is dropped,
         # so the writer re-merges — value-correct replace semantics).
         self.txns: Dict[str, int] = {}
+        # ANN quantizer pin (r14): content hash of the quantizer sidecar
+        # this index's rows were encoded against. The index directory and
+        # the quantizer JSON are two storage objects whose swaps can't be
+        # atomic together; this pin travels INSIDE the index dir (the
+        # sidecar), so _load_quantizers can refuse loudly when a crash
+        # between an ANN rebuild's two renames left mismatched halves —
+        # a refusal instead of silent misprobe. None = not an ANN index
+        # (or a pre-pin index: the check is skipped for back-compat).
+        self.ann_epoch: Optional[str] = None
         # lazy per-file stats source (set by read_sidecar): () -> merged
         # {relpath: {"rows", "stats", "bloom"}} from the columnar stats
         # manifests. NOT serialized — a loader binds a (spark, path) pair.
@@ -285,6 +294,8 @@ class DatasetMetadata:
             d["aggregate"] = self.aggregate
         if self.txns:
             d["txns"] = self.txns
+        if self.ann_epoch:
+            d["ann_epoch"] = self.ann_epoch
         return d
 
     @classmethod
@@ -306,6 +317,7 @@ class DatasetMetadata:
         out.txns = {
             k: int(v) for k, v in (d.get("txns") or {}).items()
         }
+        out.ann_epoch = d.get("ann_epoch")
         return out
 
     def at_version(self, version: int) -> "DatasetMetadata":
@@ -1034,6 +1046,10 @@ def merge_sidecar(
     # the idempotent-writer ledger is a dataset-level contract too: an
     # unrelated append must not erase a streaming sink's commit record
     merged.txns = dict(existing.txns)
+    # the ANN quantizer pin carries across appends: appended rows are
+    # encoded against the SAME persisted quantizers (that is the whole
+    # O(new) append contract), so the epoch is unchanged by construction
+    merged.ann_epoch = existing.ann_epoch
     return merged
 
 

@@ -1900,9 +1900,16 @@ def compact_dataset(
     )
     if (
         sort_by or zorder_by or carried_derived or carried_txns
-        or carried_aggregate or sidecar.stats
+        or carried_aggregate or sidecar.stats or sidecar.ann_epoch
     ):
         new_meta = metadata.read_sidecar(spark, tmp)
+        if sidecar.ann_epoch:
+            # an ANN index's quantizer pin must survive compaction: the
+            # rewrite never touches the quantizer sidecar, so the rows
+            # stay encoded against the SAME quantizers — dropping the
+            # pin here would disarm the crash-window refusal for every
+            # compacted index
+            new_meta.ann_epoch = sidecar.ann_epoch
         if sort_by or zorder_by:
             # declare the new clustering in the rewritten sidecar, exactly
             # as a direct sorted/z-ordered publish would (readers learn the

@@ -977,3 +977,233 @@ def test_maintain_dataset_rebuild_on_drift(spark, tmp_path):
     )
     assert not [a for a in rep["actions"]
                 if a["action"] == "rebuild_ivf_index"]
+
+
+def test_crash_between_swaps_fails_loud_and_rerun_converges(
+    spark, tmp_path, monkeypatch
+):
+    """r14 (verdict #3): kill the rebuild between the index-dir rename
+    and the quantizer-JSON rename — the documented two-object crash
+    window. The epoch pin (sidecar ``ann_epoch`` vs quantizer ``epoch``)
+    turns the window from silent misprobe into a refusal: search,
+    drift, and compaction all raise QuantizerEpochError naming the
+    parked restore; maintain_dataset reports the mismatch and refuses
+    to sweep the parked rollback state; re-running the rebuild
+    converges to exactly a fresh build."""
+    import s3parq_spark.fs as fsmod
+    from s3parq_spark.ann_index import (
+        QuantizerEpochError,
+        compact_ivf_index,
+        rebuild_ivf_index,
+    )
+    from s3parq_spark.maintenance import dataset_health, maintain_dataset
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=2)
+    append_to_ivf_index(spark, _clustered_vecs(spark, range(200, 300), 4),
+                        path, "vec_id", "embedding")
+
+    real_rename = fsmod.rename
+
+    def crash_at_quantizer_swap(sp, src, dst):
+        if src.rstrip("/").endswith("idx_quantizers.json"):
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsmod, "rename", crash_at_quantizer_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rebuild_ivf_index(spark, path, iters=2)
+    monkeypatch.setattr(fsmod, "rename", real_rename)
+
+    # window state: NEW index rows live, OLD quantizer JSON live —
+    # every quantizer consumer refuses loudly instead of misprobing
+    qv = [0.0] * 8
+    qv[4] = 1.0
+    with pytest.raises(QuantizerEpochError, match="epoch mismatch"):
+        search_ivf_index(spark, path, qv, k=5, nprobe=2)
+    with pytest.raises(QuantizerEpochError):
+        index_drift(spark, path)
+    with pytest.raises(QuantizerEpochError):
+        compact_ivf_index(spark, path)
+
+    # the policy loop survives the window: health flags the mismatch,
+    # the report carries the advisory, and the parked rollback state is
+    # NOT swept even with the vacuum opt-in (it is the restore path)
+    h = dataset_health(spark, path)
+    assert h.get("ann_epoch_mismatch") == 1.0
+    parked = path + ".prerebuild"
+    assert fsmod.exists(spark, parked)
+    rep = maintain_dataset(
+        spark, path, compact_min_files=1, compact_below_fraction=1.0,
+        max_snapshots=999, max_pending_tombstones=9999,
+        vacuum_retention_hours=0.0,
+    )
+    kinds = [a["action"] for a in rep["actions"]]
+    assert "quantizer_epoch_mismatch" in kinds
+    assert "compact_ivf_index" not in kinds
+    assert "remove_rewrite_residue" not in kinds
+    assert fsmod.exists(spark, parked)
+
+    # re-running the rebuild converges (it is the refusal's named
+    # remedy, so it must not refuse on the state it repairs)
+    rep2 = rebuild_ivf_index(spark, path, iters=2)
+    assert rep2["n_vectors"] == 200
+    assert rep2["prev_drift_ratio"] is None  # honest: window had no drift
+    ref = str(tmp_path / "ref")
+    corpus = _clustered_vecs(spark, range(100), 0).unionByName(
+        _clustered_vecs(spark, range(200, 300), 4)
+    )
+    build_ivf_index(spark, corpus, ref, "vec_id", "embedding",
+                    k=4, iters=2)
+    got = _rows(search_ivf_index(spark, path, qv, k=8, nprobe=2))
+    want = _rows(search_ivf_index(spark, ref, qv, k=8, nprobe=2))
+    assert got == want and len(got) == 8
+
+
+def test_failed_swap_unwinds_all_members(spark, emb, tmp_path, monkeypatch):
+    """r14 (ADVICE): a failed rename-in must unwind EVERY member already
+    swapped, in reverse — not just the failing one. Fail the LAST
+    member's rename-in (quantizer JSON) on a PQ family: index dir and
+    companion were already swapped, and without the unwind the old
+    quantizers would serve a new index (wrong codebooks). After the
+    error the OLD family must be fully live and searchable."""
+    import s3parq_spark.fs as fsmod
+    from s3parq_spark.ann_index import _load_quantizers, rebuild_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.filter("vec_id < 300"), path, "vec_id",
+                    "embedding", k=8, iters=1, m=4, codes=8,
+                    store_vectors=True)
+    qv = _query_vec(emb, 5)
+    before = _rows(search_ivf_index(spark, path, qv, k=10, nprobe=3,
+                                    refine_factor=5))
+    old_epoch = _load_quantizers(spark, path, "t")["epoch"]
+
+    real_rename = fsmod.rename
+
+    def fail_quantizer_rename_in(sp, src, dst):
+        if src.rstrip("/").endswith(".rebuilding_quantizers.json"):
+            return False
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsmod, "rename", fail_quantizer_rename_in)
+    with pytest.raises(IOError, match="could not swap in"):
+        rebuild_ivf_index(spark, path, iters=1)
+    monkeypatch.setattr(fsmod, "rename", real_rename)
+
+    # old family fully live: consistent epochs, identical search, no
+    # parked .prerebuild left holding the only good copy
+    from s3parq_spark import metadata as _md
+    assert _md.read_sidecar(spark, path).ann_epoch == old_epoch
+    assert _load_quantizers(spark, path, "t")["epoch"] == old_epoch
+    after = _rows(search_ivf_index(spark, path, qv, k=10, nprobe=3,
+                                   refine_factor=5))
+    assert after == before
+    import glob as _glob
+    assert not _glob.glob(str(tmp_path / "idx*prerebuild*"))
+
+
+def test_compaction_preserves_epoch_pin(spark, emb, tmp_path):
+    """r14 audit: compaction rewrites file geometry, never quantizers —
+    the sidecar's epoch pin must carry through compact_ivf_index (both
+    members) or every compacted index would refuse to serve."""
+    from s3parq_spark import metadata as _md
+    from s3parq_spark.ann_index import (
+        _load_quantizers,
+        compact_ivf_index,
+        upsert_vectors,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.filter("vec_id < 300"), path, "vec_id",
+                    "embedding", k=8, iters=1, m=4, codes=8,
+                    store_vectors=True)
+    upsert_vectors(spark, emb.filter("vec_id >= 300 and vec_id < 340"),
+                   path, "vec_id", "embedding", count_matches=False)
+    epoch = _load_quantizers(spark, path, "t")["epoch"]
+    qv = _query_vec(emb, 5)
+    before = _rows(search_ivf_index(spark, path, qv, k=10, nprobe=3,
+                                    refine_factor=5))
+    compact_ivf_index(spark, path)
+    assert _md.read_sidecar(spark, path).ann_epoch == epoch
+    assert _load_quantizers(spark, path, "t")["epoch"] == epoch
+    after = _rows(search_ivf_index(spark, path, qv, k=10, nprobe=3,
+                                   refine_factor=5))
+    assert after == before
+
+
+def test_rebuild_geometry_override_matches_fresh_build(
+    spark, emb, tmp_path
+):
+    """r14 (verdict #4): the k=/codes= resize path. A rebuild with k
+    doubled must retrain at the NEW geometry — quantizer matrices
+    reflect it, search equals a fresh build_ivf_index at the new k,
+    and the exactly-once ledger still carries through the swap."""
+    from s3parq_spark import metadata as _md
+    from s3parq_spark.ann_index import _load_quantizers, rebuild_ivf_index
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.filter("vec_id < 300"), path, "vec_id",
+                    "embedding", k=4, iters=1)
+    append_to_ivf_index(
+        spark, emb.filter("vec_id >= 300 and vec_id < 360"), path,
+        "vec_id", "embedding", _txn={"app": "sinkB", "version": 3},
+    )
+
+    rep = rebuild_ivf_index(spark, path, k=8, iters=1)
+    assert rep["k"] == 8 and rep["n_vectors"] == 360
+    q = _load_quantizers(spark, path, "t")
+    assert len(q["centroids"]) == 8
+    assert _md.read_sidecar(spark, path).txns == {"sinkB": 3}
+
+    ref = str(tmp_path / "ref")
+    build_ivf_index(spark, emb.filter("vec_id < 360"), ref, "vec_id",
+                    "embedding", k=8, iters=1)
+    assert _load_quantizers(spark, ref, "t")["centroids"] == q["centroids"]
+    qv = _query_vec(emb, 5)
+    got = _rows(search_ivf_index(spark, path, qv, k=10, nprobe=4))
+    want = _rows(search_ivf_index(spark, ref, qv, k=10, nprobe=4))
+    assert got == want and len(got) == 10
+
+    # PQ codes override: resize the per-subspace codebook length
+    pq = str(tmp_path / "pq")
+    build_ivf_index(spark, emb.filter("vec_id < 300"), pq, "vec_id",
+                    "embedding", k=4, iters=1, m=4, codes=4,
+                    store_vectors=True)
+    rep2 = rebuild_ivf_index(spark, pq, codes=8, iters=1)
+    assert rep2["m"] == 4
+    q2 = _load_quantizers(spark, pq, "t")
+    assert all(len(b) == 8 for b in q2["books"])
+    refpq = str(tmp_path / "refpq")
+    build_ivf_index(spark, emb.filter("vec_id < 300"), refpq, "vec_id",
+                    "embedding", k=4, iters=1, m=4, codes=8,
+                    store_vectors=True)
+    got2 = _rows(search_ivf_index(spark, pq, qv, k=10, nprobe=2))
+    want2 = _rows(search_ivf_index(spark, refpq, qv, k=10, nprobe=2))
+    assert got2 == want2 and len(got2) == 10
+
+
+def test_maintain_dataset_dry_run_reports_would_run_rebuild(
+    spark, tmp_path
+):
+    """r14 (ADVICE): dry_run with rebuild_on_drift=True must report the
+    rebuild WOULD run — not re-advise the operator to pass the flag
+    they already passed — and must change nothing."""
+    from s3parq_spark.maintenance import maintain_dataset
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=2)
+    append_to_ivf_index(spark, _clustered_vecs(spark, range(200, 300), 4),
+                        path, "vec_id", "embedding")
+    rep = maintain_dataset(
+        spark, path, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, rebuild_on_drift=True, dry_run=True,
+    )
+    acts = [a for a in rep["actions"]
+            if a["action"] == "rebuild_ivf_index"]
+    assert acts and acts[0].get("would_run") is True
+    assert "advisory" not in acts[0] and "result" not in acts[0]
+    # nothing changed: the drift is still there
+    assert index_drift(spark, path)["drift_ratio"] > 2.0

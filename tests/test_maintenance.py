@@ -582,3 +582,36 @@ def test_rewrite_residue_swept_with_vacuum_opt_in(
              if a["action"] == "remove_rewrite_residue"]
     assert swept and not os.path.exists(parked)
     assert fetch_path(spark, tmp_dataset_dir).count() == nation.count()
+
+
+def test_residue_sweep_honors_retention_window(
+    spark, nation, tmp_dataset_dir
+):
+    """r14 (ADVICE): a parked/temp sibling younger than
+    ``vacuum_retention_hours`` may be another process's IN-FLIGHT
+    compaction or rebuild — the sweep must skip it, exactly like
+    vacuum skips young orphans. Aged past the window it is abandoned
+    residue and goes."""
+    import shutil as _sh
+
+    publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+    parked = tmp_dataset_dir.rstrip("/") + ".compacting"
+    _sh.copytree(tmp_dataset_dir, parked)
+
+    # inside the window (freshly created, retention 1h): skipped
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=1.0,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "remove_rewrite_residue"]
+    assert os.path.isdir(parked)
+
+    # aged past the window (retention 0): swept
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=0.0,
+    )
+    swept = [a for a in report["actions"]
+             if a["action"] == "remove_rewrite_residue"]
+    assert swept and not os.path.exists(parked)
