@@ -82,17 +82,17 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 13 additions (reset at round start per the r12 verdict #2;
-    # keep <= 4 so the window drains the r8/r9-era tail):
-    "incremental_analyze",   # new: table + partition ANALYZE folds
-                             # forward over an appended delta; stored
-                             # record == full-scan SQL recompute
-    "ann_rebuild_search",    # new: drift remedy — retrain-and-swap
-                             # over the current corpus; search == SQL
-                             # replay of quantizers trained on ALL
-    "maintain_ann_family",   # new: maintain_dataset end-to-end — the
-                             # policy loop dispatches family compaction;
-                             # search == frozen-quantizer SQL replay
+    # Round 14 additions (reset at round start per the r13 verdict #1;
+    # keep <= 4 so the 50-row window drains the r9/r10-era tail):
+    "maintain_plain_dataset",  # new: the nightly pass on a PLAIN
+                               # dataset — ONE maintain_dataset runs the
+                               # incremental ANALYZE refresh then the
+                               # compaction whose carry restamps it;
+                               # stored record + fetch == full-scan SQL
+    "maintain_drift_rebuild",  # new: the policy loop's drift trigger
+                               # runs rebuild_ivf_index; search == SQL
+                               # replay of quantizers retrained on the
+                               # post-append corpus (two Lloyd steps)
 )
 
 

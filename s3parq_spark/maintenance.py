@@ -191,7 +191,12 @@ def maintain_dataset(
       operator once collected — it never starts analyzing an unanalyzed
       dataset. Incremental-first: a delta scan when the history permits,
       an honest reported full scan when it does not; the per-partition
-      section refreshes on its own staleness the same way.
+      section refreshes on its own staleness the same way. Runs BEFORE
+      any compaction in the same pass (r14): refreshed while the append
+      history is intact, the fold is O(delta), and the rewrite's
+      stats carry then restamps a provably-current record — the other
+      order would strip a stale record's identity stamp at the rewrite
+      and pay a full ANALYZE rescan on every compacting pass.
     - ANN retrain when the dataset is an ANN index and its
       appended-vs-training quantization-error ratio reaches
       ``ann_drift_threshold``: appends encode against frozen quantizers,
@@ -302,6 +307,79 @@ def maintain_dataset(
                 # whole maintenance loop
                 entry["skipped"] = str(exc)
             report["actions"].append(entry)
+    if analyze_stale_versions is not None:
+        # opt-in ANALYZE refresh (r13): the loop only REFRESHES a record
+        # an operator once collected — never starts analyzing a dataset
+        # nobody asked stats for. Runs BEFORE any compaction below
+        # (r14): the fold is an O(delta) scan while the append history
+        # is intact, and the rewrite's carry then restamps a PROVABLY
+        # CURRENT record to the rewritten head — refresh-after-rewrite
+        # would find a stale record stripped of its identity stamp and
+        # pay an honest full rescan every maintenance pass that
+        # compacts. Incremental first: a delta scan when the history
+        # permits, an honest reported full scan when it does not.
+        m2 = metadata.read_sidecar(spark, path)
+        rec = (m2.stats or {}) if m2 is not None else {}
+        if rec.get("columns") or rec.get("partitions"):
+            versions = [
+                s.get("version")
+                for s in (m2.snapshots or [])
+                if not s.get("staged")
+            ]
+
+            def _lag(stamp_key: str) -> int:
+                stamp = rec.get(stamp_key)
+                if stamp is None:
+                    return len(versions)  # stampless record: refresh
+                if stamp not in versions:
+                    return len(versions)
+                return len(versions) - 1 - versions.index(stamp)
+
+            due = []
+            if rec.get("columns") and (
+                _lag("as_of_version") >= analyze_stale_versions
+            ):
+                due.append("table")
+            if rec.get("partitions") and (
+                _lag("partitions_as_of_version") >= analyze_stale_versions
+            ):
+                due.append("partitions")
+            if due:
+                entry = {
+                    "action": "collect_stats",
+                    "reason": (
+                        f"ANALYZE record ({' + '.join(due)}) lags the "
+                        f"head by >= analyze_stale_versions="
+                        f"{analyze_stale_versions} snapshots"
+                    ),
+                }
+                if not dry_run:
+                    from .stats import (
+                        collect_partition_stats,
+                        collect_stats,
+                    )
+
+                    try:
+                        result = {}
+                        if "table" in due:
+                            s = collect_stats(
+                                spark, path, incremental=True
+                            )
+                            result["mode"] = s["last_analyze_mode"]
+                            result["row_count"] = s["row_count"]
+                        if "partitions" in due:
+                            collect_partition_stats(
+                                spark, path, incremental=True
+                            )
+                            result["partitions_mode"] = (
+                                metadata.read_sidecar(spark, path)
+                                .stats["last_partitions_analyze_mode"]
+                            )
+                        entry["result"] = result
+                    except Exception as exc:  # noqa: BLE001
+                        entry["failed"] = f"{type(exc).__name__}: {exc}"
+                report["actions"].append(entry)
+
     # identify the TRIGGERING member, not just whether one exists: the
     # reason string must name whose files are small (the primary may be
     # perfectly healthy while a companion crossed the threshold)
@@ -440,77 +518,6 @@ def maintain_dataset(
                 )
             )
         report["actions"].append(entry)
-
-    if analyze_stale_versions is not None:
-        # opt-in ANALYZE refresh (r13): the loop only REFRESHES a record
-        # an operator once collected — never starts analyzing a dataset
-        # nobody asked stats for. Runs AFTER any compaction above so the
-        # post-rewrite state is what gets stamped. Incremental first:
-        # with the r12/r13 folds this is a delta scan when the history
-        # permits and an honest reported full scan when it does not
-        # (including the record having lost its identity stamp to a
-        # stale-at-rewrite carry).
-        m2 = metadata.read_sidecar(spark, path)
-        rec = (m2.stats or {}) if m2 is not None else {}
-        if rec.get("columns") or rec.get("partitions"):
-            versions = [
-                s.get("version")
-                for s in (m2.snapshots or [])
-                if not s.get("staged")
-            ]
-
-            def _lag(stamp_key: str) -> int:
-                stamp = rec.get(stamp_key)
-                if stamp is None:
-                    return len(versions)  # stampless record: refresh
-                if stamp not in versions:
-                    return len(versions)
-                return len(versions) - 1 - versions.index(stamp)
-
-            due = []
-            if rec.get("columns") and (
-                _lag("as_of_version") >= analyze_stale_versions
-            ):
-                due.append("table")
-            if rec.get("partitions") and (
-                _lag("partitions_as_of_version") >= analyze_stale_versions
-            ):
-                due.append("partitions")
-            if due:
-                entry = {
-                    "action": "collect_stats",
-                    "reason": (
-                        f"ANALYZE record ({' + '.join(due)}) lags the "
-                        f"head by >= analyze_stale_versions="
-                        f"{analyze_stale_versions} snapshots"
-                    ),
-                }
-                if not dry_run:
-                    from .stats import (
-                        collect_partition_stats,
-                        collect_stats,
-                    )
-
-                    try:
-                        result = {}
-                        if "table" in due:
-                            s = collect_stats(
-                                spark, path, incremental=True
-                            )
-                            result["mode"] = s["last_analyze_mode"]
-                            result["row_count"] = s["row_count"]
-                        if "partitions" in due:
-                            collect_partition_stats(
-                                spark, path, incremental=True
-                            )
-                            result["partitions_mode"] = (
-                                metadata.read_sidecar(spark, path)
-                                .stats["last_partitions_analyze_mode"]
-                            )
-                        entry["result"] = result
-                    except Exception as exc:  # noqa: BLE001
-                        entry["failed"] = f"{type(exc).__name__}: {exc}"
-                report["actions"].append(entry)
 
     if vacuum_retention_hours is not None:
         # opt-in orphan sweep runs per family member: a crash between a
