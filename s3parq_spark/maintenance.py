@@ -320,7 +320,10 @@ def maintain_dataset(
         # permits, an honest reported full scan when it does not.
         m2 = metadata.read_sidecar(spark, path)
         rec = (m2.stats or {}) if m2 is not None else {}
-        if rec.get("columns") or rec.get("partitions"):
+        has_partitions = bool(
+            rec.get("partitions") or rec.get("partitions_manifest")
+        )
+        if rec.get("columns") or has_partitions:
             versions = [
                 s.get("version")
                 for s in (m2.snapshots or [])
@@ -340,7 +343,7 @@ def maintain_dataset(
                 _lag("as_of_version") >= analyze_stale_versions
             ):
                 due.append("table")
-            if rec.get("partitions") and (
+            if has_partitions and (
                 _lag("partitions_as_of_version") >= analyze_stale_versions
             ):
                 due.append("partitions")

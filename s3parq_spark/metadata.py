@@ -794,6 +794,58 @@ def write_stats_manifest(
     return rel
 
 
+def write_partition_stats_manifest(
+    spark: SparkSession, path: str, version, recs: List[dict]
+) -> str:
+    """Spill the partition-stats section to an immutable columnar manifest
+    under ``_s3parq_stats/`` (r14 — the r9 file-stats lesson applied to
+    the partitions plane): a date×domain layout at 100 TB reaches
+    10^5–10^6 partition-value combinations, and inlining one JSON record
+    per combo would grow the sidecar — which EVERY metadata read parses —
+    linearly with layout cardinality. One row per combo: ``values``
+    (compact JSON of the value map), ``n_rows``. The ``.stats`` suffix
+    keeps ``.parquet`` listings blind to it AND routes the file through
+    vacuum's metadata-plane GC (pointer-referenced manifests survive,
+    orphaned ones age out)."""
+    import json as _json
+    import uuid as _uuid
+
+    import pyarrow as pa
+
+    rel = f"{STATS_DIR}/pv{version}-{_uuid.uuid4().hex[:12]}.stats"
+    table = pa.table(
+        {
+            "values": pa.array(
+                [_json.dumps(r["values"], sort_keys=True) for r in recs],
+                pa.string(),
+            ),
+            "n_rows": pa.array(
+                [int(r["n_rows"]) for r in recs], pa.int64()
+            ),
+        }
+    )
+    _write_parquet_file(spark, posixpath.join(path, rel), table)
+    return rel
+
+
+def read_partition_stats_manifest(
+    spark: SparkSession, path: str, rel: str
+) -> List[dict]:
+    """Hydrate one spilled partition-stats manifest back into the
+    ``[{"values": {...}, "n_rows": int}]`` record shape. Raises on a
+    missing/corrupt manifest: unlike per-file zone maps (where an
+    unreadable manifest degrades to 'no skipping'), partition stats are
+    an ANSWER, and silently returning a partial one would be wrong."""
+    import json as _json
+
+    table = _read_parquet_file(spark, posixpath.join(path, rel))
+    cols = table.to_pydict()
+    return [
+        {"values": _json.loads(v), "n_rows": int(n)}
+        for v, n in zip(cols["values"], cols["n_rows"])
+    ]
+
+
 def _read_stats_manifest(
     spark: SparkSession, path: str, rel: str, strict: bool = False
 ) -> Dict[str, dict]:

@@ -1700,7 +1700,12 @@ def apply_change_feed(
 
 
 def _carry_stats_through_rewrite(
-    sidecar, new_meta, drop_partition_section: bool = False
+    sidecar,
+    new_meta,
+    drop_partition_section: bool = False,
+    spark=None,
+    src_path: Optional[str] = None,
+    dst_path: Optional[str] = None,
 ) -> dict:
     """The ANALYZE-record carry shared by ``compact_dataset`` and
     ``repartition_dataset``: stats describe CONTENT (row count, column
@@ -1728,11 +1733,42 @@ def _carry_stats_through_rewrite(
         or k
         not in (
             "partitions",
+            "partitions_manifest",
             "partitions_as_of_version",
             "partitions_as_of_ts",
             "last_partitions_analyze_mode",
         )
     }
+    if carried_stats.get("partitions_manifest") is not None:
+        # a SPILLED partitions section (r14) lives as a manifest file
+        # inside the dataset dir the rewrite is about to replace — the
+        # pointer must be re-materialized into the rewrite target or it
+        # dangles after the swap. Unreadable manifest: drop the section
+        # honestly (the refresh recollects) rather than carry a pointer
+        # to bytes that are about to be deleted.
+        rehomed = False
+        if spark is not None and src_path and dst_path:
+            try:
+                recs = metadata.read_partition_stats_manifest(
+                    spark, src_path,
+                    carried_stats["partitions_manifest"]["path"],
+                )
+                rel = metadata.write_partition_stats_manifest(
+                    spark, dst_path, 1, recs
+                )
+                carried_stats["partitions_manifest"] = {
+                    "path": rel, "n": len(recs),
+                }
+                rehomed = True
+            except Exception:  # noqa: BLE001
+                rehomed = False
+        if not rehomed:
+            for k in (
+                "partitions", "partitions_manifest",
+                "partitions_as_of_version", "partitions_as_of_ts",
+                "last_partitions_analyze_mode",
+            ):
+                carried_stats.pop(k, None)
     head = sidecar.snapshots[-1] if sidecar.snapshots else None
     head_version = head.get("version") if head else None
     head_ts = head.get("ts") if head else None
@@ -1952,7 +1988,8 @@ def compact_dataset(
             new_meta.aggregate = carried_aggregate
         if sidecar.stats:
             new_meta.stats = _carry_stats_through_rewrite(
-                sidecar, new_meta
+                sidecar, new_meta,
+                spark=spark, src_path=path, dst_path=tmp,
             )
         metadata.write_sidecar(spark, tmp, new_meta)
     old = path.rstrip("/") + ".precompact"
@@ -2614,6 +2651,13 @@ def vacuum_dataset(
         for s in meta.snapshots
         if s.get("manifest")
     } | {m["path"] for m in meta.stats_manifests()}
+    # the spilled partition-stats manifest (r14) is pointer-referenced
+    # from the ANALYZE record, not from zone_maps — without this a
+    # vacuum right after a large-layout ANALYZE would GC the record's
+    # only copy
+    pstats_ptr = (meta.stats or {}).get("partitions_manifest")
+    if pstats_ptr:
+        referenced.add(pstats_ptr["path"])
     for d, suffix in (
         (metadata.MANIFESTS_DIR, ".manifest"),
         (metadata.STATS_DIR, ".stats"),

@@ -294,6 +294,53 @@ def read_stats(spark: SparkSession, path: str) -> Optional[Dict]:
     return meta.stats or None
 
 
+#: combo count at which the partitions section spills out of the sidecar
+#: into a columnar manifest (r14): the sidecar is parsed by EVERY
+#: metadata read, so it must stay O(versions + columns) — a date×domain
+#: layout at 100 TB reaches 10^5-10^6 combos, and 10^4 inline JSON
+#: records is where the record starts dominating sidecar bytes (the same
+#: threshold discipline the per-file stats plane applies).
+PARTITION_STATS_SPILL_THRESHOLD = 10_000
+
+
+def _load_partition_recs(spark, path: str, stats: Dict) -> Optional[List[Dict]]:
+    """The stored partition records, inline or spilled — the ONE place
+    that knows both representations. None when never collected."""
+    if stats.get("partitions") is not None:
+        return stats["partitions"]
+    ptr = stats.get("partitions_manifest")
+    if ptr is None:
+        return None
+    return metadata.read_partition_stats_manifest(spark, path, ptr["path"])
+
+
+def _store_partition_recs(
+    spark,
+    path: str,
+    stats: Dict,
+    recs: List[Dict],
+    version,
+    spill_threshold: Optional[int] = None,
+) -> None:
+    """Store the partition records inline (small layouts: zero extra I/O
+    to read back) or as a spilled manifest pointer past the threshold.
+    Exactly one representation survives in the record."""
+    thr = (
+        spill_threshold
+        if spill_threshold is not None
+        else PARTITION_STATS_SPILL_THRESHOLD
+    )
+    if len(recs) >= thr:
+        rel = metadata.write_partition_stats_manifest(
+            spark, path, version if version is not None else 0, recs
+        )
+        stats.pop("partitions", None)
+        stats["partitions_manifest"] = {"path": rel, "n": len(recs)}
+    else:
+        stats.pop("partitions_manifest", None)
+        stats["partitions"] = recs
+
+
 def _partition_counts(df, parts: List[str]) -> List[Dict]:
     """One aggregate: per partition-value-combination row counts, values
     canonicalized to strings (the sidecar is JSON) — shared by the full
@@ -320,7 +367,10 @@ def _sort_partition_recs(recs: List[Dict]) -> None:
 
 
 def collect_partition_stats(
-    spark: SparkSession, path: str, incremental: bool = False
+    spark: SparkSession,
+    path: str,
+    incremental: bool = False,
+    spill_threshold: Optional[int] = None,
 ) -> List[Dict]:
     """ANALYZE at partition granularity (Iceberg's partition-stats files,
     restated for the sidecar): ONE aggregate computing each hive
@@ -346,6 +396,14 @@ def collect_partition_stats(
 
     Unpartitioned datasets store a single entry with an empty value map.
     Returns the recorded list of ``{"values": {...}, "n_rows": int}``.
+
+    Past ``spill_threshold`` combos (default
+    ``PARTITION_STATS_SPILL_THRESHOLD``) the section spills to an
+    immutable columnar manifest under ``_s3parq_stats/`` and the sidecar
+    keeps only an O(1) pointer (r14): the sidecar must stay flat however
+    many value combinations the layout has — ``read_partition_stats``
+    lazy-loads the manifest, and the fold keeps working incrementally
+    against either representation.
     """
     from .fetch import fetch_path
 
@@ -353,7 +411,9 @@ def collect_partition_stats(
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
     if incremental:
-        folded = _fold_partition_stats_forward(spark, path, meta)
+        folded = _fold_partition_stats_forward(
+            spark, path, meta, spill_threshold
+        )
         if folded is not None:
             return folded
     df = fetch_path(spark, path)
@@ -367,7 +427,7 @@ def collect_partition_stats(
         raise ValueError(f"{path} disappeared during ANALYZE (no sidecar)")
     version = fresh.snapshots[-1]["version"] if fresh.snapshots else None
     stats = dict(fresh.stats or {})
-    stats["partitions"] = recs
+    _store_partition_recs(spark, path, stats, recs, version, spill_threshold)
     stats["partitions_as_of_version"] = version
     stats["partitions_as_of_ts"] = _snap_ts(fresh, version)
     stats["last_partitions_analyze_mode"] = "full"
@@ -377,20 +437,31 @@ def collect_partition_stats(
 
 
 def _fold_partition_stats_forward(
-    spark: SparkSession, path: str, meta
+    spark: SparkSession,
+    path: str,
+    meta,
+    spill_threshold: Optional[int] = None,
 ) -> Optional[List[Dict]]:
     """The incremental partition-stats fold, or None when only the full
     scan is honest (every bail-out reason in the
     ``collect_partition_stats`` docstring). One delta-only aggregate;
-    untouched partitions' stored counts carry verbatim."""
+    untouched partitions' stored counts carry verbatim. A spilled record
+    folds the same way: the manifest hydrates once, the fold is
+    in-memory, and the result re-spills to a NEW immutable manifest
+    (the superseded one becomes a vacuum-collectable orphan)."""
     from .fetch import fetch_changes
 
     prior = meta.stats or {}
-    recs = prior.get("partitions")
     last = prior.get("partitions_as_of_version")
     ts = prior.get("partitions_as_of_ts")
-    if recs is None or last is None or ts is None:
+    if last is None or ts is None:
         return None  # never collected, or a pre-stamp record
+    try:
+        recs = _load_partition_recs(spark, path, prior)
+    except Exception:  # noqa: BLE001 — unreadable spilled manifest
+        return None  # only a full recollect is honest
+    if recs is None:
+        return None  # never collected
     versions = [
         s["version"] for s in meta.snapshots or [] if not s.get("staged")
     ]
@@ -424,7 +495,7 @@ def _fold_partition_stats_forward(
     if fresh is None:
         raise ValueError(f"{path} disappeared during ANALYZE (no sidecar)")
     stats = dict(fresh.stats or {})
-    stats["partitions"] = out
+    _store_partition_recs(spark, path, stats, out, head, spill_threshold)
     stats["partitions_as_of_version"] = head
     stats["partitions_as_of_ts"] = _snap_ts(fresh, head)
     stats["last_partitions_analyze_mode"] = "incremental"
@@ -434,9 +505,11 @@ def _fold_partition_stats_forward(
 
 
 def read_partition_stats(spark: SparkSession, path: str) -> Optional[List[Dict]]:
-    """The stored partition-stats record — sidecar JSON only, zero scan.
-    None when ``collect_partition_stats`` has never run."""
+    """The stored partition-stats record — sidecar JSON only for inline
+    records, one lazy columnar-manifest read for spilled ones (r14);
+    never a data scan. None when ``collect_partition_stats`` has never
+    run."""
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
-    return (meta.stats or {}).get("partitions")
+    return _load_partition_recs(spark, path, meta.stats or {})

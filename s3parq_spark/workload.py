@@ -95,6 +95,31 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def _dataset_fixture_ok(spark: SparkSession, path: str) -> bool:
+    """Marker-independent fixture validation shared by every stateful
+    gate (r14, verdict #6 — the ANN `_ivf_fixture_ok` pattern
+    generalized): a gate must trust the STATE, not the marker file. An
+    interrupted or externally-clobbered build can leave a marker next
+    to a half-valid dataset; this checks what every consumer of the
+    fixture actually depends on — the sidecar parses AND every
+    manifest-acknowledged data file exists on disk (spilled file-list
+    manifests are hydrated by ``read_sidecar``, so the check covers
+    them too). Family helpers in ``workload_ext2`` layer
+    postings-geometry / ledger / quantizer-epoch checks on top."""
+    from . import metadata as _md
+
+    try:
+        m = _md.read_sidecar(spark, path)
+        if m is None:
+            return False
+        files = m.all_files() or []
+    except Exception:  # noqa: BLE001 — any unreadable state: rebuild
+        return False
+    return all(
+        os.path.exists(os.path.join(path, rel)) for rel in files
+    )
+
+
 def _cached_dataset(
     spark: SparkSession,
     sf_dir: str,
@@ -113,7 +138,7 @@ def _cached_dataset(
     if os.path.exists(marker):
         with open(marker) as fh:
             stamp = fh.read().strip()
-    if stamp != _CACHE_LOGIC_VERSION:
+    if stamp != _CACHE_LOGIC_VERSION or not _dataset_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         publish_path(
             spark, path, build(spark, sf_dir), partitions, mode="overwrite",
@@ -2778,7 +2803,7 @@ def _li_evolved_ds(spark, sf_dir):
     read it as NULL (parquet missing-column semantics)."""
     path = _ds_path(sf_dir, "li_evolved")
     marker = os.path.join(path, "_PUBLISHED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _dataset_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         li = _table(spark, sf_dir, "lineitem")
         v1 = li.filter(F.col("l_linenumber") <= 3).select(

@@ -380,6 +380,28 @@ def q_ngram_contamination(spark, sf_dir):
     )
 
 
+def _plain_fixture_ok(spark, path: str) -> bool:
+    """Marker-independent dataset validation for this module's stateful
+    gates (r14) — defers to ``workload._dataset_fixture_ok`` (local
+    import: workload imports this module at its bottom)."""
+    from .workload import _dataset_fixture_ok
+
+    return _dataset_fixture_ok(spark, path)
+
+
+def _jsonl_export_fixture_ok(path: str, n_shards: int) -> bool:
+    """Marker-independent validation for the JSONL export fixture (not
+    an s3parq dataset — shard=N/ directories): every shard directory
+    must exist and be non-empty, else the export was interrupted."""
+    import glob as _glob
+    import os as _os
+
+    return all(
+        _glob.glob(_os.path.join(path, f"shard={i}", "*"))
+        for i in range(n_shards)
+    )
+
+
 QUERIES_EXT: Dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "volume_shipping": q_volume_shipping,
     "market_share": q_market_share,
@@ -931,7 +953,7 @@ def q_overwrite_partition_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "li_overwrite")
     marker = os.path.join(path, "_OVERWRITTEN")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         li = _table(spark, sf_dir, "lineitem")
         publish_path(spark, path, li, ["l_returnflag"], mode="overwrite")
@@ -1330,7 +1352,7 @@ def q_jsonl_export_roundtrip(spark, sf_dir):
 
     path = _ds_path(sf_dir, "docs_jsonl")
     marker = os.path.join(path, "_SUCCESS")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _jsonl_export_fixture_ok(path, 8):
         shutil.rmtree(path, ignore_errors=True)
         docs = _table(spark, sf_dir, "documents").filter(F.col("n_chars") >= 100)
         export_jsonl(docs, path, "doc_id", n_shards=8)
@@ -1400,7 +1422,7 @@ def _li_versions_ds(spark, sf_dir) -> str:
 
     path = _ds_path(sf_dir, "li_versions")
     marker = os.path.join(path, "_VERSIONED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         li = _table(spark, sf_dir, "lineitem")
         publish_path(
@@ -1809,7 +1831,7 @@ def q_merge_upsert_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "orders_merge")
     marker = os.path.join(path, "_MERGED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders").withColumn("seq", F.lit(0))
         publish_path(spark, path, orders, ["o_orderstatus"])
@@ -1850,7 +1872,7 @@ def q_null_partition_merge(spark, sf_dir):
 
     path = _ds_path(sf_dir, "nation_null_merge")
     marker = os.path.join(path, "_MERGED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         base = _table(spark, sf_dir, "nation").select(
             "n_nationkey",

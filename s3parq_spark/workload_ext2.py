@@ -297,7 +297,7 @@ def q_hidden_partition_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "hidden_part")
     marker = os.path.join(path, "_HIDDEN_OK")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         li = _table(spark, sf_dir, "lineitem")
         publish_path(
@@ -631,7 +631,7 @@ def q_dataset_stats(spark, sf_dir):
     path = _ds_path(sf_dir, "stats_ds")
     marker = os.path.join(path, "_STATS_OK")
     cols = ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders")
         publish_path(spark, path, orders, ["o_orderstatus"])
@@ -2688,7 +2688,7 @@ def q_csv_ingest_roundtrip(spark, sf_dir):
     csv_dir = os.path.join(root, "landing")
     ds = os.path.join(root, "ds")
     marker = os.path.join(ds, "_INGESTED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, ds):
         shutil.rmtree(root, ignore_errors=True)
         # the landing extract is staged by the engine's own distributed
         # writer, not a driver-side csv.writer loop
@@ -2746,7 +2746,7 @@ def q_partition_evolution_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "part_evo")
     marker = os.path.join(path, "_EVOLVED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders")
         publish_path(
@@ -2922,7 +2922,7 @@ def q_csv_deadletter_publish(spark, sf_dir):
             T.StructField("n_regionkey", T.IntegerType()),
         ]
     )
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, ds):
         shutil.rmtree(root, ignore_errors=True)
         (
             _table(spark, sf_dir, "nation")
@@ -3083,7 +3083,7 @@ def q_tagged_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "orders_tagged")
     marker = os.path.join(path, "_TAGGED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders")
         publish_path(
@@ -3196,7 +3196,7 @@ def q_mor_delete_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "orders_mor")
     marker = os.path.join(path, "_MOR")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _mor_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders")
         publish_path(
@@ -3250,7 +3250,9 @@ def q_continuous_aggregate(spark, sf_dir):
     src = _ds_path(sf_dir, "orders_ca_src")
     dst = _ds_path(sf_dir, "orders_ca_agg")
     marker = os.path.join(dst, "_REFRESHED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not (
+        _plain_fixture_ok(spark, dst) and _plain_fixture_ok(spark, src)
+    ):
         shutil.rmtree(src, ignore_errors=True)
         shutil.rmtree(dst, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders")
@@ -3309,7 +3311,7 @@ def q_wap_publish_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "orders_wap")
     marker = os.path.join(path, "_WAP")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders")
         publish_path(
@@ -3663,7 +3665,7 @@ def q_mor_upsert_fetch(spark, sf_dir):
 
     path = _ds_path(sf_dir, "orders_mor_upsert")
     marker = os.path.join(path, "_MOR_UPSERT")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _mor_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         orders = _table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_orderstatus", "o_totalprice"
@@ -3741,7 +3743,7 @@ def q_text_index_search(spark, sf_dir):
 
     path = _ds_path(sf_dir, "text_index")
     marker = os.path.join(path, "_INDEXED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _text_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path.rstrip("/") + "_stats", ignore_errors=True)
         docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -3785,7 +3787,7 @@ def q_text_index_reindex(spark, sf_dir):
 
     path = _ds_path(sf_dir, "text_index_rx")
     marker = os.path.join(path, "_REINDEXED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _text_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path.rstrip("/") + "_stats", ignore_errors=True)
         shutil.rmtree(path.rstrip("/") + "_doclens", ignore_errors=True)
@@ -3838,7 +3840,7 @@ def q_events_stream_upsert(spark, sf_dir):
     path = _ds_path(sf_dir, "ev_stream_upsert")
     stage = _ds_path(sf_dir, "ev_stream_upsert_src")
     marker = os.path.join(path, "_UPSERTED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _stream_ckpt_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         ev = _events(spark, sf_dir)
@@ -3906,7 +3908,7 @@ def q_text_index_remove(spark, sf_dir):
 
     path = _ds_path(sf_dir, "text_index_rm")
     marker = os.path.join(path, "_REMOVED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _text_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(path.rstrip("/") + "_stats", ignore_errors=True)
         shutil.rmtree(path.rstrip("/") + "_doclens", ignore_errors=True)
@@ -3958,7 +3960,7 @@ def q_stream_upsert_exactly_once(spark, sf_dir):
     stage = _ds_path(sf_dir, "ev_stream_eo_src")
     ckpt = path.rstrip("/") + "_ckpt"
     marker = os.path.join(path, "_REPLAYED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _stream_ckpt_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         shutil.rmtree(stage, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
@@ -4056,7 +4058,7 @@ def q_text_index_maxdf_maintain(spark, sf_dir):
     MAXDF = 90
     path = _ds_path(sf_dir, "text_index_maxdf")
     marker = os.path.join(path, "_MAINTAINED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _text_fixture_ok(spark, path):
         for suffix in ("", "_stats", "_doclens", "_stopped", "_fwd"):
             shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
         docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4187,7 +4189,9 @@ def q_ivf_index_append(spark, sf_dir):
     path = _ds_path(sf_dir, "ivf_maintained")
     marker = os.path.join(path, "_MAINTAINED")
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _ivf_fixture_ok(
+        path, m=None, companion=False
+    ):
         shutil.rmtree(path, ignore_errors=True)
         qp = path.rstrip("/") + "_quantizers.json"
         if os.path.exists(qp):
@@ -4295,7 +4299,7 @@ def q_text_batch_search(spark, sf_dir):
 
     path = _ds_path(sf_dir, "text_index_batchq")
     marker = os.path.join(path, "_BUILT")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _text_fixture_ok(spark, path):
         for suffix in ("", "_stats", "_doclens"):
             shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
         docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -4482,7 +4486,10 @@ def q_stream_index_docs(spark, sf_dir):
     landing = path.rstrip("/") + "_landing"
     ckpt = path.rstrip("/") + "_ckpt"
     marker = os.path.join(path, "_STREAMED")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not (
+        _text_fixture_ok(spark, path)
+        and _stream_ckpt_fixture_ok(spark, path)
+    ):
         for suffix in ("", "_stats", "_doclens", "_stopped", "_fwd",
                        "_landing", "_ckpt"):
             shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
@@ -4595,7 +4602,7 @@ def q_pq_refine_search(spark, sf_dir):
     path = _ds_path(sf_dir, "ivfpq_refine")
     marker = os.path.join(path, "_BUILT")
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _ivf_fixture_ok(path, m=4):
         for suffix in ("", "_vectors"):
             shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
         qp = path.rstrip("/") + "_quantizers.json"
@@ -4706,7 +4713,10 @@ def q_ann_stream_upsert(spark, sf_dir):
     ckpt = path.rstrip("/") + "_ckpt"
     marker = os.path.join(path, "_STREAMED")
     emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not (
+        _ivf_fixture_ok(path, m=4)
+        and _stream_ckpt_fixture_ok(spark, path)
+    ):
         for suffix in ("", "_vectors", "_landing", "_ckpt"):
             shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
         qp = path.rstrip("/") + "_quantizers.json"
@@ -4779,7 +4789,7 @@ def q_ann_compact_search(spark, sf_dir):
         F.col("embedding").cast("array<double>").alias("v")
     ).first()
     qv = [float(x) for x in qrow["v"]]
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _ivf_fixture_ok(path, m=4):
         for suffix in ("", "_vectors"):
             shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
         qp = path.rstrip("/") + "_quantizers.json"
@@ -4970,7 +4980,7 @@ def q_incremental_analyze(spark, sf_dir):
     orders = _table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"
     )
-    if not os.path.exists(marker):
+    if not os.path.exists(marker) or not _plain_fixture_ok(spark, path):
         shutil.rmtree(path, ignore_errors=True)
         publish_path(
             spark, path, orders.filter("o_orderkey % 5 <> 0"),
@@ -5059,6 +5069,15 @@ ORACLE_EXT2["incremental_analyze"] = """
 
 
 
+def _plain_fixture_ok(spark, path: str) -> bool:
+    """Marker-independent dataset validation for this module's plain
+    stateful gates (r14) — defers to ``workload._dataset_fixture_ok``
+    (local import: workload imports this module at its bottom)."""
+    from .workload import _dataset_fixture_ok
+
+    return _dataset_fixture_ok(spark, path)
+
+
 def _ivf_fixture_ok(path: str, m, companion: bool = True) -> bool:
     """Marker-independent fixture validation for the ANN gates: a gate
     must never trust a marker over the state itself (an interrupted or
@@ -5082,6 +5101,73 @@ def _ivf_fixture_ok(path: str, m, companion: bool = True) -> bool:
     return q.get("m") == m and (
         not companion or os.path.isdir(path.rstrip("/") + "_vectors")
     )
+
+
+def _text_fixture_ok(spark, path: str) -> bool:
+    """Marker-independent validation for text-index fixtures (r14): the
+    postings dataset must be a valid dataset (sidecar + files) with the
+    bucket-derived partition layout and the postings schema, the 1-row
+    ``_stats`` sibling must exist (search reads n_docs/avgdl there),
+    and every OTHER existing family member (doclens/stopped/fwd) must
+    itself validate — an interrupted multi-member build is detected by
+    the missing/invalid member, not by marker absence."""
+    from . import metadata as _md
+    from .workload import _dataset_fixture_ok
+
+    if not _dataset_fixture_ok(spark, path):
+        return False
+    try:
+        m = _md.read_sidecar(spark, path)
+    except Exception:  # noqa: BLE001
+        return False
+    if m is None or "bucket" not in (m.derived_partitions or {}):
+        return False
+    if not all(c in m.column_types for c in ("term", "tf", "dl")):
+        return False
+    if not _dataset_fixture_ok(spark, path.rstrip("/") + "_stats"):
+        return False
+    for s in ("_doclens", "_stopped", "_fwd"):
+        p = path.rstrip("/") + s
+        if os.path.isdir(p) and not _dataset_fixture_ok(spark, p):
+            return False
+    return True
+
+
+def _stream_ckpt_fixture_ok(spark, path: str) -> bool:
+    """Marker-independent validation for streaming-sink fixtures (r14):
+    the exactly-once incarnation ledger must be present in the sink's
+    sidecar — a build interrupted between the checkpoint advance and
+    the marker write leaves a sink whose txns record is the proof the
+    stream actually committed; no ledger, no fixture."""
+    from . import metadata as _md
+    from .workload import _dataset_fixture_ok
+
+    if not _dataset_fixture_ok(spark, path):
+        return False
+    try:
+        m = _md.read_sidecar(spark, path)
+    except Exception:  # noqa: BLE001
+        return False
+    return m is not None and bool(m.txns)
+
+
+def _mor_fixture_ok(spark, path: str) -> bool:
+    """Marker-independent validation for merge-on-read fixtures (r14):
+    the gates' whole point is PENDING delete/upsert commits taxing the
+    read path, so the ledger shape — at least one pending tombstone or
+    equality-delete — must still be present; a fixture that something
+    compacted (materializing the debt) no longer exercises the gate
+    and rebuilds."""
+    from . import metadata as _md
+    from .workload import _dataset_fixture_ok
+
+    if not _dataset_fixture_ok(spark, path):
+        return False
+    try:
+        m = _md.read_sidecar(spark, path)
+    except Exception:  # noqa: BLE001
+        return False
+    return bool(m.tombstones() or m.eq_deletes())
 
 
 def q_ann_rebuild_search(spark, sf_dir):

@@ -818,6 +818,103 @@ class TestStatsPlane:
         with _pytest.raises(ValueError, match="not in dataset"):
             collect_stats(spark, tmp_dataset_dir, columns=["nope"])
 
+    def test_partition_stats_spill_and_fold(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """r14 (verdict #7): past the combo threshold the partitions
+        section spills to a columnar manifest and the sidecar keeps an
+        O(1) pointer — the sidecar must stay flat however many value
+        combinations the layout has. read_partition_stats lazy-loads;
+        the incremental fold still scans only the delta and re-spills;
+        vacuum GCs the superseded manifest but never the live one."""
+        import json
+        import os
+
+        from s3parq_spark.stats import (
+            collect_partition_stats,
+            read_partition_stats,
+            read_stats,
+        )
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        full = collect_partition_stats(
+            spark, tmp_dataset_dir, spill_threshold=2
+        )
+        side = json.load(
+            open(os.path.join(tmp_dataset_dir, "_s3parq_metadata.json"))
+        )
+        assert "partitions" not in side["stats"]  # sidecar stays flat
+        ptr = side["stats"]["partitions_manifest"]
+        assert ptr["n"] == len(full) and ptr["path"].startswith(
+            "_s3parq_stats/"
+        )
+        assert os.path.exists(os.path.join(tmp_dataset_dir, ptr["path"]))
+        # lazy-load round-trips the exact record
+        assert read_partition_stats(spark, tmp_dataset_dir) == full
+
+        # the fold works against the spilled representation: delta-only
+        # scan, merged result re-spills to a NEW immutable manifest
+        extra = nation.limit(2).selectExpr(
+            "n_nationkey + 300 as n_nationkey", "n_name",
+            "cast(9 as int) as n_regionkey",
+        )
+        publish_path(
+            spark, tmp_dataset_dir, extra, ["n_regionkey"], mode="append",
+        )
+        inc = collect_partition_stats(
+            spark, tmp_dataset_dir, incremental=True, spill_threshold=2
+        )
+        s = read_stats(spark, tmp_dataset_dir)
+        assert s["last_partitions_analyze_mode"] == "incremental"
+        ptr2 = s["partitions_manifest"]
+        assert ptr2["path"] != ptr["path"]
+        by_region = {r["values"]["n_regionkey"]: r["n_rows"] for r in inc}
+        assert by_region["9"] == 2
+        assert sum(by_region.values()) == nation.count() + 2
+        assert read_partition_stats(spark, tmp_dataset_dir) == inc
+
+        # vacuum: the superseded manifest is an orphan, the live one is
+        # pointer-referenced and survives
+        from s3parq_spark.publish import vacuum_dataset
+
+        removed = vacuum_dataset(
+            spark, tmp_dataset_dir, retention_hours=0.0
+        )
+        assert ptr["path"] in removed
+        assert os.path.exists(os.path.join(tmp_dataset_dir, ptr2["path"]))
+        assert read_partition_stats(spark, tmp_dataset_dir) == inc
+
+    def test_spilled_partition_stats_survive_compaction(
+        self, spark, tmp_dataset_dir, sf_dir
+    ):
+        """r14: a spilled partitions section lives INSIDE the dataset dir
+        the compaction rewrite replaces — the carry must re-materialize
+        the manifest into the rewrite target (a dangling pointer would
+        silently lose the record), with the usual current-at-rewrite
+        restamp rules."""
+        import os
+
+        from s3parq_spark.publish import compact_dataset
+        from s3parq_spark.stats import (
+            collect_partition_stats,
+            read_partition_stats,
+            read_stats,
+        )
+
+        nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+        publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+        before = collect_partition_stats(
+            spark, tmp_dataset_dir, spill_threshold=2
+        )
+        compact_dataset(spark, tmp_dataset_dir)
+        s = read_stats(spark, tmp_dataset_dir)
+        ptr = s["partitions_manifest"]
+        assert os.path.exists(os.path.join(tmp_dataset_dir, ptr["path"]))
+        assert read_partition_stats(spark, tmp_dataset_dir) == before
+        # the record was current at the rewrite: identity restamped to v1
+        assert s["partitions_as_of_version"] == 1
+
 
 class TestUpdateWhere:
     def test_partition_scoped_update_preupdate_semantics(

@@ -68,3 +68,42 @@ def test_sanctioned_sharers_call_the_owner():
         if isinstance(c, ast.Call) and isinstance(c.func, ast.Name)
     }
     assert "q_ivf_index_append" in called
+
+
+def test_every_marker_writing_gate_validates_state():
+    """r14 (verdict #6): a marker file proves only that SOME run finished
+    — not that the state on disk is the state the gate needs (interrupted
+    multi-member builds, external clobbering, cache surgery). Every
+    function that manages a fixture marker must therefore also call a
+    ``*_fixture_ok`` helper (``_dataset_fixture_ok`` / ``_ivf_fixture_ok``
+    / ``_text_fixture_ok`` / ``_stream_ckpt_fixture_ok`` /
+    ``_mor_fixture_ok`` / ...) so a bad fixture self-heals by rebuild
+    instead of serving wrong rows or crashing on a post-marker assert."""
+    offenders = {}
+    for mod in ("workload.py", "workload_ext.py", "workload_ext2.py"):
+        tree = ast.parse(open(os.path.join(PKG, mod)).read())
+        for node in ast.walk(tree):
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            writes_marker = any(
+                isinstance(n, ast.Assign)
+                and any(
+                    isinstance(t, ast.Name) and t.id == "marker"
+                    for t in n.targets
+                )
+                for n in ast.walk(node)
+            )
+            if not writes_marker:
+                continue
+            validates = any(
+                isinstance(c, ast.Call)
+                and isinstance(c.func, ast.Name)
+                and c.func.id.endswith("_fixture_ok")
+                for c in ast.walk(node)
+            )
+            if not validates:
+                offenders.setdefault(mod, []).append(node.name)
+    assert offenders == {}, (
+        f"marker-writing gates without a *_fixture_ok state check: "
+        f"{offenders}"
+    )
