@@ -171,24 +171,76 @@ def _row_bytes_exprs(df: DataFrame):
 _SOURCE_FOOTER_SAMPLE = 64
 
 
+#: parquet-encoded width model for COMPUTED fixed-width columns in the
+#: footer shortcut below: the uncompressed 8-byte cell over the assumed
+#: compression ratio. Derived columns (date_trunc months, flag booleans)
+#: usually dictionary-encode far smaller, so this slightly oversizes —
+#: the safe direction for a rows-per-file target.
+_COMPUTED_FIXED_TYPES = frozenset((
+    "int", "integer", "bigint", "long", "smallint", "short", "tinyint",
+    "byte", "double", "float", "date", "boolean", "timestamp",
+    "timestamp_ntz",
+))
+
+
 def _parquet_scan_row_bytes(df: DataFrame) -> Optional[float]:
-    """Compressed bytes/row straight from the source files when ``df`` is an
-    UNTRANSFORMED local parquet scan (bare ``LogicalRelation`` — no
-    projection, filter, or computed column that could change row width):
-    on-disk bytes over footer row counts. Ground truth for the sizing
-    model — no data scan, no compression-ratio guess (input and output are
-    both snappy parquet). Returns ``None`` for transformed plans, empty
-    sources, or non-``file:`` schemes (a remote deployment would read the
-    same numbers from the object store's list + footer API)."""
+    """Compressed bytes/row straight from the source files' footers —
+    ZERO Spark jobs — when ``df``'s plan is a local parquet scan under
+    at most row-width-PRESERVING or width-ACCOUNTABLE transforms:
+
+    - ``Filter`` / ``SubqueryAlias`` layers peel away (filtering changes
+      how many rows survive, never how wide a row is);
+    - one ``Project`` layer is accounted per column (r14 — the headline
+      publish profile showed the sampling-job fallback was the largest
+      non-write phase): pass-through columns take their EXACT per-column
+      compressed bytes/row from the footers' column-chunk sizes, and
+      computed fixed-width columns (a derived month, a flag) add the
+      8-byte model cell over the assumed ratio. A computed
+      variable-width column (string concat etc.) bails to the sampling
+      model — footers can't price it.
+
+    Ground truth for the sizing model — no data scan, no whole-row
+    compression-ratio guess (input and output are both snappy parquet).
+    Returns ``None`` for unaccountable plans, empty sources, or
+    non-``file:`` schemes (a remote deployment would read the same
+    numbers from the object store's list + footer API)."""
     from urllib.parse import urlparse
 
     try:
         plan = df._jdf.queryExecution().analyzed()
-        cls = plan.getClass().getSimpleName()
-        while cls == "SubqueryAlias":
+
+        def _cls(p):
+            return p.getClass().getSimpleName()
+
+        passthrough = None  # None => identity: whole-file accounting
+        computed_bytes = 0.0
+        while _cls(plan) in ("SubqueryAlias", "Filter"):
             plan = plan.children().apply(0)
-            cls = plan.getClass().getSimpleName()
-        if cls != "LogicalRelation":
+        if _cls(plan) == "Project":
+            passthrough = []
+            proj = plan.projectList()
+            for i in range(proj.size()):
+                e = proj.apply(i)
+                ecls = e.getClass().getSimpleName()
+                if ecls == "Alias" and (
+                    e.child().getClass().getSimpleName()
+                    == "AttributeReference"
+                ):
+                    # a pure rename: the bytes are the source column's
+                    ecls, e = "AttributeReference", e.child()
+                if ecls == "AttributeReference":
+                    passthrough.append(e.name())
+                elif ecls == "Alias":
+                    t = e.dataType().typeName()
+                    if t not in _COMPUTED_FIXED_TYPES:
+                        return None  # variable width: only a sample prices it
+                    computed_bytes += 8.0 / ASSUMED_COMPRESSION_RATIO
+                else:
+                    return None
+            plan = plan.children().apply(0)
+            while _cls(plan) in ("SubqueryAlias", "Filter"):
+                plan = plan.children().apply(0)
+        if _cls(plan) != "LogicalRelation":
             return None
         files = list(df.inputFiles())
     except Exception:
@@ -208,16 +260,39 @@ def _parquet_scan_row_bytes(df: DataFrame) -> Optional[float]:
 
         step = max(1, len(paths) // _SOURCE_FOOTER_SAMPLE)
         sampled = paths[::step][:_SOURCE_FOOTER_SAMPLE]
-        s_rows = sum(pq.ParquetFile(p).metadata.num_rows for p in sampled)
-        s_bytes = sum(os.path.getsize(p) for p in sampled)
+        if passthrough is None:
+            s_rows = sum(
+                pq.ParquetFile(p).metadata.num_rows for p in sampled
+            )
+            s_bytes = sum(os.path.getsize(p) for p in sampled)
+        else:
+            # per-column accounting: column-chunk compressed sizes from
+            # the same sampled footers (nested leaves roll up to their
+            # root column name)
+            from collections import defaultdict as _dd
+
+            per_col: dict = _dd(int)
+            s_rows = 0
+            for p in sampled:
+                meta = pq.ParquetFile(p).metadata
+                s_rows += meta.num_rows
+                for rg in range(meta.num_row_groups):
+                    g = meta.row_group(rg)
+                    for ci in range(g.num_columns):
+                        col = g.column(ci)
+                        root = col.path_in_schema.split(".")[0]
+                        per_col[root] += col.total_compressed_size
+            if any(name not in per_col for name in passthrough):
+                return None  # not a source column (shouldn't happen)
+            s_bytes = sum(per_col[name] for name in passthrough)
     except Exception:
         return None
-    if s_rows <= 0 or s_bytes <= 0:
+    if s_rows <= 0 or s_bytes < 0 or (s_bytes == 0 and not computed_bytes):
         return None
     # the evenly-spaced sample's own ratio IS the estimate (extrapolating
     # through the total-bytes sum cancels algebraically), so only the
     # sampled files need stat+footer reads
-    return max(1.0, s_bytes / s_rows)
+    return max(1.0, s_bytes / s_rows + computed_bytes)
 
 
 def _estimate_rows_per_file(

@@ -178,9 +178,21 @@ def test_parquet_source_sizing_shortcut(spark, tmp_path):
     )
     assert abs(got - disk / 10_000) < 1e-6
     assert int(TARGET_FILE_BYTES / got) > 0
-    # transformed plans (projection changes row width) must NOT use footers
-    assert _parquet_scan_row_bytes(df.withColumn("x", F.lit(1))) is None
-    assert _parquet_scan_row_bytes(df.select("id")) is None
+    # r14: width-ACCOUNTABLE transforms still use footers — a projection
+    # is priced per column (pass-through columns from the column-chunk
+    # sizes, computed fixed-width ones from the model cell over the
+    # ratio), and a filter never changes row width at all
+    narrowed = _parquet_scan_row_bytes(df.select("id"))
+    assert narrowed is not None and narrowed < got
+    widened = _parquet_scan_row_bytes(df.withColumn("x", F.lit(1)))
+    assert widened is not None and widened > narrowed
+    filtered = _parquet_scan_row_bytes(df.filter("id % 2 = 0"))
+    assert filtered == got  # same files, same row width
+    # a computed VARIABLE-width column is the one thing footers cannot
+    # price: bail to the sampled row-size model
+    assert _parquet_scan_row_bytes(
+        df.withColumn("x", F.concat(F.lit("a"), F.col("s")))
+    ) is None
 
 
 def test_footer_sizing_cache_replays_identically(spark, tmp_path):
