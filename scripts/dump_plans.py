@@ -505,6 +505,24 @@ CASES = [
         "that produced it scanned the appended delta, not the table; "
         "min/max/n_nulls/row_count exact, NDV an HLL union estimate.",
     ),
+    (
+        "maintain_plain_dataset",
+        "Nightly maintenance pass (r14): the stats half of the frame is "
+        "driver-materialized sidecar rows (LocalTableScan); the ONE "
+        "parquet scan is the post-compaction fetch proving the data "
+        "plane agrees with the stats plane through the rewrite. The "
+        "refresh that produced the record ran BEFORE the compaction — "
+        "an O(delta) fold, then a provably-current restamp to v1.",
+    ),
+    (
+        "maintain_drift_rebuild",
+        "Search after the POLICY LOOP's drift-triggered retrain-and-swap "
+        "(r14): byte-identical shape to a fresh build's flat search — "
+        "cell partition pruning at the file index, cosine as a "
+        "projection, TakeOrderedAndProject with zero Exchange below the "
+        "top-k, and none of the rebuild's .rebuilding/.prerebuild paths "
+        "in the plan (the two-rename swap left no residue).",
+    ),
 ]
 
 

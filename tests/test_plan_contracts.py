@@ -476,3 +476,29 @@ def test_maintained_family_search_pays_no_mor_tax(spark, sf_dir):
     assert "CartesianProduct" not in plan
     # materialized debt: no NOT-IN tombstone filters survive the rewrite
     assert "Not(In(vec_id" not in plan, plan[:800]
+
+
+def test_maintained_plain_dataset_stats_serve_metadata_only(spark, sf_dir):
+    """maintain_plain_dataset (r14): the gate's returned frame is the
+    STORED ANALYZE record plus a fetch aggregate over the compacted
+    dataset — the stats rows must come from the sidecar (no second
+    parquet scan for them), and the one data scan that remains is the
+    fetch half of the contract. At most one scan of the maintained
+    dataset may appear in the plan."""
+    plan = _plan(spark, sf_dir, "maintain_plain_dataset")
+    assert plan.count("Scan parquet") <= 1, plan[:1200]
+    # the stats half is driver-materialized rows
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+
+
+def test_drift_rebuilt_search_plan_is_fresh_build_identical(spark, sf_dir):
+    """maintain_drift_rebuild (r14): after the policy loop's
+    retrain-and-swap the flat-index search must be the plan a fresh
+    build serves — cell partition pruning at the file index, scoring
+    as a projection, zero Exchange below the top-k, and none of the
+    rebuild's temp/parked paths anywhere."""
+    plan = _plan(spark, sf_dir, "maintain_drift_rebuild")
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+    assert "Exchange" not in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    assert ".rebuilding" not in plan and ".prerebuild" not in plan
