@@ -1207,3 +1207,43 @@ def test_maintain_dataset_dry_run_reports_would_run_rebuild(
     assert "advisory" not in acts[0] and "result" not in acts[0]
     # nothing changed: the drift is still there
     assert index_drift(spark, path)["drift_ratio"] > 2.0
+
+
+def test_pre_epoch_index_still_serves(spark, emb, tmp_path):
+    """r14 back-compat: an index built before the epoch pin existed has
+    neither sidecar ann_epoch nor quantizer epoch — the check must skip
+    (both pins absent), never refuse, and the next rebuild upgrades the
+    index to pinned."""
+    import json as _json
+
+    import s3parq_spark.fs as fsmod
+    from s3parq_spark import metadata as _md
+    from s3parq_spark.ann_index import (
+        _load_quantizers,
+        _quantizers_path,
+        rebuild_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, emb.filter("vec_id < 200"), path, "vec_id",
+                    "embedding", k=4, iters=1)
+    # strip both pins, simulating a pre-r14 index at rest
+    m = _md.read_sidecar(spark, path)
+    m.ann_epoch = None
+    _md.write_sidecar(spark, path, m)
+    qp = _quantizers_path(path)
+    q = _json.loads(fsmod.read_text(spark, qp))
+    q.pop("epoch", None)
+    fsmod.write_text(spark, qp, _json.dumps(q))
+
+    qv = _query_vec(emb, 3)
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
+    append_to_ivf_index(spark, emb.filter("vec_id >= 200 and vec_id < 240"),
+                        path, "vec_id", "embedding")
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
+    # a rebuild re-pins both halves
+    rebuild_ivf_index(spark, path, iters=1)
+    assert _md.read_sidecar(spark, path).ann_epoch is not None
+    assert _load_quantizers(spark, path, "t")["epoch"] is not None
+    assert (_md.read_sidecar(spark, path).ann_epoch
+            == _load_quantizers(spark, path, "t")["epoch"])
