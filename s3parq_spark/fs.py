@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import json
 import posixpath
-from typing import List
+from typing import Dict, List
 
 from pyspark.sql import SparkSession
 
@@ -161,6 +161,51 @@ def list_files(spark: SparkSession, path: str, suffix: str = ".parquet") -> List
         rel = p[len(base) + 1:] if p.startswith(base + "/") else p
         out.append(rel)
     return sorted(out)
+
+
+def list_file_sizes(
+    spark: SparkSession, path: str, suffix: str = ".parquet"
+) -> Dict[str, int]:
+    """ONE recursive listing returning ``{relpath: bytes}`` (r14): the
+    maintenance health probe used to issue one ``stat``/``getFileStatus``
+    per manifest file — O(files) driver round-trips, hours at 10^6 files
+    on an object store. Sizes are free on the same listing the walk
+    already does: locally ``os.stat`` per entry during the walk, remotely
+    the recursive ``listFiles`` iterator's ``LocatedFileStatus`` carries
+    ``getLen()`` — one paged LIST instead of a HEAD per file. Files that
+    race away mid-walk are simply absent from the result."""
+    local = _local_root(path, spark)
+    if local is not None:
+        import os
+
+        if not os.path.exists(local):
+            return {}
+        root = local.rstrip("/")
+        out: Dict[str, int] = {}
+        for dirpath, _dirnames, filenames in os.walk(root):
+            for f in filenames:
+                if suffix and not f.endswith(suffix):
+                    continue
+                full = os.path.join(dirpath, f)
+                try:
+                    out[os.path.relpath(full, root)] = os.stat(full).st_size
+                except OSError:
+                    continue
+        return out
+    fs, jpath, _ = _jvm_fs(spark, path)
+    if not fs.exists(jpath):
+        return {}
+    out = {}
+    it = fs.listFiles(jpath, True)  # recursive RemoteIterator
+    base = fs.makeQualified(jpath).toString().rstrip("/")
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        if suffix and not p.endswith(suffix):
+            continue
+        rel = p[len(base) + 1:] if p.startswith(base + "/") else p
+        out[rel] = int(st.getLen())
+    return out
 
 
 def _jvm_file_status(fs, jpath, path: str):

@@ -11,7 +11,7 @@ a dataset in three independent ways, each with an existing remedy:
 Each remedy is safe and idempotent on its own; what an operator actually
 schedules is "look at the dataset, do whatever is due". ``maintain_dataset``
 is that loop body: it inspects ONLY metadata (sidecar history, file count,
-total bytes from a driver-side stat pass over the manifest) and triggers
+total bytes from one recursive listing joined to the manifest) and triggers
 each action behind an explicit threshold, returning a report of what ran
 and why. Thresholds err on the side of doing nothing: compaction is the
 one full-rewrite action, so it requires BOTH a file-count and an
@@ -24,7 +24,6 @@ maintained by hand; this is the operational glue the lifecycle layer
 
 from __future__ import annotations
 
-import posixpath
 from typing import Dict, Optional
 
 from pyspark.sql import SparkSession
@@ -45,34 +44,28 @@ TARGET_FILE_BYTES = 60 * 1024 * 1024
 
 def dataset_health(spark: SparkSession, path: str) -> Dict[str, float]:
     """Metadata-only health probe: snapshot count, manifest file count,
-    average file size (driver-side ``stat`` per manifest file — O(files),
-    the same cost class as the listing plane). Raises when the dataset has
-    no sidecar; returns ``avg_file_bytes=0`` for an empty dataset."""
+    average file size — sizes from ONE recursive listing
+    (``fs.list_file_sizes``, r14), not a stat per file, so the probe is
+    O(listing pages) driver work on any filesystem. Raises when the
+    dataset has no sidecar; returns ``avg_file_bytes=0`` for an empty
+    dataset."""
     meta = metadata.read_sidecar(spark, path)
     if meta is None:
         raise ValueError(f"{path} is not an s3parq dataset (no sidecar)")
     # all_files: staged (write-audit-publish) snapshots cost real storage
     # and must show in the health numbers even though main reads skip them
     manifest = meta.all_files() or []
-    total = 0
-    for rel in manifest:
-        try:
-            total += int(
-                fs.file_size(spark, posixpath.join(path, rel))
-            )
-        except OSError:
-            # a file the manifest acknowledges but storage lost: report
-            # what exists; vacuum/restore are the repair tools. fs.file_size
-            # normalizes the Hadoop-branch FileNotFoundException to
-            # FileNotFoundError, so this covers remote filesystems too.
-            continue
+    # ONE recursive listing for every size (r14): the old per-file
+    # fs.file_size loop was O(files) driver round-trips — a HEAD per
+    # file on object stores, hours at 10^6 files. Files the manifest
+    # acknowledges but storage lost are simply absent from the listing
+    # and contribute 0, exactly the old skip; vacuum/restore remain the
+    # repair tools. suffix="" so non-.parquet acknowledged members
+    # (eq-delete key files, spilled manifests) keep counting.
+    sizes = fs.list_file_sizes(spark, path, suffix="")
+    total = sum(sizes.get(rel, 0) for rel in manifest)
     n = len(manifest)
-    try:
-        sidecar_bytes = float(
-            fs.file_size(spark, metadata.sidecar_path(path))
-        )
-    except OSError:
-        sidecar_bytes = 0.0
+    sidecar_bytes = float(sizes.get(fs.SIDECAR_NAME, 0))
     return {
         "n_snapshots": float(len(meta.snapshots)),
         "n_files": float(n),
