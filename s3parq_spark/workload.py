@@ -95,6 +95,15 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+#: per-process memo of validated fixture paths: the check exists to catch
+#: CROSS-process damage (interrupted builds, external clobbering) — within
+#: one process a fixture validated once stays valid (this process only
+#: appends through the engine), so repeat queries skip the walk + sidecar
+#: parse. Never caches a negative: a failed check triggers a rebuild,
+#: after which the gate re-validates.
+_FIXTURE_OK_CACHE: set = set()
+
+
 def _dataset_fixture_ok(spark: SparkSession, path: str) -> bool:
     """Marker-independent fixture validation shared by every stateful
     gate (r14, verdict #6 — the ANN `_ivf_fixture_ok` pattern
@@ -108,6 +117,8 @@ def _dataset_fixture_ok(spark: SparkSession, path: str) -> bool:
     postings-geometry / ledger / quantizer-epoch checks on top."""
     from . import metadata as _md
 
+    if path in _FIXTURE_OK_CACHE:
+        return True
     try:
         m = _md.read_sidecar(spark, path)
         if m is None:
@@ -115,9 +126,12 @@ def _dataset_fixture_ok(spark: SparkSession, path: str) -> bool:
         files = m.all_files() or []
     except Exception:  # noqa: BLE001 — any unreadable state: rebuild
         return False
-    return all(
+    ok = all(
         os.path.exists(os.path.join(path, rel)) for rel in files
     )
+    if ok:
+        _FIXTURE_OK_CACHE.add(path)
+    return ok
 
 
 def _cached_dataset(
