@@ -204,18 +204,24 @@ def _load_quantizers(
     # crash-window refusal (r14): the index dir and the quantizer JSON
     # swap one rename apart during rebuild_ivf_index; if a crash split
     # them, serving with the mismatched half would misprobe SILENTLY.
-    # Both pins absent => pre-pin index (back-compat) or mid-build state;
-    # both present and different => refuse loudly, naming the remedy.
+    # Either side present requires the SAME value on the other: a
+    # missing half counts as a mismatch — the crashed UPGRADE rebuild of
+    # a pre-pin index leaves pinned-new rows with old epoch-less
+    # quantizers, and a crashed overwrite-build's early window leaves an
+    # unpinned fresh sidecar with the old stamped quantizers. Only a
+    # fully UNPINNED family skips the check (pre-pin index at rest —
+    # back-compat: neither half has ever been stamped).
     meta = metadata.read_sidecar(spark, index_path)
     pinned = meta.ann_epoch if meta is not None else None
     stamped = q.get("epoch")
-    if pinned and stamped and pinned != stamped:
+    if (pinned or stamped) and pinned != stamped:
         raise QuantizerEpochError(
             f"{op}: quantizer epoch mismatch at {index_path} — the index "
-            f"rows pin epoch {pinned} but {p} carries {stamped}. A crash "
-            "between rebuild_ivf_index's index-dir and quantizer-JSON "
-            "renames leaves this state; re-run rebuild_ivf_index to "
-            "converge, or manually restore the parked pre-rebuild family "
+            f"rows pin epoch {pinned or 'nothing'} but {p} carries "
+            f"{stamped or 'no epoch stamp'}. A crash between an index "
+            "build/rebuild's two commit steps leaves this state; re-run "
+            "rebuild_ivf_index to converge, or manually restore the "
+            "parked pre-rebuild family "
             f"({index_path.rstrip('/')}.prerebuild / "
             f"{p}.prerebuild) to roll back."
         )

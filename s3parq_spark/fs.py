@@ -252,6 +252,39 @@ def file_mtime(spark: SparkSession, path: str) -> float:
     return _jvm_file_status(fs, jpath, path).getModificationTime() / 1000.0
 
 
+def newest_mtime(spark: SparkSession, path: str) -> float:
+    """Newest modification time (epoch seconds) of ``path`` or anything
+    under it, from ONE recursive listing. A top-level directory's own
+    mtime reflects only direct-child creation — an in-flight rewrite
+    writing leaf files deep in a partition tree never bumps it (and some
+    object stores report 0 for synthetic directories) — so age checks on
+    parked/temp rewrite state must look at the TREE's newest write, not
+    the root's. Raises ``FileNotFoundError`` when the path is missing."""
+    local = _local_root(path, spark)
+    if local is not None:
+        import os
+
+        newest = os.stat(local).st_mtime  # raises if missing
+        for dirpath, _dirnames, filenames in os.walk(local):
+            for f in filenames:
+                try:
+                    newest = max(
+                        newest, os.stat(os.path.join(dirpath, f)).st_mtime
+                    )
+                except OSError:
+                    continue  # raced away mid-walk
+        return newest
+    fs, jpath, _ = _jvm_fs(spark, path)
+    newest = _jvm_file_status(fs, jpath, path).getModificationTime() / 1000.0
+    if fs.getFileStatus(jpath).isDirectory():
+        it = fs.listFiles(jpath, True)
+        while it.hasNext():
+            newest = max(
+                newest, it.next().getModificationTime() / 1000.0
+            )
+    return newest
+
+
 def rename(spark: SparkSession, src: str, dst: str) -> bool:
     """Directory/file rename through the Hadoop FileSystem (atomic on
     local/HDFS; copy-based on object stores)."""

@@ -576,7 +576,14 @@ def maintain_dataset(
             if not fs.exists(spark, parked):
                 continue
             try:
-                if fs.file_mtime(spark, parked) > residue_cutoff:
+                # newest write ANYWHERE in the tree (r14 review fix): a
+                # top dir's own mtime reflects only direct-child
+                # creation — an in-flight rewrite streaming leaf files
+                # into partition subdirs for hours never bumps it, and
+                # object stores can report 0 for synthetic dirs. Only a
+                # tree whose newest write aged past the window is
+                # abandoned residue.
+                if fs.newest_mtime(spark, parked) > residue_cutoff:
                     continue  # possibly in-flight in another process
             except OSError:
                 continue  # raced away between exists and stat

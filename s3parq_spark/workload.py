@@ -104,7 +104,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FIXTURE_OK_CACHE: set = set()
 
 
-def _dataset_fixture_ok(spark: SparkSession, path: str) -> bool:
+def _dataset_fixture_ok(spark: SparkSession, path: str, meta=None) -> bool:
     """Marker-independent fixture validation shared by every stateful
     gate (r14, verdict #6 — the ANN `_ivf_fixture_ok` pattern
     generalized): a gate must trust the STATE, not the marker file. An
@@ -114,13 +114,15 @@ def _dataset_fixture_ok(spark: SparkSession, path: str) -> bool:
     manifest-acknowledged data file exists on disk (spilled file-list
     manifests are hydrated by ``read_sidecar``, so the check covers
     them too). Family helpers in ``workload_ext2`` layer
-    postings-geometry / ledger / quantizer-epoch checks on top."""
+    postings-geometry / ledger / quantizer-epoch checks on top.
+    ``meta``: a caller's already-parsed sidecar (family helpers parse it
+    once for their own schema checks — no second parse here)."""
     from . import metadata as _md
 
     if path in _FIXTURE_OK_CACHE:
         return True
     try:
-        m = _md.read_sidecar(spark, path)
+        m = meta if meta is not None else _md.read_sidecar(spark, path)
         if m is None:
             return False
         files = m.all_files() or []

@@ -5096,7 +5096,9 @@ def _ivf_fixture_ok(path: str, m, companion: bool = True) -> bool:
             side = _json.load(fh)
     except (OSError, ValueError):
         return False
-    if q.get("epoch") and side.get("ann_epoch") != q.get("epoch"):
+    if (q.get("epoch") or side.get("ann_epoch")) and (
+        side.get("ann_epoch") != q.get("epoch")
+    ):
         return False
     return q.get("m") == m and (
         not companion or os.path.isdir(path.rstrip("/") + "_vectors")
@@ -5114,8 +5116,6 @@ def _text_fixture_ok(spark, path: str) -> bool:
     from . import metadata as _md
     from .workload import _dataset_fixture_ok
 
-    if not _dataset_fixture_ok(spark, path):
-        return False
     try:
         m = _md.read_sidecar(spark, path)
     except Exception:  # noqa: BLE001
@@ -5123,6 +5123,8 @@ def _text_fixture_ok(spark, path: str) -> bool:
     if m is None or "bucket" not in (m.derived_partitions or {}):
         return False
     if not all(c in m.column_types for c in ("term", "tf", "dl")):
+        return False
+    if not _dataset_fixture_ok(spark, path, meta=m):
         return False
     if not _dataset_fixture_ok(spark, path.rstrip("/") + "_stats"):
         return False
@@ -5142,13 +5144,13 @@ def _stream_ckpt_fixture_ok(spark, path: str) -> bool:
     from . import metadata as _md
     from .workload import _dataset_fixture_ok
 
-    if not _dataset_fixture_ok(spark, path):
-        return False
     try:
         m = _md.read_sidecar(spark, path)
     except Exception:  # noqa: BLE001
         return False
-    return m is not None and bool(m.txns)
+    if m is None or not m.txns:
+        return False
+    return _dataset_fixture_ok(spark, path, meta=m)
 
 
 def _mor_fixture_ok(spark, path: str) -> bool:
@@ -5161,13 +5163,13 @@ def _mor_fixture_ok(spark, path: str) -> bool:
     from . import metadata as _md
     from .workload import _dataset_fixture_ok
 
-    if not _dataset_fixture_ok(spark, path):
-        return False
     try:
         m = _md.read_sidecar(spark, path)
     except Exception:  # noqa: BLE001
         return False
-    return bool(m.tombstones() or m.eq_deletes())
+    if m is None or not (m.tombstones() or m.eq_deletes()):
+        return False
+    return _dataset_fixture_ok(spark, path, meta=m)
 
 
 def q_ann_rebuild_search(spark, sf_dir):
@@ -5437,28 +5439,34 @@ ORACLE_EXT2["maintain_ann_family"] = """
 # ---------------------------------------------------------------------------
 
 
-def _plain_maint_fixture_ok(path: str) -> bool:
+def _plain_maint_fixture_ok(spark, path: str) -> bool:
     """Marker-independent fixture validation (r14, the `_ivf_fixture_ok`
     pattern extended beyond ANN per verdict #6): trust the STATE, not
     the marker. The maintained fixture must hold a stats record whose
     table and partition folds both completed incrementally AND were
     restamped to the rewritten v1 head by the compaction carry — an
     interrupted run (refresh done, rewrite not) fails the version check
-    and rebuilds."""
-    import json as _json
+    and rebuilds — AND pass the generic dataset check (every
+    manifest-acknowledged file on disk): the gate's fetch half reads
+    the data plane, so a clobbered file set must rebuild, not crash."""
+    from . import metadata as _md
+    from .workload import _dataset_fixture_ok
 
     try:
-        with open(os.path.join(path, "_s3parq_metadata.json")) as fh:
-            d = _json.load(fh)
-    except (OSError, ValueError):
+        m = _md.read_sidecar(spark, path)
+    except Exception:  # noqa: BLE001
         return False
-    rec = d.get("stats") or {}
-    return (
+    if m is None:
+        return False
+    rec = m.stats or {}
+    if not (
         rec.get("last_analyze_mode") == "incremental"
         and rec.get("last_partitions_analyze_mode") == "incremental"
         and rec.get("as_of_version") == 1
         and rec.get("partitions_as_of_version") == 1
-    )
+    ):
+        return False
+    return _dataset_fixture_ok(spark, path, meta=m)
 
 
 def q_maintain_plain_dataset(spark, sf_dir):
@@ -5489,7 +5497,9 @@ def q_maintain_plain_dataset(spark, sf_dir):
     orders = _table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus"
     )
-    if not os.path.exists(marker) or not _plain_maint_fixture_ok(path):
+    if not os.path.exists(marker) or not _plain_maint_fixture_ok(
+        spark, path
+    ):
         shutil.rmtree(path, ignore_errors=True)
         publish_path(
             spark, path, orders.filter("o_orderkey % 4 <> 0"),

@@ -1247,3 +1247,56 @@ def test_pre_epoch_index_still_serves(spark, emb, tmp_path):
     assert _load_quantizers(spark, path, "t")["epoch"] is not None
     assert (_md.read_sidecar(spark, path).ann_epoch
             == _load_quantizers(spark, path, "t")["epoch"])
+
+
+def test_upgrade_rebuild_crash_window_still_refuses(
+    spark, tmp_path, monkeypatch
+):
+    """r14 review fix: rebuilding a PRE-PIN index and crashing between
+    the index-dir and quantizer-JSON renames leaves pinned-new rows
+    beside old epoch-LESS quantizers — a missing stamp must count as a
+    mismatch (half-pinned family refuses); requiring both pins present
+    would make the upgrade rebuild's crash window silently fail open."""
+    import json as _json
+
+    import s3parq_spark.fs as fsmod
+    from s3parq_spark import metadata as _md
+    from s3parq_spark.ann_index import (
+        QuantizerEpochError,
+        _quantizers_path,
+        rebuild_ivf_index,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=1)
+    # strip both pins: a pre-r14 index at rest
+    m = _md.read_sidecar(spark, path)
+    m.ann_epoch = None
+    _md.write_sidecar(spark, path, m)
+    qp = _quantizers_path(path)
+    q = _json.loads(fsmod.read_text(spark, qp))
+    q.pop("epoch", None)
+    fsmod.write_text(spark, qp, _json.dumps(q))
+
+    real_rename = fsmod.rename
+
+    def crash_at_quantizer_swap(sp, src, dst):
+        if src.rstrip("/").endswith("idx_quantizers.json"):
+            raise RuntimeError("simulated crash mid-upgrade")
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsmod, "rename", crash_at_quantizer_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rebuild_ivf_index(spark, path, iters=1)
+    monkeypatch.setattr(fsmod, "rename", real_rename)
+
+    qv = [0.0] * 8
+    qv[1] = 1.0
+    with pytest.raises(QuantizerEpochError, match="no epoch stamp"):
+        search_ivf_index(spark, path, qv, k=5, nprobe=2)
+    # re-running the upgrade converges and pins both halves
+    rebuild_ivf_index(spark, path, iters=1)
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
+    assert (_md.read_sidecar(spark, path).ann_epoch
+            == _json.loads(fsmod.read_text(spark, qp))["epoch"])
