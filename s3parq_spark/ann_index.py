@@ -63,6 +63,7 @@ from .publish import delete_where, publish_path
 
 __all__ = [
     "QuantizerEpochError",
+    "rollback_rebuild",
     "append_to_ivf_index",
     "attach_vectors_companion",
     "build_ivf_index",
@@ -220,10 +221,10 @@ def _load_quantizers(
             f"rows pin epoch {pinned or 'nothing'} but {p} carries "
             f"{stamped or 'no epoch stamp'}. A crash between an index "
             "build/rebuild's two commit steps leaves this state; re-run "
-            "rebuild_ivf_index to converge, or manually restore the "
-            "parked pre-rebuild family "
-            f"({index_path.rstrip('/')}.prerebuild / "
-            f"{p}.prerebuild) to roll back."
+            "rebuild_ivf_index to converge forward, or "
+            "rollback_rebuild(spark, index_path) to restore the parked "
+            f"pre-rebuild family ({index_path.rstrip('/')}.prerebuild / "
+            f"{p}.prerebuild)."
         )
     return q
 
@@ -825,6 +826,69 @@ def rebuild_ivf_index(
         "prev_train_qerr": prev_drift["train_qerr"],
         "prev_drift_ratio": prev_drift["drift_ratio"],
     }
+
+
+def rollback_rebuild(spark: SparkSession, index_path: str) -> dict:
+    """Roll a CRASHED rebuild swap back to the parked pre-rebuild family
+    — the programmatic form of the manual restore every
+    ``QuantizerEpochError`` names (r14). For each family member whose
+    ``.prerebuild`` sibling exists, the partially-swapped NEW state is
+    deleted (it was never fully committed and is fully derivable — a
+    re-run of ``rebuild_ivf_index`` reproduces it from the restored
+    at-rest corpus) and the parked old state renamed back live, in
+    REVERSE swap order (quantizers, companion, index — the same order
+    the failed-rename unwind uses): a crash mid-rollback leaves a
+    half-pinned family that REFUSES, never one that silently misprobes.
+
+    Refuses when there is nothing parked, and when the live family is
+    already CONSISTENT (epochs agree) — then the rebuild completed and
+    the parked state is residue, not a rollback point; deleting a
+    healthy new index because leftover temp dirs exist would be data
+    loss (``maintain_dataset(vacuum_retention_hours=...)`` sweeps aged
+    residue instead). Returns ``{"restored": [paths...]}``."""
+    members = [
+        _quantizers_path(index_path),
+        _vectors_path(index_path),
+        index_path,
+    ]
+    parked = [
+        (live, live.rstrip("/") + ".prerebuild")
+        for live in members
+        if fs.exists(spark, live.rstrip("/") + ".prerebuild")
+    ]
+    if not parked:
+        raise ValueError(
+            f"rollback_rebuild: no parked .prerebuild state at "
+            f"{index_path} — nothing to roll back"
+        )
+    consistent = True
+    try:
+        _load_quantizers(spark, index_path, "rollback_rebuild")
+    except (QuantizerEpochError, ValueError):
+        consistent = False
+    if consistent:
+        raise ValueError(
+            f"rollback_rebuild: the live family at {index_path} is "
+            "consistent (the rebuild swap completed) — the parked "
+            ".prerebuild state is residue, not a rollback point; "
+            "vacuum it via maintain_dataset(vacuum_retention_hours=...) "
+            "instead of destroying a healthy index"
+        )
+    restored = []
+    for live, old in parked:
+        fs.delete(spark, live)
+        if not fs.rename(spark, old, live):
+            raise IOError(
+                f"rollback_rebuild: could not restore {old} to {live}"
+            )
+        restored.append(live)
+    # converged: the restored family must load cleanly
+    _load_quantizers(spark, index_path, "rollback_rebuild")
+    # the crashed attempt's temp state is now pure residue
+    tmp = index_path.rstrip("/") + ".rebuilding"
+    for p in (tmp, _vectors_path(tmp), _quantizers_path(tmp)):
+        fs.delete(spark, p)
+    return {"restored": restored}
 
 
 def search_ivf_index(

@@ -270,7 +270,8 @@ def maintain_dataset(
                     "index rows and quantizer sidecar carry different "
                     "epochs (crashed rebuild swap): searches refuse "
                     "loudly until remedied — re-run rebuild_ivf_index "
-                    "to converge, or manually restore the parked "
+                    "to converge forward, or rollback_rebuild to "
+                    "restore the parked "
                     f"{path.rstrip('/')}.prerebuild family. Compaction, "
                     "drift remedies, and the parked-residue sweep are "
                     "suspended for this family."

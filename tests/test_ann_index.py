@@ -1300,3 +1300,58 @@ def test_upgrade_rebuild_crash_window_still_refuses(
     assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
     assert (_md.read_sidecar(spark, path).ann_epoch
             == _json.loads(fsmod.read_text(spark, qp))["epoch"])
+
+
+def test_rollback_rebuild_restores_parked_family(
+    spark, tmp_path, monkeypatch
+):
+    """r14: the programmatic rollback the epoch refusal names. After a
+    crashed swap, rollback_rebuild restores the parked pre-rebuild
+    family (reverse swap order), search returns the PRE-rebuild
+    answers, temp state is cleaned; with nothing parked it refuses,
+    and with a CONSISTENT live family it refuses rather than destroy a
+    healthy index over leftover residue."""
+    import shutil as _sh
+
+    import s3parq_spark.fs as fsmod
+    from s3parq_spark.ann_index import rebuild_ivf_index, rollback_rebuild
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=2)
+    append_to_ivf_index(spark, _clustered_vecs(spark, range(200, 300), 4),
+                        path, "vec_id", "embedding")
+    qv = [0.0] * 8
+    qv[4] = 1.0
+    before = _rows(search_ivf_index(spark, path, qv, k=8, nprobe=4))
+
+    real_rename = fsmod.rename
+
+    def crash_at_quantizer_swap(sp, src, dst):
+        if src.rstrip("/").endswith("idx_quantizers.json"):
+            raise RuntimeError("simulated crash mid-swap")
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsmod, "rename", crash_at_quantizer_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        rebuild_ivf_index(spark, path, iters=2)
+    monkeypatch.setattr(fsmod, "rename", real_rename)
+
+    rep = rollback_rebuild(spark, path)
+    assert path in rep["restored"]
+    after = _rows(search_ivf_index(spark, path, qv, k=8, nprobe=4))
+    assert after == before  # the pre-rebuild family answers again
+    import glob as _glob
+    assert not _glob.glob(str(tmp_path / "idx*rebuilding*"))
+    assert not _glob.glob(str(tmp_path / "idx*prerebuild*"))
+    # drift is back too (the restored family still carries the appends)
+    assert index_drift(spark, path)["appended_n"] == 100
+
+    with pytest.raises(ValueError, match="nothing to roll back"):
+        rollback_rebuild(spark, path)
+
+    # a healthy family with leftover residue must NOT be destroyed
+    _sh.copytree(path, path + ".prerebuild")
+    with pytest.raises(ValueError, match="consistent"):
+        rollback_rebuild(spark, path)
+    assert _rows(search_ivf_index(spark, path, qv, k=8, nprobe=4)) == before
