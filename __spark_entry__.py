@@ -93,6 +93,11 @@ _NEW_THIS_ROUND: tuple[str, ...] = (
                                # runs rebuild_ivf_index; search == SQL
                                # replay of quantizers retrained on the
                                # post-append corpus (two Lloyd steps)
+    "ann_rollback_search",     # new: the crash window end-to-end —
+                               # manufactured mid-swap state refuses,
+                               # maintain protects the parked family,
+                               # rollback_rebuild restores it; search
+                               # == frozen-quantizer SQL replay
 )
 
 

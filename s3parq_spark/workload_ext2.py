@@ -5773,3 +5773,162 @@ ORACLE_EXT2["maintain_drift_rebuild"] = """
     ORDER BY score DESC, vec_id ASC
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# r14 (late): the crash window end-to-end — refusal, then rollback
+# ---------------------------------------------------------------------------
+
+
+def q_ann_rollback_search(spark, sf_dir):
+    """The rebuild crash window CLOSED end-to-end (r14 — the epoch pin's
+    whole story, oracle-gated): a flat index built on the <320 prefix
+    takes a frozen-quantizer append, then the fixture manufactures the
+    exact state a crash between the rebuild swap's two renames leaves —
+    a fully-built NEW family is swapped in at the index directory
+    (pure file ops: park old at ``.prerebuild``, rename the
+    ``.rebuilding`` build in) while the OLD quantizer JSON stays live.
+    The gate asserts the refusal plane end-to-end: search raises
+    ``QuantizerEpochError``, ``maintain_dataset`` surfaces
+    ``quantizer_epoch_mismatch`` and neither compacts nor sweeps the
+    parked rollback state — then ``rollback_rebuild`` restores the
+    parked family and the search answers are BIT-IDENTICAL to the
+    pre-crash results, which the oracle replays as the standard
+    frozen-quantizer SQL (train on the <320 prefix, assign the full
+    corpus, exact cosine in the top-3 cells)."""
+    from .ann_index import (
+        QuantizerEpochError,
+        append_to_ivf_index,
+        build_ivf_index,
+        index_drift,
+        rollback_rebuild,
+        search_ivf_index,
+    )
+    from .maintenance import maintain_dataset
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "ivf_rollback")
+    marker = os.path.join(path, "_ROLLED_BACK")
+    emb = _table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    qrow = emb.filter("vec_id = 7").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    ).first()
+    qv = [float(x) for x in qrow["v"]]
+    if not os.path.exists(marker) or not _ivf_fixture_ok(
+        path, m=None, companion=False
+    ):
+        for suffix in ("", ".prerebuild", ".rebuilding"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        for qsuf in ("_quantizers.json", ".rebuilding_quantizers.json",
+                     "_quantizers.json.prerebuild"):
+            qp = path.rstrip("/") + qsuf
+            if os.path.exists(qp):
+                os.remove(qp)
+        build_ivf_index(
+            spark, emb.filter("vec_id < 320"), path, "vec_id", "embedding",
+            k=8, iters=1,
+        )
+        append_to_ivf_index(
+            spark, emb.filter("vec_id >= 320"), path, "vec_id", "embedding"
+        )
+        pre = [(r[0], round(r[1], 9)) for r in search_ivf_index(
+            spark, path, qv, k=11, nprobe=3).collect()]
+
+        # manufacture the crash window with PURE FILE OPS: a complete
+        # new family built in the rebuild's own temp layout, index dir
+        # swapped in, quantizer JSON rename never happening
+        tmp = path.rstrip("/") + ".rebuilding"
+        build_ivf_index(
+            spark, emb, tmp, "vec_id", "embedding", k=8, iters=2,
+        )
+        os.rename(path, path.rstrip("/") + ".prerebuild")
+        os.rename(tmp, path)
+
+        # refusal plane: every consumer refuses; the policy loop
+        # reports and protects the rollback state
+        try:
+            search_ivf_index(spark, path, qv, k=5, nprobe=2)
+            raise AssertionError("crash window served instead of refusing")
+        except QuantizerEpochError:
+            pass
+        report = maintain_dataset(
+            spark, path, compact_min_files=1, compact_below_fraction=1.0,
+            max_snapshots=999, max_pending_tombstones=9999,
+            vacuum_retention_hours=0.0,
+        )
+        kinds = [a["action"] for a in report["actions"]]
+        assert "quantizer_epoch_mismatch" in kinds, report["actions"]
+        assert "compact_ivf_index" not in kinds
+        assert "remove_rewrite_residue" not in kinds
+        assert os.path.isdir(path.rstrip("/") + ".prerebuild")
+
+        rep = rollback_rebuild(spark, path)
+        assert path in rep["restored"], rep
+        post = [(r[0], round(r[1], 9)) for r in search_ivf_index(
+            spark, path, qv, k=11, nprobe=3).collect()]
+        assert post == pre, "rollback changed a search answer"
+        assert index_drift(spark, path)["appended_n"] > 0  # counters back
+        import glob as _glob
+
+        assert not _glob.glob(path.rstrip("/") + "*rebuilding*")
+        assert not _glob.glob(path.rstrip("/") + "*prerebuild*")
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_ivf_index(spark, path, qv, k=11, nprobe=3)
+    return out.filter("vec_id <> 7").select(
+        "vec_id", F.round("score", 6).alias("cos")
+    ).limit(10)
+
+
+QUERIES_EXT2["ann_rollback_search"] = q_ann_rollback_search
+# the RESTORED family is the pre-crash frozen-quantizer state: train on
+# the <320 prefix (first-8-id init, one Lloyd step), assign the FULL
+# corpus with those centroids, exact cosine in the query's top-3 cells
+ORACLE_EXT2["ann_rollback_search"] = """
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), t AS (
+      SELECT vec_id, v FROM e WHERE vec_id < 320
+    ), c0 AS (
+      SELECT vec_id AS cid, v AS cv FROM t WHERE vec_id < 8
+    ), a1 AS (
+      SELECT t.vec_id, t.v,
+             arg_max(c.cid, list_dot_product(t.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM t CROSS JOIN c0 c GROUP BY t.vec_id, t.v
+    ), m1 AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(x AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS m
+      FROM (SELECT cell,
+                   unnest(generate_series(0, list_count(v) - 1)) AS pos,
+                   unnest(v) AS x
+            FROM a1)
+      GROUP BY cell, pos
+    ), c1 AS (
+      SELECT cell AS cid, list(m ORDER BY pos) AS cv FROM m1 GROUP BY cell
+      UNION ALL
+      SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM m1)
+    ), q AS (
+      SELECT v AS qv FROM e WHERE vec_id = 7
+    ), cells AS (
+      SELECT cid FROM c1 CROSS JOIN q
+      ORDER BY list_dot_product(qv, cv) /
+                 greatest(1e-12, sqrt(list_dot_product(cv, cv))) DESC, cid
+      LIMIT 3
+    ), asg AS (
+      SELECT e.vec_id, e.v,
+             arg_max(c.cid, list_dot_product(e.v, c.cv) /
+               greatest(1e-12, sqrt(list_dot_product(c.cv, c.cv)))) AS cell
+      FROM e CROSS JOIN c1 c GROUP BY e.vec_id, e.v
+    )
+    SELECT vec_id, round(score, 6) AS cos FROM (
+      SELECT a.vec_id,
+             list_dot_product(a.v, q.qv) /
+               (greatest(1e-12, sqrt(list_dot_product(a.v, a.v))) *
+                greatest(1e-12, sqrt(list_dot_product(q.qv, q.qv)))) AS score
+      FROM asg a CROSS JOIN q
+      WHERE a.cell IN (SELECT cid FROM cells) AND a.vec_id <> 7
+    )
+    ORDER BY score DESC, vec_id ASC
+    LIMIT 10
+"""
