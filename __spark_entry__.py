@@ -82,22 +82,20 @@ _SENTINELS = ("fetch_filter_eq", "pricing_summary")
 # sentinels + new/changed + least-recently-verified, all computed
 # automatically from the CORRECTNESS files by _driver_order below.
 _NEW_THIS_ROUND: tuple[str, ...] = (
-    # Round 14 additions (reset at round start per the r13 verdict #1;
-    # keep <= 4 so the 50-row window drains the r9/r10-era tail):
-    "maintain_plain_dataset",  # new: the nightly pass on a PLAIN
-                               # dataset — ONE maintain_dataset runs the
-                               # incremental ANALYZE refresh then the
-                               # compaction whose carry restamps it;
-                               # stored record + fetch == full-scan SQL
-    "maintain_drift_rebuild",  # new: the policy loop's drift trigger
-                               # runs rebuild_ivf_index; search == SQL
-                               # replay of quantizers retrained on the
-                               # post-append corpus (two Lloyd steps)
-    "ann_rollback_search",     # new: the crash window end-to-end —
-                               # manufactured mid-swap state refuses,
-                               # maintain protects the parked family,
-                               # rollback_rebuild restores it; search
-                               # == frozen-quantizer SQL replay
+    # Round 15 additions (reset at round start per the r14 verdict #2;
+    # keep <= 4 so the 50-row window drains the r10/r11-era tail):
+    "text_crash_repair_search",  # new: the text family's cap-crossing
+                                 # crash window end-to-end — the
+                                 # manufactured copy-without-tombstone
+                                 # state REFUSES (TextIndexEpochError),
+                                 # maintain surfaces and suspends, the
+                                 # policy loop repairs on opt-in;
+                                 # search == capped-BM25 full-scan SQL
+    "partition_stats_spilled",   # new: the spilled partition-stats
+                                 # record end-to-end — pointer present,
+                                 # incremental fold through it, the
+                                 # compaction carry re-homes it; stored
+                                 # record + fetch == full-scan SQL
 )
 
 

@@ -162,14 +162,30 @@ def main() -> None:
     # trivial exact duplicates of one bucket.
     from pyspark.sql import functions as F
 
+    # r15 (VERDICT r14 #7): single-run probes were recording host
+    # weather (zonemap_build 14.6 -> 21.7 s, bloom_noskip 0.95 -> 3.35 s
+    # across captures with the code untouched). Every IDEMPOTENT probe
+    # is now min-of-N like the headline reads; probes that MUTATE state
+    # (appends, compactions, rebuilds — re-running them would measure a
+    # different dataset) stay single-run, stated in the method line.
+    probe_runs = int(os.environ.get("SPARK_GRAFT_PROBE_RUNS", "3"))
+
+    def _min_of(fn, n=None):
+        best = None
+        for _ in range(n or probe_runs):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
     probes: dict[str, float] = {}
     li = spark.read.parquet(posixpath_join(sf_dir, "lineitem.parquet"))
     big = li
     for _ in range(9):
         big = big.unionByName(li)
-    t0 = time.time()
-    (
-        big.groupBy("l_returnflag", "l_linestatus")
+    probes["pricing_10x"] = _min_of(
+        lambda: big.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.sum("l_extendedprice").alias("sum_price"),
@@ -178,7 +194,6 @@ def main() -> None:
         )
         .count()
     )
-    probes["pricing_10x"] = round(time.time() - t0, 3)
 
     from s3parq_spark.operators.dedup import minhash_neardup_pairs, ngram_jaccard_pairs
 
@@ -193,18 +208,20 @@ def main() -> None:
         for i in range(2)
     ]
     docs2 = copies[0].unionByName(copies[1])
-    t0 = time.time()
-    ngram_jaccard_pairs(docs2, "doc_id", "text", n=3, threshold=0.8).count()
-    probes["neardup_2x"] = round(time.time() - t0, 3)
+    probes["neardup_2x"] = _min_of(
+        lambda: ngram_jaccard_pairs(
+            docs2, "doc_id", "text", n=3, threshold=0.8
+        ).count()
+    )
 
     # the other candidate-generation-bound headline shape at 2x: banded-LSH
     # candidate pairs + exact verify must also stay subquadratic in docs
-    t0 = time.time()
-    minhash_neardup_pairs(
-        docs2, "doc_id", "text", num_hashes=64, bands=16, threshold=0.8,
-        broadcast_verify=True,
-    ).count()
-    probes["minhash_2x"] = round(time.time() - t0, 3)
+    probes["minhash_2x"] = _min_of(
+        lambda: minhash_neardup_pairs(
+            docs2, "doc_id", "text", num_hashes=64, bands=16,
+            threshold=0.8, broadcast_verify=True,
+        ).count()
+    )
 
     # ANN path at 10x corpus: batch exact top-k is one corpus scan per
     # query batch (broadcast queries, WindowGroupLimit ranking) — time
@@ -221,9 +238,11 @@ def main() -> None:
             )
         )
     queries_df = emb.filter(F.col("vec_id") < 8)
-    t0 = time.time()
-    batch_cosine_topk(bigemb, "vec_id", "embedding", queries_df, k=10).count()
-    probes["ann_10x"] = round(time.time() - t0, 3)
+    probes["ann_10x"] = _min_of(
+        lambda: batch_cosine_topk(
+            bigemb, "vec_id", "embedding", queries_df, k=10
+        ).count()
+    )
     # (a train+search probe of ivf_pq_batch_topk was tried and dropped:
     # the one-time quantizer training dominates and would misread as
     # serving cost — the served shape is ivf_pq_at_rest, already gated)
@@ -243,22 +262,30 @@ def main() -> None:
     fetch_mod = importlib.import_module("s3parq_spark.fetch")
     from s3parq_spark.workload_ext2 import _zonemap_fixture
 
-    t0 = time.time()
-    zm_path = _zonemap_fixture(spark, sf_dir)
-    probes["zonemap_build"] = round(time.time() - t0, 3)
+    zm_path = _zonemap_fixture(spark, sf_dir)  # resolve the path once
+
+    def _zm_rebuild():
+        shutil.rmtree(zm_path, ignore_errors=True)
+        _zonemap_fixture(spark, sf_dir)
+
+    # the build is idempotent-by-reconstruction: min-of-N of full cold
+    # rebuilds (this was the noisiest single-run entry across captures)
+    probes["zonemap_build"] = _min_of(_zm_rebuild)
     zm_flt = [
         {"partition": "l_linestatus", "comparison": "==", "values": ["O"]},
         {"partition": "l_orderkey", "comparison": "<", "values": [1000]},
     ]
-    t0 = time.time()
-    fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
-    probes["zonemap_skip"] = round(time.time() - t0, 3)
+    probes["zonemap_skip"] = _min_of(
+        lambda: fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
+    )
     _orig_pzf = fetch_mod._prune_zone_files
     fetch_mod._prune_zone_files = lambda files, meta, zf, *a: files
     try:
-        t0 = time.time()
-        fetch_mod.fetch_path(spark, zm_path, filters=zm_flt).count()
-        probes["zonemap_noskip"] = round(time.time() - t0, 3)
+        probes["zonemap_noskip"] = _min_of(
+            lambda: fetch_mod.fetch_path(
+                spark, zm_path, filters=zm_flt
+            ).count()
+        )
     finally:
         fetch_mod._prune_zone_files = _orig_pzf
 
@@ -278,15 +305,17 @@ def main() -> None:
          "values": [1, 7, 999983]},
     ]
     fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()  # warm
-    t0 = time.time()
-    fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()
-    probes["bloom_skip"] = round(time.time() - t0, 3)
+    probes["bloom_skip"] = _min_of(
+        lambda: fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()
+    )
     _orig_pbf = fetch_mod._prune_bloom_files
     fetch_mod._prune_bloom_files = lambda files, meta, zf, *a: files
     try:
-        t0 = time.time()
-        fetch_mod.fetch_path(spark, bf_path, filters=bf_flt).count()
-        probes["bloom_noskip"] = round(time.time() - t0, 3)
+        probes["bloom_noskip"] = _min_of(
+            lambda: fetch_mod.fetch_path(
+                spark, bf_path, filters=bf_flt
+            ).count()
+        )
     finally:
         fetch_mod._prune_bloom_files = _orig_pbf
 
@@ -300,9 +329,9 @@ def main() -> None:
 
     q_mor_delete_fetch(spark, sf_dir)  # build/reuse the fixture
     mor_path = _dsp(sf_dir, "orders_mor")
-    t0 = time.time()
-    fetch_mod.fetch_path(spark, mor_path).count()
-    probes["mor_read"] = round(time.time() - t0, 3)
+    probes["mor_read"] = _min_of(
+        lambda: fetch_mod.fetch_path(spark, mor_path).count()
+    )
     import shutil as _sh
 
     mat_path = mor_path + "_materialized"
@@ -312,9 +341,9 @@ def main() -> None:
         from s3parq_spark.publish import compact_dataset
 
         compact_dataset(spark, mat_path)
-    t0 = time.time()
-    fetch_mod.fetch_path(spark, mat_path).count()
-    probes["mor_materialized_read"] = round(time.time() - t0, 3)
+    probes["mor_materialized_read"] = _min_of(
+        lambda: fetch_mod.fetch_path(spark, mat_path).count()
+    )
 
     # ---- merge-on-read UPSERT probe (r9): the read cost of a pending
     # equality key-delete (era anti-join against the broadcast key files)
@@ -324,9 +353,9 @@ def main() -> None:
     q_mor_upsert_fetch(spark, sf_dir)  # build/reuse the fixture
     up_path = _dsp(sf_dir, "orders_mor_upsert")
     fetch_mod.fetch_path(spark, up_path).count()  # warm
-    t0 = time.time()
-    fetch_mod.fetch_path(spark, up_path).count()
-    probes["mor_upsert_read"] = round(time.time() - t0, 3)
+    probes["mor_upsert_read"] = _min_of(
+        lambda: fetch_mod.fetch_path(spark, up_path).count()
+    )
     up_mat = up_path + "_materialized"
     if not os.path.exists(os.path.join(up_mat, "_s3parq_metadata.json")):
         from s3parq_spark.publish import compact_dataset as _compact
@@ -335,9 +364,9 @@ def main() -> None:
         _sh.copytree(up_path, up_mat)
         _compact(spark, up_mat)
     fetch_mod.fetch_path(spark, up_mat).count()  # warm
-    t0 = time.time()
-    fetch_mod.fetch_path(spark, up_mat).count()
-    probes["mor_upsert_materialized_read"] = round(time.time() - t0, 3)
+    probes["mor_upsert_materialized_read"] = _min_of(
+        lambda: fetch_mod.fetch_path(spark, up_mat).count()
+    )
 
     # ---- sf1 probes (r7): the top-5 bench queries end-to-end at ~sf1 ----
     # A REAL sf1-scale directory (6M lineitem, 1.5M orders, 50k docs, 20k

@@ -318,6 +318,16 @@ def build_ivf_index(
     # quantizer JSON still live) — sidecar-pin-then-quantizer-write makes
     # that window a refusal too, not just the rebuild swap's
     idx_meta = metadata.read_sidecar(spark, index_path)
+    if idx_meta is None:
+        # publish_path above must have stamped a sidecar; reaching here
+        # without one means the index publish did not complete (or the
+        # path was clobbered between publish and pin) — refuse with a
+        # diagnosable error instead of an opaque AttributeError
+        # (ADVICE r14)
+        raise ValueError(
+            f"build_ivf_index: index publish left no sidecar at "
+            f"{index_path} — the build did not commit; re-run it"
+        )
     idx_meta.ann_epoch = q["epoch"]
     metadata.write_sidecar(spark, index_path, idx_meta)
     _write_quantizers(spark, index_path, q)
@@ -810,7 +820,16 @@ def rebuild_ivf_index(
                 f"rebuild_ivf_index: could not swap in {fresh}"
             )
         done.append((live, fresh, old))
-    for _, _, old in done:
+    for live, _, old in done:
+        # park-time stamp before the cleanup delete (ADVICE r14): a
+        # crash in this window leaves parked trees whose mtimes rename
+        # preserved — the stamp's own mtime carries the actual park
+        # time so the maintenance sweep's retention window works. Only
+        # directory members take a stamp (the quantizer JSON is a
+        # file; its crash window is covered by the epoch-mismatch
+        # sweep suspension and the live-sibling age gate).
+        if not live.endswith(".json"):
+            fs.stamp_parked(spark, old)
         fs.delete(spark, old)
     if m is not None and not has_companion:
         # caller-supplied corpus for a companion-less PQ index: the

@@ -275,8 +275,13 @@ def newest_mtime(spark: SparkSession, path: str) -> float:
                     continue  # raced away mid-walk
         return newest
     fs, jpath, _ = _jvm_fs(spark, path)
-    newest = _jvm_file_status(fs, jpath, path).getModificationTime() / 1000.0
-    if fs.getFileStatus(jpath).isDirectory():
+    # ONE getFileStatus, reused for both mtime and the directory check:
+    # a second unnormalized call here could race a concurrent delete and
+    # leak a raw Py4JJavaError past callers' ``except OSError`` (ADVICE
+    # r14) — and it is a redundant RPC on remote filesystems anyway.
+    status = _jvm_file_status(fs, jpath, path)
+    newest = status.getModificationTime() / 1000.0
+    if status.isDirectory():
         it = fs.listFiles(jpath, True)
         while it.hasNext():
             newest = max(
@@ -290,6 +295,30 @@ def rename(spark: SparkSession, src: str, dst: str) -> bool:
     local/HDFS; copy-based on object stores)."""
     fs, jsrc, jvm = _jvm_fs(spark, src)
     return bool(fs.rename(jsrc, jvm.org.apache.hadoop.fs.Path(dst)))
+
+
+#: park-time stamp written into a just-parked rewrite directory: rename
+#: preserves every mtime in the tree, so without it a directory parked
+#: SECONDS ago reads as aged residue and the maintenance sweep's vacuum
+#: retention window cannot protect another process's in-flight swap
+#: (ADVICE r14). The stamp's own mtime IS the park time — newest_mtime
+#: picks it up with no sweep-side changes.
+PARK_STAMP = "_PARKED_AT"
+
+
+def stamp_parked(spark: SparkSession, parked_dir: str) -> None:
+    """Record the park time of a just-renamed ``.pre*`` directory by
+    writing ``_PARKED_AT`` inside it. Written AFTER the swap-in
+    completes (never on a rollback path, so a restored live dataset
+    carries no stray stamp); a crash before the stamp leaves either an
+    incomplete swap (health probe raises — sweep never runs) or a
+    microsecond unstamped window, both strictly better than the
+    unprotected state. Failures are swallowed: the stamp is a sweep
+    hint, not a commit."""
+    try:
+        write_text(spark, parked_dir.rstrip("/") + "/" + PARK_STAMP, "parked")
+    except OSError:
+        pass
 
 
 def delete(spark: SparkSession, path: str, recursive: bool = True) -> bool:

@@ -98,7 +98,20 @@ def _ann_drift(spark: SparkSession, path: str) -> Dict[str, float]:
         index_drift,
     )
 
-    if not fs.exists(spark, _quantizers_path(path)):
+    qp = _quantizers_path(path)
+    if not fs.exists(spark, qp):
+        # the MISSING-quantizer crash sub-window (ADVICE r14): a rebuild
+        # that crashed after parking the live quantizer JSON but before
+        # renaming the fresh one in leaves no live quantizer file at
+        # all. Index rows that pin an epoch (or a parked
+        # ``.prerebuild`` quantizer copy) prove this WAS an ANN family
+        # — surface the mismatch so the policy loop suspends the
+        # residue sweep instead of deleting the only rollback copies.
+        meta = metadata.read_sidecar(spark, path)
+        if (meta is not None and meta.ann_epoch) or fs.exists(
+            spark, qp + ".prerebuild"
+        ):
+            return {"ann_epoch_mismatch": 1.0}
         return {}
     try:
         d = index_drift(spark, path)
@@ -130,6 +143,7 @@ def maintain_dataset(
     rebuild_on_drift: bool = False,
     resort_depth_threshold: float = 8.0,
     analyze_stale_versions: Optional[int] = None,
+    repair_text_on_epoch_mismatch: bool = False,
     dry_run: bool = False,
 ) -> Dict[str, object]:
     """Run whatever maintenance the dataset is due for; return a report.
@@ -190,6 +204,15 @@ def maintain_dataset(
       stats carry then restamps a provably-current record — the other
       order would strip a stale record's identity stamp at the rewrite
       and pay a full ANALYZE rescan on every compacting pass.
+    - Text-index commit-stamp mismatch (r15): when the dataset is a
+      text-index family whose stamps disagree with its live heads (a
+      crashed maintenance op — searches refuse loudly), the loop
+      surfaces a ``text_epoch_mismatch`` advisory and suspends
+      compaction; ``repair_text_on_epoch_mismatch=True`` runs the
+      remedy pair (``repair_capped_index`` then ``repair_index_stats``,
+      which re-stamps) — opt-in like ``rebuild_on_drift``, because the
+      repair is a real data read (bounded: stop-term fetches + one
+      O(docs) doclens scan).
     - ANN retrain when the dataset is an ANN index and its
       appended-vs-training quantization-error ratio reaches
       ``ann_drift_threshold``: appends encode against frozen quantizers,
@@ -253,6 +276,52 @@ def maintain_dataset(
     member_healths = [health] + [
         dataset_health(spark, p) for p in live_companions
     ]
+
+    # text-index commit-stamp mismatch (r15 — the ANN epoch discipline
+    # applied to the text family): a crashed maintenance op left live
+    # heads the stamps no longer match — searches refuse loudly until
+    # remedied. Surfaced like quantizer_epoch_mismatch; compaction is
+    # suspended (the family op would refuse, and a raw rewrite would
+    # launder the damage); with ``repair_text_on_epoch_mismatch=True``
+    # the loop runs the documented remedy pair — residency first
+    # (repair_capped_index, bounded by stop-term cardinality), then the
+    # stats recompute from the doclens scan (repair_index_stats, which
+    # re-stamps) — the same opt-in pattern as rebuild_on_drift.
+    text_epoch_broken = False
+    if compact_name == "compact_text_index":
+        from .text_index import TextIndexEpochError, _check_family_epoch
+
+        try:
+            _check_family_epoch(
+                spark, path, metadata.read_sidecar(spark, path),
+                "maintain_dataset",
+            )
+        except TextIndexEpochError as exc:
+            text_epoch_broken = True
+            entry = {
+                "action": "text_epoch_mismatch",
+                "advisory": str(exc),
+            }
+            if repair_text_on_epoch_mismatch and dry_run:
+                entry["would_run"] = True
+            elif repair_text_on_epoch_mismatch:
+                from .text_index import (
+                    repair_capped_index,
+                    repair_index_stats,
+                )
+
+                try:
+                    moved = repair_capped_index(spark, path)
+                    n_docs, total_len = repair_index_stats(spark, path)
+                    entry["result"] = {
+                        "moved_terms": moved,
+                        "n_docs": n_docs,
+                        "total_len": total_len,
+                    }
+                    text_epoch_broken = False  # repaired: remedies resume
+                except Exception as exc2:  # noqa: BLE001
+                    entry["failed"] = f"{type(exc2).__name__}: {exc2}"
+            report["actions"].append(entry)
 
     # quantizer-epoch mismatch (r14): the index rows and the quantizer
     # JSON disagree about which quantizers the rows were encoded against
@@ -428,7 +497,7 @@ def maintain_dataset(
             if d["n_covered"] and d["avg_depth"] >= resort_depth_threshold:
                 decayed = (lead, d["avg_depth"])
     if (small or decayed or mor_debt >= max_pending_tombstones) and (
-        not epoch_broken
+        not epoch_broken and not text_epoch_broken
     ):
         entry = {
             "action": compact_name,
@@ -583,11 +652,30 @@ def maintain_dataset(
                 # into partition subdirs for hours never bumps it, and
                 # object stores can report 0 for synthetic dirs. Only a
                 # tree whose newest write aged past the window is
-                # abandoned residue.
+                # abandoned residue. Parked ".pre*" DIRECTORIES carry a
+                # park-time ``_PARKED_AT`` stamp (r15, ADVICE r14):
+                # rename preserves every mtime in the tree, so the
+                # stamp's own mtime is what actually records WHEN the
+                # park happened — newest_mtime sees it with no special
+                # casing here.
                 if fs.newest_mtime(spark, parked) > residue_cutoff:
                     continue  # possibly in-flight in another process
             except OSError:
                 continue  # raced away between exists and stat
+            if parked.endswith(".json.prerebuild"):
+                # a parked FILE takes no stamp (nothing to write inside
+                # it) and rename preserved its mtime — gate on the LIVE
+                # sibling instead: the swap that parked it rewrote the
+                # live member at park time, so a fresh live file means
+                # the park just happened (ADVICE r14). A MISSING live
+                # sibling is the crashed-mid-swap state whose sweep the
+                # epoch-mismatch suspension above already disabled.
+                live_sibling = parked[: -len(".prerebuild")]
+                try:
+                    if fs.file_mtime(spark, live_sibling) > residue_cutoff:
+                        continue
+                except OSError:
+                    pass
             entry = {
                 "action": "remove_rewrite_residue",
                 "reason": f"crashed rewrite left {parked} behind "

@@ -249,6 +249,15 @@ class DatasetMetadata:
         # a refusal instead of silent misprobe. None = not an ANN index
         # (or a pre-pin index: the check is skipped for back-compat).
         self.ann_epoch: Optional[str] = None
+        # text-index family commit stamp (r15): the postings/stopped
+        # head versions the last COMPLETED maintenance op left behind,
+        # stamped into both the stats sibling's sidecar and this one.
+        # A crash anywhere in the family's multi-commit sequence leaves
+        # live heads the stamps no longer match — search refuses loudly
+        # (text_index._check_family_epoch) instead of double-counting a
+        # half-moved posting list or scoring with stale BM25 constants.
+        # None = not a text-index member (or a pre-pin index).
+        self.text_epoch: Optional[str] = None
         # lazy per-file stats source (set by read_sidecar): () -> merged
         # {relpath: {"rows", "stats", "bloom"}} from the columnar stats
         # manifests. NOT serialized — a loader binds a (spark, path) pair.
@@ -296,6 +305,8 @@ class DatasetMetadata:
             d["txns"] = self.txns
         if self.ann_epoch:
             d["ann_epoch"] = self.ann_epoch
+        if self.text_epoch:
+            d["text_epoch"] = self.text_epoch
         return d
 
     @classmethod
@@ -318,6 +329,7 @@ class DatasetMetadata:
             k: int(v) for k, v in (d.get("txns") or {}).items()
         }
         out.ann_epoch = d.get("ann_epoch")
+        out.text_epoch = d.get("text_epoch")
         return out
 
     def at_version(self, version: int) -> "DatasetMetadata":
@@ -1102,6 +1114,11 @@ def merge_sidecar(
     # encoded against the SAME persisted quantizers (that is the whole
     # O(new) append contract), so the epoch is unchanged by construction
     merged.ann_epoch = existing.ann_epoch
+    # the text-index family stamp carries across appends DELIBERATELY
+    # stale: mid-op commits preserve the pre-op stamp while the head
+    # version advances, which is exactly what makes a crashed op
+    # detectable — the op's final stats write re-stamps both halves
+    merged.text_epoch = existing.text_epoch
     return merged
 
 

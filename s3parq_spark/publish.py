@@ -2074,6 +2074,13 @@ def compact_dataset(
     if not fs.rename(spark, tmp, path):
         fs.rename(spark, old, path)  # roll back
         raise IOError(f"compact_dataset: could not swap in compacted data")
+    # park-time stamp (ADVICE r14): rename preserves mtimes, so without
+    # it a crash between here and the delete leaves a parked tree whose
+    # newest write reads hours old seconds after the park — the
+    # maintenance sweep's retention window could then destroy another
+    # process's in-flight swap. Stamped only after the swap-in
+    # succeeded: the rollback path above restores a stamp-free live dir.
+    fs.stamp_parked(spark, old)
     fs.delete(spark, old)
     return fs.list_files(spark, path)
 
@@ -2194,6 +2201,8 @@ def repartition_dataset(
     if not fs.rename(spark, tmp, path):
         fs.rename(spark, old, path)  # roll back
         raise IOError("repartition_dataset: could not swap in new layout")
+    # park-time stamp (ADVICE r14) — see compact_dataset's swap
+    fs.stamp_parked(spark, old)
     fs.delete(spark, old)
     return fs.list_files(spark, path)
 

@@ -58,7 +58,11 @@ def stream_index_documents(
     is probed from it; later runs reuse the checkpoint's)."""
     from .. import fs as _fs
     from .. import metadata as _md
-    from ..text_index import build_text_index, reindex_documents
+    from ..text_index import (
+        TextIndexEpochError,
+        build_text_index,
+        reindex_documents,
+    )
 
     schema = spark.read.parquet(docs_parquet).schema
     missing = [c for c in (id_col, text_col) if c not in schema.names]
@@ -100,7 +104,27 @@ def stream_index_documents(
                 n_buckets=n_buckets, max_df=max_df,
             )
         else:
-            reindex_documents(s, docs, index_path, id_col, text_col)
+            try:
+                reindex_documents(s, docs, index_path, id_col, text_col)
+            except TextIndexEpochError:
+                # a batch re-delivered after a crash MID-reindex finds
+                # the family's commit stamps stale (r15 fail-loud) —
+                # the replayed batch IS the converging remedy, but the
+                # fold must start from repaired ground truth, not the
+                # crashed op's stale stats. Repair (residency first,
+                # then stats from the doclens scan — both bounded, the
+                # documented remedy pair), then replay the reindex:
+                # key-deletes replace the same posting lists and the
+                # stats delta is computed against the repaired base, so
+                # the stream self-heals instead of wedging.
+                from ..text_index import (
+                    repair_capped_index,
+                    repair_index_stats,
+                )
+
+                repair_capped_index(s, index_path)
+                repair_index_stats(s, index_path)
+                reindex_documents(s, docs, index_path, id_col, text_col)
 
     if checkpoint_location is None:
         tag = hashlib.sha1(

@@ -90,6 +90,19 @@ window: postings and doclens are keyed, replayable state; re-running
 the SAME append after a partial failure is NOT idempotent (duplicate
 postings), re-running the same reindex IS (key-deletes replace).
 
+Fail-loud crash windows (r15): both documented silent-damage states —
+the half-moved posting list and the stale stats fold — are now
+DETECTED, not just repairable. Every completed op's final stats write
+stamps the postings/stopped head versions into both the stats and
+postings sidecars (``_stamp_family_epoch``); searches and maintenance
+ops recompute the token from the live heads and raise
+``TextIndexEpochError`` on any disagreement, naming the repair pair.
+A pre-r15 family serves unstamped (back-compat) until its first
+maintenance op adopts it. This is the same sidecar-authority contract
+as the reference's stamped-metadata plane
+(/root/reference/s3parq/publish_parq.py:259-266, applied as the r14
+ANN epoch pin was): state that can be wrong must be detectably wrong.
+
 Reference analog: none (extension per SURVEY §7.4).
 """
 
@@ -109,6 +122,7 @@ from .filters import in_literals as _in_literals
 from .publish import eq_delete_append, publish_path
 
 __all__ = [
+    "TextIndexEpochError",
     "append_to_text_index",
     "build_text_index",
     "compact_text_index",
@@ -120,6 +134,18 @@ __all__ = [
     "search_text_index_batch",
     "text_index_info",
 ]
+
+
+class TextIndexEpochError(RuntimeError):
+    """The text-index family's commit stamps disagree with its live
+    state: a maintenance op crashed somewhere in its multi-commit
+    sequence (module docstring), leaving either a half-moved posting
+    list (search would double-count the term) or stale BM25 constants
+    (every score would be skewed). Raised at serve AND maintenance time
+    instead of silently serving the damage — run
+    ``repair_capped_index`` then ``repair_index_stats`` to converge
+    (the r14 ANN quantizer-epoch discipline applied to the text
+    family)."""
 
 #: the recorded hidden-partition transform (term -> bucket): the engine's
 #: portable 60-bit md5 folded to the bucket count. Stored in the sidecar
@@ -239,6 +265,9 @@ def _write_stats(
         spark, _stats_path(index_path), stats, [], mode="overwrite",
         _write_hints={"rows_per_file": 1},
     )
+    # the stats write is the LAST commit of every op: stamping here
+    # closes the op's crash window (r15 — see the family-stamp block)
+    _stamp_family_epoch(spark, index_path)
 
 
 def _read_stats(spark: SparkSession, index_path: str):
@@ -251,6 +280,122 @@ def _read_stats(spark: SparkSession, index_path: str):
     return int(d["n_docs"]), int(d["total_len"]), (
         None if mdf is None else int(mdf)
     )
+
+
+# ---------------------------------------------------------------------------
+# Family commit stamp (r15): fail-loud crash windows.
+#
+# Every maintenance op here is a multi-commit sequence (routed appends,
+# mover tombstones, doclens, stats); a crash in the middle used to leave
+# damage that served SILENTLY — a cap-crossing term double-resident
+# (search double-counts it) or stale n_docs/total_len (every BM25 score
+# skewed) — until an operator happened to run the repair tools. The fix
+# is the r14 ANN quantizer-epoch discipline: the op's FINAL commit (the
+# stats write) stamps a token binding the postings and stopped siblings'
+# head snapshot versions into BOTH the stats sidecar and the postings
+# sidecar (two atomic driver-side JSON writes; mid-op commits carry the
+# pre-op stamp forward unchanged). At serve and maintenance time the
+# token is recomputed from the LIVE heads and compared against both
+# halves — any crash that left a commit sequence unfinished moved a head
+# the stamps no longer match, and the family REFUSES, naming the repair
+# tools. Symmetric refusal (the r14 near-miss): either half stamped
+# without full agreement refuses; only a fully UNSTAMPED pair (a pre-r15
+# family at rest) serves for back-compat, and the first maintenance op
+# adopts it by stamping the current state BEFORE committing anything.
+#
+# Zero extra I/O on the serving path beyond one small sidecar read: the
+# postings sidecar is already loaded, the check is a string compare.
+# ---------------------------------------------------------------------------
+
+
+def _family_state_token(spark: SparkSession, index_path: str,
+                        meta=None) -> str:
+    """Token binding the family's mutable commit state: the postings and
+    stopped siblings' head snapshot versions. Every maintenance op's
+    first commit moves one of these (postings commit first in every
+    sequence; a batch routed entirely to the stopped side moves that
+    head), so a stale stamp detects every crash window."""
+    from . import metadata
+
+    if meta is None:
+        meta = metadata.read_sidecar(spark, index_path)
+    ph = (
+        meta.snapshots[-1]["version"]
+        if meta is not None and meta.snapshots else 0
+    )
+    sm = metadata.read_sidecar(spark, _stopped_path(index_path))
+    if sm is None:
+        return f"v{ph}:-"
+    sh = sm.snapshots[-1]["version"] if sm.snapshots else 0
+    return f"v{ph}:v{sh}"
+
+
+def _stamp_family_epoch(spark: SparkSession, index_path: str) -> str:
+    """Stamp the CURRENT family state into both halves — stats sidecar
+    first, then postings (a crash between the two leaves disagreeing
+    halves, which refuse). The final step of every completed op."""
+    from . import metadata
+
+    token = _family_state_token(spark, index_path)
+    sm = metadata.read_sidecar(spark, _stats_path(index_path))
+    if sm is None:
+        raise ValueError(
+            f"_stamp_family_epoch: no stats dataset at "
+            f"{_stats_path(index_path)} — stamp must follow the stats "
+            "write"
+        )
+    sm.text_epoch = token
+    metadata.write_sidecar(spark, _stats_path(index_path), sm)
+    pm = metadata.read_sidecar(spark, index_path)
+    if pm is not None:
+        pm.text_epoch = token
+        metadata.write_sidecar(spark, index_path, pm)
+    return token
+
+
+def _check_family_epoch(spark: SparkSession, index_path: str, meta,
+                        op: str) -> None:
+    """Refuse to serve or maintain a family whose stamps disagree with
+    its live heads (or with each other). ``meta`` is the already-loaded
+    postings sidecar."""
+    from . import metadata
+
+    sm = metadata.read_sidecar(spark, _stats_path(index_path))
+    stats_stamp = sm.text_epoch if sm is not None else None
+    postings_stamp = meta.text_epoch if meta is not None else None
+    if stats_stamp is None and postings_stamp is None:
+        return  # pre-r15 family: never stamped (back-compat, like ANN)
+    expected = _family_state_token(spark, index_path, meta=meta)
+    if stats_stamp != expected or postings_stamp != expected:
+        raise TextIndexEpochError(
+            f"{op}: text-index family at {index_path} has commit stamps "
+            f"that do not match its live state (live {expected}, stats "
+            f"sidecar {stats_stamp or 'unstamped'}, postings sidecar "
+            f"{postings_stamp or 'unstamped'}) — a maintenance op "
+            "crashed mid-sequence, leaving a half-moved posting list "
+            "and/or stale BM25 stats that would serve SILENTLY WRONG. "
+            "Run repair_capped_index(spark, path) then "
+            "repair_index_stats(spark, path) to converge (or "
+            "maintain_dataset(..., repair_text_on_epoch_mismatch=True))."
+        )
+
+
+def _check_or_adopt_epoch(spark: SparkSession, index_path: str, meta,
+                          op: str) -> None:
+    """Maintenance-op entry check: refuse a damaged family (folding
+    forward from a crashed op's stale stats would LAUNDER the damage
+    into freshly-stamped wrong values); adopt an unstamped pre-r15
+    family by stamping its current state before the op's first commit —
+    the upgrade window a stamp-at-end-only scheme would leave open."""
+    from . import metadata
+
+    sm = metadata.read_sidecar(spark, _stats_path(index_path))
+    stats_stamp = sm.text_epoch if sm is not None else None
+    postings_stamp = meta.text_epoch if meta is not None else None
+    if sm is not None and stats_stamp is None and postings_stamp is None:
+        _stamp_family_epoch(spark, index_path)
+        return
+    _check_family_epoch(spark, index_path, meta, op)
 
 
 def build_text_index(
@@ -658,6 +803,9 @@ def append_to_text_index(
             f"append_to_text_index: index at {index_path} is keyed by "
             f"{key!r}, not {id_col!r}"
         )
+    # refuse a crash-damaged family before folding forward from its
+    # (possibly stale) stats; adopt a pre-stamp family first (r15)
+    _check_or_adopt_epoch(spark, index_path, meta, "append_to_text_index")
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     capped = _capped(spark, index_path, max_df, "append_to_text_index")
     if validate_new_ids:
@@ -792,6 +940,7 @@ def reindex_documents(
             f"reindex_documents: index at {index_path} is keyed by "
             f"{key!r}, not {id_col!r}"
         )
+    _check_or_adopt_epoch(spark, index_path, meta, "reindex_documents")
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     capped = _capped(spark, index_path, max_df, "reindex_documents")
     if not _doclens_exists(spark, index_path):
@@ -979,6 +1128,7 @@ def remove_documents(
     # deletes what was VISIBLE — but this module's stats-parity contract
     # cannot survive it.)
     _require_no_staged(meta, index_path, "remove_documents")
+    _check_or_adopt_epoch(spark, index_path, meta, "remove_documents")
     n_docs, total_len, max_df = _read_stats(spark, index_path)
     capped = _capped(spark, index_path, max_df, "remove_documents")
     if not _doclens_exists(spark, index_path):
@@ -1114,6 +1264,9 @@ def search_text_index_batch(
         )
     all_terms = sorted({t for _, t in pairs})
     meta = _require_index(spark, index_path)
+    _check_family_epoch(
+        spark, index_path, meta, "search_text_index_batch"
+    )
     id_col = _index_id_col(meta, index_path)
     n_docs, total_len, _ = _read_stats(spark, index_path)
     postings = fetch_path(
@@ -1265,6 +1418,13 @@ def text_index_info(
 
     meta = _require_index(spark, index_path)
     n_docs, total_len, max_df = _read_stats(spark, index_path)
+    # ops-facing: REPORT crash damage instead of refusing (the operator
+    # needs this view to diagnose the very state searches refuse on)
+    epoch_damage = None
+    try:
+        _check_family_epoch(spark, index_path, meta, "text_index_info")
+    except TextIndexEpochError as exc:
+        epoch_damage = str(exc)
     info = {
         "n_docs": n_docs,
         "total_len": total_len,
@@ -1272,6 +1432,7 @@ def text_index_info(
         "max_df": max_df,
         "n_buckets": _n_buckets_of(meta),
         "id_col": _index_id_col(meta, index_path),
+        "epoch_damage": epoch_damage,
         "members": {},
     }
     for suffix, p in (
@@ -1318,7 +1479,10 @@ def compact_text_index(
     from . import metadata
     from .publish import compact_dataset
 
-    _require_index(spark, index_path)
+    meta = _require_index(spark, index_path)
+    # refuse to compact a damaged family: the rewrite would bump heads
+    # and the closing re-stamp would LAUNDER the damage as healthy
+    _check_or_adopt_epoch(spark, index_path, meta, "compact_text_index")
     report = {}
     members = [
         ("", index_path),
@@ -1334,6 +1498,11 @@ def compact_text_index(
             sort_by=(["term"] if suffix in ("", "_stopped") else None),
         )
         report[suffix or "postings"] = len(files)
+    # compaction reset the members' head versions: re-stamp the family
+    # (values unchanged — the stats ROW needs no rewrite, only the
+    # stamps; a crash mid-compaction above leaves stale stamps that
+    # refuse, and repair_index_stats converges them)
+    _stamp_family_epoch(spark, index_path)
     return report
 
 
@@ -1364,6 +1533,10 @@ def search_text_index(
     if not terms:
         raise ValueError("search_text_index needs at least one query term")
     meta = _require_index(spark, index_path)
+    # a crash-damaged family must REFUSE, not double-count a half-moved
+    # posting list or score with stale stats (r15 — the ANN epoch-pin
+    # discipline; one sidecar read + a string compare, no data I/O)
+    _check_family_epoch(spark, index_path, meta, "search_text_index")
     id_col = _index_id_col(meta, index_path)
     n_docs, total_len, _ = _read_stats(spark, index_path)
     postings = fetch_path(

@@ -5932,3 +5932,293 @@ ORACLE_EXT2["ann_rollback_search"] = """
     ORDER BY score DESC, vec_id ASC
     LIMIT 10
 """
+
+
+# ---------------------------------------------------------------------------
+# r15: the text-index crash window end-to-end — refuse, repair, serve
+# ---------------------------------------------------------------------------
+
+
+def q_text_crash_repair_search(spark, sf_dir):
+    """The text family's cap-crossing crash window CLOSED end-to-end
+    (r15 — VERDICT r14 #1, the ``ann_rollback_search`` shape): a capped
+    build (cap = n_docs // 5, corpus-relative so the gate means the
+    same thing at every sf) puts the high-df marker ``qqcrash``
+    (df = n/3) in the stopped sibling while ``qqrare`` (df = n/11)
+    serves live; the fixture then manufactures the exact state a crash
+    between the move's copy and its tombstone leaves — the stopped
+    list lands on the live side while the source rows survive (a raw
+    append of the stopped postings into the live index: the same
+    bytes, the same moved head, the same stale stamps). The gate
+    asserts the refusal plane end-to-end: search raises
+    ``TextIndexEpochError`` naming the repair pair, ``maintain_dataset``
+    surfaces ``text_epoch_mismatch`` and suspends family compaction —
+    then the POLICY LOOP ITSELF repairs on opt-in
+    (``repair_text_on_epoch_mismatch=True`` runs repair_capped_index +
+    repair_index_stats, VERDICT r14 #6), and the served search is
+    hash-matched against full-corpus SQL BM25 with the same df cap."""
+    from .maintenance import maintain_dataset
+    from .fetch import fetch_path
+    from .publish import publish_path
+    from .text_index import (
+        TextIndexEpochError,
+        _stopped_path,
+        build_text_index,
+        search_text_index,
+        text_index_info,
+    )
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "text_index_crash2")
+    marker = os.path.join(path, "_CRASH_REPAIRED")
+    if not os.path.exists(marker) or not _text_fixture_ok(spark, path):
+        for suffix in ("", "_stats", "_doclens", "_stopped", "_fwd"):
+            shutil.rmtree(path.rstrip("/") + suffix, ignore_errors=True)
+        docs = _table(spark, sf_dir, "documents").select("doc_id", "text")
+        maxdf = docs.count() // 5
+        corpus = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(" qqcrash"))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 11 == 0, F.lit(" qqrare qqrare"))
+                .otherwise(F.lit("")),
+            ).alias("text"),
+        )
+        build_text_index(
+            spark, corpus, path, "doc_id", "text",
+            n_buckets=16, max_df=maxdf, max_records_per_file=2000,
+        )
+        # qqcrash (df = n/3 > cap) is stopped; qqrare (n/11 < cap) lives
+        assert search_text_index(
+            spark, path, ["qqcrash"], k=1
+        ).limit(1).count() == 0
+        assert search_text_index(
+            spark, path, ["qqrare"], k=1
+        ).limit(1).count() == 1
+
+        # manufacture the copy-then-tombstone window: the stopped list
+        # lands in live (copy committed), the source never tombstones
+        stray = fetch_path(
+            spark, _stopped_path(path),
+            filters=[{"partition": "term", "comparison": "==",
+                      "values": ["qqcrash"]}],
+        ).select("term", "doc_id", "tf", "dl")
+        publish_path(spark, path, stray, [], mode="append")
+
+        # refusal plane: serve refuses naming the remedy; the ops view
+        # reports; the policy loop surfaces and suspends compaction
+        try:
+            search_text_index(spark, path, ["qqrare"], k=3).collect()
+            raise AssertionError("crash window served instead of refusing")
+        except TextIndexEpochError:
+            pass
+        assert text_index_info(spark, path)["epoch_damage"] is not None
+        report = maintain_dataset(
+            spark, path, compact_min_files=1, compact_below_fraction=1.0,
+            max_snapshots=999, max_pending_tombstones=1,
+        )
+        kinds = [a["action"] for a in report["actions"]]
+        assert "text_epoch_mismatch" in kinds, report["actions"]
+        assert "compact_text_index" not in kinds
+
+        # the policy loop IS the remedy on opt-in: residency repair
+        # (bounded by stop-term cardinality) + stats recompute/re-stamp
+        report = maintain_dataset(
+            spark, path, compact_min_files=9999, max_snapshots=999,
+            max_pending_tombstones=9999,
+            repair_text_on_epoch_mismatch=True,
+        )
+        acts = {a["action"]: a for a in report["actions"]}
+        fixed = acts["text_epoch_mismatch"]["result"]["moved_terms"]
+        assert fixed == {"qqcrash": "stopped"}, fixed
+        assert text_index_info(spark, path)["epoch_damage"] is None
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    out = search_text_index(spark, path, ["qqrare", "qqcrash"], k=10)
+    return out.select(
+        "doc_id", "n_terms", F.round("score", 6).alias("score")
+    )
+
+
+QUERIES_EXT2["text_crash_repair_search"] = q_text_crash_repair_search
+# the REPAIRED family must serve exactly capped BM25 over the marked
+# corpus — the repair converged to the same state a fresh capped build
+# over the corpus reaches (qqcrash's df > 90 keeps it capped out)
+ORACLE_EXT2["text_crash_repair_search"] = """
+    WITH corpus AS (
+      SELECT doc_id,
+             text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' qqcrash' ELSE '' END ||
+             CASE WHEN doc_id % 11 = 0 THEN ' qqrare qqrare' ELSE '' END
+               AS text
+      FROM documents
+    ), toks AS (
+      SELECT doc_id AS doc,
+             unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+      FROM corpus
+    ), dl AS (
+      SELECT doc, COUNT(*) AS dl FROM toks GROUP BY doc
+    ), stats AS (
+      SELECT COUNT(*) AS n_docs, SUM(dl) AS total_len FROM dl
+    ), tf AS (
+      SELECT doc, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('qqrare', 'qqcrash') GROUP BY doc, term
+    ), dfreq AS (
+      SELECT term, COUNT(*) AS df_t FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc,
+             CAST(
+               ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) *
+               ((tf * 2.2) /
+                (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl /
+                             (CAST(total_len AS DOUBLE) / n_docs))))
+               AS DECIMAL(28,12)) AS s
+      FROM tf
+      JOIN dfreq USING (term)
+      JOIN dl USING (doc)
+      CROSS JOIN stats
+      WHERE df_t <= CAST(floor(n_docs / 5.0) AS BIGINT)
+    ), agg AS (
+      SELECT doc, COUNT(*) AS n_terms, CAST(SUM(s) AS DOUBLE) AS score
+      FROM scored GROUP BY doc
+    )
+    SELECT doc AS doc_id, n_terms, round(score, 6) AS score
+    FROM agg
+    ORDER BY score DESC, doc ASC
+    LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# r15: the SPILLED partition-stats path end-to-end (VERDICT r14 #3)
+# ---------------------------------------------------------------------------
+
+
+def _pstats_spill_fixture_ok(spark, path: str) -> bool:
+    """Marker-independent validation: the record must hold a SPILLED
+    partitions section (manifest pointer, no inline list) whose folds
+    completed incrementally and were restamped to the rewritten v1 head
+    by the compaction carry, and the generic dataset check must pass."""
+    from . import metadata as _md
+    from .workload import _dataset_fixture_ok
+
+    try:
+        m = _md.read_sidecar(spark, path)
+    except Exception:  # noqa: BLE001
+        return False
+    if m is None:
+        return False
+    rec = m.stats or {}
+    if not (
+        rec.get("partitions_manifest")
+        and rec.get("partitions") is None
+        and rec.get("last_partitions_analyze_mode") == "incremental"
+        and rec.get("partitions_as_of_version") == 1
+    ):
+        return False
+    return _dataset_fixture_ok(spark, path, meta=m)
+
+
+def q_partition_stats_spilled(spark, sf_dir):
+    """The spilled partition-stats path end-to-end (r15 — VERDICT r14
+    #3: the r14 spill was unit-pinned but never oracle-gated): a
+    two-level layout (o_orderstatus × o_orderpriority, 15 combos) is
+    ANALYZEd with ``spill_threshold=4``, so the per-partition record
+    lives as a COLUMNAR MANIFEST POINTER, not inline JSON — the sidecar
+    stays O(1) however many combos exist (the 100 TB date×domain
+    shape). The fixture then replays the whole lifecycle through the
+    pointer: an append + ``incremental=True`` re-collect folds the
+    delta O(delta) with the record still spilled, and a compaction
+    re-materializes the manifest into the rewritten tree (the carry's
+    re-home) with the stamp restamped to the v1 head. The gate returns
+    the read-back records (through the pointer) AND per-partition
+    counts from an actual fetch — both hash-matched against full-scan
+    SQL over the final corpus."""
+    from .fetch import fetch_path
+    from .publish import compact_dataset, publish_path
+    from .stats import collect_partition_stats, read_stats, _load_partition_recs
+    from .workload import _ds_path
+
+    path = _ds_path(sf_dir, "pstats_spilled")
+    marker = os.path.join(path, "_SPILLED_STATS")
+    orders = _table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_orderpriority"
+    )
+    if not os.path.exists(marker) or not _pstats_spill_fixture_ok(
+        spark, path
+    ):
+        shutil.rmtree(path, ignore_errors=True)
+        publish_path(
+            spark, path, orders.filter("o_orderkey % 4 <> 0"),
+            ["o_orderstatus", "o_orderpriority"],
+        )
+        collect_partition_stats(spark, path, spill_threshold=4)
+        rec = read_stats(spark, path)
+        assert rec.get("partitions") is None, "record did not spill"
+        assert rec["partitions_manifest"]["n"] >= 4
+        # the pointer's file really exists inside the dataset tree
+        assert os.path.exists(
+            os.path.join(path, rec["partitions_manifest"]["path"])
+        )
+        # append a delta; the incremental fold goes THROUGH the pointer
+        publish_path(
+            spark, path, orders.filter("o_orderkey % 4 = 0"),
+            ["o_orderstatus", "o_orderpriority"], mode="append",
+        )
+        collect_partition_stats(
+            spark, path, incremental=True, spill_threshold=4
+        )
+        rec = read_stats(spark, path)
+        assert rec["last_partitions_analyze_mode"] == "incremental"
+        assert rec.get("partitions") is None  # still spilled after fold
+        # compaction: the carry re-homes the manifest into the rewritten
+        # tree and restamps the (current) record to the v1 head
+        compact_dataset(spark, path)
+        rec = read_stats(spark, path)
+        assert rec.get("partitions") is None
+        assert rec["partitions_as_of_version"] == 1
+        assert os.path.exists(
+            os.path.join(path, rec["partitions_manifest"]["path"])
+        )
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    rec = read_stats(spark, path)
+    rows = []
+    for p in _load_partition_recs(spark, path, rec):
+        rows.append((
+            "stats:%s|%s" % (
+                p["values"]["o_orderstatus"],
+                p["values"]["o_orderpriority"],
+            ),
+            int(p["n_rows"]),
+        ))
+    for r in fetch_path(spark, path).groupBy(
+        "o_orderstatus", "o_orderpriority"
+    ).count().collect():
+        rows.append((
+            "fetch:%s|%s" % (r["o_orderstatus"], r["o_orderpriority"]),
+            int(r["count"]),
+        ))
+    return spark.createDataFrame(
+        rows, "stat string, n_rows bigint"
+    ).orderBy("stat")
+
+
+QUERIES_EXT2["partition_stats_spilled"] = q_partition_stats_spilled
+# full-scan recompute over the final corpus (base %4<>0 + appended %4=0
+# == the whole orders table): the stored (spilled) record and the
+# post-compaction fetch must BOTH equal exact per-combo counts
+ORACLE_EXT2["partition_stats_spilled"] = """
+    WITH combos AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p, COUNT(*) AS n
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT 'stats:' || s || '|' || p AS stat, CAST(n AS BIGINT) AS n_rows
+    FROM combos
+    UNION ALL
+    SELECT 'fetch:' || s || '|' || p AS stat, CAST(n AS BIGINT) AS n_rows
+    FROM combos
+    ORDER BY stat
+"""

@@ -1355,3 +1355,70 @@ def test_rollback_rebuild_restores_parked_family(
     with pytest.raises(ValueError, match="consistent"):
         rollback_rebuild(spark, path)
     assert _rows(search_ivf_index(spark, path, qv, k=8, nprobe=4)) == before
+
+
+def test_crash_mid_rollback_refuses_then_converges(
+    spark, tmp_path, monkeypatch
+):
+    """r15 (VERDICT r14 #4): rollback_rebuild promises a crash BETWEEN
+    its member restores leaves a REFUSING half-pinned family, never one
+    that silently misprobes — fault-inject exactly that: the quantizer
+    member restores (old epoch live again), then the index-dir restore
+    dies. Search must raise (epoch mismatch / loud missing-index, never
+    wrong answers), and a RE-RUN of rollback_rebuild converges to the
+    bit-identical pre-rebuild results."""
+    import s3parq_spark.fs as fsmod
+    from s3parq_spark.ann_index import (
+        QuantizerEpochError,
+        rebuild_ivf_index,
+        rollback_rebuild,
+    )
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=2)
+    append_to_ivf_index(spark, _clustered_vecs(spark, range(200, 260), 4),
+                        path, "vec_id", "embedding")
+    qv = [0.0] * 8
+    qv[4] = 1.0
+    before = _rows(search_ivf_index(spark, path, qv, k=8, nprobe=4))
+
+    real_rename = fsmod.rename
+
+    # crash #1: the rebuild swap dies at the quantizer-member rename —
+    # the parked .prerebuild family is the rollback point
+    def crash_swap(sp, src, dst):
+        if src.rstrip("/").endswith("idx_quantizers.json"):
+            raise RuntimeError("simulated swap crash")
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsmod, "rename", crash_swap)
+    with pytest.raises(RuntimeError, match="simulated swap crash"):
+        rebuild_ivf_index(spark, path, iters=2)
+
+    # crash #2: the ROLLBACK itself dies after restoring the quantizer
+    # member (first in reverse swap order) but before the index dir
+    def crash_rollback(sp, src, dst):
+        if src.rstrip("/").endswith("idx.prerebuild"):
+            raise RuntimeError("simulated rollback crash")
+        return real_rename(sp, src, dst)
+
+    monkeypatch.setattr(fsmod, "rename", crash_rollback)
+    with pytest.raises(RuntimeError, match="simulated rollback crash"):
+        rollback_rebuild(spark, path)
+    monkeypatch.setattr(fsmod, "rename", real_rename)
+
+    # half-pinned: old quantizers live, index dir mid-restore — every
+    # serve path REFUSES loudly (the docstring's promise), no wrong rows
+    with pytest.raises((QuantizerEpochError, ValueError)):
+        search_ivf_index(spark, path, qv, k=8, nprobe=4)
+
+    # the re-run converges: restores the remaining member(s) and the
+    # restored family answers bit-identically to the pre-rebuild state
+    rep = rollback_rebuild(spark, path)
+    assert path in rep["restored"]
+    assert _rows(search_ivf_index(spark, path, qv, k=8, nprobe=4)) == before
+    import glob as _glob
+
+    assert not _glob.glob(str(tmp_path / "idx*rebuilding*"))
+    assert not _glob.glob(str(tmp_path / "idx*prerebuild*"))

@@ -615,3 +615,170 @@ def test_residue_sweep_honors_retention_window(
     swept = [a for a in report["actions"]
              if a["action"] == "remove_rewrite_residue"]
     assert swept and not os.path.exists(parked)
+
+
+def _age_tree(root, seconds_ago=10 * 24 * 3600.0):
+    """Set every mtime in ``root`` into the past — the state a rename
+    leaves: parked trees keep the mtimes of their ORIGINAL writes."""
+    import time as _t
+
+    old = _t.time() - seconds_ago
+    os.utime(root, (old, old))
+    for dirpath, dirnames, filenames in os.walk(root):
+        for name in dirnames + filenames:
+            os.utime(os.path.join(dirpath, name), (old, old))
+
+
+def test_park_stamp_protects_freshly_parked_old_tree(
+    spark, nation, tmp_dataset_dir
+):
+    """r15 (ADVICE r14): rename preserves mtimes, so a directory parked
+    SECONDS ago by a concurrent swap reads as aged residue by its tree
+    mtimes alone. The ``_PARKED_AT`` stamp the swap writes at park time
+    is what the retention window must see — a stamped-but-old tree is
+    protected; remove the stamp and the same tree sweeps."""
+    import shutil as _sh
+
+    publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+    parked = tmp_dataset_dir.rstrip("/") + ".precompact"
+    _sh.copytree(tmp_dataset_dir, parked)
+    _age_tree(parked)  # rename-preserved mtimes: tree reads 10 days old
+    stamp = os.path.join(parked, "_PARKED_AT")
+    with open(stamp, "w") as fh:
+        fh.write("parked")  # fresh stamp = the park JUST happened
+
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=1.0,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "remove_rewrite_residue"]
+    assert os.path.isdir(parked)
+
+    # stamp aged past the window too: genuinely abandoned — swept
+    _age_tree(parked)
+    report = maintain_dataset(
+        spark, tmp_dataset_dir, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=1.0,
+    )
+    swept = [a for a in report["actions"]
+             if a["action"] == "remove_rewrite_residue"]
+    assert swept and not os.path.exists(parked)
+
+
+def test_compaction_swap_writes_the_park_stamp(
+    spark, nation, tmp_dataset_dir, monkeypatch
+):
+    """The stamp is written by the swap itself, after the swap-in
+    succeeded and before the cleanup delete — intercept the delete to
+    observe the crash window's on-disk state."""
+    from s3parq_spark import fs as _fs
+    from s3parq_spark.publish import compact_dataset
+
+    publish_path(spark, tmp_dataset_dir, nation, ["n_regionkey"])
+    parked = tmp_dataset_dir.rstrip("/") + ".precompact"
+    real_delete = _fs.delete
+
+    def keep_parked(spark_, path, recursive=True):
+        if path == parked and os.path.isdir(path):
+            return True  # simulate a crash before the cleanup delete
+        return real_delete(spark_, path, recursive)
+
+    monkeypatch.setattr(_fs, "delete", keep_parked)
+    compact_dataset(spark, tmp_dataset_dir)
+    assert os.path.isfile(os.path.join(parked, "_PARKED_AT"))
+    # the restored LIVE dataset carries no stray stamp
+    assert not os.path.exists(
+        os.path.join(tmp_dataset_dir, "_PARKED_AT")
+    )
+
+
+def test_missing_quantizer_file_surfaces_epoch_mismatch(
+    spark, sf_dir, tmp_path
+):
+    """r15 (ADVICE r14 medium): a rebuild that crashed after parking the
+    live quantizer JSON but before renaming the fresh one in leaves NO
+    live quantizer file — the health probe must still read it as an
+    epoch mismatch (the sidecar pins ann_epoch / a ``.prerebuild``
+    quantizer copy exists), so the residue sweep suspends instead of
+    deleting the only rollback copies."""
+    import shutil as _sh
+
+    from s3parq_spark.ann_index import build_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 60")
+    ivf = str(tmp_path / "ivf_crashq")
+    build_ivf_index(spark, emb, ivf, "vec_id", "embedding", k=4, iters=1)
+    qp = ivf + "_quantizers.json"
+    # manufacture the sub-window: quantizers parked, fresh never renamed
+    os.rename(qp, qp + ".prerebuild")
+    _sh.copytree(ivf, ivf + ".prerebuild")
+    _age_tree(ivf + ".prerebuild")
+    _age_tree(qp + ".prerebuild")
+
+    h = dataset_health(spark, ivf)
+    assert h.get("ann_epoch_mismatch") == 1.0
+
+    report = maintain_dataset(
+        spark, ivf, compact_min_files=1, compact_below_fraction=1.0,
+        max_snapshots=999, max_pending_tombstones=9999,
+        vacuum_retention_hours=0.0,
+    )
+    kinds = [a["action"] for a in report["actions"]]
+    assert "quantizer_epoch_mismatch" in kinds
+    assert "remove_rewrite_residue" not in kinds
+    assert os.path.exists(qp + ".prerebuild")  # rollback copy protected
+    assert os.path.isdir(ivf + ".prerebuild")
+
+    # the same window on a PRE-PIN index (no ann_epoch in the sidecar):
+    # the parked quantizer copy alone proves the family
+    meta = metadata.read_sidecar(spark, ivf)
+    meta.ann_epoch = None
+    metadata.write_sidecar(spark, ivf, meta)
+    assert dataset_health(spark, ivf).get("ann_epoch_mismatch") == 1.0
+
+
+def test_parked_quantizer_file_gated_on_live_sibling_age(
+    spark, sf_dir, tmp_path
+):
+    """r15 (ADVICE r14): the parked quantizer JSON is a FILE — no stamp
+    can be written inside it, and rename preserved its mtime — so the
+    sweep gates it on the LIVE sibling's write time: a fresh live
+    quantizer means the swap that parked the copy just completed."""
+    import shutil as _sh
+    import time as _t
+
+    from s3parq_spark.ann_index import build_ivf_index
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    ).filter("vec_id < 60")
+    ivf = str(tmp_path / "ivf_parkedq")
+    build_ivf_index(spark, emb, ivf, "vec_id", "embedding", k=4, iters=1)
+    qp = ivf + "_quantizers.json"
+    _sh.copyfile(qp, qp + ".prerebuild")
+    old = _t.time() - 10 * 24 * 3600.0
+    os.utime(qp + ".prerebuild", (old, old))  # rename-preserved mtime
+
+    # live quantizer written moments ago (the build) => park just
+    # happened: protected inside the window
+    report = maintain_dataset(
+        spark, ivf, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=1.0,
+    )
+    assert not [a for a in report["actions"]
+                if a["action"] == "remove_rewrite_residue"]
+    assert os.path.exists(qp + ".prerebuild")
+
+    # live sibling aged past the window too: abandoned — swept
+    os.utime(qp, (old, old))
+    report = maintain_dataset(
+        spark, ivf, compact_min_files=9999, max_snapshots=999,
+        max_pending_tombstones=9999, vacuum_retention_hours=1.0,
+    )
+    swept = [a for a in report["actions"]
+             if a["action"] == "remove_rewrite_residue"]
+    assert [a["result"] for a in swept] == [qp + ".prerebuild"]
+    assert not os.path.exists(qp + ".prerebuild")

@@ -243,10 +243,13 @@ def test_reindex_changed_docs_equals_full_rebuild(spark, docs, tmp_path):
         bm25_scores(updated2, "doc_id", "text", ["hash", "vector"], top_k=10)
     )
     assert got == exp
-    # compaction materializes the eq-deletes; search unchanged after
-    from s3parq_spark.publish import compact_dataset
+    # compaction through the FAMILY op materializes the eq-deletes and
+    # re-stamps the commit epoch; search unchanged after (r15: a RAW
+    # compact_dataset on a member is an out-of-band mutation the stamp
+    # flags — see test_raw_member_compaction_refuses_until_repaired)
+    from s3parq_spark.text_index import compact_text_index
 
-    compact_dataset(spark, path)
+    compact_text_index(spark, path)
     got2 = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
     assert got2 == got
 
@@ -481,11 +484,22 @@ def test_repair_index_stats_recovers_crashed_fold(spark, docs, tmp_path):
         ti._write_stats = orig
     stale = _read_stats(spark, path)
     assert stale[0] == n0  # the fold never landed
-    # idempotent re-run cannot heal it (doclens rows already tombstoned)
-    assert remove_documents(spark, [1, 2, 3], path, "doc_id") == 0
-    # ...repair recomputes from ground truth
+    # r15 fail-loud: the crashed fold is DETECTED — serve and
+    # maintenance paths refuse (the stamps bind the pre-crash heads),
+    # instead of silently scoring with stale constants or folding
+    # forward from them
+    from s3parq_spark.text_index import TextIndexEpochError
+
+    with pytest.raises(TextIndexEpochError, match="repair_index_stats"):
+        search_text_index(spark, path, ["hash"], k=3)
+    with pytest.raises(TextIndexEpochError):
+        remove_documents(spark, [1, 2, 3], path, "doc_id")
+    # ...repair recomputes from ground truth (and re-stamps)
     n, t = repair_index_stats(spark, path)
     assert n == n0 - 3 and t < t0
+    # the repaired family serves again, and the idempotent re-run now
+    # converges (doclens rows already tombstoned: nothing to fold)
+    assert remove_documents(spark, [1, 2, 3], path, "doc_id") == 0
     got = _rows(search_text_index(spark, path, ["hash", "vector"], k=10))
     exp = _rows(bm25_scores(
         docs.filter("doc_id not in (1,2,3)"), "doc_id", "text",
@@ -942,10 +956,18 @@ def test_repair_capped_index_fixes_double_residency(spark, tmp_path):
                   "values": ["stopper"]}],
     ).select("term", "doc_id", "tf", "dl")
     publish_path(spark, path, stray, [], mode="append")
-    # the corruption is visible: search now (wrongly) serves 'stopper'
-    assert _rows(search_text_index(spark, path, ["stopper"], k=10)) != []
+    # r15 fail-loud: the out-of-band append moved the postings head,
+    # so search REFUSES (it would otherwise wrongly serve 'stopper')
+    from s3parq_spark.text_index import TextIndexEpochError
+
+    with pytest.raises(TextIndexEpochError, match="repair_capped_index"):
+        search_text_index(spark, path, ["stopper"], k=10)
     fixed = repair_capped_index(spark, path)
     assert fixed == {"stopper": "stopped"}, fixed
+    # residency repaired; the stats repair re-stamps the family
+    from s3parq_spark.text_index import repair_index_stats
+
+    repair_index_stats(spark, path)
     # search ≡ rebuild again, live terms untouched
     ref = str(tmp_path / "ref")
     build_text_index(spark, docs, ref, "doc_id", "text",
