@@ -574,7 +574,10 @@ def main() -> None:
                 # single-run probes excluded from the total. Comparable to
                 # r04+; NOT to r03 and earlier (single-shot reads).
                 "method": f"reads=min-of-{n_runs}; publishes=cold-single-run; "
-                          "probes=single-run, excluded from total",
+                          f"probes=min-of-{probe_runs} for idempotent "
+                          "reads (zonemap_build rebuilt between runs), "
+                          "state-mutating probes single-run; excluded "
+                          "from total",
                 # r07: no headline perf work this round — the round's code
                 # (partition-spec evolution, domain curation, the filter
                 # truth-table hardening) sits OFF the headline paths, and

@@ -107,3 +107,56 @@ def test_every_marker_writing_gate_validates_state():
         f"marker-writing gates without a *_fixture_ok state check: "
         f"{offenders}"
     )
+
+
+def test_fixture_ok_cache_contract_no_out_of_engine_mutation():
+    """r15 (r14 verdict blemish): ``_FIXTURE_OK_CACHE`` memoizes POSITIVE
+    validations per process, which silently assumes no gate ever
+    bypasses the engine to mutate its own fixture mid-process — an
+    out-of-engine mutation after a cached validation would serve stale
+    trust. This pins the contract explicitly: any gate that both
+    manages a fixture marker AND mutates its fixture out-of-engine
+    (shutil/os file surgery on the fixture path AFTER the build) must
+    either rebuild from scratch (delete-first, which the leaf-ownership
+    test already guarantees is private) or re-validate. Today the only
+    out-of-engine mutations in gate code are the crash-window
+    manufacturers (``ann_rollback_search``'s renames,
+    ``text_crash_repair_search``'s raw append), and each one runs
+    INSIDE the marker-guarded build block and converges the fixture
+    (rollback / repair) BEFORE writing its marker — validated-at-end
+    state is exactly what later processes re-validate. Assert the
+    structural half: every ``os.rename``/``shutil.move`` call on gate
+    fixtures appears only in functions that also write a marker (i.e.
+    inside a guarded build block, never on the cached serve path)."""
+    for mod in ("workload.py", "workload_ext.py", "workload_ext2.py"):
+        tree = ast.parse(open(os.path.join(PKG, mod)).read())
+        # TOP-LEVEL functions only: a nested staging helper (e.g. a
+        # stream gate's `land`) belongs to its enclosing gate, whose
+        # build block owns the marker
+        for node in tree.body:
+            if not isinstance(node, ast.FunctionDef):
+                continue
+            mutates = any(
+                isinstance(c, ast.Call)
+                and isinstance(c.func, ast.Attribute)
+                and c.func.attr in ("rename", "move")
+                and isinstance(c.func.value, ast.Name)
+                and c.func.value.id in ("os", "shutil")
+                for c in ast.walk(node)
+            )
+            if not mutates:
+                continue
+            writes_marker = any(
+                isinstance(n, ast.Assign)
+                and any(
+                    isinstance(t, ast.Name) and t.id == "marker"
+                    for t in n.targets
+                )
+                for n in ast.walk(node)
+            )
+            assert writes_marker, (
+                f"{mod}:{node.name} mutates fixture state out-of-engine "
+                "(os.rename/shutil.move) without a marker-guarded build "
+                "block — the _FIXTURE_OK_CACHE positive memo would keep "
+                "trusting the pre-mutation validation"
+            )

@@ -502,3 +502,30 @@ def test_drift_rebuilt_search_plan_is_fresh_build_identical(spark, sf_dir):
     assert "Exchange" not in plan
     assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
     assert ".rebuilding" not in plan and ".prerebuild" not in plan
+
+
+def test_repaired_crash_family_search_plan_is_clean(spark, sf_dir):
+    """text_crash_repair_search (r15): after the manufactured crash
+    window is refused and repaired, the served search must be the
+    STANDARD capped-index shape — bucket pruning at the file index,
+    term equality pushed, live postings only (the stopped sibling whose
+    list was double-resident moments earlier appears nowhere), no
+    Cartesian — i.e. the repair converges the PLAN, not just the
+    values."""
+    plan = _plan(spark, sf_dir, "text_crash_repair_search")
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:800]
+    assert "In(term" in plan
+    assert "_stopped" not in plan and "_fwd" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_spilled_partition_stats_serve_metadata_only(spark, sf_dir):
+    """partition_stats_spilled (r15): the stats half of the gate's
+    output is read back THROUGH the manifest pointer — driver-side
+    columnar read, no Spark scan — so the only parquet scan in the
+    plan is the fetch half's single scan of the compacted dataset. The
+    spilled representation must cost the query plane nothing."""
+    plan = _plan(spark, sf_dir, "partition_stats_spilled")
+    assert plan.count("Scan parquet") <= 1, plan[:1200]
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
