@@ -308,26 +308,38 @@ def _read_stats(spark: SparkSession, index_path: str):
 # ---------------------------------------------------------------------------
 
 
+def _head_version(meta) -> int:
+    """Newest NON-STAGED snapshot version. Staged (write-audit-publish)
+    snapshots are excluded deliberately: their rows are invisible to
+    search, so they cannot damage what the family serves — and the
+    WAP-specific refusal (``PendingAuditError`` from the eq-delete
+    plane) must surface as itself, not as a misleading crash
+    diagnosis."""
+    if meta is None:
+        return 0
+    versions = [
+        s["version"] for s in (meta.snapshots or []) if not s.get("staged")
+    ]
+    return max(versions) if versions else 0
+
+
 def _family_state_token(spark: SparkSession, index_path: str,
                         meta=None) -> str:
     """Token binding the family's mutable commit state: the postings and
-    stopped siblings' head snapshot versions. Every maintenance op's
-    first commit moves one of these (postings commit first in every
-    sequence; a batch routed entirely to the stopped side moves that
-    head), so a stale stamp detects every crash window."""
+    stopped siblings' head (non-staged) snapshot versions. Every
+    maintenance op's first commit moves one of these (postings commit
+    first in every sequence; a batch routed entirely to the stopped
+    side moves that head), so a stale stamp detects every crash
+    window."""
     from . import metadata
 
     if meta is None:
         meta = metadata.read_sidecar(spark, index_path)
-    ph = (
-        meta.snapshots[-1]["version"]
-        if meta is not None and meta.snapshots else 0
-    )
+    ph = _head_version(meta)
     sm = metadata.read_sidecar(spark, _stopped_path(index_path))
     if sm is None:
         return f"v{ph}:-"
-    sh = sm.snapshots[-1]["version"] if sm.snapshots else 0
-    return f"v{ph}:v{sh}"
+    return f"v{ph}:v{_head_version(sm)}"
 
 
 def _stamp_family_epoch(spark: SparkSession, index_path: str) -> str:

@@ -523,6 +523,25 @@ CASES = [
         "top-k, and none of the rebuild's .rebuilding/.prerebuild paths "
         "in the plan (the two-rename swap left no residue).",
     ),
+    (
+        "text_crash_repair_search",
+        "Search after the text family's manufactured crash window was "
+        "REFUSED and repaired by the policy loop (r15): the standard "
+        "capped-index shape — bucket PartitionFilters at the file "
+        "index, term equality pushed (PushedFilters In(term)), live "
+        "postings only (the stopped sibling whose list was "
+        "double-resident appears nowhere), no Cartesian. The repair "
+        "converges the PLAN, not just the values.",
+    ),
+    (
+        "partition_stats_spilled",
+        "Spilled partition-stats serve (r15): the stats half reads "
+        "back THROUGH the columnar manifest pointer driver-side "
+        "(LocalTableScan in the plan, zero parquet scans for it); the "
+        "one scan is the fetch half of the data-plane agreement check. "
+        "The sidecar stays O(1) at any combo count — the 100 TB "
+        "date-by-domain layout costs the query plane nothing.",
+    ),
 ]
 
 

@@ -383,11 +383,13 @@ def test_remove_documents_equals_rebuild_minus_removed(spark, docs, tmp_path):
         bm25_scores(updated, "doc_id", "text", ["hash", "vector"], top_k=10)
     )
     assert got == exp
-    # ...and with compaction materializing the tombstones
-    from s3parq_spark.publish import compact_dataset
+    # ...and with the FAMILY compaction materializing the tombstones
+    # across postings + doclens in one call (r15: raw member
+    # compaction is an out-of-band mutation the commit stamp flags)
+    from s3parq_spark.text_index import compact_text_index
 
-    compact_dataset(spark, path)
-    compact_dataset(spark, path.rstrip("/") + "_doclens")
+    report = compact_text_index(spark, path)
+    assert {"postings", "_doclens"} <= set(report)
     assert _rows(search_text_index(spark, path, ["hash", "vector"], k=10)) == got
 
 
