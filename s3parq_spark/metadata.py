@@ -258,6 +258,15 @@ class DatasetMetadata:
         # half-moved posting list or scoring with stale BM25 constants.
         # None = not a text-index member (or a pre-pin index).
         self.text_epoch: Optional[str] = None
+        # text-index corpus-stats MIRROR (r15): n_docs/total_len/max_df
+        # duplicated from the 1-row stats dataset into ITS OWN sidecar,
+        # written atomically with the commit stamp above — serve paths
+        # read them driver-side (one JSON read) instead of running a
+        # Spark job to collect the 1-row parquet. The row remains the
+        # recomputable source of truth (repair_index_stats); a crash
+        # that could stale the mirror also stales the stamp, so serving
+        # refuses before a stale mirror could be used.
+        self.text_stats: Optional[dict] = None
         # lazy per-file stats source (set by read_sidecar): () -> merged
         # {relpath: {"rows", "stats", "bloom"}} from the columnar stats
         # manifests. NOT serialized — a loader binds a (spark, path) pair.
@@ -307,6 +316,8 @@ class DatasetMetadata:
             d["ann_epoch"] = self.ann_epoch
         if self.text_epoch:
             d["text_epoch"] = self.text_epoch
+        if self.text_stats:
+            d["text_stats"] = self.text_stats
         return d
 
     @classmethod
@@ -330,6 +341,7 @@ class DatasetMetadata:
         }
         out.ann_epoch = d.get("ann_epoch")
         out.text_epoch = d.get("text_epoch")
+        out.text_stats = d.get("text_stats")
         return out
 
     def at_version(self, version: int) -> "DatasetMetadata":
@@ -1119,6 +1131,7 @@ def merge_sidecar(
     # version advances, which is exactly what makes a crashed op
     # detectable — the op's final stats write re-stamps both halves
     merged.text_epoch = existing.text_epoch
+    merged.text_stats = existing.text_stats
     return merged
 
 

@@ -266,14 +266,36 @@ def _write_stats(
         _write_hints={"rows_per_file": 1},
     )
     # the stats write is the LAST commit of every op: stamping here
-    # closes the op's crash window (r15 — see the family-stamp block)
-    _stamp_family_epoch(spark, index_path)
+    # closes the op's crash window (r15 — see the family-stamp block).
+    # The same atomic sidecar write carries the serve-path MIRROR of
+    # the row, so searches read n_docs/avgdl driver-side (zero Spark
+    # jobs on the metadata plane).
+    _stamp_family_epoch(
+        spark, index_path,
+        stats_mirror=(int(n_docs), int(total_len), max_df),
+    )
 
 
 def _read_stats(spark: SparkSession, index_path: str):
-    """The 1-row corpus stats → (n_docs, total_len, max_df). Pre-r10
-    stats rows have no max_df column; they read as None — matching their
-    era's append semantics (the cap was not recorded, appends proceeded)."""
+    """The corpus stats → (n_docs, total_len, max_df). Served from the
+    stats sidecar MIRROR when present (r15): one driver-side JSON read,
+    ZERO Spark jobs — the mirror rides the same atomic sidecar write as
+    the commit stamp, so any crash that could stale it also stales the
+    stamp and serving refuses first. Pre-r15 families (no mirror) fall
+    back to collecting the 1-row dataset, which remains the
+    recomputable source of truth (``repair_index_stats``). Pre-r10
+    stats rows have no max_df column; they read as None — matching
+    their era's append semantics (the cap was not recorded, appends
+    proceeded)."""
+    from . import metadata
+
+    sm = metadata.read_sidecar(spark, _stats_path(index_path))
+    ts = sm.text_stats if sm is not None else None
+    if ts is not None:
+        mdf = ts.get("max_df")
+        return int(ts["n_docs"]), int(ts["total_len"]), (
+            None if mdf is None else int(mdf)
+        )
     row = fetch_path(spark, _stats_path(index_path)).collect()[0]
     d = row.asDict()
     mdf = d.get("max_df")
@@ -342,10 +364,14 @@ def _family_state_token(spark: SparkSession, index_path: str,
     return f"v{ph}:v{_head_version(sm)}"
 
 
-def _stamp_family_epoch(spark: SparkSession, index_path: str) -> str:
+def _stamp_family_epoch(spark: SparkSession, index_path: str,
+                        stats_mirror=None) -> str:
     """Stamp the CURRENT family state into both halves — stats sidecar
     first, then postings (a crash between the two leaves disagreeing
-    halves, which refuse). The final step of every completed op."""
+    halves, which refuse). The final step of every completed op.
+    ``stats_mirror``: (n_docs, total_len, max_df) to mirror into the
+    stats sidecar in the SAME atomic write as the stamp (r15 — the
+    serve-path shortcut); None leaves any existing mirror as is."""
     from . import metadata
 
     token = _family_state_token(spark, index_path)
@@ -357,6 +383,13 @@ def _stamp_family_epoch(spark: SparkSession, index_path: str) -> str:
             "write"
         )
     sm.text_epoch = token
+    if stats_mirror is not None:
+        n_docs, total_len, max_df = stats_mirror
+        sm.text_stats = {
+            "n_docs": int(n_docs),
+            "total_len": int(total_len),
+            "max_df": None if max_df is None else int(max_df),
+        }
     metadata.write_sidecar(spark, _stats_path(index_path), sm)
     pm = metadata.read_sidecar(spark, index_path)
     if pm is not None:

@@ -313,3 +313,89 @@ def test_stats_sibling_history_stays_bounded(spark, tmp_path):
     assert len(fs.list_files(spark, _stats_path(path))) <= 2
     n_docs, _, _ = _read_stats(spark, path)
     assert n_docs == 9
+
+
+def test_stats_mirror_serves_driver_side(spark, tmp_path, monkeypatch):
+    """r15 serve-path shortcut: the corpus stats ride the stats
+    sidecar (written atomically with the commit stamp), so _read_stats
+    costs one driver-side JSON read and ZERO Spark jobs — pinned by
+    poisoning the Spark fetch path and reading anyway. A pre-r15
+    family (mirror stripped) falls back to collecting the row, with
+    identical values."""
+    import s3parq_spark.text_index as ti
+
+    corpus = {i: f"alpha w{i}" for i in range(5)}
+    path = str(tmp_path / "idx")
+    build_text_index(spark, _mk_docs(spark, corpus), path, "doc_id",
+                     "text", n_buckets=4, max_df=3)
+
+    def no_spark(*a, **k):
+        raise AssertionError("stats read must not run a Spark job")
+
+    monkeypatch.setattr(ti, "fetch_path", no_spark)
+    assert _read_stats(spark, path) == (5, 10, 3)
+    monkeypatch.undo()
+
+    # strip the mirror: the row remains the source of truth
+    sm = metadata.read_sidecar(spark, _stats_path(path))
+    sm.text_stats = None
+    metadata.write_sidecar(spark, _stats_path(path), sm)
+    assert _read_stats(spark, path) == (5, 10, 3)
+
+
+def test_stream_reindex_self_heals_stale_stamps(spark, tmp_path):
+    """r15: a batch re-delivered after a crash MID-reindex finds stale
+    commit stamps — the streaming sink must repair (ground truth from
+    doclens) and replay instead of wedging the stream. Manufactured by
+    poisoning the stamp directly (the minimal stale-stamp state); the
+    landed batch must then equal a rebuild over the final corpus."""
+    import glob
+    import os
+    import shutil
+
+    from s3parq_spark.streaming import stream_index_documents
+
+    src = str(tmp_path / "landing")
+    idx = str(tmp_path / "idx")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def land(rows, name):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        scratch = str(tmp_path / f"scratch_{name}")
+        df.coalesce(1).write.parquet(scratch)
+        for i, p in enumerate(
+            sorted(glob.glob(f"{scratch}/part-*.parquet"))
+        ):
+            shutil.move(p, f"{src}/{name}-{i}.parquet")
+
+    w1 = [(i, f"alpha doc{i}") for i in range(6)]
+    land(w1, "w1")
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+
+    # the crashed-replay state: stamps no longer match the live heads
+    sm = metadata.read_sidecar(spark, _stats_path(idx))
+    sm.text_epoch = "v999:-"
+    metadata.write_sidecar(spark, _stats_path(idx), sm)
+    with pytest.raises(TextIndexEpochError):
+        search_text_index(spark, idx, ["alpha"], k=3)
+
+    # wave 2 arrives: the sink must repair + land, not wedge
+    w2 = [(2, "beta changed"), (7, "beta doc7new")]
+    land(w2, "w2")
+    stream_index_documents(spark, src, idx, "doc_id", "text",
+                           checkpoint_location=ckpt, n_buckets=4)
+
+    final = dict(w1)
+    final.update(dict(w2))
+    ref = str(tmp_path / "ref")
+    build_text_index(
+        spark,
+        spark.createDataFrame(sorted(final.items()),
+                              "doc_id long, text string"),
+        ref, "doc_id", "text", n_buckets=4,
+    )
+    for q in (["alpha"], ["beta"]):
+        assert _rows(search_text_index(spark, idx, q, k=10)) == \
+            _rows(search_text_index(spark, ref, q, k=10)), q
