@@ -276,7 +276,10 @@ def _write_stats(
     )
 
 
-def _read_stats(spark: SparkSession, index_path: str):
+_UNSET = object()
+
+
+def _read_stats(spark: SparkSession, index_path: str, _stats_meta=_UNSET):
     """The corpus stats → (n_docs, total_len, max_df). Served from the
     stats sidecar MIRROR when present (r15): one driver-side JSON read,
     ZERO Spark jobs — the mirror rides the same atomic sidecar write as
@@ -289,7 +292,11 @@ def _read_stats(spark: SparkSession, index_path: str):
     proceeded)."""
     from . import metadata
 
-    sm = metadata.read_sidecar(spark, _stats_path(index_path))
+    sm = (
+        _stats_meta
+        if _stats_meta is not _UNSET
+        else metadata.read_sidecar(spark, _stats_path(index_path))
+    )
     ts = sm.text_stats if sm is not None else None
     if ts is not None:
         mdf = ts.get("max_df")
@@ -399,17 +406,19 @@ def _stamp_family_epoch(spark: SparkSession, index_path: str,
 
 
 def _check_family_epoch(spark: SparkSession, index_path: str, meta,
-                        op: str) -> None:
+                        op: str):
     """Refuse to serve or maintain a family whose stamps disagree with
     its live heads (or with each other). ``meta`` is the already-loaded
-    postings sidecar."""
+    postings sidecar. Returns the loaded STATS sidecar so serve paths
+    can read the corpus-stats mirror without a second driver read (one
+    GET per search on an object store)."""
     from . import metadata
 
     sm = metadata.read_sidecar(spark, _stats_path(index_path))
     stats_stamp = sm.text_epoch if sm is not None else None
     postings_stamp = meta.text_epoch if meta is not None else None
     if stats_stamp is None and postings_stamp is None:
-        return  # pre-r15 family: never stamped (back-compat, like ANN)
+        return sm  # pre-r15 family: never stamped (back-compat, like ANN)
     expected = _family_state_token(spark, index_path, meta=meta)
     if stats_stamp != expected or postings_stamp != expected:
         raise TextIndexEpochError(
@@ -423,6 +432,7 @@ def _check_family_epoch(spark: SparkSession, index_path: str, meta,
             "repair_index_stats(spark, path) to converge (or "
             "maintain_dataset(..., repair_text_on_epoch_mismatch=True))."
         )
+    return sm
 
 
 def _check_or_adopt_epoch(spark: SparkSession, index_path: str, meta,
@@ -1309,11 +1319,11 @@ def search_text_index_batch(
         )
     all_terms = sorted({t for _, t in pairs})
     meta = _require_index(spark, index_path)
-    _check_family_epoch(
+    sm = _check_family_epoch(
         spark, index_path, meta, "search_text_index_batch"
     )
     id_col = _index_id_col(meta, index_path)
-    n_docs, total_len, _ = _read_stats(spark, index_path)
+    n_docs, total_len, _ = _read_stats(spark, index_path, _stats_meta=sm)
     postings = fetch_path(
         spark, index_path, filters=_term_filter(all_terms)
     )
@@ -1581,9 +1591,9 @@ def search_text_index(
     # a crash-damaged family must REFUSE, not double-count a half-moved
     # posting list or score with stale stats (r15 — the ANN epoch-pin
     # discipline; one sidecar read + a string compare, no data I/O)
-    _check_family_epoch(spark, index_path, meta, "search_text_index")
+    sm = _check_family_epoch(spark, index_path, meta, "search_text_index")
     id_col = _index_id_col(meta, index_path)
-    n_docs, total_len, _ = _read_stats(spark, index_path)
+    n_docs, total_len, _ = _read_stats(spark, index_path, _stats_meta=sm)
     postings = fetch_path(
         spark,
         index_path,
