@@ -58,6 +58,7 @@ from pyspark.sql import functions as F
 from . import fs, metadata
 from .fetch import fetch_path
 from .filters import in_literals
+from .local_frames import local_rows_df
 from .operators.similarity import _cell_scores, kmeans_centroids, pq_encode
 from .publish import delete_where, publish_path
 
@@ -1093,8 +1094,8 @@ def search_ivf_index_batch(
                 for j, book in enumerate(q["books"])
             ]
             rows.extend((qid, c, luts) for c in cells)
-        qframe = spark.createDataFrame(
-            rows,
+        qframe = local_rows_df(
+            spark, rows,
             "query_id string, cell int, luts array<array<double>>",
         )
         score = None
@@ -1109,8 +1110,8 @@ def search_ivf_index_batch(
         for qid, (qv, cells) in per_q.items():
             qn = max(1e-12, sum(x * x for x in qv) ** 0.5)
             rows.extend((qid, c, qv, qn) for c in cells)
-        qframe = spark.createDataFrame(
-            rows,
+        qframe = local_rows_df(
+            spark, rows,
             "query_id string, cell int, qv array<double>, qn double",
         )
         dot = F.aggregate(
@@ -1173,7 +1174,8 @@ def search_ivf_index_batch(
     )
     from pyspark.sql import types as T
 
-    pairs = spark.createDataFrame(
+    pairs = local_rows_df(
+        spark,
         [(r["query_id"], r[id_col]) for r in cand],
         T.StructType([
             T.StructField("query_id", T.StringType()),
@@ -1184,8 +1186,8 @@ def search_ivf_index_batch(
         (qid, qv, max(1e-12, sum(x * x for x in qv) ** 0.5))
         for qid, (qv, _) in per_q.items()
     ]
-    q2 = spark.createDataFrame(
-        qrows, "query_id string, qv array<double>, qn double"
+    q2 = local_rows_df(
+        spark, qrows, "query_id string, qv array<double>, qn double"
     )
     dot = F.aggregate(
         F.zip_with(F.col("vec"), F.col("qv"), lambda a, b: a * b),

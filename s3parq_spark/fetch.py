@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .local_frames import local_rows_df
+
 from . import fs, metadata, naming
 from .filters import (
     NON_NUM_TYPES,
@@ -301,7 +303,7 @@ def _eval_transform_many(spark, expr, col, vtype, values):
     rows = [(i, v) for i, v in enumerate(values)]
     try:
         got = (
-            spark.createDataFrame(rows, schema)
+            local_rows_df(spark, rows, schema)
             .select(F.col("__i"), F.expr(expr).alias("v"))
             .collect()
         )

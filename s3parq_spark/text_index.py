@@ -119,6 +119,7 @@ from .fetch import fetch_path
 # shared with ann_index (r11 verdict #7): the typed IN-literal builder
 # lives with the rest of the predicate vocabulary in filters.py
 from .filters import in_literals as _in_literals
+from .local_frames import local_rows_df
 from .publish import eq_delete_append, publish_path
 
 __all__ = [
@@ -256,7 +257,8 @@ def _write_stats(
     total_len: int,
     max_df: Optional[int],
 ) -> None:
-    stats = spark.createDataFrame(
+    stats = local_rows_df(
+        spark,
         [(int(n_docs), int(total_len), max_df if max_df is None else int(max_df))],
         "n_docs long, total_len long, max_df long",
     )
@@ -816,8 +818,8 @@ def _route_batch(postings: DataFrame, live_terms, stop_terms) -> tuple:
     s = postings.sparkSession
     if not stop_terms:
         return postings, None
-    stop_df = s.createDataFrame([(t,) for t in sorted(stop_terms)],
-                                "term string")
+    stop_df = local_rows_df(s, [(t,) for t in sorted(stop_terms)],
+                            "term string")
     live_rows = postings.join(F.broadcast(stop_df), "term", "left_anti")
     stop_rows = postings.join(F.broadcast(stop_df), "term", "left_semi")
     return live_rows, stop_rows
@@ -1330,7 +1332,7 @@ def search_text_index_batch(
     # global df per term — computed ONCE over the shared fetch, exactly
     # what each per-query search would compute for its own terms
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
-    qt = spark.createDataFrame(pairs, "query_id string, term string")
+    qt = local_rows_df(spark, pairs, "query_id string, term string")
     avgdl = F.lit(float(total_len)) / F.lit(n_docs)
     idf = F.log(
         (F.lit(n_docs) - F.col("df_t") + F.lit(0.5))

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from .local_frames import local_rows_df
 from .publish import publish_path
 from .fetch import (
     fetch_diff_path,
@@ -308,13 +309,13 @@ def q_partition_values(spark, sf_dir):
     """A1 metadata-only distinct (fetch_parq.py:49-70): answered from the
     file listing, zero row I/O."""
     vals = get_all_partition_values(_li_flag_ds(spark, sf_dir), "", "l_returnflag", spark=spark)
-    return spark.createDataFrame([(v,) for v in vals], "l_returnflag string")
+    return local_rows_df(spark, [(v,) for v in vals], "l_returnflag string")
 
 
 def q_partition_max(spark, sf_dir):
     """A2 metadata-only max (fetch_parq.py:121-149)."""
     m = get_max_partition_value(_li_linenumber_ds(spark, sf_dir), "", "l_linenumber", spark=spark)
-    return spark.createDataFrame([(int(m),)], "max_linenumber bigint")
+    return local_rows_df(spark, [(int(m),)], "max_linenumber bigint")
 
 
 def q_partition_diff_values(spark, sf_dir):
@@ -322,7 +323,7 @@ def q_partition_diff_values(spark, sf_dir):
     vals = get_diff_partition_values(
         _li_flag_ds(spark, sf_dir), "", "l_returnflag", ["A", "N"], spark=spark
     )
-    return spark.createDataFrame([(v,) for v in vals], "l_returnflag string")
+    return local_rows_df(spark, [(v,) for v in vals], "l_returnflag string")
 
 
 def q_fetch_diff(spark, sf_dir):
@@ -1508,7 +1509,8 @@ def q_band_join(spark, sf_dir):
     """Range (band) join: orders against a small interval dimension via a
     broadcast theta-join — the scalable plan for value-range classification
     (a shuffle range-join would be wrong for a 3-row dim)."""
-    bands = spark.createDataFrame(
+    bands = local_rows_df(
+        spark,
         [
             ("low", 0.0, 100_000.0),
             ("mid", 100_000.0, 200_000.0),
@@ -3130,8 +3132,8 @@ def q_ivf_pruned_topk(spark, sf_dir):
         filters=[{"partition": "cell", "comparison": "==", "values": cells}],
         columns=["vec_id", "embedding", "cell"],
     )
-    probe = spark.createDataFrame(
-        pairs, "query_id bigint, cell bigint, qvec array<double>"
+    probe = local_rows_df(
+        spark, pairs, "query_id bigint, cell bigint, qvec array<double>"
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (

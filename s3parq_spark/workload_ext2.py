@@ -23,6 +23,8 @@ from typing import Callable, Dict
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .local_frames import local_rows_df
+
 
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
@@ -650,8 +652,8 @@ def q_dataset_stats(spark, sf_dir):
         )
         for c in cols
     ]
-    return spark.createDataFrame(
-        rows,
+    return local_rows_df(
+        spark, rows,
         "col_name string, min_val string, max_val string, "
         "n_nulls bigint, n_distinct bigint, row_count bigint",
     )
@@ -2383,7 +2385,8 @@ def q_partition_stats(spark, sf_dir):
     collect_partition_stats(spark, path)
     recs = read_partition_stats(spark, path)
     assert recs is not None and all("n_rows" in r for r in recs)
-    return spark.createDataFrame(
+    return local_rows_df(
+        spark,
         [(int(r["values"]["n_regionkey"]), r["n_rows"]) for r in recs],
         "n_regionkey BIGINT, n_rows BIGINT",
     )
@@ -3057,8 +3060,8 @@ def q_metadata_count(spark, sf_dir):
     per = partition_rowcounts(spark, path, "l_linestatus")
     total = dataset_rowcount(spark, path)
     assert total == sum(per.values())  # two metadata answers must agree
-    return spark.createDataFrame(
-        sorted(per.items()), "l_linestatus string, n_rows long"
+    return local_rows_df(
+        spark, sorted(per.items()), "l_linestatus string, n_rows long"
     )
 
 
@@ -5015,8 +5018,8 @@ def q_incremental_analyze(spark, sf_dir):
             f"part:{p['values']['o_orderpriority']}", None, None, None,
             int(p["n_rows"]),
         ))
-    return spark.createDataFrame(
-        rows,
+    return local_rows_df(
+        spark, rows,
         "stat string, min_s string, max_s string, n_nulls bigint, "
         "n_rows bigint",
     ).orderBy("stat")
@@ -5562,8 +5565,8 @@ def q_maintain_plain_dataset(spark, sf_dir):
             f"fetch:{r['o_orderstatus']}", None, None, None,
             int(r["count"]),
         ))
-    return spark.createDataFrame(
-        rows,
+    return local_rows_df(
+        spark, rows,
         "stat string, min_s string, max_s string, n_nulls bigint, "
         "n_rows bigint",
     ).orderBy("stat")
@@ -6201,8 +6204,8 @@ def q_partition_stats_spilled(spark, sf_dir):
             "fetch:%s|%s" % (r["o_orderstatus"], r["o_orderpriority"]),
             int(r["count"]),
         ))
-    return spark.createDataFrame(
-        rows, "stat string, n_rows bigint"
+    return local_rows_df(
+        spark, rows, "stat string, n_rows bigint"
     ).orderBy("stat")
 
 
