@@ -303,13 +303,61 @@ def word_shingle_hashes(df: DataFrame, text_col: str, n: int = 3) -> DataFrame:
 # n-gram Jaccard near-dup (exact, bucket-joined on shared shingles)
 # ---------------------------------------------------------------------------
 
+def _shingle_schema(df: DataFrame, id_col: str, with_sig: bool = False):
+    from pyspark.sql import types as T
+
+    fields = [
+        T.StructField("doc", df.schema[id_col].dataType, True),
+        T.StructField("sh", T.ArrayType(T.LongType()), True),
+        T.StructField("n", T.IntegerType(), True),
+    ]
+    if with_sig:
+        fields.append(T.StructField("sig", T.ArrayType(T.LongType()), True))
+    return T.StructType(fields)
+
+
 def _sized_shingle_table(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
     """Per-doc sorted shingle-hash array + its size — the shared input of
     candidate generation (prefix/LSH) and exact verification. A
     single-partition input (one small file) is spread first so the hashing
-    parallelizes."""
+    parallelizes.
+
+    Stays the JVM expression pipeline: an equivalent vectorized numpy
+    formulation exists (``_nphash.sized_shingle_batches``, bit-identical —
+    the r15 parity tests pin it) and wins when fused with the minhash
+    signature (see ``minhash_neardup_pairs``), but for THIS table alone it
+    measured a wash on compute (0.54 s both ways at sf0.1 quiet) while
+    adding one Python-boundary latency per SUBTREE RE-EVALUATION — the
+    prefix join and the verify evaluate this plan up to 4×, concurrently,
+    and the JVM re-evals are free of that latency (full neardup 1.53 s JVM
+    vs 1.94 s numpy). Measured, not assumed — guide §1.1."""
+    return _sized_shingle_table_jvm(df, id_col, text_col, n)
+
+
+def _sized_shingle_table_np(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """The vectorized numpy formulation of ``_sized_shingle_table``
+    (one ``mapInArrow`` pass, ``_nphash``) — bit-identical output, pinned
+    by the r15 parity tests; fused with the signature computation inside
+    ``minhash_neardup_pairs`` where it is the measured win."""
+    from ._nphash import sized_shingle_batches
+
+    src = _spread(df.select(id_col, text_col))
+
+    def body(it):
+        yield from sized_shingle_batches(it, n)
+
+    return src.mapInArrow(body, _shingle_schema(df, id_col))
+
+
+def _sized_shingle_table_jvm(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """The JVM expression formulation of ``_sized_shingle_table`` — the
+    parity reference for the vectorized path."""
     src = _spread(df.select(id_col, text_col))
     return (
         word_shingle_hashes(src, text_col, n)
@@ -542,16 +590,23 @@ def minhash_neardup_pairs(
     shuffle on the doc id) and the verify stage reuses the same table —
     shingling runs once, not twice.
     """
+    from ._nphash import sized_shingle_batches
+
     rows = _band_rows(num_hashes, bands)
-    sized = _sized_shingle_table(df, id_col, text_col, shingle_n).persist()
-    ex = sized.select("doc", F.explode("sh").alias("__shingle"))
-    agg = ex.groupBy("doc").agg(
-        *[
-            F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"__h{i}")
-            for i in range(num_hashes)
-        ]
-    )
-    banded = agg.select(
+    src = _spread(df.select(id_col, text_col))
+
+    def body(it):
+        yield from sized_shingle_batches(it, shingle_n, num_hashes)
+
+    # ONE vectorized pass computes the sorted shingle table AND the minhash
+    # signature per doc (_nphash — bit-identical to the former explode +
+    # num_hashes min-aggregates, but with no explode, no signature shuffle,
+    # and no duplicate evaluation across the self-join/verify subtrees:
+    # the persisted table carries everything each side needs)
+    sized = src.mapInArrow(
+        body, _shingle_schema(df, id_col, with_sig=True)
+    ).persist()
+    banded = sized.select(
         "doc",
         F.explode(
             F.array(
@@ -559,7 +614,7 @@ def minhash_neardup_pairs(
                     F.struct(
                         F.lit(b).alias("band_id"),
                         F.hash(
-                            F.array(*[f"__h{i}" for i in range(b * rows, (b + 1) * rows)])
+                            F.slice("sig", b * rows + 1, rows)
                         ).alias("band_hash"),
                     )
                     for b in range(bands)
