@@ -20,10 +20,12 @@ row I/O — exactly like the reference.
 
 from __future__ import annotations
 
+import os
 import posixpath
 import re as _re
 import threading
 from collections import OrderedDict
+from contextlib import contextmanager
 from typing import Dict, List, Optional
 from urllib.parse import unquote
 
@@ -951,7 +953,10 @@ def _eq_delete_keys(
         [f for f in _scan_schema(meta).fields if f.name in key_cols]
     )
     full = [_pp.join(path, f) for f in eq["files"]]
-    keys_df = spark.read.schema(key_schema).parquet(*full).select(*key_cols)
+    with _local_listing(spark, path, len(full)):
+        keys_df = (
+            spark.read.schema(key_schema).parquet(*full).select(*key_cols)
+        )
     if (
         eq.get("bytes") is not None
         and eq["bytes"] <= _EQ_DELETE_BROADCAST_BYTES
@@ -1588,6 +1593,52 @@ def __getattr__(name):
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
 
 
+#: past this many scan paths Spark launches a DISTRIBUTED listing job
+#: (spark.sql.sources.parallelPartitionDiscovery.threshold, default 32).
+#: Right for object stores (a LIST per path amortizes across executors);
+#: pure overhead on a LOCAL filesystem, where a getFileStatus is
+#: microseconds and the job costs ~0.2 s of scheduling — the r15 profile
+#: showed a 47-survivor pruned fetch paying a 47-task listing job twice.
+#: Local-scheme reads raise the threshold to this value (env-overridable)
+#: around index construction; remote reads keep Spark's default.
+_LOCAL_LIST_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_LOCAL_LIST_THRESHOLD", "4096")
+)
+_LIST_THRESHOLD_CONF = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+
+
+@contextmanager
+def _local_listing(spark, path, n_paths):
+    """Temporarily raise the parallel-listing threshold while building a
+    file index over LOCAL paths (driver-serial listing wins there at any
+    survivor count this engine produces); no-op for remote schemes or
+    when the index fits under Spark's default threshold anyway. The conf
+    is restored immediately after the (eager) index build, so remote
+    reads elsewhere in the session keep distributed listing."""
+    from . import fs as _fs
+
+    if n_paths < 32 or _fs._local_root(path, spark) is None:
+        yield
+        return
+    try:
+        prev = spark.conf.get(_LIST_THRESHOLD_CONF, None)
+        cur = int(prev) if prev is not None else 32
+    except Exception:
+        yield
+        return
+    if cur >= _LOCAL_LIST_THRESHOLD:
+        yield
+        return
+    spark.conf.set(_LIST_THRESHOLD_CONF, str(_LOCAL_LIST_THRESHOLD))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(_LIST_THRESHOLD_CONF)
+        else:
+            spark.conf.set(_LIST_THRESHOLD_CONF, prev)
+
+
 def _scan_rel_files(spark, path, schema, rel_files, meta=None):
     """Explicit-schema scan of a dataset-relative file list with
     ``basePath`` hive-partition recovery; an empty list yields a typed
@@ -1601,13 +1652,16 @@ def _scan_rel_files(spark, path, schema, rel_files, meta=None):
     if not rel_files:
         return spark.createDataFrame([], schema)
     reader = spark.read.schema(schema).option("basePath", path)
-    if meta is not None and len(rel_files) >= _DIR_SCAN_MIN_FILES:
-        df = _dir_scan(spark, reader, path, meta, rel_files)
-        if df is not None:
-            _SCAN_TLS.used_dirs = True
-            return df
-    _SCAN_TLS.used_dirs = False
-    return reader.parquet(*[posixpath.join(path, r) for r in rel_files])
+    with _local_listing(spark, path, len(rel_files)):
+        if meta is not None and len(rel_files) >= _DIR_SCAN_MIN_FILES:
+            df = _dir_scan(spark, reader, path, meta, rel_files)
+            if df is not None:
+                _SCAN_TLS.used_dirs = True
+                return df
+        _SCAN_TLS.used_dirs = False
+        return reader.parquet(
+            *[posixpath.join(path, r) for r in rel_files]
+        )
 
 
 def _rel_from_uri(uri: str, base_variants) -> Optional[str]:
