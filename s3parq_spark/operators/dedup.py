@@ -180,13 +180,21 @@ def normalized_text(col, lowercase: bool = True):
     return F.lower(c) if lowercase else c
 
 
-def _spread(df: DataFrame) -> DataFrame:
+def _spread(df: DataFrame, key: str = None) -> DataFrame:
     """Spread a narrow input (one small file = one scan partition) to the
     session's default parallelism so downstream hashing parallelizes.
     Shared by the shingle/signature builders — one place to swap in a
-    cheaper partition-count probe later."""
+    cheaper partition-count probe later.
+
+    ``key``: hash-repartition on this column instead of round-robin — a
+    deterministic row→partition mapping, so the exchange skips the local
+    sort every keyless ``repartition(n)`` pays for retry reproducibility
+    (guide §2.5) and stays safe under task retries. Callers pass their
+    unique id column; keyless callers keep round-robin."""
     parallelism = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < parallelism:
+        if key is not None:
+            return df.repartition(parallelism, F.col(key))
         return df.repartition(parallelism)
     return df
 
@@ -345,7 +353,7 @@ def _sized_shingle_table_np(
     ``minhash_neardup_pairs`` where it is the measured win."""
     from ._nphash import sized_shingle_batches
 
-    src = _spread(df.select(id_col, text_col))
+    src = _spread(df.select(id_col, text_col), key=id_col)
 
     def body(it):
         yield from sized_shingle_batches(it, n)
@@ -358,7 +366,7 @@ def _sized_shingle_table_jvm(
 ) -> DataFrame:
     """The JVM expression formulation of ``_sized_shingle_table`` — the
     parity reference for the vectorized path."""
-    src = _spread(df.select(id_col, text_col))
+    src = _spread(df.select(id_col, text_col), key=id_col)
     return (
         word_shingle_hashes(src, text_col, n)
         .select(
@@ -379,6 +387,15 @@ def _exact_jaccard_verify(
     """Exact Jaccard on candidate pairs only: ``|A∩B|`` via
     ``array_intersect`` (JVM-side) against the sized shingle table, then the
     threshold filter. ``cand`` needs columns (doc_a, doc_b)."""
+    # NOTE (r15): the candidate set is BYTES-small but each row's verify is
+    # array_intersect over two shingle arrays — the most expensive per-row
+    # work in the pipeline. It parallelizes through the PARTITIONING OF THE
+    # CANDIDATE LINEAGE: with `_spread(key=id_col)` upstream, the candidate
+    # join's stream side is hash-partitioned by doc_a, which satisfies the
+    # distinct's clustering requirement — the distinct runs exchange-free
+    # and the verify pipelines in the same 32-way stage. (An explicit
+    # repartition here was tried and measured 0.3 s SLOWER: it re-adds an
+    # exchange + an AQE stage the keyed lineage had eliminated.)
     sa = sized.select(
         F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"), F.col("n").alias("n_a")
     )
@@ -478,7 +495,7 @@ def minhash_signatures(
     ``array_min(transform(...))`` formulations run interpreted per element
     and measured 5-200× slower. A single-partition input (one small file)
     is spread first so the hashing parallelizes."""
-    df = _spread(df)
+    df = _spread(df, key=id_col)
     sh = word_shingle_hashes(df, text_col, shingle_n)
     other_cols = [c for c in df.columns if c != text_col]
     ex = sh.select(*other_cols, F.explode("shingle_hashes").alias("__shingle"))
@@ -593,7 +610,7 @@ def minhash_neardup_pairs(
     from ._nphash import sized_shingle_batches
 
     rows = _band_rows(num_hashes, bands)
-    src = _spread(df.select(id_col, text_col))
+    src = _spread(df.select(id_col, text_col), key=id_col)
 
     def body(it):
         yield from sized_shingle_batches(it, shingle_n, num_hashes)
@@ -657,7 +674,7 @@ def simhash_fingerprints(
     of ``xxhash64`` — bit-identical in any engine with md5 (used by the
     correctness oracle, which replicates the whole pipeline in SQL); pass
     ``bits<=60`` with it. Default stays xxhash64 (faster, 64 full bits)."""
-    src = _spread(df.select(id_col, text_col))
+    src = _spread(df.select(id_col, text_col), key=id_col)
     tok_hash = (
         F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast(
             "bigint"

@@ -68,8 +68,45 @@ def _ds_path(sf_dir: str, leaf: str) -> str:
     return os.path.join(_CACHE_ROOT, key, leaf)
 
 
+#: per-process memo of INFERRED SOURCE SCHEMAS (StructType per parquet
+#: path) — metadata, never results: every query still scans the parquet.
+#: Without it each `_table` reference pays a footer-read schema-inference
+#: job at plan time (nation_revenue touches 6 tables → 6 serial driver
+#: jobs before any work; measured ~0.9 s of the 2.4 s wall in a fresh
+#: session). The engine's own fetch path already reads its schema from
+#: the sidecar (S4); this is the same discipline for the direct scans.
+#: Source dirs are immutable within a bench/oracle run; tests that
+#: rewrite a path must not reuse a previously inferred schema, so the key
+#: includes the newest data-file mtime under the path.
+_SOURCE_SCHEMA_CACHE: Dict[tuple, "object"] = {}
+
+
+def _source_schema(spark: SparkSession, path: str):
+    try:
+        mtime = os.path.getmtime(path)
+        if os.path.isdir(path):
+            mtime = max(
+                [mtime]
+                + [
+                    os.path.getmtime(e.path)
+                    for e in os.scandir(path)
+                    if e.name.endswith(".parquet")
+                ]
+            )
+    except OSError:
+        return None
+    key = (path, mtime)
+    if key not in _SOURCE_SCHEMA_CACHE:
+        _SOURCE_SCHEMA_CACHE[key] = spark.read.parquet(path).schema
+    return _SOURCE_SCHEMA_CACHE[key]
+
+
 def _table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(posixpath.join(sf_dir, f"{name}.parquet"))
+    path = posixpath.join(sf_dir, f"{name}.parquet")
+    schema = _source_schema(spark, path)
+    if schema is None:
+        return spark.read.parquet(path)
+    return spark.read.schema(schema).parquet(path)
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -83,7 +120,13 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame). The visible side effect: other TIMESTAMP(NANOS) reads in the
     session also load as int64 instead of erroring."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(posixpath.join(sf_dir, "events.parquet"))
+    path = posixpath.join(sf_dir, "events.parquet")
+    schema = _source_schema(spark, path)
+    df = (
+        spark.read.schema(schema).parquet(path)
+        if schema is not None
+        else spark.read.parquet(path)
+    )
     ts_type = dict(df.dtypes).get("ts")
     if ts_type == "bigint":
         # integer div: float division would round and shift some values by 1µs
