@@ -72,9 +72,54 @@ class TagPinnedError(ValueError):
 
 def check_empty_dataframe(df: DataFrame) -> None:
     """Reject empty publishes (``publish_parq.py:16-30``) without a full
-    count: ``limit(1)`` short-circuits the scan."""
+    count: the source footers prove non-emptiness for free when the plan
+    is row-count-preserving over a local parquet scan (r15 — this was
+    the one Spark job left on the warm-publish metadata plane);
+    otherwise ``limit(1)`` short-circuits the scan."""
+    if _source_proves_nonempty(df):
+        return
     if df.limit(1).count() == 0:
         raise ValueError("Cannot publish an empty dataframe")
+
+
+def _source_proves_nonempty(df: DataFrame) -> bool:
+    """True when the plan's own source footers prove ``df`` has rows —
+    ZERO Spark jobs. Qualifies only when every layer above the scan is
+    row-count-PRESERVING (``SubqueryAlias``/``Project``: scalar
+    expressions, never generators — explode plans as ``Generate``) and
+    the scan is a local parquet ``LogicalRelation``; a ``Filter`` bails
+    (only a job can prove survivors). Reads footers until one reports
+    rows — one footer for any real dataset; gives up (falls back to the
+    job) after ``_SOURCE_FOOTER_SAMPLE`` empty footers."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+
+        def _cls(p):
+            return p.getClass().getSimpleName()
+
+        while _cls(plan) in ("SubqueryAlias", "Project"):
+            plan = plan.children().apply(0)
+        if _cls(plan) != "LogicalRelation":
+            return False
+        files = list(df.inputFiles())
+    except Exception:
+        return False
+    if not files:
+        return False
+    from urllib.parse import urlparse
+
+    try:
+        import pyarrow.parquet as pq
+
+        for f in files[:_SOURCE_FOOTER_SAMPLE]:
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return False
+            if pq.ParquetFile(u.path).metadata.num_rows > 0:
+                return True
+    except Exception:
+        return False
+    return False
 
 
 def _inherit_declaration(

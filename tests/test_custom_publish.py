@@ -195,6 +195,41 @@ def test_parquet_source_sizing_shortcut(spark, tmp_path):
     ) is None
 
 
+def test_source_footers_prove_nonempty(spark, tmp_path):
+    """r15: the warm-publish empty check must be job-free when the plan is
+    row-count-preserving over a local parquet scan, and must still REJECT
+    every actually-empty frame (the footer proof never fires for a Filter
+    or a local relation — only a job can prove those)."""
+    from pyspark.sql import functions as F
+
+    from s3parq_spark.publish import (
+        _source_proves_nonempty, check_empty_dataframe,
+    )
+
+    src = str(tmp_path / "proof_src.parquet")
+    spark.range(100).selectExpr("id", "CAST(id AS STRING) AS s")\
+        .coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    assert _source_proves_nonempty(df) is True
+    assert _source_proves_nonempty(df.select("id")) is True
+    check_empty_dataframe(df)  # no job needed, no raise
+    # a Filter layer bails to the job — and an empty survivor set raises
+    assert _source_proves_nonempty(df.filter("id < 0")) is False
+    with pytest.raises(ValueError, match="empty"):
+        check_empty_dataframe(df.filter("id < 0"))
+    # local relations never qualify; empty ones still raise
+    assert _source_proves_nonempty(spark.range(5).toDF("id")) is False
+    with pytest.raises(ValueError, match="empty"):
+        check_empty_dataframe(spark.createDataFrame([], "a int"))
+    # an empty parquet source (schema-only file) falls through to the job
+    empty_src = str(tmp_path / "proof_empty.parquet")
+    spark.range(0).coalesce(1).write.parquet(empty_src)
+    empty_df = spark.read.parquet(empty_src)
+    assert _source_proves_nonempty(empty_df) is False
+    with pytest.raises(ValueError, match="empty"):
+        check_empty_dataframe(empty_df)
+
+
 def test_footer_sizing_cache_replays_identically(spark, tmp_path):
     """The (path, schema) sizing cache must replay the SAME rows-per-file
     the footer shortcut computed: the cache stores the model's
