@@ -1874,11 +1874,31 @@ def fetch_diff_path(
     partition: str,
     reverse: bool = False,
 ) -> DataFrame:
-    """A4 ``fetch_diff`` (``fetch_parq.py:233-280``) as ONE Catalyst plan: a
-    broadcast left-anti join of the input against the comparison dataset's
-    distinct partition values, replacing the reference's three-pass
-    values→diff→filtered-fetch. The distinct-values side is tiny (it is a
-    partition-value set), so the anti-join never shuffles the big side."""
+    """A4 ``fetch_diff`` (``fetch_parq.py:233-280``): rows of the input
+    whose ``partition`` value does not appear in the comparison dataset,
+    replacing the reference's three-pass values→diff→filtered-fetch.
+
+    r15 plan shape: the comparison side of the anti-join is BY DEFINITION
+    a distinct partition-value set — the manifest already records it, so
+    the values come from the metadata plane (the A1 machinery: path
+    parsing + ``convert_type``, zero Spark jobs) instead of a scan +
+    two-phase distinct aggregation of the comparison dataset. And when
+    the diff column is a same-typed partition column on BOTH sides with
+    no null-partition dirs in the input, the anti-join itself collapses
+    to a partition-pruning ``isin`` filter over the input scan
+    (survivors = input values − comparison values, computed driver-side
+    exactly like A3): the scan reads ONLY the surviving partitions
+    (PartitionFilters at the file index) instead of anti-joining every
+    input row — at scale this is the difference between a full scan and
+    a pruned one. Fallbacks preserve the legacy semantics bit-for-bit: a
+    comparison with pending merge-on-read deletes (manifest values could
+    over-subtract rows the files no longer logically carry) or a diff on
+    a non-partition comparison column keeps the original scan-side plan;
+    any other edge (declared-type mismatch, null input partitions, input
+    without a sidecar) keeps the anti-join but feeds it the manifest
+    values through a local broadcast frame with the same cast — the
+    legacy ``join(on=partition)`` column order (partition first) is
+    reproduced on every path."""
     if reverse:
         input_path, comparison_path = comparison_path, input_path
 
@@ -1888,17 +1908,78 @@ def fetch_diff_path(
 
     # ONE metadata read + listing for the comparison side: a separate
     # existence probe would repeat the identical sidecar/manifest work
-    # fetch_path performs (it doubled the driver cost of every diff on a
-    # remote dataset). Missing or non-s3parq comparison -> nothing to
-    # subtract; an empty-but-typed comparison anti-joins to a no-op.
+    # (it doubled the driver cost of every diff on a remote dataset).
+    # Missing or non-s3parq comparison -> nothing to subtract.
+    cmp_files, cmp_meta, _ = _files_and_meta(spark, comparison_path)
+    if cmp_meta is None:
+        return inp
+
+    inp_type = dict(inp.dtypes).get(partition)
+    cmp_partition_types = cmp_meta.all_partition_data_types()
+    if partition in cmp_partition_types and not cmp_meta.has_tombstones():
+        cmp_dtype = cmp_partition_types[partition]
+        cmp_vals = {
+            convert_type(v, cmp_dtype)
+            for v in _partition_value_strs(
+                spark, comparison_path, cmp_files, cmp_meta, partition
+            )
+        }
+        in_files, in_meta, _ = _files_and_meta(spark, input_path)
+        in_partition_types = (
+            in_meta.all_partition_data_types() if in_meta is not None else {}
+        )
+        if in_partition_types.get(partition) == cmp_dtype:
+            in_vals = {
+                convert_type(v, cmp_dtype)
+                for v in _partition_value_strs(
+                    spark, input_path, in_files, in_meta, partition
+                )
+            }
+            if None not in in_vals:
+                # a null comparison value never matches anything in an
+                # equality anti-join, so it cannot subtract rows either way
+                surviving = sorted(in_vals - cmp_vals)
+                out = (
+                    inp.filter(F.col(partition).isin(surviving))
+                    if surviving
+                    else inp.limit(0)
+                )
+                return out.select(
+                    partition, *[c for c in out.columns if c != partition]
+                )
+        # local-frame comparison side: the same typed values the scan's
+        # distinct would produce (A1's oracle-pinned equivalence), through
+        # the same cast and the same broadcast anti-join
+        cmp_values = (
+            local_rows_df(
+                spark,
+                [
+                    (v,)
+                    for v in sorted(
+                        cmp_vals, key=lambda x: (x is None, str(x))
+                    )
+                ],
+                T.StructType(
+                    [
+                        T.StructField(
+                            partition, metadata.vocab_to_spark_type(cmp_dtype)
+                        )
+                    ]
+                ),
+            )
+            .select(F.col(partition).cast(inp_type).alias(partition))
+            .distinct()
+        )
+        return inp.join(F.broadcast(cmp_values), on=partition, how="left_anti")
+
+    # legacy scan-side comparison: pending MoR deletes, or a diff on a
+    # column the comparison dataset does not partition by
     try:
         cmp_df = fetch_path(spark, comparison_path, accept_not_s3parq=False)
     except MissingS3ParqMetadata:
         return inp
     if not cmp_df.columns:
         return inp
-
-    inp_type = dict(inp.dtypes).get(partition)
     cmp_values = (
         cmp_df.select(F.col(partition).cast(inp_type).alias(partition))
         .distinct()

@@ -68,9 +68,16 @@ def test_knn_graph_pushes_window_topk(spark, sf_dir):
     assert "WindowGroupLimit" in plan and "Partial" in plan
 
 
-def test_fetch_diff_is_broadcast_anti_join(spark, sf_dir):
+def test_fetch_diff_prunes_partitions_no_join(spark, sf_dir):
+    """r15: when the diff column is a same-typed partition column on both
+    sides, fetch_diff collapses to a partition-pruning isin filter over
+    the input scan — survivors computed driver-side from the manifests.
+    No join, no aggregate, no exchange; pruning at the file index."""
     plan = _plan(spark, sf_dir, "fetch_diff")
-    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert re.search(r"PartitionFilters: \[.*o_orderpriority.* IN ", plan)
+    assert "Join" not in plan
+    assert "Exchange" not in plan
+    assert "HashAggregate" not in plan
 
 
 def test_band_join_broadcasts_the_dim(spark, sf_dir):

@@ -321,6 +321,64 @@ def test_fetch_diff(spark, tmp_path):
     assert len(got_all) == len(pdf)
 
 
+def test_fetch_diff_fallback_branches(spark, tmp_path):
+    """r15: fetch_diff's pruned-scan fast path must fall back — with
+    identical results — when its preconditions fail: a comparison with
+    pending MoR deletes (manifest values could over-subtract) keeps the
+    legacy scan-side anti-join; a null input partition keeps the
+    anti-join fed from manifest values (nulls always survive an equality
+    anti-join); a declared-type mismatch keeps the anti-join with the
+    legacy cast."""
+    import numpy as np
+
+    from s3parq_spark.publish import delete_where
+    from s3parq_spark.fetch import fetch_diff_path
+
+    # --- pending MoR tombstones on the comparison side
+    inp, cmp = str(tmp_path / "inp"), str(tmp_path / "cmp")
+    pdf = grouped_pdf(90)
+    publish(inp, "", ["string_col"], pdf, spark=spark)
+    publish(cmp, "", ["string_col"], pdf, spark=spark)
+    # tombstone every s1 row in the comparison WITHOUT materializing:
+    # manifest still lists s1, live rows do not — the diff must NOT
+    # subtract s1 (the legacy scan sees no live s1 rows)
+    delete_where(spark, cmp, "string_col = 's1'", mode="merge-on-read")
+    got = fetch_diff_path(spark, inp, cmp, "string_col").toPandas()
+    assert set(got["string_col"]) == {"s1"}
+    assert len(got) == len(pdf[pdf.string_col == "s1"])
+
+    # --- null partition value in the input: nulls always survive
+    inp2, cmp2 = str(tmp_path / "inp2"), str(tmp_path / "cmp2")
+    pdf2 = grouped_pdf(60)
+    pdf2.loc[pdf2.index[:10], "string_col"] = None
+    publish(inp2, "", ["string_col"], pdf2, spark=spark)
+    publish(
+        cmp2, "", ["string_col"],
+        pdf2[pdf2.string_col.notna() & (pdf2.string_col != "s2")],
+        spark=spark,
+    )
+    got2 = fetch_diff_path(spark, inp2, cmp2, "string_col").toPandas()
+    assert len(got2) == len(
+        pdf2[pdf2.string_col.isna() | (pdf2.string_col == "s2")]
+    )
+    assert got2["string_col"].isna().sum() == 10
+
+    # --- declared-type mismatch: int input partition vs string comparison
+    inp3, cmp3 = str(tmp_path / "inp3"), str(tmp_path / "cmp3")
+    pdf3 = grouped_pdf(40).assign(
+        num_col=lambda d: (np.arange(len(d)) % 4).astype("int64")
+    )
+    publish(inp3, "", ["num_col"], pdf3, spark=spark)
+    publish(
+        cmp3, "", ["num_col"],
+        pdf3[pdf3.num_col < 2].assign(num_col=lambda d: d.num_col.astype(str)),
+        spark=spark,
+    )
+    got3 = fetch_diff_path(spark, inp3, cmp3, "num_col").toPandas()
+    assert sorted(got3["num_col"].unique()) == [2, 3]
+    assert len(got3) == len(pdf3[pdf3.num_col >= 2])
+
+
 def test_spark_native_publish(spark, tmp_dataset_dir, sf_dir):
     # Spark DataFrame in, no pandas round-trip
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
