@@ -381,6 +381,51 @@ def _estimate_rows_per_file(
     return max(1, rows)
 
 
+#: "small" = requested files under TARGET_FILE_BYTES / this fraction
+_SMALL_FILE_FRACTION = 8
+#: files each writer task owns on the small-file range path
+_SMALL_FILES_PER_TASK = 32
+
+
+def _small_file_split_count(df: DataFrame, n_per_file: int) -> Optional[int]:
+    """Writer-task count for a SORTED publish whose requested file size
+    sits far below the 60 MB target (an explicit small
+    ``max_records_per_file`` — index/fixture layouts). The rebalance
+    exchange coalesces shuffle output to the advisory partition size, so
+    each writer task would serially write hundreds of small files
+    (measured: a 1500-file sorted publish ran 2 writer tasks — 8.6 s of
+    a 14.8 s wall). A RANGE exchange with an EXPLICIT task count (AQE
+    never coalesces a user-specified partitioning) bounds files-per-task
+    at ~``_SMALL_FILES_PER_TASK`` while keeping — globally now, not just
+    per task — the contiguous disjoint sorted runs the zone-map plane
+    prices. Everything derives from the source footers and data size
+    (scale-adaptive, guide §2): returns ``None`` for unpriceable plans
+    or normal file geometry, where the rebalance path stays."""
+    est = _parquet_scan_row_bytes(df)
+    if est is None:
+        return None
+    if n_per_file * est >= TARGET_FILE_BYTES / _SMALL_FILE_FRACTION:
+        return None
+    import os
+    from urllib.parse import urlparse
+
+    try:
+        total = 0
+        for f in df.inputFiles():
+            u = urlparse(f)
+            if u.scheme not in ("file", ""):
+                return None
+            total += os.path.getsize(u.path)
+    except Exception:
+        return None
+    est_files = total / max(n_per_file * est, 1.0)
+    if est_files <= _SMALL_FILES_PER_TASK:
+        return None
+    parallelism = max(df.sparkSession.sparkContext.defaultParallelism, 1)
+    n = int(min(-(-est_files // _SMALL_FILES_PER_TASK), parallelism * 2))
+    return max(n, 2)
+
+
 def _check_no_timedelta(dataframe) -> None:
     """Reference parity (``publish_parq.py:33-50`` intent + the dtype-mapper
     rejection at ``publish_parq.py:354-356``): timedelta columns have no
@@ -877,7 +922,24 @@ def publish_path(
         or _estimate_rows_per_file(df, path)
     )
     if rebalance and not zorder_by:
-        df = df.hint("rebalance", *partitions) if partitions else df.hint("rebalance")
+        # small-file sorted publishes (explicit max_records_per_file far
+        # below the 60 MB target — index/fixture layouts): the rebalance
+        # exchange coalesces to the advisory size, leaving a couple of
+        # writer tasks each serially writing hundreds of files (measured
+        # 8.6 s of a 14.8 s zonemap-fixture wall on 2 tasks). A RANGE
+        # exchange with an EXPLICIT count (AQE never coalesces it) bounds
+        # files-per-task and makes the sorted runs globally disjoint.
+        split_n = (
+            _small_file_split_count(df, n_per_file) if sort_within_files else None
+        )
+        if split_n:
+            df = df.repartitionByRange(split_n, *partitions, *sort_within_files)
+        else:
+            df = (
+                df.hint("rebalance", *partitions)
+                if partitions
+                else df.hint("rebalance")
+            )
     if sort_within_files:
         # Within-task sort (NO global sort, no extra shuffle): after the
         # rebalance each task holds one hive partition's rows, so sorting by
@@ -1151,12 +1213,20 @@ def _collect_file_zone_stats(
     affordable at continuous-ingest scale. Values are read back from the
     written files, so the recorded bounds match storage encodings (e.g.
     ms-truncated timestamps) exactly."""
+    from .fetch import _local_listing
+
     full = [path.rstrip("/") + "/" + _rel_files(path, [f])[0] for f in new_files]
-    scan = (
-        spark.read.schema(meta.value_schema())
-        .option("basePath", path)
-        .parquet(*full)
-    )
+    # driver-serial listing for local multi-path scans (the fetch-plane
+    # _local_listing rule, r15): a small-file publish can hand this scan
+    # thousands of paths, and Spark's distributed listing job costs more
+    # in task scheduling than the driver listing it replaces (measured
+    # 2.9 s over 1501 local paths vs ~0.1 s serial)
+    with _local_listing(spark, path, len(full)):
+        scan = (
+            spark.read.schema(meta.value_schema())
+            .option("basePath", path)
+            .parquet(*full)
+        )
     aggs = [F.count(F.lit(1)).alias("__zm_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"__zm_min__{c}"))

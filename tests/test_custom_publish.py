@@ -195,6 +195,38 @@ def test_parquet_source_sizing_shortcut(spark, tmp_path):
     ) is None
 
 
+def test_small_file_split_count(spark, tmp_path):
+    """r15: a SORTED publish with a requested file size far below the
+    60 MB target gets an explicit writer-task count (range exchange; AQE
+    never coalesces it) so thousands of small files are not written by a
+    couple of serial tasks — and normal geometry stays on the rebalance
+    path (returns None)."""
+    from s3parq_spark.publish import (
+        _SMALL_FILES_PER_TASK, _small_file_split_count,
+    )
+
+    src = str(tmp_path / "split_src.parquet")
+    spark.range(200_000).selectExpr(
+        "id", "id % 7 AS k", "CAST(id % 2 AS STRING) AS p"
+    ).coalesce(1).write.parquet(src)
+    df = spark.read.parquet(src)
+    n = _small_file_split_count(df, 100)  # ~2000 requested files
+    assert n is not None and n >= 2
+    # bounded by files-per-task above and by 2x parallelism below
+    par = spark.sparkContext.defaultParallelism
+    assert n <= 2 * par
+    est_files = 200_000 / 100
+    assert n >= min(est_files / _SMALL_FILES_PER_TASK, 2 * par) - 1
+    # normal file geometry (requested size near the target): rebalance
+    assert _small_file_split_count(df, 10_000_000) is None
+    # unpriceable plan (computed variable-width column): rebalance
+    from pyspark.sql import functions as F
+
+    assert _small_file_split_count(
+        df.withColumn("x", F.concat(F.lit("a"), F.col("p"))), 100
+    ) is None
+
+
 def test_source_footers_prove_nonempty(spark, tmp_path):
     """r15: the warm-publish empty check must be job-free when the plan is
     row-count-preserving over a local parquet scan, and must still REJECT
