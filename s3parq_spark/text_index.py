@@ -235,18 +235,30 @@ def _check_names(id_col: str, text_col: str) -> None:
 def _tokenize(docs: DataFrame, id_col: str, text_col: str):
     """(postings-without-bucket, per-doc dl) for ``docs`` — tokenization
     matches ``bm25_scores`` exactly: whitespace split of
-    ``trim(lower(text))``. dl derives from tf (postings cover ALL terms,
-    so sum(tf) per doc IS the document length); the caller persists dl —
-    the corpus is tokenized exactly once however many consumers follow."""
-    toks = docs.select(
+    ``trim(lower(text))``. dl IS the token count of the doc (postings
+    cover ALL terms, so sum(tf) per doc equals the split's size) — it is
+    computed per row BEFORE the explode and carried through the tf
+    grouping, so the whole pipeline runs in ONE exchange: the
+    dl-aggregate exchange and the tf⨝dl join the r15-and-earlier shape
+    paid (two more postings-sized exchanges) are gone. Ids are treated
+    as unique per doc, the contract every maintenance entry validates;
+    a NULL text splits to NULL and is dropped exactly as the explode
+    always dropped it. The caller persists dl — the corpus is tokenized
+    exactly once however many consumers follow."""
+    toks_col = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    base = docs.select(
         F.col(id_col),
-        F.explode(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).alias("term"),
+        toks_col.alias("__toks"),
+        F.size(toks_col).cast("long").alias("dl"),
+    ).where(F.col("__toks").isNotNull())
+    toks = base.select(
+        F.col(id_col), F.col("dl"), F.explode("__toks").alias("term")
     )
-    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    postings = tf.join(dl, id_col).select("term", id_col, "tf", "dl")
+    tf = toks.groupBy(id_col, "dl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    postings = tf.select("term", id_col, "tf", "dl")
+    dl = base.select(F.col(id_col), F.col("dl"))
     return postings, dl
 
 

@@ -1110,3 +1110,43 @@ def test_write_hints_commit_parity(spark, tmp_path):
                       "touched_dirs": ["k=0", "k=2"]},
     )
     assert fetch_path(spark, hinted).count() == 43
+
+
+def test_tokenize_single_exchange_and_reference_equivalence(spark, docs):
+    """r15 optimization: _tokenize computes dl (the doc's token count)
+    BEFORE the explode and carries it through the tf grouping, so the
+    postings pipeline runs in ONE exchange — the dl-aggregate exchange
+    and the tf⨝dl join of the reference formulation are gone. Pins (a)
+    exact output equivalence against the reference 2-agg+join shape
+    (real corpus + whitespace/empty-text/NULL-text edges) and (b) the
+    single-Exchange plan."""
+    from s3parq_spark.text_index import _tokenize
+
+    def reference(d, id_col, text_col):
+        toks = d.select(
+            F.col(id_col),
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("term"),
+        )
+        tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+        dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+        return tf.join(dl, id_col).select("term", id_col, "tf", "dl"), dl
+
+    edge = spark.createDataFrame(
+        [(1, ""), (2, "  a  b\tb\nc "), (3, "x"), (4, "A A a"),
+         (5, None)],
+        "doc_id long, text string",
+    )
+    for frame in (docs, edge):
+        po, dlo = reference(frame, "doc_id", "text")
+        pn, dln = _tokenize(frame, "doc_id", "text")
+        assert po.schema == pn.schema and dlo.schema == dln.schema
+        assert po.exceptAll(pn).count() == 0
+        assert pn.exceptAll(po).count() == 0
+        assert dlo.exceptAll(dln).count() == 0
+        assert dln.exceptAll(dlo).count() == 0
+
+    pn, _ = _tokenize(docs, "doc_id", "text")
+    plan = pn._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
