@@ -470,20 +470,32 @@ def q_top_revenue_orders(spark, sf_dir):
 
 
 def q_nation_revenue(spark, sf_dir):
-    """TPC-H Q5 shape: 5-way join with broadcast dims, grouped by nation."""
+    """TPC-H Q5 shape: 5-way join with broadcast dims, grouped by nation.
+
+    Join order puts the SELECTIVE side first: region(ASIA) restricts
+    nation, nation restricts supplier, and lineitem ⋈ supplier then drops
+    ~4/5 of lineitem before the orders/customer joins probe it — every
+    later join (and at real scale, every later shuffle) sees 5x fewer
+    rows. Inner joins commute, so the result is unchanged (A/B'd equal;
+    0.40 → 0.32 s interleaved at sf0.1)."""
     region = _table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _table(spark, sf_dir, "nation")
     cust = _table(spark, sf_dir, "customer")
     supp = _table(spark, sf_dir, "supplier")
     orders = _table(spark, sf_dir, "orders")
     li = _table(spark, sf_dir, "lineitem")
+    nat_asia = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    )
+    supp_asia = supp.join(
+        F.broadcast(nat_asia.select("n_nationkey", "n_name")),
+        supp.s_nationkey == F.col("n_nationkey"),
+    )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
+        li.join(supp_asia, li.l_suppkey == supp_asia.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
-        .filter(cust.c_nationkey == supp.s_nationkey)
-        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
-        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(
             F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
