@@ -623,29 +623,31 @@ def main() -> None:
                 # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
                 # sublinear, none superlinear, which is the 100x-scale
                 # signal the sf0.1 totals cannot give.
-                "notes": "r15: total 13.087 s -- best recorded (r12 quiet "
-                         "band 13.77-16.20, r8 floor 14.65). The "
-                         "stage-level write profile "
-                         "(publish_write_stage_profile.py) showed the "
-                         "session's FIRST parquet write pays ~2.4 s of "
-                         "JIT/class-loading later writes don't (cold "
-                         "walls 3.48 -> 1.02 s for the same 6-file "
-                         "11 MB write; cpu/run 81% -> 92%) -- that is "
-                         "session startup, so the warmup block now "
-                         "writes a throwaway 10k-row parquet exactly "
-                         "as it already warmed the read path; publish "
-                         "2.557 / publish_aux 2.181 are the engine's "
-                         "cost, not the JVM's. Probes are min-of-3 "
-                         "for idempotent reads (r14 verdict #7 -- "
-                         "zonemap_build min-of-3 cold rebuilds 12.1 s "
-                         "vs the 14.6-21.7 single-run weather band; "
-                         "bloom_noskip 0.92 vs the 3.35 outlier "
-                         "capture); state-mutating probes stay "
+                "notes": "r15 close: quiet band 9.0-9.4 s (best recorded "
+                         "9.035; r14 closing quiet 14.774 with the old "
+                         "warmup methodology, ~13.1 with this one). "
+                         "Write-path JIT (plain + partitioned-insert "
+                         "classes, ~2.9 s total) is session startup and "
+                         "is warmed out like the read path has been "
+                         "since r04; a writer-EXACT warmup (timestamp "
+                         "col, explicit snappy, maxRecordsPerFile, "
+                         "rebalance hint) was A/B'd 13 fresh-process "
+                         "runs and measured a wash -- not adopted. "
+                         "Quiet-window phase profile: publish is ~89% "
+                         "the Spark write job (writer.parquet 2.00 of "
+                         "2.24 s), metadata plane <=0.05 s/commit. "
+                         "Probes are min-of-3 for idempotent reads "
+                         "(r14 verdict #7); state-mutating probes stay "
                          "single-run (a re-run measures a different "
-                         "dataset). sf1 probes in-band: drift rebuild "
-                         "4.64 s vs 6.84 full build, batch8 text "
-                         "search 2.15 vs 7.36 single, ivf_compact "
-                         "0.84.",
+                         "dataset). Host caveat: /proc/stat shows "
+                         "cumulative steal ~24% of user time on this "
+                         "box -- captures taken under co-tenant load "
+                         "inflate every entry uniformly (observed "
+                         "12.7-20.5 s for the SAME tree same session); "
+                         "compare quiet captures only. sf1 probes "
+                         "in-band: drift rebuild 5.66 vs 7.11 full "
+                         "build, batch8 text search 1.21 vs 5.14 "
+                         "single, ivf_compact 1.17.",
                 "probes": probes,
                 # r7: end-to-end sf1 runs of the top-5 shapes against a
                 # materialized 10x directory; *_x = sf1 time / sf0.1 time

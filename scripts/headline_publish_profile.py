@@ -47,9 +47,23 @@ def wrap(obj, name, label):
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = sq.get_spark(app_name="headline_pub_profile")
-    # same warmup as bench.py
+    # same warmup as bench.py (r15: including BOTH write-path warmups —
+    # without them this profile re-measures the JIT the bench excludes)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
     spark.read.parquet(os.path.join(sf_dir, "region.parquet")).count()
+    import tempfile as _tf
+
+    _wtmp = os.path.join(_tf.gettempdir(), "s3parq_profile_write_warmup")
+    shutil.rmtree(_wtmp, ignore_errors=True)
+    spark.range(10_000).selectExpr(
+        "id", "cast(id as string) s", "cast(id as double) d"
+    ).write.mode("overwrite").parquet(_wtmp)
+    shutil.rmtree(_wtmp, ignore_errors=True)
+    (spark.range(10_000)
+        .selectExpr("id", "cast(id % 4 as string) p", "cast(id as double) d")
+        .repartition(4)
+        .write.mode("overwrite").partitionBy("p").parquet(_wtmp))
+    shutil.rmtree(_wtmp, ignore_errors=True)
 
     wrap(md, "read_sidecar", "read_sidecar")
     wrap(md, "write_sidecar", "write_sidecar")
