@@ -428,17 +428,26 @@ def append_to_ivf_index(
         )
     if rows.limit(1).count() == 0:
         return
-    if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
-        publish_path(
-            spark, _vectors_path(index_path),
-            batch.select(
-                F.col(id_col),
-                F.col(vec_col).cast("array<double>").alias("vec"),
-            ),
-            [], mode="append",
-        )
-    publish_path(spark, index_path, rows, ["cell"], mode="append", _txn=_txn)
-    n, s = _batch_qerr(batch, vec_col, cents)
+    # The batch's quantization-error pass is read-only over the batch
+    # and the already-loaded centroids — overlap it with the publishes
+    # (guide §2.6). The COMMIT order is untouched: companion first,
+    # then the index rows (the docstring's crash-window contract), and
+    # the quantizer-counter write below still follows the index commit.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        qerr_fut = pool.submit(_batch_qerr, batch, vec_col, cents)
+        if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
+            publish_path(
+                spark, _vectors_path(index_path),
+                batch.select(
+                    F.col(id_col),
+                    F.col(vec_col).cast("array<double>").alias("vec"),
+                ),
+                [], mode="append",
+            )
+        publish_path(spark, index_path, rows, ["cell"], mode="append", _txn=_txn)
+        n, s = qerr_fut.result()
     q["appended"] = {
         "n": q["appended"]["n"] + n,
         "sum_qerr": q["appended"]["sum_qerr"] + s,
