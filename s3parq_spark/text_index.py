@@ -351,6 +351,16 @@ def _read_stats(spark: SparkSession, index_path: str, _stats_meta=_UNSET):
 # ---------------------------------------------------------------------------
 
 
+# Sentinel stamped into the stats sidecar for the DURATION of a full
+# rebuild (build_text_index over an existing family): an overwrite
+# resets every member's head to v1, so the head-version token cannot
+# distinguish "rebuild completed" from "rebuild crashed after some
+# members landed" — the sentinel can never equal a live "vN:..." token,
+# so any crash mid-build refuses until the build is re-run to
+# completion (whose final _write_stats stamp replaces it).
+_REBUILDING_STAMP = "rebuilding"
+
+
 def _head_version(meta) -> int:
     """Newest NON-STAGED snapshot version. Staged (write-audit-publish)
     snapshots are excluded deliberately: their rows are invisible to
@@ -419,6 +429,26 @@ def _stamp_family_epoch(spark: SparkSession, index_path: str,
     return token
 
 
+def _refuse_mid_rebuild(spark: SparkSession, index_path: str,
+                        op: str) -> None:
+    """The repair tools converge BOUNDED maintenance-op damage (a
+    half-moved posting list, a stale stats fold); a crashed REBUILD's
+    members may mix two corpora, which no repair can converge — only a
+    re-run of the build can. Refuse rather than re-stamp a mixed family
+    as healthy (the policy loop's opt-in auto-repair then records the
+    failure and keeps compaction suspended)."""
+    from . import metadata
+
+    sm = metadata.read_sidecar(spark, _stats_path(index_path))
+    if sm is not None and sm.text_epoch == _REBUILDING_STAMP:
+        raise TextIndexEpochError(
+            f"{op}: text-index family at {index_path} has a rebuild in "
+            "flight or crashed mid-publish — its members may mix two "
+            "corpora, which repairs cannot converge. Re-run "
+            "build_text_index over the intended corpus."
+        )
+
+
 def _check_family_epoch(spark: SparkSession, index_path: str, meta,
                         op: str):
     """Refuse to serve or maintain a family whose stamps disagree with
@@ -433,6 +463,14 @@ def _check_family_epoch(spark: SparkSession, index_path: str, meta,
     postings_stamp = meta.text_epoch if meta is not None else None
     if stats_stamp is None and postings_stamp is None:
         return sm  # pre-r15 family: never stamped (back-compat, like ANN)
+    if stats_stamp == _REBUILDING_STAMP:
+        raise TextIndexEpochError(
+            f"{op}: text-index family at {index_path} has a rebuild "
+            "in flight or crashed mid-publish (the stats sidecar "
+            "carries the 'rebuilding' stamp) — its members may mix two "
+            "corpora, which would serve SILENTLY WRONG. Re-run "
+            "build_text_index over the intended corpus to converge."
+        )
     expected = _family_state_token(spark, index_path, meta=meta)
     if stats_stamp != expected or postings_stamp != expected:
         raise TextIndexEpochError(
@@ -516,13 +554,26 @@ def build_text_index(
         # straggler tail back-fills with the next write's tasks; measured
         # at sf1/50k docs: capped build wall 13.1 -> ~7 s, uncapped
         # 5.5 -> ~4 s, the four publishes were 10.7 s of the 13.1 SERIAL).
-        # Crash-window semantics are unchanged: the stats write + family
-        # stamp (_write_stats) remain the FINAL commit, issued only after
-        # every member publish has succeeded — any crash before it leaves
-        # stamps that disagree with the live heads and the family REFUSES
-        # (the r15 epoch discipline is exactly what makes this overlap
-        # safe to adopt).
+        # Crash-window semantics: the stats write + family stamp
+        # (_write_stats) remain the FINAL commit, issued only after every
+        # member publish has succeeded. The head-version token alone
+        # cannot detect a crashed REBUILD over an existing family (an
+        # overwrite resets every member to v1, so the old stamps still
+        # match — true of the sequential build too, found by this
+        # round's fault-injection test), so the stats sidecar is stamped
+        # with a sentinel BEFORE any member publishes: a crash anywhere
+        # in the build leaves the sentinel and every consumer refuses,
+        # naming the remedy (re-run the build); the final stamp clears
+        # it. A FRESH path has no stats sidecar to stamp — a crash
+        # there fails loudly anyway (no stats dataset to serve from).
         from concurrent.futures import ThreadPoolExecutor
+
+        from . import metadata as _md
+
+        _pre_sm = _md.read_sidecar(spark, _stats_path(index_path))
+        if _pre_sm is not None:
+            _pre_sm.text_epoch = _REBUILDING_STAMP
+            _md.write_sidecar(spark, _stats_path(index_path), _pre_sm)
 
         def _publish_live():
             publish_path(
@@ -1320,6 +1371,7 @@ def repair_index_stats(
     never O(corpus)); ``max_df`` is preserved from the existing stats
     row. Returns the repaired ``(n_docs, total_len)``."""
     meta = _require_index(spark, index_path)
+    _refuse_mid_rebuild(spark, index_path, "repair_index_stats")
     if not _doclens_exists(spark, index_path):
         raise ValueError(
             f"repair_index_stats: no doclens side table at "
@@ -1445,6 +1497,7 @@ def repair_capped_index(spark: SparkSession, index_path: str) -> dict:
     from . import metadata
 
     meta = _require_index(spark, index_path)
+    _refuse_mid_rebuild(spark, index_path, "repair_capped_index")
     _, _, max_df = _read_stats(spark, index_path)
     if max_df is None:
         return {}

@@ -234,6 +234,63 @@ def test_upgrade_first_op_crash_still_refuses(spark, tmp_path):
             _rows(search_text_index(spark, ref, q, k=10)), q
 
 
+def test_rebuild_member_publish_crash_refuses_then_converges(
+    spark, tmp_path, monkeypatch
+):
+    """r15 optimization round: build_text_index publishes its member
+    datasets CONCURRENTLY (they are independent given the tokenize
+    output), which is only sound because the stats write + family stamp
+    remain the FINAL commit, issued after every member succeeds. Pin
+    that: a rebuild over a healthy stamped family whose doclens publish
+    dies must leave a REFUSING family (the stats stamp still describes
+    the old heads), and a clean re-run of the build must converge."""
+    import s3parq_spark.text_index as ti
+
+    corpus = {1: "alpha beta", 2: "gamma delta", 3: "alpha gamma"}
+    path = str(tmp_path / "idx")
+    build_text_index(spark, _mk_docs(spark, corpus), path, "doc_id",
+                     "text", n_buckets=4)
+    assert search_text_index(spark, path, ["alpha"], k=3).count() > 0
+
+    updated = {1: "alpha beta", 2: "epsilon zeta", 3: "alpha gamma"}
+    real = ti.publish_path
+
+    def dying(spark_, p, *a, **kw):
+        if p.rstrip("/").endswith("_doclens"):
+            raise RuntimeError("injected doclens publish crash")
+        return real(spark_, p, *a, **kw)
+
+    monkeypatch.setattr(ti, "publish_path", dying)
+    try:
+        with pytest.raises(RuntimeError, match="injected doclens"):
+            build_text_index(spark, _mk_docs(spark, updated), path,
+                             "doc_id", "text", n_buckets=4)
+    finally:
+        monkeypatch.setattr(ti, "publish_path", real)
+
+    # the 'rebuilding' sentinel makes the crash detectable (an overwrite
+    # resets every head to v1, so the version token alone cannot) and
+    # the refusal names the only converging remedy: re-run the build
+    with pytest.raises(TextIndexEpochError, match="build_text_index"):
+        search_text_index(spark, path, ["alpha"], k=3)
+    # the repair pair refuses rather than re-stamp a possibly
+    # mixed-corpus family as healthy
+    with pytest.raises(TextIndexEpochError, match="mix two corpora"):
+        repair_index_stats(spark, path)
+    with pytest.raises(TextIndexEpochError, match="mix two corpora"):
+        repair_capped_index(spark, path)
+
+    # a rebuild is idempotent-by-overwrite: re-running converges
+    build_text_index(spark, _mk_docs(spark, updated), path, "doc_id",
+                     "text", n_buckets=4)
+    ref = str(tmp_path / "ref")
+    build_text_index(spark, _mk_docs(spark, updated), ref, "doc_id",
+                     "text", n_buckets=4)
+    for q in (["alpha"], ["epsilon"], ["zeta", "gamma"]):
+        assert _rows(search_text_index(spark, path, q, k=10)) == \
+            _rows(search_text_index(spark, ref, q, k=10)), q
+
+
 def test_raw_member_compaction_refuses_until_repaired(spark, tmp_path):
     """An out-of-band rewrite of a family member (raw compact_dataset on
     the postings instead of compact_text_index) moves the head the
