@@ -288,11 +288,29 @@ def build_ivf_index(
             "build_ivf_index: store_vectors is for PQ builds — a "
             "flat index already stores the vectors themselves"
         )
+    # The NEW quantizer epoch depends only on geometry (centroids/books
+    # — not the drift counters), so it is known BEFORE any publish. An
+    # overwrite-build over an EXISTING index used to fail OPEN in the
+    # publish→pin gap: the overwritten sidecar CARRIES the old
+    # ann_epoch, which still matches the old quantizer JSON, so a crash
+    # there served the new rows against the OLD centroids silently
+    # (found by this round's fault injection — pre-existing, the
+    # sequential build had the same gap). Pre-pinning the NEW epoch
+    # into the existing sidecar closes it: the overwrite carries the
+    # new pin forward, and any crash before _write_quantizers leaves a
+    # mismatched pair that refuses.
+    new_epoch = _quantizer_epoch(
+        {"id_col": id_col, "m": m, "centroids": cents, "books": books}
+    )
+    pre_meta = metadata.read_sidecar(spark, index_path)
+    if pre_meta is not None:
+        pre_meta.ann_epoch = new_epoch
+        metadata.write_sidecar(spark, index_path, pre_meta)
     # The index publish, the optional raw-vector companion publish, and
     # the training-quality pass (_batch_qerr — read-only over the source
     # and the already-collected centroids) are mutually independent:
     # overlap them (guide §2.6) so the qerr scan back-fills the write
-    # job's straggler tail. Warm sf1 flat build: 10.5 -> ~8.4 s (the
+    # job's straggler tail. Warm sf1 flat build: 10.5 -> ~5.5 s (the
     # phases were publish 2.1 + qerr 2.9 serial). The crash-window
     # ordering is untouched: the sidecar epoch pin below still happens
     # only after the publish has committed.
@@ -333,11 +351,12 @@ def build_ivf_index(
         "train": {"n": n, "sum_qerr": s},
         "appended": {"n": 0, "sum_qerr": 0.0},
     }
-    q["epoch"] = _quantizer_epoch(q)
-    # pin the epoch in the index sidecar FIRST: an overwrite-build over an
-    # existing index has its own crash window (new rows at rest, old
-    # quantizer JSON still live) — sidecar-pin-then-quantizer-write makes
-    # that window a refusal too, not just the rebuild swap's
+    q["epoch"] = new_epoch
+    # pin the epoch in the index sidecar before the quantizer write: the
+    # fresh-path build has no pre-existing sidecar to pre-pin (the
+    # publish creates it), so the pin lands here; for the
+    # overwrite-build the pre-pin above already covered the publish→pin
+    # gap and this write is the (idempotent) re-stamp of the same value
     idx_meta = metadata.read_sidecar(spark, index_path)
     if idx_meta is None:
         # publish_path above must have stamped a sidecar; reaching here

@@ -1302,6 +1302,47 @@ def test_upgrade_rebuild_crash_window_still_refuses(
             == _json.loads(fsmod.read_text(spark, qp))["epoch"])
 
 
+def test_overwrite_build_publish_to_pin_gap_refuses(
+    spark, tmp_path, monkeypatch
+):
+    """r15 optimization round: an overwrite-build over an EXISTING
+    index used to fail OPEN between its index publish and its epoch
+    pin — the overwritten sidecar CARRIES the old ann_epoch, which
+    still matches the old quantizer JSON, so a crash there served the
+    new rows against the OLD centroids silently. The build now
+    pre-pins the NEW epoch (known from geometry before any publish)
+    into the existing sidecar, so a crash anywhere before the
+    quantizer write leaves a mismatched pair that refuses; a re-run
+    converges."""
+    import s3parq_spark.ann_index as ann
+    from s3parq_spark.ann_index import QuantizerEpochError
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=1)
+    qv = [0.0] * 8
+    qv[1] = 1.0
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
+
+    # rebuild with different geometry, dying after the publishes and
+    # before the quantizer write — the widest sub-window of the gap
+    def dying(*a, **k):
+        raise RuntimeError("injected crash before quantizer write")
+
+    monkeypatch.setattr(ann, "_write_quantizers", dying)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        build_ivf_index(spark, _clustered_vecs(spark, range(60), 1),
+                        path, "vec_id", "embedding", k=2, iters=1)
+    monkeypatch.undo()
+
+    with pytest.raises(QuantizerEpochError):
+        search_ivf_index(spark, path, qv, k=5, nprobe=2)
+    # converge forward: the re-run build completes both halves
+    build_ivf_index(spark, _clustered_vecs(spark, range(60), 1), path,
+                    "vec_id", "embedding", k=2, iters=1)
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
+
+
 def test_rollback_rebuild_restores_parked_family(
     spark, tmp_path, monkeypatch
 ):
