@@ -690,24 +690,35 @@ def compact_ivf_index(
     only rewrites file geometry. Returns {member: n files rewritten}.
     """
     q = _load_quantizers(spark, index_path, "compact_ivf_index")
+    from concurrent.futures import ThreadPoolExecutor
+
     from .publish import compact_dataset
 
-    report = {
-        "index": len(
-            compact_dataset(
-                spark, index_path,
-                max_records_per_file=max_records_per_file,
-            )
+    # index and companion are distinct datasets and each compaction is
+    # content-preserving: run them concurrently (guide §2.6, the same
+    # overlap as compact_text_index)
+    def _compact_index():
+        return compact_dataset(
+            spark, index_path,
+            max_records_per_file=max_records_per_file,
         )
-    }
-    if metadata.read_sidecar(spark, _vectors_path(index_path)) is not None:
-        report["vectors"] = len(
-            compact_dataset(
-                spark, _vectors_path(index_path),
-                max_records_per_file=max_records_per_file,
-                sort_by=[q["id_col"]],
-            )
+
+    def _compact_companion():
+        if metadata.read_sidecar(spark, _vectors_path(index_path)) is None:
+            return None
+        return compact_dataset(
+            spark, _vectors_path(index_path),
+            max_records_per_file=max_records_per_file,
+            sort_by=[q["id_col"]],
         )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        idx_fut = pool.submit(_compact_index)
+        comp_fut = pool.submit(_compact_companion)
+        report = {"index": len(idx_fut.result())}
+        comp = comp_fut.result()
+        if comp is not None:
+            report["vectors"] = len(comp)
     return report
 
 

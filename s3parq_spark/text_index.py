@@ -1649,14 +1649,30 @@ def compact_text_index(
         ("_stopped", _stopped_path(index_path)),
         ("_fwd", _fwd_path(index_path)),
     ]
-    for suffix, p in members:
-        if metadata.read_sidecar(spark, p) is None:
-            continue
-        files = compact_dataset(
+    present = [
+        (suffix, p) for suffix, p in members
+        if metadata.read_sidecar(spark, p) is not None
+    ]
+    # the members are DISTINCT datasets and each compaction is
+    # content-preserving, so they run concurrently (guide §2.6 —
+    # measured at sf1/50k docs: 11.0 s of serial member rewrites inside
+    # a 11-12.5 s wall). Crash semantics are order-independent here:
+    # any subset completing moves heads the stamps no longer match, the
+    # family refuses, and the re-stamp below only runs after every
+    # member has succeeded.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _compact_member(suffix, p):
+        return suffix, compact_dataset(
             spark, p, max_records_per_file=max_records_per_file,
             sort_by=(["term"] if suffix in ("", "_stopped") else None),
         )
-        report[suffix or "postings"] = len(files)
+
+    with ThreadPoolExecutor(max_workers=max(1, len(present))) as pool:
+        futs = [pool.submit(_compact_member, s, p) for s, p in present]
+        for f in futs:
+            suffix, files = f.result()
+            report[suffix or "postings"] = len(files)
     # compaction reset the members' head versions: re-stamp the family
     # (values unchanged — the stats ROW needs no rewrite, only the
     # stamps; a crash mid-compaction above leaves stale stamps that
