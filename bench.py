@@ -613,6 +613,17 @@ def main() -> None:
         _sh.rmtree(ai + "_vectors", ignore_errors=True)
         os.remove(ai + "_quantizers.json")
 
+    # r16 (VERDICT r15 #2): the contract line stays LEAN — metric / value /
+    # unit / queries / sf / n_runs / method only. The r14 line (with a
+    # ~1.5 KB notes string plus 40+ probes inline) outgrew the driver's
+    # 2 KB stdout-tail capture and arrived truncated (BENCH_r14 parsed:
+    # null), which cost that round its per-query prev/now table. Probes
+    # and narrative notes now land in BENCH_PROBES.json next to this
+    # script (committed with the round artifacts); stdout carries exactly
+    # one short line. Timings and methodology are unchanged — methodology
+    # is FROZEN as of r04 (min-of-N reads, single-run cold publishes,
+    # probes excluded from the total; r15 added the write-path JIT warmup
+    # and min-of-N idempotent probes).
     line = json.dumps(
             {
                 "metric": "headline_queries_total_runtime",
@@ -621,76 +632,48 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_runs": n_runs,
-                # methodology is FROZEN as of r04 (see VERDICT r04 §perf):
-                # min-of-N for read queries, single-run cold publishes,
-                # single-run probes excluded from the total. Comparable to
-                # r04+; NOT to r03 and earlier (single-shot reads).
                 "method": f"reads=min-of-{n_runs}; "
                           "publishes=cold-single-run (write-path JIT "
                           "warmed incl. the partitioned-insert classes, "
                           "r15); "
-                          f"probes=min-of-{probe_runs} for idempotent "
-                          "reads (zonemap_build rebuilt between runs), "
-                          "state-mutating probes single-run; excluded "
-                          "from total",
-                # r07: no headline perf work this round — the round's code
-                # (partition-spec evolution, domain curation, the filter
-                # truth-table hardening) sits OFF the headline paths, and
-                # the pre/post totals confirm no regression (14.27 s vs
-                # r6's 14.206 s, within run noise; every entry within a
-                # few hundredths of its r6 value). The new signal is
-                # probes_sf1: real end-to-end runs of the top-5 shapes at
-                # ~sf1 (materialized 10x directory, 6M lineitem). 10x data
-                # -> publish 0.93x (the sf0.1 publish is fixed-cost/commit
-                # dominated, so the write path absorbs 10x volume inside
-                # the same wall time), Q3 3.3x, PPJoin near-dup 3.3x,
-                # MinHash-LSH 2.7x, batch ANN 1.8x — every probed shape
-                # sublinear, none superlinear, which is the 100x-scale
-                # signal the sf0.1 totals cannot give.
-                "notes": "r15 close: quiet band 9.0-9.4 s (best recorded "
-                         "9.035; r14 closing quiet 14.774 with the old "
-                         "warmup methodology, ~13.1 with this one). "
-                         "Write-path JIT is session startup and is "
-                         "warmed out like the read path has been since "
-                         "r04; the partitioned warmup is two 300k-row "
-                         "writer-exact writes because a 10k-row warmup "
-                         "loads classes but never crosses the C2 loop "
-                         "thresholds (first-real-publish write stage "
-                         "6.4 -> 4.05 s executorRunTime, wall 2.7 -> "
-                         "1.9 s at 8 cores, interleaved A/B both "
-                         "orders; remaining ~2 s is per-plan codegen "
-                         "of the real query, not warmable). "
-                         "Quiet-window phase profile: publish is ~89% "
-                         "the Spark write job (writer.parquet 2.00 of "
-                         "2.24 s), metadata plane <=0.05 s/commit. "
-                         "Probes are min-of-3 for idempotent reads "
-                         "(r14 verdict #7); state-mutating probes stay "
-                         "single-run (a re-run measures a different "
-                         "dataset). Host caveat: /proc/stat shows "
-                         "cumulative steal ~24% of user time on this "
-                         "box -- captures taken under co-tenant load "
-                         "inflate every entry uniformly (observed "
-                         "12.7-20.5 s for the SAME tree same session); "
-                         "compare quiet captures only. sf1 probes "
-                         "in-band: drift rebuild 5.66 vs 7.11 full "
-                         "build, batch8 text search 1.21 vs 5.14 "
-                         "single, ivf_compact 1.17.",
+                          f"probes=min-of-{probe_runs} idempotent / "
+                          "single-run state-mutating, excluded from "
+                          "total, in BENCH_PROBES.json (r16)",
+            }
+    )
+    side = json.dumps(
+            {
+                # probes: same-shape stress variants at 2-10x rows plus
+                # the data-skipping / MoR read-cost pairs; excluded from
+                # the frozen total so totals stay comparable across rounds
                 "probes": probes,
-                # r7: end-to-end sf1 runs of the top-5 shapes against a
-                # materialized 10x directory; *_x = sf1 time / sf0.1 time
-                # (10x data -> factor ~10 is linear; lower is sublinear)
+                # probes_sf1 (r7): end-to-end sf1 runs of the top shapes
+                # against a materialized 10x directory; *_x = sf1 time /
+                # sf0.1 time (10x data -> factor ~10 is linear; lower is
+                # sublinear). Runs under $SPARK_GRAFT_CPUS like the
+                # headline entries, so a low-core driver run yields the
+                # sf1 core-scaling ratios directly (VERDICT r15 #7).
                 "probes_sf1": probes_sf1,
+                "notes": "Host caveat: this box shows ~24% cumulative "
+                         "CPU steal under co-tenant load; captures taken "
+                         "under load inflate every entry uniformly "
+                         "(12.7-20.5 s observed for the SAME tree) -- "
+                         "compare quiet captures only. sf1 single-run "
+                         "probes are weather-sensitive in both "
+                         "directions; interleaved A/Bs in "
+                         "OPTIMIZATION_r16.md are the per-change signal.",
             }
     )
     print(line)
     # the driver's artifact capture keeps only a 2 KB stdout tail, which
-    # truncated BENCH_r10's totals (r10 verdict) — persist the full line
-    # where the round artifacts live too
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                       "BENCH_LAST.json")
+    # truncated BENCH_r10's totals (r10 verdict) — persist the line (and
+    # the probes sidecar) where the round artifacts live too
+    here = os.path.dirname(os.path.abspath(__file__))
     try:
-        with open(out, "w") as fh:
+        with open(os.path.join(here, "BENCH_LAST.json"), "w") as fh:
             fh.write(line + "\n")
+        with open(os.path.join(here, "BENCH_PROBES.json"), "w") as fh:
+            fh.write(side + "\n")
     except OSError:
         pass  # read-only checkout: stdout still carries the line
 
