@@ -1629,14 +1629,14 @@ def _local_listing(spark, path, n_paths):
     if cur >= _LOCAL_LIST_THRESHOLD:
         yield
         return
-    spark.conf.set(_LIST_THRESHOLD_CONF, str(_LOCAL_LIST_THRESHOLD))
-    try:
+    # scoped_conf, not a bare set/restore: fetches run from the same
+    # thread pools as publishes (index builds read sources while sibling
+    # members write) — an interleaved restore could leak the raised
+    # threshold session-wide, turning REMOTE listings driver-serial
+    from .confscope import scoped_conf
+
+    with scoped_conf(spark, _LIST_THRESHOLD_CONF, _LOCAL_LIST_THRESHOLD):
         yield
-    finally:
-        if prev is None:
-            spark.conf.unset(_LIST_THRESHOLD_CONF)
-        else:
-            spark.conf.set(_LIST_THRESHOLD_CONF, prev)
 
 
 def _scan_rel_files(spark, path, schema, rel_files, meta=None):

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from . import bloom, fs, metadata, naming
+from .confscope import scoped_conf
 
 #: reference targets ~60 MB compressed parquet ("ideal for Spectrum",
 #: ``publish_parq.py:433-434``) assuming 4:1 compression
@@ -1007,16 +1008,14 @@ def publish_path(
     # ms-coerced timestamps on disk, like the reference's
     # coerce_timestamps='ms' (publish_parq.py:206-207) — scoped to THIS
     # write: leaking the conf would silently truncate the caller's own
-    # unrelated parquet writes for the rest of the session
-    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
-    try:
+    # unrelated parquet writes for the rest of the session. scoped_conf
+    # (not a bare set/restore) because publishes run from thread pools
+    # (index builds, the aux publish fan-out): interleaved restores on
+    # the shared session conf could leak the override (ADVICE r15).
+    with scoped_conf(
+        spark, "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS"
+    ):
         writer.parquet(path)
-    finally:
-        if prev_ts is None:
-            spark.conf.unset("spark.sql.parquet.outputTimestampType")
-        else:
-            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
     # full-listing diffs must never adopt engine-internal metadata files as
     # data: an _eq_deletes/ key frame written just before this publish (or
@@ -1393,11 +1392,14 @@ def overwrite_partitions(
     # size before the hint wraps the plan (see publish_path)
     n_per_file = max_records_per_file or _estimate_rows_per_file(df, path)
     df = df.hint("rebalance", *partitions)
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    prev_ts = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS")
-    try:
+    # scoped_conf for both session-global overrides (ADVICE r15): a leaked
+    # "dynamic" would silently turn every later full-overwrite publish in
+    # the session into a touched-partitions-only overwrite
+    with scoped_conf(
+        spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"
+    ), scoped_conf(
+        spark, "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MILLIS"
+    ):
         (
             df.write.mode("overwrite")
             .option("compression", "snappy")
@@ -1405,12 +1407,6 @@ def overwrite_partitions(
             .partitionBy(*partitions)
             .parquet(path)
         )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
-        if prev_ts is None:
-            spark.conf.unset("spark.sql.parquet.outputTimestampType")
-        else:
-            spark.conf.set("spark.sql.parquet.outputTimestampType", prev_ts)
 
     # partition overwrite deletes replaced files, so older snapshots can no
     # longer be replayed — clear the version history (honest, not stale);

@@ -3855,20 +3855,17 @@ def q_events_stream_upsert(spark, sf_dir):
         publish_path(spark, path, initial, [])
         # stage the post-cutoff slice as the stream's landing directory,
         # micro-precision preserved (the in-batch winner rule must see the
-        # same ordering the oracle computes from the raw micros)
-        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        try:
+        # same ordering the oracle computes from the raw micros);
+        # scoped_conf serializes against any concurrent MILLIS publish
+        from .confscope import scoped_conf as _scoped_conf
+
+        with _scoped_conf(
+            spark, "spark.sql.parquet.outputTimestampType",
+            "TIMESTAMP_MICROS",
+        ):
             ev.filter(F.col("ts") >= cutoff).write.mode("overwrite").parquet(
                 stage
             )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.parquet.outputTimestampType")
-            else:
-                spark.conf.set("spark.sql.parquet.outputTimestampType", prev)
         stream_upsert(spark, stage, path, ["user_id"], "ts")
         with open(marker, "w") as fh:
             fh.write("ok")
@@ -3974,21 +3971,15 @@ def q_stream_upsert_exactly_once(spark, sf_dir):
             ["user_id"], "ts", "event_id", ["event_type", "value", "props"],
         ).select(*ev.columns)
         publish_path(spark, path, initial, [])
-        prev = spark.conf.get("spark.sql.parquet.outputTimestampType", None)
-        spark.conf.set(
-            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
-        )
-        try:
+        from .confscope import scoped_conf as _scoped_conf
+
+        with _scoped_conf(
+            spark, "spark.sql.parquet.outputTimestampType",
+            "TIMESTAMP_MICROS",
+        ):
             ev.filter(F.col("ts") >= cutoff).write.mode("overwrite").parquet(
                 stage
             )
-        finally:
-            if prev is None:
-                spark.conf.unset("spark.sql.parquet.outputTimestampType")
-            else:
-                spark.conf.set(
-                    "spark.sql.parquet.outputTimestampType", prev
-                )
         stream_upsert(spark, stage, path, ["user_id"], "ts",
                       checkpoint_location=ckpt)
         meta = _md.read_sidecar(spark, path)
