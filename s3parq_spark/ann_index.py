@@ -303,9 +303,16 @@ def build_ivf_index(
         {"id_col": id_col, "m": m, "centroids": cents, "books": books}
     )
     pre_meta = metadata.read_sidecar(spark, index_path)
+    prev_epoch = None
+    pre_pinned = None
+    pre_companion = None
     if pre_meta is not None:
+        prev_epoch = pre_meta.ann_epoch
         pre_meta.ann_epoch = new_epoch
         metadata.write_sidecar(spark, index_path, pre_meta)
+        pre_pinned = pre_meta.to_dict()
+        _pc = metadata.read_sidecar(spark, _vectors_path(index_path))
+        pre_companion = None if _pc is None else _pc.to_dict()
     # The index publish, the optional raw-vector companion publish, and
     # the training-quality pass (_batch_qerr — read-only over the source
     # and the already-collected centroids) are mutually independent:
@@ -336,41 +343,75 @@ def build_ivf_index(
         else:
             fs.delete(spark, _vectors_path(index_path))
 
-    with ThreadPoolExecutor(max_workers=3) as pool:
-        qerr_fut = pool.submit(_batch_qerr, vectors, vec_col, cents)
-        pub_futs = [pool.submit(_publish_index),
-                    pool.submit(_publish_companion)]
-        for f in pub_futs:
-            f.result()
-        n, s = qerr_fut.result()
-    q = {
-        "id_col": id_col,
-        "m": m,
-        "centroids": cents,
-        "books": books,
-        "train": {"n": n, "sum_qerr": s},
-        "appended": {"n": 0, "sum_qerr": 0.0},
-    }
-    q["epoch"] = new_epoch
-    # pin the epoch in the index sidecar before the quantizer write: the
-    # fresh-path build has no pre-existing sidecar to pre-pin (the
-    # publish creates it), so the pin lands here; for the
-    # overwrite-build the pre-pin above already covered the publish→pin
-    # gap and this write is the (idempotent) re-stamp of the same value
-    idx_meta = metadata.read_sidecar(spark, index_path)
-    if idx_meta is None:
-        # publish_path above must have stamped a sidecar; reaching here
-        # without one means the index publish did not complete (or the
-        # path was clobbered between publish and pin) — refuse with a
-        # diagnosable error instead of an opaque AttributeError
-        # (ADVICE r14)
-        raise ValueError(
-            f"build_ivf_index: index publish left no sidecar at "
-            f"{index_path} — the build did not commit; re-run it"
-        )
-    idx_meta.ann_epoch = q["epoch"]
-    metadata.write_sidecar(spark, index_path, idx_meta)
-    _write_quantizers(spark, index_path, q)
+    try:
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            qerr_fut = pool.submit(_batch_qerr, vectors, vec_col, cents)
+            pub_futs = [pool.submit(_publish_index),
+                        pool.submit(_publish_companion)]
+            for f in pub_futs:
+                f.result()
+            n, s = qerr_fut.result()
+        q = {
+            "id_col": id_col,
+            "m": m,
+            "centroids": cents,
+            "books": books,
+            "train": {"n": n, "sum_qerr": s},
+            "appended": {"n": 0, "sum_qerr": 0.0},
+        }
+        q["epoch"] = new_epoch
+        # pin the epoch in the index sidecar before the quantizer write:
+        # the fresh-path build has no pre-existing sidecar to pre-pin
+        # (the publish creates it), so the pin lands here; for the
+        # overwrite-build the pre-pin above already covered the
+        # publish→pin gap and this write is the (idempotent) re-stamp of
+        # the same value
+        idx_meta = metadata.read_sidecar(spark, index_path)
+        if idx_meta is None:
+            # publish_path above must have stamped a sidecar; reaching
+            # here without one means the index publish did not complete
+            # (or the path was clobbered between publish and pin) —
+            # refuse with a diagnosable error instead of an opaque
+            # AttributeError (ADVICE r14)
+            raise ValueError(
+                f"build_ivf_index: index publish left no sidecar at "
+                f"{index_path} — the build did not commit; re-run it"
+            )
+        idx_meta.ann_epoch = q["epoch"]
+        metadata.write_sidecar(spark, index_path, idx_meta)
+        _write_quantizers(spark, index_path, q)
+    except Exception:
+        # ADVICE r15: an ORDINARY pre-write failure (validation error,
+        # ConcurrentWriteError, sizing-sample job failure — all raised
+        # before writer.parquet touches the data) leaves the old rows and
+        # old quantizers fully consistent; without this handler the
+        # pre-pin would force a previously healthy index to refuse until
+        # a full rebuild. Restore the previous epoch ONLY when the
+        # sidecar is still byte-identical to the pre-pinned write — any
+        # destructive publish activity either commits a merged sidecar
+        # (different dict) or deletes it with the data directory (None),
+        # and in both cases the fail-closed pre-pin / missing sidecar
+        # must stand. A hard crash never reaches this handler, so the
+        # closed publish→pin window the fault-injection test pins is
+        # unchanged.
+        if pre_pinned is not None:
+            try:
+                cur = metadata.read_sidecar(spark, index_path)
+                _cc = metadata.read_sidecar(spark, _vectors_path(index_path))
+                cur_companion = None if _cc is None else _cc.to_dict()
+                # the companion must be untouched too: its publish runs
+                # concurrently, and an old-epoch index over a REWRITTEN
+                # companion would refine against the wrong vectors
+                if (
+                    cur is not None
+                    and cur.to_dict() == pre_pinned
+                    and cur_companion == pre_companion
+                ):
+                    cur.ann_epoch = prev_epoch
+                    metadata.write_sidecar(spark, index_path, cur)
+            except Exception:
+                pass  # best-effort: the fail-closed pre-pin stands
+        raise
 
 
 def append_to_ivf_index(

@@ -1463,3 +1463,45 @@ def test_crash_mid_rollback_refuses_then_converges(
 
     assert not _glob.glob(str(tmp_path / "idx*rebuilding*"))
     assert not _glob.glob(str(tmp_path / "idx*prerebuild*"))
+
+
+def test_overwrite_build_prewrite_failure_restores_healthy_index(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r15: the overwrite-build pre-pins the NEW epoch before any
+    publish (fail-closed crash window), but an ORDINARY exception raised
+    BEFORE anything destructive happens (validation error, concurrent
+    write, sizing failure — all pre-writer.parquet) leaves the old rows
+    and old quantizers fully consistent. The handler must restore the
+    previous epoch so the previously healthy index keeps serving, while
+    a failure AFTER the publish committed must keep the fail-closed
+    pre-pin (the existing publish-to-pin gap test)."""
+    import s3parq_spark.ann_index as ann
+
+    path = str(tmp_path / "idx")
+    build_ivf_index(spark, _clustered_vecs(spark, range(100), 0), path,
+                    "vec_id", "embedding", k=4, iters=1)
+    qv = [0.0] * 8
+    qv[1] = 1.0
+    before = _rows(search_ivf_index(spark, path, qv, k=5, nprobe=2))
+
+    # inject a PRE-WRITE failure: the publish raises before touching data
+    real_publish = ann.publish_path
+
+    def refuse_publish(*a, **k):
+        raise RuntimeError("injected pre-write validation failure")
+
+    monkeypatch.setattr(ann, "publish_path", refuse_publish)
+    with pytest.raises(RuntimeError, match="pre-write validation"):
+        build_ivf_index(spark, _clustered_vecs(spark, range(60), 1),
+                        path, "vec_id", "embedding", k=2, iters=1)
+    monkeypatch.setattr(ann, "publish_path", real_publish)
+
+    # nothing destructive happened -> the old family must still serve,
+    # bit-identically (the pre-pin was rolled back)
+    assert _rows(search_ivf_index(spark, path, qv, k=5, nprobe=2)) == before
+
+    # and a later rebuild proceeds normally from the healthy state
+    build_ivf_index(spark, _clustered_vecs(spark, range(60), 1), path,
+                    "vec_id", "embedding", k=2, iters=1)
+    assert search_ivf_index(spark, path, qv, k=5, nprobe=2).count() == 5
