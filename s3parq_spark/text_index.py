@@ -108,6 +108,7 @@ Reference analog: none (extension per SURVEY §7.4).
 
 from __future__ import annotations
 
+import os
 from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
@@ -163,6 +164,15 @@ _POSTING_COLS = ("term", "tf", "dl", "bucket")
 #: the publish skip its sizing sample — maintenance batches are change
 #: sets, far below one file's worth (see publish_path _write_hints)
 _MAINT_ROWS_PER_FILE = 2_000_000
+
+#: capped builds route rows live/stopped by driver-held over-cap term
+#: set when it is at most this large (the set is bounded by
+#: total_postings/max_df — a handful of high-df terms for any stopword
+#: cap); degenerate caps past it fall back to the window tagging, which
+#: never collects terms. Env-overridable for constrained drivers.
+_STOP_TERMS_DRIVER_MAX = int(
+    os.environ.get("SPARK_GRAFT_STOP_TERMS_DRIVER_MAX", "65536")
+)
 
 
 def _n_buckets_of(meta) -> Optional[int]:
@@ -524,29 +534,62 @@ def build_text_index(
     postings, dl = _tokenize(corpus, id_col, text_col)
     dl = dl.persist()
     stopped = None
-    if max_df is not None:
-        from pyspark.sql.window import Window
-
-        # document frequency inside the already-keyed postings: one
-        # window over the term partitioning the rows are about to be
-        # written in anyway. Over-cap terms are SPLIT OUT, not dropped:
-        # the stopped sibling keeps their postings so maintenance can
-        # re-admit a term whose df later falls under the cap.
-        w = Window.partitionBy("term")
-        tagged = postings.withColumn(
-            "__df", F.count(F.lit(1)).over(w)
-        ).persist()
-        postings = tagged.filter(F.col("__df") <= max_df).drop("__df")
-        stopped = tagged.filter(F.col("__df") > max_df).drop("__df")
-        if postings.limit(1).count() == 0:
-            tagged.unpersist()
-            dl.unpersist()
-            raise ValueError(
-                f"build_text_index: max_df={max_df} leaves no under-cap "
-                "terms — every term in the corpus is a stop term; raise "
-                "the cap"
-            )
+    tagged = None
+    full_postings = None
+    n_stop = 0
     try:
+        if max_df is not None:
+            # r16 (guide §2.4): df routing without re-shuffling the
+            # postings. The r15 shape paid a full postings Exchange +
+            # Sort + Window on "term" just to tag every row with its
+            # term's document frequency; but df is a PER-TERM aggregate
+            # — vocabulary-sized, orders of magnitude smaller than the
+            # postings — so compute it as a small map-side-combined
+            # aggregate over the persisted postings and route rows by
+            # driver-side membership in the (bounded) over-cap term set:
+            # stop terms number at most total_postings/max_df. Over-cap
+            # terms are SPLIT OUT, not dropped: the stopped sibling
+            # keeps their postings so maintenance can re-admit a term
+            # whose df later falls under the cap. A degenerate cap
+            # (max_df so low that the over-cap set is huge) falls back
+            # to the r15 window tagging, which never collects terms.
+            postings = full_postings = postings.persist()
+            df_t = postings.groupBy("term").agg(
+                F.count(F.lit(1)).alias("__df")
+            )
+            counts = df_t.agg(
+                F.count(F.lit(1)).alias("n_terms"),
+                F.count(F.when(F.col("__df") > max_df, 1)).alias("n_stop"),
+            ).collect()[0]
+            n_terms, n_stop = int(counts["n_terms"]), int(counts["n_stop"])
+            if n_terms == n_stop:
+                raise ValueError(
+                    f"build_text_index: max_df={max_df} leaves no "
+                    "under-cap terms — every term in the corpus is a "
+                    "stop term; raise the cap"
+                )
+            if n_stop == 0:
+                pass  # nothing to split; postings publish whole
+            elif n_stop <= _STOP_TERMS_DRIVER_MAX:
+                stops = [
+                    r[0]
+                    for r in df_t.filter(F.col("__df") > max_df)
+                    .select("term").collect()
+                ]
+                is_stop = F.col("term").isin(stops)
+                stopped = postings.filter(is_stop)
+                postings = postings.filter(~is_stop)
+            else:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy("term")
+                tagged = postings.withColumn(
+                    "__df", F.count(F.lit(1)).over(w)
+                ).persist()
+                stopped = tagged.filter(F.col("__df") > max_df).drop("__df")
+                postings = tagged.filter(
+                    F.col("__df") <= max_df
+                ).drop("__df")
         # The family's member datasets (live postings, stopped sibling,
         # forward table, doclens) derive independently from the persisted
         # tokenize output, so their publishes run CONCURRENTLY from a small
@@ -591,7 +634,9 @@ def build_text_index(
             )
 
         def _publish_stopped():
-            if stopped.limit(1).count() > 0:
+            # nonemptiness is known driver-side from the df aggregate
+            # (n_stop), so no limit(1).count() job runs here (r16)
+            if n_stop > 0:
                 publish_path(
                     spark,
                     _stopped_path(index_path),
@@ -612,8 +657,9 @@ def build_text_index(
 
         def _publish_fwd():
             # forward table: EVERY (id, term) pair, live and stopped —
-            # the id-bloomed point-lookup plane for df decrements
-            fwd = tagged.select(F.col(id_col), F.col("term"))
+            # the id-bloomed point-lookup plane for df decrements;
+            # reads the persisted FULL postings (pre-routing)
+            fwd = full_postings.select(F.col(id_col), F.col("term"))
             publish_path(
                 spark,
                 _fwd_path(index_path),
@@ -650,9 +696,7 @@ def build_text_index(
             for f in futs:
                 f.result()
             agg = agg_fut.result()
-        if max_df is not None:
-            tagged.unpersist()
-        else:
+        if max_df is None:
             # an uncapped rebuild over a previously capped index drops
             # the cap's companion datasets with the cap itself
             fs.delete(spark, _stopped_path(index_path))
@@ -661,7 +705,13 @@ def build_text_index(
             spark, index_path, int(agg["n"]), int(agg["t"] or 0), max_df
         )
     finally:
+        # unpersist in a finally (ADVICE r15): a member-publish failure
+        # must not leak the cached tokenize output for the session
         dl.unpersist()
+        if full_postings is not None:
+            full_postings.unpersist()
+        if tagged is not None:
+            tagged.unpersist()
 
 
 def _require_index(spark: SparkSession, index_path: str):

@@ -1150,3 +1150,63 @@ def test_tokenize_single_exchange_and_reference_equivalence(spark, docs):
     pn, _ = _tokenize(docs, "doc_id", "text")
     plan = pn._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
+
+
+def test_capped_driver_routing_equals_window_fallback(
+    spark, docs, tmp_path, monkeypatch
+):
+    """r16 (guide §2.4): the capped build routes postings live/stopped
+    by a driver-held over-cap term set instead of re-shuffling every
+    posting through a term-window tag. Both routings must produce
+    byte-identical live and stopped datasets and identical search
+    results; the degenerate-cap fallback (over-cap set too large to
+    collect) is the r15 window path, forced here via the threshold."""
+    import s3parq_spark.text_index as ti
+    from s3parq_spark.text_index import _stopped_path
+    from s3parq_spark.fetch import fetch_path
+
+    n_docs = docs.count()
+    cap = n_docs // 2
+
+    p_driver = str(tmp_path / "idx_driver")
+    build_text_index(spark, docs, p_driver, "doc_id", "text",
+                     n_buckets=16, max_df=cap)
+
+    p_window = str(tmp_path / "idx_window")
+    monkeypatch.setattr(ti, "_STOP_TERMS_DRIVER_MAX", 0)
+    build_text_index(spark, docs, p_window, "doc_id", "text",
+                     n_buckets=16, max_df=cap)
+    monkeypatch.undo()
+
+    def rows(path):
+        return sorted(
+            (r["term"], r["doc_id"], r["tf"], r["dl"])
+            for r in fetch_path(spark, path).collect()
+        )
+
+    live_d, live_w = rows(p_driver), rows(p_window)
+    assert live_d == live_w and live_d
+    stop_d, stop_w = rows(_stopped_path(p_driver)), rows(_stopped_path(p_window))
+    assert stop_d == stop_w and stop_d  # the corpus has over-cap terms
+
+    for terms in (["hash", "join", "vector"], ["the"], ["model", "data"]):
+        got_d = _rows(search_text_index(spark, p_driver, terms, k=10))
+        got_w = _rows(search_text_index(spark, p_window, terms, k=10))
+        assert got_d == got_w, terms
+
+
+def test_capped_build_no_undercap_terms_raises_and_unpersists(
+    spark, tmp_path
+):
+    """The no-under-cap refusal survives the r16 routing change, and the
+    persisted tokenize frames are released even on the error path
+    (ADVICE r15: the old shape leaked the cached tagged frame)."""
+    docs = spark.createDataFrame(
+        [(1, "aa bb"), (2, "aa bb"), (3, "aa bb")], "doc_id long, text string"
+    )
+    before = len(spark.sparkContext._jsc.getPersistentRDDs())
+    with pytest.raises(ValueError, match="no under-cap"):
+        build_text_index(spark, docs, str(tmp_path / "idx"),
+                         "doc_id", "text", n_buckets=4, max_df=1)
+    after = len(spark.sparkContext._jsc.getPersistentRDDs())
+    assert after <= before
