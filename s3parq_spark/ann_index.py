@@ -104,13 +104,17 @@ def _cnorms(cents: list) -> list:
 def _assign_cells(df: DataFrame, vec_col: str, cents: list) -> DataFrame:
     """Attach the IVF cell (argmax of dot/||c|| — ties to the lowest cell
     id, matching ``kmeans_centroids``'s own assignment) as one
-    shuffle-free projection over the literal centroid matrix."""
-    s = _cell_scores(
-        F.col(vec_col).cast("array<double>"), cents, _cnorms(cents)
+    shuffle-free vectorized pass (r16, guide §4.2 — bit-identical to the
+    literal-matrix expression form; parity pinned by
+    tests/test_assign_parity.py)."""
+    from .operators.similarity import _assign_whole_vec
+
+    tmp = "__assign_vec_d"
+    out = _assign_whole_vec(
+        df.withColumn(tmp, F.col(vec_col).cast("array<double>")),
+        tmp, "cell", cents, _cnorms(cents),
     )
-    return df.withColumn(
-        "cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-    )
+    return out.drop(tmp)
 
 
 def _batch_qerr(df: DataFrame, vec_col: str, cents: list) -> tuple:

@@ -198,6 +198,221 @@ def _cell_scores(vec: Column, cvecs, cnorms) -> Column:
 #: kmeans_centroids docstring.
 _KMEANS_MAX_ENTRIES = 2_000_000
 
+#: rows-per-chunk sizing for the vectorized assignment: bound the n×k×dim
+#: product tensor at ~32 MB of doubles per chunk
+_ASSIGN_CHUNK_ENTRIES = 4_000_000
+
+
+def _slow_argmax_code(v, off, sub, cents, cnorms, strict):
+    """Row-at-a-time emulation of the Catalyst assignment for rows the
+    vectorized path cannot take (NULL vector, ragged length, NULL
+    elements). Bit-identical by construction: Python floats ARE IEEE
+    doubles and the fold order matches ``aggregate``'s left fold; the
+    NULL/NaN rules mirror zip_with padding, array_max (NULL-skipping,
+    NaN greatest) and array_position (first SQL-equal element, NaN equal
+    to NaN). ``strict`` is the whole-vector form (zip_with over the FULL
+    vector: ANY length mismatch pads to NULL); non-strict is the
+    slice form (slice first, only a short slice pads)."""
+    if v is None:
+        return None
+    if strict and len(v) != sub:
+        return None
+    seg = v[off:off + sub]
+    scores = []
+    for j, c in enumerate(cents):
+        if len(seg) != sub or any(x is None for x in seg):
+            # zip_with pads the shorter side with NULL -> NULL product
+            # -> the fold goes (and stays) NULL; a NULL element likewise
+            scores.append(None)
+            continue
+        acc = 0.0
+        for x, y in zip(seg, c):
+            acc = acc + x * y
+        scores.append(acc / cnorms[j])
+    non_null = [s for s in scores if s is not None]
+    if not non_null:
+        return None
+    mx = None
+    for s in non_null:
+        if s != s:  # Spark orders NaN greater than any double
+            mx = s
+            break
+    if mx is None:
+        mx = max(non_null)
+    for i, s in enumerate(scores):
+        if s is None:
+            continue
+        if (s != s and mx != mx) or s == mx:  # Spark: NaN = NaN is true
+            return i
+    return None  # unreachable: mx is drawn from scores
+
+
+def _assign_whole_vec(
+    df: DataFrame, vec_col: str, out_col: str, cents: list, cnorms: list
+) -> DataFrame:
+    """Whole-vector argmax assignment via ``assign_codes_arrow``; empty
+    centroid lists keep the expression form (NULL for every row, as
+    ``array_max`` over an empty score array yields)."""
+    if not cents:
+        s = _cell_scores(F.col(vec_col), cents, cnorms)
+        return df.withColumn(
+            out_col, (F.array_position(s, F.array_max(s)) - 1).cast("int")
+        )
+    return assign_codes_arrow(
+        df, vec_col, [(out_col, 0, len(cents[0]), cents, cnorms, True)]
+    )
+
+
+def assign_codes_arrow(df: DataFrame, vec_col: str, specs: list) -> DataFrame:
+    """Append argmax-cell columns computed in ONE vectorized mapInArrow
+    pass — the guide-§4.2 rewrite of the per-row Catalyst expression
+    ``(array_position(s, array_max(s)) - 1).cast("int")`` with
+    ``s = transform(centroids, c -> dot(vec, c)) / norms``.
+
+    ``specs`` is a list of ``(out_col, offset, sub_dim, cents, cnorms,
+    strict)`` — a strict entry assigns over the whole vector (length
+    must equal ``sub_dim`` exactly, as zip_with padding dictates);
+    pq_encode passes ``m`` non-strict slice entries so every subspace
+    code of a row is computed from a single boundary crossing.
+
+    Bit parity with the expression form is load-bearing (centroids are
+    the stored quantizer artifact; the DuckDB oracle replays the exact
+    arithmetic) and is pinned by tests/test_assign_parity.py:
+    - the dot is ``aggregate``'s sequential left fold — numpy's cumsum
+      is the same sequential accumulation, so the fast path computes
+      products elementwise (IEEE-identical) and takes the cumsum's last
+      lane;
+    - ties take the FIRST max (np.argmax == array_position semantics;
+      signed zeros coincide because SQL equality finds the earlier
+      ±0.0 either way);
+    - a NaN score wins (Spark orders NaN greatest and NaN = NaN) — rows
+      whose scores contain NaN take the first NaN's index;
+    - NULL vectors, ragged lengths and NULL elements yield NULL exactly
+      as zip_with padding does; such rows take a per-row Python slow
+      path (floats are IEEE doubles, same fold order).
+
+    The centroid matrices ship in the function closure — unlike the
+    literal-array expression form, the PLAN stays O(1) in k×dim (at
+    k=1024 the literal tree itself was a planning cost)."""
+    import numpy as np
+    import pyarrow as pa
+
+    mats = [
+        (
+            out,
+            int(off),
+            int(sub),
+            np.asarray([[float(x) for x in c] for c in cents],
+                       dtype=np.float64).reshape(len(cents), int(sub)),
+            np.asarray([float(n) for n in cnorms], dtype=np.float64),
+            [list(map(float, c)) for c in cents],
+            [float(n) for n in cnorms],
+            bool(strict),
+        )
+        for (out, off, sub, cents, cnorms, strict) in specs
+    ]
+    out_schema = df.schema
+    out_fields = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}" for f in out_schema.fields
+    )
+    out_fields += ", " + ", ".join(f"`{m[0]}` int" for m in mats)
+    dim_total = max(m[1] + m[2] for m in mats)
+
+    def fn(it):
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            col = batch.column(batch.schema.get_field_index(vec_col))
+            if isinstance(col, pa.ChunkedArray):  # pragma: no cover
+                col = col.combine_chunks()
+            if col.buffers()[1] is None:  # pragma: no cover — all-null
+                clean = np.zeros(n, dtype=bool)
+                offs = np.zeros(n + 1, dtype=np.int64)
+                child = col.values
+            else:
+                offs = np.frombuffer(
+                    col.buffers()[1], dtype=np.int32, count=n + 1,
+                    offset=col.offset * 4,
+                ).astype(np.int64)
+                child = col.values
+                lengths = np.diff(offs)
+                clean = lengths == dim_total
+            if col.null_count:
+                clean &= np.asarray(
+                    pa.compute.is_valid(col), dtype=bool
+                )
+            if child.null_count:
+                inv = (~np.asarray(
+                    pa.compute.is_valid(child), dtype=bool
+                )).astype(np.int64)
+                c = np.concatenate([[0], np.cumsum(inv)])
+                clean &= (c[offs[1:]] - c[offs[:-1]]) == 0
+            out_cols = []
+            idx = np.nonzero(clean)[0]
+            starts = offs[idx] + child.offset
+            flat = (
+                np.frombuffer(
+                    child.buffers()[1], dtype=np.float64,
+                    count=len(child) + child.offset,
+                )
+                if len(idx)
+                else np.empty(0, dtype=np.float64)
+            )
+            slow_rows = None
+            if not clean.all():
+                slow_rows = col.to_pylist()
+            for out, off, sub, C, N, c_list, n_list, strict in mats:
+                cells = np.full(n, -1, dtype=np.int64)
+                ok = np.zeros(n, dtype=bool)
+                k = C.shape[0]
+                if len(idx) and k:
+                    pos = (
+                        starts[:, None]
+                        + np.arange(off, off + sub, dtype=np.int64)[None, :]
+                    )
+                    arr = flat[pos]
+                    step = max(1, _ASSIGN_CHUNK_ENTRIES // max(1, k * sub))
+                    res = np.empty(len(idx), dtype=np.int64)
+                    for lo in range(0, len(idx), step):
+                        a = arr[lo:lo + step]
+                        prods = a[:, None, :] * C[None, :, :]
+                        if sub:
+                            dots = np.cumsum(prods, axis=2)[:, :, -1]
+                        else:
+                            dots = np.zeros((a.shape[0], k))
+                        scores = dots / N[None, :]
+                        cell = np.argmax(scores, axis=1)
+                        nan_rows = np.isnan(scores).any(axis=1)
+                        if nan_rows.any():
+                            cell[nan_rows] = np.argmax(
+                                np.isnan(scores[nan_rows]), axis=1
+                            )
+                        res[lo:lo + step] = cell
+                    cells[idx] = res
+                    ok[idx] = True
+                if slow_rows is not None:
+                    for i in np.nonzero(~clean)[0]:
+                        code = _slow_argmax_code(
+                            slow_rows[i], off, sub, c_list, n_list, strict
+                        )
+                        if code is not None:
+                            cells[i] = code
+                            ok[i] = True
+                out_cols.append(
+                    pa.array(cells, pa.int32(), mask=~ok)
+                )
+            yield pa.record_batch(
+                [batch.column(i) for i in range(batch.num_columns)]
+                + out_cols,
+                schema=pa.schema(
+                    list(batch.schema)
+                    + [pa.field(m[0], pa.int32()) for m in mats]
+                ),
+            )
+
+    return df.mapInArrow(fn, out_fields)
+
 
 def kmeans_centroids(
     df: DataFrame,
@@ -252,10 +467,12 @@ def kmeans_centroids(
     k = len(cents)  # corpus may hold fewer than k vectors
     for _ in range(iters):
         cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
-        s = _cell_scores(F.col("__vec"), cents, cnorms)
-        assigned = corpus.withColumn(
-            "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-        )
+        # r16 (guide §4.2): assignment runs vectorized in one mapInArrow
+        # pass — bit-identical to the expression form (parity pinned by
+        # tests/test_assign_parity.py); the interpreted higher-order
+        # scoring was O(k·dim) per row and dominated each Lloyd
+        # iteration once k·dim grew (5.6x at k=256·dim=64 on 20k rows)
+        assigned = _assign_whole_vec(corpus, "__vec", "__cell", cents, cnorms)
         means = (
             assigned.select("__cell", F.posexplode("__vec").alias("__pos", "__x"))
             .groupBy("__cell", "__pos")
@@ -330,10 +547,7 @@ def ivf_topk(
         raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
     cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
 
-    s = _cell_scores(F.col("__vec"), cvecs, cnorms)
-    assigned = corpus.withColumn(
-        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-    )
+    assigned = _assign_whole_vec(corpus, "__vec", "__cell", cvecs, cnorms)
 
     qrow = query_df.select(
         F.col(id_col).alias("__qid"),
@@ -411,10 +625,7 @@ def ivf_batch_topk(
         raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
     cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
 
-    s = _cell_scores(F.col("__vec"), cvecs, cnorms)
-    assigned = corpus.withColumn(
-        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-    )
+    assigned = _assign_whole_vec(corpus, "__vec", "__cell", cvecs, cnorms)
 
     qid = query_id_col or id_col
     q = query_df.select(
@@ -587,17 +798,19 @@ def pq_encode(
                     sliced, "__id", "__sub", k=codes, iters=kmeans_iters
                 )
             )
-    out = df
+    # r16 (guide §4.2): all m subspace codes from ONE vectorized
+    # mapInArrow pass over a single boundary crossing (was m chained
+    # interpreted argmax projections); bit parity with the slice
+    # expression form pinned by tests/test_assign_parity.py
+    tmpc = "__pq_vec_d"
+    specs = []
     for j, cents in enumerate(books):
         cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cents]
-        s = _cell_scores(
-            F.slice(F.col(vec_col).cast("array<double>"), j * sub + 1, sub),
-            cents,
-            cnorms,
-        )
-        out = out.withColumn(
-            f"__code_{j}", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-        )
+        specs.append((f"__code_{j}", j * sub, sub, cents, cnorms, False))
+    out = assign_codes_arrow(
+        df.withColumn(tmpc, F.col(vec_col).cast("array<double>")),
+        tmpc, specs,
+    ).drop(tmpc)
     return out, books
 
 
@@ -863,10 +1076,7 @@ def semantic_dedup(
         raise ValueError(f"unknown quantizer {quantizer!r}: use 'kmeans' or 'first'")
     cnorms = [max(1e-12, sum(x * x for x in v) ** 0.5) for v in cvecs]
 
-    s = _cell_scores(F.col("__vec"), cvecs, cnorms)
-    assigned = corpus.withColumn(
-        "cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-    )
+    assigned = _assign_whole_vec(corpus, "__vec", "cell", cvecs, cnorms)
 
     if max_cell_rows is not None:
         biggest = (
@@ -941,10 +1151,10 @@ def ivf_pq_topk(
     enc, books = pq_encode(df, id_col, vec_col, m, codes, pq_iters)
     sub = len(books[0][0])
 
-    s = _cell_scores(F.col(vec_col).cast("array<double>"), cvecs, cnorms)
-    assigned = enc.withColumn(
-        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
-    )
+    assigned = _assign_whole_vec(
+        enc.withColumn("__ivfpq_vec_d", F.col(vec_col).cast("array<double>")),
+        "__ivfpq_vec_d", "__cell", cvecs, cnorms,
+    ).drop("__ivfpq_vec_d")
 
     qrow = query_df.select(
         F.col(id_col).alias("__qid"),
@@ -1046,9 +1256,9 @@ def ivf_pq_batch_topk(
     )
     sub = len(books[0][0])
 
-    s = _cell_scores(F.col(vec_col).cast("array<double>"), cvecs, cnorms)
-    assigned = enc.withColumn(
-        "__cell", (F.array_position(s, F.array_max(s)) - 1).cast("int")
+    assigned = _assign_whole_vec(
+        enc.withColumn("__ivfpq_vec_d", F.col(vec_col).cast("array<double>")),
+        "__ivfpq_vec_d", "__cell", cvecs, cnorms,
     ).select(id_col, "__cell", *[f"__code_{j}" for j in range(m)])
 
     qid = query_id_col or id_col

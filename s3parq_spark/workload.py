@@ -3143,7 +3143,7 @@ def q_ivf_pruned_topk(spark, sf_dir):
     filters must exist at plan time; that is the serving-path trade, while
     ivf_batch_topk remains the all-JVM batch path."""
     from .operators.similarity import (
-        _cell_scores,
+        _assign_whole_vec,
         cosine_similarity,
         kmeans_centroids,
     )
@@ -3156,10 +3156,7 @@ def q_ivf_pruned_topk(spark, sf_dir):
         corpus = _table(s, d, "embeddings").select(
             "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
         )
-        sc = _cell_scores(F.col("embedding"), cvecs, cnorms)
-        return corpus.withColumn(
-            "cell", (F.array_position(sc, F.array_max(sc)) - 1).cast("int")
-        )
+        return _assign_whole_vec(corpus, "embedding", "cell", cvecs, cnorms)
 
     path = _cached_dataset(spark, sf_dir, "ivf_cells", build, ["cell"])
 

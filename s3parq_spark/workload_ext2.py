@@ -418,7 +418,9 @@ def q_ivf_pq_at_rest(spark, sf_dir):
     ivf_pq_topk, so the at-rest layout must reproduce its answer exactly
     (shared oracle)."""
     from .fetch import fetch_path
-    from .operators.similarity import _cell_scores, kmeans_centroids, pq_encode
+    from .operators.similarity import (
+        _assign_whole_vec, kmeans_centroids, pq_encode,
+    )
     from .workload import _cached_dataset
 
     emb = _table(spark, sf_dir, "embeddings")
@@ -429,11 +431,11 @@ def q_ivf_pq_at_rest(spark, sf_dir):
     sub = len(books[0][0])
 
     def build(s, d):
-        sc = _cell_scores(
-            F.col("embedding").cast("array<double>"), cvecs, cnorms
-        )
-        return enc.withColumn(
-            "cell", (F.array_position(sc, F.array_max(sc)) - 1).cast("int")
+        return _assign_whole_vec(
+            enc.withColumn(
+                "__at_rest_vec_d", F.col("embedding").cast("array<double>")
+            ),
+            "__at_rest_vec_d", "cell", cvecs, cnorms,
         ).select(
             "vec_id",
             "cell",
