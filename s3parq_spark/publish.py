@@ -387,6 +387,63 @@ _SMALL_FILE_FRACTION = 8
 #: files each writer task owns on the small-file range path
 _SMALL_FILES_PER_TASK = 32
 
+#: inputs provably at most this many bytes skip the rebalance exchange
+#: outright (r16): one scan task writing directly produces the same
+#: one-file-per-partition-value geometry the rebalance fan-out would,
+#: minus a whole AQE shuffle stage
+_TINY_DIRECT_WRITE_BYTES = TARGET_FILE_BYTES // _SMALL_FILE_FRACTION
+#: driver-local relations up to this many rows take the same skip — the
+#: metadata plane publishes literal 1-row frames (stats rows) on every
+#: maintenance commit, and each paid a rebalance stage for nothing
+_TINY_LOCAL_ROWS = 100_000
+
+
+def _tiny_single_task_input(df: DataFrame) -> bool:
+    """True when the plan provably reads at most ONE tiny task's worth of
+    input — decided driver-side with zero Spark jobs. Two shapes qualify:
+
+    - Project/Filter over a driver-local relation of bounded rows (the
+      engine's metadata-plane frames via ``local_rows_df``);
+    - a bare parquet scan (the footer-sizing machinery already proves
+      untransformed-ness) of ONE local file under ~7.5 MB — well under
+      any sane ``files.maxPartitionBytes``, so Spark plans one task.
+
+    With one input task and no partition columns the write produces the
+    same single file the rebalance path would — so skipping the hint
+    removes the AQE shuffle stage without changing the layout. Anything
+    unprovable keeps the rebalance: a multi-task input without it would
+    write one file per task per value (the small-files explosion the
+    hint exists to stop), and partitioned tiny inputs measurably prefer
+    the rebalance's parallel per-value writers."""
+    try:
+        node = df._jdf.queryExecution().optimizedPlan()
+        cls = node.getClass().getSimpleName()
+        for _ in range(16):
+            if cls in ("Project", "Filter", "SubqueryAlias"):
+                node = node.children().apply(0)
+                cls = node.getClass().getSimpleName()
+                continue
+            break
+        if cls == "LocalRelation":
+            return node.data().size() <= _TINY_LOCAL_ROWS
+    except Exception:
+        pass
+    if _parquet_scan_row_bytes(df) is None:
+        return False
+    try:
+        files = df.inputFiles()
+        if len(files) != 1:
+            return False
+        import os
+        from urllib.parse import urlparse
+
+        u = urlparse(files[0])
+        if u.scheme not in ("file", ""):
+            return False
+        return os.path.getsize(u.path) <= _TINY_DIRECT_WRITE_BYTES
+    except Exception:
+        return False
+
 
 def _small_file_split_count(df: DataFrame, n_per_file: int) -> Optional[int]:
     """Writer-task count for a SORTED publish whose requested file size
@@ -935,6 +992,15 @@ def publish_path(
         )
         if split_n:
             df = df.repartitionByRange(split_n, *partitions, *sort_within_files)
+        elif not partitions and _tiny_single_task_input(df):
+            # r16: provably one tiny input task and no partition fan-out
+            # to parallelize — the direct write yields the same single
+            # file, minus one AQE shuffle stage. The metadata plane's
+            # 1-row stats publishes ride this on every maintenance
+            # commit. PARTITIONED tiny inputs keep the rebalance: the
+            # ABAB A/B showed the parallel per-value writers beat the
+            # saved stage there (orders_prio 0.36 vs 0.39-0.41 warm).
+            pass
         else:
             df = (
                 df.hint("rebalance", *partitions)
