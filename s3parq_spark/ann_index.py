@@ -120,29 +120,22 @@ def _assign_cells(df: DataFrame, vec_col: str, cents: list) -> DataFrame:
 def _batch_qerr(df: DataFrame, vec_col: str, cents: list) -> tuple:
     """(n, sum of per-vector quantization error) where the error is
     ``1 - cos(v, assigned centroid)`` — decimal-exact accumulation so
-    the recorded drift numbers don't depend on aggregation order."""
-    s = _cell_scores(
-        F.col(vec_col).cast("array<double>"), cents, _cnorms(cents)
+    the recorded drift numbers don't depend on aggregation order.
+    r16: the per-row error runs vectorized (guide §4.2, bit-identical
+    to the expression form — see ``qerr_arrow``; 14 s → ~1 s at
+    k=256·dim=64 over 200k sf1 vectors); the decimal-cast sum and the
+    count stay in Catalyst, so the recorded drift doubles are unchanged
+    to the bit."""
+    from .operators.similarity import qerr_arrow
+
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(vec_col).cast("array<double>").alias("__v")
     )
-    vnorm = F.greatest(
-        F.lit(1e-12),
-        F.sqrt(
-            F.aggregate(
-                F.col(vec_col).cast("array<double>"),
-                F.lit(0.0),
-                lambda a, x: a + x * x,
-            )
-        ),
-    )
-    err = F.lit(1.0) - F.array_max(s) / vnorm
-    row = (
-        df.filter(F.col(vec_col).isNotNull())
-        .select(
-            F.count(F.lit(1)).alias("n"),
-            F.sum(err.cast("decimal(30,12)")).cast("double").alias("s"),
-        )
-        .collect()[0]
-    )
+    scored = qerr_arrow(base, "__v", cents, _cnorms(cents))
+    row = scored.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("__qerr").cast("decimal(30,12)")).cast("double").alias("s"),
+    ).collect()[0]
     return int(row["n"]), float(row["s"] or 0.0)
 
 

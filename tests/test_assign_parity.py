@@ -210,3 +210,102 @@ def test_kmeans_centroids_unchanged_vs_r15(spark, sf_dir):
 
     pack = lambda m: [[struct.pack("<d", x) for x in v] for v in m]
     assert pack(got) == pack(cents)
+
+
+def _expr_qerr_frame(df, vec_col, cents, cnorms):
+    s = _cell_scores(F.col(vec_col), cents, cnorms)
+    vnorm = F.greatest(
+        F.lit(1e-12),
+        F.sqrt(
+            F.aggregate(
+                F.col(vec_col), F.lit(0.0), lambda a, x: a + x * x
+            )
+        ),
+    )
+    return df.select((F.lit(1.0) - F.array_max(s) / vnorm).alias("__qerr"))
+
+
+def test_qerr_parity_real_and_edges(spark, sf_dir):
+    import struct
+
+    from s3parq_spark.operators.similarity import qerr_arrow
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = [list(r["v"]) for r in emb.limit(16).collect()]
+    cn = _norms(cents)
+
+    def vals(df):
+        return sorted(
+            (
+                b""
+                if r["__qerr"] is None
+                else struct.pack("<d", r["__qerr"])
+            )
+            for r in df.collect()
+        )
+
+    a = vals(qerr_arrow(emb, "v", cents, cn))
+    b = vals(_expr_qerr_frame(emb, "v", cents, cn))
+    assert a == b and len(a) > 100
+
+    # edges: ragged / NULL element / NaN / Inf / zero vector
+    dim = len(cents[0])
+    rows = [
+        [1.0] * dim,
+        [1.0] * (dim - 1),
+        [1.0] * (dim + 1),
+        [None] + [1.0] * (dim - 1),
+        [float("nan")] + [1.0] * (dim - 1),
+        [float("inf")] + [1.0] * (dim - 1),
+        [0.0] * dim,
+    ]
+    df = spark.createDataFrame([(v,) for v in rows], "v array<double>")
+    assert vals(qerr_arrow(df, "v", cents, cn)) == vals(
+        _expr_qerr_frame(df, "v", cents, cn)
+    )
+
+
+def test_batch_qerr_aggregate_unchanged(spark, sf_dir):
+    """The stored drift numbers: _batch_qerr's (n, sum) on the real
+    fixture must equal the r15 expression-form aggregate exactly."""
+    import importlib
+
+    ann = importlib.import_module("s3parq_spark.ann_index")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    cents = [
+        list(r["e"])
+        for r in emb.select(
+            F.col("embedding").cast("array<double>").alias("e")
+        ).limit(8).collect()
+    ]
+    n, s = ann._batch_qerr(emb, "embedding", cents)
+
+    cn = _norms(cents)
+    sc = _cell_scores(F.col("embedding").cast("array<double>"), cents, cn)
+    vnorm = F.greatest(
+        F.lit(1e-12),
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+        ),
+    )
+    err = F.lit(1.0) - F.array_max(sc) / vnorm
+    row = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(err.cast("decimal(30,12)")).cast("double").alias("s"),
+        )
+        .collect()[0]
+    )
+    import struct
+
+    assert n == int(row["n"])
+    assert struct.pack("<d", s) == struct.pack("<d", float(row["s"]))
