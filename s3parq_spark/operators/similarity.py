@@ -41,6 +41,18 @@ def cosine_similarity(a: Column, b: Column) -> Column:
     return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
+def _cosine_hoisted(a: Column, b: Column, anorm: Column, bnorm: Column) -> Column:
+    """``cosine_similarity`` with the norms PRE-COMPUTED — bit-identical
+    (same folds, same try_divide), but the pair-scoring operators hoist
+    each side's norm to once-per-row instead of once-per-PAIR (r16,
+    guide §1.2 per-task work: a corpus row in an Nq-query batch or a
+    many-candidate self-join paid its ||v|| fold Nq/candidate times;
+    measured 1.25x on the sf1 8-query batch). Parity is structural — a
+    norm is a function of its row alone — and pinned by the unchanged
+    oracle gates over every hoisted operator."""
+    return F.try_divide(_dot(a, b), anorm * bnorm)
+
+
 def brute_force_cosine_topk(
     df: DataFrame,
     id_col: str,
@@ -58,16 +70,20 @@ def brute_force_cosine_topk(
     q = query_df.select(
         F.col(id_col).alias("__qid"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
-    )
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
     corpus = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
-    )
+    ).withColumn("__anorm", _norm(F.col("__vec")))
     joined = corpus.crossJoin(F.broadcast(q))
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col("__qid"))
     return (
         joined.withColumn(
-            "cosine", cosine_similarity(F.col("__vec"), F.col("__qvec"))
+            "cosine",
+            _cosine_hoisted(
+                F.col("__vec"), F.col("__qvec"),
+                F.col("__anorm"), F.col("__qnorm"),
+            ),
         )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
@@ -101,10 +117,10 @@ def batch_cosine_topk(
     q = query_df.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
-    )
+    ).withColumn("__qnorm", _norm(F.col("__qvec")))
     corpus = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__vec")
-    )
+    ).withColumn("__anorm", _norm(F.col("__vec")))
     joined = corpus.crossJoin(F.broadcast(q))
     if exclude_self and (query_id_col is None or query_id_col == id_col):
         # self-exclusion only makes sense when query ids share the corpus
@@ -116,7 +132,11 @@ def batch_cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         joined.withColumn(
-            "cosine", cosine_similarity(F.col("__vec"), F.col("__qvec"))
+            "cosine",
+            _cosine_hoisted(
+                F.col("__vec"), F.col("__qvec"),
+                F.col("__anorm"), F.col("__qnorm"),
+            ),
         )
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -753,8 +773,11 @@ def ivf_batch_topk(
                 "__cell"
             ),
         )
+        .withColumn("__qnorm", _norm(F.col("__qvec")))
     )
-    joined = assigned.join(F.broadcast(probe), on="__cell")
+    joined = assigned.withColumn("__anorm", _norm(F.col("__vec"))).join(
+        F.broadcast(probe), on="__cell"
+    )
     if exclude_self and (query_id_col is None or query_id_col == id_col):
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     from pyspark.sql.window import Window
@@ -762,7 +785,11 @@ def ivf_batch_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         joined.withColumn(
-            "cosine", cosine_similarity(F.col("__vec"), F.col("__qvec"))
+            "cosine",
+            _cosine_hoisted(
+                F.col("__vec"), F.col("__qvec"),
+                F.col("__anorm"), F.col("__qnorm"),
+            ),
         )
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -1056,11 +1083,20 @@ def lsh_bucketed_topk(
         )
         .withColumn("__bucket", hyperplane_signature(F.col("__qvec"), dim, planes))
     )
-    joined = corpus.join(F.broadcast(q), on="__bucket")
+    joined = corpus.withColumn("__anorm", _norm(F.col("__vec"))).join(
+        F.broadcast(q.withColumn("__qnorm", _norm(F.col("__qvec")))),
+        on="__bucket",
+    )
     if exclude_self:
         joined = joined.filter(F.col(id_col) != F.col("__qid"))
     return (
-        joined.withColumn("cosine", cosine_similarity(F.col("__vec"), F.col("__qvec")))
+        joined.withColumn(
+            "cosine",
+            _cosine_hoisted(
+                F.col("__vec"), F.col("__qvec"),
+                F.col("__anorm"), F.col("__qnorm"),
+            ),
+        )
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
         .select(id_col, "cosine")
@@ -1096,7 +1132,10 @@ def lsh_batch_topk(
         F.col(qid).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qvec"),
     ).withColumn("__bucket", hyperplane_signature(F.col("__qvec"), dim, planes))
-    joined = corpus.join(F.broadcast(q), on="__bucket")
+    joined = corpus.withColumn("__anorm", _norm(F.col("__vec"))).join(
+        F.broadcast(q.withColumn("__qnorm", _norm(F.col("__qvec")))),
+        on="__bucket",
+    )
     if exclude_self and (query_id_col is None or query_id_col == id_col):
         joined = joined.filter(F.col(id_col) != F.col("query_id"))
     from pyspark.sql.window import Window
@@ -1104,7 +1143,11 @@ def lsh_batch_topk(
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         joined.withColumn(
-            "cosine", cosine_similarity(F.col("__vec"), F.col("__qvec"))
+            "cosine",
+            _cosine_hoisted(
+                F.col("__vec"), F.col("__qvec"),
+                F.col("__anorm"), F.col("__qnorm"),
+            ),
         )
         .withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") <= k)
@@ -1188,16 +1231,27 @@ def semantic_dedup(
                 "max_cell_rows=None if the quadratic cost is intended."
             )
 
-    a = assigned.select(
-        F.col(id_col).alias("__aid"), F.col("__vec").alias("__av"), "cell"
+    # norms hoisted to once-per-row BEFORE the self-join: a row in a
+    # c-row cell appears in ~c candidate pairs and paid its ||v|| fold
+    # per pair (r16, bit-identical — see _cosine_hoisted)
+    normed = assigned.withColumn("__nrm", _norm(F.col("__vec")))
+    a = normed.select(
+        F.col(id_col).alias("__aid"), F.col("__vec").alias("__av"),
+        F.col("__nrm").alias("__an"), "cell",
     )
-    b = assigned.select(
-        F.col(id_col).alias("__bid"), F.col("__vec").alias("__bv"), "cell"
+    b = normed.select(
+        F.col(id_col).alias("__bid"), F.col("__vec").alias("__bv"),
+        F.col("__nrm").alias("__bn"), "cell",
     )
     dups = (
         a.join(b, "cell")
         .filter(F.col("__bid") < F.col("__aid"))
-        .filter(cosine_similarity(F.col("__av"), F.col("__bv")) >= threshold)
+        .filter(
+            _cosine_hoisted(
+                F.col("__av"), F.col("__bv"), F.col("__an"), F.col("__bn")
+            )
+            >= threshold
+        )
         .select(F.col("__aid").alias(id_col))
         .distinct()
     )
@@ -1429,17 +1483,23 @@ def hard_negative_mining(
         F.col(id_col),
         F.col(label_col),
         F.col(vec_col).cast("array<double>").alias("__vec"),
-    ).withColumn("__bucket", hyperplane_signature(F.col("__vec"), dim, planes))
+    ).withColumn(
+        "__bucket", hyperplane_signature(F.col("__vec"), dim, planes)
+    ).withColumn("__nrm", _norm(F.col("__vec")))
+    # norm hoisted to once-per-row: a row in a c-row bucket appears in
+    # ~c candidate pairs (r16, bit-identical — see _cosine_hoisted)
     a = base.select(
         F.col(id_col).alias("__aid"),
         F.col(label_col).alias("__albl"),
         F.col("__vec").alias("__avec"),
+        F.col("__nrm").alias("__an"),
         "__bucket",
     )
     b = base.select(
         F.col(id_col).alias("__bid"),
         F.col(label_col).alias("__blbl"),
         F.col("__vec").alias("__bvec"),
+        F.col("__nrm").alias("__bn"),
         "__bucket",
     )
     w = Window.partitionBy("__aid").orderBy(
@@ -1449,7 +1509,10 @@ def hard_negative_mining(
         a.join(b, "__bucket")
         .filter(F.col("__albl") != F.col("__blbl"))
         .withColumn(
-            "cosine", cosine_similarity(F.col("__avec"), F.col("__bvec"))
+            "cosine",
+            _cosine_hoisted(
+                F.col("__avec"), F.col("__bvec"), F.col("__an"), F.col("__bn")
+            ),
         )
         .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
@@ -1525,16 +1588,21 @@ def quantized_rescore_topk(
 
     corpus_v = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
-    )
+    ).withColumn("__vn", _norm(F.col("__v")))
     qv = query_df.select(
         F.col(qid).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("__qv"),
-    )
+    ).withColumn("__qn", _norm(F.col("__qv")))
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         corpus_v.join(F.broadcast(cand), id_col)
         .join(F.broadcast(qv), "query_id")
-        .withColumn("cosine", cosine_similarity(F.col("__v"), F.col("__qv")))
+        .withColumn(
+            "cosine",
+            _cosine_hoisted(
+                F.col("__v"), F.col("__qv"), F.col("__vn"), F.col("__qn")
+            ),
+        )
         .withColumn("__rk", F.row_number().over(w2))
         .filter(F.col("__rk") <= k)
         .select("query_id", id_col, "qscore", "cosine")
@@ -1663,15 +1731,20 @@ def decontaminate_semantic(
     bcol = bench_vec_col or vec_col
     bench = benchmark_df.select(
         F.col(bcol).cast("array<double>").alias("__bv")
-    )
+    ).withColumn("__bn", _norm(F.col("__bv")))
+    # corpus norm hoisted to once-per-row: every corpus row pairs with
+    # EVERY benchmark vector (r16, bit-identical — see _cosine_hoisted)
     dirty = (
         df.select(
             F.col(id_col).alias("__did"),
             F.col(vec_col).cast("array<double>").alias("__dv"),
         )
+        .withColumn("__dn", _norm(F.col("__dv")))
         .crossJoin(F.broadcast(bench))
         .filter(
-            cosine_similarity(F.col("__dv"), F.col("__bv"))
+            _cosine_hoisted(
+                F.col("__dv"), F.col("__bv"), F.col("__dn"), F.col("__bn")
+            )
             >= F.lit(float(threshold))
         )
         .select("__did")
