@@ -79,13 +79,26 @@ def extract_binary_features(
                     {id_col: pdf[id_col], **pd.DataFrame(feats).to_dict("series")}
                 )
             else:
+                # r16 (guide §4.2): the checksum is a byte sum — a pure
+                # Python sum() walked every payload byte row-at-a-time;
+                # numpy sums the same bytes vectorized. Values are
+                # identical: an int64 accumulator cannot overflow below
+                # ~2^55 payload bytes, and the modulus is unchanged
+                # (pinned by test_media_checksum_parity).
+                import numpy as np
+
                 yield pd.DataFrame(
                     {
                         id_col: pdf[id_col],
                         "byte_len": [len(p) for p in payloads],
                         "first_byte": [p[0] if len(p) else -1 for p in payloads],
                         "checksum": [
-                            int(sum(p) % 9_223_372_036_854_775_807) for p in payloads
+                            int(
+                                np.frombuffer(p, dtype=np.uint8)
+                                .sum(dtype=np.int64)
+                                % 9_223_372_036_854_775_807
+                            )
+                            for p in payloads
                         ],
                     }
                 )

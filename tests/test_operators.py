@@ -1352,3 +1352,26 @@ def test_trained_cvecs_round_trip_small_corpus(spark, sf_dir):
             n_cells=max(1, len(cvecs) - 1), n_probe=2,
             m=4, codes=8, trained=(cvecs, books),
         )
+
+
+def test_media_checksum_parity_vectorized(spark):
+    """r16: media_features' checksum moved from a pure-Python byte sum to
+    numpy — values must be identical, including empty payloads."""
+    import random
+
+    from s3parq_spark.operators.multimodal import extract_binary_features
+
+    rng = random.Random(7)
+    rows = [
+        (i, bytes(rng.randrange(256) for _ in range(n)))
+        for i, n in enumerate((0, 1, 3, 257, 10_000))
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {
+        r["media_id"]: (r["byte_len"], r["first_byte"], r["checksum"])
+        for r in extract_binary_features(df, "media_id").collect()
+    }
+    M = 9_223_372_036_854_775_807
+    for i, p in rows:
+        exp = (len(p), p[0] if p else -1, int(sum(p) % M))
+        assert got[i] == exp, (i, got[i], exp)
